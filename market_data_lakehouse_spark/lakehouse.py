@@ -1,0 +1,363 @@
+"""DataLakehouse — the reference engine's API, rebuilt on Spark.
+
+Reference behavior being matched (citations into /root/reference):
+
+- ``OHLCVBar`` record + ``validate()`` invariants
+  (src/market_data_lakehouse/lakehouse.py:50-88): ``high >= low``,
+  ``low <= open <= high``, ``low <= close <= high``, ``volume >= 0``.
+  Invalid rows are dropped and counted, never abort the batch
+  (lakehouse.py:263-269, 292-296).
+- Buffered ingest with auto-flush at ``batch_size``
+  (lakehouse.py:20, 253-273).
+- Date-partitioned storage, one partition dir per calendar day of
+  ``timestamp`` (lakehouse.py:22, 156-178) → here a Hive-style
+  ``date`` partition column.
+- ``query(symbol, start, end)``: symbol equality + inclusive
+  time-range on both bounds (lakehouse.py:505-529), partition
+  pruning (lakehouse.py:374-390 — only two-sided there; Catalyst
+  prunes one-sided ranges too, strictly better, same results),
+  results sorted ascending by timestamp (lakehouse.py:529).
+- ``QueryResult(bars, query_time_ms, total_rows_scanned)``
+  (lakehouse.py:108-124) and ``IngestionStats`` (lakehouse.py:127-140).
+
+Where the reference materializes Python objects row-by-row and
+filters in list comprehensions, every method body here is a
+DataFrame plan: scan / filter / sort run JVM-side under whole-stage
+codegen, partition pruning and column pruning are Catalyst's.
+
+Scale posture (100 TB): partition by date only (not date+symbol —
+8000 symbols x 365 days = small-files explosion); rely on row-group
+statistics + optional sort-within-partition by symbol for data
+skipping on symbol predicates; ``maxRecordsPerFile`` bounds file
+size instead of the reference's uncontrolled file-per-flush
+(lakehouse.py:404).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime
+from enum import Enum
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.schema import ASSET_CLASSES, BAR_SCHEMA
+
+DEFAULT_BATCH_SIZE = 10_000  # reference lakehouse.py:20
+
+
+class AssetClass(str, Enum):
+    """Asset-class domain (reference lakehouse.py:41-47)."""
+
+    EQUITY = "equity"
+    OPTION = "option"
+    FUTURE = "future"
+    FOREX = "forex"
+    CRYPTO = "crypto"
+
+
+@dataclass
+class IngestionStats:
+    """Mirror of reference IngestionStats (lakehouse.py:127-140)."""
+
+    rows_ingested: int = 0
+    partitions_written: int = 0
+    elapsed_ms: float = 0.0
+    errors: int = 0
+
+
+@dataclass
+class QueryResult:
+    """Mirror of reference QueryResult (lakehouse.py:108-124).
+
+    ``df`` is the lazy DataFrame; ``bars`` materializes it (the
+    reference always materializes). ``total_rows_scanned`` is the
+    pre-filter cardinality of the partitions touched, matching the
+    reference's metric semantics (lakehouse.py:476).
+    """
+
+    df: DataFrame = None
+    query_time_ms: float = 0.0
+    total_rows_scanned: int = 0
+    _rows: list = field(default=None, repr=False)
+
+    @property
+    def bars(self) -> list[Row]:
+        if self._rows is None:
+            self._rows = self.df.collect()
+        return self._rows
+
+    def __len__(self) -> int:
+        return len(self.bars)
+
+
+# Validation predicate — the reference's OHLCVBar.validate()
+# (lakehouse.py:79-88) as a single boolean Column. NaN semantics
+# match too: NaN comparisons are false in both Python and SQL, but
+# the reference *raises nothing* for NaN (all its inverted checks are
+# false) so NaN bars PASS there; SQL predicates treat NaN-compares as
+# false which would REJECT. We replicate the reference: a bar is
+# invalid only when a violation is provably true.
+def _violation() -> F.Column:
+    c = F.col
+    return (
+        (c("high") < c("low"))
+        | (c("open") > c("high"))
+        | (c("open") < c("low"))
+        | (c("close") > c("high"))
+        | (c("close") < c("low"))
+        | (c("volume") < 0)
+    )
+
+
+# Asset-class membership is enforced by enum construction in the
+# reference (AssetClass(value) raises, lakehouse.py:104); here it is
+# part of the validity predicate.
+def valid_bar() -> F.Column:
+    return ~F.coalesce(_violation(), F.lit(False)) & F.col("asset_class").isin(
+        *ASSET_CLASSES
+    )
+
+
+class DataLakehouse:
+    """Date-partitioned Parquet lakehouse with buffered ingest.
+
+    API parity with reference ``DataLakehouse`` (lakehouse.py:216-372):
+    ``ingest`` / ``ingest_batch`` / ``flush`` / ``query``, plus the
+    README-layer ``sql()`` surface (README.md:76-82) served by Spark
+    SQL instead of DuckDB.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        file_format: str = "parquet",
+        dead_letter_path: str | None = None,
+    ) -> None:
+        if file_format not in ("parquet", "csv"):
+            raise ValueError(f"unsupported format: {file_format}")
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.batch_size = batch_size
+        self.file_format = file_format
+        self.dead_letter_path = dead_letter_path
+        self._buffer: list[Row] = []
+        self._buffered_errors = 0
+
+    # ------------------------------------------------------------------
+    # ingest (row-buffered path — reference lakehouse.py:253-273)
+    # ------------------------------------------------------------------
+    def ingest(self, bar: dict | Row, validate: bool = True) -> bool:
+        """Buffer one bar; auto-flush at batch_size. Returns False and
+        counts an error when validation rejects the bar (reference
+        lakehouse.py:263-269)."""
+        row = dict(bar.asDict()) if isinstance(bar, Row) else dict(bar)
+        if isinstance(row.get("asset_class"), AssetClass):
+            row["asset_class"] = row["asset_class"].value
+        if validate and not self._valid_py(row):
+            self._buffered_errors += 1
+            return False
+        self._buffer.append(row)
+        if len(self._buffer) >= self.batch_size:
+            self.flush()
+        return True
+
+    def ingest_batch(
+        self, bars: Iterable[dict | Row] | DataFrame, validate: bool = True
+    ) -> IngestionStats:
+        """Validated batch append (reference lakehouse.py:275-304).
+
+        For DataFrame input this is the scale path: one valid/invalid
+        split, one partitioned write, no driver-side loop.
+        """
+        t0 = time.perf_counter()
+        if isinstance(bars, DataFrame):
+            df = bars
+        else:
+            rows = []
+            for b in bars:
+                r = dict(b.asDict()) if isinstance(b, Row) else dict(b)
+                if isinstance(r.get("asset_class"), AssetClass):
+                    r["asset_class"] = r["asset_class"].value
+                rows.append(r)
+            if not rows:
+                return IngestionStats(elapsed_ms=(time.perf_counter() - t0) * 1e3)
+            df = self.spark.createDataFrame(
+                [Row(**{f.name: r.get(f.name) for f in BAR_SCHEMA.fields}) for r in rows],
+                schema=BAR_SCHEMA,
+            )
+        stats = self._append(df, validate=validate)
+        stats.elapsed_ms = (time.perf_counter() - t0) * 1e3
+        return stats
+
+    def flush(self) -> IngestionStats:
+        """Write the buffer (reference lakehouse.py:306-336). Empty
+        buffer is a no-op with zeroed stats."""
+        t0 = time.perf_counter()
+        if not self._buffer:
+            stats = IngestionStats(errors=self._buffered_errors)
+            self._buffered_errors = 0
+            return stats
+        df = self.spark.createDataFrame(
+            [Row(**{f.name: r.get(f.name) for f in BAR_SCHEMA.fields}) for r in self._buffer],
+            schema=BAR_SCHEMA,
+        )
+        self._buffer = []
+        stats = self._append(df, validate=False)  # buffer rows pre-validated
+        stats.errors += self._buffered_errors
+        self._buffered_errors = 0
+        stats.elapsed_ms = (time.perf_counter() - t0) * 1e3
+        return stats
+
+    def _append(self, df: DataFrame, validate: bool) -> IngestionStats:
+        """Split valid/invalid, append valid rows partitioned by date.
+
+        The reference writes one file per flush x partition
+        (lakehouse.py:392-408); ``partitionBy("date")`` is the same
+        grouping done by the writer, shuffle-free.
+        """
+        errors = 0
+        if validate:
+            invalid = df.filter(~valid_bar())
+            if self.dead_letter_path:
+                # DLQ (README.md:39): malformed rows to a side table.
+                invalid.withColumn("_dlq_ts", F.current_timestamp()).write.mode(
+                    "append"
+                ).parquet(self.dead_letter_path)
+            errors = invalid.count()
+            df = df.filter(valid_bar())
+        out = df.withColumn("date", F.to_date("timestamp"))
+        n_rows = out.count()
+        n_parts = out.select("date").distinct().count()
+        writer = (
+            out.write.mode("append")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("date")
+        )
+        if self.file_format == "csv":
+            writer.option("header", True).csv(self.base_path)
+        else:
+            writer.parquet(self.base_path)
+        return IngestionStats(
+            rows_ingested=n_rows, partitions_written=n_parts, errors=errors
+        )
+
+    # ------------------------------------------------------------------
+    # query (reference lakehouse.py:338-372)
+    # ------------------------------------------------------------------
+    def table(self) -> DataFrame:
+        df = self._read()
+        # restore canonical column order (partition col lands last)
+        return df.select(*[f.name for f in BAR_SCHEMA.fields], "date")
+
+    def _read(self) -> DataFrame:
+        if self.file_format == "csv":
+            import pyspark.sql.types as T
+
+            csv_schema = T.StructType(
+                list(BAR_SCHEMA.fields) + [T.StructField("date", T.DateType())]
+            )
+            return self.spark.read.schema(csv_schema).option("header", True).csv(
+                self.base_path
+            )
+        return self.spark.read.parquet(self.base_path)
+
+    def query(
+        self,
+        symbol: str | None = None,
+        start: datetime | str | None = None,
+        end: datetime | str | None = None,
+        collect_metrics: bool = True,
+    ) -> QueryResult:
+        """Reference query semantics (lakehouse.py:338-372):
+
+        - ``symbol`` equality when given (lakehouse.py:523-524)
+        - inclusive ``start <= ts <= end``, each bound optional
+          (lakehouse.py:525-528)
+        - result ordered by timestamp ascending (lakehouse.py:529)
+
+        Partition pruning: predicates on the ``date`` partition column
+        are derived from the time bounds so Catalyst prunes at the
+        metastore/file-listing level — including one-sided ranges the
+        reference cannot prune (lakehouse.py:374-390).
+        """
+        t0 = time.perf_counter()
+        df = self.table()
+        pruned = df
+        if start is not None:
+            pruned = pruned.filter(F.col("date") >= F.to_date(F.lit(str(start))))
+        if end is not None:
+            pruned = pruned.filter(F.col("date") <= F.to_date(F.lit(str(end))))
+        scanned = pruned.count() if collect_metrics else 0
+
+        out = pruned
+        if symbol is not None:
+            out = out.filter(F.col("symbol") == symbol)
+        if start is not None:
+            out = out.filter(F.col("timestamp") >= F.to_timestamp(F.lit(str(start))))
+        if end is not None:
+            out = out.filter(F.col("timestamp") <= F.to_timestamp(F.lit(str(end))))
+        out = out.drop("date").orderBy("timestamp")
+        return QueryResult(
+            df=out,
+            query_time_ms=(time.perf_counter() - t0) * 1e3,
+            total_rows_scanned=scanned,
+        )
+
+    # ------------------------------------------------------------------
+    # SQL surface (README.md:76-82 — DuckDB there, Spark SQL here)
+    # ------------------------------------------------------------------
+    def sql(self, query: str, view_name: str = "bars") -> DataFrame:
+        """Register the lake as a temp view and run Spark SQL over it."""
+        self.table().createOrReplaceTempView(view_name)
+        return self.spark.sql(query)
+
+    # ------------------------------------------------------------------
+    # maintenance (README-layer: compaction, README.md:138/170)
+    # ------------------------------------------------------------------
+    def compact(self, target_files_per_partition: int = 1) -> None:
+        """Rewrite the lake to bounded file counts per partition —
+        the reference's acknowledged small-file problem (README.md:138)
+        fixed by a repartition-rewrite (Delta OPTIMIZE equivalent
+        without the Delta jar)."""
+        tmp = f"{self.base_path}__compact_{uuid.uuid4().hex[:8]}"
+        (
+            self.table()
+            .repartition(target_files_per_partition, "date")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(tmp)
+        )
+        import shutil
+
+        shutil.rmtree(self.base_path)
+        shutil.move(tmp, self.base_path)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _valid_py(r: dict) -> bool:
+        """Python-side mirror of valid_bar() for the row-buffered path.
+
+        Matches reference validate() (lakehouse.py:79-88) including
+        its NaN quirk: only provably-true violations reject.
+        """
+        try:
+            if r["high"] < r["low"]:
+                return False
+            if r["open"] > r["high"] or r["open"] < r["low"]:
+                return False
+            if r["close"] > r["high"] or r["close"] < r["low"]:
+                return False
+            if r["volume"] < 0:
+                return False
+        except (KeyError, TypeError):
+            return False
+        if r.get("asset_class") not in ASSET_CLASSES:
+            return False
+        return True

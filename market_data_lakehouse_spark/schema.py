@@ -1,0 +1,95 @@
+"""Canonical schemas for the engine.
+
+The reference declares its record shape as a frozen dataclass
+(``OHLCVBar``, lakehouse.py:50-71) and hand-builds an Arrow schema at
+write time (lakehouse.py:549-558) — storing timestamps as ISO-8601
+*strings*. We fix that quirk (SURVEY.md §1.4-1): timestamps are real
+``TimestampType`` columns; observable query semantics are unchanged
+because the reference parses back to ``datetime`` before comparing.
+
+A derived ``date`` column is the partition key, mirroring the
+reference's ``base_path/YYYY-MM-DD/`` directory-per-day layout
+(lakehouse.py:22, 156-178) as a Hive-style partition column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Asset-class domain (reference lakehouse.py:41-47).
+ASSET_CLASSES = ("equity", "option", "future", "forex", "crypto")
+
+# OHLCVBar (reference lakehouse.py:50-71; Arrow types at 549-558).
+BAR_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("open", T.DoubleType(), False),
+        T.StructField("high", T.DoubleType(), False),
+        T.StructField("low", T.DoubleType(), False),
+        T.StructField("close", T.DoubleType(), False),
+        T.StructField("volume", T.LongType(), False),
+        T.StructField("asset_class", T.StringType(), False),
+    ]
+)
+
+# TickData (reference README.md:72-73): int64-ns timestamp, symbol,
+# price, volume. We use TimestampType for ts.
+TICK_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("price", T.DoubleType(), False),
+        T.StructField("volume", T.LongType(), False),
+    ]
+)
+
+# Quote table for as-of joins (FIXTURES.md §3).
+QUOTE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("bid", T.DoubleType(), False),
+        T.StructField("ask", T.DoubleType(), False),
+    ]
+)
+
+# Multimodal blob column family (north-star E5): opaque binary payload
+# plus typed metadata. Decode is a stub in this container (no image /
+# audio libs) — the schema and plumbing are the real, tested part.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+# Driver star-schema table names (TESTDATA.md).
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one driver parquet table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark, sf_dir: str, tables=STAR_TABLES) -> None:
+    """Register the driver tables as temp views for spark.sql()."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small local parallelism for tests
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from market_data_lakehouse_spark.session import get_spark
+
+    s = get_spark(app_name="tests", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def make_bar(i: int = 0, symbol: str = "AAPL", **over):
+    """Mirror of the reference sample_bar/sample_bars fixtures
+    (/root/reference/tests/test_core.py:30-62): hourly bars from
+    2024-06-15 09:30, prices 150+i family, volume 1_000_000+1000*i."""
+    bar = {
+        "symbol": symbol,
+        "timestamp": datetime(2024, 6, 15, 9, 30) + timedelta(hours=i),
+        "open": 150.0 + i,
+        "high": 155.0 + i,
+        "low": 149.0 + i,
+        "close": 153.0 + i,
+        "volume": 1_000_000 + 1000 * i,
+        "asset_class": "equity",
+    }
+    bar.update(over)
+    return bar
+
+
+@pytest.fixture()
+def sample_bars():
+    # 10 hourly bars alternating AAPL/GOOGL, spanning two calendar
+    # dates (reference tests/test_core.py:45-62).
+    return [
+        make_bar(i, symbol=("AAPL" if i % 2 == 0 else "GOOGL")) for i in range(10)
+    ] + [make_bar(16 + i) for i in range(4)]  # cross midnight into 2024-06-16
