@@ -85,8 +85,19 @@ STAR_TABLES = (
 
 
 def load_table(spark, sf_dir: str, name: str):
-    """Read one driver parquet table (TESTDATA.md layout)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver parquet table (TESTDATA.md layout).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a
+    nanos-since-epoch long under ``legacy.parquet.nanosAsLong``; we
+    convert to a real TimestampType (micros — lossless here, the
+    generator emits microsecond precision).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def register_views(spark, sf_dir: str, tables=STAR_TABLES) -> None:
