@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # COUNT/MIN/MAX over parquet resolve from footer metadata
+        # instead of scanning data pages (used by the lazy
+        # rows-scanned metric, among others).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # driver testdata events.parquet stores TIMESTAMP(NANOS) which
         # Spark's vectorized reader rejects; read as long and convert
         # (lossless for this data: ns % 1000 == 0).
