@@ -1,0 +1,79 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "headline_queries_total", "value": <sum sec>,
+     "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver collect). Best of two runs per query: the first run pays
+one-time costs (codegen, file listing); the second is the steady
+state a warmed cluster sees — matching how BASELINE.md's numbers
+(50 ms filter / 2 s full agg / 350 ms 100-key agg) were measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from market_data_lakehouse_spark.queries import REGISTRY  # noqa: E402
+from market_data_lakehouse_spark.session import get_spark  # noqa: E402
+
+# BASELINE.md mapping:
+#   single-stock filter (50 ms)  -> q_filter_range / q_scan_project
+#   aggregate-all (2 s)          -> q_agg_full
+#   100-key aggregation (350 ms) -> q_agg_100key
+# plus the flagship VWAP and one representative per operator family.
+HEADLINE = {
+    "q_scan_project": "s1_scan_project",
+    "q_filter_range": "f2_time_range",
+    "q_agg_full": "a3_full_table_agg",
+    "q_agg_100key": "a4_multikey_100",
+    "q_vwap_top10": "a2_vwap_top10",
+    "q_pricing_summary": "a4_pricing_summary",
+    "q_ohlcv_resample": "a5_ohlcv_resample",
+    "q_join_broadcast": "j3_broadcast_join",
+    "q_join_shuffle": "j1_inner_join",
+    "q_topk": "o2_topk",
+    "q_window_rank": "w2_rank_topn",
+    "q_asof_join": "j6_asof_join",
+    "q_dedup_hash": "e1_dedup_by_hash",
+    "q_knn_cosine": "e3_knn_bruteforce",
+    "q_json_extract": "x7_json_extract",
+}
+
+
+def run_once(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    times: dict[str, float] = {}
+    for label, qname in HEADLINE.items():
+        fn = REGISTRY[qname].fn
+        best = min(run_once(spark, fn, sf_dir) for _ in range(2))
+        times[label] = round(best, 4)
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

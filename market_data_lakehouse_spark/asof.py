@@ -1,0 +1,101 @@
+"""As-of (point-in-time) join — SURVEY.md §2.3 J6/J7.
+
+The signature market-data operation: for every left ("trade") row,
+attach the most recent right ("quote") row with ``quote.ts <=
+trade.ts`` within the same key. The reference has no join machinery at
+all (grep: no `join` token in /root/reference/src/market_data_lakehouse/
+lakehouse.py); this is the north-star extension (SURVEY §4.3-1).
+
+Spark has no built-in as-of join, so this is the union+window
+composition:
+
+1. tag both sides and ``unionByName`` (right's value columns are null
+   on left rows and vice versa);
+2. one window per key ordered by ``(ts, side)`` — right rows sort
+   before left rows at equal timestamps so a same-instant quote is
+   visible to the trade, matching DuckDB/kdb ASOF semantics
+   (``t.ts >= q.ts``);
+3. ``last(value, ignorenulls=True)`` over an unbounded-preceding frame
+   carries the latest right value forward;
+4. keep only left rows.
+
+Scale: one shuffle on the join key (the window's partitionBy), no
+row explosion — strictly better than the join+filter+row_number
+alternative whose intermediate is |trades| x |matching quotes|. Skewed
+keys (one hot symbol) are handled by AQE skew splitting ONLY for
+joins, not windows, so for a pathological single-key skew callers
+should pre-bucket time (`bucket_minutes`) which salts the window key
+with a coarse time bucket and stitches buckets with a second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, append the latest right values at or before
+    its timestamp (per key). Left rows keep all their columns.
+
+    ``right_values``: right columns to carry (default: all non-key,
+    non-ts columns). ``tolerance``: optional max staleness as an SQL
+    interval string (e.g. ``'1 hour'``) — older quotes become null.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_values is None:
+        right_values = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+
+    lt = F.col(left_ts)
+    l_tag = left.select(
+        *keys,
+        lt.alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_values],
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned
+    for c in right_values:
+        carried = carried.withColumn(
+            f"_c_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    if tolerance is not None:
+        r_ts_carry = F.when(F.col("_side") == 0, F.col("_ts"))
+        carried = carried.withColumn("_c_rts", F.last(r_ts_carry, ignorenulls=True).over(w))
+        stale = F.col("_c_rts") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        for c in right_values:
+            carried = carried.withColumn(
+                f"_c_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_c_{c}"))
+            )
+
+    out = carried.filter(F.col("_side") == 1)
+    return out.select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        *[F.col(f"_c_{c}").alias(c) for c in right_values],
+    )

@@ -122,6 +122,12 @@ class QueryResult:
             self._scanned = self._scan_df.count()
         return self._scanned
 
+    @property
+    def count(self) -> int:
+        """Number of result rows (reference QueryResult.count,
+        lakehouse.py:122-124)."""
+        return len(self.bars)
+
     def __len__(self) -> int:
         return len(self.bars)
 
@@ -192,7 +198,26 @@ class DataLakehouse:
         self.file_format = file_format
         self.dead_letter_path = dead_letter_path
         self._buffer: list[Row] = []
-        self._buffered_errors = 0
+        self._total_ingested = 0
+        self._total_errors = 0
+
+    @property
+    def buffer_size(self) -> int:
+        """Current number of records in the write buffer (reference
+        lakehouse.py:243-246)."""
+        return len(self._buffer)
+
+    @property
+    def total_ingested(self) -> int:
+        """Cumulative successfully-flushed records (reference
+        lakehouse.py:248-251)."""
+        return self._total_ingested
+
+    @property
+    def total_errors(self) -> int:
+        """Cumulative validation rejects from the buffered path
+        (reference ``_total_errors``, lakehouse.py:237, 267)."""
+        return self._total_errors
 
     # ------------------------------------------------------------------
     # ingest (row-buffered path — reference lakehouse.py:253-273)
@@ -205,7 +230,7 @@ class DataLakehouse:
         if isinstance(row.get("asset_class"), AssetClass):
             row["asset_class"] = row["asset_class"].value
         if validate and not self._valid_py(row):
-            self._buffered_errors += 1
+            self._total_errors += 1
             return False
         self._buffer.append(row)
         if len(self._buffer) >= self.batch_size:
@@ -245,12 +270,12 @@ class DataLakehouse:
 
     def flush(self) -> IngestionStats:
         """Write the buffer (reference lakehouse.py:306-336). Empty
-        buffer is a no-op with zeroed stats."""
+        buffer is a no-op with zeroed stats. Reference parity: flush
+        stats always report ``errors=0`` — rejects were counted at
+        ``ingest`` time into ``total_errors`` (lakehouse.py:330-336)."""
         t0 = time.perf_counter()
         if not self._buffer:
-            stats = IngestionStats(errors=self._buffered_errors)
-            self._buffered_errors = 0
-            return stats
+            return IngestionStats()
         df = self.spark.createDataFrame(
             [
                 Row(**{f.name: r.get(f.name) for f in BAR_SCHEMA.fields})
@@ -260,8 +285,6 @@ class DataLakehouse:
         )
         self._buffer = []
         stats = self._append(df, validate=False)  # buffer rows pre-validated
-        stats.errors += self._buffered_errors
-        self._buffered_errors = 0
         stats.elapsed_ms = (time.perf_counter() - t0) * 1e3
         return stats
 
@@ -314,6 +337,8 @@ class DataLakehouse:
                 writer.parquet(self.base_path)
         finally:
             staged.unpersist()
+        self._total_ingested += n_rows
+        self._total_errors += errors
         return IngestionStats(
             rows_ingested=n_rows, partitions_written=n_parts, errors=errors
         )

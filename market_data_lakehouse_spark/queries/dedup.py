@@ -1,0 +1,238 @@
+"""Near-duplicate detection over documents — SURVEY §2.12 E2.
+
+Three families, all bucketed (NEVER all-pairs — an O(n²) crossJoin
+is disqualifying at 100 TB):
+
+- n-gram Jaccard within a bucket key (here: source) — exact
+  similarity, candidate space bounded by bucket size.
+- MinHash + LSH banding: shingles -> 32 minhash signatures -> 8
+  bands of 4 -> shuffle on (band, band-hash) -> pairs only within a
+  bucket. Candidate volume scales with true-duplicate density, not
+  n².
+- SimHash: 64-bit signature; near-dups share most bits. Banded on
+  16-bit chunks for candidate generation (hamming <= 3 chunks can
+  differ); verification by popcount of XOR.
+
+Everything is built-in expressions (xxhash64, transform, aggregate,
+bitwise ops) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.queries.catalog import load, register
+
+N_MINHASH = 32
+N_BANDS = 8  # 4 rows per band
+SHINGLE = 3
+
+
+def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """word-3-gram shingle set per document (distinct)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sh = F.when(
+        F.size(toks) >= SHINGLE,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - SHINGLE),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.withColumn("shingles", sh)
+
+
+@register(
+    "e2_ngram_jaccard",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for all pairs within a bucket
+    (source). The equi-join on the bucket key keeps the pair space
+    at sum(bucket²) — at 100 TB the bucket key would be an LSH band
+    (see e2_minhash_lsh); the scoring kernel is identical."""
+    docs = _shingles(load(spark, sf_dir, "documents")).filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= SHINGLE
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.col("shingles").alias("a_sh"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.col("shingles").alias("b_sh"),
+    )
+    pairs = a.join(
+        b, (F.col("a_source") == F.col("b_source")) & (F.col("a_id") < F.col("b_id"))
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> array<long> of N_MINHASH minhash values.
+
+    minhash_k(doc) = min over shingles of xxhash64(shingle, k) —
+    computed as a JVM array fold, one pass over the shingle set,
+    no explode/shuffle.
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.xxhash64(s, k),
+            )
+        ),
+    )
+    return docs.withColumn("sig", sig)
+
+
+@register("e2_minhash_lsh")  # rows-only: hash family is engine-specific
+def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates: band the 32-minhash signature
+    into 8 bands of 4, shuffle on (band_id, hash(band)), emit pairs
+    sharing a band, then verify with the estimated Jaccard (fraction
+    of equal minhashes). Only the band join shuffles; candidate
+    volume tracks duplicate density, not n²."""
+    docs = minhash_signatures(_shingles(load(spark, sf_dir, "documents")))
+    rows_per_band = N_MINHASH // N_BANDS
+    banded = docs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bhash")
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bhash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bhash"
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a_sig", "b_sig", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / N_MINHASH
+    )
+    return cand.select(
+        "a_id", "b_id", F.round(est, 4).alias("est_jaccard")
+    ).orderBy("a_id", "b_id")
+
+
+def _bitmask(j: int) -> int:
+    """Long mask for bit j (bit 63 is the sign bit of a 64-bit long)."""
+    return -(2**63) if j == 63 else (1 << j)
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    bit_j(simhash) = majority vote of bit_j over token hashes. The 64
+    bit positions are unrolled at plan-build time (Spark's shift
+    functions take literal shift amounts); each vote is a JVM array
+    fold over the token-hash array."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    docs = docs.withColumn("_th", hashes)
+
+    def vote_for(mask):
+        return F.aggregate(
+            F.col("_th"),
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        mask = F.lit(_bitmask(j))
+        sim = sim.bitwiseOR(
+            F.when(vote_for(mask) > 0, mask).otherwise(F.lit(0)).cast("long")
+        )
+    return docs.withColumn("simhash", sim).drop("_th")
+
+
+@register("e2_simhash")  # rows-only: xxhash64 family is Spark-specific
+def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + banded near-dup candidates: 4 chunks of
+    16 bits; docs sharing any chunk are candidates (hamming <= 48
+    guaranteed covered for <= 3 differing chunks); verified by
+    popcount(xor) <= 16. Join shuffles on (chunk_id, chunk_value)."""
+    docs = simhash64(load(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    chunks = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.cval")
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "chunk", "cval"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "chunk", "cval"
+    )
+    cand = (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        cand.select("a_id", "b_id", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+        .orderBy("a_id", "b_id")
+    )

@@ -1,0 +1,69 @@
+"""End-to-end lakehouse round-trip as a declared, oracle-checked
+query: events -> OHLCV bars -> validated partitioned ingest ->
+pruned + filtered + sorted read-back (S3/S5/S6/F1/F2/F3/O1/X3 in one
+hard signal).
+
+The oracle reproduces the final result straight from the events
+view — if ingest dropped, duplicated, or mangled any row (or the
+partition pruning lost one), the hash diverges.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.lakehouse import DataLakehouse
+from market_data_lakehouse_spark.queries.catalog import load, register
+
+
+def _bars_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bar stream derived from events: every event is
+    one valid OHLCV bar (open=close=value, high/low = value ±1)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        v.alias("open"),
+        (v + 1.0).alias("high"),
+        (v - 1.0).alias("low"),
+        v.alias("close"),
+        F.col("user_id").alias("volume"),
+        F.lit("equity").alias("asset_class"),
+    )
+
+
+@register(
+    "lakehouse_roundtrip",
+    oracle="""
+    SELECT event_type AS symbol, ts AS timestamp,
+           value AS open, value + 1.0 AS high, value - 1.0 AS low,
+           value AS close, user_id AS volume, 'equity' AS asset_class
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-15 23:59:59'
+    """,
+)
+def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the derived bar stream into a fresh lake (validated,
+    date-partitioned parquet), then run the reference query path:
+    symbol filter + inclusive time range + partition pruning +
+    timestamp sort."""
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_roundtrip_{uuid.uuid4().hex[:8]}"
+    )
+    lake = DataLakehouse(spark, lake_dir)
+    lake.ingest_batch(_bars_from_events(spark, sf_dir))
+    result = lake.query(
+        symbol="click",
+        start="2024-01-05 00:00:00",
+        end="2024-01-15 23:59:59",
+        collect_metrics=False,
+    )
+    return result.df

@@ -1,0 +1,972 @@
+"""Relational operator queries — SURVEY.md §2.2-2.9.
+
+The reference's query surface is the README SQL interface
+(/root/reference/README.md:76-82: VWAP GROUP BY / ORDER BY DESC
+LIMIT) plus the implied full-table and 100-key aggregates
+(README.md:104-108). Everything here is declarative DataFrame API:
+Catalyst chooses hash-aggregate vs sort-aggregate, broadcast vs
+shuffle join, and TakeOrderedAndProject for top-k.
+
+Scale notes (100 TB posture) are on each query; the short version:
+aggregations are partial (map-side combine) by construction, dim
+joins are explicitly broadcast, windows partition by high-cardinality
+keys, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.queries.catalog import load, register
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (S1, F1, F2, F4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + pushed filter: the parquet scan must show
+    PushedFilters [EqualTo(l_returnflag,R)] and a 4-column ReadSchema
+    (column pruning). Reference reads all columns of all rows
+    (lakehouse.py:584-599); this reads 4 of 11."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "f2_time_range",
+    oracle="""
+    SELECT event_id, ts, event_type, ROUND(value, 4) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+    """,
+)
+def f2_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive two-sided time range (reference lakehouse.py:525-528
+    semantics, here with pushdown to the parquet scan)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-12 23:59:59").cast("timestamp"))
+    ).select("event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A9) + top-k (O2/O3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_vwap_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS vwap,
+           SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a1_vwap_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + ratio-of-sums VWAP (reference README.md:77-81)."""
+    li = load(spark, sf_dir, "lineitem")
+    px = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(px * qty).cast("double") / F.sum(qty).cast("double"), 4
+        ).alias("vwap"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+
+
+@register(
+    "a2_vwap_top10",
+    oracle="""
+    SELECT l_partkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS vwap,
+           SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY vwap DESC, l_partkey LIMIT 10
+    """,
+)
+def a2_vwap_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-key VWAP, ORDER BY DESC LIMIT 10
+    (README.md:77-81). Physical plan is TakeOrderedAndProject — no
+    global sort materialization; partial aggregation map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    px = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    vwap = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(px * qty).cast("double") / F.sum(qty).cast("double"), 4
+        ).alias("vwap"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    return vwap.orderBy(F.desc("vwap"), "l_partkey").limit(10)
+
+
+@register(
+    "a3_full_table_agg",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS sum_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           SUM(l_quantity) AS sum_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def a3_full_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table aggregate ("Aggregate all trades", README.md:107)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+        .cast("double").alias("sum_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_disc"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@register(
+    "a4_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key aggregate (TPC-H Q1 shape — the canonical OLAP
+    pricing summary; README.md:108's multi-key analog)."""
+    li = load(spark, sf_dir, "lineitem")
+    px = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    disc = px * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum(px), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+        F.round(F.sum(px).cast("double") / n, 4).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / n, 6
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "a4_multikey_100",
+    oracle="""
+    SELECT l_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_partkey < 100
+    GROUP BY l_partkey
+    """,
+)
+def a4_multikey_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~100-key aggregate over a pushed-down key filter
+    (README.md:108 "100-symbol aggregation")."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_partkey") < 100)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a5_ohlcv_resample",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           ROUND(arg_min(value, ts), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, ts), 4) AS close,
+           COUNT(*) AS volume
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a5_ohlcv_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV bar building: tick stream -> 1h bars per key via a
+    tumbling window (SURVEY §2.4 A5). ``min_by``/``max_by`` give
+    deterministic open/close (first/last by event time) without a
+    sort — single shuffle on the group keys."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(F.expr("min_by(value, ts)"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.expr("max_by(value, ts)"), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+@register(
+    "a6_stats_by_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(STDDEV(value), 4) AS sd_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a6_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/avg/stddev/min/max (SURVEY §2.4 A6). Spark stddev =
+    sample stddev = DuckDB STDDEV."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev("value"), 4).alias("sd_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "a7_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_returnflag) AS n_flags
+    FROM lineitem
+    """,
+)
+def a7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (SURVEY §2.4 A7). The approximate twin
+    is a7_approx_distinct (rows-only check: HLL sketches are not
+    oracle-reproducible)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@register("a7_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path
+    where exact distinct's shuffle is too expensive. Deterministic for
+    a given input but not equal to DuckDB's estimate, so rows-only."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+    )
+
+
+@register(
+    "a8_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-granularity aggregate (SURVEY §2.4 A8)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a8_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "a9_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB use percentile_approx
+    (t-digest) — declared separately rows-only."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register("a9_percentile_approx")  # rows-only: approx sketch is engine-specific
+def a9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx")
+    )
+
+
+@register(
+    "o2_topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY DESC LIMIT k -> TakeOrderedAndProject: per-partition
+    heaps + driver merge of k rows, never a full sort (O2/O3)."""
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_inner_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; Catalyst picks broadcast vs sort-merge from
+    stats (customer is small -> broadcast at sf0.01; at 100 TB both
+    sides large -> SMJ on the shuffled key, AQE handles skew)."""
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_left_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_custless
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; null-counting distinguishes matched rows."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_custless"),
+        )
+    )
+
+
+@register(
+    "j2_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS nationkey, a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    a = cu.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    b = su.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return a.join(b, "k", "full").select(
+        F.col("k").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "j3_broadcast_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j3_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim side: no shuffle of the fact
+    table, plan must show BroadcastHashJoin. The 100 TB pattern for
+    any dim that fits in executor memory."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "j4_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: existence filter, no row duplication."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no urgent orders."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "j5_range_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS late_value
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 75 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join condition: the equi part hashes,
+    the range predicate evaluates post-match — no nested-loop."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == od.o_orderkey) & (
+        li.l_shipdate > od.o_orderdate + F.expr("INTERVAL 75 DAYS")
+    )
+    return (
+        li.join(od, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double").alias("late_value"),
+        )
+    )
+
+
+def _trades_quotes(spark: SparkSession, sf_dir: str):
+    """Trades/quotes split of the events stream for as-of joins:
+    'purchase' events are trades, 'view' events are the quote feed."""
+    ev = load(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("trade_value")
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 4).alias("quote_value")
+    )
+    return trades, quotes
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+    SELECT t.user_id, t.ts, ROUND(t.value, 4) AS trade_value,
+           ROUND(q.value, 4) AS quote_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J6): latest quote at-or-before each trade, per
+    key — the signature market-data operation (SURVEY §4.3-1).
+    Implemented as union + last(ignorenulls) window (one shuffle, no
+    row explosion); oracle is DuckDB's native ASOF JOIN."""
+    from market_data_lakehouse_spark.asof import asof_join
+
+    trades, quotes = _trades_quotes(spark, sf_dir)
+    return asof_join(trades, quotes, on="user_id", left_ts="ts", right_ts="ts")
+
+
+@register(
+    "j7_asof_tolerance",
+    oracle="""
+    SELECT t.user_id, t.ts, ROUND(t.value, 4) AS trade_value,
+           CASE WHEN t.ts - q.ts <= INTERVAL 1 HOUR
+                THEN ROUND(q.value, 4) END AS quote_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join with staleness bound (J7): quotes older
+    than 1 hour are nulled, trade rows are kept."""
+    from market_data_lakehouse_spark.asof import asof_join
+
+    trades, quotes = _trades_quotes(spark, sf_dir)
+    return asof_join(
+        trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance="1 HOUR",
+    )
+
+
+@register(
+    "j8_cross_join",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def j8_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (BroadcastNestedLoopJoin)."""
+    rg = load(spark, sf_dir, "region")
+    na = load(spark, sf_dir, "nation")
+    return rg.crossJoin(na).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1-W4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_lag_gaps",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+    FROM events
+    """,
+)
+def w1_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag()-based sequence-gap detection (reference README.md:41
+    data-quality check). Window partitions by user (high cardinality
+    -> parallel); gap in exact integer microseconds."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        us.alias("ts_us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "w2_rank_topn",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice, rn
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def w2_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via row_number (unique-key tiebreak makes it
+    deterministic). Spark pushes a per-partition rank limit
+    (WindowGroupLimit) before the shuffle."""
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "w3_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      FROM lineitem GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(ROUND(rev_dec, 2) AS DOUBLE) AS rev,
+           ROUND(AVG(CAST(rev_dec AS DOUBLE)) OVER (ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+    FROM daily
+    """,
+)
+def w3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over a pre-aggregated daily series: the
+    heavy groupBy reduces 60k rows to ~days before the window runs."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("rev_dec")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.round("rev_dec", 2).cast("double").alias("rev"),
+        F.round(F.avg(F.col("rev_dec").cast("double")).over(w), 2).alias("ma7"),
+    )
+
+
+@register(
+    "w4_cumulative",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS f, CAST(l_shipdate AS DATE) AS d,
+             SUM(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2)
+    SELECT f AS l_returnflag, strftime(d, '%Y-%m-%d') AS ship_date,
+           ROUND(SUM(q) OVER (PARTITION BY f ORDER BY d
+                 ROWS UNBOUNDED PRECEDING), 2) AS cum_qty
+    FROM daily
+    """,
+)
+def w4_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running) aggregate per key."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag"), F.to_date("l_shipdate").alias("ship_date")
+    ).agg(F.sum("l_quantity").alias("q"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("ship_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "l_returnflag",
+        F.date_format("ship_date", "yyyy-MM-dd").alias("ship_date"),
+        F.round(F.sum("q").over(w), 2).alias("cum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_except",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ) EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5
+    """,
+)
+def u1_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) then EXCEPT (distinct) — SURVEY §2.8."""
+    cu = load(spark, sf_dir, "customer")
+    a = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    c = cu.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return a.union(b).distinct().exceptAll(c.distinct())
+
+
+@register(
+    "u1_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def u1_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    a = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = od.select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (X6, X7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x6_arith_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS charge
+    FROM lineitem
+    """,
+)
+def x6_arith_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic (README.md:78 price*volume analog) —
+    whole-stage-codegen'd, no shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")),
+            2,
+        ).cast("double").alias("charge"),
+    )
+
+
+@register(
+    "x7_string_funcs",
+    oracle="""
+    SELECT c_custkey, UPPER(c_name) AS uname, SUBSTR(c_name, 1, 8) AS prefix,
+           LENGTH(c_name) AS name_len,
+           c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS tag
+    FROM customer
+    """,
+)
+def x7_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("tag"),
+    )
+
+
+@register(
+    "x7_date_funcs",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due
+    FROM orders
+    """,
+)
+def x7_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due"),
+    )
+
+
+@register(
+    "x7_math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
+           ROUND(LN(o_totalprice), 6) AS ln_price,
+           ROUND(ABS(o_totalprice - 5000.0), 2) AS dist,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket
+    FROM orders
+    """,
+)
+def x7_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return od.select(
+        "o_orderkey",
+        F.round(F.sqrt(p), 4).alias("sqrt_price"),
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.abs(p - 5000.0), 2).alias("dist"),
+        F.floor(p / 1000).cast("long").alias("bucket"),
+    )
+
+
+@register(
+    "x7_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def x7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props text column (X7)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "x7_array_ops",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def x7_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions on the embedding column: JVM-side
+    fold, no Python UDF (X7 / groundwork for E3)."""
+    em = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return em.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )

@@ -1,0 +1,191 @@
+"""Embedding similarity search over the embeddings table — E3.
+
+Two tiers:
+
+- Brute-force cosine top-k: broadcast the (small) query set against
+  every candidate — correct baseline; the candidate side streams, no
+  shuffle except the final per-query top-k. This is the oracle-checked
+  kernel.
+- LSH-bucketed ANN: random-hyperplane sign buckets (deterministic
+  hyperplanes derived from xxhash64 so the plan is reproducible);
+  candidates are generated only within a bucket, turning the n·m
+  scoring into sum-over-buckets — the 100 TB path.
+
+The cosine kernel is a JVM-side zip_with/aggregate fold in double
+precision — no Python UDF, no Arrow transfer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.queries.catalog import load, register
+
+K = 5
+N_QUERY = 10  # vec_id < 10 are the query vectors
+
+
+def cosine(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Cosine similarity of two float-array columns, accumulated in
+    double (sequential fold — bit-stable across engines)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+@register(
+    "e3_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id >= {N_QUERY}),
+    s AS (SELECT qid, cid,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS sim
+          FROM q, c),
+    r AS (SELECT qid, cid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, cid) AS rn
+          FROM s)
+    SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {K}
+    """,
+)
+def e3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query vectors x all candidates,
+    JVM fold for the similarity, row_number window for per-query
+    top-k. Ranking ties broken by candidate id (deterministic)."""
+    em = load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = em.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", cosine("qe", "ce").alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= K)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+def hyperplane_sign_bucket(vec_col: F.Column, n_planes: int = 8) -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Hyperplane p's component j is a pseudo-random value in [-1, 1]
+    derived from xxhash64(p, j) — fully deterministic, no RNG state,
+    so the same bucket function runs identically on every executor
+    with zero broadcast."""
+    def component(p: int, j):
+        h = F.xxhash64(F.lit(str(p)), j.cast("string"))
+        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+    def plane_bit(p: int):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, j: x.cast("double") * component(p, j),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket.bitwiseOR(plane_bit(p))
+    return bucket
+
+
+@register("e3_ann_lsh")  # rows-only: bucket assignment is hash-family-specific
+def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: queries probe only their own
+    hyperplane-sign bucket; scoring volume drops from n·m to
+    sum-per-bucket. Recall is tunable by n_planes / multi-probe; at
+    100 TB this replaces the brute-force crossJoin."""
+    em = load(spark, sf_dir, "embeddings")
+    bucketed = em.withColumn("bucket", hyperplane_sign_bucket(F.col("embedding")))
+    q = bucketed.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = bucketed.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "qid", "cid", cosine("qe", "ce").alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= K)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "e3_label_centroid_sim",
+    oracle="""
+    WITH ex AS (
+      SELECT label, gs.i AS pos, CAST(embedding[gs.i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) AS gs(i)),
+    cm AS (SELECT label, pos, AVG(v) AS m FROM ex GROUP BY label, pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid
+             FROM cm GROUP BY label)
+    SELECT e.vec_id, e.label,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+             / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(c.centroid, x -> x * x)))), 4)
+             AS centroid_sim
+    FROM embeddings e JOIN cent c ON e.label = c.label
+    """,
+)
+def e3_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate + broadcast join: per-label centroid
+    (element-wise average via posexplode + regroup) then each
+    vector's cosine to its centroid — the IVF building block
+    (centroid assignment + residual scoring)."""
+    em = load(spark, sf_dir, "embeddings")
+    ex = em.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cm = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    cent = cm.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    joined = em.join(F.broadcast(cent), "label")
+    return joined.select(
+        "vec_id",
+        "label",
+        F.round(cosine("embedding", "centroid"), 4).alias("centroid_sim"),
+    )

