@@ -1,0 +1,155 @@
+"""Structured Streaming layer — SURVEY §2.10 (S9, T1-T5).
+
+The reference's headline ingestion story is a 1M-event ring buffer
+flushed every 100 ms / 10 MB to columnar storage
+(/root/reference/README.md:36-37, 50, 127), with zero actual
+concurrency in its code. Spark's micro-batch engine subsumes the
+ring buffer: ``readStream`` sources buffer arriving data, a
+``trigger(processingTime="100ms")`` drains it on the reference's
+cadence, and ``foreachBatch`` reuses the exact batch ingest path
+(validation split + DLQ + partitioned append) — one code path for
+batch and streaming.
+
+Scale posture: state stores (window aggs, dedup) are partitioned by
+the grouping key across executors; watermarks bound state size; a
+real deployment adds checkpointing to durable storage (paths are
+parameters here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.lakehouse import DataLakehouse
+from market_data_lakehouse_spark.schema import BAR_SCHEMA, TICK_SCHEMA
+
+DEFAULT_TRIGGER_MS = 100  # reference README.md:37 flush cadence
+
+
+def read_bar_stream(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """File-source stream of OHLCV bars (the ring-buffer analog:
+    arriving files are the producer side)."""
+    reader = spark.readStream.schema(BAR_SCHEMA)
+    if fmt == "csv":
+        return reader.option("header", True).csv(source_dir)
+    return reader.json(source_dir)
+
+
+def read_tick_stream(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    reader = spark.readStream.schema(TICK_SCHEMA)
+    if fmt == "csv":
+        return reader.option("header", True).csv(source_dir)
+    return reader.json(source_dir)
+
+
+def stream_ingest(
+    stream: DataFrame,
+    lake: DataLakehouse,
+    checkpoint_dir: str,
+    trigger_ms: int = DEFAULT_TRIGGER_MS,
+    available_now: bool = False,
+):
+    """Micro-batch ingest into the lakehouse (T1): every trigger, the
+    accumulated events go through the SAME validated append as batch
+    ingest (valid/invalid split, DLQ, date-partitioned write) —
+    ``foreachBatch`` is the streaming twin of ``ingest_batch``.
+
+    ``available_now=True`` drains the current source contents and
+    stops (for tests / backfills); otherwise runs a 100 ms
+    processing-time trigger like the reference's flush cadence.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        lake.ingest_batch(batch_df)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+    return writer.start()
+
+
+def streaming_ohlcv_bars(
+    ticks: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, T3) window bar-building — the
+    streaming twin of a5_ohlcv_resample (T2/T4). open/close are
+    min/max over (ts, price) structs: deterministic first/last by
+    event time, supported inside streaming aggregation state.
+
+    Late data beyond ``watermark`` is dropped and the window's state
+    is finalized — the bar-finality vs late-data trade-off is exactly
+    the watermark choice (SURVEY §7.4c)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        ticks.withWatermark("ts", watermark)
+        .groupBy(F.col("symbol"), win.alias("w"))
+        .agg(
+            F.min(F.struct(F.col("ts"), F.col("price")))["price"].alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max(F.struct(F.col("ts"), F.col("price")))["price"].alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("bar_start"),
+            F.col("w.end").alias("bar_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_ticks",
+        )
+    )
+
+
+def streaming_session_windows(
+    ticks: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (T3): per-symbol activity bursts separated by
+    >= gap of silence."""
+    return (
+        ticks.withWatermark("ts", watermark)
+        .groupBy(F.col("symbol"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_ticks"), F.sum("volume").alias("volume"))
+        .select(
+            "symbol",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_ticks",
+            "volume",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming dedup (T5, reference README.md:41): exactly-once per
+    key within the watermark horizon. State is bounded by the
+    watermark: a key's entry is dropped once its event time falls
+    behind, so the state store holds O(keys-per-horizon), not
+    O(all-time keys)."""
+    keys = keys or ["symbol", ts_col]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

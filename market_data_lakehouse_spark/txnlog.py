@@ -1,0 +1,327 @@
+"""TransactionalLake — ACID table layer on plain Parquet.
+
+The reference README documents a Delta-style lakehouse surface —
+ACID appends with a JSON transaction log, time-travel, schema
+evolution, Z-ordering, compaction, CDC (/root/reference/README.md:
+28-29, 43, 125, 136, 174) — none of which exists in its code. The
+delta-spark jar is not available in this environment, so this module
+implements the same contract directly over Parquet, the way Delta
+itself does:
+
+- Data files live in Hive-partitioned directories under the table
+  root; they are immutable once committed.
+- ``_txn_log/<version>.json`` records each commit: files added,
+  files removed, operation, schema, timestamp. A commit is a single
+  atomic POSIX rename (write temp + rename), so readers see either
+  the old or the new table state, never a torn one. (On S3 a real
+  deployment would use a put-if-absent conditional write — same
+  protocol, different primitive.)
+- A snapshot at version V = union of added-minus-removed files over
+  commits 0..V. Reads pass the explicit live-file list with
+  ``basePath`` so partition columns (and partition pruning) still
+  work, and removed-but-not-vacuumed files are invisible.
+
+Scale posture: the log holds file *paths*, not data — thousands of
+commits cost kilobytes. Snapshot resolution is O(log size) on the
+driver, identical to Delta's approach. Compaction and Z-order are
+log commits (add compacted files, remove inputs) — readers are never
+blocked and a crash mid-compact leaves the old snapshot intact
+(the half-written files are simply never committed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LOG_DIR = "_txn_log"
+
+
+class TransactionalLake:
+    """ACID Parquet table with time-travel, CDC, schema evolution."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: tuple[str, ...] = ("date",),
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_path = os.path.join(self.path, LOG_DIR)
+        self.partition_by = tuple(partition_by)
+        os.makedirs(self.log_path, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # log primitives
+    # ------------------------------------------------------------------
+    def _commit_files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.log_path) if f.endswith(".json")
+        )
+
+    @property
+    def version(self) -> int:
+        """Latest committed version, -1 for an empty log."""
+        commits = self._commit_files()
+        return int(commits[-1].split(".")[0]) if commits else -1
+
+    def _read_commit(self, version: int) -> dict:
+        with open(os.path.join(self.log_path, f"{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, action: dict) -> int:
+        """Atomically append one commit (write temp + rename)."""
+        version = self.version + 1
+        action = {
+            "version": version,
+            "timestamp": time.time(),
+            **action,
+        }
+        tmp = os.path.join(self.log_path, f".tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(action, fh)
+        final = os.path.join(self.log_path, f"{version:08d}.json")
+        if os.path.exists(final):  # lost a (single-writer) race
+            os.unlink(tmp)
+            raise RuntimeError(f"concurrent commit at version {version}")
+        os.rename(tmp, final)
+        return version
+
+    def _snapshot_state(
+        self, version: int | None = None, timestamp: str | None = None
+    ) -> tuple[list[str], list[str], int]:
+        """(live files, schema-json history, resolved version)."""
+        if timestamp is not None:
+            ts = (
+                datetime.fromisoformat(timestamp).timestamp()
+                if isinstance(timestamp, str)
+                else float(timestamp)
+            )
+        live: dict[str, None] = {}
+        schemas: list[str] = []
+        resolved = -1
+        for name in self._commit_files():
+            c = self._read_commit(int(name.split(".")[0]))
+            if version is not None and c["version"] > version:
+                break
+            if timestamp is not None and c["timestamp"] > ts:
+                break
+            for f in c.get("add", []):
+                live[f] = None
+            for f in c.get("remove", []):
+                live.pop(f, None)
+            if c.get("schema"):
+                schemas.append(c["schema"])
+            resolved = c["version"]
+        if version is not None and resolved < version:
+            raise ValueError(
+                f"version {version} does not exist (latest: {resolved})"
+            )
+        return list(live), schemas, resolved
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df's rows as new immutable parquet files under the
+        table root (via a staging dir + per-file rename) and return
+        their table-relative paths."""
+        staging = os.path.join(self.path, f".staging_{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite").option(
+            "maxRecordsPerFile", 5_000_000
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
+        added: list[str] = []
+        for dirpath, _dirs, files in os.walk(staging):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+                new_name = f"part-{uuid.uuid4().hex}.parquet"
+                rel = os.path.join(rel_dir, new_name)
+                os.rename(
+                    os.path.join(dirpath, fname), os.path.join(self.path, rel)
+                )
+                added.append(rel)
+        shutil.rmtree(staging)
+        return added
+
+    def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
+        if self.version < 0:
+            return
+        _files, schemas, _v = self._snapshot_state()
+        if not schemas:
+            return
+        # Schema enforcement: new columns require merge_schema=True
+        # (Delta's mergeSchema contract, reference README.md:29).
+        last = {f["name"] for f in json.loads(schemas[-1])["fields"]}
+        new = {f for f in df.schema.fieldNames()} - last
+        if new and not merge_schema:
+            raise ValueError(
+                f"schema mismatch: new columns {sorted(new)}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """ACID append (reference README.md:41-43). Returns version."""
+        self._check_schema(df, merge_schema)
+        added = self._write_files(df)
+        return self._commit(
+            {"op": "append", "add": added, "schema": df.schema.json()}
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Atomic full-table replace: one commit adds the new files
+        and removes every previously-live file."""
+        old, _schemas, _v = self._snapshot_state()
+        added = self._write_files(df)
+        return self._commit(
+            {
+                "op": "overwrite",
+                "add": added,
+                "remove": old,
+                "schema": df.schema.json(),
+            }
+        )
+
+    def delete_where(self, predicate: str) -> int:
+        """Copy-on-write delete: rewrite live data minus matching
+        rows, commit as overwrite (Delta DELETE semantics)."""
+        snap = self.snapshot()
+        kept = snap.filter(~F.expr(predicate))
+        old, _schemas, _v = self._snapshot_state()
+        added = self._write_files(kept)
+        return self._commit(
+            {"op": "delete", "predicate": predicate, "add": added, "remove": old}
+        )
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def snapshot(
+        self, version: int | None = None, timestamp: str | None = None
+    ) -> DataFrame:
+        """Table state as of a version/timestamp (time-travel,
+        reference README.md:28, 136). Default: latest."""
+        files, schemas, _v = self._snapshot_state(version, timestamp)
+        if not files:
+            if schemas:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schemas[-1]))
+                )
+            raise ValueError("empty table: no commits")
+        return (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, f) for f in files])
+        )
+
+    def read_changes(self, starting_version: int = 0) -> DataFrame:
+        """CDC feed (reference README.md:174 / Delta CDF): rows added
+        by each commit >= starting_version, tagged with
+        ``_change_type`` and ``_commit_version``. Append-only commits
+        feed inserts; overwrite/delete commits additionally emit the
+        removed rows as deletes."""
+        out: DataFrame | None = None
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v < starting_version:
+                continue
+            c = self._read_commit(v)
+            for key, change in (("add", "insert"), ("remove", "delete")):
+                paths = c.get(key, [])
+                if not paths:
+                    continue
+                if key == "remove" and c["op"] == "compact":
+                    continue  # compaction moves bytes, not rows
+                if key == "add" and c["op"] == "compact":
+                    continue
+                df = (
+                    self.spark.read.option("basePath", self.path)
+                    .option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.path, f) for f in paths])
+                    .withColumn("_change_type", F.lit(change))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+                out = df if out is None else out.unionByName(
+                    df, allowMissingColumns=True
+                )
+        if out is None:
+            raise ValueError("no commits at or after requested version")
+        return out
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def optimize(
+        self,
+        zorder_by: tuple[str, ...] | None = None,
+        files_per_partition: int = 1,
+    ) -> int:
+        """Compaction (+ optional Z-order-style clustering) as a log
+        commit: read live files, rewrite with bounded file counts —
+        sorted within partitions by the clustering key so parquet
+        row-group min/max stats give Delta-ZORDER-like data skipping
+        (reference README.md:125, 134, 138) — then atomically swap
+        the file set. Readers of the old snapshot are unaffected;
+        time-travel to pre-compaction versions still works until
+        vacuum."""
+        old, _schemas, _v = self._snapshot_state()
+        snap = self.snapshot()
+        n = max(1, files_per_partition)
+        parts = [F.col(c) for c in self.partition_by]
+        bucket = F.pmod(F.xxhash64(*(zorder_by or snap.columns)), F.lit(n))
+        clustered = snap.repartition(*parts, bucket)
+        if zorder_by:
+            clustered = clustered.sortWithinPartitions(*zorder_by)
+        added = self._write_files(clustered)
+        return self._commit(
+            {
+                "op": "compact",
+                "zorder_by": list(zorder_by or ()),
+                "add": added,
+                "remove": old,
+            }
+        )
+
+    def vacuum(self) -> int:
+        """Physically delete files no longer referenced by the LATEST
+        snapshot. After vacuum, time-travel to versions whose files
+        were removed raises on read (matching Delta's contract)."""
+        live, _schemas, _v = self._snapshot_state()
+        live_set = set(live)
+        removed = 0
+        for dirpath, _dirs, files in os.walk(self.path):
+            if LOG_DIR in dirpath:
+                continue
+            for fname in files:
+                rel = os.path.relpath(os.path.join(dirpath, fname), self.path)
+                if fname.endswith(".parquet") and rel not in live_set:
+                    os.unlink(os.path.join(dirpath, fname))
+                    removed += 1
+        return removed
+
+    def history(self) -> list[dict]:
+        """Commit metadata, latest first (Delta DESCRIBE HISTORY)."""
+        return [
+            {
+                k: v
+                for k, v in self._read_commit(int(n.split(".")[0])).items()
+                if k != "schema"
+            }
+            for n in reversed(self._commit_files())
+        ]

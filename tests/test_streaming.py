@@ -1,0 +1,160 @@
+"""Structured Streaming: micro-batch ingest, windowed bars,
+session windows, streaming dedup (SURVEY §2.10 S9/T1-T5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.lakehouse import DataLakehouse
+from market_data_lakehouse_spark.streaming import (
+    read_bar_stream,
+    read_tick_stream,
+    stream_ingest,
+    streaming_dedup,
+    streaming_ohlcv_bars,
+    streaming_session_windows,
+)
+
+
+def _write_json(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _tick(ts, symbol="AAPL", price=150.0, volume=100):
+    return {"ts": ts, "symbol": symbol, "price": price, "volume": volume}
+
+
+def _bar(ts, symbol="AAPL", o=150.0, h=155.0, lo=149.0, c=153.0, v=1000):
+    return {
+        "symbol": symbol,
+        "timestamp": ts,
+        "open": o,
+        "high": h,
+        "low": lo,
+        "close": c,
+        "volume": v,
+        "asset_class": "equity",
+    }
+
+
+class TestStreamIngest:
+    def test_micro_batch_ingest_with_validation(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        _write_json(
+            src + "/batch0.json",
+            [
+                _bar("2024-06-15T10:00:00"),
+                _bar("2024-06-15T11:00:00", symbol="GOOGL"),
+                _bar("2024-06-16T09:00:00", o=200.0),  # open > high: invalid
+            ],
+        )
+        lake = DataLakehouse(
+            spark, str(tmp_path / "lake"), dead_letter_path=str(tmp_path / "dlq")
+        )
+        q = stream_ingest(
+            read_bar_stream(spark, src),
+            lake,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        result = lake.query()
+        assert len(result.bars) == 2  # invalid row dropped
+        assert spark.read.parquet(str(tmp_path / "dlq")).count() == 1
+
+    def test_incremental_batches_are_exactly_once(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        lake = DataLakehouse(spark, str(tmp_path / "lake"))
+        _write_json(src + "/b0.json", [_bar("2024-06-15T10:00:00")])
+        q = stream_ingest(
+            read_bar_stream(spark, src), lake, str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        # second file arrives; checkpoint means b0 is not re-ingested
+        _write_json(src + "/b1.json", [_bar("2024-06-15T11:00:00")])
+        q = stream_ingest(
+            read_bar_stream(spark, src), lake, str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        assert lake.query().df.count() == 2
+
+
+class TestStreamingBars:
+    def _run(self, spark, tmp_path, fn, name):
+        out = fn.writeStream.format("memory").queryName(name).outputMode(
+            "append"
+        ).option("checkpointLocation", str(tmp_path / f"ck_{name}")).trigger(
+            availableNow=True
+        ).start()
+        out.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}")
+
+    def test_tumbling_window_ohlcv(self, spark, tmp_path):
+        src = str(tmp_path / "ticks")
+        _write_json(
+            src + "/t0.json",
+            [
+                _tick("2024-06-15T10:00:05", price=100.0, volume=10),
+                _tick("2024-06-15T10:00:20", price=105.0, volume=20),
+                _tick("2024-06-15T10:00:40", price=95.0, volume=30),
+                _tick("2024-06-15T10:00:55", price=102.0, volume=40),
+                # next window
+                _tick("2024-06-15T10:01:10", price=200.0, volume=5),
+                # watermark pusher so earlier windows finalize
+                _tick("2024-06-15T11:00:00", price=1.0, volume=1),
+            ],
+        )
+        bars = streaming_ohlcv_bars(
+            read_tick_stream(spark, src), window="1 minute", watermark="5 minutes"
+        )
+        df = self._run(spark, tmp_path, bars, "bars_t")
+        row = df.filter(F.col("bar_start") == "2024-06-15 10:00:00").collect()[0]
+        assert (row["open"], row["high"], row["low"], row["close"]) == (
+            100.0,
+            105.0,
+            95.0,
+            102.0,
+        )
+        assert row["volume"] == 100 and row["n_ticks"] == 4
+
+    def test_session_windows(self, spark, tmp_path):
+        src = str(tmp_path / "ticks")
+        _write_json(
+            src + "/t0.json",
+            [
+                _tick("2024-06-15T10:00:00"),
+                _tick("2024-06-15T10:10:00"),  # same session (gap 30m)
+                _tick("2024-06-15T12:00:00"),  # new session
+                _tick("2024-06-15T14:00:00", symbol="W", price=1.0),  # watermark
+            ],
+        )
+        sess = streaming_session_windows(
+            read_tick_stream(spark, src), gap="30 minutes", watermark="1 minute"
+        )
+        df = self._run(spark, tmp_path, sess, "sessions_t")
+        aapl = df.filter(F.col("symbol") == "AAPL")
+        assert aapl.count() == 2
+        assert sorted(r["n_ticks"] for r in aapl.collect()) == [1, 2]
+
+    def test_streaming_dedup(self, spark, tmp_path):
+        src = str(tmp_path / "ticks")
+        _write_json(
+            src + "/t0.json",
+            [
+                _tick("2024-06-15T10:00:00", price=100.0),
+                _tick("2024-06-15T10:00:00", price=100.0),  # duplicate
+                _tick("2024-06-15T10:00:30", price=101.0),
+            ],
+        )
+        dd = streaming_dedup(read_tick_stream(spark, src), keys=["symbol", "ts"])
+        df = self._run(spark, tmp_path, dd, "dedup_t")
+        assert df.count() == 2

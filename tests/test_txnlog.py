@@ -1,0 +1,150 @@
+"""TransactionalLake: ACID append, time-travel, schema evolution,
+CDC, compaction/Z-order, vacuum (SURVEY §2 S8/S11/T6/T7/T8/F5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+def _df(spark, rows, date="2024-06-15"):
+    return spark.createDataFrame(
+        [(s, float(p), date) for s, p in rows], "symbol string, price double, date string"
+    )
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return TransactionalLake(spark, str(tmp_path / "tx"), partition_by=("date",))
+
+
+class TestAcidAppend:
+    def test_append_and_read(self, spark, lake):
+        v0 = lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        assert v0 == 0
+        assert lake.snapshot().count() == 2
+
+    def test_multi_append_accumulates(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        snap = lake.snapshot()
+        assert snap.count() == 2
+        # partition discovery infers date=... dirs as DateType
+        assert {str(d) for d in snap.select("date").toPandas()["date"]} == {
+            "2024-06-15",
+            "2024-06-16",
+        }
+
+    def test_uncommitted_files_invisible(self, spark, lake):
+        """A crash mid-write leaves orphan files that no snapshot
+        sees — the core ACID property of the log."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        # simulate a torn write: parquet file present, no commit
+        stray_dir = os.path.join(lake.path, "date=2024-06-15")
+        stray = os.path.join(stray_dir, "part-stray.parquet")
+        _df(spark, [("EVIL", 1)]).drop("date").write.mode("overwrite").parquet(
+            stray + ".d"
+        )
+        pq = [
+            f
+            for f in os.listdir(stray + ".d")
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(os.path.join(stray + ".d", pq), stray)
+        assert lake.snapshot().count() == 1  # stray not visible
+
+    def test_overwrite_atomic_replace(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.overwrite(_df(spark, [("GOOG", 2800)]))
+        snap = lake.snapshot()
+        assert snap.count() == 1
+        assert snap.collect()[0]["symbol"] == "GOOG"
+
+
+class TestTimeTravel:
+    def test_version_as_of(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("MSFT", 300)]))
+        lake.append(_df(spark, [("GOOG", 2800)]))
+        assert lake.snapshot(version=0).count() == 1
+        assert lake.snapshot(version=1).count() == 2
+        assert lake.snapshot().count() == 3
+
+    def test_overwrite_time_travel_keeps_old_snapshot(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.overwrite(_df(spark, [("GOOG", 2800)]))
+        old = lake.snapshot(version=0)
+        assert old.collect()[0]["symbol"] == "AAPL"
+
+    def test_missing_version_raises(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        with pytest.raises(ValueError, match="does not exist"):
+            lake.snapshot(version=7)
+
+
+class TestSchemaEvolution:
+    def test_new_column_requires_merge_schema(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        wide = _df(spark, [("MSFT", 300)]).withColumn("venue", F.lit("NYSE"))
+        with pytest.raises(ValueError, match="merge_schema"):
+            lake.append(wide)
+
+    def test_merge_schema_evolves(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        wide = _df(spark, [("MSFT", 300)]).withColumn("venue", F.lit("NYSE"))
+        lake.append(wide, merge_schema=True)
+        snap = lake.snapshot()
+        assert "venue" in snap.columns
+        rows = {r["symbol"]: r["venue"] for r in snap.collect()}
+        assert rows == {"AAPL": None, "MSFT": "NYSE"}
+
+
+class TestCdc:
+    def test_appends_feed_inserts(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("MSFT", 300)]))
+        ch = lake.read_changes(starting_version=1)
+        rows = ch.collect()
+        assert len(rows) == 1
+        assert rows[0]["_change_type"] == "insert"
+        assert rows[0]["_commit_version"] == 1
+
+    def test_delete_emits_changes(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.delete_where("symbol = 'AAPL'")
+        assert lake.snapshot().count() == 1
+        ch = lake.read_changes(starting_version=1).toPandas()
+        assert set(ch["_change_type"]) == {"insert", "delete"}
+
+
+class TestMaintenance:
+    def test_compaction_preserves_data_and_history(self, spark, lake):
+        for i in range(4):
+            lake.append(_df(spark, [("AAPL", 150 + i)]))
+        before = lake.snapshot().toPandas().sort_values("price")
+        v = lake.optimize(zorder_by=("symbol", "price"))
+        after = lake.snapshot().toPandas().sort_values("price")
+        assert list(before["price"]) == list(after["price"])
+        # old version still readable (files not vacuumed yet)
+        assert lake.snapshot(version=v - 1).count() == 4
+        # fewer live files after compaction
+        live, _s, _v = lake._snapshot_state()
+        assert len(live) == 1
+
+    def test_vacuum_removes_dead_files(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("MSFT", 300)]))
+        lake.optimize()
+        removed = lake.vacuum()
+        assert removed >= 2
+        assert lake.snapshot().count() == 2  # latest still intact
+
+    def test_history(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.optimize()
+        ops = [h["op"] for h in lake.history()]
+        assert ops == ["compact", "append"]
