@@ -22,20 +22,28 @@ Everything here derives from public knowledge only: the Apache Spark
 API and the reference repo's observable behavior.
 """
 
+from market_data_lakehouse_spark.asof import asof_join
 from market_data_lakehouse_spark.lakehouse import (
     AssetClass,
     DataLakehouse,
     IngestionStats,
+    OHLCVBar,
+    PartitionManager,
     QueryResult,
 )
 from market_data_lakehouse_spark.schema import BAR_SCHEMA, TICK_SCHEMA
 from market_data_lakehouse_spark.session import get_spark
+from market_data_lakehouse_spark.txnlog import TransactionalLake
 
 __all__ = [
     "AssetClass",
     "DataLakehouse",
     "IngestionStats",
+    "OHLCVBar",
+    "PartitionManager",
     "QueryResult",
+    "TransactionalLake",
+    "asof_join",
     "BAR_SCHEMA",
     "TICK_SCHEMA",
     "get_spark",

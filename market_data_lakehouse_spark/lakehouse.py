@@ -71,6 +71,87 @@ class AssetClass(str, Enum):
 
 
 @dataclass
+class OHLCVBar:
+    """OHLCV bar record — API parity with reference OHLCVBar
+    (lakehouse.py:50-105). The Spark engine works on DataFrames; this
+    dataclass is the row-level convenience type for the buffered
+    ingest path and for users porting from the reference."""
+
+    symbol: str
+    timestamp: datetime
+    open: float
+    high: float
+    low: float
+    close: float
+    volume: int
+    asset_class: AssetClass = AssetClass.EQUITY
+
+    def validate(self) -> None:
+        """Raise ValueError on invariant violation (reference
+        lakehouse.py:73-88): high>=low, open/close within [low, high],
+        volume>=0. NaN comparisons are false, so NaN bars pass —
+        matching the reference exactly."""
+        if self.high < self.low:
+            raise ValueError(f"High ({self.high}) must be >= Low ({self.low})")
+        if self.open < self.low or self.open > self.high:
+            raise ValueError("Open must be between Low and High")
+        if self.close < self.low or self.close > self.high:
+            raise ValueError("Close must be between Low and High")
+        if self.volume < 0:
+            raise ValueError("Volume must be non-negative")
+
+    def to_dict(self) -> dict:
+        """Serialize (reference lakehouse.py:90-105: ISO timestamp,
+        enum value)."""
+        return {
+            "symbol": self.symbol,
+            "timestamp": self.timestamp.isoformat(),
+            "open": self.open,
+            "high": self.high,
+            "low": self.low,
+            "close": self.close,
+            "volume": self.volume,
+            "asset_class": AssetClass(self.asset_class).value,
+        }
+
+
+class PartitionManager:
+    """Date-partition bookkeeping — API parity with reference
+    PartitionManager (lakehouse.py:143-213), adapted to the Hive
+    layout (``base_path/date=YYYY-MM-DD/``) that Spark's partition
+    discovery understands. Keys remain plain ``YYYY-MM-DD`` strings;
+    range filtering is the same inclusive lexicographic compare
+    (correct for this format, reference lakehouse.py:208-213)."""
+
+    def __init__(self, base_path) -> None:
+        import pathlib
+
+        self.base_path = pathlib.Path(base_path)
+        self.base_path.mkdir(parents=True, exist_ok=True)
+
+    def partition_key(self, timestamp: datetime) -> str:
+        return timestamp.strftime("%Y-%m-%d")
+
+    def partition_path(self, partition_key: str):
+        path = self.base_path / f"date={partition_key}"
+        path.mkdir(parents=True, exist_ok=True)
+        return path
+
+    def list_partitions(self) -> list[str]:
+        if not self.base_path.exists():
+            return []
+        return sorted(
+            d.name.split("=", 1)[1]
+            for d in self.base_path.iterdir()
+            if d.is_dir() and d.name.startswith("date=")
+        )
+
+    def partitions_in_range(self, start: datetime, end: datetime) -> list[str]:
+        start_key, end_key = self.partition_key(start), self.partition_key(end)
+        return [p for p in self.list_partitions() if start_key <= p <= end_key]
+
+
+@dataclass
 class IngestionStats:
     """Mirror of reference IngestionStats (lakehouse.py:127-140)."""
 
@@ -222,13 +303,23 @@ class DataLakehouse:
     # ------------------------------------------------------------------
     # ingest (row-buffered path — reference lakehouse.py:253-273)
     # ------------------------------------------------------------------
-    def ingest(self, bar: dict | Row, validate: bool = True) -> bool:
+    @staticmethod
+    def _to_dict(bar: dict | Row | OHLCVBar) -> dict:
+        if isinstance(bar, OHLCVBar):
+            row = dict(bar.__dict__)
+        elif isinstance(bar, Row):
+            row = dict(bar.asDict())
+        else:
+            row = dict(bar)
+        if isinstance(row.get("asset_class"), AssetClass):
+            row["asset_class"] = row["asset_class"].value
+        return row
+
+    def ingest(self, bar: dict | Row | OHLCVBar, validate: bool = True) -> bool:
         """Buffer one bar; auto-flush at batch_size. Returns False and
         counts an error when validation rejects the bar (reference
         lakehouse.py:263-269)."""
-        row = dict(bar.asDict()) if isinstance(bar, Row) else dict(bar)
-        if isinstance(row.get("asset_class"), AssetClass):
-            row["asset_class"] = row["asset_class"].value
+        row = self._to_dict(bar)
         if validate and not self._valid_py(row):
             self._total_errors += 1
             return False
@@ -249,12 +340,7 @@ class DataLakehouse:
         if isinstance(bars, DataFrame):
             df = bars
         else:
-            rows = []
-            for b in bars:
-                r = dict(b.asDict()) if isinstance(b, Row) else dict(b)
-                if isinstance(r.get("asset_class"), AssetClass):
-                    r["asset_class"] = r["asset_class"].value
-                rows.append(r)
+            rows = [self._to_dict(b) for b in bars]
             if not rows:
                 return IngestionStats(elapsed_ms=(time.perf_counter() - t0) * 1e3)
             df = self.spark.createDataFrame(

@@ -37,6 +37,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
     dedup,
     lakehouse_query,
     multimodal,
+    quality,
     relational,
     similarity,
     textops,
