@@ -418,7 +418,12 @@ class DataLakehouse:
                 .partitionBy("date")
             )
             if self.file_format == "csv":
-                writer.option("header", True).csv(self.base_path)
+                # microsecond timestampFormat: the default writes
+                # millis, silently truncating (X1/X2 ISO round-trip
+                # parity requires full precision)
+                writer.option("header", True).option(
+                    "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                ).csv(self.base_path)
             else:
                 writer.parquet(self.base_path)
         finally:
@@ -448,8 +453,11 @@ class DataLakehouse:
             # QueryResult (lakehouse.py:352-356), not an error.
             return self.spark.createDataFrame([], schema=full_schema)
         if self.file_format == "csv":
-            return self.spark.read.schema(full_schema).option("header", True).csv(
-                self.base_path
+            return (
+                self.spark.read.schema(full_schema)
+                .option("header", True)
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                .csv(self.base_path)
             )
         return self.spark.read.parquet(self.base_path)
 
@@ -532,7 +540,9 @@ class DataLakehouse:
             .partitionBy("date")
         )
         if self.file_format == "csv":
-            writer.option("header", True).csv(tmp)
+            writer.option("header", True).option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).csv(tmp)
         else:
             writer.parquet(tmp)
         import shutil

@@ -94,22 +94,30 @@ def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id -> array<long> of N_MINHASH minhash values.
+    """(doc_id, sig: array<long>[N_MINHASH]) minhash signatures.
 
-    minhash_k(doc) = min over shingles of xxhash64(shingle, k) —
-    computed as a JVM array fold, one pass over the shingle set,
-    no explode/shuffle.
-    """
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.xxhash64(s, k),
-            )
-        ),
+    minhash_k(doc) = min over shingles of xxhash64(base_hash, k),
+    base_hash = xxhash64(shingle) computed once. Shingles are
+    EXPLODED and the 32 mins run as a codegen'd hash-aggregate:
+    array higher-order functions execute interpreted (boxed,
+    ~10x slower), while the explode path stays inside whole-stage
+    codegen with map-side partial mins — the shuffle moves only
+    one 32-long row per (doc, partition)."""
+    ex = docs.select("doc_id", F.explode("shingles").alias("s")).withColumn(
+        "h", F.xxhash64("s")
     )
-    return docs.withColumn("sig", sig)
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
+        for k in range(N_MINHASH)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{k}") for k in range(N_MINHASH)]).alias("sig"),
+        )
+    )
 
 
 @register("e2_minhash_lsh")  # rows-only: hash family is engine-specific
@@ -119,9 +127,9 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a band, then verify with the estimated Jaccard (fraction
     of equal minhashes). Only the band join shuffles; candidate
     volume tracks duplicate density, not n²."""
-    docs = minhash_signatures(_shingles(load(spark, sf_dir, "documents")))
+    sigs = minhash_signatures(_shingles(load(spark, sf_dir, "documents")))
     rows_per_band = N_MINHASH // N_BANDS
-    banded = docs.select(
+    banded = sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -168,30 +176,33 @@ def _bitmask(j: int) -> int:
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from token xxhash64s.
+    """(doc_id, simhash: long) 64-bit SimHash per document.
 
-    bit_j(simhash) = majority vote of bit_j over token hashes. The 64
-    bit positions are unrolled at plan-build time (Spark's shift
-    functions take literal shift amounts); each vote is a JVM array
-    fold over the token-hash array."""
+    bit_j(simhash) = majority vote of bit_j over distinct-token
+    xxhash64s. Tokens are EXPLODED and the 64 votes run as one
+    codegen'd hash-aggregate (64 SUM columns with map-side combine);
+    the final bit-assembly is a plain projection. Array
+    higher-order-function folds would run interpreted — ~10x slower
+    (measured) — so the explode path is the scale path."""
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    docs = docs.withColumn("_th", hashes)
-
-    def vote_for(mask):
-        return F.aggregate(
-            F.col("_th"),
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
+    ex = docs.select("doc_id", F.explode(toks).alias("t")).withColumn(
+        "h", F.xxhash64("t")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_bitmask(j))) != 0, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    voted = ex.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("long")
     for j in range(64):
-        mask = F.lit(_bitmask(j))
         sim = sim.bitwiseOR(
-            F.when(vote_for(mask) > 0, mask).otherwise(F.lit(0)).cast("long")
+            F.when(F.col(f"v{j}") > 0, F.lit(_bitmask(j)))
+            .otherwise(F.lit(0))
+            .cast("long")
         )
-    return docs.withColumn("simhash", sim).drop("_th")
+    return voted.select("doc_id", sim.alias("simhash"))
 
 
 @register("e2_simhash")  # rows-only: xxhash64 family is Spark-specific
@@ -200,7 +211,7 @@ def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 bits; docs sharing any chunk are candidates (hamming <= 48
     guaranteed covered for <= 3 differing chunks); verified by
     popcount(xor) <= 16. Join shuffles on (chunk_id, chunk_value)."""
-    docs = simhash64(load(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    docs = simhash64(load(spark, sf_dir, "documents"))
     chunks = docs.select(
         "doc_id",
         "simhash",

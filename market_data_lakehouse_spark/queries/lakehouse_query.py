@@ -67,3 +67,67 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         collect_metrics=False,
     )
     return result.df
+
+
+@register(
+    "s2_csv_roundtrip",
+    oracle="""
+    SELECT event_type AS symbol, COUNT(*) AS n,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan fallback (S2/S4, reference lakehouse.py:
+    427-452/603-628): same bar stream through a csv-format lake, read
+    back through the schema-applied CSV scan, aggregated per symbol.
+    Timestamps survive the text round-trip at microsecond precision."""
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_csv_{uuid.uuid4().hex[:8]}"
+    )
+    lake = DataLakehouse(spark, lake_dir, file_format="csv")
+    lake.ingest_batch(_bars_from_events(spark, sf_dir))
+    return (
+        lake.table()
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("timestamp").alias("first_ts"),
+            F.max("timestamp").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "s8_txn_time_travel",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE event_id < 5000 GROUP BY event_type
+    """,
+)
+def s8_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID + time-travel as a hard signal (S8/T6): two transactional
+    appends, then read the version-0 snapshot — it must contain
+    exactly the first append's rows even though the table has since
+    grown. The float sum is safe unrounded-to-2 here because `value`
+    sums are small; rounding guards the last ulp."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    from market_data_lakehouse_spark.queries.catalog import load
+
+    ev = load(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_txn_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=("date",))
+    tx.append(ev.filter(F.col("event_id") < 5000))
+    tx.append(ev.filter(F.col("event_id") >= 5000))
+    assert tx.snapshot().count() == ev.count()
+    return (
+        tx.snapshot(version=0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
