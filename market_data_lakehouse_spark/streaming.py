@@ -138,6 +138,60 @@ def streaming_session_windows(
     )
 
 
+def streaming_running_vwap(ticks: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    running (all-history) VWAP per symbol, carried across
+    micro-batches in the state store. This is the pattern for
+    operators Spark's built-in streaming aggregates can't express —
+    arbitrary per-key state with Arrow-batched Python updates.
+
+    State per key is two doubles (sum of price*volume, sum of
+    volume) — O(keys), never O(events): the state store stays tiny no
+    matter how long the stream runs."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("vwap", T.DoubleType()),
+            T.StructField("total_volume", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sum_pv", T.DoubleType()),
+            T.StructField("sum_v", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        sum_pv, sum_v = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            sum_pv += float((pdf["price"] * pdf["volume"]).sum())
+            sum_v += float(pdf["volume"].sum())
+        state.update((sum_pv, sum_v))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "vwap": [sum_pv / sum_v if sum_v else None],
+                "total_volume": [int(sum_v)],
+            }
+        )
+
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str] | None = None,

@@ -145,6 +145,38 @@ class TestStreamingBars:
         assert aapl.count() == 2
         assert sorted(r["n_ticks"] for r in aapl.collect()) == [1, 2]
 
+    def test_stateful_running_vwap(self, spark, tmp_path):
+        """State must persist ACROSS micro-batches: two files forced
+        into separate batches (maxFilesPerTrigger=1); the second
+        batch's output must include the first batch's volume."""
+        from market_data_lakehouse_spark.streaming import streaming_running_vwap
+        from market_data_lakehouse_spark.schema import TICK_SCHEMA
+
+        src = str(tmp_path / "ticks")
+        _write_json(src + "/a.json", [_tick("2024-06-15T10:00:00", price=100.0, volume=10)])
+        _write_json(src + "/b.json", [_tick("2024-06-15T10:01:00", price=200.0, volume=10)])
+        stream = (
+            spark.readStream.schema(TICK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            streaming_running_vwap(stream)
+            .writeStream.format("memory")
+            .queryName("vwap_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_vwap"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT * FROM vwap_t ORDER BY total_volume"
+        ).collect()
+        # one output row per batch; the final one aggregates history
+        assert rows[-1]["total_volume"] == 20
+        assert rows[-1]["vwap"] == pytest.approx(150.0)
+
     def test_streaming_dedup(self, spark, tmp_path):
         src = str(tmp_path / "ticks")
         _write_json(
