@@ -21,17 +21,62 @@ composition:
 
 Scale: one shuffle on the join key (the window's partitionBy), no
 row explosion — strictly better than the join+filter+row_number
-alternative whose intermediate is |trades| x |matching quotes|. Skewed
-keys (one hot symbol) are handled by AQE skew splitting ONLY for
-joins, not windows, so for a pathological single-key skew callers
-should pre-bucket time (`bucket_minutes`) which salts the window key
-with a coarse time bucket and stitches buckets with a second pass.
+alternative whose intermediate is |trades| x |matching quotes|.
+
+Skew: AQE splits skewed partitions for JOINS, not windows, so one
+hot key serializes ``asof_join`` into a single task. For that shape
+use ``asof_join_bucketed``: it salts the window key with a coarse
+time bucket (parallelism = keys x buckets) and stitches bucket
+boundaries with a second window over the tiny per-bucket summary
+table — same results, verified against the same DuckDB ASOF oracle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str] | None,
+):
+    """Tag both sides and union: left rows carry null right-values,
+    right rows carry null left-columns. Right rows get _side=0 so
+    they sort before a left row at the same timestamp (a same-instant
+    quote is visible to the trade — DuckDB/kdb ASOF semantics)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_values is None:
+        right_values = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    lt = F.col(left_ts)
+    l_tag = left.select(
+        *keys,
+        lt.alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_values
+        ],
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+    )
+    return keys, right_values, l_tag.unionByName(r_tag)
 
 
 def asof_join(
@@ -50,28 +95,9 @@ def asof_join(
     non-ts columns). ``tolerance``: optional max staleness as an SQL
     interval string (e.g. ``'1 hour'``) — older quotes become null.
     """
-    keys = [on] if isinstance(on, str) else list(on)
-    if right_values is None:
-        right_values = [
-            c for c in right.columns if c not in keys and c != right_ts
-        ]
-
-    lt = F.col(left_ts)
-    l_tag = left.select(
-        *keys,
-        lt.alias("_ts"),
-        F.lit(1).alias("_side"),
-        *[F.col(c) for c in left.columns if c not in keys],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_values],
+    keys, right_values, unioned = _tag_union(
+        left, right, on, left_ts, right_ts, right_values
     )
-    r_tag = right.select(
-        *keys,
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
-        *[F.col(c).alias(f"_r_{c}") for c in right_values],
-    )
-    unioned = l_tag.unionByName(r_tag)
 
     w = (
         Window.partitionBy(*keys)
@@ -98,4 +124,92 @@ def asof_join(
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
         *[F.col(f"_c_{c}").alias(c) for c in right_values],
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: list[str] | None = None,
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Skew-safe as-of join: identical results to :func:`asof_join`,
+    parallelism ``keys x time-buckets`` instead of ``keys``.
+
+    Two passes:
+
+    1. Window per (key, time bucket): within-bucket carry of the
+       latest right value — a hot key's work now spreads across its
+       buckets.
+    2. Per-bucket summary (one row per key x bucket — tiny): the
+       bucket's LAST right value; a prefix window over buckets
+       (frame ... -1) yields each bucket's carry-in from all earlier
+       buckets, joined back on (key, bucket).
+
+    Final value = coalesce(within-bucket carry, bucket carry-in).
+    The summary window also partitions by key, but it touches
+    O(buckets) rows, not O(events) — the skew is gone where it
+    matters.
+    """
+    keys, right_values, unioned = _tag_union(
+        left, right, on, left_ts, right_ts, right_values
+    )
+    bucket_us = bucket_minutes * 60_000_000
+    unioned = unioned.withColumn(
+        "_bkt", (F.unix_micros(F.col("_ts")) / bucket_us).cast("long")
+    )
+
+    w_in = (
+        Window.partitionBy(*keys, "_bkt")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned
+    for c in right_values:
+        carried = carried.withColumn(
+            f"_c_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w_in)
+        )
+
+    # per-(key, bucket) last right value; max over (ts, value) structs
+    # ignores left rows (null) and picks the latest quote
+    summary = unioned.groupBy(*keys, "_bkt").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("_side") == 0,
+                    F.struct(F.col("_ts").alias("t"), F.col(f"_r_{c}").alias("v")),
+                )
+            )["v"].alias(f"_lastv_{c}")
+            for c in right_values
+        ]
+    )
+    w_prefix = (
+        Window.partitionBy(*keys)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = summary.select(
+        *keys,
+        "_bkt",
+        *[
+            F.last(f"_lastv_{c}", ignorenulls=True)
+            .over(w_prefix)
+            .alias(f"_in_{c}")
+            for c in right_values
+        ],
+    )
+
+    joined = carried.join(carry_in, [*keys, "_bkt"], "left")
+    out = joined.filter(F.col("_side") == 1)
+    return out.select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        *[
+            F.coalesce(F.col(f"_c_{c}"), F.col(f"_in_{c}")).alias(c)
+            for c in right_values
+        ],
     )

@@ -631,6 +631,30 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_asof_bucketed",
+    oracle="""
+    SELECT t.user_id, t.ts, ROUND(t.value, 4) AS trade_value,
+           ROUND(q.value, 4) AS quote_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def j6_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe as-of join (time-bucketed two-pass) — must produce
+    byte-identical results to j6_asof_join; same DuckDB ASOF oracle
+    proves it. This is the variant to use when one key dominates the
+    stream (parallelism = keys x buckets, not keys)."""
+    from market_data_lakehouse_spark.asof import asof_join_bucketed
+
+    trades, quotes = _trades_quotes(spark, sf_dir)
+    return asof_join_bucketed(
+        trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+        bucket_minutes=240,
+    )
+
+
+@register(
     "j7_asof_tolerance",
     oracle="""
     SELECT t.user_id, t.ts, ROUND(t.value, 4) AS trade_value,

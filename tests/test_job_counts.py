@@ -1,0 +1,65 @@
+"""Job-count discipline: the VERDICT r1 regressions — query() must be
+lazy (no hidden count jobs) and ingest stats must not multiply scans
+of the batch (observe/persist, not N recomputes)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from market_data_lakehouse_spark.lakehouse import DataLakehouse
+
+
+def _bars(n=50):
+    return [
+        {
+            "symbol": "AAPL" if i % 2 == 0 else "GOOGL",
+            "timestamp": datetime(2024, 6, 15 + i % 3, 10, 0, i % 60),
+            "open": 150.0,
+            "high": 155.0,
+            "low": 149.0,
+            "close": 153.0,
+            "volume": 100 + i,
+            "asset_class": "equity",
+        }
+        for i in range(n)
+    ]
+
+
+def _jobs_so_far(spark) -> int:
+    """Total jobs ever submitted on this context (DAGScheduler's
+    monotonically-increasing job id counter)."""
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+
+def test_query_is_lazy(spark, tmp_path):
+    """Building a QueryResult must run ZERO jobs: the metrics count
+    (total_rows_scanned) is computed only on first access, and the
+    result DataFrame is untouched until the caller acts."""
+    lake = DataLakehouse(spark, str(tmp_path / "lake"))
+    lake.ingest_batch(_bars())
+    before = _jobs_so_far(spark)
+    res = lake.query(
+        symbol="AAPL", start="2024-06-15 00:00:00", end="2024-06-16 23:59:59"
+    )
+    assert res.df is not None
+    used = _jobs_so_far(spark) - before
+    # exactly one footer-only schema-inference job is acceptable;
+    # any more means a hidden data scan (the r1 metrics regression)
+    assert used <= 1, f"query() ran {used} jobs before any action"
+
+
+def test_ingest_batch_bounded_jobs(spark, tmp_path):
+    """Validated ingest = one stats aggregate + one write, both over
+    the PERSISTED batch (r1 recomputed the input up to 5x). AQE splits
+    each into query-stage jobs over the cache, so the bound is on job
+    count, with the one-scan property guaranteed by the persist()."""
+    lake = DataLakehouse(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [tuple(b.values()) for b in _bars()],
+        "symbol string, timestamp timestamp, open double, high double, "
+        "low double, close double, volume long, asset_class string",
+    )
+    before = _jobs_so_far(spark)
+    lake.ingest_batch(df)
+    used = _jobs_so_far(spark) - before
+    assert used <= 6, f"ingest_batch ran {used} jobs"
