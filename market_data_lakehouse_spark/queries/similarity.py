@@ -150,6 +150,92 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+             AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.8
+    """,
+)
+def e2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (E2): pairs above a
+    cosine threshold, candidate space bounded by an equi-join on a
+    bucket key (label here; hyperplane sign buckets at scale — see
+    e3_ann_lsh). Within-bucket compare is exact; never an all-pairs
+    crossJoin."""
+    em = load(spark, sf_dir, "embeddings")
+    a = em.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_e"),
+    )
+    b = em.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_e"),
+    )
+    pairs = a.join(
+        b, (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id"))
+    )
+    sim = cosine("a_e", "b_e")
+    return pairs.select("a_id", "b_id", sim.alias("_s")).filter(
+        F.col("_s") > 0.8
+    ).select("a_id", "b_id", F.round("_s", 6).alias("cos_sim"))
+
+
+@register("e3_ivf_knn")  # rows-only: centroid training is engine-specific
+def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (E3 scale path): coarse-quantize every vector to
+    its nearest of K deterministic seed centroids (broadcast argmin),
+    then search each query only within its top-2 probe cells.
+    Scoring volume drops from n·m to the probed cells' sizes; recall
+    is tunable via n_probe. Centroids here are seeded from the first
+    K vectors (a real deployment runs a few Lloyd iterations — same
+    plan shape: broadcast centroids, argmin assign, re-aggregate)."""
+    n_cells, n_probe = 8, 2
+    em = load(spark, sf_dir, "embeddings")
+    cents = (
+        em.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    )
+    with_cells = em.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine("embedding", "ce").alias("_csim"),
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), "cell")
+    ranked = with_cells.withColumn("rk", F.row_number().over(w_rank))
+    # candidates live in their single nearest cell; queries probe top-2
+    cand = ranked.filter(
+        (F.col("rk") == 1) & (F.col("vec_id") >= N_QUERY)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "cell")
+    probes = ranked.filter(
+        (F.col("rk") <= n_probe) & (F.col("vec_id") < N_QUERY)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+    scored = cand.join(F.broadcast(probes), "cell").select(
+        "qid", "cid", cosine("qe", "ce").alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= K)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
     "e3_label_centroid_sim",
     oracle="""
     WITH ex AS (
