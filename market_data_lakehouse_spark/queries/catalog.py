@@ -30,9 +30,21 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table (ns-timestamp conversion handled)."""
-    return load_table(spark, sf_dir, name)
+    """Read one driver table (ns-timestamp conversion handled).
+
+    The analyzed DataFrame is memoized per (session, dir, table):
+    repeated queries skip the parquet footer/schema-inference job, as
+    a metastore-backed table would. Data is NOT cached — every query
+    still scans parquet."""
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _TABLE_CACHE[key] = load_table(spark, sf_dir, name)
+    return df
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

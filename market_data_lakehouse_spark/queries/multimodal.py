@@ -94,6 +94,88 @@ def decode_media(payload: bytes, kind: str):
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize stage (stub): fit into a 224x224 box preserving aspect
+    ratio. A real deployment decodes with PIL and re-encodes; the
+    geometry math and the Arrow plumbing here are the real thing —
+    the pixel work is behind ``decode_media`` (NotImplementedError)."""
+    target = 224
+    for pdf in batches:
+        byte_len = pdf["payload"].map(len)
+        w = (byte_len % 640 + 1).astype("int64")
+        h = (byte_len % 480 + 1).astype("int64")
+        scale = (target / w).combine(target / h, min).clip(upper=1.0)
+        out_w = (w * scale).astype("int64").clip(lower=1)
+        out_h = (h * scale).astype("int64").clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": w,
+                "height": h,
+                "out_w": out_w,
+                "out_h": out_h,
+                "out_bytes": out_w * out_h * 3,
+            }
+        )
+
+
+@register("e5_media_resize")  # rows-only: float geometry in pandas
+def e5_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline stage over binary media (E5): filter to
+    images (payload pruned into the Arrow batch only for matching
+    rows), mapInPandas geometry, typed output."""
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    return media.mapInPandas(resize_images, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "e5_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) * 10 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT media_id, duration_ms,
+           CAST(gs.f AS BIGINT) AS frame_idx,
+           CAST(gs.f * (duration_ms // 8) AS BIGINT) AS frame_offset_ms
+    FROM v, generate_series(0, 7) AS gs(f)
+    """,
+)
+def e5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (E5): 8 uniformly-spaced frame
+    offsets per video — the explode produces one row per frame for a
+    downstream (stubbed) decoder. Pure JVM: posexplode of a sequence,
+    no Python."""
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    dur = (F.octet_length("payload") * 10).cast("long")
+    frames = media.select(
+        "media_id",
+        dur.alias("duration_ms"),
+        F.posexplode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx", "_f"),
+    )
+    return frames.select(
+        "media_id",
+        "duration_ms",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * F.expr("duration_ms div 8")).cast("long").alias(
+            "frame_offset_ms"
+        ),
+    )
+
+
 @register(
     "e5_media_features",
     oracle="""

@@ -198,6 +198,96 @@ def e4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e4_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS BIGINT) AS n_subtokens,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def e4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (E4): pre-tokenize with the
+    letter-run / digit-run / punctuation regex (the GPT-2-style
+    pre-tokenizer shape) and count, alongside whitespace tokens —
+    the standard cheap token-budget estimator for training-data
+    pipelines."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_subtokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_ws_tokens"
+        ),
+    )
+
+
+@register("e4_rolling_chunks")  # rows-only: sequential rolling hash
+def e4_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking via Rabin-Karp rolling hash (E4
+    "document fingerprinting"): chunk boundaries where the 16-byte
+    rolling hash hits a mask — identical content produces identical
+    chunk fingerprints regardless of position, the dedup primitive
+    for near-identical long documents. Sequential per document, so it
+    runs in an Arrow-batched mapInPandas (partition-parallel across
+    documents)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chunks", T.LongType()),
+            T.StructField("first_chunk_fp", T.LongType()),
+            T.StructField("min_chunk_fp", T.LongType()),
+        ]
+    )
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        B, MOD, WIN, MASK = 257, (1 << 61) - 1, 16, 0x3F  # ~64-byte chunks
+        bw = pow(B, WIN - 1, MOD)
+        for pdf in batches:
+            ids, counts, firsts, mins = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode()
+                h, start, fps = 0, 0, []
+                for i, byte in enumerate(data):
+                    if i >= WIN:
+                        h = (h - data[i - WIN] * bw) % MOD
+                    h = (h * B + byte) % MOD
+                    if i >= WIN - 1 and (h & MASK) == MASK:
+                        fps.append(zlib.crc32(data[start : i + 1]))
+                        start = i + 1
+                if start < len(data):
+                    fps.append(zlib.crc32(data[start:]))
+                ids.append(doc_id)
+                counts.append(len(fps))
+                firsts.append(fps[0] if fps else None)
+                mins.append(min(fps) if fps else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_chunks": counts,
+                    "first_chunk_fp": firsts,
+                    "min_chunk_fp": mins,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(chunker, schema=out_schema)
+
+
+@register(
     "e4_tfidf",
     oracle=r"""
     WITH toks AS (
