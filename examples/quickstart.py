@@ -1,0 +1,85 @@
+"""Runnable tour of the engine. Usage:
+
+    PYTHONPATH=/root/repo python examples/quickstart.py [sf_dir]
+
+Covers: validated ingest -> query -> SQL, ACID/time-travel/CDC,
+as-of join, and a couple of catalog operators on the test tables.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from datetime import datetime
+
+sys.path.insert(0, "/root/repo")
+
+from market_data_lakehouse_spark import (
+    AssetClass,
+    DataLakehouse,
+    OHLCVBar,
+    TransactionalLake,
+    asof_join,
+    get_spark,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("quickstart")
+    root = tempfile.mkdtemp()
+
+    # --- core lakehouse ------------------------------------------------
+    lake = DataLakehouse(spark, f"{root}/lake", dead_letter_path=f"{root}/dlq")
+    bars = [
+        OHLCVBar("AAPL", datetime(2024, 6, 15, 10, i), 150.0 + i, 155.0 + i,
+                 149.0 + i, 153.0 + i, 1_000_000 + i, AssetClass.EQUITY)
+        for i in range(30)
+    ]
+    bars.append(  # invalid: open above high -> dropped + counted
+        OHLCVBar("AAPL", datetime(2024, 6, 15, 11, 0), 999.0, 155.0, 149.0,
+                 153.0, 10, AssetClass.EQUITY)
+    )
+    stats = lake.ingest_batch(bars)
+    print(f"ingest: {stats.rows_ingested} rows, {stats.errors} rejected")
+
+    res = lake.query(symbol="AAPL", start="2024-06-15 10:00:00",
+                     end="2024-06-15 10:10:00")
+    print(f"query: {res.count} bars, scanned={res.total_rows_scanned}")
+
+    vwap = lake.sql(
+        "SELECT symbol, ROUND(SUM(close*volume)/SUM(volume), 2) AS vwap "
+        "FROM bars GROUP BY symbol"
+    )
+    print("vwap:", vwap.collect())
+
+    # --- ACID / time-travel / CDC -------------------------------------
+    tx = TransactionalLake(spark, f"{root}/tx", partition_by=("date",))
+    df = lake.table().withColumnRenamed("date", "date")
+    v0 = tx.append(df)
+    v1 = tx.delete_where("volume < 1000005")
+    print(f"txn: v{v0} -> v{v1}; now={tx.snapshot().count()} rows, "
+          f"v0={tx.snapshot(version=v0).count()} rows (time-travel)")
+    print("cdc ops:", [h["op"] for h in tx.history()])
+
+    # --- as-of join ----------------------------------------------------
+    trades = spark.createDataFrame(
+        [("AAPL", datetime(2024, 6, 15, 10, 5, 30), 100.0)],
+        "symbol string, ts timestamp, qty double",
+    )
+    quotes = lake.table().selectExpr(
+        "symbol", "timestamp AS ts", "close AS quote_px"
+    )
+    enriched = asof_join(trades, quotes, on="symbol")
+    print("asof:", enriched.collect())
+
+    # --- catalog operators on the shared test tables -------------------
+    from market_data_lakehouse_spark.queries import REGISTRY
+
+    for name in ("a2_vwap_top10", "e1_exact_dedup", "e3_knn_bruteforce"):
+        out = REGISTRY[name].fn(spark, sf_dir)
+        print(f"{name}: {out.count()} rows")
+
+
+if __name__ == "__main__":
+    main()
