@@ -71,25 +71,49 @@ def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingles(load(spark, sf_dir, "documents")).filter(
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= SHINGLE
     )
-    a = docs.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("source").alias("a_source"),
-        F.col("shingles").alias("a_sh"),
+    # Co-occurrence formulation: |A ∩ B| = number of (source, shingle)
+    # rows shared by the pair, computed with a codegen'd equi-join +
+    # count — no per-pair array intersection (interpreted, O(pairs x
+    # shingle-length)). Join fan-out per (source, shingle) is the
+    # shingle's document frequency, which for 3-grams is tiny.
+    sizes = docs.select("doc_id", "source", F.size("shingles").alias("n"))
+    ex = docs.select(
+        "doc_id", "source", F.explode("shingles").alias("s")
     )
-    b = docs.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("source").alias("b_source"),
-        F.col("shingles").alias("b_sh"),
+    co = (
+        ex.select(F.col("doc_id").alias("a_id"), "source", "s")
+        .join(
+            ex.select(F.col("doc_id").alias("b_id"), "source", "s"),
+            ["source", "s"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    pairs = a.join(
-        b, (F.col("a_source") == F.col("b_source")) & (F.col("a_id") < F.col("b_id"))
+    pairs = (
+        sizes.select(
+            F.col("doc_id").alias("a_id"), "source", F.col("n").alias("na")
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("source").alias("b_source"),
+                F.col("n").alias("nb"),
+            ),
+            (F.col("source") == F.col("b_source"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .join(co, ["a_id", "b_id"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
     )
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
     return pairs.select(
         "a_id",
         "b_id",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
     )
 
 
