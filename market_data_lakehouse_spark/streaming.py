@@ -138,6 +138,35 @@ def streaming_session_windows(
     )
 
 
+def stream_ingest_transactional(
+    stream: DataFrame,
+    lake,
+    checkpoint_dir: str,
+    trigger_ms: int = DEFAULT_TRIGGER_MS,
+    available_now: bool = False,
+):
+    """Streaming ACID sink (S8+S9): every micro-batch becomes one
+    atomic commit in a :class:`TransactionalLake`. Combined with the
+    checkpoint's batch-id tracking, readers see each batch entirely
+    or not at all, and the commit history doubles as a CDC feed of
+    the stream (reference README.md:43/174 in one mechanism)."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lake.append(batch_df.withColumn("date", F.to_date("timestamp")))
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+    return writer.start()
+
+
 def streaming_running_vwap(ticks: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     running (all-history) VWAP per symbol, carried across

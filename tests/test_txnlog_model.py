@@ -1,0 +1,114 @@
+"""Model-based ACID check: a random sequence of table operations
+against a pure-Python model of the live row set. Every intermediate
+version must remain readable with exactly its historical contents
+(snapshot isolation + time-travel), regardless of operation order."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+op = st.sampled_from(["append", "overwrite", "delete_low", "compact"])
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op, min_size=1, max_size=6))
+def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+    lake = TransactionalLake(
+        spark, str(tmp_path_factory.mktemp("model") / "tx"),
+        partition_by=("date",),
+    )
+    model: list[set[int]] = []  # live ids per version
+    live: set[int] = set()
+    next_id = 0
+
+    def df_for(ids):
+        return spark.createDataFrame(
+            [(i, "2024-06-15") for i in sorted(ids)], "id long, date string"
+        )
+
+    for o in ops:
+        if o == "append":
+            batch = {next_id, next_id + 1}
+            next_id += 2
+            lake.append(df_for(batch))
+            live = live | batch
+        elif o == "overwrite":
+            batch = {next_id}
+            next_id += 1
+            lake.overwrite(df_for(batch))
+            live = set(batch)
+        elif o == "delete_low":
+            if not live:
+                continue
+            cutoff = min(live) + 1
+            lake.delete_where(f"id < {cutoff}")
+            live = {i for i in live if i >= cutoff}
+        elif o == "compact":
+            if not live:
+                continue
+            lake.optimize()
+            live = set(live)
+        model.append(set(live))
+
+    # every historical version readable with exactly its contents
+    for v, want in enumerate(model):
+        got = {r["id"] for r in lake.snapshot(version=v).collect()}
+        assert got == want, f"version {v}: {got} != {want} (ops={ops})"
+
+
+def test_streaming_transactional_sink(spark, tmp_path):
+    """Each micro-batch = one atomic commit; CDC history reflects the
+    batch sequence."""
+    import json
+    import os
+
+    from market_data_lakehouse_spark.streaming import (
+        read_bar_stream,
+        stream_ingest_transactional,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        {
+            "symbol": "AAPL",
+            "timestamp": f"2024-06-15T10:0{i}:00",
+            "open": 150.0,
+            "high": 155.0,
+            "low": 149.0,
+            "close": 153.0,
+            "volume": 100 + i,
+            "asset_class": "equity",
+        }
+        for i in range(4)
+    ]
+    with open(src + "/b0.json", "w") as fh:
+        for r in rows[:2]:
+            fh.write(json.dumps(r) + "\n")
+    tx = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=("date",))
+    q = stream_ingest_transactional(
+        read_bar_stream(spark, src), tx, str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert tx.snapshot().count() == 2
+    v_first = tx.version
+
+    with open(src + "/b1.json", "w") as fh:
+        for r in rows[2:]:
+            fh.write(json.dumps(r) + "\n")
+    q = stream_ingest_transactional(
+        read_bar_stream(spark, src), tx, str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert tx.snapshot().count() == 4
+    # first batch's snapshot unchanged (time-travel over the stream)
+    assert tx.snapshot(version=v_first).count() == 2
+    assert tx.read_changes(starting_version=v_first + 1).count() == 2
