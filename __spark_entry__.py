@@ -10,9 +10,15 @@ ANSI-SQL-expressible (the rest get the rows-only check).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from market_data_lakehouse_spark.queries import oracle_map, spark_queries
 from market_data_lakehouse_spark.queries.relational import a2_vwap_top10

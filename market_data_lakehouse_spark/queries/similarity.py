@@ -164,7 +164,7 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_sum(list_transform(range(1, 65),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
           / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.8
+           * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.25
     """,
 )
 def e2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,33 +189,78 @@ def e2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = cosine("a_e", "b_e")
     return pairs.select("a_id", "b_id", sim.alias("_s")).filter(
-        F.col("_s") > 0.8
+        F.col("_s") > 0.25
     ).select("a_id", "b_id", F.round("_s", 6).alias("cos_sim"))
+
+
+def _mean_vectors(df: DataFrame, key: str, vec_col: str, out: str) -> DataFrame:
+    """(key, out: array<double>) element-wise mean of a vector column:
+    posexplode -> avg per (key, position) -> reassemble in position
+    order. Codegen'd aggregations; the collect_list is one row per
+    (key, pos) — O(keys x dim), never O(rows)."""
+    ex = df.select(key, F.posexplode(vec_col).alias("pos", "v"))
+    cm = ex.groupBy(key, "pos").agg(
+        # round to fixed precision so the mean is stable across
+        # partition orderings (double sums are order-dependent)
+        F.round(F.avg(F.col("v").cast("double")), 9).alias("m")
+    )
+    return cm.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias(out)
+    )
+
+
+def _rank_cells(em: DataFrame, cents: DataFrame) -> DataFrame:
+    """Rank centroids per vector by DESCENDING cosine similarity
+    (rk=1 is the nearest cell; ties break on cell id). Similarity is
+    rounded before ranking so the order is stable run-to-run."""
+    scored = em.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.round(cosine("embedding", "ce"), 9).alias("_csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), "cell")
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+def _assign_cells(em: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest cell per vector WITHOUT a window sort: partial-agg
+    max_by over (similarity, -cell) — the cheap path for the
+    assignment step where only rk=1 is needed."""
+    scored = em.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.round(cosine("embedding", "ce"), 9).alias("_csim"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell, struct(_csim, -cell))").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
 
 
 @register("e3_ivf_knn")  # rows-only: centroid training is engine-specific
 def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (E3 scale path): coarse-quantize every vector to
-    its nearest of K deterministic seed centroids (broadcast argmin),
-    then search each query only within its top-2 probe cells.
-    Scoring volume drops from n·m to the probed cells' sizes; recall
-    is tunable via n_probe. Centroids here are seeded from the first
-    K vectors (a real deployment runs a few Lloyd iterations — same
-    plan shape: broadcast centroids, argmin assign, re-aggregate)."""
+    """IVF ANN (E3 scale path): k-means coarse quantizer (seeded from
+    the first K vectors + one Lloyd refinement — broadcast-assign,
+    element-wise re-average), then each query probes only its top-2
+    cells. Scoring volume drops from n·m to the probed cells' sizes;
+    recall tunes via n_probe / Lloyd iterations. Every step is a
+    broadcast join or a codegen'd aggregation — this is the plan
+    shape that scales to 10^9 vectors."""
     n_cells, n_probe = 8, 2
     em = load(spark, sf_dir, "embeddings")
-    cents = (
+    seeds = (
         em.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
     )
-    with_cells = em.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        cosine("embedding", "ce").alias("_csim"),
-    )
-    w_rank = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), "cell")
-    ranked = with_cells.withColumn("rk", F.row_number().over(w_rank))
+    # one Lloyd iteration: assign to seed (no window — max_by),
+    # re-average element-wise
+    assign1 = _assign_cells(em, seeds)
+    cents = _mean_vectors(assign1, "cell", "embedding", "ce")
+    ranked = _rank_cells(em, cents)
     # candidates live in their single nearest cell; queries probe top-2
     cand = ranked.filter(
         (F.col("rk") == 1) & (F.col("vec_id") >= N_QUERY)
@@ -241,7 +286,7 @@ def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (
       SELECT label, gs.i AS pos, CAST(embedding[gs.i] AS DOUBLE) AS v
       FROM embeddings, generate_series(1, 64) AS gs(i)),
-    cm AS (SELECT label, pos, AVG(v) AS m FROM ex GROUP BY label, pos),
+    cm AS (SELECT label, pos, ROUND(AVG(v), 9) AS m FROM ex GROUP BY label, pos),
     cent AS (SELECT label, list(m ORDER BY pos) AS centroid
              FROM cm GROUP BY label)
     SELECT e.vec_id, e.label,
@@ -260,15 +305,7 @@ def e3_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's cosine to its centroid — the IVF building block
     (centroid assignment + residual scoring)."""
     em = load(spark, sf_dir, "embeddings")
-    ex = em.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cm = ex.groupBy("label", "pos").agg(
-        F.avg(F.col("v").cast("double")).alias("m")
-    )
-    cent = cm.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("centroid")
-    )
+    cent = _mean_vectors(em, "label", "embedding", "centroid")
     joined = em.join(F.broadcast(cent), "label")
     return joined.select(
         "vec_id",
