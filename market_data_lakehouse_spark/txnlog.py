@@ -77,9 +77,24 @@ class TransactionalLake:
         with open(os.path.join(self.log_path, f"{version:08d}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, action: dict) -> int:
-        """Atomically append one commit (write temp + rename)."""
-        version = self.version + 1
+    def _commit(self, action: dict, read_version: int | None = None) -> int:
+        """Atomically append one commit (write temp + rename).
+
+        ``read_version``: optimistic-concurrency guard for
+        read-modify-write operations (overwrite/delete/compact) whose
+        remove-list was computed from a snapshot — if the table
+        advanced past that snapshot, committing would silently drop
+        the interleaved writer's rows, so the commit FAILS and the
+        caller must re-read and retry (Delta's conflict-detection
+        contract). Blind appends pass ``None``: they never conflict
+        and simply take the next version."""
+        current = self.version
+        if read_version is not None and current != read_version:
+            raise RuntimeError(
+                f"concurrent commit: table advanced to v{current} after "
+                f"this operation read v{read_version}; re-read and retry"
+            )
+        version = current + 1
         action = {
             "version": version,
             "timestamp": time.time(),
@@ -89,7 +104,7 @@ class TransactionalLake:
         with open(tmp, "w") as fh:
             json.dump(action, fh)
         final = os.path.join(self.log_path, f"{version:08d}.json")
-        if os.path.exists(final):  # lost a (single-writer) race
+        if os.path.exists(final):  # lost the rename race itself
             os.unlink(tmp)
             raise RuntimeError(f"concurrent commit at version {version}")
         os.rename(tmp, final)
@@ -185,7 +200,7 @@ class TransactionalLake:
     def overwrite(self, df: DataFrame) -> int:
         """Atomic full-table replace: one commit adds the new files
         and removes every previously-live file."""
-        old, _schemas, _v = self._snapshot_state()
+        old, _schemas, read_v = self._snapshot_state()
         added = self._write_files(df)
         return self._commit(
             {
@@ -193,7 +208,8 @@ class TransactionalLake:
                 "add": added,
                 "remove": old,
                 "schema": df.schema.json(),
-            }
+            },
+            read_version=read_v,
         )
 
     def delete_where(self, predicate: str) -> int:
@@ -201,10 +217,11 @@ class TransactionalLake:
         rows, commit as overwrite (Delta DELETE semantics)."""
         snap = self.snapshot()
         kept = snap.filter(~F.expr(predicate))
-        old, _schemas, _v = self._snapshot_state()
+        old, _schemas, read_v = self._snapshot_state()
         added = self._write_files(kept)
         return self._commit(
-            {"op": "delete", "predicate": predicate, "add": added, "remove": old}
+            {"op": "delete", "predicate": predicate, "add": added, "remove": old},
+            read_version=read_v,
         )
 
     # ------------------------------------------------------------------
@@ -325,7 +342,7 @@ class TransactionalLake:
         the file set. Readers of the old snapshot are unaffected;
         time-travel to pre-compaction versions still works until
         vacuum."""
-        old, _schemas, _v = self._snapshot_state()
+        old, _schemas, read_v = self._snapshot_state()
         snap = self.snapshot()
         n = max(1, files_per_partition)
         parts = [F.col(c) for c in self.partition_by]
@@ -349,7 +366,8 @@ class TransactionalLake:
                 "zorder_by": list(zorder_by or ()),
                 "add": added,
                 "remove": old,
-            }
+            },
+            read_version=read_v,
         )
 
     def vacuum(self) -> int:

@@ -1,0 +1,121 @@
+"""Edge semantics: commit races, one-sided partition pruning,
+watermark late-data drop, metric contracts."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from market_data_lakehouse_spark.lakehouse import DataLakehouse
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+def _bars():
+    return [
+        {
+            "symbol": "AAPL",
+            "timestamp": datetime(2024, 6, d, 10, 0),
+            "open": 150.0,
+            "high": 155.0,
+            "low": 149.0,
+            "close": 153.0,
+            "volume": 100,
+            "asset_class": "equity",
+        }
+        for d in (14, 15, 16)
+    ]
+
+
+def test_txn_commit_race_detected(spark, tmp_path):
+    """Optimistic concurrency: a read-modify-write op whose snapshot
+    went stale (another writer committed in between) must FAIL at
+    commit time — silently committing would drop the interleaved
+    writer's rows from the remove-list accounting."""
+    tx = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=("date",))
+    df = spark.createDataFrame([(1, "2024-06-15")], "id long, date string")
+    tx.append(df)
+    read_v = tx.version  # an overwrite starts here, reading v0...
+    tx.append(
+        spark.createDataFrame([(2, "2024-06-15")], "id long, date string")
+    )  # ...but a concurrent append advances the table to v1
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        tx._commit({"op": "overwrite", "add": [], "remove": []},
+                   read_version=read_v)
+    # blind appends never conflict
+    assert tx.append(df) == 2
+    assert tx.snapshot().count() == 3
+
+
+def test_one_sided_range_prunes_partitions(spark, tmp_path):
+    """Reference prunes only two-sided ranges (lakehouse.py:374-390);
+    we must prune one-sided ones too — the strictly-better claim."""
+    lake = DataLakehouse(spark, str(tmp_path / "lake"))
+    lake.ingest_batch(_bars())
+    res = lake.query(start="2024-06-16 00:00:00")  # start only
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_line and "date" in part_line[0]
+    assert res.df.count() == 1
+
+
+def test_query_time_metric(spark, tmp_path):
+    """QueryResult.query_time_ms >= 0 (reference tests/test_core.py
+    timing group)."""
+    lake = DataLakehouse(spark, str(tmp_path / "lake"))
+    lake.ingest_batch(_bars())
+    res = lake.query(symbol="AAPL")
+    assert res.query_time_ms >= 0.0
+    assert res.total_rows_scanned == 3  # all partitions touched
+
+
+def test_streaming_late_data_dropped(spark, tmp_path):
+    """T4: an event older than the watermark when its window is
+    already finalized must NOT resurrect the window. Sequential
+    availableNow runs share a checkpoint, so the watermark genuinely
+    advances between batches (one query run = one batch here)."""
+    import json as _json
+
+    from market_data_lakehouse_spark.schema import TICK_SCHEMA
+    from market_data_lakehouse_spark.streaming import streaming_ohlcv_bars
+
+    src = str(tmp_path / "ticks")
+    os.makedirs(src)
+
+    def run_batch(name, rows):
+        with open(os.path.join(src, name), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        stream = spark.readStream.schema(TICK_SCHEMA).json(src)
+        bars = streaming_ohlcv_bars(
+            stream, window="1 minute", watermark="5 minutes"
+        )
+        q = (
+            bars.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch("b0.json", [
+        {"ts": "2024-06-15T10:00:10", "symbol": "AAPL", "price": 100.0, "volume": 1},
+    ])
+    # advance the watermark far past the 10:00 window...
+    run_batch("b1.json", [
+        {"ts": "2024-06-15T12:00:00", "symbol": "AAPL", "price": 50.0, "volume": 1},
+    ])
+    # ...then a late event for the already-finalized 10:00 window
+    run_batch("b2.json", [
+        {"ts": "2024-06-15T10:00:40", "symbol": "AAPL", "price": 999.0, "volume": 9},
+    ])
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = out.filter("bar_start = '2024-06-15 10:00:00'").collect()
+    # the finalized bar reflects ONLY the on-time event; the late one
+    # was dropped, not merged and not re-emitted
+    assert len(rows) == 1
+    assert rows[0]["high"] == 100.0 and rows[0]["n_ticks"] == 1
