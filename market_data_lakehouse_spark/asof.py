@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _tag_union(
@@ -45,25 +46,30 @@ def _tag_union(
     right_ts: str,
     right_values: list[str] | None,
 ):
-    """Tag both sides and union: left rows carry null right-values,
-    right rows carry null left-columns. Right rows get _side=0 so
-    they sort before a left row at the same timestamp (a same-instant
-    quote is visible to the trade — DuckDB/kdb ASOF semantics)."""
+    """Tag both sides and union. The right row's payload travels as
+    ONE struct column ``_r`` (quote ts + value columns): the struct is
+    non-null exactly when a quote row exists, so a quote whose VALUE
+    is genuinely NULL is still carried (and shadows older quotes) —
+    per-column null encoding would conflate "no quote" with "quote
+    with null value" and resurrect stale prices. Right rows get
+    _side=0 so they sort before a left row at the same timestamp (a
+    same-instant quote is visible to the trade — DuckDB/kdb ASOF
+    semantics)."""
     keys = [on] if isinstance(on, str) else list(on)
     if right_values is None:
         right_values = [
             c for c in right.columns if c not in keys and c != right_ts
         ]
-    lt = F.col(left_ts)
+    payload_type = T.StructType(
+        [T.StructField("_rts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_values]
+    )
     l_tag = left.select(
         *keys,
-        lt.alias("_ts"),
+        F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in keys],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in right_values
-        ],
+        F.lit(None).cast(payload_type).alias("_r"),
     )
     r_tag = right.select(
         *keys,
@@ -74,7 +80,10 @@ def _tag_union(
             for c in left.columns
             if c not in keys
         ],
-        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c) for c in right_values],
+        ).alias("_r"),
     )
     return keys, right_values, l_tag.unionByName(r_tag)
 
@@ -104,26 +113,21 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in right_values:
-        carried = carried.withColumn(
-            f"_c_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
+    carried = unioned.withColumn("_c", F.last("_r", ignorenulls=True).over(w))
     if tolerance is not None:
-        r_ts_carry = F.when(F.col("_side") == 0, F.col("_ts"))
-        carried = carried.withColumn("_c_rts", F.last(r_ts_carry, ignorenulls=True).over(w))
-        stale = F.col("_c_rts") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-        for c in right_values:
-            carried = carried.withColumn(
-                f"_c_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_c_{c}"))
-            )
+        stale = F.col("_c._rts") < F.col("_ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        carried = carried.withColumn(
+            "_c", F.when(stale, F.lit(None)).otherwise(F.col("_c"))
+        )
 
     out = carried.filter(F.col("_side") == 1)
     return out.select(
         *keys,
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
-        *[F.col(f"_c_{c}").alias(c) for c in right_values],
+        *[F.col(f"_c.{c}").alias(c) for c in right_values],
     )
 
 
@@ -167,24 +171,21 @@ def asof_join_bucketed(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in right_values:
-        carried = carried.withColumn(
-            f"_c_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w_in)
-        )
+    carried = unioned.withColumn(
+        "_c", F.last("_r", ignorenulls=True).over(w_in)
+    )
 
-    # per-(key, bucket) last right value; max over (ts, value) structs
-    # ignores left rows (null) and picks the latest quote
+    # per-(key, bucket) latest quote payload: max over (ts, payload)
+    # structs ignores left rows (null) and picks the latest quote row
+    # even when its VALUE columns are null (the payload struct itself
+    # is non-null for every quote row)
     summary = unioned.groupBy(*keys, "_bkt").agg(
-        *[
-            F.max(
-                F.when(
-                    F.col("_side") == 0,
-                    F.struct(F.col("_ts").alias("t"), F.col(f"_r_{c}").alias("v")),
-                )
-            )["v"].alias(f"_lastv_{c}")
-            for c in right_values
-        ]
+        F.max(
+            F.when(
+                F.col("_side") == 0,
+                F.struct(F.col("_ts").alias("t"), F.col("_r").alias("r")),
+            )
+        )["r"].alias("_last")
     )
     w_prefix = (
         Window.partitionBy(*keys)
@@ -194,22 +195,16 @@ def asof_join_bucketed(
     carry_in = summary.select(
         *keys,
         "_bkt",
-        *[
-            F.last(f"_lastv_{c}", ignorenulls=True)
-            .over(w_prefix)
-            .alias(f"_in_{c}")
-            for c in right_values
-        ],
+        F.last("_last", ignorenulls=True).over(w_prefix).alias("_in"),
     )
 
     joined = carried.join(carry_in, [*keys, "_bkt"], "left")
-    out = joined.filter(F.col("_side") == 1)
+    out = joined.filter(F.col("_side") == 1).withColumn(
+        "_f", F.coalesce(F.col("_c"), F.col("_in"))
+    )
     return out.select(
         *keys,
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
-        *[
-            F.coalesce(F.col(f"_c_{c}"), F.col(f"_in_{c}")).alias(c)
-            for c in right_values
-        ],
+        *[F.col(f"_f.{c}").alias(c) for c in right_values],
     )

@@ -146,16 +146,23 @@ def stream_ingest_transactional(
     available_now: bool = False,
 ):
     """Streaming ACID sink (S8+S9): every micro-batch becomes one
-    atomic commit in a :class:`TransactionalLake`. Combined with the
-    checkpoint's batch-id tracking, readers see each batch entirely
+    atomic commit in a :class:`TransactionalLake`, tagged with the
+    micro-batch id via the lake's txn contract — a replayed batch
+    (foreachBatch is at-least-once) is detected and skipped, so the
+    sink is effectively exactly-once. Readers see each batch entirely
     or not at all, and the commit history doubles as a CDC feed of
     the stream (reference README.md:43/174 in one mechanism)."""
     from pyspark.sql import functions as F
 
+    app_id = f"stream_ingest:{checkpoint_dir}"
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        lake.append(batch_df.withColumn("date", F.to_date("timestamp")))
+        lake.append(
+            batch_df.withColumn("date", F.to_date("timestamp")),
+            txn=(app_id, batch_id),
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -36,7 +36,7 @@ import os
 import shutil
 import time
 import uuid
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,10 +104,17 @@ class TransactionalLake:
         with open(tmp, "w") as fh:
             json.dump(action, fh)
         final = os.path.join(self.log_path, f"{version:08d}.json")
-        if os.path.exists(final):  # lost the rename race itself
+        try:
+            # put-if-absent: link() fails atomically if final exists,
+            # unlike rename() which silently replaces it — two racing
+            # writers cannot both claim the same version.
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit at version {version}"
+            ) from None
+        finally:
             os.unlink(tmp)
-            raise RuntimeError(f"concurrent commit at version {version}")
-        os.rename(tmp, final)
         return version
 
     def _snapshot_state(
@@ -115,11 +122,16 @@ class TransactionalLake:
     ) -> tuple[list[str], list[str], int]:
         """(live files, schema-json history, resolved version)."""
         if timestamp is not None:
-            ts = (
-                datetime.fromisoformat(timestamp).timestamp()
-                if isinstance(timestamp, str)
-                else float(timestamp)
-            )
+            if isinstance(timestamp, str):
+                dt = datetime.fromisoformat(timestamp)
+                if dt.tzinfo is None:
+                    # commit timestamps are UTC epoch (time.time());
+                    # naive ISO strings must be read as UTC too, or
+                    # the snapshot shifts by the host's TZ offset
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts = dt.timestamp()
+            else:
+                ts = float(timestamp)
         live: dict[str, None] = {}
         schemas: list[str] = []
         resolved = -1
@@ -189,13 +201,37 @@ class TransactionalLake:
                 "merge_schema=True to evolve the table schema"
             )
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
-        """ACID append (reference README.md:41-43). Returns version."""
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest application-supplied transaction version committed
+        under ``app_id`` (-1 if none) — Delta's txnAppId/txnVersion
+        idempotence contract for exactly-once streaming sinks."""
+        last = -1
+        for name in self._commit_files():
+            t = self._read_commit(int(name.split(".")[0])).get("txn")
+            if t and t["app_id"] == app_id:
+                last = max(last, t["version"])
+        return last
+
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """ACID append (reference README.md:41-43). Returns version.
+
+        ``txn=(app_id, txn_version)``: makes the append idempotent —
+        if a commit with the same app_id and >= txn_version already
+        exists (e.g. a replayed streaming micro-batch), the append is
+        skipped and the current version returned."""
+        if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
+            return self.version
         self._check_schema(df, merge_schema)
         added = self._write_files(df)
-        return self._commit(
-            {"op": "append", "add": added, "schema": df.schema.json()}
-        )
+        action: dict = {"op": "append", "add": added, "schema": df.schema.json()}
+        if txn is not None:
+            action["txn"] = {"app_id": txn[0], "version": txn[1]}
+        return self._commit(action)
 
     def overwrite(self, df: DataFrame) -> int:
         """Atomic full-table replace: one commit adds the new files
@@ -214,10 +250,17 @@ class TransactionalLake:
 
     def delete_where(self, predicate: str) -> int:
         """Copy-on-write delete: rewrite live data minus matching
-        rows, commit as overwrite (Delta DELETE semantics)."""
-        snap = self.snapshot()
-        kept = snap.filter(~F.expr(predicate))
-        old, _schemas, read_v = self._snapshot_state()
+        rows, commit as overwrite (Delta DELETE semantics).
+
+        The state is resolved ONCE and both the rewrite input and the
+        remove-list derive from that same file list — resolving twice
+        would let an interleaved commit slip between them and pass the
+        optimistic-concurrency check while its rows are dropped.
+        NULL predicates keep the row (SQL DELETE removes only
+        provably-true matches)."""
+        old, schemas, read_v = self._snapshot_state()
+        snap = self._df_for_files(old, schemas)
+        kept = snap.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         added = self._write_files(kept)
         return self._commit(
             {"op": "delete", "predicate": predicate, "add": added, "remove": old},
@@ -233,6 +276,11 @@ class TransactionalLake:
         """Table state as of a version/timestamp (time-travel,
         reference README.md:28, 136). Default: latest."""
         files, schemas, _v = self._snapshot_state(version, timestamp)
+        return self._df_for_files(files, schemas)
+
+    def _df_for_files(self, files: list[str], schemas: list[str]) -> DataFrame:
+        """DataFrame over an explicit live-file list (so callers that
+        also need the file list for a commit resolve state once)."""
         if not files:
             if schemas:
                 from pyspark.sql.types import StructType
@@ -278,7 +326,19 @@ class TransactionalLake:
                     df, allowMissingColumns=True
                 )
         if out is None:
-            raise ValueError("no commits at or after requested version")
+            if starting_version > self.version:
+                raise ValueError("no commits at or after requested version")
+            # commits exist but none changed rows (e.g. only
+            # compactions): an empty CDC frame, not an error — a
+            # consumer polling from its last-seen version must not
+            # crash on maintenance-only activity
+            files, schemas, _v = self._snapshot_state()
+            base = self._df_for_files(files, schemas)
+            return (
+                base.limit(0)
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_commit_version", F.lit(None).cast("int"))
+            )
         return out
 
     # ------------------------------------------------------------------
@@ -295,6 +355,9 @@ class TransactionalLake:
         codegen'd bit arithmetic."""
         from pyspark.sql import types as T
 
+        # total interleaved width must stay in a long's 63 value bits
+        # (shiftleft masks the shift count mod 64; bit 63 is the sign)
+        bits = min(bits, 63 // max(1, len(cols)))
         numeric = {}
         for c in cols:
             dt = df.schema[c].dataType
@@ -342,8 +405,8 @@ class TransactionalLake:
         the file set. Readers of the old snapshot are unaffected;
         time-travel to pre-compaction versions still works until
         vacuum."""
-        old, _schemas, read_v = self._snapshot_state()
-        snap = self.snapshot()
+        old, schemas, read_v = self._snapshot_state()
+        snap = self._df_for_files(old, schemas)
         n = max(1, files_per_partition)
         parts = [F.col(c) for c in self.partition_by]
         bucket = F.pmod(F.xxhash64(*(zorder_by or snap.columns)), F.lit(n))
@@ -370,20 +433,36 @@ class TransactionalLake:
             read_version=read_v,
         )
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_seconds: float = 3600.0) -> int:
         """Physically delete files no longer referenced by the LATEST
         snapshot. After vacuum, time-travel to versions whose files
-        were removed raises on read (matching Delta's contract)."""
+        were removed raises on read (matching Delta's contract).
+
+        ``retention_seconds``: only files older than this are
+        deleted (Delta's retention window, default 7 days there).
+        A concurrent writer's files sit unreferenced in the table
+        root between staging and commit — a zero-retention vacuum
+        would delete them out from under the in-flight commit."""
         live, _schemas, _v = self._snapshot_state()
         live_set = set(live)
+        cutoff = time.time() - retention_seconds
         removed = 0
-        for dirpath, _dirs, files in os.walk(self.path):
-            if LOG_DIR in dirpath:
+        for dirpath, dirs, files in os.walk(self.path):
+            # skip the log and in-flight staging dirs (path-component
+            # match, not substring)
+            parts = os.path.relpath(dirpath, self.path).split(os.sep)
+            if LOG_DIR in parts:
                 continue
+            dirs[:] = [d for d in dirs if not d.startswith(".staging_")]
             for fname in files:
-                rel = os.path.relpath(os.path.join(dirpath, fname), self.path)
-                if fname.endswith(".parquet") and rel not in live_set:
-                    os.unlink(os.path.join(dirpath, fname))
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, self.path)
+                if (
+                    fname.endswith(".parquet")
+                    and rel not in live_set
+                    and os.path.getmtime(full) < cutoff
+                ):
+                    os.unlink(full)
                     removed += 1
         return removed
 

@@ -119,3 +119,82 @@ def test_streaming_late_data_dropped(spark, tmp_path):
     # was dropped, not merged and not re-emitted
     assert len(rows) == 1
     assert rows[0]["high"] == 100.0 and rows[0]["n_ticks"] == 1
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE removes only provably-true matches: a row where the
+    predicate evaluates to NULL (here symbol IS NULL) must survive."""
+    tx = TransactionalLake(spark, str(tmp_path / "txnull"), partition_by=())
+    df = spark.createDataFrame(
+        [("AAPL", 1), (None, 2), ("MSFT", 3)], "symbol string, id long"
+    )
+    tx.append(df)
+    tx.delete_where("symbol = 'AAPL'")
+    left = {r.id for r in tx.snapshot().collect()}
+    assert left == {2, 3}  # NULL-symbol row kept
+
+
+def test_cdc_compaction_only_returns_empty_feed(spark, tmp_path):
+    """A CDC consumer polling from its last-seen version must get an
+    empty feed, not an error, when the only new commits are
+    maintenance (compaction moves bytes, not rows)."""
+    tx = TransactionalLake(spark, str(tmp_path / "txcdc"), partition_by=())
+    tx.append(spark.createDataFrame([(1,)], "id long"))
+    v = tx.optimize()
+    ch = tx.read_changes(starting_version=v)
+    assert ch.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(ch.columns)
+    with pytest.raises(ValueError):
+        tx.read_changes(starting_version=v + 1)
+
+
+def test_txn_append_idempotent_on_replay(spark, tmp_path):
+    """Replayed streaming micro-batch (same app_id + batch id) must
+    not duplicate rows — Delta's txnAppId/txnVersion contract."""
+    tx = TransactionalLake(spark, str(tmp_path / "txidem"), partition_by=())
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    tx.append(df, txn=("app", 0))
+    tx.append(df, txn=("app", 0))  # replay: skipped
+    assert tx.snapshot().count() == 2
+    tx.append(df, txn=("app", 1))  # next batch: applied
+    assert tx.snapshot().count() == 4
+    assert tx.last_txn_version("app") == 1
+    assert tx.last_txn_version("other") == -1
+
+
+def test_commit_version_file_is_put_if_absent(spark, tmp_path):
+    """Two writers racing to the same version number: exactly one
+    commit file survives; the loser errors instead of silently
+    replacing the winner's commit."""
+    tx = TransactionalLake(spark, str(tmp_path / "txrace"), partition_by=())
+    tx.append(spark.createDataFrame([(1,)], "id long"))
+    stale = tx._commit_files()
+    target = os.path.join(tx.log_path, f"{tx.version + 1:08d}.json")
+    with open(target, "w") as fh:  # winner's commit lands first
+        json.dump({"version": tx.version + 1, "timestamp": 0.0,
+                   "op": "append", "add": []}, fh)
+    # loser still sees the pre-winner log (the TOCTOU window): its
+    # link() to the same version file must fail, not replace it
+    tx._commit_files = lambda: stale
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        tx._commit({"op": "append", "add": []})
+    with open(target) as fh:  # winner's content untouched
+        assert json.load(fh)["timestamp"] == 0.0
+
+
+def test_zorder_many_columns_stays_in_long_range(spark, tmp_path):
+    """Z-value interleaving must cap per-column bits so the composite
+    stays within a long's 63 value bits (4+ columns previously hit
+    the sign bit / wrapped the shift count)."""
+    tx = TransactionalLake(spark, str(tmp_path / "txz"), partition_by=())
+    df = spark.createDataFrame(
+        [(i, i * 2, i * 3, float(i), f"s{i}") for i in range(100)],
+        "a long, b long, c long, d double, e string",
+    )
+    tx.append(df)
+    tx.optimize(zorder_by=("a", "b", "c", "d"))
+    assert tx.snapshot().count() == 100
+    from market_data_lakehouse_spark.txnlog import TransactionalLake as TL
+    z = TL._zvalue(tx.snapshot(), ("a", "b", "c", "d"))
+    zmin = tx.snapshot().select(z.alias("z")).agg({"z": "min"}).collect()[0][0]
+    assert zmin >= 0  # sign bit never set

@@ -16,17 +16,18 @@ from market_data_lakehouse_spark.asof import asof_join, asof_join_bucketed
 
 BASE = datetime(2024, 6, 15, 10, 0)
 
-# (key, ts-offset-seconds, value)
+# (key, ts-offset-seconds, value); value None = quote with NULL px
 event = st.tuples(
     st.sampled_from(["A", "B"]),
     st.integers(min_value=0, max_value=7200),
-    st.integers(min_value=0, max_value=1000),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=1000)),
 )
 
 
 def _py_asof(trades, quotes):
     """Per-trade latest quote at-or-before, per key (ties: quote at
-    the same instant IS visible)."""
+    the same instant IS visible). A NULL-valued quote still wins
+    resolution — the result is then NULL, not an older price."""
     out = {}
     for k, t_off, tv in trades:
         best = None
@@ -50,11 +51,17 @@ def _py_asof(trades, quotes):
 )
 def test_asof_matches_python_oracle(spark, impl, trades, quotes):
     tdf = spark.createDataFrame(
-        [(k, BASE + timedelta(seconds=o), float(v)) for k, o, v in trades],
+        [
+            (k, BASE + timedelta(seconds=o), None if v is None else float(v))
+            for k, o, v in trades
+        ],
         "sym string, ts timestamp, trade_px double",
     )
     qdf = spark.createDataFrame(
-        [(k, BASE + timedelta(seconds=o), float(v)) for k, o, v in quotes],
+        [
+            (k, BASE + timedelta(seconds=o), None if v is None else float(v))
+            for k, o, v in quotes
+        ],
         "sym string, ts timestamp, quote_px double",
     ) if quotes else spark.createDataFrame(
         [], "sym string, ts timestamp, quote_px double"
@@ -68,6 +75,26 @@ def test_asof_matches_python_oracle(spark, impl, trades, quotes):
         off = int((r["ts"] - BASE).total_seconds())
         want = expected[(r["sym"], off)]
         assert (None if r["quote_px"] is None else int(r["quote_px"])) in want
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_bucketed])
+def test_asof_null_quote_value_shadows_older(spark, impl):
+    """A quote row whose VALUE is NULL still wins as-of resolution
+    (DuckDB ASOF attaches the row, giving a NULL value) — it must not
+    be conflated with 'no quote' and resurrect an older price. With
+    1-minute buckets the trade sits many buckets after both quotes,
+    so the bucketed variant's carry-in path is exercised too."""
+    tdf = spark.createDataFrame(
+        [("A", BASE + timedelta(minutes=30), 1.0)],
+        "sym string, ts timestamp, trade_px double",
+    )
+    qdf = spark.createDataFrame(
+        [("A", BASE, 5.0), ("A", BASE + timedelta(minutes=1), None)],
+        "sym string, ts timestamp, quote_px double",
+    )
+    kwargs = {"bucket_minutes": 1} if impl is asof_join_bucketed else {}
+    rows = impl(tdf, qdf, on="sym", **kwargs).collect()
+    assert len(rows) == 1 and rows[0]["quote_px"] is None
 
 
 bar_floats = st.one_of(

@@ -139,7 +139,10 @@ class TestMaintenance:
         lake.append(_df(spark, [("AAPL", 150)]))
         lake.append(_df(spark, [("MSFT", 300)]))
         lake.optimize()
-        removed = lake.vacuum()
+        # default retention protects freshly-written files (a
+        # concurrent writer's staged-but-uncommitted data)
+        assert lake.vacuum() == 0
+        removed = lake.vacuum(retention_seconds=0)
         assert removed >= 2
         assert lake.snapshot().count() == 2  # latest still intact
 

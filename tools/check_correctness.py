@@ -65,8 +65,12 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             i
             for i in range(len(sv))
             if not values_equal(
-                None if pd.isna(sv[i]) and not isinstance(sv[i], (list, tuple)) else sv[i],
-                None if pd.isna(ov[i]) and not isinstance(ov[i], (list, tuple)) else ov[i],
+                None
+                if not isinstance(sv[i], (list, tuple)) and pd.api.types.is_scalar(sv[i]) and pd.isna(sv[i])
+                else sv[i],
+                None
+                if not isinstance(ov[i], (list, tuple)) and pd.api.types.is_scalar(ov[i]) and pd.isna(ov[i])
+                else ov[i],
             )
         ]
         if bad:
