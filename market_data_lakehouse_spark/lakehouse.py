@@ -412,8 +412,17 @@ class DataLakehouse:
                     F.count_distinct("date").alias("n_parts"),
                 ).collect()[0]
                 n_rows, n_parts = row["n_rows"], row["n_parts"]
+            # Rebalance on the partition column before the write:
+            # without it every input task writes a file into every
+            # touched date dir (tasks × dates small files; measured 6 s
+            # for 600 k rows / 30 dates at sf0.1) — and a narrow input
+            # (one big parquet file → 3 tasks) serializes the write.
+            # REBALANCE lets AQE both merge small dates into one task
+            # and split oversized dates across tasks, so file count
+            # tracks data size, not task count (1.3 s same batch).
             writer = (
-                out.write.mode("append")
+                out.hint("rebalance", F.col("date"))
+                .write.mode("append")
                 .option("maxRecordsPerFile", 5_000_000)
                 .partitionBy("date")
             )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from market_data_lakehouse_spark.queries import money
 from market_data_lakehouse_spark.queries.catalog import load, register
 
 # ---------------------------------------------------------------------------
@@ -81,11 +82,16 @@ def f2_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a1_vwap_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + ratio-of-sums VWAP (reference README.md:77-81)."""
     li = load(spark, sf_dir, "lineitem")
-    px = F.col("l_extendedprice").cast("decimal(12,2)")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    # exact long math (see queries/money.py): cents × integral qty is
+    # an exact integer; sum stays codegen'd long arithmetic
+    pxq = money.to_scaled("l_extendedprice", 2) * F.col("l_quantity").cast(
+        "long"
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(px * qty).cast("double") / F.sum(qty).cast("double"), 4
+            money.scaled_to_double(money.exact_sum(pxq), 2)
+            / F.sum("l_quantity"),
+            4,
         ).alias("vwap"),
         F.sum("l_quantity").alias("total_qty"),
     )
@@ -108,11 +114,14 @@ def a2_vwap_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     (README.md:77-81). Physical plan is TakeOrderedAndProject — no
     global sort materialization; partial aggregation map-side."""
     li = load(spark, sf_dir, "lineitem")
-    px = F.col("l_extendedprice").cast("decimal(12,2)")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pxq = money.to_scaled("l_extendedprice", 2) * F.col("l_quantity").cast(
+        "long"
+    )
     vwap = li.groupBy("l_partkey").agg(
         F.round(
-            F.sum(px * qty).cast("double") / F.sum(qty).cast("double"), 4
+            money.scaled_to_double(money.exact_sum(pxq), 2)
+            / F.sum("l_quantity"),
+            4,
         ).alias("vwap"),
         F.sum("l_quantity").alias("total_qty"),
     )
@@ -136,12 +145,13 @@ def a2_vwap_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a3_full_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table aggregate ("Aggregate all trades", README.md:107)."""
     li = load(spark, sf_dir, "lineitem")
+    cents = money.to_scaled("l_extendedprice", 2)
+    dpct = money.to_scaled("l_discount", 2)
     return li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
-        .cast("double").alias("sum_price"),
+        money.scaled_to_double(money.exact_sum(cents), 2).alias("sum_price"),
         F.round(
-            F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
+            money.scaled_to_double(money.exact_sum(dpct), 2)
             / F.count(F.lit(1)),
             6,
         ).alias("avg_disc"),
@@ -180,20 +190,30 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key aggregate (TPC-H Q1 shape — the canonical OLAP
     pricing summary; README.md:108's multi-key analog)."""
     li = load(spark, sf_dir, "lineitem")
-    px = F.col("l_extendedprice").cast("decimal(12,2)")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    disc = px * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-    charge = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    # exact long math (queries/money.py): disc price in 1e-4 dollars,
+    # charge in 1e-6 dollars — integer-exact, codegen'd, rounds in the
+    # integer domain exactly like the oracle's DECIMAL ROUND
+    cents = money.to_scaled("l_extendedprice", 2)
+    dpct = money.to_scaled("l_discount", 2)
+    tpct = money.to_scaled("l_tax", 2)
+    disc4 = cents * (100 - dpct)
+    charge6 = disc4 * (100 + tpct)
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.round(F.sum(px), 2).cast("double").alias("sum_base_price"),
-        F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-        F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
-        F.round(F.sum(px).cast("double") / n, 4).alias("avg_price"),
+        money.scaled_to_double(money.exact_sum(cents), 2).alias(
+            "sum_base_price"
+        ),
+        money.scaled_round(money.exact_sum(disc4), 4, 2).alias(
+            "sum_disc_price"
+        ),
+        money.scaled_round(money.exact_sum(charge6), 6, 2).alias("sum_charge"),
+        F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
         F.round(
-            F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / n, 6
+            money.scaled_to_double(money.exact_sum(cents), 2) / n, 4
+        ).alias("avg_price"),
+        F.round(
+            money.scaled_to_double(money.exact_sum(dpct), 2) / n, 6
         ).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -215,17 +235,14 @@ def a4_multikey_100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~100-key aggregate over a pushed-down key filter
     (README.md:108 "100-symbol aggregation")."""
     li = load(spark, sf_dir, "lineitem")
+    rev4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
     return (
         li.filter(F.col("l_partkey") < 100)
         .groupBy("l_partkey")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-                ),
-                2,
-            ).cast("double").alias("revenue"),
+            money.scaled_round(money.exact_sum(rev4), 4, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -434,8 +451,9 @@ def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
-            .cast("double").alias("revenue"),
+            money.scaled_to_double(
+                money.exact_sum(money.to_scaled("o_totalprice", 2)), 2
+            ).alias("revenue"),
         )
     )
 
@@ -511,13 +529,14 @@ def j3_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            money.scaled_round(
+                money.exact_sum(
+                    money.to_scaled("l_extendedprice", 2)
+                    * (100 - money.to_scaled("l_discount", 2))
                 ),
+                4,
                 2,
-            ).cast("double").alias("revenue"),
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -590,8 +609,9 @@ def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_late"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
-            .cast("double").alias("late_value"),
+            money.scaled_to_double(
+                money.exact_sum(money.to_scaled("l_extendedprice", 2)), 2
+            ).alias("late_value"),
         )
     )
 
@@ -767,17 +787,19 @@ def w3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average over a pre-aggregated daily series: the
     heavy groupBy reduces 60k rows to ~days before the window runs."""
     li = load(spark, sf_dir, "lineitem")
+    rev4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
     daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-        ).alias("rev_dec")
+        money.exact_sum(rev4).alias("r4")
     )
     w = Window.orderBy("d").rowsBetween(-6, 0)
     return daily.select(
         F.date_format("d", "yyyy-MM-dd").alias("d"),
-        F.round("rev_dec", 2).cast("double").alias("rev"),
-        F.round(F.avg(F.col("rev_dec").cast("double")).over(w), 2).alias("ma7"),
+        money.scaled_round(F.col("r4"), 4, 2).alias("rev"),
+        F.round(
+            F.avg(money.scaled_to_double(F.col("r4"), 4)).over(w), 2
+        ).alias("ma7"),
     )
 
 
@@ -871,15 +893,15 @@ def x6_arith_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row arithmetic (README.md:78 price*volume analog) —
     whole-stage-codegen'd, no shuffle."""
     li = load(spark, sf_dir, "lineitem")
+    charge6 = (
+        money.to_scaled("l_extendedprice", 2)
+        * (100 - money.to_scaled("l_discount", 2))
+        * (100 + money.to_scaled("l_tax", 2))
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-            * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")),
-            2,
-        ).cast("double").alias("charge"),
+        money.scaled_round(charge6, 6, 2).alias("charge"),
     )
 
 
