@@ -42,7 +42,7 @@ from datetime import datetime
 from enum import Enum
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -381,62 +381,75 @@ class DataLakehouse:
         (lakehouse.py:392-408); ``partitionBy("date")`` is the same
         grouping done by the writer, shuffle-free.
         """
-        # One scan of the batch for everything: persist the staged
-        # DataFrame so the validity split, the single stats aggregate,
-        # the DLQ write, and the main write all read the same
-        # materialization instead of recomputing the input up to 5×
-        # (VERDICT r1 item 3). The batch — not the lake — is cached,
-        # so this holds at 100 TB lake scale.
-        staged = df.withColumn("date", F.to_date("timestamp")).persist()
+        # ONE scan of the batch for everything (VERDICT r1 item 3):
+        # the stats (valid/invalid counts, touched partitions) ride
+        # the write itself as an ``observe()`` side-metric, so the
+        # happy path is a single job over a single scan — no persist
+        # materialization (measured: persist round-trip added ~1.7 s
+        # on a 600 k-row batch), no separate count job. Only the rare
+        # errors>0 DLQ branch pays a second scan of the batch.
+        staged = df.withColumn("date", F.to_date("timestamp"))
+        obs = Observation()
+        ok = valid_bar() if validate else F.lit(True)
+        staged = staged.observe(
+            obs,
+            F.sum((~ok).cast("long")).alias("errors"),
+            F.sum(ok.cast("long")).alias("n_rows"),
+            F.size(F.collect_set(F.when(ok, F.col("date")))).alias("n_parts"),
+        )
+        out = staged.filter(ok) if validate else staged
+        # Rebalance on the partition column before the write:
+        # without it every input task writes a file into every
+        # touched date dir (tasks × dates small files; measured 6 s
+        # for 600 k rows / 30 dates at sf0.1) — and a narrow input
+        # (one big parquet file → 3 tasks) serializes the write.
+        # REBALANCE lets AQE both merge small dates into one task
+        # and split oversized dates across tasks, so file count
+        # tracks data size, not task count (1.3 s same batch).
+        writer = (
+            out.hint("rebalance", F.col("date"))
+            .write.mode("append")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("date")
+        )
+        if self.file_format == "csv":
+            # microsecond timestampFormat: the default writes
+            # millis, silently truncating (X1/X2 ISO round-trip
+            # parity requires full precision)
+            writer.option("header", True).option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).csv(self.base_path)
+        else:
+            writer.parquet(self.base_path)
         try:
-            errors = 0
-            out = staged
-            if validate:
-                ok = valid_bar()
-                row = staged.agg(
-                    F.sum((~ok).cast("long")).alias("errors"),
-                    F.sum(ok.cast("long")).alias("n_rows"),
-                    F.count_distinct(F.when(ok, F.col("date"))).alias("n_parts"),
-                ).collect()[0]
-                errors = row["errors"] or 0
-                n_rows, n_parts = row["n_rows"] or 0, row["n_parts"] or 0
-                if self.dead_letter_path and errors:
-                    # DLQ (README.md:39): malformed rows to a side table.
-                    staged.filter(~ok).drop("date").withColumn(
-                        "_dlq_ts", F.current_timestamp()
-                    ).write.mode("append").parquet(self.dead_letter_path)
-                out = staged.filter(ok)
-            else:
-                row = staged.agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.count_distinct("date").alias("n_parts"),
-                ).collect()[0]
-                n_rows, n_parts = row["n_rows"], row["n_parts"]
-            # Rebalance on the partition column before the write:
-            # without it every input task writes a file into every
-            # touched date dir (tasks × dates small files; measured 6 s
-            # for 600 k rows / 30 dates at sf0.1) — and a narrow input
-            # (one big parquet file → 3 tasks) serializes the write.
-            # REBALANCE lets AQE both merge small dates into one task
-            # and split oversized dates across tasks, so file count
-            # tracks data size, not task count (1.3 s same batch).
-            writer = (
-                out.hint("rebalance", F.col("date"))
-                .write.mode("append")
-                .option("maxRecordsPerFile", 5_000_000)
-                .partitionBy("date")
+            got = obs.get  # available once the write's action finished
+        except Exception:
+            # AQE's empty-relation propagation replaces the whole
+            # subtree — CollectMetrics node included — when the
+            # rebalance shuffle turns out empty (every row invalid),
+            # and the observation row never materializes. Rare path:
+            # recompute the stats with one small aggregate job.
+            okc = valid_bar() if validate else F.lit(True)
+            got = (
+                df.withColumn("date", F.to_date("timestamp"))
+                .agg(
+                    F.sum((~okc).cast("long")).alias("errors"),
+                    F.sum(okc.cast("long")).alias("n_rows"),
+                    F.size(
+                        F.collect_set(F.when(okc, F.col("date")))
+                    ).alias("n_parts"),
+                )
+                .collect()[0]
             )
-            if self.file_format == "csv":
-                # microsecond timestampFormat: the default writes
-                # millis, silently truncating (X1/X2 ISO round-trip
-                # parity requires full precision)
-                writer.option("header", True).option(
-                    "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-                ).csv(self.base_path)
-            else:
-                writer.parquet(self.base_path)
-        finally:
-            staged.unpersist()
+        errors = got["errors"] or 0
+        n_rows = got["n_rows"] or 0
+        n_parts = max(got["n_parts"] or 0, 0)  # size(null set) -> -1
+        if validate and errors and self.dead_letter_path:
+            # DLQ (README.md:39): malformed rows to a side table —
+            # rare path; recomputes the batch once more.
+            df.filter(~valid_bar()).withColumn(
+                "_dlq_ts", F.current_timestamp()
+            ).write.mode("append").parquet(self.dead_letter_path)
         self._total_ingested += n_rows
         self._total_errors += errors
         return IngestionStats(
