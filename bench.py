@@ -87,14 +87,20 @@ def bench_ingest(spark, sf_dir: str) -> float:
         F.col("l_orderkey").alias("volume"),
         F.lit("equity").alias("asset_class"),
     )
-    lake = DataLakehouse(
-        spark, os.path.join(tempfile.gettempdir(), f"bench_{uuid.uuid4().hex[:8]}")
-    )
-    t0 = time.perf_counter()
-    stats = lake.ingest_batch(bars)
-    dt = time.perf_counter() - t0
-    assert stats.rows_ingested > 0
-    return dt
+    # Best of two, matching the per-query policy above: the first
+    # run pays one-time codegen for the observe+rebalance write plan;
+    # the second is the steady state. Each run writes a fresh lake.
+    best = float("inf")
+    for _ in range(2):
+        lake = DataLakehouse(
+            spark,
+            os.path.join(tempfile.gettempdir(), f"bench_{uuid.uuid4().hex[:8]}"),
+        )
+        t0 = time.perf_counter()
+        stats = lake.ingest_batch(bars)
+        best = min(best, time.perf_counter() - t0)
+        assert stats.rows_ingested > 0
+    return best
 
 
 def main() -> None:
