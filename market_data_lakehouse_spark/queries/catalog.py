@@ -33,17 +33,20 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table (ns-timestamp conversion handled).
+def load(
+    spark: SparkSession, sf_dir: str, name: str, raw: bool = False
+) -> DataFrame:
+    """Read one driver table (ns-timestamp conversion handled; pass
+    ``raw=True`` for the unconverted scan — see schema.load_table).
 
     The analyzed DataFrame is memoized per (session, dir, table):
     repeated queries skip the parquet footer/schema-inference job, as
     a metastore-backed table would. Data is NOT cached — every query
     still scans parquet."""
-    key = (id(spark), sf_dir, name)
+    key = (id(spark), sf_dir, name, raw)
     df = _TABLE_CACHE.get(key)
     if df is None:
-        df = _TABLE_CACHE[key] = load_table(spark, sf_dir, name)
+        df = _TABLE_CACHE[key] = load_table(spark, sf_dir, name, raw=raw)
     return df
 
 

@@ -55,12 +55,43 @@ def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f2_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inclusive two-sided time range (reference lakehouse.py:525-528
-    semantics, here with pushdown to the parquet scan)."""
-    ev = load(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") <= F.lit("2024-01-12 23:59:59").cast("timestamp"))
-    ).select("event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+    semantics) with TRUE pushdown: the bounds are rewritten into the
+    raw int64-nanos domain, so the scan carries them as PushedFilters
+    and parquet row-group stats can skip whole groups — filtering the
+    converted ``timestamp_micros(ts div 1000)`` column instead plans
+    as a post-scan DataFilter that reads everything. Inclusive bound
+    algebra (positive ts): ``ts div 1000 >= lo_us <=> ts >= lo_us*1000``
+    and ``ts div 1000 <= hi_us <=> ts <= hi_us*1000 + 999``."""
+    from datetime import datetime, timezone
+
+    lo_us = int(
+        datetime(2024, 1, 10, 0, 0, 0, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    hi_us = int(
+        datetime(2024, 1, 12, 23, 59, 59, tzinfo=timezone.utc).timestamp()
+        * 1_000_000
+    )
+    ev = load(spark, sf_dir, "events", raw=True)
+    if dict(ev.dtypes).get("ts") != "bigint":  # already TimestampType
+        ev = load(spark, sf_dir, "events")
+        return ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-01-12 23:59:59").cast("timestamp"))
+        ).select(
+            "event_id", "ts", "event_type", F.round("value", 4).alias("value")
+        )
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(lo_us * 1000))
+            & (F.col("ts") <= F.lit(hi_us * 1000 + 999))
+        )
+        .select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -84,17 +84,26 @@ STAR_TABLES = (
 )
 
 
-def load_table(spark, sf_dir: str, name: str):
+def load_table(spark, sf_dir: str, name: str, raw: bool = False):
     """Read one driver parquet table (TESTDATA.md layout).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a
     nanos-since-epoch long under ``legacy.parquet.nanosAsLong``; we
     convert to a real TimestampType (micros — lossless here, the
     generator emits microsecond precision).
+
+    ``raw=True`` skips that conversion: the projection wrapping ``ts``
+    in ``timestamp_micros(ts div 1000)`` makes any time predicate
+    un-pushable (the scan shows it as a post-scan DataFilter, never a
+    PushedFilter). Time-range queries filter the raw nanos long first
+    — plain int64 comparisons the parquet reader can evaluate against
+    row-group statistics — then convert the survivors.
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if raw:
+        return df
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer division, NOT `/`: float division promotes the ns
         # epoch (~1.75e18) past double's 53-bit exact range and can be

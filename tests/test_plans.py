@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.queries.relational import (
     a2_vwap_top10,
+    f2_time_range,
     j3_broadcast_join,
     j6_asof_join,
     o2_topk,
@@ -38,6 +39,14 @@ class TestPlans:
         read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
         assert "l_extendedprice" not in read_schema  # pruned
         assert "l_quantity" in read_schema
+
+    def test_time_range_pushes_to_scan(self, spark, sf_dir):
+        """The events time-range bounds must reach the parquet reader
+        as raw-nanos long comparisons (row-group skipping) — filtering
+        the converted timestamp column would read every row group."""
+        p = plan(f2_time_range(spark, sf_dir))
+        pushed = p.split("PushedFilters")[1].split("\n")[0]
+        assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
 
     def test_topk_is_take_ordered(self, spark, sf_dir):
         """ORDER BY ... LIMIT k must be TakeOrderedAndProject (per-
