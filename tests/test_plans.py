@@ -80,6 +80,64 @@ class TestPlans:
         # AQEShuffleRead wrappers but no second hashpartitioning
         assert p.count("hashpartitioning") == 1, p
 
+    def test_similarity_ops_never_cartesian(self, spark, sf_dir):
+        """Near-dup / LSH / ANN candidate generation must be bucketed
+        equi-joins — an all-pairs CartesianProduct or BroadcastNested-
+        LoopJoin is O(n^2) and disqualifying at 100 TB."""
+        from market_data_lakehouse_spark.queries.dedup import (
+            e2_minhash_lsh,
+            e2_ngram_jaccard,
+        )
+        from market_data_lakehouse_spark.queries.similarity import (
+            e2_embedding_neardup,
+            e3_ann_lsh,
+            e3_knn_bruteforce,
+        )
+
+        for fn in (
+            e2_minhash_lsh,
+            e2_ngram_jaccard,
+            e2_embedding_neardup,
+            e3_ann_lsh,
+            e3_knn_bruteforce,
+        ):
+            p = simple_plan(fn(spark, sf_dir))
+            assert "CartesianProduct" not in p, fn.__name__
+            assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+
+    def test_ingest_write_rebalances_on_partition_key(self, spark, tmp_path):
+        """The append plan must carry a REBALANCE on date: without it
+        a T-task batch writes T files into every touched date dir
+        (small-files pathology), and AQE can neither merge small
+        dates nor split oversized ones."""
+        from datetime import datetime
+
+        from market_data_lakehouse_spark.lakehouse import DataLakehouse
+
+        lake = DataLakehouse(spark, str(tmp_path / "lake"))
+        lake.ingest_batch(
+            [
+                {
+                    "symbol": "AAPL",
+                    "timestamp": datetime(2024, 6, 14, 10, 0),
+                    "open": 150.0,
+                    "high": 155.0,
+                    "low": 149.0,
+                    "close": 153.0,
+                    "volume": 100,
+                    "asset_class": "equity",
+                }
+            ]
+        )
+        # one row -> exactly one file in one date dir (the rebalance
+        # collapses the write to data-proportional tasks)
+        files = [
+            f
+            for f in (tmp_path / "lake" / "date=2024-06-14").iterdir()
+            if f.name.endswith(".parquet")
+        ]
+        assert len(files) == 1
+
     def test_lakehouse_query_prunes_partitions(self, spark, tmp_path):
         """Date-range predicates must prune at file-listing level:
         the scan's PartitionFilters carry the derived date bounds."""
