@@ -28,9 +28,41 @@ K = 5
 N_QUERY = 10  # vec_id < 10 are the query vectors
 
 
+def _seq_sum(M: "np.ndarray") -> "np.ndarray":
+    """Row-wise LEFT-TO-RIGHT float64 sum (np.cumsum, not np.dot's
+    pairwise order) — bit-identical to a sequential fold, so results
+    hash-match DuckDB's list_sum and Spark's aggregate() exactly."""
+    return np.cumsum(M, axis=1)[:, -1]
+
+
+def cosine_pairs(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Vectorized cosine similarity of two array columns (one pair
+    per row) via an Arrow-batched pandas UDF — ~10x the throughput of
+    the interpreted zip_with/aggregate fold, with identical numerics
+    (sequential float64 sums, see _seq_sum)."""
+
+    @F.pandas_udf("double")
+    def _udf(av: pd.Series, bv: pd.Series) -> pd.Series:
+        A = np.array(av.tolist(), dtype=np.float64)
+        B = np.array(bv.tolist(), dtype=np.float64)
+        if A.size == 0:
+            return pd.Series([], dtype=np.float64)
+        dot = _seq_sum(A * B)
+        na = np.sqrt(_seq_sum(A * A))
+        nb = np.sqrt(_seq_sum(B * B))
+        return pd.Series(dot / (na * nb))
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _udf(a, b)
+
+
 def cosine(a: str | F.Column, b: str | F.Column) -> F.Column:
     """Cosine similarity of two float-array columns, accumulated in
-    double (sequential fold — bit-stable across engines)."""
+    double (sequential fold — bit-stable across engines).
+
+    JVM-side but INTERPRETED (array HOFs get no codegen): prefer
+    :func:`cosine_pairs` anywhere the pair count is non-trivial."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -156,6 +188,56 @@ def hyperplane_sign_bucket(vec_col: F.Column, n_planes: int = 8) -> F.Column:
     return bucket
 
 
+def _hyperplane_matrix(spark: SparkSession, n_planes: int, dim: int) -> "np.ndarray":
+    """The (n_planes, dim) hyperplane components, evaluated by the
+    SAME JVM expression ``hyperplane_sign_bucket`` uses
+    (xxhash64(str(p), str(j)) / 2^63) so numpy- and column-computed
+    buckets agree bit-for-bit. One tiny driver-side job, O(planes*dim)."""
+    rows = (
+        spark.range(n_planes)
+        .select(
+            F.col("id").alias("p"),
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
+        )
+        .select(
+            "p",
+            "j",
+            (
+                F.xxhash64(F.col("p").cast("string"), F.col("j").cast("string"))
+                .cast("double")
+                / F.lit(float(2**63))
+            ).alias("c"),
+        )
+        .collect()
+    )
+    H = np.empty((n_planes, dim))
+    for r in rows:
+        H[r.p, r.j] = r.c
+    return H
+
+
+def vectorized_sign_bucket(spark: SparkSession, vec_col, n_planes: int = 8, dim: int = 64):
+    """Arrow-batched twin of :func:`hyperplane_sign_bucket`: same
+    deterministic hyperplanes (collected once from the JVM hash
+    expression), same sequential-fold dot order, ~10x faster than the
+    interpreted per-plane zip_with folds."""
+    H = _hyperplane_matrix(spark, n_planes, dim)
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=np.int64)
+        bits = np.zeros(M.shape[0], dtype=np.int64)
+        for p in range(n_planes):
+            dot = _seq_sum(M * H[p])
+            bits |= np.where(dot >= 0, weights[p], 0)
+        return pd.Series(bits)
+
+    return _bucket(vec_col)
+
+
 @register("e3_ann_lsh")  # rows-only: bucket assignment is hash-family-specific
 def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: queries probe only their own
@@ -163,7 +245,10 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-per-bucket. Recall is tunable by n_planes / multi-probe; at
     100 TB this replaces the brute-force crossJoin."""
     em = load(spark, sf_dir, "embeddings")
-    bucketed = em.withColumn("bucket", hyperplane_sign_bucket(F.col("embedding")))
+    dim = 64
+    bucketed = em.withColumn(
+        "bucket", vectorized_sign_bucket(spark, F.col("embedding"), dim=dim)
+    )
     q = bucketed.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
     )
@@ -220,7 +305,7 @@ def e2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id"))
     )
-    sim = cosine("a_e", "b_e")
+    sim = cosine_pairs("a_e", "b_e")
     return pairs.select("a_id", "b_id", sim.alias("_s")).filter(
         F.col("_s") > 0.25
     ).select("a_id", "b_id", F.round("_s", 6).alias("cos_sim"))
@@ -252,7 +337,7 @@ def _rank_cells(em: DataFrame, cents: DataFrame) -> DataFrame:
         "vec_id",
         "embedding",
         "cell",
-        F.round(cosine("embedding", "ce"), 9).alias("_csim"),
+        F.round(cosine_pairs("embedding", "ce"), 9).alias("_csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), "cell")
     return scored.withColumn("rk", F.row_number().over(w))
@@ -266,7 +351,7 @@ def _assign_cells(em: DataFrame, cents: DataFrame) -> DataFrame:
         "vec_id",
         "embedding",
         "cell",
-        F.round(cosine("embedding", "ce"), 9).alias("_csim"),
+        F.round(cosine_pairs("embedding", "ce"), 9).alias("_csim"),
     )
     return scored.groupBy("vec_id").agg(
         F.expr("max_by(cell, struct(_csim, -cell))").alias("cell"),
@@ -302,7 +387,7 @@ def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rk") <= n_probe) & (F.col("vec_id") < N_QUERY)
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
     scored = cand.join(F.broadcast(probes), "cell").select(
-        "qid", "cid", cosine("qe", "ce").alias("sim")
+        "qid", "cid", cosine_pairs("qe", "ce").alias("sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     return (
@@ -343,5 +428,5 @@ def e3_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "vec_id",
         "label",
-        F.round(cosine("embedding", "centroid"), 4).alias("centroid_sim"),
+        F.round(cosine_pairs("embedding", "centroid"), 4).alias("centroid_sim"),
     )
