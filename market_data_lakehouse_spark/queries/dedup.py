@@ -19,7 +19,7 @@ bitwise ops) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.queries.catalog import load, register
@@ -29,19 +29,39 @@ N_BANDS = 8  # 4 rows per band
 SHINGLE = 3
 
 
-def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """word-3-gram shingle set per document (distinct)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    sh = F.when(
-        F.size(toks) >= SHINGLE,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - SHINGLE),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return df.withColumn("shingles", sh)
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _shingles_exploded(
+    df: DataFrame, carry: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """(doc_id, *carry, s): one row per word-3-gram occurrence.
+
+    Construction is posexplode + two lead() windows + concat_ws — all
+    whole-stage-codegen'd. The obvious alternative, a per-document
+    ``transform(sequence(...), i -> concat_ws(slice(...)))``, runs
+    INTERPRETED (array HOFs get no codegen) and measured ~10x slower
+    (3.3 s vs 0.3 s to build shingles for 5 000 docs at sf0.1).
+    Documents shorter than SHINGLE tokens contribute their whole text
+    as a single shingle (reference-free semantic choice, kept stable
+    for minhash parity). Rows are NOT deduplicated — callers that
+    need set semantics apply distinct(); min-based minhash doesn't
+    (min over a multiset equals min over its set)."""
+    toks = _tokens()
+    cols = ["doc_id", *carry]
+    ex = df.select(*cols, F.posexplode(toks).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    long_sh = (
+        ex.withColumn("t1", F.lead("t", 1).over(w))
+        .withColumn("t2", F.lead("t", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(*cols, F.concat_ws(" ", "t", "t1", "t2").alias("s"))
+    )
+    short_sh = df.filter(F.size(toks) < SHINGLE).select(
+        *cols, F.concat_ws(" ", toks).alias("s")
+    )
+    return long_sh.unionByName(short_sh)
 
 
 @register(
@@ -68,18 +88,16 @@ def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source). The equi-join on the bucket key keeps the pair space
     at sum(bucket²) — at 100 TB the bucket key would be an LSH band
     (see e2_minhash_lsh); the scoring kernel is identical."""
-    docs = _shingles(load(spark, sf_dir, "documents")).filter(
-        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= SHINGLE
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(_tokens()) >= SHINGLE
     )
     # Co-occurrence formulation: |A ∩ B| = number of (source, shingle)
     # rows shared by the pair, computed with a codegen'd equi-join +
     # count — no per-pair array intersection (interpreted, O(pairs x
     # shingle-length)). Join fan-out per (source, shingle) is the
     # shingle's document frequency, which for 3-grams is tiny.
-    sizes = docs.select("doc_id", "source", F.size("shingles").alias("n"))
-    ex = docs.select(
-        "doc_id", "source", F.explode("shingles").alias("s")
-    )
+    ex = _shingles_exploded(docs).distinct()
+    sizes = ex.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n"))
     co = (
         ex.select(F.col("doc_id").alias("a_id"), "source", "s")
         .join(
@@ -117,19 +135,19 @@ def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[N_MINHASH]) minhash signatures.
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[N_MINHASH]) minhash signatures from
+    EXPLODED (doc_id, s) shingle rows.
 
     minhash_k(doc) = min over shingles of xxhash64(base_hash, k),
-    base_hash = xxhash64(shingle) computed once. Shingles are
-    EXPLODED and the 32 mins run as a codegen'd hash-aggregate:
-    array higher-order functions execute interpreted (boxed,
-    ~10x slower), while the explode path stays inside whole-stage
-    codegen with map-side partial mins — the shuffle moves only
-    one 32-long row per (doc, partition)."""
-    ex = docs.select("doc_id", F.explode("shingles").alias("s")).withColumn(
-        "h", F.xxhash64("s")
-    )
+    base_hash = xxhash64(shingle) computed once. The 32 mins run as a
+    codegen'd hash-aggregate: array higher-order functions execute
+    interpreted (boxed, ~10x slower), while the explode path stays
+    inside whole-stage codegen with map-side partial mins — the
+    shuffle moves only one 32-long row per (doc, partition). Input
+    duplicates are harmless (min over a multiset = min over its set),
+    so no distinct() shuffle is paid."""
+    ex = shingles.select("doc_id", "s").withColumn("h", F.xxhash64("s"))
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
         for k in range(N_MINHASH)
@@ -151,7 +169,9 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a band, then verify with the estimated Jaccard (fraction
     of equal minhashes). Only the band join shuffles; candidate
     volume tracks duplicate density, not n²."""
-    sigs = minhash_signatures(_shingles(load(spark, sf_dir, "documents")))
+    sigs = minhash_signatures(
+        _shingles_exploded(load(spark, sf_dir, "documents"), carry=())
+    )
     rows_per_band = N_MINHASH // N_BANDS
     banded = sigs.select(
         "doc_id",
@@ -189,9 +209,10 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / N_MINHASH
     )
-    return cand.select(
-        "a_id", "b_id", F.round(est, 4).alias("est_jaccard")
-    ).orderBy("a_id", "b_id")
+    # no global orderBy: sorting millions of candidate pairs is a
+    # full extra shuffle that serves no consumer — downstream either
+    # aggregates or filters; a display layer can sort its own page
+    return cand.select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
 
 
 def _bitmask(j: int) -> int:
@@ -259,15 +280,15 @@ def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = chunks.select(
         F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "chunk", "cval"
     )
-    cand = (
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    # hamming filter BEFORE the dedup shuffle (cheap codegen'd
+    # popcount on the join output), and no global orderBy — a full
+    # sort of millions of pairs serves no consumer (see
+    # e2_minhash_lsh)
+    return (
         a.join(b, ["chunk", "cval"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
-    return (
-        cand.select("a_id", "b_id", hamming.cast("long").alias("hamming"))
+        .select("a_id", "b_id", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 16)
-        .orderBy("a_id", "b_id")
+        .distinct()
     )
