@@ -48,9 +48,15 @@ def cosine_pairs(a: str | F.Column, b: str | F.Column) -> F.Column:
         if A.size == 0:
             return pd.Series([], dtype=np.float64)
         dot = _seq_sum(A * B)
-        na = np.sqrt(_seq_sum(A * A))
-        nb = np.sqrt(_seq_sum(B * B))
-        return pd.Series(dot / (na * nb))
+        denom = np.sqrt(_seq_sum(A * A)) * np.sqrt(_seq_sum(B * B))
+        # zero-norm vector -> NULL (cosine undefined); ANSI mode would
+        # otherwise make the JVM fold THROW on division by zero
+        if (denom == 0.0).any():
+            return pd.Series(
+                [None if d == 0.0 else v / d for v, d in zip(dot, denom)],
+                dtype=object,
+            )
+        return pd.Series(dot / denom)
 
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -79,7 +85,9 @@ def cosine(a: str | F.Column, b: str | F.Column) -> F.Column:
             b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return dot / (na * nb)
+    # try_divide: zero-norm vector -> NULL (matching cosine_pairs);
+    # plain `/` THROWS under ANSI mode on an all-zero embedding
+    return F.try_divide(dot, na * nb)
 
 
 @register(
@@ -140,8 +148,17 @@ def e3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots = np.empty((M.shape[0], Q.shape[0]))
         for j in range(Q.shape[0]):
             dots[:, j] = np.cumsum(M * Q[j], axis=1)[:, -1]
-        S = dots / (cn[:, None] * qn[None, :])
-        return pd.Series(list(S))
+        denom = cn[:, None] * qn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = dots / denom
+        # zero-norm vector -> NULL similarity (cosine undefined)
+        out = [
+            [None if d == 0.0 else v for v, d in zip(row, drow)]
+            if (drow == 0.0).any()
+            else list(row)
+            for row, drow in zip(S, denom)
+        ]
+        return pd.Series(out)
 
     c = em.filter(F.col("vec_id") >= N_QUERY).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")

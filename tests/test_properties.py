@@ -142,3 +142,176 @@ def test_ingest_split_conserves_rows(spark, tmp_path_factory, bars):
     assert stats.rows_ingested + stats.errors == len(rows)
     n_valid_py = sum(1 for r in rows if DataLakehouse._valid_py(r))
     assert stats.rows_ingested == n_valid_py
+
+
+# ---------------------------------------------------------------------------
+# Bit-parity invariants behind the vectorized (Arrow/numpy) kernels
+# ---------------------------------------------------------------------------
+
+vec_float = st.floats(
+    min_value=-10, max_value=10, allow_nan=False, width=32
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(vec_float, min_size=8, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_cosine_pairs_bit_identical_to_jvm_fold(spark, vecs):
+    """The numpy cosine kernel (np.cumsum left-to-right sums) must be
+    BIT-identical to the interpreted JVM sequential fold — this is
+    the invariant that lets the fast kernel keep oracle hash parity."""
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.queries.similarity import (
+        cosine,
+        cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, vecs[(i + 1) % len(vecs)]) for i, v in enumerate(vecs)],
+        "id long, a array<float>, b array<float>",
+    )
+    rows = df.select(
+        "id",
+        cosine("a", "b").alias("jvm"),
+        cosine_pairs("a", "b").alias("np"),
+    ).collect()
+    for r in rows:
+        if r.jvm is None or math.isnan(r.jvm):
+            assert r.np is None or math.isnan(r.np)
+        else:
+            assert r.jvm == r.np, (r.id, r.jvm, r.np)  # exact, no tolerance
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(vec_float, min_size=64, max_size=64),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sign_bucket_vectorized_matches_column_expr(spark, vecs):
+    """numpy- and column-computed hyperplane sign buckets must agree
+    bit-for-bit (same JVM-derived hyperplanes, same fold order)."""
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.queries.similarity import (
+        hyperplane_sign_bucket,
+        vectorized_sign_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, e array<float>"
+    )
+    rows = df.select(
+        "id",
+        hyperplane_sign_bucket(F.col("e")).alias("jvm"),
+        vectorized_sign_bucket(spark, F.col("e")).alias("np"),
+    ).collect()
+    assert all(r.jvm == r.np for r in rows), rows
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    cents=st.integers(min_value=0, max_value=10**15),
+    from_scale=st.integers(min_value=2, max_value=6),
+    to_digits=st.integers(min_value=0, max_value=6),
+)
+def test_scaled_round_matches_decimal_half_up(cents, from_scale, to_digits):
+    """money.scaled_round must equal Python Decimal ROUND_HALF_UP then
+    exact cast to double — the DECIMAL semantics the DuckDB oracle
+    applies. Pure-column expression, evaluated via a literal fold."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from market_data_lakehouse_spark.queries import money
+
+    session = _active_session()
+    df = session.range(1).select(
+        money.scaled_round(
+            __import__("pyspark.sql.functions", fromlist=["lit"]).lit(cents),
+            from_scale,
+            to_digits,
+        ).alias("r")
+    )
+    got = df.first().r
+    want = float(
+        (Decimal(cents) / (10**from_scale)).quantize(
+            Decimal(1).scaleb(-min(to_digits, from_scale)),
+            rounding=ROUND_HALF_UP,
+        )
+    )
+    assert got == want, (cents, from_scale, to_digits, got, want)
+
+
+def _active_session():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(
+                alphabet="abcde", min_size=1, max_size=3
+            ),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_window_shingles_match_transform_shingles(spark, texts):
+    """The codegen'd lead()-window shingle construction must produce
+    the same shingle SETS as the per-document array transform it
+    replaced (including the <3-token whole-text fallback)."""
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.queries.dedup import (
+        SHINGLE,
+        _shingles_exploded,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    arr = F.when(
+        F.size(toks) >= SHINGLE,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - SHINGLE),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    want = set(
+        map(
+            tuple,
+            df.select("doc_id", F.explode(arr).alias("s")).distinct().collect(),
+        )
+    )
+    got = set(
+        map(tuple, _shingles_exploded(df, carry=()).distinct().collect())
+    )
+    assert got == want
