@@ -346,34 +346,32 @@ def _mean_vectors(df: DataFrame, key: str, vec_col: str, out: str) -> DataFrame:
     )
 
 
-def _rank_cells(em: DataFrame, cents: DataFrame) -> DataFrame:
-    """Rank centroids per vector by DESCENDING cosine similarity
-    (rk=1 is the nearest cell; ties break on cell id). Similarity is
-    rounded before ranking so the order is stable run-to-run."""
-    scored = em.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        F.round(cosine_pairs("embedding", "ce"), 9).alias("_csim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), "cell")
-    return scored.withColumn("rk", F.row_number().over(w))
+def _cell_ranks_udf(cents_rows, n_probe: int):
+    """pandas UDF: per-vector top-``n_probe`` centroid cells by
+    DESCENDING cosine (rounded to 9 — stable run-to-run; ties break
+    on cell asc, matching max_by(cell, struct(_csim, -cell))). The
+    centroid matrix is a closure constant — the quantizer is tiny by
+    construction, so this is a broadcast, not a join."""
+    cells = [r["cell"] for r in cents_rows]
+    C = np.array([[float(x) for x in r["ce"]] for r in cents_rows])
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
 
+    @F.pandas_udf("array<long>")
+    def _ranks(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        vn = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        dots = np.empty((M.shape[0], C.shape[0]))
+        for j in range(C.shape[0]):
+            dots[:, j] = np.cumsum(M * C[j], axis=1)[:, -1]
+        sims = np.round(dots / (vn[:, None] * cn[None, :]), 9)
+        # argsort on (-sim, cell): stable sort over cells already in
+        # ascending order gives the cell-asc tiebreak
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([[cells[j] for j in row] for row in order])
 
-def _assign_cells(em: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest cell per vector WITHOUT a window sort: partial-agg
-    max_by over (similarity, -cell) — the cheap path for the
-    assignment step where only rk=1 is needed."""
-    scored = em.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        F.round(cosine_pairs("embedding", "ce"), 9).alias("_csim"),
-    )
-    return scored.groupBy("vec_id").agg(
-        F.expr("max_by(cell, struct(_csim, -cell))").alias("cell"),
-        F.first("embedding").alias("embedding"),
-    )
+    return _ranks
 
 
 @register("e3_ivf_knn")  # rows-only: centroid training is engine-specific
@@ -382,27 +380,42 @@ def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first K vectors + one Lloyd refinement — broadcast-assign,
     element-wise re-average), then each query probes only its top-2
     cells. Scoring volume drops from n·m to the probed cells' sizes;
-    recall tunes via n_probe / Lloyd iterations. Every step is a
-    broadcast join or a codegen'd aggregation — this is the plan
-    shape that scales to 10^9 vectors."""
+    recall tunes via n_probe / Lloyd iterations. The trained
+    quantizer (n_cells × dim, tiny by construction) is collected once
+    and closed over by vectorized assign/rank UDFs — no per-centroid
+    join ever touches the big side; the only shuffle is the in-cell
+    scoring join. This is the plan shape that scales to 10^9
+    vectors."""
     n_cells, n_probe = 8, 2
     em = load(spark, sf_dir, "embeddings")
     seeds = (
         em.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
     )
-    # one Lloyd iteration: assign to seed (no window — max_by),
-    # re-average element-wise
-    assign1 = _assign_cells(em, seeds)
-    cents = _mean_vectors(assign1, "cell", "embedding", "ce")
-    ranked = _rank_cells(em, cents)
+    # one Lloyd iteration: assign to seed (vectorized argmax over the
+    # seed matrix), re-average element-wise, collect the n_cells
+    # refined centroids (a quantizer is small by definition)
+    seed_rows = sorted(seeds.collect(), key=lambda r: r["cell"])
+    assign1 = em.withColumn(
+        "cell", _cell_ranks_udf(seed_rows, 1)(F.col("embedding"))[0]
+    )
+    cents_rows = sorted(
+        _mean_vectors(assign1, "cell", "embedding", "ce").collect(),
+        key=lambda r: r["cell"],
+    )
+    ranks = _cell_ranks_udf(cents_rows, n_probe)
+    ranked = em.withColumn("cells", ranks(F.col("embedding")))
     # candidates live in their single nearest cell; queries probe top-2
-    cand = ranked.filter(
-        (F.col("rk") == 1) & (F.col("vec_id") >= N_QUERY)
-    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "cell")
-    probes = ranked.filter(
-        (F.col("rk") <= n_probe) & (F.col("vec_id") < N_QUERY)
-    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+    cand = ranked.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("cells")[0].alias("cell"),
+    )
+    probes = ranked.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.explode("cells").alias("cell"),
+    )
     scored = cand.join(F.broadcast(probes), "cell").select(
         "qid", "cid", cosine_pairs("qe", "ce").alias("sim")
     )
