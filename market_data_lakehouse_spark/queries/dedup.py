@@ -58,7 +58,10 @@ def _shingles_exploded(
         .filter(F.col("t2").isNotNull())
         .select(*cols, F.concat_ws(" ", "t", "t1", "t2").alias("s"))
     )
-    short_sh = df.filter(F.size(toks) < SHINGLE).select(
+    # coalesce: size(NULL) is NULL (not -1), which the < filter would
+    # silently reject — NULL-text docs must still get the '' fallback
+    # shingle (concat_ws on a NULL array yields ''), not vanish
+    short_sh = df.filter(F.coalesce(F.size(toks), F.lit(0)) < SHINGLE).select(
         *cols, F.concat_ws(" ", toks).alias("s")
     )
     return long_sh.unionByName(short_sh)

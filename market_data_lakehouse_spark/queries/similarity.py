@@ -137,17 +137,17 @@ def e3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = [r.vec_id for r in qrows]
     Q = np.array([[float(x) for x in r.embedding] for r in qrows], dtype=np.float64)
-    qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # sequential sum of squares
+    qn = np.sqrt(_seq_sum(Q * Q))
 
     @F.pandas_udf("array<double>")
     def sims_udf(embs: pd.Series) -> pd.Series:
         M = np.array(embs.tolist(), dtype=np.float64)  # (batch, dim)
         if M.size == 0:
             return pd.Series([], dtype=object)
-        cn = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        cn = np.sqrt(_seq_sum(M * M))
         dots = np.empty((M.shape[0], Q.shape[0]))
         for j in range(Q.shape[0]):
-            dots[:, j] = np.cumsum(M * Q[j], axis=1)[:, -1]
+            dots[:, j] = _seq_sum(M * Q[j])
         denom = cn[:, None] * qn[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
             S = dots / denom
@@ -165,7 +165,13 @@ def e3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = c.select(
         "cid", F.posexplode(sims_udf(F.col("ce"))).alias("qi", "sim")
-    ).select(F.element_at(F.lit(qids), F.col("qi") + 1).alias("qid"), "cid", "sim")
+    ).select(
+        # element_at on a Python-int literal array yields int32; cast
+        # back to long so qid matches cid/vec_id (int64) and the oracle
+        F.element_at(F.lit(qids), F.col("qi") + 1).cast("long").alias("qid"),
+        "cid",
+        "sim",
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -237,7 +243,11 @@ def vectorized_sign_bucket(spark: SparkSession, vec_col, n_planes: int = 8, dim:
     """Arrow-batched twin of :func:`hyperplane_sign_bucket`: same
     deterministic hyperplanes (collected once from the JVM hash
     expression), same sequential-fold dot order, ~10x faster than the
-    interpreted per-plane zip_with folds."""
+    interpreted per-plane zip_with folds.
+
+    ``dim`` must match the vectors' actual length (derive it from the
+    data, e.g. ``F.size``, as :func:`e3_ann_lsh` does) — the UDF
+    raises a clear error on mismatch rather than mis-bucketing."""
     H = _hyperplane_matrix(spark, n_planes, dim)
     weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
 
@@ -246,6 +256,11 @@ def vectorized_sign_bucket(spark: SparkSession, vec_col, n_planes: int = 8, dim:
         M = np.array(vs.tolist(), dtype=np.float64)
         if M.size == 0:
             return pd.Series([], dtype=np.int64)
+        if M.shape[1] != dim:
+            raise ValueError(
+                f"vectorized_sign_bucket: hyperplanes built for dim={dim} "
+                f"but vectors have dim={M.shape[1]}"
+            )
         bits = np.zeros(M.shape[0], dtype=np.int64)
         for p in range(n_planes):
             dot = _seq_sum(M * H[p])
@@ -262,7 +277,9 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-per-bucket. Recall is tunable by n_planes / multi-probe; at
     100 TB this replaces the brute-force crossJoin."""
     em = load(spark, sf_dir, "embeddings")
-    dim = 64
+    # derive the embedding dimension from the data (one tiny job)
+    # rather than assuming 64 — the hyperplane matrix must match it
+    dim = em.select(F.size("embedding")).first()[0]
     bucketed = em.withColumn(
         "bucket", vectorized_sign_bucket(spark, F.col("embedding"), dim=dim)
     )
@@ -354,17 +371,17 @@ def _cell_ranks_udf(cents_rows, n_probe: int):
     construction, so this is a broadcast, not a join."""
     cells = [r["cell"] for r in cents_rows]
     C = np.array([[float(x) for x in r["ce"]] for r in cents_rows])
-    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    cn = np.sqrt(_seq_sum(C * C))
 
     @F.pandas_udf("array<long>")
     def _ranks(vs: pd.Series) -> pd.Series:
         M = np.array(vs.tolist(), dtype=np.float64)
         if M.size == 0:
             return pd.Series([], dtype=object)
-        vn = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        vn = np.sqrt(_seq_sum(M * M))
         dots = np.empty((M.shape[0], C.shape[0]))
         for j in range(C.shape[0]):
-            dots[:, j] = np.cumsum(M * C[j], axis=1)[:, -1]
+            dots[:, j] = _seq_sum(M * C[j])
         sims = np.round(dots / (vn[:, None] * cn[None, :]), 9)
         # argsort on (-sim, cell): stable sort over cells already in
         # ascending order gives the cell-asc tiebreak

@@ -58,6 +58,13 @@ class TransactionalLake:
         self.log_path = os.path.join(self.path, LOG_DIR)
         self.partition_by = tuple(partition_by)
         os.makedirs(self.log_path, exist_ok=True)
+        # incremental app-txn index: app_id -> highest committed txn
+        # version, folded forward from commit files newer than
+        # _txn_cache_upto — O(new commits) per lookup, so a streaming
+        # sink pays O(1) per micro-batch instead of re-parsing the
+        # whole log (which is quadratic over the stream's lifetime)
+        self._txn_cache: dict[str, int] = {}
+        self._txn_cache_upto: int = -1
 
     # ------------------------------------------------------------------
     # log primitives
@@ -78,7 +85,10 @@ class TransactionalLake:
             return json.load(fh)
 
     def _commit(self, action: dict, read_version: int | None = None) -> int:
-        """Atomically append one commit (write temp + rename).
+        """Atomically append one commit (write temp + put-if-absent
+        link). Returns the committed version — or, for an idempotent
+        ``txn`` append whose (app_id, version) is already in the log,
+        the current version WITHOUT committing.
 
         ``read_version``: optimistic-concurrency guard for
         read-modify-write operations (overwrite/delete/compact) whose
@@ -86,36 +96,55 @@ class TransactionalLake:
         advanced past that snapshot, committing would silently drop
         the interleaved writer's rows, so the commit FAILS and the
         caller must re-read and retry (Delta's conflict-detection
-        contract). Blind appends pass ``None``: they never conflict
-        and simply take the next version."""
-        current = self.version
-        if read_version is not None and current != read_version:
-            raise RuntimeError(
-                f"concurrent commit: table advanced to v{current} after "
-                f"this operation read v{read_version}; re-read and retry"
-            )
-        version = current + 1
-        action = {
-            "version": version,
-            "timestamp": time.time(),
-            **action,
-        }
-        tmp = os.path.join(self.log_path, f".tmp_{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(action, fh)
-        final = os.path.join(self.log_path, f"{version:08d}.json")
-        try:
-            # put-if-absent: link() fails atomically if final exists,
-            # unlike rename() which silently replaces it — two racing
-            # writers cannot both claim the same version.
-            os.link(tmp, final)
-        except FileExistsError:
-            raise RuntimeError(
-                f"concurrent commit at version {version}"
-            ) from None
-        finally:
-            os.unlink(tmp)
-        return version
+        contract). Blind appends pass ``None``: they never conflict —
+        on losing a version race they retry at the next version.
+
+        ``txn`` conflict detection happens HERE, at commit time, not
+        just in append()'s pre-check: a zombie writer that stalls
+        after the pre-check and resumes after another writer committed
+        the same (app_id, txn_version) must skip, or the batch's rows
+        are duplicated (Delta's SetTransaction validation)."""
+        txn = action.get("txn")
+        while True:
+            current = self.version
+            if read_version is not None and current != read_version:
+                raise RuntimeError(
+                    f"concurrent commit: table advanced to v{current} after "
+                    f"this operation read v{read_version}; re-read and retry"
+                )
+            if txn is not None and (
+                self.last_txn_version(txn["app_id"]) >= txn["version"]
+            ):
+                # same app-txn landed since our caller's pre-check
+                # (zombie replay): skip — the just-written data files
+                # are left uncommitted and reclaimed by vacuum()
+                return current
+            version = current + 1
+            payload = {
+                "version": version,
+                "timestamp": time.time(),
+                **action,
+            }
+            tmp = os.path.join(self.log_path, f".tmp_{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            final = os.path.join(self.log_path, f"{version:08d}.json")
+            try:
+                # put-if-absent: link() fails atomically if final
+                # exists, unlike rename() which silently replaces it —
+                # two racing writers cannot both claim the same version.
+                os.link(tmp, final)
+            except FileExistsError:
+                if read_version is not None:
+                    raise RuntimeError(
+                        f"concurrent commit at version {version}"
+                    ) from None
+                # blind append lost the version race: safe to retry at
+                # the freshly-resolved next version (file set disjoint)
+                continue
+            finally:
+                os.unlink(tmp)
+            return version
 
     def _snapshot_state(
         self, version: int | None = None, timestamp: str | None = None
@@ -204,13 +233,24 @@ class TransactionalLake:
     def last_txn_version(self, app_id: str) -> int:
         """Highest application-supplied transaction version committed
         under ``app_id`` (-1 if none) — Delta's txnAppId/txnVersion
-        idempotence contract for exactly-once streaming sinks."""
-        last = -1
+        idempotence contract for exactly-once streaming sinks.
+
+        Amortized O(new commits since last call): only commit files
+        newer than the in-memory index are parsed, so a long-running
+        stream pays constant work per micro-batch. Correct under
+        concurrent writers — every call folds in whatever new commits
+        exist on disk before answering."""
         for name in self._commit_files():
-            t = self._read_commit(int(name.split(".")[0])).get("txn")
-            if t and t["app_id"] == app_id:
-                last = max(last, t["version"])
-        return last
+            v = int(name.split(".")[0])
+            if v <= self._txn_cache_upto:
+                continue
+            t = self._read_commit(v).get("txn")
+            if t:
+                self._txn_cache[t["app_id"]] = max(
+                    self._txn_cache.get(t["app_id"], -1), t["version"]
+                )
+            self._txn_cache_upto = v
+        return self._txn_cache.get(app_id, -1)
 
     def append(
         self,

@@ -164,8 +164,9 @@ def test_txn_append_idempotent_on_replay(spark, tmp_path):
 
 def test_commit_version_file_is_put_if_absent(spark, tmp_path):
     """Two writers racing to the same version number: exactly one
-    commit file survives; the loser errors instead of silently
-    replacing the winner's commit."""
+    commit file survives; the loser's link() must fail (not replace
+    the winner's commit) and a blind append then RETRIES at the next
+    version — a lost race on a pure append is always safe to redo."""
     tx = TransactionalLake(spark, str(tmp_path / "txrace"), partition_by=())
     tx.append(spark.createDataFrame([(1,)], "id long"))
     stale = tx._commit_files()
@@ -173,13 +174,45 @@ def test_commit_version_file_is_put_if_absent(spark, tmp_path):
     with open(target, "w") as fh:  # winner's commit lands first
         json.dump({"version": tx.version + 1, "timestamp": 0.0,
                    "op": "append", "add": []}, fh)
-    # loser still sees the pre-winner log (the TOCTOU window): its
-    # link() to the same version file must fail, not replace it
-    tx._commit_files = lambda: stale
-    with pytest.raises(RuntimeError, match="concurrent commit"):
-        tx._commit({"op": "append", "add": []})
+    # loser sees the pre-winner log exactly once (the TOCTOU window):
+    # its link() to the same version file fails, then the retry
+    # re-resolves the log and lands at the next free version
+    real_listing, seen = tx._commit_files, {"n": 0}
+
+    def stale_once():
+        seen["n"] += 1
+        return stale if seen["n"] == 1 else real_listing()
+
+    tx._commit_files = stale_once
+    v = tx._commit({"op": "append", "add": []})
+    assert v == 2  # retried past the winner's version, no error
     with open(target) as fh:  # winner's content untouched
         assert json.load(fh)["timestamp"] == 0.0
+    # read-modify-write commits must still FAIL on the same race —
+    # their remove-list was computed from the stale snapshot
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        tx._commit({"op": "overwrite", "add": [], "remove": []},
+                   read_version=0)
+
+
+def test_zombie_txn_replay_skipped_at_commit_time(spark, tmp_path):
+    """Zombie-driver replay: writer A's idempotence pre-check passes,
+    A stalls, writer B commits the same (app_id, batch) — A's resumed
+    commit must skip at COMMIT time, not duplicate the batch (Delta's
+    SetTransaction conflict validation)."""
+    path = str(tmp_path / "txzombie")
+    a = TransactionalLake(spark, path, partition_by=())
+    b = TransactionalLake(spark, path, partition_by=())
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    assert a.last_txn_version("app") == -1  # A's pre-check passes...
+    b.append(df, txn=("app", 7))  # ...B lands batch 7 while A stalls
+    added = a._write_files(df)  # A resumes: files written, then
+    v = a._commit(  # commit-time txn check must trip
+        {"op": "append", "add": added, "schema": df.schema.json(),
+         "txn": {"app_id": "app", "version": 7}}
+    )
+    assert v == b.version  # no new commit
+    assert a.snapshot().count() == 2  # batch 7 not duplicated
 
 
 def test_zorder_many_columns_stays_in_long_range(spark, tmp_path):
@@ -198,3 +231,33 @@ def test_zorder_many_columns_stays_in_long_range(spark, tmp_path):
     z = TL._zvalue(tx.snapshot(), ("a", "b", "c", "d"))
     zmin = tx.snapshot().select(z.alias("z")).agg({"z": "min"}).collect()[0][0]
     assert zmin >= 0  # sign bit never set
+
+
+def test_null_text_doc_gets_fallback_shingle(spark):
+    """A document with NULL text must still flow through the shingle
+    pipeline as a single '' shingle (so it keeps a minhash signature)
+    — size(NULL) is NULL and a bare < filter silently drops the row."""
+    from market_data_lakehouse_spark.queries.dedup import _shingles_exploded
+
+    docs = spark.createDataFrame(
+        [(1, "web", None), (2, "web", "a b c d")],
+        "doc_id long, source string, text string",
+    )
+    sh = _shingles_exploded(docs).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, []).append(r.s)
+    assert by_doc[1] == [""]  # NULL text -> whole-text fallback
+    assert "a b c" in by_doc[2]
+
+
+def test_knn_id_columns_are_long(spark):
+    """qid is rebuilt from a collected-python-int literal array; it
+    must be cast back to long so both id columns match the source
+    vec_id (int64) and the DuckDB oracle's schema."""
+    from market_data_lakehouse_spark.queries.similarity import e3_knn_bruteforce
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = e3_knn_bruteforce(spark, sf_dir)
+    dt = dict(out.dtypes)
+    assert dt["qid"] == "bigint" and dt["cid"] == "bigint"
