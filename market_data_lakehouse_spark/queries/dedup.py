@@ -295,3 +295,118 @@ def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 16)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution: pairs -> connected components -> kept representative
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD = 0.5
+MAX_CC_ROUNDS = 30
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS
+) -> DataFrame:
+    """(u, lbl) — min-label connected components over a symmetric
+    edge list. Each round every vertex takes the min of its own label
+    and its neighbors' labels (one shuffle join + one min-aggregate);
+    convergence in O(component diameter) rounds, detected by the sum
+    of labels going stationary (labels only ever decrease, so an
+    unchanged sum means an unchanged labeling — one cheap scalar agg
+    per round, no self-join diff).
+
+    Each round is localCheckpoint'ed: iterative plans otherwise
+    re-execute the whole lineage chain on every action (quadratic
+    blowup), and the truncated plan is what a 1000-executor run needs
+    too — at that scale swap localCheckpoint for a reliable
+    checkpoint dir and the large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") to cut round
+    count to O(log n); the per-round dataflow here (join + min-agg)
+    is unchanged.
+    """
+    labels = vertices.select(
+        F.col("u"), F.col("u").alias("lbl")
+    ).localCheckpoint()
+    # decimal(38,0) sum: immune to long overflow however large the
+    # id domain gets (sum of 10^9 ids near 2^63 would wrap a long)
+    total = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("lbl").cast("decimal(38,0)"))
+    ).first()[0]
+    prev = total(labels)
+    for _ in range(max_rounds):
+        prop = edges.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "lbl")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur = total(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(component diameter exceeds the round budget; raise max_rounds "
+        "or switch to the large-star/small-star variant)"
+    )
+
+
+@register(
+    "e2_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+               i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT b_id AS u, a_id AS v FROM pairs WHERE jaccard >= 0.5),
+    reach(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)
+    SELECT u AS doc_id, MIN(lbl) AS cluster_rep,
+           (u <> MIN(lbl)) AS is_dup
+    FROM reach GROUP BY u
+    """,
+)
+def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION stage: near-dup pairs say two docs match;
+    this resolves matches transitively into clusters and keeps one
+    canonical representative per cluster (min doc_id — deterministic)
+    so a corpus filter is simply ``WHERE NOT is_dup``. Pair source
+    here is the exact n-gram Jaccard (oracle-expressible); at 100 TB
+    the same component step runs unchanged over e2_minhash_lsh's
+    banded candidates."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = e2_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    )
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("u")), edges
+    )
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("lbl").alias("cluster_rep"),
+        (F.col("u") != F.col("lbl")).alias("is_dup"),
+    )

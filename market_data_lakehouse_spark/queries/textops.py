@@ -347,3 +347,74 @@ def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
     )
+
+
+@register(
+    "e4_corpus_clean",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             LENGTH(text) AS n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_chars >= 20
+        AND n_tokens >= 4
+        AND CAST(LENGTH(REPLACE(trim(text), ' ', '')) AS DOUBLE) / n_tokens
+              BETWEEN 2.0 AND 15.0),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(source) AS source,
+             ANY_VALUE(n_tokens) AS n_tokens
+      FROM quality GROUP BY md5(text))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens_total,
+           ROUND(AVG(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def e4_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline in ONE declared plan —
+    the shape of a pretraining data-prep job: quality gate (length,
+    token count, average token length) -> exact dedup keep-lowest-id
+    (shuffle on md5, never the body) -> per-source corpus stats.
+    Every stage is built-in expressions; one scan, two shuffles
+    (dedup groupBy, stats groupBy), both with map-side partial
+    aggregation. The surviving copy's attributes are deterministic:
+    MIN(doc_id)/MIN(source) per text group (ANY_VALUE is safe only
+    for n_tokens — identical texts have identical token stats; a
+    nondeterministic source pick would hash-diverge between engines
+    whenever copies of a text span sources)."""
+    docs = load(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = F.size(F.split(trimmed, r"\s+")).cast("long")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+    )
+    avg_tok_len = (
+        F.length(F.replace(F.trim(F.col("text")), F.lit(" "))).cast("double")
+        / F.col("n_tokens")
+    )
+    quality = scored.filter(
+        (F.col("n_chars") >= 20)
+        & (F.col("n_tokens") >= 4)
+        & avg_tok_len.between(2.0, 15.0)
+    )
+    kept = quality.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.any_value("n_tokens").alias("n_tokens"),
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias(
+            "avg_tokens"
+        ),
+    )

@@ -261,3 +261,38 @@ def test_knn_id_columns_are_long(spark):
     out = e3_knn_bruteforce(spark, sf_dir)
     dt = dict(out.dtypes)
     assert dt["qid"] == "bigint" and dt["cid"] == "bigint"
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A 7-vertex path graph (diameter 6) must fully converge to one
+    cluster — the min label crosses one hop per round, so this
+    exercises the iteration loop well past round 2; plus a separate
+    2-cluster and a singleton."""
+    from market_data_lakehouse_spark.queries.dedup import connected_components
+
+    undirected = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (10, 11)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "u long, v long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 7, 10, 11, 99]], "u long"
+    )
+    got = {r.u: r.lbl for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1,
+                   10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_round_budget_raises(spark):
+    """Non-convergence inside max_rounds must be a loud error, never
+    a silently-wrong partial labeling."""
+    import pytest as _pytest
+
+    from market_data_lakehouse_spark.queries.dedup import connected_components
+
+    undirected = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "u long, v long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "u long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_rounds=1)
