@@ -878,6 +878,68 @@ def w4_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w5_gap_fill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    hours AS (SELECT unnest(generate_series((SELECT lo FROM b),
+                     (SELECT hi FROM b), INTERVAL 1 HOUR)) AS h),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cal AS (SELECT event_type, h FROM types, hours),
+    obs AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                   MAX(value) AS v_obs
+            FROM events GROUP BY 1, 2)
+    SELECT c.event_type, strftime(c.h, '%Y-%m-%d %H:00:00') AS bucket,
+           LAST_VALUE(o.v_obs IGNORE NULLS) OVER (
+             PARTITION BY c.event_type ORDER BY c.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+           (o.v_obs IS NULL) AS is_gap
+    FROM cal c LEFT JOIN obs o
+      ON c.event_type = o.event_type AND c.h = o.h
+    """,
+)
+def w5_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with forward fill (last observation
+    carried forward) — the market-data semantic for quiet periods: a
+    dense calendar per key, left-joined with observed buckets, NULLs
+    filled by ``last(ignorenulls)`` over the time order. Buckets
+    before a key's first observation stay NULL (nothing to carry).
+
+    Scale shape: the calendar is keys x buckets — tiny relative to
+    the fact table — and is built from two driver-size inputs
+    (distinct keys, min/max bounds), so the only fact-table work is
+    one map-side-combined groupBy; the fill itself is a window over
+    the already-bucketed series, never over raw events."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    cal = ev.select("event_type").distinct().crossJoin(hours)
+    obs = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.max("value").alias("v_obs")
+    )
+    joined = cal.join(obs, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("bucket"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("value_ff"),
+        F.col("v_obs").isNull().alias("is_gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (U1)
 # ---------------------------------------------------------------------------

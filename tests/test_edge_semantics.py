@@ -296,3 +296,16 @@ def test_connected_components_round_budget_raises(spark):
     verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "u long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_rounds=1)
+
+
+def test_ann_multiprobe_recall_floor(spark):
+    """The LSH ANN must stay a useful index: mean recall@5 against
+    brute-force ground truth >= 0.4 on the driver dataset. Guards the
+    bucket parameterization — 8-plane single-probe scored 0.0 here
+    (256 near-singleton buckets for 500 vectors)."""
+    from market_data_lakehouse_spark.queries.similarity import e3_ann_recall
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = e3_ann_recall(spark, sf_dir).collect()
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.4, f"mean recall@5 degraded to {mean}"
