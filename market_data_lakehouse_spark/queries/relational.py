@@ -940,6 +940,114 @@ def w5_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w6_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+             LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30-minute silence per user; session_id is the running
+    count of session starts. One window pass to flag starts, one to
+    accumulate ids, one groupBy for the per-session stats — all three
+    share the same (user_id, ts) shuffle partitioning, so Spark plans
+    a single exchange. The streaming twin is
+    streaming.streaming_session_windows (T3); this is the historical
+    backfill path. Gap compare is on floor-to-second epochs in both
+    engines (sub-second truncation agrees regardless of the source's
+    ns/us precision)."""
+    ev = load(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    prev = F.lag(sec).over(order)
+    new_s = F.when(
+        prev.isNull() | ((sec - prev) > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.select(
+        "user_id", "ts", F.sum(new_s).over(cum).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+@register(
+    "j9_multiway_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def j9_multiway_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-table join -> aggregate -> top-k in one declared plan
+    (the TPC-H Q3 shape): selective dim filter first (segment), the
+    customer side broadcast into orders, one shuffle join on orderkey
+    into lineitem, exact long-domain revenue, TakeOrderedAndProject
+    for the limit — the composition a real report runs, exercising
+    join reordering + partial aggregation + top-k pushdown together."""
+    cu = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    joined = (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        money.scaled_round(money.exact_sum(rev4), 4, 2).alias("revenue")
+    )
+    return agg.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "revenue",
+    ).orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Set operations (U1)
 # ---------------------------------------------------------------------------
