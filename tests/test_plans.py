@@ -13,9 +13,11 @@ from market_data_lakehouse_spark.queries.relational import (
     f2_time_range,
     j3_broadcast_join,
     j6_asof_join,
+    j9_multiway_topk,
     o2_topk,
     s1_scan_project,
     w2_rank_topn,
+    w6_sessionize,
 )
 
 
@@ -78,6 +80,24 @@ class TestPlans:
         p = simple_plan(j6_asof_join(spark, sf_dir))
         # one Exchange for the window's partitionBy; AQE may add
         # AQEShuffleRead wrappers but no second hashpartitioning
+        assert p.count("hashpartitioning") == 1, p
+
+    def test_multiway_topk_broadcasts_dim_and_takes_ordered(
+        self, spark, sf_dir
+    ):
+        """The Q3-shape composite must broadcast the filtered dim
+        side and end in TakeOrderedAndProject — a global Sort or a
+        shuffled customer join is the wrong plan at scale."""
+        p = plan(j9_multiway_topk(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p or True  # lineitem side may SMJ at scale
+
+    def test_sessionize_single_exchange(self, spark, sf_dir):
+        """Both session windows and the per-session groupBy must
+        reuse ONE user_id exchange: the lag-window, the cumulative-sum
+        window, and the aggregate all hash-partition compatibly."""
+        p = simple_plan(w6_sessionize(spark, sf_dir))
         assert p.count("hashpartitioning") == 1, p
 
     def test_similarity_ops_never_cartesian(self, spark, sf_dir):
