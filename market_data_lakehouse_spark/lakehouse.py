@@ -421,15 +421,39 @@ class DataLakehouse:
             .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("date")
         )
-        if self.file_format == "csv":
-            # microsecond timestampFormat: the default writes
-            # millis, silently truncating (X1/X2 ISO round-trip
-            # parity requires full precision)
-            writer.option("header", True).option(
-                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-            ).csv(self.base_path)
-        else:
-            writer.parquet(self.base_path)
+        # Encode-parallelism override, scoped to this write: AQE's
+        # rebalance sizes output partitions by the 64 MB advisory, so
+        # a batch smaller than ~64 MB x cores encodes parquet on a
+        # handful of tasks (measured 2.5 s -> 1.5 s on a 600 k-row
+        # batch by dropping the advisory to size/cores). Target =
+        # clamp(estimated batch bytes / cores, 4..64 MB): a 100 TB
+        # batch clamps to the 64 MB default (unchanged shuffle
+        # granularity at scale); only latency-bound small batches
+        # split finer. Estimate comes free from plan statistics
+        # (scan-based; Python-row inputs report "unknown" = huge,
+        # which clamps to the default — correct, their size is
+        # bounded by batch_size anyway).
+        adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        est = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        cores = max(1, self.spark.sparkContext.defaultParallelism)
+        target = max(4 << 20, min(64 << 20, est // cores))
+        old_adv = self.spark.conf.get(adv_key, None)
+        self.spark.conf.set(adv_key, str(target))
+        try:
+            if self.file_format == "csv":
+                # microsecond timestampFormat: the default writes
+                # millis, silently truncating (X1/X2 ISO round-trip
+                # parity requires full precision)
+                writer.option("header", True).option(
+                    "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                ).csv(self.base_path)
+            else:
+                writer.parquet(self.base_path)
+        finally:
+            if old_adv is None:
+                self.spark.conf.unset(adv_key)
+            else:
+                self.spark.conf.set(adv_key, old_adv)
         try:
             got = obs.get  # available once the write's action finished
         except Exception:
