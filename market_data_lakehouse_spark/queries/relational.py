@@ -1230,3 +1230,31 @@ def x7_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
         F.size("embedding").cast("long").alias("dim"),
     )
+
+
+@register(
+    "x7_regexp_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+             AS vowel_runs,
+           regexp_replace(text, '\s+', '_', 'g') AS snake,
+           regexp_matches(text, '^[A-Z]') AS starts_upper
+    FROM documents
+    """,
+)
+def x7_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar family (X7): extract / count-occurrences /
+    global replace / match-test — all JVM codegen'd, identical
+    regex dialect to the oracle for these class/anchor patterns."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit(r"[aeiou]+")).cast("long").alias(
+            "vowel_runs"
+        ),
+        F.regexp_replace("text", r"\s+", "_").alias("snake"),
+        F.col("text").rlike(r"^[A-Z]").alias("starts_upper"),
+    )

@@ -243,3 +243,44 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def streaming_enrich_ticks(
+    ticks: DataFrame,
+    quotes: DataFrame,
+    tolerance: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream point-in-time enrichment: each tick joins every
+    quote for its symbol from the preceding ``tolerance`` window —
+    the streaming twin of the batch as-of join (asof.py), built on
+    Spark's watermarked interval join.
+
+    Semantics note: a true as-of join keeps only the LATEST matching
+    quote; streams can't rank within a join (no window over an
+    unbounded side), so this emits the qualifying quote set and the
+    consumer aggregates (e.g. max_by on quote_ts downstream, or a
+    foreachBatch batch as-of). What the interval join DOES give at
+    scale: both state stores are bounded by watermark + tolerance —
+    a quote's row is dropped from state once no future tick can still
+    match it, so state is O(rate x horizon), never O(stream).
+
+    Left-outer within watermark: a tick with no quote in its window
+    still emits (NULL bid/ask) once the watermark passes — enrichment
+    must not drop trades on quiet books."""
+    t = ticks.withWatermark("ts", watermark).alias("t")
+    q = quotes.withWatermark("ts", watermark).alias("q")
+    cond = (
+        (F.col("t.symbol") == F.col("q.symbol"))
+        & (F.col("q.ts") <= F.col("t.ts"))
+        & (F.col("q.ts") >= F.col("t.ts") - F.expr(f"interval {tolerance}"))
+    )
+    return t.join(q, cond, "leftOuter").select(
+        F.col("t.symbol").alias("symbol"),
+        F.col("t.ts").alias("ts"),
+        F.col("t.price").alias("price"),
+        F.col("t.volume").alias("volume"),
+        F.col("q.ts").alias("quote_ts"),
+        F.col("q.bid").alias("bid"),
+        F.col("q.ask").alias("ask"),
+    )

@@ -190,3 +190,52 @@ class TestStreamingBars:
         dd = streaming_dedup(read_tick_stream(spark, src), keys=["symbol", "ts"])
         df = self._run(spark, tmp_path, dd, "dedup_t")
         assert df.count() == 2
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_enriches_ticks_with_quotes(self, spark, tmp_path):
+        """Stream-stream PIT enrichment: each tick pairs with the
+        quotes for its symbol from the preceding tolerance window;
+        a tick on a quiet book still emits with NULL bid/ask (left
+        outer within watermark)."""
+        from market_data_lakehouse_spark.schema import QUOTE_SCHEMA, TICK_SCHEMA
+        from market_data_lakehouse_spark.streaming import streaming_enrich_ticks
+
+        tsrc, qsrc = str(tmp_path / "ticks"), str(tmp_path / "quotes")
+        _write_json(tsrc + "/t0.json", [
+            _tick("2024-06-15T10:02:00"),                      # has 2 quotes in window
+            _tick("2024-06-15T10:30:00", symbol="GOOGL"),      # quiet book
+        ])
+        _write_json(qsrc + "/q0.json", [
+            {"ts": "2024-06-15T10:00:00", "symbol": "AAPL", "bid": 149.0, "ask": 151.0},
+            {"ts": "2024-06-15T10:01:00", "symbol": "AAPL", "bid": 149.5, "ask": 151.5},
+            {"ts": "2024-06-15T09:00:00", "symbol": "AAPL", "bid": 1.0, "ask": 2.0},  # stale
+            # watermark movers: far-future events close both sides
+            {"ts": "2024-06-15T13:00:00", "symbol": "ZZZ", "bid": 0.0, "ask": 0.0},
+        ])
+        _write_json(tsrc + "/t1.json", [_tick("2024-06-15T13:00:00", symbol="ZZZ")])
+        ticks = spark.readStream.schema(TICK_SCHEMA).json(tsrc)
+        quotes = spark.readStream.schema(QUOTE_SCHEMA).json(qsrc)
+        out = streaming_enrich_ticks(ticks, quotes, tolerance="5 minutes",
+                                     watermark="1 minute")
+        sink = str(tmp_path / "out")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # second pass lets the watermark (advanced by the 13:00 events)
+        # finalize the left-outer NULL rows
+        q = (streaming_enrich_ticks(
+                spark.readStream.schema(TICK_SCHEMA).json(tsrc),
+                spark.readStream.schema(QUOTE_SCHEMA).json(qsrc),
+                tolerance="5 minutes", watermark="1 minute")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink)
+        aapl = got.filter("symbol = 'AAPL'").orderBy("quote_ts").collect()
+        # both in-window quotes matched; the 09:00 stale one did not
+        assert [r.bid for r in aapl] == [149.0, 149.5]
+        googl = got.filter("symbol = 'GOOGL'").collect()
+        assert len(googl) == 1 and googl[0].bid is None  # quiet book kept
