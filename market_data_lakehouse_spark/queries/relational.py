@@ -1258,3 +1258,59 @@ def x7_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"\s+", "_").alias("snake"),
         F.col("text").rlike(r"^[A-Z]").alias("starts_upper"),
     )
+
+
+@register(
+    "a8_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third multi-granularity form next
+    to rollup/cube): per-flag, per-status, and grand total in one
+    pass, disambiguated by grouping_id — Spark expands the sets into
+    one Expand + single aggregation, not three scans."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@register(
+    "a10_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_A,
+           SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_N,
+           SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregate): explicit pivot values keep the output
+    schema static (no extra distinct-scan job) and compile to exactly
+    the oracle's conditional aggregation — one pass, map-side
+    partial."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_A"),
+            F.col("N").alias("qty_N"),
+            F.col("R").alias("qty_R"),
+        )
+    )
