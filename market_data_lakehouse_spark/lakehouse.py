@@ -35,6 +35,7 @@ size instead of the reference's uncontrolled file-per-flush
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -49,6 +50,11 @@ from pyspark.sql import types as T
 from market_data_lakehouse_spark.schema import ASSET_CLASSES, BAR_SCHEMA
 
 DEFAULT_BATCH_SIZE = 10_000  # reference lakehouse.py:20
+
+# Serializes the write-scoped advisory-partition-size override in
+# _append: the SQL conf is session-global, so concurrent writers must
+# not interleave their set/restore sequences (see _append).
+_ADVISORY_LOCK = threading.Lock()
 
 # Staging schema for row-built batches: nullable, so a structurally
 # malformed row (missing/None field) reaches the validity split and
@@ -433,27 +439,35 @@ class DataLakehouse:
         # (scan-based; Python-row inputs report "unknown" = huge,
         # which clamps to the default — correct, their size is
         # bounded by batch_size anyway).
+        # The SQL conf is session-global, so the set/write/restore
+        # sequence is serialized under a process-wide lock: two
+        # concurrent writers would otherwise capture each other's
+        # temporary value as "old" and pin a tiny advisory on the
+        # session permanently. (Queries on OTHER threads compiled
+        # during a write still see the temporary value — a benign
+        # over-split; per-query confs don't exist in classic Spark.)
         adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         est = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         cores = max(1, self.spark.sparkContext.defaultParallelism)
         target = max(4 << 20, min(64 << 20, est // cores))
-        old_adv = self.spark.conf.get(adv_key, None)
-        self.spark.conf.set(adv_key, str(target))
-        try:
-            if self.file_format == "csv":
-                # microsecond timestampFormat: the default writes
-                # millis, silently truncating (X1/X2 ISO round-trip
-                # parity requires full precision)
-                writer.option("header", True).option(
-                    "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-                ).csv(self.base_path)
-            else:
-                writer.parquet(self.base_path)
-        finally:
-            if old_adv is None:
-                self.spark.conf.unset(adv_key)
-            else:
-                self.spark.conf.set(adv_key, old_adv)
+        with _ADVISORY_LOCK:
+            old_adv = self.spark.conf.get(adv_key, None)
+            self.spark.conf.set(adv_key, str(target))
+            try:
+                if self.file_format == "csv":
+                    # microsecond timestampFormat: the default writes
+                    # millis, silently truncating (X1/X2 ISO round-trip
+                    # parity requires full precision)
+                    writer.option("header", True).option(
+                        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                    ).csv(self.base_path)
+                else:
+                    writer.parquet(self.base_path)
+            finally:
+                if old_adv is None:
+                    self.spark.conf.unset(adv_key)
+                else:
+                    self.spark.conf.set(adv_key, old_adv)
         try:
             got = obs.get  # available once the write's action finished
         except Exception:

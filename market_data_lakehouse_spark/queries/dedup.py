@@ -308,9 +308,16 @@ MAX_CC_ROUNDS = 30
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS
 ) -> DataFrame:
-    """(u, lbl) — min-label connected components over a symmetric
-    edge list. Each round every vertex takes the min of its own label
-    and its neighbors' labels (one shuffle join + one min-aggregate);
+    """(u, lbl) — min-label connected components. ``edges`` (u, v) is
+    treated as UNDIRECTED: it is symmetrized internally (union with
+    its swap — duplicates are harmless, min over a multiset equals
+    min over its set), and the output contains exactly the ``u``
+    values of ``vertices`` — edge endpoints outside the vertex set
+    propagate labels but emit no rows of their own, so a caller's
+    vertex filter is respected rather than silently widened.
+
+    Each round every vertex takes the min of its own label and its
+    neighbors' labels (one shuffle join + one min-aggregate);
     convergence in O(component diameter) rounds, detected by the sum
     of labels going stationary (labels only ever decrease, so an
     unchanged sum means an unchanged labeling — one cheap scalar agg
@@ -325,7 +332,14 @@ def connected_components(
     count to O(log n); the per-round dataflow here (join + min-agg)
     is unchanged.
     """
-    labels = vertices.select(
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    verts = vertices.select("u")
+    # seed every node that participates (vertices + edge endpoints):
+    # labels must flow THROUGH out-of-vertex endpoints
+    nodes = verts.unionByName(und.select("u")).distinct()
+    labels = nodes.select(
         F.col("u"), F.col("u").alias("lbl")
     ).localCheckpoint()
     # decimal(38,0) sum: immune to long overflow however large the
@@ -335,7 +349,7 @@ def connected_components(
     ).first()[0]
     prev = total(labels)
     for _ in range(max_rounds):
-        prop = edges.join(
+        prop = und.join(
             labels.withColumnRenamed("u", "v"), "v"
         ).select("u", "lbl")
         labels = (
@@ -346,7 +360,7 @@ def connected_components(
         )
         cur = total(labels)
         if cur == prev:
-            return labels
+            return labels.join(verts, "u", "left_semi")
         prev = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
@@ -399,9 +413,7 @@ def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).unionByName(
-        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
-    )
+    )  # undirected pairs; connected_components symmetrizes internally
     labels = connected_components(
         docs.select(F.col("doc_id").alias("u")), edges
     )

@@ -985,9 +985,9 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_s = F.when(
         prev.isNull() | ((sec - prev) > 1800), F.lit(1)
     ).otherwise(F.lit(0))
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # derived from the SAME spec as `order`: the single-exchange plan
+    # (pinned in test_plans) depends on both windows sharing keys
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
     sessions = ev.select(
         "user_id", "ts", F.sum(new_s).over(cum).alias("session_id")
     )

@@ -508,8 +508,9 @@ def e3_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the LSH ANN against brute-force ground truth —
     the measurement that makes an approximate index defensible
-    ("measure, don't guess"): per query, the fraction of the true
-    top-K the bucketed search recovered, plus the overall mean. Both
+    ("measure, don't guess"): one row per query with the fraction of
+    the true top-K the bucketed search recovered (the corpus mean is
+    one AVG away — kept per-query so regressions localize). Both
     sides are deterministic (fixed hyperplanes, tie-broken rankings),
     so the score is reproducible run to run; at 100 TB this same plan
     evaluates recall on a sampled query set before promoting an

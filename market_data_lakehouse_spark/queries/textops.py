@@ -365,7 +365,7 @@ def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND CAST(LENGTH(REPLACE(trim(text), ' ', '')) AS DOUBLE) / n_tokens
               BETWEEN 2.0 AND 15.0),
     kept AS (
-      SELECT MIN(doc_id) AS doc_id, MIN(source) AS source,
+      SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
              ANY_VALUE(n_tokens) AS n_tokens
       FROM quality GROUP BY md5(text))
     SELECT source,
@@ -382,11 +382,12 @@ def e4_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on md5, never the body) -> per-source corpus stats.
     Every stage is built-in expressions; one scan, two shuffles
     (dedup groupBy, stats groupBy), both with map-side partial
-    aggregation. The surviving copy's attributes are deterministic:
-    MIN(doc_id)/MIN(source) per text group (ANY_VALUE is safe only
-    for n_tokens — identical texts have identical token stats; a
-    nondeterministic source pick would hash-diverge between engines
-    whenever copies of a text span sources)."""
+    aggregation. The kept copy is MIN(doc_id) and its attributes
+    travel WITH it: source comes from min_by(source, doc_id), not an
+    independent MIN(source) — copies of a text spanning sources must
+    credit the source of the document actually kept. (ANY_VALUE is
+    safe only for n_tokens: identical texts have identical token
+    stats.)"""
     docs = load(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
     n_tokens = F.size(F.split(trimmed, r"\s+")).cast("long")
@@ -408,7 +409,7 @@ def e4_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = quality.groupBy(F.md5("text").alias("_h")).agg(
         F.min("doc_id").alias("doc_id"),
-        F.min("source").alias("source"),
+        F.min_by("source", "doc_id").alias("source"),
         F.any_value("n_tokens").alias("n_tokens"),
     )
     return kept.groupBy("source").agg(

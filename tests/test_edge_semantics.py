@@ -267,19 +267,20 @@ def test_connected_components_multi_hop_chain(spark):
     """A 7-vertex path graph (diameter 6) must fully converge to one
     cluster — the min label crosses one hop per round, so this
     exercises the iteration loop well past round 2; plus a separate
-    2-cluster and a singleton."""
+    2-cluster and a singleton. Edges are passed DIRECTED one way
+    (the function symmetrizes internally), and vertex 3 is absent
+    from the vertex frame: labels must still flow THROUGH it
+    (1-2-3-4 stay one component) while it emits no output row."""
     from market_data_lakehouse_spark.queries.dedup import connected_components
 
-    undirected = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (10, 11)]
-    edges = spark.createDataFrame(
-        undirected + [(b, a) for a, b in undirected], "u long, v long"
-    )
+    directed = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (10, 11)]
+    edges = spark.createDataFrame(directed, "u long, v long")
     verts = spark.createDataFrame(
-        [(i,) for i in [1, 2, 3, 4, 5, 6, 7, 10, 11, 99]], "u long"
+        [(i,) for i in [1, 2, 4, 5, 6, 7, 10, 11, 99]], "u long"
     )
     got = {r.u: r.lbl for r in connected_components(verts, edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1,
-                   10: 10, 11: 10, 99: 99}
+    assert got == {1: 1, 2: 1, 4: 1, 5: 1, 6: 1, 7: 1,
+                   10: 10, 11: 10, 99: 99}  # no row for 3 (not a vertex)
 
 
 def test_connected_components_round_budget_raises(spark):
@@ -289,10 +290,7 @@ def test_connected_components_round_budget_raises(spark):
 
     from market_data_lakehouse_spark.queries.dedup import connected_components
 
-    undirected = [(1, 2), (2, 3), (3, 4)]
-    edges = spark.createDataFrame(
-        undirected + [(b, a) for a, b in undirected], "u long, v long"
-    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u long, v long")
     verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "u long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_rounds=1)

@@ -91,7 +91,9 @@ class TestPlans:
         p = plan(j9_multiway_topk(spark, sf_dir))
         assert "TakeOrderedAndProject" in p
         assert "BroadcastHashJoin" in p
-        assert "SortMergeJoin" not in p or True  # lineitem side may SMJ at scale
+        # at test SF both joins broadcast; a shuffled customer join
+        # (SMJ anywhere in this plan) is a planning regression
+        assert "SortMergeJoin" not in p
 
     def test_sessionize_single_exchange(self, spark, sf_dir):
         """Both session windows and the per-session groupBy must
