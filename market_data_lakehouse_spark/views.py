@@ -1,0 +1,137 @@
+"""Incremental materialized views over a TransactionalLake — the
+consumer side of the CDC feed (reference README.md:174's "stream new
+commits to downstream consumers" made concrete).
+
+A view holds a pre-aggregated state table (sum/count-style partial
+aggregates per key) plus the last lake version applied. ``refresh()``
+reads only the commits AFTER that version via ``read_changes``,
+folds inserts positively and deletes negatively, and merges the
+delta into the stored state — O(changed rows), never a full
+recompute. Derived metrics (averages, VWAP) are computed from the
+partials at read time, so the maintained state stays additive.
+
+Scale posture: the delta aggregation is a map-side-combined groupBy
+over only the changed rows; the merge is a groupBy over
+O(state keys + delta keys). State is rewritten atomically (write
+temp + swap via the lake's own pattern); the applied version is
+recorded WITH the state so a crashed refresh replays idempotently
+(the version file and state directory swap together).
+
+Only commutative-invertible aggregates (SUM/COUNT) can be maintained
+this way — MIN/MAX are not invertible under deletes; a view over them
+would need a full recompute on delete commits. VwapView maintains
+sums only, so every commit type folds incrementally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+class VwapView:
+    """Incrementally-maintained per-key VWAP (the flagship metric) —
+    state = (key, sum_pv, sum_v, n); vwap = sum_pv / sum_v derived on
+    read. Generalizes to any additive partial-aggregate set."""
+
+    def __init__(
+        self,
+        lake: TransactionalLake,
+        path: str,
+        key: str = "symbol",
+        price: str = "price",
+        volume: str = "volume",
+    ) -> None:
+        self.lake = lake
+        self.path = path.rstrip("/")
+        self.key, self.price, self.volume = key, price, volume
+        os.makedirs(self.path, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_view_meta.json")
+
+    @property
+    def last_applied_version(self) -> int:
+        if not os.path.exists(self._meta_path):
+            return -1
+        with open(self._meta_path) as fh:
+            return json.load(fh)["applied_version"]
+
+    def _state_dir(self) -> str | None:
+        if not os.path.exists(self._meta_path):
+            return None
+        with open(self._meta_path) as fh:
+            return os.path.join(self.path, json.load(fh)["state_dir"])
+
+    def _delta(self, changes: DataFrame) -> DataFrame:
+        """Signed partial aggregates from a CDC frame: inserts count
+        +1, deletes -1 — SUMs fold either direction."""
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        pv = F.col(self.price) * F.col(self.volume)
+        return changes.groupBy(F.col(self.key).alias("key")).agg(
+            F.sum(sign * pv).alias("sum_pv"),
+            F.sum(sign * F.col(self.volume)).alias("sum_v"),
+            F.sum(sign).alias("n"),
+        )
+
+    def refresh(self) -> int:
+        """Fold commits since ``last_applied_version`` into the state.
+        Returns the lake version now reflected. No-op (no jobs beyond
+        the CDC read) when already current."""
+        target = self.lake.version
+        applied = self.last_applied_version
+        if target <= applied:
+            return applied
+        changes = self.lake.read_changes(starting_version=applied + 1)
+        delta = self._delta(changes)
+        old_dir = self._state_dir()
+        if old_dir is None:
+            merged = delta
+        else:
+            spark = self.lake.spark
+            merged = (
+                spark.read.parquet(old_dir)
+                .unionByName(delta)
+                .groupBy("key")
+                .agg(
+                    F.sum("sum_pv").alias("sum_pv"),
+                    F.sum("sum_v").alias("sum_v"),
+                    F.sum("n").alias("n"),
+                )
+            )
+        merged = merged.filter(F.col("n") > 0)  # fully-deleted keys drop out
+        new_name = f"state_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.path, new_name)
+        )
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"applied_version": target, "state_dir": new_name}, fh)
+        os.replace(tmp, self._meta_path)  # state + version swap together
+        if old_dir is not None:
+            shutil.rmtree(old_dir, ignore_errors=True)
+        return target
+
+    def read(self) -> DataFrame:
+        """(key, vwap, total_volume, n) from the maintained partials —
+        no scan of the base table."""
+        d = self._state_dir()
+        if d is None:
+            raise ValueError("view never refreshed: call refresh() first")
+        s = self.lake.spark.read.parquet(d)
+        return s.select(
+            F.col("key").alias(self.key),
+            F.try_divide(F.col("sum_pv"), F.col("sum_v")).alias("vwap"),
+            F.col("sum_v").alias("total_volume"),
+            "n",
+        )
