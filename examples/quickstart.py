@@ -73,10 +73,30 @@ def main() -> None:
     enriched = asof_join(trades, quotes, on="symbol")
     print("asof:", enriched.collect())
 
+    # --- incremental materialized view over the CDC feed ---------------
+    from market_data_lakehouse_spark.views import VwapView
+
+    ticks = spark.createDataFrame(
+        [("AAPL", 100.0, 10), ("AAPL", 110.0, 10)],
+        "symbol string, price double, volume long",
+    )
+    tick_lake = TransactionalLake(spark, f"{root}/ticks", partition_by=())
+    tick_lake.append(ticks)
+    view = VwapView(tick_lake, f"{root}/vwap_view")
+    view.refresh()  # folds only new commits on subsequent calls
+    print("view:", view.read().collect())
+
     # --- catalog operators on the shared test tables -------------------
     from market_data_lakehouse_spark.queries import REGISTRY
 
-    for name in ("a2_vwap_top10", "e1_exact_dedup", "e3_knn_bruteforce"):
+    for name in (
+        "a2_vwap_top10",        # flagship aggregate
+        "e1_exact_dedup",       # hash dedup
+        "e2_dedup_clusters",    # pairs -> connected components -> keep-one
+        "e3_knn_bruteforce",    # exact cosine top-k
+        "e3_ann_recall",        # measured recall of the LSH index
+        "w6_sessionize",        # gaps-and-islands sessions
+    ):
         out = REGISTRY[name].fn(spark, sf_dir)
         print(f"{name}: {out.count()} rows")
 
