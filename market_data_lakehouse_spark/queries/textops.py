@@ -419,3 +419,72 @@ def e4_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens"
         ),
     )
+
+
+@register(
+    "e4_pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'),
+             '\d{6,}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT)
+             AS n_long_numbers
+    FROM documents
+    """,
+)
+def e4_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing stage (E4): mask emails and long digit runs
+    (ids, phone-like numbers) and count what was removed — the
+    standard pretraining hygiene pass. Pure codegen'd regexp over one
+    scan; the counts make redaction auditable per document."""
+    docs = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    longnum = r"\d{6,}"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), longnum, "<NUM>"
+        ).alias("redacted"),
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(longnum)).cast("long").alias(
+            "n_long_numbers"
+        ),
+    )
+
+
+@register(
+    "e4_ngram_freq",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+    SELECT t AS token, COUNT(*) AS freq
+    FROM toks GROUP BY t
+    ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def e4_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-50 (E4): the vocabulary-analysis
+    pass before tokenizer training. Explode -> map-side-combined
+    count -> TakeOrderedAndProject; the shuffle carries one row per
+    distinct token per partition, never the corpus."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        )
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
