@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from market_data_lakehouse_spark.schema import epoch_us
+
 
 def _tag_union(
     left: DataFrame,
@@ -163,7 +165,7 @@ def asof_join_bucketed(
     )
     bucket_us = bucket_minutes * 60_000_000
     unioned = unioned.withColumn(
-        "_bkt", (F.unix_micros(F.col("_ts")) / bucket_us).cast("long")
+        "_bkt", (epoch_us(F.col("_ts")) / bucket_us).cast("long")
     )
 
     w_in = (

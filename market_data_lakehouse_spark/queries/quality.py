@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.queries.catalog import load, register
+from market_data_lakehouse_spark.schema import epoch_us
 
 GAP_US = 3_600_000_000  # 1 hour
 
@@ -50,7 +51,7 @@ def v2_quality_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_dedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
     dedup = ev.withColumn("_rn", F.row_number().over(w_dedup))
     kept = dedup.filter(F.col("_rn") == 1)
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     w_seq = Window.partitionBy("user_id").orderBy("ts")
     gapped = kept.withColumn("gap_us", us - F.lag(us).over(w_seq))
     dups = (

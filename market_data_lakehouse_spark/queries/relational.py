@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.queries import money
 from market_data_lakehouse_spark.queries.catalog import load, register
+from market_data_lakehouse_spark.schema import epoch_us
 
 # ---------------------------------------------------------------------------
 # Scans / filters / projections (S1, F1, F2, F4)
@@ -772,7 +773,7 @@ def w1_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> parallel); gap in exact integer microseconds."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     return ev.select(
         "user_id",
         us.alias("ts_us"),

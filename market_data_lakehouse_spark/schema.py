@@ -112,6 +112,20 @@ def load_table(spark, sf_dir: str, name: str, raw: bool = False):
     return df
 
 
+def epoch_us(col):
+    """Epoch-microseconds of a timestamp column, robust to the three
+    shapes driver testdata has shipped: TIMESTAMP (LTZ), TIMESTAMP_NTZ
+    (parquet ``timestamp[us]`` without UTC adjustment — Spark's
+    ``unix_micros`` rejects it), and the legacy nanos-as-long read.
+    The session timezone is pinned to UTC (session.py), so the
+    NTZ->LTZ cast interprets wall-clock as UTC — the same integer
+    DuckDB's ``epoch_us`` yields on a naive timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def register_views(spark, sf_dir: str, tables=STAR_TABLES) -> None:
     """Register the driver tables as temp views for spark.sql()."""
     for name in tables:
