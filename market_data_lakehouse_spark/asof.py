@@ -165,7 +165,11 @@ def asof_join_bucketed(
     )
     bucket_us = bucket_minutes * 60_000_000
     unioned = unioned.withColumn(
-        "_bkt", (epoch_us(F.col("_ts")) / bucket_us).cast("long")
+        "_bkt",
+        (
+            epoch_us(F.col("_ts"), dict(unioned.dtypes).get("_ts"))
+            / bucket_us
+        ).cast("long"),
     )
 
     w_in = (

@@ -413,6 +413,17 @@ class DataLakehouse:
             ).alias("n_parts"),
         )
         out = staged.filter("_ok").drop("_ok")
+        if self.file_format == "csv":
+            # Spark's CSV writer emits MILLIsecond precision no matter
+            # the timestampFormat — "SSSSSS" zero-pads to 6 digits
+            # (.179575 -> .179000), silently truncating. A
+            # timestamp->string CAST keeps full microsecond text
+            # (mirroring the reference's ISO-text storage,
+            # /root/reference/src/market_data_lakehouse/lakehouse.py:542);
+            # _read() casts back, so X1/X2 round-trip at µs precision.
+            out = out.withColumn(
+                "timestamp", F.col("timestamp").cast("string")
+            )
         # Rebalance on the partition column before the write:
         # without it every input task writes a file into every
         # touched date dir (tasks × dates small files; measured 6 s
@@ -455,12 +466,8 @@ class DataLakehouse:
             self.spark.conf.set(adv_key, str(target))
             try:
                 if self.file_format == "csv":
-                    # microsecond timestampFormat: the default writes
-                    # millis, silently truncating (X1/X2 ISO round-trip
-                    # parity requires full precision)
-                    writer.option("header", True).option(
-                        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-                    ).csv(self.base_path)
+                    # timestamp already serialized as µs-exact string
+                    writer.option("header", True).csv(self.base_path)
                 else:
                     writer.parquet(self.base_path)
             finally:
@@ -522,11 +529,25 @@ class DataLakehouse:
             # QueryResult (lakehouse.py:352-356), not an error.
             return self.spark.createDataFrame([], schema=full_schema)
         if self.file_format == "csv":
-            return (
-                self.spark.read.schema(full_schema)
+            # timestamp is stored as µs-exact CAST text (see _append);
+            # read it as a string and cast back — Spark's CSV
+            # timestampFormat parser cannot express "variable-width
+            # fraction", the cast can.
+            text_schema = T.StructType(
+                [
+                    T.StructField(f.name, T.StringType(), f.nullable)
+                    if f.name == "timestamp"
+                    else f
+                    for f in full_schema.fields
+                ]
+            )
+            df = (
+                self.spark.read.schema(text_schema)
                 .option("header", True)
-                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
                 .csv(self.base_path)
+            )
+            return df.withColumn(
+                "timestamp", F.col("timestamp").cast("timestamp")
             )
         return self.spark.read.parquet(self.base_path)
 

@@ -51,7 +51,7 @@ def v2_quality_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_dedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
     dedup = ev.withColumn("_rn", F.row_number().over(w_dedup))
     kept = dedup.filter(F.col("_rn") == 1)
-    us = epoch_us(F.col("ts"))
+    us = epoch_us(F.col("ts"), dict(ev.dtypes).get("ts"))
     w_seq = Window.partitionBy("user_id").orderBy("ts")
     gapped = kept.withColumn("gap_us", us - F.lag(us).over(w_seq))
     dups = (

@@ -773,7 +773,7 @@ def w1_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> parallel); gap in exact integer microseconds."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    us = epoch_us(F.col("ts"))
+    us = epoch_us(F.col("ts"), dict(ev.dtypes).get("ts"))
     return ev.select(
         "user_id",
         us.alias("ts_us"),
@@ -981,7 +981,12 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns/us precision)."""
     ev = load(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    # epoch_us handles LTZ/NTZ/bigint ts exactly (a raw cast("double")
+    # fails to resolve on TIMESTAMP_NTZ); subtracting the µs remainder
+    # before dividing keeps every operand an exact multiple inside
+    # double's 53-bit range, so the floor-to-second is exact.
+    us = epoch_us(F.col("ts"), dict(ev.dtypes).get("ts"))
+    sec = ((us - us % 1_000_000) / 1_000_000).cast("long")
     prev = F.lag(sec).over(order)
     new_s = F.when(
         prev.isNull() | ((sec - prev) > 1800), F.lit(1)

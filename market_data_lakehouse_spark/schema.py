@@ -112,17 +112,55 @@ def load_table(spark, sf_dir: str, name: str, raw: bool = False):
     return df
 
 
-def epoch_us(col):
+def epoch_us(col, dtype: str | None = None):
     """Epoch-microseconds of a timestamp column, robust to the three
     shapes driver testdata has shipped: TIMESTAMP (LTZ), TIMESTAMP_NTZ
-    (parquet ``timestamp[us]`` without UTC adjustment — Spark's
-    ``unix_micros`` rejects it), and the legacy nanos-as-long read.
-    The session timezone is pinned to UTC (session.py), so the
-    NTZ->LTZ cast interprets wall-clock as UTC — the same integer
-    DuckDB's ``epoch_us`` yields on a naive timestamp.
+    (parquet ``timestamp[us]`` without UTC adjustment), and the legacy
+    nanos-as-long read.
+
+    Pass ``dtype`` (the column's Spark ``simpleString``, e.g.
+    ``dict(df.dtypes)["ts"]``) to select an exact branch:
+
+    - ``"timestamp"`` — ``unix_micros`` directly: an absolute instant,
+      timezone-free.
+    - ``"timestamp_ntz"`` — ``timestamp_diff`` against the NTZ epoch
+      literal: wall clock interpreted as UTC *independent of the
+      session timezone* (an NTZ->LTZ cast would shift by the session
+      offset; verified +5h under America/New_York).
+    - ``"bigint"`` — exact integer ns->µs through decimal. A long cast
+      straight to TIMESTAMP is interpreted as SECONDS since epoch and
+      saturates at Long.MAX — silently wrong (ADVICE r2).
+
+    Without ``dtype`` the legacy cast path is used, which is correct
+    only under a UTC session timezone (session.get_spark pins it); the
+    helper raises on a non-UTC session rather than silently shifting,
+    and cannot detect bigint input — resolve the dtype at the call
+    site when the column may be a raw nanos long.
     """
     from pyspark.sql import functions as F
 
+    if dtype in ("bigint", "long", "int"):
+        return (col.cast("decimal(38,0)") / 1000).cast("long")
+    if dtype == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            col,
+        )
+    if dtype == "timestamp":
+        return F.unix_micros(col)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                "epoch_us without an explicit dtype requires a UTC "
+                f"session timezone (got {tz!r}): the NTZ->LTZ cast "
+                "would shift wall-clock by the session offset. Pass "
+                'dtype=dict(df.dtypes)["<col>"] for the exact branch.'
+            )
     return F.unix_micros(col.cast("timestamp"))
 
 
