@@ -614,31 +614,43 @@ class DataLakehouse:
         ``repartition(n, "date")``, which buckets the whole lake into
         n tasks total (VERDICT r1 item 4).
 
-        The directory swap is non-atomic and driver-local (POSIX
-        rename); a crash between rmtree and move loses the lake. For
-        atomic, cluster-safe maintenance use
+        The swap is two driver-local directory renames: the live lake
+        is moved aside BEFORE the compacted copy moves in, so no crash
+        point ever leaves the data deleted-but-unreplaced — a crash
+        window leaves either the live lake or the ``__pre_compact``
+        sibling fully intact (recover by renaming it back). Readers
+        racing the swap can still observe a missing directory for an
+        instant; for atomic, cluster-safe maintenance use
         :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`,
         whose compaction is a log commit, not a directory swap.
         """
         n = max(1, target_files_per_partition)
         bucket = F.pmod(F.xxhash64("symbol", "timestamp"), F.lit(n))
         tmp = f"{self.base_path}__compact_{uuid.uuid4().hex[:8]}"
+        df = self.table()
+        if self.file_format == "csv":
+            # same µs-exact text serialization as _append — a CSV
+            # timestampFormat would silently truncate to milliseconds
+            df = df.withColumn("timestamp", F.col("timestamp").cast("string"))
         writer = (
-            self.table()
-            .repartition(F.col("date"), bucket)
+            df.repartition(F.col("date"), bucket)
             .write.mode("overwrite")
             .partitionBy("date")
         )
         if self.file_format == "csv":
-            writer.option("header", True).option(
-                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-            ).csv(tmp)
+            writer.option("header", True).csv(tmp)
         else:
             writer.parquet(tmp)
         import shutil
 
-        shutil.rmtree(self.base_path)
-        shutil.move(tmp, self.base_path)
+        old = f"{self.base_path}__pre_compact_{uuid.uuid4().hex[:8]}"
+        shutil.move(self.base_path, old)  # live data set aside, intact
+        try:
+            shutil.move(tmp, self.base_path)  # compacted copy in place
+        except BaseException:
+            shutil.move(old, self.base_path)  # roll back, lake restored
+            raise
+        shutil.rmtree(old)  # only after the new lake is live
 
     # ------------------------------------------------------------------
     @staticmethod

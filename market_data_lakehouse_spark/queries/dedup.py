@@ -165,18 +165,12 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     )
 
 
-@register("e2_minhash_lsh")  # rows-only: hash family is engine-specific
-def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates: band the 32-minhash signature
-    into 8 bands of 4, shuffle on (band_id, hash(band)), emit pairs
-    sharing a band, then verify with the estimated Jaccard (fraction
-    of equal minhashes). Only the band join shuffles; candidate
-    volume tracks duplicate density, not n²."""
-    sigs = minhash_signatures(
-        _shingles_exploded(load(spark, sf_dir, "documents"), carry=())
-    )
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, bhash): one row per LSH band — N_BANDS
+    bands of N_MINHASH/N_BANDS signature rows, each hashed to a
+    single long. Pairs sharing any (band, bhash) are candidates."""
     rows_per_band = N_MINHASH // N_BANDS
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -191,6 +185,19 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bhash")
+
+
+@register("e2_minhash_lsh")  # rows-only: hash family is engine-specific
+def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates: band the 32-minhash signature
+    into 8 bands of 4, shuffle on (band_id, hash(band)), emit pairs
+    sharing a band, then verify with the estimated Jaccard (fraction
+    of equal minhashes). Only the band join shuffles; candidate
+    volume tracks duplicate density, not n²."""
+    sigs = minhash_signatures(
+        _shingles_exploded(load(spark, sf_dir, "documents"), carry=())
+    )
+    banded = _banded(sigs)
     a = banded.select(
         F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bhash"
     )
@@ -294,6 +301,64 @@ def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 16)
         .distinct()
+    )
+
+
+@register("e2_lsh_verified_jaccard")  # rows-only: candidates depend on
+# the engine's xxhash64 banding; precision/recall are property-tested
+# (tests/test_edge_semantics.py)
+def e2_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared 100 TB dedup plan: MinHash-LSH bands generate the
+    candidate pairs, EXACT 3-gram Jaccard is computed on candidates
+    ONLY, and pairs at/above CLUSTER_JACCARD survive.
+
+    This composes e2_minhash_lsh's candidate generation with
+    e2_ngram_jaccard's scoring kernel and removes the quadratic
+    caveat on the latter: the pair space is bounded by LSH-bucket
+    co-occupancy (tracks true-duplicate density), never by any
+    corpus-attribute bucket such as ``source`` whose pair space is
+    O(sum bucket²). Every stage is a codegen'd equi-join or
+    hash-aggregate; the shingle fan-out joins touch only candidate
+    docs. Precision is 1.0 by construction (each emitted pair carries
+    its exact Jaccard); banding recall is probabilistic and asserted
+    as a floor in the property tests."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles_exploded(docs, carry=())
+    ex = sh.distinct()  # set semantics for exact Jaccard
+    banded = _banded(minhash_signatures(sh)).drop("sig")
+    cand = (
+        banded.select(F.col("doc_id").alias("a_id"), "band", "bhash")
+        .join(
+            banded.select(F.col("doc_id").alias("b_id"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |A ∩ B| restricted to candidate pairs: fan each pair out by A's
+    # shingles, inner-join on (b_id, s). Zero-overlap candidates drop
+    # here — correct, they can never reach the >= threshold filter.
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
+        .join(ex.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = inter.join(
+        sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")),
+        "a_id",
+    ).join(
+        sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")),
+        "b_id",
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        scored.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD)
     )
 
 

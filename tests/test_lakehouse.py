@@ -163,3 +163,18 @@ class TestCSVFallback:
         lake = DataLakehouse(spark, str(tmp_path / "csvlake"), file_format="csv")
         lake.ingest_batch(sample_bars)
         assert len(lake.query(symbol="AAPL")) == 9
+
+    def test_csv_microsecond_roundtrip_and_compact(self, spark, tmp_path):
+        """Timestamps must survive the CSV text round-trip at full
+        microsecond precision — both through ingest/read and through
+        compact's rewrite (each serializes via a timestamp->string
+        cast; a CSV timestampFormat would truncate to milliseconds)."""
+        lake = DataLakehouse(spark, str(tmp_path / "csvus"), file_format="csv")
+        ts = datetime(2024, 6, 15, 10, 30, 7, 179575)
+        lake.ingest_batch([make_bar(timestamp=ts), make_bar(timestamp=ts.replace(day=16))])
+        got = sorted(r["timestamp"] for r in lake.table().collect())
+        assert got[0] == ts, got
+        lake.compact()
+        got = sorted(r["timestamp"] for r in lake.table().collect())
+        assert got[0] == ts, got
+        assert len(lake.query()) == 2
