@@ -45,6 +45,13 @@ HEADLINE = {
     "q_dedup_hash": "e1_dedup_by_hash",
     "q_knn_cosine": "e3_knn_bruteforce",
     "q_json_extract": "x7_json_extract",
+    # round 3: LLM-pipeline + sessionization cost shapes tracked
+    # round-over-round
+    "q_sessionize": "w6_sessionize",
+    "q_corpus_clean": "e4_corpus_clean",
+    "q_minhash_lsh": "e2_minhash_lsh",
+    "q_lsh_verified": "e2_lsh_verified_jaccard",
+    "q_ann_lsh": "e3_ann_lsh",
 }
 
 

@@ -211,13 +211,18 @@ def hyperplane_sign_bucket(vec_col: F.Column, n_planes: int = 8) -> F.Column:
     return bucket
 
 
-def _hyperplane_matrix(spark: SparkSession, n_planes: int, dim: int) -> "np.ndarray":
+def _hyperplane_matrix(
+    spark: SparkSession, n_planes: int, dim: int, plane_offset: int = 0
+) -> "np.ndarray":
     """The (n_planes, dim) hyperplane components, evaluated by the
     SAME JVM expression ``hyperplane_sign_bucket`` uses
     (xxhash64(str(p), str(j)) / 2^63) so numpy- and column-computed
-    buckets agree bit-for-bit. One tiny driver-side job, O(planes*dim)."""
+    buckets agree bit-for-bit. ``plane_offset`` shifts the global
+    plane index — hash table t uses planes [t*n, (t+1)*n), giving
+    each table an independent deterministic hyperplane set. One tiny
+    driver-side job, O(planes*dim)."""
     rows = (
-        spark.range(n_planes)
+        spark.range(plane_offset, plane_offset + n_planes)
         .select(
             F.col("id").alias("p"),
             F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
@@ -235,11 +240,17 @@ def _hyperplane_matrix(spark: SparkSession, n_planes: int, dim: int) -> "np.ndar
     )
     H = np.empty((n_planes, dim))
     for r in rows:
-        H[r.p, r.j] = r.c
+        H[r.p - plane_offset, r.j] = r.c
     return H
 
 
-def vectorized_sign_bucket(spark: SparkSession, vec_col, n_planes: int = 8, dim: int = 64):
+def vectorized_sign_bucket(
+    spark: SparkSession,
+    vec_col,
+    n_planes: int = 8,
+    dim: int = 64,
+    plane_offset: int = 0,
+):
     """Arrow-batched twin of :func:`hyperplane_sign_bucket`: same
     deterministic hyperplanes (collected once from the JVM hash
     expression), same sequential-fold dot order, ~10x faster than the
@@ -247,8 +258,9 @@ def vectorized_sign_bucket(spark: SparkSession, vec_col, n_planes: int = 8, dim:
 
     ``dim`` must match the vectors' actual length (derive it from the
     data, e.g. ``F.size``, as :func:`e3_ann_lsh` does) — the UDF
-    raises a clear error on mismatch rather than mis-bucketing."""
-    H = _hyperplane_matrix(spark, n_planes, dim)
+    raises a clear error on mismatch rather than mis-bucketing.
+    ``plane_offset`` selects the hyperplane set (multi-table LSH)."""
+    H = _hyperplane_matrix(spark, n_planes, dim, plane_offset)
     weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
 
     @F.pandas_udf("long")
@@ -270,52 +282,87 @@ def vectorized_sign_bucket(spark: SparkSession, vec_col, n_planes: int = 8, dim:
     return _bucket(vec_col)
 
 
-ANN_PLANES = 4  # 16 buckets; size to ~sqrt(n) buckets at real scale
+ANN_PLANES = 4  # 16 buckets/table; size to ~sqrt(n) buckets at real scale
+ANN_TABLES = 3  # independent hyperplane sets; recall ~ 1-(1-p)^L
 
 
 @register("e3_ann_lsh")  # rows-only: bucket assignment is hash-family-specific
 def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k with MULTI-PROBE: each query
-    probes its own hyperplane-sign bucket plus every bucket at
-    hamming distance 1 (one flipped plane) — the standard recall
-    lever, costing n_planes extra probe rows per query (query side
-    only; candidates stay in exactly one bucket, so the big side is
-    never replicated). Scoring volume drops from n·m to the probed
-    buckets' sizes. Recall is measured, not guessed: see
-    e3_ann_recall (mean recall@5 went 0.0 -> 0.54 on the driver
-    dataset when single-probe/8-plane became multi-probe/4-plane —
-    buckets must be sized to the corpus, ~sqrt(n) buckets, or they
-    degenerate to singletons; hamming-2 probing or more planes per
-    table trades scoring volume for recall from there)."""
+    """LSH-bucketed approximate top-k: MULTI-TABLE (ANN_TABLES
+    independent hyperplane sets) x MULTI-PROBE (each query probes its
+    own sign bucket plus every bucket at hamming distance 1 in each
+    table). These are the two standard recall levers that preserve
+    selectivity: per-table miss probability p compounds to ~p^L
+    across independent tables, while the probed fraction of the
+    corpus stays (1+planes)/2^planes per table — unlike hamming-2
+    probing, which at 4 planes would scan 11/16 of every table and
+    degenerate toward brute force.
+
+    Cost shape at scale: candidates are stored once per table (xL
+    postings, the classic LSH space-for-recall trade); only the tiny
+    query side explodes probe rows. Duplicate (qid, cid) candidates
+    from different tables are merged by a max-aggregate on the
+    SCORES — shuffling (qid, cid, sim) triples — rather than a
+    distinct over embedding payloads, so the dedup shuffle never
+    carries vectors. Recall is measured, not guessed: e3_ann_recall
+    scored 0.54 single-table and 0.90-0.92 with 3 tables on the
+    driver dataset (floor asserted in tests/test_edge_semantics.py)."""
     em = load(spark, sf_dir, "embeddings")
     # derive the embedding dimension from the data (one tiny job)
     # rather than assuming 64 — the hyperplane matrix must match it
     dim = em.select(F.size("embedding")).first()[0]
-    bucketed = em.withColumn(
-        "bucket",
-        vectorized_sign_bucket(
-            spark, F.col("embedding"), n_planes=ANN_PLANES, dim=dim
-        ),
-    )
-    probes = F.array_union(
-        F.array(F.col("bucket")),
-        F.array(
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                for p in range(ANN_PLANES)
-            ]
-        ),
-    )
+    bucketed = em
+    for t in range(ANN_TABLES):
+        bucketed = bucketed.withColumn(
+            f"_b{t}",
+            vectorized_sign_bucket(
+                spark,
+                F.col("embedding"),
+                n_planes=ANN_PLANES,
+                dim=dim,
+                plane_offset=t * ANN_PLANES,
+            ),
+        )
+    # candidate postings: one row per (table, bucket)
+    c = bucketed.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"_b{t}").alias("bucket")
+                    )
+                    for t in range(ANN_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("cid", "ce", "tb.t", "tb.bucket")
+    # query probes: own bucket + hamming-1 flips, per table
+    def _probes(t: int) -> F.Column:
+        b = F.col(f"_b{t}")
+        return F.transform(
+            F.array_union(
+                F.array(b),
+                F.array(
+                    *[b.bitwiseXOR(F.lit(1 << p)) for p in range(ANN_PLANES)]
+                ),
+            ),
+            lambda bkt: F.struct(F.lit(t).alias("t"), bkt.alias("bucket")),
+        )
+
     q = bucketed.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
-        F.explode(probes).alias("bucket"),
-    )
-    c = bucketed.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
-    )
-    scored = c.join(F.broadcast(q), "bucket").select(
-        "qid", "cid", cosine_pairs("qe", "ce").alias("sim")
+        F.explode(
+            F.flatten(F.array(*[_probes(t) for t in range(ANN_TABLES)]))
+        ).alias("tb"),
+    ).select("qid", "qe", "tb.t", "tb.bucket")
+    scored = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .select("qid", "cid", cosine_pairs("qe", "ce").alias("sim"))
+        .groupBy("qid", "cid")
+        .agg(F.max("sim").alias("sim"))  # merge cross-table duplicates
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     return (
