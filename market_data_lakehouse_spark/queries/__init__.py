@@ -39,6 +39,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
     multimodal,
     quality,
     relational,
+    sampling,
     similarity,
     textops,
 )
@@ -65,19 +66,19 @@ _DRIVER_WINDOW = [
     "e4_token_stats", "e4_lang_id", "e4_quality_score", "e4_bpe_token_count",
     "e4_rolling_chunks", "e4_tfidf", "e4_fingerprint", "e4_corpus_clean",
     "e4_pii_redaction", "e4_ngram_freq",
-    # (b) round-3 fixes + new composed plan — 3
+    # (b) round-3 fixes + new queries — 6
     "w6_sessionize", "s2_csv_roundtrip", "e2_lsh_verified_jaccard",
+    "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
     # (c) rows-only sketches kept executing in-window — 5
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
     "a7_approx_distinct", "a9_percentile_approx",
-    # (d) family representatives (all r2 driver-green) — 18
+    # (d) family representatives (all r2 driver-green) — 15
     "lakehouse_roundtrip", "s8_txn_time_travel", "s1_scan_project",
-    "f2_time_range", "v2_quality_stage",
-    "a1_vwap_by_flag", "a2_vwap_top10", "a4_pricing_summary",
-    "a5_ohlcv_resample",
+    "v2_quality_stage",
+    "a2_vwap_top10", "a4_pricing_summary", "a5_ohlcv_resample",
     "j3_broadcast_join", "j6_asof_join", "j6_asof_bucketed",
     "j9_multiway_topk",
-    "w1_lag_gaps", "w3_moving_avg",
+    "w1_lag_gaps",
     "e2_ngram_jaccard", "e2_dedup_clusters", "e5_frame_sample",
 ]
 

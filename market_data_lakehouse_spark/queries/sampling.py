@@ -1,0 +1,178 @@
+"""Dataset assembly operators for training-data pipelines — E6.
+
+The reference has no sampling surface at all; these are the standard
+operations a 100 TB corpus pipeline runs between cleaning and
+training, declared as first-class oracle-checked queries:
+
+- deterministic train/val/test split (hash-gated, no RNG state —
+  reproducible across runs, engines, and cluster sizes),
+- stratified per-source downsampling (cap overrepresented sources),
+- token-budget sharding (pack documents into fixed-token training
+  shards via a cumulative sum).
+
+Determinism is the design constraint: every gate derives from
+``md5(cast(doc_id as string))``, which Spark and DuckDB compute
+identically (verified hex-equal), so the oracle reproduces the exact
+membership — not just the distribution. At 100 TB each operator is a
+single scan plus one map-side-combined aggregate (split/sample) or
+one window pass (sharding); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.queries.catalog import load, register
+
+# First hex nibble of md5(doc_id): 16 uniform buckets.
+#   0-b (12/16 = 75%) -> train, c-d (2/16) -> val, e-f (2/16) -> test
+_TRAIN_MAX = "b"
+_VAL_MAX = "d"
+
+# Stratified sample: keep docs whose SECOND nibble is in 0-3 (25%) —
+# independent of the split nibble, so sampling composes with the
+# split without correlation.
+_SAMPLE_MAX = "3"
+
+SHARD_TOKENS = 20_000  # token budget per training shard
+
+
+def _nibble(pos: int) -> F.Column:
+    """pos-th hex char (1-based) of md5(doc_id) — a uniform,
+    deterministic 1/16 bucket usable as an independent gate per pos."""
+    return F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), pos, 1
+    )
+
+
+def _n_tokens() -> F.Column:
+    """Whitespace token count; 0 for NULL/empty text (split('') yields
+    [''], coalesce guards NULL)."""
+    return F.when(
+        F.coalesce(F.trim(F.col("text")), F.lit("")) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+
+
+@register(
+    "e6_hash_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       <= '{_TRAIN_MAX}' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       <= '{_VAL_MAX}' THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY split
+    """,
+)
+def e6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split: the gate is
+    the first hex nibble of md5(doc_id), so membership is a pure
+    function of the row — stable under reruns, repartitioning, and
+    engine choice (no RNG, no sample() seed coupling to partition
+    layout, which Spark's sample() has). One scan, one
+    map-side-combined aggregate; the split column itself is what a
+    writer would partitionBy."""
+    docs = load(spark, sf_dir, "documents")
+    split = (
+        F.when(_nibble(1) <= _TRAIN_MAX, "train")
+        .when(_nibble(1) <= _VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), _n_tokens().alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "e6_stratified_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+               <= '{_SAMPLE_MAX}' AS kept
+      FROM documents)
+    SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM tagged GROUP BY source
+    """,
+)
+def e6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% per-source sample — the "cap overrepresented
+    sources" mixture step. The gate nibble (position 2) is
+    independent of e6_hash_split's (position 1), so sampling within a
+    split keeps both distributions uniform. Reported as per-source
+    sampled-vs-total counts; the sampled rows themselves are
+    ``WHERE kept`` on the same expression."""
+    docs = load(spark, sf_dir, "documents")
+    kept = _nibble(2) <= _SAMPLE_MAX
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_sampled"),
+        )
+    )
+
+
+@register(
+    "e6_token_shards",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   ) / {SHARD_TOKENS}) AS BIGINT) AS shard_id
+      FROM toks)
+    SELECT COALESCE(shard_id, 0) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY 1
+    """,
+)
+def e6_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding: documents in doc_id order are packed
+    into shards of ~SHARD_TOKENS whitespace tokens (a doc belongs to
+    the shard its PRECEDING cumulative count falls in, so every shard
+    reaches its budget before closing and no shard splits a doc).
+    One global-ordered window — the one legitimately non-parallel
+    step; at 100 TB the same plan runs per (source, date) partition
+    key prepended to the window/ordering, restoring parallelism while
+    keeping shards contiguous within each partition."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _n_tokens().alias("n_tok"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard = F.floor(
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / SHARD_TOKENS
+    )
+    return (
+        toks.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

@@ -311,6 +311,10 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive the embedding dimension from the data (one tiny job)
     # rather than assuming 64 — the hyperplane matrix must match it
     dim = em.select(F.size("embedding")).first()[0]
+    # one bucket UDF per table (scalar long output): measured equal
+    # or faster than a single array<long>-returning multi-table UDF —
+    # the per-row list allocation of an array return costs more than
+    # the extra Arrow serializations of the input column at dim=64
     bucketed = em
     for t in range(ANN_TABLES):
         bucketed = bucketed.withColumn(
