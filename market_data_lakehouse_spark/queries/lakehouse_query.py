@@ -99,6 +99,48 @@ def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s8_merge_upsert",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN event_id >= 2500 THEN value * 2
+                          ELSE value END), 2) AS sum_value
+    FROM events WHERE event_id < 7500 GROUP BY event_type
+    """,
+)
+def s8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE as a hard signal: seed the transactional
+    lake with events < 5000, then merge a source of events 2500-7499
+    with doubled values — 2500-4999 are updates (matched keys,
+    affected files rewritten), 5000-7499 inserts. The final snapshot
+    must equal the SQL union of untouched + updated + inserted rows;
+    any survivor loss, double-apply, or missed insert diverges the
+    hash."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", F.to_date("ts").alias("date"))
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_merge_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=("date",))
+    tx.append(ev.filter(F.col("event_id") < 5000))
+    source = ev.filter(
+        (F.col("event_id") >= 2500) & (F.col("event_id") < 7500)
+    ).withColumn("value", F.col("value") * 2)
+    tx.merge(source, on="event_id")
+    return (
+        tx.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "s8_txn_time_travel",
     oracle="""
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value

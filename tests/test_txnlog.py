@@ -103,6 +103,62 @@ class TestSchemaEvolution:
         assert rows == {"AAPL": None, "MSFT": "NYSE"}
 
 
+class TestMerge:
+    def test_upsert_updates_and_inserts(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.append(_df(spark, [("GOOG", 2800)], date="2024-06-16"))
+        v = lake.merge(
+            _df(spark, [("AAPL", 175), ("NVDA", 900)]), on="symbol"
+        )
+        assert v == 2
+        got = {r.symbol: r.price for r in lake.snapshot().collect()}
+        assert got == {"AAPL": 175.0, "MSFT": 300.0, "GOOG": 2800.0, "NVDA": 900.0}
+        # time-travel still sees the pre-merge state
+        pre = {r.symbol: r.price for r in lake.snapshot(version=1).collect()}
+        assert pre["AAPL"] == 150.0 and "NVDA" not in pre
+
+    def test_merge_rewrites_only_affected_files(self, spark, lake):
+        """The 2024-06-16 file contains no matched key, so the merge
+        commit must not remove it — copy-on-write touches only files
+        holding matches."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("GOOG", 2800)], date="2024-06-16"))
+        lake.merge(_df(spark, [("AAPL", 175)]), on="symbol")
+        c = lake._read_commit(2)
+        assert c["op"] == "merge"
+        assert all("date=2024-06-15" in f for f in c["remove"]), c["remove"]
+
+    def test_matched_delete_and_ignore_insert(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.merge(
+            _df(spark, [("AAPL", 0), ("NVDA", 900)]),
+            on="symbol",
+            when_matched="delete",
+            when_not_matched="ignore",
+        )
+        got = {r.symbol for r in lake.snapshot().collect()}
+        assert got == {"MSFT"}  # AAPL deleted, NVDA ignored
+
+    def test_duplicate_source_keys_raise(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        with pytest.raises(ValueError, match="duplicate keys"):
+            lake.merge(
+                _df(spark, [("AAPL", 1), ("AAPL", 2)]), on="symbol"
+            )
+
+    def test_merge_cdc_nets_to_upsert(self, spark, lake):
+        """Applying the merge commit's CDC deletes-then-inserts must
+        reproduce the post-merge state (survivor rewrite pairs are
+        no-ops under that order)."""
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        v = lake.merge(_df(spark, [("AAPL", 175)]), on="symbol")
+        feed = lake.read_changes(starting_version=v).collect()
+        deletes = {(r.symbol, r.price) for r in feed if r._change_type == "delete"}
+        inserts = {(r.symbol, r.price) for r in feed if r._change_type == "insert"}
+        base = {("AAPL", 150.0), ("MSFT", 300.0)}
+        assert (base - deletes) | inserts == {("AAPL", 175.0), ("MSFT", 300.0)}
+
+
 class TestCdc:
     def test_appends_feed_inserts(self, spark, lake):
         lake.append(_df(spark, [("AAPL", 150)]))
