@@ -60,6 +60,21 @@ def main() -> None:
     v1 = tx.delete_where("volume < 1000005")
     print(f"txn: v{v0} -> v{v1}; now={tx.snapshot().count()} rows, "
           f"v0={tx.snapshot(version=v0).count()} rows (time-travel)")
+    # copy-on-write upsert: update one bar, insert a new symbol
+    upsert = spark.createDataFrame(
+        [("AAPL", datetime(2024, 6, 15, 10, 29), 1.0, 2.0, 0.5, 1.5,
+          999, "equity", "2024-06-15"),
+         ("TSLA", datetime(2024, 6, 15, 10, 0), 200.0, 210.0, 195.0, 205.0,
+          500, "equity", "2024-06-15")],
+        "symbol string, timestamp timestamp, open double, high double, "
+        "low double, close double, volume long, asset_class string, "
+        "date string",
+    )
+    from pyspark.sql import functions as F
+
+    upsert = upsert.withColumn("date", F.to_date("date"))
+    v2 = tx.merge(upsert.select(*df.columns), on=("symbol", "timestamp"))
+    print(f"merge: v{v2}, now={tx.snapshot().count()} rows")
     print("cdc ops:", [h["op"] for h in tx.history()])
 
     # --- as-of join ----------------------------------------------------
@@ -90,12 +105,15 @@ def main() -> None:
     from market_data_lakehouse_spark.queries import REGISTRY
 
     for name in (
-        "a2_vwap_top10",        # flagship aggregate
-        "e1_exact_dedup",       # hash dedup
-        "e2_dedup_clusters",    # pairs -> connected components -> keep-one
-        "e3_knn_bruteforce",    # exact cosine top-k
-        "e3_ann_recall",        # measured recall of the LSH index
-        "w6_sessionize",        # gaps-and-islands sessions
+        "a2_vwap_top10",            # flagship aggregate
+        "e1_exact_dedup",           # hash dedup
+        "e2_lsh_verified_jaccard",  # LSH candidates -> exact verify
+        "e2_dedup_clusters",        # pairs -> connected components -> keep-one
+        "e3_knn_bruteforce",        # exact cosine top-k
+        "e3_ann_recall",            # measured recall of the LSH index
+        "w6_sessionize",            # gaps-and-islands sessions
+        "e6_hash_split",            # deterministic train/val/test split
+        "e6_token_shards",          # token-budget training shards
     ):
         out = REGISTRY[name].fn(spark, sf_dir)
         print(f"{name}: {out.count()} rows")
