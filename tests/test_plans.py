@@ -116,9 +116,14 @@ class TestPlans:
             e3_knn_bruteforce,
         )
 
+        from market_data_lakehouse_spark.queries.dedup import (
+            e2_lsh_verified_jaccard,
+        )
+
         for fn in (
             e2_minhash_lsh,
             e2_ngram_jaccard,
+            e2_lsh_verified_jaccard,
             e2_embedding_neardup,
             e3_ann_lsh,
             e3_knn_bruteforce,
@@ -126,6 +131,18 @@ class TestPlans:
             p = simple_plan(fn(spark, sf_dir))
             assert "CartesianProduct" not in p, fn.__name__
             assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+
+    def test_hash_split_prunes_and_partial_aggregates(self, spark, sf_dir):
+        """The split reads only doc_id+text (projection reaches the
+        parquet scan) and aggregates with map-side combine — one scan,
+        one small exchange of per-split partials."""
+        from market_data_lakehouse_spark.queries.sampling import e6_hash_split
+
+        p = plan(e6_hash_split(spark, sf_dir))
+        read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+        assert "doc_id" in read_schema and "text" in read_schema
+        assert "n_chars" not in read_schema and "lang" not in read_schema
+        assert p.count("HashAggregate") >= 2  # partial + final
 
     def test_ingest_write_rebalances_on_partition_key(self, spark, tmp_path):
         """The append plan must carry a REBALANCE on date: without it
