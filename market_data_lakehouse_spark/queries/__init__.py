@@ -69,7 +69,7 @@ _DRIVER_WINDOW = [
     # (b) round-3 fixes + new queries — 7
     "w6_sessionize", "s2_csv_roundtrip", "e2_lsh_verified_jaccard",
     "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
-    "s8_merge_upsert",
+    "s8_merge_upsert", "a11_unpivot",
     # (c) rows-only sketches kept executing in-window — 5
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
     "a7_approx_distinct", "a9_percentile_approx",
@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "j3_broadcast_join", "j6_asof_join",
     "j9_multiway_topk",
     "w1_lag_gaps",
-    "e2_ngram_jaccard", "e2_dedup_clusters", "e5_frame_sample",
+    "e2_dedup_clusters", "e5_frame_sample",
 ]
 
 

@@ -1320,3 +1320,38 @@ def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("R").alias("qty_R"),
         )
     )
+
+
+@register(
+    "a11_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_linestatus,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY l_linestatus)
+    SELECT l_linestatus, metric, ROUND(value, 2) AS value
+    FROM wide
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+    """,
+)
+def a11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the pivot inverse): a wide per-status summary
+    reshaped to (key, metric, value) long form — the shape feature
+    stores and plotting layers consume. Spark's ``unpivot`` compiles
+    to a single Expand node over the aggregate (each input row emits
+    one row per metric) — no join, no shuffle beyond the aggregate's
+    own exchange, so the reshape is free at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_linestatus"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select("l_linestatus", "metric", F.round("value", 2).alias("value"))
