@@ -69,14 +69,14 @@ _DRIVER_WINDOW = [
     # (b) round-3 fixes + new queries — 7
     "w6_sessionize", "s2_csv_roundtrip", "e2_lsh_verified_jaccard",
     "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
-    "s8_merge_upsert", "a11_unpivot",
+    "s8_merge_upsert", "a11_unpivot", "x7_map_funcs",
     # (c) rows-only sketches kept executing in-window — 5
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
     "a7_approx_distinct", "a9_percentile_approx",
     # (d) family representatives (all r2 driver-green) — 14
     "lakehouse_roundtrip", "s8_txn_time_travel", "s1_scan_project",
     "v2_quality_stage",
-    "a2_vwap_top10", "a4_pricing_summary", "a5_ohlcv_resample",
+    "a2_vwap_top10", "a5_ohlcv_resample",
     "j3_broadcast_join", "j6_asof_join",
     "j9_multiway_topk",
     "w1_lag_gaps",

@@ -1213,6 +1213,38 @@ def x7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x7_map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(list_concat(json_keys(props), ['type'])), ',')
+             AS map_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           list_contains(json_keys(props), 'k') AS has_k,
+           CAST(len(json_keys(props)) + 1 AS INT) AS n_entries
+    FROM events WHERE event_id < 2000
+    """,
+)
+def x7_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function family (X7 map_*): parse the JSON props into
+    a real map<string,string>, enrich it with map_concat/create_map,
+    then read it back out with map_keys / element_at /
+    map_contains_key / size — all codegen'd JVM expressions; the map
+    never round-trips through Python."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,string>")
+    full = F.map_concat(m, F.create_map(F.lit("type"), F.col("event_type")))
+    return ev.select(
+        "event_id",
+        # serialized to text: the driver's value-hash compares scalar
+        # cells, not nested arrays
+        F.array_join(F.sort_array(F.map_keys(full)), ",").alias("map_keys"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.size(full).alias("n_entries"),
+    )
+
+
+@register(
     "x7_array_ops",
     oracle="""
     SELECT vec_id,
