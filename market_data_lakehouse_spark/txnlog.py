@@ -361,6 +361,24 @@ class TransactionalLake:
                     "this check)"
                 )
         old, schemas, read_v = self._snapshot_state()
+        if read_v < 0 or not old:
+            # empty table: every source row is unmatched (Delta MERGE
+            # into an empty target inserts)
+            if when_not_matched == "insert":
+                added = self._write_files(source)
+                return self._commit(
+                    {
+                        "op": "merge",
+                        "add": added,
+                        "remove": [],
+                        "schema": source.schema.json(),
+                    },
+                    read_version=read_v,
+                )
+            return self._commit(
+                {"op": "merge", "add": [], "remove": []},
+                read_version=read_v,
+            )
         self._check_schema(source, merge_schema=False)
         snap = self._df_for_files(old, schemas)
         src_keys = source.select(*keys).distinct()

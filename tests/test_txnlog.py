@@ -139,6 +139,11 @@ class TestMerge:
         got = {r.symbol for r in lake.snapshot().collect()}
         assert got == {"MSFT"}  # AAPL deleted, NVDA ignored
 
+    def test_merge_into_empty_table_inserts(self, spark, lake):
+        v = lake.merge(_df(spark, [("AAPL", 150)]), on="symbol")
+        assert v == 0
+        assert lake.snapshot().count() == 1
+
     def test_duplicate_source_keys_raise(self, spark, lake):
         lake.append(_df(spark, [("AAPL", 150)]))
         with pytest.raises(ValueError, match="duplicate keys"):
