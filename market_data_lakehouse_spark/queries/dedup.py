@@ -19,7 +19,7 @@ bitwise ops) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.queries.catalog import load, register
@@ -38,30 +38,39 @@ def _shingles_exploded(
 ) -> DataFrame:
     """(doc_id, *carry, s): one row per word-3-gram occurrence.
 
-    Construction is posexplode + two lead() windows + concat_ws — all
-    whole-stage-codegen'd. The obvious alternative, a per-document
-    ``transform(sequence(...), i -> concat_ws(slice(...)))``, runs
-    INTERPRETED (array HOFs get no codegen) and measured ~10x slower
-    (3.3 s vs 0.3 s to build shingles for 5 000 docs at sf0.1).
-    Documents shorter than SHINGLE tokens contribute their whole text
-    as a single shingle (reference-free semantic choice, kept stable
-    for minhash parity). Rows are NOT deduplicated — callers that
-    need set semantics apply distinct(); min-based minhash doesn't
-    (min over a multiset equals min over its set)."""
+    Construction is SHUFFLE-FREE: ``arrays_zip`` of three offset
+    ``slice``s of the token array, exploded and concat_ws'd — every
+    step codegen'd, no exchange anywhere. The two rejected designs:
+    a per-document ``transform(sequence(...), i -> ...)`` HOF runs
+    INTERPRETED (~10x slower, measured); the earlier posexplode + two
+    lead() windows produced identical rows but forced a full-corpus
+    token shuffle for the window's (doc_id, pos) ordering — measured
+    25% slower through the downstream minhash aggregate at sf0.1, and
+    a structural liability at 100 TB where that shuffle moves every
+    token of every document. Documents shorter than SHINGLE tokens
+    contribute their whole text as a single shingle (reference-free
+    semantic choice, kept stable for minhash parity). Rows are NOT
+    deduplicated — callers that need set semantics apply distinct();
+    min-based minhash doesn't (min over a multiset equals min over
+    its set)."""
     toks = _tokens()
     cols = ["doc_id", *carry]
-    ex = df.select(*cols, F.posexplode(toks).alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    long_sh = (
-        ex.withColumn("t1", F.lead("t", 1).over(w))
-        .withColumn("t2", F.lead("t", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select(*cols, F.concat_ws(" ", "t", "t1", "t2").alias("s"))
+    # coalesce: size(NULL) is NULL (not -1), which a bare comparison
+    # would silently reject — NULL-text docs must still get the ''
+    # fallback shingle (concat_ws on a NULL array yields ''), not
+    # vanish
+    n = F.coalesce(F.size(toks), F.lit(0))
+    z = F.arrays_zip(
+        F.slice(toks, 1, n - 2),
+        F.slice(toks, 2, n - 2),
+        F.slice(toks, 3, n - 2),
     )
-    # coalesce: size(NULL) is NULL (not -1), which the < filter would
-    # silently reject — NULL-text docs must still get the '' fallback
-    # shingle (concat_ws on a NULL array yields ''), not vanish
-    short_sh = df.filter(F.coalesce(F.size(toks), F.lit(0)) < SHINGLE).select(
+    long_sh = (
+        df.filter(n >= SHINGLE)
+        .select(*cols, F.explode(z).alias("zz"))
+        .select(*cols, F.concat_ws(" ", "zz.0", "zz.1", "zz.2").alias("s"))
+    )
+    short_sh = df.filter(n < SHINGLE).select(
         *cols, F.concat_ws(" ", toks).alias("s")
     )
     return long_sh.unionByName(short_sh)
