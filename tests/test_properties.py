@@ -282,9 +282,9 @@ def _active_session():
     )
 )
 def test_window_shingles_match_transform_shingles(spark, texts):
-    """The codegen'd lead()-window shingle construction must produce
-    the same shingle SETS as the per-document array transform it
-    replaced (including the <3-token whole-text fallback)."""
+    """The shuffle-free arrays_zip shingle construction must produce
+    the same shingle SETS as a per-document array transform
+    (including the <3-token whole-text fallback)."""
     from pyspark.sql import functions as F
 
     from market_data_lakehouse_spark.queries.dedup import (
@@ -314,4 +314,50 @@ def test_window_shingles_match_transform_shingles(spark, texts):
     got = set(
         map(tuple, _shingles_exploded(df, carry=()).distinct().collect())
     )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+    source=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=200, max_value=300),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_merge_matches_python_upsert(spark, tmp_path_factory, target, source):
+    """Copy-on-write MERGE vs a dict upsert: for random unique-keyed
+    target/source frames, the post-merge snapshot must equal
+    ``{**dict(target), **dict(source)}`` — survivors kept, matches
+    replaced, inserts added — regardless of which files the keys
+    landed in."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    root = tmp_path_factory.mktemp("merge_prop")
+    lake = TransactionalLake(spark, str(root / "tx"), partition_by=())
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(k, float(v)) for k, v in rows], "k long, v double"
+    )
+    lake.append(mk(target))
+    lake.merge(mk(source), on="k")
+    got = {r.k: r.v for r in lake.snapshot().collect()}
+    want = {k: float(v) for k, v in target}
+    want.update({k: float(v) for k, v in source})
     assert got == want
