@@ -77,6 +77,46 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_upsert(
+    stream: DataFrame,
+    lake,
+    on: tuple[str, ...] | str,
+    checkpoint_dir: str,
+    app_id: str = "stream_upsert",
+    trigger_ms: int = DEFAULT_TRIGGER_MS,
+    available_now: bool = False,
+):
+    """Streaming CDC-apply: every micro-batch is MERGEd into a
+    :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`
+    (matched keys updated, new keys inserted) — the upsert twin of
+    ``stream_ingest``'s append sink. Exactly-once under restart: the
+    batch id rides the commit as ``txn=(app_id, batch_id)``, so a
+    replayed foreachBatch whose merge already committed is skipped
+    (Delta's idempotent-sink contract). Late duplicates WITHIN one
+    batch would make the update nondeterministic, so the batch is
+    deduplicated per key first (keep-max over the remaining columns
+    — deterministic, order-free)."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [c for c in batch_df.columns if c not in keys]
+        deduped = batch_df.groupBy(*keys).agg(
+            F.max(F.struct(*cols)).alias("_r")
+        ).select(*keys, *[F.col(f"_r.{c}").alias(c) for c in cols])
+        lake.merge(
+            deduped, on=keys, validate_keys=False, txn=(app_id, batch_id)
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+    return writer.start()
+
+
 def streaming_ohlcv_bars(
     ticks: DataFrame,
     window: str = "1 minute",

@@ -314,6 +314,7 @@ class TransactionalLake:
         when_matched: str = "update",
         when_not_matched: str = "insert",
         validate_keys: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Copy-on-write MERGE (Delta ``MERGE INTO`` semantics): target
         rows whose key matches a source row are updated (replaced by
@@ -339,8 +340,18 @@ class TransactionalLake:
         survivor as a delete+insert pair (a semantic no-op for a
         consumer applying deletes before inserts), plus the real
         updates/inserts.
+
+        ``txn=(app_id, txn_version)``: same idempotence contract as
+        append — a replayed micro-batch whose (app_id, version) is
+        already committed is skipped, making ``stream_upsert``'s
+        foreachBatch merge exactly-once under restart.
         """
         keys = [on] if isinstance(on, str) else list(on)
+        if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
+            return self.version
+        txn_action = (
+            {"txn": {"app_id": txn[0], "version": txn[1]}} if txn else {}
+        )
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
         if when_not_matched not in ("insert", "ignore"):
@@ -372,11 +383,12 @@ class TransactionalLake:
                         "add": added,
                         "remove": [],
                         "schema": source.schema.json(),
+                        **txn_action,
                     },
                     read_version=read_v,
                 )
             return self._commit(
-                {"op": "merge", "add": [], "remove": []},
+                {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v,
             )
         self._check_schema(source, merge_schema=False)
@@ -422,7 +434,7 @@ class TransactionalLake:
         if out is None:
             # delete+ignore with nothing affected: no-op commit
             return self._commit(
-                {"op": "merge", "add": [], "remove": []},
+                {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v,
             )
         added = self._write_files(out)
@@ -432,6 +444,7 @@ class TransactionalLake:
                 "add": added,
                 "remove": affected,
                 "schema": out.schema.json(),
+                **txn_action,
             },
             read_version=read_v,
         )

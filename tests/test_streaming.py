@@ -192,6 +192,58 @@ class TestStreamingBars:
         assert df.count() == 2
 
 
+class TestStreamUpsert:
+    def test_cdc_apply_updates_and_inserts(self, spark, tmp_path):
+        """Two drained batches through the MERGE sink: the second
+        updates AAPL's price (same key) and inserts MSFT — the lake
+        must hold exactly one row per key with the latest values, and
+        in-batch duplicate keys must deterministically keep-max."""
+        from market_data_lakehouse_spark.streaming import stream_upsert
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "src")
+        lake = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=())
+        _write_json(
+            src + "/b0.json",
+            [
+                _tick("2024-06-15T10:00:00", price=100.0),
+                _tick("2024-06-15T10:00:00", price=105.0),  # in-batch dup
+            ],
+        )
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {("AAPL", 105.0)}  # keep-max dedup within batch
+        _write_json(
+            src + "/b1.json",
+            [
+                _tick("2024-06-15T10:00:00", price=110.0),  # update
+                _tick("2024-06-15T10:00:00", symbol="MSFT", price=300.0),
+            ],
+        )
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {("AAPL", 110.0), ("MSFT", 300.0)}
+        # replaying batch 1 against a FRESH checkpoint reuses the
+        # same (app_id, batch_id) txn -> merge skipped, state stable
+        v_before = lake.version
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True,
+        )
+        q.awaitTermination(120)
+        assert lake.version == v_before  # idempotent replay
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {("AAPL", 110.0), ("MSFT", 300.0)}
+
+
 class TestStreamStreamJoin:
     def test_interval_join_enriches_ticks_with_quotes(self, spark, tmp_path):
         """Stream-stream PIT enrichment: each tick pairs with the
