@@ -982,11 +982,13 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # epoch_us handles LTZ/NTZ/bigint ts exactly (a raw cast("double")
-    # fails to resolve on TIMESTAMP_NTZ); subtracting the µs remainder
-    # before dividing keeps every operand an exact multiple inside
-    # double's 53-bit range, so the floor-to-second is exact.
+    # fails to resolve on TIMESTAMP_NTZ); subtracting the pmod
+    # remainder (non-negative, unlike %, so pre-1970 epochs still
+    # FLOOR rather than truncate toward zero) keeps every operand an
+    # exact multiple inside double's 53-bit range — the
+    # floor-to-second is exact for any epoch sign.
     us = epoch_us(F.col("ts"), dict(ev.dtypes).get("ts"))
-    sec = ((us - us % 1_000_000) / 1_000_000).cast("long")
+    sec = ((us - F.pmod(us, F.lit(1_000_000))) / 1_000_000).cast("long")
     prev = F.lag(sec).over(order)
     new_s = F.when(
         prev.isNull() | ((sec - prev) > 1800), F.lit(1)

@@ -82,7 +82,7 @@ def stream_upsert(
     lake,
     on: tuple[str, ...] | str,
     checkpoint_dir: str,
-    app_id: str = "stream_upsert",
+    app_id: str | None = None,
     trigger_ms: int = DEFAULT_TRIGGER_MS,
     available_now: bool = False,
 ):
@@ -95,8 +95,21 @@ def stream_upsert(
     (Delta's idempotent-sink contract). Late duplicates WITHIN one
     batch would make the update nondeterministic, so the batch is
     deduplicated per key first (keep-max over the remaining columns
-    — deterministic, order-free)."""
+    — deterministic, order-free).
+
+    ``app_id`` defaults to a hash of the checkpoint dir: batch ids
+    restart at 0 for every new checkpoint, so a FIXED default id
+    would make a second stream writing to the same lake silently
+    skip its first batches as "already committed" replays. Pass an
+    explicit app_id only to make an intentional replay domain (the
+    exactly-once test does)."""
+    import hashlib
+
     keys = [on] if isinstance(on, str) else list(on)
+    if app_id is None:
+        app_id = "stream_upsert-" + hashlib.md5(
+            checkpoint_dir.encode()
+        ).hexdigest()[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cols = [c for c in batch_df.columns if c not in keys]

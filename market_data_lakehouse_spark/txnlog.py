@@ -352,6 +352,10 @@ class TransactionalLake:
         txn_action = (
             {"txn": {"app_id": txn[0], "version": txn[1]}} if txn else {}
         )
+        # one evaluation of the source per merge: validate, the
+        # affected-file probe, and the rewrite all reuse the
+        # checkpointed batch instead of recomputing its lineage
+        source = source.localCheckpoint(eager=False)
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
         if when_not_matched not in ("insert", "ignore"):
@@ -372,6 +376,10 @@ class TransactionalLake:
                     "this check)"
                 )
         old, schemas, read_v = self._snapshot_state()
+        # schema enforcement applies even when the table is currently
+        # EMPTY of files (e.g. fully deleted): the committed schema
+        # survives and a merge must not silently replace it
+        self._check_schema(source, merge_schema=False)
         if read_v < 0 or not old:
             # empty table: every source row is unmatched (Delta MERGE
             # into an empty target inserts)
@@ -391,7 +399,6 @@ class TransactionalLake:
                 {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v,
             )
-        self._check_schema(source, merge_schema=False)
         snap = self._df_for_files(old, schemas)
         src_keys = source.select(*keys).distinct()
         # affected = files containing at least one matched key; the
@@ -414,23 +421,70 @@ class TransactionalLake:
             for p in abs_affected
         ]
         parts: list[DataFrame] = []
-        if affected:
-            aff_df = self._df_for_files(affected, schemas)
+        aff_df = (
+            self._df_for_files(affected, schemas) if affected else None
+        )
+        if aff_df is not None:
             # survivors: rows in affected files whose key has NO
-            # source match (matched rows are replaced or dropped)
+            # source match
             parts.append(aff_df.join(F.broadcast(src_keys), keys, "left_anti"))
-        tgt_keys = snap.select(*keys).distinct()
-        if when_matched == "update" and when_not_matched == "insert":
-            parts.append(source)  # updates + inserts in one branch
-        else:
             if when_matched == "update":
-                parts.append(source.join(tgt_keys, keys, "left_semi"))
-            if when_not_matched == "insert":
-                parts.append(source.join(tgt_keys, keys, "left_anti"))
+                # EVERY matched target row is updated in place (Delta
+                # MERGE semantics): join target rows to the unique
+                # source, taking the source's non-key values — output
+                # multiplicity equals the target's, so duplicate-keyed
+                # target rows are preserved, not collapsed
+                non_keys = [c for c in source.columns if c not in keys]
+                upd = aff_df.select(*keys).join(
+                    F.broadcast(
+                        source.select(
+                            *keys,
+                            *[
+                                F.col(c).alias(f"_src_{c}")
+                                for c in non_keys
+                            ],
+                        )
+                    ),
+                    keys,
+                )
+                parts.append(
+                    upd.select(
+                        *keys,
+                        *[
+                            F.col(f"_src_{c}").alias(c) for c in non_keys
+                        ],
+                    )
+                )
+        if when_not_matched == "insert":
+            # a source key with ANY target match made its file
+            # affected, so the insert anti-join needs only the
+            # affected files' keys — never a full-table distinct
+            if aff_df is not None:
+                parts.append(
+                    source.join(
+                        aff_df.select(*keys).distinct(), keys, "left_anti"
+                    )
+                )
+            else:
+                parts.append(source)
         out: DataFrame | None = None
         for p in parts:
-            sel = p.select(*snap.columns)  # canonical column order
-            out = sel if out is None else out.unionByName(sel)
+            # null-fill columns a pre-evolution file or the source
+            # lacks (mergeSchema reads over a SUBSET of files only
+            # carry the columns present in that subset)
+            out = p if out is None else out.unionByName(
+                p, allowMissingColumns=True
+            )
+        if out is not None:
+            missing = [c for c in snap.columns if c not in out.columns]
+            out = out.select(
+                *[
+                    F.lit(None).cast(dict(snap.dtypes)[c]).alias(c)
+                    if c in missing
+                    else c
+                    for c in snap.columns
+                ]
+            )
         if out is None:
             # delete+ignore with nothing affected: no-op commit
             return self._commit(

@@ -212,7 +212,8 @@ class TestStreamUpsert:
         )
         q = stream_upsert(
             read_tick_stream(spark, src), lake, on=("symbol", "ts"),
-            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+            checkpoint_dir=str(tmp_path / "ckpt"), app_id="cdc-apply",
+            available_now=True,
         )
         q.awaitTermination(120)
         got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
@@ -226,17 +227,21 @@ class TestStreamUpsert:
         )
         q = stream_upsert(
             read_tick_stream(spark, src), lake, on=("symbol", "ts"),
-            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+            checkpoint_dir=str(tmp_path / "ckpt"), app_id="cdc-apply",
+            available_now=True,
         )
         q.awaitTermination(120)
         got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
         assert got == {("AAPL", 110.0), ("MSFT", 300.0)}
-        # replaying batch 1 against a FRESH checkpoint reuses the
-        # same (app_id, batch_id) txn -> merge skipped, state stable
+        # replaying against a FRESH checkpoint with the SAME explicit
+        # app_id reuses (app_id, batch_id) -> merge skipped, state
+        # stable (a default app_id is per-checkpoint, so an unrelated
+        # stream never collides into this replay domain)
         v_before = lake.version
         q = stream_upsert(
             read_tick_stream(spark, src), lake, on=("symbol", "ts"),
-            checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True,
+            checkpoint_dir=str(tmp_path / "ckpt2"), app_id="cdc-apply",
+            available_now=True,
         )
         q.awaitTermination(120)
         assert lake.version == v_before  # idempotent replay

@@ -139,6 +139,49 @@ class TestMerge:
         got = {r.symbol for r in lake.snapshot().collect()}
         assert got == {"MSFT"}  # AAPL deleted, NVDA ignored
 
+    def test_update_preserves_duplicate_keyed_target_rows(self, spark, lake):
+        """Delta MERGE updates EVERY matched target row: a target
+        holding two rows for the same key must come out with two rows
+        both carrying the source values — not collapsed to one."""
+        lake.append(
+            spark.createDataFrame(
+                [("AAPL", 150.0, "2024-06-15"), ("AAPL", 151.0, "2024-06-15"),
+                 ("MSFT", 300.0, "2024-06-15")],
+                "symbol string, price double, date string",
+            )
+        )
+        lake.merge(_df(spark, [("AAPL", 175)]), on="symbol")
+        rows = sorted(
+            (r.symbol, r.price) for r in lake.snapshot().collect()
+        )
+        assert rows == [("AAPL", 175.0), ("AAPL", 175.0), ("MSFT", 300.0)]
+
+    def test_merge_after_schema_evolution_null_fills(self, spark, lake):
+        """A merge whose affected files predate a schema evolution
+        must null-fill the missing column for survivors/updates, not
+        crash on an unresolved column."""
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.append(
+            spark.createDataFrame(
+                [("GOOG", 2800.0, "2024-06-16", "NASDAQ")],
+                "symbol string, price double, date string, exchange string",
+            ),
+            merge_schema=True,
+        )
+        lake.merge(
+            spark.createDataFrame(
+                [("AAPL", 175.0, "2024-06-15", "NYSE")],
+                "symbol string, price double, date string, exchange string",
+            ),
+            on="symbol",
+        )
+        got = {r.symbol: (r.price, r.exchange) for r in lake.snapshot().collect()}
+        assert got == {
+            "AAPL": (175.0, "NYSE"),
+            "MSFT": (300.0, None),  # survivor from pre-evolution file
+            "GOOG": (2800.0, "NASDAQ"),
+        }
+
     def test_merge_into_empty_table_inserts(self, spark, lake):
         v = lake.merge(_df(spark, [("AAPL", 150)]), on="symbol")
         assert v == 0
