@@ -139,6 +139,37 @@ class TestMerge:
         got = {r.symbol for r in lake.snapshot().collect()}
         assert got == {"MSFT"}  # AAPL deleted, NVDA ignored
 
+    def test_delete_rewrites_only_affected_files(self, spark, lake):
+        """A delete matching rows in one date file must leave the
+        other date's file untouched in the commit's remove list."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("GOOG", 2800)], date="2024-06-16"))
+        v = lake.delete_where("symbol = 'AAPL'")
+        c = lake._read_commit(v)
+        assert all("date=2024-06-15" in f for f in c["remove"]), c["remove"]
+        assert {r.symbol for r in lake.snapshot().collect()} == {"GOOG"}
+
+    def test_delete_no_match_is_noop_commit(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v = lake.delete_where("symbol = 'ZZZZ'")
+        c = lake._read_commit(v)
+        assert c["add"] == [] and c["remove"] == []
+        assert lake.snapshot().count() == 1
+
+    def test_update_where_assignments(self, spark, lake):
+        """Copy-on-write UPDATE: matched rows get the expression
+        value, unmatched rows in the same file are byte-identical
+        survivors, files with no match aren't rewritten."""
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.append(_df(spark, [("GOOG", 2800)], date="2024-06-16"))
+        v = lake.update_where("symbol = 'AAPL'", {"price": "price * 2"})
+        c = lake._read_commit(v)
+        assert all("date=2024-06-15" in f for f in c["remove"])
+        got = {r.symbol: r.price for r in lake.snapshot().collect()}
+        assert got == {"AAPL": 300.0, "MSFT": 300.0, "GOOG": 2800.0}
+        with pytest.raises(ValueError, match="unknown columns"):
+            lake.update_where("TRUE", {"nope": "1"})
+
     def test_update_preserves_duplicate_keyed_target_rows(self, spark, lake):
         """Delta MERGE updates EVERY matched target row: a target
         holding two rows for the same key must come out with two rows
@@ -218,11 +249,17 @@ class TestCdc:
         assert rows[0]["_commit_version"] == 1
 
     def test_delete_emits_changes(self, spark, lake):
-        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        """Survivors sharing a file with deleted rows round-trip
+        through the feed as delete+insert; coalesce(1) forces the
+        co-location (affected-only delete leaves other files out of
+        the feed entirely)."""
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]).coalesce(1))
         lake.delete_where("symbol = 'AAPL'")
         assert lake.snapshot().count() == 1
         ch = lake.read_changes(starting_version=1).toPandas()
         assert set(ch["_change_type"]) == {"insert", "delete"}
+        ins = ch[ch["_change_type"] == "insert"]
+        assert list(ins["symbol"]) == ["MSFT"]  # survivor rewrite only
 
 
 class TestMaintenance:
