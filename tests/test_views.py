@@ -66,3 +66,30 @@ def test_deletes_fold_negatively_and_empty_keys_drop(spark, lake, tmp_path):
     full = _full_vwap(lake.snapshot())
     read = {r.symbol: (r.vwap, r.total_volume) for r in view.read().collect()}
     assert read == full
+
+
+def test_merge_and_update_commits_fold_through_view(spark, lake, tmp_path):
+    """MERGE and update_where emit delete+insert pairs in the CDC
+    feed; the view's signed fold must net them to the post-DML truth
+    without any special-casing of the new commit types."""
+    view = VwapView(lake, str(tmp_path / "view"))
+    lake.append(
+        _ticks(
+            spark, [("AAPL", 100, 10), ("AAPL", 110, 10), ("MSFT", 50, 4)]
+        ).coalesce(1)
+    )
+    view.refresh()
+    # upsert: replace MSFT (matched) and insert GOOG
+    lake.merge(
+        _ticks(spark, [("MSFT", 60, 8), ("GOOG", 70, 2)]), on="symbol"
+    )
+    view.refresh()
+    got = {r.symbol: (r.vwap, r.total_volume) for r in view.read().collect()}
+    assert got == _full_vwap(lake.snapshot())
+    assert got["MSFT"] == (pytest.approx(60.0), 8)
+    # in-place update: double AAPL volumes
+    lake.update_where("symbol = 'AAPL'", {"volume": "volume * 2"})
+    view.refresh()
+    got = {r.symbol: (r.vwap, r.total_volume) for r in view.read().collect()}
+    assert got == _full_vwap(lake.snapshot())
+    assert got["AAPL"][1] == 40
