@@ -66,17 +66,18 @@ _DRIVER_WINDOW = [
     "e4_token_stats", "e4_lang_id", "e4_quality_score", "e4_bpe_token_count",
     "e4_rolling_chunks", "e4_tfidf", "e4_fingerprint", "e4_corpus_clean",
     "e4_pii_redaction", "e4_ngram_freq",
-    # (b) round-3 fixes + new queries — 9
+    # (b) round-3 fixes + new queries — 10
     "w6_sessionize", "s2_csv_roundtrip", "e2_lsh_verified_jaccard",
     "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
     "s8_merge_upsert", "a11_unpivot", "x7_map_funcs",
+    "j10_exists_subquery",
     # (c) rows-only sketches kept executing in-window — 5
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
     "a7_approx_distinct", "a9_percentile_approx",
-    # (d) family representatives (all r2 driver-green) — 12
+    # (d) family representatives (all r2 driver-green) — 11
     "lakehouse_roundtrip", "s8_txn_time_travel", "s1_scan_project",
     "v2_quality_stage",
-    "a2_vwap_top10", "a5_ohlcv_resample",
+    "a2_vwap_top10",
     "j3_broadcast_join", "j6_asof_join",
     "j9_multiway_topk",
     "w1_lag_gaps",

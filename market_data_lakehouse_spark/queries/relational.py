@@ -1215,6 +1215,44 @@ def x7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j10_exists_subquery",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j10_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery through the spark.sql surface (the
+    TPC-H Q4 shape): Catalyst decorrelates the EXISTS into a left
+    semi-join on orderkey — identical physical shape to j4_semi_join,
+    but arriving via SQL text over registered views, which is the
+    reference README's declared query interface
+    (/root/reference/README.md:77-81). Exercises the
+    parse->analyze->decorrelate path no DataFrame-built query
+    touches."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1995-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity > 45)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
     "x7_map_funcs",
     oracle="""
     SELECT event_id,
