@@ -555,20 +555,12 @@ def e3_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e3_ann_recall")  # rows-only: evaluates the engine-specific ANN
-def e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@K of the LSH ANN against brute-force ground truth —
-    the measurement that makes an approximate index defensible
-    ("measure, don't guess"): one row per query with the fraction of
-    the true top-K the bucketed search recovered (the corpus mean is
-    one AVG away — kept per-query so regressions localize). Both
-    sides are deterministic (fixed hyperplanes, tie-broken rankings),
-    so the score is reproducible run to run; at 100 TB this same plan
-    evaluates recall on a sampled query set before promoting an
-    index parameterization (n_planes / multi-probe) to the full
-    corpus."""
+def _recall_vs_bruteforce(spark, sf_dir: str, ann_fn) -> DataFrame:
+    """Per-query recall@K of an ANN variant against the brute-force
+    ground truth: one row per query with the fraction of the true
+    top-K the index recovered."""
     truth = e3_knn_bruteforce(spark, sf_dir).select("qid", "cid")
-    ann = e3_ann_lsh(spark, sf_dir).select("qid", "cid")
+    ann = ann_fn(spark, sf_dir).select("qid", "cid")
     hits = (
         truth.join(ann, ["qid", "cid"], "left_semi")
         .groupBy("qid")
@@ -586,3 +578,27 @@ def e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_q.orderBy("qid")
+
+
+@register("e3_ann_recall")  # rows-only: evaluates the engine-specific ANN
+def e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the LSH ANN against brute-force ground truth —
+    the measurement that makes an approximate index defensible
+    ("measure, don't guess"): one row per query with the fraction of
+    the true top-K the bucketed search recovered (the corpus mean is
+    one AVG away — kept per-query so regressions localize). Both
+    sides are deterministic (fixed hyperplanes, tie-broken rankings),
+    so the score is reproducible run to run; at 100 TB this same plan
+    evaluates recall on a sampled query set before promoting an
+    index parameterization (n_planes / tables / multi-probe) to the
+    full corpus."""
+    return _recall_vs_bruteforce(spark, sf_dir, e3_ann_lsh)
+
+
+@register("e3_ivf_recall")  # rows-only: evaluates the engine-specific IVF
+def e3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the IVF index (same harness as e3_ann_recall):
+    the n_cells/n_probe/Lloyd-iteration knobs get a measured score
+    instead of a guessed one. LSH and IVF recall side by side is the
+    index-selection evidence a 10^9-vector deployment needs."""
+    return _recall_vs_bruteforce(spark, sf_dir, e3_ivf_knn)

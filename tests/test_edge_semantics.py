@@ -400,3 +400,15 @@ def test_ann_multiprobe_recall_floor(spark):
     rows = e3_ann_recall(spark, sf_dir).collect()
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.8, f"mean recall@5 degraded to {mean}"
+
+
+def test_ivf_recall_floor(spark):
+    """The IVF index's recall@5 (0.86 measured at sf0.001/sf0.01)
+    must not silently degrade below 0.7 — guards the
+    n_cells/n_probe/Lloyd parameterization."""
+    from market_data_lakehouse_spark.queries.similarity import e3_ivf_recall
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = e3_ivf_recall(spark, sf_dir).collect()
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.7, f"IVF mean recall@5 degraded to {mean}"
