@@ -1,0 +1,15 @@
+"""The runnable tour must keep working as the API evolves —
+examples rot silently otherwise. Runs the whole quickstart main()
+against the smallest driver dataset."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_quickstart_runs_end_to_end(spark, monkeypatch):
+    sys.path.insert(0, "/root/repo/examples")
+    import quickstart
+
+    monkeypatch.setattr(sys, "argv", ["quickstart.py", "/root/testdata/sf0.001"])
+    quickstart.main()  # raises on any API drift / broken operator
