@@ -284,6 +284,23 @@ def test_connected_components_multi_hop_chain(spark):
                    10: 10, 11: 10, 99: 99}  # no row for 3 (not a vertex)
 
 
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Pointer halving must make round count logarithmic: a 64-node
+    path (diameter 63) has to converge well inside a 12-round budget
+    — plain min-propagation would need 63 rounds and previously blew
+    the default 30-round budget on any such component."""
+    from market_data_lakehouse_spark.queries.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "u long")
+    got = {r.u: r.lbl for r in
+           connected_components(verts, edges, max_rounds=12).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_connected_components_round_budget_raises(spark):
     """Non-convergence inside max_rounds must be a loud error, never
     a silently-wrong partial labeling."""
