@@ -430,10 +430,14 @@ def connected_components(
         prop = und.join(
             labels.withColumnRenamed("u", "v"), "v"
         ).select("u", "lbl")
+        # checkpoint BEFORE the halving self-join: `stepped` (the
+        # round's expensive union+min shuffle) feeds both join sides
+        # and would otherwise be recomputed twice per round
         stepped = (
             labels.unionByName(prop)
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
         )
         # pointer halving: adopt the label of your label. Every label
         # IS a node id in the same component (labels start as self and

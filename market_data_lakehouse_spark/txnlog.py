@@ -214,10 +214,19 @@ class TransactionalLake:
         shutil.rmtree(staging)
         return added
 
-    def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
-        if self.version < 0:
-            return
-        _files, schemas, _v = self._snapshot_state()
+    def _check_schema(
+        self,
+        df: DataFrame,
+        merge_schema: bool,
+        schemas: list[str] | None = None,
+    ) -> None:
+        """``schemas``: pass an already-resolved schema history to
+        skip the extra O(commits) log scan (stream_upsert pays this
+        per micro-batch otherwise)."""
+        if schemas is None:
+            if self.version < 0:
+                return
+            _files, schemas, _v = self._snapshot_state()
         if not schemas:
             return
         # Schema enforcement: new columns require merge_schema=True
@@ -229,6 +238,32 @@ class TransactionalLake:
                 f"schema mismatch: new columns {sorted(new)}; pass "
                 "merge_schema=True to evolve the table schema"
             )
+
+    def _conform(self, df: DataFrame, schemas: list[str]) -> DataFrame:
+        """Project ``df`` onto the table's committed schema: missing
+        columns null-fill with their committed type, order follows the
+        committed field order. Keeps DML over pre-evolution files (or
+        narrow sources) from silently dropping evolved columns."""
+        if not schemas:
+            return df
+        fields = json.loads(schemas[-1])["fields"]
+        from pyspark.sql.types import StructField, StructType
+
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f["name"])
+                if f["name"] in have
+                else F.lit(None)
+                .cast(
+                    StructType([StructField.fromJson(f)])
+                    .fields[0]
+                    .dataType
+                )
+                .alias(f["name"])
+                for f in fields
+            ]
+        )
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest application-supplied transaction version committed
@@ -288,17 +323,10 @@ class TransactionalLake:
             read_version=read_v,
         )
 
-    def _affected_files(self, snap: DataFrame, match) -> list[str]:
-        """Table-relative paths of live files containing >= 1 row
-        matching ``match`` (a boolean Column). One scan with the
-        file-path metadata column; the collect moves paths, not rows."""
-        abs_paths = [
-            r.f
-            for r in snap.filter(match)
-            .select(F.col("_metadata.file_path").alias("f"))
-            .distinct()
-            .collect()
-        ]
+    def _rel_paths(self, abs_paths: list[str]) -> list[str]:
+        """Table-relative paths from _metadata.file_path values
+        (strips the local-FS URI prefix; the single place to extend
+        for s3:/hdfs: prefixes)."""
         prefix = "file:"
         return [
             os.path.relpath(
@@ -306,6 +334,20 @@ class TransactionalLake:
             )
             for p in abs_paths
         ]
+
+    def _affected_files(self, snap: DataFrame, match) -> list[str]:
+        """Table-relative paths of live files containing >= 1 row
+        matching ``match`` (a boolean Column). One scan with the
+        file-path metadata column; the collect moves paths, not rows."""
+        return self._rel_paths(
+            [
+                r.f
+                for r in snap.filter(match)
+                .select(F.col("_metadata.file_path").alias("f"))
+                .distinct()
+                .collect()
+            ]
+        )
 
     def delete_where(self, predicate: str) -> int:
         """Copy-on-write delete (Delta DELETE semantics): rewrite ONLY
@@ -320,6 +362,14 @@ class TransactionalLake:
         NULL predicates keep the row (SQL DELETE removes only
         provably-true matches)."""
         old, schemas, read_v = self._snapshot_state()
+        if not old:
+            # live-file set empty (e.g. everything already deleted):
+            # nothing can match — no-op commit, not a metadata error
+            return self._commit(
+                {"op": "delete", "predicate": predicate, "add": [],
+                 "remove": []},
+                read_version=read_v,
+            )
         snap = self._df_for_files(old, schemas)
         match = F.coalesce(F.expr(predicate), F.lit(False))
         affected = self._affected_files(snap, match)
@@ -329,9 +379,12 @@ class TransactionalLake:
                  "remove": []},
                 read_version=read_v,
             )
-        kept = self._df_for_files(affected, schemas).filter(
-            ~F.coalesce(F.expr(predicate), F.lit(False))
-        )
+        # conform BEFORE filtering: a predicate referencing a column
+        # only later files carry must see it (null-filled) on
+        # pre-evolution files too, not raise UNRESOLVED_COLUMN
+        kept = self._conform(
+            self._df_for_files(affected, schemas), schemas
+        ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         added = self._write_files(kept)
         return self._commit(
             {"op": "delete", "predicate": predicate, "add": added,
@@ -349,7 +402,19 @@ class TransactionalLake:
         ``update_where("symbol = 'AAPL'", {"price": "price * 2"})``
         """
         old, schemas, read_v = self._snapshot_state()
+        if not old:
+            return self._commit(
+                {"op": "update", "predicate": predicate, "add": [],
+                 "remove": []},
+                read_version=read_v,
+            )
         snap = self._df_for_files(old, schemas)
+        # validate against the FULL table schema: a legitimately
+        # evolved column is assignable even when no affected file
+        # happens to carry it physically
+        unknown = set(assignments) - set(snap.columns)
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
         match = F.coalesce(F.expr(predicate), F.lit(False))
         affected = self._affected_files(snap, match)
         if not affected:
@@ -358,10 +423,11 @@ class TransactionalLake:
                  "remove": []},
                 read_version=read_v,
             )
-        aff_df = self._df_for_files(affected, schemas)
-        unknown = set(assignments) - set(aff_df.columns)
-        if unknown:
-            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        # conform before predicate/assignment evaluation (see
+        # delete_where) so evolved columns resolve on every file
+        aff_df = self._conform(
+            self._df_for_files(affected, schemas), schemas
+        )
         rewritten = aff_df.select(
             *[
                 F.when(
@@ -451,19 +517,22 @@ class TransactionalLake:
         old, schemas, read_v = self._snapshot_state()
         # schema enforcement applies even when the table is currently
         # EMPTY of files (e.g. fully deleted): the committed schema
-        # survives and a merge must not silently replace it
-        self._check_schema(source, merge_schema=False)
+        # survives and a merge must not silently replace or NARROW it
+        self._check_schema(source, merge_schema=False, schemas=schemas)
         if read_v < 0 or not old:
             # empty table: every source row is unmatched (Delta MERGE
-            # into an empty target inserts)
+            # into an empty target inserts). The source is conformed
+            # to the committed schema (if any) so a narrow source
+            # cannot drop evolved columns from the table.
             if when_not_matched == "insert":
-                added = self._write_files(source)
+                seeded = self._conform(source, schemas)
+                added = self._write_files(seeded)
                 return self._commit(
                     {
                         "op": "merge",
                         "add": added,
                         "remove": [],
-                        "schema": source.schema.json(),
+                        "schema": seeded.schema.json(),
                         **txn_action,
                     },
                     read_version=read_v,
@@ -476,26 +545,23 @@ class TransactionalLake:
         src_keys = source.select(*keys).distinct()
         # affected = files containing at least one matched key; the
         # collect is O(matched files), driver-safe (paths, not rows)
-        abs_affected = [
-            r.f
-            for r in snap.select(
-                F.col("_metadata.file_path").alias("f"), *keys
-            )
-            .join(F.broadcast(src_keys), keys, "left_semi")
-            .select("f")
-            .distinct()
-            .collect()
-        ]
-        prefix = "file:"
-        affected = [
-            os.path.relpath(
-                p[len(prefix):] if p.startswith(prefix) else p, self.path
-            )
-            for p in abs_affected
-        ]
+        affected = self._rel_paths(
+            [
+                r.f
+                for r in snap.select(
+                    F.col("_metadata.file_path").alias("f"), *keys
+                )
+                .join(F.broadcast(src_keys), keys, "left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            ]
+        )
         parts: list[DataFrame] = []
         aff_df = (
-            self._df_for_files(affected, schemas) if affected else None
+            self._conform(self._df_for_files(affected, schemas), schemas)
+            if affected
+            else None
         )
         if aff_df is not None:
             # survivors: rows in affected files whose key has NO
@@ -504,17 +570,21 @@ class TransactionalLake:
             if when_matched == "update":
                 # EVERY matched target row is updated in place (Delta
                 # MERGE semantics): join target rows to the unique
-                # source, taking the source's non-key values — output
-                # multiplicity equals the target's, so duplicate-keyed
-                # target rows are preserved, not collapsed
-                non_keys = [c for c in source.columns if c not in keys]
-                upd = aff_df.select(*keys).join(
+                # source — output multiplicity equals the target's,
+                # so duplicate-keyed target rows are preserved, not
+                # collapsed. Columns the source CARRIES take the
+                # source value; columns it lacks KEEP the target
+                # value (Delta's update-by-name: absent columns are
+                # not in the SET list, so they are untouched — never
+                # nulled).
+                src_cols = [c for c in source.columns if c not in keys]
+                upd = aff_df.join(
                     F.broadcast(
                         source.select(
                             *keys,
                             *[
                                 F.col(c).alias(f"_src_{c}")
-                                for c in non_keys
+                                for c in src_cols
                             ],
                         )
                     ),
@@ -522,10 +592,12 @@ class TransactionalLake:
                 )
                 parts.append(
                     upd.select(
-                        *keys,
                         *[
-                            F.col(f"_src_{c}").alias(c) for c in non_keys
-                        ],
+                            F.col(f"_src_{c}").alias(c)
+                            if c in src_cols
+                            else F.col(c)
+                            for c in aff_df.columns
+                        ]
                     )
                 )
         if when_not_matched == "insert":

@@ -218,6 +218,63 @@ class TestMerge:
         assert v == 0
         assert lake.snapshot().count() == 1
 
+    def test_update_preserves_target_columns_absent_from_source(
+        self, spark, lake
+    ):
+        """A narrow source updates only the columns it carries;
+        target columns it lacks keep their values (Delta's
+        update-by-name) — they must not be nulled out."""
+        lake.append(
+            spark.createDataFrame(
+                [("GOOG", 2800.0, "2024-06-16", "NASDAQ")],
+                "symbol string, price double, date string, exchange string",
+            )
+        )
+        lake.merge(_df(spark, [("GOOG", 2900)]), on="symbol")
+        row = lake.snapshot().collect()[0]
+        assert (row.price, row.exchange) == (2900.0, "NASDAQ")
+
+    def test_dml_predicate_on_evolved_column(self, spark, lake):
+        """delete_where/update_where referencing a column only later
+        files carry must see it null-filled on pre-evolution files,
+        not raise UNRESOLVED_COLUMN."""
+        lake.append(_df(spark, [("AAPL", 150)]).coalesce(1))
+        lake.append(
+            spark.createDataFrame(
+                [("GOOG", 2800.0, "2024-06-16", "NASDAQ")],
+                "symbol string, price double, date string, exchange string",
+            ),
+            merge_schema=True,
+        )
+        lake.update_where("exchange IS NULL", {"price": "price + 1"})
+        got = {r.symbol: r.price for r in lake.snapshot().collect()}
+        assert got == {"AAPL": 151.0, "GOOG": 2800.0}
+        lake.delete_where("exchange IS NULL")
+        assert {r.symbol for r in lake.snapshot().collect()} == {"GOOG"}
+
+    def test_dml_on_emptied_table_is_noop_and_schema_survives(
+        self, spark, lake
+    ):
+        """DML on a table whose live-file set is empty must be a
+        no-op commit, and a merge re-seeding it must conform to the
+        committed (possibly evolved) schema rather than narrowing it."""
+        lake.append(
+            spark.createDataFrame(
+                [("GOOG", 2800.0, "2024-06-16", "NASDAQ")],
+                "symbol string, price double, date string, exchange string",
+            )
+        )
+        lake.delete_where("TRUE")
+        assert lake.snapshot().count() == 0
+        lake.delete_where("price > 0")  # empty live set: no-op
+        lake.update_where("TRUE", {"price": "0"})  # no-op
+        v = lake.merge(_df(spark, [("AAPL", 150)]), on="symbol")
+        snap = lake.snapshot()
+        assert "exchange" in snap.columns  # schema NOT narrowed
+        row = snap.collect()[0]
+        assert (row.symbol, row.price, row.exchange) == ("AAPL", 150.0, None)
+        assert v == lake.version
+
     def test_duplicate_source_keys_raise(self, spark, lake):
         lake.append(_df(spark, [("AAPL", 150)]))
         with pytest.raises(ValueError, match="duplicate keys"):
