@@ -75,6 +75,9 @@ def main() -> None:
     upsert = upsert.withColumn("date", F.to_date("date"))
     v2 = tx.merge(upsert.select(*df.columns), on=("symbol", "timestamp"))
     print(f"merge: v{v2}, now={tx.snapshot().count()} rows")
+    # in-place DML: both rewrite only the files containing a match
+    tx.update_where("symbol = 'TSLA'", {"volume": "volume * 2"})
+    tx.delete_where("symbol = 'TSLA' AND volume < 0")  # no-op here
     print("cdc ops:", [h["op"] for h in tx.history()])
 
     # --- as-of join ----------------------------------------------------
