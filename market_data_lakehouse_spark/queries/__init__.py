@@ -75,7 +75,7 @@ _DRIVER_WINDOW = [
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
     "a7_approx_distinct", "a9_percentile_approx",
     # (d) family representatives (all r2 driver-green) — 11
-    "lakehouse_roundtrip", "s8_txn_time_travel", "s1_scan_project",
+    "lakehouse_roundtrip", "s8_txn_time_travel", "e3_ivf_recall",
     "v2_quality_stage",
     "a2_vwap_top10",
     "j3_broadcast_join", "j6_asof_join",
@@ -87,7 +87,8 @@ _DRIVER_WINDOW = [
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
-    assert not missing, f"driver window names unknown: {missing}"
+    if missing:
+        raise ValueError(f"driver window names unknown: {missing}")
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
     REGISTRY.clear()

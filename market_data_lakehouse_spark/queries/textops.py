@@ -370,7 +370,7 @@ def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM quality GROUP BY md5(text))
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens_total,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
            ROUND(AVG(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
     FROM kept GROUP BY source
     """,

@@ -37,6 +37,7 @@ import shutil
 import time
 import uuid
 from datetime import datetime, timezone
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -265,6 +266,122 @@ class TransactionalLake:
             ]
         )
 
+    # widenings Spark's store-assignment (ANSI) policy treats as
+    # implicit and lossless-enough: value-preserving integral chains
+    # plus integral/float promotion into double. Everything else
+    # (narrowing, string<->numeric, temporal<->anything) must fail
+    # loudly rather than silently evolve or null-out the column.
+    _UPCASTS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("tinyint", "float"), ("tinyint", "double"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("smallint", "float"), ("smallint", "double"),
+        ("int", "bigint"), ("int", "double"),
+        ("bigint", "double"),
+        ("float", "double"),
+    }
+
+    def _cast_to_committed(self, df: DataFrame, schemas: list[str]) -> DataFrame:
+        """Cast df's columns to the committed field types (Delta's
+        ``storeAssignmentPolicy`` behavior): equal types pass through,
+        up-castable types are cast, incompatible types raise. Without
+        this, unionByName's implicit coercion can WIDEN a committed
+        column (double source into a float/int target) and the commit
+        then persists the widened schema — silent type evolution that
+        merge never opted into."""
+        if not schemas:
+            return df
+        committed = {
+            f["name"]: f for f in json.loads(schemas[-1])["fields"]
+        }
+        from pyspark.sql.types import StructField, StructType
+
+        out_cols, casted = [], False
+        for name, dt in df.dtypes:
+            field = committed.get(name)
+            if field is None:
+                out_cols.append(F.col(name))
+                continue
+            target = (
+                StructType([StructField.fromJson(field)]).fields[0].dataType
+            )
+            tgt = target.simpleString()
+            if dt == tgt:
+                out_cols.append(F.col(name))
+            elif (dt, tgt) in self._UPCASTS or dt == "void":
+                out_cols.append(F.col(name).cast(target).alias(name))
+                casted = True
+            else:
+                raise ValueError(
+                    f"merge source column '{name}' has type {dt} but the "
+                    f"table committed {tgt}; cast the source explicitly "
+                    "(implicit narrowing or cross-family casts are not "
+                    "applied)"
+                )
+        return df.select(*out_cols) if casted else df
+
+    # per-dtype byte widths for the count-based broadcast estimate
+    # (mirrors Catalyst DataType.defaultSize; unlisted/nested -> 50)
+    _DTYPE_BYTES = {
+        "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "date": 4,
+        "float": 4, "bigint": 8, "double": 8, "timestamp": 8,
+        "timestamp_ntz": 8, "string": 20, "binary": 40,
+    }
+
+    def _maybe_broadcast(
+        self, df: DataFrame, n_rows: int | None = None
+    ) -> DataFrame:
+        """Broadcast-hint ``df`` only when its size estimate is under
+        ``spark.sql.autoBroadcastJoinThreshold``. merge()'s source
+        keys are usually a tiny CDC micro-batch where the hint removes
+        a shuffle, but a bulk-backfill merge with tens of millions of
+        keys must NOT be force-broadcast (driver/executor OOM) — there
+        the hint is withheld and AQE picks the join strategy from
+        runtime stats.
+
+        Catalyst's plan estimate is used when known (parquet-backed
+        sources: file sizes); a Python-created or micro-batch source
+        is a LogicalRDD with UNKNOWN stats (Long.MaxValue), so the
+        caller passes ``n_rows`` (one cheap count over the already-
+        checkpointed batch) and the estimate is rows x schema width.
+        With neither signal the hint is withheld — fail safe."""
+        thresh = self._broadcast_threshold()
+        if thresh < 0:
+            return df
+        unknown = 1 << 62
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = unknown
+        if est >= unknown and n_rows is not None:
+            width = sum(
+                self._DTYPE_BYTES.get(dt, 50) for _c, dt in df.dtypes
+            )
+            est = n_rows * max(width, 1)
+        return F.broadcast(df) if 0 <= est <= thresh else df
+
+    def _broadcast_threshold(self) -> int:
+        """``autoBroadcastJoinThreshold`` in bytes (-1 disables)."""
+        raw = str(
+            self.spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        ).strip().lower()
+        units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        for suffix, mult in units.items():
+            for s in (suffix + "b", suffix):
+                if raw.endswith(s) and raw != s:
+                    try:
+                        return int(raw[: -len(s)]) * mult
+                    except ValueError:
+                        break
+        try:
+            return int(raw)
+        except ValueError:
+            return 10 * (1 << 20)
+
     def last_txn_version(self, app_id: str) -> int:
         """Highest application-supplied transaction version committed
         under ``app_id`` (-1 if none) — Delta's txnAppId/txnVersion
@@ -326,11 +443,19 @@ class TransactionalLake:
     def _rel_paths(self, abs_paths: list[str]) -> list[str]:
         """Table-relative paths from _metadata.file_path values
         (strips the local-FS URI prefix; the single place to extend
-        for s3:/hdfs: prefixes)."""
+        for s3:/hdfs: prefixes).
+
+        ``_metadata.file_path`` is a URI, so partition values with
+        URI-encodable characters (space, '%', '#', non-ASCII) arrive
+        percent-encoded; they must be decoded back to the on-disk
+        path or DML's remove-list never string-matches the log's
+        recorded relative path and the old file survives the rewrite
+        (duplicating its rows)."""
         prefix = "file:"
         return [
             os.path.relpath(
-                p[len(prefix):] if p.startswith(prefix) else p, self.path
+                unquote(p[len(prefix):] if p.startswith(prefix) else p),
+                self.path,
             )
             for p in abs_paths
         ]
@@ -519,6 +644,10 @@ class TransactionalLake:
         # EMPTY of files (e.g. fully deleted): the committed schema
         # survives and a merge must not silently replace or NARROW it
         self._check_schema(source, merge_schema=False, schemas=schemas)
+        # store-assignment: source dtypes conform to the committed
+        # types up front, so neither unionByName coercion nor the
+        # final commit can silently evolve a column's type
+        source = self._cast_to_committed(source, schemas)
         if read_v < 0 or not old:
             # empty table: every source row is unmatched (Delta MERGE
             # into an empty target inserts). The source is conformed
@@ -542,7 +671,16 @@ class TransactionalLake:
                 read_version=read_v,
             )
         snap = self._df_for_files(old, schemas)
-        src_keys = source.select(*keys).distinct()
+        # size-gated hint: a CDC micro-batch's keys broadcast (no
+        # shuffle), a bulk-backfill's keys do not (AQE chooses) —
+        # forcing the hint on a huge source OOMs the executors. The
+        # count doubles as the checkpoint materialization (later
+        # jobs reuse the computed batch) and upper-bounds the
+        # distinct-key count, so the estimate errs unhinted.
+        n_src = source.count()
+        src_keys = self._maybe_broadcast(
+            source.select(*keys).distinct(), n_rows=n_src
+        )
         # affected = files containing at least one matched key; the
         # collect is O(matched files), driver-safe (paths, not rows)
         affected = self._rel_paths(
@@ -551,7 +689,7 @@ class TransactionalLake:
                 for r in snap.select(
                     F.col("_metadata.file_path").alias("f"), *keys
                 )
-                .join(F.broadcast(src_keys), keys, "left_semi")
+                .join(src_keys, keys, "left_semi")
                 .select("f")
                 .distinct()
                 .collect()
@@ -566,7 +704,7 @@ class TransactionalLake:
         if aff_df is not None:
             # survivors: rows in affected files whose key has NO
             # source match
-            parts.append(aff_df.join(F.broadcast(src_keys), keys, "left_anti"))
+            parts.append(aff_df.join(src_keys, keys, "left_anti"))
             if when_matched == "update":
                 # EVERY matched target row is updated in place (Delta
                 # MERGE semantics): join target rows to the unique
@@ -579,14 +717,15 @@ class TransactionalLake:
                 # nulled).
                 src_cols = [c for c in source.columns if c not in keys]
                 upd = aff_df.join(
-                    F.broadcast(
+                    self._maybe_broadcast(
                         source.select(
                             *keys,
                             *[
                                 F.col(c).alias(f"_src_{c}")
                                 for c in src_cols
                             ],
-                        )
+                        ),
+                        n_rows=n_src,
                     ),
                     keys,
                 )

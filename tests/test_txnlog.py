@@ -294,6 +294,80 @@ class TestMerge:
         base = {("AAPL", 150.0), ("MSFT", 300.0)}
         assert (base - deletes) | inserts == {("AAPL", 175.0), ("MSFT", 300.0)}
 
+    def test_merge_broadcast_is_size_gated(self, spark, lake):
+        """A source whose Catalyst size estimate exceeds
+        autoBroadcastJoinThreshold must NOT get a forced broadcast
+        hint (a bulk-backfill merge would OOM on it); a tiny CDC
+        batch must keep the hint."""
+        small = _df(spark, [("AAPL", 1)])
+        hinted = lake._maybe_broadcast(small, n_rows=1)
+        assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+        # no size signal at all -> fail safe, no hint
+        nosignal = lake._maybe_broadcast(small)
+        assert "ResolvedHint" not in (
+            nosignal._jdf.queryExecution().analyzed().toString()
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+            unhinted = lake._maybe_broadcast(small, n_rows=1)
+            assert "ResolvedHint" not in (
+                unhinted._jdf.queryExecution().analyzed().toString()
+            )
+            # merge itself stays correct without the hint (AQE path)
+            lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+            lake.merge(_df(spark, [("AAPL", 175), ("GOOG", 99)]), on="symbol")
+            got = {
+                (r.symbol, r.price) for r in lake.snapshot().collect()
+            }
+            assert got == {("AAPL", 175.0), ("MSFT", 300.0), ("GOOG", 99.0)}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_merge_source_dtypes_cast_to_committed(self, spark, lake):
+        """storeAssignmentPolicy: an int-typed source column merging
+        into a double-committed column is up-cast, and the committed
+        schema is NOT silently evolved by the merge."""
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        src = spark.createDataFrame(
+            [("AAPL", 175, "2024-06-15")],
+            "symbol string, price int, date string",
+        )
+        lake.merge(src, on="symbol")
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["price"] == "double"
+        got = {(r.symbol, r.price) for r in snap.collect()}
+        assert got == {("AAPL", 175.0), ("MSFT", 300.0)}
+        # and the log's committed schema still says double
+        import json as _json
+
+        last_schema = _json.loads(lake._read_commit(lake.version)["schema"])
+        price = [f for f in last_schema["fields"] if f["name"] == "price"][0]
+        assert price["type"] == "double"
+
+    def test_merge_incompatible_source_dtype_raises(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        src = spark.createDataFrame(
+            [("AAPL", "not-a-price", "2024-06-15")],
+            "symbol string, price string, date string",
+        )
+        with pytest.raises(ValueError, match="committed double"):
+            lake.merge(src, on="symbol")
+
+    def test_dml_on_partition_value_with_space(self, spark, lake):
+        """_metadata.file_path is a URI — partition values with
+        URI-encodable chars must still match the log's recorded
+        relative paths, or DML duplicates rows."""
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)], date="a b"))
+        lake.delete_where("symbol = 'AAPL'")
+        got = [(r.symbol, r.price) for r in lake.snapshot().collect()]
+        assert got == [("MSFT", 300.0)]
+        lake.merge(
+            _df(spark, [("MSFT", 310)], date="a b"), on="symbol"
+        )
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {("MSFT", 310.0)}
+
 
 class TestCdc:
     def test_appends_feed_inserts(self, spark, lake):
