@@ -96,10 +96,15 @@ def _shingles_exploded(
     """,
 )
 def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity for all pairs within a bucket
-    (source). The equi-join on the bucket key keeps the pair space
-    at sum(bucket²) — at 100 TB the bucket key would be an LSH band
-    (see e2_minhash_lsh); the scoring kernel is identical."""
+    """Exact 3-gram Jaccard for all pairs within a bucket (source) —
+    the ORACLE KERNEL, explicitly NOT the 100 TB plan: the pair space
+    is sum(bucket_size²), quadratic within each source, acceptable
+    only because it is SQL-expressible and cross-checks the scoring
+    arithmetic against DuckDB. The declared scale path is
+    ``e2_lsh_verified_jaccard`` (MinHash banding generates candidates
+    proportional to true-duplicate density, then this same exact-
+    Jaccard kernel verifies candidates only). Do not lift this query
+    into a pipeline; lift that one."""
     docs = load(spark, sf_dir, "documents").filter(
         F.size(_tokens()) >= SHINGLE
     )

@@ -1236,20 +1236,28 @@ def j10_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/README.md:77-81). Exercises the
     parse->analyze->decorrelate path no DataFrame-built query
     touches."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
+    # uniquely-prefixed view names: registering bare "orders"/
+    # "lineitem" on the shared session would shadow (or be shadowed
+    # by) user views of the same name — a persistent catalog side
+    # effect a query function must not leave behind
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_j10_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_j10_lineitem")
+    out = spark.sql(
         """
         SELECT o.o_orderpriority, COUNT(*) AS n_orders
-        FROM orders o
+        FROM _j10_orders o
         WHERE o.o_orderdate >= DATE '1995-01-01'
           AND o.o_orderdate < DATE '1995-07-01'
-          AND EXISTS (SELECT 1 FROM lineitem l
+          AND EXISTS (SELECT 1 FROM _j10_lineitem l
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_quantity > 45)
         GROUP BY o.o_orderpriority
         """
     )
+    # the plan is built; the views are no longer needed for execution
+    spark.catalog.dropTempView("_j10_orders")
+    spark.catalog.dropTempView("_j10_lineitem")
+    return out
 
 
 @register(

@@ -151,14 +151,14 @@ def e6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e6_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sharding: documents in doc_id order are packed
-    into shards of ~SHARD_TOKENS whitespace tokens (a doc belongs to
-    the shard its PRECEDING cumulative count falls in, so every shard
-    reaches its budget before closing and no shard splits a doc).
-    One global-ordered window — the one legitimately non-parallel
-    step; at 100 TB the same plan runs per (source, date) partition
-    key prepended to the window/ordering, restoring parallelism while
-    keeping shards contiguous within each partition."""
+    """Token-budget sharding, GLOBAL variant — the oracle kernel, not
+    the 100 TB plan: a single no-partition window funnels the whole
+    corpus's cumulative sum through ONE task.
+    ``e6_token_shards_partitioned`` below is the declared scale path
+    (same packing semantics per source, parallel across sources);
+    this entry exists because a globally-contiguous shard numbering
+    is occasionally wanted at small scale and is the simplest
+    cross-engine oracle of the packing rule."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _n_tokens().alias("n_tok"))
     w = (
@@ -171,6 +171,58 @@ def e6_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.withColumn("shard_id", shard)
         .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "e6_token_shards_partitioned",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   ) / {SHARD_TOKENS}) AS BIGINT) AS shard_id
+      FROM toks)
+    SELECT source, COALESCE(shard_id, 0) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def e6_token_shards_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding, PARTITIONED — the declared 100 TB plan.
+    The cumulative-sum window is keyed by ``source``: Spark hash-
+    partitions on source and each task packs its sources' documents
+    independently (shards stay contiguous within a source, shard ids
+    are per-source). No single-task global sort appears anywhere in
+    the plan — the pre-window exchange is hashpartitioning(source),
+    never SinglePartition; ``test_plans`` pins that shape. At real
+    scale the partition key would be (source, date) or any key whose
+    groups fit a task; the plan shape is identical."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", "doc_id", _n_tokens().alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard = F.floor(
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / SHARD_TOKENS
+    )
+    return (
+        toks.withColumn("shard_id", shard)
+        .groupBy("source", "shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),

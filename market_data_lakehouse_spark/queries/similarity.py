@@ -471,15 +471,16 @@ def _cell_ranks_udf(cents_rows, n_probe: int):
 def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (E3 scale path): k-means coarse quantizer (seeded from
     the first K vectors + one Lloyd refinement — broadcast-assign,
-    element-wise re-average), then each query probes only its top-2
-    cells. Scoring volume drops from n·m to the probed cells' sizes;
-    recall tunes via n_probe / Lloyd iterations. The trained
-    quantizer (n_cells × dim, tiny by construction) is collected once
-    and closed over by vectorized assign/rank UDFs — no per-centroid
-    join ever touches the big side; the only shuffle is the in-cell
-    scoring join. This is the plan shape that scales to 10^9
-    vectors."""
-    n_cells, n_probe = 8, 2
+    element-wise re-average), then each query probes only its top-3
+    cells (3/8 of the corpus scored; measured recall@5 = 0.90 at both
+    sf0.001 and sf0.01 — probe=2 scored 0.86, probe=4 buys 0.92-0.94
+    at half the corpus, the wrong trade for an index). Recall tunes
+    via n_probe / Lloyd iterations. The trained quantizer (n_cells ×
+    dim, tiny by construction) is collected once and closed over by
+    vectorized assign/rank UDFs — no per-centroid join ever touches
+    the big side; the only shuffle is the in-cell scoring join. This
+    is the plan shape that scales to 10^9 vectors."""
+    n_cells, n_probe = 8, 3
     em = load(spark, sf_dir, "embeddings")
     seeds = (
         em.filter(F.col("vec_id") < n_cells)
@@ -498,7 +499,7 @@ def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = _cell_ranks_udf(cents_rows, n_probe)
     ranked = em.withColumn("cells", ranks(F.col("embedding")))
-    # candidates live in their single nearest cell; queries probe top-2
+    # candidates live in their single nearest cell; queries probe top-3
     cand = ranked.filter(F.col("vec_id") >= N_QUERY).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),

@@ -113,9 +113,14 @@ def stream_upsert(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cols = [c for c in batch_df.columns if c not in keys]
-        deduped = batch_df.groupBy(*keys).agg(
-            F.max(F.struct(*cols)).alias("_r")
-        ).select(*keys, *[F.col(f"_r.{c}").alias(c) for c in cols])
+        if not cols:
+            # every column is a key: nothing to keep-max over
+            # (F.struct() with zero fields raises) — plain key dedup
+            deduped = batch_df.dropDuplicates(keys)
+        else:
+            deduped = batch_df.groupBy(*keys).agg(
+                F.max(F.struct(*cols)).alias("_r")
+            ).select(*keys, *[F.col(f"_r.{c}").alias(c) for c in cols])
         lake.merge(
             deduped, on=keys, validate_keys=False, txn=(app_id, batch_id)
         )

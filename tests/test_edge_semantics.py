@@ -420,12 +420,13 @@ def test_ann_multiprobe_recall_floor(spark):
 
 
 def test_ivf_recall_floor(spark):
-    """The IVF index's recall@5 (0.86 measured at sf0.001/sf0.01)
-    must not silently degrade below 0.7 — guards the
+    """The IVF index's recall@5 (0.90 measured at sf0.001 and sf0.01
+    with n_cells=8, n_probe=3, one Lloyd pass; 0.86 at the former
+    probe=2) must not silently degrade below 0.85 — guards the
     n_cells/n_probe/Lloyd parameterization."""
     from market_data_lakehouse_spark.queries.similarity import e3_ivf_recall
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     rows = e3_ivf_recall(spark, sf_dir).collect()
     mean = sum(r.recall_at_k for r in rows) / len(rows)
-    assert mean >= 0.7, f"IVF mean recall@5 degraded to {mean}"
+    assert mean >= 0.85, f"IVF mean recall@5 degraded to {mean}"

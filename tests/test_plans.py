@@ -144,6 +144,21 @@ class TestPlans:
         assert "n_chars" not in read_schema and "lang" not in read_schema
         assert p.count("HashAggregate") >= 2  # partial + final
 
+    def test_token_shards_partitioned_never_single_task(self, spark, sf_dir):
+        """The declared 100 TB sharding plan: the cumulative-sum
+        window is keyed by source, so the pre-window exchange is
+        hashpartitioning(source) — a SinglePartition exchange (the
+        global variant's shape) must NOT appear anywhere."""
+        from market_data_lakehouse_spark.queries.sampling import (
+            e6_token_shards, e6_token_shards_partitioned,
+        )
+
+        p = simple_plan(e6_token_shards_partitioned(spark, sf_dir))
+        assert "SinglePartition" not in p
+        assert "hashpartitioning(source" in p
+        # and the global kernel really is the shape being avoided
+        assert "SinglePartition" in simple_plan(e6_token_shards(spark, sf_dir))
+
     def test_ingest_write_rebalances_on_partition_key(self, spark, tmp_path):
         """The append plan must carry a REBALANCE on date: without it
         a T-task batch writes T files into every touched date dir

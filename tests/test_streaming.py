@@ -249,6 +249,35 @@ class TestStreamUpsert:
         assert got == {("AAPL", 110.0), ("MSFT", 300.0)}
 
 
+    def test_all_key_columns_falls_back_to_drop_duplicates(
+        self, spark, tmp_path
+    ):
+        """A stream whose every column is a merge key has nothing to
+        keep-max over (F.struct() with zero fields raises); the sink
+        must dedup on the keys directly."""
+        from market_data_lakehouse_spark.streaming import stream_upsert
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "src")
+        lake = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=())
+        _write_json(
+            src + "/b0.json",
+            [
+                _tick("2024-06-15T10:00:00", price=100.0),
+                _tick("2024-06-15T10:00:00", price=100.0),  # exact dup
+                _tick("2024-06-15T10:00:01", price=101.0),
+            ],
+        )
+        stream = read_tick_stream(spark, src).select("symbol", "ts", "price")
+        q = stream_upsert(
+            stream, lake, on=("symbol", "ts", "price"),
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {("AAPL", 100.0), ("AAPL", 101.0)}
+
+
 class TestStreamStreamJoin:
     def test_interval_join_enriches_ticks_with_quotes(self, spark, tmp_path):
         """Stream-stream PIT enrichment: each tick pairs with the
