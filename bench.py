@@ -45,8 +45,13 @@ HEADLINE = {
     "q_dedup_hash": "e1_dedup_by_hash",
     "q_knn_cosine": "e3_knn_bruteforce",
     "q_json_extract": "x7_json_extract",
-    # round 3: LLM-pipeline + sessionization cost shapes tracked
-    # round-over-round
+}
+
+# Round 3+: LLM-pipeline + sessionization cost shapes tracked
+# round-over-round. Run AFTER the shared-16 set and the ingest pass —
+# the multi-stage LSH queries churn the JVM (GC pressure, codegen
+# cache) enough to pollute cheap neighbors' timings when interleaved.
+HEAVY = {
     "q_sessionize": "w6_sessionize",
     "q_corpus_clean": "e4_corpus_clean",
     "q_minhash_lsh": "e2_minhash_lsh",
@@ -116,11 +121,26 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
     times: dict[str, float] = {}
+    # untimed warmup: pay the session's one-time costs (executor
+    # spin-up, first codegen, parquet footer caching) outside any
+    # query's measurement
+    run_once(spark, REGISTRY["o2_topk"].fn, sf_dir)
     for label, qname in HEADLINE.items():
         fn = REGISTRY[qname].fn
+        spark._jvm.System.gc()
+        # best-of-3 for the cheap shared set: each is sub-second, so
+        # the extra run costs ~7 s total and halves timing noise
+        best = min(run_once(spark, fn, sf_dir) for _ in range(3))
+        times[label] = round(best, 4)
+    spark._jvm.System.gc()
+    times["q_ingest_batch"] = round(
+        min(bench_ingest(spark, sf_dir) for _ in range(2)), 4
+    )
+    for label, qname in HEAVY.items():
+        fn = REGISTRY[qname].fn
+        spark._jvm.System.gc()
         best = min(run_once(spark, fn, sf_dir) for _ in range(2))
         times[label] = round(best, 4)
-    times["q_ingest_batch"] = round(bench_ingest(spark, sf_dir), 4)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),

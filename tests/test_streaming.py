@@ -278,6 +278,96 @@ class TestStreamUpsert:
         assert got == {("AAPL", 100.0), ("AAPL", 101.0)}
 
 
+class TestStreamBatchEquivalence:
+    """Golden-output signal for the streaming layer: the streaming
+    plans must produce byte-identical results to their batch twins on
+    the same input — not just plausible shapes. (availableNow drains
+    the whole input, and no tick is later than the watermark horizon
+    at drain time, so finalized state covers every window.)"""
+
+    def test_streaming_ohlcv_equals_batch_ohlcv(self, spark, tmp_path):
+        """complete output mode: the FULL windowed state at drain time
+        must equal the batch aggregation over the same files (append
+        mode would emit only watermark-finalized windows — none here,
+        since no tick arrives 10 min past the last window)."""
+        from market_data_lakehouse_spark.schema import TICK_SCHEMA
+
+        src = str(tmp_path / "ticks")
+        rows = [
+            _tick("2024-06-15T10:00:05", price=100.0, volume=10),
+            _tick("2024-06-15T10:00:20", price=105.0, volume=20),
+            _tick("2024-06-15T10:00:40", price=95.0, volume=30),
+            _tick("2024-06-15T10:00:55", price=102.0, volume=40),
+            _tick("2024-06-15T10:01:10", price=101.0, volume=50),
+            _tick("2024-06-15T10:00:30", symbol="MSFT", price=300.0),
+            _tick("2024-06-15T10:00:31", symbol="MSFT", price=299.5),
+        ]
+        # two files so the drain spans micro-batches with carried state
+        _write_json(src + "/t0.json", rows[:4])
+        _write_json(src + "/t1.json", rows[4:])
+        q = (
+            streaming_ohlcv_bars(read_tick_stream(spark, src))
+            .writeStream.format("memory").queryName("eq_bars")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_eq"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.sql("SELECT * FROM eq_bars")
+        batch = streaming_ohlcv_bars(
+            spark.read.schema(TICK_SCHEMA).json(src)
+        )
+        key = ["symbol", "bar_start"]
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+        assert streamed.select(*key).distinct().count() == streamed.count()
+
+    def test_stream_upsert_equals_batch_merge(self, spark, tmp_path):
+        """The foreachBatch MERGE sink, drained over the same rows as
+        one batch merge (same keep-max in-batch dedup), must land the
+        identical table state."""
+        from market_data_lakehouse_spark.schema import TICK_SCHEMA
+        from market_data_lakehouse_spark.streaming import stream_upsert
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "src")
+        rows = [
+            _tick("2024-06-15T10:00:00", price=100.0),
+            _tick("2024-06-15T10:00:00", price=105.0),  # in-batch dup
+            _tick("2024-06-15T10:00:01", price=101.0),
+            _tick("2024-06-15T10:00:00", symbol="MSFT", price=300.0),
+        ]
+        _write_json(src + "/b0.json", rows)
+        base = spark.createDataFrame(
+            [("AAPL", "2024-06-15T10:00:00", 1.0, 1),
+             ("GOOG", "2024-06-15T09:00:00", 9.0, 9)],
+            "symbol string, ts string, price double, volume long",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+        s_lake = TransactionalLake(spark, str(tmp_path / "s_tx"), partition_by=())
+        b_lake = TransactionalLake(spark, str(tmp_path / "b_tx"), partition_by=())
+        s_lake.append(base)
+        b_lake.append(base)
+
+        q = stream_upsert(
+            read_tick_stream(spark, src), s_lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+
+        batch_df = spark.read.schema(TICK_SCHEMA).json(src)
+        cols = [c for c in batch_df.columns if c not in ("symbol", "ts")]
+        deduped = batch_df.groupBy("symbol", "ts").agg(
+            F.max(F.struct(*cols)).alias("_r")
+        ).select("symbol", "ts", *[F.col(f"_r.{c}").alias(c) for c in cols])
+        b_lake.merge(deduped, on=("symbol", "ts"), validate_keys=False)
+
+        assert sorted(map(tuple, s_lake.snapshot().collect())) == sorted(
+            map(tuple, b_lake.snapshot().collect())
+        )
+
+
 class TestStreamStreamJoin:
     def test_interval_join_enriches_ticks_with_quotes(self, spark, tmp_path):
         """Stream-stream PIT enrichment: each tick pairs with the
