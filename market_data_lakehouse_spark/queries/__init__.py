@@ -47,41 +47,42 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered queries per round; registration order therefore decides
-# which entries earn a hard oracle signal. Round 2 greened the first
-# 50 in module-import order; this explicit window front-loads (a) the
-# 24 queries that had never been driver-checked (all locally green via
-# tools/check_correctness.py), (b) this round's bug-fix re-checks and
-# new entries, (c) the rows-only sketch queries (kept in-window so
-# their execution is still exercised), and (d) one representative of
-# each previously-green operator family. Everything rotating past slot
-# 50 already has a green CORRECTNESS_r02 row.
+# which entries earn a hard oracle signal. Rounds 2+3 together greened
+# every oracle-expressible entry except e4_corpus_clean (oracle dtype
+# bug, fixed this round). The round-4 window front-loads (a) this
+# round's new queries and the one never-driver-executed entry
+# (e3_ivf_recall), (b) re-checks of every query whose code or oracle
+# changed this round, (c) the rows-only sketches (kept in-window so
+# their execution stays driver-exercised), and (d) one representative
+# per operator family. Everything rotating past slot 50 has a green
+# CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) never driver-checked before round 3 — 24
-    "x7_math_funcs", "x7_json_extract", "x7_array_ops", "x7_regexp_funcs",
-    "a8_grouping_sets", "a10_pivot",
-    "e3_knn_bruteforce", "e3_ann_lsh", "e2_embedding_neardup", "e3_ivf_knn",
-    "e3_label_centroid_sim", "e3_ann_recall",
-    "e1_exact_dedup", "e1_dedup_by_hash",
-    "e4_token_stats", "e4_lang_id", "e4_quality_score", "e4_bpe_token_count",
-    "e4_rolling_chunks", "e4_tfidf", "e4_fingerprint", "e4_corpus_clean",
-    "e4_pii_redaction", "e4_ngram_freq",
-    # (b) round-3 fixes + new queries — 10
-    "w6_sessionize", "s2_csv_roundtrip", "e2_lsh_verified_jaccard",
-    "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
-    "s8_merge_upsert", "a11_unpivot", "x7_map_funcs",
-    "j10_exists_subquery",
-    # (c) rows-only sketches kept executing in-window — 5
+    # (a) round-4 new queries + first-ever driver run — 6
+    "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
+    "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
+    # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
+    # change (j10), merge()-layer changes (merge_upsert, time_travel,
+    # roundtrip), IVF probe change (ivf_knn) — 6
+    "e4_corpus_clean", "j10_exists_subquery", "s8_merge_upsert",
+    "s8_txn_time_travel", "lakehouse_roundtrip", "e3_ivf_knn",
+    # (c) rows-only sketches kept executing in-window — 7
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
-    "a7_approx_distinct", "a9_percentile_approx",
-    # (d) family representatives (all r2 driver-green) — 11
-    "lakehouse_roundtrip", "s8_txn_time_travel", "e3_ivf_recall",
-    "v2_quality_stage",
-    "a2_vwap_top10",
-    "j3_broadcast_join", "j6_asof_join",
-    "j9_multiway_topk",
-    "w1_lag_gaps",
-    "e2_dedup_clusters", "e5_frame_sample",
+    "a7_approx_distinct", "a9_percentile_approx", "e3_ann_lsh",
+    "e3_ann_recall",
+    # (d) family representatives (all driver-green r2/r3) — 31
+    "s1_scan_project", "s2_csv_roundtrip", "v2_quality_stage",
+    "a2_vwap_top10", "a8_grouping_sets", "a10_pivot", "a11_unpivot",
+    "j3_broadcast_join", "j6_asof_join", "j9_multiway_topk",
+    "w1_lag_gaps", "w6_sessionize",
+    "e1_exact_dedup", "e1_dedup_by_hash",
+    "e2_embedding_neardup", "e2_lsh_verified_jaccard", "e2_dedup_clusters",
+    "e3_knn_bruteforce", "e3_label_centroid_sim",
+    "e4_token_stats", "e4_lang_id", "e4_quality_score",
+    "e4_tfidf", "e4_fingerprint", "e4_pii_redaction", "e4_ngram_freq",
+    "e5_frame_sample",
+    "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
+    "x7_map_funcs",
 ]
 
 

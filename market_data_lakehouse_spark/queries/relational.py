@@ -782,6 +782,91 @@ def w1_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w7_returns_vol",
+    oracle="""
+    WITH rets AS (
+      SELECT event_type,
+             LN(value / LAG(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS ret
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(ret) AS BIGINT) AS n_returns,
+           ROUND(AVG(ret), 6) AS mean_ret,
+           ROUND(STDDEV(ret), 6) AS vol
+    FROM rets GROUP BY event_type
+    """,
+)
+def w7_returns_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-returns and realized volatility per instrument (the
+    canonical market-data risk stat): lag-windowed log ratio of
+    consecutive observations, then per-key mean/stddev. One shuffle
+    on the instrument key serves BOTH the lag window and the final
+    aggregate (same partitioning, Spark plans one exchange); at 100 TB
+    the window parallelizes across instruments exactly like
+    w1_lag_gaps. Ties on ts are broken by event_id in both engines so
+    lag() is deterministic. events.value is strictly positive in this
+    corpus; a production feed would guard LN with a positivity filter
+    (kept out here so the oracle stays expression-identical)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ret = F.log(F.col("value") / F.lag("value").over(w))
+    return (
+        ev.select("event_type", ret.alias("ret"))
+        .groupBy("event_type")
+        .agg(
+            F.count("ret").alias("n_returns"),
+            F.round(F.avg("ret"), 6).alias("mean_ret"),
+            F.round(F.stddev("ret"), 6).alias("vol"),
+        )
+    )
+
+
+@register(
+    "w8_max_drawdown",
+    oracle="""
+    WITH dd AS (
+      SELECT event_type, value, ts, event_id,
+             MAX(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS peak
+      FROM events)
+    SELECT event_type,
+           ROUND(MAX(peak), 4) AS peak_value,
+           ROUND(MIN(value / peak - 1.0), 6) AS max_drawdown
+    FROM dd GROUP BY event_type
+    """,
+)
+def w8_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per instrument: running peak via a cumulative
+    max window, drawdown = value/peak - 1, then the per-key minimum —
+    the standard risk metric computed in one windowed pass + one
+    aggregate sharing the same instrument-key partitioning (single
+    exchange, same scale shape as w4's cumulative aggregate)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("value").over(w)
+    return (
+        ev.select(
+            "event_type",
+            F.col("value"),
+            peak.alias("peak"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("peak"), 4).alias("peak_value"),
+            F.round(F.min(F.col("value") / F.col("peak") - 1.0), 6).alias(
+                "max_drawdown"
+            ),
+        )
+    )
+
+
+@register(
     "w2_rank_topn",
     oracle="""
     SELECT o_orderpriority, o_orderkey,

@@ -228,3 +228,75 @@ def e6_token_shards_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "e6_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, n,
+             LEAST(1.0, SQRT(CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
+                             / n)) AS rate
+      FROM counts),
+    gated AS (
+      SELECT d.lang, r.n, r.rate,
+             CAST(FLOOR(r.rate * 256) AS INT) AS k,
+             substring(md5(CAST(d.doc_id AS VARCHAR)), 4, 2) AS gate
+      FROM documents d JOIN rates r ON d.lang = r.lang)
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           ROUND(MAX(rate), 6) AS target_rate,
+           CAST(SUM(CASE WHEN k >= 256
+                         OR gate < lpad(lower(to_hex(k)), 2, '0')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM gated GROUP BY lang
+    """,
+)
+def e6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (alpha = 0.5): each
+    language keeps rate = min(1, sqrt(N_min / N_lang)), flattening the
+    mixture toward uniform without fully discarding the head — the
+    standard rebalance between corpus stats and training sampling
+    weights. Two-phase, all scale-safe: (1) per-group counts (tiny —
+    one map-side-combined aggregate), (2) broadcast the rates back
+    and gate each row on a deterministic 256-bucket md5 slice (hex
+    chars 4-5 of md5(doc_id) — independent of the split/sample/eval
+    nibbles at positions 1, 2, 3). Membership is engine-reproducible:
+    the gate compares two lowercase hex chars lexicographically,
+    which equals numeric comparison at fixed width. The kept set is
+    exactly the rows a writer would emit; this query reports
+    per-group totals/rates/kept so the mixture shift itself is the
+    checked artifact."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1.0), F.sqrt(F.col("n_min").cast("double") / F.col("n"))
+        ).alias("rate"),
+    )
+    k = F.floor(F.col("rate") * 256).cast("int")
+    gate = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 4, 2
+    )
+    gated = docs.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n",
+        "rate",
+        k.alias("k"),
+        gate.alias("gate"),
+    )
+    kept = F.when(
+        (F.col("k") >= 256)
+        | (F.col("gate") < F.lpad(F.lower(F.hex(F.col("k"))), 2, "0")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return gated.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.round(F.max("rate"), 6).alias("target_rate"),
+        F.sum(kept).alias("n_kept"),
+    )

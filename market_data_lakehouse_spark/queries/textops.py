@@ -488,3 +488,65 @@ def e4_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(50)
     )
+
+
+@register(
+    "e1_decontaminate",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             substring(md5(CAST(doc_id AS VARCHAR)), 3, 1) = 'f' AS is_eval
+      FROM documents),
+    eval_fps AS (SELECT DISTINCT fp FROM fp WHERE is_eval),
+    train AS (
+      SELECT t.source, t.fp,
+             EXISTS (SELECT 1 FROM eval_fps e WHERE e.fp = t.fp)
+               AS contaminated
+      FROM fp t WHERE NOT t.is_eval)
+    SELECT source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN contaminated THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_clean
+    FROM train GROUP BY source
+    """,
+)
+def e1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the pipeline stage that removes
+    benchmark leakage before pretraining. The eval set is a
+    deterministic 1/16 hash slice (3rd md5 nibble of doc_id = 'f' —
+    independent of e6's split/sample nibbles); membership is by
+    normalized-content fingerprint (whitespace-collapsed lowercase
+    md5), so an eval document's near-verbatim copy in the training
+    set is caught regardless of doc_id. The probe is a left-semi
+    join on the 32-byte fingerprint: the eval side is tiny by
+    construction, so Spark broadcasts it and the training corpus is
+    never shuffled — the same plan at 100 TB is one scan plus a
+    broadcast probe (a real deployment unions in external benchmark
+    fingerprints the same way). Reported as per-source contamination
+    counts; the cleaned corpus itself is the anti-join with the
+    identical build side."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    nib = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 3, 1
+    )
+    tagged = docs.select(
+        "source", fp.alias("fp"), (nib == "f").alias("is_eval")
+    )
+    eval_fps = tagged.filter("is_eval").select("fp").distinct()
+    train = tagged.filter(~F.col("is_eval"))
+    hit = train.join(F.broadcast(eval_fps), "fp", "left_semi").groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    total = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    return total.join(hit, "source", "left").select(
+        "source",
+        "n_train",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.col("n_train") - F.coalesce("n_contaminated", F.lit(0))).alias(
+            "n_clean"
+        ),
+    )

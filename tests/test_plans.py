@@ -159,6 +159,44 @@ class TestPlans:
         # and the global kernel really is the shape being avoided
         assert "SinglePartition" in simple_plan(e6_token_shards(spark, sf_dir))
 
+    def test_bucketed_join_is_shuffle_free(self, spark, sf_dir, tmp_path):
+        """Bucketing is THE co-located-join primitive at 100 TB: two
+        tables bucketed by the join key on the same bucket count join
+        with ZERO exchanges — the nightly-repeated fact-to-fact join
+        pays its shuffle once at write time, never per query."""
+        import uuid
+
+        suffix = uuid.uuid4().hex[:8]
+        li, od = f"li_b_{suffix}", f"od_b_{suffix}"
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        try:
+            # external tables under tmp_path: warehouse.dir is a
+            # static conf, so pin each table's location explicitly
+            (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+             .option("path", str(tmp_path / li))
+             .format("parquet").saveAsTable(li))
+            (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+             .option("path", str(tmp_path / od))
+             .format("parquet").saveAsTable(od))
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = spark.table(li).join(
+                    spark.table(od),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                ).select("l_orderkey", "o_totalprice", "l_quantity")
+                p = simple_plan(joined)
+                assert "SortMergeJoin" in p
+                assert "Exchange" not in p, p
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", old
+                )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {li}")
+            spark.sql(f"DROP TABLE IF EXISTS {od}")
+
     def test_ingest_write_rebalances_on_partition_key(self, spark, tmp_path):
         """The append plan must carry a REBALANCE on date: without it
         a T-task batch writes T files into every touched date dir
