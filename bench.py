@@ -133,9 +133,8 @@ def main() -> None:
         best = min(run_once(spark, fn, sf_dir) for _ in range(3))
         times[label] = round(best, 4)
     spark._jvm.System.gc()
-    times["q_ingest_batch"] = round(
-        min(bench_ingest(spark, sf_dir) for _ in range(2)), 4
-    )
+    # bench_ingest is best-of-2 internally (fresh lake per run)
+    times["q_ingest_batch"] = round(bench_ingest(spark, sf_dir), 4)
     for label, qname in HEAVY.items():
         fn = REGISTRY[qname].fn
         spark._jvm.System.gc()

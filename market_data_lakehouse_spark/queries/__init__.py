@@ -90,6 +90,14 @@ def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     if missing:
         raise ValueError(f"driver window names unknown: {missing}")
+    if len(_DRIVER_WINDOW) != 50 or len(set(_DRIVER_WINDOW)) != 50:
+        # the driver checks exactly the first 50 registered queries;
+        # an off-by-one or duplicated name silently shifts which
+        # queries earn an oracle signal — fail at import instead
+        raise ValueError(
+            f"driver window must be 50 unique names, got "
+            f"{len(_DRIVER_WINDOW)} ({len(set(_DRIVER_WINDOW))} unique)"
+        )
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
     REGISTRY.clear()

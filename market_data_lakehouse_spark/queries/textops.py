@@ -30,6 +30,14 @@ def _tokens(col: str = "text") -> F.Column:
     return F.split(F.trim(F.lower(F.col(col))), r"\s+")
 
 
+def _fingerprint(col: str = "text") -> F.Column:
+    """Normalized content fingerprint: collapse whitespace, lowercase,
+    md5. THE content-identity definition — e4_fingerprint publishes
+    it, e1_decontaminate matches on it; tune it here and every stage
+    stays consistent."""
+    return F.md5(F.lower(F.regexp_replace(col, r"\s+", " ")))
+
+
 @register(
     "e1_exact_dedup",
     oracle="""
@@ -345,7 +353,7 @@ def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+        _fingerprint().alias("fp"),
     )
 
 
@@ -521,24 +529,25 @@ def e1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized-content fingerprint (whitespace-collapsed lowercase
     md5), so an eval document's near-verbatim copy in the training
     set is caught regardless of doc_id. The probe is a left-semi
-    join on the 32-byte fingerprint: the eval side is tiny by
-    construction, so Spark broadcasts it and the training corpus is
-    never shuffled — the same plan at 100 TB is one scan plus a
-    broadcast probe (a real deployment unions in external benchmark
-    fingerprints the same way). Reported as per-source contamination
-    counts; the cleaned corpus itself is the anti-join with the
-    identical build side."""
+    join on the 32-byte fingerprint with NO forced broadcast hint:
+    an eval/benchmark set is usually tiny (AQE converts the join to
+    a broadcast probe at runtime and the training corpus is never
+    shuffled), but "1/16 of the corpus" is unbounded at 100 TB and a
+    forced hint would OOM exactly like an ungated merge source — the
+    size decision belongs to AQE's runtime stats, matching the
+    size-gated discipline in TransactionalLake.merge. Reported as
+    per-source contamination counts; the cleaned corpus itself is
+    the anti-join with the identical build side."""
     docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
     nib = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 3, 1
     )
     tagged = docs.select(
-        "source", fp.alias("fp"), (nib == "f").alias("is_eval")
+        "source", _fingerprint().alias("fp"), (nib == "f").alias("is_eval")
     )
     eval_fps = tagged.filter("is_eval").select("fp").distinct()
     train = tagged.filter(~F.col("is_eval"))
-    hit = train.join(F.broadcast(eval_fps), "fp", "left_semi").groupBy(
+    hit = train.join(eval_fps, "fp", "left_semi").groupBy(
         "source"
     ).agg(F.count(F.lit(1)).alias("n_contaminated"))
     total = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))

@@ -320,46 +320,74 @@ class TransactionalLake:
                 )
         return df.select(*out_cols) if casted else df
 
-    # per-dtype byte widths for the count-based broadcast estimate
-    # (mirrors Catalyst DataType.defaultSize; unlisted/nested -> 50)
+    # fixed per-dtype byte widths (mirrors Catalyst
+    # DataType.defaultSize); var-width string/binary columns are
+    # MEASURED by _measured_bytes, never guessed — a schema-width
+    # guess of 20 bytes/string under-estimates a 10 KB text column
+    # 500-fold and would re-open the forced-broadcast OOM
     _DTYPE_BYTES = {
         "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "date": 4,
         "float": 4, "bigint": 8, "double": 8, "timestamp": 8,
-        "timestamp_ntz": 8, "string": 20, "binary": 40,
+        "timestamp_ntz": 8,
     }
 
+    def _measured_bytes(self, df: DataFrame) -> dict[str, int]:
+        """One aggregate job over ``df``: row count (key ``_n``) plus
+        per-column payload bytes — exact ``octet_length`` sums for
+        string/binary, rows x fixed width for scalar types, rows x 50
+        for nested types. Doubles as the checkpoint materialization
+        when ``df`` is a lazy localCheckpoint."""
+        var_cols = [c for c, dt in df.dtypes if dt in ("string", "binary")]
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.octet_length(F.col(c))).alias(f"_b_{c}")
+            for c in var_cols
+        ]
+        row = df.agg(*aggs).collect()[0]
+        n = row["_n"]
+        out = {"_n": n}
+        for c, dt in df.dtypes:
+            if c in var_cols:
+                # +8/cell: offset + null-tracking overhead in Spark's
+                # unsafe row / broadcast hash relation
+                out[c] = int(row[f"_b_{c}"] or 0) + 8 * n
+            else:
+                out[c] = self._DTYPE_BYTES.get(dt, 50) * n
+        return out
+
     def _maybe_broadcast(
-        self, df: DataFrame, n_rows: int | None = None
+        self, df: DataFrame, est_bytes: int | None = None
     ) -> DataFrame:
         """Broadcast-hint ``df`` only when its size estimate is under
         ``spark.sql.autoBroadcastJoinThreshold``. merge()'s source
         keys are usually a tiny CDC micro-batch where the hint removes
-        a shuffle, but a bulk-backfill merge with tens of millions of
-        keys must NOT be force-broadcast (driver/executor OOM) — there
-        the hint is withheld and AQE picks the join strategy from
-        runtime stats.
+        a shuffle, but a bulk-backfill merge with millions of keys or
+        wide payload columns must NOT be force-broadcast (driver/
+        executor OOM) — there the hint is withheld and AQE picks the
+        join strategy from runtime stats.
 
-        Catalyst's plan estimate is used when known (parquet-backed
-        sources: file sizes); a Python-created or micro-batch source
-        is a LogicalRDD with UNKNOWN stats (Long.MaxValue), so the
-        caller passes ``n_rows`` (one cheap count over the already-
-        checkpointed batch) and the estimate is rows x schema width.
-        With neither signal the hint is withheld — fail safe."""
+        ``est_bytes`` — measured from the actual rows (see
+        ``_measured_bytes``) — takes precedence when provided:
+        Catalyst's estimate guesses 20 bytes for any computed string,
+        so a plan can be "known" yet 500x under a wide payload
+        column. The plan estimate is the fallback for un-measured
+        frames (useful for parquet-backed sources: file sizes);
+        a Python-created or micro-batch source is a LogicalRDD with
+        UNKNOWN stats (Long.MaxValue). With neither signal the hint
+        is withheld — fail safe."""
         thresh = self._broadcast_threshold()
         if thresh < 0:
             return df
         unknown = 1 << 62
-        try:
-            est = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            est = unknown
-        if est >= unknown and n_rows is not None:
-            width = sum(
-                self._DTYPE_BYTES.get(dt, 50) for _c, dt in df.dtypes
-            )
-            est = n_rows * max(width, 1)
+        if est_bytes is not None:
+            est = est_bytes
+        else:
+            try:
+                est = int(
+                    df._jdf.queryExecution()
+                    .optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                est = unknown
         return F.broadcast(df) if 0 <= est <= thresh else df
 
     def _broadcast_threshold(self) -> int:
@@ -674,12 +702,14 @@ class TransactionalLake:
         # size-gated hint: a CDC micro-batch's keys broadcast (no
         # shuffle), a bulk-backfill's keys do not (AQE chooses) —
         # forcing the hint on a huge source OOMs the executors. The
-        # count doubles as the checkpoint materialization (later
-        # jobs reuse the computed batch) and upper-bounds the
-        # distinct-key count, so the estimate errs unhinted.
-        n_src = source.count()
+        # per-column byte measurement doubles as the checkpoint
+        # materialization (later jobs reuse the computed batch) and
+        # upper-bounds the distinct projections, so estimates err
+        # unhinted.
+        src_bytes = self._measured_bytes(source)
         src_keys = self._maybe_broadcast(
-            source.select(*keys).distinct(), n_rows=n_src
+            source.select(*keys).distinct(),
+            est_bytes=sum(src_bytes[k] for k in keys),
         )
         # affected = files containing at least one matched key; the
         # collect is O(matched files), driver-safe (paths, not rows)
@@ -725,7 +755,9 @@ class TransactionalLake:
                                 for c in src_cols
                             ],
                         ),
-                        n_rows=n_src,
+                        est_bytes=sum(
+                            src_bytes[c] for c in source.columns
+                        ),
                     ),
                     keys,
                 )

@@ -299,18 +299,39 @@ class TestMerge:
         autoBroadcastJoinThreshold must NOT get a forced broadcast
         hint (a bulk-backfill merge would OOM on it); a tiny CDC
         batch must keep the hint."""
+        from pyspark.sql import functions as F
+
         small = _df(spark, [("AAPL", 1)])
-        hinted = lake._maybe_broadcast(small, n_rows=1)
+        sizes = lake._measured_bytes(small)
+        assert sizes["_n"] == 1 and sizes["price"] == 8
+        est = sum(sizes[c] for c in small.columns)
+        hinted = lake._maybe_broadcast(small, est_bytes=est)
         assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
         # no size signal at all -> fail safe, no hint
         nosignal = lake._maybe_broadcast(small)
         assert "ResolvedHint" not in (
             nosignal._jdf.queryExecution().analyzed().toString()
         )
+        # wide payload: actual string bytes in ONE row beat the
+        # session threshold — a schema-width guess would have called
+        # this 20 bytes and force-broadcast it
+        thresh = lake._broadcast_threshold()
+        wide = spark.range(1).select(
+            F.lit("k").alias("symbol"),
+            F.repeat(F.lit("x"), thresh + 1024).alias("payload"),
+        )
+        wsize = lake._measured_bytes(wide)
+        assert wsize["payload"] > thresh
+        unh = lake._maybe_broadcast(
+            wide, est_bytes=sum(wsize[c] for c in wide.columns)
+        )
+        assert "ResolvedHint" not in (
+            unh._jdf.queryExecution().analyzed().toString()
+        )
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
-            unhinted = lake._maybe_broadcast(small, n_rows=1)
+            unhinted = lake._maybe_broadcast(small, est_bytes=est)
             assert "ResolvedHint" not in (
                 unhinted._jdf.queryExecution().analyzed().toString()
             )
