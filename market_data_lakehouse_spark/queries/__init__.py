@@ -58,8 +58,9 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 6
+    # (a) round-4 new queries + first-ever driver run — 8
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
+    "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
@@ -70,7 +71,7 @@ _DRIVER_WINDOW = [
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
     "a7_approx_distinct", "a9_percentile_approx", "e3_ann_lsh",
     "e3_ann_recall",
-    # (d) family representatives (all driver-green r2/r3) — 31
+    # (d) family representatives (all driver-green r2/r3) — 29
     "s1_scan_project", "s2_csv_roundtrip", "v2_quality_stage",
     "a2_vwap_top10", "a8_grouping_sets", "a10_pivot", "a11_unpivot",
     "j3_broadcast_join", "j6_asof_join", "j9_multiway_topk",
@@ -78,7 +79,7 @@ _DRIVER_WINDOW = [
     "e1_exact_dedup", "e1_dedup_by_hash",
     "e2_embedding_neardup", "e2_lsh_verified_jaccard", "e2_dedup_clusters",
     "e3_knn_bruteforce", "e3_label_centroid_sim",
-    "e4_token_stats", "e4_lang_id", "e4_quality_score",
+    "e4_quality_score",
     "e4_tfidf", "e4_fingerprint", "e4_pii_redaction", "e4_ngram_freq",
     "e5_frame_sample",
     "e6_hash_split", "e6_stratified_sample", "e6_token_shards",

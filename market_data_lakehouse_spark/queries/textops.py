@@ -559,3 +559,127 @@ def e1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clean"
         ),
     )
+
+
+@register(
+    "e4_repetition_score",
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_ratio,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def e4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (the Gopher/MassiveText rule
+    family): a document dominated by one repeated token (high
+    top_token_ratio) or with low vocabulary diversity (low
+    type_token_ratio) is boilerplate/spam and gets filtered before
+    training. Explode -> two map-side-combined aggregates, both
+    shuffling on doc_id (the second reuses the first's partitioning)
+    — token rows never leave their executor un-combined."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    per_tok = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+            "top_token_ratio"
+        ),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+_CONTAM_N = 5  # tokens per contamination shingle
+
+
+@register(
+    "e1_contamination_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+             substring(md5(CAST(doc_id AS VARCHAR)), 3, 1) = 'f' AS is_eval
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source, is_eval,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - {_CONTAM_N - 2}),
+               i -> md5(array_to_string(t[i:i+{_CONTAM_N - 1}], ' '))
+             ))) AS g
+      FROM toks),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+    train_flag AS (
+      SELECT doc_id, source,
+             MAX(CASE WHEN g IN (SELECT g FROM eval_g)
+                 THEN 1 ELSE 0 END) AS hit
+      FROM grams WHERE NOT is_eval GROUP BY doc_id, source)
+    SELECT source,
+           COUNT(*) AS n_train,
+           CAST(SUM(hit) AS BIGINT) AS n_flagged
+    FROM train_flag GROUP BY source
+    """,
+)
+def e1_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap contamination detection — the standard
+    decontamination rule (exact-fingerprint matching in
+    e1_decontaminate misses PARTIAL inclusion; sharing any
+    _CONTAM_N-token shingle with an eval document flags the training
+    document). Same deterministic eval slice as e1_decontaminate
+    (3rd md5 nibble = 'f'). Scale shape: per-doc DISTINCT shingle
+    hashes (array ops, no shuffle), explode, one shuffle on the
+    32-byte gram hash for the semi-join probe, then a doc-keyed
+    aggregate — the corpus text itself is never shuffled. Documents
+    shorter than _CONTAM_N tokens produce no shingles and are out of
+    scope (none exist in this corpus; a production run unions them
+    in as trivially clean)."""
+    docs = load(spark, sf_dir, "documents")
+    nib = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 3, 1
+    )
+    t = _tokens()
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_CONTAM_N - 1)),
+            lambda i: F.md5(
+                F.array_join(F.slice(t, i, _CONTAM_N), " ").cast("binary")
+            ),
+        )
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        (nib == "f").alias("is_eval"),
+        F.explode(grams_arr).alias("g"),
+    )
+    eval_g = grams.filter("is_eval").select("g").distinct()
+    train = grams.filter(~F.col("is_eval"))
+    hits = (
+        train.join(eval_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = train.select("doc_id", "source").distinct().join(
+        hits, "doc_id", "left"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_flagged"),
+    )
