@@ -583,14 +583,21 @@ def e4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     family): a document dominated by one repeated token (high
     top_token_ratio) or with low vocabulary diversity (low
     type_token_ratio) is boilerplate/spam and gets filtered before
-    training. Explode -> two map-side-combined aggregates, both
-    shuffling on doc_id (the second reuses the first's partitioning)
-    — token rows never leave their executor un-combined."""
+    training. ONE exchange total: documents repartition by doc_id
+    BEFORE the explode (each doc's text crosses the wire once), and
+    hashpartitioning(doc_id) satisfies both downstream groupings —
+    (doc_id, tok) because the partition keys are a subset of the
+    clustering keys, and the doc-level rollup trivially — so neither
+    aggregate shuffles. The naive explode-then-group plan costs two
+    exchanges of comparable bytes (hashpartitioning(doc_id, tok)
+    does NOT satisfy the doc_id-only rollup); pinned in
+    test_plans."""
     docs = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     per_tok = (
-        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )

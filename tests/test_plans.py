@@ -159,6 +159,31 @@ class TestPlans:
         # and the global kernel really is the shape being avoided
         assert "SinglePartition" in simple_plan(e6_token_shards(spark, sf_dir))
 
+    def test_risk_stats_single_exchange(self, spark, sf_dir):
+        """w7/w8: the lag/cumulative-max window and the final per-key
+        aggregate share one instrument-key partitioning — exactly ONE
+        exchange in each plan."""
+        from market_data_lakehouse_spark.queries.relational import (
+            w7_returns_vol, w8_max_drawdown,
+        )
+
+        for fn in (w7_returns_vol, w8_max_drawdown):
+            p = simple_plan(fn(spark, sf_dir))
+            assert p.count("Exchange") == 1, p
+            assert "hashpartitioning(event_type" in p
+
+    def test_repetition_score_combines_map_side(self, spark, sf_dir):
+        """Both aggregates carry partial (map-side) combine and the
+        second reuses the first's doc_id partitioning — one exchange,
+        token rows never shuffle un-combined."""
+        from market_data_lakehouse_spark.queries.textops import (
+            e4_repetition_score,
+        )
+
+        p = simple_plan(e4_repetition_score(spark, sf_dir))
+        assert p.count("Exchange") == 1, p
+        assert p.count("HashAggregate") >= 3  # partial+final, then final
+
     def test_bucketed_join_is_shuffle_free(self, spark, sf_dir, tmp_path):
         """Bucketing is THE co-located-join primitive at 100 TB: two
         tables bucketed by the join key on the same bucket count join
