@@ -109,14 +109,20 @@ def main() -> None:
 
     for name in (
         "a2_vwap_top10",            # flagship aggregate
+        "w7_returns_vol",           # log-returns + realized volatility
+        "w8_max_drawdown",          # running-peak drawdown
         "e1_exact_dedup",           # hash dedup
+        "e1_decontaminate",         # train/eval fingerprint decontamination
+        "e1_contamination_ngram",   # partial-inclusion n-gram overlap
         "e2_lsh_verified_jaccard",  # LSH candidates -> exact verify
         "e2_dedup_clusters",        # pairs -> connected components -> keep-one
         "e3_knn_bruteforce",        # exact cosine top-k
         "e3_ann_recall",            # measured recall of the LSH index
+        "e4_repetition_score",      # Gopher-style repetition quality
         "w6_sessionize",            # gaps-and-islands sessions
         "e6_hash_split",            # deterministic train/val/test split
-        "e6_token_shards",          # token-budget training shards
+        "e6_temperature_mix",       # alpha=0.5 mixture rebalance
+        "e6_token_shards_partitioned",  # parallel token-budget shards
     ):
         out = REGISTRY[name].fn(spark, sf_dir)
         print(f"{name}: {out.count()} rows")
