@@ -50,6 +50,19 @@ def load(
     return df
 
 
+def doc_nibble(pos: int):
+    """pos-th hex char (1-based) of md5(doc_id) — a uniform,
+    deterministic 1/16 bucket, independent per position. THE
+    membership-gate primitive shared by the E6 split/sample/mixture
+    gates and the E1 eval-slice definition: all stages that must
+    agree on slice membership derive it from here."""
+    from pyspark.sql import functions as F
+
+    return F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), pos, 1
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from market_data_lakehouse_spark.queries.catalog import load, register
+from market_data_lakehouse_spark.queries.catalog import (
+    doc_nibble,
+    load,
+    register,
+)
 
 # First hex nibble of md5(doc_id): 16 uniform buckets.
 #   0-b (12/16 = 75%) -> train, c-d (2/16) -> val, e-f (2/16) -> test
@@ -38,12 +42,9 @@ _SAMPLE_MAX = "3"
 SHARD_TOKENS = 20_000  # token budget per training shard
 
 
-def _nibble(pos: int) -> F.Column:
-    """pos-th hex char (1-based) of md5(doc_id) — a uniform,
-    deterministic 1/16 bucket usable as an independent gate per pos."""
-    return F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), pos, 1
-    )
+# the shared membership-gate primitive (catalog.doc_nibble) under its
+# historical local name
+_nibble = doc_nibble
 
 
 def _n_tokens() -> F.Column:

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_data_lakehouse_spark.queries.catalog import load, register
+from market_data_lakehouse_spark.queries.catalog import (
+    doc_nibble,
+    load,
+    register,
+)
 
 # Tiny per-language stopword lists for the n-gram/stopword language
 # heuristic. Chosen to discriminate the 5 langs in the testdata.
@@ -539,11 +543,10 @@ def e1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source contamination counts; the cleaned corpus itself is
     the anti-join with the identical build side."""
     docs = load(spark, sf_dir, "documents")
-    nib = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 3, 1
-    )
     tagged = docs.select(
-        "source", _fingerprint().alias("fp"), (nib == "f").alias("is_eval")
+        "source",
+        _fingerprint().alias("fp"),
+        (doc_nibble(3) == "f").alias("is_eval"),
     )
     eval_fps = tagged.filter("is_eval").select("fp").distinct()
     train = tagged.filter(~F.col("is_eval"))
@@ -653,14 +656,19 @@ def e1_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (array ops, no shuffle), explode, one shuffle on the
     32-byte gram hash for the semi-join probe, then a doc-keyed
     aggregate — the corpus text itself is never shuffled. Documents
-    shorter than _CONTAM_N tokens produce no shingles and are out of
-    scope (none exist in this corpus; a production run unions them
-    in as trivially clean)."""
-    docs = load(spark, sf_dir, "documents")
-    nib = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 3, 1
-    )
+    shorter than _CONTAM_N tokens produce no shingles: they are
+    filtered out up front (F.sequence with stop < start generates a
+    DESCENDING sequence, not an empty one, and would crash in
+    F.slice) and are out of scope for the report (a production run
+    unions them in as trivially clean)."""
     t = _tokens()
+    # the gate on >= N tokens must precede gram construction; it also
+    # keeps per_doc's n_train consistent with the oracle (docs with
+    # no shingles are not counted)
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(t) >= _CONTAM_N
+    )
+    is_eval = doc_nibble(3) == "f"
     grams_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (_CONTAM_N - 1)),
@@ -672,7 +680,7 @@ def e1_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         "source",
-        (nib == "f").alias("is_eval"),
+        is_eval.alias("is_eval"),
         F.explode(grams_arr).alias("g"),
     )
     eval_g = grams.filter("is_eval").select("g").distinct()
@@ -683,8 +691,13 @@ def e1_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    per_doc = train.select("doc_id", "source").distinct().join(
-        hits, "doc_id", "left"
+    # (doc_id, source) comes from the pre-explode scan — recovering
+    # it from the exploded gram rows would re-run the whole
+    # tokenize->hash pipeline a third time at corpus scale
+    per_doc = (
+        docs.filter(~is_eval)
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_train"),

@@ -430,3 +430,33 @@ def test_ivf_recall_floor(spark):
     rows = e3_ivf_recall(spark, sf_dir).collect()
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.85, f"IVF mean recall@5 degraded to {mean}"
+
+
+def test_contamination_ngram_survives_short_docs(spark, tmp_path):
+    """Documents with fewer than _CONTAM_N tokens (or empty text)
+    must be excluded, not crash the job: F.sequence with stop < start
+    generates a DESCENDING sequence and F.slice then throws — the
+    pre-filter is load-bearing."""
+    from market_data_lakehouse_spark.queries.textops import (
+        _CONTAM_N,
+        e1_contamination_ngram,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "two tokens", "en", "srcA", 10),
+            (2, "", "en", "srcA", 0),
+            (3, "   ", "en", "srcA", 3),
+            (4, "one two three four", "en", "srcA", 18),  # N-1 tokens
+            (5, "alpha beta gamma delta epsilon zeta eta theta", "en",
+             "srcB", 46),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = e1_contamination_ngram(spark, str(tmp_path)).collect()
+    # only doc 5 has >= _CONTAM_N tokens; it is not in the eval slice
+    # for either outcome the job must complete
+    assert _CONTAM_N == 5
+    total_train = sum(r.n_train for r in out)
+    assert total_train <= 1
