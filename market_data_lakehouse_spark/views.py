@@ -19,8 +19,9 @@ recorded WITH the state so a crashed refresh replays idempotently
 
 Only commutative-invertible aggregates (SUM/COUNT) can be maintained
 this way — MIN/MAX are not invertible under deletes; a view over them
-would need a full recompute on delete commits. VwapView maintains
-sums only, so every commit type folds incrementally.
+would need a full recompute on delete commits. ``AdditiveView``
+maintains an arbitrary set of SUM(expr) partials (plus the row count
+``n``); ``VwapView`` is the flagship specialization.
 """
 
 from __future__ import annotations
@@ -35,22 +36,31 @@ from pyspark.sql import DataFrame, functions as F
 from market_data_lakehouse_spark.txnlog import TransactionalLake
 
 
-class VwapView:
-    """Incrementally-maintained per-key VWAP (the flagship metric) —
-    state = (key, sum_pv, sum_v, n); vwap = sum_pv / sum_v derived on
-    read. Generalizes to any additive partial-aggregate set."""
+class AdditiveView:
+    """Incrementally-maintained additive aggregate: state =
+    (keys..., one column per SUM(expr), n). ``sums`` maps output
+    column name -> SQL expression evaluated against the base table's
+    rows; every entry folds incrementally through inserts AND deletes
+    because SUM is invertible. Keys whose row count reaches zero drop
+    out of the state (a fully-deleted group disappears, as a
+    recompute would show)."""
 
     def __init__(
         self,
         lake: TransactionalLake,
         path: str,
-        key: str = "symbol",
-        price: str = "price",
-        volume: str = "volume",
+        keys: tuple[str, ...] | list[str],
+        sums: dict[str, str],
     ) -> None:
+        if not sums:
+            raise ValueError("sums must name at least one SUM expression")
+        overlap = set(keys) & (set(sums) | {"n"})
+        if overlap:
+            raise ValueError(f"key/aggregate name collision: {overlap}")
         self.lake = lake
         self.path = path.rstrip("/")
-        self.key, self.price, self.volume = key, price, volume
+        self.keys = list(keys)
+        self.sums = dict(sums)
         os.makedirs(self.path, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -77,10 +87,11 @@ class VwapView:
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
-        pv = F.col(self.price) * F.col(self.volume)
-        return changes.groupBy(F.col(self.key).alias("key")).agg(
-            F.sum(sign * pv).alias("sum_pv"),
-            F.sum(sign * F.col(self.volume)).alias("sum_v"),
+        return changes.groupBy(*self.keys).agg(
+            *[
+                F.sum(sign * F.expr(expr)).alias(name)
+                for name, expr in self.sums.items()
+            ],
             F.sum(sign).alias("n"),
         )
 
@@ -102,10 +113,9 @@ class VwapView:
             merged = (
                 spark.read.parquet(old_dir)
                 .unionByName(delta)
-                .groupBy("key")
+                .groupBy(*self.keys)
                 .agg(
-                    F.sum("sum_pv").alias("sum_pv"),
-                    F.sum("sum_v").alias("sum_v"),
+                    *[F.sum(c).alias(c) for c in self.sums],
                     F.sum("n").alias("n"),
                 )
             )
@@ -123,14 +133,45 @@ class VwapView:
         return target
 
     def read(self) -> DataFrame:
-        """(key, vwap, total_volume, n) from the maintained partials —
-        no scan of the base table."""
+        """(keys..., sums..., n) from the maintained partials — no
+        scan of the base table."""
         d = self._state_dir()
         if d is None:
             raise ValueError("view never refreshed: call refresh() first")
-        s = self.lake.spark.read.parquet(d)
+        return self.lake.spark.read.parquet(d).select(
+            *self.keys, *self.sums, "n"
+        )
+
+
+class VwapView(AdditiveView):
+    """Incrementally-maintained per-key VWAP (the flagship metric) —
+    state = (key, sum_pv, sum_v, n); vwap = sum_pv / sum_v derived on
+    read."""
+
+    def __init__(
+        self,
+        lake: TransactionalLake,
+        path: str,
+        key: str = "symbol",
+        price: str = "price",
+        volume: str = "volume",
+    ) -> None:
+        super().__init__(
+            lake,
+            path,
+            keys=(key,),
+            sums={
+                "sum_pv": f"{price} * {volume}",
+                "sum_v": volume,
+            },
+        )
+        self.key = key
+
+    def read(self) -> DataFrame:
+        """(key, vwap, total_volume, n) derived from the partials."""
+        s = super().read()
         return s.select(
-            F.col("key").alias(self.key),
+            F.col(self.key),
             F.try_divide(F.col("sum_pv"), F.col("sum_v")).alias("vwap"),
             F.col("sum_v").alias("total_volume"),
             "n",

@@ -93,3 +93,61 @@ def test_merge_and_update_commits_fold_through_view(spark, lake, tmp_path):
     got = {r.symbol: (r.vwap, r.total_volume) for r in view.read().collect()}
     assert got == _full_vwap(lake.snapshot())
     assert got["AAPL"][1] == 40
+
+
+def test_additive_view_multi_key_multi_sum(spark, lake, tmp_path):
+    """The generalized view: composite keys, several SUM expressions
+    (incl. a computed one), incremental across append + DML, always
+    equal to a full recompute."""
+    from market_data_lakehouse_spark.views import AdditiveView
+
+    def rows(data):
+        return spark.createDataFrame(
+            [(s, e, float(p), int(v)) for s, e, p, v in data],
+            "symbol string, exch string, price double, volume long",
+        )
+
+    lk = TransactionalLake(spark, str(tmp_path / "lk2"), partition_by=())
+    view = AdditiveView(
+        lk,
+        str(tmp_path / "view2"),
+        keys=("symbol", "exch"),
+        sums={"notional": "price * volume", "vol": "volume"},
+    )
+    lk.append(rows([("AAPL", "N", 100, 10), ("AAPL", "Q", 101, 5),
+                    ("MSFT", "N", 50, 4)]))
+    view.refresh()
+
+    def full():
+        return {
+            (r.symbol, r.exch): (r.notional, r.vol, r.n)
+            for r in lk.snapshot().groupBy("symbol", "exch").agg(
+                F.sum(F.expr("price * volume")).alias("notional"),
+                F.sum("volume").alias("vol"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+        }
+
+    def state():
+        return {
+            (r.symbol, r.exch): (r.notional, r.vol, r.n)
+            for r in view.read().collect()
+        }
+
+    assert state() == full()
+    lk.merge(rows([("AAPL", "N", 120, 20), ("GOOG", "Q", 70, 1)]),
+             on=("symbol", "exch"))
+    lk.delete_where("symbol = 'MSFT'")
+    view.refresh()
+    assert state() == full()
+    assert ("MSFT", "N") not in state()
+
+
+def test_additive_view_rejects_bad_config(spark, lake, tmp_path):
+    from market_data_lakehouse_spark.views import AdditiveView
+
+    with pytest.raises(ValueError, match="at least one"):
+        AdditiveView(lake, str(tmp_path / "v"), keys=("k",), sums={})
+    with pytest.raises(ValueError, match="collision"):
+        AdditiveView(lake, str(tmp_path / "v"), keys=("n",),
+                     sums={"x": "1"})
