@@ -786,9 +786,11 @@ def w1_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rets AS (
       SELECT event_type,
-             LN(value / LAG(value) OVER (
-               PARTITION BY event_type ORDER BY ts, event_id)) AS ret
-      FROM events)
+             CASE WHEN value > 0
+                   AND LAG(value) OVER w > 0
+                  THEN LN(value / LAG(value) OVER w) END AS ret
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
     SELECT event_type,
            CAST(COUNT(ret) AS BIGINT) AS n_returns,
            ROUND(AVG(ret), 6) AS mean_ret,
@@ -804,12 +806,20 @@ def w7_returns_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (same partitioning, Spark plans one exchange); at 100 TB
     the window parallelizes across instruments exactly like
     w1_lag_gaps. Ties on ts are broken by event_id in both engines so
-    lag() is deterministic. events.value is strictly positive in this
-    corpus; a production feed would guard LN with a positivity filter
-    (kept out here so the oracle stays expression-identical)."""
+    lag() is deterministic. A return is defined ONLY when both
+    observations are positive — the guard is load-bearing, not
+    defensive: zero prices exist in the corpus (6 at sf0.1) and an
+    unguarded ratio raises DIVIDE_BY_ZERO under ANSI mode on the
+    Spark side and LN-domain errors in DuckDB; both engines agree on
+    the NULL (the return simply doesn't exist at a halted/invalid
+    print, matching market convention)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    ret = F.log(F.col("value") / F.lag("value").over(w))
+    prev = F.lag("value").over(w)
+    ret = F.when(
+        (F.col("value") > 0) & (prev > 0),
+        F.log(F.col("value") / prev),
+    )
     return (
         ev.select("event_type", ret.alias("ret"))
         .groupBy("event_type")
@@ -833,7 +843,8 @@ def w7_returns_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT event_type,
            ROUND(MAX(peak), 4) AS peak_value,
-           ROUND(MIN(value / peak - 1.0), 6) AS max_drawdown
+           ROUND(MIN(CASE WHEN peak > 0
+                          THEN value / peak - 1.0 END), 6) AS max_drawdown
     FROM dd GROUP BY event_type
     """,
 )
@@ -842,7 +853,10 @@ def w8_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     max window, drawdown = value/peak - 1, then the per-key minimum —
     the standard risk metric computed in one windowed pass + one
     aggregate sharing the same instrument-key partitioning (single
-    exchange, same scale shape as w4's cumulative aggregate)."""
+    exchange, same scale shape as w4's cumulative aggregate). A
+    drawdown is defined only once a positive peak exists: zero prices
+    occur in the corpus, and a leading run of them would otherwise
+    hit 0/0 (ANSI DIVIDE_BY_ZERO) before the first real print."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -859,9 +873,15 @@ def w8_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.round(F.max("peak"), 4).alias("peak_value"),
-            F.round(F.min(F.col("value") / F.col("peak") - 1.0), 6).alias(
-                "max_drawdown"
-            ),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("peak") > 0,
+                        F.col("value") / F.col("peak") - 1.0,
+                    )
+                ),
+                6,
+            ).alias("max_drawdown"),
         )
     )
 
