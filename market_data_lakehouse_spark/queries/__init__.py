@@ -71,8 +71,10 @@ _DRIVER_WINDOW = [
     "e2_minhash_lsh", "e2_simhash", "e5_media_resize",
     "a7_approx_distinct", "a9_percentile_approx", "e3_ann_lsh",
     "e3_ann_recall",
-    # (d) family representatives (all driver-green r2/r3) — 29
-    "s1_scan_project", "s2_csv_roundtrip", "v2_quality_stage",
+    # (d) family representatives (all driver-green r2/r3, plus the
+    # new JSON roundtrip) — 29; s1_scan_project rotates out
+    # (subsumed by lakehouse_roundtrip, green r2+r3)
+    "s2_json_roundtrip", "s2_csv_roundtrip", "v2_quality_stage",
     "a2_vwap_top10", "a8_grouping_sets", "a10_pivot", "a11_unpivot",
     "j3_broadcast_join", "j6_asof_join", "j9_multiway_topk",
     "w1_lag_gaps", "w6_sessionize",

@@ -173,3 +173,36 @@ def s8_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "s2_json_roundtrip",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           MIN(md5(text)) AS min_md5
+    FROM documents GROUP BY source, lang
+    """,
+)
+def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + scan round-trip (the third source format, next to
+    the parquet and CSV lakes; batch twin of the streaming layer's
+    JSON file source): documents written as JSON lines, read back
+    under the explicit schema, aggregated per (source, lang). The
+    oracle runs on the ORIGINAL parquet — equality proves the text
+    survived JSON string escaping byte-exactly (min_md5 diverges on
+    any mangled character), and counts prove no row was dropped or
+    duplicated. Schema-on-read (no inference pass) is the posture a
+    100 TB JSON ingest needs anyway: inference is a full extra
+    scan."""
+    docs = load(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_json_{uuid.uuid4().hex[:8]}"
+    )
+    docs.write.mode("overwrite").json(out_dir)
+    back = spark.read.schema(docs.schema).json(out_dir)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+    )

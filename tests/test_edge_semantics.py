@@ -460,3 +460,25 @@ def test_contamination_ngram_survives_short_docs(spark, tmp_path):
     assert _CONTAM_N == 5
     total_train = sum(r.n_train for r in out)
     assert total_train <= 1
+
+
+def test_temperature_mix_uniform_keeps_everything(spark, tmp_path):
+    """A perfectly uniform mixture has rate 1.0 for every group —
+    the k >= 256 branch of the hex-threshold gate must keep every
+    row (the 2-hex-char lexicographic compare alone cannot express
+    rate=1: to_hex(256) is 3 chars and would compare wrong)."""
+    from market_data_lakehouse_spark.queries.sampling import (
+        e6_temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "fr"][i % 2], "src", 10)
+         for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in e6_temperature_mix(
+        spark, str(tmp_path)).collect()}
+    for lang in ("en", "fr"):
+        assert out[lang].target_rate == 1.0
+        assert out[lang].n_kept == out[lang].n_total == 20
