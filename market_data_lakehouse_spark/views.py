@@ -54,9 +54,15 @@ class AdditiveView:
     ) -> None:
         if not sums:
             raise ValueError("sums must name at least one SUM expression")
-        overlap = set(keys) & (set(sums) | {"n"})
-        if overlap:
-            raise ValueError(f"key/aggregate name collision: {overlap}")
+        overlap = (set(keys) | {"n"}) & set(sums)
+        if overlap or "n" in keys:
+            # "n" is the reserved row-count column; a SUM (or key)
+            # named "n" would collide with it downstream and die with
+            # an opaque AMBIGUOUS_REFERENCE at refresh time
+            raise ValueError(
+                f"key/aggregate name collision: "
+                f"{sorted(overlap | ({'n'} if 'n' in keys else set()))}"
+            )
         self.lake = lake
         self.path = path.rstrip("/")
         self.keys = list(keys)
@@ -69,17 +75,33 @@ class AdditiveView:
         return os.path.join(self.path, "_view_meta.json")
 
     @property
-    def last_applied_version(self) -> int:
-        if not os.path.exists(self._meta_path):
-            return -1
-        with open(self._meta_path) as fh:
-            return json.load(fh)["applied_version"]
+    def _state_cols(self) -> list[str]:
+        return [*self.keys, *self.sums, "n"]
 
-    def _state_dir(self) -> str | None:
+    def _meta(self) -> dict | None:
+        """Current meta, or None when absent OR when the persisted
+        state schema doesn't match this view definition (older code,
+        or the definition changed) — a mismatched state can't be
+        folded into, so the view self-heals by rebuilding from the
+        full CDC feed instead of dying in unionByName."""
         if not os.path.exists(self._meta_path):
             return None
         with open(self._meta_path) as fh:
-            return os.path.join(self.path, json.load(fh)["state_dir"])
+            meta = json.load(fh)
+        if meta.get("state_cols") != self._state_cols:
+            return None
+        return meta
+
+    @property
+    def last_applied_version(self) -> int:
+        meta = self._meta()
+        return -1 if meta is None else meta["applied_version"]
+
+    def _state_dir(self) -> str | None:
+        meta = self._meta()
+        if meta is None:
+            return None
+        return os.path.join(self.path, meta["state_dir"])
 
     def _delta(self, changes: DataFrame) -> DataFrame:
         """Signed partial aggregates from a CDC frame: inserts count
@@ -126,10 +148,22 @@ class AdditiveView:
         )
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"applied_version": target, "state_dir": new_name}, fh)
+            json.dump(
+                {
+                    "applied_version": target,
+                    "state_dir": new_name,
+                    "state_cols": self._state_cols,
+                },
+                fh,
+            )
         os.replace(tmp, self._meta_path)  # state + version swap together
-        if old_dir is not None:
-            shutil.rmtree(old_dir, ignore_errors=True)
+        # reclaim every unreferenced state dir — the replaced one AND
+        # any orphan left behind by a schema-mismatch rebuild
+        for entry in os.listdir(self.path):
+            if entry.startswith("state_") and entry != new_name:
+                shutil.rmtree(
+                    os.path.join(self.path, entry), ignore_errors=True
+                )
         return target
 
     def read(self) -> DataFrame:
@@ -160,9 +194,12 @@ class VwapView(AdditiveView):
             lake,
             path,
             keys=(key,),
+            # backtick-quoted: the fragments go through F.expr, and an
+            # unquoted non-identifier name ("bid price", "order")
+            # would parse as something else entirely
             sums={
-                "sum_pv": f"{price} * {volume}",
-                "sum_v": volume,
+                "sum_pv": f"`{price}` * `{volume}`",
+                "sum_v": f"`{volume}`",
             },
         )
         self.key = key

@@ -151,3 +151,43 @@ def test_additive_view_rejects_bad_config(spark, lake, tmp_path):
     with pytest.raises(ValueError, match="collision"):
         AdditiveView(lake, str(tmp_path / "v"), keys=("n",),
                      sums={"x": "1"})
+
+
+def test_additive_view_rejects_reserved_n(spark, lake, tmp_path):
+    from market_data_lakehouse_spark.views import AdditiveView
+
+    with pytest.raises(ValueError, match="collision"):
+        AdditiveView(lake, str(tmp_path / "v"), keys=("k",),
+                     sums={"n": "volume"})
+
+
+def test_view_state_schema_mismatch_self_heals(spark, lake, tmp_path):
+    """State persisted under an older/different view definition (no
+    state_cols marker, or different columns) must trigger a full
+    rebuild from the CDC feed — not an unresolvable unionByName
+    crash that bricks the view directory."""
+    import json as _json
+    import os as _os
+
+    view = VwapView(lake, str(tmp_path / "view"))
+    lake.append(_ticks(spark, [("AAPL", 100, 10), ("MSFT", 50, 4)]))
+    view.refresh()
+    # rewrite the meta as the PREVIOUS format: legacy 'key' state
+    # column, no state_cols marker
+    meta_path = view._meta_path
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    legacy_dir = _os.path.join(view.path, meta["state_dir"])
+    spark.read.parquet(legacy_dir).withColumnRenamed(
+        "symbol", "key"
+    ).write.mode("overwrite").parquet(legacy_dir + "_legacy")
+    with open(meta_path, "w") as fh:
+        _json.dump({"applied_version": meta["applied_version"],
+                    "state_dir": meta["state_dir"].split("/")[-1] + "_legacy"},
+                   fh)
+    # new commits + refresh: the mismatched state is discarded and the
+    # view rebuilds from version 0, landing on the full-recompute truth
+    lake.append(_ticks(spark, [("AAPL", 130, 20)]))
+    view.refresh()
+    got = {r.symbol: (r.vwap, r.total_volume) for r in view.read().collect()}
+    assert got == _full_vwap(lake.snapshot())
