@@ -368,6 +368,59 @@ class TestStreamBatchEquivalence:
         )
 
 
+class TestStreamToView:
+    def test_stream_feeds_lake_feeds_incremental_view(self, spark, tmp_path):
+        """The full consumption chain: file stream -> exactly-once
+        ACID append -> CDC feed -> incremental VWAP view. Each
+        drained run refreshes the view from only the new commits;
+        state always equals a full recompute over the lake."""
+        from market_data_lakehouse_spark.streaming import (
+            stream_ingest_transactional,
+        )
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+        from market_data_lakehouse_spark.views import VwapView
+
+        src = str(tmp_path / "src")
+        lake = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=())
+        view = VwapView(lake, str(tmp_path / "view"))
+        _write_json(src + "/b0.json", [
+            _tick("2024-06-15T10:00:00", price=100.0, volume=10),
+            _tick("2024-06-15T10:00:01", price=110.0, volume=10),
+        ])
+        stream = read_tick_stream(spark, src).select(
+            "symbol", "ts", "price", "volume"
+        ).withColumnRenamed("ts", "timestamp")
+        q = stream_ingest_transactional(
+            stream, lake, checkpoint_dir=str(tmp_path / "ck"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        view.refresh()
+        got = {r.symbol: (r.vwap, r.total_volume)
+               for r in view.read().collect()}
+        assert got == {"AAPL": (105.0, 20)}
+        # second file -> second drain -> incremental fold only
+        _write_json(src + "/b1.json", [
+            _tick("2024-06-15T10:00:02", price=130.0, volume=20),
+            _tick("2024-06-15T10:00:00", symbol="MSFT", price=300.0,
+                  volume=5),
+        ])
+        q = stream_ingest_transactional(
+            read_tick_stream(spark, src).select(
+                "symbol", "ts", "price", "volume"
+            ).withColumnRenamed("ts", "timestamp"),
+            lake, checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+        )
+        q.awaitTermination(120)
+        applied_before = view.last_applied_version
+        view.refresh()
+        assert view.last_applied_version > applied_before
+        got = {r.symbol: (r.vwap, r.total_volume)
+               for r in view.read().collect()}
+        assert got["MSFT"] == (300.0, 5)
+        assert got["AAPL"] == (pytest.approx(117.5), 40)
+
+
 class TestStreamStreamJoin:
     def test_interval_join_enriches_ticks_with_quotes(self, spark, tmp_path):
         """Stream-stream PIT enrichment: each tick pairs with the
