@@ -58,10 +58,11 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 8
+    # (a) round-4 new queries + first-ever driver run — 12
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
+    "w9_ewma", "a12_corr_matrix", "v4_anomaly_zscore", "e3_kmeans",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -72,8 +73,11 @@ _DRIVER_WINDOW = [
     "a7_approx_distinct", "a9_percentile_approx", "e3_ann_lsh",
     "e3_ann_recall",
     # (d) family representatives (all driver-green r2/r3, plus the
-    # new JSON roundtrip) — 29; s1_scan_project rotates out
-    # (subsumed by lakehouse_roundtrip, green r2+r3)
+    # new JSON roundtrip) — 25; rotated out as double-covered and
+    # green in a previous round: s1_scan_project (subsumed by
+    # lakehouse_roundtrip), e4_tfidf / e4_fingerprint / e4_ngram_freq
+    # (E4 keeps quality_score + pii_redaction + corpus_clean +
+    # repetition_score in-window), x7_map_funcs (X7 green r3 ×7)
     "s2_json_roundtrip", "s2_csv_roundtrip", "v2_quality_stage",
     "a2_vwap_top10", "a8_grouping_sets", "a10_pivot", "a11_unpivot",
     "j3_broadcast_join", "j6_asof_join", "j9_multiway_topk",
@@ -81,11 +85,9 @@ _DRIVER_WINDOW = [
     "e1_exact_dedup", "e1_dedup_by_hash",
     "e2_embedding_neardup", "e2_lsh_verified_jaccard", "e2_dedup_clusters",
     "e3_knn_bruteforce", "e3_label_centroid_sim",
-    "e4_quality_score",
-    "e4_tfidf", "e4_fingerprint", "e4_pii_redaction", "e4_ngram_freq",
+    "e4_quality_score", "e4_pii_redaction",
     "e5_frame_sample",
     "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
-    "x7_map_funcs",
 ]
 
 

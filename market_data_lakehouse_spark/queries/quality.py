@@ -72,3 +72,48 @@ def v2_quality_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_big_gaps",
         )
     )
+
+
+@register(
+    "v4_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ABS(ROUND((e.value - s.mu) / s.sigma, 6)) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def v4_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-spike anomaly detection: per-instrument z-score against
+    the instrument's own mean/stddev, flagging |z| > 3 (the README's
+    "price sanity" check made statistical). Two-pass shape that
+    scales: pass one is a map-side-combined groupBy producing one
+    (mu, sigma) row per instrument; the tiny stats table broadcasts
+    back onto the scan, so the big side is touched exactly twice with
+    no wide shuffle — same plan at 100 TB with a 10k-symbol universe.
+    The threshold compares the z-score ROUNDed to 6 in both engines
+    so last-ulp drift in mu/sigma can't flip membership at the
+    boundary."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.abs(F.round(z, 6)) > 3).cast("long")
+            ).alias("n_anomalies"),
+            F.round(F.max(F.abs(z)), 4).alias("max_abs_z"),
+        )
+    )

@@ -887,6 +887,114 @@ def w8_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w9_ewma",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             ROUND(AVG(value), 6) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    rec AS (
+      SELECT event_type, d, x, rn, x AS ewma FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT daily.event_type, daily.d, daily.x, daily.rn,
+             0.2 * daily.x + 0.8 * rec.ewma
+      FROM daily JOIN rec ON daily.event_type = rec.event_type
+                         AND daily.rn = rec.rn + 1)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d, x,
+           ROUND(ewma, 6) AS ewma
+    FROM rec
+    """,
+)
+def w9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.2) of the daily
+    mean price per instrument — the classic smoothing stat whose
+    recurrence (y_t = a*x_t + (1-a)*y_{t-1}, seeded y_0 = x_0) no
+    SQL window can express. This is the documented tier-(b) custom
+    operator: the heavy reduction (raw ticks -> one row per
+    instrument-day) is a codegen'd map-side-combined groupBy; only
+    the tiny bounded series (rows = instruments x calendar days, NOT
+    data volume — ~3.6k rows per instrument even at 100 TB / 10 y)
+    crosses into an Arrow-batched ``applyInPandas`` that folds the
+    recurrence sequentially per instrument. The oracle is a DuckDB
+    recursive CTE folding the same recurrence; both sides run
+    ``0.2*x + 0.8*prev`` on float64 inputs pre-rounded to 6 decimals,
+    so the folds are bit-identical and the final ROUND(6) hashes
+    equal."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+
+    def _fold(pdf):
+        pdf = pdf.sort_values("d", ignore_index=True)
+        ew, prev = [], None
+        for x in pdf["x"]:
+            # float64 literals 0.2 / 0.8 match the oracle's exactly;
+            # same ops in the same order => bit-identical folds
+            prev = x if prev is None else 0.2 * x + 0.8 * prev
+            ew.append(prev)
+        pdf["ewma"] = ew
+        return pdf
+
+    res = daily.groupBy("event_type").applyInPandas(
+        _fold, schema="event_type string, d date, x double, ewma double"
+    )
+    return res.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "x",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+@register(
+    "a12_corr_matrix",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CORR(a.x, b.x), 6) AS corr
+    FROM daily a JOIN daily b
+      ON a.d = b.d AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def a12_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of instruments' daily mean prices
+    (the portfolio-risk staple). The raw scan reduces to one row per
+    (instrument, day) FIRST — a map-side-combined groupBy — so the
+    all-pairs self-join runs over instruments x days rows, bounded by
+    the calendar and the symbol universe, never by tick volume; the
+    join key is the date, and the upper-triangle predicate halves the
+    output. At 100 TB the daily matrix for 10k symbols x 10 years is
+    ~36M rows — broadcastable after the reduction. corr() is
+    single-pass in both engines; inputs are pre-rounded so the only
+    cross-engine drift is the estimator's own last-ulp, absorbed by
+    ROUND(6) on a [-1, 1] value."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("sym_a"),
+        F.col("b.event_type").alias("sym_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.corr("a.x", "b.x"), 6).alias("corr"),
+    )
+
+
+@register(
     "w2_rank_topn",
     oracle="""
     SELECT o_orderpriority, o_orderkey,

@@ -596,6 +596,105 @@ def e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_bruteforce(spark, sf_dir, e3_ann_lsh)
 
 
+def _kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3
+):
+    """Lloyd's algorithm, spherical variant (assign by max cosine,
+    centroid = element-wise mean — cosine ignores magnitude, so the
+    mean acts as the normalized mean and the objective is monotone).
+    Deterministic: seeds are the first ``k`` vectors by vec_id, every
+    assignment tie-breaks on cell asc. Returns (assigned DataFrame
+    with a ``cluster`` column, final centroid rows). Distributed
+    shape: each iteration is one broadcast-closure assignment (the
+    k x dim quantizer is driver-size BY DEFINITION) plus one
+    map-side-combined mean — the big side never joins per-centroid,
+    identical to the IVF trainer but run to convergence rather than
+    one refinement."""
+    em = load(spark, sf_dir, "embeddings")
+    cents_rows = sorted(
+        em.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+        .collect(),
+        key=lambda r: r["cell"],
+    )
+    assigned = None
+    for _ in range(n_iter):
+        assign = em.withColumn(
+            "cluster", _cell_ranks_udf(cents_rows, 1)(F.col("embedding"))[0]
+        )
+        cents_rows = sorted(
+            _mean_vectors(assign, "cluster", "embedding", "ce")
+            .withColumnRenamed("cluster", "cell")
+            .collect(),
+            key=lambda r: r["cell"],
+        )
+        assigned = assign
+    return assigned, cents_rows
+
+
+def kmeans_objective(spark: SparkSession, sf_dir: str, n_iter: int) -> float:
+    """Mean cosine of every vector to its assigned centroid after
+    ``n_iter`` Lloyd iterations — the spherical k-means objective,
+    used by the property test to assert monotone improvement."""
+    assigned, cents_rows = _kmeans_fit(spark, sf_dir, n_iter=n_iter)
+    cents = spark.createDataFrame(
+        [(r["cell"], [float(x) for x in r["ce"]]) for r in cents_rows],
+        "cluster long, ce array<double>",
+    )
+    return (
+        assigned.join(F.broadcast(cents), "cluster")
+        .select(cosine_pairs("embedding", "ce").alias("sim"))
+        .agg(F.avg("sim"))
+        .collect()[0][0]
+    )
+
+
+@register("e3_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
+def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means document clustering over the embedding corpus (the
+    topic-bucketing / data-mixing primitive a training pipeline runs
+    before sampling): 3 Lloyd iterations from deterministic seeds,
+    then a per-cluster summary — size, mean cosine to the centroid
+    (cohesion), and the dominant ground-truth label with its share
+    (purity evidence). All post-fit aggregates are codegen'd; the
+    only Python is the Arrow-batched assignment UDF. Property-tested
+    (monotone objective) rather than oracle-checked: the iteration
+    is not SQL-expressible."""
+    assigned, cents_rows = _kmeans_fit(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(r["cell"], [float(x) for x in r["ce"]]) for r in cents_rows],
+        "cluster long, ce array<double>",
+    )
+    scored = assigned.join(F.broadcast(cents), "cluster").select(
+        "cluster",
+        "label",
+        cosine_pairs("embedding", "ce").alias("sim"),
+    )
+    label_n = scored.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    top_label = label_n.groupBy("cluster").agg(
+        F.max_by(
+            F.struct("label", "ln"), F.struct("ln", (-F.col("label")))
+        ).alias("t"),
+        F.sum("ln").alias("n"),
+    )
+    coh = scored.groupBy("cluster").agg(
+        F.round(F.avg("sim"), 6).alias("mean_cos")
+    )
+    return (
+        top_label.join(coh, "cluster")
+        .select(
+            "cluster",
+            F.col("n").cast("long").alias("n"),
+            "mean_cos",
+            F.col("t.label").alias("top_label"),
+            F.round(F.col("t.ln") / F.col("n"), 4).alias("top_label_share"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @register("e3_ivf_recall")  # rows-only: evaluates the engine-specific IVF
 def e3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the IVF index (same harness as e3_ann_recall):

@@ -482,3 +482,50 @@ def test_temperature_mix_uniform_keeps_everything(spark, tmp_path):
     for lang in ("en", "fr"):
         assert out[lang].target_rate == 1.0
         assert out[lang].n_kept == out[lang].n_total == 20
+
+
+def test_kmeans_objective_monotone(spark):
+    """Spherical k-means: the mean-cosine objective must be
+    non-decreasing in the number of Lloyd iterations (cosine ignores
+    magnitude, so the un-normalized mean centroid maximizes the
+    within-cluster cosine sum — each assign/update step can only
+    improve). Pins the iteration actually converging rather than
+    churning."""
+    from market_data_lakehouse_spark.queries.similarity import (
+        kmeans_objective,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    o1 = kmeans_objective(spark, sf_dir, 1)
+    o2 = kmeans_objective(spark, sf_dir, 2)
+    o3 = kmeans_objective(spark, sf_dir, 3)
+    eps = 1e-9  # rounded centroid means can wiggle the last ulp
+    assert o2 >= o1 - eps, (o1, o2)
+    assert o3 >= o2 - eps, (o2, o3)
+
+
+def test_kmeans_summary_covers_corpus(spark):
+    """e3_kmeans: cluster sizes partition the corpus (every vector in
+    exactly one cluster), cohesion and purity are well-formed."""
+    from market_data_lakehouse_spark.queries.similarity import e3_kmeans
+
+    rows = e3_kmeans(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n for r in rows) == 500
+    for r in rows:
+        assert -1.0 <= r.mean_cos <= 1.0
+        assert 0.0 < r.top_label_share <= 1.0
+
+
+def test_ewma_matches_pandas(spark):
+    """w9_ewma vs an independent oracle: pandas ewm(alpha=0.2,
+    adjust=False) over the same daily means — the recurrence the
+    query folds is exactly pandas' unadjusted EWM definition."""
+    import pandas as pd
+
+    from market_data_lakehouse_spark.queries.relational import w9_ewma
+
+    out = w9_ewma(spark, "/root/testdata/sf0.001").toPandas()
+    for _, g in out.groupby("event_type"):
+        g = g.sort_values("d")
+        expect = g["x"].ewm(alpha=0.2, adjust=False).mean()
+        assert (g["ewma"] - expect.round(6)).abs().max() <= 1e-6

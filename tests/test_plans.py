@@ -184,6 +184,42 @@ class TestPlans:
         assert p.count("Exchange") == 1, p
         assert p.count("HashAggregate") >= 3  # partial+final, then final
 
+    def test_ewma_reduces_before_python(self, spark, sf_dir):
+        """w9: the Arrow-batched recurrence fold must sit ABOVE the
+        daily reduction — the raw scan combines map-side down to
+        instrument-day rows before any byte crosses into Python."""
+        from market_data_lakehouse_spark.queries.relational import w9_ewma
+
+        p = simple_plan(w9_ewma(spark, sf_dir))
+        assert "FlatMapGroupsInPandas" in p
+        # partial + final HashAggregate of the daily reduction feed it
+        assert p.index("HashAggregate") > p.index("FlatMapGroupsInPandas")
+        assert p.count("HashAggregate") >= 2
+
+    def test_corr_matrix_hash_joins_on_date(self, spark, sf_dir):
+        """a12: the all-pairs self-join must be a hash join keyed on
+        the date with the upper-triangle predicate as a residual
+        condition — never a nested-loop/cartesian over the corpus."""
+        from market_data_lakehouse_spark.queries.relational import (
+            a12_corr_matrix,
+        )
+
+        p = simple_plan(a12_corr_matrix(spark, sf_dir))
+        assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_anomaly_zscore_broadcasts_stats(self, spark, sf_dir):
+        """v4: the per-instrument (mu, sigma) table joins back onto
+        the scan as a broadcast — the big side is never shuffled for
+        the join."""
+        from market_data_lakehouse_spark.queries.quality import (
+            v4_anomaly_zscore,
+        )
+
+        p = simple_plan(v4_anomaly_zscore(spark, sf_dir))
+        assert "BroadcastHashJoin" in p
+
     def test_bucketed_join_is_shuffle_free(self, spark, sf_dir, tmp_path):
         """Bucketing is THE co-located-join primitive at 100 TB: two
         tables bucketed by the join key on the same bucket count join
