@@ -73,12 +73,15 @@ _DRIVER_WINDOW = [
     "a7_approx_distinct", "a9_percentile_approx", "e3_ann_lsh",
     "e3_ann_recall",
     # (d) family representatives (all driver-green r2/r3, plus the
-    # new JSON roundtrip) — 25; rotated out as double-covered and
-    # green in a previous round: s1_scan_project (subsumed by
+    # new JSON + ORC roundtrips) — 25; rotated out as double-covered
+    # and green in a previous round: s1_scan_project (subsumed by
     # lakehouse_roundtrip), e4_tfidf / e4_fingerprint / e4_ngram_freq
     # (E4 keeps quality_score + pii_redaction + corpus_clean +
-    # repetition_score in-window), x7_map_funcs (X7 green r3 ×7)
-    "s2_json_roundtrip", "s2_csv_roundtrip", "v2_quality_stage",
+    # repetition_score in-window), x7_map_funcs (X7 green r3 ×7),
+    # e6_token_shards (global kernel, green r3; the partitioned
+    # variant holds the in-window slot)
+    "s2_json_roundtrip", "s2_csv_roundtrip", "s3_orc_roundtrip",
+    "v2_quality_stage",
     "a2_vwap_top10", "a8_grouping_sets", "a10_pivot", "a11_unpivot",
     "j3_broadcast_join", "j6_asof_join", "j9_multiway_topk",
     "w1_lag_gaps", "w6_sessionize",
@@ -87,7 +90,7 @@ _DRIVER_WINDOW = [
     "e3_knn_bruteforce", "e3_label_centroid_sim",
     "e4_quality_score", "e4_pii_redaction",
     "e5_frame_sample",
-    "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
+    "e6_hash_split", "e6_stratified_sample",
 ]
 
 

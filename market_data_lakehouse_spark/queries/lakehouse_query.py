@@ -206,3 +206,35 @@ def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
     )
+
+
+@register(
+    "s3_orc_roundtrip",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           MIN(md5(text)) AS min_md5
+    FROM documents WHERE n_chars > 100 GROUP BY source, lang
+    """,
+)
+def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip — the second columnar format next
+    to parquet (S2/S3 family): documents written as ORC, read back
+    with a pushed predicate (`n_chars > 100` reaches the ORC reader
+    as a search argument, so stripes whose min/max exclude it are
+    skipped — same row-group-skipping story as the parquet scans),
+    then aggregated per (source, lang) with an md5 witness. The
+    oracle runs on the ORIGINAL parquet: equality proves the bytes
+    survived the format conversion and the pushed filter selected
+    exactly the right rows."""
+    docs = load(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_orc_{uuid.uuid4().hex[:8]}"
+    )
+    docs.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir).filter(F.col("n_chars") > 100)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+    )

@@ -318,3 +318,114 @@ class TestPlans:
         part_line = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
         assert part_line and "date" in part_line[0]
         assert r.df.count() == 1
+
+
+class TestRuntimePruning:
+    """Runtime filters — the two Catalyst features that cut a 100 TB
+    scan down to the partitions/row-groups a selective join actually
+    needs, without any hand-written predicate."""
+
+    def test_dynamic_partition_pruning(self, spark, tmp_path):
+        """Joining a date-partitioned fact against a filtered dim must
+        inject a dynamicpruning subquery into the fact scan's
+        PartitionFilters: only the dim's surviving dates are listed,
+        even though no literal date predicate exists on the fact."""
+        fact = spark.range(0, 1000).selectExpr(
+            "id", "CAST(date_add(DATE '2024-01-01', CAST(id % 10 AS INT)) AS DATE) AS date"
+        )
+        fact.write.partitionBy("date").mode("overwrite").parquet(
+            str(tmp_path / "fact")
+        )
+        fact_r = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.createDataFrame(
+            [("2024-01-03", "keep")], "d string, tag string"
+        ).selectExpr("CAST(d AS DATE) AS date", "tag")
+        joined = fact_r.join(dim.filter(F.col("tag") == "keep"), "date")
+        p = plan(joined)
+        part = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+        assert part and "dynamicpruning" in part[0], p
+        assert joined.count() == 100
+
+    def test_bloom_filter_runtime_join_pruning(self, spark, tmp_path):
+        """With runtime Bloom filters on, a shuffle join whose build
+        side is selectively filtered must inject BloomFilterMightContain
+        onto the probe side — rows that cannot match are dropped
+        before the shuffle, the difference between shuffling 100 TB
+        and shuffling the ~1% that survives."""
+        big = spark.range(0, 50_000).selectExpr("id AS k", "id * 2 AS v")
+        big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+        small = spark.range(0, 5_000).selectExpr("id AS k", "id % 97 AS tag")
+        small.write.mode("overwrite").parquet(str(tmp_path / "small"))
+        conf = spark.conf
+        saved = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled":
+                conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+                conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+            "spark.sql.autoBroadcastJoinThreshold":
+                conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        }
+        try:
+            conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            b = spark.read.parquet(str(tmp_path / "big"))
+            s = spark.read.parquet(str(tmp_path / "small")).filter(
+                F.col("tag") == 7
+            )
+            joined = b.join(s, "k")
+            p = plan(joined)
+            assert "bloom_filter" in p or "BloomFilter" in p, p
+            assert joined.count() == 52  # ids 0..4999 with id%97==7
+        finally:
+            for key, val in saved.items():
+                conf.set(key, val)
+
+
+class TestSkewJoin:
+    def test_salted_join_matches_plain_join(self, spark):
+        """Equivalence on pathologically skewed data: one key holds
+        90% of the left side. inner and left results must match the
+        unsalted join exactly (including unmatched-left rows)."""
+        from market_data_lakehouse_spark.skew import salted_join
+
+        left = spark.createDataFrame(
+            [("hot", i) for i in range(900)]
+            + [(f"k{i}", i) for i in range(100)]
+            + [("orphan", -1)],
+            "k string, v int",
+        )
+        right = spark.createDataFrame(
+            [("hot", "H")] + [(f"k{i}", f"R{i}") for i in range(100)],
+            "k string, r string",
+        )
+        for how in ("inner", "left"):
+            got = salted_join(left, right, "k", how=how, salt=8)
+            want = left.join(right, "k", how)
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.collect())
+            ), how
+
+    def test_salted_join_spreads_shuffle_keys(self, spark):
+        """The exchange under the join must hash on (key, _salt) —
+        the hot key's rows land on `salt` reducers, not one."""
+        from market_data_lakehouse_spark.skew import salted_join
+
+        left = spark.createDataFrame([("a", 1)], "k string, v int")
+        right = spark.createDataFrame([("a", "x")], "k string, r string")
+        p = simple_plan(salted_join(left, right, "k", salt=4))
+        assert "_salt" in p
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+        assert any("k" in x and "_salt" in x for x in parts), parts
+
+    def test_salted_join_rejects_outer(self, spark):
+        from market_data_lakehouse_spark.skew import salted_join
+
+        left = spark.createDataFrame([("a", 1)], "k string, v int")
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(left, left, "k", how="full")
