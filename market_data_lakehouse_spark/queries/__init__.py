@@ -79,10 +79,11 @@ _DRIVER_WINDOW = [
     # (E4 keeps quality_score + pii_redaction + corpus_clean +
     # repetition_score in-window), x7_map_funcs (X7 green r3 ×7),
     # e6_token_shards (global kernel, green r3; the partitioned
-    # variant holds the in-window slot)
+    # variant holds the in-window slot), a10_pivot (green r3;
+    # a11_unpivot represents the reshape pair)
     "s2_json_roundtrip", "s2_csv_roundtrip", "s3_orc_roundtrip",
     "v2_quality_stage",
-    "a2_vwap_top10", "a8_grouping_sets", "a10_pivot", "a11_unpivot",
+    "a2_vwap_top10", "a8_grouping_sets", "a13_funnel", "a11_unpivot",
     "j3_broadcast_join", "j6_asof_join", "j9_multiway_topk",
     "w1_lag_gaps", "w6_sessionize",
     "e1_exact_dedup", "e1_dedup_by_hash",

@@ -995,6 +995,63 @@ def a12_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a13_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_then_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_then_purchase
+    """,
+)
+def a13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): how many
+    users completed each prefix of the journey IN ORDER — a later
+    step counts only strictly after that user's first occurrence of
+    the previous step. Three user-keyed min-aggregates chained by
+    join: every shuffle is on user_id (high cardinality, parallel)
+    and each step's input is pre-filtered to one event type before
+    joining, so the per-step join touches only that type's rows —
+    at 100 TB the event-type filter pushes to the scan and the three
+    stages reuse compatible user_id partitioning. Output is one
+    3-column row (step counts), driver-size by construction."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_then_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    )
+
+
+@register(
     "w2_rank_topn",
     oracle="""
     SELECT o_orderpriority, o_orderkey,

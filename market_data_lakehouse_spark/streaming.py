@@ -303,6 +303,40 @@ def streaming_dedup(
     )
 
 
+def streaming_flag_anomalies(
+    ticks: DataFrame,
+    stats: DataFrame,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Stream-static enrichment: join a STATIC per-symbol stats table
+    (``symbol, mu, sigma`` — typically last night's batch
+    ``v4_anomaly_zscore`` pass over the lake) onto the live tick
+    stream and flag prints whose z-score exceeds the threshold.
+
+    This is the third streaming join shape next to stream-stream
+    (``streaming_enrich_ticks``) and foreachBatch-MERGE
+    (``stream_upsert``): the static side is re-resolved and broadcast
+    per micro-batch, so the operator keeps ZERO streaming state — no
+    watermark, no state store — and a Delta-style static table
+    refresh is picked up on the next batch. A left join keeps prints
+    for symbols with no reference stats (z NULL, flagged false):
+    monitoring must not drop the instruments it has no baseline for.
+    """
+    joined = ticks.join(F.broadcast(stats), "symbol", "left")
+    z = F.when(
+        F.col("sigma") > 0,
+        (F.col("price") - F.col("mu")) / F.col("sigma"),
+    )
+    return joined.select(
+        "symbol",
+        "ts",
+        "price",
+        "volume",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def streaming_enrich_ticks(
     ticks: DataFrame,
     quotes: DataFrame,

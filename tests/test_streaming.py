@@ -468,3 +468,36 @@ class TestStreamStreamJoin:
         assert [r.bid for r in aapl] == [149.0, 149.5]
         googl = got.filter("symbol = 'GOOGL'").collect()
         assert len(googl) == 1 and googl[0].bid is None  # quiet book kept
+
+
+class TestStreamStaticJoin:
+    def test_static_stats_flag_streaming_anomalies(self, spark, tmp_path):
+        """Stream-static join: the live stream is scored against a
+        static baseline with zero streaming state; symbols missing
+        from the baseline still flow (z NULL, not flagged)."""
+        from market_data_lakehouse_spark.schema import TICK_SCHEMA
+        from market_data_lakehouse_spark.streaming import (
+            streaming_flag_anomalies,
+        )
+
+        src = str(tmp_path / "ticks")
+        _write_json(src + "/t0.json", [
+            _tick("2024-06-15T10:00:00", price=150.0),        # z = 0
+            _tick("2024-06-15T10:01:00", price=190.0),        # z = 4 -> flag
+            _tick("2024-06-15T10:02:00", symbol="NEWCO", price=7.0),  # no stats
+        ])
+        stats = spark.createDataFrame(
+            [("AAPL", 150.0, 10.0)], "symbol string, mu double, sigma double"
+        )
+        ticks = spark.readStream.schema(TICK_SCHEMA).json(src)
+        out = streaming_flag_anomalies(ticks, stats, z_threshold=3.0)
+        assert out.isStreaming
+        sink = str(tmp_path / "out")
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r.price: r for r in spark.read.parquet(sink).collect()}
+        assert got[150.0].z == 0.0 and not got[150.0].is_anomaly
+        assert got[190.0].z == 4.0 and got[190.0].is_anomaly
+        assert got[7.0].z is None and not got[7.0].is_anomaly
