@@ -57,6 +57,12 @@ HEAVY = {
     "q_minhash_lsh": "e2_minhash_lsh",
     "q_lsh_verified": "e2_lsh_verified_jaccard",
     "q_ann_lsh": "e3_ann_lsh",
+    # round 4: market-risk + analytics additions (cheap, tracked for
+    # round-over-round drift like the rest)
+    "q_ewma": "w9_ewma",
+    "q_corr_matrix": "a12_corr_matrix",
+    "q_anomaly_zscore": "v4_anomaly_zscore",
+    "q_funnel": "a13_funnel",
 }
 
 

@@ -184,6 +184,20 @@ class TestPlans:
         assert p.count("Exchange") == 1, p
         assert p.count("HashAggregate") >= 3  # partial+final, then final
 
+    def test_funnel_steps_join_on_user_key(self, spark, sf_dir):
+        """a13: every funnel step is a user_id-keyed hash join/agg —
+        the only nested-loop joins are the final 1-row count
+        cross-joins (driver-size by construction), never a per-user
+        cartesian."""
+        from market_data_lakehouse_spark.queries.relational import a13_funnel
+
+        p = simple_plan(a13_funnel(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert p.count("hashpartitioning(user_id") >= 3, p
+        # the scalar-count combiner is the only nested-loop shape, and
+        # both of its inputs are keyless (single-row) aggregates
+        assert p.count("BroadcastNestedLoopJoin") <= 2
+
     def test_ewma_reduces_before_python(self, spark, sf_dir):
         """w9: the Arrow-batched recurrence fold must sit ABOVE the
         daily reduction — the raw scan combines map-side down to
