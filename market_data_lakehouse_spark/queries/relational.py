@@ -1705,3 +1705,230 @@ def a11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).select("l_linestatus", "metric", F.round("value", 2).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (J11/J12, A14) — classic warehouse shapes over the
+# star schema; the join-ordering / broadcast-strategy stress tests
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j11_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def j11_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join with per-table
+    filters, revenue aggregate, top-10. The canonical join-ordering
+    test — Catalyst pushes each predicate below its join, and AQE
+    picks broadcast for the filtered customer side when it shrinks
+    under the threshold. Revenue is exact long math (cents × integral
+    discount percent, queries/money.py) so the top-10 cut is
+    deterministic: ties in rounded revenue break on l_orderkey.
+    Scale: the orders⨝lineitem join shuffles on orderkey (both sides
+    huge); customer is the only candidate dim and arrives
+    pre-filtered to one segment. No window, no driver collection."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    disc4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money.scaled_round(money.exact_sum(disc4), 4, 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "j12_regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def j12_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a 6-table join where
+    the c_nationkey = s_nationkey residual makes join ORDER matter —
+    supplier must join after customer is reachable. Plan posture for
+    100 TB: nation⨝region pre-reduced and explicitly broadcast (25
+    rows after the region filter); lineitem⨝orders⨝customer shuffle
+    on their keys; supplier joins on (suppkey, nationkey) — at TPC-H
+    ratios supplier is 10_000× smaller than lineitem, so AQE
+    broadcasts it when it fits and shuffles otherwise. The one-year
+    date filter prunes orders before its join (predicate pushdown
+    below the join is the whole point of declaring this
+    declaratively)."""
+    nr = (
+        load(spark, sf_dir, "nation")
+        .join(
+            load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    disc4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        # wide=True: one group per nation means the scaled-long sum
+        # grows with total table size — decimal(38,0) cannot overflow
+        .agg(
+            money.scaled_round(money.exact_sum(disc4, wide=True), 4, 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "a14_big_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def a14_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): an aggregate-HAVING
+    subquery feeding a semi-join filter on the fact table, then a
+    re-aggregation with customer attribution. Two-pass over lineitem
+    by design — pass 1 is a map-side-combined sum per orderkey (tiny
+    output: ~1% of orders survive the threshold), whose survivor key
+    set is semi-joined back (AQE broadcasts it when small). This is
+    the scalable shape for 'find the heavy keys then fetch their
+    rows' — the alternative single-pass window-over-orderkey would
+    shuffle the full fact table unfiltered."""
+    li = load(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        heavy, F.col("o_orderkey") == heavy.l_orderkey, "left_semi"
+    )
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "w10_rank_distributions",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile
+    FROM events
+    WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def w10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (W-family completion): ntile /
+    percent_rank / cume_dist per user over event value. One window
+    spec → one sort within each user partition serves all four
+    outputs; the ORDER BY carries event_id as tiebreaker so tile
+    assignment is deterministic. Scale: partitioned by user_id
+    (high cardinality) — no global sort, no single-task window."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )

@@ -10,14 +10,18 @@ from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.queries.relational import (
     a2_vwap_top10,
+    a14_big_orders,
     f2_time_range,
     j3_broadcast_join,
     j6_asof_join,
     j9_multiway_topk,
+    j11_shipping_priority,
+    j12_regional_revenue,
     o2_topk,
     s1_scan_project,
     w2_rank_topn,
     w6_sessionize,
+    w10_rank_distributions,
 )
 
 
@@ -443,3 +447,49 @@ class TestSkewJoin:
         left = spark.createDataFrame([("a", 1)], "k string, v int")
         with pytest.raises(ValueError, match="inner/left"):
             salted_join(left, left, "k", how="full")
+
+
+class TestMultiJoinPlans:
+    """Plan posture for the TPC-H Q3/Q5/Q18-shape composites."""
+
+    def test_shipping_priority_pushes_filters_and_takes_ordered(
+        self, spark, sf_dir
+    ):
+        """Each per-table predicate must reach its own scan as a
+        PushedFilter (no post-join filtering), and the top-10 must be
+        TakeOrderedAndProject, never a global Sort."""
+        p = plan(j11_shipping_priority(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p
+        pushed = [
+            ln for ln in p.splitlines() if "PushedFilters" in ln
+        ]
+        joined = "\n".join(pushed)
+        assert "c_mktsegment" in joined
+        assert "o_orderdate" in joined
+        assert "l_shipdate" in joined
+
+    def test_regional_revenue_broadcasts_geo_dims(self, spark, sf_dir):
+        """nation⨝region is explicitly broadcast; the plan must show
+        a BroadcastHashJoin and no cartesian anywhere."""
+        p = plan(j12_regional_revenue(spark, sf_dir))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        # revenue aggregate keeps map-side combine
+        assert p.count("HashAggregate") >= 2
+
+    def test_big_orders_semi_join_before_fact_join(self, spark, sf_dir):
+        """The HAVING subquery must reduce to a semi-join of orders
+        against the heavy-key aggregate (pass-1 output), and that
+        aggregate must be partial+final (map-side combined)."""
+        p = plan(a14_big_orders(spark, sf_dir))
+        assert "LeftSemi" in p
+        assert p.count("HashAggregate") >= 4  # heavy-key agg + final agg
+        assert "TakeOrderedAndProject" in p
+
+    def test_rank_distributions_single_window_sort(self, spark, sf_dir):
+        """All four distribution functions share ONE window spec —
+        exactly one user_id exchange, one Window node, and no global
+        (no-partition) window anywhere."""
+        p = simple_plan(w10_rank_distributions(spark, sf_dir))
+        assert p.count("hashpartitioning") == 1, p
+        assert "SinglePartition" not in p
