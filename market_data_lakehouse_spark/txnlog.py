@@ -1028,3 +1028,47 @@ class TransactionalLake:
             }
             for n in reversed(self._commit_files())
         ]
+
+    def restore(
+        self, version: int | None = None, timestamp: str | None = None
+    ) -> int:
+        """Roll the table back to an earlier snapshot as a NEW commit
+        (Delta RESTORE TABLE ... VERSION AS OF semantics): the commit
+        re-adds the target version's live files and removes every file
+        added since. Metadata-only — no data is rewritten or copied,
+        so restoring a 100 TB table costs one log write. The restore
+        is itself an ordinary commit: history() shows it, CDC emits
+        the net row changes, and a later restore can undo it.
+
+        Raises FileNotFoundError if any file the target snapshot
+        needs was already vacuum()ed (Delta's contract: RESTORE fails
+        rather than resurrecting a hole), and the usual concurrent-
+        commit error if the table advances mid-restore."""
+        target_files, target_schemas, target_v = self._snapshot_state(
+            version, timestamp
+        )
+        cur_files, _schemas, read_v = self._snapshot_state()
+        if target_v == read_v:
+            return read_v
+        missing = [
+            f
+            for f in target_files
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{target_v}: {len(missing)} required "
+                f"data file(s) already vacuumed (e.g. {missing[0]})"
+            )
+        cur, tgt = set(cur_files), set(target_files)
+        action: dict = {
+            "op": "restore",
+            "restore_version": target_v,
+            "add": [f for f in target_files if f not in cur],
+            "remove": [f for f in cur_files if f not in tgt],
+        }
+        if target_schemas:
+            # pin the restored schema so post-restore snapshots resolve
+            # to the target's type history, not the rolled-back one
+            action["schema"] = target_schemas[-1]
+        return self._commit(action, read_version=read_v)

@@ -444,3 +444,69 @@ class TestMaintenance:
         lake.optimize()
         ops = [h["op"] for h in lake.history()]
         assert ops == ["compact", "append"]
+
+
+class TestRestore:
+    def test_restore_rolls_back_and_is_a_commit(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v1 = lake.append(_df(spark, [("MSFT", 300)]))
+        lake.delete_where("symbol = 'AAPL'")
+        assert lake.snapshot().count() == 1
+        v_restore = lake.restore(version=v1)
+        assert v_restore == lake.version
+        snap = lake.snapshot().toPandas().sort_values("symbol")
+        assert list(snap["symbol"]) == ["AAPL", "MSFT"]
+        assert lake.history()[0]["op"] == "restore"
+        assert lake.history()[0]["restore_version"] == v1
+
+    def test_restore_is_metadata_only(self, spark, lake):
+        """No parquet file is written or rewritten by restore: the
+        data-file set on disk before and after is identical."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.overwrite(_df(spark, [("TSLA", 900)]))
+
+        def disk_files():
+            out = set()
+            for dp, _d, fs in os.walk(lake.path):
+                out |= {
+                    os.path.join(dp, f) for f in fs if f.endswith(".parquet")
+                }
+            return out
+
+        before = disk_files()
+        lake.restore(version=0)
+        assert disk_files() == before
+        assert lake.snapshot().toPandas()["symbol"].tolist() == ["AAPL"]
+
+    def test_restore_then_restore_forward(self, spark, lake):
+        """A restore is undoable by restoring to the pre-restore
+        version — the log never loses state."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v1 = lake.append(_df(spark, [("MSFT", 300)]))
+        lake.restore(version=0)
+        assert lake.snapshot().count() == 1
+        lake.restore(version=v1)
+        assert lake.snapshot().count() == 2
+
+    def test_restore_noop_at_current_version(self, spark, lake):
+        v0 = lake.append(_df(spark, [("AAPL", 150)]))
+        assert lake.restore(version=v0) == v0
+        assert lake.history()[0]["op"] == "append"
+
+    def test_restore_fails_after_vacuum(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.overwrite(_df(spark, [("TSLA", 900)]))
+        lake.vacuum(retention_seconds=0)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            lake.restore(version=0)
+
+    def test_restore_emits_cdc(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("MSFT", 300)]))
+        v = lake.restore(version=0)
+        cdc = (
+            lake.read_changes(starting_version=v)
+            .select("symbol", "_change_type")
+            .toPandas()
+        )
+        assert set(map(tuple, cdc.values)) == {("MSFT", "delete")}
