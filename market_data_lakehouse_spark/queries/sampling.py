@@ -301,3 +301,91 @@ def e6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rate"), 6).alias("target_rate"),
         F.sum(kept).alias("n_kept"),
     )
+
+
+# Context-window capacity per packed sequence. Real pretraining uses
+# 2048-8192; the registered query uses 256 so driver-scale data
+# (~1.4k tokens/source at sf0.01) actually crosses sequence
+# boundaries and the split/offset algebra gets a non-degenerate
+# oracle check. The plan is capacity-independent.
+SEQ_LEN = 256
+
+
+@register(
+    "e7_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+      FROM toks WHERE n_tok > 0),
+    spans AS (
+      SELECT source, doc_id, n_tok, cum_end,
+             cum_end - n_tok AS cum_start,
+             (cum_end - n_tok) // {SEQ_LEN} AS first_seq,
+             (cum_end - 1) // {SEQ_LEN} AS last_seq,
+             UNNEST(range((cum_end - n_tok) // {SEQ_LEN},
+                          (cum_end - 1) // {SEQ_LEN} + 1)) AS seq_idx
+      FROM c)
+    SELECT source, doc_id,
+           CAST(seq_idx AS BIGINT) AS seq_idx,
+           CAST(LEAST(cum_end, (seq_idx + 1) * {SEQ_LEN})
+                - GREATEST(cum_start, seq_idx * {SEQ_LEN}) AS BIGINT)
+             AS tok_in_seq,
+           first_seq <> last_seq AS is_split
+    FROM spans
+    """,
+)
+def e7_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk, E7): lay every document's
+    tokens end-to-end per source and cut the stream into fixed
+    SEQ_LEN context windows — the GPT-style pretraining layout, where
+    a document may SPAN sequence boundaries. Output is the packing
+    manifest: one row per (doc, sequence) span with the token count
+    the doc contributes to that sequence and whether the doc was
+    split. Distinct from e6_token_shards (which ASSIGNS whole docs to
+    budget-bounded shards); packing splits docs so every sequence is
+    exactly full — the property the training loader needs.
+
+    Plan: one cumulative-sum window partitioned by source (same
+    scale-safe shape as e6_token_shards_partitioned — no global
+    sort), then a per-row ``sequence()`` explode whose length is the
+    doc's span count (almost always 1; never more than
+    n_tok/SEQ_LEN + 1) — output grows by the split count, not
+    n_docs × anything. Membership and offsets are pure functions of
+    the ordered token stream, so the manifest is engine-reproducible.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", _n_tokens().alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        toks.withColumn("cum_end", F.sum("n_tok").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tok"))
+        .withColumn("first_seq", F.expr(f"cum_start div {SEQ_LEN}"))
+        .withColumn("last_seq", F.expr(f"(cum_end - 1) div {SEQ_LEN}"))
+    )
+    out = c.withColumn(
+        "seq_idx", F.explode(F.sequence("first_seq", "last_seq"))
+    )
+    tok_in_seq = F.least(
+        F.col("cum_end"), (F.col("seq_idx") + 1) * SEQ_LEN
+    ) - F.greatest(F.col("cum_start"), F.col("seq_idx") * SEQ_LEN)
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        tok_in_seq.cast("long").alias("tok_in_seq"),
+        (F.col("first_seq") != F.col("last_seq")).alias("is_split"),
+    )

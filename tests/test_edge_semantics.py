@@ -529,3 +529,46 @@ def test_ewma_matches_pandas(spark):
         g = g.sort_values("d")
         expect = g["x"].ewm(alpha=0.2, adjust=False).mean()
         assert (g["ewma"] - expect.round(6)).abs().max() <= 1e-6
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing manifest invariants on real data: (1) each doc's span
+    token counts sum to its whitespace token count (no tokens lost or
+    duplicated at boundaries); (2) every sequence except the last per
+    source holds exactly SEQ_LEN tokens (sequences are full — the
+    property packing exists to provide); (3) is_split marks exactly
+    the docs with more than one span."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.queries.catalog import load
+    from market_data_lakehouse_spark.queries.sampling import (
+        SEQ_LEN,
+        _n_tokens,
+        e7_pack_sequences,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = e7_pack_sequences(spark, sf).toPandas()
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", _n_tokens().alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .toPandas()
+    )
+    per_doc = out.groupby("doc_id").agg(
+        tok=("tok_in_seq", "sum"), spans=("seq_idx", "count"),
+        split=("is_split", "max"),
+    )
+    merged = per_doc.join(toks.set_index("doc_id"), how="outer")
+    assert not merged.isna().any().any()
+    assert (merged["tok"] == merged["n_tok"]).all()
+    assert (merged["split"] == (merged["spans"] > 1)).all()
+
+    seq_tot = out.groupby(["source", "seq_idx"])["tok_in_seq"].sum()
+    last = out.groupby("source")["seq_idx"].max()
+    for (src, seq), tot in seq_tot.items():
+        if seq < last[src]:
+            assert tot == SEQ_LEN, (src, seq, tot)
+        else:
+            assert tot <= SEQ_LEN

@@ -493,3 +493,22 @@ class TestMultiJoinPlans:
         p = simple_plan(w10_rank_distributions(spark, sf_dir))
         assert p.count("hashpartitioning") == 1, p
         assert "SinglePartition" not in p
+
+
+class TestPackSequencesPlan:
+    def test_pack_sequences_partitioned_window_no_global_sort(
+        self, spark, sf_dir
+    ):
+        """The packing cumsum window is keyed by source — the plan
+        must show hashpartitioning(source) and never a SinglePartition
+        exchange (same 100 TB posture as token_shards_partitioned).
+        The explode (Generate) sits above the window, so output
+        growth never feeds back into the shuffle."""
+        from market_data_lakehouse_spark.queries.sampling import (
+            e7_pack_sequences,
+        )
+
+        p = simple_plan(e7_pack_sequences(spark, sf_dir))
+        assert "SinglePartition" not in p
+        assert "hashpartitioning(source" in p
+        assert "Generate explode" in p
