@@ -63,6 +63,11 @@ HEAVY = {
     "q_corr_matrix": "a12_corr_matrix",
     "q_anomaly_zscore": "v4_anomaly_zscore",
     "q_funnel": "a13_funnel",
+    # round 4b: multi-join warehouse shapes + sequence packing
+    "q_tpch_q3": "j11_shipping_priority",
+    "q_tpch_q5": "j12_regional_revenue",
+    "q_tpch_q18": "a14_big_orders",
+    "q_pack_sequences": "e7_pack_sequences",
 }
 
 

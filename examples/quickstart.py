@@ -78,6 +78,8 @@ def main() -> None:
     # in-place DML: both rewrite only the files containing a match
     tx.update_where("symbol = 'TSLA'", {"volume": "volume * 2"})
     tx.delete_where("symbol = 'TSLA' AND volume < 0")  # no-op here
+    # metadata-only rollback: undo everything since the merge
+    tx.restore(version=v2)
     print("cdc ops:", [h["op"] for h in tx.history()])
 
     # --- as-of join ----------------------------------------------------
@@ -123,6 +125,11 @@ def main() -> None:
         "e6_hash_split",            # deterministic train/val/test split
         "e6_temperature_mix",       # alpha=0.5 mixture rebalance
         "e6_token_shards_partitioned",  # parallel token-budget shards
+        "e7_pack_sequences",        # concat-and-chunk context windows
+        "j11_shipping_priority",    # TPC-H Q3 shape
+        "j12_regional_revenue",     # TPC-H Q5 shape (6-table star join)
+        "a14_big_orders",           # TPC-H Q18 shape (HAVING semi-join)
+        "w10_rank_distributions",   # ntile / percent_rank / cume_dist
     ):
         out = REGISTRY[name].fn(spark, sf_dir)
         print(f"{name}: {out.count()} rows")

@@ -58,11 +58,13 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 12
+    # (a) round-4 new queries + first-ever driver run — 18
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
     "w9_ewma", "a12_corr_matrix", "v4_anomaly_zscore", "e3_kmeans",
+    "j11_shipping_priority", "j12_regional_revenue", "a14_big_orders",
+    "w10_rank_distributions", "e7_pack_sequences", "x8_bitwise_cond",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -73,25 +75,31 @@ _DRIVER_WINDOW = [
     "a7_approx_distinct", "a9_percentile_approx", "e3_ann_lsh",
     "e3_ann_recall",
     # (d) family representatives (all driver-green r2/r3, plus the
-    # new JSON + ORC roundtrips) — 25; rotated out as double-covered
+    # new JSON + ORC roundtrips) — 19; rotated out as double-covered
     # and green in a previous round: s1_scan_project (subsumed by
     # lakehouse_roundtrip), e4_tfidf / e4_fingerprint / e4_ngram_freq
     # (E4 keeps quality_score + pii_redaction + corpus_clean +
-    # repetition_score in-window), x7_map_funcs (X7 green r3 ×7),
-    # e6_token_shards (global kernel, green r3; the partitioned
-    # variant holds the in-window slot), a10_pivot (green r3;
-    # a11_unpivot represents the reshape pair)
+    # repetition_score in-window), x7_map_funcs (X7 green r3 ×7;
+    # x8_bitwise_cond holds the scalar-family slot), e6_token_shards
+    # (global kernel, green r3; the partitioned variant holds the
+    # in-window slot), a10_pivot (green r3; a11_unpivot represents
+    # the reshape pair), and — swapped for this round's six new
+    # queries — e1_exact_dedup + e1_dedup_by_hash (green r3; E1 is
+    # represented by decontaminate + contamination_ngram),
+    # e3_label_centroid_sim (E3 keeps knn/ivf/ann/kmeans),
+    # e6_hash_split (E6 keeps stratified + temperature + shards +
+    # packing), w1_lag_gaps (W keeps w6-w10), j9_multiway_topk (J
+    # keeps j3/j6/j10/j11/j12)
     "s2_json_roundtrip", "s2_csv_roundtrip", "s3_orc_roundtrip",
     "v2_quality_stage",
     "a2_vwap_top10", "a8_grouping_sets", "a13_funnel", "a11_unpivot",
-    "j3_broadcast_join", "j6_asof_join", "j9_multiway_topk",
-    "w1_lag_gaps", "w6_sessionize",
-    "e1_exact_dedup", "e1_dedup_by_hash",
+    "j3_broadcast_join", "j6_asof_join",
+    "w6_sessionize",
     "e2_embedding_neardup", "e2_lsh_verified_jaccard", "e2_dedup_clusters",
-    "e3_knn_bruteforce", "e3_label_centroid_sim",
+    "e3_knn_bruteforce",
     "e4_quality_score", "e4_pii_redaction",
     "e5_frame_sample",
-    "e6_hash_split", "e6_stratified_sample",
+    "e6_stratified_sample",
 ]
 
 

@@ -1932,3 +1932,46 @@ def w10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@register(
+    "x8_bitwise_cond",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS low_byte,
+           CAST(event_id | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(event_id, 21845) AS BIGINT) AS xored,
+           CAST(event_id << 2 AS BIGINT) AS shl2,
+           CAST(event_id >> 3 AS BIGINT) AS shr3,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount,
+           CAST(LEAST(event_id, user_id * 100) AS BIGINT) AS lo,
+           CAST(GREATEST(event_id, user_id * 100) AS BIGINT) AS hi,
+           CAST(NULLIF(user_id, 0) AS BIGINT) AS uid_nz,
+           CAST(COALESCE(NULLIF(user_id, 0), -1) AS BIGINT) AS uid_dflt
+    FROM events WHERE event_id < 2000
+    """,
+)
+def x8_bitwise_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise + conditional scalar family (X8): and/or/xor/shifts/
+    popcount and least/greatest/nullif/coalesce — the expressions flag
+    fields, bucket masks, and null-defaulting pipelines lean on. All
+    codegen'd JVM intrinsics; Spark's shiftleft/shiftright on a long
+    match the oracle's BIGINT shifts bit-for-bit."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        eid.bitwiseXOR(F.lit(21845)).cast("long").alias("xored"),
+        F.shiftleft(eid, 2).cast("long").alias("shl2"),
+        F.shiftright(eid, 3).cast("long").alias("shr3"),
+        F.bit_count(eid).cast("long").alias("popcount"),
+        F.least(eid, uid * 100).cast("long").alias("lo"),
+        F.greatest(eid, uid * 100).cast("long").alias("hi"),
+        F.nullif(uid, F.lit(0)).cast("long").alias("uid_nz"),
+        F.coalesce(F.nullif(uid, F.lit(0)), F.lit(-1)).cast("long").alias(
+            "uid_dflt"
+        ),
+    )
