@@ -1975,3 +1975,45 @@ def x8_bitwise_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uid_dflt"
         ),
     )
+
+
+@register(
+    "j13_scalar_subquery",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, l.l_suppkey,
+           ROUND(l.l_extendedprice, 2) AS best_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 48
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def j13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (the TPC-H Q2/Q17 shape:
+    cheapest-offer-per-part), through the spark.sql surface. Catalyst
+    decorrelates the per-part MIN into an aggregate + equi-join —
+    one map-side-combined pass over lineitem, never a per-row
+    re-execution of the subquery (the naive nested-loop reading is
+    O(n²) and disqualifying at scale). Complements j10's EXISTS
+    decorrelation: together they pin both subquery rewrite paths.
+    Ties at the minimum price return every tying supplier — a
+    deterministic set, no LIMIT needed."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("_j13_part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_j13_lineitem")
+    out = spark.sql(
+        """
+        SELECT p.p_partkey, p.p_name, l.l_suppkey,
+               ROUND(l.l_extendedprice, 2) AS best_price
+        FROM _j13_part p
+        JOIN _j13_lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size >= 48
+          AND l.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice) FROM _j13_lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+    spark.catalog.dropTempView("_j13_part")
+    spark.catalog.dropTempView("_j13_lineitem")
+    return out

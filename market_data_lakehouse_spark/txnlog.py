@@ -447,6 +447,7 @@ class TransactionalLake:
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
         self._check_schema(df, merge_schema)
+        self._enforce_constraints(df, "append")
         added = self._write_files(df)
         action: dict = {"op": "append", "add": added, "schema": df.schema.json()}
         if txn is not None:
@@ -457,6 +458,7 @@ class TransactionalLake:
         """Atomic full-table replace: one commit adds the new files
         and removes every previously-live file."""
         old, _schemas, read_v = self._snapshot_state()
+        self._enforce_constraints(df, "overwrite")
         added = self._write_files(df)
         return self._commit(
             {
@@ -592,6 +594,7 @@ class TransactionalLake:
                 for c in aff_df.columns
             ]
         )
+        self._enforce_constraints(rewritten, "update")
         added = self._write_files(rewritten)
         return self._commit(
             {"op": "update", "predicate": predicate, "add": added,
@@ -807,6 +810,7 @@ class TransactionalLake:
                 {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v,
             )
+        self._enforce_constraints(out, "merge")
         added = self._write_files(out)
         return self._commit(
             {
@@ -1072,3 +1076,83 @@ class TransactionalLake:
             # to the target's type history, not the rolled-back one
             action["schema"] = target_schemas[-1]
         return self._commit(action, read_version=read_v)
+
+    # ------------------------------------------------------------------
+    # CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity)
+    # ------------------------------------------------------------------
+    def check_constraints(self) -> dict[str, str]:
+        """Active CHECK constraints, name -> SQL boolean expression.
+        Resolved from the commit log (add minus drop, in commit
+        order) — constraints are table metadata, versioned with the
+        log like everything else."""
+        out: dict[str, str] = {}
+        for name in self._commit_files():
+            c = self._read_commit(int(name.split(".")[0]))
+            if c.get("op") == "add_constraint":
+                out[c["constraint"]["name"]] = c["constraint"]["expr"]
+            elif c.get("op") == "drop_constraint":
+                out.pop(c["constraint"]["name"], None)
+        return out
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint: every CURRENT row must satisfy
+        ``expr`` (one validation scan, exactly Delta's ADD CONSTRAINT
+        contract), and every future append/overwrite/update/merge
+        batch is validated before its files commit. SQL three-valued
+        semantics: a row violates only when the expression is
+        provably FALSE — NULL passes (add an IS NOT NULL conjunct to
+        forbid nulls explicitly)."""
+        if name in self.check_constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        if self.version >= 0:
+            snap = self.snapshot()
+            bad = snap.filter(
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+                == F.lit(False)
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name!r}: {bad} existing "
+                    f"row(s) violate ({expr})"
+                )
+        return self._commit(
+            {"op": "add_constraint", "constraint": {"name": name, "expr": expr}}
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        if name not in self.check_constraints():
+            raise ValueError(f"no such constraint: {name!r}")
+        return self._commit(
+            {"op": "drop_constraint", "constraint": {"name": name}}
+        )
+
+    def _enforce_constraints(self, df: DataFrame, op: str) -> None:
+        """Validate a to-be-written batch against every active CHECK
+        constraint in ONE aggregate pass (per-constraint violation
+        counts via conditional sums — no per-constraint jobs). Cost
+        is one extra evaluation of the incoming batch, never of the
+        table; on violation the write is rejected before any file is
+        staged, so the table is untouched."""
+        cons = self.check_constraints()
+        if not cons:
+            return
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+                        == F.lit(False),
+                        1,
+                    ).otherwise(0)
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+        ).first()
+        violated = {
+            n: counts[n] for n in cons if counts[n] and counts[n] > 0
+        }
+        if violated:
+            detail = ", ".join(
+                f"{n} ({cons[n]}): {v} row(s)" for n, v in violated.items()
+            )
+            raise ValueError(f"CHECK constraint violation on {op}: {detail}")

@@ -510,3 +510,61 @@ class TestRestore:
             .toPandas()
         )
         assert set(map(tuple, cdc.values)) == {("MSFT", "delete")}
+
+
+class TestCheckConstraints:
+    def test_add_validate_enforce_drop(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.add_check_constraint("price_pos", "price > 0")
+        assert lake.check_constraints() == {"price_pos": "price > 0"}
+        # violating append rejected before any file commits
+        v_before = lake.version
+        with pytest.raises(ValueError, match="price_pos"):
+            lake.append(_df(spark, [("BAD", -5)]))
+        assert lake.version == v_before
+        assert lake.snapshot().count() == 1
+        # satisfying append passes
+        lake.append(_df(spark, [("MSFT", 300)]))
+        # drop lifts enforcement
+        lake.drop_check_constraint("price_pos")
+        lake.append(_df(spark, [("NEG", -1)]))
+        assert lake.snapshot().count() == 3
+
+    def test_add_rejects_when_existing_rows_violate(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", -150)]))
+        with pytest.raises(ValueError, match="existing"):
+            lake.add_check_constraint("price_pos", "price > 0")
+        assert lake.check_constraints() == {}
+
+    def test_null_passes_three_valued_semantics(self, spark, lake):
+        """SQL CHECK: only provably-FALSE rows violate; NULL passes."""
+        lake.add_check_constraint("price_pos", "price > 0")
+        df = spark.createDataFrame(
+            [("AAPL", None, "2024-06-15")],
+            "symbol string, price double, date string",
+        )
+        lake.append(df)
+        assert lake.snapshot().count() == 1
+
+    def test_update_and_merge_enforced(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.add_check_constraint("price_pos", "price > 0")
+        with pytest.raises(ValueError, match="update"):
+            lake.update_where("symbol = 'AAPL'", {"price": "-price"})
+        src = _df(spark, [("AAPL", -1)])
+        with pytest.raises(ValueError, match="merge"):
+            lake.merge(src, on=("symbol",))
+        # table unchanged by both rejected writes
+        assert lake.snapshot().filter("price <= 0").count() == 0
+        # valid merge still works under the constraint
+        lake.merge(_df(spark, [("AAPL", 200)]), on=("symbol",))
+        assert (
+            lake.snapshot().filter("symbol = 'AAPL'").first().price == 200.0
+        )
+
+    def test_duplicate_and_missing_names(self, spark, lake):
+        lake.add_check_constraint("c1", "volume IS NULL OR volume >= 0")
+        with pytest.raises(ValueError, match="already exists"):
+            lake.add_check_constraint("c1", "1 = 1")
+        with pytest.raises(ValueError, match="no such"):
+            lake.drop_check_constraint("nope")
