@@ -58,13 +58,14 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 18
+    # (a) round-4 new queries + first-ever driver run — 20
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
     "w9_ewma", "a12_corr_matrix", "v4_anomaly_zscore", "e3_kmeans",
     "j11_shipping_priority", "j12_regional_revenue", "a14_big_orders",
     "w10_rank_distributions", "e7_pack_sequences", "x8_bitwise_cond",
+    "j13_scalar_subquery", "e3_pq_recall",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -75,7 +76,10 @@ _DRIVER_WINDOW = [
     "a7_approx_distinct", "a9_percentile_approx", "e3_ann_lsh",
     "e3_ann_recall",
     # (d) family representatives (all driver-green r2/r3, plus the
-    # new JSON + ORC roundtrips) — 19; rotated out as double-covered
+    # new JSON + ORC roundtrips) — 17; further swapped for round-4b
+    # additions: e2_dedup_clusters and e4_pii_redaction (both green
+    # r3; E2 keeps neardup + lsh_verified, E4 keeps quality_score +
+    # corpus_clean + repetition_score); rotated out as double-covered
     # and green in a previous round: s1_scan_project (subsumed by
     # lakehouse_roundtrip), e4_tfidf / e4_fingerprint / e4_ngram_freq
     # (E4 keeps quality_score + pii_redaction + corpus_clean +
@@ -95,9 +99,9 @@ _DRIVER_WINDOW = [
     "a2_vwap_top10", "a8_grouping_sets", "a13_funnel", "a11_unpivot",
     "j3_broadcast_join", "j6_asof_join",
     "w6_sessionize",
-    "e2_embedding_neardup", "e2_lsh_verified_jaccard", "e2_dedup_clusters",
+    "e2_embedding_neardup", "e2_lsh_verified_jaccard",
     "e3_knn_bruteforce",
-    "e4_quality_score", "e4_pii_redaction",
+    "e4_quality_score",
     "e5_frame_sample",
     "e6_stratified_sample",
 ]

@@ -572,3 +572,16 @@ def test_pack_sequences_invariants(spark):
             assert tot == SEQ_LEN, (src, seq, tot)
         else:
             assert tot <= SEQ_LEN
+
+
+def test_pq_recall_floor(spark):
+    """PQ + exact re-rank must hold mean recall@5 >= 0.8 against
+    brute force (measured 0.92 at sf0.001 / 0.96 at sf0.01 with
+    M=32, K=16) — the floor that makes the 16x-compressed index
+    defensible. Deterministic end to end: hash-gated training
+    sample, seeded Lloyd, tie-broken rankings."""
+    from market_data_lakehouse_spark.queries.similarity import e3_pq_recall
+
+    df = e3_pq_recall(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(df) == 10
+    assert df["recall_at_k"].mean() >= 0.8, df
