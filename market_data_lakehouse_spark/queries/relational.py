@@ -2017,3 +2017,90 @@ def j13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView("_j13_part")
     spark.catalog.dropTempView("_j13_lineitem")
     return out
+
+
+@register(
+    "j14_nation_trade",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+)
+def j14_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume): the interesting bit
+    is the DISJUNCTIVE cross-dimension predicate — (supp=A ∧ cust=B)
+    ∨ (supp=B ∧ cust=A) touches two different join branches, so no
+    single scan can absorb it; what CAN push down is the derived
+    n_name ∈ {A, B} on each nation dim (union-of-conjuncts
+    implication), shrinking both broadcast sides to 2 rows before the
+    residual OR filters pairs post-join. Declaring the implied IN
+    explicitly (plus the original OR) is the portable form — Spark's
+    constraint propagation does not infer it across a join. Facts
+    shuffle on their keys; the date range prunes lineitem at the
+    scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    orders = load(spark, sf_dir, "orders")
+    disc4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(money.scaled_round(money.exact_sum(disc4), 4, 2).alias("revenue"))
+    )
