@@ -80,6 +80,9 @@ def main() -> None:
     tx.delete_where("symbol = 'TSLA' AND volume < 0")  # no-op here
     # metadata-only rollback: undo everything since the merge
     tx.restore(version=v2)
+    # CHECK constraint: validated now, enforced on every future write
+    tx.add_check_constraint("ohlc_pos", "low > 0 AND high >= low")
+    print("constraints:", tx.check_constraints())
     print("cdc ops:", [h["op"] for h in tx.history()])
 
     # --- as-of join ----------------------------------------------------

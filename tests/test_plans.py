@@ -512,3 +512,36 @@ class TestPackSequencesPlan:
         assert "SinglePartition" not in p
         assert "hashpartitioning(source" in p
         assert "Generate explode" in p
+
+
+class TestSubqueryPlans:
+    def test_scalar_subquery_decorrelates_to_aggregate_join(
+        self, spark, sf_dir
+    ):
+        """The correlated MIN must become ONE aggregate over lineitem
+        joined back on partkey — never a re-executed per-row subquery
+        (no nested-loop join in the plan)."""
+        from market_data_lakehouse_spark.queries.relational import (
+            j13_scalar_subquery,
+        )
+
+        p = plan(j13_scalar_subquery(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert p.count("HashAggregate") >= 2  # partial+final min-per-key
+
+    def test_nation_trade_prunes_dims_and_pushes_dates(self, spark, sf_dir):
+        """Both nation dims arrive pre-filtered (the implied IN) and
+        broadcast; the ship-date range reaches the lineitem scan."""
+        from market_data_lakehouse_spark.queries.relational import (
+            j14_nation_trade,
+        )
+
+        p = plan(j14_nation_trade(spark, sf_dir))
+        assert p.count("BroadcastHashJoin") >= 2
+        pushed = "\n".join(
+            ln for ln in p.splitlines() if "PushedFilters" in ln
+        )
+        assert "l_shipdate" in pushed
+        assert "n_name" in pushed  # implied IN reached the dim scans
+        assert "CartesianProduct" not in p

@@ -568,3 +568,18 @@ class TestCheckConstraints:
             lake.add_check_constraint("c1", "1 = 1")
         with pytest.raises(ValueError, match="no such"):
             lake.drop_check_constraint("nope")
+
+
+class TestConstraintRestoreInteraction:
+    def test_constraints_survive_restore(self, spark, lake):
+        """Constraints are log-scoped metadata, not snapshot-scoped:
+        RESTORE rolls back the FILE set, not the constraint set — a
+        rollback must not silently disable data-quality gates."""
+        v0 = lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("MSFT", 300)]))
+        lake.add_check_constraint("price_pos", "price > 0")
+        lake.restore(version=v0)
+        assert lake.snapshot().count() == 1
+        assert lake.check_constraints() == {"price_pos": "price > 0"}
+        with pytest.raises(ValueError, match="price_pos"):
+            lake.append(_df(spark, [("BAD", -1)]))
