@@ -58,7 +58,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 21
+    # (a) round-4 new queries + first-ever driver run — 22
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
@@ -66,6 +66,7 @@ _DRIVER_WINDOW = [
     "j11_shipping_priority", "j12_regional_revenue", "a14_big_orders",
     "w10_rank_distributions", "e7_pack_sequences", "x8_bitwise_cond",
     "j13_scalar_subquery", "e3_pq_recall", "j14_nation_trade",
+    "e2_semantic_dedup",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -103,7 +104,6 @@ _DRIVER_WINDOW = [
     "e3_knn_bruteforce",
     "e4_quality_score",
     "e5_frame_sample",
-    "e6_stratified_sample",
 ]
 
 

@@ -585,3 +585,23 @@ def test_pq_recall_floor(spark):
     df = e3_pq_recall(spark, "/root/testdata/sf0.001").toPandas()
     assert len(df) == 10
     assert df["recall_at_k"].mean() >= 0.8, df
+
+
+def test_semantic_dedup_verdict_consistency(spark):
+    """SemDeDup verdicts must be internally consistent: a flagged
+    vector's nearest within-cluster similarity exceeds the threshold;
+    an unflagged vector with cluster-mates stays below it; and the
+    LOWEST vec_id of every cluster is never flagged (keep-lowest
+    canonical policy — it has no lower-id mate to duplicate)."""
+    from market_data_lakehouse_spark.queries.similarity import (
+        e2_semantic_dedup,
+    )
+
+    df = e2_semantic_dedup(spark, "/root/testdata/sf0.001").toPandas()
+    flagged = df[df["is_semantic_dup"]]
+    assert (flagged["nearest_sim"] > 0.45).all()
+    with_mates = df.dropna(subset=["nearest_sim"])
+    unflagged = with_mates[~with_mates["is_semantic_dup"]]
+    assert (unflagged["nearest_sim"] <= 0.45).all()
+    heads = df.loc[df.groupby("cluster")["vec_id"].idxmin()]
+    assert not heads["is_semantic_dup"].any()
