@@ -11,7 +11,9 @@ from hypothesis import strategies as st
 
 from market_data_lakehouse_spark.txnlog import TransactionalLake
 
-op = st.sampled_from(["append", "overwrite", "delete_low", "compact"])
+op = st.sampled_from(
+    ["append", "overwrite", "delete_low", "compact", "restore"]
+)
 
 
 @settings(
@@ -56,6 +58,16 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
                 continue
             lake.optimize()
             live = set(live)
+        elif o == "restore":
+            # roll halfway back; model[i] is the live set at version i
+            # (every executed op commits exactly one version)
+            if not model:
+                continue
+            v = len(model) // 2
+            if v == lake.version:
+                continue  # same-version restore is a no-commit no-op
+            lake.restore(version=v)
+            live = set(model[v])
         model.append(set(live))
 
     # every historical version readable with exactly its contents
