@@ -2104,3 +2104,49 @@ def j14_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(money.scaled_round(money.exact_sum(disc4), 4, 2).alias("revenue"))
     )
+
+
+@register(
+    "a15_filtered_agg",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(COALESCE(SUM(l_quantity)
+                  FILTER (WHERE l_returnflag = 'R'), 0) AS DOUBLE)
+             AS qty_returned,
+           ROUND(COALESCE(AVG(l_extendedprice)
+                  FILTER (WHERE l_discount > 0.05), 0), 4)
+             AS avg_price_discounted,
+           COUNT(*) AS n_total
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a15_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregates — several differently-
+    filtered measures from ONE scan and ONE shuffle, the idiom that
+    replaces N separate filtered queries in reporting pipelines.
+    Spark expresses each as agg(when(cond, x)): count counts matches,
+    sum/avg ignore the NULLs the when() emits — identical semantics
+    to ANSI FILTER, still fully map-side combined."""
+    li = load(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(ret, 1)).alias("n_returned"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.coalesce(F.sum(F.when(ret, F.col("l_quantity"))), F.lit(0.0))
+        .cast("double")
+        .alias("qty_returned"),
+        F.round(
+            F.coalesce(
+                F.avg(
+                    F.when(
+                        F.col("l_discount") > 0.05, F.col("l_extendedprice")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("avg_price_discounted"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

@@ -703,3 +703,130 @@ def e1_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_train"),
         F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_flagged"),
     )
+
+
+@register(
+    "e4_bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+'))
+               AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dlen AS DOUBLE)) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('data', 'fast', 'window') GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               LN(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl))
+             ) AS score,
+             COUNT(*) AS n_terms
+      FROM tf JOIN df ON tf.term = df.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 4) AS score,
+           CAST(n_terms AS BIGINT) AS n_terms
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def e4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus (k1=1.2, b=0.75, the
+    Robertson defaults; query = a fixed 3-term set): the ranking
+    primitive behind corpus exploration and retrieval-based data
+    curation, one level above e4_tfidf's raw weights. Shape: one
+    tokenize-explode scan -> per-doc lengths (map-side combined) ->
+    tiny per-term document frequencies and global (N, avgdl) scalars
+    (broadcast) -> per-doc score sum -> TakeOrderedAndProject top-20.
+    The only shuffles key on doc_id/term; the explode never re-joins
+    the document bodies. Both engines evaluate the identical double
+    expression tree, so ROUND(4) is far above any ulp drift."""
+    terms = ("data", "fast", "window")
+    k1, b = 1.2, 0.75
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dlen").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "e4_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             AS norm_hash,
+           CAST(length(text)
+                - length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             AS BIGINT) AS n_chars_removed
+    FROM documents
+    """,
+)
+def e4_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pass every dedup fingerprint
+    should agree on): lowercase, trim, collapse internal whitespace
+    runs — emitted with the md5 of the normal form (the join key for
+    cross-source exact dedup) and the per-doc byte delta as an audit
+    column. One scan, all codegen'd string expressions, no shuffle at
+    all."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+        (F.length("text") - F.length(norm)).cast("long").alias(
+            "n_chars_removed"
+        ),
+    )
