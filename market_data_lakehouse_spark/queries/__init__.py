@@ -58,7 +58,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 25
+    # (a) round-4 new queries + first-ever driver run — 27
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
@@ -67,7 +67,7 @@ _DRIVER_WINDOW = [
     "w10_rank_distributions", "e7_pack_sequences", "x8_bitwise_cond",
     "j13_scalar_subquery", "e3_pq_recall", "j14_nation_trade",
     "e2_semantic_dedup", "e4_bm25_search", "e4_normalize",
-    "a15_filtered_agg",
+    "a15_filtered_agg", "v5_drift_psi", "w11_range_frame",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -97,7 +97,7 @@ _DRIVER_WINDOW = [
     # packing), w1_lag_gaps (W keeps w6-w10), j9_multiway_topk (J
     # keeps j6/j10-j14; j3_broadcast_join green r3 + plan-asserted)
     "s2_json_roundtrip", "s3_orc_roundtrip",
-    "a2_vwap_top10", "a8_grouping_sets", "a13_funnel", "a11_unpivot",
+    "a2_vwap_top10", "a13_funnel",
     "j6_asof_join",
     "e2_embedding_neardup", "e2_lsh_verified_jaccard",
     "e3_knn_bruteforce",

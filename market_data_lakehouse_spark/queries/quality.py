@@ -117,3 +117,87 @@ def v4_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.abs(z)), 4).alias("max_abs_z"),
         )
     )
+
+
+@register(
+    "v5_drift_psi",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'a' ELSE 'b' END AS period,
+             LEAST(9, GREATEST(0, CAST(FLOOR(value / 50) AS INT))) AS bin
+      FROM events),
+    c AS (SELECT event_type, period, bin, COUNT(*) AS n
+          FROM ev GROUP BY 1, 2, 3),
+    t AS (SELECT event_type, period, SUM(n) AS tot FROM c GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT ev.event_type, gs.b AS bin
+             FROM ev, (SELECT UNNEST(range(0, 10)) AS b) gs),
+    p AS (SELECT g.event_type, g.bin,
+            (COALESCE(ca.n, 0) + 1.0) / (ta.tot + 10.0) AS pa,
+            (COALESCE(cb.n, 0) + 1.0) / (tb.tot + 10.0) AS pb
+          FROM grid g
+          JOIN t ta ON ta.event_type = g.event_type AND ta.period = 'a'
+          JOIN t tb ON tb.event_type = g.event_type AND tb.period = 'b'
+          LEFT JOIN c ca ON ca.event_type = g.event_type
+                        AND ca.bin = g.bin AND ca.period = 'a'
+          LEFT JOIN c cb ON cb.event_type = g.event_type
+                        AND cb.bin = g.bin AND cb.period = 'b')
+    SELECT event_type,
+           ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM p GROUP BY event_type
+    """,
+)
+def v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection via Population Stability Index:
+    per event_type, compare the value distribution of the first half
+    of the month against the second over 10 fixed-width bins
+    (Laplace-smoothed so empty bins never divide by zero; PSI > 0.2
+    is the conventional 'investigate' threshold). The data-quality
+    gate a feature pipeline runs before refreshing a training set.
+    Scale shape: everything reduces to per-(type, period, bin)
+    counts — one map-side-combined aggregate over the scan; the bin
+    grid and per-period totals are dim-sized broadcasts; no row-level
+    join anywhere."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("period"),
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / 50).cast("int")),
+        ).alias("bin"),
+    )
+    c = ev.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("event_type", "period").agg(F.sum("n").alias("tot"))
+    bins = ev.sparkSession.range(10).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(bins))
+    ta = t.filter(F.col("period") == "a").select("event_type", F.col("tot").alias("tot_a"))
+    tb = t.filter(F.col("period") == "b").select("event_type", F.col("tot").alias("tot_b"))
+    ca = c.filter(F.col("period") == "a").select("event_type", "bin", F.col("n").alias("n_a"))
+    cb = c.filter(F.col("period") == "b").select("event_type", "bin", F.col("n").alias("n_b"))
+    p = (
+        grid.join(F.broadcast(ta), "event_type")
+        .join(F.broadcast(tb), "event_type")
+        .join(F.broadcast(ca), ["event_type", "bin"], "left")
+        .join(F.broadcast(cb), ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            ((F.coalesce(F.col("n_a"), F.lit(0)) + 1.0) / (F.col("tot_a") + 10.0)).alias("pa"),
+            ((F.coalesce(F.col("n_b"), F.lit(0)) + 1.0) / (F.col("tot_b") + 10.0)).alias("pb"),
+        )
+    )
+    return p.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )

@@ -2150,3 +2150,51 @@ def a15_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_price_discounted"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@register(
+    "w11_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_24h
+    FROM (SELECT event_id, user_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 CAST(date_part('epoch', ts) AS BIGINT) AS es
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (the frame type the rest of the W
+    family doesn't touch — every other window here is ROWS or
+    unbounded): per-user trailing-24-hour event count and mean value,
+    frame bounds expressed in epoch seconds so the frame is
+    value-based, not row-count-based — two events 5 days apart never
+    share a frame however few rows sit between them. The rolling sum
+    is exact scaled-long cents (order-free; the trailing mean is one
+    division away for the consumer). Ties in the
+    ordering key share a frame by RANGE semantics in both engines
+    (deterministic — the frame is a set, not a cursor). Partitioned
+    by user_id: high-cardinality key, no global sort."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        money.to_scaled("value", 2).alias("cents"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_24h"),
+        # exact integer cents: windowed double sums accumulate in
+        # engine-specific order (ulp drift that even ROUND can let
+        # straddle a boundary); the scaled-long sum is order-free
+        F.sum("cents").over(w).cast("long").alias("sum_cents_24h"),
+    )
