@@ -605,3 +605,30 @@ def test_semantic_dedup_verdict_consistency(spark):
     assert (unflagged["nearest_sim"] <= 0.45).all()
     heads = df.loc[df.groupby("cluster")["vec_id"].idxmin()]
     assert not heads["is_semantic_dup"].any()
+
+
+def test_psi_zero_for_identical_distributions(spark, tmp_path):
+    """PSI sanity: when both periods draw the same values, every
+    smoothed share matches and PSI must be ~0 — pins the smoothing
+    and the bin grid (an off-by-one bin or a missing LEFT JOIN shows
+    up as spurious drift)."""
+    from datetime import datetime
+
+    from market_data_lakehouse_spark.queries.quality import v5_drift_psi
+
+    rows = []
+    for day, period in ((5, "a"), (20, "b")):  # same values, both halves
+        for i in range(50):
+            rows.append(
+                (i, datetime(2024, 1, day, 12, 0, 0), i % 10,
+                 "t", float((i % 10) * 50 + 1), "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = v5_drift_psi(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert abs(out[0].psi) < 1e-9
+    assert out[0].n_bins == 10
