@@ -133,6 +133,9 @@ def main() -> None:
         "j12_regional_revenue",     # TPC-H Q5 shape (6-table star join)
         "a14_big_orders",           # TPC-H Q18 shape (HAVING semi-join)
         "w10_rank_distributions",   # ntile / percent_rank / cume_dist
+        "e4_bm25_search",           # BM25 keyword ranking
+        "e2_semantic_dedup",        # SemDeDup cluster-cosine dedup
+        "v5_drift_psi",             # PSI distribution drift
     ):
         out = REGISTRY[name].fn(spark, sf_dir)
         print(f"{name}: {out.count()} rows")

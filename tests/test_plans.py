@@ -545,3 +545,40 @@ class TestSubqueryPlans:
         assert "l_shipdate" in pushed
         assert "n_name" in pushed  # implied IN reached the dim scans
         assert "CartesianProduct" not in p
+
+
+class TestRound4bPlans:
+    def test_bm25_broadcasts_stats_and_takes_ordered(self, spark, sf_dir):
+        """BM25: df / (N, avgdl) are broadcast dim-sized sides, every
+        aggregate map-side combined, top-20 via TakeOrderedAndProject
+        — never a global sort of scored docs."""
+        from market_data_lakehouse_spark.queries.textops import (
+            e4_bm25_search,
+        )
+
+        p = plan(e4_bm25_search(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p
+        assert p.count("HashAggregate") >= 4
+        assert "SortMergeJoin" not in p  # all joins broadcast at SF
+
+    def test_range_frame_single_user_exchange(self, spark, sf_dir):
+        """The RANGE window must partition by user_id — one exchange,
+        no SinglePartition global sort."""
+        from market_data_lakehouse_spark.queries.relational import (
+            w11_range_frame,
+        )
+
+        p = simple_plan(w11_range_frame(spark, sf_dir))
+        assert p.count("hashpartitioning") == 1, p
+        assert "SinglePartition" not in p
+
+    def test_drift_psi_reduces_before_joining(self, spark, sf_dir):
+        """PSI: the event scan reduces to per-(type, period, bin)
+        counts FIRST (map-side combined); the grid/total joins happen
+        on dim-sized aggregates only — broadcast, never a shuffle of
+        rows."""
+        from market_data_lakehouse_spark.queries.quality import v5_drift_psi
+
+        p = plan(v5_drift_psi(spark, sf_dir))
+        assert p.count("HashAggregate") >= 4
+        assert "SortMergeJoin" not in p
