@@ -376,3 +376,52 @@ def streaming_enrich_ticks(
         F.col("q.bid").alias("bid"),
         F.col("q.ask").alias("ask"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus streaming: the same streaming layer applied to the documents
+# domain — incremental training-data ingest is a stream like any other
+# ---------------------------------------------------------------------------
+
+DOC_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_document_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-arrival document stream (JSONL drops from a crawler /
+    upstream pipeline): each micro-batch is the newly arrived files,
+    bounded by ``maxFilesPerTrigger`` so one giant drop cannot blow
+    the batch. Pairs with ``stream_upsert(..., on="doc_id")`` for
+    exactly-once dedup-on-ingest into a TransactionalLake corpus."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+
+
+def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
+    """Running per-source corpus statistics over a document stream:
+    doc count, whitespace-token total, mean doc length — the live
+    dashboard a corpus-ingest pipeline watches. Complete-mode
+    aggregate: per-source state is one row of partial sums (tiny,
+    bounded by source cardinality), and every micro-batch folds in
+    map-side combined — the streaming twin of the batch
+    ``e6_hash_split``-style corpus reductions."""
+    n_tok = F.when(
+        F.coalesce(F.trim(F.col("text")), F.lit("")) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long")
+    return (
+        docs.select("source", n_tok.alias("n_tok"), F.length("text").alias("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+                "avg_chars"
+            ),
+        )
+    )

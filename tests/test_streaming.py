@@ -501,3 +501,76 @@ class TestStreamStaticJoin:
         assert got[150.0].z == 0.0 and not got[150.0].is_anomaly
         assert got[190.0].z == 4.0 and got[190.0].is_anomaly
         assert got[7.0].z is None and not got[7.0].is_anomaly
+
+
+class TestCorpusStreaming:
+    """The streaming layer applied to the documents domain: JSONL
+    file-arrival ingest, running corpus stats, exactly-once dedup
+    upsert into a corpus lake."""
+
+    def test_streaming_corpus_stats_equal_batch(self, spark, tmp_path):
+        from market_data_lakehouse_spark.streaming import (
+            read_document_stream,
+            streaming_corpus_stats,
+        )
+
+        src = str(tmp_path / "drops")
+        batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        batch.coalesce(2).write.mode("overwrite").json(src)
+        q = (
+            streaming_corpus_stats(read_document_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName("corpus_stats")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.source: (r.n_docs, r.n_tokens)
+            for r in spark.sql("SELECT * FROM corpus_stats").collect()
+        }
+        want = {
+            r.source: (r.n_docs, r.n_tokens)
+            for r in streaming_corpus_stats(batch).collect()
+        }
+        assert got == want
+
+    def test_exactly_once_corpus_upsert(self, spark, tmp_path):
+        from market_data_lakehouse_spark.streaming import (
+            read_document_stream,
+            stream_upsert,
+        )
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "drops")
+        batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        n = batch.count()
+        batch.coalesce(1).write.mode("overwrite").json(src)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "corpus"), partition_by=("source",)
+        )
+        q = stream_upsert(
+            read_document_stream(spark, src),
+            lake,
+            on="doc_id",
+            checkpoint_dir=str(tmp_path / "ck1"),
+            app_id="corpus-ingest",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        assert lake.snapshot().count() == n
+        # redelivery: fresh checkpoint (batch ids restart at 0) but the
+        # same app_id — every merge is a replay and must be skipped
+        q2 = stream_upsert(
+            read_document_stream(spark, src),
+            lake,
+            on="doc_id",
+            checkpoint_dir=str(tmp_path / "ck2"),
+            app_id="corpus-ingest",
+            available_now=True,
+        )
+        q2.awaitTermination(120)
+        assert lake.snapshot().count() == n
+        assert lake.snapshot().select("doc_id").distinct().count() == n
