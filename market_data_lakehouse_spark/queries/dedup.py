@@ -179,14 +179,17 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     )
 
 
-def _banded(sigs: DataFrame) -> DataFrame:
-    """(doc_id, sig, band, bhash): one row per LSH band — N_BANDS
-    bands of N_MINHASH/N_BANDS signature rows, each hashed to a
-    single long. Pairs sharing any (band, bhash) are candidates."""
+def _banded(sigs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, sig, *carry, band, bhash): one row per LSH band —
+    N_BANDS bands of N_MINHASH/N_BANDS signature rows, each hashed to
+    a single long. Pairs sharing any (band, bhash) are candidates.
+    ``carry`` rides extra per-doc columns through the explode (e.g.
+    the shingle-set size) so callers never re-join for them."""
     rows_per_band = N_MINHASH // N_BANDS
     return sigs.select(
         "doc_id",
         "sig",
+        *carry,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -198,7 +201,7 @@ def _banded(sigs: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bhash")
+    ).select("doc_id", "sig", *carry, "bb.band", "bb.bhash")
 
 
 @register("e2_minhash_lsh")  # rows-only: hash family is engine-specific
@@ -337,41 +340,70 @@ def e2_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     its exact Jaccard); banding recall is probabilistic and asserted
     as a floor in the property tests."""
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles_exploded(docs, carry=())
-    ex = sh.distinct()  # set semantics for exact Jaccard
-    banded = _banded(minhash_signatures(sh)).drop("sig")
+    # ONE shared, materialized shingle set feeds the signature/size
+    # aggregate AND both intersection joins. Three deliberate moves:
+    # (1) mins over the DISTINCT set equal mins over the multiset, so
+    # sharing the distinct with exact-Jaccard leaves signatures
+    # unchanged; (2) the same aggregate carries the per-doc set size
+    # (the earlier separate sizes branch cost two more corpus scans
+    # and two joins); (3) localCheckpoint materializes the set once —
+    # Spark's exchange reuse does NOT fire across these four branches
+    # (broadcast sides canonicalize differently), so without it the
+    # scan->explode->distinct subplan executes 4x (measured 2.5x
+    # slower at sf0.1). Local-disk materialization is the same cost
+    # class as the shuffle this stage already pays; a multi-tenant
+    # 100 TB deployment would persist(DISK_ONLY) or checkpoint to
+    # durable storage instead — identical plan, different medium.
+    ex = (
+        _shingles_exploded(docs, carry=())
+        .distinct()
+        .withColumn("h", F.xxhash64("s"))
+        .localCheckpoint(eager=False)
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
+        for k in range(N_MINHASH)
+    ]
+    sigs = (
+        ex.groupBy("doc_id")
+        .agg(*aggs, F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{k}") for k in range(N_MINHASH)]).alias("sig"),
+            "n",
+        )
+    )
+    banded = _banded(sigs, carry=("n",)).drop("sig")
     cand = (
-        banded.select(F.col("doc_id").alias("a_id"), "band", "bhash")
+        banded.select(
+            F.col("doc_id").alias("a_id"), "band", "bhash",
+            F.col("n").alias("na"),
+        )
         .join(
-            banded.select(F.col("doc_id").alias("b_id"), "band", "bhash"),
+            banded.select(
+                F.col("doc_id").alias("b_id"), "band", "bhash",
+                F.col("n").alias("nb"),
+            ),
             ["band", "bhash"],
         )
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "na", "nb")
         .distinct()
     )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # |A ∩ B| restricted to candidate pairs: fan each pair out by A's
     # shingles, inner-join on (b_id, s). Zero-overlap candidates drop
     # here — correct, they can never reach the >= threshold filter.
     inter = (
         cand.join(ex.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
         .join(ex.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    scored = inter.join(
-        sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")),
-        "a_id",
-    ).join(
-        sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")),
-        "b_id",
     )
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        scored.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        inter.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= CLUSTER_JACCARD)
     )
 
