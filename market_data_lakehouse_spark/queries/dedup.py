@@ -211,9 +211,13 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a band, then verify with the estimated Jaccard (fraction
     of equal minhashes). Only the band join shuffles; candidate
     volume tracks duplicate density, not n²."""
+    # materialize the per-doc signatures (one 32-long row per doc —
+    # tiny) before the self-join: exchange reuse does not fire across
+    # the join's two branches, so without this the scan -> explode ->
+    # signature-aggregate pipeline executes twice
     sigs = minhash_signatures(
         _shingles_exploded(load(spark, sf_dir, "documents"), carry=())
-    )
+    ).localCheckpoint(eager=False)
     banded = _banded(sigs)
     a = banded.select(
         F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bhash"
