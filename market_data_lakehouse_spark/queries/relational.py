@@ -2160,7 +2160,7 @@ def a15_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_24h
     FROM (SELECT event_id, user_id,
                  CAST(ROUND(value * 100) AS BIGINT) AS cents,
-                 CAST(date_part('epoch', ts) AS BIGINT) AS es
+                 epoch_us(ts) // 1000000 AS es
           FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY es
                  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
