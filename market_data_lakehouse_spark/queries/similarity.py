@@ -720,19 +720,25 @@ def e3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 32
 PQ_K = 16
 PQ_SHORTLIST = 4 * K  # ADC survivors per query that get exact re-rank
+PQ_SAMPLE = 512  # target codebook-training sample size (driver-bounded)
 
 
 def _pq_train(em: DataFrame) -> "np.ndarray":
     """Train PQ codebooks (PQ_M, PQ_K, sub_dim) driver-side on a
-    deterministic hash-gated sample (1/2 of the corpus here; at real
-    scale the gate threshold is the knob that caps the sample at a
-    driver-size constant — codebooks are ~MBs and train on samples by
+    deterministic hash-gated sample whose modulus derives from the
+    corpus count, capping it near PQ_SAMPLE rows at any scale — codebooks are ~MBs and train on samples by
     design, exactly like the IVF quantizer). Vectors are L2-normalized
     first so ADC inner products approximate cosine. Per-subspace
     k-means: deterministic seeds (first PQ_K sample rows by vec_id),
     5 Lloyd iterations, empty clusters keep their previous centroid."""
+    # bound the sample at ~PQ_SAMPLE rows regardless of corpus size:
+    # one cheap count picks the hash-gate modulus, so a 10^9-vector
+    # corpus still collects a driver-size training set (deterministic
+    # membership — no RNG, no order-dependent limit())
+    n_total = em.count()
+    mod = max(2, n_total // PQ_SAMPLE)
     rows = (
-        em.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0)
+        em.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
         .select("vec_id", "embedding")
         .collect()
     )
