@@ -2198,3 +2198,38 @@ def w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # straddle a boundary); the scaled-long sum is order-free
         F.sum("cents").over(w).cast("long").alias("sum_cents_24h"),
     )
+
+
+@register(
+    "o4_null_ordering",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderpriority, '3-MEDIUM') AS pri,
+           NULLIF(o_orderstatus, 'F') AS st
+    FROM orders
+    ORDER BY pri ASC NULLS FIRST, st DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+)
+def o4_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL ordering (O-family completion): the engines
+    DISAGREE by default — Spark sorts ASC with NULLS FIRST, DuckDB
+    (and Postgres) with NULLS LAST — so any cross-engine sort over a
+    nullable key must spell the placement out. Both directions
+    pinned (asc_nulls_first, desc_nulls_last) with a unique-key
+    tiebreaker so the LIMIT cut is deterministic; the plan is still
+    TakeOrderedAndProject, null placement costs nothing."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri"),
+            F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("st"),
+        )
+        .orderBy(
+            F.col("pri").asc_nulls_first(),
+            F.col("st").desc_nulls_last(),
+            "o_orderkey",
+        )
+        .limit(50)
+    )
