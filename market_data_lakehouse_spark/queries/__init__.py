@@ -58,7 +58,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 28
+    # (a) round-4 new queries + first-ever driver run — 30
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
@@ -68,7 +68,7 @@ _DRIVER_WINDOW = [
     "j13_scalar_subquery", "e3_pq_recall", "j14_nation_trade",
     "e2_semantic_dedup", "e4_bm25_search", "e4_normalize",
     "a15_filtered_agg", "v5_drift_psi", "w11_range_frame",
-    "o4_null_ordering",
+    "o4_null_ordering", "j15_market_share", "w12_ratio_to_report",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -100,9 +100,8 @@ _DRIVER_WINDOW = [
     "s2_json_roundtrip", "s3_orc_roundtrip",
     "a2_vwap_top10", "a13_funnel",
     "j6_asof_join",
-    "e2_embedding_neardup", "e2_lsh_verified_jaccard",
+    "e2_lsh_verified_jaccard",
     "e3_knn_bruteforce",
-    "e4_quality_score",
 ]
 
 

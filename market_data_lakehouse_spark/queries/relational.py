@@ -2233,3 +2233,140 @@ def o4_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "j15_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size <= 10
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1998-01-01')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM rev GROUP BY o_year
+    """,
+)
+def j15_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-table star join
+    feeding a conditional-share aggregate — the numerator is a CASE
+    inside the same SUM pass as the denominator, so the share needs
+    ONE aggregation, not two joined subqueries. Exact decimal math
+    end-to-end: both sums stay in the scaled-long domain and the
+    final division is one double op on exact integers, so the ratio
+    is bit-identical across engines without per-term rounding.
+    Plan posture: region->nation and part arrive filtered (partition
+    of the probe side), supplier/customer nations broadcast, facts
+    shuffle on their join keys; the share aggregate is map-side
+    combined on o_year (tiny key space)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .join(
+            load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nat_key"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nat_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    disc4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nat_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nat_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            disc4.alias("volume4"),
+            "supp_nation",
+        )
+    )
+    num = money.exact_sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume4")).otherwise(
+            F.lit(0)
+        ),
+        wide=True,
+    )
+    den = money.exact_sum(F.col("volume4"), wide=True)
+    return rev.groupBy("o_year").agg(
+        F.round(
+            num.cast("double") / den.cast("double"), 6
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "w12_ratio_to_report",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE)
+                 / CAST(SUM(SUM(l_quantity))
+                        OVER (PARTITION BY l_returnflag) AS DOUBLE), 6)
+             AS share_of_flag,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE)
+                 / CAST(SUM(SUM(l_quantity)) OVER () AS DOUBLE), 6)
+             AS share_of_total
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def w12_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (window over an aggregate): each group's share
+    of its partition total and of the grand total — the percent-of-
+    total idiom every report ends with. The window runs over the
+    ALREADY-AGGREGATED rows (6 of them), so the 'global' window is a
+    handful of rows, not a corpus sort — aggregate first, window
+    second is the scale rule this query exists to demonstrate.
+    Sums are exact (integral quantities in double — below 2^53), so
+    the shares divide identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    w_all = Window.partitionBy()
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("qty").cast("double").alias("qty"),
+        F.round(
+            F.col("qty").cast("double")
+            / F.sum("qty").over(w_flag).cast("double"),
+            6,
+        ).alias("share_of_flag"),
+        F.round(
+            F.col("qty").cast("double")
+            / F.sum("qty").over(w_all).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    )
