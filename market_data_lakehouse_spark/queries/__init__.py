@@ -58,7 +58,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 30
+    # (a) round-4 new queries + first-ever driver run — 31
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
@@ -69,6 +69,7 @@ _DRIVER_WINDOW = [
     "e2_semantic_dedup", "e4_bm25_search", "e4_normalize",
     "a15_filtered_agg", "v5_drift_psi", "w11_range_frame",
     "o4_null_ordering", "j15_market_share", "w12_ratio_to_report",
+    "j16_recursive_reach",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -101,7 +102,6 @@ _DRIVER_WINDOW = [
     "a2_vwap_top10", "a13_funnel",
     "j6_asof_join",
     "e2_lsh_verified_jaccard",
-    "e3_knn_bruteforce",
 ]
 
 

@@ -2370,3 +2370,77 @@ def w12_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_total"),
     )
+
+
+@register(
+    "j16_recursive_reach",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) > 0.25),
+    roots AS (
+      SELECT DISTINCT a_id AS node FROM pairs
+      WHERE a_id NOT IN (SELECT b_id FROM pairs)),
+    reach(node, root, depth) AS (
+      SELECT node, node, 0 FROM roots
+      UNION ALL
+      SELECT p.b_id, r.root, r.depth + 1
+      FROM reach r JOIN pairs p ON p.a_id = r.node
+      WHERE r.depth < 20)
+    SELECT node, CAST(MIN(root) AS BIGINT) AS root,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY node
+    """,
+)
+def j16_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) doing depth-bounded
+    DAG reachability: near-dup pairs oriented low->high vec_id form
+    an acyclic edge set; recursion walks every path from the
+    in-degree-zero roots and each node reports its minimum reaching
+    root (the component label within the depth horizon) plus its
+    path count. Spark's recursion supports UNION ALL only, so the
+    acyclic orientation + explicit depth bound (< 20, spelled out in
+    BOTH engines so the horizon semantics match) is what makes the
+    fixpoint safe — the unbounded cyclic-closure version of this
+    computation is the iterative min-label propagation in
+    queries/dedup.py (e2_dedup_clusters), which remains the declared
+    100 TB plan; this entry pins the SQL-surface capability. The
+    edge set reuses the oracle-verified e2_embedding_neardup pairs
+    (hash-equal across engines), so the recursion inputs are
+    bit-identical."""
+    from market_data_lakehouse_spark.queries.similarity import (
+        e2_embedding_neardup,
+    )
+
+    # materialize the edge set once: the recursion's step plan
+    # references this view every iteration, and without pinning, the
+    # bucket-join + cosine pipeline would re-execute per depth level
+    e2_embedding_neardup(spark, sf_dir).select("a_id", "b_id").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("_j16_pairs")
+    out = spark.sql(
+        """
+        WITH RECURSIVE roots AS (
+          SELECT DISTINCT a_id AS node FROM _j16_pairs
+          WHERE a_id NOT IN (SELECT b_id FROM _j16_pairs)),
+        reach(node, root, depth) AS (
+          SELECT node, node, 0 FROM roots
+          UNION ALL
+          SELECT p.b_id, r.root, r.depth + 1
+          FROM reach r JOIN _j16_pairs p ON p.a_id = r.node
+          WHERE r.depth < 20)
+        SELECT node, CAST(MIN(root) AS BIGINT) AS root,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY node
+        """
+    )
+    spark.catalog.dropTempView("_j16_pairs")
+    return out
