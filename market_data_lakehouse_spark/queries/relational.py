@@ -2444,3 +2444,74 @@ def j16_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView("_j16_pairs")
     return out
+
+
+@register(
+    "x9_array_hof",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> x > 0.9)) > 0 AS any_big,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def x9_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions at the SQL surface (X9):
+    transform/aggregate (fold), filter, exists, array_max over the
+    embedding vectors. These are the declarative form; the repo's own
+    hot paths use explode+agg or Arrow UDFs because Spark executes
+    array HOFs INTERPRETED (~10x slower than codegen — measured, see
+    dedup.py) — this entry pins semantics parity for the users who
+    reach for the lambda syntax anyway."""
+    em = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return em.select(
+        "vec_id",
+        F.round(sq, 4).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0))
+        .cast("long")
+        .alias("n_pos"),
+        F.exists("embedding", lambda x: x > 0.9).alias("any_big"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_v"),
+    )
+
+
+@register(
+    "x10_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events WHERE event_id < 2000
+    """,
+)
+def x10_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): ``parse_json`` the
+    props column into a real VariantType and read it back with typed
+    ``variant_get`` paths — the open-schema ingestion story (Variant
+    binary encoding gives ~constant-time path access vs re-parsing
+    JSON text per extract, and sidesteps get_json_object's
+    string-typed returns). Missing paths yield NULL, pinned by the
+    has_missing flag; the oracle is DuckDB's JSON reader over the
+    same paths."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.try_variant_get(v, "$.missing", "long").isNotNull().alias(
+            "has_missing"
+        ),
+        (k % 10).alias("k_mod"),
+    )
