@@ -644,3 +644,70 @@ class TestPythonDataSource:
         ]
         # contiguous from 0: offsets advanced without gaps or replays
         assert seqs == list(range(len(seqs)))
+
+    def test_source_feeds_bar_builder_end_to_end(self, spark, tmp_path):
+        """Integration: the custom source streams into the
+        watermarked OHLCV bar builder, and the produced bars equal a
+        batch resample over the identical deterministic tick set —
+        connector and operator compose without glue."""
+        from market_data_lakehouse_spark.pysource import (
+            register_tick_source,
+        )
+        from market_data_lakehouse_spark.streaming import (
+            streaming_ohlcv_bars,
+        )
+
+        register_tick_source(spark)
+        opts = {"symbols": "AAPL,MSFT", "batch_rows": 120}
+        stream = spark.readStream.format("synthetic_ticks")
+        for k, v in opts.items():
+            stream = stream.option(k, v)
+        q = (
+            streaming_ohlcv_bars(stream.load(), window="1 minute")
+            .writeStream.format("memory")
+            .queryName("py_bars")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if spark.sql("SELECT COUNT(*) FROM py_bars").first()[0] >= 4:
+                break
+            _t.sleep(1)
+        q.stop()
+        got = {
+            (r.symbol, str(r.bar_start)): (r.open, r.high, r.low, r.close)
+            for r in spark.sql("SELECT * FROM py_bars").collect()
+        }
+        assert len(got) >= 4
+        # batch twin over the same deterministic ticks
+        batch = (
+            spark.read.format("synthetic_ticks")
+            .option("symbols", "AAPL,MSFT")
+            .option("ticks", 1000)
+            .load()
+        )
+        from pyspark.sql import functions as F
+
+        want_rows = (
+            batch.groupBy("symbol", F.window("ts", "1 minute").alias("w"))
+            .agg(
+                F.min(F.struct("ts", "price")).alias("o"),
+                F.max("price").alias("high"),
+                F.min("price").alias("low"),
+                F.max(F.struct("ts", "price")).alias("c"),
+            )
+            .collect()
+        )
+        want = {
+            (r.symbol, str(r.w.start)): (
+                r.o.price, r.high, r.low, r.c.price
+            )
+            for r in want_rows
+        }
+        for key, bar in got.items():
+            assert want[key] == bar, (key, bar, want[key])
