@@ -2515,3 +2515,53 @@ def x10_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (k % 10).alias("k_mod"),
     )
+
+
+@register(
+    "a16_trimmed_mean",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           ROUND(AVG(value), 6) AS trimmed_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_used
+    FROM s
+    WHERE rn > FLOOR(n * 0.1) AND rn <= n - FLOOR(n * 0.1)
+    GROUP BY event_type
+    """,
+)
+def a16_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF tier (SURVEY §2.11): a 10%-each-side trimmed mean
+    per event type as an Arrow-batched GROUPED_AGG pandas UDF — the
+    robust-statistics aggregate Spark has no built-in for. The whole
+    group's values arrive as ONE pandas Series per key (Arrow
+    transfer, no per-row Python), which is the right tier when the
+    aggregate genuinely needs the sorted group in memory; groups that
+    don't fit an executor belong to the SQL rewrite in the oracle
+    (rank-window + filter — same semantics, fully distributed). Trim
+    count is floor(n*0.1) rows per side after sorting, so ties are
+    interchangeable and the mean is deterministic."""
+    # functionType spelled explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies the
+    # signature pandas_udf would otherwise infer GROUPED_AGG from
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        s = v.sort_values().to_numpy()
+        k = int(len(s) * 0.1)
+        return float(s[k : len(s) - k].mean())
+
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_n(v):
+        k = int(len(v) * 0.1)
+        return int(len(v) - 2 * k)
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 6).alias("trimmed_mean"),
+        trimmed_n("value").alias("n_used"),
+    )
