@@ -104,7 +104,6 @@ _DRIVER_WINDOW = [
     # keeps j6/j10-j14; j3_broadcast_join green r3 + plan-asserted)
     "s2_json_roundtrip", "s3_orc_roundtrip",
     "a2_vwap_top10", "a13_funnel",
-    "j6_asof_join",
     "e2_lsh_verified_jaccard",
 ]
 
