@@ -68,6 +68,9 @@ HEAVY = {
     "q_tpch_q5": "j12_regional_revenue",
     "q_tpch_q18": "a14_big_orders",
     "q_pack_sequences": "e7_pack_sequences",
+    # round 4c: PQ two-stage ANN and the 8-table market-share join
+    "q_pq_knn": "e3_pq_knn",
+    "q_tpch_q8": "j15_market_share",
 }
 
 
