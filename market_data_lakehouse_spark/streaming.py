@@ -202,6 +202,7 @@ def stream_ingest_transactional(
     checkpoint_dir: str,
     trigger_ms: int = DEFAULT_TRIGGER_MS,
     available_now: bool = False,
+    optimize_every: int | None = None,
 ):
     """Streaming ACID sink (S8+S9): every micro-batch becomes one
     atomic commit in a :class:`TransactionalLake`, tagged with the
@@ -209,7 +210,17 @@ def stream_ingest_transactional(
     (foreachBatch is at-least-once) is detected and skipped, so the
     sink is effectively exactly-once. Readers see each batch entirely
     or not at all, and the commit history doubles as a CDC feed of
-    the stream (reference README.md:43/174 in one mechanism)."""
+    the stream (reference README.md:43/174 in one mechanism).
+
+    ``optimize_every=N``: run ``lake.optimize()`` after every N
+    appended batches — the small-file problem is INHERENT to
+    micro-batch sinks (one commit -> >= 1 file per partition per
+    trigger; a day of 100 ms triggers is ~1M files), so compaction
+    must ride the ingest loop, not wait for a nightly job. The
+    optimize is its own atomic commit: concurrent readers never see a
+    partial swap, and a crash between append and optimize just leaves
+    compaction for the next cycle. Retried batches (txn-skipped)
+    don't advance the cycle counter."""
     from pyspark.sql import functions as F
 
     app_id = f"stream_ingest:{checkpoint_dir}"
@@ -217,10 +228,17 @@ def stream_ingest_transactional(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        before = lake.version
         lake.append(
             batch_df.withColumn("date", F.to_date("timestamp")),
             txn=(app_id, batch_id),
         )
+        if (
+            optimize_every
+            and lake.version > before  # replay-skips don't count
+            and (batch_id + 1) % optimize_every == 0
+        ):
+            lake.optimize()
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -711,3 +711,63 @@ class TestPythonDataSource:
         }
         for key, bar in got.items():
             assert want[key] == bar, (key, bar, want[key])
+
+
+class TestAutoCompaction:
+    def test_stream_ingest_compacts_every_n_batches(self, spark, tmp_path):
+        """optimize_every folds compaction into the ingest loop: after
+        the stream drains, live-file count reflects periodic optimize
+        commits, history shows compact ops interleaved with appends,
+        and no rows are lost."""
+        import json
+
+        from market_data_lakehouse_spark.streaming import (
+            stream_ingest_transactional,
+        )
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "in")
+        rows = [
+            json.dumps(
+                {
+                    "symbol": "AAPL",
+                    "timestamp": f"2024-06-15T10:{m:02d}:00",
+                    "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+                    "volume": 100, "asset_class": "equity",
+                }
+            )
+            for m in range(8)
+        ]
+        import os
+
+        os.makedirs(src)
+        for i, r in enumerate(rows):  # one file per row -> 8 batches
+            with open(f"{src}/{i}.json", "w") as fh:
+                fh.write(r + "\n")
+        schema = (
+            "symbol string, timestamp timestamp, open double, high double,"
+            " low double, close double, volume long, asset_class string"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        lake = TransactionalLake(
+            spark, str(tmp_path / "tx"), partition_by=("date",)
+        )
+        q = stream_ingest_transactional(
+            stream,
+            lake,
+            checkpoint_dir=str(tmp_path / "ck"),
+            available_now=True,
+            optimize_every=3,
+        )
+        q.awaitTermination(120)
+        assert lake.snapshot().count() == 8
+        ops = [h["op"] for h in lake.history()]
+        assert ops.count("compact") >= 2  # batches 3 and 6 triggered
+        live, _s, _v = lake._snapshot_state()
+        # compaction keeps the live-file count bounded: far fewer than
+        # one file per batch survives
+        assert len(live) < 8
