@@ -109,6 +109,33 @@ def main() -> None:
     view.refresh()  # folds only new commits on subsequent calls
     print("view:", view.read().collect())
 
+    # --- custom Python data source + UDTF + SQL catalog ---------------
+    from market_data_lakehouse_spark.pysource import register_tick_source
+    from market_data_lakehouse_spark.sql_catalog import (
+        register_tables,
+        register_views,
+    )
+    from market_data_lakehouse_spark.udtfs import register_udtfs
+
+    register_tick_source(spark)
+    synth = (
+        spark.read.format("synthetic_ticks")
+        .option("symbols", "AAPL,MSFT")
+        .option("ticks", 100)
+        .load()
+    )
+    print("synthetic_ticks:", synth.count(), "rows,",
+          synth.rdd.getNumPartitions(), "partitions")
+    register_udtfs(spark)
+    register_tables(spark, sf_dir)
+    register_views(spark, sf_dir, ["a2_vwap_top10"])
+    chunks = spark.sql(
+        "SELECT COUNT(*) AS n FROM documents d, "
+        "LATERAL chunk_text(d.text, 16, 4) c"
+    ).first().n
+    top = spark.sql("SELECT * FROM q_a2_vwap_top10 LIMIT 1").collect()
+    print(f"udtf chunks: {chunks}; sql-catalog top vwap: {top}")
+
     # --- catalog operators on the shared test tables -------------------
     from market_data_lakehouse_spark.queries import REGISTRY
 
