@@ -53,11 +53,21 @@ class TransactionalLake:
         spark: SparkSession,
         path: str,
         partition_by: tuple[str, ...] = ("date",),
+        generated_columns: dict[str, str] | None = None,
     ) -> None:
+        """``generated_columns``: name -> SQL expression, computed
+        and appended to any written batch that lacks the column
+        (Delta generated-columns semantics) — e.g.
+        ``{"date": "to_date(timestamp)"}`` derives the partition key
+        so every writer (batch, streaming sink, merge source) agrees
+        on it by construction instead of by convention. A batch that
+        DOES carry the column keeps its values (Delta allows explicit
+        values; consistency is the writer's contract)."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_path = os.path.join(self.path, LOG_DIR)
         self.partition_by = tuple(partition_by)
+        self.generated_columns = dict(generated_columns or {})
         os.makedirs(self.log_path, exist_ok=True)
         # incremental app-txn index: app_id -> highest committed txn
         # version, folded forward from commit files newer than
@@ -187,6 +197,13 @@ class TransactionalLake:
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Append each missing generated column as its expression."""
+        for name, expr in self.generated_columns.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write df's rows as new immutable parquet files under the
         table root (via a staging dir + per-file rename) and return
@@ -446,6 +463,7 @@ class TransactionalLake:
         skipped and the current version returned."""
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
+        df = self._apply_generated(df)
         self._check_schema(df, merge_schema)
         self._enforce_constraints(df, "append")
         added = self._write_files(df)
@@ -458,6 +476,7 @@ class TransactionalLake:
         """Atomic full-table replace: one commit adds the new files
         and removes every previously-live file."""
         old, _schemas, read_v = self._snapshot_state()
+        df = self._apply_generated(df)
         self._enforce_constraints(df, "overwrite")
         added = self._write_files(df)
         return self._commit(
@@ -678,6 +697,7 @@ class TransactionalLake:
         # store-assignment: source dtypes conform to the committed
         # types up front, so neither unionByName coercion nor the
         # final commit can silently evolve a column's type
+        source = self._apply_generated(source)
         source = self._cast_to_committed(source, schemas)
         if read_v < 0 or not old:
             # empty table: every source row is unmatched (Delta MERGE

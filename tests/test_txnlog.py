@@ -583,3 +583,55 @@ class TestConstraintRestoreInteraction:
         assert lake.check_constraints() == {"price_pos": "price > 0"}
         with pytest.raises(ValueError, match="price_pos"):
             lake.append(_df(spark, [("BAD", -1)]))
+
+
+class TestGeneratedColumns:
+    def _glake(self, spark, tmp_path):
+        return TransactionalLake(
+            spark,
+            str(tmp_path / "g"),
+            partition_by=("date",),
+            generated_columns={"date": "to_date(ts)"},
+        )
+
+    def test_partition_key_derived_on_append(self, spark, tmp_path):
+        lake = self._glake(spark, tmp_path)
+        df = spark.createDataFrame(
+            [("AAPL", "2024-06-15 10:30:00", 150.0)],
+            "symbol string, ts string, price double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        lake.append(df)  # no date column — derived
+        row = lake.snapshot().first()
+        assert str(row.date) == "2024-06-15"
+        # partition directory actually keyed by the generated value
+        assert os.path.isdir(os.path.join(lake.path, "date=2024-06-15"))
+
+    def test_explicit_value_wins(self, spark, tmp_path):
+        lake = self._glake(spark, tmp_path)
+        df = spark.createDataFrame(
+            [("AAPL", "2024-06-15 10:30:00", 150.0, "1999-01-01")],
+            "symbol string, ts string, price double, date string",
+        ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+            "date", F.to_date("date")
+        )
+        lake.append(df)
+        assert str(lake.snapshot().first().date) == "1999-01-01"
+
+    def test_merge_source_derives_partition_key(self, spark, tmp_path):
+        lake = self._glake(spark, tmp_path)
+        base = spark.createDataFrame(
+            [("AAPL", "2024-06-15 10:30:00", 150.0)],
+            "symbol string, ts string, price double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        lake.append(base)
+        src = spark.createDataFrame(
+            [("AAPL", "2024-06-15 10:30:00", 200.0),
+             ("MSFT", "2024-06-16 09:00:00", 300.0)],
+            "symbol string, ts string, price double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        lake.merge(src, on=("symbol", "ts"))
+        out = {r.symbol: (r.price, str(r.date)) for r in lake.snapshot().collect()}
+        assert out == {
+            "AAPL": (200.0, "2024-06-15"),
+            "MSFT": (300.0, "2024-06-16"),
+        }
