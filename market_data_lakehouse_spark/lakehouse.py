@@ -360,6 +360,63 @@ class DataLakehouse:
         stats.elapsed_ms = (time.perf_counter() - t0) * 1e3
         return stats
 
+    def ingest_csv_files(
+        self, path: str, validate: bool = True
+    ) -> IngestionStats:
+        """Ingest EXTERNAL csv drops (vendor files, exports): rows
+        Spark cannot even parse — wrong column count, unparsable
+        numerics — are captured PERMISSIVEly as raw text and routed
+        to the dead-letter queue with a reason tag, while parsed rows
+        flow through the normal validated batch ingest (which applies
+        its own OHLC-invariant DLQ pass). Two failure tiers, one
+        entry point: parse-level corruption never aborts the load and
+        never silently drops (the reference's CSV path,
+        lakehouse.py:600-636, ignores unparsable rows entirely).
+
+        The parsed batch is localCheckpointed once: the corrupt-split
+        filter and the downstream ingest each consume the same
+        materialized parse (Spark's corrupt-record column cannot be
+        filtered from a bare re-read plan, and re-parsing the files
+        per consumer re-pays the scan)."""
+        t0 = time.perf_counter()
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.StringType(), True)
+                if f.name == "timestamp"
+                else f
+                for f in BAR_SCHEMA.fields
+            ]
+            + [T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+        raw = (
+            self.spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+            .localCheckpoint(eager=False)
+        )
+        corrupt = raw.filter(F.col("_corrupt_record").isNotNull())
+        n_corrupt = corrupt.count()
+        if n_corrupt and self.dead_letter_path:
+            corrupt.select(
+                F.col("_corrupt_record").alias("_raw"),
+                F.lit("csv_parse_error").alias("_dlq_reason"),
+                F.current_timestamp().alias("_dlq_ts"),
+            ).write.mode("append").parquet(
+                self.dead_letter_path + "_parse"
+            )
+        good = (
+            raw.filter(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record")
+            .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+        )
+        stats = self._append(good, validate=validate)
+        stats.errors += n_corrupt
+        self._total_errors += n_corrupt
+        stats.elapsed_ms = (time.perf_counter() - t0) * 1e3
+        return stats
+
     def flush(self) -> IngestionStats:
         """Write the buffer (reference lakehouse.py:306-336). Empty
         buffer is a no-op with zeroed stats. Reference parity: flush

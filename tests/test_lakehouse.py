@@ -178,3 +178,47 @@ class TestCSVFallback:
         got = sorted(r["timestamp"] for r in lake.table().collect())
         assert got[0] == ts, got
         assert len(lake.query()) == 2
+
+
+class TestCsvFileIngest:
+    def test_corrupt_rows_route_to_dlq_parsed_rows_ingest(
+        self, spark, tmp_path
+    ):
+        """External CSV ingest: unparsable lines land in the parse
+        DLQ as raw text, invariant-violating rows land in the normal
+        DLQ, clean rows are queryable — nothing aborts, nothing is
+        silently dropped."""
+        import os
+
+        from market_data_lakehouse_spark.lakehouse import DataLakehouse
+
+        src = str(tmp_path / "drops")
+        os.makedirs(src)
+        header = (
+            "symbol,timestamp,open,high,low,close,volume,asset_class"
+        )
+        lines = [
+            header,
+            "AAPL,2024-06-15 10:30:00,150.0,155.0,149.0,153.0,1000,equity",
+            # unparsable volume -> parse DLQ
+            "MSFT,2024-06-15 10:31:00,1.0,2.0,0.5,1.5,NOT_A_NUMBER,equity",
+            # parses fine but violates high >= low -> invariant DLQ
+            "TSLA,2024-06-15 10:32:00,1.0,0.2,0.5,1.5,10,equity",
+        ]
+        with open(f"{src}/a.csv", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        lake = DataLakehouse(
+            spark,
+            str(tmp_path / "lake"),
+            dead_letter_path=str(tmp_path / "dlq"),
+        )
+        stats = lake.ingest_csv_files(src)
+        assert stats.rows_ingested == 1
+        assert stats.errors == 2  # one parse-level + one invariant
+        assert lake.table().count() == 1
+        assert lake.table().first().symbol == "AAPL"
+        parse_dlq = spark.read.parquet(str(tmp_path / "dlq") + "_parse")
+        assert parse_dlq.count() == 1
+        assert "NOT_A_NUMBER" in parse_dlq.first()._raw
+        inv_dlq = spark.read.parquet(str(tmp_path / "dlq"))
+        assert inv_dlq.filter("symbol = 'TSLA'").count() == 1
