@@ -1,0 +1,72 @@
+"""Physical-plan audit over the bench query set.
+
+For every headline query, count the plan features that decide 100 TB
+behavior — parquet scans, shuffle exchanges, broadcasts, single-
+partition exchanges, cartesian products, whole-stage-codegen spans,
+TakeOrderedAndProject — and write one JSON object per query to
+PLAN_AUDIT.json. The numbers make plan regressions diffable across
+rounds the same way BENCH_r{N}.json makes runtimes diffable: a new
+SinglePartition exchange or a lost broadcast shows up as a field
+change, not a buried .explain() read.
+
+Reading the numbers: single_partition_exchanges and
+nested_loop_joins are not automatically defects — a full-table
+aggregate ENDS in one single-partition exchange of 32 partial rows
+(q_agg_full), and combining three scalar counts joins 1-row sides
+with nested loops (q_funnel). The audit exists to make every such
+occurrence VISIBLE and diffable round-over-round: a new one appearing
+on a per-key query is a regression; a stable one on a scalar output
+is the plan working as designed.
+
+Usage: python tools/plan_audit.py [sf_dir] (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, HEAVY  # noqa: E402
+from market_data_lakehouse_spark.queries import REGISTRY  # noqa: E402
+from market_data_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def audit(df) -> dict:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "parquet_scans": p.count("Scan parquet"),
+        "shuffle_exchanges": p.count("Exchange hashpartitioning")
+        + p.count("Exchange rangepartitioning"),
+        "single_partition_exchanges": p.count("Exchange SinglePartition"),
+        "broadcasts": p.count("BroadcastExchange"),
+        "cartesian_products": p.count("CartesianProduct"),
+        "nested_loop_joins": p.count("BroadcastNestedLoopJoin"),
+        "take_ordered": "TakeOrderedAndProject" in p,
+        # scans carrying at least one pushed predicate (non-empty list)
+        "pushed_filter_scans": p.count("PushedFilters: [")
+        - p.count("PushedFilters: []"),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark()
+    out = {}
+    for label, qname in {**HEADLINE, **HEAVY}.items():
+        df = REGISTRY[qname].fn(spark, sf_dir)
+        out[label] = {"query": qname, **audit(df)}
+        print(label, out[label], flush=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "PLAN_AUDIT.json")
+    with open(os.path.abspath(path), "w") as fh:
+        json.dump({"sf_dir": sf_dir, "plans": out}, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
