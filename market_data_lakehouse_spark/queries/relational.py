@@ -1017,37 +1017,50 @@ def a13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view -> click -> purchase): how many
     users completed each prefix of the journey IN ORDER — a later
     step counts only strictly after that user's first occurrence of
-    the previous step. Three user-keyed min-aggregates chained by
-    join: every shuffle is on user_id (high cardinality, parallel)
-    and each step's input is pre-filtered to one event type before
-    joining, so the per-step join touches only that type's rows —
-    at 100 TB the event-type filter pushes to the scan and the three
-    stages reuse compatible user_id partitioning. Output is one
-    3-column row (step counts), driver-size by construction."""
-    ev = load(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    the previous step.
+
+    ONE scan, ONE shuffle: the events (filtered to the three step
+    types at the scan) shuffle once on user_id, and three chained
+    windows over that single partitioning derive the step times —
+    t1 = first view, t2 = first click after t1, t3 = first purchase
+    after t2 (each window may reference the previous one's column:
+    same partition spec, so Catalyst reuses the exchange — the
+    sessionize pattern). One distinct per user then three conditional
+    counts in one scalar aggregate. The previous shape (per-step
+    min-agg + join chain) planned 6 scans and 5 shuffles of the same
+    table; at 100 TB that is five extra passes for the same answer.
+    Output is one 3-column row, driver-size by construction."""
+    steps = ("view", "click", "purchase")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*steps))
+        .select("user_id", "ts", "event_type")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_then_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_then_click"),
+        F.count("t3").alias("n_then_purchase"),
     )
 
 

@@ -188,19 +188,19 @@ class TestPlans:
         assert p.count("Exchange") == 1, p
         assert p.count("HashAggregate") >= 3  # partial+final, then final
 
-    def test_funnel_steps_join_on_user_key(self, spark, sf_dir):
-        """a13: every funnel step is a user_id-keyed hash join/agg —
-        the only nested-loop joins are the final 1-row count
-        cross-joins (driver-size by construction), never a per-user
-        cartesian."""
+    def test_funnel_single_scan_single_user_shuffle(self, spark, sf_dir):
+        """a13: ONE events scan and ONE user_id exchange serve all
+        three chained step windows (same partition spec -> exchange
+        reuse, the sessionize pattern); the only other exchange is
+        the final scalar aggregate's single-partition reduce. The
+        old per-step join chain planned 6 scans / 5 shuffles."""
         from market_data_lakehouse_spark.queries.relational import a13_funnel
 
         p = simple_plan(a13_funnel(spark, sf_dir))
         assert "CartesianProduct" not in p
-        assert p.count("hashpartitioning(user_id") >= 3, p
-        # the scalar-count combiner is the only nested-loop shape, and
-        # both of its inputs are keyless (single-row) aggregates
-        assert p.count("BroadcastNestedLoopJoin") <= 2
+        assert "BroadcastNestedLoopJoin" not in p
+        assert p.count("Scan parquet") == 1, p
+        assert p.count("hashpartitioning(user_id") == 1, p
 
     def test_ewma_reduces_before_python(self, spark, sf_dir):
         """w9: the Arrow-batched recurrence fold must sit ABOVE the
