@@ -52,10 +52,20 @@ class TransactionalLake:
         self,
         spark: SparkSession,
         path: str,
-        partition_by: tuple[str, ...] = ("date",),
+        partition_by: tuple[str, ...] | None = ("date",),
         generated_columns: dict[str, str] | None = None,
     ) -> None:
-        """``generated_columns``: name -> SQL expression, computed
+        """``partition_by``: layout for NEW tables. For an existing
+        table the layout recorded in the commit log WINS — every
+        commit stores it, so a reopener passing a different (or
+        defaulted) value adopts the table's real layout instead of
+        silently writing mixed-partitioned files; pass
+        ``partition_by=None`` to mean "whatever the table says"
+        explicitly. Change the layout of a live table with
+        :meth:`set_partitioning` (a logged rewrite), never via the
+        constructor.
+
+        ``generated_columns``: name -> SQL expression, computed
         and appended to any written batch that lacks the column
         (Delta generated-columns semantics) — e.g.
         ``{"date": "to_date(timestamp)"}`` derives the partition key
@@ -66,9 +76,14 @@ class TransactionalLake:
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_path = os.path.join(self.path, LOG_DIR)
-        self.partition_by = tuple(partition_by)
+        self.partition_by = (
+            tuple(partition_by) if partition_by is not None else ("date",)
+        )
         self.generated_columns = dict(generated_columns or {})
         os.makedirs(self.log_path, exist_ok=True)
+        recorded = self._recorded_partitioning()
+        if recorded is not None:
+            self.partition_by = recorded
         # incremental app-txn index: app_id -> highest committed txn
         # version, folded forward from commit files newer than
         # _txn_cache_upto — O(new commits) per lookup, so a streaming
@@ -134,6 +149,7 @@ class TransactionalLake:
             payload = {
                 "version": version,
                 "timestamp": time.time(),
+                "partition_by": list(self.partition_by),
                 **action,
             }
             tmp = os.path.join(self.log_path, f".tmp_{uuid.uuid4().hex}")
@@ -156,6 +172,15 @@ class TransactionalLake:
             finally:
                 os.unlink(tmp)
             return version
+
+    def _recorded_partitioning(self) -> tuple[str, ...] | None:
+        """Layout recorded by the latest commit that carries one
+        (pre-recording logs return None — ctor value applies)."""
+        for name in reversed(self._commit_files()):
+            c = self._read_commit(int(name.split(".")[0]))
+            if "partition_by" in c:
+                return tuple(c["partition_by"])
+        return None
 
     def _snapshot_state(
         self, version: int | None = None, timestamp: str | None = None
@@ -887,10 +912,8 @@ class TransactionalLake:
                 paths = c.get(key, [])
                 if not paths:
                     continue
-                if key == "remove" and c["op"] == "compact":
-                    continue  # compaction moves bytes, not rows
-                if key == "add" and c["op"] == "compact":
-                    continue
+                if c["op"] in ("compact", "set_partitioning"):
+                    continue  # layout maintenance moves bytes, not rows
                 df = (
                     self.spark.read.option("basePath", self.path)
                     .option("mergeSchema", "true")
@@ -1176,3 +1199,32 @@ class TransactionalLake:
                 f"{n} ({cons[n]}): {v} row(s)" for n, v in violated.items()
             )
             raise ValueError(f"CHECK constraint violation on {op}: {detail}")
+
+    def set_partitioning(self, partition_by: tuple[str, ...]) -> int:
+        """Partition evolution: rewrite the table under a new layout
+        and commit it — one logged operation, so the change is atomic
+        (readers see old or new layout, never a mix), time-travel to
+        pre-evolution versions still reads the old files, and every
+        future writer adopts the new layout automatically because the
+        log, not the constructor, owns it. Cost is one full rewrite —
+        the honest price of relayout; at 100 TB, run it per-partition
+        range if the table can't be rewritten in one window."""
+        new = tuple(partition_by)
+        unknown = [c for c in new if c not in self.snapshot().columns]
+        if unknown:
+            raise ValueError(f"unknown partition columns: {unknown}")
+        if new == self.partition_by:
+            return self.version
+        old, schemas, read_v = self._snapshot_state()
+        snap = self._df_for_files(old, schemas)
+        prev = self.partition_by
+        self.partition_by = new
+        try:
+            added = self._write_files(snap)
+        except Exception:
+            self.partition_by = prev
+            raise
+        return self._commit(
+            {"op": "set_partitioning", "add": added, "remove": old},
+            read_version=read_v,
+        )

@@ -635,3 +635,42 @@ class TestGeneratedColumns:
             "AAPL": (200.0, "2024-06-15"),
             "MSFT": (300.0, "2024-06-16"),
         }
+
+
+class TestPartitioningContract:
+    def test_reopener_adopts_recorded_layout(self, spark, tmp_path):
+        path = str(tmp_path / "p")
+        lake = TransactionalLake(spark, path, partition_by=("date",))
+        lake.append(_df(spark, [("AAPL", 150)]))
+        # reopen with a WRONG ctor value: the log wins
+        again = TransactionalLake(spark, path, partition_by=())
+        assert again.partition_by == ("date",)
+        again.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        assert os.path.isdir(os.path.join(path, "date=2024-06-16"))
+
+    def test_set_partitioning_rewrites_and_sticks(self, spark, tmp_path):
+        path = str(tmp_path / "p")
+        lake = TransactionalLake(spark, path, partition_by=("date",))
+        v0 = lake.append(
+            _df(spark, [("AAPL", 150), ("MSFT", 300)])
+        )
+        lake.set_partitioning(("symbol",))
+        # data intact, new layout on disk, old version still readable
+        assert lake.snapshot().count() == 2
+        assert os.path.isdir(os.path.join(path, "symbol=AAPL"))
+        assert lake.snapshot(version=v0).count() == 2
+        # future writers adopt the evolved layout from the log
+        fresh = TransactionalLake(spark, path, partition_by=None)
+        assert fresh.partition_by == ("symbol",)
+        fresh.append(_df(spark, [("TSLA", 900)]))
+        assert os.path.isdir(os.path.join(path, "symbol=TSLA"))
+        # CDC: the relayout itself emitted no row changes
+        ops = [h["op"] for h in lake.history()]
+        assert "set_partitioning" in ops
+        cdc = lake.read_changes(starting_version=v0 + 1)
+        assert {r.symbol for r in cdc.collect()} == {"TSLA"}
+
+    def test_set_partitioning_unknown_column(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        with pytest.raises(ValueError, match="unknown partition"):
+            lake.set_partitioning(("nope",))
