@@ -58,7 +58,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # CORRECTNESS_r02 or _r03 row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) round-4 new queries + first-ever driver run — 34
+    # (a) round-4 new queries + first-ever driver run — 35
     "w7_returns_vol", "w8_max_drawdown", "e1_decontaminate",
     "e1_contamination_ngram", "e4_repetition_score",
     "e6_temperature_mix", "e6_token_shards_partitioned", "e3_ivf_recall",
@@ -70,7 +70,7 @@ _DRIVER_WINDOW = [
     "a15_filtered_agg", "v5_drift_psi", "w11_range_frame",
     "o4_null_ordering", "j15_market_share", "w12_ratio_to_report",
     "j16_recursive_reach", "x9_array_hof", "x10_variant",
-    "a16_trimmed_mean",
+    "a16_trimmed_mean", "e3_ivfpq_recall",
     # (b) round-4 re-checks: oracle fix (corpus_clean), view-name
     # change (j10), merge()-layer changes (merge_upsert, time_travel,
     # roundtrip), IVF probe change (ivf_knn) — 6
@@ -81,7 +81,7 @@ _DRIVER_WINDOW = [
     # rows-only, driver-executed green in r3, re-covered by their
     # oracle-checked family mates e5_frame_sample / a7_distinct)
     "e2_minhash_lsh", "e2_simhash",
-    "a9_percentile_approx", "e3_ann_lsh",
+    "e3_ann_lsh",
     "e3_ann_recall",
     # (d) family representatives (all driver-green r2/r3, plus the
     # new JSON + ORC roundtrips) — 17; further swapped for round-4b

@@ -632,3 +632,16 @@ def test_psi_zero_for_identical_distributions(spark, tmp_path):
     assert len(out) == 1
     assert abs(out[0].psi) < 1e-9
     assert out[0].n_bins == 10
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF-PQ composite must hold mean recall@5 >= 0.7 (measured
+    0.84-0.88; upper-bounded by the coarse quantizer's ~0.9 cell
+    recall — a true neighbor in an unprobed cell is unreachable)."""
+    from market_data_lakehouse_spark.queries.similarity import (
+        e3_ivfpq_recall,
+    )
+
+    df = e3_ivfpq_recall(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(df) == 10
+    assert df["recall_at_k"].mean() >= 0.7, df
