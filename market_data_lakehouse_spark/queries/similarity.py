@@ -736,12 +736,24 @@ def _pq_train(em: DataFrame) -> "np.ndarray":
     # corpus still collects a driver-size training set (deterministic
     # membership — no RNG, no order-dependent limit())
     n_total = em.count()
-    mod = max(2, n_total // PQ_SAMPLE)
-    rows = (
-        em.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    if n_total <= PQ_SAMPLE * 2:
+        # small corpus: the hash gate could yield < PQ_K rows (centroid
+        # seeding needs PQ_K) or zero (normalize would divide by 0) —
+        # train on everything instead, it's already driver-size
+        rows = em.select("vec_id", "embedding").collect()
+    else:
+        mod = max(2, n_total // PQ_SAMPLE)
+        rows = (
+            em.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        if len(rows) < PQ_K:
+            rows = em.select("vec_id", "embedding").limit(PQ_SAMPLE).collect()
+    if len(rows) < PQ_K:
+        raise ValueError(
+            f"PQ training needs >= {PQ_K} vectors, corpus has {len(rows)}"
+        )
     rows = sorted(rows, key=lambda r: r.vec_id)
     X = np.array([[float(x) for x in r.embedding] for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -786,8 +798,9 @@ def _pq_encode_udf(books: "np.ndarray"):
 def e3_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the MEMORY scale
     path next to LSH (e3_ann_lsh, shuffle scale) and IVF (e3_ivf_knn,
-    compute scale): each 64-float vector compresses to PQ_M=8 codes
-    (32x smaller), so a 10^9-vector index fits executor memory where
+    compute scale): each 64-float vector compresses to PQ_M=32 4-bit
+    codes (16 bytes, 16x smaller than raw float32), so a 10^9-vector
+    index fits executor memory where
     raw vectors cannot. Search is two-stage, the standard serving
     shape: (1) asymmetric distance computation — per query a tiny
     (PQ_M x PQ_K) look-up table of query-subvector x centroid inner

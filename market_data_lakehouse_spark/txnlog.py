@@ -173,11 +173,18 @@ class TransactionalLake:
                 os.unlink(tmp)
             return version
 
-    def _recorded_partitioning(self) -> tuple[str, ...] | None:
+    def _recorded_partitioning(
+        self, as_of: int | None = None
+    ) -> tuple[str, ...] | None:
         """Layout recorded by the latest commit that carries one
-        (pre-recording logs return None — ctor value applies)."""
+        (pre-recording logs return None — ctor value applies).
+        ``as_of``: resolve at that version instead of head — restore()
+        uses this to roll table METADATA back with the file set."""
         for name in reversed(self._commit_files()):
-            c = self._read_commit(int(name.split(".")[0]))
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            c = self._read_commit(v)
             if "partition_by" in c:
                 return tuple(c["partition_by"])
         return None
@@ -731,6 +738,10 @@ class TransactionalLake:
             # cannot drop evolved columns from the table.
             if when_not_matched == "insert":
                 seeded = self._conform(source, schemas)
+                # CHECK constraints apply on the empty-table insert
+                # path too — the non-empty path enforces on the full
+                # rewritten output below, this one on the seed batch
+                self._enforce_constraints(seeded, "merge")
                 added = self._write_files(seeded)
                 return self._commit(
                     {
@@ -1118,7 +1129,21 @@ class TransactionalLake:
             # pin the restored schema so post-restore snapshots resolve
             # to the target's type history, not the rolled-back one
             action["schema"] = target_schemas[-1]
-        return self._commit(action, read_version=read_v)
+        # table metadata rolls back WITH the file set (Delta RESTORE
+        # contract): a restore across a set_partitioning boundary must
+        # re-adopt the old layout, or the next append writes new-layout
+        # files into an old-layout live set and snapshot() fails on
+        # conflicting partition columns. _commit stamps partition_by
+        # from self, so set it before committing; undo on failure.
+        target_layout = self._recorded_partitioning(as_of=target_v)
+        prev_layout = self.partition_by
+        if target_layout is not None:
+            self.partition_by = target_layout
+        try:
+            return self._commit(action, read_version=read_v)
+        except Exception:
+            self.partition_by = prev_layout
+            raise
 
     # ------------------------------------------------------------------
     # CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity)
@@ -1219,12 +1244,15 @@ class TransactionalLake:
         snap = self._df_for_files(old, schemas)
         prev = self.partition_by
         self.partition_by = new
+        # rollback covers the COMMIT too: if a concurrent writer wins
+        # the version race, the in-memory layout must revert with it
+        # or later appends from this instance write a mixed layout
         try:
             added = self._write_files(snap)
+            return self._commit(
+                {"op": "set_partitioning", "add": added, "remove": old},
+                read_version=read_v,
+            )
         except Exception:
             self.partition_by = prev
             raise
-        return self._commit(
-            {"op": "set_partitioning", "add": added, "remove": old},
-            read_version=read_v,
-        )

@@ -645,3 +645,31 @@ def test_ivfpq_recall_floor(spark):
     df = e3_ivfpq_recall(spark, "/root/testdata/sf0.001").toPandas()
     assert len(df) == 10
     assert df["recall_at_k"].mean() >= 0.7, df
+
+
+def test_pq_train_small_corpus_falls_back_to_full_sample(spark):
+    """_pq_train on a tiny corpus must train on all rows instead of a
+    hash-gated sample that could hold < PQ_K vectors (centroid seeding
+    shape error) or zero (normalize divide-by-zero) — round-4 advisor
+    finding. Also pins the loud error below PQ_K rows."""
+    import numpy as np
+    import pytest
+
+    from market_data_lakehouse_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        _pq_train,
+    )
+
+    rng = [
+        (i, [float(((i * 37 + j * 11) % 97) - 48) / 48.0 for j in range(64)])
+        for i in range(PQ_K + 8)
+    ]
+    em = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    books = _pq_train(em)
+    assert books.shape == (PQ_M, PQ_K, 64 // PQ_M)
+    assert np.isfinite(books).all()
+
+    tiny = spark.createDataFrame(rng[: PQ_K - 1], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="PQ training needs"):
+        _pq_train(tiny)

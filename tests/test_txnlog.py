@@ -674,3 +674,66 @@ class TestPartitioningContract:
         lake.append(_df(spark, [("AAPL", 150)]))
         with pytest.raises(ValueError, match="unknown partition"):
             lake.set_partitioning(("nope",))
+
+
+class TestAdvisedFixes:
+    """Regression tests for the round-4 advisor findings."""
+
+    def test_merge_into_empty_table_enforces_constraints(self, spark, lake):
+        """The empty-table insert fast path must not bypass CHECK
+        constraints (the non-empty merge path enforces them)."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.add_check_constraint("pos_price", "price > 0")
+        lake.delete_where("true")  # table now empty of rows
+        bad = _df(spark, [("MSFT", -1)])
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            lake.merge(bad, on=("symbol",))
+        good = _df(spark, [("MSFT", 300)])
+        lake.merge(good, on=("symbol",))
+        assert lake.snapshot().count() == 1
+
+    def test_restore_across_set_partitioning_rolls_back_layout(
+        self, spark, tmp_path
+    ):
+        """RESTORE across a partition-evolution boundary must re-adopt
+        the old layout, or the next append mixes date=/symbol= files
+        in one live set and snapshot() fails."""
+        path = str(tmp_path / "p")
+        lake = TransactionalLake(spark, path, partition_by=("date",))
+        v0 = lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.set_partitioning(("symbol",))
+        lake.restore(version=v0)
+        assert lake.partition_by == ("date",)
+        lake.append(_df(spark, [("TSLA", 900)], date="2024-06-16"))
+        snap = lake.snapshot()  # must not raise on mixed layouts
+        assert snap.count() == 3
+        assert os.path.isdir(os.path.join(path, "date=2024-06-16"))
+        # a fresh writer reads the restored layout from the log too
+        fresh = TransactionalLake(spark, path, partition_by=None)
+        assert fresh.partition_by == ("date",)
+
+    def test_set_partitioning_rolls_back_layout_on_commit_race(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """If the relayout COMMIT loses a version race, the in-memory
+        layout must revert — otherwise later appends from this
+        instance silently write the new layout against the old log."""
+        path = str(tmp_path / "p")
+        lake = TransactionalLake(spark, path, partition_by=("date",))
+        lake.append(_df(spark, [("AAPL", 150)]))
+
+        real_commit = lake._commit
+
+        def racing_commit(action, read_version=None, **kw):
+            if action.get("op") == "set_partitioning":
+                raise RuntimeError("concurrent commit at version 1")
+            return real_commit(action, read_version=read_version, **kw)
+
+        monkeypatch.setattr(lake, "_commit", racing_commit)
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            lake.set_partitioning(("symbol",))
+        assert lake.partition_by == ("date",)
+        monkeypatch.setattr(lake, "_commit", real_commit)
+        lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        assert os.path.isdir(os.path.join(path, "date=2024-06-16"))
+        assert lake.snapshot().count() == 2
