@@ -1,0 +1,88 @@
+"""Round-over-round bench drift gate.
+
+Diffs two BENCH_r{N}.json files (or any two bench JSON lines) on the
+queries they share: per-query ratio, shared-subset totals, and a flag
+list of queries that regressed past the threshold (default 1.3x, the
+bound VERDICT.md holds rounds to). Exit code 1 when anything is
+flagged, so the bench commit can gate on it.
+
+Usage:
+    python tools/bench_compare.py BENCH_r03.json BENCH_r04.json
+    python tools/bench_compare.py old.json new.json --threshold 1.3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        doc = json.load(fh)
+    # driver-recorded files wrap the bench line under "parsed";
+    # bench.py's own stdout line is the flat form
+    if "parsed" in doc:
+        doc = doc["parsed"]
+    return dict(doc["queries"])
+
+
+def compare(
+    old: dict[str, float], new: dict[str, float], threshold: float
+) -> dict:
+    shared = sorted(set(old) & set(new))
+    rows = []
+    for q in shared:
+        ratio = new[q] / old[q] if old[q] > 0 else float("inf")
+        rows.append(
+            {
+                "query": q,
+                "old_sec": old[q],
+                "new_sec": new[q],
+                "ratio": round(ratio, 3),
+            }
+        )
+    rows.sort(key=lambda r: -r["ratio"])
+    old_sum = sum(old[q] for q in shared)
+    new_sum = sum(new[q] for q in shared)
+    return {
+        "shared_queries": len(shared),
+        "old_shared_total_sec": round(old_sum, 4),
+        "new_shared_total_sec": round(new_sum, 4),
+        "shared_total_ratio": round(new_sum / old_sum, 3) if old_sum else None,
+        "flagged": [r for r in rows if r["ratio"] > threshold],
+        "improved": [r for r in rows if r["ratio"] < 1 / threshold],
+        "only_in_new": sorted(set(new) - set(old)),
+        "only_in_old": sorted(set(old) - set(new)),
+        "per_query": rows,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old", help="previous round's bench JSON")
+    ap.add_argument("new", help="this round's bench JSON")
+    ap.add_argument("--threshold", type=float, default=1.3)
+    ap.add_argument(
+        "--quiet", action="store_true", help="print only the summary JSON"
+    )
+    args = ap.parse_args()
+    rep = compare(
+        load_queries(args.old), load_queries(args.new), args.threshold
+    )
+    if not args.quiet:
+        for r in rep["per_query"]:
+            mark = " <<< FLAG" if r["ratio"] > args.threshold else ""
+            print(
+                f"{r['query']:24s} {r['old_sec']:8.3f} -> {r['new_sec']:8.3f}"
+                f"  x{r['ratio']:.2f}{mark}",
+                file=sys.stderr,
+            )
+    summary = {k: v for k, v in rep.items() if k != "per_query"}
+    print(json.dumps(summary))
+    return 1 if rep["flagged"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
