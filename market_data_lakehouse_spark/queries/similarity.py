@@ -596,6 +596,82 @@ def e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_bruteforce(spark, sf_dir, e3_ann_lsh)
 
 
+@register(
+    "e3_cell_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+               FROM embeddings WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label AS cl
+          FROM embeddings WHERE vec_id >= {N_QUERY}),
+    s AS (SELECT qid, cid, ql, cl,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS sim
+          FROM q, c),
+    truth AS (SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rn FROM s) WHERE rn <= {K}),
+    cell AS (SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rn FROM s WHERE ql = cl)
+        WHERE rn <= {K}),
+    hits AS (SELECT t.qid, COUNT(*) AS n_hit FROM truth t
+             JOIN cell a ON t.qid = a.qid AND t.cid = a.cid
+             GROUP BY t.qid),
+    per_q AS (SELECT qid, COUNT(*) AS k FROM truth GROUP BY qid)
+    SELECT p.qid,
+           ROUND(COALESCE(h.n_hit, 0) / CAST(p.k AS DOUBLE), 4)
+             AS recall_at_k
+    FROM per_q p LEFT JOIN hits h ON p.qid = h.qid
+    ORDER BY p.qid
+    """,
+)
+def e3_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of a CELL-RESTRICTED search (candidates limited to the
+    query's own label cell — the partition-pruned serving shape: one
+    shard probed instead of the corpus), measured against the global
+    brute-force truth. The point of this entry is the ORACLE: both the
+    candidate generation (a deterministic equality cell, no
+    engine-specific hashing or trained quantizer) and the entire
+    recall harness — truth top-K, candidate top-K, the hit semi-join,
+    the per-query hit/K ratio — are ANSI-SQL-expressible, so DuckDB
+    hash-checks the same recall ARITHMETIC that e3_ann_recall /
+    e3_ivf_recall / e3_pq_recall / e3_ivfpq_recall reuse
+    (_recall_vs_bruteforce) on their engine-specific indexes. Together
+    with the oracle-green truth kernel (e3_knn_bruteforce), this pins
+    both halves of every rows-only recall number.
+
+    Numerics: cosine on both sides is a LEFT-TO-RIGHT float64 fold
+    (np.cumsum / list_sum) so rankings agree to the last ulp; recall
+    itself is a ratio of small integers — hash-exact by construction."""
+    em = load(spark, sf_dir, "embeddings")
+
+    def cell_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q = em.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("cl"),
+        )
+        c = em.filter(F.col("vec_id") >= N_QUERY).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("label").alias("cl"),
+        )
+        scored = c.join(F.broadcast(q), "cl").select(
+            "qid", "cid", cosine_pairs("qe", "ce").alias("sim")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("qid", "cid")
+        )
+
+    return _recall_vs_bruteforce(spark, sf_dir, cell_search)
+
+
 def _kmeans_fit(
     spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3
 ):
