@@ -129,6 +129,84 @@ def bench_ingest(spark, sf_dir: str) -> float:
     return best
 
 
+def bench_ingest_stream(spark, sf_dir: str) -> dict:
+    """Streaming-ingest throughput — BASELINE.md's headline row
+    (reference README.md:86-92 claims 10.2 M events/s, 150 ms flush
+    latency for an in-memory ring buffer): the honest comparable here
+    is `stream_ingest_transactional` draining a pre-generated tick
+    set with availableNow over multiple micro-batches, every batch an
+    atomic exactly-once commit to a TransactionalLake. Reports
+    elapsed, rows/s, and mean per-batch latency."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.schema import load_table
+    from market_data_lakehouse_spark.streaming import (
+        stream_ingest_transactional,
+    )
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.timestamp_seconds(
+        F.lit(1704067200)
+        + (F.col("l_orderkey") % 30) * 86400
+        + F.col("l_partkey") % 86400
+    )
+    bars = li.select(
+        F.col("l_returnflag").alias("symbol"),
+        ts.alias("timestamp"),
+        F.col("l_extendedprice").alias("open"),
+        (F.col("l_extendedprice") + 1).alias("high"),
+        (F.col("l_extendedprice") - 1).alias("low"),
+        F.col("l_extendedprice").alias("close"),
+        F.col("l_orderkey").alias("volume"),
+        F.lit("equity").alias("asset_class"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(root, "src")
+        # 8 source files, 2 per trigger -> 4 micro-batches: measures
+        # the steady per-batch commit cost, not one giant batch
+        bars.repartition(8).write.parquet(src)
+        static = spark.read.parquet(src)
+        n_rows = static.count()
+        lake = TransactionalLake(
+            spark, os.path.join(root, "lake"), partition_by=("date",)
+        )
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = stream_ingest_transactional(
+            stream, lake, os.path.join(root, "ckpt"), available_now=True
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        elapsed = time.perf_counter() - t0
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        batch_ms = [
+            p["durationMs"]["triggerExecution"] for p in progress
+        ]
+        assert lake.snapshot().count() == n_rows
+        return {
+            "elapsed_sec": round(elapsed, 4),
+            "rows": n_rows,
+            "rows_per_sec": round(n_rows / elapsed, 1),
+            "batches": len(batch_ms),
+            "mean_batch_ms": round(sum(batch_ms) / len(batch_ms), 1)
+            if batch_ms
+            else None,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -149,6 +227,9 @@ def main() -> None:
     spark._jvm.System.gc()
     # bench_ingest is best-of-2 internally (fresh lake per run)
     times["q_ingest_batch"] = round(bench_ingest(spark, sf_dir), 4)
+    spark._jvm.System.gc()
+    stream_stats = bench_ingest_stream(spark, sf_dir)
+    times["q_ingest_stream"] = stream_stats["elapsed_sec"]
     for label, qname in HEAVY.items():
         fn = REGISTRY[qname].fn
         spark._jvm.System.gc()
@@ -159,6 +240,7 @@ def main() -> None:
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "stream_ingest": stream_stats,
         "sf": sf,
     }
     print(json.dumps(out))

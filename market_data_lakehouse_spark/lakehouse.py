@@ -35,6 +35,7 @@ size instead of the reference's uncontrolled file-per-flush
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 import uuid
@@ -579,8 +580,6 @@ class DataLakehouse:
         full_schema = T.StructType(
             list(BAR_SCHEMA.fields) + [T.StructField("date", T.DateType())]
         )
-        import os
-
         if not os.path.isdir(self.base_path):
             # Never-written lake: the reference returns an empty
             # QueryResult (lakehouse.py:352-356), not an error.
@@ -671,16 +670,40 @@ class DataLakehouse:
         ``repartition(n, "date")``, which buckets the whole lake into
         n tasks total (VERDICT r1 item 4).
 
-        The swap is two driver-local directory renames: the live lake
-        is moved aside BEFORE the compacted copy moves in, so no crash
-        point ever leaves the data deleted-but-unreplaced — a crash
-        window leaves either the live lake or the ``__pre_compact``
-        sibling fully intact (recover by renaming it back). Readers
-        racing the swap can still observe a missing directory for an
-        instant; for atomic, cluster-safe maintenance use
-        :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`,
-        whose compaction is a log commit, not a directory swap.
+        **Txn delegation**: when the lake root carries a transaction
+        log (a :class:`TransactionalLake` was pointed at the same
+        path), the directory swap below would bypass the log — live
+        files would change under committed versions. In that case
+        this method delegates to ``TransactionalLake.optimize()``,
+        which compacts as an ordinary LOG COMMIT: concurrent readers
+        resolve a complete snapshot before or after, never a torn
+        directory, and time travel keeps working.
+
+        **Non-txn path is best-effort only**: the swap is two
+        driver-local directory renames — the live lake is moved aside
+        BEFORE the compacted copy moves in, so no crash point ever
+        leaves the data deleted-but-unreplaced (a crash window leaves
+        either the live lake or the ``__pre_compact`` sibling fully
+        intact; recover by renaming it back). But a reader racing the
+        swap can still observe a missing directory for an instant.
+        For atomic, cluster-safe maintenance, put the lake under a
+        :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`.
         """
+        from market_data_lakehouse_spark import txnlog
+
+        if os.path.isdir(os.path.join(self.base_path, txnlog.LOG_DIR)):
+            if self.file_format != "parquet":
+                raise ValueError(
+                    "a transaction log manages parquet files; a "
+                    f"{self.file_format} lake cannot share its root"
+                )
+            lake = txnlog.TransactionalLake(
+                self.spark, self.base_path, partition_by=None
+            )
+            lake.optimize(
+                files_per_partition=max(1, target_files_per_partition)
+            )
+            return
         n = max(1, target_files_per_partition)
         bucket = F.pmod(F.xxhash64("symbol", "timestamp"), F.lit(n))
         tmp = f"{self.base_path}__compact_{uuid.uuid4().hex[:8]}"

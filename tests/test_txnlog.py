@@ -737,3 +737,52 @@ class TestAdvisedFixes:
         lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
         assert os.path.isdir(os.path.join(path, "date=2024-06-16"))
         assert lake.snapshot().count() == 2
+
+
+class TestCompactDelegation:
+    def test_datalakehouse_compact_delegates_to_txn_log(
+        self, spark, tmp_path
+    ):
+        """DataLakehouse.compact on a root that carries a txn log must
+        compact via a LOG COMMIT (TransactionalLake.optimize), never
+        the directory swap — a reader holding a pre-compact snapshot
+        keeps reading its exact file set mid-maintenance."""
+        from market_data_lakehouse_spark.lakehouse import DataLakehouse
+
+        path = str(tmp_path / "shared")
+        lake = TransactionalLake(spark, path, partition_by=("date",))
+        for i in range(4):
+            lake.append(_df(spark, [("AAPL", 150 + i)]))
+        v_before = lake.version
+        reader = lake.snapshot(version=v_before)  # concurrent reader
+
+        dlh = DataLakehouse(spark, path)
+        dlh.compact(target_files_per_partition=1)
+
+        # compaction landed as a commit, not a swap: history records
+        # it, the log survived, and no __pre_compact sibling exists
+        fresh = TransactionalLake(spark, path, partition_by=None)
+        assert fresh.history()[0]["op"] == "compact"  # latest first
+        assert not [
+            d
+            for d in os.listdir(str(tmp_path))
+            if "__pre_compact" in d or "__compact_" in d
+        ]
+        # the pre-compact reader still resolves its full snapshot
+        # (old files retained until vacuum) and sees identical data
+        assert sorted(r.price for r in reader.collect()) == [
+            150.0, 151.0, 152.0, 153.0,
+        ]
+        assert fresh.snapshot().count() == 4
+        live, _s, _v = fresh._snapshot_state()
+        assert len(live) == 1  # actually compacted
+
+    def test_csv_lake_with_txn_log_refuses(self, spark, tmp_path):
+        from market_data_lakehouse_spark.lakehouse import DataLakehouse
+
+        path = str(tmp_path / "shared")
+        lake = TransactionalLake(spark, path, partition_by=("date",))
+        lake.append(_df(spark, [("AAPL", 150)]))
+        dlh = DataLakehouse(spark, path, file_format="csv")
+        with pytest.raises(ValueError, match="transaction log"):
+            dlh.compact()

@@ -1,0 +1,180 @@
+"""Empirical two-point scale curve for representative operators.
+
+The repo's 100 TB claims rest on plan shapes (bounded shuffles,
+pushdown, no driver-side data). This probe adds measurement: it
+materializes an N-times-larger copy of the tables the probe queries
+read (key-shifted per copy so join/session/dedup cardinalities scale
+LINEARLY instead of quadratically — identical replicas would make
+every LSH bucket N times denser and the pair count N^2), times one
+representative query per family at 1x and Nx in the same JVM, and
+records the time ratio vs the size ratio plus driver RSS growth.
+
+Near-linear = time ratio <= size ratio (fixed per-job overhead on
+local[32] makes sublinear ratios the expected outcome for scan-bound
+work); a super-linear query or driver RSS tracking data size is the
+red flag this tool exists to catch.
+
+Writes SCALE_PROBE.json at the repo root.
+
+Usage:
+    python tools/scale_probe.py            # 1x vs 4x of sf0.1
+    python tools/scale_probe.py --factor 8 --sf-dir /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# one representative per family: scan, multi-key agg, join,
+# window/sessionize, exact dedup, MinHash LSH
+PROBES = [
+    "s1_scan_project",
+    "a4_multikey_100",
+    "j1_inner_join",
+    "w6_sessionize",
+    "e1_dedup_by_hash",
+    "e2_minhash_lsh",
+]
+
+# table -> integer key columns shifted by copy_index * (max+1) so each
+# replica is a disjoint key universe (joins/sessions stay within-copy)
+KEY_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+}
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> None:
+    """Write factor-times-larger copies of the probe tables."""
+    from pyspark.sql import functions as F
+
+    for table, keys in KEY_SHIFTS.items():
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        df = spark.read.parquet(src)
+        maxes = df.agg(*[F.max(k).alias(k) for k in keys]).first()
+        copies = []
+        for i in range(factor):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + i * (int(maxes[k]) + 1))
+            if table == "documents" and i > 0:
+                # rotate the alphabet per copy: replicas are NOT
+                # textual near-dups of each other, so shingle/LSH
+                # structure (dup density per doc) stays constant and
+                # candidate volume scales linearly with the corpus
+                rot = ALPHABET[i % 26 :] + ALPHABET[: i % 26]
+                c = c.withColumn(
+                    "text", F.translate("text", ALPHABET, rot)
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from market_data_lakehouse_spark.queries import REGISTRY
+
+    out = {}
+    for name in PROBES:
+        fn = REGISTRY[name].fn
+        spark._jvm.System.gc()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--factor", type=int, default=4)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+
+    from market_data_lakehouse_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    # warmup outside any measurement
+    from market_data_lakehouse_spark.queries import REGISTRY
+
+    REGISTRY["o2_topk"].fn(spark, args.sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        t0 = time.perf_counter()
+        scaled_dir(spark, args.sf_dir, args.factor, tmp)
+        build_sec = round(time.perf_counter() - t0, 2)
+
+        rss_before = rss_mb()
+        base = time_queries(spark, args.sf_dir)
+        rss_mid = rss_mb()
+        scaled = time_queries(spark, tmp)
+        rss_after = rss_mb()
+
+        per_query = {
+            q: {
+                "base_sec": base[q],
+                "scaled_sec": scaled[q],
+                "time_ratio": round(scaled[q] / base[q], 3),
+                "near_linear": scaled[q] / base[q] <= args.factor,
+            }
+            for q in PROBES
+        }
+        report = {
+            "sf_dir": args.sf_dir,
+            "factor": args.factor,
+            "scaled_build_sec": build_sec,
+            "per_query": per_query,
+            "driver_rss_mb": {
+                "before": round(rss_before, 1),
+                "after_base": round(rss_mid, 1),
+                "after_scaled": round(rss_after, 1),
+                # maxrss is monotone; growth during the scaled pass is
+                # the driver-memory-vs-data-size signal
+                "scaled_pass_growth": round(rss_after - rss_mid, 1),
+            },
+            "all_near_linear": all(
+                v["near_linear"] for v in per_query.values()
+            ),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(os.path.join(REPO, "SCALE_PROBE.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps(report))
+    return 0 if report["all_near_linear"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
