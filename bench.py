@@ -136,7 +136,13 @@ def bench_ingest_stream(spark, sf_dir: str) -> dict:
     is `stream_ingest_transactional` draining a pre-generated tick
     set with availableNow over multiple micro-batches, every batch an
     atomic exactly-once commit to a TransactionalLake. Reports
-    elapsed, rows/s, and mean per-batch latency."""
+    elapsed, rows/s, and mean per-batch latency.
+
+    Best of two full stream runs (fresh lake + checkpoint each),
+    matching the per-query policy: the first run's batch 0 pays the
+    write plan's one-time codegen, which a long-lived streaming job
+    pays once per JVM, not once per trigger — the second run is the
+    steady per-batch commit cost this metric tracks."""
     import shutil
     import tempfile
 
@@ -172,37 +178,47 @@ def bench_ingest_stream(spark, sf_dir: str) -> dict:
         bars.repartition(8).write.parquet(src)
         static = spark.read.parquet(src)
         n_rows = static.count()
-        lake = TransactionalLake(
-            spark, os.path.join(root, "lake"), partition_by=("date",)
+
+        def one_run(tag: str) -> dict:
+            lake = TransactionalLake(
+                spark, os.path.join(root, f"lake_{tag}"), partition_by=("date",)
+            )
+            stream = (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            t0 = time.perf_counter()
+            q = stream_ingest_transactional(
+                stream,
+                lake,
+                os.path.join(root, f"ckpt_{tag}"),
+                available_now=True,
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+            elapsed = time.perf_counter() - t0
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            batch_ms = [
+                p["durationMs"]["triggerExecution"] for p in progress
+            ]
+            assert lake.snapshot().count() == n_rows
+            return {
+                "elapsed_sec": round(elapsed, 4),
+                "rows": n_rows,
+                "rows_per_sec": round(n_rows / elapsed, 1),
+                "batches": len(batch_ms),
+                "mean_batch_ms": round(sum(batch_ms) / len(batch_ms), 1)
+                if batch_ms
+                else None,
+            }
+
+        return min(
+            (one_run("a"), one_run("b")),
+            key=lambda s: s["mean_batch_ms"] or float("inf"),
         )
-        stream = (
-            spark.readStream.schema(static.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-        )
-        t0 = time.perf_counter()
-        q = stream_ingest_transactional(
-            stream, lake, os.path.join(root, "ckpt"), available_now=True
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-        elapsed = time.perf_counter() - t0
-        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        batch_ms = [
-            p["durationMs"]["triggerExecution"] for p in progress
-        ]
-        assert lake.snapshot().count() == n_rows
-        return {
-            "elapsed_sec": round(elapsed, 4),
-            "rows": n_rows,
-            "rows_per_sec": round(n_rows / elapsed, 1),
-            "batches": len(batch_ms),
-            "mean_batch_ms": round(sum(batch_ms) / len(batch_ms), 1)
-            if batch_ms
-            else None,
-        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -228,8 +244,11 @@ def main() -> None:
     # bench_ingest is best-of-2 internally (fresh lake per run)
     times["q_ingest_batch"] = round(bench_ingest(spark, sf_dir), 4)
     spark._jvm.System.gc()
+    # reported ONLY under the separate "stream_ingest" key — folding
+    # its elapsed into `times` would shift the headline total vs
+    # rounds <= 4 (ADVICE r5); cross-round totals compare via
+    # bench_compare's shared-query subset either way
     stream_stats = bench_ingest_stream(spark, sf_dir)
-    times["q_ingest_stream"] = stream_stats["elapsed_sec"]
     for label, qname in HEAVY.items():
         fn = REGISTRY[qname].fn
         spark._jvm.System.gc()

@@ -569,6 +569,54 @@ class TestCheckConstraints:
         with pytest.raises(ValueError, match="no such"):
             lake.drop_check_constraint("nope")
 
+    def _data_files(self, lake):
+        return [
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(lake.path)
+            for f in fs
+            if f.endswith(".parquet") and "_txn_log" not in dp
+        ]
+
+    def test_violating_append_leaves_no_orphan_files(self, spark, lake):
+        """The r6 observe-fold detects violations AFTER staging; the
+        staged files must be unlinked, not left for vacuum."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.add_check_constraint("price_pos", "price > 0")
+        before = set(self._data_files(lake))
+        with pytest.raises(ValueError, match="price_pos"):
+            lake.append(_df(spark, [("BAD", -5), ("OK", 5)]))
+        assert set(self._data_files(lake)) == before
+        assert lake.snapshot().count() == 1
+
+    def test_mixed_batch_reports_violation_count(self, spark, lake):
+        lake.add_check_constraint("price_pos", "price > 0")
+        with pytest.raises(ValueError, match="2 row"):
+            lake.append(_df(spark, [("A", -1), ("B", 2), ("C", -3)]))
+
+
+class TestSkipEmptyAppend:
+    def test_empty_batch_skips_commit(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v = lake.version
+        empty = _df(spark, []).filter("1 = 0")
+        assert lake.append(empty, skip_empty=True) == v
+        assert lake.version == v
+
+    def test_default_empty_append_still_commits(self, spark, lake):
+        """Pin batch-API semantics: without skip_empty an empty
+        append is a (no-file) version bump, as before r6."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v = lake.version
+        assert lake.append(_df(spark, []).filter("1 = 0")) == v + 1
+
+    def test_skip_empty_with_constraints_still_enforces(self, spark, lake):
+        lake.add_check_constraint("price_pos", "price > 0")
+        with pytest.raises(ValueError, match="price_pos"):
+            lake.append(_df(spark, [("BAD", -5)]), skip_empty=True)
+        assert lake.version == 0  # only the add_constraint commit
+        lake.append(_df(spark, [("OK", 5)]), skip_empty=True)
+        assert lake.snapshot().count() == 1
+
 
 class TestConstraintRestoreInteraction:
     def test_constraints_survive_restore(self, spark, lake):
