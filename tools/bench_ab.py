@@ -1,21 +1,29 @@
 """Adjudicate round-over-round bench drift for flagged queries.
 
-Round 4 flagged q_sessionize (1.73x), q_ingest_batch (1.39x) and
-q_pricing_summary (1.32x) vs round 3. The prescribed protocol is an
-interleaved same-JVM A/B of the two code variants — but step 1 is to
-check whether there ARE two variants. This tool:
+Round 5 flagged q_ingest_batch as the one monotone riser (1.119 s r3
+-> 1.557 s r4 -> 1.867 s r5) that a single-round code-identity proof
+cannot exonerate; the r5 VERDICT prescribes re-running the A/B with
+the **r3 revision** as the old arm. The protocol:
 
 1. **Code-identity proof**: extracts the exact source of each flagged
-   query function (and every lakehouse method on the ingest hot path)
-   at the old round's commit and at HEAD via ``git show`` + ``ast``,
-   and records byte-identity per function. Identical code means the
-   drift cannot be a code cost slip — the "A/B" has one arm.
+   query function (and every lakehouse method + session-level
+   dependency on the ingest hot path: ``_append``'s observe chain,
+   ``valid_bar``, ``get_spark`` conf defaults) at the old round's
+   commit and at HEAD via ``git show`` + ``ast``, and records
+   byte-identity per function. Identical code means the drift cannot
+   be a code cost slip — the "A/B" has one arm.
 2. **Noise-envelope measurement**: in ONE JVM, runs the flagged
-   queries interleaved round-robin (with a non-regressed control
-   query in the rotation) for N rounds each, recording every sample.
-   The verdict per query is "noise" when the recorded old/new round
-   values both fall inside the measured same-JVM spread, i.e. the
-   cross-round ratio is reproduced by within-JVM jitter alone.
+   queries interleaved round-robin (with non-regressed control
+   queries in the rotation — including q_dedup_hash, the trivial
+   job-floor probe) for N rounds each, recording every sample.
+   Two spreads are reported per query: the raw single-run spread
+   and the sliding best-of-3 spread (the jitter that SURVIVES the
+   recorded rounds' best-of-k policy). The "noise" verdict requires
+   the recorded cross-round ratio to fall inside the **best-of-3**
+   spread (ADVICE r5: the single-run spread is wider than what the
+   recorded numbers could have seen, so gating on it is biased
+   toward "noise"); ratios covered only by the single-run spread
+   get the intermediate verdict "noise_single_run_only".
 
 Writes AB_BENCH.json at the repo root and prints the summary line.
 
@@ -38,23 +46,30 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# flagged bench label -> (registry query | "INGEST"), plus a control
-# that did NOT regress, interleaved to show jitter is query-agnostic
+# flagged bench label -> (registry query | "INGEST"), plus controls
+# that did NOT regress, interleaved to show jitter is query-agnostic.
+# q_dedup_hash doubles as the trivial job-floor probe: if IT moves,
+# the whole JVM's per-job floor moved, not any one query's code.
 FLAGGED = {
-    "q_sessionize": "w6_sessionize",
-    "q_pricing_summary": "a4_pricing_summary",
     "q_ingest_batch": "INGEST",
 }
-CONTROL = {"q_vwap_top10": "a2_vwap_top10"}
+CONTROL = {
+    "q_vwap_top10": "a2_vwap_top10",
+    "q_dedup_hash": "e1_dedup_by_hash",
+}
 
 # functions whose source must be compared old-rev vs HEAD:
-# (file, qualname) — qualname "Class.method" or bare function name
+# (file, qualname) — qualname "Class.method" or bare function name.
+# Beyond the flagged entry points, the session-level dependencies the
+# r5 VERDICT named: the observe chain in _append, the validity
+# predicate, and the session conf defaults.
 IDENTITY_TARGETS = [
-    ("market_data_lakehouse_spark/queries/relational.py", "w6_sessionize"),
-    ("market_data_lakehouse_spark/queries/relational.py", "a4_pricing_summary"),
     ("market_data_lakehouse_spark/lakehouse.py", "DataLakehouse.ingest_batch"),
     ("market_data_lakehouse_spark/lakehouse.py", "DataLakehouse._append"),
     ("market_data_lakehouse_spark/lakehouse.py", "DataLakehouse.flush"),
+    ("market_data_lakehouse_spark/lakehouse.py", "DataLakehouse.__init__"),
+    ("market_data_lakehouse_spark/lakehouse.py", "valid_bar"),
+    ("market_data_lakehouse_spark/session.py", "get_spark"),
 ]
 
 
@@ -113,11 +128,15 @@ def main() -> int:
         "--old-bench", default="BENCH_r03.json", help="old round bench file"
     )
     ap.add_argument(
-        "--new-bench", default="BENCH_r04.json", help="new round bench file"
+        "--new-bench", default="BENCH_r05.json", help="new round bench file"
     )
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
+    if args.rounds < 3:
+        # the sliding best-of-3 needs >= 3 samples (and stdev >= 2);
+        # fail BEFORE the expensive sampling loop (ADVICE r5)
+        ap.error("--rounds must be >= 3 for the best-of-3 spread")
 
     ident = identity_report(args.old_rev)
 
@@ -132,6 +151,19 @@ def main() -> int:
     spark = get_spark("bench_ab")
     # untimed warmup, same policy as bench.py
     run_once(spark, REGISTRY["o2_topk"].fn, args.sf_dir)
+
+    # absolute job floor: the cheapest possible Spark action
+    # (range(1) -> noop write), sampled like everything else. Any
+    # query's recorded time is bounded below by this number — a
+    # baseline claim under it (e.g. the reference's 50 ms filter row
+    # vs the ~100 ms floor measured here) is unreachable for ANY plan
+    # in this harness, which names the root cause for the filter-row
+    # gate breach without touching the query.
+    floor_samples = []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_samples.append(round(time.perf_counter() - t0, 4))
 
     labels = list(FLAGGED) + list(CONTROL)
     samples: dict[str, list[float]] = {q: [] for q in labels}
@@ -160,33 +192,56 @@ def main() -> int:
         ratio = round(rec_new / rec_old, 3) if rec_old and rec_new else None
         # sliding best-of-3 replays the recorded rounds' best-of-k
         # policy on the same-JVM samples: its spread is the jitter
-        # that survives the policy
+        # that survives the policy — the spread the recorded numbers
+        # could actually have seen (ADVICE r5: gate on THIS, not the
+        # wider raw single-run spread)
         bo3 = [min(vals[i : i + 3]) for i in range(len(vals) - 2)]
+        bo3_spread = round(max(bo3) / min(bo3), 3)
+        raw_spread = round(hi / lo, 3)
         # verdict: the recorded cross-round values came from two
-        # DIFFERENT JVMs on different days; if the within-one-JVM
-        # single-run spread on byte-identical code already covers the
-        # recorded ratio, jitter alone explains the drift
-        noise = (
-            all_identical
-            and ratio is not None
-            and ratio <= round(hi / lo, 3)
+        # DIFFERENT JVMs on different days; "noise" requires the
+        # best-of-3 spread on byte-identical code to cover the
+        # recorded ratio; single-run-only coverage is reported as the
+        # weaker intermediate verdict
+        # head_vs_old: does THIS JVM, running HEAD right now,
+        # reproduce the old round's recorded value? When it does (to
+        # within the best-of-3 jitter) on byte-identical code, the
+        # NEW recorded value was the anomaly — the drift does not
+        # exist at HEAD and there is nothing in the code to fix,
+        # even though today's narrow jitter can't "cover" the old
+        # inflated ratio. Distinct verdict: recovered_at_head.
+        med = statistics.median(vals)
+        head_vs_old = (med / rec_old) if rec_old else None
+        recovered = head_vs_old is not None and (
+            max(head_vs_old, 1 / head_vs_old) <= bo3_spread
         )
+        if label in CONTROL:
+            verdict = "control"
+        elif not all_identical or ratio is None:
+            verdict = "unexplained"
+        elif ratio <= bo3_spread:
+            verdict = "noise"
+        elif ratio <= raw_spread:
+            verdict = "noise_single_run_only"
+        elif recovered:
+            verdict = "recovered_at_head"
+        else:
+            verdict = "unexplained"
         per_query[label] = {
             "samples_sec": [round(v, 4) for v in vals],
             "min": round(lo, 4),
             "median": round(statistics.median(vals), 4),
             "max": round(hi, 4),
             "stdev": round(statistics.stdev(vals), 4),
-            "spread_ratio": round(hi / lo, 3),
-            "bo3_spread_ratio": round(max(bo3) / min(bo3), 3),
+            "spread_ratio": raw_spread,
+            "bo3_spread_ratio": bo3_spread,
             "recorded_old": rec_old,
             "recorded_new": rec_new,
             "recorded_ratio": ratio,
-            "verdict": (
-                "control"
-                if label in CONTROL
-                else ("noise" if noise else "unexplained")
+            "head_median_vs_recorded_old": (
+                round(head_vs_old, 3) if head_vs_old else None
             ),
+            "verdict": verdict,
         }
 
     report = {
@@ -194,6 +249,15 @@ def main() -> int:
             "one JVM, interleaved round-robin, "
             f"{args.rounds} samples/query, GC between samples"
         ),
+        "absolute_job_floor_sec": {
+            "samples": floor_samples,
+            "min": min(floor_samples),
+            "median": round(statistics.median(floor_samples), 4),
+            "note": (
+                "cheapest possible action (range(1) noop write); no "
+                "query can record below this on this host"
+            ),
+        },
         "old_rev": args.old_rev,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "code_identity": ident,
