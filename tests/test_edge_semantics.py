@@ -635,16 +635,17 @@ def test_psi_zero_for_identical_distributions(spark, tmp_path):
 
 
 def test_ivfpq_recall_floor(spark):
-    """IVF-PQ composite must hold mean recall@5 >= 0.7 (measured
-    0.84-0.88; upper-bounded by the coarse quantizer's ~0.9 cell
-    recall — a true neighbor in an unprobed cell is unreachable)."""
+    """IVF-PQ composite must hold mean recall@5 >= 0.8 (measured
+    0.90 at sf0.001 AND sf0.01 with n_probe=4 — r6 lift from the
+    3-probe 0.84-0.88; still upper-bounded by coarse-cell recall —
+    a true neighbor in an unprobed cell is unreachable)."""
     from market_data_lakehouse_spark.queries.similarity import (
         e3_ivfpq_recall,
     )
 
     df = e3_ivfpq_recall(spark, "/root/testdata/sf0.001").toPandas()
     assert len(df) == 10
-    assert df["recall_at_k"].mean() >= 0.7, df
+    assert df["recall_at_k"].mean() >= 0.8, df
 
 
 def test_pq_train_small_corpus_falls_back_to_full_sample(spark):
