@@ -263,6 +263,51 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(out))
+    # Self-running gates (VERDICT r5 item 3): refresh the plan audit
+    # and the round-over-round comparison as part of EVERY bench run,
+    # so neither artifact can go stale against the bench set. Both
+    # write files + stderr only — the driver contract is exactly one
+    # stdout JSON line, already printed above.
+    try:
+        run_gates(spark, sf_dir, out)
+    except Exception as exc:  # gates must never fail the bench line
+        print(f"bench gates failed: {exc!r}", file=sys.stderr)
+
+
+def run_gates(spark, sf_dir: str, bench_line: dict) -> None:
+    """Write PLAN_AUDIT.json and BENCH_COMPARE_r{N}.json next to the
+    bench artifacts. N = 1 + the highest committed BENCH_r{N}.json,
+    i.e. the round this run's numbers will be recorded as."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import bench_compare
+    import plan_audit
+
+    plan_audit.write_report(
+        spark, sf_dir, os.path.join(repo, "PLAN_AUDIT.json")
+    )
+    print("gate: PLAN_AUDIT.json refreshed", file=sys.stderr)
+    rounds = sorted(
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    )
+    if not rounds:
+        return
+    prev = os.path.join(repo, f"BENCH_r{rounds[-1]:02d}.json")
+    rep = bench_compare.compare(
+        bench_compare.load_queries(prev), dict(bench_line["queries"]), 1.3
+    )
+    rep = {"old": os.path.basename(prev), "new": "this run", **rep}
+    cmp_path = os.path.join(repo, f"BENCH_COMPARE_r{rounds[-1] + 1:02d}.json")
+    with open(cmp_path, "w") as fh:
+        json.dump(rep, fh, indent=1)
+    print(
+        f"gate: {os.path.basename(cmp_path)} vs {os.path.basename(prev)}: "
+        f"shared_total_ratio={rep['shared_total_ratio']} "
+        f"flagged={[r['query'] for r in rep['flagged']]}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
