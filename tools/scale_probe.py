@@ -17,7 +17,7 @@ red flag this tool exists to catch.
 Writes SCALE_PROBE.json at the repo root.
 
 Usage:
-    python tools/scale_probe.py            # 1x vs 4x of sf0.1
+    python tools/scale_probe.py            # 1x vs 16x of sf0.1
     python tools/scale_probe.py --factor 8 --sf-dir /root/testdata/sf0.1
 """
 
@@ -36,7 +36,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # one representative per family: scan, multi-key agg, join,
-# window/sessionize, exact dedup, MinHash LSH
+# window/sessionize, exact dedup, MinHash LSH, PQ-ANN, RANGE frame
+# (the last two added r6 per VERDICT r5 item 5)
 PROBES = [
     "s1_scan_project",
     "a4_multikey_100",
@@ -44,6 +45,8 @@ PROBES = [
     "w6_sessionize",
     "e1_dedup_by_hash",
     "e2_minhash_lsh",
+    "e3_pq_knn",
+    "w11_range_frame",
 ]
 
 # table -> integer key columns shifted by copy_index * (max+1) so each
@@ -54,6 +57,10 @@ KEY_SHIFTS = {
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    # embeddings: the query set stays vec_id < N_QUERY (copy 0 only)
+    # while the candidate corpus grows by the factor — exactly the
+    # serve-time scale axis for the ANN probes
+    "embeddings": ["vec_id"],
 }
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
@@ -112,7 +119,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--factor", type=int, default=4)
+    # 16x default (r6, was 4): at 4x of sf0.1, local[32] has so much
+    # headroom that every probe measured fixed overhead, not scaling —
+    # time ratios carried no information (VERDICT r5 missing-item 3)
+    ap.add_argument("--factor", type=int, default=16)
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
