@@ -1,0 +1,215 @@
+"""Incrementally-maintained aggregate views over a TransactionalLake.
+
+The reference README sells a lakehouse with CDC ("change data feed
+for downstream consumers", /root/reference/README.md:174); the
+canonical downstream consumer is an aggregate table kept in sync
+without recomputation — Delta/Databricks' materialized-view pattern.
+This module closes the loop using only machinery the lake already
+has:
+
+- **Source of deltas**: ``TransactionalLake.read_changes`` emits each
+  commit's rows as +inserts/-deletes (copy-on-write rewrites emit a
+  delete+insert pair for untouched survivors, which cancels in any
+  linear aggregate — so appends, deletes, updates, merges and even
+  RESTOREs all fold correctly with no special cases).
+- **State**: the view itself is a TransactionalLake holding one row
+  per group with linear partial aggregates (row count, per-column
+  non-null count and sum). The view is therefore ACID, time-travels,
+  compacts, and CDC-feeds like any other table — a refresh is one
+  atomic MERGE commit touching only files with affected groups.
+- **Exactly-once**: the refresh MERGE rides the lake's app-txn
+  contract as ``txn=(mv_app_id, source_version)``, so the last
+  folded source version is recovered from the view's own log
+  (``last_txn_version``) and a replayed/raced refresh of the same
+  span is skipped — no side-channel watermark file to lose.
+
+Scale shape: a refresh reads ONLY the commits after the last folded
+version, shuffles the delta once on the group keys (map-side
+combined), joins it against current state (left-outer, delta side is
+the small side), and merges — cost is O(changed rows + affected
+groups), never O(source). Groups whose row count returns to zero are
+kept as tombstones in state and filtered from ``view()`` (full
+recompute parity), reclaimed by an ordinary ``delete_where``.
+
+Only LINEAR aggregates are self-maintainable under deletes: count,
+sum, and anything derived from them (avg = sum / non-null count).
+min/max would need per-group recomputation on delete and are
+rejected loudly rather than silently mis-maintained.
+
+Relation to :mod:`market_data_lakehouse_spark.views` (AdditiveView /
+VwapView): that is the LIGHTWEIGHT tier — plain-parquet state with an
+atomic dir+meta swap, full state rewritten per refresh — right for
+small key cardinality (per-symbol VWAP: thousands of keys, rewrite is
+trivial). This class is the SCALE tier: when the group cardinality is
+itself large (per-user, per-document aggregates — millions of
+groups), rewriting all of state per refresh is the bottleneck, and
+the MERGE here touches only the state files containing affected
+groups. Pick by key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+class IncrementalAggView:
+    """One-table aggregate view: ``SELECT group_by, COUNT(*),
+    SUM(c)..., AVG(c)... FROM source GROUP BY group_by`` maintained
+    incrementally from the source's CDC feed.
+
+    ``sum_cols``: numeric columns to maintain SUM/AVG for. Integer
+    source columns stay exact under any fold order; double columns
+    carry the usual float-summation caveat (round at read, or
+    pre-scale money to integer cents — see queries/money.py).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: TransactionalLake,
+        path: str,
+        group_by: list[str] | tuple[str, ...],
+        sum_cols: list[str] | tuple[str, ...] = (),
+        aggs: dict[str, str] | None = None,
+    ) -> None:
+        if aggs:
+            bad = {f for f in aggs.values() if f not in ("sum", "count")}
+            if bad:
+                raise ValueError(
+                    f"non-linear aggregates {sorted(bad)} cannot be "
+                    "incrementally maintained under deletes; supported: "
+                    "count, sum (avg derives from them)"
+                )
+        self.spark = spark
+        self.source = source
+        self.group_by = list(group_by)
+        self.sum_cols = list(sum_cols)
+        if not self.group_by:
+            raise ValueError("group_by must name at least one column")
+        # group-keyed state table; no date partitioning — group keys
+        # are the identity, layout is flat (compact() handles files)
+        self.state = TransactionalLake(spark, path, partition_by=())
+        self.app_id = f"mv:{source.path}"
+
+    # ------------------------------------------------------------------
+    @property
+    def last_folded_version(self) -> int:
+        """Highest source commit version already folded into state
+        (-1 = never refreshed) — read from the view's own commit log,
+        so it survives restarts and races exactly like a streaming
+        sink's batch id."""
+        return self.state.last_txn_version(self.app_id)
+
+    def refresh(self) -> int:
+        """Fold all source commits newer than the last refresh into
+        the state table as ONE atomic MERGE commit. Returns the
+        source version now reflected (no-op when already current)."""
+        end = self.source.version
+        start = self.last_folded_version + 1
+        if end < start:
+            return end
+        ch = self.source.read_changes(start).filter(
+            # a writer racing this refresh may commit while we read;
+            # bound the fold to the span we will record as folded
+            F.col("_commit_version") <= F.lit(end)
+        )
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = ch.groupBy(*self.group_by).agg(
+            F.sum(sign).alias("_d_n"),
+            *[
+                m
+                for c in self.sum_cols
+                for m in (
+                    F.sum(
+                        F.when(F.col(c).isNotNull(), sign).otherwise(0)
+                    ).alias(f"_d_nn_{c}"),
+                    F.sum(
+                        sign * F.coalesce(F.col(c), F.lit(0))
+                    ).alias(f"_d_sum_{c}"),
+                )
+            ],
+        )
+        if self.state.version >= 0:
+            cur = self.state.snapshot()
+            joined = delta.join(cur, self.group_by, "left_outer")
+        else:
+            # first refresh: null state columns typed from the delta
+            # itself (sum type follows the source column — integer
+            # sums stay integer-exact, doubles stay double)
+            dtypes = dict(delta.dtypes)
+            cur_cols = [("n_rows", "bigint")] + [
+                m
+                for c in self.sum_cols
+                for m in (
+                    (f"nn_{c}", "bigint"),
+                    (f"sum_{c}", dtypes[f"_d_sum_{c}"]),
+                )
+            ]
+            joined = delta
+            for name, typ in cur_cols:
+                joined = joined.withColumn(name, F.lit(None).cast(typ))
+        zero = F.lit(0)
+        new_state = joined.select(
+            *self.group_by,
+            (F.coalesce(F.col("n_rows"), zero) + F.col("_d_n"))
+            .cast("bigint")
+            .alias("n_rows"),
+            *[
+                m
+                for c in self.sum_cols
+                for m in (
+                    (
+                        F.coalesce(F.col(f"nn_{c}"), zero)
+                        + F.col(f"_d_nn_{c}")
+                    )
+                    .cast("bigint")
+                    .alias(f"nn_{c}"),
+                    (
+                        F.coalesce(F.col(f"sum_{c}"), zero)
+                        + F.col(f"_d_sum_{c}")
+                    ).alias(f"sum_{c}"),
+                )
+            ],
+        )
+        self.state.merge(
+            new_state,
+            on=self.group_by,
+            validate_keys=False,  # grouped by key: unique by construction
+            txn=(self.app_id, end),
+        )
+        return end
+
+    def view(self) -> DataFrame:
+        """Finalized aggregates: one row per group currently present
+        in the source (zero-count tombstones filtered), with SQL
+        semantics — SUM/AVG are NULL for all-null groups."""
+        if self.state.version < 0:
+            raise ValueError("view never refreshed: call refresh() first")
+        st = self.state.snapshot().filter(F.col("n_rows") > 0)
+        return st.select(
+            *self.group_by,
+            F.col("n_rows"),
+            *[
+                m
+                for c in self.sum_cols
+                for m in (
+                    F.when(F.col(f"nn_{c}") > 0, F.col(f"sum_{c}"))
+                    .alias(f"sum_{c}"),
+                    F.when(
+                        F.col(f"nn_{c}") > 0,
+                        F.col(f"sum_{c}") / F.col(f"nn_{c}"),
+                    ).alias(f"avg_{c}"),
+                )
+            ],
+        )
+
+    def vacuum_tombstones(self) -> int:
+        """Drop zero-count group rows from state (an ordinary logged
+        delete; purely a space optimization — view() already filters
+        them)."""
+        return self.state.delete_where("n_rows = 0")

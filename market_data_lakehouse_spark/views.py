@@ -22,6 +22,15 @@ this way — MIN/MAX are not invertible under deletes; a view over them
 would need a full recompute on delete commits. ``AdditiveView``
 maintains an arbitrary set of SUM(expr) partials (plus the row count
 ``n``); ``VwapView`` is the flagship specialization.
+
+This is the LIGHTWEIGHT tier: each refresh rewrites the whole state
+(old state union delta, regrouped) — the right trade while key
+cardinality is small (thousands of symbols). For large group
+cardinality (millions of users/documents) use
+:class:`market_data_lakehouse_spark.mv.IncrementalAggView`, whose
+state is itself a TransactionalLake and whose refresh MERGEs only
+the files containing affected groups, with exactly-once refreshes
+via the lake's app-txn contract.
 """
 
 from __future__ import annotations
