@@ -68,7 +68,8 @@ _DRIVER_WINDOW = [
     "s8_merge_upsert",       # merge over appended (observe-fold) state
     "lakehouse_roundtrip",   # DataLakehouse ingest path end-to-end
     "e3_pq_recall",          # _pq_train deterministic fallback
-    "e3_pq_knn",
+    # (e3_pq_knn is executed INSIDE e3_pq_recall's harness — its own
+    # slot went to f5_stats_skipping below)
     "e3_ivfpq_recall",       # n_probe 3 -> 4 recall lift
     "e3_ivfpq_knn",
     # (b) the complete two-round-stale cohort (last run r3) — 37
@@ -84,9 +85,17 @@ _DRIVER_WINDOW = [
     "e1_dedup_by_hash", "e4_token_stats", "e4_lang_id",
     "e4_quality_score", "e4_bpe_token_count", "e4_tfidf",
     "e4_fingerprint", "e4_pii_redaction", "e4_ngram_freq",
-    # (c) oldest round-4 representatives topped up — 6
-    "a2_vwap_top10", "w11_range_frame", "s2_json_roundtrip",
-    "s3_orc_roundtrip", "v4_anomaly_zscore", "w9_ewma",
+    # (c) new-this-round oracle entries — 6 (these outrank refreshing
+    # already-green r4 rows: a new entry has NO driver signal yet,
+    # while the r4 cohort keeps its green credit and is first in line
+    # for the r7 window)
+    "t11_incremental_mv",    # NEW r6: CDC-driven incremental agg view
+    "f5_stats_skipping",     # NEW r6: stats-in-log file skipping
+    "j17_waiting_suppliers",  # NEW r6: Q21 exists+not-exists shape
+    "a17_returned_revenue",   # NEW r6: Q10 wide-groupBy top-20
+    "j18_supplier_part_counts",  # NEW r6: Q16 NOT IN + count-distinct
+    "j19_idle_customers",     # NEW r6: Q22 scalar-avg + anti-join
+    "e6_domain_quota",        # NEW r6: per-source quota sampling
 ]
 
 

@@ -176,6 +176,71 @@ def s8_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t11_incremental_mv",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT)
+               * (CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END) AS cents
+      FROM events
+      WHERE NOT (event_id % 7 = 3)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS sum_value,
+           ROUND((CAST(SUM(cents) AS DOUBLE) / COUNT(cents)) / 100.0, 6)
+             AS avg_value
+    FROM base GROUP BY event_type
+    """,
+)
+def t11_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view as a hard signal: a
+    transactional source lake takes two appends, a copy-on-write
+    UPDATE (cents doubled on every 10th id), and a DELETE (every
+    7th-mod-3 id); an :class:`IncrementalAggView` grouped by
+    event_type folds each span from the CDC feed — refreshes
+    interleave with the DML, so the second refresh folds an
+    append+update span and the third a delete span. The oracle
+    recomputes the FINAL state from scratch in SQL: any drift in the
+    delta fold (a survivor counted twice, an update's delete+insert
+    pair not cancelling, a watermark slip double-applying a span)
+    diverges count, sum, or average. Money is exact scaled-long
+    cents (queries/money.py), so incremental fold order cannot
+    change the sums vs the recompute."""
+    from market_data_lakehouse_spark.mv import IncrementalAggView
+    from market_data_lakehouse_spark.queries.money import to_scaled
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", to_scaled("value").alias("cents")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"mdl_mv_{uuid.uuid4().hex[:8]}"
+    )
+    src = TransactionalLake(spark, os.path.join(root, "src"), partition_by=())
+    mv = IncrementalAggView(
+        spark,
+        src,
+        os.path.join(root, "mv"),
+        group_by=["event_type"],
+        sum_cols=["cents"],
+    )
+    src.append(ev.filter(F.col("event_id") < 6000))
+    mv.refresh()
+    src.append(ev.filter(F.col("event_id") >= 6000))
+    src.update_where("event_id % 10 = 0", {"cents": "cents * 2"})
+    mv.refresh()
+    src.delete_where("event_id % 7 = 3")
+    mv.refresh()
+    return mv.view().select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
+        F.round(F.col("avg_cents") / 100.0, 6).alias("avg_value"),
+    )
+
+
+@register(
     "s2_json_roundtrip",
     oracle="""
     SELECT source, lang, COUNT(*) AS n,
@@ -237,4 +302,61 @@ def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).alias("total_chars"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+    )
+
+
+@register(
+    "f5_stats_skipping",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE event_id BETWEEN 250 AND 650
+    GROUP BY event_type
+    """,
+)
+def f5_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-level data skipping as a hard signal (F5 upgraded from
+    row-group stats to Delta-style stats-in-log): three appends with
+    disjoint event_id ranges land as separate files whose min/max
+    ride the commit; ``scan_between`` must PROVABLY skip the
+    untouched range (asserted inside the query — a skipping
+    regression fails the run, not just slows it) while returning
+    exactly what a full-scan filter returns (the oracle recomputes
+    it from the raw events view)."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_skip_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    # one file per append: the skip arithmetic is deterministic
+    tx.append(ev.filter(F.col("event_id") < 300).coalesce(1))
+    tx.append(
+        ev.filter(
+            (F.col("event_id") >= 300) & (F.col("event_id") < 600)
+        ).coalesce(1)
+    )
+    tx.append(ev.filter(F.col("event_id") >= 600).coalesce(1))
+    kept, total, _ = tx.prune_files({"event_id": (250, 650)})
+    assert (total, len(kept)) == (3, 3), (kept, total)
+    # the disjoint probe must actually skip: only the middle file can
+    # hold ids 300-599
+    kept_mid, _, _ = tx.prune_files({"event_id": (350, 550)})
+    assert len(kept_mid) == 1, kept_mid
+    return (
+        tx.scan_between({"event_id": (250, 650)})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )

@@ -2578,3 +2578,272 @@ def a16_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trimmed_mean("value"), 6).alias("trimmed_mean"),
         trimmed_n("value").alias("n_used"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 — hard subquery/distinct shapes (TPC-H Q21/Q10/Q16/Q22
+# analogs over the available star schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j17_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+      SELECT li.l_orderkey, li.l_suppkey,
+             (li.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late) l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM l l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM l l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def j17_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest subquery pattern in the suite — EXISTS plus NOT EXISTS,
+    both correlated on the same join key with a same-key inequality.
+    "Late" = shipped more than 90 days after the order date (this
+    schema has no receipt/commit dates). A supplier counts once per
+    finalized multi-supplier order where it was late and NO other
+    supplier was.
+
+    Spark-first translation: both correlated subqueries become
+    key-equality joins with the inequality in the condition —
+    leftsemi for EXISTS, leftanti for NOT EXISTS — so the plan is
+    three shuffles on l_orderkey (no nested-loop, no
+    per-row subquery execution) and the distinct (orderkey, suppkey)
+    pair set is computed ONCE and reused by both probes. At 100 TB
+    every join here is an orderkey-hash shuffle of pair sets, never
+    of full lineitem rows."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias(
+                "late"
+            ),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))  # distinct pair + any-late flag
+        .localCheckpoint(eager=False)  # both probes reuse one computation
+    )
+    l1 = pairs.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = pairs.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    late_others = pairs.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("a_k"), F.col("l_suppkey").alias("a_s")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (l1.l_orderkey == others.o_k) & (l1.l_suppkey != others.o_s),
+            "leftsemi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == late_others.a_k)
+            & (F.col("l_suppkey") != late_others.a_s),
+            "leftanti",
+        )
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "a17_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def a17_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue ranking): 4-way join
+    filtered to returned lineitems in a half-year window, revenue per
+    customer, top 20. The group-by carries the customer's descriptive
+    columns (name, nation, balance) — the classic wide-groupBy shape
+    whose plan must NOT re-join them after aggregation. Revenue is
+    exact scaled-long math; the top-20 cut breaks rounded-revenue
+    ties on c_custkey. Scale: orders⨝lineitem shuffles on orderkey;
+    nation broadcasts; customer joins on custkey after the revenue
+    is already reduced to one row per customer? No — Catalyst keeps
+    customer below the agg (grouping carries its columns), which is
+    still the right plan: the agg output is one row per (customer ×
+    descriptive cols), identical cardinality either way."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    disc4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(money.scaled_round(money.exact_sum(disc4), 4, 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "j18_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 25
+    """,
+)
+def j18_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class): COUNT
+    DISTINCT under a NOT IN exclusion subquery. NOT IN translates to
+    a leftanti join here because s_suppkey is non-nullable by schema
+    — with a nullable subquery column, SQL NOT IN returns no rows if
+    ANY null appears, and the honest translation needs the null-safe
+    variant; the docstring records the contract rather than silently
+    assuming it. Scale: the exclusion list (suppliers in debit) is
+    tiny and broadcasts; COUNT DISTINCT becomes a two-level
+    hash-aggregate (partial distinct per partition, then exact
+    count), never a global sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    )
+    debit = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("x_suppkey"))
+    return (
+        li.join(
+            F.broadcast(debit),
+            li.l_suppkey == F.col("x_suppkey"),
+            "leftanti",
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(25)
+    )
+
+
+@register(
+    "j19_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def j19_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers who never placed an URGENT
+    order — the no-orders-at-all variant is empty at every test SF,
+    and a 0-row green is weak evidence): a scalar AVG subquery
+    threshold plus a filtered NOT EXISTS anti-join, grouped by
+    segment. The above-average test is done EXACTLY with an integer
+    cross-multiply (cents × n > sum_cents) instead of comparing
+    against a divided double — engines sum doubles in different
+    orders, and a customer whose balance ties the average within an
+    ulp would flip sides between Spark and the oracle; integers
+    cannot tie approximately. Scale: the threshold is a 2-value
+    broadcast (one tiny agg), the anti-join shuffles on custkey, and
+    nothing is collected on the driver."""
+    cust = load(spark, sf_dir, "customer")
+    cents = money.to_scaled("c_acctbal", 2)
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        money.exact_sum(cents).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("x_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(cents * F.col("n") > F.col("sum_cents"))
+        .join(orders, cust.c_custkey == F.col("x_custkey"), "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money.scaled_round(money.exact_sum(cents), 2, 2).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

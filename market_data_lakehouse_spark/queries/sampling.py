@@ -389,3 +389,52 @@ def e7_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_in_seq.cast("long").alias("tok_in_seq"),
         (F.col("first_seq") != F.col("last_seq")).alias("is_split"),
     )
+
+
+@register(
+    "e6_domain_quota",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars, md5(text) AS h,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           MIN(h) AS min_hash,
+           MAX(h) AS max_hash
+    FROM ranked WHERE rn <= 50
+    GROUP BY source
+    """,
+)
+def e6_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (corpus mixing's workhorse: cap any
+    single source's contribution so one crawl domain cannot dominate
+    the training mix): keep at most 50 docs per source, selected
+    DETERMINISTICALLY by content hash — md5(text) orders identically
+    in every engine and every run, so the kept set is a pure function
+    of the data (no RNG, reproducible shards), with doc_id as the
+    duplicate-text tiebreaker. Returns per-source audit stats of the
+    kept set; the md5 min/max witnesses pin the exact membership.
+
+    Scale: rank-within-group over a quota is the WindowGroupLimit
+    pattern — Spark pushes the rn <= 50 limit into the shuffle
+    (partial top-50 per map task, then per-source top-50), so the
+    full corpus is never sorted; state per source is 50 rows."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )

@@ -582,3 +582,41 @@ class TestRound4bPlans:
         p = plan(v5_drift_psi(spark, sf_dir))
         assert p.count("HashAggregate") >= 4
         assert "SortMergeJoin" not in p
+
+
+class TestRound6Plans:
+    def test_domain_quota_group_limit(self, spark, sf_dir):
+        """The rn <= 50 quota must push a WindowGroupLimit below the
+        window (partial per-source top-50 in the map side) — the
+        corpus is never fully sorted."""
+        from market_data_lakehouse_spark.queries.sampling import (
+            e6_domain_quota,
+        )
+
+        p = simple_plan(e6_domain_quota(spark, sf_dir))
+        assert "WindowGroupLimit" in p, p
+
+    def test_waiting_suppliers_no_nested_loop(self, spark, sf_dir):
+        """Q21's EXISTS/NOT-EXISTS pair must compile to hash
+        semi/anti joins on l_orderkey — a per-row subquery or
+        nested-loop plan is disqualifying."""
+        from market_data_lakehouse_spark.queries.relational import (
+            j17_waiting_suppliers,
+        )
+
+        p = simple_plan(j17_waiting_suppliers(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "LeftSemi" in p and "LeftAnti" in p, p
+
+    def test_idle_customers_threshold_broadcasts(self, spark, sf_dir):
+        """Q22's scalar threshold is a 1-row broadcast; the orders
+        probe is an anti join, and the only allowed nested-loop is
+        the 1-row threshold cross join."""
+        from market_data_lakehouse_spark.queries.relational import (
+            j19_idle_customers,
+        )
+
+        p = simple_plan(j19_idle_customers(spark, sf_dir))
+        assert "LeftAnti" in p, p
+        assert "CartesianProduct" not in p
