@@ -110,6 +110,135 @@ class TransactionalLake:
         with open(os.path.join(self.log_path, f"{version:08d}.json")) as fh:
             return json.load(fh)
 
+    # ------------------------------------------------------------------
+    # file-level statistics (Delta-style data skipping)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _stat_val(v):
+        """JSON-serializable, order-preserving image of a parquet
+        footer stat. Temporal types map to ISO strings (which sort
+        identically); unsupported types return None and the column is
+        simply unskippable for that file — never wrong, just
+        conservative."""
+        import datetime
+
+        if isinstance(v, bool) or v is None:
+            return None  # bool min/max carries no skipping value
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        return None
+
+    def _collect_stats(self, rel_paths: list[str]) -> dict:
+        """Per-file column min/max from the parquet footers of
+        just-written files, recorded into the commit so readers can
+        skip files from the LOG without opening any footer (Delta's
+        stats-in-log design). Footer reads are driver-side and
+        O(new files) per commit — a cluster deployment would gather
+        them executor-side in the write tasks; the log format is the
+        same either way. Absence of stats (old commits, exotic
+        types, missing pyarrow) degrades to conservative keep."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover - pyarrow is baked in
+            return {}
+        out: dict[str, dict] = {}
+        for rel in rel_paths:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            except Exception:
+                continue
+            cols: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        cols[name] = None  # one statless group poisons
+                        continue
+                    if name in cols and cols[name] is None:
+                        continue  # already poisoned
+                    lo = self._stat_val(st.min)
+                    hi = self._stat_val(st.max)
+                    if lo is None or hi is None:
+                        cols[name] = None
+                        continue
+                    if name not in cols:
+                        cols[name] = [lo, hi]
+                    else:
+                        cols[name] = [
+                            min(cols[name][0], lo),
+                            max(cols[name][1], hi),
+                        ]
+            out[rel] = {k: v for k, v in cols.items() if v is not None}
+        return out
+
+    def _stats_index(self) -> dict[str, dict]:
+        """rel_path -> {col: [min, max]} for live files, folded from
+        the commit log (files removed later drop out naturally when
+        the caller intersects with the live-file list)."""
+        idx: dict[str, dict] = {}
+        for name in self._commit_files():
+            c = self._read_commit(int(name.split(".")[0]))
+            idx.update(c.get("stats", {}))
+        return idx
+
+    def prune_files(
+        self, bounds: dict[str, tuple]
+    ) -> tuple[list[str], int, list[str]]:
+        """Stats-based file skipping: ``bounds`` maps column ->
+        (lo, hi) CLOSED interval (either side None = unbounded). A
+        file is skipped only when its logged [min, max] provably
+        cannot intersect; files without stats for a bounded column
+        are kept (unknown never skips). Temporal bounds are passed as
+        the same ISO strings the stats store. Returns
+        (kept_files, total_live_files, schemas)."""
+        files, schemas, _v = self._snapshot_state()
+        idx = self._stats_index()
+
+        def may_match(rel: str) -> bool:
+            st = idx.get(rel)
+            if not st:
+                return True
+            for col, (lo, hi) in bounds.items():
+                s = st.get(col)
+                if s is None:
+                    continue
+                try:
+                    if lo is not None and s[1] < lo:
+                        return False
+                    if hi is not None and s[0] > hi:
+                        return False
+                except TypeError:
+                    continue  # incomparable bound: conservative keep
+            return True
+
+        kept = [f for f in files if may_match(f)]
+        return kept, len(files), schemas
+
+    def scan_between(self, bounds: dict[str, tuple]) -> DataFrame:
+        """Filtered snapshot read that skips files by LOGGED stats
+        before Spark ever lists them — the log-level twin of parquet
+        row-group skipping, and what makes Z-order clustering pay off
+        (``optimize(zorder_by=...)`` tightens each file's min/max so
+        whole files fall out here). The residual predicate is still
+        applied, so the result equals ``snapshot().filter(...)``
+        exactly; skipping only removes provably-unmatchable I/O."""
+        kept, _total, schemas = self.prune_files(bounds)
+        df = self._df_for_files(kept, schemas)
+        for col, (lo, hi) in bounds.items():
+            c = F.col(col)
+            if lo is not None:
+                df = df.filter(c >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(c <= F.lit(hi))
+        return df
+
     def _commit(self, action: dict, read_version: int | None = None) -> int:
         """Atomically append one commit (write temp + put-if-absent
         link). Returns the committed version — or, for an idempotent
@@ -131,6 +260,11 @@ class TransactionalLake:
         the same (app_id, txn_version) must skip, or the batch's rows
         are duplicated (Delta's SetTransaction validation)."""
         txn = action.get("txn")
+        if action.get("add"):
+            # file stats ride EVERY add-commit (append, overwrite,
+            # DML rewrite, merge, compaction, relayout) from one
+            # hook; computed once, outside the version-race loop
+            action = {**action, "stats": self._collect_stats(action["add"])}
         while True:
             current = self.version
             if read_version is not None and current != read_version:
@@ -1114,7 +1248,14 @@ class TransactionalLake:
         n = max(1, files_per_partition)
         parts = [F.col(c) for c in self.partition_by]
         bucket = F.pmod(F.xxhash64(*(zorder_by or snap.columns)), F.lit(n))
-        clustered = snap.repartition(*parts, bucket)
+        # EXPLICIT shuffle-partition count: a bare repartition(cols)
+        # is an AQE-coalescible hint, and on a small table AQE merges
+        # everything into one partition — silently ignoring
+        # files_per_partition (and collapsing the per-file stats
+        # ranges clustering exists to tighten). The count is n per
+        # live partition dir, read off the file list driver-side.
+        n_dirs = len({os.path.dirname(f) for f in old}) or 1
+        clustered = snap.repartition(n * n_dirs, *parts, bucket)
         if zorder_by:
             if len(zorder_by) == 1:
                 clustered = clustered.sortWithinPartitions(*zorder_by)

@@ -1,0 +1,115 @@
+"""Log-level file statistics and data skipping (Delta stats-in-log
+design): commits record per-file column min/max; reads prune files
+whose ranges provably cannot match — correctness must be EXACTLY
+snapshot().filter(...), skipping is only ever I/O elimination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+def _df(spark, lo, hi, sym):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(sym).alias("symbol"),
+        (F.col("id") * 1.5).alias("price"),
+        F.to_date(F.lit("2024-06-15")).alias("date"),
+    )
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    lk = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=())
+    # coalesce(1): exactly one data file per append, so the skip
+    # arithmetic below is deterministic (3 files, disjoint k ranges)
+    lk.append(_df(spark, 0, 100, "AAA").coalesce(1))
+    lk.append(_df(spark, 100, 200, "BBB").coalesce(1))
+    lk.append(_df(spark, 200, 300, "CCC").coalesce(1))
+    return lk
+
+
+class TestStatsCollection:
+    def test_commit_records_min_max(self, lake):
+        stats = lake._stats_index()
+        assert stats, "no stats recorded"
+        ks = sorted(s["k"] for s in stats.values() if "k" in s)
+        assert ks == [[0, 99], [100, 199], [200, 299]]
+        syms = {tuple(s["symbol"]) for s in stats.values() if "symbol" in s}
+        assert ("AAA", "AAA") in syms
+
+    def test_all_commit_kinds_carry_stats(self, spark, lake):
+        lake.update_where("k = 5", {"price": "price * 2"})
+        lake.delete_where("k = 250")
+        lake.optimize()
+        for name in lake._commit_files():
+            c = lake._read_commit(int(name.split(".")[0]))
+            if c.get("add"):
+                assert c.get("stats"), f"add-commit without stats: {c['op']}"
+
+
+class TestPruning:
+    def test_prunes_disjoint_files(self, lake):
+        kept, total, _ = lake.prune_files({"k": (120, 180)})
+        assert total == 3 and len(kept) == 1
+
+    def test_string_bounds(self, lake):
+        kept, total, _ = lake.prune_files({"symbol": ("BBB", "BBB")})
+        assert len(kept) == 1
+
+    def test_unbounded_sides(self, lake):
+        kept, _, _ = lake.prune_files({"k": (None, 99)})
+        assert len(kept) == 1
+        kept, _, _ = lake.prune_files({"k": (100, None)})
+        assert len(kept) == 2
+
+    def test_unknown_column_keeps_all(self, lake):
+        kept, total, _ = lake.prune_files({"nope": (1, 2)})
+        assert len(kept) == total
+
+    def test_scan_between_equals_full_filter(self, lake):
+        got = lake.scan_between({"k": (50, 250)}).orderBy("k").collect()
+        want = (
+            lake.snapshot()
+            .filter((F.col("k") >= 50) & (F.col("k") <= 250))
+            .orderBy("k")
+            .collect()
+        )
+        assert got == want
+        # residual predicate applied: boundary exactness
+        assert got[0].k == 50 and got[-1].k == 250
+
+    def test_skipping_never_drops_matching_rows(self, spark, lake):
+        """DML rewrites re-stat their files; skipping stays exact."""
+        lake.update_where("k % 2 = 0", {"price": "price + 1000"})
+        got = lake.scan_between({"price": (1000.0, None)}).count()
+        want = lake.snapshot().filter("price >= 1000").count()
+        assert got == want > 0
+
+
+class TestZOrderSynergy:
+    def test_zorder_tightens_stats_and_skips(self, spark, tmp_path):
+        """Interleaved symbols across many files: before clustering a
+        symbol bound keeps everything; after optimize(zorder_by) each
+        file covers a narrow symbol range and skipping bites."""
+        lk = TransactionalLake(spark, str(tmp_path / "z"), partition_by=())
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("S"), (F.col("id") % 8).cast("string")).alias(
+                "symbol"
+            ),
+            (F.col("id") * 1.0).alias("price"),
+        )
+        for i in range(4):  # every append spans ALL symbols
+            lk.append(df.filter((F.col("k") % 4) == i).repartition(4))
+        before_kept, before_total, _ = lk.prune_files(
+            {"symbol": ("S3", "S3")}
+        )
+        assert len(before_kept) == before_total  # nothing skippable
+        lk.optimize(zorder_by=("symbol",), files_per_partition=8)
+        after_kept, after_total, _ = lk.prune_files({"symbol": ("S3", "S3")})
+        assert len(after_kept) < after_total
+        got = lk.scan_between({"symbol": ("S3", "S3")}).count()
+        assert got == lk.snapshot().filter("symbol = 'S3'").count() == 500
