@@ -63,3 +63,23 @@ def test_ingest_batch_bounded_jobs(spark, tmp_path):
     lake.ingest_batch(df)
     used = _jobs_so_far(spark) - before
     assert used <= 6, f"ingest_batch ran {used} jobs"
+
+
+def test_txn_append_constraint_rides_write(spark, tmp_path):
+    """r6 observe-fold: a constrained append (with skip_empty) must
+    not run a separate validation or emptiness job — CHECK
+    enforcement and the row count ride the write job's observe()
+    metrics. Bound covers the write plus AQE's rebalance stage."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    tx = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=("date",))
+    tx.add_check_constraint("vol_ok", "volume >= 0")
+    df = spark.createDataFrame(
+        [tuple(b.values()) for b in _bars()],
+        "symbol string, timestamp timestamp, open double, high double, "
+        "low double, close double, volume long, asset_class string",
+    ).selectExpr("*", "to_date(timestamp) AS date")
+    before = _jobs_so_far(spark)
+    tx.append(df, skip_empty=True)
+    used = _jobs_so_far(spark) - before
+    assert used <= 3, f"append ran {used} jobs (validate/isEmpty resurrected?)"

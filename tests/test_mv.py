@@ -181,3 +181,64 @@ class TestContract:
         mv.vacuum_tombstones()
         assert mv.state.snapshot().filter("n_rows = 0").count() == 0
         _assert_equiv(mv, src)
+
+
+class TestStreamingRefresh:
+    def test_view_rides_the_ingest_loop(self, spark, tmp_path):
+        """refresh_views: the view refreshes after every committed
+        micro-batch and ends equal to a full recompute of the lake."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from market_data_lakehouse_spark.streaming import (
+            stream_ingest_transactional,
+        )
+
+        src = str(tmp_path / "src")
+        bars = spark.range(0, 2000).select(
+            F.concat(F.lit("S"), (F.col("id") % 3).cast("string")).alias(
+                "symbol"
+            ),
+            F.timestamp_seconds(F.lit(1718400000) + F.col("id")).alias(
+                "timestamp"
+            ),
+            (F.col("id") % 50).cast("double").alias("close"),
+            (F.col("id") % 7).cast("bigint").alias("volume"),
+        )
+        bars.repartition(4).write.parquet(src)
+        static = spark.read.parquet(src)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=("date",)
+        )
+        mv = IncrementalAggView(
+            spark,
+            lake,
+            str(tmp_path / "mv"),
+            group_by=["symbol"],
+            sum_cols=["volume"],
+        )
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = stream_ingest_transactional(
+            stream,
+            lake,
+            str(tmp_path / "ckpt"),
+            available_now=True,
+            refresh_views=[mv],
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert mv.last_folded_version == lake.version
+        got = {r.symbol: (r.n_rows, r.sum_volume) for r in mv.view().collect()}
+        want = {
+            r.symbol: (r.n, r.s)
+            for r in lake.snapshot()
+            .groupBy("symbol")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("volume").alias("s"))
+            .collect()
+        }
+        assert got == want and sum(n for n, _ in got.values()) == 2000

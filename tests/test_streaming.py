@@ -771,3 +771,60 @@ class TestAutoCompaction:
         # compaction keeps the live-file count bounded: far fewer than
         # one file per batch survives
         assert len(live) < 8
+
+
+class TestStatefulDrawdown:
+    def test_running_drawdown_across_batches(self, spark, tmp_path):
+        """Stateful-processor state must carry the running
+        peak ACROSS micro-batches: batch 2's drawdown is computed
+        against batch 1's peak (120), not its own local max — a
+        state reset would report 0.25 (vs 130) instead of 0.25 vs
+        the true inter-batch path. Values chosen so the correct
+        answer differs from any stateless per-batch fold."""
+        from market_data_lakehouse_spark.schema import TICK_SCHEMA
+        from market_data_lakehouse_spark.streaming import (
+            streaming_max_drawdown,
+        )
+
+        src = str(tmp_path / "ticks")
+        # batch 1: 100 -> 120 -> 110  (peak 120, dd (120-110)/120)
+        _write_json(
+            src + "/a.json",
+            [
+                _tick("2024-06-15T10:00:00", price=100.0),
+                _tick("2024-06-15T10:00:01", price=120.0),
+                _tick("2024-06-15T10:00:02", price=110.0),
+            ],
+        )
+        import time as _t
+
+        _t.sleep(0.05)  # distinct mtime: file source drains a before b
+        # batch 2: 90 -> 130  (dd vs carried peak: (120-90)/120 = 0.25)
+        _write_json(
+            src + "/b.json",
+            [
+                _tick("2024-06-15T10:01:00", price=90.0),
+                _tick("2024-06-15T10:01:01", price=130.0),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(TICK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            streaming_max_drawdown(stream)
+            .writeStream.format("memory")
+            .queryName("dd_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_dd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM dd_t ORDER BY peak").collect()
+        assert rows[-1]["peak"] == 130.0
+        assert rows[-1]["max_drawdown"] == pytest.approx(0.25)
+        # batch-1 output row proves per-batch emission too
+        assert rows[0]["peak"] == 120.0
+        assert rows[0]["max_drawdown"] == pytest.approx(10.0 / 120.0)
