@@ -109,6 +109,32 @@ def main() -> None:
     view.refresh()  # folds only new commits on subsequent calls
     print("view:", view.read().collect())
 
+    # large-cardinality tier: state is itself a TransactionalLake and
+    # a refresh MERGEs only the files holding affected groups
+    from market_data_lakehouse_spark.mv import IncrementalAggView
+
+    agg = IncrementalAggView(
+        spark, tick_lake, f"{root}/tick_agg",
+        group_by=["symbol"], sum_cols=["volume"],
+    )
+    agg.refresh()
+    tick_lake.append(
+        spark.createDataFrame(
+            [("MSFT", 300.0, 5)], "symbol string, price double, volume long"
+        )
+    )
+    agg.refresh()  # folds ONLY the new commit
+    print("incremental agg:", sorted(
+        (r.symbol, r.n_rows, r.sum_volume) for r in agg.view().collect()
+    ))
+
+    # --- stats-in-log file skipping ------------------------------------
+    # every commit records per-file column min/max; scan_between drops
+    # provably-unmatchable files before Spark lists them
+    kept, total, _ = tx.prune_files({"volume": (1_000_005, None)})
+    hot = tx.scan_between({"volume": (1_000_005, None)}).count()
+    print(f"skipping: scanned {len(kept)}/{total} files -> {hot} rows")
+
     # --- custom Python data source + UDTF + SQL catalog ---------------
     from market_data_lakehouse_spark.pysource import register_tick_source
     from market_data_lakehouse_spark.sql_catalog import (

@@ -1,0 +1,145 @@
+"""Concurrent-writer semantics of the commit protocol: blind appends
+race-retry and never lose a commit; read-modify-write operations
+detect interleaved commits and fail loudly instead of dropping the
+other writer's rows."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+def _df(spark, writer: int, batch: int, n: int = 20):
+    return spark.range(n).select(
+        (F.lit(writer) * 1_000_000 + F.lit(batch) * 1_000 + F.col("id"))
+        .alias("k"),
+        F.lit(writer).alias("writer"),
+        F.to_date(F.lit("2024-06-15")).alias("date"),
+    )
+
+
+class TestRacingAppends:
+    def test_no_commit_lost_under_contention(self, spark, tmp_path):
+        """4 threads x 5 appends racing on ONE table: every commit
+        must land (os.link put-if-absent + blind-append retry), the
+        version sequence must be gapless, and the final snapshot must
+        hold every writer's every row exactly once."""
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        writers, batches, rows = 4, 5, 20
+        errors: list[Exception] = []
+
+        def work(w: int) -> None:
+            # each thread gets its own handle: no shared mutable state
+            mine = TransactionalLake(spark, path, partition_by=None)
+            try:
+                for b in range(batches):
+                    mine.append(_df(spark, w, b, rows))
+            except Exception as exc:  # pragma: no cover - fail loudly
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=work, args=(w,)) for w in range(writers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert lake.version == writers * batches - 1  # gapless versions
+        snap = lake.snapshot()
+        assert snap.count() == writers * batches * rows
+        assert snap.select("k").distinct().count() == writers * batches * rows
+        per_writer = {
+            r.writer: r.n
+            for r in snap.groupBy("writer")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per_writer == {w: batches * rows for w in range(writers)}
+
+    def test_txn_tagged_appends_race_exactly_once(self, spark, tmp_path):
+        """Two handles replaying the SAME (app_id, txn_version) batch
+        concurrently: exactly one commit lands — the commit-time txn
+        re-check (zombie-writer guard), not just append()'s
+        pre-check, must hold under the race."""
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        barrier = threading.Barrier(2)
+        results: list[int] = []
+
+        def work() -> None:
+            mine = TransactionalLake(spark, path, partition_by=None)
+            barrier.wait()
+            results.append(mine.append(_df(spark, 9, 0), txn=("app", 1)))
+
+        threads = [threading.Thread(target=work) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert lake.snapshot().count() == 20  # once, not twice
+        assert lake.last_txn_version("app") == 1
+
+
+class TestReadModifyWriteConflicts:
+    def test_overwrite_conflicts_with_interleaved_append(
+        self, spark, tmp_path
+    ):
+        """An overwrite whose remove-list was computed from a stale
+        snapshot must FAIL (optimistic concurrency), not silently
+        drop the append that landed in between."""
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        # deterministic interleave: resolve state, then let the other
+        # writer commit, then try to commit the overwrite
+        old, _schemas, read_v = lake._snapshot_state()
+        other.append(_df(spark, 1, 0))
+        added = lake._write_files(_df(spark, 2, 0))
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            lake._commit(
+                {"op": "overwrite", "add": added, "remove": old},
+                read_version=read_v,
+            )
+        # the interleaved append survived; retry from fresh state works
+        assert lake.snapshot().count() == 40
+        lake.overwrite(_df(spark, 3, 0))
+        assert lake.snapshot().count() == 20
+
+    def test_merge_retry_after_conflict(self, spark, tmp_path):
+        """merge() raises on an interleaved commit; a plain retry
+        (fresh state resolution) succeeds and sees the new rows."""
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig_write = lake._write_files
+        done = threading.Event()
+
+        def racing_write(df):
+            # first call: sneak the other writer's commit in AFTER
+            # merge resolved its snapshot but BEFORE it commits
+            if not done.is_set():
+                done.set()
+                other.append(_df(spark, 1, 0))
+            return orig_write(df)
+
+        lake._write_files = racing_write  # type: ignore[method-assign]
+        src = _df(spark, 0, 0).withColumn("writer", F.lit(7))
+        try:
+            with pytest.raises(RuntimeError, match="concurrent commit"):
+                lake.merge(src, on="k")
+        finally:
+            lake._write_files = orig_write  # type: ignore[method-assign]
+        lake.merge(src, on="k")  # retry from fresh state
+        snap = lake.snapshot()
+        assert snap.count() == 40
+        assert snap.filter("writer = 7").count() == 20
