@@ -54,6 +54,7 @@ class TransactionalLake:
         path: str,
         partition_by: tuple[str, ...] | None = ("date",),
         generated_columns: dict[str, str] | None = None,
+        checkpoint_every: int = 20,
     ) -> None:
         """``partition_by``: layout for NEW tables. For an existing
         table the layout recorded in the commit log WINS — every
@@ -72,7 +73,19 @@ class TransactionalLake:
         so every writer (batch, streaming sink, merge source) agrees
         on it by construction instead of by convention. A batch that
         DOES carry the column keeps its values (Delta allows explicit
-        values; consistency is the writer's contract)."""
+        values; consistency is the writer's contract).
+
+        ``checkpoint_every``: write a log checkpoint every N commits
+        (Delta's checkpoint design). Without one, resolving the head
+        snapshot parses EVERY commit file — O(table lifetime) per
+        read, the real bottleneck for a streaming table with 100k
+        commits. A checkpoint folds live files + schema history +
+        file stats + the app-txn index up to its version, so head
+        reads parse one checkpoint plus the tail. Each checkpoint is
+        built FROM the previous one (O(tail), never a full refold),
+        written atomically, and purely an optimization: explicit
+        time-travel and CDC still read the full log, and a missing /
+        torn checkpoint degrades to the full fold."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_path = os.path.join(self.path, LOG_DIR)
@@ -91,6 +104,7 @@ class TransactionalLake:
         # whole log (which is quadratic over the stream's lifetime)
         self._txn_cache: dict[str, int] = {}
         self._txn_cache_upto: int = -1
+        self.checkpoint_every = max(0, checkpoint_every)  # 0 = disabled
 
     # ------------------------------------------------------------------
     # log primitives
@@ -109,6 +123,73 @@ class TransactionalLake:
     def _read_commit(self, version: int) -> dict:
         with open(os.path.join(self.log_path, f"{version:08d}.json")) as fh:
             return json.load(fh)
+
+    # ------------------------------------------------------------------
+    # log checkpoints (Delta checkpoint design: head reads parse one
+    # checkpoint + the commit tail, never the whole log)
+    # ------------------------------------------------------------------
+    def _latest_checkpoint(self) -> dict | None:
+        """Newest readable checkpoint, or None. A torn/corrupt file
+        (crash mid-write is impossible — the write is tmp+rename —
+        but defend anyway) is ignored: checkpoints are pure
+        optimization, the commit log stays the source of truth."""
+        cps = sorted(
+            f
+            for f in os.listdir(self.log_path)
+            if f.endswith(".checkpoint")
+        )
+        for name in reversed(cps):
+            try:
+                with open(os.path.join(self.log_path, name)) as fh:
+                    return json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+        return None
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Fold (previous checkpoint + tail) up to ``version`` and
+        write it atomically. O(tail), never a full-log refold. File
+        stats are filtered to the live set so the checkpoint stays
+        bounded by table size, not table history."""
+        cp = self._latest_checkpoint()
+        live: dict[str, None] = (
+            dict.fromkeys(cp["live"]) if cp else {}
+        )
+        schemas: list[str] = list(cp["schemas"]) if cp else []
+        stats: dict[str, dict] = dict(cp.get("stats", {})) if cp else {}
+        txn: dict[str, int] = dict(cp.get("txn", {})) if cp else {}
+        start = cp["version"] + 1 if cp else 0
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v < start or v > version:
+                continue
+            c = self._read_commit(v)
+            for f in c.get("add", []):
+                live[f] = None
+            for f in c.get("remove", []):
+                live.pop(f, None)
+            if c.get("schema"):
+                schemas.append(c["schema"])
+            stats.update(c.get("stats", {}))
+            t = c.get("txn")
+            if t:
+                txn[t["app_id"]] = max(
+                    txn.get(t["app_id"], -1), t["version"]
+                )
+        stats = {f: s for f, s in stats.items() if f in live}
+        payload = {
+            "version": version,
+            "live": list(live),
+            "schemas": schemas,
+            "stats": stats,
+            "txn": txn,
+        }
+        tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(
+            self.log_path, f"{version:08d}.checkpoint"
+        ))
 
     # ------------------------------------------------------------------
     # file-level statistics (Delta-style data skipping)
@@ -180,12 +261,17 @@ class TransactionalLake:
 
     def _stats_index(self) -> dict[str, dict]:
         """rel_path -> {col: [min, max]} for live files, folded from
-        the commit log (files removed later drop out naturally when
-        the caller intersects with the live-file list)."""
-        idx: dict[str, dict] = {}
+        the latest checkpoint plus the commit tail (files removed
+        later drop out naturally when the caller intersects with the
+        live-file list)."""
+        cp = self._latest_checkpoint()
+        idx: dict[str, dict] = dict(cp.get("stats", {})) if cp else {}
+        upto = cp["version"] if cp else -1
         for name in self._commit_files():
-            c = self._read_commit(int(name.split(".")[0]))
-            idx.update(c.get("stats", {}))
+            v = int(name.split(".")[0])
+            if v <= upto:
+                continue
+            idx.update(self._read_commit(v).get("stats", {}))
         return idx
 
     def prune_files(
@@ -305,6 +391,14 @@ class TransactionalLake:
                 continue
             finally:
                 os.unlink(tmp)
+            if (
+                self.checkpoint_every
+                and (version + 1) % self.checkpoint_every == 0
+            ):
+                try:
+                    self._write_checkpoint(version)
+                except OSError:
+                    pass  # optimization only; the next interval retries
             return version
 
     def _recorded_partitioning(
@@ -326,7 +420,12 @@ class TransactionalLake:
     def _snapshot_state(
         self, version: int | None = None, timestamp: str | None = None
     ) -> tuple[list[str], list[str], int]:
-        """(live files, schema-json history, resolved version)."""
+        """(live files, schema-json history, resolved version).
+
+        Head reads (no version/timestamp) start from the latest
+        checkpoint and fold only the commit tail; explicit
+        time-travel takes the full-log path (it may target a version
+        BEFORE the checkpoint)."""
         if timestamp is not None:
             if isinstance(timestamp, str):
                 dt = datetime.fromisoformat(timestamp)
@@ -341,7 +440,15 @@ class TransactionalLake:
         live: dict[str, None] = {}
         schemas: list[str] = []
         resolved = -1
+        if version is None and timestamp is None:
+            cp = self._latest_checkpoint()
+            if cp is not None:
+                live = dict.fromkeys(cp["live"])
+                schemas = list(cp["schemas"])
+                resolved = cp["version"]
         for name in self._commit_files():
+            if int(name.split(".")[0]) <= resolved:
+                continue
             c = self._read_commit(int(name.split(".")[0]))
             if version is not None and c["version"] > version:
                 break
@@ -386,6 +493,11 @@ class TransactionalLake:
             for fname in files:
                 if not fname.endswith(".parquet"):
                     continue
+                if self._parquet_rows(os.path.join(dirpath, fname)) == 0:
+                    # Spark emits a schema-only file for an empty
+                    # write task; committing it bloats the log, the
+                    # stats index, and every snapshot's file list
+                    continue
                 rel_dir = os.path.relpath(dirpath, staging)
                 rel_dir = "" if rel_dir == "." else rel_dir
                 os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
@@ -397,6 +509,17 @@ class TransactionalLake:
                 added.append(rel)
         shutil.rmtree(staging)
         return added
+
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        """Footer row count; -1 (unknown, keep the file) when pyarrow
+        is unavailable or the footer is unreadable."""
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return -1
 
     def _violation_metrics(self, cons: dict[str, str]) -> list:
         """One conditional-sum column per CHECK constraint (NULL
@@ -683,7 +806,16 @@ class TransactionalLake:
         newer than the in-memory index are parsed, so a long-running
         stream pays constant work per micro-batch. Correct under
         concurrent writers — every call folds in whatever new commits
-        exist on disk before answering."""
+        exist on disk before answering. A cold cache (fresh handle on
+        an old table) seeds from the latest checkpoint's txn index
+        instead of refolding the whole log."""
+        if self._txn_cache_upto < 0:
+            cp = self._latest_checkpoint()
+            if cp is not None:
+                self._txn_cache = {
+                    k: int(v) for k, v in cp.get("txn", {}).items()
+                }
+                self._txn_cache_upto = cp["version"]
         for name in self._commit_files():
             v = int(name.split(".")[0])
             if v <= self._txn_cache_upto:

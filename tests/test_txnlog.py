@@ -834,3 +834,98 @@ class TestCompactDelegation:
         dlh = DataLakehouse(spark, path, file_format="csv")
         with pytest.raises(ValueError, match="transaction log"):
             dlh.compact()
+
+
+class TestLogCheckpoints:
+    def _lake(self, spark, tmp_path, every=5):
+        return TransactionalLake(
+            spark, str(tmp_path / "cp"), partition_by=(),
+            checkpoint_every=every,
+        )
+
+    def test_checkpoint_written_at_interval(self, spark, tmp_path):
+        lk = self._lake(spark, tmp_path, every=5)
+        for i in range(12):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        cps = sorted(
+            f for f in os.listdir(lk.log_path) if f.endswith(".checkpoint")
+        )
+        assert cps == ["00000004.checkpoint", "00000009.checkpoint"]
+
+    def test_head_read_uses_checkpoint_not_full_log(self, spark, tmp_path):
+        """A fresh handle resolving the head must parse only the
+        commits AFTER the newest checkpoint — O(tail), not O(log)."""
+        lk = self._lake(spark, tmp_path, every=5)
+        for i in range(12):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        fresh = TransactionalLake(
+            spark, lk.path, partition_by=None, checkpoint_every=5
+        )
+        seen: list[int] = []
+        orig = TransactionalLake._read_commit
+
+        def spy(self, v):
+            seen.append(v)
+            return orig(self, v)
+
+        TransactionalLake._read_commit = spy  # type: ignore[method-assign]
+        try:
+            files, _schemas, v = fresh._snapshot_state()
+        finally:
+            TransactionalLake._read_commit = orig  # type: ignore[method-assign]
+        assert v == 11
+        assert sorted(files) == sorted(lk._snapshot_state(version=11)[0])
+        assert all(x >= 10 for x in seen), f"pre-checkpoint reads: {seen}"
+
+    def test_checkpointed_state_equals_full_fold(self, spark, tmp_path):
+        """Checkpoint + tail must resolve byte-identically to the
+        full-log fold (which the explicit-version path still uses),
+        across appends, deletes, and an overwrite."""
+        lk = self._lake(spark, tmp_path, every=3)
+        for i in range(7):
+            lk.append(_df(spark, [(f"S{i}", float(i)), (f"T{i}", 1.0)]))
+        lk.delete_where("symbol = 'S2'")
+        lk.overwrite(_df(spark, [("W", 9.0)]))
+        for i in range(4):
+            lk.append(_df(spark, [(f"Z{i}", float(i))]))
+        head = lk.version
+        fast = lk._snapshot_state()
+        slow = lk._snapshot_state(version=head)  # full-log path
+        assert sorted(fast[0]) == sorted(slow[0])
+        assert fast[1] == slow[1] and fast[2] == slow[2]
+        assert lk.snapshot().count() == 1 + 4
+
+    def test_time_travel_before_checkpoint_still_works(self, spark, tmp_path):
+        lk = self._lake(spark, tmp_path, every=3)
+        for i in range(8):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        assert lk.snapshot(version=1).count() == 2
+        assert lk.snapshot(version=6).count() == 7
+
+    def test_stats_skipping_and_txn_seed_from_checkpoint(
+        self, spark, tmp_path
+    ):
+        lk = self._lake(spark, tmp_path, every=4)
+        for i in range(9):
+            lk.append(
+                spark.createDataFrame(
+                    [(i * 100 + j, float(i)) for j in range(10)],
+                    "k long, price double",
+                ).coalesce(1),
+                txn=("app", i),
+            )
+        fresh = TransactionalLake(
+            spark, lk.path, partition_by=None, checkpoint_every=4
+        )
+        assert fresh.last_txn_version("app") == 8  # seeded + tail
+        kept, total, _ = fresh.prune_files({"k": (305, 402)})
+        assert total == 9 and len(kept) == 2
+
+    def test_restore_across_checkpoint(self, spark, tmp_path):
+        lk = self._lake(spark, tmp_path, every=3)
+        for i in range(7):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        lk.restore(2)
+        assert lk.snapshot().count() == 3
+        lk.append(_df(spark, [("NEW", 1.0)]))
+        assert lk.snapshot().count() == 4
