@@ -64,6 +64,17 @@ class IncrementalAggView:
     source columns stay exact under any fold order; double columns
     carry the usual float-summation caveat (round at read, or
     pre-scale money to integer cents — see queries/money.py).
+
+    ``minmax_cols``: columns to maintain MIN/MAX for via HYBRID
+    maintenance — min/max are not invertible under deletes, so the
+    fold is incremental only while a group's span contains pure
+    inserts (least/greatest against the stored value); any group a
+    delete touched is recomputed from the source restricted to
+    exactly those groups (a broadcast-semi-joined scan, the standard
+    materialized-view answer — cost tracks delete-touched groups,
+    never the table; an update counts as delete+insert and triggers
+    the recompute, which is what makes it correct when the old
+    extremum was the updated row).
     """
 
     def __init__(
@@ -73,20 +84,22 @@ class IncrementalAggView:
         path: str,
         group_by: list[str] | tuple[str, ...],
         sum_cols: list[str] | tuple[str, ...] = (),
+        minmax_cols: list[str] | tuple[str, ...] = (),
         aggs: dict[str, str] | None = None,
     ) -> None:
         if aggs:
             bad = {f for f in aggs.values() if f not in ("sum", "count")}
             if bad:
                 raise ValueError(
-                    f"non-linear aggregates {sorted(bad)} cannot be "
-                    "incrementally maintained under deletes; supported: "
-                    "count, sum (avg derives from them)"
+                    f"aggregates {sorted(bad)} are not purely incremental "
+                    "under deletes; use count/sum here (avg derives), and "
+                    "minmax_cols for min/max hybrid maintenance"
                 )
         self.spark = spark
         self.source = source
         self.group_by = list(group_by)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols)
         if not self.group_by:
             raise ValueError("group_by must name at least one column")
         # group-keyed state table; no date partitioning — group keys
@@ -119,6 +132,7 @@ class IncrementalAggView:
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
+        is_ins = F.col("_change_type") == "insert"
         delta = ch.groupBy(*self.group_by).agg(
             F.sum(sign).alias("_d_n"),
             *[
@@ -133,7 +147,42 @@ class IncrementalAggView:
                     ).alias(f"_d_sum_{c}"),
                 )
             ],
+            *(
+                [F.max((~is_ins).cast("int")).alias("_d_has_del")]
+                if self.minmax_cols
+                else []
+            ),
+            *[
+                m
+                for c in self.minmax_cols
+                for m in (
+                    F.min(F.when(is_ins, F.col(c))).alias(f"_ins_min_{c}"),
+                    F.max(F.when(is_ins, F.col(c))).alias(f"_ins_max_{c}"),
+                )
+            ],
         )
+        if self.minmax_cols:
+            # hybrid min/max: groups a delete touched are recomputed
+            # from the source, restricted to exactly those groups
+            del_keys = delta.filter(F.col("_d_has_del") == 1).select(
+                *self.group_by
+            )
+            recomp = (
+                self.source.snapshot()
+                .join(F.broadcast(del_keys), self.group_by, "left_semi")
+                .groupBy(*self.group_by)
+                .agg(
+                    *[
+                        m
+                        for c in self.minmax_cols
+                        for m in (
+                            F.min(c).alias(f"_rc_min_{c}"),
+                            F.max(c).alias(f"_rc_max_{c}"),
+                        )
+                    ]
+                )
+            )
+            delta = delta.join(recomp, self.group_by, "left_outer")
         if self.state.version >= 0:
             cur = self.state.snapshot()
             joined = delta.join(cur, self.group_by, "left_outer")
@@ -148,6 +197,13 @@ class IncrementalAggView:
                 for m in (
                     (f"nn_{c}", "bigint"),
                     (f"sum_{c}", dtypes[f"_d_sum_{c}"]),
+                )
+            ] + [
+                m
+                for c in self.minmax_cols
+                for m in (
+                    (f"min_{c}", dtypes[f"_ins_min_{c}"]),
+                    (f"max_{c}", dtypes[f"_ins_max_{c}"]),
                 )
             ]
             joined = delta
@@ -173,6 +229,26 @@ class IncrementalAggView:
                         F.coalesce(F.col(f"sum_{c}"), zero)
                         + F.col(f"_d_sum_{c}")
                     ).alias(f"sum_{c}"),
+                )
+            ],
+            *[
+                m
+                for c in self.minmax_cols
+                for m in (
+                    F.when(
+                        F.col("_d_has_del") == 1, F.col(f"_rc_min_{c}")
+                    )
+                    .otherwise(
+                        F.least(F.col(f"min_{c}"), F.col(f"_ins_min_{c}"))
+                    )
+                    .alias(f"min_{c}"),
+                    F.when(
+                        F.col("_d_has_del") == 1, F.col(f"_rc_max_{c}")
+                    )
+                    .otherwise(
+                        F.greatest(F.col(f"max_{c}"), F.col(f"_ins_max_{c}"))
+                    )
+                    .alias(f"max_{c}"),
                 )
             ],
         )
@@ -204,6 +280,14 @@ class IncrementalAggView:
                         F.col(f"nn_{c}") > 0,
                         F.col(f"sum_{c}") / F.col(f"nn_{c}"),
                     ).alias(f"avg_{c}"),
+                )
+            ],
+            *[
+                m
+                for c in self.minmax_cols
+                for m in (
+                    F.col(f"min_{c}"),
+                    F.col(f"max_{c}"),
                 )
             ],
         )

@@ -189,7 +189,9 @@ def s8_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS sum_value,
            ROUND((CAST(SUM(cents) AS DOUBLE) / COUNT(cents)) / 100.0, 6)
-             AS avg_value
+             AS avg_value,
+           ROUND(CAST(MIN(cents) AS DOUBLE) / 100.0, 2) AS min_value,
+           ROUND(CAST(MAX(cents) AS DOUBLE) / 100.0, 2) AS max_value
     FROM base GROUP BY event_type
     """,
 )
@@ -204,7 +206,11 @@ def t11_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the FINAL state from scratch in SQL: any drift in the
     delta fold (a survivor counted twice, an update's delete+insert
     pair not cancelling, a watermark slip double-applying a span)
-    diverges count, sum, or average. Money is exact scaled-long
+    diverges count, sum, or average. min/max ride the r6 HYBRID
+    maintenance (incremental on the insert spans, per-group source
+    recompute for the update/delete-touched groups — here EVERY
+    group, since the DML predicates are id-based) and must land on
+    the recompute's values exactly. Money is exact scaled-long
     cents (queries/money.py), so incremental fold order cannot
     change the sums vs the recompute."""
     from market_data_lakehouse_spark.mv import IncrementalAggView
@@ -224,6 +230,7 @@ def t11_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "mv"),
         group_by=["event_type"],
         sum_cols=["cents"],
+        minmax_cols=["cents"],
     )
     src.append(ev.filter(F.col("event_id") < 6000))
     mv.refresh()
@@ -237,6 +244,8 @@ def t11_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
         F.round(F.col("avg_cents") / 100.0, 6).alias("avg_value"),
+        F.round(F.col("min_cents") / 100.0, 2).alias("min_value"),
+        F.round(F.col("max_cents") / 100.0, 2).alias("max_value"),
     )
 
 

@@ -242,3 +242,66 @@ class TestStreamingRefresh:
             .collect()
         }
         assert got == want and sum(n for n, _ in got.values()) == 2000
+
+
+class TestMinMaxHybrid:
+    @pytest.fixture()
+    def mmv(self, spark, src, tmp_path):
+        return IncrementalAggView(
+            spark, src, str(tmp_path / "mmv"), group_by=["grp"],
+            sum_cols=["x"], minmax_cols=["y"],
+        )
+
+    def _assert_mm(self, mmv, src):
+        got = {
+            r.grp: (r.n_rows, r.min_y, r.max_y)
+            for r in mmv.view().collect()
+        }
+        want = {
+            r.grp: (r.n, r.mn, r.mx)
+            for r in src.snapshot()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("y").alias("mn"),
+                F.max("y").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_insert_only_spans_fold_incrementally(self, spark, src, mmv):
+        src.append(_rows(spark, 0, 40))
+        mmv.refresh()
+        self._assert_mm(mmv, src)
+        src.append(_rows(spark, 200, 260))  # new extrema in some groups
+        mmv.refresh()
+        self._assert_mm(mmv, src)
+
+    def test_delete_of_extremum_recomputes(self, spark, src, mmv):
+        """The deleted row IS the max for its group: a naive
+        incremental fold would keep the stale max; the hybrid
+        recompute must shrink it."""
+        src.append(_rows(spark, 0, 100))
+        mmv.refresh()
+        old = {r.grp: r.max_y for r in mmv.view().collect()}
+        # y = k % 100 -> the global max row per group is k in 96..99
+        src.delete_where("k >= 96")
+        mmv.refresh()
+        new = {r.grp: r.max_y for r in mmv.view().collect()}
+        assert any(new[g] < old[g] for g in new)  # max actually shrank
+        self._assert_mm(mmv, src)
+
+    def test_update_moves_extremum(self, spark, src, mmv):
+        src.append(_rows(spark, 0, 60))
+        mmv.refresh()
+        src.update_where("y > 50", {"y": "y - 100.0"})  # old maxes drop
+        mmv.refresh()
+        self._assert_mm(mmv, src)
+
+    def test_mixed_span_and_refill(self, spark, src, mmv):
+        src.append(_rows(spark, 0, 40))
+        src.delete_where("grp = 'g1'")
+        src.append(_rows(spark, 101, 110))
+        mmv.refresh()  # one span: inserts + deletes + re-inserts
+        self._assert_mm(mmv, src)
