@@ -116,9 +116,16 @@ class TransactionalLake:
 
     @property
     def version(self) -> int:
-        """Latest committed version, -1 for an empty log."""
+        """Latest committed version, -1 for an empty log. After
+        vacuum_log the newest checkpoint may BE the head (zero
+        commit files left) — the checkpoint version counts."""
         commits = self._commit_files()
-        return int(commits[-1].split(".")[0]) if commits else -1
+        head = int(commits[-1].split(".")[0]) if commits else -1
+        if head < 0:
+            cp = self._latest_checkpoint()
+            if cp is not None:
+                return cp["version"]
+        return head
 
     def _read_commit(self, version: int) -> dict:
         with open(os.path.join(self.log_path, f"{version:08d}.json")) as fh:
@@ -128,22 +135,40 @@ class TransactionalLake:
     # log checkpoints (Delta checkpoint design: head reads parse one
     # checkpoint + the commit tail, never the whole log)
     # ------------------------------------------------------------------
-    def _latest_checkpoint(self) -> dict | None:
-        """Newest readable checkpoint, or None. A torn/corrupt file
-        (crash mid-write is impossible — the write is tmp+rename —
-        but defend anyway) is ignored: checkpoints are pure
-        optimization, the commit log stays the source of truth."""
+    def _latest_checkpoint(
+        self,
+        max_version: int | None = None,
+        max_timestamp: float | None = None,
+    ) -> dict | None:
+        """Newest readable checkpoint (optionally bounded: at or
+        before a version / commit timestamp — time-travel resolution
+        needs the newest checkpoint NOT past its target), or None. A
+        torn/corrupt file (crash mid-write is impossible — the write
+        is tmp+rename — but defend anyway) is skipped: checkpoints
+        are pure optimization, the commit log stays the source of
+        truth."""
         cps = sorted(
             f
             for f in os.listdir(self.log_path)
             if f.endswith(".checkpoint")
         )
         for name in reversed(cps):
+            if max_version is not None and int(name.split(".")[0]) > (
+                max_version
+            ):
+                continue
             try:
                 with open(os.path.join(self.log_path, name)) as fh:
-                    return json.load(fh)
+                    cp = json.load(fh)
             except (OSError, json.JSONDecodeError):
                 continue
+            if (
+                max_timestamp is not None
+                and cp.get("timestamp") is not None
+                and cp["timestamp"] > max_timestamp
+            ):
+                continue
+            return cp
         return None
 
     def _write_checkpoint(self, version: int) -> None:
@@ -179,6 +204,11 @@ class TransactionalLake:
         stats = {f: s for f, s in stats.items() if f in live}
         payload = {
             "version": version,
+            # commit-at-version timestamp + layout: lets timestamp
+            # time-travel use the fast path, and keeps version/layout
+            # resolvable after vacuum_log truncates the commit tail
+            "timestamp": self._read_commit(version)["timestamp"],
+            "partition_by": list(self.partition_by),
             "live": list(live),
             "schemas": schemas,
             "stats": stats,
@@ -325,6 +355,40 @@ class TransactionalLake:
                 df = df.filter(c <= F.lit(hi))
         return df
 
+    def vacuum_log(self, retain_last: int = 0) -> int:
+        """Delete log history already subsumed by a checkpoint
+        (Delta's log-retention). Retention is CHECKPOINT-ALIGNED:
+        resolving version v needs a checkpoint at or before v plus
+        every commit in between, so the boundary is the newest
+        checkpoint whose version <= head - ``retain_last`` — commits
+        at or below it and older checkpoints are deleted; everything
+        after it (including newer checkpoints) stays, keeping every
+        version >= the boundary resolvable for time-travel and every
+        newer commit available for CDC. Returns files deleted.
+
+        After log vacuum, snapshot/CDC requests below the boundary
+        raise a clear retention error instead of resolving a
+        silently-partial state; DATA files are untouched
+        (``vacuum()`` owns those)."""
+        boundary = self._latest_checkpoint(
+            max_version=self.version - max(0, retain_last)
+        )
+        if boundary is None:
+            return 0
+        removed = 0
+        for name in self._commit_files():
+            if int(name.split(".")[0]) <= boundary["version"]:
+                os.unlink(os.path.join(self.log_path, name))
+                removed += 1
+        for name in os.listdir(self.log_path):
+            if (
+                name.endswith(".checkpoint")
+                and int(name.split(".")[0]) < boundary["version"]
+            ):
+                os.unlink(os.path.join(self.log_path, name))
+                removed += 1
+        return removed
+
     def _commit(self, action: dict, read_version: int | None = None) -> int:
         """Atomically append one commit (write temp + put-if-absent
         link). Returns the committed version — or, for an idempotent
@@ -415,6 +479,11 @@ class TransactionalLake:
             c = self._read_commit(v)
             if "partition_by" in c:
                 return tuple(c["partition_by"])
+        # all commits vacuumed (head == checkpoint): layout rides the
+        # checkpoint
+        cp = self._latest_checkpoint()
+        if cp is not None and (as_of is None or cp["version"] <= as_of):
+            return tuple(cp["partition_by"])
         return None
 
     def _snapshot_state(
@@ -440,12 +509,35 @@ class TransactionalLake:
         live: dict[str, None] = {}
         schemas: list[str] = []
         resolved = -1
-        if version is None and timestamp is None:
+        # newest checkpoint not past the target: head reads take the
+        # newest overall; version/timestamp travel takes the newest at
+        # or before the target, then folds the retained tail commits
+        if version is not None:
+            cp = self._latest_checkpoint(max_version=version)
+        elif timestamp is not None:
+            cp = self._latest_checkpoint(max_timestamp=ts)
+        else:
             cp = self._latest_checkpoint()
-            if cp is not None:
-                live = dict.fromkeys(cp["live"])
-                schemas = list(cp["schemas"])
-                resolved = cp["version"]
+        if cp is not None:
+            live = dict.fromkeys(cp["live"])
+            schemas = list(cp["schemas"])
+            resolved = cp["version"]
+        else:
+            # no checkpoint at or before the target: the full-log fold
+            # is valid only while the log still starts at v0 — after
+            # vacuum_log, resolving from a truncated prefix would
+            # silently MISS the early adds, so fail instead
+            names = self._commit_files()
+            truncated = not names or int(names[0].split(".")[0]) > 0
+            if truncated and self._latest_checkpoint() is not None:
+                oldest = (
+                    int(names[0].split(".")[0]) if names else None
+                )
+                raise ValueError(
+                    "requested snapshot predates log retention: early "
+                    "commits were removed by vacuum_log (oldest retained "
+                    f"commit: {'v%d' % oldest if oldest is not None else 'none'})"
+                )
         for name in self._commit_files():
             if int(name.split(".")[0]) <= resolved:
                 continue
@@ -1273,6 +1365,17 @@ class TransactionalLake:
         ``_change_type`` and ``_commit_version``. Append-only commits
         feed inserts; overwrite/delete commits additionally emit the
         removed rows as deletes."""
+        names = self._commit_files()
+        oldest = int(names[0].split(".")[0]) if names else self.version + 1
+        if starting_version < oldest and starting_version <= self.version:
+            cp = self._latest_checkpoint()
+            if cp is not None and starting_version <= cp["version"]:
+                # the span's commits were vacuumed: emitting a partial
+                # feed would silently drop changes — fail instead
+                raise ValueError(
+                    f"CDC from v{starting_version} predates log "
+                    f"retention (oldest retained commit: v{oldest})"
+                )
         out: DataFrame | None = None
         for name in self._commit_files():
             v = int(name.split(".")[0])

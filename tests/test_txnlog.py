@@ -929,3 +929,76 @@ class TestLogCheckpoints:
         assert lk.snapshot().count() == 3
         lk.append(_df(spark, [("NEW", 1.0)]))
         assert lk.snapshot().count() == 4
+
+
+class TestLogVacuum:
+    def _lake(self, spark, tmp_path, every=5):
+        return TransactionalLake(
+            spark, str(tmp_path / "lv"), partition_by=(),
+            checkpoint_every=every,
+        )
+
+    def test_vacuum_log_keeps_head_reads_working(self, spark, tmp_path):
+        lk = self._lake(spark, tmp_path, every=5)
+        for i in range(12):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        removed = lk.vacuum_log()
+        assert removed >= 10  # commits v0..v9 + the v4 checkpoint
+        assert lk.version == 11
+        assert lk.snapshot().count() == 12
+        # fresh handle: layout + txn index + stats resolve from cp
+        fresh = TransactionalLake(
+            spark, lk.path, partition_by=None, checkpoint_every=5
+        )
+        assert fresh.partition_by == ()
+        assert fresh.snapshot().count() == 12
+
+    def test_pre_retention_time_travel_raises(self, spark, tmp_path):
+        lk = self._lake(spark, tmp_path, every=5)
+        for i in range(12):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        lk.vacuum_log()
+        with pytest.raises(ValueError, match="retention"):
+            lk.snapshot(version=3)
+        assert lk.snapshot(version=10).count() == 11  # retained range
+
+    def test_pre_retention_cdc_raises(self, spark, tmp_path):
+        lk = self._lake(spark, tmp_path, every=5)
+        for i in range(12):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        lk.vacuum_log()
+        with pytest.raises(ValueError, match="retention"):
+            lk.read_changes(starting_version=2)
+        assert lk.read_changes(starting_version=10).count() >= 2
+
+    def test_retain_last_grace_window(self, spark, tmp_path):
+        """retain_last aligns the boundary to a CHECKPOINT at or
+        before head-3 (cp v4 here): versions >= 4 stay resolvable
+        (older cp + retained commits), versions < 4 raise."""
+        lk = self._lake(spark, tmp_path, every=5)
+        for i in range(12):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        lk.vacuum_log(retain_last=3)
+        assert lk.snapshot(version=8).count() == 9   # cp4 + v5..v8
+        assert lk.snapshot(version=4).count() == 5   # the cp itself
+        assert lk.snapshot(version=11).count() == 12
+        with pytest.raises(ValueError, match="retention"):
+            lk.snapshot(version=3)
+
+    def test_writes_continue_after_full_truncation(self, spark, tmp_path):
+        """Vacuum everything up to the checkpoint (head == cp), then
+        keep writing: versions continue from the checkpoint, and the
+        next checkpoint builds from the previous one."""
+        lk = self._lake(spark, tmp_path, every=5)
+        for i in range(5):
+            lk.append(_df(spark, [(f"S{i}", float(i))]))
+        lk.vacuum_log()  # zero commit files remain; head == cp v4
+        assert lk.version == 4
+        for i in range(6):
+            lk.append(_df(spark, [(f"T{i}", float(i))]))
+        assert lk.version == 10
+        assert lk.snapshot().count() == 11
+        cps = [
+            f for f in os.listdir(lk.log_path) if f.endswith(".checkpoint")
+        ]
+        assert "00000009.checkpoint" in cps
