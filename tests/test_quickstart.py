@@ -13,3 +13,16 @@ def test_quickstart_runs_end_to_end(spark, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", ["quickstart.py", "/root/testdata/sf0.001"])
     quickstart.main()  # raises on any API drift / broken operator
+
+
+def test_corpus_pipeline_runs_end_to_end(spark, monkeypatch):
+    """The composed LLM-corpus pipeline (ingest -> quality gate ->
+    dedup -> decontaminate -> split/quota -> shard) must keep working
+    as the APIs evolve."""
+    sys.path.insert(0, "/root/repo/examples")
+    import corpus_pipeline
+
+    monkeypatch.setattr(
+        sys, "argv", ["corpus_pipeline.py", "/root/testdata/sf0.001"]
+    )
+    corpus_pipeline.main()
