@@ -124,3 +124,97 @@ def test_streaming_transactional_sink(spark, tmp_path):
     # first batch's snapshot unchanged (time-travel over the stream)
     assert tx.snapshot(version=v_first).count() == 2
     assert tx.read_changes(starting_version=v_first + 1).count() == 2
+
+
+op_cp = st.sampled_from(
+    ["append", "append", "overwrite", "delete_low", "compact",
+     "vacuum_log", "restore"]
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_cp, min_size=3, max_size=10))
+def test_random_ops_with_checkpoints_and_retention(
+    spark, tmp_path_factory, ops
+):
+    """Same model discipline with aggressive checkpointing
+    (every 2 commits) and interleaved log vacuums: every version the
+    log can still resolve must read EXACTLY its historical contents;
+    versions behind the retention boundary must raise the retention
+    error — never silently-partial data — and resolvability must be
+    a suffix (no holes: if v resolves, every newer version does)."""
+    lake = TransactionalLake(
+        spark, str(tmp_path_factory.mktemp("modelcp") / "tx"),
+        partition_by=("date",), checkpoint_every=2,
+    )
+    model: list[set[int]] = []
+    live: set[int] = set()
+    next_id = 0
+    vacuumed = False
+
+    def df_for(ids):
+        return spark.createDataFrame(
+            [(i, "2024-06-15") for i in sorted(ids)], "id long, date string"
+        )
+
+    for o in ops:
+        if o == "append":
+            batch = {next_id, next_id + 1}
+            next_id += 2
+            lake.append(df_for(batch))
+            live = live | batch
+        elif o == "overwrite":
+            batch = {next_id}
+            next_id += 1
+            lake.overwrite(df_for(batch))
+            live = set(batch)
+        elif o == "delete_low":
+            if not live:
+                continue
+            cutoff = min(live) + 1
+            lake.delete_where(f"id < {cutoff}")
+            live = {i for i in live if i >= cutoff}
+        elif o == "compact":
+            if not live:
+                continue
+            lake.optimize()
+            live = set(live)
+        elif o == "vacuum_log":
+            if lake.vacuum_log(retain_last=1):
+                vacuumed = True
+            continue  # no commit, no model version
+        elif o == "restore":
+            if not model:
+                continue
+            v = len(model) // 2
+            if v == lake.version:
+                continue
+            try:
+                lake.restore(version=v)
+            except ValueError as e:
+                assert "retention" in str(e) and vacuumed
+                continue  # pre-retention target: correctly refused
+            live = set(model[v])
+        model.append(set(live))
+
+    resolvable: list[bool] = []
+    for v, want in enumerate(model):
+        try:
+            got = {r["id"] for r in lake.snapshot(version=v).collect()}
+        except ValueError as e:
+            assert "retention" in str(e), e
+            assert vacuumed, f"retention error without a vacuum (v{v})"
+            resolvable.append(False)
+            continue
+        assert got == want, f"version {v}: {got} != {want} (ops={ops})"
+        resolvable.append(True)
+    # resolvability is a suffix: no holes
+    first_ok = resolvable.index(True) if True in resolvable else len(
+        resolvable
+    )
+    assert all(resolvable[first_ok:]), (resolvable, ops)
+    assert resolvable and resolvable[-1]  # head always readable
