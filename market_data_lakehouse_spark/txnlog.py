@@ -313,11 +313,49 @@ class TransactionalLake:
         cannot intersect; files without stats for a bounded column
         are kept (unknown never skips). Temporal bounds are passed as
         the same ISO strings the stats store. Returns
-        (kept_files, total_live_files, schemas)."""
+        (kept_files, total_live_files, schemas).
+
+        PARTITION columns are not in parquet footers (they live in
+        the directory name), so bounds on them prune by the
+        hive-encoded path value instead — each partition dir holds
+        exactly one value, making the "range" a point comparison.
+        String comparison is correct for ISO dates and strings;
+        values that parse as numbers compare numerically (a string
+        compare would put "9" after "10")."""
         files, schemas, _v = self._snapshot_state()
         idx = self._stats_index()
+        part_bounds = {
+            c: b for c, b in bounds.items() if c in self.partition_by
+        }
+
+        def _part_val(rel: str, col: str):
+            for seg in rel.split(os.sep)[:-1]:
+                if seg.startswith(f"{col}="):
+                    return unquote(seg[len(col) + 1 :])
+            return None
+
+        def _cmp_ok(v: str, lo, hi) -> bool:
+            try:
+                fv = float(v)
+                flo = float(lo) if lo is not None else None
+                fhi = float(hi) if hi is not None else None
+                return (flo is None or fv >= flo) and (
+                    fhi is None or fv <= fhi
+                )
+            except (TypeError, ValueError):
+                pass
+            try:
+                return (lo is None or v >= str(lo)) and (
+                    hi is None or v <= str(hi)
+                )
+            except TypeError:
+                return True  # incomparable: conservative keep
 
         def may_match(rel: str) -> bool:
+            for col, (lo, hi) in part_bounds.items():
+                v = _part_val(rel, col)
+                if v is not None and not _cmp_ok(v, lo, hi):
+                    return False
             st = idx.get(rel)
             if not st:
                 return True

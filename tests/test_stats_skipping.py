@@ -113,3 +113,59 @@ class TestZOrderSynergy:
         assert len(after_kept) < after_total
         got = lk.scan_between({"symbol": ("S3", "S3")}).count()
         assert got == lk.snapshot().filter("symbol = 'S3'").count() == 500
+
+
+class TestPartitionValuePruning:
+    def test_partition_bounds_prune_by_path(self, spark, tmp_path):
+        """Partition columns live in dir names, not footers: bounds
+        on them must prune via the hive-encoded path value."""
+        lk = TransactionalLake(
+            spark, str(tmp_path / "p"), partition_by=("date",)
+        )
+        for d in ("2024-06-01", "2024-06-15", "2024-07-01"):
+            lk.append(
+                spark.createDataFrame(
+                    [(1, 10.0, d)], "k long, price double, date string"
+                )
+            )
+        kept, total, _ = lk.prune_files(
+            {"date": ("2024-06-10", "2024-06-20")}
+        )
+        assert total == 3 and len(kept) == 1
+        got = lk.scan_between({"date": ("2024-06-10", "2024-06-20")})
+        assert [str(r.date) for r in got.collect()] == ["2024-06-15"]
+
+    def test_numeric_partition_compares_numerically(self, spark, tmp_path):
+        """'9' > '10' as strings — numeric partition values must
+        compare as numbers."""
+        lk = TransactionalLake(
+            spark, str(tmp_path / "n"), partition_by=("bucket",)
+        )
+        for b in (9, 10, 11):
+            lk.append(
+                spark.createDataFrame(
+                    [(1, b)], "k long, bucket long"
+                )
+            )
+        kept, total, _ = lk.prune_files({"bucket": (10, None)})
+        assert total == 3 and len(kept) == 2
+
+    def test_combined_partition_and_stats_bounds(self, spark, tmp_path):
+        lk = TransactionalLake(
+            spark, str(tmp_path / "c"), partition_by=("date",)
+        )
+        for d, lo in (("2024-06-01", 0), ("2024-06-15", 100)):
+            lk.append(
+                spark.createDataFrame(
+                    [(lo + j, 1.0, d) for j in range(50)],
+                    "k long, price double, date string",
+                ).coalesce(1)
+            )
+        kept, total, _ = lk.prune_files(
+            {"date": ("2024-06-10", None), "k": (0, 60)}
+        )
+        # date bound kills file 1; k bound kills file 2 -> nothing
+        assert total == 2 and kept == []
+        assert lk.scan_between(
+            {"date": ("2024-06-10", None), "k": (0, 60)}
+        ).count() == 0
