@@ -98,30 +98,78 @@ def asof_join(
     right_ts: str = "ts",
     right_values: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, append the latest right values at or before
-    its timestamp (per key). Left rows keep all their columns.
+    """For each left row, append the as-of right values (per key).
+    Left rows keep all their columns.
+
+    ``direction`` (pandas ``merge_asof`` semantics):
+      - ``"backward"`` (default): latest right row with
+        ``right.ts <= left.ts`` — the market-data staleness join.
+      - ``"forward"``: earliest right row with ``right.ts >= left.ts``
+        — "next quote/fill after the order".
+      - ``"nearest"``: whichever of the two is closer in time; exact
+        ties (including a same-instant right row, distance 0 both
+        ways) resolve BACKWARD, matching pandas.
+
+    Forward is the mirrored window: ordered ``(ts, side DESC)`` so a
+    same-instant right row sorts after the left row and lands in the
+    ``[current, unbounded following]`` frame; ``first(ignorenulls)``
+    replaces ``last``. Nearest computes both carries — the two
+    windows share one hash partitioning, so it is still ONE shuffle
+    (two sorts) — and picks per row by integer microsecond distance.
 
     ``right_values``: right columns to carry (default: all non-key,
-    non-ts columns). ``tolerance``: optional max staleness as an SQL
-    interval string (e.g. ``'1 hour'``) — older quotes become null.
-    """
+    non-ts columns). ``tolerance``: optional max distance as an SQL
+    interval string (e.g. ``'1 hour'``) — right rows further than
+    this (in the match direction; either way for nearest) become
+    null."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     keys, right_values, unioned = _tag_union(
         left, right, on, left_ts, right_ts, right_values
     )
+    rts_type = dict(unioned.dtypes).get("_ts")
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("_c", F.last("_r", ignorenulls=True).over(w))
-    if tolerance is not None:
-        stale = F.col("_c._rts") < F.col("_ts") - F.expr(
-            f"INTERVAL {tolerance}"
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        cb = F.last("_r", ignorenulls=True).over(w_b)
+        if tol is not None:
+            cb = F.when(cb["_rts"] < F.col("_ts") - tol, F.lit(None)).otherwise(cb)
+        carried = carried.withColumn("_cb", cb)
+    if direction in ("forward", "nearest"):
+        w_f = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", F.desc("_side"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        cf = F.first("_r", ignorenulls=True).over(w_f)
+        if tol is not None:
+            cf = F.when(cf["_rts"] > F.col("_ts") + tol, F.lit(None)).otherwise(cf)
+        carried = carried.withColumn("_cf", cf)
+
+    if direction == "backward":
+        carried = carried.withColumn("_c", F.col("_cb"))
+    elif direction == "forward":
+        carried = carried.withColumn("_c", F.col("_cf"))
+    else:
+        t_us = epoch_us(F.col("_ts"), rts_type)
+        d_b = t_us - epoch_us(F.col("_cb._rts"), rts_type)
+        d_f = epoch_us(F.col("_cf._rts"), rts_type) - t_us
         carried = carried.withColumn(
-            "_c", F.when(stale, F.lit(None)).otherwise(F.col("_c"))
+            "_c",
+            F.when(F.col("_cb").isNull(), F.col("_cf"))
+            .when(F.col("_cf").isNull(), F.col("_cb"))
+            .when(d_f < d_b, F.col("_cf"))
+            .otherwise(F.col("_cb")),  # ties resolve backward (pandas)
         )
 
     out = carried.filter(F.col("_side") == 1)

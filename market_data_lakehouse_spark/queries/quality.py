@@ -201,3 +201,119 @@ def v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi"),
         F.count(F.lit(1)).cast("long").alias("n_bins"),
     )
+
+
+def expectation_report(
+    df: DataFrame, expectations: dict[str, str]
+) -> DataFrame:
+    """Declarative data-quality expectations (the Great-Expectations
+    / dbt-test pattern as one operator): each entry is a NAME -> SQL
+    boolean expression evaluated per row; the report has one row per
+    expectation with pass/fail counts and the pass rate. SQL
+    three-valued semantics: a NULL verdict counts as neither pass
+    nor fail (tracked separately) — "95% of rows have a valid email"
+    must not be poisoned by rows where the column is legitimately
+    absent.
+
+    ONE aggregate pass computes every expectation (conditional sums,
+    map-side combined), then a tiny unpivot of the single result row
+    — cost is one table scan regardless of expectation count, the
+    only shape that survives a 100 TB nightly audit."""
+    verdicts = {n: F.expr(e).cast("boolean") for n, e in expectations.items()}
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            m
+            for n, v in verdicts.items()
+            for m in (
+                F.sum(v.cast("int")).alias(f"_p_{n}"),
+                F.sum((~v).cast("int")).alias(f"_f_{n}"),
+            )
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("expectation"),
+                F.coalesce(F.col(f"_p_{n}"), F.lit(0)).cast("long").alias(
+                    "n_pass"
+                ),
+                F.coalesce(F.col(f"_f_{n}"), F.lit(0)).cast("long").alias(
+                    "n_fail"
+                ),
+            )
+            for n in expectations
+        ]
+    )
+    ex = agg.select(
+        F.col("_n").cast("long").alias("n_rows"), F.explode(pairs).alias("e")
+    )
+    return ex.select(
+        F.col("e.expectation").alias("expectation"),
+        "n_rows",
+        F.col("e.n_pass").alias("n_pass"),
+        F.col("e.n_fail").alias("n_fail"),
+        (F.col("n_rows") - F.col("e.n_pass") - F.col("e.n_fail"))
+        .cast("long")
+        .alias("n_null"),
+        F.round(
+            F.col("e.n_pass")
+            / F.greatest(F.col("e.n_pass") + F.col("e.n_fail"), F.lit(1)),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
+@register(
+    "v6_expectation_suite",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        CAST(SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(SUM(CASE WHEN event_type IN ('click','view','purchase','signup','refund')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        CAST(SUM(CASE WHEN NOT (event_type IN ('click','view','purchase','signup','refund'))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        CAST(SUM(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-01') THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        CAST(SUM(CASE WHEN user_id BETWEEN 0 AND 10000 THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        CAST(SUM(CASE WHEN NOT (user_id BETWEEN 0 AND 10000) THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+        CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+        CAST(SUM(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS f5
+      FROM events
+    )
+    SELECT u.expectation, a.n_rows, u.n_pass, u.n_fail,
+           CAST(a.n_rows - u.n_pass - u.n_fail AS BIGINT) AS n_null,
+           ROUND(u.n_pass * 1.0 /
+                 GREATEST(u.n_pass + u.n_fail, 1), 6) AS pass_rate
+    FROM agg a, LATERAL (
+      SELECT * FROM (VALUES
+        ('value_non_negative', a.p1, a.f1),
+        ('known_event_type',   a.p2, a.f2),
+        ('ts_in_2024',         a.p3, a.f3),
+        ('user_id_in_range',   a.p4, a.f4),
+        ('props_is_json',      a.p5, a.f5)
+      ) AS v(expectation, n_pass, n_fail)
+    ) u
+    """,
+)
+def v6_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over the events stream (V-family
+    r6): five expectations — range, domain membership, temporal
+    bound, key range, JSON validity — evaluated in ONE scan with
+    per-expectation pass/fail/null counts and rates. The oracle
+    recomputes every cell with explicit CASE sums."""
+    ev = load(spark, sf_dir, "events")
+    return expectation_report(
+        ev,
+        {
+            "value_non_negative": "value >= 0",
+            "known_event_type": (
+                "event_type IN ('click','view','purchase','signup','refund')"
+            ),
+            "ts_in_2024": "ts >= TIMESTAMP '2024-01-01'",
+            "user_id_in_range": "user_id BETWEEN 0 AND 10000",
+            "props_is_json": "get_json_object(props, '$') IS NOT NULL",
+        },
+    )

@@ -2955,3 +2955,77 @@ def j20_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "j6_asof_forward",
+    oracle="""
+    SELECT t.user_id, t.ts, ROUND(t.value, 4) AS trade_value,
+           ROUND(q.value, 4) AS quote_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON t.user_id = q.user_id AND t.ts <= q.ts
+    """,
+)
+def j6_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (r6): earliest quote at-or-after each
+    trade — "next fill/quote after the order", pandas
+    merge_asof(direction='forward'). Same union + one-shuffle window
+    plan as backward, mirrored (first(ignorenulls) over the
+    [current, unbounded following] frame, side-desc ordering so a
+    same-instant quote qualifies). Oracle: DuckDB ASOF with the
+    inequality reversed."""
+    from market_data_lakehouse_spark.asof import asof_join
+
+    trades, quotes = _trades_quotes(spark, sf_dir)
+    return asof_join(
+        trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+
+
+@register(
+    "j6_asof_nearest",
+    oracle="""
+    WITH t AS (SELECT event_id, user_id, ts, ROUND(value, 4) AS trade_value
+               FROM events WHERE event_type = 'purchase'),
+         q AS (SELECT user_id, ts, ROUND(value, 4) AS quote_value
+               FROM events WHERE event_type = 'view'),
+         b AS (SELECT t.event_id, t.user_id, t.ts, t.trade_value,
+                      q.ts AS bts, q.quote_value AS bval
+               FROM t ASOF LEFT JOIN q
+                 ON t.user_id = q.user_id AND t.ts >= q.ts),
+         f AS (SELECT t.event_id, q.ts AS fts, q.quote_value AS fval
+               FROM t ASOF LEFT JOIN q
+                 ON t.user_id = q.user_id AND t.ts <= q.ts)
+    SELECT b.user_id, b.ts, b.trade_value,
+           CASE WHEN b.bts IS NULL THEN f.fval
+                WHEN f.fts IS NULL THEN b.bval
+                WHEN (f.fts - b.ts) < (b.ts - b.bts) THEN f.fval
+                ELSE b.bval END AS quote_value
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (r6): the closer of the latest-before and
+    earliest-after quote, exact ties resolving backward (pandas
+    merge_asof(direction='nearest')). Both carries ride ONE shuffle
+    (the two windows share the key hash-partitioning; Spark adds a
+    second sort, not a second exchange) and the pick is an integer
+    microsecond-distance comparison. The oracle composes DuckDB's
+    backward and forward ASOF joins keyed by the trade's unique
+    event_id (a (user_id, ts) self-join would multiply duplicate
+    timestamps) and applies the same tie rule."""
+    from market_data_lakehouse_spark.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("trade_value")
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 4).alias("quote_value")
+    )
+    return asof_join(
+        trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+        direction="nearest",
+    ).select("user_id", "ts", "trade_value", "quote_value")
