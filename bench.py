@@ -71,6 +71,12 @@ HEAVY = {
     # round 4c: PQ two-stage ANN and the 8-table market-share join
     "q_pq_knn": "e3_pq_knn",
     "q_tpch_q8": "j15_market_share",
+    # round 6: the new hard shapes tracked for drift from now on —
+    # Q21's exists+not-exists pair, the nearest as-of (two window
+    # carries over one shuffle), and 5-iteration PageRank
+    "q_tpch_q21": "j17_waiting_suppliers",
+    "q_asof_nearest": "j6_asof_nearest",
+    "q_pagerank": "g1_pagerank",
 }
 
 

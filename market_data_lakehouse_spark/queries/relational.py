@@ -3029,3 +3029,88 @@ def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
         direction="nearest",
     ).select("user_id", "ts", "trade_value", "quote_value")
+
+
+@register(
+    "g1_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, 100000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    undir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM undir GROUP BY src),
+    pr0 AS (SELECT node, 1.0 AS r FROM deg),
+    pr1 AS (SELECT u.dst AS node, ROUND(0.15 + 0.85 * SUM(p.r / g.d), 6) AS r
+            FROM pr0 p JOIN undir u ON u.src = p.node
+            JOIN deg g ON g.node = p.node GROUP BY u.dst),
+    pr2 AS (SELECT u.dst AS node, ROUND(0.15 + 0.85 * SUM(p.r / g.d), 6) AS r
+            FROM pr1 p JOIN undir u ON u.src = p.node
+            JOIN deg g ON g.node = p.node GROUP BY u.dst),
+    pr3 AS (SELECT u.dst AS node, ROUND(0.15 + 0.85 * SUM(p.r / g.d), 6) AS r
+            FROM pr2 p JOIN undir u ON u.src = p.node
+            JOIN deg g ON g.node = p.node GROUP BY u.dst),
+    pr4 AS (SELECT u.dst AS node, ROUND(0.15 + 0.85 * SUM(p.r / g.d), 6) AS r
+            FROM pr3 p JOIN undir u ON u.src = p.node
+            JOIN deg g ON g.node = p.node GROUP BY u.dst),
+    pr5 AS (SELECT u.dst AS node, ROUND(0.15 + 0.85 * SUM(p.r / g.d), 6) AS r
+            FROM pr4 p JOIN undir u ON u.src = p.node
+            JOIN deg g ON g.node = p.node GROUP BY u.dst)
+    SELECT CAST(node AS BIGINT) AS node, ROUND(r, 4) AS rank
+    FROM pr5 ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped power iterations, d=0.85) over the
+    undirected customer-supplier purchase graph — the iterative-
+    algorithm shape next to j16's recursive reachability: a driver
+    loop of LAZY DataFrame plans (one action at the end), the edge
+    and degree tables localCheckpointed once so the per-iteration
+    join pipeline doesn't re-derive them five times.
+
+    Cross-engine float parity for an ITERATIVE float computation:
+    each iteration's rank is rounded to 1e-6 on BOTH engines, so both
+    feed bit-identical inputs into the next iteration and the only
+    divergence risk is a sum landing within ~1e-14 of a rounding
+    midpoint — per-iteration rounding is what makes an iterative
+    double pipeline hash-comparable at all. Undirected edges mean no
+    dangling-mass term (every node has out-degree >= 1).
+
+    Scale: each iteration is one shuffle (contribution groupBy);
+    edges/degrees partition by node; ranks stay (node, double) —
+    never materialized on the driver."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    undir = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        undir.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = deg.select("node", F.lit(1.0).alias("r"))
+    for _ in range(5):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(undir, F.col("node") == undir.src)
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = contrib.groupBy("node").agg(
+            F.round(F.lit(0.15) + F.lit(0.85) * F.sum("c"), 6).alias("r")
+        )
+    return (
+        ranks.select("node", F.round("r", 4).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
