@@ -133,7 +133,17 @@ class IncrementalAggView:
             F.lit(-1)
         )
         is_ins = F.col("_change_type") == "insert"
+        # NULL group keys never equality-match in the state MERGE
+        # (SQL null semantics), so a null-keyed group would INSERT a
+        # fresh state row on every refresh and silently accumulate —
+        # fail loudly instead (same caveat as Delta MERGE keys;
+        # pre-coalesce nulls to a sentinel upstream if needed)
+        null_key = F.lit(False)
+        for k in self.group_by:
+            null_key = null_key | F.col(k).isNull()
+        ch = ch.withColumn("_null_key", null_key)
         delta = ch.groupBy(*self.group_by).agg(
+            F.max(F.col("_null_key").cast("int")).alias("_has_null_key"),
             F.sum(sign).alias("_d_n"),
             *[
                 m
@@ -211,6 +221,7 @@ class IncrementalAggView:
                 joined = joined.withColumn(name, F.lit(None).cast(typ))
         zero = F.lit(0)
         new_state = joined.select(
+            F.col("_has_null_key"),
             *self.group_by,
             (F.coalesce(F.col("n_rows"), zero) + F.col("_d_n"))
             .cast("bigint")
@@ -252,8 +263,19 @@ class IncrementalAggView:
                 )
             ],
         )
+        # checkpoint once: the null-key guard's tiny probe pays the
+        # pipeline's materialization and the merge then reuses it —
+        # the guard adds a job but not a recompute
+        new_state = new_state.localCheckpoint(eager=False)
+        if new_state.filter(F.col("_has_null_key") == 1).limit(1).count():
+            raise ValueError(
+                "group_by columns contain NULLs: null keys never "
+                "equality-match in the state MERGE and would duplicate "
+                "state rows on every refresh — pre-coalesce nulls to a "
+                "sentinel value in the source"
+            )
         self.state.merge(
-            new_state,
+            new_state.drop("_has_null_key"),
             on=self.group_by,
             validate_keys=False,  # grouped by key: unique by construction
             txn=(self.app_id, end),

@@ -305,3 +305,21 @@ class TestMinMaxHybrid:
         src.append(_rows(spark, 101, 110))
         mmv.refresh()  # one span: inserts + deletes + re-inserts
         self._assert_mm(mmv, src)
+
+
+class TestNullGroupKeys:
+    def test_null_group_key_rejected_loudly(self, spark, src, mv):
+        """NULL group keys never equality-match in the state MERGE —
+        silently accumulating duplicate state rows is the failure
+        mode; the refresh must raise instead."""
+        rows = _rows(spark, 0, 10).withColumn(
+            "grp",
+            F.when(F.col("k") == 3, F.lit(None)).otherwise(F.col("grp")),
+        )
+        src.append(rows)
+        with pytest.raises(ValueError, match="NULL"):
+            mv.refresh()
+        # non-null sources keep working after the failed refresh
+        src.delete_where("k = 3")
+        mv.refresh()
+        _assert_equiv(mv, src)
