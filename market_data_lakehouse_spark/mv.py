@@ -178,7 +178,10 @@ class IncrementalAggView:
                 *self.group_by
             )
             recomp = (
-                self.source.snapshot()
+                # pin to `end` so min/max reflect the same source
+                # version as the count/sum fold (a writer racing this
+                # refresh must not leak newer rows into min/max only)
+                self.source.snapshot(version=end)
                 .join(F.broadcast(del_keys), self.group_by, "left_semi")
                 .groupBy(*self.group_by)
                 .agg(
@@ -267,15 +270,35 @@ class IncrementalAggView:
         # pipeline's materialization and the merge then reuses it —
         # the guard adds a job but not a recompute
         new_state = new_state.localCheckpoint(eager=False)
-        if new_state.filter(F.col("_has_null_key") == 1).limit(1).count():
+        # Null-key guard, on NET effect only: a null-keyed group whose
+        # delta fully cancelled (insert+delete pairs already in
+        # history — e.g. the offending rows were deleted AFTER a
+        # rejected refresh) must not wedge the view forever, since the
+        # historical null rows are immutable and re-fold on every
+        # retry. Null keys never match the state left-outer join, so
+        # for these groups n_rows/nn/sum ARE the span's net deltas;
+        # all-zero ⇒ the source currently holds no null-keyed rows and
+        # the group is simply dropped before the MERGE.
+        net_nonzero = F.col("n_rows") != 0
+        for c in self.sum_cols:
+            net_nonzero = (
+                net_nonzero
+                | (F.col(f"nn_{c}") != 0)
+                | (F.col(f"sum_{c}") != 0)
+            )
+        offending = (F.col("_has_null_key") == 1) & net_nonzero
+        if new_state.filter(offending).limit(1).count():
             raise ValueError(
                 "group_by columns contain NULLs: null keys never "
                 "equality-match in the state MERGE and would duplicate "
                 "state rows on every refresh — pre-coalesce nulls to a "
-                "sentinel value in the source"
+                "sentinel value in the source (or delete the null-keyed "
+                "rows; a refresh whose null-key changes fully cancel "
+                "proceeds)"
             )
         self.state.merge(
-            new_state.drop("_has_null_key"),
+            new_state.filter(F.col("_has_null_key") != 1)
+            .drop("_has_null_key"),
             on=self.group_by,
             validate_keys=False,  # grouped by key: unique by construction
             txn=(self.app_id, end),

@@ -323,3 +323,20 @@ class TestNullGroupKeys:
         src.delete_where("k = 3")
         mv.refresh()
         _assert_equiv(mv, src)
+
+    def test_cancelled_null_keys_fold_silently(self, spark, src, mv):
+        """Null-keyed rows inserted and deleted within the same
+        unfolded span have zero net effect — the refresh must proceed
+        (raising would wedge forever: the history is immutable)."""
+        rows = _rows(spark, 0, 10).withColumn(
+            "grp",
+            F.when(F.col("k") == 3, F.lit(None)).otherwise(F.col("grp")),
+        )
+        src.append(rows)
+        src.delete_where("k = 3")
+        mv.refresh()
+        _assert_equiv(mv, src)
+        # and later refreshes over clean spans stay healthy
+        src.append(_rows(spark, 10, 16))
+        mv.refresh()
+        _assert_equiv(mv, src)

@@ -217,4 +217,8 @@ def test_random_ops_with_checkpoints_and_retention(
         resolvable
     )
     assert all(resolvable[first_ok:]), (resolvable, ops)
-    assert resolvable and resolvable[-1]  # head always readable
+    # head always readable — unless the sequence was all no-ops (e.g.
+    # deletes against an empty table commit nothing), leaving zero
+    # versions to resolve
+    if model:
+        assert resolvable and resolvable[-1]
