@@ -3090,15 +3090,40 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    undir = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        undir.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
-    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Hash-partition edges/degrees on their join keys BEFORE the
+    # checkpoint so all 5 iterations' rank-edge joins reuse the layout
+    # and only the (node, rank) side moves — without this every
+    # iteration re-shuffles the edge table (r6 PLAN_AUDIT: 16
+    # exchanges; the edge table is the one that grows at 100 TB).
+    # AQE must be OFF while the checkpoint plan is compiled: under
+    # AQE the physical plan's outputPartitioning is unknown at
+    # LogicalRDD-capture time, so the checkpoint forgets its layout
+    # and every iteration re-shuffles anyway (measured: 16 vs 5
+    # exchanges on this exact loop). Restored immediately after.
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        undir = (
+            # distinct matches the oracle's UNION semantics: if a
+            # custkey ever collides with the 100000+suppkey node
+            # space (possible at large SF), UNION ALL would
+            # double-count that edge
+            e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .repartition(n_part, "src")
+            .localCheckpoint(eager=False)
+        )
+        deg = (
+            undir.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .repartition(n_part, "node")
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     ranks = deg.select("node", F.lit(1.0).alias("r"))
     for _ in range(5):
         contrib = (
