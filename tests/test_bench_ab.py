@@ -1,0 +1,87 @@
+"""Regression tests for the bench A/B drift-adjudication kernel.
+
+The A/B artifact (AB_BENCH.json) is the round's court of record for
+perf-drift claims, so its gating policy must be pinned: the "noise"
+verdict gates on the sliding best-of-3 spread (not the wider raw
+single-run spread — r5 ADVICE: gating on raw spread is biased toward
+"noise"), and --rounds < 3 is rejected before any sampling happens.
+No JVM needed: classify_drift is a pure function.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from bench_ab import classify_drift  # noqa: E402
+
+
+# 6 interleaved samples: raw spread 1.0->2.0 = 2.0x, but every
+# sliding best-of-3 window bottoms out at 1.0 -> bo3 spread 1.0x.
+# A recorded ratio of 1.5 sits inside raw but OUTSIDE bo3.
+JITTERY = [1.0, 2.0, 1.1, 1.0, 1.9, 1.0]
+
+
+class TestVerdictGating:
+    def test_noise_requires_bo3_coverage_not_raw(self):
+        # recorded 1.0 -> 1.5 (ratio 1.5): covered by the raw 2.0x
+        # spread but NOT by the 1.0x best-of-3 spread -> must NOT be
+        # called plain "noise"
+        r = classify_drift(JITTERY, 1.0, 1.5, all_identical=True)
+        assert r["bo3_spread_ratio"] == pytest.approx(1.0)
+        assert r["spread_ratio"] == pytest.approx(2.0)
+        assert r["verdict"] == "noise_single_run_only"
+
+    def test_noise_inside_bo3(self):
+        # bo3 windows: [1.0, 1.05, 1.05, 1.05] -> spread 1.05; a
+        # recorded ratio of 1.04 is covered -> genuine noise
+        vals = [1.0, 1.2, 1.05, 1.06, 1.05, 1.3]
+        r = classify_drift(vals, 1.0, 1.04, all_identical=True)
+        assert r["bo3_spread_ratio"] == pytest.approx(1.05)
+        assert r["verdict"] == "noise"
+
+    def test_recovered_at_head(self):
+        # recorded old 1.2, new 3.6 (ratio 3.0 — outside both
+        # spreads), but HEAD's median 1.225 reproduces the OLD value
+        # within the 1.08x bo3 jitter -> the NEW recording was the
+        # anomaly
+        vals = [1.0, 1.2, 1.3, 1.08, 1.25, 1.3]
+        r = classify_drift(vals, 1.2, 3.6, all_identical=True)
+        assert r["bo3_spread_ratio"] == pytest.approx(1.08)
+        assert r["verdict"] == "recovered_at_head"
+
+    def test_unexplained_when_code_differs(self):
+        # byte-differing code can never be exonerated as noise
+        r = classify_drift(JITTERY, 1.0, 1.05, all_identical=False)
+        assert r["verdict"] == "unexplained"
+
+    def test_unexplained_real_regression(self):
+        vals = [3.0, 3.05, 3.1, 3.0, 3.05, 3.1]  # HEAD really is 3x
+        r = classify_drift(vals, 1.0, 3.0, all_identical=True)
+        assert r["verdict"] == "unexplained"
+
+    def test_control_label(self):
+        r = classify_drift(JITTERY, 1.0, 1.5, True, is_control=True)
+        assert r["verdict"] == "control"
+
+    def test_missing_recorded_value(self):
+        r = classify_drift(JITTERY, None, 1.5, all_identical=True)
+        assert r["verdict"] == "unexplained"
+        assert r["recorded_ratio"] is None
+
+
+class TestRoundsValidation:
+    def test_rounds_below_three_rejected_before_sampling(self):
+        # argparse exits 2 BEFORE building a SparkSession (fast)
+        proc = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_ab.py", "--rounds", "2"],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert proc.returncode == 2
+        assert "--rounds must be >= 3" in proc.stderr

@@ -120,6 +120,62 @@ def identity_report(old_rev: str) -> dict:
     return out
 
 
+def classify_drift(
+    vals: list[float],
+    rec_old: float | None,
+    rec_new: float | None,
+    all_identical: bool,
+    is_control: bool = False,
+) -> dict:
+    """Pure verdict kernel for one query's interleaved samples —
+    extracted so the gating policy (best-of-3 spread, not the wider
+    raw spread; recovered_at_head for drifts that vanish at HEAD) is
+    unit-testable without a JVM (r6 VERDICT directive 6)."""
+    lo, hi = min(vals), max(vals)
+    ratio = round(rec_new / rec_old, 3) if rec_old and rec_new else None
+    # sliding best-of-3 replays the recorded rounds' best-of-k
+    # policy on the same-JVM samples: its spread is the jitter
+    # that survives the policy — the spread the recorded numbers
+    # could actually have seen (ADVICE r5: gate on THIS, not the
+    # wider raw single-run spread)
+    bo3 = [min(vals[i : i + 3]) for i in range(len(vals) - 2)]
+    bo3_spread = round(max(bo3) / min(bo3), 3)
+    raw_spread = round(hi / lo, 3)
+    med = statistics.median(vals)
+    head_vs_old = (med / rec_old) if rec_old else None
+    recovered = head_vs_old is not None and (
+        max(head_vs_old, 1 / head_vs_old) <= bo3_spread
+    )
+    if is_control:
+        verdict = "control"
+    elif not all_identical or ratio is None:
+        verdict = "unexplained"
+    elif ratio <= bo3_spread:
+        verdict = "noise"
+    elif ratio <= raw_spread:
+        verdict = "noise_single_run_only"
+    elif recovered:
+        verdict = "recovered_at_head"
+    else:
+        verdict = "unexplained"
+    return {
+        "samples_sec": [round(v, 4) for v in vals],
+        "min": round(lo, 4),
+        "median": round(med, 4),
+        "max": round(hi, 4),
+        "stdev": round(statistics.stdev(vals), 4),
+        "spread_ratio": raw_spread,
+        "bo3_spread_ratio": bo3_spread,
+        "recorded_old": rec_old,
+        "recorded_new": rec_new,
+        "recorded_ratio": ratio,
+        "head_median_vs_recorded_old": (
+            round(head_vs_old, 3) if head_vs_old else None
+        ),
+        "verdict": verdict,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--old-rev", default="bb99dc0", help="round-3 commit")
@@ -185,64 +241,22 @@ def main() -> int:
 
     old_q, new_q = _queries(args.old_bench), _queries(args.new_bench)
     all_identical = all(v["identical"] for v in ident.values())
-    per_query = {}
-    for label, vals in samples.items():
-        lo, hi = min(vals), max(vals)
-        rec_old, rec_new = old_q.get(label), new_q.get(label)
-        ratio = round(rec_new / rec_old, 3) if rec_old and rec_new else None
-        # sliding best-of-3 replays the recorded rounds' best-of-k
-        # policy on the same-JVM samples: its spread is the jitter
-        # that survives the policy — the spread the recorded numbers
-        # could actually have seen (ADVICE r5: gate on THIS, not the
-        # wider raw single-run spread)
-        bo3 = [min(vals[i : i + 3]) for i in range(len(vals) - 2)]
-        bo3_spread = round(max(bo3) / min(bo3), 3)
-        raw_spread = round(hi / lo, 3)
-        # verdict: the recorded cross-round values came from two
-        # DIFFERENT JVMs on different days; "noise" requires the
-        # best-of-3 spread on byte-identical code to cover the
-        # recorded ratio; single-run-only coverage is reported as the
-        # weaker intermediate verdict
-        # head_vs_old: does THIS JVM, running HEAD right now,
-        # reproduce the old round's recorded value? When it does (to
-        # within the best-of-3 jitter) on byte-identical code, the
-        # NEW recorded value was the anomaly — the drift does not
-        # exist at HEAD and there is nothing in the code to fix,
-        # even though today's narrow jitter can't "cover" the old
-        # inflated ratio. Distinct verdict: recovered_at_head.
-        med = statistics.median(vals)
-        head_vs_old = (med / rec_old) if rec_old else None
-        recovered = head_vs_old is not None and (
-            max(head_vs_old, 1 / head_vs_old) <= bo3_spread
+    # verdict notes: the recorded cross-round values came from two
+    # DIFFERENT JVMs on different days; "noise" requires the
+    # best-of-3 spread on byte-identical code to cover the recorded
+    # ratio. recovered_at_head: HEAD's median reproduces the OLD
+    # round's value to within the best-of-3 jitter — the NEW recorded
+    # value was the anomaly and there is nothing in the code to fix.
+    per_query = {
+        label: classify_drift(
+            vals,
+            old_q.get(label),
+            new_q.get(label),
+            all_identical,
+            is_control=label in CONTROL,
         )
-        if label in CONTROL:
-            verdict = "control"
-        elif not all_identical or ratio is None:
-            verdict = "unexplained"
-        elif ratio <= bo3_spread:
-            verdict = "noise"
-        elif ratio <= raw_spread:
-            verdict = "noise_single_run_only"
-        elif recovered:
-            verdict = "recovered_at_head"
-        else:
-            verdict = "unexplained"
-        per_query[label] = {
-            "samples_sec": [round(v, 4) for v in vals],
-            "min": round(lo, 4),
-            "median": round(statistics.median(vals), 4),
-            "max": round(hi, 4),
-            "stdev": round(statistics.stdev(vals), 4),
-            "spread_ratio": raw_spread,
-            "bo3_spread_ratio": bo3_spread,
-            "recorded_old": rec_old,
-            "recorded_new": rec_new,
-            "recorded_ratio": ratio,
-            "head_median_vs_recorded_old": (
-                round(head_vs_old, 3) if head_vs_old else None
-            ),
-            "verdict": verdict,
-        }
+        for label, vals in samples.items()
+    }
 
     report = {
         "protocol": (
