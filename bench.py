@@ -260,12 +260,23 @@ def main() -> None:
         spark._jvm.System.gc()
         best = min(run_once(spark, fn, sf_dir) for _ in range(2))
         times[label] = round(best, 4)
+    # LSH candidate-volume observability (r6 VERDICT directive 4):
+    # q_minhash_lsh is the steepest 16x scaler and its cost tracks
+    # band-collision pair volume — record the pair counts from the
+    # timed runs so sf1+ extrapolation is arithmetic
+    from market_data_lakehouse_spark.queries import dedup
+
+    lsh_metrics = {
+        q: dedup.pair_metrics(q)
+        for q in ("e2_minhash_lsh", "e2_lsh_verified_jaccard")
+    }
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "stream_ingest": stream_stats,
+        "lsh_candidates": lsh_metrics,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -19,7 +19,7 @@ bitwise ops) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.queries.catalog import load, register
@@ -27,6 +27,36 @@ from market_data_lakehouse_spark.queries.catalog import load, register
 N_MINHASH = 32
 N_BANDS = 8  # 4 rows per band
 SHINGLE = 3
+
+# ---------------------------------------------------------------------------
+# Candidate-volume observability (r6 VERDICT directive 4): the LSH
+# family's cost is governed by band-collision pair volume, which
+# tracks duplicate density — an input property nothing else measures.
+# Each run registers zero-cost CollectMetrics observations on the
+# candidate stream; bench.py / scale_probe harvest them after the
+# action so BENCH_r{N}.json carries the pair counts and sf1+
+# extrapolation is arithmetic, not hope.
+# ---------------------------------------------------------------------------
+
+PAIR_METRICS: dict[str, dict[str, Observation]] = {}
+
+
+def _observe_count(df: DataFrame, qname: str, metric: str) -> DataFrame:
+    """Attach a row-count observation to this plan point; an
+    Observation is single-use, so each query run replaces its slot."""
+    obs = Observation()
+    PAIR_METRICS.setdefault(qname, {})[metric] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias(metric))
+
+
+def pair_metrics(qname: str) -> dict[str, int] | None:
+    """Counts from the most recent executed run of ``qname`` (None if
+    it never ran in this process). Blocks until the observing action
+    finishes — call only after the query's job completed."""
+    slots = PAIR_METRICS.get(qname)
+    if not slots:
+        return None
+    return {m: obs.get[m] for m, obs in slots.items()}
 
 
 def _tokens(text_col: str = "text") -> F.Column:
@@ -225,11 +255,15 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = banded.select(
         F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bhash"
     )
-    cand = (
+    collisions = _observe_count(
         a.join(b, ["band", "bhash"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .distinct()
+        .select("a_id", "b_id", "a_sig", "b_sig"),
+        "e2_minhash_lsh",
+        "band_collisions",
+    )
+    cand = _observe_count(
+        collisions.distinct(), "e2_minhash_lsh", "candidate_pairs"
     )
     est = (
         F.size(
@@ -394,6 +428,9 @@ def e2_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "na", "nb")
         .distinct()
     )
+    cand = _observe_count(
+        cand, "e2_lsh_verified_jaccard", "candidate_pairs"
+    )
     # |A ∩ B| restricted to candidate pairs: fan each pair out by A's
     # shingles, inner-join on (b_id, s). Zero-overlap candidates drop
     # here — correct, they can never reach the >= threshold filter.
@@ -406,9 +443,11 @@ def e2_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    return (
+    return _observe_count(
         inter.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= CLUSTER_JACCARD)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD),
+        "e2_lsh_verified_jaccard",
+        "verified_pairs",
     )
 
 

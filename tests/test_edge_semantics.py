@@ -348,6 +348,33 @@ def test_lsh_verified_jaccard_exact_scores_and_recall(spark):
     assert recall >= 0.9, f"banding recall degraded to {recall}"
 
 
+def test_lsh_pair_metrics_observed(spark):
+    """The LSH family's candidate-volume observations (r6 VERDICT
+    directive 4) must be populated by an ordinary run and obey the
+    funnel invariants: distinct candidates <= raw band collisions,
+    verified survivors <= candidates."""
+    from market_data_lakehouse_spark.queries.dedup import (
+        e2_lsh_verified_jaccard,
+        e2_minhash_lsh,
+        pair_metrics,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    e2_minhash_lsh(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = pair_metrics("e2_minhash_lsh")
+    assert m is not None and m["candidate_pairs"] > 0
+    assert m["candidate_pairs"] <= m["band_collisions"]
+
+    e2_lsh_verified_jaccard(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    v = pair_metrics("e2_lsh_verified_jaccard")
+    assert v is not None and v["candidate_pairs"] > 0
+    assert v["verified_pairs"] <= v["candidate_pairs"]
+
+
 def test_approx_distinct_within_rsd(spark):
     """approx_count_distinct (HLL++, default rsd 0.05) must land
     within a conservative 3x-rsd band of the exact cardinality —

@@ -117,6 +117,20 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def lsh_pair_counts() -> dict:
+    """Candidate-volume observability: the LSH probes' pair counts
+    from the runs time_queries just executed — the pair growth ratio
+    is the number that predicts sf1+ cost, wall time only correlates
+    with it."""
+    from market_data_lakehouse_spark.queries import dedup
+
+    return {
+        q: dedup.pair_metrics(q)
+        for q in ("e2_minhash_lsh", "e2_lsh_verified_jaccard")
+        if q in PROBES
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     # 16x default (r6, was 4): at 4x of sf0.1, local[32] has so much
@@ -147,8 +161,10 @@ def main() -> int:
 
         rss_before = rss_mb()
         base = time_queries(spark, args.sf_dir)
+        base_pairs = lsh_pair_counts()
         rss_mid = rss_mb()
         scaled = time_queries(spark, tmp)
+        scaled_pairs = lsh_pair_counts()
         rss_after = rss_mb()
 
         per_query = {
@@ -160,11 +176,28 @@ def main() -> int:
             }
             for q in PROBES
         }
+        lsh_candidates = {
+            q: {
+                "base": base_pairs.get(q),
+                "scaled": scaled_pairs.get(q),
+                "pair_growth": (
+                    round(
+                        scaled_pairs[q]["candidate_pairs"]
+                        / max(base_pairs[q]["candidate_pairs"], 1),
+                        2,
+                    )
+                    if base_pairs.get(q) and scaled_pairs.get(q)
+                    else None
+                ),
+            }
+            for q in set(base_pairs) | set(scaled_pairs)
+        }
         report = {
             "sf_dir": args.sf_dir,
             "factor": args.factor,
             "scaled_build_sec": build_sec,
             "per_query": per_query,
+            "lsh_candidates": lsh_candidates,
             "driver_rss_mb": {
                 "before": round(rss_before, 1),
                 "after_base": round(rss_mid, 1),
