@@ -365,18 +365,45 @@ def a7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a7_approx_distinct")  # rows-only: HLL estimate is engine-specific
+@register(
+    "a7_approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           TRUE AS parts_within_5pct, TRUE AS supps_within_5pct
+    FROM lineitem
+    """,
+)
 def a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path
-    where exact distinct's shuffle is too expensive. Deterministic for
-    a given input but not equal to DuckDB's estimate, so rows-only."""
+    where exact distinct's shuffle is too expensive.
+
+    Bounded-error oracle pattern (r6 VERDICT directive 5): the HLL
+    estimate itself is engine-specific, so instead of emitting it we
+    emit the EXACT distinct counts (the anchors, which must match
+    DuckDB bit-for-bit) plus a boolean asserting the estimate landed
+    within 5 % of exact; the oracle pins the anchors and asserts the
+    bound as literal TRUE. An HLL drift past the bound hash-
+    mismatches and goes driver-red — a real correctness gate, not a
+    rows-only execution check."""
     li = load(spark, sf_dir, "lineitem")
     # default rsd (0.05): the 100 TB configuration — a 0.01 rsd HLL
     # is ~25x more registers per group for precision an approximate
     # count rarely needs
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("_approx_supps"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.lit(0.05) * F.col(e)
+    )
+    return agg.select(
+        "n_parts",
+        "n_supps",
+        within("_approx_parts", "n_parts").alias("parts_within_5pct"),
+        within("_approx_supps", "n_supps").alias("supps_within_5pct"),
     )
 
 
@@ -444,11 +471,39 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a9_percentile_approx")  # rows-only: approx sketch is engine-specific
+@register(
+    "a9_percentile_approx",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_exact,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    """,
+)
 def a9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median (Greenwald-Khanna sketch, accuracy 10000 =
+    rank error <= n/10000) with a bounded-error oracle (r6 VERDICT
+    directive 5): the sketch value is engine-specific, so the emitted
+    row carries the EXACT interpolated median (Spark `percentile` and
+    DuckDB `quantile_cont` share linear-interpolation semantics — an
+    anchor that must match bit-for-bit after ROUND) plus a boolean
+    asserting the sketch landed within 1 % of it; the oracle asserts
+    the bound as literal TRUE, so sketch drift goes driver-red."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
+            "median_exact"
+        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx"),
+    )
+    return agg.select(
+        "n",
+        "median_exact",
+        (
+            F.abs(F.col("_approx") - F.col("median_exact"))
+            <= F.lit(0.01) * F.col("median_exact")
+        ).alias("approx_within_1pct"),
     )
 
 
