@@ -300,6 +300,54 @@ def e4_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e4_position_chunks",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, coalesce(text, '') AS text,
+             unnest(generate_series(
+               1, greatest(length(coalesce(text, '')), 1), 150)) AS s
+      FROM documents)
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST((s - 1) // 150 AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, s, 200)) AS BIGINT) AS chunk_len,
+           md5(substr(text, s, 200)) AS chunk_md5
+    FROM starts
+    """,
+)
+def e4_position_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size position-based chunking (200-char windows, stride
+    150 = 50-char overlap) — the standard LLM-training chunker and
+    the declarative twin of e4_rolling_chunks' content-defined
+    chunker (carried r5 #8): where the rolling hash needs a
+    sequential Arrow kernel, position chunking is pure codegen —
+    ``sequence()`` generates each document's window starts, explode
+    fans them out, ``substring`` slices. No shuffle at all: the whole
+    plan is scan -> generate -> project, embarrassingly parallel at
+    any scale. Chunk identity is the md5 of the chunk text (shared
+    semantics with the DuckDB generate_series oracle)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150)
+    )
+    chunk = F.expr("substring(text, chunk_start, 200)")
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.expr("(chunk_start - 1) div 150").cast("bigint").alias(
+                "chunk_idx"
+            ),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
     "e4_tfidf",
     oracle=r"""
     WITH toks AS (

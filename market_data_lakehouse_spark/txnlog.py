@@ -977,7 +977,17 @@ class TransactionalLake:
         (an idle trigger must not burn a table version), checked from
         the same observe() metrics the write job already computes, so
         it costs no extra job (the pre-r6 sink paid a separate
-        ``isEmpty()`` job per micro-batch for this)."""
+        ``isEmpty()`` job per micro-batch for this).
+
+        Documented divergence from Delta (ADVICE r6): Delta records a
+        SetTransaction action even for empty batches, so its
+        ``last_txn_version`` advances on idle triggers; here a
+        skipped empty batch records no txn marker, so
+        ``last_txn_version`` stays at the last non-empty batch. This
+        is deliberate — recording a marker would burn exactly the
+        table version the contract exists to avoid — and harmless for
+        exactly-once: replaying an empty batch appends nothing, so
+        idempotence never depends on the skipped marker."""
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
         df = self._apply_generated(df)
