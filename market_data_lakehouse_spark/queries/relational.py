@@ -3194,3 +3194,279 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (r7): the remaining published query shapes the schema
+# supports. Columns the driver tables lack (l_commitdate/l_receiptdate/
+# l_shipmode, partsupp.ps_supplycost, p_container) force documented
+# adaptations that keep each query's SHAPE — the thing Catalyst has to
+# plan — intact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a19_forecast_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND(l_discount * 100) AS BIGINT))
+                      AS DOUBLE) / 10000.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def a19_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast-revenue change) — the purest pushdown
+    showcase in the suite: no join, no group key, three conjunctive
+    filters and one sum. Every predicate reaches the parquet scan
+    (PushedFilters on shipdate/quantity), and revenue is exact long
+    math: cents x integral discount percent sums in the 1e-4-dollar
+    domain and rounds once at the end (queries/money.py). The
+    discount band is compared in the scaled-integer domain on BOTH
+    engines — a double BETWEEN straddles literal-representation noise
+    exactly where this predicate's band edges sit (0.05/0.07).
+    Scale: map-side-only until the single final 2-value aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    d_pct = money.to_scaled("l_discount", 2)
+    rev4 = money.to_scaled("l_extendedprice", 2) * d_pct
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & d_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money.scaled_round(money.exact_sum(rev4), 4, 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "a20_priority_shipping",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority IN
+                  ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN
+                  ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def a20_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority split per ship class; the driver
+    schema has no l_shipmode, so l_returnflag is the documented
+    stand-in class): orders joined to a year of lineitems, then one
+    pass of conditional counts — the join-then-CASE-aggregate idiom
+    (Q12's defining feature vs a15's standalone FILTER aggregates).
+    Scale: the filtered lineitem side shuffles on orderkey; both
+    conditional counts ride one map-side-combined aggregate, never
+    two scans."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(is_high, 1)).alias("high_line_count"),
+            F.count(F.when(~is_high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a21_promo_revenue",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev4
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate < DATE '1996-07-01')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                       THEN rev4 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev4) AS DOUBLE), 4) AS promo_pct,
+           ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END)
+                      AS DOUBLE) / 10000.0, 2) AS promo_revenue,
+           ROUND(CAST(SUM(rev4) AS DOUBLE) / 10000.0, 2) AS total_revenue
+    FROM j
+    """,
+)
+def a21_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): six months of lineitems joined
+    to part, promo share of discounted revenue. The percentage is a
+    double division of two EXACT longs (both engines divide identical
+    integers, so the quotient is the identical double) — the ratio-
+    of-exact-sums pattern the flagship VWAP uses. The driver part
+    table's p_type is a plain class label, so the predicate is
+    equality ('PROMO') rather than LIKE 'PROMO%'. Scale: part is the
+    small side (broadcast under AQE); one shuffle for the join's
+    lineitem side at worst, one scalar aggregate after."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("date"))
+    )
+    rev4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
+            ).alias("_promo4"),
+            F.sum(rev4).alias("_total4"),
+        )
+    )
+    return agg.select(
+        "n_lines",
+        F.round(
+            F.lit(100.0)
+            * F.col("_promo4").cast("double")
+            / F.col("_total4").cast("double"),
+            4,
+        ).alias("promo_pct"),
+        money.scaled_round(F.col("_promo4"), 4, 2).alias("promo_revenue"),
+        money.scaled_round(F.col("_total4"), 4, 2).alias("total_revenue"),
+    )
+
+
+@register(
+    "j21_disjunctive_brackets",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                 AS DOUBLE) / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 20
+           AND p.p_size BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 30
+           AND p.p_size BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#5' AND l.l_quantity BETWEEN 20 AND 40
+           AND p.p_size BETWEEN 1 AND 35)
+    """,
+)
+def j21_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under a disjunction of
+    conjunctive brackets; the driver schema lacks p_container and
+    l_shipmode, so the brackets are brand x quantity-band x
+    size-band): the planner test is that the OR-of-ANDs must NOT
+    break the equi-join — Catalyst keys the join on partkey alone
+    and evaluates the disjunction as a post-join filter, with the
+    brand/size/quantity IN-range unions pushed to each scan where
+    derivable. One row out, exact long revenue. Scale: the part side
+    broadcasts; never a cartesian."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem")
+    rev4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 20)
+            & F.col("p_size").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 30)
+            & F.col("p_size").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("l_quantity").between(20, 40)
+            & F.col("p_size").between(1, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money.scaled_round(money.exact_sum(rev4), 4, 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "a22_nation_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+             - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) * 10
+           ) AS DOUBLE) / 10000.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def a22_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    5-table snowflake with a LIKE-filtered part dimension and a
+    two-key rollup. The driver schema has no partsupp, so supply
+    cost is the documented adaptation 0.1 x p_retailprice per unit —
+    the amount expression keeps Q9's defining form
+    (revenue - cost x quantity) and stays EXACT: both terms live in
+    the 1e-4-dollar long domain (cents x percent; cents x qty x 10),
+    so the nation-year sums hash-match DuckDB bit-for-bit. Scale:
+    part/supplier/nation broadcast (nation transitively tiny);
+    lineitem⨝orders is the one big shuffle, keyed on orderkey; the
+    final rollup shuffles ~nations x years rows."""
+    li = load(spark, sf_dir, "lineitem")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount4 = money.to_scaled("l_extendedprice", 2) * (
+        100 - money.to_scaled("l_discount", 2)
+    ) - money.to_scaled("p_retailprice", 2) * F.col("l_quantity").cast(
+        "long"
+    ) * 10
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            money.scaled_round(money.exact_sum(amount4), 4, 2).alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
