@@ -3470,3 +3470,92 @@ def a22_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+@register(
+    "g2_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS a, b.p AS b
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts co-occurring
+    in an order) — the second graph-analytics shape next to G1's
+    PageRank, and the classic test that a distributed engine avoids
+    the naive wedge explosion.
+
+    The Spark plan is the DEGREE-ORIENTED algorithm (Cohen / MR
+    triangle counting; also Suri-Vassilvitskii): orient every edge
+    from the endpoint with the smaller (degree, id) to the larger,
+    so each wedge is enumerated only at its lowest-degree apex.
+    Wedge volume drops from sum(deg^2) — quadratic in the hub degree,
+    ruinous on a skewed 100 TB graph — to O(m^1.5) regardless of
+    skew; a hub of degree d generates C(d,2) wedges unoriented but
+    only wedges among its HIGHER-ranked neighbors oriented. The
+    DuckDB oracle uses the plain a<b orientation: triangle COUNT is
+    orientation-invariant (each triangle has exactly one apex under
+    any total order), so the two plans must agree bit-for-bit —
+    which is exactly what makes the fancy plan checkable.
+
+    Scale: co-occurrence pairs are C(order_size, 2) per order
+    (bounded fan-out, never n^2); the three shuffles are the pair
+    distinct, the wedge self-join on the apex, and the closure join
+    on (v, w). The edge set is localCheckpointed once and reused by
+    degree, wedge, and closure branches."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ob = op.select(F.col("o"), F.col("p").alias("pb"))
+    e = (
+        op.join(ob, (op.o == ob.o) & (op.p < ob.pb))
+        .select(F.col("p").alias("a"), F.col("pb").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): src = lower-ranked endpoint
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("d_dst"),
+    ).localCheckpoint(eager=False)
+    w2 = oriented.select(
+        F.col("src"), F.col("dst").alias("dst2"), F.col("d_dst").alias("d2")
+    )
+    # wedge (src -> v, src -> w) with rank(v) < rank(w): closure must
+    # be the oriented edge v -> w
+    wedges = (
+        oriented.join(w2, "src")
+        .filter(
+            (F.col("d_dst") < F.col("d2"))
+            | ((F.col("d_dst") == F.col("d2")) & (F.col("dst") < F.col("dst2")))
+        )
+        .select(F.col("dst").alias("v"), F.col("dst2").alias("w"))
+    )
+    closure = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closure, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(tri)
