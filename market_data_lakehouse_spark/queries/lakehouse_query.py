@@ -369,3 +369,50 @@ def f5_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "f6_bloom_skipping",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           ROUND(value, 4) AS value
+    FROM events WHERE event_id = 555
+    """,
+)
+def f6_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-filter skipping as a hard signal (F6, the
+    point-lookup complement to f5's min/max skipping): three appends
+    land the events table hash-INTERLEAVED (event_id % 3), so every
+    file's [min, max] spans the whole key range and min/max pruning
+    provably keeps all three — asserted in-query — while the logged
+    bloom filter prunes the equality probe to exactly the one file
+    whose residue class holds the key (555 % 3 == 0). The query
+    returns the looked-up row itself; the oracle recomputes it from
+    the raw events view, so a wrong skip (the only dangerous bloom
+    failure) would hash-mismatch, not just slow down."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_bloom_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(
+        spark, lake_dir, partition_by=(), bloom_columns=("event_id",)
+    )
+    for residue in range(3):
+        tx.append(
+            ev.filter(F.col("event_id") % 3 == residue).coalesce(1)
+        )
+    # min/max is blind here: every file spans ~the full id range
+    kept_mm, total, _ = tx.prune_files({"event_id": (555, 555)})
+    assert (total, len(kept_mm)) == (3, 3), (total, kept_mm)
+    # the bloom probe must cut to the single residue-class file
+    kept, _, _ = tx.prune_files({}, equals={"event_id": 555})
+    assert len(kept) == 1, kept
+    return tx.scan_between({}, equals={"event_id": 555}).select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )

@@ -44,6 +44,55 @@ from pyspark.sql import functions as F
 
 LOG_DIR = "_txn_log"
 
+# File-level bloom filters (Delta bloom-filter-index analog). The
+# geometry is SIZED PER FILE-COLUMN from its exact distinct count:
+# m = smallest power of two >= BITS_PER_KEY * n_distinct, clamped to
+# [2^11, 2^17] bits (256 B - 16 KB of log hex). Power-of-two moduli
+# make sizing exact-after-the-fact: write-side positions are taken
+# mod the MAX geometry, and because every smaller m divides it,
+# folding a position down is plain `pos % m` — one Spark pass sizes
+# any file. ~16 bits/key at k=4 gives ~0.2 % false positives; a file
+# with more than MAX/BITS_PER_KEY (= 8192) distinct keys stores no
+# bloom at all (a saturated filter prunes nothing and wastes log
+# space) and stays conservatively kept — size files accordingly, or
+# compact() first. False positives only ever KEEP files.
+BLOOM_M_MAX = 1 << 17  # bits; collection modulus
+BLOOM_M_MIN = 1 << 11
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 4  # probe positions per value (Kirsch-Mitzenmacher)
+_BLOOM_SALT = "#bloom"
+
+
+def _bloom_hashes(value) -> list[int] | None:
+    """The K raw probe hashes for a value (mod the file's own ``m``
+    at probe time) — pure Python, but BIT-IDENTICAL to the
+    Spark-side expression in _collect_blooms (both run IEEE CRC32
+    over the UTF-8 canonical string; Spark's ``CAST(x AS STRING)``
+    equals ``str(x)`` for the str/int types blooms are restricted
+    to). None = value type not bloomable."""
+    import zlib
+
+    if isinstance(value, bool) or value is None:
+        return None
+    if not isinstance(value, (str, int)):
+        return None
+    s = str(value)
+    h1 = zlib.crc32(s.encode("utf-8"))
+    h2 = zlib.crc32((s + _BLOOM_SALT).encode("utf-8"))
+    return [h1 + i * h2 for i in range(BLOOM_K)]
+
+
+def _bloom_m_for(n_distinct: int) -> int | None:
+    """Smallest power-of-two geometry for a file's key count, or
+    None when even the max geometry would saturate."""
+    need = BLOOM_BITS_PER_KEY * max(n_distinct, 1)
+    if need > BLOOM_M_MAX:
+        return None
+    m = BLOOM_M_MIN
+    while m < need:
+        m <<= 1
+    return m
+
 
 class TransactionalLake:
     """ACID Parquet table with time-travel, CDC, schema evolution."""
@@ -55,6 +104,7 @@ class TransactionalLake:
         partition_by: tuple[str, ...] | None = ("date",),
         generated_columns: dict[str, str] | None = None,
         checkpoint_every: int = 20,
+        bloom_columns: tuple[str, ...] = (),
     ) -> None:
         """``partition_by``: layout for NEW tables. For an existing
         table the layout recorded in the commit log WINS — every
@@ -85,7 +135,18 @@ class TransactionalLake:
         built FROM the previous one (O(tail), never a full refold),
         written atomically, and purely an optimization: explicit
         time-travel and CDC still read the full log, and a missing /
-        torn checkpoint degrades to the full fold."""
+        torn checkpoint degrades to the full fold.
+
+        ``bloom_columns``: columns to build per-file bloom filters
+        for on every add-commit (Delta's bloom-filter index): the
+        point-lookup complement to min/max stats, which cannot prune
+        equality probes on high-cardinality UNSORTED columns (every
+        file's [min, max] straddles every key). A writer-side
+        setting, like Delta's table property: files written without
+        it simply have no bloom and stay conservatively kept —
+        readers need no configuration. Restricted to string/int
+        columns (canonical cross-engine string image); other types
+        are silently not bloomed."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_path = os.path.join(self.path, LOG_DIR)
@@ -105,6 +166,7 @@ class TransactionalLake:
         self._txn_cache: dict[str, int] = {}
         self._txn_cache_upto: int = -1
         self.checkpoint_every = max(0, checkpoint_every)  # 0 = disabled
+        self.bloom_columns = tuple(bloom_columns)
 
     # ------------------------------------------------------------------
     # log primitives
@@ -182,6 +244,7 @@ class TransactionalLake:
         )
         schemas: list[str] = list(cp["schemas"]) if cp else []
         stats: dict[str, dict] = dict(cp.get("stats", {})) if cp else {}
+        blooms: dict[str, dict] = dict(cp.get("blooms", {})) if cp else {}
         txn: dict[str, int] = dict(cp.get("txn", {})) if cp else {}
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
@@ -196,12 +259,14 @@ class TransactionalLake:
             if c.get("schema"):
                 schemas.append(c["schema"])
             stats.update(c.get("stats", {}))
+            blooms.update(c.get("blooms", {}))
             t = c.get("txn")
             if t:
                 txn[t["app_id"]] = max(
                     txn.get(t["app_id"], -1), t["version"]
                 )
         stats = {f: s for f, s in stats.items() if f in live}
+        blooms = {f: b for f, b in blooms.items() if f in live}
         payload = {
             "version": version,
             # commit-at-version timestamp + layout: lets timestamp
@@ -212,6 +277,7 @@ class TransactionalLake:
             "live": list(live),
             "schemas": schemas,
             "stats": stats,
+            "blooms": blooms,
             "txn": txn,
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
@@ -289,6 +355,97 @@ class TransactionalLake:
             out[rel] = {k: v for k, v in cols.items() if v is not None}
         return out
 
+    def _collect_blooms(self, rel_paths: list[str]) -> dict:
+        """Per-file bloom bitsets for ``bloom_columns``, computed by
+        ONE Spark job over exactly the just-written files: each
+        value's K probe positions (CRC32 double-hashing, identical to
+        the driver-side probe in :func:`_bloom_positions`) are
+        exploded and set-aggregated per file, so the collect moves at
+        most ``files x min(distinct x K, M)`` small ints — bounded
+        metadata, never data. On a cluster this would fold into the
+        write tasks like stats; the log format is the same either
+        way. Returns {rel: {col: {"m", "k", "hex"}}} with the bitset
+        packed as M/4 hex chars."""
+        cols = list(self.bloom_columns)
+        if not cols or not rel_paths:
+            return {}
+        paths = [os.path.join(self.path, r) for r in rel_paths]
+        try:
+            df = self.spark.read.option("basePath", self.path).parquet(*paths)
+        except Exception:
+            return {}
+        types = dict(df.dtypes)
+        cols = [
+            c
+            for c in cols
+            if types.get(c) in ("string", "int", "bigint", "smallint", "tinyint")
+        ]
+        if not cols:
+            return {}
+        out: dict[str, dict] = {}
+        fname = F.input_file_name()
+        for c in cols:
+            s = F.col(c).cast("string")
+            h1 = F.crc32(s.cast("binary"))
+            h2 = F.crc32(F.concat(s, F.lit(_BLOOM_SALT)).cast("binary"))
+            # positions mod the MAX geometry: every per-file m divides
+            # it (powers of two), so the driver folds each position to
+            # the file's sized m with a plain modulo — one pass
+            # regardless of how large each file turns out to be
+            arr = F.array(
+                *[
+                    ((h1 + F.lit(i) * h2) % BLOOM_M_MAX).cast("int")
+                    for i in range(BLOOM_K)
+                ]
+            )
+            rows = (
+                df.filter(F.col(c).isNotNull())
+                .select(
+                    fname.alias("_f"),
+                    s.alias("_v"),
+                    F.explode(arr).alias("_pos"),
+                )
+                .groupBy("_f")
+                .agg(
+                    F.collect_set("_pos").alias("_ps"),
+                    F.countDistinct("_v").alias("_nd"),
+                )
+                .collect()
+            )
+            # part-file basenames are uuid-unique, immune to the URI
+            # encoding input_file_name applies to partition dirs
+            by_base = {os.path.basename(p): p for p in rel_paths}
+            for r in rows:
+                rel = by_base.get(os.path.basename(unquote(r["_f"])))
+                if rel is None:
+                    continue
+                m = _bloom_m_for(r["_nd"])
+                if m is None:
+                    continue  # would saturate: no bloom, keep file
+                bits = 0
+                for p in r["_ps"]:
+                    bits |= 1 << (p % m)
+                out.setdefault(rel, {})[c] = {
+                    "m": m,
+                    "k": BLOOM_K,
+                    "hex": f"{bits:0{m // 4}x}",
+                }
+        return out
+
+    def _blooms_index(self) -> dict[str, dict]:
+        """rel_path -> {col: bloom} for live files, folded from the
+        latest checkpoint plus the commit tail (same shape as
+        :meth:`_stats_index`)."""
+        cp = self._latest_checkpoint()
+        idx: dict[str, dict] = dict(cp.get("blooms", {})) if cp else {}
+        upto = cp["version"] if cp else -1
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v <= upto:
+                continue
+            idx.update(self._read_commit(v).get("blooms", {}))
+        return idx
+
     def _stats_index(self) -> dict[str, dict]:
         """rel_path -> {col: [min, max]} for live files, folded from
         the latest checkpoint plus the commit tail (files removed
@@ -305,7 +462,7 @@ class TransactionalLake:
         return idx
 
     def prune_files(
-        self, bounds: dict[str, tuple]
+        self, bounds: dict[str, tuple], equals: dict | None = None
     ) -> tuple[list[str], int, list[str]]:
         """Stats-based file skipping: ``bounds`` maps column ->
         (lo, hi) CLOSED interval (either side None = unbounded). A
@@ -315,6 +472,16 @@ class TransactionalLake:
         the same ISO strings the stats store. Returns
         (kept_files, total_live_files, schemas).
 
+        ``equals`` maps column -> exact value (a point lookup). Each
+        equality is first folded into ``bounds`` as the degenerate
+        interval [v, v] — min/max skipping applies as usual — and
+        then additionally probed against the file's logged BLOOM
+        filter when one exists: a definite miss (any probe bit
+        unset) skips the file even when [min, max] straddles the key,
+        which is exactly the high-cardinality-unsorted case min/max
+        cannot help with. Bloom false positives only KEEP files —
+        never a wrong skip.
+
         PARTITION columns are not in parquet footers (they live in
         the directory name), so bounds on them prune by the
         hive-encoded path value instead — each partition dir holds
@@ -322,8 +489,19 @@ class TransactionalLake:
         String comparison is correct for ISO dates and strings;
         values that parse as numbers compare numerically (a string
         compare would put "9" after "10")."""
+        equals = equals or {}
+        bounds = {
+            **bounds,
+            **{c: (v, v) for c, v in equals.items()},
+        }
         files, schemas, _v = self._snapshot_state()
         idx = self._stats_index()
+        bloom_idx = self._blooms_index() if equals else {}
+        probes = {
+            c: h
+            for c, v in equals.items()
+            if (h := _bloom_hashes(v)) is not None
+        }
         part_bounds = {
             c: b for c, b in bounds.items() if c in self.partition_by
         }
@@ -370,20 +548,39 @@ class TransactionalLake:
                         return False
                 except TypeError:
                     continue  # incomparable bound: conservative keep
+            bl = bloom_idx.get(rel)
+            if bl:
+                for col, hashes in probes.items():
+                    b = bl.get(col)
+                    if not b or b.get("k") != BLOOM_K:
+                        continue  # foreign geometry: conservative keep
+                    m = b.get("m", 0)
+                    if not (
+                        BLOOM_M_MIN <= m <= BLOOM_M_MAX
+                        and m & (m - 1) == 0
+                    ):
+                        continue
+                    bits = int(b["hex"], 16)
+                    if any(not (bits >> (h % m)) & 1 for h in hashes):
+                        return False  # definite miss
             return True
 
         kept = [f for f in files if may_match(f)]
         return kept, len(files), schemas
 
-    def scan_between(self, bounds: dict[str, tuple]) -> DataFrame:
+    def scan_between(
+        self, bounds: dict[str, tuple], equals: dict | None = None
+    ) -> DataFrame:
         """Filtered snapshot read that skips files by LOGGED stats
         before Spark ever lists them — the log-level twin of parquet
         row-group skipping, and what makes Z-order clustering pay off
         (``optimize(zorder_by=...)`` tightens each file's min/max so
-        whole files fall out here). The residual predicate is still
+        whole files fall out here). ``equals`` adds point predicates
+        that additionally prune by per-file BLOOM filter (see
+        :meth:`prune_files`). The residual predicate is still
         applied, so the result equals ``snapshot().filter(...)``
         exactly; skipping only removes provably-unmatchable I/O."""
-        kept, _total, schemas = self.prune_files(bounds)
+        kept, _total, schemas = self.prune_files(bounds, equals=equals)
         df = self._df_for_files(kept, schemas)
         for col, (lo, hi) in bounds.items():
             c = F.col(col)
@@ -391,6 +588,8 @@ class TransactionalLake:
                 df = df.filter(c >= F.lit(lo))
             if hi is not None:
                 df = df.filter(c <= F.lit(hi))
+        for col, v in (equals or {}).items():
+            df = df.filter(F.col(col) == F.lit(v))
         return df
 
     def vacuum_log(self, retain_last: int = 0) -> int:
@@ -453,6 +652,10 @@ class TransactionalLake:
             # DML rewrite, merge, compaction, relayout) from one
             # hook; computed once, outside the version-race loop
             action = {**action, "stats": self._collect_stats(action["add"])}
+            if self.bloom_columns:
+                blooms = self._collect_blooms(action["add"])
+                if blooms:
+                    action = {**action, "blooms": blooms}
         while True:
             current = self.version
             if read_version is not None and current != read_version:
