@@ -416,3 +416,46 @@ def f6_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.scan_between({}, equals={"event_id": 555}).select(
         "event_id", "event_type", F.round("value", 4).alias("value")
     )
+
+
+@register(
+    "s12_deletion_vectors",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_id
+    FROM events WHERE NOT (event_id % 7 = 0 OR value < 0.2)
+    GROUP BY event_type
+    """,
+)
+def s12_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (S8 extension, r7):
+    two positional deletes land as commits that record only (file,
+    row-index) pairs — asserted in-query: the data-file set is
+    byte-identical before and after, so a delete that drops kilobytes
+    never rewrites gigabytes. The snapshot read applies the vectors
+    as a broadcast anti-join on ``_metadata.row_index``; the oracle
+    recomputes the surviving aggregate from the raw events view, so a
+    vector that hid the wrong row (or failed to hide the right one)
+    hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_dv_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(3))
+    before, _, _ = tx.prune_files({})
+    tx.delete_where("event_id % 7 = 0", mode="dv")
+    tx.delete_where("value < 0.2", mode="dv")
+    after, _, _ = tx.prune_files({})
+    assert sorted(before) == sorted(after), "dv delete rewrote files"
+    assert tx._snapshot_state()[3], "no deletion vectors recorded"
+    return tx.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+    )

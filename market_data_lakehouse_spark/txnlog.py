@@ -245,6 +245,9 @@ class TransactionalLake:
         schemas: list[str] = list(cp["schemas"]) if cp else []
         stats: dict[str, dict] = dict(cp.get("stats", {})) if cp else {}
         blooms: dict[str, dict] = dict(cp.get("blooms", {})) if cp else {}
+        dv: dict[str, list[int]] = (
+            {f: list(p) for f, p in cp.get("dv", {}).items()} if cp else {}
+        )
         txn: dict[str, int] = dict(cp.get("txn", {})) if cp else {}
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
@@ -256,6 +259,9 @@ class TransactionalLake:
                 live[f] = None
             for f in c.get("remove", []):
                 live.pop(f, None)
+                dv.pop(f, None)
+            for f, pos in c.get("dv", {}).items():
+                dv[f] = sorted(set(dv.get(f, [])) | set(pos))
             if c.get("schema"):
                 schemas.append(c["schema"])
             stats.update(c.get("stats", {}))
@@ -267,6 +273,7 @@ class TransactionalLake:
                 )
         stats = {f: s for f, s in stats.items() if f in live}
         blooms = {f: b for f, b in blooms.items() if f in live}
+        dv = {f: p for f, p in dv.items() if f in live}
         payload = {
             "version": version,
             # commit-at-version timestamp + layout: lets timestamp
@@ -278,6 +285,7 @@ class TransactionalLake:
             "schemas": schemas,
             "stats": stats,
             "blooms": blooms,
+            "dv": dv,
             "txn": txn,
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
@@ -464,6 +472,16 @@ class TransactionalLake:
     def prune_files(
         self, bounds: dict[str, tuple], equals: dict | None = None
     ) -> tuple[list[str], int, list[str]]:
+        """Public pruning surface — see :meth:`_pruned_state`, which
+        additionally resolves the deletion vectors from the SAME
+        state read (so ``scan_between`` never races a rewrite between
+        pruning and reading)."""
+        kept, total, schemas, _dvs = self._pruned_state(bounds, equals)
+        return kept, total, schemas
+
+    def _pruned_state(
+        self, bounds: dict[str, tuple], equals: dict | None = None
+    ) -> tuple[list[str], int, list[str], dict[str, list[int]]]:
         """Stats-based file skipping: ``bounds`` maps column ->
         (lo, hi) CLOSED interval (either side None = unbounded). A
         file is skipped only when its logged [min, max] provably
@@ -494,7 +512,7 @@ class TransactionalLake:
             **bounds,
             **{c: (v, v) for c, v in equals.items()},
         }
-        files, schemas, _v = self._snapshot_state()
+        files, schemas, _v, dvs = self._snapshot_state()
         idx = self._stats_index()
         bloom_idx = self._blooms_index() if equals else {}
         probes = {
@@ -566,7 +584,7 @@ class TransactionalLake:
             return True
 
         kept = [f for f in files if may_match(f)]
-        return kept, len(files), schemas
+        return kept, len(files), schemas, dvs
 
     def scan_between(
         self, bounds: dict[str, tuple], equals: dict | None = None
@@ -580,8 +598,8 @@ class TransactionalLake:
         :meth:`prune_files`). The residual predicate is still
         applied, so the result equals ``snapshot().filter(...)``
         exactly; skipping only removes provably-unmatchable I/O."""
-        kept, _total, schemas = self.prune_files(bounds, equals=equals)
-        df = self._df_for_files(kept, schemas)
+        kept, _total, schemas, dvs = self._pruned_state(bounds, equals)
+        df = self._df_for_files(kept, schemas, dvs=dvs)
         for col, (lo, hi) in bounds.items():
             c = F.col(col)
             if lo is not None:
@@ -729,13 +747,19 @@ class TransactionalLake:
 
     def _snapshot_state(
         self, version: int | None = None, timestamp: str | None = None
-    ) -> tuple[list[str], list[str], int]:
-        """(live files, schema-json history, resolved version).
+    ) -> tuple[list[str], list[str], int, dict[str, list[int]]]:
+        """(live files, schema-json history, resolved version,
+        deletion vectors {rel: sorted row positions}).
 
         Head reads (no version/timestamp) start from the latest
         checkpoint and fold only the commit tail; explicit
         time-travel takes the full-log path (it may target a version
-        BEFORE the checkpoint)."""
+        BEFORE the checkpoint).
+
+        DV fold rules: a ``dv`` commit unions positions into its
+        file's vector; removing a file drops its vector (the rewrite
+        that removed it materialized the surviving rows, or the file
+        left the table entirely)."""
         if timestamp is not None:
             if isinstance(timestamp, str):
                 dt = datetime.fromisoformat(timestamp)
@@ -749,6 +773,7 @@ class TransactionalLake:
                 ts = float(timestamp)
         live: dict[str, None] = {}
         schemas: list[str] = []
+        dvs: dict[str, list[int]] = {}
         resolved = -1
         # newest checkpoint not past the target: head reads take the
         # newest overall; version/timestamp travel takes the newest at
@@ -762,6 +787,7 @@ class TransactionalLake:
         if cp is not None:
             live = dict.fromkeys(cp["live"])
             schemas = list(cp["schemas"])
+            dvs = {f: list(p) for f, p in cp.get("dv", {}).items()}
             resolved = cp["version"]
         else:
             # no checkpoint at or before the target: the full-log fold
@@ -791,6 +817,9 @@ class TransactionalLake:
                 live[f] = None
             for f in c.get("remove", []):
                 live.pop(f, None)
+                dvs.pop(f, None)
+            for f, pos in c.get("dv", {}).items():
+                dvs[f] = sorted(set(dvs.get(f, [])) | set(pos))
             if c.get("schema"):
                 schemas.append(c["schema"])
             resolved = c["version"]
@@ -798,7 +827,8 @@ class TransactionalLake:
             raise ValueError(
                 f"version {version} does not exist (latest: {resolved})"
             )
-        return list(live), schemas, resolved
+        dvs = {f: p for f, p in dvs.items() if f in live}
+        return list(live), schemas, resolved, dvs
 
     # ------------------------------------------------------------------
     # writes
@@ -947,7 +977,7 @@ class TransactionalLake:
         if schemas is None:
             if self.version < 0:
                 return
-            _files, schemas, _v = self._snapshot_state()
+            _files, schemas, _v, _dvs = self._snapshot_state()
         if not schemas:
             return
         # Schema enforcement: new columns require merge_schema=True
@@ -1211,7 +1241,7 @@ class TransactionalLake:
     def overwrite(self, df: DataFrame) -> int:
         """Atomic full-table replace: one commit adds the new files
         and removes every previously-live file."""
-        old, _schemas, read_v = self._snapshot_state()
+        old, _schemas, read_v, _dvs = self._snapshot_state()
         df = self._apply_generated(df)
         added, _ = self._checked_write(df, "overwrite")
         return self._commit(
@@ -1258,11 +1288,24 @@ class TransactionalLake:
             ]
         )
 
-    def delete_where(self, predicate: str) -> int:
-        """Copy-on-write delete (Delta DELETE semantics): rewrite ONLY
-        the files containing a matching row, minus those rows; files
-        with no match are untouched — a delete hitting 0.1% of files
-        costs 0.1% of a full rewrite.
+    def delete_where(self, predicate: str, mode: str = "rewrite") -> int:
+        """DELETE with a choice of physical strategy.
+
+        ``mode="rewrite"`` — copy-on-write (Delta DELETE semantics):
+        rewrite ONLY the files containing a matching row, minus those
+        rows; files with no match are untouched — a delete hitting
+        0.1% of files costs 0.1% of a full rewrite.
+
+        ``mode="dv"`` — merge-on-read via DELETION VECTORS (Delta DV /
+        Iceberg positional-delete semantics): the commit records only
+        the (file, row position) pairs of matched rows; no data file
+        is touched. Delete cost is O(matched rows) regardless of file
+        sizes — the right strategy when deletes are small and scattered
+        across huge files, where copy-on-write rewrites gigabytes to
+        drop kilobytes. Readers apply vectors as a broadcast anti-join
+        on ``_metadata.row_index``; ``optimize()`` materializes them
+        away (its rewrite drops deleted rows and removing the old
+        files drops their vectors).
 
         The state is resolved ONCE and both the rewrite input and the
         remove-list derive from that same file list — resolving twice
@@ -1270,7 +1313,11 @@ class TransactionalLake:
         optimistic-concurrency check while its rows are dropped.
         NULL predicates keep the row (SQL DELETE removes only
         provably-true matches)."""
-        old, schemas, read_v = self._snapshot_state()
+        if mode == "dv":
+            return self._delete_where_dv(predicate)
+        if mode != "rewrite":
+            raise ValueError(f"unknown delete mode: {mode!r}")
+        old, schemas, read_v, dvs = self._snapshot_state()
         if not old:
             # live-file set empty (e.g. everything already deleted):
             # nothing can match — no-op commit, not a metadata error
@@ -1279,7 +1326,7 @@ class TransactionalLake:
                  "remove": []},
                 read_version=read_v,
             )
-        snap = self._df_for_files(old, schemas)
+        snap = self._df_for_files(old, schemas, dvs=dvs)
         match = F.coalesce(F.expr(predicate), F.lit(False))
         affected = self._affected_files(snap, match)
         if not affected:
@@ -1292,12 +1339,86 @@ class TransactionalLake:
         # only later files carry must see it (null-filled) on
         # pre-evolution files too, not raise UNRESOLVED_COLUMN
         kept = self._conform(
-            self._df_for_files(affected, schemas), schemas
+            self._df_for_files(affected, schemas, dvs=dvs), schemas
         ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         added = self._write_files(kept)
         return self._commit(
             {"op": "delete", "predicate": predicate, "add": added,
              "remove": affected},
+            read_version=read_v,
+        )
+
+    def _delete_where_dv(self, predicate: str) -> int:
+        """Positional delete: resolve the matched VISIBLE rows'
+        (file, row-index) pairs with one job and commit them as this
+        delete's vector. The collect moves row positions (bounded by
+        the number of deleted rows), never row data — the same class
+        of metadata collect as the commit log itself; a cluster
+        deployment would write roaring bitmaps to sidecar files from
+        the executors (Delta's DV format) with an identical log
+        protocol."""
+        old, schemas, read_v, dvs = self._snapshot_state()
+        action_base = {"op": "delete_dv", "predicate": predicate}
+        if not old:
+            return self._commit({**action_base, "dv": {}},
+                                read_version=read_v)
+        raw = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, f) for f in old])
+        )
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        raw = raw.withColumn("_row_file", fname).withColumn(
+            "_row_pos", F.col("_metadata.row_index")
+        )
+        if dvs:
+            pairs = [
+                (os.path.basename(rel), int(p))
+                for rel, ps in dvs.items()
+                for p in ps
+            ]
+            dv_df = self.spark.createDataFrame(
+                pairs, "_dv_file string, _dv_pos bigint"
+            )
+            raw = raw.join(
+                F.broadcast(dv_df),
+                (F.col("_row_file") == F.col("_dv_file"))
+                & (F.col("_row_pos") == F.col("_dv_pos")),
+                "left_anti",
+            )
+        # null-fill evolved columns WITHOUT _conform's strict select
+        # (it would drop the position columns the whole scan is for)
+        if schemas:
+            from pyspark.sql.types import StructField, StructType
+
+            for fld in json.loads(schemas[-1])["fields"]:
+                if fld["name"] not in raw.columns:
+                    raw = raw.withColumn(
+                        fld["name"],
+                        F.lit(None).cast(
+                            StructType([StructField.fromJson(fld)])
+                            .fields[0]
+                            .dataType
+                        ),
+                    )
+        hits = (
+            raw.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select("_row_file", "_row_pos")
+            .collect()
+        )
+        if not hits:
+            return self._commit({**action_base, "dv": {}},
+                                read_version=read_v)
+        by_base = {os.path.basename(f): f for f in old}
+        new_dv: dict[str, list[int]] = {}
+        for r in hits:
+            rel = by_base.get(r["_row_file"])
+            if rel is None:  # pragma: no cover - basenames are uuids
+                raise RuntimeError(f"unknown file in DV scan: {r}")
+            new_dv.setdefault(rel, []).append(int(r["_row_pos"]))
+        return self._commit(
+            {**action_base,
+             "dv": {f: sorted(p) for f, p in new_dv.items()}},
             read_version=read_v,
         )
 
@@ -1310,14 +1431,14 @@ class TransactionalLake:
 
         ``update_where("symbol = 'AAPL'", {"price": "price * 2"})``
         """
-        old, schemas, read_v = self._snapshot_state()
+        old, schemas, read_v, dvs = self._snapshot_state()
         if not old:
             return self._commit(
                 {"op": "update", "predicate": predicate, "add": [],
                  "remove": []},
                 read_version=read_v,
             )
-        snap = self._df_for_files(old, schemas)
+        snap = self._df_for_files(old, schemas, dvs=dvs)
         # validate against the FULL table schema: a legitimately
         # evolved column is assignable even when no affected file
         # happens to carry it physically
@@ -1335,7 +1456,7 @@ class TransactionalLake:
         # conform before predicate/assignment evaluation (see
         # delete_where) so evolved columns resolve on every file
         aff_df = self._conform(
-            self._df_for_files(affected, schemas), schemas
+            self._df_for_files(affected, schemas, dvs=dvs), schemas
         )
         rewritten = aff_df.select(
             *[
@@ -1424,7 +1545,7 @@ class TransactionalLake:
                     "nondeterministic (pass validate_keys=False to skip "
                     "this check)"
                 )
-        old, schemas, read_v = self._snapshot_state()
+        old, schemas, read_v, dvs = self._snapshot_state()
         # schema enforcement applies even when the table is currently
         # EMPTY of files (e.g. fully deleted): the committed schema
         # survives and a merge must not silently replace or NARROW it
@@ -1460,7 +1581,7 @@ class TransactionalLake:
                 {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v,
             )
-        snap = self._df_for_files(old, schemas)
+        snap = self._df_for_files(old, schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
         # shuffle), a bulk-backfill's keys do not (AQE chooses) —
         # forcing the hint on a huge source OOMs the executors. The
@@ -1489,7 +1610,7 @@ class TransactionalLake:
         )
         parts: list[DataFrame] = []
         aff_df = (
-            self._conform(self._df_for_files(affected, schemas), schemas)
+            self._conform(self._df_for_files(affected, schemas, dvs=dvs), schemas)
             if affected
             else None
         )
@@ -1590,12 +1711,21 @@ class TransactionalLake:
     ) -> DataFrame:
         """Table state as of a version/timestamp (time-travel,
         reference README.md:28, 136). Default: latest."""
-        files, schemas, _v = self._snapshot_state(version, timestamp)
-        return self._df_for_files(files, schemas)
+        files, schemas, _v, dvs = self._snapshot_state(version, timestamp)
+        return self._df_for_files(files, schemas, dvs=dvs)
 
-    def _df_for_files(self, files: list[str], schemas: list[str]) -> DataFrame:
+    def _df_for_files(
+        self,
+        files: list[str],
+        schemas: list[str],
+        dvs: dict[str, list[int]] | None = None,
+    ) -> DataFrame:
         """DataFrame over an explicit live-file list (so callers that
-        also need the file list for a commit resolve state once)."""
+        also need the file list for a commit resolve state once).
+        ``dvs`` applies deletion vectors: rows at the given positions
+        of the given files are filtered out via a broadcast anti-join
+        on (file basename, ``_metadata.row_index``) — merge-on-read,
+        no data rewritten."""
         if not files:
             if schemas:
                 from pyspark.sql.types import StructType
@@ -1604,11 +1734,39 @@ class TransactionalLake:
                     [], StructType.fromJson(json.loads(schemas[-1]))
                 )
             raise ValueError("empty table: no commits")
-        return (
+        df = (
             self.spark.read.option("basePath", self.path)
             .option("mergeSchema", "true")
             .parquet(*[os.path.join(self.path, f) for f in files])
         )
+        if dvs:
+            keep = set(files)
+            pairs = [
+                (os.path.basename(rel), int(p))
+                for rel, ps in dvs.items()
+                if rel in keep
+                for p in ps
+            ]
+            if pairs:
+                cols = df.columns
+                dv_df = self.spark.createDataFrame(
+                    pairs, "_dv_file string, _dv_pos bigint"
+                )
+                fname = F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                )
+                df = (
+                    df.withColumn("_row_file", fname)
+                    .withColumn("_row_pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(dv_df),
+                        (F.col("_row_file") == F.col("_dv_file"))
+                        & (F.col("_row_pos") == F.col("_dv_pos")),
+                        "left_anti",
+                    )
+                    .select(*cols)
+                )
+        return df
 
     def read_changes(self, starting_version: int = 0) -> DataFrame:
         """CDC feed (reference README.md:174 / Delta CDF): rows added
@@ -1627,25 +1785,96 @@ class TransactionalLake:
                     f"CDC from v{starting_version} predates log "
                     f"retention (oldest retained commit: v{oldest})"
                 )
+        def _with_pos(paths: list[str]) -> DataFrame:
+            df = (
+                self.spark.read.option("basePath", self.path)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, f) for f in paths])
+            )
+            fname = F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            )
+            return df.withColumn("_row_file", fname).withColumn(
+                "_row_pos", F.col("_metadata.row_index")
+            )
+
+        def _pair_df(dv: dict[str, list[int]]) -> DataFrame:
+            pairs = [
+                (os.path.basename(rel), int(p))
+                for rel, ps in dv.items()
+                for p in ps
+            ]
+            return self.spark.createDataFrame(
+                pairs, "_dv_file string, _dv_pos bigint"
+            )
+
+        def _pair_join(df: DataFrame, dv, how: str) -> DataFrame:
+            return df.join(
+                F.broadcast(_pair_df(dv)),
+                (F.col("_row_file") == F.col("_dv_file"))
+                & (F.col("_row_pos") == F.col("_dv_pos")),
+                how,
+            )
+
+        # running DV state (as of each commit's PREDECESSOR), so a
+        # rewrite's remove-emission never re-deletes rows a deletion
+        # vector already deleted; seeded from the newest checkpoint
+        # below the oldest retained commit in case early dv commits
+        # were vacuumed
+        names = self._commit_files()
+        run_dv: dict[str, list[int]] = {}
+        if names:
+            cp0 = self._latest_checkpoint(
+                max_version=int(names[0].split(".")[0]) - 1
+            )
+            if cp0:
+                run_dv = {f: list(p) for f, p in cp0.get("dv", {}).items()}
         out: DataFrame | None = None
-        for name in self._commit_files():
+        for name in names:
             v = int(name.split(".")[0])
-            if v < starting_version:
-                continue
             c = self._read_commit(v)
-            for key, change in (("add", "insert"), ("remove", "delete")):
-                paths = c.get(key, [])
-                if not paths:
-                    continue
-                if c["op"] in ("compact", "set_partitioning"):
-                    continue  # layout maintenance moves bytes, not rows
-                df = (
-                    self.spark.read.option("basePath", self.path)
-                    .option("mergeSchema", "true")
-                    .parquet(*[os.path.join(self.path, f) for f in paths])
-                    .withColumn("_change_type", F.lit(change))
-                    .withColumn("_commit_version", F.lit(v))
-                )
+            emit: list[DataFrame] = []
+            if v >= starting_version and c["op"] not in (
+                "compact",
+                "set_partitioning",
+            ):
+                for key, change in (("add", "insert"), ("remove", "delete")):
+                    paths = c.get(key, [])
+                    if not paths:
+                        continue
+                    prior = {f: p for f, p in run_dv.items() if f in paths}
+                    if change == "delete" and prior:
+                        df = _pair_join(
+                            _with_pos(paths), prior, "left_anti"
+                        ).drop("_row_file", "_row_pos")
+                    else:
+                        df = (
+                            self.spark.read.option("basePath", self.path)
+                            .option("mergeSchema", "true")
+                            .parquet(
+                                *[os.path.join(self.path, f) for f in paths]
+                            )
+                        )
+                    emit.append(
+                        df.withColumn("_change_type", F.lit(change))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+                if c.get("dv"):
+                    # positional delete: emit exactly this commit's
+                    # newly-deleted rows
+                    emit.append(
+                        _pair_join(
+                            _with_pos(list(c["dv"])), c["dv"], "left_semi"
+                        )
+                        .drop("_row_file", "_row_pos")
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+            for f in c.get("remove", []):
+                run_dv.pop(f, None)
+            for f, pos in c.get("dv", {}).items():
+                run_dv[f] = sorted(set(run_dv.get(f, [])) | set(pos))
+            for df in emit:
                 out = df if out is None else out.unionByName(
                     df, allowMissingColumns=True
                 )
@@ -1656,7 +1885,7 @@ class TransactionalLake:
             # compactions): an empty CDC frame, not an error — a
             # consumer polling from its last-seen version must not
             # crash on maintenance-only activity
-            files, schemas, _v = self._snapshot_state()
+            files, schemas, _v, _dvs = self._snapshot_state()
             base = self._df_for_files(files, schemas)
             return (
                 base.limit(0)
@@ -1729,8 +1958,8 @@ class TransactionalLake:
         the file set. Readers of the old snapshot are unaffected;
         time-travel to pre-compaction versions still works until
         vacuum."""
-        old, schemas, read_v = self._snapshot_state()
-        snap = self._df_for_files(old, schemas)
+        old, schemas, read_v, dvs = self._snapshot_state()
+        snap = self._df_for_files(old, schemas, dvs=dvs)
         n = max(1, files_per_partition)
         parts = [F.col(c) for c in self.partition_by]
         bucket = F.pmod(F.xxhash64(*(zorder_by or snap.columns)), F.lit(n))
@@ -1774,7 +2003,7 @@ class TransactionalLake:
         A concurrent writer's files sit unreferenced in the table
         root between staging and commit — a zero-retention vacuum
         would delete them out from under the in-flight commit."""
-        live, _schemas, _v = self._snapshot_state()
+        live, _schemas, _v, _dvs = self._snapshot_state()
         live_set = set(live)
         cutoff = time.time() - retention_seconds
         removed = 0
@@ -1823,12 +2052,21 @@ class TransactionalLake:
         needs was already vacuum()ed (Delta's contract: RESTORE fails
         rather than resurrecting a hole), and the usual concurrent-
         commit error if the table advances mid-restore."""
-        target_files, target_schemas, target_v = self._snapshot_state(
+        target_files, target_schemas, target_v, target_dvs = self._snapshot_state(
             version, timestamp
         )
-        cur_files, _schemas, read_v = self._snapshot_state()
+        cur_files, _schemas, read_v, cur_dvs = self._snapshot_state()
         if target_v == read_v:
             return read_v
+        if target_dvs or cur_dvs:
+            # a restore commit re-adds/removes FILES; reconciling the
+            # two versions' deletion vectors through that file-level
+            # diff (and emitting a correct CDC net change for it) is
+            # not supported — materialize the vectors first
+            raise ValueError(
+                "restore with active deletion vectors is not supported: "
+                "run optimize() to materialize them, then restore"
+            )
         missing = [
             f
             for f in target_files
@@ -1950,8 +2188,8 @@ class TransactionalLake:
             raise ValueError(f"unknown partition columns: {unknown}")
         if new == self.partition_by:
             return self.version
-        old, schemas, read_v = self._snapshot_state()
-        snap = self._df_for_files(old, schemas)
+        old, schemas, read_v, dvs = self._snapshot_state()
+        snap = self._df_for_files(old, schemas, dvs=dvs)
         prev = self.partition_by
         self.partition_by = new
         # rollback covers the COMMIT too: if a concurrent writer wins

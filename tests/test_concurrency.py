@@ -100,7 +100,7 @@ class TestReadModifyWriteConflicts:
 
         # deterministic interleave: resolve state, then let the other
         # writer commit, then try to commit the overwrite
-        old, _schemas, read_v = lake._snapshot_state()
+        old, _schemas, read_v, _dv = lake._snapshot_state()
         other.append(_df(spark, 1, 0))
         added = lake._write_files(_df(spark, 2, 0))
         with pytest.raises(RuntimeError, match="concurrent commit"):

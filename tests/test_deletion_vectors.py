@@ -1,0 +1,205 @@
+"""Deletion vectors: merge-on-read DELETE (Delta DV / Iceberg
+positional-delete semantics).
+
+The invariant that matters: for ANY interleaving of appends, dv
+deletes, rewrite deletes, updates, optimize and checkpoints, every
+read surface (snapshot, time-travel, scan_between, CDC) must equal
+what the copy-on-write path would have produced — vectors change the
+physical strategy, never the answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("sym"),
+        (F.col("id") * 1.5).alias("price"),
+    )
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return TransactionalLake(spark, str(tmp_path / "dv"), partition_by=())
+
+
+def _ids(df):
+    return sorted(r.k for r in df.select("k").collect())
+
+
+class TestDvDelete:
+    def test_dv_delete_filters_without_rewrite(self, spark, lake):
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        files_before, _, _ = lake.prune_files({})
+        lake.delete_where("k >= 7", mode="dv")
+        files_after, _, _ = lake.prune_files({})
+        # merge-on-read: the file set is untouched
+        assert sorted(files_before) == sorted(files_after)
+        assert _ids(lake.snapshot()) == [0, 1, 2, 3, 4, 5, 6]
+
+    def test_dv_accumulates_across_commits(self, spark, lake):
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        lake.delete_where("k = 3", mode="dv")
+        lake.delete_where("k = 5", mode="dv")
+        assert _ids(lake.snapshot()) == [0, 1, 2, 4, 6, 7, 8, 9]
+
+    def test_dv_time_travel(self, spark, lake):
+        lake.append(_rows(spark, 0, 6).coalesce(1))  # v0
+        lake.delete_where("k < 2", mode="dv")  # v1
+        lake.delete_where("k = 4", mode="dv")  # v2
+        assert _ids(lake.snapshot(version=0)) == [0, 1, 2, 3, 4, 5]
+        assert _ids(lake.snapshot(version=1)) == [2, 3, 4, 5]
+        assert _ids(lake.snapshot(version=2)) == [2, 3, 5]
+
+    def test_dv_then_rewrite_delete(self, spark, lake):
+        """A later copy-on-write delete must not resurrect dv-deleted
+        rows (the rewrite input is dv-filtered) and drops the file's
+        vector with the file."""
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        lake.delete_where("k = 2", mode="dv")
+        lake.delete_where("k >= 8")  # rewrite mode
+        assert _ids(lake.snapshot()) == [0, 1, 3, 4, 5, 6, 7]
+        # vector went with the rewritten file
+        assert lake._snapshot_state()[3] == {}
+
+    def test_dv_matching_already_deleted_is_noop(self, spark, lake):
+        lake.append(_rows(spark, 0, 5).coalesce(1))
+        v1 = lake.delete_where("k = 1", mode="dv")
+        v2 = lake.delete_where("k = 1", mode="dv")  # already gone
+        assert v2 == v1 + 1  # still a commit (predicate recorded)
+        assert _ids(lake.snapshot()) == [0, 2, 3, 4]
+
+    def test_dv_update_sees_visible_rows_only(self, spark, lake):
+        lake.append(_rows(spark, 0, 4).coalesce(1))
+        lake.delete_where("k = 1", mode="dv")
+        lake.update_where("k >= 0", {"price": "price * 0"})
+        got = lake.snapshot().select("k", "price").collect()
+        assert sorted((r.k, r.price) for r in got) == [
+            (0, 0.0), (2, 0.0), (3, 0.0),
+        ]
+
+    def test_optimize_materializes_vectors(self, spark, lake):
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        lake.delete_where("k % 2 = 1", mode="dv")
+        lake.optimize()
+        assert lake._snapshot_state()[3] == {}  # vectors gone
+        assert _ids(lake.snapshot()) == [0, 2, 4, 6, 8]
+
+    def test_scan_between_applies_vectors(self, spark, lake):
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        lake.delete_where("k = 4", mode="dv")
+        got = _ids(lake.scan_between({"k": (2, 6)}))
+        assert got == [2, 3, 5, 6]
+
+    def test_restore_refuses_active_vectors(self, spark, lake):
+        lake.append(_rows(spark, 0, 5).coalesce(1))
+        lake.delete_where("k = 0", mode="dv")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            lake.restore(version=0)
+        # after materializing, restore works again
+        lake.optimize()
+        lake.restore(version=0)
+        assert _ids(lake.snapshot()) == [0, 1, 2, 3, 4]
+
+
+class TestDvCdc:
+    def test_dv_commit_emits_exact_deletes(self, spark, lake):
+        lake.append(_rows(spark, 0, 6).coalesce(1))
+        v = lake.delete_where("k in (1, 4)", mode="dv")
+        ch = lake.read_changes(v).filter(F.col("_change_type") == "delete")
+        assert sorted(r.k for r in ch.collect()) == [1, 4]
+
+    def test_rewrite_after_dv_does_not_double_delete(self, spark, lake):
+        """The CDC contract the MV fold depends on: net change per
+        row is exact. dv-deletes k=1; a later rewrite-delete of k=3
+        must NOT re-emit k=1 as deleted (it already left the table)."""
+        lake.append(_rows(spark, 0, 5).coalesce(1))
+        lake.delete_where("k = 1", mode="dv")
+        lake.delete_where("k = 3")  # rewrite of the whole file
+        ch = lake.read_changes(0)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        net = (
+            ch.groupBy("k")
+            .agg(F.sum(sign).alias("n"))
+            .collect()
+        )
+        net_by_k = {r.k: r.n for r in net}
+        assert net_by_k == {0: 1, 1: 0, 2: 1, 3: 0, 4: 1}
+
+    def test_incremental_mv_over_dv_deletes(self, spark, lake, tmp_path):
+        """End-to-end consumer check: the incremental aggregate view
+        folds dv-deletes exactly like rewrites."""
+        from market_data_lakehouse_spark.mv import IncrementalAggView
+
+        mv = IncrementalAggView(
+            spark,
+            lake,
+            str(tmp_path / "mv"),
+            group_by=["sym"],
+            sum_cols=["price"],
+        )
+        lake.append(_rows(spark, 0, 12).coalesce(1))
+        mv.refresh()
+        lake.delete_where("k % 3 = 0", mode="dv")
+        mv.refresh()
+        got = {
+            r.sym: (r.n_rows, round(r.sum_price, 4))
+            for r in mv.view().collect()
+        }
+        want = {
+            r.sym: (r.n, round(r.s, 4))
+            for r in lake.snapshot()
+            .groupBy("sym")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("price").alias("s"))
+            .collect()
+        }
+        assert got == want
+
+
+class TestDvLifecycle:
+    def test_vectors_fold_through_checkpoint_and_vacuum(
+        self, spark, tmp_path
+    ):
+        lake = TransactionalLake(
+            spark,
+            str(tmp_path / "cp"),
+            partition_by=(),
+            checkpoint_every=2,
+        )
+        lake.append(_rows(spark, 0, 8).coalesce(1))  # v0
+        lake.delete_where("k = 1", mode="dv")  # v1
+        lake.delete_where("k = 2", mode="dv")  # v2 -> checkpoint
+        lake.append(_rows(spark, 8, 10).coalesce(1))  # v3
+        assert lake.vacuum_log() > 0
+        assert _ids(lake.snapshot()) == [0, 3, 4, 5, 6, 7, 8, 9]
+
+    def test_cdc_dv_state_survives_vacuum(self, spark, tmp_path):
+        """After vacuum_log removes the dv commits, a rewrite's
+        remove-emission still must not re-delete those rows — the
+        running dv state seeds from the checkpoint."""
+        lake = TransactionalLake(
+            spark,
+            str(tmp_path / "cdc"),
+            partition_by=(),
+            checkpoint_every=2,
+        )
+        lake.append(_rows(spark, 0, 5).coalesce(1))  # v0
+        lake.delete_where("k = 1", mode="dv")  # v1
+        lake.delete_where("k = 2", mode="dv")  # v2 -> checkpoint
+        lake.vacuum_log()
+        v3 = lake.delete_where("k = 3")  # rewrite
+        ch = lake.read_changes(v3)
+        deleted = sorted(
+            r.k
+            for r in ch.filter(
+                F.col("_change_type") == "delete"
+            ).collect()
+        )
+        assert 1 not in deleted and 2 not in deleted
+        assert 3 in deleted

@@ -767,7 +767,7 @@ class TestAutoCompaction:
         assert lake.snapshot().count() == 8
         ops = [h["op"] for h in lake.history()]
         assert ops.count("compact") >= 2  # batches 3 and 6 triggered
-        live, _s, _v = lake._snapshot_state()
+        live, _s, _v, _dv = lake._snapshot_state()
         # compaction keeps the live-file count bounded: far fewer than
         # one file per batch survives
         assert len(live) < 8

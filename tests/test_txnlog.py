@@ -425,7 +425,7 @@ class TestMaintenance:
         # old version still readable (files not vacuumed yet)
         assert lake.snapshot(version=v - 1).count() == 4
         # fewer live files after compaction
-        live, _s, _v = lake._snapshot_state()
+        live, _s, _v, _dv = lake._snapshot_state()
         assert len(live) == 1
 
     def test_vacuum_removes_dead_files(self, spark, lake):
@@ -822,7 +822,7 @@ class TestCompactDelegation:
             150.0, 151.0, 152.0, 153.0,
         ]
         assert fresh.snapshot().count() == 4
-        live, _s, _v = fresh._snapshot_state()
+        live, _s, _v, _dv = fresh._snapshot_state()
         assert len(live) == 1  # actually compacted
 
     def test_csv_lake_with_txn_log_refuses(self, spark, tmp_path):
@@ -870,7 +870,7 @@ class TestLogCheckpoints:
 
         TransactionalLake._read_commit = spy  # type: ignore[method-assign]
         try:
-            files, _schemas, v = fresh._snapshot_state()
+            files, _schemas, v, _dv = fresh._snapshot_state()
         finally:
             TransactionalLake._read_commit = orig  # type: ignore[method-assign]
         assert v == 11
