@@ -63,39 +63,44 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # for the r7 window alongside the rows-only set).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) code-changed re-checks — 7
-    "s8_txn_time_travel",    # txnlog append -> _checked_write fold
-    "s8_merge_upsert",       # merge over appended (observe-fold) state
-    "lakehouse_roundtrip",   # DataLakehouse ingest path end-to-end
-    "e3_pq_recall",          # _pq_train deterministic fallback
-    # (e3_pq_knn is executed INSIDE e3_pq_recall's harness — its own
-    # slot went to f5_stats_skipping below)
-    "e3_ivfpq_recall",       # n_probe 3 -> 4 recall lift
-    "e3_ivfpq_knn",
-    # (b) the complete two-round-stale cohort (last run r3) — 37
-    "e2_ngram_jaccard", "e2_dedup_clusters", "s2_csv_roundtrip",
-    "e5_frame_sample", "e5_media_features", "v2_quality_stage",
-    "s1_scan_project", "a4_pricing_summary", "j6_asof_bucketed",
-    "w5_gap_fill", "w6_sessionize", "j9_multiway_topk",
-    "x7_string_funcs", "x7_date_funcs", "x7_math_funcs",
-    "x7_json_extract", "x7_map_funcs", "x7_array_ops",
-    "x7_regexp_funcs", "a8_grouping_sets", "a10_pivot", "a11_unpivot",
-    "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
-    "e3_knn_bruteforce", "e3_label_centroid_sim", "e1_exact_dedup",
-    "e1_dedup_by_hash", "e4_token_stats", "e4_lang_id",
-    "e4_quality_score", "e4_bpe_token_count", "e4_tfidf",
-    "e4_fingerprint", "e4_pii_redaction", "e4_ngram_freq",
-    # (c) new-this-round oracle entries — 6 (these outrank refreshing
-    # already-green r4 rows: a new entry has NO driver signal yet,
-    # while the r4 cohort keeps its green credit and is first in line
-    # for the r7 window)
-    "t11_incremental_mv",    # NEW r6: CDC-driven incremental agg view
-    "f5_stats_skipping",     # NEW r6: stats-in-log file skipping
-    "j17_waiting_suppliers",  # NEW r6: Q21 exists+not-exists shape
-    "a17_returned_revenue",   # NEW r6: Q10 wide-groupBy top-20
-    "j18_supplier_part_counts",  # NEW r6: Q16 NOT IN + count-distinct
-    "j19_idle_customers",     # NEW r6: Q22 scalar-avg + anti-join
-    "e6_domain_quota",        # NEW r6: per-source quota sampling
+    # (a) NEW r7 entries (no driver signal yet) — 9
+    "s12_deletion_vectors",   # merge-on-read DELETE (dv commits)
+    "f6_bloom_skipping",      # per-file bloom point-lookup skipping
+    "g2_triangle_count",      # degree-oriented triangle counting
+    "a19_forecast_revenue",   # TPC-H Q6
+    "a20_priority_shipping",  # TPC-H Q12 shape
+    "a21_promo_revenue",      # TPC-H Q14
+    "j21_disjunctive_brackets",  # TPC-H Q19 shape
+    "a22_nation_profit",      # TPC-H Q9 shape
+    "e4_position_chunks",     # declarative fixed-stride chunker
+    # (b) oracle upgrades + code-changed re-checks — 6
+    "a7_approx_distinct",     # r7: bounded-error oracle (was rows-only)
+    "a9_percentile_approx",   # r7: bounded-error oracle (was rows-only)
+    "t11_incremental_mv",     # mv.py null-key guard + version-pinned minmax
+    "g1_pagerank",            # r7: partition-preserving checkpoints + distinct
+    "e2_minhash_lsh",         # r7: candidate-volume observations added
+    "e2_lsh_verified_jaccard",  # r7: candidate/verified observations added
+    # (c) never-driver-checked r6 additions (judge-verified only;
+    # the driver row is the contract) — 6
+    "e5_audio_decode", "v6_expectation_suite",
+    "a18_order_count_histogram", "j20_top_supplier",
+    "j6_asof_forward", "j6_asof_nearest",
+    # (d) txnlog.py was heavily reworked this round (deletion
+    # vectors, blooms, _snapshot_state shape): re-green its
+    # driver-facing surfaces — 4
+    "s8_txn_time_travel", "s8_merge_upsert", "lakehouse_roundtrip",
+    "f5_stats_skipping",
+    # (e) rows-only sketches, last driver-run r5 — 10
+    "e2_simhash", "e5_media_resize", "e3_ann_lsh", "e3_ivf_knn",
+    "e3_ann_recall", "e3_kmeans", "e3_ivf_recall", "e3_pq_knn",
+    "e2_semantic_dedup", "e4_rolling_chunks",
+    # (f) oldest stale green cohort (last run r4; the remaining 21
+    # r4 rows rotate through r8) — 15
+    "s2_json_roundtrip", "s3_orc_roundtrip", "v4_anomaly_zscore",
+    "v5_drift_psi", "a2_vwap_top10", "w7_returns_vol",
+    "w8_max_drawdown", "w9_ewma", "a12_corr_matrix", "a13_funnel",
+    "j10_exists_subquery", "j11_shipping_priority",
+    "j12_regional_revenue", "a14_big_orders", "w10_rank_distributions",
 ]
 
 
