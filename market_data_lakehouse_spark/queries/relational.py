@@ -3090,7 +3090,7 @@ def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g1_pagerank",
     oracle="""
     WITH e AS (
-      SELECT DISTINCT o.o_custkey AS src, 100000 + l.l_suppkey AS dst
+      SELECT DISTINCT o.o_custkey AS src, 4000000000 + l.l_suppkey AS dst
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
     undir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -3141,7 +3141,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+            (F.lit(4000000000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )
@@ -3160,21 +3160,29 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         undir = (
-            # distinct matches the oracle's UNION semantics: if a
-            # custkey ever collides with the 100000+suppkey node
-            # space (possible at large SF), UNION ALL would
-            # double-count that edge
+            # the 4e9 supplier offset puts the two node spaces
+            # provably out of collision range at any realistic SF
+            # (TPC-H custkey = 150k x SF), so the flipped edge set is
+            # DISJOINT from e and this UNION ALL equals the oracle's
+            # UNION distinct without paying a dedup shuffle of the
+            # doubled edge table (ADVICE r6)
             e.union(
                 e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .distinct()
             .repartition(n_part, "src")
+            # pre-sort inside the checkpoint: LogicalRDD preserves
+            # outputOrdering too, so the per-iteration sort-merge
+            # joins sort only the small (node, rank) side — never the
+            # edge table (measured: re-sorting edges 5x cost more
+            # than the shuffles the partitioning saved)
+            .sortWithinPartitions("src")
             .localCheckpoint(eager=False)
         )
         deg = (
             undir.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("d"))
             .repartition(n_part, "node")
+            .sortWithinPartitions("node")
             .localCheckpoint(eager=False)
         )
     finally:
