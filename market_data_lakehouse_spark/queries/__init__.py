@@ -65,6 +65,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 _DRIVER_WINDOW = [
     # (a) NEW r7 entries (no driver signal yet) — 9
     "s12_deletion_vectors",   # merge-on-read DELETE (dv commits)
+    "s13_zero_copy_clone",    # hardlink clone + post-clone divergence
     "f6_bloom_skipping",      # per-file bloom point-lookup skipping
     "g2_triangle_count",      # degree-oriented triangle counting
     "a19_forecast_revenue",   # TPC-H Q6
@@ -100,7 +101,7 @@ _DRIVER_WINDOW = [
     "v5_drift_psi", "a2_vwap_top10", "w7_returns_vol",
     "w8_max_drawdown", "w9_ewma", "a12_corr_matrix", "a13_funnel",
     "j10_exists_subquery", "j11_shipping_priority",
-    "j12_regional_revenue", "a14_big_orders", "w10_rank_distributions",
+    "j12_regional_revenue", "a14_big_orders",
 ]
 
 

@@ -459,3 +459,43 @@ def s12_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("bigint").alias("sum_id"),
     )
+
+
+@register(
+    "s13_zero_copy_clone",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_id
+    FROM events WHERE NOT event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def s13_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone (S8 extension, r7): hardlink-clone a lake that
+    carries deletion vectors, then mutate the SOURCE after cloning —
+    the clone must keep serving the exact clone-time state (asserted
+    by the oracle recomputing it from raw events) while sharing every
+    byte written before the divergence (asserted in-query: same inode
+    count, fresh v0 history)."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"mdl_clone_{uuid.uuid4().hex[:8]}"
+    )
+    src = TransactionalLake(spark, os.path.join(root, "src"), partition_by=())
+    src.append(ev.repartition(2))
+    src.delete_where("event_id % 5 = 0", mode="dv")
+    clone = src.clone(os.path.join(root, "clone"))
+    assert clone.version == 0, "clone history must start fresh"
+    # source mutations after the clone must not leak into it
+    src.delete_where("event_id % 2 = 0", mode="dv")
+    src.append(ev.limit(10))
+    return clone.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+    )
