@@ -78,6 +78,7 @@ _DRIVER_WINDOW = [
     "a7_approx_distinct",     # r7: bounded-error oracle (was rows-only)
     "a9_percentile_approx",   # r7: bounded-error oracle (was rows-only)
     "t11_incremental_mv",     # mv.py null-key guard + version-pinned minmax
+    "t12_scd2_rebuild",       # NEW r7: SCD2 window kernel (scd.py)
     "g1_pagerank",            # r7: partition-preserving checkpoints + distinct
     "e2_minhash_lsh",         # r7: candidate-volume observations added
     "e2_lsh_verified_jaccard",  # r7: candidate/verified observations added
@@ -101,7 +102,7 @@ _DRIVER_WINDOW = [
     "v5_drift_psi", "a2_vwap_top10", "w7_returns_vol",
     "w8_max_drawdown", "w9_ewma", "a12_corr_matrix", "a13_funnel",
     "j10_exists_subquery", "j11_shipping_priority",
-    "j12_regional_revenue", "a14_big_orders",
+    "j12_regional_revenue",
 ]
 
 

@@ -499,3 +499,55 @@ def s13_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("bigint").alias("sum_id"),
     )
+
+
+@register(
+    "t12_scd2_rebuild",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+      FROM events),
+    o AS (
+      SELECT *, LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+      FROM c),
+    k AS (SELECT * FROM o WHERE prev IS DISTINCT FROM event_type),
+    f AS (
+      SELECT user_id, event_type, tsu AS valid_from,
+             LEAD(tsu) OVER
+               (PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
+      FROM k)
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM f
+    """,
+)
+def t12_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension rebuild (scd.py): each user's event_type
+    stream becomes a versioned history — consecutive re-statements
+    collapse (null-safe lag), each version closed by the next one's
+    timestamp (lead). The DuckDB oracle mirrors the same two-window
+    algebra with IS DISTINCT FROM; intervals compare as exact
+    epoch-microsecond longs. The incremental twin (scd2_apply, the
+    APPLY CHANGES pattern) is pytest-proven equivalent to this
+    rebuild over arbitrary in-order batch splits."""
+    from market_data_lakehouse_spark.scd import scd2_rebuild
+    from market_data_lakehouse_spark.schema import epoch_us
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("tsu"),
+        "event_id",
+    )
+    return scd2_rebuild(
+        ev, ["user_id"], "tsu", ["event_type"], tiebreak="event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+        "is_current",
+    )
