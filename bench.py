@@ -77,6 +77,16 @@ HEAVY = {
     "q_tpch_q21": "j17_waiting_suppliers",
     "q_asof_nearest": "j6_asof_nearest",
     "q_pagerank": "g1_pagerank",
+    # round 7: the new hard shapes — degree-oriented triangle
+    # counting (3 shuffles over the co-purchase graph), the Q9
+    # 5-table snowflake, the Q6 pure-pushdown row, the SCD2 window
+    # kernel, and the deletion-vector DELETE end-to-end (lake build
+    # + 2 dv commits + vectored read)
+    "q_triangle_count": "g2_triangle_count",
+    "q_tpch_q9": "a22_nation_profit",
+    "q_tpch_q6": "a19_forecast_revenue",
+    "q_scd2_rebuild": "t12_scd2_rebuild",
+    "q_deletion_vectors": "s12_deletion_vectors",
 }
 
 
