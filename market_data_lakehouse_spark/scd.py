@@ -85,6 +85,7 @@ def scd2_apply(
     ts_col: str,
     value_cols: list[str] | tuple[str, ...],
     tiebreak: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Fold one ordered change batch into the SCD2 dimension held by
     ``lake``. Returns the committed version.
@@ -105,9 +106,13 @@ def scd2_apply(
     keys = list(keys)
     sel = [*keys, *value_cols, ts_col] + ([tiebreak] if tiebreak else [])
     batch = batch.select(*sel)
+    if txn is not None and txn[1] <= lake.last_txn_version(txn[0]):
+        return lake.version  # replayed batch: already folded
     if lake.version < 0:
         hist = scd2_rebuild(batch, keys, ts_col, value_cols, tiebreak)
-        return lake.append(hist.drop(*( [tiebreak] if tiebreak else [] )))
+        return lake.append(
+            hist.drop(*([tiebreak] if tiebreak else [])), txn=txn
+        )
     cur = lake.snapshot().filter(F.col("is_current"))
     bkeys = batch.select(*keys).distinct()
     affected = cur.join(F.broadcast(bkeys), keys, "left_semi")
@@ -145,4 +150,4 @@ def scd2_apply(
     union = seed.unionByName(batch)
     hist = scd2_rebuild(union, keys, ts_col, value_cols, tiebreak)
     out = hist.drop(*([tiebreak] if tiebreak else []))
-    return lake.merge(out, on=[*keys, "valid_from"])
+    return lake.merge(out, on=[*keys, "valid_from"], txn=txn)

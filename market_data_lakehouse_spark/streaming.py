@@ -528,3 +528,58 @@ def streaming_max_drawdown(ticks: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_scd2(
+    stream: DataFrame,
+    lake,
+    keys: tuple[str, ...] | str,
+    ts_col: str,
+    value_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    tiebreak: str | None = None,
+    app_id: str | None = None,
+    trigger_ms: int = DEFAULT_TRIGGER_MS,
+    available_now: bool = False,
+):
+    """Streaming SCD Type-2 sink: every micro-batch of change records
+    folds into the dimension lake via
+    :func:`market_data_lakehouse_spark.scd.scd2_apply` — version rows
+    cut/closed incrementally, no-op re-statements collapsed against
+    the stored current value. Exactly-once under restart: the batch id
+    rides the commit as ``txn=(app_id, batch_id)``, so a replayed
+    foreachBatch whose fold already committed is skipped BEFORE any
+    state is read (the same idempotent-sink contract as
+    :func:`stream_upsert`). The per-key in-order contract is the
+    streaming source's responsibility (e.g. a keyed Kafka topic);
+    out-of-order rows fail the batch loudly rather than splice
+    history."""
+    import hashlib
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if app_id is None:
+        app_id = "stream_scd2-" + hashlib.md5(
+            checkpoint_dir.encode()
+        ).hexdigest()[:12]
+
+    from market_data_lakehouse_spark.scd import scd2_apply
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_apply(
+            lake,
+            batch_df,
+            key_list,
+            ts_col,
+            list(value_cols),
+            tiebreak=tiebreak,
+            txn=(app_id, batch_id),
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+    return writer.start()

@@ -124,3 +124,46 @@ class TestApply:
         hist = _hist(lake.snapshot())
         assert ("A", "gold", 400, 900, False) in hist
         assert ("A", "platinum", 900, None, True) in hist
+
+
+class TestStreamingScd2:
+    def test_stream_scd2_equals_rebuild(self, spark, tmp_path):
+        """Drain the change stream through the streaming SCD2 sink in
+        several micro-batches; the dimension must equal the batch
+        rebuild of the full log."""
+        import os
+
+        from market_data_lakehouse_spark.streaming import stream_scd2
+
+        src_dir = str(tmp_path / "src")
+        # 3 parquet files -> 3 micro-batches, each internally ordered;
+        # file order tracks ts order per key (in-order feed contract)
+        rows = sorted(CHANGES, key=lambda r: (r[2], r[3]))
+        for i, lo in enumerate(range(0, 9, 3)):
+            _df(spark, rows[lo : lo + 3]).coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "dim"), partition_by=()
+        )
+        static = spark.read.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = stream_scd2(
+            stream,
+            lake,
+            keys="k",
+            ts_col="ts",
+            value_cols=("tier",),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            tiebreak="seq",
+            available_now=True,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        assert _hist(lake.snapshot()) == EXPECT
