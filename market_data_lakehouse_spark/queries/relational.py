@@ -3562,8 +3562,17 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closure, ["v", "w"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # both scalars from ONE aggregate over a tagged union (oriented is
+    # a 1:1 image of e, so its count IS the edge count): joining two
+    # 1-row aggregates would plan as BroadcastNestedLoopJoin — the
+    # constant join key folds away — and the engine keeps a
+    # zero-nested-loop invariant across the bench set
+    tagged = oriented.select(F.lit(0).alias("t")).union(
+        wedges.join(closure, ["v", "w"]).select(F.lit(1).alias("t"))
     )
-    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return n_edges.crossJoin(tri)
+    return tagged.agg(
+        F.count(F.when(F.col("t") == 0, 1)).cast("bigint").alias("n_edges"),
+        F.count(F.when(F.col("t") == 1, 1))
+        .cast("bigint")
+        .alias("n_triangles"),
+    )
