@@ -3521,10 +3521,14 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    ob = op.select(F.col("o"), F.col("p").alias("pb"))
+    oa = op.alias("oa")
+    ob = op.alias("ob")
     e = (
-        op.join(ob, (op.o == ob.o) & (op.p < ob.pb))
-        .select(F.col("p").alias("a"), F.col("pb").alias("b"))
+        oa.join(
+            ob,
+            (F.col("oa.o") == F.col("ob.o")) & (F.col("oa.p") < F.col("ob.p")),
+        )
+        .select(F.col("oa.p").alias("a"), F.col("ob.p").alias("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )
