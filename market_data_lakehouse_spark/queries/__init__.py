@@ -74,6 +74,8 @@ _DRIVER_WINDOW = [
     "j21_disjunctive_brackets",  # TPC-H Q19 shape
     "a22_nation_profit",      # TPC-H Q9 shape
     "e4_position_chunks",     # declarative fixed-stride chunker
+    "g3_shortest_path",       # 4-round Bellman-Ford, min-plus iterative
+    "e4_cms_heavy_hitters",   # count-min sketch, bounded-error oracle
     # (b) oracle upgrades + code-changed re-checks — 6
     "a7_approx_distinct",     # r7: bounded-error oracle (was rows-only)
     "a9_percentile_approx",   # r7: bounded-error oracle (was rows-only)
@@ -101,8 +103,7 @@ _DRIVER_WINDOW = [
     "s2_json_roundtrip", "s3_orc_roundtrip", "v4_anomaly_zscore",
     "v5_drift_psi", "a2_vwap_top10", "w7_returns_vol",
     "w8_max_drawdown", "w9_ewma", "a12_corr_matrix", "a13_funnel",
-    "j10_exists_subquery", "j11_shipping_priority",
-    "j12_regional_revenue",
+    "j10_exists_subquery",
 ]
 
 

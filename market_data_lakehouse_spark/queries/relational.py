@@ -3580,3 +3580,108 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_triangles"),
     )
+
+
+@register(
+    "g3_shortest_path",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, 4000000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM e0
+          UNION ALL
+          SELECT dst, src, 1 + (src + dst) % 7 AS w FROM e0),
+    d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+    d1 AS (SELECT node, MIN(d) AS d FROM (
+             SELECT * FROM d0
+             UNION ALL
+             SELECT e.dst, p.d + e.w FROM d0 p JOIN e ON e.src = p.node
+           ) GROUP BY node),
+    d2 AS (SELECT node, MIN(d) AS d FROM (
+             SELECT * FROM d1
+             UNION ALL
+             SELECT e.dst, p.d + e.w FROM d1 p JOIN e ON e.src = p.node
+           ) GROUP BY node),
+    d3 AS (SELECT node, MIN(d) AS d FROM (
+             SELECT * FROM d2
+             UNION ALL
+             SELECT e.dst, p.d + e.w FROM d2 p JOIN e ON e.src = p.node
+           ) GROUP BY node),
+    d4 AS (SELECT node, MIN(d) AS d FROM (
+             SELECT * FROM d3
+             UNION ALL
+             SELECT e.dst, p.d + e.w FROM d3 p JOIN e ON e.src = p.node
+           ) GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+    FROM d4 ORDER BY dist, node LIMIT 50
+    """,
+)
+def g3_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest path (4 rounds of Bellman-Ford
+    relaxation from customer 1) over the weighted undirected
+    customer-supplier graph — the third graph shape, generalizing
+    G1's iterative-plan pattern to MIN-plus semiring folds. Edge
+    weights are deterministic integers (1 + (src+dst) % 7), so every
+    distance is exact and the oracle — the same four relax-then-MIN
+    levels as explicit CTEs — hash-matches with no float ceremony.
+    After k rounds the table holds the exact min-cost over paths of
+    <= k edges: a semantics both engines express identically.
+
+    Scale shape (the g1 lesson applied): edges are hash-partitioned
+    on src and PRE-SORTED inside an AQE-off-compiled localCheckpoint,
+    so each relaxation round's join re-shuffles only the small
+    (node, dist) frontier; one groupBy-min shuffle per round. The
+    supplier offset (4e9) keeps the node spaces disjoint at any
+    realistic SF."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(4000000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    w = lambda: (F.lit(1) + (F.col("src") + F.col("dst")) % 7)  # noqa: E731
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            e0.select("src", "dst", w().alias("w"))
+            .union(
+                e0.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    w().alias("w"),
+                )
+            )
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    dist = spark.range(1).select(
+        F.lit(1).cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for _ in range(4):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("d").cast("bigint").alias("dist"),
+        )
+        .orderBy("dist", "node")
+        .limit(50)
+    )

@@ -878,3 +878,92 @@ def e4_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_removed"
         ),
     )
+
+
+@register(
+    "e4_cms_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    t AS (SELECT term FROM toks WHERE term <> '')
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS est_ge_true, TRUE AS est_within_bound
+    FROM t GROUP BY term
+    ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def e4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with a bounded-error oracle
+    (the a7/a9 pattern applied to a FREQUENCY sketch): a d=4 x w=1024
+    CMS is built as an ordinary (row, position) hash-aggregate — 4096
+    cells total, each token contributing one count per row via
+    xxhash64(term, row) — and the top-20 exact tokens (the anchors,
+    which must match DuckDB's exact GROUP BY bit-for-bit) probe it
+    with min-over-rows. The emitted booleans assert the CMS
+    guarantees: the estimate never undercounts (structural), and
+    overshoot stays within 3N/w (measured 0 at every test SF; the
+    epsilon-N bound with comfortable margin). The oracle pins the
+    anchors and asserts both bounds as literal TRUE — a broken sketch
+    goes driver-red.
+
+    Scale: the sketch is w x d cells regardless of corpus size (THE
+    point of a sketch — at 100 TB the cells still fit in one
+    broadcast); the only corpus-sized work is the token explode and
+    two map-side-combined aggregates."""
+    D, W = 4, 1024
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        # one materialization feeds N, the cells, and the exact top-k
+        # (exchange reuse does not fire across these branches)
+        .localCheckpoint(eager=False)
+    )
+    positions = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(F.xxhash64("term", F.lit(i)), F.lit(W)).alias(
+                        "pos"
+                    ),
+                )
+                for i in range(D)
+            ]
+        )
+    ).alias("s")
+    cells = (
+        toks.select(positions)
+        .select("s.i", "s.pos")
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = toks.count()  # scalar: the bound's N
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+    est = (
+        top.select("term", "n", positions)
+        .select("term", "n", "s.i", "s.pos")
+        .join(F.broadcast(cells), ["i", "pos"])
+        .groupBy("term", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    bound = F.lit(3 * n_total) / F.lit(W)
+    return (
+        est.select(
+            "term",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("est") >= F.col("n")).alias("est_ge_true"),
+            ((F.col("est") - F.col("n")) <= bound).alias("est_within_bound"),
+        )
+        .orderBy(F.desc("n"), "term")
+    )
