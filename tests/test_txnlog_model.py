@@ -12,7 +12,8 @@ from hypothesis import strategies as st
 from market_data_lakehouse_spark.txnlog import TransactionalLake
 
 op = st.sampled_from(
-    ["append", "overwrite", "delete_low", "compact", "restore"]
+    ["append", "overwrite", "delete_low", "delete_low_dv", "compact",
+     "restore"]
 )
 
 
@@ -53,6 +54,15 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             cutoff = min(live) + 1
             lake.delete_where(f"id < {cutoff}")
             live = {i for i in live if i >= cutoff}
+        elif o == "delete_low_dv":
+            # merge-on-read: same visible semantics, zero rewrites —
+            # the model cannot tell the strategies apart, which is
+            # exactly the property under test
+            if not live:
+                continue
+            cutoff = min(live) + 1
+            lake.delete_where(f"id < {cutoff}", mode="dv")
+            live = {i for i in live if i >= cutoff}
         elif o == "compact":
             if not live:
                 continue
@@ -66,7 +76,13 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             v = len(model) // 2
             if v == lake.version:
                 continue  # same-version restore is a no-commit no-op
-            lake.restore(version=v)
+            try:
+                lake.restore(version=v)
+            except ValueError as e:
+                # documented contract: restore refuses while deletion
+                # vectors are active (either side of the jump)
+                assert "deletion vectors" in str(e)
+                continue
             live = set(model[v])
         model.append(set(live))
 
@@ -127,8 +143,8 @@ def test_streaming_transactional_sink(spark, tmp_path):
 
 
 op_cp = st.sampled_from(
-    ["append", "append", "overwrite", "delete_low", "compact",
-     "vacuum_log", "restore"]
+    ["append", "append", "overwrite", "delete_low", "delete_low_dv",
+     "compact", "vacuum_log", "restore"]
 )
 
 
@@ -178,6 +194,14 @@ def test_random_ops_with_checkpoints_and_retention(
             cutoff = min(live) + 1
             lake.delete_where(f"id < {cutoff}")
             live = {i for i in live if i >= cutoff}
+        elif o == "delete_low_dv":
+            # vectors must fold through checkpoints and survive log
+            # vacuum exactly like file-level state
+            if not live:
+                continue
+            cutoff = min(live) + 1
+            lake.delete_where(f"id < {cutoff}", mode="dv")
+            live = {i for i in live if i >= cutoff}
         elif o == "compact":
             if not live:
                 continue
@@ -196,6 +220,8 @@ def test_random_ops_with_checkpoints_and_retention(
             try:
                 lake.restore(version=v)
             except ValueError as e:
+                if "deletion vectors" in str(e):
+                    continue  # active vectors: correctly refused
                 assert "retention" in str(e) and vacuumed
                 continue  # pre-retention target: correctly refused
             live = set(model[v])
