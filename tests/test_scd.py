@@ -24,7 +24,11 @@ CHANGES = [
 
 
 def _df(spark, rows):
-    return spark.createDataFrame(rows, ["k", "tier", "ts", "seq"])
+    # explicit schema: a slice whose tier values are all None must not
+    # fail inference
+    return spark.createDataFrame(
+        rows, "k string, tier string, ts long, seq long"
+    )
 
 
 def _hist(df):
@@ -167,3 +171,47 @@ class TestStreamingScd2:
         finally:
             q.stop()
         assert _hist(lake.snapshot()) == EXPECT
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+change = st.tuples(
+    st.sampled_from(["A", "B", "C"]),
+    st.sampled_from(["bronze", "silver", "gold", None]),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    changes=st.lists(change, min_size=1, max_size=12),
+    cuts=st.sets(st.integers(min_value=1, max_value=11), max_size=3),
+)
+def test_property_incremental_equals_rebuild(
+    spark, tmp_path_factory, changes, cuts
+):
+    """For ANY change stream and ANY in-order batch split, the
+    incrementally-applied dimension equals the batch rebuild."""
+    rows = [
+        (k, v, 100 + 10 * i, i) for i, (k, v) in enumerate(changes)
+    ]
+    lake = TransactionalLake(
+        spark,
+        str(tmp_path_factory.mktemp("scdprop") / "dim"),
+        partition_by=(),
+    )
+    bounds = sorted({0, len(rows), *(c for c in cuts if c < len(rows))})
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo < hi:
+            scd2_apply(
+                lake, _df(spark, rows[lo:hi]), ["k"], "ts", ["tier"],
+                tiebreak="seq",
+            )
+    want = _hist(
+        scd2_rebuild(_df(spark, rows), ["k"], "ts", ["tier"], tiebreak="seq")
+    )
+    assert _hist(lake.snapshot()) == want, (changes, bounds)
