@@ -3545,11 +3545,27 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("d_dst"),
-    ).localCheckpoint(eager=False)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # partition + sort the oriented edges inside an AQE-off-compiled
+    # checkpoint (the g1 lesson): the wedge SELF-join then needs no
+    # exchange and no sort on either side — both sides ARE this table
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        oriented = (
+            ranked.select(
+                F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+                F.when(a_first, F.col("db"))
+                .otherwise(F.col("da"))
+                .alias("d_dst"),
+            )
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     w2 = oriented.select(
         F.col("src"), F.col("dst").alias("dst2"), F.col("d_dst").alias("d2")
     )
@@ -3563,8 +3579,15 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dst").alias("v"), F.col("dst2").alias("w"))
     )
-    closure = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
+    # broadcast the closure probe: the checkpointed scan carries no
+    # size stats, so without the hint the planner shuffles the WEDGE
+    # stream — the largest intermediate in the whole query — to pair
+    # with a mere edge-set-sized table (measured 12.5 s vs 6 s at
+    # sf0.1). At an edge scale past broadcast range, drop the hint
+    # and partition wedges by (v, w): the m^1.5 wedge shuffle is then
+    # the algorithm's documented cost, not a planning accident.
+    closure = F.broadcast(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     )
     # both scalars from ONE aggregate over a tagged union (oriented is
     # a 1:1 image of e, so its count IS the edge count): joining two
