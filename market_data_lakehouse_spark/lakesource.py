@@ -1,0 +1,265 @@
+"""Streaming FROM a TransactionalLake — the Delta-streaming-source
+analog, as a Spark 4 Python data source (format ``lake_changes``).
+
+``spark.readStream.format("lake_changes").option("path", ...)`` turns
+the lake's commit log into an exactly-once micro-batch stream: the
+OFFSET is the commit version, each batch covers the commit range
+[startOffset, endOffset), and every add-file in that range becomes
+one input partition read executor-side with pyarrow. Because the log
+and its data files are immutable, a replayed batch re-reads exactly
+the same bytes — determinism is the recovery contract, the same
+property the repo's synthetic tick source demonstrates
+(pysource.py).
+
+Semantics follow Delta's streaming source: the stream is
+APPEND-DRIVEN. A data-changing commit that removes or positionally
+deletes rows (delete/update/merge/overwrite/restore/deletion-vector
+commits) FAILS the stream unless ``ignore_deletes=true``, in which
+case its added files still stream and the removals are skipped
+(Delta's ignoreChanges). Pure layout maintenance — compact /
+set_partitioning — moves bytes, not rows, and is always skipped.
+
+Output schema = the table's committed schema (hive partition columns
+restored from the directory names, evolved columns null-filled on
+pre-evolution files) plus ``_commit_version``.
+
+Scale: the driver touches only the commit JSON (O(new commits) per
+trigger); row bytes move straight from parquet to Arrow batches in
+the Python workers, one partition per (file, commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+LOG_DIR = "_txn_log"
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, LOG_DIR)
+
+
+def _commit_versions(table_path: str) -> list[int]:
+    lp = _log_path(table_path)
+    if not os.path.isdir(lp):
+        return []
+    return sorted(
+        int(f.split(".")[0]) for f in os.listdir(lp) if f.endswith(".json")
+    )
+
+
+def _read_commit(table_path: str, v: int) -> dict:
+    with open(os.path.join(_log_path(table_path), f"{v:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _latest_checkpoint(table_path: str) -> dict | None:
+    lp = _log_path(table_path)
+    if not os.path.isdir(lp):
+        return None
+    cps = sorted(
+        (f for f in os.listdir(lp) if f.endswith(".checkpoint")),
+        reverse=True,
+    )
+    for name in cps:
+        try:
+            with open(os.path.join(lp, name)) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None
+
+
+def _table_schema(table_path: str) -> StructType:
+    """Latest committed schema, read straight from the log (newest
+    commit carrying one, else the newest checkpoint's history)."""
+    for v in reversed(_commit_versions(table_path)):
+        c = _read_commit(table_path, v)
+        if c.get("schema"):
+            return StructType.fromJson(json.loads(c["schema"]))
+    cp = _latest_checkpoint(table_path)
+    if cp and cp.get("schemas"):
+        return StructType.fromJson(json.loads(cp["schemas"][-1]))
+    raise ValueError(
+        f"lake_changes: no committed schema found at {table_path!r}"
+    )
+
+
+class _AddFilePartition(InputPartition):
+    def __init__(self, abs_path: str, rel_path: str, version: int):
+        self.abs_path = abs_path
+        self.rel_path = rel_path
+        self.version = version
+
+
+class LakeChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lake_changes requires option 'path'")
+        self.start_version = int(options.get("starting_version", 0))
+        self.ignore_deletes = (
+            str(options.get("ignore_deletes", "false")).lower() == "true"
+        )
+        self.schema = schema
+
+    # -- offsets --------------------------------------------------------
+    def initialOffset(self):
+        versions = _commit_versions(self.path)
+        oldest = versions[0] if versions else 0
+        cp = _latest_checkpoint(self.path)
+        if self.start_version < oldest and cp is not None and (
+            self.start_version <= cp["version"]
+        ):
+            raise ValueError(
+                f"lake_changes from v{self.start_version} predates log "
+                f"retention (oldest retained commit: v{oldest})"
+            )
+        return {"version": self.start_version}
+
+    def latestOffset(self):
+        versions = _commit_versions(self.path)
+        head = versions[-1] if versions else -1
+        return {"version": head + 1}
+
+    # -- planning -------------------------------------------------------
+    def partitions(self, start, end):
+        parts: list[_AddFilePartition] = []
+        for v in range(start["version"], end["version"]):
+            try:
+                c = _read_commit(self.path, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"lake_changes: commit v{v} was removed by log "
+                    "retention mid-stream; restart from a newer "
+                    "starting_version"
+                )
+            if c.get("op") in ("compact", "set_partitioning"):
+                continue  # layout maintenance moves bytes, not rows
+            if (c.get("remove") or c.get("dv")) and not self.ignore_deletes:
+                raise ValueError(
+                    f"lake_changes: commit v{v} ({c.get('op')}) removes "
+                    "or positionally deletes rows; this source streams "
+                    "appends — set ignore_deletes=true to stream added "
+                    "files anyway (Delta ignoreChanges semantics)"
+                )
+            for rel in c.get("add", []):
+                parts.append(
+                    _AddFilePartition(
+                        os.path.join(self.path, rel), rel, v
+                    )
+                )
+        return parts
+
+    def commit(self, end):
+        pass  # the log is the source of truth; nothing to acknowledge
+
+    # -- executor-side read --------------------------------------------
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        n = tbl.num_rows
+        # hive partition values live in the directory names
+        part_vals: dict[str, str | None] = {}
+        for seg in partition.rel_path.split(os.sep)[:-1]:
+            if "=" in seg:
+                col, raw = seg.split("=", 1)
+                raw = unquote(raw)
+                part_vals[col] = None if raw == HIVE_NULL else raw
+        cols = []
+        for field in self.schema.fields:
+            if field.name == "_commit_version":
+                cols.append(
+                    pa.array([partition.version] * n, type=pa.int64())
+                )
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name))
+            elif field.name in part_vals:
+                simple = field.dataType.simpleString()
+                v = _parse_part_value(part_vals[field.name], simple)
+                cols.append(pa.array([v] * n, type=_arrow_type(simple)))
+            else:
+                # evolved column absent from this pre-evolution file
+                cols.append(
+                    pa.nulls(
+                        n, type=_arrow_type(field.dataType.simpleString())
+                    )
+                )
+        yield from pa.Table.from_arrays(
+            cols, names=[f.name for f in self.schema.fields]
+        ).to_batches()
+
+
+def _arrow_type(spark_simple: str):
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }.get(spark_simple, pa.string())
+
+
+def _parse_part_value(raw: str | None, spark_simple: str):
+    if raw is None:
+        return None
+    if spark_simple in ("bigint", "int", "smallint", "tinyint"):
+        return int(raw)
+    if spark_simple in ("double", "float"):
+        return float(raw)
+    if spark_simple == "boolean":
+        return raw.lower() == "true"
+    if spark_simple == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    return raw
+
+
+class LakeChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lake_changes"
+
+    def schema(self) -> StructType:
+        base = _table_schema(self.options["path"])
+        return StructType(
+            [
+                # force nullable: a column evolved in at commit N is
+                # null-filled on files from commits < N regardless of
+                # how strictly its introducing batch typed it
+                *[
+                    StructField(f.name, f.dataType, True, f.metadata)
+                    for f in base.fields
+                ],
+                StructField("_commit_version", LongType()),
+            ]
+        )
+
+    def streamReader(self, schema):
+        return LakeChangesStreamReader(self.options, schema)
+
+
+def register_lake_changes_source(spark) -> None:
+    """Idempotently register the ``lake_changes`` format."""
+    spark.dataSource.register(LakeChangesDataSource)

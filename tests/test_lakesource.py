@@ -1,0 +1,145 @@
+"""lake_changes: streaming FROM the transactional lake. Every commit
+becomes a micro-batch slice; restarts resume from the checkpointed
+version; delete-bearing commits fail loudly unless opted into."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.lakesource import (
+    register_lake_changes_source,
+)
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+def _rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i), "2024-06-15") for i in range(lo, hi)],
+        "k long, sym string, price double, date string",
+    )
+
+
+def _drain(spark, path, out_dir, ckpt, **opts):
+    reader = spark.readStream.format("lake_changes").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+class TestLakeChangesSource:
+    def test_appends_stream_with_versions(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=("date",)
+        )
+        lake.append(_rows(spark, 0, 5))  # v0
+        lake.append(_rows(spark, 5, 8))  # v1
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        rows = {
+            (r.k, r.sym, r.price, str(r.date), r._commit_version)
+            for r in got.collect()
+        }
+        assert len(rows) == 8
+        assert {r[4] for r in rows} == {0, 1}
+        # partition column restored from the hive path
+        assert all(r[3] == "2024-06-15" for r in rows)
+        # restart with more commits: only the NEW versions stream
+        lake.append(_rows(spark, 8, 10))  # v2
+        got2 = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        assert got2.count() == 10  # 8 old + 2 new in the sink
+        new = got2.filter(F.col("_commit_version") == 2)
+        assert sorted(r.k for r in new.collect()) == [8, 9]
+
+    def test_delete_commit_fails_stream_by_default(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=()
+        )
+        lake.append(_rows(spark, 0, 6).coalesce(1))
+        lake.delete_where("k = 2", mode="dv")
+        with pytest.raises(Exception, match="ignore_deletes"):
+            _drain(
+                spark,
+                lake.path,
+                str(tmp_path / "out"),
+                str(tmp_path / "ck"),
+            )
+
+    def test_ignore_deletes_streams_adds_only(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=()
+        )
+        lake.append(_rows(spark, 0, 4).coalesce(1))  # v0
+        lake.delete_where("k = 1")  # v1: rewrite (remove + add)
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            ignore_deletes="true",
+        )
+        # v0 adds all 4; v1's rewritten file re-adds the 3 survivors
+        assert got.count() == 7
+        assert sorted(
+            r.k for r in got.filter("_commit_version = 1").collect()
+        ) == [0, 2, 3]
+
+    def test_compaction_is_invisible(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=()
+        )
+        lake.append(_rows(spark, 0, 4).coalesce(1))
+        lake.append(_rows(spark, 4, 6).coalesce(1))
+        lake.optimize()  # v2: layout only
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        assert got.count() == 6
+        assert got.filter("_commit_version = 2").count() == 0
+
+    def test_schema_evolution_null_fills_old_files(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=()
+        )
+        lake.append(_rows(spark, 0, 3).coalesce(1))
+        wider = _rows(spark, 3, 5).withColumn("note", F.lit("new"))
+        lake.append(wider.coalesce(1), merge_schema=True)
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        rows = {(r.k, r.note) for r in got.collect()}
+        assert rows == {
+            (0, None), (1, None), (2, None), (3, "new"), (4, "new"),
+        }
