@@ -143,3 +143,68 @@ class TestLakeChangesSource:
         assert rows == {
             (0, None), (1, None), (2, None), (3, "new"), (4, "new"),
         }
+
+
+class TestMedallionHop:
+    def test_lake_to_lake_scd2_pipeline(self, spark, tmp_path):
+        """The composition the pieces add up to: a bronze fact lake is
+        the STREAMING SOURCE (lake_changes) feeding the SCD2 sink into
+        a silver dimension lake — lake-to-lake, exactly-once on both
+        ends, and the result must equal the batch rebuild of bronze's
+        full history."""
+        from market_data_lakehouse_spark.scd import scd2_rebuild
+        from market_data_lakehouse_spark.streaming import stream_scd2
+
+        register_lake_changes_source(spark)
+        bronze = TransactionalLake(
+            spark, str(tmp_path / "bronze"), partition_by=()
+        )
+        changes = [
+            ("A", "bronze", 100, 1), ("B", "bronze", 150, 2),
+            ("A", "silver", 300, 3), ("B", "silver", 450, 4),
+            ("A", "gold", 500, 5),
+        ]
+
+        def _df(rows):
+            return spark.createDataFrame(
+                rows, "k string, tier string, ts long, seq long"
+            )
+
+        bronze.append(_df(changes[:2]).coalesce(1))  # v0
+        bronze.append(_df(changes[2:4]).coalesce(1))  # v1
+        bronze.append(_df(changes[4:]).coalesce(1))  # v2
+
+        silver = TransactionalLake(
+            spark, str(tmp_path / "silver"), partition_by=()
+        )
+        stream = (
+            spark.readStream.format("lake_changes")
+            .option("path", bronze.path)
+            .load()
+            .drop("_commit_version")
+        )
+        q = stream_scd2(
+            stream,
+            silver,
+            keys="k",
+            ts_col="ts",
+            value_cols=("tier",),
+            checkpoint_dir=str(tmp_path / "ck"),
+            tiebreak="seq",
+            available_now=True,
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        got = sorted(
+            (r.k, r.tier, r.valid_from, r.valid_to, r.is_current)
+            for r in silver.snapshot().collect()
+        )
+        want = sorted(
+            (r.k, r.tier, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_rebuild(
+                _df(changes), ["k"], "ts", ["tier"], tiebreak="seq"
+            ).collect()
+        )
+        assert got == want
