@@ -2041,6 +2041,67 @@ class TransactionalLake:
                     removed += 1
         return removed
 
+    def detail(self) -> dict:
+        """Table-level metadata snapshot (Delta ``DESCRIBE DETAIL``):
+        version, layout, file count/bytes, and which enrichment
+        metadata (stats / blooms / deletion vectors / checkpoints) the
+        log currently carries. Driver-side log fold only — no Spark
+        job, no file opens beyond os.stat."""
+        files, _schemas, v, dvs = self._snapshot_state()
+        sizes = []
+        for rel in files:
+            try:
+                sizes.append(os.path.getsize(os.path.join(self.path, rel)))
+            except OSError:
+                sizes.append(0)
+        stats_idx = self._stats_index()
+        bloom_idx = self._blooms_index()
+        return {
+            "location": self.path,
+            "version": v,
+            "partition_columns": list(self.partition_by),
+            "num_files": len(files),
+            "size_bytes": sum(sizes),
+            "num_files_with_stats": sum(1 for f in files if stats_idx.get(f)),
+            "num_files_with_bloom": sum(1 for f in files if bloom_idx.get(f)),
+            "num_deletion_vectors": len(dvs),
+            "num_deleted_rows": sum(len(p) for p in dvs.values()),
+            "checkpoint_version": (
+                cp["version"]
+                if (cp := self._latest_checkpoint()) is not None
+                else None
+            ),
+        }
+
+    def files(self) -> DataFrame:
+        """Per-file metadata as a DataFrame (the file-level half of
+        DESCRIBE DETAIL): path, size, logged stats/bloom presence,
+        and deletion-vector cardinality. Built from the log fold —
+        list-of-files scale, never row scale."""
+        live, _schemas, _v, dvs = self._snapshot_state()
+        stats_idx = self._stats_index()
+        bloom_idx = self._blooms_index()
+        rows = []
+        for rel in live:
+            try:
+                size = os.path.getsize(os.path.join(self.path, rel))
+            except OSError:
+                size = 0
+            rows.append(
+                (
+                    rel,
+                    size,
+                    sorted(stats_idx.get(rel, {})),
+                    sorted(bloom_idx.get(rel, {})),
+                    len(dvs.get(rel, [])),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, size_bytes long, stats_columns array<string>, "
+            "bloom_columns array<string>, deleted_rows long",
+        )
+
     def history(self) -> list[dict]:
         """Commit metadata, latest first (Delta DESCRIBE HISTORY)."""
         return [

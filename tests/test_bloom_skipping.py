@@ -180,3 +180,27 @@ class TestBloomKernel:
         assert m > BLOOM_M_MIN and m & (m - 1) == 0
         kept, _, _ = lake.prune_files({}, equals={"event_id": 999999})
         assert kept == []
+
+
+class TestDescribeDetail:
+    def test_detail_and_files_reflect_log_metadata(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark,
+            str(tmp_path / "det"),
+            partition_by=(),
+            bloom_columns=("symbol",),
+        )
+        lake.append(_bars(spark, ["AAA", "BBB"], 0).coalesce(1))
+        lake.append(_bars(spark, ["CCC", "DDD"], 10).coalesce(1))
+        lake.delete_where("symbol = 'AAA'", mode="dv")
+        d = lake.detail()
+        assert d["version"] == 2 and d["num_files"] == 2
+        assert d["size_bytes"] > 0
+        assert d["num_files_with_stats"] == 2
+        assert d["num_files_with_bloom"] == 2
+        assert (d["num_deletion_vectors"], d["num_deleted_rows"]) == (1, 1)
+        f = {r.path: r for r in lake.files().collect()}
+        assert len(f) == 2
+        assert all("symbol" in r.bloom_columns for r in f.values())
+        assert sum(r.deleted_rows for r in f.values()) == 1
+        assert all(r.size_bytes > 0 for r in f.values())
