@@ -438,3 +438,65 @@ def e6_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_hash"),
         )
     )
+
+
+@register(
+    "e6_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, source, length(text) AS w,
+             CAST(CAST(concat('0x',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DOUBLE) / length(text) AS priority
+      FROM documents WHERE length(text) > 0)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(w AS BIGINT) AS w
+    FROM pri ORDER BY priority ASC, doc_id LIMIT 100
+    """,
+)
+def e6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (E6): each
+    doc gets priority ``hash(doc_id) / weight`` and the k SMALLEST
+    priorities win — the hash plays the uniform variate of the
+    A-Res/Efraimidis-Spirakis family, so doubling a doc's weight
+    halves its priority and doubles its selection pressure, while the
+    md5-derived variate keeps the draw reproducible across engines,
+    runs and partitionings (the same determinism contract as the E6
+    split/mixture gates).
+
+    Cross-engine exactness without float ceremony: the priority is a
+    SINGLE IEEE division of an integer hash by an integer weight —
+    division is correctly rounded, so DuckDB and the JVM produce the
+    bit-identical double and the top-k cut cannot straddle an ulp
+    (the classic u^(1/w) formulation would put a libm `pow` between
+    the engines). doc_id breaks exact ties.
+
+    Scale: priority is a codegen'd per-row expression; the top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    never a full sort. Weight here = document length (favor long
+    docs); any positive integer column works.
+
+    NOTE the shared hash contract: Spark's ``hash()`` (Murmur3) and
+    DuckDB's ``hash()`` differ, so both sides use the SAME derived
+    variate — the low 61 bits of each engine's own hash would
+    diverge. Instead both compute the variate from md5 hex (engine-
+    independent), parsed to a long."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # engine-independent variate: first 15 md5 hex chars -> 60-bit int
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    pri = h / F.length("text").cast("double")
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.length("text").cast("bigint").alias("w"),
+            pri.alias("_pri"),
+        )
+        .orderBy("_pri", "doc_id")
+        .limit(100)
+        .drop("_pri")
+    )
