@@ -78,6 +78,7 @@ _DRIVER_WINDOW = [
     "e4_cms_heavy_hitters",   # count-min sketch, bounded-error oracle
     "e5_image_decode",        # REAL BMP decode (r7 image de-stub)
     "e6_weighted_sample",     # hash-priority weighted sampling, exact x-engine
+    "a7_approx_distinct_grouped",  # per-group HLL, bounded-error oracle
     # (b) oracle upgrades + code-changed re-checks — 6
     "a7_approx_distinct",     # r7: bounded-error oracle (was rows-only)
     "a9_percentile_approx",   # r7: bounded-error oracle (was rows-only)
@@ -104,7 +105,7 @@ _DRIVER_WINDOW = [
     # r4 rows rotate through r8) — 15
     "s2_json_roundtrip", "s3_orc_roundtrip", "v4_anomaly_zscore",
     "v5_drift_psi", "a2_vwap_top10", "w7_returns_vol",
-    "w8_max_drawdown", "w9_ewma", "a12_corr_matrix",
+    "w8_max_drawdown", "w9_ewma",
 ]
 
 

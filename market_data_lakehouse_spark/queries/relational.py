@@ -3708,3 +3708,43 @@ def g3_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "node")
         .limit(50)
     )
+
+
+@register(
+    "a7_approx_distinct_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a7_approx_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HyperLogLog distinct counts with the bounded-error
+    oracle pattern (the grouped twin of a7_approx_distinct): one
+    hash-aggregate carries the exact distinct count (the anchor), the
+    row count, and the HLL estimate per group; every group's estimate
+    must land within 5 % of its own exact anchor. This is the shape
+    that matters at 100 TB — per-key cardinality dashboards where the
+    exact COUNT DISTINCT's expand-shuffle is the cost ceiling and the
+    HLL sketch is the declared replacement; the gate proves the
+    replacement is usable group-by-group, not just in aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.approx_count_distinct("l_partkey").alias("_approx"),
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            "n_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("n_parts"))
+                <= F.lit(0.05) * F.col("n_parts")
+            ).alias("within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
