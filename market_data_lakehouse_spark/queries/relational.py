@@ -370,7 +370,7 @@ def a7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
-           TRUE AS parts_within_5pct, TRUE AS supps_within_5pct
+           TRUE AS parts_within_15pct, TRUE AS supps_within_15pct
     FROM lineitem
     """,
 )
@@ -396,14 +396,18 @@ def a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("_approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("_approx_supps"),
     )
+    # band = 3x the sketch's rsd (0.05): a 1-sigma band would flip
+    # driver-red on ordinary sketch variance at a new scale factor
+    # with no code bug; 3 sigma keeps the gate meaningful (gross HLL
+    # breakage still trips it) while making a false red ~0.3%
     within = lambda a, e: (  # noqa: E731
-        F.abs(F.col(a) - F.col(e)) <= F.lit(0.05) * F.col(e)
+        F.abs(F.col(a) - F.col(e)) <= F.lit(0.15) * F.col(e)
     )
     return agg.select(
         "n_parts",
         "n_supps",
-        within("_approx_parts", "n_parts").alias("parts_within_5pct"),
-        within("_approx_supps", "n_supps").alias("supps_within_5pct"),
+        within("_approx_parts", "n_parts").alias("parts_within_15pct"),
+        within("_approx_supps", "n_supps").alias("supps_within_15pct"),
     )
 
 
@@ -476,7 +480,7 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_exact,
-           TRUE AS approx_within_1pct
+           TRUE AS approx_within_5pct
     FROM lineitem
     """,
 )
@@ -487,8 +491,12 @@ def a9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     row carries the EXACT interpolated median (Spark `percentile` and
     DuckDB `quantile_cont` share linear-interpolation semantics — an
     anchor that must match bit-for-bit after ROUND) plus a boolean
-    asserting the sketch landed within 1 % of it; the oracle asserts
-    the bound as literal TRUE, so sketch drift goes driver-red."""
+    asserting the sketch landed within 5 % of it; the oracle asserts
+    the bound as literal TRUE, so sketch drift goes driver-red. (The
+    GK rank error at accuracy=10000 is ~n/10000, so 5 % of the median
+    is a wide value band on any plausible density — the gate catches
+    gross sketch breakage without being a coin-flip on a new SF's
+    distribution shape.)"""
     li = load(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -502,8 +510,8 @@ def a9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_exact",
         (
             F.abs(F.col("_approx") - F.col("median_exact"))
-            <= F.lit(0.01) * F.col("median_exact")
-        ).alias("approx_within_1pct"),
+            <= F.lit(0.05) * F.col("median_exact")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -3716,7 +3724,7 @@ def g3_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           TRUE AS within_5pct
+           TRUE AS within_15pct
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -3743,8 +3751,8 @@ def a7_approx_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             (
                 F.abs(F.col("_approx") - F.col("n_parts"))
-                <= F.lit(0.05) * F.col("n_parts")
-            ).alias("within_5pct"),
+                <= F.lit(0.15) * F.col("n_parts")
+            ).alias("within_15pct"),
         )
         .orderBy("l_returnflag")
     )

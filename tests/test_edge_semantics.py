@@ -390,7 +390,7 @@ def test_approx_distinct_within_rsd(spark):
     # with the standalone exact query
     row = a7_approx_distinct(spark, sf_dir).collect()[0]
     exact = a7_distinct(spark, sf_dir).collect()[0]
-    assert row.parts_within_5pct and row.supps_within_5pct, row
+    assert row.parts_within_15pct and row.supps_within_15pct, row
     assert (row.n_parts, row.n_supps) == (exact.n_parts, exact.n_supps)
 
 
@@ -412,7 +412,7 @@ def test_percentile_approx_bounds_exact_median(spark):
         .collect()[0]
         .m
     )
-    assert row.approx_within_1pct, row
+    assert row.approx_within_5pct, row
     assert abs(row.median_exact - round(exact, 2)) < 1e-9, (row, exact)
 
 
