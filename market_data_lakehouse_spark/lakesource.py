@@ -112,6 +112,12 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
         self.schema = schema
+        # fail at construction, not executor read time: every column
+        # may need an Arrow type (partition restore or evolved-column
+        # null fill), so an unsupported type is an immediate,
+        # attributable error instead of a mid-stream task failure
+        for f in schema.fields:
+            _arrow_type(f.dataType)
 
     # -- offsets --------------------------------------------------------
     def initialOffset(self):
@@ -189,23 +195,34 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             elif field.name in part_vals:
                 simple = field.dataType.simpleString()
                 v = _parse_part_value(part_vals[field.name], simple)
-                cols.append(pa.array([v] * n, type=_arrow_type(simple)))
+                cols.append(
+                    pa.array([v] * n, type=_arrow_type(field.dataType))
+                )
             else:
                 # evolved column absent from this pre-evolution file
-                cols.append(
-                    pa.nulls(
-                        n, type=_arrow_type(field.dataType.simpleString())
-                    )
-                )
+                cols.append(pa.nulls(n, type=_arrow_type(field.dataType)))
         yield from pa.Table.from_arrays(
             cols, names=[f.name for f in self.schema.fields]
         ).to_batches()
 
 
-def _arrow_type(spark_simple: str):
+_DECIMAL_RE = __import__("re").compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _arrow_type(dt):
+    """Arrow type for a Spark DataType. Raises on a type this source
+    cannot restore (partition value) or null-fill (evolved column)
+    rather than silently degrading to pa.string(), which would
+    diverge from the declared output schema at executor read time
+    with an opaque Arrow cast error. Complex types fall back to
+    pyspark's own Spark->Arrow mapping."""
     import pyarrow as pa
 
-    return {
+    spark_simple = dt.simpleString()
+    m = _DECIMAL_RE.match(spark_simple)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    t = {
         "string": pa.string(),
         "bigint": pa.int64(),
         "int": pa.int32(),
@@ -217,10 +234,28 @@ def _arrow_type(spark_simple: str):
         "date": pa.date32(),
         "timestamp": pa.timestamp("us"),
         "timestamp_ntz": pa.timestamp("us"),
-    }.get(spark_simple, pa.string())
+    }.get(spark_simple)
+    if t is None:
+        try:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            return to_arrow_type(dt)
+        except Exception:
+            raise TypeError(
+                f"lake_changes: unsupported column type "
+                f"{spark_simple!r} for partition-value restore / "
+                "evolved-column null fill"
+            ) from None
+    return t
 
 
 def _parse_part_value(raw: str | None, spark_simple: str):
+    """Decode one hive directory partition value to the python value
+    matching the declared Spark type. Mirrors Spark's own partition
+    path codec (`yyyy-MM-dd HH:mm:ss[.SSSSSS]` for timestamps, plain
+    decimal strings for DECIMAL) so a timestamp- or decimal-
+    partitioned lake streams with typed columns instead of raising
+    at executor read time."""
     if raw is None:
         return None
     if spark_simple in ("bigint", "int", "smallint", "tinyint"):
@@ -233,7 +268,20 @@ def _parse_part_value(raw: str | None, spark_simple: str):
         import datetime
 
         return datetime.date.fromisoformat(raw)
-    return raw
+    if spark_simple in ("timestamp", "timestamp_ntz"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    if _DECIMAL_RE.match(spark_simple):
+        import decimal
+
+        return decimal.Decimal(raw)
+    if spark_simple == "string":
+        return raw
+    raise TypeError(
+        f"lake_changes: unsupported partition column type "
+        f"{spark_simple!r} (value {raw!r})"
+    )
 
 
 class LakeChangesDataSource(DataSource):

@@ -208,3 +208,57 @@ class TestMedallionHop:
             ).collect()
         )
         assert got == want
+
+
+class TestTypedPartitionColumns:
+    def test_timestamp_and_decimal_partition_columns(self, spark, tmp_path):
+        """A timestamp- or decimal-typed partition column must stream
+        back TYPED (parsed from the hive directory name via Spark's
+        own path codec), not as a raw string that fails the Arrow
+        cast at executor read time (r7 ADVICE)."""
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=("ts", "rate")
+        )
+        df = spark.sql(
+            """
+            SELECT id,
+                   timestamp(concat('2024-06-0', 1 + id % 2, ' 03:04:05'))
+                     AS ts,
+                   CAST(1.25 * (1 + id % 2) AS DECIMAL(10,2)) AS rate
+            FROM range(6) AS t(id)
+            """
+        )
+        lake.append(df)
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        assert dict(got.dtypes)["ts"] == "timestamp"
+        assert dict(got.dtypes)["rate"] == "decimal(10,2)"
+        rows = {(r.id, str(r.ts), str(r.rate)) for r in got.collect()}
+        assert rows == {
+            (i, f"2024-06-0{1 + i % 2} 03:04:05", f"{1.25 * (1 + i % 2):.2f}")
+            for i in range(6)
+        }
+
+    def test_unsupported_partition_type_fails_at_construction(
+        self, spark, tmp_path
+    ):
+        """An interval-typed column (no Arrow analog here) must raise
+        a clear error when the stream is planned, not a mid-stream
+        executor task failure."""
+        from pyspark.sql.types import StructField, StructType
+
+        from market_data_lakehouse_spark.lakesource import (
+            LakeChangesStreamReader,
+        )
+        import pyspark.sql.types as T
+
+        schema = StructType(
+            [StructField("v", T.CalendarIntervalType())]
+        )
+        with pytest.raises(TypeError, match="unsupported column type"):
+            LakeChangesStreamReader({"path": str(tmp_path)}, schema)
