@@ -581,19 +581,68 @@ def _recall_vs_bruteforce(spark, sf_dir: str, ann_fn) -> DataFrame:
     return per_q.orderBy("qid")
 
 
-@register("e3_ann_recall")  # rows-only: evaluates the engine-specific ANN
+# Shared bounded-error oracle for the four *_recall gates (r7 VERDICT
+# item 3 — the a7/a9 pattern applied to recall): the truth top-K per
+# query is fully ANSI-SQL-expressible (same cosine + tiebreak CTEs as
+# the driver-green e3_knn_bruteforce), so each recall entry emits the
+# EXACT truth anchors (k, sum of true neighbor ids per query) plus a
+# boolean asserting the index's MEAN recall@K cleared its floor; the
+# oracle pins the anchors and selects literal TRUE. An index
+# regression (or a broken recall harness) now goes driver-RED instead
+# of hiding in a rows-only row. The mean — not per-query — is gated:
+# a single query legitimately dips below the corpus floor.
+_TRUTH_ANCHOR_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id >= {N_QUERY}),
+    s AS (SELECT qid, cid,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS sim
+          FROM q, c),
+    truth AS (SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rn FROM s) WHERE rn <= {K})
+    SELECT qid, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(cid) AS BIGINT) AS truth_cid_sum,
+           TRUE AS mean_recall_ok
+    FROM truth GROUP BY qid ORDER BY qid
+"""
+
+
+def _gated_recall(spark, sf_dir: str, ann_fn, floor: float) -> DataFrame:
+    """Bounded-error recall gate: exact truth anchors per query plus
+    one corpus-level mean-recall floor boolean (replicated on every
+    row so the driver hash covers it). Floors sit below the measured
+    sf0.001-0.1 means (0.90-0.96) by a margin that ordinary variance
+    at a new scale factor cannot eat, but a real index break will."""
+    truth = e3_knn_bruteforce(spark, sf_dir).select("qid", "cid")
+    per_q = _recall_vs_bruteforce(spark, sf_dir, ann_fn)
+    anchors = truth.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("cid").cast("bigint").alias("truth_cid_sum"),
+    )
+    mean_ok = per_q.agg(
+        (F.avg("recall_at_k") >= F.lit(floor)).alias("mean_recall_ok")
+    )
+    return anchors.crossJoin(F.broadcast(mean_ok)).orderBy("qid")
+
+
+@register("e3_ann_recall", oracle=_TRUTH_ANCHOR_ORACLE)
 def e3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the LSH ANN against brute-force ground truth —
     the measurement that makes an approximate index defensible
-    ("measure, don't guess"): one row per query with the fraction of
-    the true top-K the bucketed search recovered (the corpus mean is
-    one AVG away — kept per-query so regressions localize). Both
-    sides are deterministic (fixed hyperplanes, tie-broken rankings),
-    so the score is reproducible run to run; at 100 TB this same plan
-    evaluates recall on a sampled query set before promoting an
-    index parameterization (n_planes / tables / multi-probe) to the
-    full corpus."""
-    return _recall_vs_bruteforce(spark, sf_dir, e3_ann_lsh)
+    ("measure, don't guess"). r8: upgraded from rows-only to the
+    bounded-error oracle pattern — exact truth anchors hash-checked
+    against DuckDB, mean recall@K gated at 0.75 (measured 0.90 at
+    the driver SFs; pytest keeps the tighter 0.8 floor on the raw
+    per-query harness). At 100 TB this same plan evaluates recall on
+    a sampled query set before promoting an index parameterization
+    (n_planes / tables / multi-probe) to the full corpus."""
+    return _gated_recall(spark, sf_dir, e3_ann_lsh, 0.75)
 
 
 @register(
@@ -771,13 +820,15 @@ def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e3_ivf_recall")  # rows-only: evaluates the engine-specific IVF
+@register("e3_ivf_recall", oracle=_TRUTH_ANCHOR_ORACLE)
 def e3_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@K of the IVF index (same harness as e3_ann_recall):
-    the n_cells/n_probe/Lloyd-iteration knobs get a measured score
-    instead of a guessed one. LSH and IVF recall side by side is the
-    index-selection evidence a 10^9-vector deployment needs."""
-    return _recall_vs_bruteforce(spark, sf_dir, e3_ivf_knn)
+    """Recall@K of the IVF index (same bounded-error gate as
+    e3_ann_recall, floor 0.80 — IVF measures 0.90+ and pytest holds
+    0.85): the n_cells/n_probe/Lloyd-iteration knobs get a measured,
+    driver-gated score instead of a guessed one. LSH and IVF recall
+    side by side is the index-selection evidence a 10^9-vector
+    deployment needs."""
+    return _gated_recall(spark, sf_dir, e3_ivf_knn, 0.80)
 
 
 # ---------------------------------------------------------------------------
@@ -964,14 +1015,15 @@ def e3_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e3_pq_recall")  # rows-only: evaluates the engine-specific PQ
+@register("e3_pq_recall", oracle=_TRUTH_ANCHOR_ORACLE)
 def e3_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@K of the PQ+re-rank index against brute force — third
-    column of the index-selection evidence (LSH 0.90 / IVF 0.90 /
-    PQ measured here). Because stage 2 re-ranks with exact cosine,
-    recall equals shortlist recall: the only loss is a true top-K
-    neighbor falling outside the ADC top-4K."""
-    return _recall_vs_bruteforce(spark, sf_dir, e3_pq_knn)
+    """Recall@K of the PQ+re-rank index against brute force (bounded-
+    error gate, floor 0.75; measured 0.92-0.96) — third column of the
+    index-selection evidence (LSH 0.90 / IVF 0.90 / PQ here). Because
+    stage 2 re-ranks with exact cosine, recall equals shortlist
+    recall: the only loss is a true top-K neighbor falling outside
+    the ADC top-4K."""
+    return _gated_recall(spark, sf_dir, e3_pq_knn, 0.75)
 
 
 @register("e2_semantic_dedup")  # rows-only: k-means stage is engine-specific
@@ -1132,9 +1184,10 @@ def e3_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e3_ivfpq_recall")  # rows-only: evaluates the composite index
+@register("e3_ivfpq_recall", oracle=_TRUTH_ANCHOR_ORACLE)
 def e3_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@K of IVF-PQ — completes the four-way index evidence
+    """Recall@K of IVF-PQ (bounded-error gate, floor 0.75; measured
+    0.84-0.88 under 3-probe) — completes the four-way index evidence
     (LSH 0.90 / IVF 0.90 / PQ 0.92-0.96 / IVF-PQ here); the gap to
     plain PQ is exactly the coarse-cell miss rate."""
-    return _recall_vs_bruteforce(spark, sf_dir, e3_ivfpq_knn)
+    return _gated_recall(spark, sf_dir, e3_ivfpq_knn, 0.75)

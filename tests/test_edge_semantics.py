@@ -443,12 +443,18 @@ def test_ann_multiprobe_recall_floor(spark):
     scored 0.0 (256 near-singleton buckets for 500 vectors), 4-plane
     multi-probe single-table 0.54, and 3-table multi-probe 0.90-0.92
     at sf0.001/sf0.01."""
-    from market_data_lakehouse_spark.queries.similarity import e3_ann_recall
+    from market_data_lakehouse_spark.queries.similarity import (
+        _recall_vs_bruteforce,
+        e3_ann_lsh,
+        e3_ann_recall,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    rows = e3_ann_recall(spark, sf_dir).collect()
+    rows = _recall_vs_bruteforce(spark, sf_dir, e3_ann_lsh).collect()
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.8, f"mean recall@5 degraded to {mean}"
+    # the driver-facing gate agrees (floor 0.75 <= measured mean)
+    assert all(r.mean_recall_ok for r in e3_ann_recall(spark, sf_dir).collect())
 
 
 def test_ivf_recall_floor(spark):
@@ -456,12 +462,17 @@ def test_ivf_recall_floor(spark):
     with n_cells=8, n_probe=3, one Lloyd pass; 0.86 at the former
     probe=2) must not silently degrade below 0.85 — guards the
     n_cells/n_probe/Lloyd parameterization."""
-    from market_data_lakehouse_spark.queries.similarity import e3_ivf_recall
+    from market_data_lakehouse_spark.queries.similarity import (
+        _recall_vs_bruteforce,
+        e3_ivf_knn,
+        e3_ivf_recall,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    rows = e3_ivf_recall(spark, sf_dir).collect()
+    rows = _recall_vs_bruteforce(spark, sf_dir, e3_ivf_knn).collect()
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.85, f"IVF mean recall@5 degraded to {mean}"
+    assert all(r.mean_recall_ok for r in e3_ivf_recall(spark, sf_dir).collect())
 
 
 def test_contamination_ngram_survives_short_docs(spark, tmp_path):
@@ -612,11 +623,19 @@ def test_pq_recall_floor(spark):
     M=32, K=16) — the floor that makes the 16x-compressed index
     defensible. Deterministic end to end: hash-gated training
     sample, seeded Lloyd, tie-broken rankings."""
-    from market_data_lakehouse_spark.queries.similarity import e3_pq_recall
+    from market_data_lakehouse_spark.queries.similarity import (
+        _recall_vs_bruteforce,
+        e3_pq_knn,
+        e3_pq_recall,
+    )
 
-    df = e3_pq_recall(spark, "/root/testdata/sf0.001").toPandas()
+    df = _recall_vs_bruteforce(
+        spark, "/root/testdata/sf0.001", e3_pq_knn
+    ).toPandas()
     assert len(df) == 10
     assert df["recall_at_k"].mean() >= 0.8, df
+    gated = e3_pq_recall(spark, "/root/testdata/sf0.001").toPandas()
+    assert gated["mean_recall_ok"].all(), gated
 
 
 def test_semantic_dedup_verdict_consistency(spark):
@@ -672,12 +691,18 @@ def test_ivfpq_recall_floor(spark):
     3-probe 0.84-0.88; still upper-bounded by coarse-cell recall —
     a true neighbor in an unprobed cell is unreachable)."""
     from market_data_lakehouse_spark.queries.similarity import (
+        _recall_vs_bruteforce,
+        e3_ivfpq_knn,
         e3_ivfpq_recall,
     )
 
-    df = e3_ivfpq_recall(spark, "/root/testdata/sf0.001").toPandas()
+    df = _recall_vs_bruteforce(
+        spark, "/root/testdata/sf0.001", e3_ivfpq_knn
+    ).toPandas()
     assert len(df) == 10
     assert df["recall_at_k"].mean() >= 0.8, df
+    gated = e3_ivfpq_recall(spark, "/root/testdata/sf0.001").toPandas()
+    assert gated["mean_recall_ok"].all(), gated
 
 
 def test_pq_train_small_corpus_falls_back_to_full_sample(spark):
