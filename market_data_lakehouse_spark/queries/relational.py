@@ -3094,6 +3094,13 @@ def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "trade_value", "quote_value")
 
 
+# Per-node state (node, rank, degree) is ~24 bytes/row; 5M nodes is a
+# ~120 MB broadcast — comfortably under executor memory here and the
+# conventional autoBroadcastJoin ceiling's spirit. Tests shrink this
+# to force the partitioned path.
+_PAGERANK_BROADCAST_MAX_NODES = 5_000_000
+
+
 @register(
     "g1_pagerank",
     oracle="""
@@ -3129,8 +3136,33 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected customer-supplier purchase graph — the iterative-
     algorithm shape next to j16's recursive reachability: a driver
     loop of LAZY DataFrame plans (one action at the end), the edge
-    and degree tables localCheckpointed once so the per-iteration
-    join pipeline doesn't re-derive them five times.
+    table localCheckpointed once so the per-iteration join pipeline
+    doesn't re-derive it five times.
+
+    ADAPTIVE join strategy (r8, adjudicated in AB_BENCH.json
+    "g1_pagerank_plan_ab"): the per-iteration join of per-node state
+    (rank x degree — ONE small row per node) against the edge table
+    has two sane plans, and which wins depends on node count:
+
+    - node state fits in a broadcast -> broadcast it every iteration;
+      the edge table is scanned in place, never shuffled or sorted.
+      The interleaved same-JVM court measured this at 3.31 s median
+      vs 4.58 s for r6's AQE-implicit version of the same idea and
+      7.43 s for r7's pre-partitioned+pre-sorted checkpoints — the
+      r7 "16->5 exchanges" rework genuinely REGRESSED wall time
+      (3.92->5.10 s recorded) because it paid an upfront edge sort +
+      AQE-off materialization to avoid shuffles that the broadcast
+      plan never needed.
+    - node state too big to broadcast (the true 100 TB regime, where
+      ranks are billions of rows) -> the r7 layout: edges and degrees
+      hash-partitioned on the join key and pre-SORTED inside
+      AQE-off-compiled checkpoints, so all five sort-merge joins
+      reuse layout and order and only the (node, rank) side moves.
+
+    The switch uses a metadata-only bound (customer + supplier row
+    counts — every graph node is one of these), not a data pass.
+    Both paths produce identical output (court warmup asserts it;
+    test_pagerank_partitioned_path_agrees pins it in pytest).
 
     Cross-engine float parity for an ITERATIVE float computation:
     each iteration's rank is rounded to 1e-6 on BOTH engines, so both
@@ -3138,11 +3170,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence risk is a sum landing within ~1e-14 of a rounding
     midpoint — per-iteration rounding is what makes an iterative
     double pipeline hash-comparable at all. Undirected edges mean no
-    dangling-mass term (every node has out-degree >= 1).
-
-    Scale: each iteration is one shuffle (contribution groupBy);
-    edges/degrees partition by node; ranks stay (node, double) —
-    never materialized on the driver."""
+    dangling-mass term (every node has out-degree >= 1)."""
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
@@ -3153,36 +3181,57 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # the 4e9 supplier offset puts the two node spaces provably out
+    # of collision range at any realistic SF (TPC-H custkey = 150k x
+    # SF), so the flipped edge set is DISJOINT from e and this UNION
+    # ALL equals the oracle's UNION distinct without paying a dedup
+    # shuffle of the doubled edge table (ADVICE r6)
+    flipped = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_nodes_bound = (
+        load(spark, sf_dir, "customer").count()
+        + load(spark, sf_dir, "supplier").count()
+    )
+    if n_nodes_bound <= _PAGERANK_BROADCAST_MAX_NODES:
+        undir = e.union(flipped).localCheckpoint(eager=False)
+        deg = (
+            undir.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        ranks = deg.select("node", F.lit(1.0).alias("r"))
+        for _ in range(5):
+            rd = F.broadcast(
+                ranks.join(deg, "node").select(
+                    "node", (F.col("r") / F.col("d")).alias("c")
+                )
+            )
+            contrib = undir.join(rd, undir.src == rd.node).select(
+                F.col("dst").alias("node"), "c"
+            )
+            ranks = contrib.groupBy("node").agg(
+                F.round(F.lit(0.15) + F.lit(0.85) * F.sum("c"), 6).alias("r")
+            )
+        return (
+            ranks.select("node", F.round("r", 4).alias("rank"))
+            .orderBy(F.desc("rank"), "node")
+            .limit(20)
+        )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # Hash-partition edges/degrees on their join keys BEFORE the
-    # checkpoint so all 5 iterations' rank-edge joins reuse the layout
-    # and only the (node, rank) side moves — without this every
-    # iteration re-shuffles the edge table (r6 PLAN_AUDIT: 16
-    # exchanges; the edge table is the one that grows at 100 TB).
     # AQE must be OFF while the checkpoint plan is compiled: under
     # AQE the physical plan's outputPartitioning is unknown at
     # LogicalRDD-capture time, so the checkpoint forgets its layout
-    # and every iteration re-shuffles anyway (measured: 16 vs 5
+    # and every iteration re-shuffles anyway (measured r7: 16 vs 5
     # exchanges on this exact loop). Restored immediately after.
     aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         undir = (
-            # the 4e9 supplier offset puts the two node spaces
-            # provably out of collision range at any realistic SF
-            # (TPC-H custkey = 150k x SF), so the flipped edge set is
-            # DISJOINT from e and this UNION ALL equals the oracle's
-            # UNION distinct without paying a dedup shuffle of the
-            # doubled edge table (ADVICE r6)
-            e.union(
-                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
+            e.union(flipped)
             .repartition(n_part, "src")
             # pre-sort inside the checkpoint: LogicalRDD preserves
             # outputOrdering too, so the per-iteration sort-merge
-            # joins sort only the small (node, rank) side — never the
-            # edge table (measured: re-sorting edges 5x cost more
-            # than the shuffles the partitioning saved)
+            # joins sort only the small (node, rank) side — never
+            # the edge table
             .sortWithinPartitions("src")
             .localCheckpoint(eager=False)
         )

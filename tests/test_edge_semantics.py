@@ -731,3 +731,27 @@ def test_pq_train_small_corpus_falls_back_to_full_sample(spark):
     tiny = spark.createDataFrame(rng[: PQ_K - 1], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="PQ training needs"):
         _pq_train(tiny)
+
+
+def test_pagerank_partitioned_path_agrees(spark, monkeypatch):
+    """g1_pagerank is adaptive (AB_BENCH g1_pagerank_plan_ab):
+    broadcast per-node state at driver SFs, pre-partitioned+sorted
+    checkpoints when nodes outgrow a broadcast. The fallback path
+    never runs at test scale on its own — force it and pin that both
+    strategies produce identical ranks."""
+    from market_data_lakehouse_spark.queries import relational
+
+    sf_dir = "/root/testdata/sf0.001"
+    fast = [
+        (r.node, r.rank)
+        for r in relational.g1_pagerank(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(
+        relational, "_PAGERANK_BROADCAST_MAX_NODES", 0
+    )
+    slow = [
+        (r.node, r.rank)
+        for r in relational.g1_pagerank(spark, sf_dir).collect()
+    ]
+    assert fast == slow
+    assert len(fast) == 20

@@ -47,12 +47,26 @@ PROBES = [
     "e2_minhash_lsh",
     "e3_pq_knn",
     "w11_range_frame",
+    # r8 (VERDICT r7 item 2): the graph family — now the two most
+    # expensive bench entries — gets the same two-point curve, plus
+    # the STRUCTURAL quantities (edge/wedge/message volume) measured
+    # exactly in graph_structure(); wall time only correlates with
+    # those, the structure ratios are what extrapolate to 100x
+    "g1_pagerank",
+    "g2_triangle_count",
+    "g3_shortest_path",
 ]
 
 # table -> integer key columns shifted by copy_index * (max+1) so each
 # replica is a disjoint key universe (joins/sessions stay within-copy)
 KEY_SHIFTS = {
-    "lineitem": ["l_orderkey"],
+    # l_suppkey/l_partkey shift too (r8): without them each copy
+    # re-links to the SAME suppliers/parts, so graph degree — and
+    # wedge volume, quadratically — grows with the factor instead of
+    # the graph growing as more disjoint components of constant
+    # degree. Structure-preserving scaling is the 100x question;
+    # densification is a different (skew) experiment.
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
@@ -117,6 +131,76 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def graph_structure(spark, sf_dir: str) -> dict:
+    """Exact structural volumes for the graph probes — the quantities
+    that decide the 100x story: PageRank/Bellman-Ford move one
+    message per directed edge per iteration; triangle counting
+    enumerates one wedge per oriented 2-path. Linear growth of these
+    at 16x means the iteration cost curve is the data curve."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(4000000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    cs_edges = cs.count()
+    cs_nodes = cs.select(F.col("src").alias("n")).union(
+        cs.select(F.col("dst").alias("n"))
+    ).distinct().count()
+    # co-purchase graph (g2): distinct part pairs per order
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pair_edges = (
+        op.alias("x")
+        .join(op.alias("y"), (F.col("x.o") == F.col("y.o"))
+              & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    deg = (
+        pair_edges.select(F.col("a").alias("node"))
+        .union(pair_edges.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("unoriented"),
+    ).first()["unoriented"]
+    # oriented wedge volume = sum over nodes of C(out_deg, 2) under
+    # the (degree, id) orientation — the volume g2 actually joins
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ranked = pair_edges.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    out_deg = (
+        ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src")
+        )
+        .groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    )
+    oriented_wedges = out_deg.agg(
+        F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w")
+    ).first()["w"]
+    return {
+        "pagerank_nodes": cs_nodes,
+        "pagerank_edges_directed": 2 * cs_edges,
+        "pagerank_messages_per_iteration": 2 * cs_edges,
+        "triangle_edges": pair_edges.count(),
+        "triangle_wedges_unoriented": int(wedges),
+        "triangle_wedges_oriented": int(oriented_wedges),
+    }
+
+
 def lsh_pair_counts() -> dict:
     """Candidate-volume observability: the LSH probes' pair counts
     from the runs time_queries just executed — the pair growth ratio
@@ -162,9 +246,11 @@ def main() -> int:
         rss_before = rss_mb()
         base = time_queries(spark, args.sf_dir)
         base_pairs = lsh_pair_counts()
+        base_graph = graph_structure(spark, args.sf_dir)
         rss_mid = rss_mb()
         scaled = time_queries(spark, tmp)
         scaled_pairs = lsh_pair_counts()
+        scaled_graph = graph_structure(spark, tmp)
         rss_after = rss_mb()
 
         per_query = {
@@ -192,12 +278,21 @@ def main() -> int:
             }
             for q in set(base_pairs) | set(scaled_pairs)
         }
+        graph = {
+            k: {
+                "base": base_graph[k],
+                "scaled": scaled_graph[k],
+                "growth": round(scaled_graph[k] / max(base_graph[k], 1), 2),
+            }
+            for k in base_graph
+        }
         report = {
             "sf_dir": args.sf_dir,
             "factor": args.factor,
             "scaled_build_sec": build_sec,
             "per_query": per_query,
             "lsh_candidates": lsh_candidates,
+            "graph_structure": graph,
             "driver_rss_mb": {
                 "before": round(rss_before, 1),
                 "after_base": round(rss_mid, 1),
