@@ -1422,15 +1422,38 @@ class TransactionalLake:
             read_version=read_v,
         )
 
-    def update_where(self, predicate: str, assignments: dict[str, str]) -> int:
-        """Copy-on-write UPDATE (Delta UPDATE semantics): rows
-        matching ``predicate`` get each ``assignments`` column
+    def update_where(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        mode: str = "rewrite",
+    ) -> int:
+        """UPDATE with a choice of physical strategy.
+
+        ``mode="rewrite"`` — copy-on-write (Delta UPDATE semantics):
+        rows matching ``predicate`` get each ``assignments`` column
         replaced by its SQL expression (evaluated against the row);
         only files containing a match are rewritten. NULL predicates
         leave the row unchanged (only provably-true matches update).
 
+        ``mode="dv"`` — merge-on-read (Delta DV UPDATE / Iceberg
+        positional delete + append): ONE commit records the matched
+        rows' (file, position) pairs as a deletion vector hiding the
+        pre-update row versions AND appends new files carrying the
+        post-update rows. No existing data file is touched; update
+        cost is O(matched rows) regardless of file sizes — a 100-row
+        update against multi-GB files moves 100 rows, where
+        copy-on-write rewrites every affected file. A side benefit
+        the tests pin: the CDC feed for a dv update is EXACT (only
+        the changed rows emit delete+insert), while copy-on-write
+        CDC is file-grained (every row of a rewritten file emits).
+
         ``update_where("symbol = 'AAPL'", {"price": "price * 2"})``
         """
+        if mode == "dv":
+            return self._update_where_dv(predicate, assignments)
+        if mode != "rewrite":
+            raise ValueError(f"unknown update mode: {mode!r}")
         old, schemas, read_v, dvs = self._snapshot_state()
         if not old:
             return self._commit(
@@ -1474,6 +1497,104 @@ class TransactionalLake:
         return self._commit(
             {"op": "update", "predicate": predicate, "add": added,
              "remove": affected},
+            read_version=read_v,
+        )
+
+    def _update_where_dv(
+        self, predicate: str, assignments: dict[str, str]
+    ) -> int:
+        """Positional UPDATE: one scan resolves the matched visible
+        rows; their (file, position) pairs become this commit's
+        deletion vector (hiding the preimages) and their assigned
+        versions are written as new files — both under ONE commit, so
+        readers never observe the intermediate state. The collect
+        moves row positions only (bounded by matched rows); row DATA
+        flows executor-side from scan to the new parquet files."""
+        old, schemas, read_v, dvs = self._snapshot_state()
+        action_base = {"op": "update_dv", "predicate": predicate}
+        if not old:
+            return self._commit(
+                {**action_base, "dv": {}, "add": []}, read_version=read_v
+            )
+        raw = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, f) for f in old])
+        )
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        raw = raw.withColumn("_row_file", fname).withColumn(
+            "_row_pos", F.col("_metadata.row_index")
+        )
+        if dvs:
+            pairs = [
+                (os.path.basename(rel), int(p))
+                for rel, ps in dvs.items()
+                for p in ps
+            ]
+            dv_df = self.spark.createDataFrame(
+                pairs, "_dv_file string, _dv_pos bigint"
+            )
+            raw = raw.join(
+                F.broadcast(dv_df),
+                (F.col("_row_file") == F.col("_dv_file"))
+                & (F.col("_row_pos") == F.col("_dv_pos")),
+                "left_anti",
+            )
+        # null-fill evolved columns (see _delete_where_dv: _conform
+        # would drop the position columns this scan exists for)
+        if schemas:
+            from pyspark.sql.types import StructField, StructType
+
+            for fld in json.loads(schemas[-1])["fields"]:
+                if fld["name"] not in raw.columns:
+                    raw = raw.withColumn(
+                        fld["name"],
+                        F.lit(None).cast(
+                            StructType([StructField.fromJson(fld)])
+                            .fields[0]
+                            .dataType
+                        ),
+                    )
+        unknown = set(assignments) - (set(raw.columns)
+                                      - {"_row_file", "_row_pos"})
+        if unknown:
+            raise ValueError(
+                f"update_where: unknown columns {sorted(unknown)}"
+            )
+        # matched rows feed two actions (postimage write + position
+        # collect); checkpoint so the scan+filter runs once
+        matched = raw.filter(
+            F.coalesce(F.expr(predicate), F.lit(False))
+        ).localCheckpoint(eager=False)
+        hits = matched.select("_row_file", "_row_pos").collect()
+        if not hits:
+            return self._commit(
+                {**action_base, "dv": {}, "add": []}, read_version=read_v
+            )
+        types = dict(matched.dtypes)
+        post = matched.select(
+            *[
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in matched.columns
+                if c not in ("_row_file", "_row_pos")
+            ]
+        )
+        post = self._conform(post, schemas)
+        self._enforce_constraints(post, "update")
+        added = self._write_files(post)
+        by_base = {os.path.basename(f): f for f in old}
+        new_dv: dict[str, list[int]] = {}
+        for r in hits:
+            rel = by_base.get(r["_row_file"])
+            if rel is None:  # pragma: no cover - basenames are uuids
+                raise RuntimeError(f"unknown file in DV scan: {r}")
+            new_dv.setdefault(rel, []).append(int(r["_row_pos"]))
+        return self._commit(
+            {**action_base,
+             "dv": {f: sorted(p) for f, p in new_dv.items()},
+             "add": added},
             read_version=read_v,
         )
 

@@ -203,3 +203,74 @@ class TestDvLifecycle:
         )
         assert 1 not in deleted and 2 not in deleted
         assert 3 in deleted
+
+
+class TestDvUpdate:
+    def test_dv_update_no_rewrite_same_answer(self, spark, lake):
+        """mode='dv' UPDATE must equal copy-on-write UPDATE on every
+        read surface while touching NO existing data file."""
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        files_before, _, _ = lake.prune_files({})
+        lake.update_where("k >= 7", {"price": "price * 2"}, mode="dv")
+        files_after, _, _ = lake.prune_files({})
+        # old files untouched; postimage rows arrive as NEW files
+        assert set(files_before) <= set(files_after)
+        snap = lake.snapshot()
+        assert _ids(snap) == list(range(10))
+        got = {r.k: r.price for r in snap.collect()}
+        assert got == {k: k * 1.5 * (2 if k >= 7 else 1) for k in range(10)}
+
+    def test_dv_update_time_travel_and_changes(self, spark, lake):
+        lake.append(_rows(spark, 0, 6).coalesce(1))  # v0
+        lake.update_where("k = 2", {"sym": "'up'"}, mode="dv")  # v1
+        assert {r.sym for r in lake.snapshot(version=0).collect()} == {
+            "s0", "s1", "s2"
+        }
+        assert [
+            r.sym for r in lake.snapshot(version=1).filter("k = 2").collect()
+        ] == ["up"]
+        # CDC is EXACT for dv updates: only the changed row emits,
+        # as one delete (preimage) + one insert (postimage)
+        ch = lake.read_changes(starting_version=1).collect()
+        by_type = {}
+        for r in ch:
+            by_type.setdefault(r._change_type, []).append(r)
+        assert [r.k for r in by_type["delete"]] == [2]
+        assert [r.k for r in by_type["insert"]] == [2]
+        assert by_type["delete"][0].sym == "s2"
+        assert by_type["insert"][0].sym == "up"
+
+    def test_dv_update_respects_prior_vectors(self, spark, lake):
+        """Rows hidden by an earlier deletion vector must not be
+        resurrected or re-updated."""
+        lake.append(_rows(spark, 0, 8).coalesce(1))
+        lake.delete_where("k = 4", mode="dv")
+        lake.update_where("k >= 3", {"price": "0.0"}, mode="dv")
+        snap = lake.snapshot()
+        assert _ids(snap) == [0, 1, 2, 3, 5, 6, 7]
+        got = {r.k: r.price for r in snap.collect()}
+        assert got == {
+            k: (0.0 if k >= 3 else k * 1.5) for k in [0, 1, 2, 3, 5, 6, 7]
+        }
+
+    def test_dv_update_unknown_column_raises(self, spark, lake):
+        lake.append(_rows(spark, 0, 3))
+        with pytest.raises(ValueError, match="unknown columns"):
+            lake.update_where("k = 1", {"nope": "1"}, mode="dv")
+
+    def test_dv_update_no_match_is_noop_commit(self, spark, lake):
+        lake.append(_rows(spark, 0, 3).coalesce(1))
+        v = lake.update_where("k = 99", {"price": "0.0"}, mode="dv")
+        assert v == 1
+        assert _ids(lake.snapshot()) == [0, 1, 2]
+        assert lake._read_commit(1)["dv"] == {}
+
+    def test_dv_update_then_optimize_materializes(self, spark, lake):
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        lake.update_where("k < 3", {"price": "-1.0"}, mode="dv")
+        lake.optimize()
+        assert lake.detail()["num_deletion_vectors"] == 0
+        got = {r.k: r.price for r in lake.snapshot().collect()}
+        assert got == {
+            k: (-1.0 if k < 3 else k * 1.5) for k in range(10)
+        }
