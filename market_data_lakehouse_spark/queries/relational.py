@@ -22,6 +22,24 @@ from market_data_lakehouse_spark.queries import money
 from market_data_lakehouse_spark.queries.catalog import load, register
 from market_data_lakehouse_spark.schema import epoch_us
 
+_SIZE_UNITS = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _size_bytes(v: str | int) -> int:
+    """Parse a Spark byte-size conf value ("10MB", "10485760b",
+    "-1") to bytes; negative means the feature is disabled."""
+    s = str(v).strip().lower()
+    i = len(s)
+    while i > 0 and not s[:i].lstrip("-").isdigit():
+        i -= 1
+    if i == 0:
+        return -1
+    return int(s[:i]) * _SIZE_UNITS.get(s[i:].strip(), 1)
+
+
 # ---------------------------------------------------------------------------
 # Scans / filters / projections (S1, F1, F2, F4)
 # ---------------------------------------------------------------------------
@@ -3636,16 +3654,29 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dst").alias("v"), F.col("dst2").alias("w"))
     )
-    # broadcast the closure probe: the checkpointed scan carries no
-    # size stats, so without the hint the planner shuffles the WEDGE
-    # stream — the largest intermediate in the whole query — to pair
-    # with a mere edge-set-sized table (measured 12.5 s vs 6 s at
-    # sf0.1). At an edge scale past broadcast range, drop the hint
-    # and partition wedges by (v, w): the m^1.5 wedge shuffle is then
-    # the algorithm's documented cost, not a planning accident.
-    closure = F.broadcast(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    # broadcast the closure probe — GATED on the real edge count:
+    # the checkpointed scan carries no size stats, so without the
+    # hint the planner shuffles the WEDGE stream — the largest
+    # intermediate in the whole query — to pair with a mere
+    # edge-set-sized table (measured 12.5 s vs 6 s at sf0.1). But
+    # edges grow linearly with the corpus, so at scale the hint
+    # would become an executor OOM, not an optimization: broadcast
+    # only when the edge set provably fits the session's
+    # autoBroadcastJoinThreshold (counting `oriented` is ~free —
+    # it materializes the checkpoint every downstream branch reuses).
+    # Past the gate, the closure join becomes a plain shuffle join
+    # on (v, w): the m^1.5 wedge shuffle is then the algorithm's
+    # documented cost, not a planning accident.
+    n_edges_exact = oriented.count()
+    closure = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
     )
+    threshold = _size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    # UnsafeRow of two longs = 24 bytes; 32 leaves hash-map margin
+    if threshold > 0 and n_edges_exact * 32 <= threshold:
+        closure = F.broadcast(closure)
     # both scalars from ONE aggregate over a tagged union (oriented is
     # a 1:1 image of e, so its count IS the edge count): joining two
     # 1-row aggregates would plan as BroadcastNestedLoopJoin — the

@@ -620,3 +620,52 @@ class TestRound6Plans:
         p = simple_plan(j19_idle_customers(spark, sf_dir))
         assert "LeftAnti" in p, p
         assert "CartesianProduct" not in p
+
+
+class TestTriangleBroadcastGate:
+    """g2's closure-probe broadcast must be provably bounded: the
+    hint applies only while the (exactly counted) edge set fits the
+    session's autoBroadcastJoinThreshold; past the gate the closure
+    join degrades to a shuffle join — never a nested loop."""
+
+    def test_small_edges_broadcast(self, spark, sf_dir):
+        from market_data_lakehouse_spark.queries.relational import (
+            g2_triangle_count,
+        )
+
+        p = simple_plan(g2_triangle_count(spark, sf_dir))
+        assert "BroadcastHashJoin" in p
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+    def test_gate_disables_broadcast_same_answer(self, spark, sf_dir):
+        from market_data_lakehouse_spark.queries.relational import (
+            g2_triangle_count,
+        )
+
+        base = g2_triangle_count(spark, sf_dir).collect()[0]
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        try:
+            gated_df = g2_triangle_count(spark, sf_dir)
+            p = simple_plan(gated_df)
+            gated = gated_df.collect()[0]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastHashJoin" not in p
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
+        assert (base.n_edges, base.n_triangles) == (
+            gated.n_edges,
+            gated.n_triangles,
+        )
+
+    def test_size_parser(self):
+        from market_data_lakehouse_spark.queries.relational import (
+            _size_bytes,
+        )
+
+        assert _size_bytes("10MB") == 10 << 20
+        assert _size_bytes("10485760b") == 10 << 20
+        assert _size_bytes("-1") == -1
+        assert _size_bytes(67108864) == 64 << 20
+        assert _size_bytes("1k") == 1 << 10
+        assert _size_bytes("2g") == 2 << 30
