@@ -462,6 +462,56 @@ def s12_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s14_dv_update",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN event_id % 7 = 0
+                          THEN value + 100 ELSE value END), 2) AS sum_v,
+           CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_upd
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s14_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors (S8 extension, r8):
+    ``update_where(mode="dv")`` hides the preimage rows with a
+    positional vector and appends the postimage rows as new files
+    under ONE commit — asserted in-query: every pre-update data file
+    survives untouched (the update moved O(matched rows), not
+    O(affected files)), and the commit recorded a vector. The oracle
+    recomputes the post-update aggregate straight from raw events
+    with the assignment applied as a CASE, so an update that touched
+    the wrong rows, dropped a row version, or double-applied the
+    assignment hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_dvu_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(3))
+    before, _, _ = tx.prune_files({})
+    tx.update_where("event_id % 7 = 0", {"value": "value + 100"}, mode="dv")
+    after, _, _ = tx.prune_files({})
+    assert set(before) <= set(after), "dv update rewrote a file"
+    assert len(after) > len(before), "dv update appended no postimage"
+    assert tx._snapshot_state()[3], "no deletion vector recorded"
+    return tx.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+        F.sum(
+            F.when(F.col("event_id") % 7 == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_upd"),
+    )
+
+
+@register(
     "s13_zero_copy_clone",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
