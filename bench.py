@@ -5,10 +5,14 @@ Prints ONE JSON line:
      "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
 
 Each query is forced end-to-end with a noop sink (full execution, no
-driver collect). Best of two runs per query: the first run pays
-one-time costs (codegen, file listing); the second is the steady
-state a warmed cluster sees — matching how BASELINE.md's numbers
-(50 ms filter / 2 s full agg / 350 ms 100-key agg) were measured.
+driver collect). Per-query time is the minimum over INTERLEAVED
+passes of the whole set (3 for the headline set, 2 for the heavy
+set): the first pass pays one-time costs (codegen, file listing) and
+later passes are the steady state a warmed cluster sees — matching
+how BASELINE.md's numbers (50 ms filter / 2 s full agg / 350 ms
+100-key agg) were measured — while the pass separation keeps a
+transient host-pressure window from inflating every repeat of the
+same query at once.
 """
 
 from __future__ import annotations
@@ -249,13 +253,19 @@ def main() -> None:
     # spin-up, first codegen, parquet footer caching) outside any
     # query's measurement
     run_once(spark, REGISTRY["o2_topk"].fn, sf_dir)
-    for label, qname in HEADLINE.items():
-        fn = REGISTRY[qname].fn
-        spark._jvm.System.gc()
-        # best-of-3 for the cheap shared set: each is sub-second, so
-        # the extra run costs ~7 s total and halves timing noise
-        best = min(run_once(spark, fn, sf_dir) for _ in range(3))
-        times[label] = round(best, 4)
+    # INTERLEAVED passes (r7 VERDICT item 7): consecutive repeats of
+    # one query all land inside the same host-pressure window, so
+    # min-of-3-consecutive still over-reads when the whole invocation
+    # runs hot (A/B-proven: 0.289 s real vs 0.637 s benched). Passing
+    # over the full set and keeping per-query minima separates each
+    # query's repeats by ~the set's span, so a transient hot window
+    # can inflate one pass but not every repeat of a query.
+    for _pass in range(3):
+        for label, qname in HEADLINE.items():
+            fn = REGISTRY[qname].fn
+            spark._jvm.System.gc()
+            t = run_once(spark, fn, sf_dir)
+            times[label] = round(min(times.get(label, float("inf")), t), 4)
     spark._jvm.System.gc()
     # bench_ingest is best-of-2 internally (fresh lake per run)
     times["q_ingest_batch"] = round(bench_ingest(spark, sf_dir), 4)
@@ -265,11 +275,15 @@ def main() -> None:
     # rounds <= 4 (ADVICE r5); cross-round totals compare via
     # bench_compare's shared-query subset either way
     stream_stats = bench_ingest_stream(spark, sf_dir)
-    for label, qname in HEAVY.items():
-        fn = REGISTRY[qname].fn
-        spark._jvm.System.gc()
-        best = min(run_once(spark, fn, sf_dir) for _ in range(2))
-        times[label] = round(best, 4)
+    # same interleaving for the heavy set (2 passes — these queries
+    # are multi-second, and the LSH family's JVM churn makes
+    # BETWEEN-pass separation matter more than a third sample)
+    for _pass in range(2):
+        for label, qname in HEAVY.items():
+            fn = REGISTRY[qname].fn
+            spark._jvm.System.gc()
+            t = run_once(spark, fn, sf_dir)
+            times[label] = round(min(times.get(label, float("inf")), t), 4)
     # LSH candidate-volume observability (r6 VERDICT directive 4):
     # q_minhash_lsh is the steepest 16x scaler and its cost tracks
     # band-collision pair volume — record the pair counts from the
