@@ -243,14 +243,19 @@ def stream_ingest_transactional(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         before = lake.version
-        lake.append(
+        v = lake.append(
             batch_df.withColumn("date", F.to_date("timestamp")),
             txn=(app_id, batch_id),
             skip_empty=True,
         )
+        # data landed iff the commit carried files: an idle trigger
+        # now records a data-less txn marker (Delta SetTransaction
+        # parity), so a bare version check would count idle batches
+        # toward the compaction cycle
+        landed = v > before and bool(lake._read_commit(v).get("add"))
         if (
             optimize_every
-            and lake.version > before  # replay/empty skips don't count
+            and landed  # replay / idle markers don't count
             and (batch_id + 1) % optimize_every == 0
         ):
             lake.optimize()

@@ -1212,15 +1212,15 @@ class TransactionalLake:
         it costs no extra job (the pre-r6 sink paid a separate
         ``isEmpty()`` job per micro-batch for this).
 
-        Documented divergence from Delta (ADVICE r6): Delta records a
-        SetTransaction action even for empty batches, so its
-        ``last_txn_version`` advances on idle triggers; here a
-        skipped empty batch records no txn marker, so
-        ``last_txn_version`` stays at the last non-empty batch. This
-        is deliberate — recording a marker would burn exactly the
-        table version the contract exists to avoid — and harmless for
-        exactly-once: replaying an empty batch appends nothing, so
-        idempotence never depends on the skipped marker."""
+        Delta parity (ADVICE r6, landed r8): when an empty batch is
+        skipped but carries a ``txn`` id, a DATA-LESS marker commit
+        (``op="txn_marker"``, no files) still records the
+        SetTransaction action, so ``last_txn_version`` advances on
+        idle triggers exactly as Delta's does and a replayed idle
+        batch is recognized as already-committed. Without ``txn``
+        there is nothing to record and the skip stays version-free —
+        the original contract (an idle trigger must not burn a table
+        version) still holds for plain batch appends."""
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
         df = self._apply_generated(df)
@@ -1232,6 +1232,14 @@ class TransactionalLake:
                     os.unlink(os.path.join(self.path, rel))
                 except OSError:
                     pass
+            if txn is not None:
+                return self._commit(
+                    {
+                        "op": "txn_marker",
+                        "add": [],
+                        "txn": {"app_id": txn[0], "version": txn[1]},
+                    }
+                )
             return self.version
         action: dict = {"op": "append", "add": added, "schema": df.schema.json()}
         if txn is not None:

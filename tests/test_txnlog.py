@@ -617,6 +617,42 @@ class TestSkipEmptyAppend:
         lake.append(_df(spark, [("OK", 5)]), skip_empty=True)
         assert lake.snapshot().count() == 1
 
+    def test_skipped_empty_batch_with_txn_records_marker(self, spark, lake):
+        """Delta SetTransaction parity (r8): an idle trigger that
+        carries a txn id commits a DATA-LESS marker, so
+        last_txn_version advances and a replayed idle batch is
+        recognized — without txn the skip stays version-free."""
+        lake.append(_df(spark, [("AAPL", 150)]), txn=("app", 0))
+        v = lake.version
+        empty = _df(spark, []).filter("1 = 0")
+        v2 = lake.append(empty, skip_empty=True, txn=("app", 1))
+        assert v2 == v + 1
+        assert lake.last_txn_version("app") == 1
+        c = lake._read_commit(v2)
+        assert c["op"] == "txn_marker" and c["add"] == []
+        # replayed idle batch: marker makes it a no-op
+        assert lake.append(empty, skip_empty=True, txn=("app", 1)) == v2
+        assert lake.version == v2
+        # data unchanged; snapshot and CDC unaffected by the marker
+        assert lake.snapshot().count() == 1
+        assert lake.read_changes(v2).count() == 0
+
+    def test_txn_marker_folds_through_checkpoint(self, spark, tmp_path):
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        lake = TransactionalLake(
+            spark, str(tmp_path / "mk"), partition_by=(),
+            checkpoint_every=2,
+        )
+        lake.append(_df(spark, [("AAPL", 150)]), txn=("app", 3))
+        empty = _df(spark, []).filter("1 = 0")
+        lake.append(empty, skip_empty=True, txn=("app", 7))  # -> ckpt
+        lake.vacuum_log()
+        fresh = TransactionalLake(
+            spark, str(tmp_path / "mk"), partition_by=()
+        )
+        assert fresh.last_txn_version("app") == 7
+
 
 class TestConstraintRestoreInteraction:
     def test_constraints_survive_restore(self, spark, lake):
