@@ -1370,6 +1370,40 @@ class TransactionalLake:
         if not old:
             return self._commit({**action_base, "dv": {}},
                                 read_version=read_v)
+        raw = self._positional_scan(old, schemas, dvs)
+        hits = (
+            raw.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select("_row_file", "_row_pos")
+            .collect()
+        )
+        if not hits:
+            return self._commit({**action_base, "dv": {}},
+                                read_version=read_v)
+        by_base = {os.path.basename(f): f for f in old}
+        new_dv: dict[str, list[int]] = {}
+        for r in hits:
+            rel = by_base.get(r["_row_file"])
+            if rel is None:  # pragma: no cover - basenames are uuids
+                raise RuntimeError(f"unknown file in DV scan: {r}")
+            new_dv.setdefault(rel, []).append(int(r["_row_pos"]))
+        return self._commit(
+            {**action_base,
+             "dv": {f: sorted(p) for f, p in new_dv.items()}},
+            read_version=read_v,
+        )
+
+    def _positional_scan(
+        self,
+        old: list[str],
+        schemas: list[str],
+        dvs: dict[str, list[int]],
+    ) -> DataFrame:
+        """Visible-row scan carrying ``_row_file`` / ``_row_pos``
+        position columns — the read side of every merge-on-read
+        writer (dv delete/update/merge). Rows already hidden by a
+        vector are anti-joined away; evolved columns are null-filled
+        WITHOUT ``_conform``'s strict select (it would drop the
+        position columns the whole scan exists for)."""
         raw = (
             self.spark.read.option("basePath", self.path)
             .option("mergeSchema", "true")
@@ -1394,8 +1428,6 @@ class TransactionalLake:
                 & (F.col("_row_pos") == F.col("_dv_pos")),
                 "left_anti",
             )
-        # null-fill evolved columns WITHOUT _conform's strict select
-        # (it would drop the position columns the whole scan is for)
         if schemas:
             from pyspark.sql.types import StructField, StructType
 
@@ -1409,14 +1441,11 @@ class TransactionalLake:
                             .dataType
                         ),
                     )
-        hits = (
-            raw.filter(F.coalesce(F.expr(predicate), F.lit(False)))
-            .select("_row_file", "_row_pos")
-            .collect()
-        )
-        if not hits:
-            return self._commit({**action_base, "dv": {}},
-                                read_version=read_v)
+        return raw
+
+    def _dv_from_hits(self, hits, old: list[str]) -> dict[str, list[int]]:
+        """(file, position) collect rows -> the commit's dv map,
+        keyed by table-relative path."""
         by_base = {os.path.basename(f): f for f in old}
         new_dv: dict[str, list[int]] = {}
         for r in hits:
@@ -1424,11 +1453,7 @@ class TransactionalLake:
             if rel is None:  # pragma: no cover - basenames are uuids
                 raise RuntimeError(f"unknown file in DV scan: {r}")
             new_dv.setdefault(rel, []).append(int(r["_row_pos"]))
-        return self._commit(
-            {**action_base,
-             "dv": {f: sorted(p) for f, p in new_dv.items()}},
-            read_version=read_v,
-        )
+        return {f: sorted(p) for f, p in new_dv.items()}
 
     def update_where(
         self,
@@ -1524,45 +1549,7 @@ class TransactionalLake:
             return self._commit(
                 {**action_base, "dv": {}, "add": []}, read_version=read_v
             )
-        raw = (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, f) for f in old])
-        )
-        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        raw = raw.withColumn("_row_file", fname).withColumn(
-            "_row_pos", F.col("_metadata.row_index")
-        )
-        if dvs:
-            pairs = [
-                (os.path.basename(rel), int(p))
-                for rel, ps in dvs.items()
-                for p in ps
-            ]
-            dv_df = self.spark.createDataFrame(
-                pairs, "_dv_file string, _dv_pos bigint"
-            )
-            raw = raw.join(
-                F.broadcast(dv_df),
-                (F.col("_row_file") == F.col("_dv_file"))
-                & (F.col("_row_pos") == F.col("_dv_pos")),
-                "left_anti",
-            )
-        # null-fill evolved columns (see _delete_where_dv: _conform
-        # would drop the position columns this scan exists for)
-        if schemas:
-            from pyspark.sql.types import StructField, StructType
-
-            for fld in json.loads(schemas[-1])["fields"]:
-                if fld["name"] not in raw.columns:
-                    raw = raw.withColumn(
-                        fld["name"],
-                        F.lit(None).cast(
-                            StructType([StructField.fromJson(fld)])
-                            .fields[0]
-                            .dataType
-                        ),
-                    )
+        raw = self._positional_scan(old, schemas, dvs)
         unknown = set(assignments) - (set(raw.columns)
                                       - {"_row_file", "_row_pos"})
         if unknown:
@@ -1592,16 +1579,98 @@ class TransactionalLake:
         post = self._conform(post, schemas)
         self._enforce_constraints(post, "update")
         added = self._write_files(post)
-        by_base = {os.path.basename(f): f for f in old}
-        new_dv: dict[str, list[int]] = {}
-        for r in hits:
-            rel = by_base.get(r["_row_file"])
-            if rel is None:  # pragma: no cover - basenames are uuids
-                raise RuntimeError(f"unknown file in DV scan: {r}")
-            new_dv.setdefault(rel, []).append(int(r["_row_pos"]))
         return self._commit(
             {**action_base,
-             "dv": {f: sorted(p) for f, p in new_dv.items()},
+             "dv": self._dv_from_hits(hits, old),
+             "add": added},
+            read_version=read_v,
+        )
+
+    def _merge_dv(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str,
+        when_not_matched: str,
+        old: list[str],
+        schemas: list[str],
+        read_v: int,
+        dvs: dict[str, list[int]],
+        txn_action: dict,
+    ) -> int:
+        """Positional MERGE: one dv-filtered scan with position
+        columns resolves the matched target rows; their positions
+        become this commit's deletion vector, and the postimages
+        (matched rows with source-carried columns replaced) plus the
+        unmatched-source inserts are appended as new files — all
+        under ONE commit. The collect moves (file, position) pairs
+        only — O(matched rows) of metadata, never row data; the
+        matched frame is checkpointed because three consumers read
+        it (the position collect, the postimage build, and the
+        insert anti-join)."""
+        action_base = {"op": "merge_dv", **txn_action}
+        raw = self._positional_scan(old, schemas, dvs)
+        src_bytes = self._measured_bytes(source)
+        src_keys = self._maybe_broadcast(
+            source.select(*keys).distinct(),
+            est_bytes=sum(src_bytes[k] for k in keys),
+        )
+        matched = raw.join(src_keys, keys, "left_semi").localCheckpoint(
+            eager=False
+        )
+        hits = matched.select("_row_file", "_row_pos").collect()
+        parts: list[DataFrame] = []
+        if hits and when_matched == "update":
+            # postimage multiplicity equals the TARGET's (duplicate-
+            # keyed target rows each updated, like the rewrite path);
+            # columns the source lacks keep the target value
+            src_cols = [c for c in source.columns if c not in keys]
+            upd = matched.join(
+                self._maybe_broadcast(
+                    source.select(
+                        *keys,
+                        *[F.col(c).alias(f"_src_{c}") for c in src_cols],
+                    ),
+                    est_bytes=sum(src_bytes[c] for c in source.columns),
+                ),
+                keys,
+            )
+            parts.append(
+                upd.select(
+                    *[
+                        F.col(f"_src_{c}").alias(c) if c in src_cols
+                        else F.col(c)
+                        for c in matched.columns
+                        if c not in ("_row_file", "_row_pos")
+                    ]
+                )
+            )
+        if when_not_matched == "insert":
+            ins = (
+                source.join(
+                    matched.select(*keys).distinct(), keys, "left_anti"
+                )
+                if hits
+                else source
+            )
+            parts.append(ins)
+        out: DataFrame | None = None
+        for p in parts:
+            out = p if out is None else out.unionByName(
+                p, allowMissingColumns=True
+            )
+        if out is None and not hits:
+            return self._commit(
+                {**action_base, "dv": {}, "add": []}, read_version=read_v
+            )
+        added: list[str] = []
+        if out is not None:
+            out = self._conform(out, schemas)
+            self._enforce_constraints(out, "merge")
+            added = self._write_files(out)
+        return self._commit(
+            {**action_base,
+             "dv": self._dv_from_hits(hits, old),
              "add": added},
             read_version=read_v,
         )
@@ -1614,11 +1683,23 @@ class TransactionalLake:
         when_not_matched: str = "insert",
         validate_keys: bool = True,
         txn: tuple[str, int] | None = None,
+        mode: str = "rewrite",
     ) -> int:
-        """Copy-on-write MERGE (Delta ``MERGE INTO`` semantics): target
-        rows whose key matches a source row are updated (replaced by
-        the source row) or deleted; source rows with no target match
-        are inserted or ignored. Returns the committed version.
+        """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
+        key matches a source row are updated (replaced by the source
+        row) or deleted; source rows with no target match are
+        inserted or ignored. Returns the committed version.
+
+        ``mode="rewrite"`` (default) is copy-on-write; ``mode="dv"``
+        is merge-on-read (Delta DV MERGE / Iceberg positional
+        delete + append): one commit hides the matched target rows'
+        (file, position) pairs behind a deletion vector and appends
+        the update postimages and inserts as new files. No existing
+        data file is touched — a CDC-style trickle upsert against
+        multi-GB files moves only the changed rows, where
+        copy-on-write rewrites every file containing a matched key.
+        The CDC feed for a dv merge is EXACT (only matched rows emit
+        delete+insert; rewritten-survivor churn doesn't exist).
 
         Scale shape — this rewrites ONLY the files that contain a
         matched key, not the whole table: the target is scanned once
@@ -1646,6 +1727,8 @@ class TransactionalLake:
         foreachBatch merge exactly-once under restart.
         """
         keys = [on] if isinstance(on, str) else list(on)
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"unknown merge mode: {mode!r}")
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
         txn_action = (
@@ -1709,6 +1792,11 @@ class TransactionalLake:
             return self._commit(
                 {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v,
+            )
+        if mode == "dv":
+            return self._merge_dv(
+                source, keys, when_matched, when_not_matched,
+                old, schemas, read_v, dvs, txn_action,
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no

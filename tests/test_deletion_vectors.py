@@ -274,3 +274,108 @@ class TestDvUpdate:
         assert got == {
             k: (-1.0 if k < 3 else k * 1.5) for k in range(10)
         }
+
+
+class TestDvMerge:
+    def test_dv_merge_equals_rewrite_merge(self, spark, lake):
+        """mode='dv' MERGE must produce the same table state as the
+        copy-on-write MERGE while leaving every pre-merge data file
+        untouched."""
+        lake.append(_rows(spark, 0, 10).coalesce(1))
+        src = spark.createDataFrame(
+            [(3, "up", 99.0), (7, "up", 88.0), (42, "new", 1.0)],
+            "k bigint, sym string, price double",
+        )
+        files_before, _, _ = lake.prune_files({})
+        lake.merge(src, on="k", mode="dv")
+        files_after, _, _ = lake.prune_files({})
+        assert set(files_before) <= set(files_after)
+        got = {(r.k, r.sym, r.price) for r in lake.snapshot().collect()}
+        want = {
+            (k, f"s{k % 3}", k * 1.5) for k in range(10) if k not in (3, 7)
+        } | {(3, "up", 99.0), (7, "up", 88.0), (42, "new", 1.0)}
+        assert got == want
+
+    def test_dv_merge_delete_mode(self, spark, lake):
+        lake.append(_rows(spark, 0, 6).coalesce(1))
+        src = spark.createDataFrame([(1,), (4,), (99,)], "k bigint")
+        files_before, _, _ = lake.prune_files({})
+        lake.merge(
+            src, on="k", when_matched="delete",
+            when_not_matched="ignore", mode="dv",
+        )
+        files_after, _, _ = lake.prune_files({})
+        # pure delete: no postimage files at all
+        assert sorted(files_before) == sorted(files_after)
+        assert _ids(lake.snapshot()) == [0, 2, 3, 5]
+
+    def test_dv_merge_cdc_exact(self, spark, lake):
+        """CDC for a dv merge is row-exact: only matched rows emit
+        delete+insert, inserts emit insert — no rewritten-survivor
+        churn."""
+        lake.append(_rows(spark, 0, 6).coalesce(1))
+        v = lake.merge(
+            spark.createDataFrame(
+                [(2, "up", 0.0), (50, "new", 5.0)],
+                "k bigint, sym string, price double",
+            ),
+            on="k",
+            mode="dv",
+        )
+        ch = lake.read_changes(v).collect()
+        by = {}
+        for r in ch:
+            by.setdefault(r._change_type, []).append((r.k, r.sym))
+        assert sorted(by["delete"]) == [(2, "s2")]
+        assert sorted(by["insert"]) == [(2, "up"), (50, "new")]
+
+    def test_dv_merge_respects_prior_vectors(self, spark, lake):
+        """A dv-hidden row must not match (it left the table): its
+        key inserts as new instead of updating a ghost."""
+        lake.append(_rows(spark, 0, 5).coalesce(1))
+        lake.delete_where("k = 2", mode="dv")
+        lake.merge(
+            spark.createDataFrame(
+                [(2, "back", 7.0)], "k bigint, sym string, price double"
+            ),
+            on="k",
+            mode="dv",
+        )
+        got = {(r.k, r.sym) for r in lake.snapshot().collect()}
+        assert (2, "back") in got and (2, "s2") not in got
+        assert _ids(lake.snapshot()) == [0, 1, 2, 3, 4]
+
+    def test_dv_merge_idempotent_txn(self, spark, lake):
+        lake.append(_rows(spark, 0, 4).coalesce(1))
+        src = spark.createDataFrame(
+            [(1, "u", 0.0)], "k bigint, sym string, price double"
+        )
+        v1 = lake.merge(src, on="k", mode="dv", txn=("app", 5))
+        v2 = lake.merge(src, on="k", mode="dv", txn=("app", 5))
+        assert v1 == v2 == lake.version
+        assert [r.sym for r in lake.snapshot().filter("k=1").collect()] == [
+            "u"
+        ]
+
+    def test_dv_merge_duplicate_source_keys_raise(self, spark, lake):
+        lake.append(_rows(spark, 0, 3).coalesce(1))
+        src = spark.createDataFrame(
+            [(1, "a", 0.0), (1, "b", 0.0)],
+            "k bigint, sym string, price double",
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            lake.merge(src, on="k", mode="dv")
+
+    def test_dv_merge_then_optimize_materializes(self, spark, lake):
+        lake.append(_rows(spark, 0, 8).coalesce(1))
+        lake.merge(
+            spark.createDataFrame(
+                [(0, "z", -1.0)], "k bigint, sym string, price double"
+            ),
+            on="k",
+            mode="dv",
+        )
+        lake.optimize()
+        assert lake.detail()["num_deletion_vectors"] == 0
+        got = {(r.k, r.sym) for r in lake.snapshot().collect()}
+        assert (0, "z") in got and len(got) == 8
