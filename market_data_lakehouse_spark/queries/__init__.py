@@ -89,10 +89,13 @@ _DRIVER_WINDOW = [
     "e4_cms_heavy_hitters",   # r8: widened CMS error gate
     # (c) new r8 entries
     "s14_dv_update",          # merge-on-read UPDATE (dv + postimage)
+    "s15_table_detail",       # DESCRIBE DETAIL metadata cross-check
+    "e3_range_search",        # cosine radius search (exact, no shuffle)
+    "g4_kcore",               # iterative k-core peel, chained-CTE oracle
     # (d) r5-stale fill (the remaining r5 cohort rotates in r9)
     "a1_vwap_by_flag", "a3_full_table_agg", "a4_multikey_100",
     "a5_ohlcv_resample", "a6_stats_by_type", "a7_distinct",
-    "a8_cube", "a8_rollup", "a9_percentiles", "e2_embedding_neardup",
+    "a8_cube",
 ]
 
 

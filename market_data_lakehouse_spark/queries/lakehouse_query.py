@@ -512,6 +512,61 @@ def s14_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s15_table_detail",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(3 AS BIGINT) AS num_files,
+           CAST((SELECT COUNT(*) FROM events WHERE event_id % 11 = 0)
+                AS BIGINT) AS num_deleted_rows,
+           CAST((SELECT COUNT(*) FROM events WHERE event_id % 11 <> 0)
+                AS BIGINT) AS visible_rows
+    """,
+)
+def s15_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL as a hard signal (S8 extension, r8): build a
+    lake with a known layout (one 3-file append + one dv delete),
+    then cross-check the METADATA surfaces against the data itself —
+    ``detail()`` must report exactly the committed version and file
+    count, its deleted-row total must equal the count DuckDB derives
+    from the delete predicate, and ``files()``'s per-file rows must
+    be consistent (sum of per-file dv cardinalities == the total;
+    every live file listed once). A metadata surface that drifts
+    from the log (file lost, vector miscounted, stale version)
+    hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_detail_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(3))
+    tx.delete_where("event_id % 11 = 0", mode="dv")
+    d = tx.detail()
+    f = tx.files().collect()
+    assert len(f) == d["num_files"], "files() vs detail() count drift"
+    assert sum(r.deleted_rows for r in f) == d["num_deleted_rows"]
+    assert len({r.path for r in f}) == len(f), "duplicate file rows"
+    visible = tx.snapshot().count()
+    return spark.createDataFrame(
+        [
+            (
+                d["version"],
+                d["num_files"],
+                d["num_deleted_rows"],
+                visible,
+            )
+        ],
+        "version bigint, num_files bigint, num_deleted_rows bigint, "
+        "visible_rows bigint",
+    )
+
+
+@register(
     "s13_zero_copy_clone",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -3799,6 +3799,96 @@ def g3_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g4_kcore",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, 4000000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE (o.o_custkey + l.l_suppkey) % 3 = 0
+    ),
+    eu AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    n1 AS (SELECT src AS node, COUNT(*) AS d FROM eu
+             GROUP BY src HAVING COUNT(*) >= 17),
+    e1 AS (SELECT eu.src, eu.dst FROM eu
+             JOIN n1 a ON a.node = eu.src
+             JOIN n1 b ON b.node = eu.dst),
+    n2 AS (SELECT src AS node, COUNT(*) AS d FROM e1
+             GROUP BY src HAVING COUNT(*) >= 17),
+    e2 AS (SELECT e1.src, e1.dst FROM e1
+             JOIN n2 a ON a.node = e1.src
+             JOIN n2 b ON b.node = e1.dst),
+    n3 AS (SELECT src AS node, COUNT(*) AS d FROM e2
+             GROUP BY src HAVING COUNT(*) >= 17),
+    e3 AS (SELECT e2.src, e2.dst FROM e2
+             JOIN n3 a ON a.node = e2.src
+             JOIN n3 b ON b.node = e2.dst),
+    n4 AS (SELECT src AS node, COUNT(*) AS d FROM e3
+             GROUP BY src HAVING COUNT(*) >= 17)
+    SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS degree
+    FROM n4 ORDER BY node
+    """,
+)
+def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel over the customer-supplier graph (k=17, 4 fixed
+    peel rounds) — the fourth graph-analytics shape: iterative
+    subgraph refinement, where each round REMOVES nodes below the
+    degree floor and recomputes degrees on the induced subgraph (the
+    cascade is real: at sf0.01 membership shrinks 226 -> 120 across
+    the rounds). Fixed-round like g3's Bellman-Ford so the DuckDB
+    chained-CTE oracle is exactly equivalent; node ids disambiguate
+    the bipartite sides with the same 4e9 supplier offset as g1/g3.
+
+    Scale shape: each round is one degree aggregate (shuffle on
+    node) plus two semi-joins inducing the subgraph (shuffle on
+    src/dst) over a MONOTONICALLY SHRINKING edge set — there is no
+    all-pairs step and no driver-side data; each round's edges are
+    checkpointed so lineage stays 4 plans deep, not exponential.
+    The sparsifying (src+dst) %% 3 filter keeps the fixture graph's
+    degree spread wide enough that the peel actually cascades at the
+    driver's scale factor."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter((F.col("o_custkey") + F.col("l_suppkey")) % 3 == 0)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(4000000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    # undirected: UNION (distinct) matches the oracle and collapses
+    # any src/dst pair that appears in both orientations
+    e = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = None
+    for i in range(4):
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 17)
+        )
+        if i == 4 - 1:
+            break
+        keep = deg.select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(
+                keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return deg.select(
+        F.col("src").cast("bigint").alias("node"),
+        F.col("d").cast("bigint").alias("degree"),
+    ).orderBy("node")
+
+
+@register(
     "a7_approx_distinct_grouped",
     oracle="""
     SELECT l_returnflag,

@@ -130,6 +130,19 @@ def e3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected side is the query set, which is small by definition
     (top-k serving). For large query sets use e3_ann_lsh / e3_ivf_knn
     (bucketed candidate generation)."""
+    scored = _brute_scored(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= K)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+def _brute_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (query, candidate) cosine scores — the shared scoring
+    kernel for exact top-k and radius search (see e3_knn_bruteforce's
+    docstring for the numerics and scale arguments)."""
     em = load(spark, sf_dir, "embeddings")
     qrows = sorted(
         em.filter(F.col("vec_id") < N_QUERY).select("vec_id", "embedding").collect(),
@@ -163,7 +176,7 @@ def e3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = em.filter(F.col("vec_id") >= N_QUERY).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    scored = c.select(
+    return c.select(
         "cid", F.posexplode(sims_udf(F.col("ce"))).alias("qi", "sim")
     ).select(
         # element_at on a Python-int literal array yields int32; cast
@@ -172,11 +185,47 @@ def e3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         "sim",
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+
+
+RADIUS = 0.30  # cosine threshold for range search (99.9th-pct sims
+# on this corpus sit near 0.39, max ~0.49 — the result is a small,
+# stable neighbor set rather than empty or everything)
+
+
+@register(
+    "e3_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id >= {N_QUERY}),
+    s AS (SELECT qid, cid,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS sim
+          FROM q, c)
+    SELECT qid, cid, ROUND(sim, 6) AS sim
+    FROM s WHERE sim >= {RADIUS}
+    """,
+)
+def e3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL candidates within a
+    cosine threshold of each query — the "find every near neighbor"
+    dual of top-k, the primitive behind near-dup audit sweeps and
+    contamination checks where the neighbor COUNT is the answer and
+    a k cutoff would truncate it. Same Arrow-batched scoring kernel
+    as e3_knn_bruteforce (sequential float64 sums, so the threshold
+    compare is bit-identical to the oracle's); the filter replaces
+    the window — no shuffle at all, the plan is scan -> UDF ->
+    filter. Scale: one pass over the candidates; for corpus-scale
+    query sets the same threshold filter rides e3_ivf_knn's bucketed
+    candidates instead."""
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= K)
-        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
+        _brute_scored(spark, sf_dir)
+        .filter(F.col("sim") >= RADIUS)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"))
     )
 
 
