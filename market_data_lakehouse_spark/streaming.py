@@ -85,6 +85,7 @@ def stream_upsert(
     app_id: str | None = None,
     trigger_ms: int = DEFAULT_TRIGGER_MS,
     available_now: bool = False,
+    mode: str = "rewrite",
 ):
     """Streaming CDC-apply: every micro-batch is MERGEd into a
     :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`
@@ -102,7 +103,13 @@ def stream_upsert(
     would make a second stream writing to the same lake silently
     skip its first batches as "already committed" replays. Pass an
     explicit app_id only to make an intentional replay domain (the
-    exactly-once test does)."""
+    exactly-once test does).
+
+    ``mode="dv"`` routes each batch through the merge-on-read MERGE:
+    a trickle of small upserts then never rewrites large files — the
+    per-batch cost is O(batch rows), with ``optimize()`` (or the
+    ingest sink's compaction cycle) materializing the accumulated
+    vectors out-of-band."""
     import hashlib
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -122,7 +129,8 @@ def stream_upsert(
                 F.max(F.struct(*cols)).alias("_r")
             ).select(*keys, *[F.col(f"_r.{c}").alias(c) for c in cols])
         lake.merge(
-            deduped, on=keys, validate_keys=False, txn=(app_id, batch_id)
+            deduped, on=keys, validate_keys=False,
+            txn=(app_id, batch_id), mode=mode,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -249,6 +249,52 @@ class TestStreamUpsert:
         assert got == {("AAPL", 110.0), ("MSFT", 300.0)}
 
 
+    def test_dv_mode_upsert_never_rewrites_files(self, spark, tmp_path):
+        """mode='dv' routes every micro-batch through the merge-on-
+        read MERGE: after two drained batches the table state matches
+        the rewrite sink's, and the first batch's data files are
+        byte-untouched on disk (only vectors + postimage files were
+        added)."""
+        from market_data_lakehouse_spark.streaming import stream_upsert
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "src")
+        lake = TransactionalLake(spark, str(tmp_path / "tx"), partition_by=())
+        _write_json(
+            src + "/b0.json",
+            [
+                _tick("2024-06-15T10:00:00", price=100.0),
+                _tick("2024-06-15T10:01:00", symbol="MSFT", price=300.0),
+            ],
+        )
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ckpt"), app_id="dv-apply",
+            available_now=True, mode="dv",
+        )
+        q.awaitTermination(120)
+        files_b0, _, _ = lake.prune_files({})
+        _write_json(
+            src + "/b1.json",
+            [
+                _tick("2024-06-15T10:00:00", price=110.0),  # update
+                _tick("2024-06-15T10:02:00", symbol="GOOG", price=9.0),
+            ],
+        )
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ckpt"), app_id="dv-apply",
+            available_now=True, mode="dv",
+        )
+        q.awaitTermination(120)
+        files_b1, _, _ = lake.prune_files({})
+        assert set(files_b0) <= set(files_b1)  # nothing rewritten
+        assert lake.detail()["num_deletion_vectors"] >= 1
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {
+            ("AAPL", 110.0), ("MSFT", 300.0), ("GOOG", 9.0),
+        }
+
     def test_all_key_columns_falls_back_to_drop_duplicates(
         self, spark, tmp_path
     ):
