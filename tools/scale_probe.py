@@ -69,6 +69,9 @@ KEY_SHIFTS = {
     "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
+    # g1_pagerank sizes its node space from customer+supplier counts;
+    # supplier keys must shift in lockstep with l_suppkey
+    "supplier": ["s_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     # embeddings: the query set stays vec_id < N_QUERY (copy 0 only)
