@@ -92,11 +92,11 @@ _DRIVER_WINDOW = [
     "s15_table_detail",       # DESCRIBE DETAIL metadata cross-check
     "e3_range_search",        # cosine radius search (exact, no shuffle)
     "g4_kcore",               # iterative k-core peel, chained-CTE oracle
+    "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
     # (d) r5-stale fill (the remaining r5 cohort rotates in r9)
     "a1_vwap_by_flag", "a3_full_table_agg", "a4_multikey_100",
     "a5_ohlcv_resample", "a6_stats_by_type", "a7_distinct",
-    "a8_cube",
-]
+    ]
 
 
 def _apply_driver_window() -> None:
