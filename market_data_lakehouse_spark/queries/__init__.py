@@ -93,9 +93,10 @@ _DRIVER_WINDOW = [
     "e3_range_search",        # cosine radius search (exact, no shuffle)
     "g4_kcore",               # iterative k-core peel, chained-CTE oracle
     "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
+    "e3_kmeans",              # r8: invariant-gated oracle (was rows-only)
     # (d) r5-stale fill (the remaining r5 cohort rotates in r9)
     "a1_vwap_by_flag", "a3_full_table_agg", "a4_multikey_100",
-    "a5_ohlcv_resample", "a6_stats_by_type", "a7_distinct",
+    "a5_ohlcv_resample", "a6_stats_by_type",
     ]
 
 

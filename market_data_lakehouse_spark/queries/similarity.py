@@ -823,17 +823,16 @@ def kmeans_objective(spark: SparkSession, sf_dir: str, n_iter: int) -> float:
     )
 
 
-@register("e3_kmeans")  # rows-only: iterative algorithm, not SQL-expressible
-def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means document clustering over the embedding corpus (the
     topic-bucketing / data-mixing primitive a training pipeline runs
     before sampling): 3 Lloyd iterations from deterministic seeds,
     then a per-cluster summary — size, mean cosine to the centroid
     (cohesion), and the dominant ground-truth label with its share
     (purity evidence). All post-fit aggregates are codegen'd; the
-    only Python is the Arrow-batched assignment UDF. Property-tested
-    (monotone objective) rather than oracle-checked: the iteration
-    is not SQL-expressible."""
+    only Python is the Arrow-batched assignment UDF. The registered
+    driver entry (e3_kmeans) wraps this summary in the bounded-error
+    gate; this function is the user-facing query."""
     assigned, cents_rows = _kmeans_fit(spark, sf_dir)
     cents = spark.createDataFrame(
         [(r["cell"], [float(x) for x in r["ce"]]) for r in cents_rows],
@@ -866,6 +865,84 @@ def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("t.ln") / F.col("n"), 4).alias("top_label_share"),
         )
         .orderBy("cluster")
+    )
+
+
+@register(
+    "e3_kmeans",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_docs,
+           TRUE AS partition_exact,
+           TRUE AS clusters_le_k,
+           TRUE AS objective_monotone,
+           TRUE AS shares_valid
+    """,
+)
+def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means under the bounded-error gate (r8, the a7/a9 pattern
+    applied to the iterative algorithm): the iteration itself is not
+    SQL-expressible, but its CONTRACT is — the returned row carries
+    the exact corpus count (DuckDB recomputes it) plus booleans the
+    oracle pins TRUE: cluster sizes partition the corpus exactly,
+    the cluster count never exceeds k, the spherical objective is
+    monotone across the three Lloyd iterations (each iteration's
+    mean cosine-to-assigned-centroid, measured from the live fit,
+    one tiny agg per iteration), and every purity share is in
+    (0, 1]. A fit that drops or duplicates a vector, diverges, or
+    degenerates goes driver-red instead of silently passing
+    rows-only."""
+    em = load(spark, sf_dir, "embeddings")
+    k = 8
+    objectives: list[float] = []
+    cents_rows = sorted(
+        em.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+        .collect(),
+        key=lambda r: r["cell"],
+    )
+    assigned = None
+    for _ in range(3):
+        assign = em.withColumn(
+            "cluster", _cell_ranks_udf(cents_rows, 1)(F.col("embedding"))[0]
+        )
+        cents_rows = sorted(
+            _mean_vectors(assign, "cluster", "embedding", "ce")
+            .withColumnRenamed("cluster", "cell")
+            .collect(),
+            key=lambda r: r["cell"],
+        )
+        cents = spark.createDataFrame(
+            [(r["cell"], [float(x) for x in r["ce"]]) for r in cents_rows],
+            "cluster long, ce array<double>",
+        )
+        objectives.append(
+            assign.join(F.broadcast(cents), "cluster")
+            .select(cosine_pairs("embedding", "ce").alias("sim"))
+            .agg(F.avg("sim"))
+            .collect()[0][0]
+        )
+        assigned = assign
+    n_total = em.count()
+    sizes = assigned.groupBy("cluster").count().collect()
+    eps = 1e-9
+    monotone = all(
+        b >= a - eps for a, b in zip(objectives, objectives[1:])
+    )
+    summary = kmeans_cluster_summary(spark, sf_dir).collect()
+    shares_valid = all(0.0 < r.top_label_share <= 1.0 for r in summary)
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                sum(r["count"] for r in sizes) == n_total
+                and sum(r.n for r in summary) == n_total,
+                len(sizes) <= k,
+                monotone,
+                shares_valid,
+            )
+        ],
+        "n_docs bigint, partition_exact boolean, clusters_le_k boolean, "
+        "objective_monotone boolean, shares_valid boolean",
     )
 
 

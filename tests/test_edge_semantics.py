@@ -548,15 +548,23 @@ def test_kmeans_objective_monotone(spark):
 
 
 def test_kmeans_summary_covers_corpus(spark):
-    """e3_kmeans: cluster sizes partition the corpus (every vector in
-    exactly one cluster), cohesion and purity are well-formed."""
-    from market_data_lakehouse_spark.queries.similarity import e3_kmeans
+    """Cluster sizes partition the corpus (every vector in exactly
+    one cluster), cohesion and purity are well-formed; the registered
+    e3_kmeans wraps exactly these invariants in its gated row."""
+    from market_data_lakehouse_spark.queries.similarity import (
+        e3_kmeans,
+        kmeans_cluster_summary,
+    )
 
-    rows = e3_kmeans(spark, "/root/testdata/sf0.001").collect()
+    rows = kmeans_cluster_summary(spark, "/root/testdata/sf0.001").collect()
     assert sum(r.n for r in rows) == 500
     for r in rows:
         assert -1.0 <= r.mean_cos <= 1.0
         assert 0.0 < r.top_label_share <= 1.0
+    gate = e3_kmeans(spark, "/root/testdata/sf0.001").collect()[0]
+    assert gate.n_docs == 500
+    assert gate.partition_exact and gate.clusters_le_k
+    assert gate.objective_monotone and gate.shares_valid
 
 
 def test_ewma_matches_pandas(spark):
