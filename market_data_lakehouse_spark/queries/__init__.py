@@ -94,10 +94,11 @@ _DRIVER_WINDOW = [
     "g4_kcore",               # iterative k-core peel, chained-CTE oracle
     "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
     "e3_kmeans",              # r8: invariant-gated oracle (was rows-only)
+    "e4_rolling_chunks",      # r8: coverage-gated oracle (was rows-only)
+    "e5_media_resize",        # r8: exact IEEE-geometry oracle (was rows-only)
     # (d) r5-stale fill (the remaining r5 cohort rotates in r9)
     "a1_vwap_by_flag", "a3_full_table_agg", "a4_multikey_100",
-    "a5_ohlcv_resample", "a6_stats_by_type",
-    ]
+        ]
 
 
 def _apply_driver_window() -> None:

@@ -141,11 +141,35 @@ def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("e5_media_resize")  # rows-only: float geometry in pandas
+@register(
+    "e5_media_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS bl
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT media_id, bl % 640 + 1 AS w, bl % 480 + 1 AS h FROM m),
+    s AS (SELECT *, LEAST(224.0 / w, 224.0 / h, 1.0) AS scale FROM g)
+    SELECT media_id, 'image' AS kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           GREATEST(CAST(FLOOR(w * scale) AS BIGINT), 1) AS out_w,
+           GREATEST(CAST(FLOOR(h * scale) AS BIGINT), 1) AS out_h,
+           GREATEST(CAST(FLOOR(w * scale) AS BIGINT), 1)
+             * GREATEST(CAST(FLOOR(h * scale) AS BIGINT), 1) * 3
+             AS out_bytes
+    FROM s
+    """,
+)
 def e5_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize pipeline stage over binary media (E5): filter to
     images (payload pruned into the Arrow batch only for matching
-    rows), mapInPandas geometry, typed output."""
+    rows), mapInPandas geometry, typed output.
+
+    Oracle-exact since r8 (was rows-only): the fit-into-224-box
+    geometry is two correctly-rounded IEEE-double ops (one division
+    in the scale, one multiplication before the floor), so pandas
+    and DuckDB compute bit-identical scales and the floored output
+    dims hash-match exactly — the same single-rounding argument as
+    e6_weighted_sample's priorities."""
     media = media_table(spark, sf_dir).filter(F.col("kind") == "image")
     return media.mapInPandas(resize_images, schema=RESIZE_SCHEMA)
 

@@ -297,15 +297,18 @@ def e4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e4_rolling_chunks")  # rows-only: sequential rolling hash
-def e4_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rolling_chunk_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Content-defined chunking via Rabin-Karp rolling hash (E4
     "document fingerprinting"): chunk boundaries where the 16-byte
     rolling hash hits a mask — identical content produces identical
     chunk fingerprints regardless of position, the dedup primitive
     for near-identical long documents. Sequential per document, so it
     runs in an Arrow-batched mapInPandas (partition-parallel across
-    documents)."""
+    documents). The registered driver entry (e4_rolling_chunks)
+    wraps this in the bounded-error gate; this function returns the
+    fingerprint-rich rows."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -355,6 +358,84 @@ def e4_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(chunker, schema=out_schema)
+
+
+@register(
+    "e4_rolling_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+             AS covered_bytes,
+           TRUE AS contiguous,
+           CAST(CASE WHEN octet_length(encode(coalesce(text, ''))) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_chunks
+    FROM documents
+    """,
+)
+def e4_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash chunker under the bounded-error gate (r8, the
+    a7/a9 pattern — was rows-only): the boundary positions are
+    hash-engine-specific, but the chunker's CONTRACT is exact — the
+    per-document sum of chunk byte-spans must equal the document's
+    byte length (DuckDB recomputes it from the raw text), the spans
+    must be contiguous from offset 0, and every non-empty document
+    must produce at least one chunk. A chunker that drops a byte,
+    overlaps, or loses a document goes driver-red. Fingerprint-rich
+    rows stay available via rolling_chunk_fingerprints."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("covered_bytes", T.LongType()),
+            T.StructField("contiguous", T.BooleanType()),
+            T.StructField("has_chunks", T.LongType()),
+        ]
+    )
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B, MOD, WIN, MASK = 257, (1 << 61) - 1, 16, 0x3F
+        bw = pow(B, WIN - 1, MOD)
+        for pdf in batches:
+            ids, covered, contig, hasc = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode()
+                h, start = 0, 0
+                spans = []
+                for i, byte in enumerate(data):
+                    if i >= WIN:
+                        h = (h - data[i - WIN] * bw) % MOD
+                    h = (h * B + byte) % MOD
+                    if i >= WIN - 1 and (h & MASK) == MASK:
+                        spans.append((start, i + 1))
+                        start = i + 1
+                if start < len(data):
+                    spans.append((start, len(data)))
+                ids.append(doc_id)
+                covered.append(sum(e - s0 for s0, e in spans))
+                contig.append(
+                    all(
+                        s0 == (spans[j - 1][1] if j else 0)
+                        for j, (s0, _e) in enumerate(spans)
+                    )
+                    and (not spans or spans[-1][1] == len(data))
+                )
+                hasc.append(len(spans) and 1 or 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "covered_bytes": covered,
+                    "contiguous": contig,
+                    "has_chunks": hasc,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(gate, schema=out_schema)
 
 
 @register(
