@@ -2181,6 +2181,8 @@ class TransactionalLake:
         self,
         zorder_by: tuple[str, ...] | None = None,
         files_per_partition: int = 1,
+        where: dict[str, tuple] | None = None,
+        min_file_size: int | None = None,
     ) -> int:
         """Compaction (+ optional Z-order-style clustering) as a log
         commit: read live files, rewrite with bounded file counts —
@@ -2189,9 +2191,42 @@ class TransactionalLake:
         (reference README.md:125, 134, 138) — then atomically swap
         the file set. Readers of the old snapshot are unaffected;
         time-travel to pre-compaction versions still works until
-        vacuum."""
+        vacuum.
+
+        SCOPED compaction (r8 — at 100 TB an unscoped OPTIMIZE is a
+        full-table rewrite, the thing compaction exists to avoid):
+
+        - ``where``: a stats/partition bounds dict (the
+          ``prune_files`` spec, e.g. ``{"date": ("2024-06-01",
+          "2024-06-02")}``) — only files that MIGHT match are
+          rewritten (stats skipping errs toward rewriting more,
+          never toward losing rows); everything else, including its
+          deletion vectors, is untouched. Delta's ``OPTIMIZE WHERE``.
+        - ``min_file_size``: only files smaller than this many bytes
+          are compacted (bin-packing the small-file tail); large
+          well-formed files are left alone. A selected file carrying
+          a deletion vector is always rewritten (compaction is how
+          vectors materialize away).
+
+        With a scope that selects <2 files and no vectors, there is
+        nothing to bin-pack: no-op, no version burned."""
         old, schemas, read_v, dvs = self._snapshot_state()
-        snap = self._df_for_files(old, schemas, dvs=dvs)
+        subset = list(old)
+        if where:
+            kept, _total, _schemas = self.prune_files(where)
+            keep = set(kept)
+            subset = [f for f in subset if f in keep]
+        if min_file_size is not None:
+            subset = [
+                f
+                for f in subset
+                if f in dvs
+                or self._file_size(f) < min_file_size
+            ]
+        if len(subset) < 2 and not any(f in dvs for f in subset):
+            return self.version
+        sub_dvs = {f: p for f, p in dvs.items() if f in subset}
+        snap = self._df_for_files(subset, schemas, dvs=sub_dvs)
         n = max(1, files_per_partition)
         parts = [F.col(c) for c in self.partition_by]
         bucket = F.pmod(F.xxhash64(*(zorder_by or snap.columns)), F.lit(n))
@@ -2200,8 +2235,8 @@ class TransactionalLake:
         # everything into one partition — silently ignoring
         # files_per_partition (and collapsing the per-file stats
         # ranges clustering exists to tighten). The count is n per
-        # live partition dir, read off the file list driver-side.
-        n_dirs = len({os.path.dirname(f) for f in old}) or 1
+        # selected partition dir, read off the file list driver-side.
+        n_dirs = len({os.path.dirname(f) for f in subset}) or 1
         clustered = snap.repartition(n * n_dirs, *parts, bucket)
         if zorder_by:
             if len(zorder_by) == 1:
@@ -2220,10 +2255,16 @@ class TransactionalLake:
                 "op": "compact",
                 "zorder_by": list(zorder_by or ()),
                 "add": added,
-                "remove": old,
+                "remove": subset,
             },
             read_version=read_v,
         )
+
+    def _file_size(self, rel: str) -> int:
+        try:
+            return os.path.getsize(os.path.join(self.path, rel))
+        except OSError:
+            return 0
 
     def vacuum(self, retention_seconds: float = 3600.0) -> int:
         """Physically delete files no longer referenced by the LATEST

@@ -441,9 +441,10 @@ class TestMaintenance:
 
     def test_history(self, spark, lake):
         lake.append(_df(spark, [("AAPL", 150)]))
+        lake.append(_df(spark, [("MSFT", 300)]))
         lake.optimize()
         ops = [h["op"] for h in lake.history()]
-        assert ops == ["compact", "append"]
+        assert ops == ["compact", "append", "append"]
 
 
 class TestRestore:
@@ -1038,3 +1039,73 @@ class TestLogVacuum:
             f for f in os.listdir(lk.log_path) if f.endswith(".checkpoint")
         ]
         assert "00000009.checkpoint" in cps
+
+
+class TestScopedOptimize:
+    def _mk(self, spark, tmp_path, name="sc"):
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        return TransactionalLake(
+            spark, str(tmp_path / name), partition_by=("date",)
+        )
+
+    def test_where_scopes_rewrite_to_matching_partitions(
+        self, spark, tmp_path
+    ):
+        lake = self._mk(spark, tmp_path)
+        lake.append(_df(spark, [("AAPL", 1), ("AAPL", 2)], date="2024-06-15"))
+        lake.append(_df(spark, [("MSFT", 3), ("MSFT", 4)], date="2024-06-16"))
+        lake.append(_df(spark, [("GOOG", 5)], date="2024-06-15"))
+        before, _, _ = lake.prune_files({})
+        d16 = [f for f in before if "date=2024-06-16" in f]
+        lake.optimize(where={"date": ("2024-06-15", "2024-06-15")})
+        after, _, _ = lake.prune_files({})
+        # untouched partition keeps its exact files
+        assert set(d16) <= set(after)
+        # scoped partition was rewritten
+        d15_before = {f for f in before if "date=2024-06-15" in f}
+        d15_after = {f for f in after if "date=2024-06-15" in f}
+        assert d15_before.isdisjoint(d15_after)
+        assert len(d15_after) == 1  # bin-packed
+        assert lake.snapshot().count() == 5
+
+    def test_min_file_size_skips_large_files(self, spark, tmp_path):
+        lake = self._mk(spark, tmp_path, "mfs")
+        lake.append(_df(spark, [("AAPL", i) for i in range(200)]))
+        lake.append(_df(spark, [("AAPL", 900)]))
+        lake.append(_df(spark, [("AAPL", 901)]))
+        files, _, _ = lake.prune_files({})
+        sizes = {f: lake._file_size(f) for f in files}
+        big = max(sizes, key=sizes.get)
+        cut = sizes[big]  # everything strictly smaller than the big file
+        lake.optimize(min_file_size=cut)
+        after, _, _ = lake.prune_files({})
+        assert big in after  # large file untouched
+        small_before = [f for f in files if f != big]
+        assert set(small_before).isdisjoint(after)  # small tail packed
+        assert lake.snapshot().count() == 202
+
+    def test_scope_selecting_nothing_is_a_noop(self, spark, tmp_path):
+        lake = self._mk(spark, tmp_path, "noop")
+        lake.append(_df(spark, [("AAPL", 1)], date="2024-06-15"))
+        v = lake.version
+        lake.optimize(where={"date": ("1999-01-01", "1999-01-02")})
+        assert lake.version == v  # no version burned
+        lake.optimize()  # single file, no vectors: also a no-op
+        assert lake.version == v
+
+    def test_scoped_optimize_materializes_only_scoped_vectors(
+        self, spark, tmp_path
+    ):
+        lake = self._mk(spark, tmp_path, "dvs")
+        lake.append(_df(spark, [("AAPL", 1), ("AAPL", 2)], date="2024-06-15"))
+        lake.append(_df(spark, [("MSFT", 3), ("MSFT", 4)], date="2024-06-16"))
+        lake.delete_where("price = 1", mode="dv")
+        lake.delete_where("price = 3", mode="dv")
+        lake.optimize(where={"date": ("2024-06-15", "2024-06-15")})
+        _files, _schemas, _v, dvs = lake._snapshot_state()
+        # the 06-16 vector survives; the 06-15 one materialized away
+        assert len(dvs) == 1
+        assert "date=2024-06-16" in next(iter(dvs))
+        got = sorted(r.price for r in lake.snapshot().collect())
+        assert got == [2, 4]
