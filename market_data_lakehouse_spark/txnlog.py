@@ -1262,6 +1262,70 @@ class TransactionalLake:
             read_version=read_v,
         )
 
+    def overwrite_where(self, df: DataFrame, predicate: str) -> int:
+        """Predicate-scoped atomic replace (Delta ``replaceWhere``):
+        ONE commit deletes every existing row matching ``predicate``
+        and inserts ``df`` in its place — the idiomatic idempotent
+        backfill ("recompute this day and swap it in"). Every row of
+        ``df`` must itself satisfy the predicate (Delta's
+        replaceWhere validation) so a buggy backfill cannot leak rows
+        into partitions it didn't declare.
+
+        Scale shape: only files CONTAINING a matching row are
+        touched — their non-matching survivor rows are rewritten
+        alongside the new data, everything else (including its
+        deletion vectors) is untouched. On a date-partitioned table
+        with a date predicate the survivor set is empty and the cost
+        is exactly the new partition's write."""
+        match = F.coalesce(F.expr(predicate), F.lit(False))
+        df = self._apply_generated(df)
+        old, schemas, read_v, dvs = self._snapshot_state()
+        self._check_schema(df, merge_schema=False, schemas=schemas)
+        df = self._cast_to_committed(df, schemas)
+        bad = df.filter(~match).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"overwrite_where: input rows must satisfy the "
+                f"predicate {predicate!r}, e.g. violating row: {bad[0]}"
+            )
+        if not old:
+            seeded = self._conform(df, schemas)
+            self._enforce_constraints(seeded, "overwrite_where")
+            added = self._write_files(seeded)
+            return self._commit(
+                {
+                    "op": "overwrite_where",
+                    "predicate": predicate,
+                    "add": added,
+                    "remove": [],
+                    "schema": seeded.schema.json(),
+                },
+                read_version=read_v,
+            )
+        snap = self._df_for_files(old, schemas, dvs=dvs)
+        affected = self._affected_files(snap, match)
+        parts: list[DataFrame] = [self._conform(df, schemas)]
+        if affected:
+            aff_dvs = {f: p for f, p in dvs.items() if f in affected}
+            aff = self._df_for_files(affected, schemas, dvs=aff_dvs)
+            parts.append(self._conform(aff.filter(~match), schemas))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        out = self._conform(out, schemas)
+        self._enforce_constraints(out, "overwrite_where")
+        added = self._write_files(out)
+        return self._commit(
+            {
+                "op": "overwrite_where",
+                "predicate": predicate,
+                "add": added,
+                "remove": affected,
+                "schema": out.schema.json(),
+            },
+            read_version=read_v,
+        )
+
     def _rel_paths(self, abs_paths: list[str]) -> list[str]:
         """Table-relative paths from _metadata.file_path values
         (strips the local-FS URI prefix; the single place to extend

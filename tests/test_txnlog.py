@@ -1109,3 +1109,84 @@ class TestScopedOptimize:
         assert "date=2024-06-16" in next(iter(dvs))
         got = sorted(r.price for r in lake.snapshot().collect())
         assert got == [2, 4]
+
+
+class TestOverwriteWhere:
+    def test_replaces_matching_partition_only(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 1), ("MSFT", 2)], date="2024-06-15"))
+        lake.append(_df(spark, [("GOOG", 3)], date="2024-06-16"))
+        before, _, _ = lake.prune_files({})
+        d16 = [f for f in before if "date=2024-06-16" in f]
+        v = lake.overwrite_where(
+            _df(spark, [("NVDA", 9), ("AMD", 8)], date="2024-06-15"),
+            "date = '2024-06-15'",
+        )
+        after, _, _ = lake.prune_files({})
+        assert set(d16) <= set(after)  # other partition untouched
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {("NVDA", 9.0), ("AMD", 8.0), ("GOOG", 3.0)}
+        # time travel sees the pre-swap state
+        pre = {r.symbol for r in lake.snapshot(version=v - 1).collect()}
+        assert pre == {"AAPL", "MSFT", "GOOG"}
+
+    def test_row_level_predicate_keeps_survivors(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 1), ("MSFT", 2), ("GOOG", 3)]))
+        lake.overwrite_where(
+            _df(spark, [("AAPL", 100)]), "symbol = 'AAPL'"
+        )
+        got = {(r.symbol, r.price) for r in lake.snapshot().collect()}
+        assert got == {("AAPL", 100.0), ("MSFT", 2.0), ("GOOG", 3.0)}
+
+    def test_input_outside_predicate_raises(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 1)], date="2024-06-15"))
+        with pytest.raises(ValueError, match="satisfy the predicate"):
+            lake.overwrite_where(
+                _df(spark, [("MSFT", 2)], date="2024-06-16"),
+                "date = '2024-06-15'",
+            )
+
+    def test_respects_deletion_vectors(self, spark, lake):
+        """dv-hidden rows must not be resurrected as survivors of the
+        rewrite, and vectors on untouched files must survive."""
+        lake.append(_df(spark, [("AAPL", 1), ("MSFT", 2)], date="2024-06-15"))
+        lake.append(_df(spark, [("GOOG", 3), ("META", 4)], date="2024-06-16"))
+        lake.delete_where("symbol = 'MSFT'", mode="dv")
+        lake.delete_where("symbol = 'META'", mode="dv")
+        lake.overwrite_where(
+            _df(spark, [("NVDA", 9)], date="2024-06-15"),
+            "date = '2024-06-15'",
+        )
+        got = {r.symbol for r in lake.snapshot().collect()}
+        assert got == {"NVDA", "GOOG"}  # MSFT/META stay deleted
+        _f, _s, _v, dvs = lake._snapshot_state()
+        assert len(dvs) == 1 and "date=2024-06-16" in next(iter(dvs))
+
+    def test_empty_table_seeds(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ow"), partition_by=("date",)
+        )
+        lake.overwrite_where(
+            _df(spark, [("AAPL", 1)], date="2024-06-15"),
+            "date = '2024-06-15'",
+        )
+        assert lake.snapshot().count() == 1
+
+    def test_cdc_emits_delete_insert(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 1), ("MSFT", 2)]))
+        v = lake.overwrite_where(
+            _df(spark, [("AAPL", 10)]), "symbol = 'AAPL'"
+        )
+        ch = lake.read_changes(v)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        net = {
+            r.symbol: r.n
+            for r in ch.groupBy("symbol").agg(F.sum(sign).alias("n")).collect()
+        }
+        # AAPL: old deleted + new inserted (net 0 count, new price);
+        # MSFT survivor churns delete+insert (net 0) — file-grained CDC
+        assert net.get("AAPL", 0) == 0 and net.get("MSFT", 0) == 0
+        ins = {
+            (r.symbol, r.price)
+            for r in ch.filter("_change_type = 'insert'").collect()
+        }
+        assert ("AAPL", 10.0) in ins
