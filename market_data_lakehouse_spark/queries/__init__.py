@@ -90,6 +90,7 @@ _DRIVER_WINDOW = [
     # (c) new r8 entries
     "s14_dv_update",          # merge-on-read UPDATE (dv + postimage)
     "s15_table_detail",       # DESCRIBE DETAIL metadata cross-check
+    "s16_overwrite_where",    # replaceWhere atomic partition swap
     "e3_range_search",        # cosine radius search (exact, no shuffle)
     "g4_kcore",               # iterative k-core peel, chained-CTE oracle
     "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
@@ -97,8 +98,7 @@ _DRIVER_WINDOW = [
     "e4_rolling_chunks",      # r8: coverage-gated oracle (was rows-only)
     "e5_media_resize",        # r8: exact IEEE-geometry oracle (was rows-only)
     # (d) r5-stale fill (the remaining r5 cohort rotates in r9)
-    "a1_vwap_by_flag", "a3_full_table_agg", "a4_multikey_100",
-        ]
+    "a1_vwap_by_flag", "a3_full_table_agg",         ]
 
 
 def _apply_driver_window() -> None:

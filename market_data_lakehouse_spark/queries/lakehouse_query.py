@@ -567,6 +567,60 @@ def s15_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s16_overwrite_where",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_id
+    FROM (
+      SELECT event_type, event_id FROM events
+      WHERE event_type <> 'click'
+      UNION ALL
+      SELECT event_type, event_id + 1000000000 AS event_id FROM events
+      WHERE event_type = 'click'
+    ) GROUP BY event_type
+    """,
+)
+def s16_overwrite_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere as a hard signal (S8 extension, r8): atomically
+    swap one event_type's rows for a recomputed version (ids shifted
+    by 1e9 — a deterministic 'backfill') while every other row —
+    including rows in files that ALSO contain the replaced type —
+    survives byte-exactly. The oracle rebuilds the post-swap table
+    from raw events with plain SQL set logic, so a swap that leaked,
+    dropped, or duplicated a row on either side of the predicate
+    hash-mismatches. In-query asserts pin that input validation
+    rejects out-of-predicate rows."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_rw_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(3))
+    backfill = ev.filter(F.col("event_type") == "click").select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        "event_type",
+        "value",
+    )
+    probe = ev.filter(F.col("event_type") == "view").limit(1)
+    try:
+        tx.overwrite_where(probe, "event_type = 'click'")
+        raise AssertionError("out-of-predicate input must raise")
+    except ValueError:
+        pass
+    tx.overwrite_where(backfill, "event_type = 'click'")
+    return tx.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+    )
+
+
+@register(
     "s13_zero_copy_clone",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
