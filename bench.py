@@ -91,6 +91,13 @@ HEAVY = {
     "q_tpch_q6": "a19_forecast_revenue",
     "q_scd2_rebuild": "t12_scd2_rebuild",
     "q_deletion_vectors": "s12_deletion_vectors",
+    # round 8: merge-on-read UPDATE end-to-end (lake build + dv
+    # update + vectored read), the k-core peel (4 iterative
+    # shuffle rounds over a shrinking subgraph), and the zero-shuffle
+    # radius search
+    "q_dv_update": "s14_dv_update",
+    "q_kcore": "g4_kcore",
+    "q_range_search": "e3_range_search",
 }
 
 
