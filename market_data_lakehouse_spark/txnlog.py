@@ -262,6 +262,12 @@ class TransactionalLake:
                 dv.pop(f, None)
             for f, pos in c.get("dv", {}).items():
                 dv[f] = sorted(set(dv.get(f, [])) | set(pos))
+            for f, pos in c.get("dv_reset", {}).items():
+                # restore: SET the file's vector exactly (empty = clear)
+                if pos:
+                    dv[f] = sorted(pos)
+                else:
+                    dv.pop(f, None)
             if c.get("schema"):
                 schemas.append(c["schema"])
             stats.update(c.get("stats", {}))
@@ -820,6 +826,12 @@ class TransactionalLake:
                 dvs.pop(f, None)
             for f, pos in c.get("dv", {}).items():
                 dvs[f] = sorted(set(dvs.get(f, [])) | set(pos))
+            for f, pos in c.get("dv_reset", {}).items():
+                # restore: SET the file's vector exactly (empty = clear)
+                if pos:
+                    dvs[f] = sorted(pos)
+                else:
+                    dvs.pop(f, None)
             if c.get("schema"):
                 schemas.append(c["schema"])
             resolved = c["version"]
@@ -2132,11 +2144,16 @@ class TransactionalLake:
                     else:
                         # a commit that ADDS files together with
                         # vectors over them (clone of a dv-carrying
-                        # table) inserts only the visible rows
+                        # table, or a restore re-adding a file whose
+                        # target state had a vector) inserts only the
+                        # visible rows
                         skip = {
                             f: p
-                            for f, p in c.get("dv", {}).items()
-                            if f in paths
+                            for f, p in {
+                                **c.get("dv", {}),
+                                **c.get("dv_reset", {}),
+                            }.items()
+                            if f in paths and p
                         }
                     if skip:
                         df = _pair_join(
@@ -2166,10 +2183,43 @@ class TransactionalLake:
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v))
                     )
+                added_set = set(c.get("add", []))
+                hidden: dict[str, list[int]] = {}
+                unhidden: dict[str, list[int]] = {}
+                for f, pos in c.get("dv_reset", {}).items():
+                    # a restore SURVIVOR's vector diff is a row-exact
+                    # change: positions newly hidden are deletes,
+                    # positions cleared are (re-)inserts. Re-ADDED
+                    # files are covered by the add-emission above.
+                    if f in added_set:
+                        continue
+                    before = set(run_dv.get(f, []))
+                    after = set(pos)
+                    if after - before:
+                        hidden[f] = sorted(after - before)
+                    if before - after:
+                        unhidden[f] = sorted(before - after)
+                for dv_map, change in ((hidden, "delete"),
+                                       (unhidden, "insert")):
+                    if dv_map:
+                        emit.append(
+                            _pair_join(
+                                _with_pos(list(dv_map)), dv_map,
+                                "left_semi",
+                            )
+                            .drop("_row_file", "_row_pos")
+                            .withColumn("_change_type", F.lit(change))
+                            .withColumn("_commit_version", F.lit(v))
+                        )
             for f in c.get("remove", []):
                 run_dv.pop(f, None)
             for f, pos in c.get("dv", {}).items():
                 run_dv[f] = sorted(set(run_dv.get(f, [])) | set(pos))
+            for f, pos in c.get("dv_reset", {}).items():
+                if pos:
+                    run_dv[f] = sorted(pos)
+                else:
+                    run_dv.pop(f, None)
             for df in emit:
                 out = df if out is None else out.unionByName(
                     df, allowMissingColumns=True
@@ -2456,15 +2506,6 @@ class TransactionalLake:
         cur_files, _schemas, read_v, cur_dvs = self._snapshot_state()
         if target_v == read_v:
             return read_v
-        if target_dvs or cur_dvs:
-            # a restore commit re-adds/removes FILES; reconciling the
-            # two versions' deletion vectors through that file-level
-            # diff (and emitting a correct CDC net change for it) is
-            # not supported — materialize the vectors first
-            raise ValueError(
-                "restore with active deletion vectors is not supported: "
-                "run optimize() to materialize them, then restore"
-            )
         missing = [
             f
             for f in target_files
@@ -2482,6 +2523,26 @@ class TransactionalLake:
             "add": [f for f in target_files if f not in cur],
             "remove": [f for f in cur_files if f not in tgt],
         }
+        # deletion-vector reconciliation (r8 — the pre-r8 code refused
+        # to restore while vectors were active): for every file alive
+        # in the RESTORED state, the commit SETS its vector to exactly
+        # the target's (dv_reset; empty list = clear). Files removed
+        # by the restore drop their vectors through the normal fold;
+        # re-added files get their target vector the same way, and
+        # the CDC reader treats dv_reset as state (inserting only the
+        # visible rows of re-added files, emitting row-exact
+        # delete/insert pairs for surviving files' vector diffs).
+        dv_reset: dict[str, list[int]] = {}
+        for f in target_files:
+            tgt_p = sorted(target_dvs.get(f, []))
+            cur_p = sorted(cur_dvs.get(f, [])) if f in cur else None
+            if f not in cur:
+                if tgt_p:
+                    dv_reset[f] = tgt_p
+            elif cur_p != tgt_p:
+                dv_reset[f] = tgt_p
+        if dv_reset:
+            action["dv_reset"] = dv_reset
         if target_schemas:
             # pin the restored schema so post-restore snapshots resolve
             # to the target's type history, not the rolled-back one

@@ -97,15 +97,66 @@ class TestDvDelete:
         got = _ids(lake.scan_between({"k": (2, 6)}))
         assert got == [2, 3, 5, 6]
 
-    def test_restore_refuses_active_vectors(self, spark, lake):
-        lake.append(_rows(spark, 0, 5).coalesce(1))
-        lake.delete_where("k = 0", mode="dv")
-        with pytest.raises(ValueError, match="deletion vectors"):
-            lake.restore(version=0)
-        # after materializing, restore works again
-        lake.optimize()
-        lake.restore(version=0)
+    def test_restore_clears_vectors_to_pre_dv_state(self, spark, lake):
+        """r8: restore with active vectors works — rolling back past a
+        dv delete clears the vector (dv_reset) and the hidden rows
+        come back."""
+        lake.append(_rows(spark, 0, 5).coalesce(1))  # v0
+        lake.delete_where("k = 0", mode="dv")  # v1
+        lake.delete_where("k = 3", mode="dv")  # v2
+        v = lake.restore(version=0)
         assert _ids(lake.snapshot()) == [0, 1, 2, 3, 4]
+        assert lake._snapshot_state()[3] == {}  # vectors cleared
+        # row-exact CDC: the restore re-inserts exactly the two
+        # previously-hidden rows
+        ch = lake.read_changes(v).collect()
+        assert sorted((r.k, r._change_type) for r in ch) == [
+            (0, "insert"), (3, "insert"),
+        ]
+
+    def test_restore_to_dv_carrying_version(self, spark, lake):
+        """Restoring TO a version that itself had vectors re-adopts
+        exactly the target's vector state."""
+        lake.append(_rows(spark, 0, 6).coalesce(1))  # v0
+        lake.delete_where("k = 1", mode="dv")  # v1
+        lake.delete_where("k in (2, 4)", mode="dv")  # v2
+        v = lake.restore(version=1)
+        assert _ids(lake.snapshot()) == [0, 2, 3, 4, 5]
+        _f, _s, _v, dvs = lake._snapshot_state()
+        assert sum(len(p) for p in dvs.values()) == 1  # only k=1 hidden
+        ch = lake.read_changes(v).collect()
+        assert sorted((r.k, r._change_type) for r in ch) == [
+            (2, "insert"), (4, "insert"),
+        ]
+
+    def test_restore_past_dv_update_reverts_postimage(self, spark, lake):
+        """Rolling back a dv UPDATE removes the postimage file AND
+        clears the vector — CDC nets to the preimage rows."""
+        lake.append(_rows(spark, 0, 4).coalesce(1))  # v0
+        lake.update_where("k = 2", {"sym": "'up'"}, mode="dv")  # v1
+        v = lake.restore(version=0)
+        got = {(r.k, r.sym) for r in lake.snapshot().collect()}
+        assert got == {(k, f"s{k % 3}") for k in range(4)}
+        ch = lake.read_changes(v).collect()
+        by = sorted((r.k, r.sym, r._change_type) for r in ch)
+        assert by == [(2, "s2", "insert"), (2, "up", "delete")]
+
+    def test_restore_dv_reset_survives_checkpoint_fold(
+        self, spark, tmp_path
+    ):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "rcp"), partition_by=(),
+            checkpoint_every=2,
+        )
+        lake.append(_rows(spark, 0, 5).coalesce(1))  # v0
+        lake.delete_where("k = 1", mode="dv")  # v1
+        lake.restore(version=0)  # v2 (dv_reset clears) -> checkpoint
+        lake.append(_rows(spark, 5, 6).coalesce(1))  # v3
+        assert lake.vacuum_log() > 0
+        fresh = TransactionalLake(spark, str(tmp_path / "rcp"),
+                                  partition_by=())
+        assert _ids(fresh.snapshot()) == [0, 1, 2, 3, 4, 5]
+        assert fresh._snapshot_state()[3] == {}
 
 
 class TestDvCdc:
