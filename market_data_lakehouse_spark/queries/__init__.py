@@ -91,14 +91,17 @@ _DRIVER_WINDOW = [
     "s14_dv_update",          # merge-on-read UPDATE (dv + postimage)
     "s15_table_detail",       # DESCRIBE DETAIL metadata cross-check
     "s16_overwrite_where",    # replaceWhere atomic partition swap
+    "s17_scoped_optimize",    # predicate/size-scoped compaction
+    "t13_restore_across_dv",  # RESTORE reconciling deletion vectors
     "e3_range_search",        # cosine radius search (exact, no shuffle)
     "g4_kcore",               # iterative k-core peel, chained-CTE oracle
     "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
     "e3_kmeans",              # r8: invariant-gated oracle (was rows-only)
     "e4_rolling_chunks",      # r8: coverage-gated oracle (was rows-only)
     "e5_media_resize",        # r8: exact IEEE-geometry oracle (was rows-only)
-    # (d) r5-stale fill (the remaining r5 cohort rotates in r9)
-    "a1_vwap_by_flag", "a3_full_table_agg",         ]
+    # (d) the r5-stale cohort rotates in r9 — the r8 window filled
+    # with this round's 12 new/changed entries instead
+]
 
 
 def _apply_driver_window() -> None:

@@ -621,6 +621,103 @@ def s16_overwrite_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s17_scoped_optimize",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_id
+    FROM events WHERE NOT event_id % 9 = 0
+    GROUP BY event_type
+    """,
+)
+def s17_scoped_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped compaction as a hard signal (S8 extension, r8): after a
+    dv delete, optimize(where=) compacts ONLY the event_type range it
+    names — asserted in-query: files outside the scope survive
+    byte-identically, scoped vectors materialize while out-of-scope
+    vectors persist, and the no-op path burns no version. The oracle
+    recomputes the visible aggregate from raw events, so a compaction
+    that lost, duplicated, or resurrected a row hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_so_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=("event_type",))
+    tx.append(ev.repartition(2))
+    tx.delete_where("event_id % 9 = 0", mode="dv")
+    before, _, _ = tx.prune_files({})
+    out_of_scope = [f for f in before if "event_type=view" in f]
+    v = tx.version
+    # no-op scope: nothing selected, no version burned
+    tx.optimize(where={"event_type": ("zzz", "zzz")})
+    assert tx.version == v, "no-op optimize burned a version"
+    tx.optimize(where={"event_type": ("click", "error")})
+    after, _, _ = tx.prune_files({})
+    assert set(out_of_scope) <= set(after), "out-of-scope file rewritten"
+    _f, _s, _v, dvs = tx._snapshot_state()
+    assert all(
+        "event_type=click" not in f and "event_type=error" not in f
+        for f in dvs
+    ), "scoped vectors failed to materialize"
+    return tx.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+    )
+
+
+@register(
+    "t13_restore_across_dv",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_id
+    FROM events WHERE NOT event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def t13_restore_across_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE across deletion vectors as a hard signal (r8): delete
+    with a vector (v1), delete more (v2), dv-update (v3), then
+    restore to v1 — the commit's dv_reset must reconstruct EXACTLY
+    v1's vector state: the v2/v3 deletions and postimages vanish,
+    the v1 deletion stays. The oracle recomputes v1's visible rows
+    from raw events; a reset that resurrected a v1-deleted row or
+    kept a v2-hidden one hash-mismatches. The restore's CDC net
+    change is asserted row-exact in-query."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_rdv_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(3))  # v0
+    tx.delete_where("event_id % 5 = 0", mode="dv")  # v1 <- target
+    tx.delete_where("event_id % 7 = 1", mode="dv")  # v2
+    tx.update_where("event_id % 11 = 3", {"value": "0.0"}, mode="dv")  # v3
+    v = tx.restore(version=1)
+    ch = tx.read_changes(v)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    net = ch.agg(F.sum(sign)).collect()[0][0]
+    n_v2_back = ev.filter(
+        "event_id % 7 = 1 AND NOT event_id % 5 = 0"
+    ).count()
+    assert net == n_v2_back, (net, n_v2_back)
+    return tx.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+    )
+
+
+@register(
     "s13_zero_copy_clone",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
