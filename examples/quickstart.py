@@ -78,7 +78,16 @@ def main() -> None:
     # in-place DML: both rewrite only the files containing a match
     tx.update_where("symbol = 'TSLA'", {"volume": "volume * 2"})
     tx.delete_where("symbol = 'TSLA' AND volume < 0")  # no-op here
-    # metadata-only rollback: undo everything since the merge
+    # merge-on-read twins: ONE commit records a deletion vector for
+    # the matched rows and appends the postimages — no existing file
+    # is touched, cost is O(matched rows) at any file size
+    tx.update_where("symbol = 'AAPL'", {"volume": "volume + 1"}, mode="dv")
+    tx.delete_where("symbol = 'TSLA'", mode="dv")
+    # scoped maintenance: bin-pack only this partition's small files
+    # (and materialize its vectors); everything else is untouched
+    tx.optimize(where={"date": ("2024-06-15", "2024-06-15")})
+    # metadata-only rollback: undo everything since the merge —
+    # works across deletion vectors (the commit reconciles them)
     tx.restore(version=v2)
     # CHECK constraint: validated now, enforced on every future write
     tx.add_check_constraint("ohlc_pos", "low > 0 AND high >= low")
