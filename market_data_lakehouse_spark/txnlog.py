@@ -460,6 +460,69 @@ class TransactionalLake:
             idx.update(self._read_commit(v).get("blooms", {}))
         return idx
 
+    @staticmethod
+    def _in_range(v, lo, hi) -> bool:
+        try:
+            fv = float(v)
+            flo = float(lo) if lo is not None else None
+            fhi = float(hi) if hi is not None else None
+            return (flo is None or fv >= flo) and (fhi is None or fv <= fhi)
+        except (TypeError, ValueError):
+            pass
+        try:
+            return (lo is None or v >= str(lo)) and (hi is None or v <= str(hi))
+        except TypeError:
+            return True  # incomparable: conservative "may match"
+
+    def _added_file_may_match(
+        self, rel: str, stats: dict | None, bounds: dict[str, tuple]
+    ) -> bool:
+        """True unless the file's partition path or logged min/max
+        stats PROVE no row can fall inside ``bounds`` — the same
+        conservative logic as read-side pruning, applied to a
+        concurrent writer's added file."""
+        for col, (lo, hi) in bounds.items():
+            if col in self.partition_by:
+                for seg in rel.split(os.sep)[:-1]:
+                    if seg.startswith(f"{col}="):
+                        if not self._in_range(
+                            unquote(seg[len(col) + 1:]), lo, hi
+                        ):
+                            return False
+                        break
+        for col, (lo, hi) in bounds.items():
+            st = (stats or {}).get(col)
+            if st is None:
+                continue
+            try:
+                if lo is not None and st[1] < lo:
+                    return False
+                if hi is not None and st[0] > hi:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    def _rebase_safe(
+        self, from_v: int, to_v: int, bounds: dict[str, tuple]
+    ) -> bool:
+        """Every commit in (from_v, to_v] is a pure append whose added
+        files provably hold no row in ``bounds``."""
+        for v in range(from_v + 1, to_v + 1):
+            try:
+                c = self._read_commit(v)
+            except Exception:
+                return False
+            if c.get("op") not in ("append", "txn_marker"):
+                return False
+            if c.get("remove") or c.get("dv") or c.get("dv_reset"):
+                return False
+            stats = c.get("stats", {})
+            for f in c.get("add", []):
+                if self._added_file_may_match(f, stats.get(f), bounds):
+                    return False
+        return True
+
     def _stats_index(self) -> dict[str, dict]:
         """rel_path -> {col: [min, max]} for live files, folded from
         the latest checkpoint plus the commit tail (files removed
@@ -650,7 +713,12 @@ class TransactionalLake:
                 removed += 1
         return removed
 
-    def _commit(self, action: dict, read_version: int | None = None) -> int:
+    def _commit(
+        self,
+        action: dict,
+        read_version: int | None = None,
+        read_bounds: dict[str, tuple] | None = None,
+    ) -> int:
         """Atomically append one commit (write temp + put-if-absent
         link). Returns the committed version — or, for an idempotent
         ``txn`` append whose (app_id, version) is already in the log,
@@ -683,6 +751,21 @@ class TransactionalLake:
         while True:
             current = self.version
             if read_version is not None and current != read_version:
+                # Delta-style scoped conflict resolution: when the
+                # caller declared its read scope (``read_bounds``, the
+                # prune_files spec) and every interleaved commit is a
+                # pure append whose file stats PROVE no row falls in
+                # that scope, the operation's remove-list/vector is
+                # still complete — rebase onto the new head instead of
+                # failing (Delta's ConcurrentAppendException is raised
+                # only when the appended files may match the read
+                # predicate). Anything non-append, stats-free, or
+                # possibly-matching keeps the conservative failure.
+                if read_bounds is not None and self._rebase_safe(
+                    read_version, current, read_bounds
+                ):
+                    read_version = current
+                    continue
                 raise RuntimeError(
                     f"concurrent commit: table advanced to v{current} after "
                     f"this operation read v{read_version}; re-read and retry"
@@ -1372,8 +1455,21 @@ class TransactionalLake:
             ]
         )
 
-    def delete_where(self, predicate: str, mode: str = "rewrite") -> int:
+    def delete_where(
+        self,
+        predicate: str,
+        mode: str = "rewrite",
+        read_bounds: dict[str, tuple] | None = None,
+    ) -> int:
         """DELETE with a choice of physical strategy.
+
+        ``read_bounds`` (optional): the operation's declared read
+        scope as a ``prune_files`` bounds dict. With it, an
+        interleaved PURE APPEND whose file stats prove its rows fall
+        outside the scope no longer fails the optimistic-concurrency
+        check — the commit rebases (Delta's scoped
+        ConcurrentAppendException semantics). Appends that might
+        match, and all non-append commits, still conflict.
 
         ``mode="rewrite"`` — copy-on-write (Delta DELETE semantics):
         rewrite ONLY the files containing a matching row, minus those
@@ -1398,7 +1494,7 @@ class TransactionalLake:
         NULL predicates keep the row (SQL DELETE removes only
         provably-true matches)."""
         if mode == "dv":
-            return self._delete_where_dv(predicate)
+            return self._delete_where_dv(predicate, read_bounds)
         if mode != "rewrite":
             raise ValueError(f"unknown delete mode: {mode!r}")
         old, schemas, read_v, dvs = self._snapshot_state()
@@ -1408,7 +1504,7 @@ class TransactionalLake:
             return self._commit(
                 {"op": "delete", "predicate": predicate, "add": [],
                  "remove": []},
-                read_version=read_v,
+                read_version=read_v, read_bounds=read_bounds,
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         match = F.coalesce(F.expr(predicate), F.lit(False))
@@ -1417,7 +1513,7 @@ class TransactionalLake:
             return self._commit(
                 {"op": "delete", "predicate": predicate, "add": [],
                  "remove": []},
-                read_version=read_v,
+                read_version=read_v, read_bounds=read_bounds,
             )
         # conform BEFORE filtering: a predicate referencing a column
         # only later files carry must see it (null-filled) on
@@ -1429,10 +1525,14 @@ class TransactionalLake:
         return self._commit(
             {"op": "delete", "predicate": predicate, "add": added,
              "remove": affected},
-            read_version=read_v,
+            read_version=read_v, read_bounds=read_bounds,
         )
 
-    def _delete_where_dv(self, predicate: str) -> int:
+    def _delete_where_dv(
+        self,
+        predicate: str,
+        read_bounds: dict[str, tuple] | None = None,
+    ) -> int:
         """Positional delete: resolve the matched VISIBLE rows'
         (file, row-index) pairs with one job and commit them as this
         delete's vector. The collect moves row positions (bounded by
@@ -1445,7 +1545,8 @@ class TransactionalLake:
         action_base = {"op": "delete_dv", "predicate": predicate}
         if not old:
             return self._commit({**action_base, "dv": {}},
-                                read_version=read_v)
+                                read_version=read_v,
+                                read_bounds=read_bounds)
         raw = self._positional_scan(old, schemas, dvs)
         hits = (
             raw.filter(F.coalesce(F.expr(predicate), F.lit(False)))
@@ -1454,7 +1555,8 @@ class TransactionalLake:
         )
         if not hits:
             return self._commit({**action_base, "dv": {}},
-                                read_version=read_v)
+                                read_version=read_v,
+                                read_bounds=read_bounds)
         by_base = {os.path.basename(f): f for f in old}
         new_dv: dict[str, list[int]] = {}
         for r in hits:
@@ -1465,7 +1567,7 @@ class TransactionalLake:
         return self._commit(
             {**action_base,
              "dv": {f: sorted(p) for f, p in new_dv.items()}},
-            read_version=read_v,
+            read_version=read_v, read_bounds=read_bounds,
         )
 
     def _positional_scan(
@@ -1536,6 +1638,7 @@ class TransactionalLake:
         predicate: str,
         assignments: dict[str, str],
         mode: str = "rewrite",
+        read_bounds: dict[str, tuple] | None = None,
     ) -> int:
         """UPDATE with a choice of physical strategy.
 
@@ -1560,7 +1663,7 @@ class TransactionalLake:
         ``update_where("symbol = 'AAPL'", {"price": "price * 2"})``
         """
         if mode == "dv":
-            return self._update_where_dv(predicate, assignments)
+            return self._update_where_dv(predicate, assignments, read_bounds)
         if mode != "rewrite":
             raise ValueError(f"unknown update mode: {mode!r}")
         old, schemas, read_v, dvs = self._snapshot_state()
@@ -1568,7 +1671,7 @@ class TransactionalLake:
             return self._commit(
                 {"op": "update", "predicate": predicate, "add": [],
                  "remove": []},
-                read_version=read_v,
+                read_version=read_v, read_bounds=read_bounds,
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         # validate against the FULL table schema: a legitimately
@@ -1583,7 +1686,7 @@ class TransactionalLake:
             return self._commit(
                 {"op": "update", "predicate": predicate, "add": [],
                  "remove": []},
-                read_version=read_v,
+                read_version=read_v, read_bounds=read_bounds,
             )
         # conform before predicate/assignment evaluation (see
         # delete_where) so evolved columns resolve on every file
@@ -1606,11 +1709,14 @@ class TransactionalLake:
         return self._commit(
             {"op": "update", "predicate": predicate, "add": added,
              "remove": affected},
-            read_version=read_v,
+            read_version=read_v, read_bounds=read_bounds,
         )
 
     def _update_where_dv(
-        self, predicate: str, assignments: dict[str, str]
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        read_bounds: dict[str, tuple] | None = None,
     ) -> int:
         """Positional UPDATE: one scan resolves the matched visible
         rows; their (file, position) pairs become this commit's
@@ -1623,7 +1729,7 @@ class TransactionalLake:
         action_base = {"op": "update_dv", "predicate": predicate}
         if not old:
             return self._commit(
-                {**action_base, "dv": {}, "add": []}, read_version=read_v
+                {**action_base, "dv": {}, "add": []}, read_version=read_v, read_bounds=read_bounds
             )
         raw = self._positional_scan(old, schemas, dvs)
         unknown = set(assignments) - (set(raw.columns)
@@ -1640,7 +1746,7 @@ class TransactionalLake:
         hits = matched.select("_row_file", "_row_pos").collect()
         if not hits:
             return self._commit(
-                {**action_base, "dv": {}, "add": []}, read_version=read_v
+                {**action_base, "dv": {}, "add": []}, read_version=read_v, read_bounds=read_bounds
             )
         types = dict(matched.dtypes)
         post = matched.select(
@@ -1659,7 +1765,7 @@ class TransactionalLake:
             {**action_base,
              "dv": self._dv_from_hits(hits, old),
              "add": added},
-            read_version=read_v,
+            read_version=read_v, read_bounds=read_bounds,
         )
 
     def _merge_dv(

@@ -143,3 +143,127 @@ class TestReadModifyWriteConflicts:
         snap = lake.snapshot()
         assert snap.count() == 40
         assert snap.filter("writer = 7").count() == 20
+
+
+class TestScopedConflictResolution:
+    """r8: read_bounds turns provably-disjoint interleaved appends
+    into a rebase instead of a failure (Delta's scoped
+    ConcurrentAppendException), while possibly-matching appends and
+    non-append commits keep the conservative failure."""
+
+    def test_disjoint_append_rebases(self, spark, tmp_path):
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))  # k in [0, 20)
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig = lake._affected_files
+        done = []
+
+        def racing(snap, match):
+            out = orig(snap, match)
+            if not done:
+                done.append(1)
+                # interleave an append whose k-range [1000, 1020) is
+                # provably outside the delete's declared scope
+                other.append(
+                    _df(spark, 0, 0).withColumn(
+                        "k", F.col("k") + F.lit(1000)
+                    )
+                )
+            return out
+
+        lake._affected_files = racing  # type: ignore[method-assign]
+        try:
+            lake.delete_where(
+                "k < 5", read_bounds={"k": (None, 4)}
+            )
+        finally:
+            lake._affected_files = orig  # type: ignore[method-assign]
+        got = sorted(r.k for r in lake.snapshot().select("k").collect())
+        # delete landed AND the interleaved rows all survived
+        ks = set(got)
+        assert all(k >= 5 for k in ks if k < 1000)
+        assert {k for k in ks if k >= 1000} == set(range(1000, 1020))
+
+    def test_overlapping_append_still_conflicts(self, spark, tmp_path):
+        path = str(tmp_path / "tx2")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig = lake._affected_files
+        done = []
+
+        def racing(snap, match):
+            out = orig(snap, match)
+            if not done:
+                done.append(1)
+                # same writer/batch: k 0..19 straddles the k<=4 scope
+                other.append(_df(spark, 0, 0))
+            return out
+
+        lake._affected_files = racing  # type: ignore[method-assign]
+        try:
+            with pytest.raises(RuntimeError, match="concurrent commit"):
+                lake.delete_where("k < 5", read_bounds={"k": (None, 4)})
+        finally:
+            lake._affected_files = orig  # type: ignore[method-assign]
+
+    def test_without_bounds_still_conservative(self, spark, tmp_path):
+        path = str(tmp_path / "tx3")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig = lake._affected_files
+        done = []
+
+        def racing(snap, match):
+            out = orig(snap, match)
+            if not done:
+                done.append(1)
+                other.append(
+                    _df(spark, 0, 0).withColumn(
+                        "k", F.col("k") + F.lit(1000)
+                    )
+                )
+            return out
+
+        lake._affected_files = racing  # type: ignore[method-assign]
+        try:
+            with pytest.raises(RuntimeError, match="concurrent commit"):
+                lake.delete_where("k < 5")
+        finally:
+            lake._affected_files = orig  # type: ignore[method-assign]
+
+    def test_dv_update_rebases_over_disjoint_append(self, spark, tmp_path):
+        path = str(tmp_path / "tx4")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig = lake._write_files
+        done = []
+
+        def racing(df):
+            if not done:
+                done.append(1)
+                other.append(
+                    _df(spark, 0, 0).withColumn(
+                        "k", F.col("k") + F.lit(1000)
+                    )
+                )
+            return orig(df)
+
+        lake._write_files = racing  # type: ignore[method-assign]
+        try:
+            lake.update_where(
+                "k = 3", {"writer": "99"}, mode="dv",
+                read_bounds={"k": (3, 3)},
+            )
+        finally:
+            lake._write_files = orig  # type: ignore[method-assign]
+        snap = lake.snapshot()
+        assert snap.filter("k = 3 AND writer = 99").count() == 1
+        assert snap.filter("k >= 1000").count() == 20
