@@ -141,7 +141,8 @@ def test_cdc_compaction_only_returns_empty_feed(spark, tmp_path):
     maintenance (compaction moves bytes, not rows)."""
     tx = TransactionalLake(spark, str(tmp_path / "txcdc"), partition_by=())
     tx.append(spark.createDataFrame([(1,)], "id long"))
-    v = tx.optimize()
+    tx.append(spark.createDataFrame([(2,)], "id long"))
+    v = tx.optimize()  # two files: a real (non-no-op) compaction
     ch = tx.read_changes(starting_version=v)
     assert ch.count() == 0
     assert {"_change_type", "_commit_version"} <= set(ch.columns)
