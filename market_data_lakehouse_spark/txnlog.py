@@ -1779,6 +1779,7 @@ class TransactionalLake:
         read_v: int,
         dvs: dict[str, list[int]],
         txn_action: dict,
+        read_bounds: dict[str, tuple] | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -1843,7 +1844,7 @@ class TransactionalLake:
             )
         if out is None and not hits:
             return self._commit(
-                {**action_base, "dv": {}, "add": []}, read_version=read_v
+                {**action_base, "dv": {}, "add": []}, read_version=read_v, read_bounds=read_bounds
             )
         added: list[str] = []
         if out is not None:
@@ -1854,7 +1855,7 @@ class TransactionalLake:
             {**action_base,
              "dv": self._dv_from_hits(hits, old),
              "add": added},
-            read_version=read_v,
+            read_version=read_v, read_bounds=read_bounds,
         )
 
     def merge(
@@ -1866,6 +1867,7 @@ class TransactionalLake:
         validate_keys: bool = True,
         txn: tuple[str, int] | None = None,
         mode: str = "rewrite",
+        read_bounds: dict[str, tuple] | None = None,
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
@@ -1969,16 +1971,16 @@ class TransactionalLake:
                         "schema": seeded.schema.json(),
                         **txn_action,
                     },
-                    read_version=read_v,
+                    read_version=read_v, read_bounds=read_bounds,
                 )
             return self._commit(
                 {"op": "merge", "add": [], "remove": [], **txn_action},
-                read_version=read_v,
+                read_version=read_v, read_bounds=read_bounds,
             )
         if mode == "dv":
             return self._merge_dv(
                 source, keys, when_matched, when_not_matched,
-                old, schemas, read_v, dvs, txn_action,
+                old, schemas, read_v, dvs, txn_action, read_bounds,
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
@@ -2087,7 +2089,7 @@ class TransactionalLake:
             # delete+ignore with nothing affected: no-op commit
             return self._commit(
                 {"op": "merge", "add": [], "remove": [], **txn_action},
-                read_version=read_v,
+                read_version=read_v, read_bounds=read_bounds,
             )
         self._enforce_constraints(out, "merge")
         added = self._write_files(out)
@@ -2099,7 +2101,7 @@ class TransactionalLake:
                 "schema": out.schema.json(),
                 **txn_action,
             },
-            read_version=read_v,
+            read_version=read_v, read_bounds=read_bounds,
         )
 
     # ------------------------------------------------------------------

@@ -267,3 +267,34 @@ class TestScopedConflictResolution:
         snap = lake.snapshot()
         assert snap.filter("k = 3 AND writer = 99").count() == 1
         assert snap.filter("k >= 1000").count() == 20
+
+    def test_merge_rebases_over_disjoint_append(self, spark, tmp_path):
+        path = str(tmp_path / "tx5")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig = lake._write_files
+        done = []
+
+        def racing(df):
+            if not done:
+                done.append(1)
+                other.append(
+                    _df(spark, 0, 0).withColumn(
+                        "k", F.col("k") + F.lit(1000)
+                    )
+                )
+            return orig(df)
+
+        lake._write_files = racing  # type: ignore[method-assign]
+        src = spark.createDataFrame(
+            [(3, 77)], "k long, writer int"
+        ).withColumn("date", F.to_date(F.lit("2024-06-15")))
+        try:
+            lake.merge(src, on="k", read_bounds={"k": (3, 3)})
+        finally:
+            lake._write_files = orig  # type: ignore[method-assign]
+        snap = lake.snapshot()
+        assert snap.filter("k = 3 AND writer = 77").count() == 1
+        assert snap.filter("k >= 1000").count() == 20
