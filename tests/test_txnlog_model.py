@@ -13,7 +13,7 @@ from market_data_lakehouse_spark.txnlog import TransactionalLake
 
 op = st.sampled_from(
     ["append", "overwrite", "delete_low", "delete_low_dv", "compact",
-     "restore"]
+     "restore", "update_dv", "merge_dv", "replace_where"]
 )
 
 
@@ -63,6 +63,35 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             cutoff = min(live) + 1
             lake.delete_where(f"id < {cutoff}", mode="dv")
             live = {i for i in live if i >= cutoff}
+        elif o == "update_dv":
+            # dv UPDATE keeps the id set identical (assignment touches
+            # a non-key column the model ignores) but exercises the
+            # vector+postimage commit path mid-sequence
+            if not live:
+                continue
+            pivot = min(live)
+            lake.update_where(f"id = {pivot}", {"id": f"{pivot}"},
+                              mode="dv")
+            live = set(live)
+        elif o == "merge_dv":
+            # upsert one existing id (postimage replaces preimage) and
+            # one brand-new id through the positional merge
+            if not live:
+                continue
+            hit = max(live)
+            new = next_id
+            next_id += 1
+            lake.merge(df_for({hit, new}), on="id", mode="dv")
+            live = live | {new}
+        elif o == "replace_where":
+            # swap the top id for a fresh one atomically
+            if not live:
+                continue
+            top = max(live)
+            new = next_id
+            next_id += 1
+            lake.overwrite_where(df_for({new}), f"id = {top} OR id = {new}")
+            live = (live - {top}) | {new}
         elif o == "compact":
             if not live:
                 continue
