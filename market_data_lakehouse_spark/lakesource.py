@@ -152,7 +152,12 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 )
             if c.get("op") in ("compact", "set_partitioning"):
                 continue  # layout maintenance moves bytes, not rows
-            if (c.get("remove") or c.get("dv")) and not self.ignore_deletes:
+            if (
+                c.get("remove") or c.get("dv") or c.get("dv_reset")
+            ) and not self.ignore_deletes:
+                # dv_reset (restore across vectors) can change row
+                # visibility with an EMPTY add/remove diff, so it must
+                # trip the same guard as file removals and vectors
                 raise ValueError(
                     f"lake_changes: commit v{v} ({c.get('op')}) removes "
                     "or positionally deletes rows; this source streams "
