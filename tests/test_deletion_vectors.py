@@ -430,3 +430,40 @@ class TestDvMerge:
         assert lake.detail()["num_deletion_vectors"] == 0
         got = {(r.k, r.sym) for r in lake.snapshot().collect()}
         assert (0, "z") in got and len(got) == 8
+
+    def test_incremental_mv_folds_restore_across_dv(
+        self, spark, lake, tmp_path
+    ):
+        """The MV consumes the restore's dv_reset CDC emissions like
+        any other row change: after rolling back past a dv delete and
+        a dv update, the incrementally-folded view must equal a from-
+        scratch aggregate of the restored table."""
+        from market_data_lakehouse_spark.mv import IncrementalAggView
+
+        mv = IncrementalAggView(
+            spark,
+            lake,
+            str(tmp_path / "mvr"),
+            group_by=["sym"],
+            sum_cols=["price"],
+        )
+        lake.append(_rows(spark, 0, 12).coalesce(1))  # v0
+        mv.refresh()
+        lake.delete_where("k % 4 = 1", mode="dv")  # v1
+        lake.update_where("k % 4 = 2", {"price": "price + 50"},
+                          mode="dv")  # v2
+        mv.refresh()
+        lake.restore(version=0)  # v3: dv_reset clears both vectors
+        mv.refresh()
+        got = {
+            r.sym: (r.n_rows, round(r.sum_price, 4))
+            for r in mv.view().collect()
+        }
+        want = {
+            r.sym: (r.n, round(r.s, 4))
+            for r in lake.snapshot()
+            .groupBy("sym")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("price").alias("s"))
+            .collect()
+        }
+        assert got == want
