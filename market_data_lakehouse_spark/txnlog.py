@@ -1357,7 +1357,12 @@ class TransactionalLake:
             read_version=read_v,
         )
 
-    def overwrite_where(self, df: DataFrame, predicate: str) -> int:
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        read_bounds: dict[str, tuple] | None = None,
+    ) -> int:
         """Predicate-scoped atomic replace (Delta ``replaceWhere``):
         ONE commit deletes every existing row matching ``predicate``
         and inserts ``df`` in its place — the idiomatic idempotent
@@ -1395,7 +1400,7 @@ class TransactionalLake:
                     "remove": [],
                     "schema": seeded.schema.json(),
                 },
-                read_version=read_v,
+                read_version=read_v, read_bounds=read_bounds,
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         affected = self._affected_files(snap, match)
@@ -1418,7 +1423,7 @@ class TransactionalLake:
                 "remove": affected,
                 "schema": out.schema.json(),
             },
-            read_version=read_v,
+            read_version=read_v, read_bounds=read_bounds,
         )
 
     def _rel_paths(self, abs_paths: list[str]) -> list[str]:
@@ -2447,6 +2452,11 @@ class TransactionalLake:
             ]
         if len(subset) < 2 and not any(f in dvs for f in subset):
             return self.version
+        # the where= spec doubles as the commit's read scope: an
+        # interleaved pure append provably outside it rebases instead
+        # of failing (an unscoped optimize still conflicts — it read
+        # the whole table)
+        read_bounds = dict(where) if where else None
         sub_dvs = {f: p for f, p in dvs.items() if f in subset}
         snap = self._df_for_files(subset, schemas, dvs=sub_dvs)
         n = max(1, files_per_partition)
@@ -2480,6 +2490,7 @@ class TransactionalLake:
                 "remove": subset,
             },
             read_version=read_v,
+            read_bounds=read_bounds,
         )
 
     def _file_size(self, rel: str) -> int:

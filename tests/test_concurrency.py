@@ -298,3 +298,71 @@ class TestScopedConflictResolution:
         snap = lake.snapshot()
         assert snap.filter("k = 3 AND writer = 77").count() == 1
         assert snap.filter("k >= 1000").count() == 20
+
+    def test_scoped_optimize_rebases_over_disjoint_append(
+        self, spark, tmp_path
+    ):
+        """optimize(where=) reads only its scope, so an interleaved
+        append to a DIFFERENT partition must not fail the compaction."""
+        path = str(tmp_path / "tx6")
+        lake = TransactionalLake(spark, path, partition_by=("date",))
+        lake.append(_df(spark, 0, 0))
+        lake.append(_df(spark, 0, 1))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig = lake._write_files
+        done = []
+
+        def racing(df):
+            if not done:
+                done.append(1)
+                other.append(
+                    _df(spark, 9, 0).withColumn(
+                        "date", F.to_date(F.lit("2024-07-01"))
+                    )
+                )
+            return orig(df)
+
+        lake._write_files = racing  # type: ignore[method-assign]
+        try:
+            lake.optimize(where={"date": ("2024-06-15", "2024-06-15")})
+        finally:
+            lake._write_files = orig  # type: ignore[method-assign]
+        snap = lake.snapshot()
+        assert snap.filter("date = '2024-07-01'").count() == 20
+        assert snap.count() == 60
+
+    def test_overwrite_where_rebases_over_disjoint_append(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "tx7")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+
+        orig = lake._write_files
+        done = []
+
+        def racing(df):
+            if not done:
+                done.append(1)
+                other.append(
+                    _df(spark, 0, 0).withColumn(
+                        "k", F.col("k") + F.lit(1000)
+                    )
+                )
+            return orig(df)
+
+        lake._write_files = racing  # type: ignore[method-assign]
+        src = _df(spark, 0, 0).filter("k < 3").withColumn(
+            "writer", F.lit(5)
+        )
+        try:
+            lake.overwrite_where(
+                src, "k < 3", read_bounds={"k": (None, 2)}
+            )
+        finally:
+            lake._write_files = orig  # type: ignore[method-assign]
+        snap = lake.snapshot()
+        assert snap.filter("k < 3 AND writer = 5").count() == 3
+        assert snap.filter("k >= 1000").count() == 20
