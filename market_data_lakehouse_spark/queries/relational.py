@@ -3677,19 +3677,19 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UnsafeRow of two longs = 24 bytes; 32 leaves hash-map margin
     if threshold > 0 and n_edges_exact * 32 <= threshold:
         closure = F.broadcast(closure)
-    # both scalars from ONE aggregate over a tagged union (oriented is
-    # a 1:1 image of e, so its count IS the edge count): joining two
-    # 1-row aggregates would plan as BroadcastNestedLoopJoin — the
-    # constant join key folds away — and the engine keeps a
-    # zero-nested-loop invariant across the bench set
-    tagged = oriented.select(F.lit(0).alias("t")).union(
-        wedges.join(closure, ["v", "w"]).select(F.lit(1).alias("t"))
-    )
-    return tagged.agg(
-        F.count(F.when(F.col("t") == 0, 1)).cast("bigint").alias("n_edges"),
-        F.count(F.when(F.col("t") == 1, 1))
-        .cast("bigint")
-        .alias("n_triangles"),
+    # the gate already paid for the EXACT edge count driver-side
+    # (oriented is a 1:1 image of e, so its count IS the edge count),
+    # so the second scalar comes in as a literal — this replaces the
+    # r7 tagged-union trick, which existed only because joining two
+    # 1-row aggregates would plan as BroadcastNestedLoopJoin, and
+    # saves the union's extra pass over the edge set
+    return (
+        wedges.join(closure, ["v", "w"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .select(
+            F.lit(n_edges_exact).cast("bigint").alias("n_edges"),
+            "n_triangles",
+        )
     )
 
 
