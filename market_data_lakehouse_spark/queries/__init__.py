@@ -83,8 +83,9 @@ _DRIVER_WINDOW = [
     "e3_pq_recall",           # r8: bounded-error oracle; last run r6
     "e3_ivfpq_recall",        # r8: bounded-error oracle; last run r6
     "e3_ivfpq_knn",           # rows-only, last driver-run r6
+    # (a7_approx_distinct_grouped shares this widened HLL gate; it
+    # was driver-green r7 and yields its slot to the new g5 entry)
     "a7_approx_distinct",     # r8: widened HLL error gate
-    "a7_approx_distinct_grouped",  # r8: widened HLL error gate
     "a9_percentile_approx",   # r8: widened percentile error gate
     "e4_cms_heavy_hitters",   # r8: widened CMS error gate
     # (c) new r8 entries
@@ -95,6 +96,7 @@ _DRIVER_WINDOW = [
     "t13_restore_across_dv",  # RESTORE reconciling deletion vectors
     "e3_range_search",        # cosine radius search (exact, no shuffle)
     "g4_kcore",               # iterative k-core peel, chained-CTE oracle
+    "g5_connected_components",  # pointer-halving CC, recursive-CTE oracle
     "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
     "e3_kmeans",              # r8: invariant-gated oracle (was rows-only)
     "e4_rolling_chunks",      # r8: coverage-gated oracle (was rows-only)

@@ -3889,6 +3889,63 @@ def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g5_connected_components",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, 4000000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE (o.o_custkey + l.l_suppkey) % 3 = 0
+    ),
+    e AS (SELECT src AS u, dst AS v FROM e0
+          UNION SELECT dst, src FROM e0),
+    n AS (SELECT DISTINCT u AS node FROM e),
+    reach(u, lbl) AS (
+      SELECT node, node FROM n
+      UNION
+      SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v
+    )
+    SELECT CAST(u AS BIGINT) AS node, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY u ORDER BY node
+    """,
+)
+def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the (sparsified) customer-supplier
+    graph — the fifth graph shape, exercising the pointer-halving
+    min-label kernel (`dedup.connected_components`, the engine that
+    also resolves near-dup clusters) on a graph with hub structure
+    rather than the document pair graph. O(log diameter) rounds,
+    each one shuffle join + one min-aggregate + one halving join over
+    checkpointed labels; the DuckDB oracle is the transitive-closure
+    recursive CTE, so every node's component representative must
+    match exactly."""
+    from market_data_lakehouse_spark.queries.dedup import (
+        connected_components,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter((F.col("o_custkey") + F.col("l_suppkey")) % 3 == 0)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.lit(4000000000) + F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e0.select("u")
+        .union(e0.select(F.col("v").alias("u")))
+        .distinct()
+    )
+    labels = connected_components(nodes, e0)
+    return labels.select(
+        F.col("u").cast("bigint").alias("node"),
+        F.col("lbl").cast("bigint").alias("component"),
+    ).orderBy("node")
+
+
+@register(
     "a7_approx_distinct_grouped",
     oracle="""
     SELECT l_returnflag,
