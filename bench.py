@@ -98,6 +98,7 @@ HEAVY = {
     "q_dv_update": "s14_dv_update",
     "q_kcore": "g4_kcore",
     "q_range_search": "e3_range_search",
+    "q_connected_components": "g5_connected_components",
 }
 
 
