@@ -86,7 +86,6 @@ _DRIVER_WINDOW = [
     # (a7_approx_distinct_grouped shares this widened HLL gate; it
     # was driver-green r7 and yields its slot to the new g5 entry)
     "a7_approx_distinct",     # r8: widened HLL error gate
-    "a9_percentile_approx",   # r8: widened percentile error gate
     "e4_cms_heavy_hitters",   # r8: widened CMS error gate
     # (c) new r8 entries
     "s14_dv_update",          # merge-on-read UPDATE (dv + postimage)
@@ -98,6 +97,7 @@ _DRIVER_WINDOW = [
     "g4_kcore",               # iterative k-core peel, chained-CTE oracle
     "g5_connected_components",  # pointer-halving CC, recursive-CTE oracle
     "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
+    "e6_kfold",               # deterministic k-fold assignment, exact oracle
     "e3_kmeans",              # r8: invariant-gated oracle (was rows-only)
     "e4_rolling_chunks",      # r8: coverage-gated oracle (was rows-only)
     "e5_media_resize",        # r8: exact IEEE-geometry oracle (was rows-only)

@@ -97,6 +97,51 @@ def e6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_FOLDS = 5
+
+
+@register(
+    "e6_kfold",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT)
+               % {K_FOLDS} AS fold,
+             CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents)
+    SELECT CAST(fold AS BIGINT) AS fold, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY fold ORDER BY fold
+    """,
+)
+def e6_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-fold assignment (K=5) (cross-validation / ablation
+    splits): fold = first 32 md5 bits of the doc id modulo K — like
+    e6_hash_split, membership is a pure function of the row, stable
+    under reruns, repartitioning, and engine choice, and any fold's
+    training set is simply ``fold != i`` with no coordination. One
+    scan, one map-side-combined aggregate; both engines parse the
+    same 8 hex chars so the fold ids hash-match exactly."""
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10)
+        .cast("long")
+        % K_FOLDS
+    )
+    return (
+        docs.select(fold.alias("fold"), _n_tokens().alias("n_tok"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("fold")
+    )
+
+
 @register(
     "e6_stratified_sample",
     oracle=f"""
