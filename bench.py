@@ -109,6 +109,26 @@ def run_once(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+# Job-floor control (r8 VERDICT directive 1): the cheapest possible
+# Spark action on this host — range(1) through a noop write — was
+# calibrated in a controlled JVM at 50-193 ms (AB_BENCH.json
+# `absolute_job_floor_sec`, 10 samples, median 76 ms). Its cost has
+# no data, no shuffle, and no codegen dependence on this repo's code,
+# so an elevated control sample can ONLY mean host pressure
+# (concurrent load, CPU contention) during that window. Interleaving
+# control samples through the run makes a hot invocation
+# self-labeling: per-query flags from a run whose controls sit above
+# the band are contamination, not regression.
+CONTROL_BAND_SEC = (0.05, 0.193)  # calibrated band, this host
+CONTROL_LIMIT_SEC = 0.25  # band max + margin; above = hot window
+
+
+def job_floor_control(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(1).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def bench_ingest(spark, sf_dir: str) -> float:
     """Validated partitioned ingest of the full lineitem table as
     bars (~600k rows at sf0.1) — the BASELINE.md ingestion-throughput
@@ -257,10 +277,17 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
     times: dict[str, float] = {}
+    controls: list[dict] = []
+
+    def control(at: str) -> None:
+        controls.append({"at": at, "sec": round(job_floor_control(spark), 4)})
+
     # untimed warmup: pay the session's one-time costs (executor
     # spin-up, first codegen, parquet footer caching) outside any
-    # query's measurement
+    # query's measurement; the first control is likewise untimed so
+    # the noop-writer codegen never inflates a recorded sample
     run_once(spark, REGISTRY["o2_topk"].fn, sf_dir)
+    job_floor_control(spark)
     # INTERLEAVED passes (r7 VERDICT item 7): consecutive repeats of
     # one query all land inside the same host-pressure window, so
     # min-of-3-consecutive still over-reads when the whole invocation
@@ -269,12 +296,14 @@ def main() -> None:
     # query's repeats by ~the set's span, so a transient hot window
     # can inflate one pass but not every repeat of a query.
     for _pass in range(3):
+        control(f"headline_pass{_pass}")
         for label, qname in HEADLINE.items():
             fn = REGISTRY[qname].fn
             spark._jvm.System.gc()
             t = run_once(spark, fn, sf_dir)
             times[label] = round(min(times.get(label, float("inf")), t), 4)
     spark._jvm.System.gc()
+    control("pre_ingest")
     # bench_ingest is best-of-2 internally (fresh lake per run)
     times["q_ingest_batch"] = round(bench_ingest(spark, sf_dir), 4)
     spark._jvm.System.gc()
@@ -287,11 +316,18 @@ def main() -> None:
     # are multi-second, and the LSH family's JVM churn makes
     # BETWEEN-pass separation matter more than a third sample)
     for _pass in range(2):
-        for label, qname in HEAVY.items():
+        for i, (label, qname) in enumerate(HEAVY.items()):
+            # heavy passes run multi-second queries for minutes —
+            # sample the floor control every 8 queries so a transient
+            # hot window inside a pass is visible, not just at its
+            # start (adds ~0.4 s/pass against a ~60 s pass)
+            if i % 8 == 0:
+                control(f"heavy_pass{_pass}_q{i}")
             fn = REGISTRY[qname].fn
             spark._jvm.System.gc()
             t = run_once(spark, fn, sf_dir)
             times[label] = round(min(times.get(label, float("inf")), t), 4)
+    control("final")
     # LSH candidate-volume observability (r6 VERDICT directive 4):
     # q_minhash_lsh is the steepest 16x scaler and its cost tracks
     # band-collision pair volume — record the pair counts from the
@@ -302,13 +338,51 @@ def main() -> None:
         q: dedup.pair_metrics(q)
         for q in ("e2_minhash_lsh", "e2_lsh_verified_jaccard")
     }
+    # Contamination self-verdict (r8 VERDICT directive 1): the run is
+    # whole-invocation hot — the signature that produced r8's 20 false
+    # flags — when the MEDIAN control sits above the calibrated band's
+    # max: a uniform multiplier lifts every sample, while a transient
+    # window (which the interleaved minima already absorb) lifts a few.
+    # Any individual hot sample is still listed for forensics.
+    ctrl_secs = sorted(c["sec"] for c in controls)
+    ctrl_median = ctrl_secs[len(ctrl_secs) // 2]
+    hot = [c for c in controls if c["sec"] > CONTROL_LIMIT_SEC]
+    contamination = {
+        "control": "spark.range(1) noop write (job floor; code-independent)",
+        "calibrated_band_sec": list(CONTROL_BAND_SEC),
+        "limit_sec": CONTROL_LIMIT_SEC,
+        "samples": controls,
+        "median_sec": round(ctrl_median, 4),
+        "hot_samples": [c["at"] for c in hot],
+        "contaminated": ctrl_median > CONTROL_BAND_SEC[1],
+    }
+    # The driver failed to parse r8's stdout line once it crossed
+    # ~2 kB (BENCH_r08.json `parsed: null`, tail-truncated) — keep
+    # the ONE JSON line compact and put full forensics (per-sample
+    # controls, LSH candidate metrics) in BENCH_DETAIL.json next to
+    # the other bench artifacts.
+    detail = {
+        "contamination": contamination,
+        "lsh_candidates": lsh_metrics,
+        "stream_ingest": stream_stats,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "stream_ingest": stream_stats,
-        "lsh_candidates": lsh_metrics,
+        "contamination": {
+            "contaminated": contamination["contaminated"],
+            "median_sec": contamination["median_sec"],
+            "band_sec": list(CONTROL_BAND_SEC),
+            "n_hot": len(hot),
+            "n_samples": len(controls),
+        },
+        "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }
     print(json.dumps(out))
@@ -348,6 +422,21 @@ def run_gates(spark, sf_dir: str, bench_line: dict) -> None:
         bench_compare.load_queries(prev), dict(bench_line["queries"]), 1.3
     )
     rep = {"old": os.path.basename(prev), "new": "this run", **rep}
+    # r8 VERDICT directive 1: a run whose job-floor controls sit above
+    # the calibrated band cannot distinguish regression from host
+    # pressure — emit the contamination marker INSTEAD of per-query
+    # flags (the flag list moves to a clearly-unreliable key so the
+    # forensic detail survives without reading as 20 regressions).
+    contam = bench_line.get("contamination", {})
+    rep["contamination"] = contam
+    if contam.get("contaminated"):
+        rep["flagged_unreliable_contaminated_run"] = rep.pop("flagged")
+        rep["flagged"] = []
+        rep["note"] = (
+            "job-floor controls above calibrated band for the median "
+            "sample: whole-invocation host contamination; per-query "
+            "flags suppressed (per-sample controls in BENCH_DETAIL.json)"
+        )
     cmp_path = os.path.join(repo, f"BENCH_COMPARE_r{rounds[-1] + 1:02d}.json")
     with open(cmp_path, "w") as fh:
         json.dump(rep, fh, indent=1)

@@ -112,12 +112,31 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
         self.schema = schema
-        # fail at construction, not executor read time: every column
-        # may need an Arrow type (partition restore or evolved-column
-        # null fill), so an unsupported type is an immediate,
-        # attributable error instead of a mid-stream task failure
+        # An Arrow type is only ever needed for a column that must be
+        # SYNTHESIZED at read time — a hive partition value restored
+        # from the directory name, or an evolved column null-filled
+        # into a pre-evolution file. A column physically present in
+        # every parquet file passes through as-is and needs no
+        # conversion, so an exotic type must NOT block the whole
+        # stream at construction (ADVICE r8 — it previously streamed
+        # fine). Which columns are synthesized depends on each
+        # commit's file layout, unknowable here: warn now with the
+        # exact failure condition, keep the hard, attributable
+        # TypeError at the point an Arrow type is actually required.
         for f in schema.fields:
-            _arrow_type(f.dataType)
+            try:
+                _arrow_type(f.dataType)
+            except TypeError:
+                import warnings
+
+                warnings.warn(
+                    f"lake_changes: column {f.name!r} has type "
+                    f"{f.dataType.simpleString()!r} with no Arrow "
+                    "mapping; the stream will fail at read time IF "
+                    "this column must be restored from a partition "
+                    "path or null-filled into a pre-evolution file",
+                    stacklevel=2,
+                )
 
     # -- offsets --------------------------------------------------------
     def initialOffset(self):

@@ -400,7 +400,9 @@ def a7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate itself is engine-specific, so instead of emitting it we
     emit the EXACT distinct counts (the anchors, which must match
     DuckDB bit-for-bit) plus a boolean asserting the estimate landed
-    within 5 % of exact; the oracle pins the anchors and asserts the
+    within 15 % of exact (widened from 5 % in r8 — default-rsd HLL's
+    realistic band; columns honestly named *_within_15pct); the
+    oracle pins the anchors and asserts the
     bound as literal TRUE. An HLL drift past the bound hash-
     mismatches and goes driver-red — a real correctness gate, not a
     rows-only execution check."""
@@ -3960,7 +3962,10 @@ def a7_approx_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pattern (the grouped twin of a7_approx_distinct): one
     hash-aggregate carries the exact distinct count (the anchor), the
     row count, and the HLL estimate per group; every group's estimate
-    must land within 5 % of its own exact anchor. This is the shape
+    must land within 15 % of its own exact anchor (the default-rsd
+    HLL's realistic per-group band at driver scale — widened from 5 %
+    in r8 with the column honestly renamed within_15pct). This is the
+    shape
     that matters at 100 TB — per-key cardinality dashboards where the
     exact COUNT DISTINCT's expand-shuffle is the cost ceiling and the
     HLL sketch is the declared replacement; the gate proves the

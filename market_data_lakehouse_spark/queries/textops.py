@@ -297,6 +297,30 @@ def e4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rk_spans(data: bytes) -> list[tuple[int, int]]:
+    """THE Rabin-Karp content-defined chunk boundary kernel — the
+    single source of truth shared by the public fingerprint query and
+    the e4_rolling_chunks driver gate (ADVICE r8: the gate previously
+    re-implemented this loop, so a regression here could not go
+    driver-red). Returns contiguous [start, end) byte spans covering
+    ``data``; boundaries where the 16-byte rolling hash matches the
+    mask (~64-byte expected chunks)."""
+    B, MOD, WIN, MASK = 257, (1 << 61) - 1, 16, 0x3F
+    bw = pow(B, WIN - 1, MOD)
+    h, start = 0, 0
+    spans: list[tuple[int, int]] = []
+    for i, byte in enumerate(data):
+        if i >= WIN:
+            h = (h - data[i - WIN] * bw) % MOD
+        h = (h * B + byte) % MOD
+        if i >= WIN - 1 and (h & MASK) == MASK:
+            spans.append((start, i + 1))
+            start = i + 1
+    if start < len(data):
+        spans.append((start, len(data)))
+    return spans
+
+
 def rolling_chunk_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -327,22 +351,13 @@ def rolling_chunk_fingerprints(
     def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
-        B, MOD, WIN, MASK = 257, (1 << 61) - 1, 16, 0x3F  # ~64-byte chunks
-        bw = pow(B, WIN - 1, MOD)
         for pdf in batches:
             ids, counts, firsts, mins = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = text.encode()
-                h, start, fps = 0, 0, []
-                for i, byte in enumerate(data):
-                    if i >= WIN:
-                        h = (h - data[i - WIN] * bw) % MOD
-                    h = (h * B + byte) % MOD
-                    if i >= WIN - 1 and (h & MASK) == MASK:
-                        fps.append(zlib.crc32(data[start : i + 1]))
-                        start = i + 1
-                if start < len(data):
-                    fps.append(zlib.crc32(data[start:]))
+                fps = [
+                    zlib.crc32(data[s:e]) for s, e in _rk_spans(data)
+                ]
                 ids.append(doc_id)
                 counts.append(len(fps))
                 firsts.append(fps[0] if fps else None)
@@ -398,23 +413,13 @@ def e4_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        B, MOD, WIN, MASK = 257, (1 << 61) - 1, 16, 0x3F
-        bw = pow(B, WIN - 1, MOD)
         for pdf in batches:
             ids, covered, contig, hasc = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = (text or "").encode()
-                h, start = 0, 0
-                spans = []
-                for i, byte in enumerate(data):
-                    if i >= WIN:
-                        h = (h - data[i - WIN] * bw) % MOD
-                    h = (h * B + byte) % MOD
-                    if i >= WIN - 1 and (h & MASK) == MASK:
-                        spans.append((start, i + 1))
-                        start = i + 1
-                if start < len(data):
-                    spans.append((start, len(data)))
+                # the REAL chunker's spans (shared _rk_spans kernel),
+                # so a coverage/contiguity bug in it goes driver-red
+                spans = _rk_spans(data)
                 ids.append(doc_id)
                 covered.append(sum(e - s0 for s0, e in spans))
                 contig.append(

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -502,6 +503,55 @@ class TransactionalLake:
             except TypeError:
                 continue
         return True
+
+    @staticmethod
+    def _predicate_columns(predicate: str, table_cols: set[str]) -> set[str]:
+        """Conservative identifier scrape: every backtick-quoted or
+        bare identifier in ``predicate`` that names a table column.
+        String literals are stripped first so ``'symbol'`` the VALUE
+        never reads as ``symbol`` the column. Over-matching is safe
+        (it can only force the caller to declare MORE bounds);
+        under-matching would re-open the lost-delete hole this guard
+        exists to close, so no attempt is made to parse scoping."""
+        no_strings = re.sub(r"'(?:[^'\\]|\\.)*'", "''", predicate)
+        idents = set(re.findall(r"`([^`]+)`", no_strings))
+        no_bt = re.sub(r"`[^`]*`", " ", no_strings)
+        idents.update(re.findall(r"\b[A-Za-z_][A-Za-z0-9_]*\b", no_bt))
+        return {c for c in table_cols if c in idents}
+
+    def _check_read_bounds(
+        self,
+        referenced,
+        read_bounds: dict[str, tuple] | None,
+        schemas: list[str],
+    ) -> None:
+        """Validate a caller-declared ``read_bounds`` against the
+        operation's actual read scope (ADVICE r8): bounds that miss a
+        predicate-referenced column would let :meth:`_rebase_safe`
+        rebase past a concurrent append whose rows DO match the
+        predicate — a silent lost-delete. Delta derives the read
+        predicate from the transaction's scans; this engine keeps the
+        declared-bounds API but REFUSES a declaration that provably
+        cannot cover the read: every column the predicate (or merge
+        key set) references must appear in ``read_bounds``.
+        ``referenced`` is a predicate string (identifiers scraped
+        conservatively) or an explicit iterable of column names."""
+        if read_bounds is None or not schemas:
+            return
+        cols = {f["name"] for f in json.loads(schemas[-1])["fields"]}
+        if isinstance(referenced, str):
+            needed = self._predicate_columns(referenced, cols)
+        else:
+            needed = set(referenced) & cols
+        missing = sorted(needed - set(read_bounds))
+        if missing:
+            raise ValueError(
+                f"read_bounds must cover every column the operation's "
+                f"predicate reads, or the scoped concurrency rebase "
+                f"can skip a conflicting concurrent append (lost "
+                f"delete/update): missing bounds for {missing}; "
+                f"declared {sorted(read_bounds)}"
+            )
 
     def _rebase_safe(
         self, from_v: int, to_v: int, bounds: dict[str, tuple]
@@ -1380,8 +1430,16 @@ class TransactionalLake:
         match = F.coalesce(F.expr(predicate), F.lit(False))
         df = self._apply_generated(df)
         old, schemas, read_v, dvs = self._snapshot_state()
+        self._check_read_bounds(predicate, read_bounds, schemas)
         self._check_schema(df, merge_schema=False, schemas=schemas)
-        df = self._cast_to_committed(df, schemas)
+        # pin the input ONCE before validating (ADVICE r8): a
+        # non-deterministic df (rand(), re-read source) re-evaluated
+        # for the write could pass validation yet persist
+        # out-of-predicate rows; the checkpoint also spares a
+        # deterministic input the double evaluation
+        df = self._cast_to_committed(df, schemas).localCheckpoint(
+            eager=False
+        )
         bad = df.filter(~match).limit(1).collect()
         if bad:
             raise ValueError(
@@ -1503,6 +1561,7 @@ class TransactionalLake:
         if mode != "rewrite":
             raise ValueError(f"unknown delete mode: {mode!r}")
         old, schemas, read_v, dvs = self._snapshot_state()
+        self._check_read_bounds(predicate, read_bounds, schemas)
         if not old:
             # live-file set empty (e.g. everything already deleted):
             # nothing can match — no-op commit, not a metadata error
@@ -1547,6 +1606,7 @@ class TransactionalLake:
         the executors (Delta's DV format) with an identical log
         protocol."""
         old, schemas, read_v, dvs = self._snapshot_state()
+        self._check_read_bounds(predicate, read_bounds, schemas)
         action_base = {"op": "delete_dv", "predicate": predicate}
         if not old:
             return self._commit({**action_base, "dv": {}},
@@ -1562,16 +1622,8 @@ class TransactionalLake:
             return self._commit({**action_base, "dv": {}},
                                 read_version=read_v,
                                 read_bounds=read_bounds)
-        by_base = {os.path.basename(f): f for f in old}
-        new_dv: dict[str, list[int]] = {}
-        for r in hits:
-            rel = by_base.get(r["_row_file"])
-            if rel is None:  # pragma: no cover - basenames are uuids
-                raise RuntimeError(f"unknown file in DV scan: {r}")
-            new_dv.setdefault(rel, []).append(int(r["_row_pos"]))
         return self._commit(
-            {**action_base,
-             "dv": {f: sorted(p) for f, p in new_dv.items()}},
+            {**action_base, "dv": self._dv_from_hits(hits, old)},
             read_version=read_v, read_bounds=read_bounds,
         )
 
@@ -1672,6 +1724,7 @@ class TransactionalLake:
         if mode != "rewrite":
             raise ValueError(f"unknown update mode: {mode!r}")
         old, schemas, read_v, dvs = self._snapshot_state()
+        self._check_read_bounds(predicate, read_bounds, schemas)
         if not old:
             return self._commit(
                 {"op": "update", "predicate": predicate, "add": [],
@@ -1731,6 +1784,7 @@ class TransactionalLake:
         moves row positions only (bounded by matched rows); row DATA
         flows executor-side from scan to the new parquet files."""
         old, schemas, read_v, dvs = self._snapshot_state()
+        self._check_read_bounds(predicate, read_bounds, schemas)
         action_base = {"op": "update_dv", "predicate": predicate}
         if not old:
             return self._commit(
@@ -1947,6 +2001,10 @@ class TransactionalLake:
                     "this check)"
                 )
         old, schemas, read_v, dvs = self._snapshot_state()
+        # a merge READS the target rows matching the join keys, so
+        # declared bounds must cover every key column or the scoped
+        # rebase could skip a concurrent append carrying a source key
+        self._check_read_bounds(keys, read_bounds, schemas)
         # schema enforcement applies even when the table is currently
         # EMPTY of files (e.g. fully deleted): the committed schema
         # survives and a merge must not silently replace or NARROW it

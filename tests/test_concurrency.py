@@ -151,6 +151,47 @@ class TestScopedConflictResolution:
     ConcurrentAppendException), while possibly-matching appends and
     non-append commits keep the conservative failure."""
 
+    def test_read_bounds_must_cover_predicate_columns(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: bounds that miss a predicate-referenced column
+        would let the rebase skip a concurrent append whose rows DO
+        match the predicate — a silent lost-delete. The declaration
+        is validated at the operation, for every DML verb and both
+        physical modes; a column name inside a string LITERAL must
+        not trigger the check."""
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        for kwargs in ({"mode": "rewrite"}, {"mode": "dv"}):
+            with pytest.raises(ValueError, match="read_bounds must cover"):
+                lake.delete_where(
+                    "k < 5", read_bounds={"writer": (None, 4)}, **kwargs
+                )
+            with pytest.raises(ValueError, match="read_bounds must cover"):
+                lake.update_where(
+                    "k < 5", {"writer": "9"},
+                    read_bounds={"writer": (0, 9)}, **kwargs,
+                )
+        with pytest.raises(ValueError, match="read_bounds must cover"):
+            lake.merge(
+                _df(spark, 1, 0), on="k", read_bounds={"writer": (1, 1)}
+            )
+        with pytest.raises(ValueError, match="read_bounds must cover"):
+            lake.overwrite_where(
+                _df(spark, 2, 0).filter("k < 5"), "k < 5",
+                read_bounds={"writer": (None, None)},
+            )
+        # a string literal mentioning a column is NOT a reference:
+        # 'writer' appears only inside literals, so bounds on k alone
+        # must pass (an unstripped scrape would demand writer bounds)
+        lake.delete_where(
+            "k < 0 AND 'writer' = 'writer'", read_bounds={"k": (None, -1)}
+        )
+        # covering bounds still work end-to-end
+        lake.delete_where("k < 2", read_bounds={"k": (None, 1)})
+        assert lake.snapshot().filter("k < 2").count() == 0
+
     def test_disjoint_append_rebases(self, spark, tmp_path):
         path = str(tmp_path / "tx")
         lake = TransactionalLake(spark, path, partition_by=())

@@ -302,6 +302,38 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_shuffle_path_agrees(spark):
+    """connected_components is adaptive (r8 VERDICT directive 5, the
+    pagerank lesson): label tables that fit the broadcast threshold
+    take the broadcast path (edges never shuffle, 1 checkpoint per
+    round); larger ones take the shuffle-join path. The fallback
+    never runs at test scale on its own — force it by disabling the
+    broadcast threshold and pin that both strategies produce an
+    identical labeling on a graph with multiple components and an
+    out-of-vertex pass-through endpoint."""
+    from market_data_lakehouse_spark.queries.dedup import connected_components
+
+    directed = [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (20, 21)]
+    edges = spark.createDataFrame(directed, "u long, v long")
+    verts = spark.createDataFrame(
+        [(i,) for i in [1, 2, 4, 7, 8, 9, 20, 21, 50]], "u long"
+    )
+    fast = {r.u: r.lbl for r in connected_components(verts, edges).collect()}
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        slow = {
+            r.u: r.lbl
+            for r in connected_components(verts, edges).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert fast == slow
+    assert fast == {1: 1, 2: 1, 4: 1, 7: 7, 8: 7, 9: 7,
+                    20: 20, 21: 20, 50: 50}
+
+
 def test_connected_components_round_budget_raises(spark):
     """Non-convergence inside max_rounds must be a loud error, never
     a silently-wrong partial labeling."""

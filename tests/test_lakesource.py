@@ -244,21 +244,28 @@ class TestTypedPartitionColumns:
             for i in range(6)
         }
 
-    def test_unsupported_partition_type_fails_at_construction(
+    def test_unsupported_partition_type_warns_at_construction(
         self, spark, tmp_path
     ):
-        """An interval-typed column (no Arrow analog here) must raise
-        a clear error when the stream is planned, not a mid-stream
-        executor task failure."""
+        """An interval-typed column (no Arrow analog here) must WARN
+        at construction — not block the stream (ADVICE r8: a column
+        read directly from parquet never needs an Arrow type, so the
+        old hard raise broke streams that worked fine) — while the
+        hard, attributable TypeError stays at the point an Arrow type
+        is actually required (partition restore / evolved-column
+        null fill)."""
         from pyspark.sql.types import StructField, StructType
 
         from market_data_lakehouse_spark.lakesource import (
             LakeChangesStreamReader,
+            _arrow_type,
         )
         import pyspark.sql.types as T
 
         schema = StructType(
             [StructField("v", T.CalendarIntervalType())]
         )
-        with pytest.raises(TypeError, match="unsupported column type"):
+        with pytest.warns(UserWarning, match="no Arrow mapping"):
             LakeChangesStreamReader({"path": str(tmp_path)}, schema)
+        with pytest.raises(TypeError, match="unsupported column type"):
+            _arrow_type(T.CalendarIntervalType())

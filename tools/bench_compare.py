@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 
@@ -24,6 +25,17 @@ def load_queries(path: str) -> dict[str, float]:
     # driver-recorded files wrap the bench line under "parsed";
     # bench.py's own stdout line is the flat form
     if "parsed" in doc:
+        if doc["parsed"] is None:
+            # r8 regression: once the stdout line crossed ~2 kB the
+            # driver recorded parsed=null and only a tail fragment —
+            # recover the per-query times from the tail's intact
+            # `"q_name": sec` pairs (bench.py now keeps the line
+            # compact, so this is a backstop for old files)
+            tail = doc.get("tail", "")
+            pairs = re.findall(r'"(q_\w+)":\s*([0-9.]+)', tail)
+            if not pairs:
+                raise ValueError(f"{path}: parsed null and no tail pairs")
+            return {q: float(v) for q, v in pairs}
         doc = doc["parsed"]
     return dict(doc["queries"])
 
