@@ -53,56 +53,42 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-8 window is built from per-entry staleness (the last
-# round each name appears in a CORRECTNESS_r*.json): (a) the entire
-# cohort whose last driver run was r4 — three rounds stale, the
-# judge's top rotation directive; (b) every entry whose code changed
-# in r8 (the adaptive PageRank plan, the size-gated triangle-count
-# broadcast, the four recall rows upgraded to bounded-error oracles,
-# the widened sketch gates) plus the r6-stale ANN rows; (c) new r8
-# entries; (d) the oldest r5-stale entries as fill — the rest of the
-# r5 cohort is first in line for r9.
+# The round-9 window (r8 VERDICT directive 2): (a) the ENTIRE
+# 30-entry cohort whose last driver run was r5 — four rounds stale,
+# the judge's named rotation backbone; (b) every entry whose code
+# changed in r9 (the two new invariant gates, the adaptive
+# connected-components kernel and its two consumers, the shared
+# k-core peel, the rolling-chunk gate now verifying the real kernel,
+# and the three lake entries sitting on the reworked
+# delete/update/overwrite paths); (c) the oldest r6-stale entries as
+# fill — the rest of the r6 cohort is first in line for r10.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) last driver-run r4: the full three-round-stale cohort
-    "x8_bitwise_cond", "j13_scalar_subquery", "j14_nation_trade",
-    "a15_filtered_agg", "w11_range_frame", "o4_null_ordering",
-    "j15_market_share", "w12_ratio_to_report", "j16_recursive_reach",
-    "x9_array_hof", "x10_variant", "a16_trimmed_mean",
-    "e6_token_shards_partitioned", "e6_temperature_mix",
-    "e7_pack_sequences", "e4_corpus_clean", "e1_decontaminate",
-    "e4_repetition_score", "e1_contamination_ngram", "e4_bm25_search",
-    "e4_normalize", "a14_big_orders", "w10_rank_distributions",
-    "j10_exists_subquery", "j11_shipping_priority",
-    "j12_regional_revenue", "a13_funnel", "a12_corr_matrix",
-    # (b) code changed in r8, plus the r6-stale ANN rows
-    "g1_pagerank",            # r8: adaptive broadcast-vs-copartition plan
-    "g2_triangle_count",      # r8: size-gated closure broadcast
-    "e3_ann_recall",          # r8: bounded-error oracle (was rows-only)
-    "e3_ivf_recall",          # r8: bounded-error oracle (was rows-only)
-    "e3_pq_recall",           # r8: bounded-error oracle; last run r6
-    "e3_ivfpq_recall",        # r8: bounded-error oracle; last run r6
-    "e3_ivfpq_knn",           # rows-only, last driver-run r6
-    # (a7_approx_distinct_grouped shares this widened HLL gate; it
-    # was driver-green r7 and yields its slot to the new g5 entry)
-    "a7_approx_distinct",     # r8: widened HLL error gate
-    "e4_cms_heavy_hitters",   # r8: widened CMS error gate
-    # (c) new r8 entries
-    "s14_dv_update",          # merge-on-read UPDATE (dv + postimage)
-    "s15_table_detail",       # DESCRIBE DETAIL metadata cross-check
-    "s16_overwrite_where",    # replaceWhere atomic partition swap
-    "s17_scoped_optimize",    # predicate/size-scoped compaction
-    "t13_restore_across_dv",  # RESTORE reconciling deletion vectors
-    "e3_range_search",        # cosine radius search (exact, no shuffle)
-    "g4_kcore",               # iterative k-core peel, chained-CTE oracle
-    "g5_connected_components",  # pointer-halving CC, recursive-CTE oracle
-    "e1_fuzzy_dedup_editdist",  # Levenshtein near-dup pairs, exact oracle
-    "e6_kfold",               # deterministic k-fold assignment, exact oracle
-    "e3_kmeans",              # r8: invariant-gated oracle (was rows-only)
-    "e4_rolling_chunks",      # r8: coverage-gated oracle (was rows-only)
-    "e5_media_resize",        # r8: exact IEEE-geometry oracle (was rows-only)
-    # (d) the r5-stale cohort rotates in r9 — the r8 window filled
-    # with this round's 12 new/changed entries instead
+    # (a) last driver-run r5: the full four-round-stale cohort (30)
+    "a1_vwap_by_flag", "a3_full_table_agg", "a4_multikey_100",
+    "a5_ohlcv_resample", "a6_stats_by_type", "a7_distinct",
+    "a8_cube", "a8_rollup", "a9_percentiles", "e2_embedding_neardup",
+    "e3_cell_recall", "f2_time_range", "j1_inner_join",
+    "j2_full_outer", "j2_left_join", "j3_broadcast_join",
+    "j4_anti_join", "j4_semi_join", "j5_range_join", "j6_asof_join",
+    "j7_asof_tolerance", "j8_cross_join", "o2_topk", "u1_intersect",
+    "u1_union_except", "w1_lag_gaps", "w2_rank_topn", "w3_moving_avg",
+    "w4_cumulative", "x6_arith_expr",
+    # (b) code changed in r9 (9)
+    "e2_simhash",             # r9: planted-twin invariant gate (was rows-only)
+    "e2_semantic_dedup",      # r9: verdict-consistency gate (was rows-only)
+    "g5_connected_components",  # r9: adaptive broadcast CC kernel
+    "e2_dedup_clusters",      # r9: shares the reworked CC kernel
+    "g4_kcore",               # r9: peel loop factored into _kcore_peel
+    "e4_rolling_chunks",      # r9: gate now verifies the real _rk_spans kernel
+    "s12_deletion_vectors",   # r9: delete_where dv path (_dv_from_hits reuse)
+    "s14_dv_update",          # r9: read_bounds validation on the dv DML path
+    "s16_overwrite_where",    # r9: input pinned via localCheckpoint
+    # (c) r6-stale fill (11) — oldest cohort next in line
+    "a10_pivot", "a11_unpivot", "a4_pricing_summary",
+    "a8_grouping_sets", "e1_dedup_by_hash", "e2_ngram_jaccard",
+    "e3_knn_bruteforce", "s1_scan_project", "w6_sessionize",
+    "x7_json_extract", "j9_multiway_topk",
 ]
 
 

@@ -315,13 +315,15 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return voted.select("doc_id", sim.alias("simhash"))
 
 
-@register("e2_simhash")  # rows-only: xxhash64 family is Spark-specific
-def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_candidate_pairs(docs_raw: DataFrame) -> DataFrame:
     """SimHash signatures + banded near-dup candidates: 4 chunks of
     16 bits; docs sharing any chunk are candidates (hamming <= 48
     guaranteed covered for <= 3 differing chunks); verified by
-    popcount(xor) <= 16. Join shuffles on (chunk_id, chunk_value)."""
-    docs = simhash64(load(spark, sf_dir, "documents"))
+    popcount(xor) <= 16. Join shuffles on (chunk_id, chunk_value).
+    ``docs_raw``: (doc_id, text). The engine-specific pair output
+    stays public here; the registered e2_simhash entry wraps this in
+    the planted-twin invariant gate."""
+    docs = simhash64(docs_raw)
     chunks = docs.select(
         "doc_id",
         "simhash",
@@ -356,6 +358,71 @@ def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 16)
         .distinct()
+    )
+
+
+_SIMHASH_TWIN_OFFSET = 1 << 40  # far above any real doc_id
+
+
+@register(
+    "e2_simhash",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           TRUE AS twin_found,
+           TRUE AS twin_hamming0,
+           TRUE AS pairs_valid
+    FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+    """,
+)
+def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding under the planted-twin invariant gate (r8
+    VERDICT directive 6 — was rows-only: the xxhash64 signature
+    family is Spark-specific, but the banding CONTRACT is exact).
+    The corpus has no identical texts, so the gate PLANTS one: every
+    document gets a twin at doc_id + 2^40 with byte-identical text.
+    Identical text means an identical 64-bit SimHash, so all four
+    16-bit chunks collide and the banding join MUST surface every
+    (d, d+2^40) pair at hamming 0 — end-to-end through the real
+    signature, explode, band-join, and verify stages
+    (`simhash_candidate_pairs`, which stays public for the
+    engine-specific pair output). One row per original document;
+    DuckDB pins the doc list and the three booleans as literal TRUE.
+    pairs_valid additionally sweeps the REAL pair output for a
+    canonical-order or hamming-bound violation (the scalar count is
+    the only thing that reaches the driver)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(_SIMHASH_TWIN_OFFSET)).alias("doc_id"),
+        "text",
+    )
+    pairs = simhash_candidate_pairs(
+        docs.unionByName(twins)
+    ).localCheckpoint(eager=False)
+    n_bad = pairs.filter(
+        (F.col("a_id") >= F.col("b_id"))
+        | (F.col("hamming") > 16)
+        | (F.col("hamming") < 0)
+    ).count()
+    twin_hits = pairs.filter(
+        F.col("b_id") - F.col("a_id") == _SIMHASH_TWIN_OFFSET
+    ).select(
+        F.col("a_id").alias("doc_id"),
+        (F.col("hamming") == 0).alias("_h0"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(twin_hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("_h0").isNotNull().alias("twin_found"),
+            F.coalesce("_h0", F.lit(False)).alias("twin_hamming0"),
+            F.lit(n_bad == 0).alias("pairs_valid"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -460,7 +527,10 @@ MAX_CC_ROUNDS = 30
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = MAX_CC_ROUNDS,
+    trace: list | None = None,
 ) -> DataFrame:
     """(u, lbl) — min-label connected components. ``edges`` (u, v) is
     treated as UNDIRECTED: it is symmetrized internally (union with
@@ -574,6 +644,11 @@ def connected_components(
             # materialization per round.
             labels = labels.localCheckpoint()
         cur = total(labels)
+        if trace is not None:
+            # per-round convergence observability for the scale probe
+            # (r8 VERDICT directive 4) — reuses the scalar the loop
+            # already computes, zero extra jobs
+            trace.append({"round": len(trace), "label_sum": str(cur)})
         if cur == prev:
             return labels.join(verts, "u", "left_semi")
         prev = cur

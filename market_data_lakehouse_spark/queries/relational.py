@@ -3800,6 +3800,46 @@ def g3_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_peel(
+    e: DataFrame, k: int, rounds: int, trace: list | None = None
+) -> DataFrame:
+    """The g4 peel loop, factored out so the scale probe can run the
+    EXACT production dataflow with structure observability (r8
+    VERDICT directive 4) instead of a drifting copy. ``e`` is the
+    undirected distinct edge set (src, dst), lazily checkpointed by
+    the caller. ``trace``, when given, receives one
+    {round, edges_in, surviving_nodes} dict per round — exact counts,
+    at the cost of one count action each (probe mode only; the query
+    path passes None and pays zero extra jobs)."""
+    deg = None
+    for i in range(rounds):
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+        )
+        if trace is not None:
+            trace.append(
+                {
+                    "round": i,
+                    "edges_in": e.count(),
+                    "surviving_nodes": deg.count(),
+                }
+            )
+        if i == rounds - 1:
+            break
+        keep = deg.select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(
+                keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return deg
+
+
 @register(
     "g4_kcore",
     oracle="""
@@ -3866,24 +3906,7 @@ def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = None
-    for i in range(4):
-        deg = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= 17)
-        )
-        if i == 4 - 1:
-            break
-        keep = deg.select(F.col("src").alias("node"))
-        e = (
-            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(
-                keep.select(F.col("node").alias("dst")), "dst", "left_semi"
-            )
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
-        )
+    deg = _kcore_peel(e, k=17, rounds=4)
     return deg.select(
         F.col("src").cast("bigint").alias("node"),
         F.col("d").cast("bigint").alias("degree"),

@@ -1152,8 +1152,7 @@ def e3_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gated_recall(spark, sf_dir, e3_pq_knn, 0.75)
 
 
-@register("e2_semantic_dedup")  # rows-only: k-means stage is engine-specific
-def e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus with
     spherical k-means, compare pairs only WITHIN a cluster, and mark
     every vector whose cosine to a lower-id cluster-mate exceeds the
@@ -1209,6 +1208,93 @@ def e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("max_sim", 6).alias("nearest_sim"),
         )
         .orderBy("vec_id")
+    )
+
+
+@register(
+    "e2_semantic_dedup",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           TRUE AS partition_exact,
+           TRUE AS verdicts_consistent,
+           TRUE AS lowest_id_kept,
+           TRUE AS dup_counts_bounded
+    """,
+)
+def e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the invariant-oracle gate (r8 VERDICT
+    directive 6, the e3_kmeans pattern — was rows-only): the k-means
+    stage is engine-specific, but the dedup CONTRACT is exact and the
+    gate measures it on `semantic_dedup_verdicts`' REAL output (the
+    engine-specific rows stay public through that function):
+
+    - n_vecs: one verdict row per corpus vector (DuckDB recomputes
+      the corpus count; a fit that drops or duplicates a vector
+      changes the anchor and goes driver-red),
+    - partition_exact: every vector carries exactly one cluster,
+    - verdicts_consistent: is_semantic_dup <=> n_dups_of > 0
+      <=> nearest_sim > threshold (for rows with cluster-mates),
+    - lowest_id_kept: the canonical-choice policy — the lowest
+      vec_id of every cluster is never flagged (no lower-id mate),
+    - dup_counts_bounded: n_dups_of <= cluster size - 1.
+
+    The aggregates run distributed; only the five scalars reach the
+    driver (same bounded-metadata class as e3_kmeans's gate)."""
+    threshold = 0.45
+    v = semantic_dedup_verdicts(spark, sf_dir).localCheckpoint(eager=False)
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    stats = (
+        v.withColumn(
+            "csize", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        )
+        .withColumn(
+            "cmin", F.min("vec_id").over(Window.partitionBy("cluster"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("vec_id").alias("n_ids"),
+            F.sum(F.col("cluster").isNull().cast("long")).alias("null_cl"),
+            F.sum(
+                (
+                    F.col("is_semantic_dup") != (F.col("n_dups_of") > 0)
+                ).cast("long")
+            ).alias("bad_flag"),
+            F.sum(
+                F.when(
+                    F.col("nearest_sim").isNotNull(),
+                    (
+                        (F.col("nearest_sim") > threshold)
+                        != F.col("is_semantic_dup")
+                    ).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("bad_sim"),
+            F.sum(
+                (
+                    (F.col("vec_id") == F.col("cmin"))
+                    & F.col("is_semantic_dup")
+                ).cast("long")
+            ).alias("flagged_heads"),
+            F.sum(
+                (F.col("n_dups_of") > F.col("csize") - 1).cast("long")
+            ).alias("overcount"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                stats["n_rows"] == n_vecs
+                and stats["n_ids"] == n_vecs
+                and stats["null_cl"] == 0,
+                stats["bad_flag"] == 0 and stats["bad_sim"] == 0,
+                stats["flagged_heads"] == 0,
+                stats["overcount"] == 0,
+            )
+        ],
+        "n_vecs bigint, partition_exact boolean, "
+        "verdicts_consistent boolean, lowest_id_kept boolean, "
+        "dup_counts_bounded boolean",
     )
 
 

@@ -686,10 +686,10 @@ def test_semantic_dedup_verdict_consistency(spark):
     LOWEST vec_id of every cluster is never flagged (keep-lowest
     canonical policy — it has no lower-id mate to duplicate)."""
     from market_data_lakehouse_spark.queries.similarity import (
-        e2_semantic_dedup,
+        semantic_dedup_verdicts,
     )
 
-    df = e2_semantic_dedup(spark, "/root/testdata/sf0.001").toPandas()
+    df = semantic_dedup_verdicts(spark, "/root/testdata/sf0.001").toPandas()
     flagged = df[df["is_semantic_dup"]]
     assert (flagged["nearest_sim"] > 0.45).all()
     with_mates = df.dropna(subset=["nearest_sim"])

@@ -55,6 +55,13 @@ PROBES = [
     "g1_pagerank",
     "g2_triangle_count",
     "g3_shortest_path",
+    # r9 (VERDICT r8 item 4): the two newest iterative queries —
+    # second- and fifth-most-expensive bench entries — get the same
+    # two-point curve, plus per-round structure counts (k-core
+    # surviving edges/nodes; CC rounds-to-convergence and label-sum
+    # trajectory) in iterative_graph_structure()
+    "g4_kcore",
+    "g5_connected_components",
 ]
 
 # table -> integer key columns shifted by copy_index * (max+1) so each
@@ -204,6 +211,73 @@ def graph_structure(spark, sf_dir: str) -> dict:
     }
 
 
+def iterative_graph_structure(spark, sf_dir: str) -> dict:
+    """Per-round structure counts for the two iterative graph queries
+    (r8 VERDICT directive 4), measured by running the PRODUCTION
+    kernels with their trace hooks — not probe-local copies:
+
+    - k-core: edges entering each peel round + nodes surviving the
+      degree filter. Linear growth of every round's counts at 16x
+      means each round's shuffle volume scales with the data.
+    - connected components: rounds to convergence + the label-sum
+      trajectory. Scaled copies are DISJOINT replicas of the same
+      hub structure, so pointer-halving's O(log diameter) prediction
+      says the round count must stay FLAT while per-round volumes
+      grow linearly — a rising round count would multiply, not add,
+      cost at 100x.
+    """
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.queries.dedup import (
+        connected_components,
+    )
+    from market_data_lakehouse_spark.queries.relational import _kcore_peel
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e0 = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter((F.col("o_custkey") + F.col("l_suppkey")) % 3 == 0)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(4000000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ktrace: list[dict] = []
+    _kcore_peel(und, k=17, rounds=4, trace=ktrace).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    ctrace: list[dict] = []
+    nodes = (
+        e0.select(F.col("src").alias("u"))
+        .union(e0.select(F.col("dst").alias("u")))
+        .distinct()
+    )
+    cc_edges = e0.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    connected_components(nodes, cc_edges, trace=ctrace).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return {
+        "kcore_rounds": ktrace,
+        "cc_rounds_to_convergence": len(ctrace),
+        "cc_label_sum_trajectory": [t["label_sum"] for t in ctrace],
+    }
+
+
 def lsh_pair_counts() -> dict:
     """Candidate-volume observability: the LSH probes' pair counts
     from the runs time_queries just executed — the pair growth ratio
@@ -250,10 +324,12 @@ def main() -> int:
         base = time_queries(spark, args.sf_dir)
         base_pairs = lsh_pair_counts()
         base_graph = graph_structure(spark, args.sf_dir)
+        base_iter = iterative_graph_structure(spark, args.sf_dir)
         rss_mid = rss_mb()
         scaled = time_queries(spark, tmp)
         scaled_pairs = lsh_pair_counts()
         scaled_graph = graph_structure(spark, tmp)
+        scaled_iter = iterative_graph_structure(spark, tmp)
         rss_after = rss_mb()
 
         per_query = {
@@ -296,6 +372,23 @@ def main() -> int:
             "per_query": per_query,
             "lsh_candidates": lsh_candidates,
             "graph_structure": graph,
+            "iterative_graph_structure": {
+                "base": base_iter,
+                "scaled": scaled_iter,
+                "kcore_edges_growth_per_round": [
+                    round(
+                        s["edges_in"] / max(b["edges_in"], 1), 2
+                    )
+                    for b, s in zip(
+                        base_iter["kcore_rounds"],
+                        scaled_iter["kcore_rounds"],
+                    )
+                ],
+                "cc_rounds_flat": (
+                    scaled_iter["cc_rounds_to_convergence"]
+                    <= base_iter["cc_rounds_to_convergence"] + 1
+                ),
+            },
             "driver_rss_mb": {
                 "before": round(rss_before, 1),
                 "after_base": round(rss_mid, 1),
