@@ -807,3 +807,49 @@ def t12_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("bigint").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "s18_metadata_count",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE NOT (event_id % 7 = 0 OR value < 0.2))
+                AS BIGINT) AS n_live,
+           TRUE AS matches_scan
+    """,
+)
+def s18_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) from the transaction log (S8 extension,
+    r9 — Delta's numRecords-in-log design): every add-commit records
+    per-file row counts, so ``count_rows`` answers the warehouse's
+    most common query by folding kilobytes of log (minus
+    deletion-vector sizes) with NO Spark job and NO file I/O. The
+    gate exercises the hard cases end-to-end on one lake — a dv
+    delete (count must drop by exactly the vector size), a
+    copy-on-write delete (rewritten survivors' new files carry fresh
+    counts), and version time travel (v0's count is the full corpus)
+    — and DuckDB recomputes both anchors from raw events;
+    matches_scan additionally pins the metadata count to a real
+    vectored scan of the same snapshot."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_cnt_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(3))
+    tx.delete_where("event_id % 7 = 0", mode="dv")
+    tx.delete_where("value < 0.2")  # copy-on-write rewrite
+    n_total = tx.count_rows(version=0)
+    n_live = tx.count_rows()
+    n_scan = tx.snapshot().count()
+    return spark.createDataFrame(
+        [(n_total, n_live, n_live == n_scan)],
+        "n_total bigint, n_live bigint, matches_scan boolean",
+    )

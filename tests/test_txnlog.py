@@ -1190,3 +1190,62 @@ class TestOverwriteWhere:
             for r in ch.filter("_change_type = 'insert'").collect()
         }
         assert ("AAPL", 10.0) in ins
+
+
+class TestMetadataCount:
+    """count_rows: metadata-only COUNT(*) from logged per-file row
+    counts (Delta numRecords parity) — correct across appends, dv
+    deletes/updates, copy-on-write rewrites, compaction, restore
+    across vectors, time travel, checkpoints, and the pre-feature
+    footer fallback."""
+
+    def test_append_and_dv_delete(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300), ("GOOG", 10)]))
+        assert lake.count_rows() == 3
+        lake.delete_where("price > 100", mode="dv")
+        assert lake.count_rows() == 1
+        assert lake.count_rows() == lake.snapshot().count()
+
+    def test_dv_update_keeps_count(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.update_where("price > 200", {"price": "price + 1"}, mode="dv")
+        # dv UPDATE hides 1 preimage and adds 1 postimage: net 0
+        assert lake.count_rows() == 2
+
+    def test_rewrite_compact_and_time_travel(self, spark, lake):
+        v0 = lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        lake.append(_df(spark, [("TSLA", 900)]))
+        lake.delete_where("symbol = 'MSFT'")  # copy-on-write
+        assert lake.count_rows() == 2
+        lake.optimize()
+        assert lake.count_rows() == 2
+        assert lake.count_rows(version=v0) == 2  # pre-delete snapshot
+        assert lake.count_rows(version=v0 + 1) == 3
+
+    def test_restore_across_dv(self, spark, lake):
+        lake.append(_df(spark, [("A", 1), ("B", 2), ("C", 3)]))
+        v1 = lake.delete_where("price = 1", mode="dv")
+        lake.delete_where("price = 2", mode="dv")
+        assert lake.count_rows() == 1
+        lake.restore(version=v1)  # dv_reset back to the first vector
+        assert lake.count_rows() == 2
+        assert lake.count_rows() == lake.snapshot().count()
+
+    def test_checkpoint_carries_rows(self, spark, lake):
+        for i in range(3):
+            lake.append(_df(spark, [(f"S{i}", 10 + i)]))
+        lake._write_checkpoint(lake.version)
+        lake.vacuum_log()
+        assert lake.count_rows() == 3
+
+    def test_pre_feature_commit_falls_back_to_footer(self, spark, lake):
+        import json as _json
+
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        # simulate a commit written before row counts existed
+        cpath = os.path.join(lake.log_path, "00000000.json")
+        doc = _json.load(open(cpath))
+        doc.pop("rows", None)
+        with open(cpath, "w") as fh:
+            _json.dump(doc, fh)
+        assert lake.count_rows() == 2
