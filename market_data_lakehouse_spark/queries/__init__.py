@@ -85,11 +85,11 @@ _DRIVER_WINDOW = [
     "s14_dv_update",          # r9: read_bounds validation on the dv DML path
     "s16_overwrite_where",    # r9: input pinned via localCheckpoint
     "s18_metadata_count",     # r9 NEW: log-stats COUNT(*) (numRecords)
-    # (c) r6-stale fill (10) — oldest cohort next in line
+    "s19_identity_column",    # r9 NEW: GENERATED ALWAYS AS IDENTITY
+    # (c) r6-stale fill (9) — oldest cohort next in line
     "a10_pivot", "a11_unpivot", "a4_pricing_summary",
     "a8_grouping_sets", "e1_dedup_by_hash", "e2_ngram_jaccard",
     "e3_knn_bruteforce", "s1_scan_project", "w6_sessionize",
-    "x7_json_extract",
 ]
 
 

@@ -853,3 +853,49 @@ def s18_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_total, n_live, n_live == n_scan)],
         "n_total bigint, n_live bigint, matches_scan boolean",
     )
+
+
+@register(
+    "s19_identity_column",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS min_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_id,
+           CAST(COUNT(*) AS BIGINT) AS distinct_ids
+    FROM events
+    """,
+)
+def s19_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY (S8 extension, r9 — Delta
+    identity-column parity): appends assign unique CONTIGUOUS 64-bit
+    ids from a log-tracked high-water mark with no global sort — a
+    per-partition count pass (one metadata row per partition) plus a
+    codegen'd offset projection, so a 1000-executor backfill assigns
+    ids at scan speed. The gate ingests the events table in TWO
+    appends (odd/even halves, each multi-partition) and emits the id
+    distribution's exact anchors: a correct implementation yields a
+    permutation of 0..n-1 regardless of partitioning or append
+    order, which DuckDB recomputes from the raw corpus count — any
+    duplicate, gap, or lost row breaks an anchor and goes
+    driver-red."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_id_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.set_identity("row_id")
+    tx.append(ev.filter("event_id % 2 = 0").repartition(3))
+    tx.append(ev.filter("event_id % 2 = 1").repartition(2))
+    snap = tx.snapshot()
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("row_id").cast("bigint").alias("min_id"),
+        F.max("row_id").cast("bigint").alias("max_id"),
+        F.count_distinct("row_id").cast("bigint").alias("distinct_ids"),
+    )

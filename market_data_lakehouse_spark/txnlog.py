@@ -251,6 +251,17 @@ class TransactionalLake:
             {f: list(p) for f, p in cp.get("dv", {}).items()} if cp else {}
         )
         txn: dict[str, int] = dict(cp.get("txn", {})) if cp else {}
+        # table metadata that must SURVIVE log vacuum: CHECK
+        # constraints and the identity column's high-water mark are
+        # resolved from the commit log, so a checkpoint that doesn't
+        # carry them would silently drop both once vacuum_log removes
+        # their defining commits
+        constraints: dict[str, str] = (
+            dict(cp.get("constraints", {})) if cp else {}
+        )
+        identity: dict | None = dict(cp["identity"]) if (
+            cp and cp.get("identity")
+        ) else None
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
@@ -280,6 +291,18 @@ class TransactionalLake:
                 txn[t["app_id"]] = max(
                     txn.get(t["app_id"], -1), t["version"]
                 )
+            if c.get("op") == "add_constraint":
+                constraints[c["constraint"]["name"]] = c["constraint"]["expr"]
+            elif c.get("op") == "drop_constraint":
+                constraints.pop(c["constraint"]["name"], None)
+            elif c.get("op") == "clone" and c.get("constraints"):
+                constraints.update(c["constraints"])
+            if c.get("op") in ("set_identity", "clone") and c.get("identity"):
+                identity = dict(c["identity"])
+            elif identity is not None and c.get("identity_next") is not None:
+                identity["next"] = max(
+                    identity["next"], c["identity_next"]
+                )
         stats = {f: s for f, s in stats.items() if f in live}
         rows = {f: n for f, n in rows.items() if f in live}
         blooms = {f: b for f, b in blooms.items() if f in live}
@@ -298,6 +321,8 @@ class TransactionalLake:
             "blooms": blooms,
             "dv": dv,
             "txn": txn,
+            "constraints": constraints,
+            "identity": identity,
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -835,6 +860,7 @@ class TransactionalLake:
         action: dict,
         read_version: int | None = None,
         read_bounds: dict[str, tuple] | None = None,
+        identity_read_version: int | None = None,
     ) -> int:
         """Atomically append one commit (write temp + put-if-absent
         link). Returns the committed version — or, for an idempotent
@@ -872,6 +898,27 @@ class TransactionalLake:
                     action = {**action, "blooms": blooms}
         while True:
             current = self.version
+            if (
+                identity_read_version is not None
+                and current != identity_read_version
+            ):
+                # identity-range reservation check: this commit's ids
+                # were assigned from the high-water mark read at
+                # ``identity_read_version`` — any interleaved commit
+                # that ALSO assigned ids may have claimed the same
+                # range, so conflict loudly (Delta's identity
+                # transactions do the same); interleaved commits that
+                # assign no ids leave the range free and rebase fine
+                for v in range(identity_read_version + 1, current + 1):
+                    if self._read_commit(v).get("identity_next") is not None:
+                        raise RuntimeError(
+                            f"concurrent identity assignment: commit "
+                            f"v{v} advanced the identity high-water "
+                            f"mark after this append reserved its id "
+                            f"range at v{identity_read_version}; "
+                            "re-read and retry"
+                        )
+                identity_read_version = current
             if read_version is not None and current != read_version:
                 # Delta-style scoped conflict resolution: when the
                 # caller declared its read scope (``read_bounds``, the
@@ -1441,6 +1488,18 @@ class TransactionalLake:
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
         df = self._apply_generated(df)
+        ident = self.identity_state()
+        id_read_v, id_next = None, None
+        if ident is not None:
+            id_col, hi = ident
+            if id_col in df.columns:
+                raise ValueError(
+                    f"column {id_col!r} is GENERATED ALWAYS AS IDENTITY; "
+                    "the append batch must not carry it"
+                )
+            id_read_v = self.version
+            df, n_assigned = self._assign_identity(df, id_col, hi)
+            id_next = hi + n_assigned
         self._check_schema(df, merge_schema)
         added, n_rows = self._checked_write(df, "append", skip_empty=skip_empty)
         if skip_empty and not n_rows:
@@ -1461,7 +1520,9 @@ class TransactionalLake:
         action: dict = {"op": "append", "add": added, "schema": df.schema.json()}
         if txn is not None:
             action["txn"] = {"app_id": txn[0], "version": txn[1]}
-        return self._commit(action)
+        if id_next is not None:
+            action["identity_next"] = id_next
+        return self._commit(action, identity_read_version=id_read_v)
 
     def overwrite(self, df: DataFrame) -> int:
         """Atomic full-table replace: one commit adds the new files
@@ -2864,6 +2925,16 @@ class TransactionalLake:
             action["schema"] = schemas[-1]
         if dvs:
             action["dv"] = {f: list(p) for f, p in dvs.items()}
+        # table metadata rides the clone commit (Delta clones carry
+        # table properties): CHECK constraints keep enforcing on the
+        # clone, and the identity high-water mark carries over so
+        # clone-side appends can never reuse source-assigned ids
+        cons = self.check_constraints()
+        if cons:
+            action["constraints"] = cons
+        ident = self.identity_state()
+        if ident is not None:
+            action["identity"] = {"column": ident[0], "next": ident[1]}
         target._commit(action)
         return target
 
@@ -2872,16 +2943,26 @@ class TransactionalLake:
     # ------------------------------------------------------------------
     def check_constraints(self) -> dict[str, str]:
         """Active CHECK constraints, name -> SQL boolean expression.
-        Resolved from the commit log (add minus drop, in commit
-        order) — constraints are table metadata, versioned with the
-        log like everything else."""
-        out: dict[str, str] = {}
+        Resolved from the newest checkpoint (which carries the folded
+        constraint set — r9: previously a vacuum_log could silently
+        drop constraints whose defining commits it deleted) plus the
+        commit tail (add minus drop, in commit order) — constraints
+        are table metadata, versioned with the log like everything
+        else."""
+        cp = self._latest_checkpoint()
+        out: dict[str, str] = dict(cp.get("constraints", {})) if cp else {}
+        start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
-            c = self._read_commit(int(name.split(".")[0]))
+            v = int(name.split(".")[0])
+            if v < start:
+                continue
+            c = self._read_commit(v)
             if c.get("op") == "add_constraint":
                 out[c["constraint"]["name"]] = c["constraint"]["expr"]
             elif c.get("op") == "drop_constraint":
                 out.pop(c["constraint"]["name"], None)
+            elif c.get("op") == "clone" and c.get("constraints"):
+                out.update(c["constraints"])
         return out
 
     def add_check_constraint(self, name: str, expr: str) -> int:
@@ -2915,6 +2996,108 @@ class TransactionalLake:
         return self._commit(
             {"op": "drop_constraint", "constraint": {"name": name}}
         )
+
+    # ------------------------------------------------------------------
+    # IDENTITY column (Delta `GENERATED ALWAYS AS IDENTITY` parity)
+    # ------------------------------------------------------------------
+    def set_identity(self, column: str, start: int = 0) -> int:
+        """Declare ``column`` as the table's IDENTITY column: every
+        subsequent ``append`` assigns it unique, CONTIGUOUS 64-bit
+        ids from a log-tracked high-water mark (``start`` upward).
+        GENERATED ALWAYS semantics on the append path: a batch that
+        already carries the column is rejected. Like Delta, identity
+        must be declared before any data lands (a retrofit would
+        need a full-table backfill — use update_where for that).
+
+        The high-water mark is table metadata in the log (each
+        assigning commit records ``identity_next``), folds through
+        checkpoints, and survives vacuum_log. Two appends that raced
+        to assign the same id range conflict loudly — the committer
+        checks for an interleaved ``identity_next`` before claiming
+        its version (Delta's identity txns conflict the same way);
+        interleaved commits that assign no ids rebase fine."""
+        if self.identity_state() is not None:
+            raise ValueError("identity column already set")
+        if self._snapshot_state()[0]:
+            raise ValueError(
+                "identity must be declared before any data is written "
+                "(existing rows would have no ids; backfill explicitly "
+                "with update_where instead)"
+            )
+        return self._commit(
+            {
+                "op": "set_identity",
+                "identity": {"column": column, "next": int(start)},
+            }
+        )
+
+    def identity_state(self) -> tuple[str, int] | None:
+        """(column, next id) when an identity column is declared,
+        else None — the newest checkpoint's folded state plus the
+        commit tail's ``identity_next`` advances."""
+        cp = self._latest_checkpoint()
+        ident: dict | None = (
+            dict(cp["identity"]) if cp and cp.get("identity") else None
+        )
+        start = cp["version"] + 1 if cp else 0
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v < start:
+                continue
+            c = self._read_commit(v)
+            if c.get("op") in ("set_identity", "clone") and c.get("identity"):
+                ident = dict(c["identity"])
+            elif ident is not None and c.get("identity_next") is not None:
+                ident["next"] = max(ident["next"], c["identity_next"])
+        return (ident["column"], ident["next"]) if ident else None
+
+    def _assign_identity(
+        self, df: DataFrame, column: str, start: int
+    ) -> tuple[DataFrame, int]:
+        """Assign ``start .. start+n-1`` (a contiguous permutation)
+        to ``column`` without a global sort: the batch is pinned with
+        a lazy localCheckpoint so both passes see one partitioning,
+        a per-partition count pass collects ONE row per partition
+        (bounded metadata), and each row's id is its partition's
+        cumulative offset plus its row number within the partition —
+        recovered from ``monotonically_increasing_id``'s documented
+        layout (partition id in the upper bits, row number in the
+        lower 33). Entirely codegen; the only driver traffic is the
+        offset table, re-broadcast to the id projection. Returns
+        (df_with_ids, n_rows)."""
+        df = df.localCheckpoint(eager=False)
+        tagged = df.withColumn(
+            "_pid", F.spark_partition_id()
+        ).withColumn("_mid", F.monotonically_increasing_id())
+        counts = sorted(
+            (r["_pid"], r["n"])
+            for r in tagged.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        offsets, acc = [], 0
+        for pid, n in counts:
+            offsets.append((pid, acc))
+            acc += n
+        if not offsets:
+            return df.withColumn(column, F.lit(None).cast("long")), 0
+        odf = self.spark.createDataFrame(offsets, "_pid int, _off long")
+        out = (
+            tagged.join(F.broadcast(odf), "_pid")
+            .withColumn(
+                column,
+                (
+                    F.lit(int(start))
+                    + F.col("_off")
+                    + (
+                        F.col("_mid")
+                        - F.col("_pid").cast("long") * F.lit(1 << 33)
+                    )
+                ).cast("long"),
+            )
+            .drop("_pid", "_mid", "_off")
+        )
+        return out, acc
 
     def _enforce_constraints(self, df: DataFrame, op: str) -> None:
         """Validate a to-be-written batch against every active CHECK

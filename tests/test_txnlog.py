@@ -1249,3 +1249,106 @@ class TestMetadataCount:
         with open(cpath, "w") as fh:
             _json.dump(doc, fh)
         assert lake.count_rows() == 2
+
+
+class TestIdentityColumn:
+    """GENERATED ALWAYS AS IDENTITY: contiguous unique ids from a
+    log-tracked high-water mark, assigned without a global sort."""
+
+    def test_contiguous_across_appends_and_partitions(self, spark, lake):
+        lake.set_identity("row_id")
+        lake.append(
+            _df(spark, [(f"S{i}", 10 + i) for i in range(7)]).repartition(3)
+        )
+        lake.append(
+            _df(spark, [(f"T{i}", 50 + i) for i in range(5)]).repartition(2)
+        )
+        ids = sorted(r.row_id for r in lake.snapshot().select("row_id").collect())
+        assert ids == list(range(12))
+        assert lake.identity_state() == ("row_id", 12)
+
+    def test_generated_always_rejects_supplied_values(self, spark, lake):
+        lake.set_identity("row_id")
+        df = _df(spark, [("AAPL", 1)]).withColumn("row_id", F.lit(99))
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            lake.append(df)
+
+    def test_must_be_declared_before_data(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 1)]))
+        with pytest.raises(ValueError, match="before any data"):
+            lake.set_identity("row_id")
+
+    def test_custom_start(self, spark, lake):
+        lake.set_identity("row_id", start=1000)
+        lake.append(_df(spark, [("A", 1), ("B", 2)]))
+        ids = sorted(r.row_id for r in lake.snapshot().collect())
+        assert ids == [1000, 1001]
+
+    def test_concurrent_identity_appends_conflict(self, spark, tmp_path):
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.set_identity("row_id")
+        other = TransactionalLake(spark, path, partition_by=())
+
+        orig = lake._checked_write
+        done = []
+
+        def racing(df, op, skip_empty=False):
+            out = orig(df, op, skip_empty=skip_empty)
+            if not done:
+                done.append(1)
+                other.append(_df(spark, [("RACE", 1)]))
+            return out
+
+        lake._checked_write = racing  # type: ignore[method-assign]
+        try:
+            with pytest.raises(RuntimeError, match="identity"):
+                lake.append(_df(spark, [("MINE", 2)]))
+        finally:
+            lake._checked_write = orig  # type: ignore[method-assign]
+        # the loser's retry path: re-read and append again — ids
+        # stay unique and contiguous
+        lake.append(_df(spark, [("MINE", 2)]))
+        ids = sorted(r.row_id for r in lake.snapshot().collect())
+        assert ids == [0, 1]
+
+    def test_survives_checkpoint_and_vacuum(self, spark, lake):
+        lake.set_identity("row_id")
+        lake.append(_df(spark, [("A", 1), ("B", 2)]))
+        lake._write_checkpoint(lake.version)
+        lake.vacuum_log()
+        assert lake.identity_state() == ("row_id", 2)
+        lake.append(_df(spark, [("C", 3)]))
+        ids = sorted(r.row_id for r in lake.snapshot().collect())
+        assert ids == [0, 1, 2]
+
+    def test_clone_carries_high_water(self, spark, lake, tmp_path):
+        lake.set_identity("row_id")
+        lake.append(_df(spark, [("A", 1), ("B", 2)]))
+        clone = lake.clone(str(tmp_path / "clone"))
+        assert clone.identity_state() == ("row_id", 2)
+        clone.append(_df(spark, [("C", 3)]))
+        ids = sorted(r.row_id for r in clone.snapshot().collect())
+        assert ids == [0, 1, 2]
+
+
+class TestConstraintsSurviveVacuum:
+    def test_constraint_survives_checkpoint_and_vacuum(self, spark, lake):
+        """r9 fix: constraints fold into checkpoints — previously a
+        vacuum_log that deleted the add_constraint commit silently
+        dropped enforcement."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.add_check_constraint("pos_price", "price > 0")
+        lake._write_checkpoint(lake.version)
+        lake.vacuum_log()
+        assert lake.check_constraints() == {"pos_price": "price > 0"}
+        with pytest.raises(ValueError, match="pos_price"):
+            lake.append(_df(spark, [("BAD", -1)]))
+
+    def test_clone_carries_constraints(self, spark, lake, tmp_path):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.add_check_constraint("pos_price", "price > 0")
+        clone = lake.clone(str(tmp_path / "clone2"))
+        assert clone.check_constraints() == {"pos_price": "price > 0"}
+        with pytest.raises(ValueError, match="pos_price"):
+            clone.append(_df(spark, [("BAD", -1)]))
