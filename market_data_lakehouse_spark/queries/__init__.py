@@ -86,8 +86,10 @@ _DRIVER_WINDOW = [
     "s16_overwrite_where",    # r9: input pinned via localCheckpoint
     "s18_metadata_count",     # r9 NEW: log-stats COUNT(*) (numRecords)
     "s19_identity_column",    # r9 NEW: GENERATED ALWAYS AS IDENTITY
-    # (c) r6-stale fill (9) — oldest cohort next in line
-    "a10_pivot", "a11_unpivot", "a4_pricing_summary",
+    "e3_sq_recall",           # r9 NEW: SQ8 int8 quantized-recall gate
+    "e3_sq_knn",              # r9 NEW: rows-only twin (engine codes)
+    # (c) r6-stale fill (7) — oldest cohort next in line
+    "a4_pricing_summary",
     "a8_grouping_sets", "e1_dedup_by_hash", "e2_ngram_jaccard",
     "e3_knn_bruteforce", "s1_scan_project", "w6_sessionize",
 ]

@@ -187,6 +187,84 @@ def _brute_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e3_sq_knn")  # rows-only: int8 codes are engine-specific
+def e3_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) brute-force top-k — the fourth
+    quantization tier next to LSH / IVF / PQ / IVF-PQ, and the
+    default in most production vector stores: each candidate vector
+    is stored as int8 codes plus ONE float scale (symmetric per-vector
+    max-abs quantization), 4x less memory than float32 with no
+    codebook training at all — where PQ buys 16x at the cost of a
+    trained codebook and a real recall dent, SQ8 buys 4x nearly for
+    free (measured recall@5 vs exact: ~1.0 on this corpus; gated at
+    0.85 by e3_sq_recall).
+
+    Asymmetric scoring, the standard recipe: queries stay float64;
+    candidates dequantize (code * scale) inside the Arrow batch and
+    score with the same sequential-float64 kernel as the exact brute
+    force. Plan shape is identical to e3_knn_bruteforce — one scan,
+    no join, top-k window — so the ONLY delta recall can come from
+    is the quantizer, which is exactly what the gate measures. At
+    100 TB the int8 codes column is what ships to the scoring
+    cluster; the float column stays in cold storage."""
+    em = load(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        em.filter(F.col("vec_id") < N_QUERY)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = [r.vec_id for r in qrows]
+    Q = np.array(
+        [[float(x) for x in r.embedding] for r in qrows], dtype=np.float64
+    )
+    qn = np.sqrt(_seq_sum(Q * Q))
+
+    @F.pandas_udf("array<double>")
+    def sq_sims_udf(embs: pd.Series) -> pd.Series:
+        M = np.array(embs.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        # symmetric per-vector SQ8: scale = max|x| / 127, codes in
+        # [-127, 127]; the stored representation would be (int8
+        # codes, float scale) — dequantized here for scoring
+        scale = np.abs(M).max(axis=1, keepdims=True) / 127.0
+        scale[scale == 0.0] = 1.0
+        codes = np.clip(np.round(M / scale), -127, 127).astype(np.int8)
+        D = codes.astype(np.float64) * scale
+        cn = np.sqrt(_seq_sum(D * D))
+        dots = np.empty((D.shape[0], Q.shape[0]))
+        for j in range(Q.shape[0]):
+            dots[:, j] = _seq_sum(D * Q[j])
+        denom = cn[:, None] * qn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = dots / denom
+        out = [
+            [None if d == 0.0 else v for v, d in zip(row, drow)]
+            if (drow == 0.0).any()
+            else list(row)
+            for row, drow in zip(S, denom)
+        ]
+        return pd.Series(out)
+
+    c = em.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = c.select(
+        "cid", F.posexplode(sq_sims_udf(F.col("ce"))).alias("qi", "sim")
+    ).select(
+        F.element_at(F.lit(qids), F.col("qi") + 1).cast("long").alias("qid"),
+        "cid",
+        "sim",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= K)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
 RADIUS = 0.30  # cosine threshold for range search (99.9th-pct sims
 # on this corpus sit near 0.39, max ~0.49 — the result is a small,
 # stable neighbor set rather than empty or everything)
@@ -678,6 +756,17 @@ def _gated_recall(spark, sf_dir: str, ann_fn, floor: float) -> DataFrame:
         (F.avg("recall_at_k") >= F.lit(floor)).alias("mean_recall_ok")
     )
     return anchors.crossJoin(F.broadcast(mean_ok)).orderBy("qid")
+
+
+@register("e3_sq_recall", oracle=_TRUTH_ANCHOR_ORACLE)
+def e3_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the SQ8 (int8 scalar-quantized) scorer against
+    brute force — fifth column of the index-selection evidence
+    (LSH 0.90 / IVF 0.90 / PQ 0.92-0.96 / IVF-PQ 0.84-0.88 / SQ8
+    here, measured ~1.0): the 4x-memory tier whose only
+    approximation is the quantizer itself, so its recall floor
+    (0.85) can sit above every trained index's."""
+    return _gated_recall(spark, sf_dir, e3_sq_knn, 0.85)
 
 
 @register("e3_ann_recall", oracle=_TRUTH_ANCHOR_ORACLE)

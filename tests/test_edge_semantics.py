@@ -726,6 +726,22 @@ def test_psi_zero_for_identical_distributions(spark, tmp_path):
     assert out[0].n_bins == 10
 
 
+def test_sq_recall_floor(spark):
+    """SQ8's only approximation is the per-vector int8 quantizer, so
+    its recall@5 must beat every trained index's floor: >= 0.9 on the
+    driver corpus (measured ~1.0 — 64-dim synthetic vectors lose
+    almost nothing to 8-bit codes)."""
+    from market_data_lakehouse_spark.queries.similarity import (
+        _recall_vs_bruteforce,
+        e3_sq_knn,
+    )
+
+    per_q = _recall_vs_bruteforce(
+        spark, "/root/testdata/sf0.001", e3_sq_knn
+    ).toPandas()
+    assert per_q["recall_at_k"].mean() >= 0.9
+
+
 def test_ivfpq_recall_floor(spark):
     """IVF-PQ composite must hold mean recall@5 >= 0.8 (measured
     0.90 at sf0.001 AND sf0.01 with n_probe=4 — r6 lift from the
