@@ -88,8 +88,9 @@ _DRIVER_WINDOW = [
     "s19_identity_column",    # r9 NEW: GENERATED ALWAYS AS IDENTITY
     "e3_sq_recall",           # r9 NEW: SQ8 int8 quantized-recall gate
     "e3_sq_knn",              # r9 NEW: rows-only twin (engine codes)
-    # (c) r6-stale fill (7) — oldest cohort next in line
-    "a4_pricing_summary",
+    "f7_generated_partition_pruning",  # r9 NEW: to_date(ts) pruning
+    # (c) r6-stale fill (6) — oldest cohort next in line (a4_pricing_
+    # summary yields its slot: a4_multikey_100 covers the family)
     "a8_grouping_sets", "e1_dedup_by_hash", "e2_ngram_jaccard",
     "e3_knn_bruteforce", "s1_scan_project", "w6_sessionize",
 ]

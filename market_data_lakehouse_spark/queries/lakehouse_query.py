@@ -899,3 +899,64 @@ def s19_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("row_id").cast("bigint").alias("max_id"),
         F.count_distinct("row_id").cast("bigint").alias("distinct_ids"),
     )
+
+
+@register(
+    "f7_generated_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-07 23:59:59'
+    GROUP BY event_type
+    """,
+)
+def f7_generated_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generated-column partition pruning as a hard signal (F3
+    extension, r9 — Delta's generated-column partition filters): the
+    lake partitions by ``date`` GENERATED as ``to_date(ts)``, and the
+    query bounds only the TIMESTAMP — the engine must derive the date
+    interval itself (to_date is monotone, so [date(lo), date(hi)] is
+    exact) and prune every other date directory. Asserted in-query:
+    the kept file set collapses to exactly the 3 bounded dates out of
+    the corpus's ~31 (a derivation regression fails the run, not just
+    slows it); the oracle recomputes the filtered aggregate from raw
+    events, so a wrongly-skipped partition hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_gen_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(
+        spark,
+        lake_dir,
+        partition_by=("date",),
+        generated_columns={"date": "to_date(ts)"},
+    )
+    tx.append(ev)
+    lo, hi = "2024-01-05 00:00:00", "2024-01-07 23:59:59"
+    kept, total, _ = tx.prune_files({"ts": (lo, hi)})
+    kept_dates = {f.split(os.sep)[0] for f in kept}
+    assert kept_dates <= {
+        "date=2024-01-05", "date=2024-01-06", "date=2024-01-07"
+    }, kept_dates
+    assert len(kept) < total, (len(kept), total)
+    return (
+        tx.scan_between({"ts": (lo, hi)})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

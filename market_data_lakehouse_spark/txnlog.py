@@ -690,6 +690,51 @@ class TransactionalLake:
         kept, total, schemas, _dvs = self._pruned_state(bounds, equals)
         return kept, total, schemas
 
+    _GENERATED_DATE_RE = re.compile(
+        r"^\s*(?:to_date|date)\s*\(\s*`?(\w+)`?\s*\)\s*$"
+        r"|^\s*cast\s*\(\s*`?(\w+)`?\s+as\s+date\s*\)\s*$",
+        re.IGNORECASE,
+    )
+    _ISO_PREFIX_RE = re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+    def _derived_partition_bounds(
+        self, bounds: dict[str, tuple]
+    ) -> dict[str, tuple]:
+        """Delta generated-column partition-pruning parity: when a
+        PARTITION column is generated as ``to_date(X)`` / ``date(X)``
+        / ``CAST(X AS DATE)`` and the query bounds X, the partition
+        column inherits the interval [date(lo), date(hi)] — to_date
+        is monotone non-decreasing, so the derived interval is exact
+        and a timestamp predicate prunes date partitions without the
+        caller ever naming the date column (Delta's
+        generated-column partition filters). Applies only to values
+        whose string form starts ISO (YYYY-MM-DD...); anything else
+        derives nothing — conservative keep, never a wrong skip."""
+        out: dict[str, tuple] = {}
+        for name, expr in self.generated_columns.items():
+            if name not in self.partition_by or name in bounds:
+                continue
+            m = self._GENERATED_DATE_RE.match(expr)
+            if not m:
+                continue
+            src = m.group(1) or m.group(2)
+            if src not in bounds:
+                continue
+            lo, hi = bounds[src]
+
+            def _date(v):
+                if v is None:
+                    return None
+                s = str(v)
+                return s[:10] if self._ISO_PREFIX_RE.match(s) else None
+
+            dlo, dhi = _date(lo), _date(hi)
+            # a bound that didn't parse derives None on THAT side
+            # only (unbounded = keep) — the other side still prunes
+            if dlo is not None or dhi is not None:
+                out[name] = (dlo, dhi)
+        return out
+
     def _pruned_state(
         self, bounds: dict[str, tuple], equals: dict | None = None
     ) -> tuple[list[str], int, list[str], dict[str, list[int]]]:
@@ -723,6 +768,9 @@ class TransactionalLake:
             **bounds,
             **{c: (v, v) for c, v in equals.items()},
         }
+        derived = self._derived_partition_bounds(bounds)
+        if derived:
+            bounds = {**derived, **bounds}
         files, schemas, _v, dvs = self._snapshot_state()
         idx = self._stats_index()
         bloom_idx = self._blooms_index() if equals else {}

@@ -1352,3 +1352,84 @@ class TestConstraintsSurviveVacuum:
         assert clone.check_constraints() == {"pos_price": "price > 0"}
         with pytest.raises(ValueError, match="pos_price"):
             clone.append(_df(spark, [("BAD", -1)]))
+
+
+class TestGeneratedPartitionPruning:
+    """r9: a timestamp predicate must prune date partitions when the
+    date column is GENERATED from the timestamp (Delta's
+    generated-column partition filters) — the caller never names the
+    partition column."""
+
+    def _lake(self, spark, tmp_path):
+        from datetime import datetime
+
+        lake = TransactionalLake(
+            spark,
+            str(tmp_path / "gen"),
+            partition_by=("date",),
+            generated_columns={"date": "to_date(ts)"},
+        )
+        rows = [
+            (s, datetime(2024, 6, d, 12, 0, 0), float(p))
+            for d, (s, p) in enumerate(
+                [("AAPL", 1), ("MSFT", 2), ("GOOG", 3)], start=14
+            )
+        ]
+        lake.append(
+            spark.createDataFrame(
+                rows, "symbol string, ts timestamp, price double"
+            )
+        )
+        return lake
+
+    def test_ts_bounds_prune_date_partitions(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        kept, total, _ = lake.prune_files(
+            {"ts": ("2024-06-15 00:00:00", "2024-06-15 23:59:59")}
+        )
+        assert total == 3
+        assert len(kept) == 1 and "date=2024-06-15" in kept[0]
+        # scan_between result equals the unpruned filter exactly
+        got = lake.scan_between(
+            {"ts": ("2024-06-15 00:00:00", "2024-06-15 23:59:59")}
+        ).collect()
+        assert [r.symbol for r in got] == ["MSFT"]
+
+    def test_one_sided_ts_bound_prunes(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        kept, _, _ = lake.prune_files(
+            {"ts": ("2024-06-16 00:00:00", None)}
+        )
+        assert len(kept) == 1 and "date=2024-06-16" in kept[0]
+
+    def test_explicit_date_bounds_win(self, spark, tmp_path):
+        """Caller-supplied partition bounds are never overridden by
+        the derivation."""
+        lake = self._lake(spark, tmp_path)
+        kept, _, _ = lake.prune_files(
+            {
+                "ts": ("2024-06-14 00:00:00", "2024-06-16 23:59:59"),
+                "date": ("2024-06-16", "2024-06-16"),
+            }
+        )
+        assert len(kept) == 1 and "date=2024-06-16" in kept[0]
+
+    def test_non_date_expression_derives_nothing(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark,
+            str(tmp_path / "gen2"),
+            partition_by=("bucket",),
+            generated_columns={"bucket": "pmod(hash(symbol), 4)"},
+        )
+        lake.append(
+            spark.createDataFrame(
+                [("AAPL", 1.0), ("MSFT", 2.0)], "symbol string, price double"
+            )
+        )
+        # a non-monotone generated expression must derive NO partition
+        # bound (stats-based skipping may still prune on its own)
+        assert lake._derived_partition_bounds(
+            {"symbol": ("AAPL", "AAPL")}
+        ) == {}
+        # and a non-ISO source bound derives nothing either
+        assert lake._derived_partition_bounds({"price": (1.0, 2.0)}) == {}
