@@ -696,6 +696,7 @@ class TransactionalLake:
         re.IGNORECASE,
     )
     _ISO_PREFIX_RE = re.compile(r"^\d{4}-\d{2}-\d{2}")
+    _TZ_SUFFIX_RE = re.compile(r"(?:[+-]\d{2}:?\d{2}|[zZ])\s*$")
 
     def _derived_partition_bounds(
         self, bounds: dict[str, tuple]
@@ -726,7 +727,16 @@ class TransactionalLake:
                 if v is None:
                     return None
                 s = str(v)
-                return s[:10] if self._ISO_PREFIX_RE.match(s) else None
+                if not self._ISO_PREFIX_RE.match(s):
+                    return None
+                # ADVICE r9: the partition value was computed by
+                # to_date(ts) under the SESSION timezone; a tz-aware
+                # bound ('...+09:00', trailing Z) can name a calendar
+                # date shifted a day from the session-tz date — a
+                # wrong skip. Derive only from naive ISO strings.
+                if self._TZ_SUFFIX_RE.search(s[10:]):
+                    return None
+                return s[:10]
 
             dlo, dhi = _date(lo), _date(hi)
             # a bound that didn't parse derives None on THAT side
@@ -1536,7 +1546,14 @@ class TransactionalLake:
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
         df = self._apply_generated(df)
-        ident = self.identity_state()
+        # ADVICE r9 (TOCTOU): capture the version FIRST, then fold
+        # identity state only from commits <= that version — one
+        # atomic state read. Reading the mark before the version left
+        # a window where a concurrent id-assigning commit landed at
+        # v <= id_read_v and escaped the conflict scan, letting both
+        # writers claim the same id range silently.
+        snap_v = self.version
+        ident = self.identity_state(as_of=snap_v)
         id_read_v, id_next = None, None
         if ident is not None:
             id_col, hi = ident
@@ -1545,7 +1562,7 @@ class TransactionalLake:
                     f"column {id_col!r} is GENERATED ALWAYS AS IDENTITY; "
                     "the append batch must not carry it"
                 )
-            id_read_v = self.version
+            id_read_v = snap_v
             df, n_assigned = self._assign_identity(df, id_col, hi)
             id_next = hi + n_assigned
         self._check_schema(df, merge_schema)
@@ -3079,18 +3096,23 @@ class TransactionalLake:
             }
         )
 
-    def identity_state(self) -> tuple[str, int] | None:
+    def identity_state(self, as_of: int | None = None) -> tuple[str, int] | None:
         """(column, next id) when an identity column is declared,
         else None — the newest checkpoint's folded state plus the
-        commit tail's ``identity_next`` advances."""
-        cp = self._latest_checkpoint()
+        commit tail's ``identity_next`` advances. ``as_of`` caps the
+        fold at a version so callers can pair the mark with a
+        previously-captured read version (one atomic state read —
+        any newer id-assigning commit then falls inside the
+        committer's conflict scan instead of silently feeding both
+        writers the same high-water mark)."""
+        cp = self._latest_checkpoint(max_version=as_of)
         ident: dict | None = (
             dict(cp["identity"]) if cp and cp.get("identity") else None
         )
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
-            if v < start:
+            if v < start or (as_of is not None and v > as_of):
                 continue
             c = self._read_commit(v)
             if c.get("op") in ("set_identity", "clone") and c.get("identity"):

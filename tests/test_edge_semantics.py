@@ -742,6 +742,31 @@ def test_sq_recall_floor(spark):
     assert per_q["recall_at_k"].mean() >= 0.9
 
 
+def test_sq8_codes_are_stored_not_inline(spark):
+    """r10 (VERDICT r9 #2): the SQ8 representation must be REAL
+    stored columns — parquet int8 list + one float32 scale, no float
+    embedding column anywhere in the stored table — so the 4x-memory
+    claim is exercised end-to-end, not simulated inside the scoring
+    UDF."""
+    import pyarrow.parquet as pq
+
+    from market_data_lakehouse_spark.queries.similarity import sq8_store
+
+    stored = sq8_store(spark, "/root/testdata/sf0.001")
+    # on-disk schema: read the parquet footer directly
+    path = stored.inputFiles()[0].replace("file:", "").replace("//", "/")
+    arrow = pq.read_schema(path)
+    names = set(arrow.names)
+    assert names == {"cid", "codes", "scale"}, names
+    assert str(arrow.field("codes").type) in (
+        "list<element: int8>", "list<item: int8>"), arrow.field("codes")
+    assert str(arrow.field("scale").type) == "float", arrow.field("scale")
+    # and the Spark-side scan carries no float embedding either
+    got = {f.name: f.dataType.simpleString() for f in stored.schema.fields}
+    assert got == {"cid": "bigint", "codes": "array<tinyint>",
+                   "scale": "float"}, got
+
+
 def test_ivfpq_recall_floor(spark):
     """IVF-PQ composite must hold mean recall@5 >= 0.8 (measured
     0.90 at sf0.001 AND sf0.01 with n_probe=4 — r6 lift from the

@@ -1312,6 +1312,40 @@ class TestIdentityColumn:
         ids = sorted(r.row_id for r in lake.snapshot().collect())
         assert ids == [0, 1]
 
+    def test_identity_toctou_race_before_state_read(self, spark, tmp_path):
+        """ADVICE r9 (TOCTOU): a commit that assigns ids and lands
+        AFTER the version capture but BEFORE the high-water-mark fold
+        must still trip the conflict scan. Pre-fix, append() read the
+        mark first and the version second, so a racer in that window
+        sat at v <= id_read_v — invisible to the scan — and both
+        writers claimed the same id range silently."""
+        path = str(tmp_path / "tx_toctou")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.set_identity("row_id")
+        other = TransactionalLake(spark, path, partition_by=())
+
+        real = lake.identity_state
+        done = []
+
+        def racing(as_of=None):
+            if not done:
+                done.append(1)
+                # lands between append()'s version capture and its
+                # state fold — exactly the pre-fix blind spot
+                other.append(_df(spark, [("RACE", 1)]))
+            return real(as_of=as_of)
+
+        lake.identity_state = racing  # type: ignore[method-assign]
+        try:
+            with pytest.raises(RuntimeError, match="identity"):
+                lake.append(_df(spark, [("MINE", 2)]))
+        finally:
+            lake.identity_state = real  # type: ignore[method-assign]
+        # loser retries; ids stay unique and contiguous
+        lake.append(_df(spark, [("MINE", 2)]))
+        ids = sorted(r.row_id for r in lake.snapshot().collect())
+        assert ids == [0, 1]
+
     def test_survives_checkpoint_and_vacuum(self, spark, lake):
         lake.set_identity("row_id")
         lake.append(_df(spark, [("A", 1), ("B", 2)]))
@@ -1433,3 +1467,24 @@ class TestGeneratedPartitionPruning:
         ) == {}
         # and a non-ISO source bound derives nothing either
         assert lake._derived_partition_bounds({"price": (1.0, 2.0)}) == {}
+
+    def test_tz_aware_bound_derives_nothing(self, spark, tmp_path):
+        """ADVICE r9: to_date(ts) partition values were computed in
+        the SESSION timezone; a tz-aware bound can name a calendar
+        date one day off from the session-tz date — deriving from it
+        risks a wrong skip. Tz-aware sides must derive nothing
+        (conservative keep); naive sides still prune."""
+        lake = self._lake(spark, tmp_path)
+        # both sides tz-aware (offset / Z): no derivation at all
+        assert lake._derived_partition_bounds(
+            {"ts": ("2024-06-15 00:00:00+09:00", "2024-06-15 23:59:59Z")}
+        ) == {}
+        # mixed: the naive side still derives, tz side is unbounded
+        assert lake._derived_partition_bounds(
+            {"ts": ("2024-06-15 00:00:00", "2024-06-15 23:59:59-05:00")}
+        ) == {"date": ("2024-06-15", None)}
+        # naive-with-time and date-only forms keep deriving (no
+        # false positives from the tz rejection)
+        assert lake._derived_partition_bounds(
+            {"ts": ("2024-06-15", "2024-06-16 23:59:59.500")}
+        ) == {"date": ("2024-06-15", "2024-06-16")}
