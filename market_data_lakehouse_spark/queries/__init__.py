@@ -53,46 +53,50 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-9 window (r8 VERDICT directive 2): (a) the ENTIRE
-# 30-entry cohort whose last driver run was r5 — four rounds stale,
-# the judge's named rotation backbone; (b) every entry whose code
-# changed in r9 (the two new invariant gates, the adaptive
-# connected-components kernel and its two consumers, the shared
-# k-core peel, the rolling-chunk gate now verifying the real kernel,
-# and the three lake entries sitting on the reworked
-# delete/update/overwrite paths); (c) the oldest r6-stale entries as
-# fill — the rest of the r6 cohort is first in line for r10.
+# The round-10 window (r9 VERDICT directive 1): (a) the ENTIRE
+# 35-entry cohort whose last driver run was r6 — the named rotation
+# debt, cleared in full this round; (b) every entry on a path that
+# changed in r10: the new column-mapping gate, the SQ8
+# stored-codes rework, plus the lake entries sitting on the
+# txnlog surfaces column mapping threaded through (snapshot/
+# scan_between/prune/DML/merge/clone/restore/read_changes) and the
+# two entries sitting on the ADVICE fixes (identity TOCTOU,
+# tz-aware generated-bound derivation). The r7-stale cohort
+# (a2/a18-a22/a7+/a9+/e2_lsh*/e3_{ann,ivf,pq}/e4_position_chunks/
+# e5_{audio,image}_decode/e6_weighted_sample/g3/j20/j21/...)
+# anchors r11.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) last driver-run r5: the full four-round-stale cohort (30)
-    "a1_vwap_by_flag", "a3_full_table_agg", "a4_multikey_100",
-    "a5_ohlcv_resample", "a6_stats_by_type", "a7_distinct",
-    "a8_cube", "a8_rollup", "a9_percentiles", "e2_embedding_neardup",
-    "e3_cell_recall", "f2_time_range", "j1_inner_join",
-    "j2_full_outer", "j2_left_join", "j3_broadcast_join",
-    "j4_anti_join", "j4_semi_join", "j5_range_join", "j6_asof_join",
-    "j7_asof_tolerance", "j8_cross_join", "o2_topk", "u1_intersect",
-    "u1_union_except", "w1_lag_gaps", "w2_rank_topn", "w3_moving_avg",
-    "w4_cumulative", "x6_arith_expr",
-    # (b) code changed in r9 (9)
-    "e2_simhash",             # r9: planted-twin invariant gate (was rows-only)
-    "e2_semantic_dedup",      # r9: verdict-consistency gate (was rows-only)
-    "g5_connected_components",  # r9: adaptive broadcast CC kernel
-    "e2_dedup_clusters",      # r9: shares the reworked CC kernel
-    "g4_kcore",               # r9: peel loop factored into _kcore_peel
-    "e4_rolling_chunks",      # r9: gate now verifies the real _rk_spans kernel
-    "s12_deletion_vectors",   # r9: delete_where dv path (_dv_from_hits reuse)
-    "s14_dv_update",          # r9: read_bounds validation on the dv DML path
-    "s16_overwrite_where",    # r9: input pinned via localCheckpoint
-    "s18_metadata_count",     # r9 NEW: log-stats COUNT(*) (numRecords)
-    "s19_identity_column",    # r9 NEW: GENERATED ALWAYS AS IDENTITY
-    "e3_sq_recall",           # r9 NEW: SQ8 int8 quantized-recall gate
-    "e3_sq_knn",              # r9 NEW: rows-only twin (engine codes)
-    "f7_generated_partition_pruning",  # r9 NEW: to_date(ts) pruning
-    # (c) r6-stale fill (6) — oldest cohort next in line (a4_pricing_
-    # summary yields its slot: a4_multikey_100 covers the family)
-    "a8_grouping_sets", "e1_dedup_by_hash", "e2_ngram_jaccard",
-    "e3_knn_bruteforce", "s1_scan_project", "w6_sessionize",
+    # (a) last driver-run r6: the full rotation-debt cohort (35)
+    "a10_pivot", "a11_unpivot", "a17_returned_revenue",
+    "a4_pricing_summary", "e1_exact_dedup", "e3_label_centroid_sim",
+    "e4_bpe_token_count", "e4_fingerprint", "e4_lang_id",
+    "e4_ngram_freq", "e4_pii_redaction", "e4_quality_score",
+    "e4_tfidf", "e4_token_stats", "e5_frame_sample",
+    "e5_media_features", "e6_domain_quota", "e6_hash_split",
+    "e6_stratified_sample", "e6_token_shards",
+    "j17_waiting_suppliers", "j18_supplier_part_counts",
+    "j19_idle_customers", "j6_asof_bucketed", "j9_multiway_topk",
+    "s2_csv_roundtrip", "v2_quality_stage", "w5_gap_fill",
+    "x7_string_funcs", "x7_date_funcs", "x7_math_funcs",
+    "x7_json_extract", "x7_map_funcs", "x7_array_ops",
+    "x7_regexp_funcs",
+    # (b) r10 new/changed paths (15)
+    "s20_column_mapping",     # r10 NEW: metadata-only RENAME/DROP
+    "e3_sq_knn",              # r10: scores from STORED int8 codes
+    "e3_sq_recall",           # r10: gates the stored-codes path
+    "s19_identity_column",    # r10: append TOCTOU fix (ADVICE)
+    "f7_generated_partition_pruning",  # r10: tz-aware-bound fix (ADVICE)
+    "s12_deletion_vectors",   # delete_where: mapping translation
+    "s14_dv_update",          # update_where: mapping translation
+    "s16_overwrite_where",    # overwrite_where: mapping translation
+    "s8_merge_upsert",        # merge: mapping translation
+    "s13_zero_copy_clone",    # clone: carries column_mapping
+    "t13_restore_across_dv",  # restore: mapping rolls back
+    "t11_incremental_mv",     # read_changes: logical projection
+    "f5_stats_skipping",      # prune_files: logical-bounds entry
+    "f6_bloom_skipping",      # prune_files: logical-bounds entry
+    "s18_metadata_count",     # append/count path adjacent to TOCTOU fix
 ]
 
 

@@ -960,3 +960,73 @@ def f7_generated_partition_pruning(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "s20_column_mapping",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           ROUND(SUM(value), 2) AS sum_score,
+           TRUE AS metadata_only,
+           TRUE AS time_travel_ok
+    FROM events
+    WHERE NOT value < 0.1
+    GROUP BY event_type
+    """,
+)
+def s20_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping as a hard signal (S8 extension, r10 — Delta
+    ``columnMapping.mode = name`` parity): RENAME COLUMN is one log
+    write, zero data rewritten; data files keep physical names
+    forever and reads project the log-carried logical map. The gate
+    drives the full lifecycle on one lake: ingest half the corpus,
+    rename ``value`` -> ``score`` (asserting in-query that the live
+    FILE SET is unchanged — a rewrite masquerading as a rename fails
+    the run), ingest the other half under the NEW name, DELETE
+    through the new name, and time-travel back across the rename
+    (asserting the old snapshot still shows ``value``). DuckDB
+    recomputes the surviving aggregate from raw events — a row lost
+    to a mistranslated predicate or a misprojected column
+    hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        "value",
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_cmap_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.filter("event_id % 2 = 0").repartition(2))
+    v0 = tx.version
+    files_before = sorted(tx._snapshot_state()[0])
+    tx.rename_column("value", "score")
+    metadata_only = sorted(tx._snapshot_state()[0]) == files_before
+    assert metadata_only, "rename rewrote data files"
+    tx.append(
+        ev.filter("event_id % 2 = 1")
+        .withColumnRenamed("value", "score")
+        .repartition(2)
+    )
+    tx.delete_where("score < 0.1")
+    tt_ok = tx.snapshot(version=v0).columns == [
+        "event_id", "event_type", "value",
+    ]
+    assert tx.snapshot().columns == ["event_id", "event_type", "score"]
+    return (
+        tx.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+            F.round(F.sum("score"), 2).alias("sum_score"),
+        )
+        .withColumn("metadata_only", F.lit(metadata_only))
+        .withColumn("time_travel_ok", F.lit(tt_ok))
+    )

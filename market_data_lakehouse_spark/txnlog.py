@@ -262,6 +262,11 @@ class TransactionalLake:
         identity: dict | None = dict(cp["identity"]) if (
             cp and cp.get("identity")
         ) else None
+        col_map: dict | None = (
+            json.loads(json.dumps(cp["column_mapping"]))
+            if cp and cp.get("column_mapping")
+            else None
+        )
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
@@ -303,6 +308,8 @@ class TransactionalLake:
                 identity["next"] = max(
                     identity["next"], c["identity_next"]
                 )
+            if c.get("column_mapping") is not None:
+                col_map = c["column_mapping"]
         stats = {f: s for f, s in stats.items() if f in live}
         rows = {f: n for f, n in rows.items() if f in live}
         blooms = {f: b for f, b in blooms.items() if f in live}
@@ -323,6 +330,7 @@ class TransactionalLake:
             "txn": txn,
             "constraints": constraints,
             "identity": identity,
+            "column_mapping": col_map,
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -686,7 +694,12 @@ class TransactionalLake:
         """Public pruning surface — see :meth:`_pruned_state`, which
         additionally resolves the deletion vectors from the SAME
         state read (so ``scan_between`` never races a rewrite between
-        pruning and reading)."""
+        pruning and reading). Bounds use LOGICAL column names;
+        stats/partition pruning runs on the physical names they map
+        to (renames keep every logged stat usable)."""
+        doc = self._column_mapping_doc()
+        bounds = self._map_cols(bounds, doc)
+        equals = self._map_cols(equals, doc) if equals else equals
         kept, total, schemas, _dvs = self._pruned_state(bounds, equals)
         return kept, total, schemas
 
@@ -866,7 +879,12 @@ class TransactionalLake:
         that additionally prune by per-file BLOOM filter (see
         :meth:`prune_files`). The residual predicate is still
         applied, so the result equals ``snapshot().filter(...)``
-        exactly; skipping only removes provably-unmatchable I/O."""
+        exactly; skipping only removes provably-unmatchable I/O.
+        Bounds use LOGICAL names (translated to physical for both
+        the stats consult and the residual filter)."""
+        doc = self._column_mapping_doc()
+        bounds = self._map_cols(bounds, doc)
+        equals = self._map_cols(equals, doc) if equals else equals
         kept, _total, schemas, dvs = self._pruned_state(bounds, equals)
         df = self._df_for_files(kept, schemas, dvs=dvs)
         for col, (lo, hi) in bounds.items():
@@ -877,7 +895,7 @@ class TransactionalLake:
                 df = df.filter(c <= F.lit(hi))
         for col, v in (equals or {}).items():
             df = df.filter(F.col(col) == F.lit(v))
-        return df
+        return self._to_logical(df, doc)
 
     def vacuum_log(self, retain_last: int = 0) -> int:
         """Delete log history already subsumed by a checkpoint
@@ -1545,6 +1563,11 @@ class TransactionalLake:
         version) still holds for plain batch appends."""
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.version
+        # column mapping: incoming batches use LOGICAL names; rename
+        # to physical before anything touches the schema. A new
+        # column (merge_schema evolution) extends the map atomically
+        # with this commit (mdoc rides the action).
+        df, mdoc = self._to_physical(df, extend=merge_schema)
         df = self._apply_generated(df)
         # ADVICE r9 (TOCTOU): capture the version FIRST, then fold
         # identity state only from commits <= that version — one
@@ -1587,23 +1610,26 @@ class TransactionalLake:
             action["txn"] = {"app_id": txn[0], "version": txn[1]}
         if id_next is not None:
             action["identity_next"] = id_next
+        if mdoc is not None:
+            action["column_mapping"] = mdoc
         return self._commit(action, identity_read_version=id_read_v)
 
     def overwrite(self, df: DataFrame) -> int:
         """Atomic full-table replace: one commit adds the new files
         and removes every previously-live file."""
         old, _schemas, read_v, _dvs = self._snapshot_state()
+        df, mdoc = self._to_physical(df, extend=True)
         df = self._apply_generated(df)
         added, _ = self._checked_write(df, "overwrite")
-        return self._commit(
-            {
-                "op": "overwrite",
-                "add": added,
-                "remove": old,
-                "schema": df.schema.json(),
-            },
-            read_version=read_v,
-        )
+        action: dict = {
+            "op": "overwrite",
+            "add": added,
+            "remove": old,
+            "schema": df.schema.json(),
+        }
+        if mdoc is not None:
+            action["column_mapping"] = mdoc
+        return self._commit(action, read_version=read_v)
 
     def overwrite_where(
         self,
@@ -1625,6 +1651,12 @@ class TransactionalLake:
         deletion vectors) is untouched. On a date-partitioned table
         with a date predicate the survivor set is empty and the cost
         is exactly the new partition's write."""
+        mdoc0 = self._column_mapping_doc()
+        predicate = self._map_expr(predicate, mdoc0)
+        read_bounds = (
+            self._map_cols(read_bounds, mdoc0) if read_bounds else read_bounds
+        )
+        df, _ = self._to_physical(df)
         match = F.coalesce(F.expr(predicate), F.lit(False))
         df = self._apply_generated(df)
         old, schemas, read_v, dvs = self._snapshot_state()
@@ -1754,6 +1786,11 @@ class TransactionalLake:
         optimistic-concurrency check while its rows are dropped.
         NULL predicates keep the row (SQL DELETE removes only
         provably-true matches)."""
+        mdoc = self._column_mapping_doc()
+        predicate = self._map_expr(predicate, mdoc)
+        read_bounds = (
+            self._map_cols(read_bounds, mdoc) if read_bounds else read_bounds
+        )
         if mode == "dv":
             return self._delete_where_dv(predicate, read_bounds)
         if mode != "rewrite":
@@ -1917,6 +1954,15 @@ class TransactionalLake:
 
         ``update_where("symbol = 'AAPL'", {"price": "price * 2"})``
         """
+        mdoc = self._column_mapping_doc()
+        predicate = self._map_expr(predicate, mdoc)
+        assignments = {
+            self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
+            for k, v in assignments.items()
+        }
+        read_bounds = (
+            self._map_cols(read_bounds, mdoc) if read_bounds else read_bounds
+        )
         if mode == "dv":
             return self._update_where_dv(predicate, assignments, read_bounds)
         if mode != "rewrite":
@@ -2168,6 +2214,12 @@ class TransactionalLake:
         foreachBatch merge exactly-once under restart.
         """
         keys = [on] if isinstance(on, str) else list(on)
+        mdoc = self._column_mapping_doc()
+        if mdoc is not None:
+            keys = list(self._map_cols(keys, mdoc))
+            source, _ = self._to_physical(source)
+            if read_bounds:
+                read_bounds = self._map_cols(read_bounds, mdoc)
         if mode not in ("rewrite", "dv"):
             raise ValueError(f"unknown merge mode: {mode!r}")
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
@@ -2372,9 +2424,12 @@ class TransactionalLake:
         self, version: int | None = None, timestamp: str | None = None
     ) -> DataFrame:
         """Table state as of a version/timestamp (time-travel,
-        reference README.md:28, 136). Default: latest."""
-        files, schemas, _v, dvs = self._snapshot_state(version, timestamp)
-        return self._df_for_files(files, schemas, dvs=dvs)
+        reference README.md:28, 136). Default: latest. Columns carry
+        their LOGICAL names as of the resolved version — a rename is
+        time-travel aware (older snapshots show the older name)."""
+        files, schemas, v, dvs = self._snapshot_state(version, timestamp)
+        df = self._df_for_files(files, schemas, dvs=dvs)
+        return self._to_logical(df, self._column_mapping_doc(as_of=v))
 
     def _df_for_files(
         self,
@@ -2601,11 +2656,26 @@ class TransactionalLake:
             # consumer polling from its last-seen version must not
             # crash on maintenance-only activity
             files, schemas, _v, _dvs = self._snapshot_state()
-            base = self._df_for_files(files, schemas)
+            base = self._to_logical(
+                self._df_for_files(files, schemas),
+                self._column_mapping_doc(),
+            )
             return (
                 base.limit(0)
                 .withColumn("_change_type", F.lit(None).cast("string"))
                 .withColumn("_commit_version", F.lit(None).cast("int"))
+            )
+        mdoc = self._column_mapping_doc()
+        if mdoc is not None:
+            have = set(out.columns)
+            out = out.select(
+                *[
+                    F.col(p).alias(lg)
+                    for lg, p in mdoc["cols"].items()
+                    if p in have
+                ],
+                "_change_type",
+                "_commit_version",
             )
         return out
 
@@ -2922,6 +2992,23 @@ class TransactionalLake:
             # pin the restored schema so post-restore snapshots resolve
             # to the target's type history, not the rolled-back one
             action["schema"] = target_schemas[-1]
+        # the column mapping rolls back WITH the file set: a restore
+        # across a rename/drop must re-adopt the target's names. When
+        # the target predates the feature but the head uses it, pin
+        # the identity map over the target schema (a bare None can't
+        # "unset" through the last-doc-wins fold).
+        tgt_map = self._column_mapping_doc(as_of=target_v)
+        cur_map = self._column_mapping_doc()
+        if tgt_map is not None:
+            action["column_mapping"] = tgt_map
+        elif cur_map is not None and target_schemas:
+            action["column_mapping"] = {
+                "cols": {
+                    f["name"]: f["name"]
+                    for f in json.loads(target_schemas[-1])["fields"]
+                },
+                "next": cur_map["next"],
+            }
         # table metadata rolls back WITH the file set (Delta RESTORE
         # contract): a restore across a set_partitioning boundary must
         # re-adopt the old layout, or the next append writes new-layout
@@ -3000,6 +3087,9 @@ class TransactionalLake:
         ident = self.identity_state()
         if ident is not None:
             action["identity"] = {"column": ident[0], "next": ident[1]}
+        mdoc = self._column_mapping_doc()
+        if mdoc is not None:
+            action["column_mapping"] = mdoc
         target._commit(action)
         return target
 
@@ -3041,6 +3131,8 @@ class TransactionalLake:
         if name in self.check_constraints():
             raise ValueError(f"constraint {name!r} already exists")
         if self.version >= 0:
+            # validate with the LOGICAL expr against the logical
+            # snapshot (what the caller sees)...
             snap = self.snapshot()
             bad = snap.filter(
                 F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
@@ -3051,6 +3143,10 @@ class TransactionalLake:
                     f"cannot add CHECK constraint {name!r}: {bad} existing "
                     f"row(s) violate ({expr})"
                 )
+        # ...but STORE the physical form: enforcement runs on
+        # physical-named batches at write time, and the stored expr
+        # stays valid across any later rename of the logical name
+        expr = self._map_expr(expr)
         return self._commit(
             {"op": "add_constraint", "constraint": {"name": name, "expr": expr}}
         )
@@ -3189,6 +3285,227 @@ class TransactionalLake:
             )
             raise ValueError(f"CHECK constraint violation on {op}: {detail}")
 
+    # ------------------------------------------------------------------
+    # Column mapping (Delta `columnMapping.mode = name` parity):
+    # RENAME / DROP COLUMN as metadata-only commits. Data files keep
+    # their PHYSICAL column names forever; the log carries a
+    # logical -> physical map, reads project through it, and writes
+    # translate back. A rename touches one log entry; a drop removes
+    # the mapping (the physical bytes stay until files are naturally
+    # rewritten); re-adding a dropped name binds a FRESH physical
+    # column so dropped data can never resurrect. The map folds
+    # through checkpoints, vacuum_log, clone, and restore exactly
+    # like constraints/identity (the r9 silent-drop bug class).
+    # ------------------------------------------------------------------
+    def _column_mapping_doc(self, as_of: int | None = None) -> dict | None:
+        """Raw mapping doc ``{"cols": {logical: physical}, "next": n}``
+        as of a version (None = head), or None while the feature is
+        unused (every path then short-circuits to a no-op)."""
+        cp = self._latest_checkpoint(max_version=as_of)
+        doc: dict | None = (
+            json.loads(json.dumps(cp["column_mapping"]))
+            if cp and cp.get("column_mapping")
+            else None
+        )
+        start = cp["version"] + 1 if cp else 0
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v < start or (as_of is not None and v > as_of):
+                continue
+            c = self._read_commit(v)
+            if c.get("column_mapping") is not None:
+                doc = c["column_mapping"]
+        return doc
+
+    def column_mapping(self, as_of: int | None = None) -> dict[str, str] | None:
+        """Active logical -> physical column map (None = identity /
+        feature unused)."""
+        doc = self._column_mapping_doc(as_of)
+        return dict(doc["cols"]) if doc else None
+
+    def _init_mapping_doc(self) -> dict:
+        """Identity mapping over the committed schema — the implicit
+        state before the first rename/drop."""
+        _files, schemas, _v, _dvs = self._snapshot_state()
+        if not schemas:
+            raise ValueError(
+                "column mapping requires a committed schema (write "
+                "data first)"
+            )
+        cols = {
+            f["name"]: f["name"]
+            for f in json.loads(schemas[-1])["fields"]
+        }
+        return {"cols": cols, "next": 0}
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN: one log write, zero data
+        rewritten — at 100 TB this is the difference between an ALTER
+        and a week-long backfill. Readers see ``new`` from this
+        version on; time-travel before it still shows ``old``; stats,
+        blooms, partition layout, identity, and constraints keep
+        working untouched because they bind to the PHYSICAL name,
+        which never changes."""
+        doc = self._column_mapping_doc() or self._init_mapping_doc()
+        if old not in doc["cols"]:
+            raise ValueError(f"no such column: {old!r}")
+        if new in doc["cols"]:
+            raise ValueError(f"column {new!r} already exists")
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", new):
+            raise ValueError(f"invalid column name: {new!r}")
+        doc = {
+            "cols": {
+                (new if k == old else k): v for k, v in doc["cols"].items()
+            },
+            "next": doc["next"],
+        }
+        return self._commit({"op": "rename_column", "rename": [old, new],
+                             "column_mapping": doc})
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN: the mapping entry goes away and
+        every read stops projecting the physical column; the bytes
+        remain in existing files (reclaimed when files are naturally
+        rewritten — Delta's contract, which calls a purging REORG an
+        explicit separate op). Refuses to drop columns other table
+        machinery binds to (partition key, identity, generated
+        columns and their sources, bloom columns, CHECK-constraint
+        references) — dropping those would break writes, not just
+        hide data."""
+        doc = self._column_mapping_doc() or self._init_mapping_doc()
+        if name not in doc["cols"]:
+            raise ValueError(f"no such column: {name!r}")
+        phys = doc["cols"][name]
+        if phys in self.partition_by:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        ident = self.identity_state()
+        if ident is not None and ident[0] == phys:
+            raise ValueError(f"cannot drop identity column {name!r}")
+        if phys in self.bloom_columns:
+            raise ValueError(f"cannot drop bloom-indexed column {name!r}")
+        for g, expr in self.generated_columns.items():
+            if g == phys or phys in self._predicate_columns(expr, {phys}):
+                raise ValueError(
+                    f"cannot drop column {name!r}: generated column "
+                    f"{g!r} depends on it"
+                )
+        for cname, expr in self.check_constraints().items():
+            if phys in self._predicate_columns(expr, {phys}):
+                raise ValueError(
+                    f"cannot drop column {name!r}: CHECK constraint "
+                    f"{cname!r} references it"
+                )
+        doc = {
+            "cols": {k: v for k, v in doc["cols"].items() if k != name},
+            "next": doc["next"],
+        }
+        if not doc["cols"]:
+            raise ValueError("cannot drop the last column")
+        return self._commit({"op": "drop_column", "drop": name,
+                             "column_mapping": doc})
+
+    def _to_logical(self, df: DataFrame, doc: dict | None) -> DataFrame:
+        """Project a PHYSICAL-schema df to the logical schema: mapped
+        columns rename, unmapped (dropped) columns disappear. No-op
+        while the feature is unused."""
+        if doc is None:
+            return df
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(p).alias(lg)
+                for lg, p in doc["cols"].items()
+                if p in have
+            ]
+        )
+
+    def _to_physical(
+        self, df: DataFrame, extend: bool = False
+    ) -> tuple[DataFrame, dict | None]:
+        """Rename a LOGICAL-schema incoming batch to physical names.
+        Returns ``(physical_df, extended_doc_or_None)`` — the doc is
+        non-None only when ``extend`` allowed genuinely new columns
+        (schema evolution) to join the map; a new logical name reuses
+        itself as the physical name unless that physical name ever
+        appeared in the table's schema history (i.e. it belonged to a
+        DROPPED column), in which case a fresh ``{name}_c{n}`` binds
+        so the old bytes stay dead. The caller must put the returned
+        doc on its commit action (``column_mapping`` key) so the
+        extension is atomic with the data."""
+        doc = self._column_mapping_doc()
+        if doc is None:
+            return df, None
+        cols = doc["cols"]
+        unknown = [c for c in df.columns if c not in cols]
+        new_doc = None
+        if unknown:
+            if not extend:
+                # leave unknown names untouched; _check_schema raises
+                # its usual merge_schema error downstream
+                pass
+            else:
+                _f, schemas, _v, _d = self._snapshot_state()
+                ever = {
+                    f["name"]
+                    for s in schemas
+                    for f in json.loads(s)["fields"]
+                } | set(cols.values())
+                cols = dict(cols)
+                nxt = doc["next"]
+                for c in unknown:
+                    phys = c
+                    while phys in ever:
+                        nxt += 1
+                        phys = f"{c}_c{nxt}"
+                    ever.add(phys)
+                    cols[c] = phys
+                new_doc = {"cols": cols, "next": nxt}
+        renames = {lg: p for lg, p in cols.items() if lg != p}
+        if renames:
+            df = df.select(
+                *[
+                    F.col(c).alias(renames[c]) if c in renames else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df, new_doc
+
+    def _map_expr(self, expr: str, doc: dict | None = None) -> str:
+        """Translate LOGICAL identifiers in a SQL expression to their
+        physical names — same conservative tokenization as
+        ``_predicate_columns``: string literals are protected, both
+        backticked and bare identifiers rewrite. No-op while the
+        feature is unused or nothing is renamed."""
+        doc = doc if doc is not None else self._column_mapping_doc()
+        if doc is None:
+            return expr
+        renames = {lg: p for lg, p in doc["cols"].items() if lg != p}
+        if not renames:
+            return expr
+        pieces = re.split(r"('(?:[^'\\]|\\.)*')", expr)
+        out = []
+        for i, piece in enumerate(pieces):
+            if i % 2 == 1:  # a string literal — untouched
+                out.append(piece)
+                continue
+            for lg, p in renames.items():
+                piece = re.sub(
+                    rf"`{re.escape(lg)}`|\b{re.escape(lg)}\b", p, piece
+                )
+            out.append(piece)
+        return "".join(out)
+
+    def _map_cols(self, names, doc: dict | None = None):
+        """Translate logical column names (iterable or bounds-dict
+        keys) to physical."""
+        doc = doc if doc is not None else self._column_mapping_doc()
+        if doc is None:
+            return names
+        cols = doc["cols"]
+        if isinstance(names, dict):
+            return {cols.get(k, k): v for k, v in names.items()}
+        return type(names)(cols.get(n, n) for n in names)
+
     def set_partitioning(self, partition_by: tuple[str, ...]) -> int:
         """Partition evolution: rewrite the table under a new layout
         and commit it — one logged operation, so the change is atomic
@@ -3198,10 +3515,14 @@ class TransactionalLake:
         log, not the constructor, owns it. Cost is one full rewrite —
         the honest price of relayout; at 100 TB, run it per-partition
         range if the table can't be rewritten in one window."""
-        new = tuple(partition_by)
-        unknown = [c for c in new if c not in self.snapshot().columns]
+        unknown = [
+            c for c in partition_by if c not in self.snapshot().columns
+        ]
         if unknown:
             raise ValueError(f"unknown partition columns: {unknown}")
+        # layout binds to PHYSICAL names (directory names never chase
+        # a rename); callers pass logical
+        new = tuple(self._map_cols(list(partition_by)))
         if new == self.partition_by:
             return self.version
         old, schemas, read_v, dvs = self._snapshot_state()

@@ -85,3 +85,30 @@ class TestRoundsValidation:
         )
         assert proc.returncode == 2
         assert "--rounds must be >= 3" in proc.stderr
+
+
+class TestTripwireGate:
+    """r10: the standing drift tripwire pages only on BOTH gates —
+    ratio >= 1.3 AND absolute >= 1 s — so sub-second jitter and
+    small-ratio drifts on expensive queries both stay quiet."""
+
+    def test_both_gates_required(self):
+        sys.path.insert(0, "/root/repo/tools")
+        from ab_tripwire import flagged_queries
+
+        old = {"big": 8.0, "cheap": 0.3, "mild": 8.0, "gone": 2.0}
+        new = {"big": 11.0, "cheap": 0.9, "mild": 9.0, "extra": 5.0}
+        got = flagged_queries(old, new, 1.3, 1.0)
+        # big: 1.375x and 11 s -> flagged with its recorded pair
+        # cheap: 3x but sub-second -> quiet
+        # mild: 1.125x -> quiet; gone/extra unshared -> ignored
+        assert got == {"big": (8.0, 11.0)}
+
+    def test_exact_threshold_inclusive(self):
+        sys.path.insert(0, "/root/repo/tools")
+        from ab_tripwire import flagged_queries
+
+        old = {"q": 1.0}
+        new = {"q": 1.3}
+        assert flagged_queries(old, new, 1.3, 1.0) == {"q": (1.0, 1.3)}
+        assert flagged_queries(old, new, 1.3, 1.5) == {}

@@ -1488,3 +1488,188 @@ class TestGeneratedPartitionPruning:
         assert lake._derived_partition_bounds(
             {"ts": ("2024-06-15", "2024-06-16 23:59:59.500")}
         ) == {"date": ("2024-06-15", "2024-06-16")}
+
+
+class TestColumnMapping:
+    """r10: Delta column-mapping parity — RENAME/DROP COLUMN as
+    metadata-only commits. Physical file columns never change;
+    reads project logical names through the log-carried map, writes
+    translate back, and the map folds through checkpoints,
+    vacuum_log, clone, and restore (the r9 constraints-vacuum
+    silent-drop bug class, regression-tested here FIRST)."""
+
+    def _flat(self, spark, tmp_path, name="cm"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=()
+        )
+        lake.append(spark.createDataFrame(
+            [("AAPL", 150.0), ("MSFT", 300.0)],
+            "symbol string, price double",
+        ))
+        return lake
+
+    def test_rename_is_metadata_only(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        files_before = sorted(lake._snapshot_state()[0])
+        lake.rename_column("price", "px")
+        assert sorted(lake._snapshot_state()[0]) == files_before  # no rewrite
+        assert lake.snapshot().columns == ["symbol", "px"]
+        got = {r.symbol: r.px for r in lake.snapshot().collect()}
+        assert got == {"AAPL": 150.0, "MSFT": 300.0}
+
+    def test_time_travel_across_rename(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        v0 = lake.version
+        lake.rename_column("price", "px")
+        assert lake.snapshot(version=v0).columns == ["symbol", "price"]
+        assert lake.snapshot().columns == ["symbol", "px"]
+
+    def test_write_read_dml_after_rename(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        lake.rename_column("price", "px")
+        lake.append(spark.createDataFrame(
+            [("GOOG", 2800.0)], "symbol string, px double"))
+        lake.update_where("symbol = 'AAPL'", {"px": "px * 2"})
+        lake.delete_where("px > 1000")
+        got = {r.symbol: r.px for r in lake.snapshot().collect()}
+        assert got == {"AAPL": 300.0, "MSFT": 300.0}
+
+    def test_dv_dml_after_rename(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        lake.rename_column("price", "px")
+        lake.delete_where("px < 200", mode="dv")
+        assert {r.symbol for r in lake.snapshot().collect()} == {"MSFT"}
+        lake.update_where("px = 300", {"px": "px + 1"}, mode="dv")
+        assert [r.px for r in lake.snapshot().collect()] == [301.0]
+
+    def test_merge_after_rename(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        lake.rename_column("price", "px")
+        src = spark.createDataFrame(
+            [("AAPL", 111.0), ("TSLA", 500.0)], "symbol string, px double")
+        lake.merge(src, on="symbol")
+        got = {r.symbol: r.px for r in lake.snapshot().collect()}
+        assert got == {"AAPL": 111.0, "MSFT": 300.0, "TSLA": 500.0}
+
+    def test_stats_pruning_survives_rename(self, spark, tmp_path):
+        """Renames must keep every logged min/max stat usable: the
+        bounds translate to the physical name the stats bind to."""
+        lake = TransactionalLake(
+            spark, str(tmp_path / "pr"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [("A", 1.0)], "symbol string, price double"))
+        lake.append(spark.createDataFrame(
+            [("B", 100.0)], "symbol string, price double"))
+        lake.rename_column("price", "px")
+        kept, total, _ = lake.prune_files({"px": (50.0, None)})
+        assert total == 2 and len(kept) == 1
+        got = lake.scan_between({"px": (50.0, None)}).collect()
+        assert [r.symbol for r in got] == ["B"]
+        assert got[0].__fields__ == ["symbol", "px"]
+
+    def test_drop_column_hides_then_fresh_rebind(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "dc"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, "a", 9.0)], "id long, tag string, junk double"))
+        lake.drop_column("junk")
+        assert lake.snapshot().columns == ["id", "tag"]
+        # re-adding the same logical name binds a FRESH physical
+        # column: old bytes must stay dead (null for row 1)
+        lake.append(spark.createDataFrame(
+            [(2, "b", 77.0)], "id long, tag string, junk double"),
+            merge_schema=True)
+        got = {r.id: r.junk for r in
+               lake.snapshot().select("id", "junk").collect()}
+        assert got == {1: None, 2: 77.0}
+        # the physical name on disk is distinct from the old one
+        m = lake.column_mapping()
+        assert m["junk"] != "junk"
+
+    def test_drop_guards(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "dg"), partition_by=("date",))
+        lake.append(_df(spark, [("AAPL", 150)]))
+        with pytest.raises(ValueError, match="partition"):
+            lake.drop_column("date")
+        lake.add_check_constraint("pos", "price > 0")
+        with pytest.raises(ValueError, match="constraint"):
+            lake.drop_column("price")
+        with pytest.raises(ValueError, match="no such column"):
+            lake.drop_column("ghost")
+
+    def test_constraint_enforced_across_rename(self, spark, tmp_path):
+        """A CHECK added before the rename keeps enforcing after it
+        (the stored expr binds to the physical name)."""
+        lake = self._flat(spark, tmp_path)
+        lake.add_check_constraint("pos_price", "price > 0")
+        lake.rename_column("price", "px")
+        with pytest.raises(ValueError, match="pos_price"):
+            lake.append(spark.createDataFrame(
+                [("BAD", -1.0)], "symbol string, px double"))
+
+    def test_mapping_survives_checkpoint_and_vacuum(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        lake.rename_column("price", "px")
+        lake._write_checkpoint(lake.version)
+        lake.vacuum_log()
+        assert lake.column_mapping() == {"symbol": "symbol",
+                                         "px": "price"}
+        assert lake.snapshot().columns == ["symbol", "px"]
+        lake.append(spark.createDataFrame(
+            [("TSLA", 500.0)], "symbol string, px double"))
+        assert lake.snapshot().count() == 3
+
+    def test_clone_carries_mapping(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        lake.rename_column("price", "px")
+        clone = lake.clone(str(tmp_path / "cl"))
+        assert clone.snapshot().columns == ["symbol", "px"]
+        clone.append(spark.createDataFrame(
+            [("TSLA", 500.0)], "symbol string, px double"))
+        assert clone.snapshot().count() == 3
+
+    def test_restore_across_rename_reverts_names(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        v0 = lake.version
+        lake.rename_column("price", "px")
+        lake.restore(version=v0)
+        assert lake.snapshot().columns == ["symbol", "price"]
+        # and forward again: rename after the restore still works
+        lake.rename_column("price", "usd")
+        assert lake.snapshot().columns == ["symbol", "usd"]
+
+    def test_cdc_emits_logical_names(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        lake.rename_column("price", "px")
+        lake.append(spark.createDataFrame(
+            [("TSLA", 500.0)], "symbol string, px double"))
+        ch = lake.read_changes(starting_version=0)
+        assert "px" in ch.columns and "price" not in ch.columns
+        ins = ch.filter("_change_type = 'insert'")
+        assert ins.count() == 3
+
+    def test_rename_collision_and_unknown(self, spark, tmp_path):
+        lake = self._flat(spark, tmp_path)
+        with pytest.raises(ValueError, match="already exists"):
+            lake.rename_column("price", "symbol")
+        with pytest.raises(ValueError, match="no such column"):
+            lake.rename_column("ghost", "x")
+        with pytest.raises(ValueError, match="invalid column name"):
+            lake.rename_column("price", "bad name")
+
+    def test_rename_chain_and_reuse_of_old_name(self, spark, tmp_path):
+        """price -> px, then a NEW logical column named price: the
+        new price must bind a fresh physical slot, not the old
+        bytes."""
+        lake = self._flat(spark, tmp_path)
+        lake.rename_column("price", "px")
+        lake.append(spark.createDataFrame(
+            [("GOOG", 2800.0, 1.0)],
+            "symbol string, px double, price double"), merge_schema=True)
+        m = lake.column_mapping()
+        assert m["px"] == "price" and m["price"] != "price"
+        got = {r.symbol: (r.px, r.price)
+               for r in lake.snapshot().collect()}
+        assert got["GOOG"] == (2800.0, 1.0)
+        assert got["AAPL"] == (150.0, None)

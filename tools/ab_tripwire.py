@@ -1,0 +1,177 @@
+"""Standing in-round drift tripwire (r9 VERDICT directive 4).
+
+Compares two bench JSON files and, for every query that moved past
+BOTH gates — ratio >= --ratio (default 1.3x, the VERDICT flag bar)
+AND absolute new time >= --abs-sec (default 1.0 s, so sub-second
+jitter never pages anyone) — runs the movers A/B protocol in-round
+instead of waiting for the next VERDICT: an interleaved same-JVM
+sampling round-robin over the flagged queries plus the q_dedup_hash
+control and a job-floor probe, classified by
+``bench_ab.classify_drift``. Results merge into AB_BENCH.json under
+``--tag`` (default ``r{N}_tripwire``).
+
+Code identity is checked automatically at ENTRYPOINT granularity:
+each flagged query's registry function source is diffed against
+--old-rev. That is weaker than the hand-curated helper chains in
+ab_movers.py (a helper-only change reads as "identical"), so a
+``noise`` verdict here exonerates the recorded drift but a real fix
+hunt should still walk the helpers — the verdict row records the
+depth so the judge sees which protocol ran.
+
+Usage:
+    python tools/ab_tripwire.py BENCH_r09.json BENCH_r10.json \
+        --old-rev 701ca76 --tag r10_tripwire
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from bench_ab import _func_source, _git_show, classify_drift  # noqa: E402
+from bench_compare import load_queries  # noqa: E402
+
+CONTROL = ("q_dedup_hash", "e1_dedup_by_hash")
+
+
+def flagged_queries(
+    old: dict[str, float],
+    new: dict[str, float],
+    ratio: float,
+    abs_sec: float,
+) -> dict[str, tuple[float, float]]:
+    out = {}
+    for q in sorted(set(old) & set(new)):
+        if old[q] > 0 and new[q] / old[q] >= ratio and new[q] >= abs_sec:
+            out[q] = (old[q], new[q])
+    return out
+
+
+def _entrypoint_identity(qname: str, old_rev: str) -> dict:
+    """Diff the registry function's own source vs ``old_rev`` —
+    entrypoint granularity (helpers not walked)."""
+    from market_data_lakehouse_spark.queries import REGISTRY
+
+    fn = REGISTRY[qname].fn
+    path = os.path.relpath(inspect.getsourcefile(fn), REPO)
+    qual = fn.__qualname__
+    try:
+        old_src = _func_source(_git_show(old_rev, path), qual)
+    except Exception:
+        old_src = None
+    new_src = _func_source(open(os.path.join(REPO, path)).read(), qual)
+    return {
+        "target": f"{path}::{qual}",
+        "depth": "entrypoint-only",
+        "identical": old_src is not None and old_src == new_src,
+        "old_found": old_src is not None,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old", help="previous round's bench JSON")
+    ap.add_argument("new", help="this round's bench JSON")
+    ap.add_argument("--ratio", type=float, default=1.3)
+    ap.add_argument("--abs-sec", type=float, default=1.0)
+    ap.add_argument("--rounds", type=int, default=7)
+    ap.add_argument("--old-rev", required=True,
+                    help="git rev the old bench file was recorded at")
+    ap.add_argument("--tag", default="tripwire")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+
+    old_q, new_q = load_queries(args.old), load_queries(args.new)
+    flagged = flagged_queries(old_q, new_q, args.ratio, args.abs_sec)
+    if not flagged:
+        print(json.dumps({"tag": args.tag, "flagged": [],
+                          "verdicts": {}, "note": "nothing tripped"}))
+        return 0
+
+    from bench import HEADLINE, HEAVY  # noqa: E402
+    from market_data_lakehouse_spark.queries import REGISTRY  # noqa: E402
+    from market_data_lakehouse_spark.session import get_spark  # noqa: E402
+
+    label_to_query = {**HEADLINE, **HEAVY}
+    targets = {q: label_to_query[q] for q in flagged if q in label_to_query}
+    identity = {
+        q: _entrypoint_identity(targets[q], args.old_rev) for q in targets
+    }
+
+    spark = get_spark("ab_tripwire")
+    from bench import run_once  # noqa: E402
+
+    run_once(spark, REGISTRY["o2_topk"].fn, args.sf_dir)  # warmup
+    floor_samples = []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_samples.append(round(time.perf_counter() - t0, 4))
+
+    plan = {**targets, CONTROL[0]: CONTROL[1]}
+    samples: dict[str, list[float]] = {q: [] for q in plan}
+    for _ in range(args.rounds):
+        for label, qname in plan.items():
+            spark._jvm.System.gc()
+            samples[label].append(
+                run_once(spark, REGISTRY[qname].fn, args.sf_dir)
+            )
+
+    per_query = {}
+    for label, vals in samples.items():
+        if label == CONTROL[0]:
+            rec_old, rec_new = old_q.get(label), new_q.get(label)
+            per_query[label] = classify_drift(
+                vals, rec_old, rec_new, True, is_control=True
+            )
+            continue
+        rec_old, rec_new = flagged[label]
+        per_query[label] = classify_drift(
+            vals, rec_old, rec_new, identity[label]["identical"]
+        )
+        per_query[label]["code_identity"] = identity[label]
+
+    entry = {
+        "protocol": (
+            f"auto-tripwire: ratio>={args.ratio} AND new>={args.abs_sec}s; "
+            f"one JVM, interleaved round-robin, {args.rounds} "
+            f"samples/query, GC between samples; entrypoint identity "
+            f"vs {args.old_rev}"
+        ),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "job_floor_sec": {
+            "samples": floor_samples,
+            "median": round(statistics.median(floor_samples), 4),
+        },
+        "queries": per_query,
+    }
+    path = os.path.join(REPO, "AB_BENCH.json")
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    doc[args.tag] = entry
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    print(json.dumps({
+        "tag": args.tag,
+        "flagged": sorted(flagged),
+        "verdicts": {
+            q: per_query[q]["verdict"] for q in per_query
+        },
+        "artifact": "AB_BENCH.json",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
