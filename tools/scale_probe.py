@@ -90,11 +90,18 @@ KEY_SHIFTS = {
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
 
-def scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> None:
-    """Write factor-times-larger copies of the probe tables."""
+def scaled_dir(
+    spark, sf_dir: str, factor: int, out_dir: str,
+    tables: list[str] | None = None,
+) -> None:
+    """Write factor-times-larger copies of the probe tables
+    (``tables`` restricts the build — the dv-only path needs just
+    events)."""
     from pyspark.sql import functions as F
 
     for table, keys in KEY_SHIFTS.items():
+        if tables is not None and table not in tables:
+            continue
         src = os.path.join(sf_dir, f"{table}.parquet")
         df = spark.read.parquet(src)
         maxes = df.agg(*[F.max(k).alias(k) for k in keys]).first()
@@ -278,6 +285,138 @@ def iterative_graph_structure(spark, sf_dir: str) -> dict:
     }
 
 
+def dv_dml_probe(spark, sf_dir: str) -> dict:
+    """r10 (VERDICT r9 directive 6): two-point scale evidence for the
+    merge-on-read DML path (``_positional_scan`` + dv commit). Each
+    verb gets a FRESH flat lake built from events (build excluded
+    from timing): dv DELETE with matched rows growing with the table,
+    dv DELETE with a FIXED matched set, dv UPDATE, dv MERGE, plus the
+    bare predicate-scan baseline. The claim under test: total op time
+    is scan-bound (grows at most linearly with table size), and the
+    dv machinery on top of the scan (positions collect + commit) is
+    O(matched rows) — so the FIXED-match delete's scan-subtracted
+    overhead stays flat while the table grows 16x."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    ops = {
+        "delete_dv_grow": (
+            "event_id % 97 = 0",
+            lambda tx: tx.delete_where("event_id % 97 = 0", mode="dv"),
+        ),
+        "delete_dv_fixed": (
+            "event_id < 1000",
+            lambda tx: tx.delete_where("event_id < 1000", mode="dv"),
+        ),
+        "update_dv": (
+            "event_id % 89 = 1",
+            lambda tx: tx.update_where(
+                "event_id % 89 = 1", {"value": "value + 1"}, mode="dv"
+            ),
+        ),
+        "merge_dv": (
+            "event_id % 101 = 0",
+            lambda tx: tx.merge(
+                tx.spark.read.parquet(
+                    os.path.join(sf_dir, "events.parquet")
+                )
+                .select("event_id", "event_type", "value")
+                .filter("event_id % 101 = 0"),
+                on="event_id",
+                mode="dv",
+            ),
+        ),
+    }
+    # JIT/codegen warmup outside any measurement: one throwaway dv
+    # delete on a tiny lake (the first dv op in a JVM pays one-time
+    # codegen that would otherwise land on whichever op runs first)
+    wd = tempfile.mkdtemp(prefix="dvprobe_warm_")
+    try:
+        warm = TransactionalLake(
+            spark, os.path.join(wd, "t"), partition_by=()
+        )
+        warm.append(ev.limit(500))
+        warm.delete_where("event_id % 5 = 0", mode="dv")
+        warm.snapshot().count()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    out: dict = {}
+    for tag, (pred, run) in ops.items():
+        d = tempfile.mkdtemp(prefix=f"dvprobe_{tag}_")
+        try:
+            tx = TransactionalLake(
+                spark, os.path.join(d, "t"), partition_by=()
+            )
+            tx.append(ev.repartition(8))
+            matched = tx.snapshot().filter(pred).count()  # warms cache
+            # bare predicate scan on the SAME lake shape — what an
+            # O(table) read costs here regardless of any dv work
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            tx.snapshot().filter(pred).count()
+            scan_sec = time.perf_counter() - t0
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            run(tx)
+            sec = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        out[tag] = {
+            "matched_rows": matched,
+            "op_sec": round(sec, 4),
+            "scan_sec": round(scan_sec, 4),
+            "overhead_sec": round(max(sec - scan_sec, 0.0), 4),
+        }
+    return out
+
+
+def dv_block(base_dv: dict, scaled_dv: dict, factor: int) -> dict:
+    """Ratio summary for the dv-DML two-point curve."""
+    return {
+        "base": base_dv,
+        "scaled": scaled_dv,
+        "per_op": {
+            op: {
+                "matched_ratio": round(
+                    scaled_dv[op]["matched_rows"]
+                    / max(base_dv[op]["matched_rows"], 1),
+                    2,
+                ),
+                "time_ratio": round(
+                    scaled_dv[op]["op_sec"]
+                    / max(base_dv[op]["op_sec"], 1e-9),
+                    2,
+                ),
+                "scan_ratio": round(
+                    scaled_dv[op]["scan_sec"]
+                    / max(base_dv[op]["scan_sec"], 1e-9),
+                    2,
+                ),
+                # meaningless below measurement noise — null it
+                "overhead_ratio": (
+                    round(
+                        scaled_dv[op]["overhead_sec"]
+                        / base_dv[op]["overhead_sec"],
+                        2,
+                    )
+                    if base_dv[op]["overhead_sec"] >= 0.05
+                    else None
+                ),
+                # scan-bound: total time grows at most like the
+                # table (the scan), never faster
+                "near_linear": scaled_dv[op]["op_sec"]
+                / max(base_dv[op]["op_sec"], 1e-9)
+                <= factor,
+            }
+            for op in base_dv
+        },
+    }
+
+
 def lsh_pair_counts() -> dict:
     """Candidate-volume observability: the LSH probes' pair counts
     from the runs time_queries just executed — the pair growth ratio
@@ -302,6 +441,12 @@ def main() -> int:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
+    ap.add_argument(
+        "--only-dv",
+        action="store_true",
+        help="run just the dv-DML block and merge it into the "
+        "existing SCALE_PROBE.json (the full probe takes ~45 min)",
+    )
     args = ap.parse_args()
 
     from market_data_lakehouse_spark.session import get_spark
@@ -317,19 +462,40 @@ def main() -> int:
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     try:
         t0 = time.perf_counter()
-        scaled_dir(spark, args.sf_dir, args.factor, tmp)
+        scaled_dir(
+            spark, args.sf_dir, args.factor, tmp,
+            tables=["events"] if args.only_dv else None,
+        )
         build_sec = round(time.perf_counter() - t0, 2)
+
+        if args.only_dv:
+            block = dv_block(
+                dv_dml_probe(spark, args.sf_dir),
+                dv_dml_probe(spark, tmp),
+                args.factor,
+            )
+            path = os.path.join(REPO, "SCALE_PROBE.json")
+            doc = json.load(open(path)) if os.path.exists(path) else {}
+            doc["dv_dml"] = block
+            with open(path, "w") as fh:
+                json.dump(doc, fh, indent=2)
+            print(json.dumps({"dv_dml": block}))
+            return 0 if all(
+                v["near_linear"] for v in block["per_op"].values()
+            ) else 1
 
         rss_before = rss_mb()
         base = time_queries(spark, args.sf_dir)
         base_pairs = lsh_pair_counts()
         base_graph = graph_structure(spark, args.sf_dir)
         base_iter = iterative_graph_structure(spark, args.sf_dir)
+        base_dv = dv_dml_probe(spark, args.sf_dir)
         rss_mid = rss_mb()
         scaled = time_queries(spark, tmp)
         scaled_pairs = lsh_pair_counts()
         scaled_graph = graph_structure(spark, tmp)
         scaled_iter = iterative_graph_structure(spark, tmp)
+        scaled_dv = dv_dml_probe(spark, tmp)
         rss_after = rss_mb()
 
         per_query = {
@@ -389,6 +555,7 @@ def main() -> int:
                     <= base_iter["cc_rounds_to_convergence"] + 1
                 ),
             },
+            "dv_dml": dv_block(base_dv, scaled_dv, args.factor),
             "driver_rss_mb": {
                 "before": round(rss_before, 1),
                 "after_base": round(rss_mid, 1),
