@@ -3404,6 +3404,38 @@ class TransactionalLake:
         return self._commit({"op": "drop_column", "drop": name,
                              "column_mapping": doc})
 
+    def reorg_purge(self) -> int:
+        """Physically reclaim DROPPED columns (Delta ``REORG TABLE
+        ... APPLY (PURGE)`` parity): ``drop_column`` hides a column
+        instantly but its bytes stay in existing files until they are
+        naturally rewritten — this op forces that rewrite, projecting
+        every live file onto the mapped physical columns only (and
+        materializing deletion vectors away, like ``optimize``). One
+        full rewrite, the honest price of reclamation; at 100 TB run
+        it per-partition range. No-op (current version returned) when
+        nothing is dropped."""
+        doc = self._column_mapping_doc()
+        if doc is None:
+            return self.version
+        old, schemas, read_v, dvs = self._snapshot_state()
+        if not old:
+            return self.version
+        keep_phys = set(doc["cols"].values())
+        snap = self._df_for_files(old, schemas, dvs=dvs)
+        if all(c in keep_phys for c in snap.columns):
+            return self.version
+        out = snap.select(*[c for c in snap.columns if c in keep_phys])
+        added = self._write_files(out)
+        return self._commit(
+            {
+                "op": "reorg_purge",
+                "add": added,
+                "remove": old,
+                "schema": out.schema.json(),
+            },
+            read_version=read_v,
+        )
+
     def _to_logical(self, df: DataFrame, doc: dict | None) -> DataFrame:
         """Project a PHYSICAL-schema df to the logical schema: mapped
         columns rename, unmapped (dropped) columns disappear. No-op

@@ -1658,6 +1658,37 @@ class TestColumnMapping:
         with pytest.raises(ValueError, match="invalid column name"):
             lake.rename_column("price", "bad name")
 
+    def test_reorg_purge_reclaims_dropped_bytes(self, spark, tmp_path):
+        """drop_column hides instantly; reorg_purge physically
+        removes the bytes — post-purge parquet footers must not
+        carry the dropped physical column, data and schema must be
+        unchanged, and a purge with nothing dropped is a no-op."""
+        import pyarrow.parquet as pq
+
+        lake = TransactionalLake(
+            spark, str(tmp_path / "rp"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, "a", 9.0), (2, "b", 8.0)],
+            "id long, tag string, junk double"))
+        lake.drop_column("junk")
+        files = lake._snapshot_state()[0]
+        assert any(
+            "junk" in pq.read_schema(
+                os.path.join(lake.path, f)).names
+            for f in files
+        )
+        v = lake.reorg_purge()
+        assert v > lake.version - 1  # committed
+        files2 = lake._snapshot_state()[0]
+        for f in files2:
+            assert "junk" not in pq.read_schema(
+                os.path.join(lake.path, f)).names
+        assert sorted(
+            (r.id, r.tag) for r in lake.snapshot().collect()
+        ) == [(1, "a"), (2, "b")]
+        # idempotent: nothing left to purge -> no new version
+        assert lake.reorg_purge() == lake.version
+
     def test_rename_chain_and_reuse_of_old_name(self, spark, tmp_path):
         """price -> px, then a NEW logical column named price: the
         new price must bind a fresh physical slot, not the old
