@@ -80,19 +80,55 @@ def _latest_checkpoint(table_path: str) -> dict | None:
     return None
 
 
+def _column_map(table_path: str) -> dict[str, str] | None:
+    """Active logical -> physical column map (column-mapping tables),
+    None when the feature is unused — the newest checkpoint's doc
+    plus the commit tail, last doc wins (mirrors
+    ``TransactionalLake._column_mapping_doc``)."""
+    cp = _latest_checkpoint(table_path)
+    doc = cp.get("column_mapping") if cp else None
+    start = cp["version"] + 1 if cp else 0
+    for v in _commit_versions(table_path):
+        if v < start:
+            continue
+        c = _read_commit(table_path, v)
+        if c.get("column_mapping") is not None:
+            doc = c["column_mapping"]
+    return dict(doc["cols"]) if doc else None
+
+
 def _table_schema(table_path: str) -> StructType:
     """Latest committed schema, read straight from the log (newest
-    commit carrying one, else the newest checkpoint's history)."""
+    commit carrying one, else the newest checkpoint's history).
+    Column-mapping tables project to LOGICAL names — same contract
+    as ``snapshot()``; the per-file reads still key on the physical
+    names, which never change, so a mid-stream rename cannot break
+    a running stream (it keeps its start-time schema until
+    restart, like any Structured Streaming schema)."""
+    phys: StructType | None = None
     for v in reversed(_commit_versions(table_path)):
         c = _read_commit(table_path, v)
         if c.get("schema"):
-            return StructType.fromJson(json.loads(c["schema"]))
-    cp = _latest_checkpoint(table_path)
-    if cp and cp.get("schemas"):
-        return StructType.fromJson(json.loads(cp["schemas"][-1]))
-    raise ValueError(
-        f"lake_changes: no committed schema found at {table_path!r}"
-    )
+            phys = StructType.fromJson(json.loads(c["schema"]))
+            break
+    if phys is None:
+        cp = _latest_checkpoint(table_path)
+        if cp and cp.get("schemas"):
+            phys = StructType.fromJson(json.loads(cp["schemas"][-1]))
+    if phys is None:
+        raise ValueError(
+            f"lake_changes: no committed schema found at {table_path!r}"
+        )
+    cmap = _column_map(table_path)
+    if cmap is None:
+        return phys
+    by_phys = {f.name: f for f in phys.fields}
+    out = StructType()
+    for logical, physical in cmap.items():
+        f = by_phys.get(physical)
+        if f is not None:
+            out.add(logical, f.dataType, f.nullable)
+    return out
 
 
 class _AddFilePartition(InputPartition):
@@ -112,6 +148,11 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
         self.schema = schema
+        # logical -> physical translation for column-mapping tables:
+        # schema names are logical, parquet/partition-dir names are
+        # physical (resolved once at stream start; physical names
+        # never change, so this stays valid for the stream's life)
+        self.cmap = _column_map(self.path) or {}
         # An Arrow type is only ever needed for a column that must be
         # SYNTHESIZED at read time — a hive partition value restored
         # from the directory name, or an evolved column null-filled
@@ -210,15 +251,16 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 part_vals[col] = None if raw == HIVE_NULL else raw
         cols = []
         for field in self.schema.fields:
+            phys = self.cmap.get(field.name, field.name)
             if field.name == "_commit_version":
                 cols.append(
                     pa.array([partition.version] * n, type=pa.int64())
                 )
-            elif field.name in tbl.column_names:
-                cols.append(tbl.column(field.name))
-            elif field.name in part_vals:
+            elif phys in tbl.column_names:
+                cols.append(tbl.column(phys))
+            elif phys in part_vals:
                 simple = field.dataType.simpleString()
-                v = _parse_part_value(part_vals[field.name], simple)
+                v = _parse_part_value(part_vals[phys], simple)
                 cols.append(
                     pa.array([v] * n, type=_arrow_type(field.dataType))
                 )

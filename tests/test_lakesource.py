@@ -269,3 +269,57 @@ class TestTypedPartitionColumns:
             LakeChangesStreamReader({"path": str(tmp_path)}, schema)
         with pytest.raises(TypeError, match="unsupported column type"):
             _arrow_type(T.CalendarIntervalType())
+
+
+class TestColumnMappingSource:
+    def test_stream_from_renamed_table_emits_logical_names(
+        self, spark, tmp_path
+    ):
+        """r10: a column-mapping table streams with LOGICAL column
+        names (same contract as snapshot()): the reader keys parquet
+        and partition-dir lookups on the physical names, which never
+        change — files written before AND after the rename both
+        stream under the current logical schema."""
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake"), partition_by=("date",)
+        )
+        lake.append(_rows(spark, 0, 5))  # v0: physical name 'price'
+        lake.rename_column("price", "px")
+        lake.append(
+            spark.createDataFrame(
+                [(i, f"s{i % 3}", float(i), "2024-06-16")
+                 for i in range(5, 8)],
+                "k long, sym string, px double, date string",
+            )
+        )
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        assert "px" in got.columns and "price" not in got.columns
+        assert got.count() == 8
+        assert sorted(r.px for r in got.collect()) == [
+            float(i) for i in range(8)
+        ]
+
+    def test_stream_excludes_dropped_column(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lake2"), partition_by=()
+        )
+        lake.append(
+            spark.createDataFrame(
+                [(1, "a", 9.0)], "id long, tag string, junk double"
+            )
+        )
+        lake.drop_column("junk")
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out2"),
+            str(tmp_path / "ck2"),
+        )
+        assert sorted(got.columns) == ["_commit_version", "id", "tag"]
