@@ -2888,6 +2888,9 @@ class TransactionalLake:
                 if (cp := self._latest_checkpoint()) is not None
                 else None
             ),
+            # r10: DESCRIBE DETAIL surfaces the active logical ->
+            # physical map (None = feature unused)
+            "column_mapping": self.column_mapping(),
         }
 
     def files(self) -> DataFrame:
