@@ -105,20 +105,32 @@ def _table_schema(table_path: str) -> StructType:
     names, which never change, so a mid-stream rename cannot break
     a running stream (it keeps its start-time schema until
     restart, like any Structured Streaming schema)."""
-    phys: StructType | None = None
-    for v in reversed(_commit_versions(table_path)):
+    # the table schema is the MERGED batch-schema history (r10: a
+    # narrow batch landing last must not hide evolved columns from
+    # the stream), newest type wins per field, first-seen order
+    history: list[str] = []
+    cp = _latest_checkpoint(table_path)
+    start = 0
+    if cp and cp.get("schemas"):
+        history.extend(cp["schemas"])
+        start = cp["version"] + 1
+    for v in _commit_versions(table_path):
+        if v < start:
+            continue
         c = _read_commit(table_path, v)
         if c.get("schema"):
-            phys = StructType.fromJson(json.loads(c["schema"]))
-            break
-    if phys is None:
-        cp = _latest_checkpoint(table_path)
-        if cp and cp.get("schemas"):
-            phys = StructType.fromJson(json.loads(cp["schemas"][-1]))
-    if phys is None:
+            history.append(c["schema"])
+    if not history:
         raise ValueError(
             f"lake_changes: no committed schema found at {table_path!r}"
         )
+    order: dict[str, dict] = {}
+    for s in history:
+        for f in json.loads(s)["fields"]:
+            order[f["name"]] = f
+    phys = StructType.fromJson(
+        {"type": "struct", "fields": list(order.values())}
+    )
     cmap = _column_map(table_path)
     if cmap is None:
         return phys

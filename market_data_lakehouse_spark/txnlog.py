@@ -592,7 +592,7 @@ class TransactionalLake:
         conservatively) or an explicit iterable of column names."""
         if read_bounds is None or not schemas:
             return
-        cols = {f["name"] for f in json.loads(schemas[-1])["fields"]}
+        cols = {f["name"] for f in self._merged_fields(schemas)}
         if isinstance(referenced, str):
             needed = self._predicate_columns(referenced, cols)
         else:
@@ -1322,13 +1322,32 @@ class TransactionalLake:
             return
         # Schema enforcement: new columns require merge_schema=True
         # (Delta's mergeSchema contract, reference README.md:29).
-        last = {f["name"] for f in json.loads(schemas[-1])["fields"]}
+        # Checked against the MERGED history: a column evolved in at
+        # any commit stays known even after narrower batches land.
+        last = {f["name"] for f in self._merged_fields(schemas)}
         new = {f for f in df.schema.fieldNames()} - last
         if new and not merge_schema:
             raise ValueError(
                 f"schema mismatch: new columns {sorted(new)}; pass "
                 "merge_schema=True to evolve the table schema"
             )
+
+    @staticmethod
+    def _merged_fields(schemas: list[str]) -> list[dict]:
+        """The TABLE schema from the batch-schema history: each
+        commit records the schema of ITS batch, so the table schema
+        is the UNION in first-seen field order with the newest type
+        winning (type evolution). r10 (found by the column-mapping
+        model test): every consumer that read ``schemas[-1]`` as
+        "the table schema" silently forgot evolved columns the
+        moment a narrower batch landed — for ``_conform`` that was a
+        real DATA-LOSS bug (a DELETE rewriting a wide file after a
+        narrow append nulled the survivors' evolved columns)."""
+        order: dict[str, dict] = {}
+        for s in schemas:
+            for f in json.loads(s)["fields"]:
+                order[f["name"]] = f  # keeps first-seen position
+        return list(order.values())
 
     def _conform(self, df: DataFrame, schemas: list[str]) -> DataFrame:
         """Project ``df`` onto the table's committed schema: missing
@@ -1337,7 +1356,7 @@ class TransactionalLake:
         narrow sources) from silently dropping evolved columns."""
         if not schemas:
             return df
-        fields = json.loads(schemas[-1])["fields"]
+        fields = self._merged_fields(schemas)
         from pyspark.sql.types import StructField, StructType
 
         have = set(df.columns)
@@ -1382,7 +1401,7 @@ class TransactionalLake:
         if not schemas:
             return df
         committed = {
-            f["name"]: f for f in json.loads(schemas[-1])["fields"]
+            f["name"]: f for f in self._merged_fields(schemas)
         }
         from pyspark.sql.types import StructField, StructType
 
@@ -1901,7 +1920,7 @@ class TransactionalLake:
         if schemas:
             from pyspark.sql.types import StructField, StructType
 
-            for fld in json.loads(schemas[-1])["fields"]:
+            for fld in self._merged_fields(schemas):
                 if fld["name"] not in raw.columns:
                     raw = raw.withColumn(
                         fld["name"],
@@ -2448,7 +2467,13 @@ class TransactionalLake:
                 from pyspark.sql.types import StructType
 
                 return self.spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(schemas[-1]))
+                    [],
+                    StructType.fromJson(
+                        {
+                            "type": "struct",
+                            "fields": self._merged_fields(schemas),
+                        }
+                    ),
                 )
             raise ValueError("empty table: no commits")
         df = (
@@ -2993,8 +3018,14 @@ class TransactionalLake:
             action["dv_reset"] = dv_reset
         if target_schemas:
             # pin the restored schema so post-restore snapshots resolve
-            # to the target's type history, not the rolled-back one
-            action["schema"] = target_schemas[-1]
+            # to the target's type history, not the rolled-back one —
+            # the MERGED history, not the last (possibly narrow) batch
+            action["schema"] = json.dumps(
+                {
+                    "type": "struct",
+                    "fields": self._merged_fields(target_schemas),
+                }
+            )
         # the column mapping rolls back WITH the file set: a restore
         # across a rename/drop must re-adopt the target's names. When
         # the target predates the feature but the head uses it, pin
@@ -3008,7 +3039,7 @@ class TransactionalLake:
             action["column_mapping"] = {
                 "cols": {
                     f["name"]: f["name"]
-                    for f in json.loads(target_schemas[-1])["fields"]
+                    for f in self._merged_fields(target_schemas)
                 },
                 "next": cur_map["next"],
             }
@@ -3077,7 +3108,12 @@ class TransactionalLake:
             "add": list(files),
         }
         if schemas:
-            action["schema"] = schemas[-1]
+            # the clone's v0 is its WHOLE schema history: record the
+            # merged union, not the last (possibly narrow) batch —
+            # else the clone's later DML re-opens the data-loss bug
+            action["schema"] = json.dumps(
+                {"type": "struct", "fields": self._merged_fields(schemas)}
+            )
         if dvs:
             action["dv"] = {f: list(p) for f, p in dvs.items()}
         # table metadata rides the clone commit (Delta clones carry
@@ -3336,8 +3372,7 @@ class TransactionalLake:
                 "data first)"
             )
         cols = {
-            f["name"]: f["name"]
-            for f in json.loads(schemas[-1])["fields"]
+            f["name"]: f["name"] for f in self._merged_fields(schemas)
         }
         return {"cols": cols, "next": 0}
 

@@ -323,3 +323,35 @@ class TestColumnMappingSource:
             str(tmp_path / "ck2"),
         )
         assert sorted(got.columns) == ["_commit_version", "id", "tag"]
+
+
+class TestMergedStreamSchema:
+    def test_stream_schema_is_union_after_narrow_append(
+        self, spark, tmp_path
+    ):
+        """r10: a narrow batch landing last must not hide evolved
+        columns from the stream schema (merged history, not the
+        newest commit's batch schema)."""
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "lk"), partition_by=()
+        )
+        lake.append(
+            spark.createDataFrame(
+                [(1, 10.0, 100)], "k long, price double, x long"
+            )
+        )
+        lake.append(
+            spark.createDataFrame([(2, 20.0)], "k long, price double")
+        )
+        got = _drain(
+            spark,
+            lake.path,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        assert sorted(got.columns) == [
+            "_commit_version", "k", "price", "x",
+        ]
+        vals = {r.k: r.x for r in got.collect()}
+        assert vals == {1: 100, 2: None}, vals

@@ -1704,3 +1704,117 @@ class TestColumnMapping:
                for r in lake.snapshot().collect()}
         assert got["GOOG"] == (2800.0, 1.0)
         assert got["AAPL"] == (150.0, None)
+
+
+class TestMergedSchemaHistory:
+    """r10 (found by the column-mapping model test): the table schema
+    is the UNION of the batch-schema history — every consumer that
+    read schemas[-1] as "the table schema" forgot evolved columns
+    the moment a narrower batch landed. For _conform that was real
+    DATA LOSS: a DELETE rewriting a wide file after a narrow append
+    nulled the survivors' evolved columns."""
+
+    def test_delete_rewrite_preserves_evolved_column(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10, 100), (3, 30, 300)],
+            "id long, val long, x long").repartition(1))
+        lake.append(spark.createDataFrame(
+            [(2, 20)], "id long, val long"))  # narrow batch LAST
+        lake.delete_where("id = 1")  # rewrites the wide file
+        got = {r.id: r.asDict().get("x")
+               for r in lake.snapshot().collect()}
+        assert got == {2: None, 3: 300}, got  # 300 must SURVIVE
+
+    def test_update_rewrite_preserves_evolved_column(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms2"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10, 100), (3, 30, 300)],
+            "id long, val long, x long").repartition(1))
+        lake.append(spark.createDataFrame(
+            [(2, 20)], "id long, val long"))
+        lake.update_where("id = 1", {"val": "val + 1"})
+        got = {r.id: (r.val, r.asDict().get("x"))
+               for r in lake.snapshot().collect()}
+        assert got == {1: (11, 100), 2: (20, None), 3: (30, 300)}, got
+
+    def test_overwrite_where_preserves_evolved_column(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms3"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10, 100), (3, 30, 300)],
+            "id long, val long, x long").repartition(1))
+        lake.append(spark.createDataFrame(
+            [(2, 20)], "id long, val long"))
+        lake.overwrite_where(
+            spark.createDataFrame([(4, 40)], "id long, val long"),
+            "id = 1 OR id = 4",
+        )
+        got = {r.id: r.asDict().get("x")
+               for r in lake.snapshot().collect()}
+        assert got == {2: None, 3: 300, 4: None}, got
+
+    def test_previously_seen_column_needs_no_merge_schema(
+        self, spark, tmp_path
+    ):
+        """A column evolved in at any commit stays KNOWN: appending
+        it again after a narrow batch must not re-demand
+        merge_schema=True."""
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms4"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10)], "id long, val long"))
+        lake.append(spark.createDataFrame(
+            [(2, 20, 200)], "id long, val long, x long"),
+            merge_schema=True)
+        lake.append(spark.createDataFrame(
+            [(3, 30)], "id long, val long"))  # narrow again
+        # x was already evolved in — no merge_schema needed now
+        lake.append(spark.createDataFrame(
+            [(4, 40, 400)], "id long, val long, x long"))
+        got = {r.id: r.asDict().get("x")
+               for r in lake.snapshot().collect()}
+        assert got == {1: None, 2: 200, 3: None, 4: 400}, got
+
+    def test_empty_snapshot_carries_union_schema(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms5"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10, 100)], "id long, val long, x long"))
+        lake.append(spark.createDataFrame(
+            [(2, 20)], "id long, val long"))
+        lake.delete_where("id >= 0")  # table now empty of rows
+        assert lake.snapshot().columns == ["id", "val", "x"]
+
+    def test_clone_carries_union_schema(self, spark, tmp_path):
+        """A clone taken after a narrow append must keep the evolved
+        column in ITS schema history — else DML on the clone re-opens
+        the data-loss bug."""
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms6"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10, 100), (3, 30, 300)],
+            "id long, val long, x long").repartition(1))
+        lake.append(spark.createDataFrame(
+            [(2, 20)], "id long, val long"))
+        clone = lake.clone(str(tmp_path / "ms6c"))
+        clone.delete_where("id = 1")
+        got = {r.id: r.asDict().get("x")
+               for r in clone.snapshot().collect()}
+        assert got == {2: None, 3: 300}, got
+
+    def test_dv_predicate_on_evolved_column_after_narrow_append(
+        self, spark, tmp_path
+    ):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms7"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10, 100), (3, 30, 300)],
+            "id long, val long, x long").repartition(1))
+        lake.append(spark.createDataFrame(
+            [(2, 20)], "id long, val long"))
+        lake.delete_where("x = 300", mode="dv")
+        got = sorted(r.id for r in lake.snapshot().collect())
+        assert got == [1, 2], got

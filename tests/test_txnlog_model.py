@@ -283,3 +283,146 @@ def test_random_ops_with_checkpoints_and_retention(
     # versions to resolve
     if model:
         assert resolvable and resolvable[-1]
+
+
+colmap_op = st.sampled_from(
+    ["append", "rename", "delete_low_dv", "restore", "xcycle",
+     "checkpoint_vacuum", "purge"]
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(colmap_op, min_size=2, max_size=8))
+def test_random_column_mapping_sequences_match_model(
+    spark, tmp_path_factory, ops
+):
+    """r10: the column-mapping model check. The MODEL is purely
+    logical — per version: (live ids, payload column's logical name,
+    extra-column presence + its per-id values). The engine must
+    reproduce it at every resolvable historical version through any
+    interleaving of renames, drops, re-adds (fresh physical slots —
+    dead bytes must never resurrect), dv deletes, restores across
+    renames, aggressive checkpoint+vacuum, and purge rewrites."""
+    lake = TransactionalLake(
+        spark, str(tmp_path_factory.mktemp("modelcm") / "tx"),
+        partition_by=(), checkpoint_every=3,
+    )
+    # model[v] = (frozenset ids, payload_name, has_x, x_map{id: val|None})
+    model: list[tuple] = []
+    live: set[int] = set()
+    payload = "val"
+    has_x = False
+    x_map: dict[int, int | None] = {}
+    next_id, n_renames, vacuumed = 0, 0, False
+
+    def df_for(ids, with_x=False):
+        if with_x:
+            return spark.createDataFrame(
+                [(i, i * 10, i + 1) for i in sorted(ids)],
+                f"id long, {payload} long, x long",
+            )
+        return spark.createDataFrame(
+            [(i, i * 10) for i in sorted(ids)],
+            f"id long, {payload} long",
+        )
+
+    for o in ops:
+        if o == "append":
+            batch = {next_id, next_id + 1}
+            next_id += 2
+            lake.append(df_for(batch), merge_schema=True)
+            live = live | batch
+            if has_x:
+                x_map = {**x_map, **{i: None for i in batch}}
+        elif o == "rename":
+            if lake.version < 0:
+                continue  # engine (correctly) refuses: no schema yet
+            n_renames += 1
+            new = f"val{n_renames}"
+            lake.rename_column(payload, new)
+            payload = new
+        elif o == "delete_low_dv":
+            if not live:
+                continue
+            cutoff = min(live) + 1
+            # predicate through the CURRENT logical payload name —
+            # must translate to the physical slot
+            lake.delete_where(
+                f"{payload} < {cutoff * 10}", mode="dv"
+            )
+            live = {i for i in live if i * 10 >= cutoff * 10}
+            x_map = {i: v for i, v in x_map.items() if i in live}
+        elif o == "xcycle":
+            if has_x:
+                lake.drop_column("x")
+                has_x, x_map = False, {}
+            else:
+                batch = {next_id, next_id + 1}
+                next_id += 2
+                lake.append(df_for(batch, with_x=True),
+                            merge_schema=True)
+                live = live | batch
+                # re-add binds a FRESH physical slot: only the new
+                # batch carries values, every older id must be null
+                x_map = {i: None for i in live}
+                x_map.update({i: i + 1 for i in batch})
+                has_x = True
+        elif o == "restore":
+            if not model:
+                continue
+            v = len(model) // 2
+            if v == lake.version:
+                continue
+            try:
+                lake.restore(version=v)
+            except ValueError as e:
+                assert "retention" in str(e) and vacuumed, e
+                continue
+            live, payload, has_x, x_map = (
+                set(model[v][0]), model[v][1], model[v][2],
+                dict(model[v][3]),
+            )
+        elif o == "checkpoint_vacuum":
+            if lake.version < 0:
+                continue
+            lake._write_checkpoint(lake.version)
+            if lake.vacuum_log(retain_last=1):
+                vacuumed = True
+            continue  # no commit, no model version
+        elif o == "purge":
+            before = lake.version
+            lake.reorg_purge()
+            if lake.version == before:
+                continue  # nothing dropped: no-op, no version
+            # live set and logical schema unchanged; dead bytes gone
+        model.append(
+            (frozenset(live), payload, has_x, dict(x_map))
+        )
+
+    for v, (want_ids, want_payload, want_x, want_xmap) in enumerate(model):
+        try:
+            snap = lake.snapshot(version=v)
+        except ValueError as e:
+            assert "retention" in str(e) and vacuumed, e
+            continue
+        want_cols = ["id", want_payload] + (["x"] if want_x else [])
+        assert sorted(snap.columns) == sorted(want_cols), (
+            f"v{v}: {snap.columns} != {want_cols} (ops={ops})"
+        )
+        rows = snap.collect()
+        got_ids = {r["id"] for r in rows}
+        assert got_ids == set(want_ids), (
+            f"v{v}: ids {got_ids} != {set(want_ids)} (ops={ops})"
+        )
+        for r in rows:
+            assert r[want_payload] == r["id"] * 10, (v, dict(r.asDict()), ops)
+            if want_x:
+                assert r["x"] == want_xmap[r["id"]], (
+                    f"v{v} id={r['id']}: x={r['x']} != "
+                    f"{want_xmap[r['id']]} — dead bytes resurrected? "
+                    f"(ops={ops})"
+                )
