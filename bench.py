@@ -397,6 +397,60 @@ def main() -> None:
         print(f"bench gates failed: {exc!r}", file=sys.stderr)
 
 
+def _run_inline_tripwire(
+    spark, sf_dir: str, flagged: dict[str, tuple[float, float]], repo: str
+) -> None:
+    """Lean in-run A/B for tripwire-eligible flags (>=1.3x AND >=1s):
+    interleaved round-robin over the flagged queries + the
+    q_dedup_hash control in the LIVE session, 5 samples each,
+    classified by bench_ab.classify_drift. Code identity is NOT
+    checked here (the old rev isn't known inside a bench run) — the
+    verdict distinguishes noise from reproducible drift; a
+    reproducible one still needs tools/ab_tripwire.py with --old-rev
+    for the identity chain. Merges into AB_BENCH.json under
+    'bench_inline_tripwire' so the receipt exists even if nobody
+    runs the standalone tool."""
+    import bench_ab
+
+    from market_data_lakehouse_spark.queries import REGISTRY
+
+    label_to_query = {**HEADLINE, **HEAVY}
+    plan = {q: label_to_query[q] for q in flagged if q in label_to_query}
+    plan["q_dedup_hash"] = HEADLINE["q_dedup_hash"]
+    samples: dict[str, list[float]] = {q: [] for q in plan}
+    for _ in range(5):
+        for label, qname in plan.items():
+            spark._jvm.System.gc()
+            samples[label].append(
+                run_once(spark, REGISTRY[qname].fn, sf_dir)
+            )
+    per_query = {}
+    for label, vals in samples.items():
+        rec = flagged.get(label, (None, None))
+        per_query[label] = bench_ab.classify_drift(
+            vals, rec[0], rec[1], True,
+            is_control=label == "q_dedup_hash",
+        )
+        per_query[label]["code_identity"] = {
+            "depth": "not-checked-inline",
+        }
+    entry = {
+        "protocol": (
+            "bench-run inline tripwire: flagged>=1.3x AND >=1s; live "
+            "session, 5 interleaved samples/query, GC between; NO "
+            "identity check — follow up with tools/ab_tripwire.py "
+            "--old-rev for a reproducible (non-noise) verdict"
+        ),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "queries": per_query,
+    }
+    path = os.path.join(repo, "AB_BENCH.json")
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    doc["bench_inline_tripwire"] = entry
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+
+
 def run_gates(spark, sf_dir: str, bench_line: dict) -> None:
     """Write PLAN_AUDIT.json and BENCH_COMPARE_r{N}.json next to the
     bench artifacts. N = 1 + the highest committed BENCH_r{N}.json,
@@ -446,6 +500,25 @@ def run_gates(spark, sf_dir: str, bench_line: dict) -> None:
         f"flagged={[r['query'] for r in rep['flagged']]}",
         file=sys.stderr,
     )
+    # r9 VERDICT directive 4, standing: any flagged entry that ALSO
+    # crossed the 1 s absolute bar gets the interleaved same-JVM A/B
+    # in THIS run (reusing the live session; bounded: the eligible
+    # set is the flag list, each sampled 5x round-robin). Sub-second
+    # flags stay letter-only — the job-floor band covers them.
+    eligible = [
+        r["query"] for r in rep["flagged"] if r["new_sec"] >= 1.0
+    ]
+    if eligible:
+        old_q = bench_compare.load_queries(prev)
+        new_q = dict(bench_line["queries"])
+        flagged = {
+            q: (old_q[q], new_q[q]) for q in eligible
+        }
+        _run_inline_tripwire(spark, sf_dir, flagged, repo)
+        print(
+            f"gate: tripwire A/B ran for {eligible} -> AB_BENCH.json",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -112,3 +112,44 @@ class TestTripwireGate:
         new = {"q": 1.3}
         assert flagged_queries(old, new, 1.3, 1.0) == {"q": (1.0, 1.3)}
         assert flagged_queries(old, new, 1.3, 1.5) == {}
+
+
+class TestInlineTripwire:
+    def test_inline_tripwire_records_receipt(self, tmp_path):
+        """bench.py's in-run tripwire: flagged queries + the control
+        each sample 5x and the receipt lands in AB_BENCH.json even
+        when nobody runs the standalone tool."""
+        import json
+
+        sys.path.insert(0, "/root/repo")
+        import bench
+
+        calls = []
+        orig = bench.run_once
+        bench.run_once = lambda spark, fn, sf_dir: (
+            calls.append(1), 0.5)[1]
+
+        class _JVM:
+            class System:
+                @staticmethod
+                def gc():
+                    pass
+
+        class _Spark:
+            _jvm = _JVM()
+
+        try:
+            bench._run_inline_tripwire(
+                _Spark(), "/root/testdata/sf0.01",
+                {"q_topk": (1.0, 1.5)}, str(tmp_path),
+            )
+        finally:
+            bench.run_once = orig
+        doc = json.load(open(tmp_path / "AB_BENCH.json"))
+        e = doc["bench_inline_tripwire"]
+        assert sorted(e["queries"]) == ["q_dedup_hash", "q_topk"]
+        assert len(calls) == 10  # 2 queries x 5 interleaved samples
+        assert e["queries"]["q_dedup_hash"]["verdict"] == "control"
+        assert e["queries"]["q_topk"]["code_identity"]["depth"] == (
+            "not-checked-inline"
+        )
