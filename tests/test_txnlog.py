@@ -1818,3 +1818,68 @@ class TestMergedSchemaHistory:
         lake.delete_where("x = 300", mode="dv")
         got = sorted(r.id for r in lake.snapshot().collect())
         assert got == [1, 2], got
+
+
+class TestColumnMappingInteractions:
+    """Renames against the columns other table machinery binds to:
+    partition layout, identity assignment, and generated columns all
+    bind PHYSICALLY, so a logical rename must leave them working."""
+
+    def test_rename_partition_column(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "pp"), partition_by=("date",))
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.rename_column("date", "trade_date")
+        assert lake.snapshot().columns == ["symbol", "price", "trade_date"]
+        # writes through the new logical name land in the SAME
+        # physical dir layout (date=...)
+        lake.append(spark.createDataFrame(
+            [("MSFT", 300.0, "2024-06-16")],
+            "symbol string, price double, trade_date string"))
+        files = lake._snapshot_state()[0]
+        assert all(f.startswith("date=") for f in files), files
+        # logical-name bounds prune physical partition dirs
+        kept, total, _ = lake.prune_files(
+            {"trade_date": ("2024-06-16", "2024-06-16")})
+        assert total == 2 and len(kept) == 1
+
+    def test_rename_identity_column(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ip"), partition_by=())
+        lake.set_identity("row_id")
+        lake.append(spark.createDataFrame([("A", 1.0)],
+                                          "symbol string, price double"))
+        lake.rename_column("row_id", "rid")
+        lake.append(spark.createDataFrame([("B", 2.0)],
+                                          "symbol string, price double"))
+        ids = sorted(r.rid for r in lake.snapshot().collect())
+        assert ids == [0, 1]
+        # GENERATED ALWAYS still rejects a supplied value — through
+        # the NEW logical name
+        bad = spark.createDataFrame(
+            [("C", 3.0, 99)], "symbol string, price double, rid long")
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            lake.append(bad)
+
+    def test_rename_generated_source_column(self, spark, tmp_path):
+        from datetime import datetime
+
+        lake = TransactionalLake(
+            spark, str(tmp_path / "gp"), partition_by=("date",),
+            generated_columns={"date": "to_date(ts)"})
+        lake.append(spark.createDataFrame(
+            [("A", datetime(2024, 6, 15, 12, 0, 0), 1.0)],
+            "symbol string, ts timestamp, price double"))
+        lake.rename_column("ts", "event_time")
+        # a batch under the new logical name still derives the
+        # partition value from the physical source
+        lake.append(spark.createDataFrame(
+            [("B", datetime(2024, 6, 16, 12, 0, 0), 2.0)],
+            "symbol string, event_time timestamp, price double"))
+        files = lake._snapshot_state()[0]
+        assert {f.split(os.sep)[0] for f in files} == {
+            "date=2024-06-15", "date=2024-06-16"}
+        # timestamp bounds through the NEW name still prune dates
+        kept, total, _ = lake.prune_files(
+            {"event_time": ("2024-06-16 00:00:00", None)})
+        assert total == 2 and len(kept) == 1
