@@ -267,6 +267,9 @@ class TransactionalLake:
             if cp and cp.get("column_mapping")
             else None
         )
+        props: dict[str, str] = (
+            dict(cp.get("properties", {})) if cp else {}
+        )
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
@@ -310,6 +313,14 @@ class TransactionalLake:
                 )
             if c.get("column_mapping") is not None:
                 col_map = c["column_mapping"]
+            if c.get("op") == "set_properties":
+                for k, val in c["properties"].items():
+                    if val is None:
+                        props.pop(k, None)
+                    else:
+                        props[k] = val
+            elif c.get("op") == "clone" and c.get("properties"):
+                props.update(c["properties"])
         stats = {f: s for f, s in stats.items() if f in live}
         rows = {f: n for f, n in rows.items() if f in live}
         blooms = {f: b for f, b in blooms.items() if f in live}
@@ -331,6 +342,7 @@ class TransactionalLake:
             "constraints": constraints,
             "identity": identity,
             "column_mapping": col_map,
+            "properties": props,
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -2914,8 +2926,10 @@ class TransactionalLake:
                 else None
             ),
             # r10: DESCRIBE DETAIL surfaces the active logical ->
-            # physical map (None = feature unused)
+            # physical map (None = feature unused) and the table
+            # properties, like Delta's
             "column_mapping": self.column_mapping(),
+            "properties": self.properties(),
         }
 
     def files(self) -> DataFrame:
@@ -3129,6 +3143,9 @@ class TransactionalLake:
         mdoc = self._column_mapping_doc()
         if mdoc is not None:
             action["column_mapping"] = mdoc
+        props = self.properties()
+        if props:
+            action["properties"] = props
         target._commit(action)
         return target
 
@@ -3323,6 +3340,50 @@ class TransactionalLake:
                 f"{n} ({cons[n]}): {v} row(s)" for n, v in violated.items()
             )
             raise ValueError(f"CHECK constraint violation on {op}: {detail}")
+
+    # ------------------------------------------------------------------
+    # Table properties (Delta TBLPROPERTIES parity): free-form
+    # string key/value metadata, versioned with the log and folded
+    # through checkpoints/vacuum/clone like constraints/identity/
+    # column mapping. Time-travel aware: properties(as_of=) shows
+    # the set as of any resolvable version.
+    # ------------------------------------------------------------------
+    def properties(self, as_of: int | None = None) -> dict[str, str]:
+        """Active table properties (key -> value) as of a version
+        (None = head)."""
+        cp = self._latest_checkpoint(max_version=as_of)
+        out: dict[str, str] = (
+            dict(cp.get("properties", {})) if cp else {}
+        )
+        start = cp["version"] + 1 if cp else 0
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v < start or (as_of is not None and v > as_of):
+                continue
+            c = self._read_commit(v)
+            if c.get("op") == "set_properties":
+                for k, val in c["properties"].items():
+                    if val is None:
+                        out.pop(k, None)
+                    else:
+                        out[k] = val
+            elif c.get("op") == "clone" and c.get("properties"):
+                out.update(c["properties"])
+        return out
+
+    def set_properties(self, props: dict[str, str | None]) -> int:
+        """Set (value) / unset (None) table properties in ONE commit
+        (Delta ALTER TABLE SET/UNSET TBLPROPERTIES). Keys and values
+        are strings — table properties are configuration, not data."""
+        if not props:
+            return self.version
+        clean: dict[str, str | None] = {}
+        for k, v in props.items():
+            if not isinstance(k, str) or not k:
+                raise ValueError(f"property key must be a non-empty "
+                                 f"string: {k!r}")
+            clean[k] = None if v is None else str(v)
+        return self._commit({"op": "set_properties", "properties": clean})
 
     # ------------------------------------------------------------------
     # Column mapping (Delta `columnMapping.mode = name` parity):

@@ -1883,3 +1883,62 @@ class TestColumnMappingInteractions:
         kept, total, _ = lake.prune_files(
             {"event_time": ("2024-06-16 00:00:00", None)})
         assert total == 2 and len(kept) == 1
+
+
+class TestTableProperties:
+    """r10: TBLPROPERTIES parity — free-form string metadata,
+    versioned with the log, folding through checkpoints/vacuum/clone
+    like every other table metadata (the r9 silent-drop bug class).
+    Like Delta, RESTORE does NOT roll properties back — they are
+    configuration, not data."""
+
+    def test_set_unset_and_time_travel(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v0 = lake.version
+        lake.set_properties({"owner": "quant", "pii": "false"})
+        v1 = lake.version
+        lake.set_properties({"pii": None, "tier": "gold"})
+        assert lake.properties() == {"owner": "quant", "tier": "gold"}
+        assert lake.properties(as_of=v1) == {
+            "owner": "quant", "pii": "false"}
+        assert lake.properties(as_of=v0) == {}
+
+    def test_survives_checkpoint_and_vacuum(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.set_properties({"owner": "quant"})
+        lake._write_checkpoint(lake.version)
+        lake.vacuum_log()
+        assert lake.properties() == {"owner": "quant"}
+        lake.set_properties({"tier": "gold"})
+        assert lake.properties() == {"owner": "quant", "tier": "gold"}
+
+    def test_clone_carries_properties(self, spark, lake, tmp_path):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.set_properties({"owner": "quant"})
+        clone = lake.clone(str(tmp_path / "pclone"))
+        assert clone.properties() == {"owner": "quant"}
+
+    def test_restore_keeps_properties(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v0 = lake.version
+        lake.append(_df(spark, [("MSFT", 300)]))
+        lake.set_properties({"owner": "quant"})
+        lake.restore(version=v0)
+        assert lake.properties() == {"owner": "quant"}
+        assert lake.snapshot().count() == 1
+
+    def test_values_coerce_to_strings_and_bad_keys_raise(
+        self, spark, lake
+    ):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.set_properties({"retention_days": 30})
+        assert lake.properties() == {"retention_days": "30"}
+        with pytest.raises(ValueError, match="non-empty"):
+            lake.set_properties({"": "x"})
+        v = lake.version
+        assert lake.set_properties({}) == v  # no-op, no commit
+
+    def test_detail_surfaces_properties(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.set_properties({"owner": "quant"})
+        assert lake.detail()["properties"] == {"owner": "quant"}
