@@ -118,18 +118,23 @@ def _table_schema(table_path: str) -> StructType:
         if v < start:
             continue
         c = _read_commit(table_path, v)
-        if c.get("schema"):
+        if c.get("schema_history"):
+            history.extend(c["schema_history"])
+        elif c.get("schema"):
             history.append(c["schema"])
     if not history:
         raise ValueError(
             f"lake_changes: no committed schema found at {table_path!r}"
         )
-    order: dict[str, dict] = {}
-    for s in history:
-        for f in json.loads(s)["fields"]:
-            order[f["name"]] = f
+    # same union fold as the lake's own reads (widest type wins on a
+    # widen_column_type history, newest otherwise)
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
     phys = StructType.fromJson(
-        {"type": "struct", "fields": list(order.values())}
+        {
+            "type": "struct",
+            "fields": TransactionalLake._merged_fields(history),
+        }
     )
     cmap = _column_map(table_path)
     if cmap is None:
@@ -269,7 +274,16 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     pa.array([partition.version] * n, type=pa.int64())
                 )
             elif phys in tbl.column_names:
-                cols.append(tbl.column(phys))
+                col = tbl.column(phys)
+                try:
+                    want = _arrow_type(field.dataType)
+                    if col.type != want:
+                        # widened table: narrow files upcast to the
+                        # declared (merged) schema type
+                        col = col.cast(want)
+                except TypeError:
+                    pass  # complex type with no direct mapping
+                cols.append(col)
             elif phys in part_vals:
                 simple = field.dataType.simpleString()
                 v = _parse_part_value(part_vals[phys], simple)

@@ -96,7 +96,7 @@ _DRIVER_WINDOW = [
     "t11_incremental_mv",     # read_changes: logical projection
     "f5_stats_skipping",      # prune_files: logical-bounds entry
     "f6_bloom_skipping",      # prune_files: logical-bounds entry
-    "s18_metadata_count",     # append/count path adjacent to TOCTOU fix
+    "s21_type_widening",      # r10 NEW: metadata-only ALTER COLUMN TYPE
 ]
 
 

@@ -1030,3 +1030,84 @@ def s20_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("metadata_only", F.lit(metadata_only))
         .withColumn("time_travel_ok", F.lit(tt_ok))
     )
+
+
+@register(
+    "s21_type_widening",
+    oracle="""
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS cents
+               FROM events),
+    w AS (SELECT event_id, event_type,
+                 CASE WHEN event_id % 2 = 1
+                      THEN cents + 3000000000 ELSE cents END AS cents
+          FROM c)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           TRUE AS metadata_only,
+           TRUE AS narrow_before
+    FROM w WHERE NOT cents % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def s21_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening as a hard signal (S8 extension, r10 — Delta
+    type-widening parity): ``widen_column_type`` is ONE log write;
+    the parquet reader upcasts narrow files against the log-owned
+    schema. The gate ingests half the corpus as INT cents, widens to
+    BIGINT (asserting in-query that the live file set is unchanged —
+    a rewrite masquerading as a widen fails the run, and that the
+    pre-widen snapshot still reads int), then ingests the other half
+    with values ABOVE int range (+3e9 — impossible without the
+    widen), DELETEs through the widened column, and aggregates the
+    mixed-era files. DuckDB recomputes from raw events — a value
+    mangled by the per-file upcast, a lost row, or a type reversion
+    by the late narrow files hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("int").alias("cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_widen_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.filter("event_id % 2 = 0").repartition(2))
+    v0 = tx.version
+    files_before = sorted(tx._snapshot_state()[0])
+    tx.widen_column_type("cents", "bigint")
+    metadata_only = sorted(tx._snapshot_state()[0]) == files_before
+    assert metadata_only, "widen rewrote data files"
+    narrow_before = (
+        dict(tx.snapshot(version=v0).dtypes)["cents"] == "int"
+    )
+    assert dict(tx.snapshot().dtypes)["cents"] == "bigint"
+    tx.append(
+        ev.filter("event_id % 2 = 1")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("cents").cast("bigint") + F.lit(3_000_000_000)).alias(
+                "cents"
+            ),
+        )
+        .repartition(2)
+    )
+    tx.delete_where("cents % 7 = 0")
+    return (
+        tx.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+        .withColumn("metadata_only", F.lit(metadata_only))
+        .withColumn("narrow_before", F.lit(narrow_before))
+    )

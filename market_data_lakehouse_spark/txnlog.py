@@ -289,7 +289,9 @@ class TransactionalLake:
                     dv[f] = sorted(pos)
                 else:
                     dv.pop(f, None)
-            if c.get("schema"):
+            if c.get("schema_history"):
+                schemas.extend(c["schema_history"])
+            elif c.get("schema"):
                 schemas.append(c["schema"])
             stats.update(c.get("stats", {}))
             rows.update(c.get("rows", {}))
@@ -1172,7 +1174,9 @@ class TransactionalLake:
                     dvs[f] = sorted(pos)
                 else:
                     dvs.pop(f, None)
-            if c.get("schema"):
+            if c.get("schema_history"):
+                schemas.extend(c["schema_history"])
+            elif c.get("schema"):
                 schemas.append(c["schema"])
             resolved = c["version"]
         if version is not None and resolved < version:
@@ -1344,22 +1348,153 @@ class TransactionalLake:
                 "merge_schema=True to evolve the table schema"
             )
 
-    @staticmethod
-    def _merged_fields(schemas: list[str]) -> list[dict]:
+    # schema-JSON primitive name <-> Catalyst simpleString
+    _JSON_TO_SIMPLE = {
+        "byte": "tinyint", "short": "smallint", "integer": "int",
+        "long": "bigint", "float": "float", "double": "double",
+    }
+    _SIMPLE_TO_JSON = {v: k for k, v in _JSON_TO_SIMPLE.items()}
+
+    @classmethod
+    def _merged_fields(cls, schemas: list[str]) -> list[dict]:
         """The TABLE schema from the batch-schema history: each
         commit records the schema of ITS batch, so the table schema
-        is the UNION in first-seen field order with the newest type
-        winning (type evolution). r10 (found by the column-mapping
-        model test): every consumer that read ``schemas[-1]`` as
-        "the table schema" silently forgot evolved columns the
-        moment a narrower batch landed — for ``_conform`` that was a
-        real DATA-LOSS bug (a DELETE rewriting a wide file after a
-        narrow append nulled the survivors' evolved columns)."""
+        is the UNION in first-seen field order. r10 (found by the
+        column-mapping model test): every consumer that read
+        ``schemas[-1]`` as "the table schema" silently forgot evolved
+        columns the moment a narrower batch landed — for ``_conform``
+        that was a real DATA-LOSS bug (a DELETE rewriting a wide file
+        after a narrow append nulled the survivors' evolved columns).
+
+        Same-name type conflicts resolve to the WIDER type when the
+        pair is an upcast (type widening: a ``widen_type`` commit
+        must not be reverted by a later batch that still carries the
+        narrow type), newest otherwise."""
         order: dict[str, dict] = {}
         for s in schemas:
             for f in json.loads(s)["fields"]:
+                prev = order.get(f["name"])
+                if prev is not None and prev["type"] != f["type"]:
+                    a = cls._JSON_TO_SIMPLE.get(
+                        prev["type"]
+                    ) if isinstance(prev["type"], str) else None
+                    b = cls._JSON_TO_SIMPLE.get(
+                        f["type"]
+                    ) if isinstance(f["type"], str) else None
+                    if a and b and (b, a) in cls._UPCASTS:
+                        continue  # prev is wider — keep it
                 order[f["name"]] = f  # keeps first-seen position
         return list(order.values())
+
+    def _explicit_read_schema(self, schemas: list[str]):
+        """Explicit parquet read schema (StructType) when the type
+        history is HETEROGENEOUS — i.e. a ``widen_column_type``
+        landed. mergeSchema cannot merge int/long files, but the
+        Spark 4 parquet reader widens per-file against a requested
+        schema (probed on this runtime: every integral chain plus
+        {tinyint,smallint,int,float}->double; bigint->double is NOT
+        reader-supported and widen_column_type refuses it). Returns
+        None for the (overwhelmingly common) homogeneous history —
+        the caller then keeps the mergeSchema path, so tables that
+        never widen see zero behavior change. Fields are forced
+        nullable: a column a file lacks null-fills."""
+        seen: dict[str, str] = {}
+        hetero = False
+        for s in schemas:
+            for f in json.loads(s)["fields"]:
+                t = json.dumps(f["type"], sort_keys=True)
+                if f["name"] in seen and seen[f["name"]] != t:
+                    hetero = True
+                seen[f["name"]] = t
+        if not hetero:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {**f, "nullable": True}
+                    for f in self._merged_fields(schemas)
+                ],
+            }
+        )
+
+    # widenings the Spark 4 parquet reader handles per-file against
+    # a requested schema (probed in this container; note bigint ->
+    # double is NOT supported by the reader and is excluded even
+    # though _UPCASTS allows it on the write path)
+    _WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"),
+        ("tinyint", "bigint"), ("tinyint", "double"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("smallint", "double"),
+        ("int", "bigint"), ("int", "double"),
+        ("float", "double"),
+    }
+
+    def widen_column_type(self, column: str, new_type: str) -> int:
+        """Metadata-only ALTER COLUMN TYPE widening (Delta
+        type-widening parity): one log write, zero files rewritten —
+        existing narrow files are widened BY THE READER against the
+        table schema; future batches may carry either width (narrow
+        ones upcast on write via ``_cast_to_committed``). Only
+        reader-supported widenings are allowed (``_WIDENINGS``);
+        anything else fails loudly. ``column`` is the LOGICAL name
+        on column-mapping tables."""
+        new_type = new_type.strip().lower()
+        if new_type not in self._SIMPLE_TO_JSON:
+            raise ValueError(
+                f"unsupported widening target: {new_type!r}"
+            )
+        doc = self._column_mapping_doc()
+        if doc is not None:
+            if column not in doc["cols"]:
+                raise ValueError(f"no such column: {column!r}")
+            phys = doc["cols"][column]
+        else:
+            phys = column
+        _files, schemas, read_v, _dvs = self._snapshot_state()
+        if not schemas:
+            raise ValueError("no committed schema (write data first)")
+        fields = self._merged_fields(schemas)
+        by = {f["name"]: f for f in fields}
+        if phys not in by:
+            raise ValueError(f"no such column: {column!r}")
+        cur_json = by[phys]["type"]
+        cur = (
+            self._JSON_TO_SIMPLE.get(cur_json)
+            if isinstance(cur_json, str)
+            else None
+        )
+        if cur is None:
+            raise ValueError(
+                f"column {column!r} has non-widenable type {cur_json!r}"
+            )
+        if cur == new_type:
+            return self.version  # no-op
+        if (cur, new_type) not in self._WIDENINGS:
+            raise ValueError(
+                f"cannot widen {column!r} from {cur} to {new_type}: "
+                "not a reader-supported widening "
+                f"(supported from {cur}: "
+                f"{sorted(t for f_, t in self._WIDENINGS if f_ == cur)})"
+            )
+        new_fields = [
+            {**f, "type": self._SIMPLE_TO_JSON[new_type]}
+            if f["name"] == phys
+            else f
+            for f in fields
+        ]
+        return self._commit(
+            {
+                "op": "widen_type",
+                "widen": {"column": phys, "from": cur, "to": new_type},
+                "schema": json.dumps(
+                    {"type": "struct", "fields": new_fields}
+                ),
+            }
+        )
 
     def _conform(self, df: DataFrame, schemas: list[str]) -> DataFrame:
         """Project ``df`` onto the table's committed schema: missing
@@ -1607,6 +1742,15 @@ class TransactionalLake:
         # v <= id_read_v and escaped the conflict scan, letting both
         # writers claim the same id range silently.
         snap_v = self.version
+        schemas: list[str] = []
+        if snap_v >= 0:
+            _f, schemas, _v, _d = self._snapshot_state()
+            # r10: coerce the batch to the committed types BEFORE it
+            # becomes files — a narrow batch after widen_column_type
+            # upcasts (the widened schema stays authoritative), and a
+            # cross-family divergent batch fails loudly HERE instead
+            # of poisoning every future mergeSchema read
+            df = self._cast_to_committed(df, schemas)
         ident = self.identity_state(as_of=snap_v)
         id_read_v, id_next = None, None
         if ident is not None:
@@ -1619,7 +1763,9 @@ class TransactionalLake:
             id_read_v = snap_v
             df, n_assigned = self._assign_identity(df, id_col, hi)
             id_next = hi + n_assigned
-        self._check_schema(df, merge_schema)
+        self._check_schema(
+            df, merge_schema, schemas=schemas if snap_v >= 0 else None
+        )
         added, n_rows = self._checked_write(df, "append", skip_empty=skip_empty)
         if skip_empty and not n_rows:
             for rel in added:  # stray empty staging output, if any
@@ -1905,11 +2051,13 @@ class TransactionalLake:
         vector are anti-joined away; evolved columns are null-filled
         WITHOUT ``_conform``'s strict select (it would drop the
         position columns the whole scan exists for)."""
-        raw = (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, f) for f in old])
-        )
+        reader = self.spark.read.option("basePath", self.path)
+        struct = self._explicit_read_schema(schemas)
+        if struct is not None:
+            reader = reader.schema(struct)
+        else:
+            reader = reader.option("mergeSchema", "true")
+        raw = reader.parquet(*[os.path.join(self.path, f) for f in old])
         fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         raw = raw.withColumn("_row_file", fname).withColumn(
             "_row_pos", F.col("_metadata.row_index")
@@ -2488,11 +2636,15 @@ class TransactionalLake:
                     ),
                 )
             raise ValueError("empty table: no commits")
-        df = (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, f) for f in files])
-        )
+        reader = self.spark.read.option("basePath", self.path)
+        struct = self._explicit_read_schema(schemas)
+        if struct is not None:
+            # widened table: the reader upcasts narrow files against
+            # the log-owned schema (mergeSchema would fail to merge)
+            reader = reader.schema(struct)
+        else:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
         if dvs:
             keep = set(files)
             pairs = [
@@ -2539,12 +2691,26 @@ class TransactionalLake:
                     f"CDC from v{starting_version} predates log "
                     f"retention (oldest retained commit: v{oldest})"
                 )
-        def _with_pos(paths: list[str]) -> DataFrame:
-            df = (
-                self.spark.read.option("basePath", self.path)
-                .option("mergeSchema", "true")
-                .parquet(*[os.path.join(self.path, f) for f in paths])
+        # running schema history, seeded from the checkpoint below the
+        # oldest retained commit (r10: a clone/restore commit can add
+        # files from MIXED type eras after widen_column_type —
+        # mergeSchema cannot merge those, so reads go explicit once
+        # the history turns heterogeneous)
+        run_schemas: list[str] = []
+
+        def _read_paths(paths: list[str]) -> DataFrame:
+            reader = self.spark.read.option("basePath", self.path)
+            struct = self._explicit_read_schema(run_schemas)
+            if struct is not None:
+                reader = reader.schema(struct)
+            else:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(
+                *[os.path.join(self.path, f) for f in paths]
             )
+
+        def _with_pos(paths: list[str]) -> DataFrame:
+            df = _read_paths(paths)
             fname = F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             )
@@ -2583,10 +2749,15 @@ class TransactionalLake:
             )
             if cp0:
                 run_dv = {f: list(p) for f, p in cp0.get("dv", {}).items()}
+                run_schemas.extend(cp0.get("schemas", []))
         out: DataFrame | None = None
         for name in names:
             v = int(name.split(".")[0])
             c = self._read_commit(v)
+            if c.get("schema_history"):
+                run_schemas.extend(c["schema_history"])
+            elif c.get("schema"):
+                run_schemas.append(c["schema"])
             emit: list[DataFrame] = []
             if v >= starting_version and c["op"] not in (
                 "compact",
@@ -2621,13 +2792,7 @@ class TransactionalLake:
                             _with_pos(paths), skip, "left_anti"
                         ).drop("_row_file", "_row_pos")
                     else:
-                        df = (
-                            self.spark.read.option("basePath", self.path)
-                            .option("mergeSchema", "true")
-                            .parquet(
-                                *[os.path.join(self.path, f) for f in paths]
-                            )
-                        )
+                        df = _read_paths(paths)
                     emit.append(
                         df.withColumn("_change_type", F.lit(change))
                         .withColumn("_commit_version", F.lit(v))
@@ -3128,6 +3293,12 @@ class TransactionalLake:
             action["schema"] = json.dumps(
                 {"type": "struct", "fields": self._merged_fields(schemas)}
             )
+            # a WIDENED source's files span type eras: one merged
+            # entry would read as homogeneous and the clone's
+            # mergeSchema read would die on the mixed files — carry
+            # the raw history so heterogeneity detection survives
+            if self._explicit_read_schema(schemas) is not None:
+                action["schema_history"] = list(schemas)
         if dvs:
             action["dv"] = {f: list(p) for f, p in dvs.items()}
         # table metadata rides the clone commit (Delta clones carry

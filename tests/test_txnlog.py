@@ -1942,3 +1942,137 @@ class TestTableProperties:
         lake.append(_df(spark, [("AAPL", 150)]))
         lake.set_properties({"owner": "quant"})
         assert lake.detail()["properties"] == {"owner": "quant"}
+
+
+class TestTypeWidening:
+    """r10: metadata-only ALTER COLUMN TYPE widening (Delta
+    type-widening parity): one log write, zero files rewritten; the
+    Spark 4 parquet reader upcasts narrow files against the
+    log-owned schema. Late narrow batches upcast on write and can
+    never revert the widened type (widest-wins fold)."""
+
+    def _intlake(self, spark, tmp_path, name="tw"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10), (2, 20)], "id bigint, v int"))
+        return lake
+
+    def test_widen_is_metadata_only_and_reads_widen(
+        self, spark, tmp_path
+    ):
+        lake = self._intlake(spark, tmp_path)
+        files = sorted(lake._snapshot_state()[0])
+        lake.widen_column_type("v", "bigint")
+        assert sorted(lake._snapshot_state()[0]) == files  # no rewrite
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["v"] == "bigint"
+        assert sorted((r.id, r.v) for r in snap.collect()) == [
+            (1, 10), (2, 20)]
+
+    def test_wide_and_narrow_batches_coexist(self, spark, tmp_path):
+        lake = self._intlake(spark, tmp_path)
+        lake.widen_column_type("v", "bigint")
+        # a wide batch and a STILL-NARROW batch (old writer) both land
+        lake.append(spark.createDataFrame([(3, 2**40)], "id bigint, v bigint"))
+        lake.append(spark.createDataFrame([(4, 40)], "id bigint, v int"))
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["v"] == "bigint"
+        got = sorted((r.id, r.v) for r in snap.collect())
+        assert got == [(1, 10), (2, 20), (3, 2**40), (4, 40)]
+
+    def test_dml_on_widened_table(self, spark, tmp_path):
+        lake = self._intlake(spark, tmp_path)
+        lake.widen_column_type("v", "bigint")
+        lake.append(spark.createDataFrame([(3, 2**40)], "id bigint, v bigint"))
+        lake.delete_where("v = 10")
+        lake.update_where("id = 2", {"v": "v + 1"}, mode="dv")
+        got = sorted((r.id, r.v) for r in lake.snapshot().collect())
+        assert got == [(2, 21), (3, 2**40)]
+
+    def test_float_to_double(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "fd"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 1.5)], "id bigint, f float"))
+        lake.widen_column_type("f", "double")
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["f"] == "double"
+        assert snap.collect()[0].f == 1.5
+
+    def test_unsupported_widenings_fail_loudly(self, spark, tmp_path):
+        lake = self._intlake(spark, tmp_path)
+        with pytest.raises(ValueError, match="not a reader-supported"):
+            lake.widen_column_type("v", "smallint")  # narrowing
+        lake2 = TransactionalLake(
+            spark, str(tmp_path / "bd"), partition_by=())
+        lake2.append(spark.createDataFrame([(1, 2)], "id bigint, v bigint"))
+        with pytest.raises(ValueError, match="not a reader-supported"):
+            lake2.widen_column_type("v", "double")  # bigint->double
+        with pytest.raises(ValueError, match="no such column"):
+            lake.widen_column_type("ghost", "bigint")
+        # no-op: already at target
+        v = lake.version
+        assert lake.widen_column_type("id", "bigint") == v
+
+    def test_divergent_append_fails_instead_of_poisoning_reads(
+        self, spark, tmp_path
+    ):
+        """Pre-r10 a cross-family batch wrote files mergeSchema can
+        never merge again — every later read died. Now the append
+        itself fails loudly and the table stays readable."""
+        lake = self._intlake(spark, tmp_path)
+        with pytest.raises(ValueError, match="committed"):
+            lake.append(spark.createDataFrame(
+                [(9, "oops")], "id bigint, v string"))
+        assert lake.snapshot().count() == 2
+
+    def test_widen_survives_checkpoint_vacuum_and_clone(
+        self, spark, tmp_path
+    ):
+        lake = self._intlake(spark, tmp_path)
+        lake.widen_column_type("v", "bigint")
+        lake._write_checkpoint(lake.version)
+        lake.vacuum_log()
+        assert dict(lake.snapshot().dtypes)["v"] == "bigint"
+        lake.append(spark.createDataFrame([(5, 50)], "id bigint, v int"))
+        assert dict(lake.snapshot().dtypes)["v"] == "bigint"
+        clone = lake.clone(str(tmp_path / "twc"))
+        assert dict(clone.snapshot().dtypes)["v"] == "bigint"
+        got = sorted(r.v for r in clone.snapshot().collect())
+        assert got == [10, 20, 50]
+
+    def test_widen_through_column_mapping_rename(self, spark, tmp_path):
+        lake = self._intlake(spark, tmp_path)
+        lake.rename_column("v", "qty")
+        lake.widen_column_type("qty", "bigint")
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["qty"] == "bigint"
+        assert sorted(r.qty for r in snap.collect()) == [10, 20]
+
+    def test_cdc_reads_widened_history(self, spark, tmp_path):
+        lake = self._intlake(spark, tmp_path)
+        lake.widen_column_type("v", "bigint")
+        lake.append(spark.createDataFrame([(3, 2**40)], "id bigint, v bigint"))
+        ch = lake.read_changes(starting_version=0)
+        ins = ch.filter("_change_type = 'insert'")
+        assert dict(ins.dtypes)["v"] == "bigint"
+        assert sorted(r.v for r in ins.collect()) == [10, 20, 2**40]
+
+    def test_time_travel_shows_prewiden_type_restore_keeps_wide(
+        self, spark, tmp_path
+    ):
+        """Time travel BEFORE the widen reads the narrow type (the
+        fold stops at the target version); a RESTORE across the
+        widen keeps the widened read type — widening is a one-way
+        door (values roll back exactly; the wider type is a safe
+        superset)."""
+        lake = self._intlake(spark, tmp_path)
+        v0 = lake.version
+        lake.widen_column_type("v", "bigint")
+        assert dict(lake.snapshot(version=v0).dtypes)["v"] == "int"
+        lake.restore(version=v0)
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["v"] == "bigint"
+        assert sorted((r.id, r.v) for r in snap.collect()) == [
+            (1, 10), (2, 20)]
