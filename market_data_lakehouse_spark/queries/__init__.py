@@ -95,8 +95,8 @@ _DRIVER_WINDOW = [
     "t13_restore_across_dv",  # restore: mapping rolls back
     "t11_incremental_mv",     # read_changes: logical projection
     "f5_stats_skipping",      # prune_files: logical-bounds entry
-    "f6_bloom_skipping",      # prune_files: logical-bounds entry
     "s21_type_widening",      # r10 NEW: metadata-only ALTER COLUMN TYPE
+    "s22_row_tracking",       # r10 NEW: stable row ids + commit versions
 ]
 
 

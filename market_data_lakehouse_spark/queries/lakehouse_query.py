@@ -1111,3 +1111,85 @@ def s21_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("metadata_only", F.lit(metadata_only))
         .withColumn("narrow_before", F.lit(narrow_before))
     )
+
+
+@register(
+    "s22_row_tracking",
+    oracle="""
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS cents
+               FROM events),
+    d AS (SELECT * FROM c WHERE NOT cents % 7 = 0),
+    u AS (SELECT event_id, event_type,
+                 CASE WHEN event_id % 10 = 0
+                      THEN cents + 1 ELSE cents END AS cents
+          FROM d)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS ids_stable,
+           TRUE AS ids_unique,
+           TRUE AS vers_ok
+    FROM u GROUP BY event_type
+    """,
+)
+def s22_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking as a hard signal (S8 extension, r10 — Delta
+    row-tracking parity): stable ``_row_id`` + ``_row_commit_version``
+    per row, surviving compaction and DML. The gate ingests half the
+    corpus, enables tracking (metadata-only backfill), COMPACTS and
+    asserts in-query that every row keeps its (id -> event_id)
+    binding through the rewrite, ingests the other half, dv-DELETEs
+    and CoW-UPDATEs through it, then asserts id uniqueness and that
+    exactly the updated rows carry the updating commit's version.
+    DuckDB recomputes the surviving data from raw events — a row
+    lost or duplicated by any id-preserving rewrite hash-mismatches,
+    and the stability/uniqueness asserts fail the run loudly."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    lake_dir = os.path.join(
+        tempfile.gettempdir(), f"mdl_rowtrack_{uuid.uuid4().hex[:8]}"
+    )
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.filter("event_id % 2 = 0").repartition(3))
+    tx.enable_row_tracking()
+    ids0 = tx.snapshot(with_row_ids=True).select("_row_id", "event_id")
+    tx.optimize()  # the canonical id-preserving rewrite
+    ids1 = tx.snapshot(with_row_ids=True).select("_row_id", "event_id")
+    drift = (
+        ids0.alias("a")
+        .join(ids1.alias("b"), "_row_id", "full")
+        .filter("a.event_id IS DISTINCT FROM b.event_id")
+        .count()
+    )
+    ids_stable = drift == 0
+    assert ids_stable, f"{drift} row ids drifted across compaction"
+    tx.append(ev.filter("event_id % 2 = 1").repartition(2))
+    tx.delete_where("cents % 7 = 0", mode="dv")
+    v_upd = tx.update_where("event_id % 10 = 0", {"cents": "cents + 1"})
+    final = tx.snapshot(with_row_ids=True).localCheckpoint(eager=False)
+    n_rows = final.count()
+    ids_unique = final.select("_row_id").distinct().count() == n_rows
+    assert ids_unique, "duplicate _row_id after DML"
+    vers_ok = (
+        final.filter(
+            f"(event_id % 10 = 0) != (_row_commit_version = {v_upd})"
+        ).count()
+        == 0
+    )
+    assert vers_ok, "row_commit_version not exactly the updated rows"
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("ids_stable", F.lit(ids_stable))
+        .withColumn("ids_unique", F.lit(ids_unique))
+        .withColumn("vers_ok", F.lit(vers_ok))
+    )

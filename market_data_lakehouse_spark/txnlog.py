@@ -270,6 +270,18 @@ class TransactionalLake:
         props: dict[str, str] = (
             dict(cp.get("properties", {})) if cp else {}
         )
+        rtrack: dict | None = (
+            {
+                "enabled": True,
+                "high_water": int(cp["row_tracking"]["high_water"]),
+                "base": {
+                    f: list(b)
+                    for f, b in cp["row_tracking"]["base"].items()
+                },
+            }
+            if cp and cp.get("row_tracking")
+            else None
+        )
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
@@ -323,6 +335,21 @@ class TransactionalLake:
                         props[k] = val
             elif c.get("op") == "clone" and c.get("properties"):
                 props.update(c["properties"])
+            if c.get("row_tracking") is not None and rtrack is None:
+                rtrack = {"enabled": True, "high_water": 0, "base": {}}
+            if rtrack is not None:
+                for f in c.get("remove", []):
+                    rtrack["base"].pop(f, None)
+                for f, bv in c.get("row_base", {}).items():
+                    rtrack["base"][f] = list(bv)
+                if c.get("row_high_water") is not None:
+                    rtrack["high_water"] = max(
+                        rtrack["high_water"], int(c["row_high_water"])
+                    )
+        if rtrack is not None:
+            rtrack["base"] = {
+                f: b for f, b in rtrack["base"].items() if f in live
+            }
         stats = {f: s for f, s in stats.items() if f in live}
         rows = {f: n for f, n in rows.items() if f in live}
         blooms = {f: b for f, b in blooms.items() if f in live}
@@ -345,6 +372,7 @@ class TransactionalLake:
             "identity": identity,
             "column_mapping": col_map,
             "properties": props,
+            "row_tracking": rtrack,
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -418,7 +446,11 @@ class TransactionalLake:
                             min(cols[name][0], lo),
                             max(cols[name][1], hi),
                         ]
-            out[rel] = {k: v for k, v in cols.items() if v is not None}
+            out[rel] = {
+                k: v
+                for k, v in cols.items()
+                if v is not None and not k.startswith("_rt_")
+            }
         return out
 
     def _collect_rows(self, rel_paths: list[str]) -> dict:
@@ -1037,11 +1069,48 @@ class TransactionalLake:
                 # are left uncommitted and reclaimed by vacuum()
                 return current
             version = current + 1
+            payload_action = action
+            if action.get("add"):
+                # row tracking: reserve a contiguous id range per
+                # added file off the high-water mark AT THIS HEAD —
+                # inside the race loop, so a lost version race (or a
+                # scoped rebase) re-derives the ranges from the new
+                # head and two writers can never claim the same ids;
+                # files whose base the caller already fixed (restore
+                # re-adding old files, clone) keep it
+                rt = self._row_tracking_state()
+                if rt is not None:
+                    base = {
+                        f: list(b)
+                        for f, b in action.get("row_base", {}).items()
+                    }
+                    hw = int(rt["high_water"])
+                    rows_map = action.get("rows", {})
+                    for f in action["add"]:
+                        if f in base:
+                            continue
+                        n = rows_map.get(f, -1)
+                        if n < 0:
+                            n = self._parquet_rows(
+                                os.path.join(self.path, f)
+                            )
+                        if n < 0:
+                            raise RuntimeError(
+                                "row tracking: unknown row count for "
+                                f"{f!r} — cannot reserve an id range"
+                            )
+                        base[f] = [hw, version]
+                        hw += n
+                    payload_action = {
+                        **action,
+                        "row_base": base,
+                        "row_high_water": hw,
+                    }
             payload = {
                 "version": version,
                 "timestamp": time.time(),
                 "partition_by": list(self.partition_by),
-                **action,
+                **payload_action,
             }
             tmp = os.path.join(self.log_path, f".tmp_{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
@@ -1330,6 +1399,12 @@ class TransactionalLake:
         """``schemas``: pass an already-resolved schema history to
         skip the extra O(commits) log scan (stream_upsert pays this
         per micro-batch otherwise)."""
+        reserved = [c for c in df.columns if c.startswith("_rt_")]
+        if reserved:
+            raise ValueError(
+                f"column names {reserved} use the reserved '_rt_' "
+                "prefix (row-tracking physical columns)"
+            )
         if schemas is None:
             if self.version < 0:
                 return
@@ -1347,6 +1422,14 @@ class TransactionalLake:
                 f"schema mismatch: new columns {sorted(new)}; pass "
                 "merge_schema=True to evolve the table schema"
             )
+
+    # row tracking: physical column names materialized into rewritten
+    # files so carried rows keep their ids; never part of the table
+    # schema, hidden from every data read (the '_rt_' prefix is
+    # reserved — _check_schema rejects user columns carrying it)
+    _RT_ID = "_rt_row_id"
+    _RT_VER = "_rt_row_ver"
+    _RT_COLS = (_RT_ID, _RT_VER)
 
     # schema-JSON primitive name <-> Catalyst simpleString
     _JSON_TO_SIMPLE = {
@@ -1496,11 +1579,18 @@ class TransactionalLake:
             }
         )
 
-    def _conform(self, df: DataFrame, schemas: list[str]) -> DataFrame:
+    def _conform(
+        self, df: DataFrame, schemas: list[str], keep: tuple = ()
+    ) -> DataFrame:
         """Project ``df`` onto the table's committed schema: missing
         columns null-fill with their committed type, order follows the
         committed field order. Keeps DML over pre-evolution files (or
-        narrow sources) from silently dropping evolved columns."""
+        narrow sources) from silently dropping evolved columns.
+
+        ``keep``: extra non-schema columns to carry through when
+        present (the row-tracking physical columns an id-preserving
+        rewrite materializes — they are never part of the table
+        schema, so the strict select would drop them)."""
         if not schemas:
             return df
         fields = self._merged_fields(schemas)
@@ -1519,7 +1609,8 @@ class TransactionalLake:
                 )
                 .alias(f["name"])
                 for f in fields
-            ]
+            ],
+            *[F.col(c) for c in keep if c in have],
         )
 
     # widenings Spark's store-assignment (ANSI) policy treats as
@@ -1869,15 +1960,21 @@ class TransactionalLake:
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         affected = self._affected_files(snap, match)
+        rt = self._row_tracking_state()
         parts: list[DataFrame] = [self._conform(df, schemas)]
         if affected:
             aff_dvs = {f: p for f, p in dvs.items() if f in affected}
-            aff = self._df_for_files(affected, schemas, dvs=aff_dvs)
-            parts.append(self._conform(aff.filter(~match), schemas))
+            # survivors of partially-replaced files keep their row
+            # ids (materialized); the replacement rows are fresh
+            parts.append(
+                self._rewrite_src(affected, schemas, aff_dvs, rt).filter(
+                    ~match
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        out = self._conform(out, schemas)
+        out = self._conform(out, schemas, keep=self._RT_COLS)
         self._enforce_constraints(out, "overwrite_where")
         added = self._write_files(out)
         return self._commit(
@@ -1886,7 +1983,7 @@ class TransactionalLake:
                 "predicate": predicate,
                 "add": added,
                 "remove": affected,
-                "schema": out.schema.json(),
+                "schema": out.drop(*self._RT_COLS).schema.json(),
             },
             read_version=read_v, read_bounds=read_bounds,
         )
@@ -1993,9 +2090,11 @@ class TransactionalLake:
             )
         # conform BEFORE filtering: a predicate referencing a column
         # only later files carry must see it (null-filled) on
-        # pre-evolution files too, not raise UNRESOLVED_COLUMN
-        kept = self._conform(
-            self._df_for_files(affected, schemas, dvs=dvs), schemas
+        # pre-evolution files too, not raise UNRESOLVED_COLUMN;
+        # _rewrite_src additionally materializes row-tracking ids so
+        # surviving rows keep them through the rewrite
+        kept = self._rewrite_src(
+            affected, schemas, dvs, self._row_tracking_state()
         ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         added = self._write_files(kept)
         return self._commit(
@@ -2044,20 +2143,46 @@ class TransactionalLake:
         old: list[str],
         schemas: list[str],
         dvs: dict[str, list[int]],
+        with_rt: bool = False,
     ) -> DataFrame:
         """Visible-row scan carrying ``_row_file`` / ``_row_pos``
         position columns — the read side of every merge-on-read
         writer (dv delete/update/merge). Rows already hidden by a
         vector are anti-joined away; evolved columns are null-filled
         WITHOUT ``_conform``'s strict select (it would drop the
-        position columns the whole scan exists for)."""
+        position columns the whole scan exists for).
+
+        ``with_rt``: surface the materialized row-tracking columns
+        (null-filled where a file lacks them) — the read side of
+        id-preserving rewrites. Default hides them: they are physical
+        internals, never data."""
         reader = self.spark.read.option("basePath", self.path)
         struct = self._explicit_read_schema(schemas)
         if struct is not None:
+            if with_rt:
+                from pyspark.sql.types import (
+                    LongType,
+                    StructField,
+                    StructType,
+                )
+
+                struct = StructType(
+                    struct.fields
+                    + [
+                        StructField(c, LongType(), True)
+                        for c in self._RT_COLS
+                    ]
+                )
             reader = reader.schema(struct)
         else:
             reader = reader.option("mergeSchema", "true")
         raw = reader.parquet(*[os.path.join(self.path, f) for f in old])
+        if with_rt:
+            for c in self._RT_COLS:
+                if c not in raw.columns:
+                    raw = raw.withColumn(c, F.lit(None).cast("long"))
+        else:
+            raw = raw.drop(*self._RT_COLS)
         fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         raw = raw.withColumn("_row_file", fname).withColumn(
             "_row_pos", F.col("_metadata.row_index")
@@ -2170,9 +2295,12 @@ class TransactionalLake:
                 read_version=read_v, read_bounds=read_bounds,
             )
         # conform before predicate/assignment evaluation (see
-        # delete_where) so evolved columns resolve on every file
-        aff_df = self._conform(
-            self._df_for_files(affected, schemas, dvs=dvs), schemas
+        # delete_where) so evolved columns resolve on every file;
+        # with row tracking the rewrite keeps every row's id and
+        # resets the UPDATED rows' version to this commit (carried
+        # rows keep theirs) — Delta's row-commit-version semantics
+        aff_df = self._rewrite_src(
+            affected, schemas, dvs, self._row_tracking_state()
         )
         rewritten = aff_df.select(
             *[
@@ -2181,7 +2309,13 @@ class TransactionalLake:
                     F.expr(assignments[c]).cast(dict(aff_df.dtypes)[c]),
                 ).otherwise(F.col(c)).alias(c)
                 if c in assignments
-                else F.col(c)
+                else (
+                    F.when(match, F.lit(None).cast("bigint"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c == self._RT_VER
+                    else F.col(c)
+                )
                 for c in aff_df.columns
             ]
         )
@@ -2213,9 +2347,11 @@ class TransactionalLake:
             return self._commit(
                 {**action_base, "dv": {}, "add": []}, read_version=read_v, read_bounds=read_bounds
             )
-        raw = self._positional_scan(old, schemas, dvs)
-        unknown = set(assignments) - (set(raw.columns)
-                                      - {"_row_file", "_row_pos"})
+        rt = self._row_tracking_state()
+        raw = self._positional_scan(old, schemas, dvs, with_rt=bool(rt))
+        unknown = set(assignments) - (
+            set(raw.columns) - {"_row_file", "_row_pos", *self._RT_COLS}
+        )
         if unknown:
             raise ValueError(
                 f"update_where: unknown columns {sorted(unknown)}"
@@ -2224,7 +2360,12 @@ class TransactionalLake:
         # collect); checkpoint so the scan+filter runs once
         matched = raw.filter(
             F.coalesce(F.expr(predicate), F.lit(False))
-        ).localCheckpoint(eager=False)
+        )
+        if rt is not None:
+            # postimage keeps the row's id; its version defaults to
+            # THIS commit (drop the carried _rt_row_ver)
+            matched = self._rt_attach(matched, old, rt).drop(self._RT_VER)
+        matched = matched.localCheckpoint(eager=False)
         hits = matched.select("_row_file", "_row_pos").collect()
         if not hits:
             return self._commit(
@@ -2240,7 +2381,7 @@ class TransactionalLake:
                 if c not in ("_row_file", "_row_pos")
             ]
         )
-        post = self._conform(post, schemas)
+        post = self._conform(post, schemas, keep=(self._RT_ID,))
         self._enforce_constraints(post, "update")
         added = self._write_files(post)
         return self._commit(
@@ -2274,15 +2415,20 @@ class TransactionalLake:
         it (the position collect, the postimage build, and the
         insert anti-join)."""
         action_base = {"op": "merge_dv", **txn_action}
-        raw = self._positional_scan(old, schemas, dvs)
+        rt = self._row_tracking_state()
+        raw = self._positional_scan(old, schemas, dvs, with_rt=bool(rt))
         src_bytes = self._measured_bytes(source)
         src_keys = self._maybe_broadcast(
             source.select(*keys).distinct(),
             est_bytes=sum(src_bytes[k] for k in keys),
         )
-        matched = raw.join(src_keys, keys, "left_semi").localCheckpoint(
-            eager=False
-        )
+        matched = raw.join(src_keys, keys, "left_semi")
+        if rt is not None:
+            # update postimages keep their row id; versions default
+            # to this commit; INSERTS carry no id column at all and
+            # get base + row_index in their fresh files
+            matched = self._rt_attach(matched, old, rt).drop(self._RT_VER)
+        matched = matched.localCheckpoint(eager=False)
         hits = matched.select("_row_file", "_row_pos").collect()
         parts: list[DataFrame] = []
         if hits and when_matched == "update":
@@ -2330,7 +2476,7 @@ class TransactionalLake:
             )
         added: list[str] = []
         if out is not None:
-            out = self._conform(out, schemas)
+            out = self._conform(out, schemas, keep=(self._RT_ID,))
             self._enforce_constraints(out, "merge")
             added = self._write_files(out)
         return self._commit(
@@ -2502,8 +2648,9 @@ class TransactionalLake:
             ]
         )
         parts: list[DataFrame] = []
+        rt = self._row_tracking_state()
         aff_df = (
-            self._conform(self._df_for_files(affected, schemas, dvs=dvs), schemas)
+            self._rewrite_src(affected, schemas, dvs, rt)
             if affected
             else None
         )
@@ -2542,7 +2689,13 @@ class TransactionalLake:
                         *[
                             F.col(f"_src_{c}").alias(c)
                             if c in src_cols
-                            else F.col(c)
+                            else (
+                                # updated row: id carries, version
+                                # resets to this commit (file default)
+                                F.lit(None).cast("bigint").alias(c)
+                                if c == self._RT_VER
+                                else F.col(c)
+                            )
                             for c in aff_df.columns
                         ]
                     )
@@ -2568,13 +2721,20 @@ class TransactionalLake:
                 p, allowMissingColumns=True
             )
         if out is not None:
-            missing = [c for c in snap.columns if c not in out.columns]
+            types = dict(snap.dtypes)
+            want = list(snap.columns)
+            if rt is not None:
+                # inserts carry no rt columns — null-fill so fresh
+                # rows take base + row_index in their new files
+                want += list(self._RT_COLS)
+                types.update(dict.fromkeys(self._RT_COLS, "bigint"))
+            missing = [c for c in want if c not in out.columns]
             out = out.select(
                 *[
-                    F.lit(None).cast(dict(snap.dtypes)[c]).alias(c)
+                    F.lit(None).cast(types[c]).alias(c)
                     if c in missing
                     else c
-                    for c in snap.columns
+                    for c in want
                 ]
             )
         if out is None:
@@ -2590,7 +2750,7 @@ class TransactionalLake:
                 "op": "merge",
                 "add": added,
                 "remove": affected,
-                "schema": out.schema.json(),
+                "schema": out.drop(*self._RT_COLS).schema.json(),
                 **txn_action,
             },
             read_version=read_v, read_bounds=read_bounds,
@@ -2600,15 +2760,65 @@ class TransactionalLake:
     # reads
     # ------------------------------------------------------------------
     def snapshot(
-        self, version: int | None = None, timestamp: str | None = None
+        self,
+        version: int | None = None,
+        timestamp: str | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Table state as of a version/timestamp (time-travel,
         reference README.md:28, 136). Default: latest. Columns carry
         their LOGICAL names as of the resolved version — a rename is
-        time-travel aware (older snapshots show the older name)."""
+        time-travel aware (older snapshots show the older name).
+
+        ``with_row_ids`` (requires :meth:`enable_row_tracking`):
+        append ``_row_id`` (stable 64-bit id, survives compaction and
+        copy-on-write DML) and ``_row_commit_version`` (commit that
+        last modified the row). Computed as ``coalesce(materialized,
+        base + row_index)`` with one broadcast join against the
+        one-row-per-file base map — zero shuffles, zero extra
+        scans."""
         files, schemas, v, dvs = self._snapshot_state(version, timestamp)
-        df = self._df_for_files(files, schemas, dvs=dvs)
-        return self._to_logical(df, self._column_mapping_doc(as_of=v))
+        doc = self._column_mapping_doc(as_of=v)
+        if not with_row_ids:
+            df = self._df_for_files(files, schemas, dvs=dvs)
+            return self._to_logical(df, doc)
+        rt = self._row_tracking_state(as_of=v)
+        if rt is None:
+            raise ValueError(
+                "row tracking is not enabled"
+                + ("" if version is None and timestamp is None
+                   else " as of the requested snapshot")
+            )
+        rid = F.col(self._RT_ID).alias("_row_id")
+        rver = F.col(self._RT_VER).alias("_row_commit_version")
+        if not files:
+            df = self._df_for_files(files, schemas)  # empty, typed
+            df = df.withColumn(
+                "_row_id", F.lit(None).cast("bigint")
+            ).withColumn("_row_commit_version", F.lit(None).cast("bigint"))
+        else:
+            raw = self._rt_attach(
+                self._positional_scan(files, schemas, dvs, with_rt=True),
+                files,
+                rt,
+            )
+            df = raw.select(
+                *[f["name"] for f in self._merged_fields(schemas)],
+                rid,
+                rver,
+            )
+        if doc is None:
+            return df
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(p).alias(lg)
+                for lg, p in doc["cols"].items()
+                if p in have
+            ],
+            "_row_id",
+            "_row_commit_version",
+        )
 
     def _df_for_files(
         self,
@@ -2644,7 +2854,9 @@ class TransactionalLake:
             reader = reader.schema(struct)
         else:
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
+        df = reader.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        ).drop(*self._RT_COLS)
         if dvs:
             keep = set(files)
             pairs = [
@@ -2707,7 +2919,7 @@ class TransactionalLake:
                 reader = reader.option("mergeSchema", "true")
             return reader.parquet(
                 *[os.path.join(self.path, f) for f in paths]
-            )
+            ).drop(*self._RT_COLS)
 
         def _with_pos(paths: list[str]) -> DataFrame:
             df = _read_paths(paths)
@@ -2986,10 +3198,16 @@ class TransactionalLake:
         # the whole table)
         read_bounds = dict(where) if where else None
         sub_dvs = {f: p for f, p in dvs.items() if f in subset}
-        snap = self._df_for_files(subset, schemas, dvs=sub_dvs)
+        # compaction is the canonical id-preserving rewrite: with row
+        # tracking on, every compacted row carries its id + version
+        # into the new files
+        snap = self._rewrite_src(
+            subset, schemas, sub_dvs, self._row_tracking_state()
+        )
         n = max(1, files_per_partition)
         parts = [F.col(c) for c in self.partition_by]
-        bucket = F.pmod(F.xxhash64(*(zorder_by or snap.columns)), F.lit(n))
+        data_cols = [c for c in snap.columns if c not in self._RT_COLS]
+        bucket = F.pmod(F.xxhash64(*(zorder_by or data_cols)), F.lit(n))
         # EXPLICIT shuffle-partition count: a bare repartition(cols)
         # is an AQE-coalescible hint, and on a small table AQE merges
         # everything into one partition — silently ignoring
@@ -3095,6 +3313,7 @@ class TransactionalLake:
             # properties, like Delta's
             "column_mapping": self.column_mapping(),
             "properties": self.properties(),
+            "row_tracking": self.row_tracking(),
         }
 
     def files(self) -> DataFrame:
@@ -3175,6 +3394,22 @@ class TransactionalLake:
             "add": [f for f in target_files if f not in cur],
             "remove": [f for f in cur_files if f not in tgt],
         }
+        rt_head = self._row_tracking_state()
+        if rt_head is not None and action["add"]:
+            # re-added files keep their ORIGINAL base row ids (id
+            # stability across restore); a file with no recorded base
+            # anywhere (removed before tracking was enabled) falls
+            # through to a fresh range in _commit
+            rt_tgt = self._row_tracking_state(as_of=target_v)
+            rb: dict[str, list[int]] = {}
+            for f in action["add"]:
+                b = (rt_tgt or {"base": {}})["base"].get(f) or rt_head[
+                    "base"
+                ].get(f)
+                if b is not None:
+                    rb[f] = list(b)
+            if rb:
+                action["row_base"] = rb
         # deletion-vector reconciliation (r8 — the pre-r8 code refused
         # to restore while vectors were active): for every file alive
         # in the RESTORED state, the commit SETS its vector to exactly
@@ -3317,6 +3552,17 @@ class TransactionalLake:
         props = self.properties()
         if props:
             action["properties"] = props
+        rt = self._row_tracking_state()
+        if rt is not None:
+            # row ids carry into the clone byte-for-byte (the linked
+            # files' materialized columns plus the same base map), and
+            # the high-water mark carries so clone-side appends can
+            # never reuse source-assigned ids
+            action["row_tracking"] = {"enabled": True}
+            action["row_base"] = {
+                f: list(rt["base"][f]) for f in files if f in rt["base"]
+            }
+            action["row_high_water"] = rt["high_water"]
         target._commit(action)
         return target
 
@@ -3807,6 +4053,204 @@ class TransactionalLake:
         if isinstance(names, dict):
             return {cols.get(k, k): v for k, v in names.items()}
         return type(names)(cols.get(n, n) for n in names)
+
+    # ------------------------------------------------------------------
+    # row tracking (Delta row-tracking parity: stable row ids +
+    # row commit versions that survive every rewrite)
+    # ------------------------------------------------------------------
+    def enable_row_tracking(self) -> int:
+        """Turn on ROW TRACKING (Delta's ``delta.enableRowTracking``):
+        every row gets a stable 64-bit ``_row_id`` and a
+        ``_row_commit_version`` (the commit that last modified it),
+        both of which SURVIVE compaction and copy-on-write DML.
+
+        Mechanism (Delta's design, re-expressed on this log):
+
+        - every add-commit reserves a contiguous id range per file
+          (``row_base``: file -> [base_row_id, default_version]) off
+          a table-level high-water mark — assigned atomically inside
+          the commit race loop, so two racing appends can never claim
+          the same range;
+        - a FRESH row's id is ``base + row_index`` and its version is
+          the file's default — zero bytes stored per row;
+        - a REWRITTEN row (compaction, CoW delete/update/merge,
+          replaceWhere survivors, dv-update postimages) carries its
+          id forward in a materialized physical column
+          (``_rt_row_id``; updates also reset ``_rt_row_ver`` so the
+          row's version becomes the updating commit) — the same
+          materialize-on-rewrite trade Delta makes;
+        - reads compute ``coalesce(materialized, base + row_index)``
+          via one broadcast join on the (bounded, one-row-per-file)
+          base map — zero shuffles, zero extra scans;
+        - merge-on-read DML never touches files, so ids are stable
+          there by construction (row positions don't move).
+
+        Enabling on a populated table is metadata-only: live files
+        get bases backfilled from their logged row counts (their
+        rows' default version is the enable-time head — no per-file
+        add-version history exists). Idempotent. The state folds
+        through checkpoints, ``vacuum_log``, ``clone`` and
+        ``restore`` like every other table-level metadata."""
+        if self._row_tracking_state() is not None:
+            return self.version  # idempotent
+        files, schemas, read_v, _dvs = self._snapshot_state()
+        if schemas:
+            bad = {
+                f["name"] for f in self._merged_fields(schemas)
+            } & set(self._RT_COLS)
+            if bad:
+                raise ValueError(
+                    f"cannot enable row tracking: data columns "
+                    f"{sorted(bad)} collide with the reserved "
+                    "row-tracking physical names"
+                )
+        rows = self._rows_index(read_v) if files else {}
+        base: dict[str, list[int]] = {}
+        hw = 0
+        for f in files:
+            n = rows.get(f, -1)
+            if n < 0:
+                n = self._parquet_rows(os.path.join(self.path, f))
+            if n < 0:
+                raise RuntimeError(
+                    f"row tracking: unknown row count for {f!r}"
+                )
+            base[f] = [hw, max(read_v, 0)]
+            hw += n
+        # read_version pins the backfill: an append racing this
+        # enable would otherwise commit files with no base
+        return self._commit(
+            {
+                "op": "row_tracking",
+                "row_tracking": {"enabled": True},
+                "row_base": base,
+                "row_high_water": hw,
+            },
+            read_version=read_v,
+        )
+
+    def _row_tracking_state(self, as_of: int | None = None) -> dict | None:
+        """``{"high_water": int, "base": {file: [base, default_ver]}}``
+        when row tracking is enabled (as of ``as_of``), else None.
+        Newest checkpoint's folded state plus the commit tail — the
+        same fold shape as :meth:`identity_state`, so ``vacuum_log``
+        can never drop it."""
+        cp = self._latest_checkpoint(max_version=as_of)
+        state: dict | None = (
+            {
+                "high_water": int(cp["row_tracking"]["high_water"]),
+                "base": {
+                    f: list(b)
+                    for f, b in cp["row_tracking"]["base"].items()
+                },
+            }
+            if cp and cp.get("row_tracking")
+            else None
+        )
+        start = cp["version"] + 1 if cp else 0
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v < start or (as_of is not None and v > as_of):
+                continue
+            c = self._read_commit(v)
+            if c.get("row_tracking") is not None and state is None:
+                state = {"high_water": 0, "base": {}}
+            if state is None:
+                continue
+            for f in c.get("remove", []):
+                state["base"].pop(f, None)
+            for f, bv in c.get("row_base", {}).items():
+                state["base"][f] = list(bv)
+            if c.get("row_high_water") is not None:
+                state["high_water"] = max(
+                    state["high_water"], int(c["row_high_water"])
+                )
+        return state
+
+    def row_tracking(self) -> dict | None:
+        """Public view: ``{"enabled": True, "high_water": N}`` or
+        None when the feature is off."""
+        rt = self._row_tracking_state()
+        if rt is None:
+            return None
+        return {"enabled": True, "high_water": rt["high_water"]}
+
+    def _rt_base_df(self, rt: dict, files: list[str]) -> DataFrame:
+        """Broadcast side of the row-id computation: one row per
+        file — (basename, base_row_id, default_version). Bounded by
+        the live-file count, the same metadata scale as the log
+        itself. A live file with no base is a protocol violation
+        (ids would silently come out NULL) — fail loudly."""
+        missing = [f for f in files if f not in rt["base"]]
+        if missing:
+            raise RuntimeError(
+                f"row tracking: {len(missing)} live file(s) have no "
+                f"base row id (e.g. {missing[0]!r}) — log corruption"
+            )
+        return self.spark.createDataFrame(
+            [
+                (
+                    os.path.basename(f),
+                    int(rt["base"][f][0]),
+                    int(rt["base"][f][1]),
+                )
+                for f in files
+            ],
+            "_rtb_file string, _rtb_base bigint, _rtb_ver bigint",
+        )
+
+    def _rt_attach(
+        self, raw: DataFrame, files: list[str], rt: dict
+    ) -> DataFrame:
+        """Resolve each row's id/version onto the ``_rt_`` physical
+        columns: the materialized value when the row was carried
+        through a rewrite, else ``base + row_index`` / the file's
+        default version. ``raw`` must carry ``_row_file``/``_row_pos``
+        and the (possibly null-filled) ``_rt_`` columns."""
+        out = raw.join(
+            F.broadcast(self._rt_base_df(rt, files)),
+            F.col("_row_file") == F.col("_rtb_file"),
+            "left",
+        )
+        return (
+            out.withColumn(
+                self._RT_ID,
+                F.coalesce(
+                    F.col(self._RT_ID),
+                    F.col("_rtb_base") + F.col("_row_pos"),
+                ),
+            )
+            .withColumn(
+                self._RT_VER,
+                F.coalesce(F.col(self._RT_VER), F.col("_rtb_ver")),
+            )
+            .drop("_rtb_file", "_rtb_base", "_rtb_ver")
+        )
+
+    def _rewrite_src(
+        self,
+        affected: list[str],
+        schemas: list[str],
+        dvs: dict[str, list[int]],
+        rt: dict | None,
+    ) -> DataFrame:
+        """Copy-on-write rewrite input over ``affected``: the
+        conformed visible rows — plus, when row tracking is on,
+        materialized ``_rt_row_id``/``_rt_row_ver`` columns so every
+        carried row keeps its id and last-modified version through
+        the rewrite (16 bytes/row of write amplification on rewritten
+        files only; fresh files stay metadata-priced — Delta's
+        materialize-on-rewrite trade)."""
+        if rt is None:
+            return self._conform(
+                self._df_for_files(affected, schemas, dvs=dvs), schemas
+            )
+        raw = self._rt_attach(
+            self._positional_scan(affected, schemas, dvs, with_rt=True),
+            affected,
+            rt,
+        )
+        return self._conform(raw, schemas, keep=self._RT_COLS)
 
     def set_partitioning(self, partition_by: tuple[str, ...]) -> int:
         """Partition evolution: rewrite the table under a new layout

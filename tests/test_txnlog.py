@@ -2076,3 +2076,230 @@ class TestTypeWidening:
         assert dict(snap.dtypes)["v"] == "bigint"
         assert sorted((r.id, r.v) for r in snap.collect()) == [
             (1, 10), (2, 20)]
+
+
+class TestRowTracking:
+    """r10: ROW TRACKING (Delta row-tracking parity) — every row a
+    stable 64-bit ``_row_id`` + ``_row_commit_version``, surviving
+    compaction and copy-on-write DML. Fresh rows are metadata-priced
+    (id = per-file base + row_index); only rewritten files pay the
+    16-bytes/row materialization."""
+
+    def _lake(self, spark, tmp_path, name="rt"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, f"k{i}", float(i)) for i in range(10)],
+            "id bigint, k string, v double").repartition(3))
+        return lake
+
+    @staticmethod
+    def _ids(lake, **kw):
+        rows = lake.snapshot(with_row_ids=True, **kw).collect()
+        m = {r["_row_id"]: (r.id, r["_row_commit_version"]) for r in rows}
+        assert len(m) == len(rows), "duplicate _row_id"
+        assert all(rid is not None for rid in m), "null _row_id"
+        return m
+
+    def test_enable_is_metadata_only_and_ids_are_contiguous(
+        self, spark, tmp_path
+    ):
+        lake = self._lake(spark, tmp_path)
+        files = sorted(lake._snapshot_state()[0])
+        lake.enable_row_tracking()
+        assert sorted(lake._snapshot_state()[0]) == files  # no rewrite
+        m = self._ids(lake)
+        assert sorted(m) == list(range(10))  # contiguous from 0
+        assert lake.row_tracking() == {"enabled": True, "high_water": 10}
+        # idempotent
+        v = lake.version
+        assert lake.enable_row_tracking() == v
+
+    def test_fresh_appends_get_fresh_contiguous_ids(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        lake.append(spark.createDataFrame(
+            [(100 + i, f"n{i}", 0.0) for i in range(5)],
+            "id bigint, k string, v double").repartition(2))
+        m = self._ids(lake)
+        assert sorted(m) == list(range(15))
+        new_ids = {rid for rid, (bid, _) in m.items() if bid >= 100}
+        assert new_ids == set(range(10, 15))
+
+    def test_ids_survive_compaction(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        before = self._ids(lake)
+        lake.optimize()
+        after = self._ids(lake)
+        assert after == before  # same id -> same (business key, ver)
+
+    def test_cow_delete_preserves_survivor_ids(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        before = self._ids(lake)
+        lake.delete_where("id % 3 = 0")
+        after = self._ids(lake)
+        gone = {rid for rid, (bid, _) in before.items() if bid % 3 == 0}
+        assert after == {
+            rid: bv for rid, bv in before.items() if rid not in gone}
+
+    def test_dv_delete_preserves_survivor_ids(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        before = self._ids(lake)
+        lake.delete_where("id % 3 = 0", mode="dv")
+        after = self._ids(lake)
+        assert after == {
+            rid: bv for rid, bv in before.items() if bv[0] % 3 != 0}
+
+    def test_cow_update_keeps_id_bumps_version(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        before = self._ids(lake)
+        v = lake.update_where("id >= 7", {"v": "v * 10"})
+        after = self._ids(lake)
+        assert set(after) == set(before)
+        for rid, (bid, ver) in after.items():
+            if bid >= 7:
+                assert ver == v, (rid, bid, ver)
+            else:
+                assert ver == before[rid][1], (rid, bid, ver)
+
+    def test_dv_update_keeps_id_bumps_version(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        before = self._ids(lake)
+        v = lake.update_where("id >= 7", {"v": "v * 10"}, mode="dv")
+        after = self._ids(lake)
+        assert set(after) == set(before)
+        for rid, (bid, ver) in after.items():
+            assert ver == (v if bid >= 7 else before[rid][1])
+
+    def test_merge_keeps_matched_ids_fresh_insert_ids(
+        self, spark, tmp_path
+    ):
+        for mode in ("rewrite", "dv"):
+            lake = self._lake(spark, tmp_path, name=f"m_{mode}")
+            lake.enable_row_tracking()
+            before = self._ids(lake)
+            src = spark.createDataFrame(
+                [(3, "k3", 99.0), (7, "k7", 99.0), (50, "new", 1.0)],
+                "id bigint, k string, v double")
+            v = lake.merge(src, on="id", mode=mode)
+            after = self._ids(lake)
+            # matched rows keep their ids, version bumped
+            for rid, (bid, ver) in before.items():
+                assert rid in after
+                assert after[rid][0] == bid
+                assert after[rid][1] == (v if bid in (3, 7) else ver)
+            ins = set(after) - set(before)
+            assert len(ins) == 1 and after[next(iter(ins))][0] == 50
+            assert min(ins) >= 10  # fresh range, never reused
+
+    def test_overwrite_where_survivors_keep_ids(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ow"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+            "id bigint, g string, v double").coalesce(1))
+        lake.enable_row_tracking()
+        before = self._ids(lake)
+        lake.overwrite_where(
+            spark.createDataFrame([(100, "b", 0.0)],
+                                  "id bigint, g string, v double"),
+            "g = 'b'")
+        after = self._ids(lake)
+        survivors = {rid: bv for rid, bv in before.items() if bv[0] < 5}
+        for rid, bv in survivors.items():
+            assert after[rid][0] == bv[0]
+        fresh = set(after) - set(survivors)
+        assert len(fresh) == 1 and after[next(iter(fresh))][0] == 100
+
+    def test_state_survives_checkpoint_vacuum_clone(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        lake.delete_where("id = 0")
+        before = self._ids(lake)
+        lake._write_checkpoint(lake.version)
+        lake.vacuum_log()
+        assert self._ids(lake) == before
+        lake.append(spark.createDataFrame(
+            [(200, "c", 0.0)], "id bigint, k string, v double"))
+        m = self._ids(lake)
+        new = set(m) - set(before)
+        assert len(new) == 1 and min(new) >= 10  # high water survived
+        clone = lake.clone(str(tmp_path / "rtc"))
+        cm = self._ids(clone)
+        assert cm == m  # byte-identical ids
+        clone.append(spark.createDataFrame(
+            [(300, "d", 0.0)], "id bigint, k string, v double"))
+        cm2 = self._ids(clone)
+        assert set(cm2) - set(cm) and min(set(cm2) - set(cm)) >= max(m) + 1
+
+    def test_restore_keeps_original_ids(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        v0 = lake.version
+        before = self._ids(lake)
+        lake.delete_where("id < 5")  # rewrite drops files
+        lake.restore(version=v0)
+        after = self._ids(lake)
+        assert {r: b[0] for r, b in after.items()} == {
+            r: b[0] for r, b in before.items()}
+
+    def test_time_travel_with_row_ids(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        v_enable = lake.version
+        before = self._ids(lake)
+        lake.delete_where("id % 2 = 0")
+        assert self._ids(lake, version=v_enable) == before
+        with pytest.raises(ValueError, match="not enabled"):
+            lake.snapshot(version=v_enable - 1, with_row_ids=True)
+
+    def test_reserved_prefix_rejected(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        with pytest.raises(ValueError, match="reserved"):
+            lake.append(spark.createDataFrame(
+                [(1, "x", 0.0, 5)],
+                "id bigint, k string, v double, _rt_row_id bigint"))
+
+    def test_not_enabled_raises(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        with pytest.raises(ValueError, match="not enabled"):
+            lake.snapshot(with_row_ids=True)
+        assert lake.row_tracking() is None
+        assert lake.detail()["row_tracking"] is None
+
+    def test_normal_reads_never_leak_rt_columns(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        lake.update_where("id = 1", {"v": "0.5"})  # materializes _rt_
+        assert not [c for c in lake.snapshot().columns
+                    if c.startswith("_rt_")]
+        ch = lake.read_changes(starting_version=0)
+        assert not [c for c in ch.columns if c.startswith("_rt_")]
+
+    def test_column_mapping_interplay(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        before = self._ids(lake)
+        lake.rename_column("v", "val")
+        snap = lake.snapshot(with_row_ids=True)
+        assert "val" in snap.columns and "_row_id" in snap.columns
+        assert self._ids(lake) == before
+
+    def test_concurrent_appender_handles_get_disjoint_ranges(
+        self, spark, tmp_path
+    ):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        other = TransactionalLake(
+            spark, lake.path, partition_by=())
+        lake.append(spark.createDataFrame(
+            [(201, "a", 0.0)], "id bigint, k string, v double"))
+        other.append(spark.createDataFrame(
+            [(202, "b", 0.0)], "id bigint, k string, v double"))
+        m = self._ids(lake)
+        assert sorted(m) == list(range(12))  # no overlap, no gap
