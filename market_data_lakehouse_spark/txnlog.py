@@ -1106,9 +1106,24 @@ class TransactionalLake:
                         "row_base": base,
                         "row_high_water": hw,
                     }
+            # monotonic in-commit timestamps (Delta ICT semantics):
+            # timestamp time-travel resolves by "last commit with
+            # ts <= target", which silently skips commits if a racing
+            # writer's clock (or an NTP step) makes timestamps go
+            # BACKWARD — so each commit's recorded time is clamped to
+            # strictly after its predecessor's. One extra small read
+            # per commit; versions stay the ordering source of truth.
+            prev_ts = 0.0
+            if current >= 0:
+                try:
+                    prev_ts = float(self._read_commit(current)["timestamp"])
+                except (OSError, KeyError, ValueError):
+                    cp_prev = self._latest_checkpoint(max_version=current)
+                    if cp_prev is not None and cp_prev.get("timestamp"):
+                        prev_ts = float(cp_prev["timestamp"])
             payload = {
                 "version": version,
-                "timestamp": time.time(),
+                "timestamp": max(time.time(), prev_ts + 1e-3),
                 "partition_by": list(self.partition_by),
                 **payload_action,
             }
@@ -1886,6 +1901,12 @@ class TransactionalLake:
         """Atomic full-table replace: one commit adds the new files
         and removes every previously-live file."""
         old, _schemas, read_v, _dvs = self._snapshot_state()
+        reserved = [c for c in df.columns if c.startswith("_rt_")]
+        if reserved:
+            raise ValueError(
+                f"column names {reserved} use the reserved '_rt_' "
+                "prefix (row-tracking physical columns)"
+            )
         df, mdoc = self._to_physical(df, extend=True)
         df = self._apply_generated(df)
         added, _ = self._checked_write(df, "overwrite")
@@ -2886,13 +2907,53 @@ class TransactionalLake:
                 )
         return df
 
-    def read_changes(self, starting_version: int = 0) -> DataFrame:
+    def read_changes(
+        self, starting_version: int = 0, with_row_ids: bool = False
+    ) -> DataFrame:
         """CDC feed (reference README.md:174 / Delta CDF): rows added
         by each commit >= starting_version, tagged with
         ``_change_type`` and ``_commit_version``. Append-only commits
         feed inserts; overwrite/delete commits additionally emit the
-        removed rows as deletes."""
+        removed rows as deletes.
+
+        ``with_row_ids`` (requires :meth:`enable_row_tracking`): every
+        change row additionally carries ``_row_id`` and
+        ``_row_commit_version`` — ROW LINEAGE across the feed. An
+        update's delete/insert pair shares one ``_row_id``, so a
+        consumer can key incremental maintenance on identity instead
+        of reconstructing business keys; a rewrite's survivor churn
+        (same id deleted+inserted, same values) becomes provably a
+        no-op. Ids come from the immutable per-file base map in the
+        log (one broadcast join per emission, no shuffle)."""
         names = self._commit_files()
+        all_base: dict[str, list[int]] = {}
+        if with_row_ids:
+            if self._row_tracking_state() is None:
+                raise ValueError(
+                    "read_changes(with_row_ids=True) requires "
+                    "enable_row_tracking()"
+                )
+            # per-file base ranges are write-once: prefold every
+            # recorded assignment (plus the pre-log checkpoint's map)
+            # so emissions from commits BEFORE a backfilling enable
+            # still resolve
+            if names:
+                cp_rt = self._latest_checkpoint(
+                    max_version=int(names[0].split(".")[0]) - 1
+                )
+                if cp_rt and cp_rt.get("row_tracking"):
+                    all_base.update(
+                        {
+                            f: list(b)
+                            for f, b in cp_rt["row_tracking"][
+                                "base"
+                            ].items()
+                        }
+                    )
+            for name in names:
+                c0 = self._read_commit(int(name.split(".")[0]))
+                for f, bv in c0.get("row_base", {}).items():
+                    all_base[f] = list(bv)
         oldest = int(names[0].split(".")[0]) if names else self.version + 1
         if starting_version < oldest and starting_version <= self.version:
             cp = self._latest_checkpoint()
@@ -2910,24 +2971,89 @@ class TransactionalLake:
         # the history turns heterogeneous)
         run_schemas: list[str] = []
 
-        def _read_paths(paths: list[str]) -> DataFrame:
+        def _read_paths(
+            paths: list[str], keep_rt: bool = False
+        ) -> DataFrame:
             reader = self.spark.read.option("basePath", self.path)
             struct = self._explicit_read_schema(run_schemas)
             if struct is not None:
+                if keep_rt:
+                    from pyspark.sql.types import (
+                        LongType,
+                        StructField,
+                        StructType,
+                    )
+
+                    struct = StructType(
+                        struct.fields
+                        + [
+                            StructField(c, LongType(), True)
+                            for c in self._RT_COLS
+                        ]
+                    )
                 reader = reader.schema(struct)
             else:
                 reader = reader.option("mergeSchema", "true")
-            return reader.parquet(
+            df = reader.parquet(
                 *[os.path.join(self.path, f) for f in paths]
-            ).drop(*self._RT_COLS)
+            )
+            if not keep_rt:
+                return df.drop(*self._RT_COLS)
+            for c in self._RT_COLS:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("long"))
+            return df
 
-        def _with_pos(paths: list[str]) -> DataFrame:
-            df = _read_paths(paths)
+        def _with_pos(
+            paths: list[str], keep_rt: bool = False
+        ) -> DataFrame:
+            df = _read_paths(paths, keep_rt=keep_rt)
             fname = F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             )
             return df.withColumn("_row_file", fname).withColumn(
                 "_row_pos", F.col("_metadata.row_index")
+            )
+
+        def _rt_ids(df: DataFrame, paths: list[str]) -> DataFrame:
+            missing = [f for f in paths if f not in all_base]
+            if missing:
+                raise ValueError(
+                    "read_changes(with_row_ids=True): no base row id "
+                    f"for {missing[0]!r} — the file left the table "
+                    "before row tracking was enabled; start the feed "
+                    "at or after the enabling commit"
+                )
+            bdf = self.spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(f),
+                        int(all_base[f][0]),
+                        int(all_base[f][1]),
+                    )
+                    for f in paths
+                ],
+                "_rtb_file string, _rtb_base bigint, _rtb_ver bigint",
+            )
+            out = df.join(
+                F.broadcast(bdf),
+                F.col("_row_file") == F.col("_rtb_file"),
+                "left",
+            )
+            return (
+                out.withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col(self._RT_ID),
+                        F.col("_rtb_base") + F.col("_row_pos"),
+                    ),
+                )
+                .withColumn(
+                    "_row_commit_version",
+                    F.coalesce(F.col(self._RT_VER), F.col("_rtb_ver")),
+                )
+                .drop("_rtb_file", "_rtb_base", "_rtb_ver",
+                      *self._RT_COLS)
             )
 
         def _pair_df(dv: dict[str, list[int]]) -> DataFrame:
@@ -2999,7 +3125,14 @@ class TransactionalLake:
                             }.items()
                             if f in paths and p
                         }
-                    if skip:
+                    if with_row_ids:
+                        df = _with_pos(paths, keep_rt=True)
+                        if skip:
+                            df = _pair_join(df, skip, "left_anti")
+                        df = _rt_ids(df, paths).drop(
+                            "_row_file", "_row_pos"
+                        )
+                    elif skip:
                         df = _pair_join(
                             _with_pos(paths), skip, "left_anti"
                         ).drop("_row_file", "_row_pos")
@@ -3013,11 +3146,15 @@ class TransactionalLake:
                     # positional delete: emit exactly this commit's
                     # newly-deleted rows (a clone's vectors carry
                     # state, not new deletions)
+                    dvp = _pair_join(
+                        _with_pos(list(c["dv"]), keep_rt=with_row_ids),
+                        c["dv"],
+                        "left_semi",
+                    )
+                    if with_row_ids:
+                        dvp = _rt_ids(dvp, list(c["dv"]))
                     emit.append(
-                        _pair_join(
-                            _with_pos(list(c["dv"])), c["dv"], "left_semi"
-                        )
-                        .drop("_row_file", "_row_pos")
+                        dvp.drop("_row_file", "_row_pos")
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v))
                     )
@@ -3040,12 +3177,17 @@ class TransactionalLake:
                 for dv_map, change in ((hidden, "delete"),
                                        (unhidden, "insert")):
                     if dv_map:
+                        rp = _pair_join(
+                            _with_pos(
+                                list(dv_map), keep_rt=with_row_ids
+                            ),
+                            dv_map,
+                            "left_semi",
+                        )
+                        if with_row_ids:
+                            rp = _rt_ids(rp, list(dv_map))
                         emit.append(
-                            _pair_join(
-                                _with_pos(list(dv_map)), dv_map,
-                                "left_semi",
-                            )
-                            .drop("_row_file", "_row_pos")
+                            rp.drop("_row_file", "_row_pos")
                             .withColumn("_change_type", F.lit(change))
                             .withColumn("_commit_version", F.lit(v))
                         )
@@ -3074,11 +3216,18 @@ class TransactionalLake:
                 self._df_for_files(files, schemas),
                 self._column_mapping_doc(),
             )
-            return (
+            base = (
                 base.limit(0)
                 .withColumn("_change_type", F.lit(None).cast("string"))
                 .withColumn("_commit_version", F.lit(None).cast("int"))
             )
+            if with_row_ids:
+                base = base.withColumn(
+                    "_row_id", F.lit(None).cast("bigint")
+                ).withColumn(
+                    "_row_commit_version", F.lit(None).cast("bigint")
+                )
+            return base
         mdoc = self._column_mapping_doc()
         if mdoc is not None:
             have = set(out.columns)
@@ -3090,6 +3239,11 @@ class TransactionalLake:
                 ],
                 "_change_type",
                 "_commit_version",
+                *(
+                    ["_row_id", "_row_commit_version"]
+                    if with_row_ids
+                    else []
+                ),
             )
         return out
 

@@ -468,3 +468,49 @@ class TestConcurrentIdentityAppends:
         # via the count assertion being >= 0 and the permutation gate
         # above doing the real work)
         assert retries[0] >= 0
+
+
+class TestConcurrentRowTrackingAppends:
+    def test_eight_appenders_disjoint_id_ranges(self, spark, tmp_path):
+        """r10: 8 threads appending to ONE row-tracked table. Base
+        row-id ranges are reserved INSIDE the commit race loop (the
+        winner's ranges derive from the head it actually committed
+        on; a lost version race re-derives), so the expected behavior
+        under contention is plain version-race retries — never two
+        files sharing an id range. After all appenders drain, the
+        _row_id column must be exactly a permutation of 0..n-1."""
+        path = str(tmp_path / "rttx")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.enable_row_tracking()
+        appenders, rows = 8, 10
+        errors: list[Exception] = []
+
+        def work(w: int) -> None:
+            mine = TransactionalLake(spark, path, partition_by=None)
+            df = spark.range(rows).select(
+                (F.lit(w) * 1000 + F.col("id")).alias("k")
+            )
+            try:
+                mine.append(df)  # blind appends retry internally
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=work, args=(w,))
+            for w in range(appenders)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        n = appenders * rows
+        got = lake.snapshot(with_row_ids=True).select(
+            "_row_id", "k"
+        ).collect()
+        ids = sorted(r["_row_id"] for r in got)
+        assert ids == list(range(n)), (
+            f"row ids not a permutation of 0..{n - 1}: "
+            f"head={ids[:5]} tail={ids[-5:]} len={len(ids)}"
+        )
+        assert lake.row_tracking()["high_water"] == n

@@ -2303,3 +2303,122 @@ class TestRowTracking:
             [(202, "b", 0.0)], "id bigint, k string, v double"))
         m = self._ids(lake)
         assert sorted(m) == list(range(12))  # no overlap, no gap
+
+
+class TestMonotonicCommitTimestamps:
+    """r10: in-commit timestamps are strictly increasing (Delta ICT
+    semantics). Timestamp time-travel resolves by 'last commit with
+    ts <= target' — a racing writer's skewed clock (or an NTP step
+    backward) would otherwise make the fold skip real commits."""
+
+    def test_backward_clock_is_clamped(self, spark, tmp_path, monkeypatch):
+        import market_data_lakehouse_spark.txnlog as T
+
+        lake = TransactionalLake(spark, str(tmp_path / "ict"),
+                                 partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "id bigint"))
+        t1 = lake._read_commit(lake.version)["timestamp"]
+        real = T.time.time
+        # second writer's clock is 1h behind
+        monkeypatch.setattr(T.time, "time", lambda: real() - 3600.0)
+        lake.append(spark.createDataFrame([(2,)], "id bigint"))
+        monkeypatch.setattr(T.time, "time", real)
+        t2 = lake._read_commit(lake.version)["timestamp"]
+        assert t2 > t1  # clamped strictly after the predecessor
+        # timestamp travel at t2 sees BOTH commits
+        assert lake.snapshot(
+            timestamp=t2).count() == 2
+
+    def test_timestamps_strictly_increase_across_ops(
+        self, spark, tmp_path
+    ):
+        lake = TransactionalLake(spark, str(tmp_path / "ict2"),
+                                 partition_by=())
+        lake.append(spark.createDataFrame([(i,) for i in range(4)],
+                                          "id bigint").coalesce(1))
+        lake.delete_where("id = 0")
+        lake.update_where("id = 1", {"id": "10"})
+        lake.optimize()
+        ts = [lake._read_commit(v)["timestamp"]
+              for v in range(lake.version + 1)]
+        assert all(b > a for a, b in zip(ts, ts[1:]))
+
+
+class TestCdcRowLineage:
+    """r10: CDC with row lineage — read_changes(with_row_ids=True)
+    carries each change row's stable _row_id, so an update's
+    delete/insert pair shares one id and consumers can key
+    incremental maintenance on identity."""
+
+    def _lake(self, spark, tmp_path, name="cdl"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(8)],
+            "id bigint, v double").repartition(2))
+        lake.enable_row_tracking()
+        return lake
+
+    def test_update_pair_shares_row_id(self, spark, tmp_path):
+        for mode in ("rewrite", "dv"):
+            lake = self._lake(spark, tmp_path, name=f"u_{mode}")
+            v0 = lake.version
+            lake.update_where("id = 3", {"v": "99.0"}, mode=mode)
+            ch = lake.read_changes(
+                starting_version=v0 + 1, with_row_ids=True
+            ).filter("id = 3").collect()
+            dels = [r for r in ch if r["_change_type"] == "delete"]
+            ins = [r for r in ch if r["_change_type"] == "insert"]
+            assert len(dels) == 1 and len(ins) == 1, (mode, ch)
+            assert dels[0]["_row_id"] == ins[0]["_row_id"], mode
+            assert ins[0].v == 99.0
+
+    def test_insert_ids_match_snapshot(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        ch = lake.read_changes(starting_version=0, with_row_ids=True)
+        got = {r["_row_id"]: r.id for r in
+               ch.filter("_change_type = 'insert'").collect()}
+        snap = {r["_row_id"]: r.id for r in
+                lake.snapshot(with_row_ids=True).collect()}
+        assert got == snap
+
+    def test_dv_delete_emits_ids(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        before = {r["_row_id"]: r.id for r in
+                  lake.snapshot(with_row_ids=True).collect()}
+        v0 = lake.version
+        lake.delete_where("id >= 6", mode="dv")
+        ch = lake.read_changes(
+            starting_version=v0 + 1, with_row_ids=True).collect()
+        assert {r["_row_id"] for r in ch} == {
+            rid for rid, bid in before.items() if bid >= 6}
+
+    def test_requires_tracking(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "nt"), partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "id bigint"))
+        with pytest.raises(ValueError, match="enable_row_tracking"):
+            lake.read_changes(with_row_ids=True)
+
+    def test_restore_emissions_carry_ids(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        v0 = lake.version
+        before = {r["_row_id"]: r.id for r in
+                  lake.snapshot(with_row_ids=True).collect()}
+        lake.delete_where("id < 4")
+        v_del = lake.version
+        lake.restore(version=v0)
+        ch = lake.read_changes(
+            starting_version=v_del + 1, with_row_ids=True
+        ).collect()
+        ins = {r["_row_id"]: r.id for r in ch
+               if r["_change_type"] == "insert"}
+        dels = {r["_row_id"]: r.id for r in ch
+                if r["_change_type"] == "delete"}
+        # CoW restore churns the survivor files (documented): every
+        # churned delete re-inserts under the SAME id — the lineage
+        # property that lets a consumer prove the churn is a no-op
+        assert set(dels) <= set(ins)
+        assert all(ins[rid] == bid for rid, bid in dels.items())
+        # net effect: the restored state, ids intact
+        assert ins == before

@@ -417,6 +417,83 @@ def dv_block(base_dv: dict, scaled_dv: dict, factor: int) -> dict:
     }
 
 
+def row_tracking_probe(spark, sf_dir: str) -> dict:
+    """r10: two-point scale evidence for ROW TRACKING. Claims under
+    test: (a) ``enable_row_tracking`` on a populated table is
+    metadata-priced — O(live files), flat while the file count is
+    fixed and rows grow 16x; (b) the ``with_row_ids`` read costs one
+    broadcast join over the scan — its time grows like the plain
+    scan, never faster; (c) the id-preserving CoW update stays
+    scan-bound (the materialized-id machinery adds O(rewritten rows),
+    not a new asymptotic term)."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="rtprobe_")
+    try:
+        tx = TransactionalLake(spark, os.path.join(d, "t"), partition_by=())
+        tx.append(ev.repartition(8))
+        n = tx.snapshot().count()  # warms cache
+
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        tx.enable_row_tracking()
+        enable_sec = time.perf_counter() - t0
+
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        tx.snapshot().count()
+        plain_sec = time.perf_counter() - t0
+
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        ids = tx.snapshot(with_row_ids=True)
+        n_ids = ids.count()
+        rt_read_sec = time.perf_counter() - t0
+        uniq = ids.select("_row_id").distinct().count()
+
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        tx.update_where("event_id % 89 = 1", {"value": "value + 1"})
+        cow_update_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "rows": n,
+        "ids_complete_and_unique": n == n_ids == uniq,
+        "enable_sec": round(enable_sec, 4),
+        "plain_read_sec": round(plain_sec, 4),
+        "rt_read_sec": round(rt_read_sec, 4),
+        "rt_read_overhead_vs_plain": round(
+            rt_read_sec / max(plain_sec, 1e-9), 2
+        ),
+        "cow_update_sec": round(cow_update_sec, 4),
+    }
+
+
+def rt_block(base_rt: dict, scaled_rt: dict, factor: int) -> dict:
+    """Ratio summary for the row-tracking two-point curve."""
+    ratios = {
+        k: round(scaled_rt[k] / max(base_rt[k], 1e-9), 2)
+        for k in ("enable_sec", "rt_read_sec", "cow_update_sec")
+    }
+    return {
+        "base": base_rt,
+        "scaled": scaled_rt,
+        "ratios": ratios,
+        "ids_ok_both": (
+            base_rt["ids_complete_and_unique"]
+            and scaled_rt["ids_complete_and_unique"]
+        ),
+        # enable is O(files): with the file count pinned at 8 it
+        # must not track the 16x row growth
+        "enable_metadata_priced": ratios["enable_sec"] <= factor / 2,
+        "near_linear": all(r <= factor for r in ratios.values()),
+    }
+
+
 def lsh_pair_counts() -> dict:
     """Candidate-volume observability: the LSH probes' pair counts
     from the runs time_queries just executed — the pair growth ratio
@@ -447,6 +524,12 @@ def main() -> int:
         help="run just the dv-DML block and merge it into the "
         "existing SCALE_PROBE.json (the full probe takes ~45 min)",
     )
+    ap.add_argument(
+        "--only-rt",
+        action="store_true",
+        help="run just the row-tracking block and merge it into the "
+        "existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
 
     from market_data_lakehouse_spark.session import get_spark
@@ -464,9 +547,25 @@ def main() -> int:
         t0 = time.perf_counter()
         scaled_dir(
             spark, args.sf_dir, args.factor, tmp,
-            tables=["events"] if args.only_dv else None,
+            tables=["events"] if (args.only_dv or args.only_rt) else None,
         )
         build_sec = round(time.perf_counter() - t0, 2)
+
+        if args.only_rt:
+            block = rt_block(
+                row_tracking_probe(spark, args.sf_dir),
+                row_tracking_probe(spark, tmp),
+                args.factor,
+            )
+            path = os.path.join(REPO, "SCALE_PROBE.json")
+            doc = json.load(open(path)) if os.path.exists(path) else {}
+            doc["row_tracking"] = block
+            with open(path, "w") as fh:
+                json.dump(doc, fh, indent=2)
+            print(json.dumps({"row_tracking": block}))
+            return 0 if (
+                block["near_linear"] and block["ids_ok_both"]
+            ) else 1
 
         if args.only_dv:
             block = dv_block(
@@ -556,6 +655,11 @@ def main() -> int:
                 ),
             },
             "dv_dml": dv_block(base_dv, scaled_dv, args.factor),
+            "row_tracking": rt_block(
+                row_tracking_probe(spark, args.sf_dir),
+                row_tracking_probe(spark, tmp),
+                args.factor,
+            ),
             "driver_rss_mb": {
                 "before": round(rss_before, 1),
                 "after_base": round(rss_mid, 1),
