@@ -21,7 +21,12 @@ set_partitioning — moves bytes, not rows, and is always skipped.
 
 Output schema = the table's committed schema (hive partition columns
 restored from the directory names, evolved columns null-filled on
-pre-evolution files) plus ``_commit_version``.
+pre-evolution files) plus ``_commit_version``. With
+``with_row_ids=true`` (requires ``enable_row_tracking()``) each row
+additionally carries its stable ``_row_id`` and
+``_row_commit_version`` — row lineage in the stream, computed
+executor-side at the Arrow level (base + row-index, coalesced with
+the materialized id a rewrite carried).
 
 Scale: the driver touches only the commit JSON (O(new commits) per
 trigger); row bytes move straight from parquet to Arrow batches in
@@ -148,11 +153,42 @@ def _table_schema(table_path: str) -> StructType:
     return out
 
 
+def _row_base_map(table_path: str) -> dict[str, list[int]]:
+    """Immutable per-file base row-id map (row tracking): the newest
+    checkpoint's folded map plus every commit's ``row_base``
+    assignments. Empty when the feature is unused. Per-file bases
+    are write-once, so a plain union fold is exact."""
+    out: dict[str, list[int]] = {}
+    cp = _latest_checkpoint(table_path)
+    start = 0
+    if cp:
+        start = cp["version"] + 1
+        if cp.get("row_tracking"):
+            out.update(
+                {f: list(b) for f, b in cp["row_tracking"]["base"].items()}
+            )
+    for v in _commit_versions(table_path):
+        if v < start:
+            continue
+        for f, b in _read_commit(table_path, v).get(
+            "row_base", {}
+        ).items():
+            out[f] = list(b)
+    return out
+
+
 class _AddFilePartition(InputPartition):
-    def __init__(self, abs_path: str, rel_path: str, version: int):
+    def __init__(
+        self,
+        abs_path: str,
+        rel_path: str,
+        version: int,
+        row_base: list[int] | None = None,
+    ):
         self.abs_path = abs_path
         self.rel_path = rel_path
         self.version = version
+        self.row_base = row_base
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -164,6 +200,20 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
+        self.with_row_ids = (
+            str(options.get("with_row_ids", "false")).lower() == "true"
+        )
+        # immutable per-file base row-id map, seeded at stream start;
+        # partitions() extends it from each planned commit's own
+        # row_base so files added mid-stream resolve without a refold
+        self._row_base: dict[str, list[int]] = (
+            _row_base_map(self.path) if self.with_row_ids else {}
+        )
+        if self.with_row_ids and not self._row_base:
+            raise ValueError(
+                "lake_changes: with_row_ids=true requires "
+                "enable_row_tracking() on the source table"
+            )
         self.schema = schema
         # logical -> physical translation for column-mapping tables:
         # schema names are logical, parquet/partition-dir names are
@@ -241,10 +291,23 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     "appends — set ignore_deletes=true to stream added "
                     "files anyway (Delta ignoreChanges semantics)"
                 )
+            if self.with_row_ids:
+                for f, b in c.get("row_base", {}).items():
+                    self._row_base[f] = list(b)
             for rel in c.get("add", []):
+                rb = None
+                if self.with_row_ids:
+                    rb = self._row_base.get(rel)
+                    if rb is None:
+                        raise ValueError(
+                            f"lake_changes: no base row id for {rel!r} "
+                            f"(commit v{v}) — the file predates row "
+                            "tracking; start the stream at or after "
+                            "the enabling commit"
+                        )
                 parts.append(
                     _AddFilePartition(
-                        os.path.join(self.path, rel), rel, v
+                        os.path.join(self.path, rel), rel, v, rb
                     )
                 )
         return parts
@@ -273,6 +336,39 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 cols.append(
                     pa.array([partition.version] * n, type=pa.int64())
                 )
+            elif field.name == "_row_id" and partition.row_base:
+                # base + row-index-in-file, unless the row carried a
+                # materialized id through a rewrite
+                base = int(partition.row_base[0])
+                fresh = pa.array(
+                    range(base, base + n), type=pa.int64()
+                )
+                if "_rt_row_id" in tbl.column_names:
+                    import pyarrow.compute as pc
+
+                    cols.append(
+                        pc.coalesce(
+                            tbl.column("_rt_row_id").combine_chunks(),
+                            fresh,
+                        )
+                    )
+                else:
+                    cols.append(fresh)
+            elif field.name == "_row_commit_version" and partition.row_base:
+                dv = pa.array(
+                    [int(partition.row_base[1])] * n, type=pa.int64()
+                )
+                if "_rt_row_ver" in tbl.column_names:
+                    import pyarrow.compute as pc
+
+                    cols.append(
+                        pc.coalesce(
+                            tbl.column("_rt_row_ver").combine_chunks(),
+                            dv,
+                        )
+                    )
+                else:
+                    cols.append(dv)
             elif phys in tbl.column_names:
                 col = tbl.column(phys)
                 try:
@@ -383,6 +479,10 @@ class LakeChangesDataSource(DataSource):
 
     def schema(self) -> StructType:
         base = _table_schema(self.options["path"])
+        rt = (
+            str(self.options.get("with_row_ids", "false")).lower()
+            == "true"
+        )
         return StructType(
             [
                 # force nullable: a column evolved in at commit N is
@@ -393,6 +493,14 @@ class LakeChangesDataSource(DataSource):
                     for f in base.fields
                 ],
                 StructField("_commit_version", LongType()),
+                *(
+                    [
+                        StructField("_row_id", LongType()),
+                        StructField("_row_commit_version", LongType()),
+                    ]
+                    if rt
+                    else []
+                ),
             ]
         )
 

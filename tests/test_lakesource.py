@@ -355,3 +355,63 @@ class TestMergedStreamSchema:
         ]
         vals = {r.k: r.x for r in got.collect()}
         assert vals == {1: 100, 2: None}, vals
+
+
+class TestRowIdStream:
+    """r10: with_row_ids=true — row lineage in the stream. Ids are
+    computed executor-side at the Arrow level: per-file base +
+    row-index, coalesced with the materialized id a rewrite
+    carried."""
+
+    def test_stream_ids_match_snapshot(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        path = str(tmp_path / "rts")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_rows(spark, 0, 6).repartition(2))
+        lake.enable_row_tracking()
+        lake.append(_rows(spark, 6, 9))
+        got = _drain(
+            spark, path, str(tmp_path / "out"), str(tmp_path / "ck"),
+            with_row_ids="true",
+        )
+        assert "_row_id" in got.columns
+        stream_ids = {r["_row_id"]: r.k for r in got.collect()}
+        snap_ids = {
+            r["_row_id"]: r.k
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        assert stream_ids == snap_ids
+
+    def test_rewritten_files_carry_materialized_ids(
+        self, spark, tmp_path
+    ):
+        register_lake_changes_source(spark)
+        path = str(tmp_path / "rtm")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_rows(spark, 0, 8).coalesce(1))
+        lake.enable_row_tracking()
+        before = {
+            r["_row_id"]: r.k
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        v0 = lake.version
+        lake.update_where("k = 3", {"price": "99.0"})  # CoW rewrite
+        got = _drain(
+            spark, path, str(tmp_path / "out2"), str(tmp_path / "ck2"),
+            with_row_ids="true", ignore_deletes="true",
+            starting_version=str(v0 + 1),
+        )
+        # the rewritten file streams every surviving row under its
+        # ORIGINAL id (materialized through the rewrite)
+        assert {r["_row_id"]: r.k for r in got.collect()} == before
+
+    def test_requires_tracking(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        path = str(tmp_path / "rtn")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_rows(spark, 0, 3))
+        with pytest.raises(Exception, match="enable_row_tracking"):
+            _drain(
+                spark, path, str(tmp_path / "out3"),
+                str(tmp_path / "ck3"), with_row_ids="true",
+            )
