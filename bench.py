@@ -17,9 +17,11 @@ same query at once.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -166,10 +168,11 @@ def bench_ingest(spark, sf_dir: str) -> float:
     # the second is the steady state. Each run writes a fresh lake.
     best = float("inf")
     for _ in range(2):
-        lake = DataLakehouse(
-            spark,
-            os.path.join(tempfile.gettempdir(), f"bench_{uuid.uuid4().hex[:8]}"),
+        d = os.path.join(
+            tempfile.gettempdir(), f"bench_{uuid.uuid4().hex[:8]}"
         )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        lake = DataLakehouse(spark, d)
         t0 = time.perf_counter()
         stats = lake.ingest_batch(bars)
         best = min(best, time.perf_counter() - t0)

@@ -73,3 +73,19 @@ def oracle_map() -> dict[str, str]:
         for name, spec in REGISTRY.items()
         if spec.oracle is not None
     }
+
+
+def scratch_dir(prefix: str) -> str:
+    """Process-lifetime scratch directory for query gates that build
+    a throwaway lake. The returned DataFrame is LAZY — the driver (or
+    oracle harness) collects it after the gate returns, so the dir
+    must outlive the function; cleanup is registered atexit instead.
+    Before this, every gate run leaked its lake into /tmp
+    (~3.7 GB / 1100 dirs accumulated across driver rounds)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"mdl_{prefix}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

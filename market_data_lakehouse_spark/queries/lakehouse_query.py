@@ -11,14 +11,16 @@ partition pruning lost one), the hash diverges.
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.lakehouse import DataLakehouse
-from market_data_lakehouse_spark.queries.catalog import load, register
+from market_data_lakehouse_spark.queries.catalog import (
+    load,
+    register,
+    scratch_dir,
+)
 
 
 def _bars_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,9 +57,7 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-partitioned parquet), then run the reference query path:
     symbol filter + inclusive time range + partition pruning +
     timestamp sort."""
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_roundtrip_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("roundtrip")
     lake = DataLakehouse(spark, lake_dir)
     lake.ingest_batch(_bars_from_events(spark, sf_dir))
     result = lake.query(
@@ -82,9 +82,7 @@ def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     427-452/603-628): same bar stream through a csv-format lake, read
     back through the schema-applied CSV scan, aggregated per symbol.
     Timestamps survive the text round-trip at microsecond precision."""
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_csv_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("csv")
     lake = DataLakehouse(spark, lake_dir, file_format="csv")
     lake.ingest_batch(_bars_from_events(spark, sf_dir))
     return (
@@ -121,9 +119,7 @@ def s8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .select("event_id", "event_type", "value", F.to_date("ts").alias("date"))
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_merge_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("merge")
     tx = TransactionalLake(spark, lake_dir, partition_by=("date",))
     tx.append(ev.filter(F.col("event_id") < 5000))
     source = ev.filter(
@@ -158,9 +154,7 @@ def s8_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_lakehouse_spark.queries.catalog import load
 
     ev = load(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_txn_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("txn")
     tx = TransactionalLake(spark, lake_dir, partition_by=("date",))
     tx.append(ev.filter(F.col("event_id") < 5000))
     tx.append(ev.filter(F.col("event_id") >= 5000))
@@ -220,9 +214,7 @@ def t11_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", to_scaled("value").alias("cents")
     )
-    root = os.path.join(
-        tempfile.gettempdir(), f"mdl_mv_{uuid.uuid4().hex[:8]}"
-    )
+    root = scratch_dir("mv")
     src = TransactionalLake(spark, os.path.join(root, "src"), partition_by=())
     mv = IncrementalAggView(
         spark,
@@ -270,9 +262,7 @@ def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB JSON ingest needs anyway: inference is a full extra
     scan."""
     docs = load(spark, sf_dir, "documents")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_json_{uuid.uuid4().hex[:8]}"
-    )
+    out_dir = scratch_dir("json")
     docs.write.mode("overwrite").json(out_dir)
     back = spark.read.schema(docs.schema).json(out_dir)
     return back.groupBy("source", "lang").agg(
@@ -302,9 +292,7 @@ def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survived the format conversion and the pushed filter selected
     exactly the right rows."""
     docs = load(spark, sf_dir, "documents")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_orc_{uuid.uuid4().hex[:8]}"
-    )
+    out_dir = scratch_dir("orc")
     docs.write.mode("overwrite").orc(out_dir)
     back = spark.read.orc(out_dir).filter(F.col("n_chars") > 100)
     return back.groupBy("source", "lang").agg(
@@ -341,9 +329,7 @@ def f5_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_skip_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("skip")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     # one file per append: the skip arithmetic is deterministic
     tx.append(ev.filter(F.col("event_id") < 300).coalesce(1))
@@ -397,9 +383,7 @@ def f6_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_bloom_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("bloom")
     tx = TransactionalLake(
         spark, lake_dir, partition_by=(), bloom_columns=("event_id",)
     )
@@ -444,9 +428,7 @@ def s12_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_dv_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("dv")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.repartition(3))
     before, _, _ = tx.prune_files({})
@@ -491,9 +473,7 @@ def s14_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_dvu_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("dvu")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.repartition(3))
     before, _, _ = tx.prune_files({})
@@ -540,9 +520,7 @@ def s15_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_detail_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("detail")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.repartition(3))
     tx.delete_where("event_id % 11 = 0", mode="dv")
@@ -597,9 +575,7 @@ def s16_overwrite_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_rw_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("rw")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.repartition(3))
     backfill = ev.filter(F.col("event_type") == "click").select(
@@ -644,9 +620,7 @@ def s17_scoped_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_so_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("so")
     tx = TransactionalLake(spark, lake_dir, partition_by=("event_type",))
     tx.append(ev.repartition(2))
     tx.delete_where("event_id % 9 = 0", mode="dv")
@@ -695,9 +669,7 @@ def t13_restore_across_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_rdv_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("rdv")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.repartition(3))  # v0
     tx.delete_where("event_id % 5 = 0", mode="dv")  # v1 <- target
@@ -740,9 +712,7 @@ def s13_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    root = os.path.join(
-        tempfile.gettempdir(), f"mdl_clone_{uuid.uuid4().hex[:8]}"
-    )
+    root = scratch_dir("clone")
     src = TransactionalLake(spark, os.path.join(root, "src"), partition_by=())
     src.append(ev.repartition(2))
     src.delete_where("event_id % 5 = 0", mode="dv")
@@ -839,9 +809,7 @@ def s18_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_cnt_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("cnt")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.repartition(3))
     tx.delete_where("event_id % 7 = 0", mode="dv")
@@ -885,9 +853,7 @@ def s19_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_id_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("id")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.set_identity("row_id")
     tx.append(ev.filter("event_id % 2 = 0").repartition(3))
@@ -933,9 +899,7 @@ def f7_generated_partition_pruning(
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "ts"
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_gen_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("gen")
     tx = TransactionalLake(
         spark,
         lake_dir,
@@ -998,9 +962,7 @@ def s20_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_cmap_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("cmap")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.filter("event_id % 2 = 0").repartition(2))
     v0 = tx.version
@@ -1073,9 +1035,7 @@ def s21_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).cast("int").alias("cents"),
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_widen_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("widen")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.filter("event_id % 2 = 0").repartition(2))
     v0 = tx.version
@@ -1152,9 +1112,7 @@ def s22_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    lake_dir = os.path.join(
-        tempfile.gettempdir(), f"mdl_rowtrack_{uuid.uuid4().hex[:8]}"
-    )
+    lake_dir = scratch_dir("rowtrack")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.filter("event_id % 2 = 0").repartition(3))
     tx.enable_row_tracking()
