@@ -131,6 +131,29 @@ def job_floor_control(spark) -> float:
     return time.perf_counter() - t0
 
 
+# CPU-throughput control (r10): the job-floor probe catches LAUNCH
+# contention but is blind to sustained CPU steal — an external tenant
+# burning 30% of every core lifts 0.4 s queries by 40% while 70 ms
+# floor probes stay inside their band (observed: a loadavg-9 episode
+# benched 1.4x across the board with a clean floor control). This
+# probe is FIXED CPU-bound work (codegen'd sum over an arithmetic
+# map, 32 static partitions, no data, no shuffle): its duration is
+# inversely proportional to the CPU share Spark actually got in that
+# window. Band calibrated on this host at idle (see
+# AB_BENCH.json `cpu_control_calibration`).
+CPU_CONTROL_N = 500_000_000
+CPU_BAND_SEC = (0.10, 0.32)  # calibrated band, this host
+CPU_LIMIT_SEC = 0.42  # band max + margin; above = contended window
+
+
+def cpu_throughput_control(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(0, CPU_CONTROL_N, 1, 32).selectExpr(
+        "sum(id * 2 + 1) as s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def bench_ingest(spark, sf_dir: str) -> float:
     """Validated partitioned ingest of the full lineitem table as
     bars (~600k rows at sf0.1) — the BASELINE.md ingestion-throughput
@@ -282,8 +305,13 @@ def main() -> None:
     times: dict[str, float] = {}
     controls: list[dict] = []
 
+    cpu_controls: list[dict] = []
+
     def control(at: str) -> None:
         controls.append({"at": at, "sec": round(job_floor_control(spark), 4)})
+        cpu_controls.append(
+            {"at": at, "sec": round(cpu_throughput_control(spark), 4)}
+        )
 
     # untimed warmup: pay the session's one-time costs (executor
     # spin-up, first codegen, parquet footer caching) outside any
@@ -291,6 +319,7 @@ def main() -> None:
     # the noop-writer codegen never inflates a recorded sample
     run_once(spark, REGISTRY["o2_topk"].fn, sf_dir)
     job_floor_control(spark)
+    cpu_throughput_control(spark)
     # INTERLEAVED passes (r7 VERDICT item 7): consecutive repeats of
     # one query all land inside the same host-pressure window, so
     # min-of-3-consecutive still over-reads when the whole invocation
@@ -350,6 +379,9 @@ def main() -> None:
     ctrl_secs = sorted(c["sec"] for c in controls)
     ctrl_median = ctrl_secs[len(ctrl_secs) // 2]
     hot = [c for c in controls if c["sec"] > CONTROL_LIMIT_SEC]
+    cpu_secs = sorted(c["sec"] for c in cpu_controls)
+    cpu_median = cpu_secs[len(cpu_secs) // 2]
+    cpu_hot = [c for c in cpu_controls if c["sec"] > CPU_LIMIT_SEC]
     contamination = {
         "control": "spark.range(1) noop write (job floor; code-independent)",
         "calibrated_band_sec": list(CONTROL_BAND_SEC),
@@ -357,7 +389,21 @@ def main() -> None:
         "samples": controls,
         "median_sec": round(ctrl_median, 4),
         "hot_samples": [c["at"] for c in hot],
-        "contaminated": ctrl_median > CONTROL_BAND_SEC[1],
+        # r10: sustained CPU steal is invisible to the launch-floor
+        # probe — the fixed-work throughput control catches it
+        "cpu_control": {
+            "work": f"sum(id*2+1) over range({CPU_CONTROL_N}), 32 parts",
+            "calibrated_band_sec": list(CPU_BAND_SEC),
+            "limit_sec": CPU_LIMIT_SEC,
+            "samples": cpu_controls,
+            "median_sec": round(cpu_median, 4),
+            "hot_samples": [c["at"] for c in cpu_hot],
+            "contended": cpu_median > CPU_BAND_SEC[1],
+        },
+        "contaminated": (
+            ctrl_median > CONTROL_BAND_SEC[1]
+            or cpu_median > CPU_BAND_SEC[1]
+        ),
     }
     # The driver failed to parse r8's stdout line once it crossed
     # ~2 kB (BENCH_r08.json `parsed: null`, tail-truncated) — keep
@@ -384,6 +430,9 @@ def main() -> None:
             "band_sec": list(CONTROL_BAND_SEC),
             "n_hot": len(hot),
             "n_samples": len(controls),
+            "cpu_median_sec": round(cpu_median, 4),
+            "cpu_band_sec": list(CPU_BAND_SEC),
+            "cpu_contended": cpu_median > CPU_BAND_SEC[1],
         },
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
