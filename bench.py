@@ -142,8 +142,8 @@ def job_floor_control(spark) -> float:
 # window. Band calibrated on this host at idle (see
 # AB_BENCH.json `cpu_control_calibration`).
 CPU_CONTROL_N = 500_000_000
-CPU_BAND_SEC = (0.10, 0.32)  # calibrated band, this host
-CPU_LIMIT_SEC = 0.42  # band max + margin; above = contended window
+CPU_BAND_SEC = (0.10, 0.30)  # calibrated band, this host
+CPU_LIMIT_SEC = 0.40  # band max + margin; above = contended window
 
 
 def cpu_throughput_control(spark) -> float:

@@ -169,6 +169,98 @@ class TransactionalLake:
         self.checkpoint_every = max(0, checkpoint_every)  # 0 = disabled
         self.bloom_columns = tuple(bloom_columns)
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        path: str,
+        **ctor_kwargs,
+    ) -> "TransactionalLake":
+        """CONVERT-in-place (Delta ``CONVERT TO DELTA`` parity): adopt
+        an existing plain parquet directory — flat or
+        hive-partitioned — into a transactional table with ONE
+        commit and ZERO bytes rewritten. The v0 commit adds every
+        discovered file; partition columns are detected from the
+        ``key=value`` directory layout; per-file stats / row counts
+        (and blooms, if configured) ride the ordinary add-commit
+        hook, so data skipping and metadata-only COUNT work from the
+        first read. Converting a 100 TB raw lake costs a directory
+        walk plus footer reads — O(files), driver-side here; a
+        cluster deployment would gather footers executor-side with
+        the same log format.
+
+        Refuses a directory that is already a transactional table
+        (has commits) or contains no parquet files. After convert,
+        the full surface — ACID DML, time travel, CDC, clone,
+        constraints, row tracking — applies to the adopted files."""
+        root = path.rstrip("/")
+        files: list[str] = []
+        part_keys: tuple[str, ...] | None = None
+        for dirpath, dirs, names in os.walk(root):
+            dirs[:] = [
+                d for d in dirs if not d.startswith((".", "_"))
+            ]
+            for fname in names:
+                if not fname.endswith(".parquet") or fname.startswith(
+                    (".", "_")
+                ):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(dirpath, fname), root
+                )
+                segs = rel.split(os.sep)[:-1]
+                keys = tuple(
+                    s.split("=", 1)[0] for s in segs if "=" in s
+                )
+                if len(keys) != len(segs):
+                    raise ValueError(
+                        f"convert: non-hive directory segment in "
+                        f"{rel!r} (expected key=value layout)"
+                    )
+                if part_keys is None:
+                    part_keys = keys
+                elif keys != part_keys:
+                    raise ValueError(
+                        "convert: inconsistent partition layout: "
+                        f"{keys} vs {part_keys} (file {rel!r})"
+                    )
+                files.append(rel)
+        if not files:
+            raise ValueError(f"convert: no parquet files under {root!r}")
+        ctor_kwargs.setdefault("partition_by", part_keys or ())
+        lake = cls(spark, root, **ctor_kwargs)
+        if lake.version >= 0:
+            raise ValueError(
+                f"{root!r} is already a transactional table "
+                f"(at v{lake.version})"
+            )
+        # commit partition columns as STRING (inference off): tables
+        # this engine creates record the writer batch's schema, where
+        # a date partition key is a plain string — matching that
+        # keeps post-convert appends working; reads surface inferred
+        # types identically on both table origins
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_was = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            schema = (
+                spark.read.option("basePath", root)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(root, f) for f in files])
+                .schema.json()
+            )
+        finally:
+            spark.conf.set(infer_key, infer_was)
+        lake._commit(
+            {
+                "op": "convert",
+                "add": sorted(files),
+                "remove": [],
+                "schema": schema,
+            }
+        )
+        return lake
+
     # ------------------------------------------------------------------
     # log primitives
     # ------------------------------------------------------------------
@@ -3399,7 +3491,9 @@ class TransactionalLake:
         except OSError:
             return 0
 
-    def vacuum(self, retention_seconds: float = 3600.0) -> int:
+    def vacuum(
+        self, retention_seconds: float = 3600.0, dry_run: bool = False
+    ) -> int | list[str]:
         """Physically delete files no longer referenced by the LATEST
         snapshot. After vacuum, time-travel to versions whose files
         were removed raises on read (matching Delta's contract).
@@ -3408,11 +3502,17 @@ class TransactionalLake:
         deleted (Delta's retention window, default 7 days there).
         A concurrent writer's files sit unreferenced in the table
         root between staging and commit — a zero-retention vacuum
-        would delete them out from under the in-flight commit."""
+        would delete them out from under the in-flight commit.
+
+        ``dry_run`` (Delta ``VACUUM ... DRY RUN``): return the list
+        of table-relative paths that WOULD be deleted, touching
+        nothing — the look-before-you-leap step for an irreversible
+        operation."""
         live, _schemas, _v, _dvs = self._snapshot_state()
         live_set = set(live)
         cutoff = time.time() - retention_seconds
         removed = 0
+        would_remove: list[str] = []
         for dirpath, dirs, files in os.walk(self.path):
             # skip the log and in-flight staging dirs (path-component
             # match, not substring)
@@ -3428,9 +3528,12 @@ class TransactionalLake:
                     and rel not in live_set
                     and os.path.getmtime(full) < cutoff
                 ):
+                    if dry_run:
+                        would_remove.append(rel)
+                        continue
                     os.unlink(full)
                     removed += 1
-        return removed
+        return sorted(would_remove) if dry_run else removed
 
     def detail(self) -> dict:
         """Table-level metadata snapshot (Delta ``DESCRIBE DETAIL``):
@@ -3500,15 +3603,36 @@ class TransactionalLake:
         )
 
     def history(self) -> list[dict]:
-        """Commit metadata, latest first (Delta DESCRIBE HISTORY)."""
-        return [
-            {
-                k: v
-                for k, v in self._read_commit(int(n.split(".")[0])).items()
-                if k != "schema"
+        """Commit metadata, latest first (Delta DESCRIBE HISTORY),
+        with per-commit OPERATION METRICS computed from the logged
+        content (Delta's operationMetrics): files added/removed,
+        output rows (from the logged per-file counts — no file
+        opens), and positionally deleted rows."""
+        out = []
+        for n in reversed(self._commit_files()):
+            c = self._read_commit(int(n.split(".")[0]))
+            rows = c.get("rows", {})
+            metrics = {
+                "num_added_files": len(c.get("add", [])),
+                "num_removed_files": len(c.get("remove", [])),
+                "num_output_rows": sum(
+                    rows[f] for f in c.get("add", []) if f in rows
+                ),
+                "num_position_deletes": sum(
+                    len(p) for p in c.get("dv", {}).values()
+                ),
             }
-            for n in reversed(self._commit_files())
-        ]
+            out.append(
+                {
+                    **{
+                        k: v
+                        for k, v in c.items()
+                        if k not in ("schema", "schema_history")
+                    },
+                    "operation_metrics": metrics,
+                }
+            )
+        return out
 
     def restore(
         self, version: int | None = None, timestamp: str | None = None

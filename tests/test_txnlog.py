@@ -2422,3 +2422,104 @@ class TestCdcRowLineage:
         assert all(ins[rid] == bid for rid, bid in dels.items())
         # net effect: the restored state, ids intact
         assert ins == before
+
+
+class TestConvertInPlace:
+    """r10: CONVERT TO DELTA parity — adopt a plain parquet
+    directory into a transactional table with one commit, zero
+    bytes rewritten; partition layout detected from the hive
+    directory names; stats/rows ride the convert commit so data
+    skipping and metadata COUNT work from the first read."""
+
+    def test_convert_flat_dir(self, spark, tmp_path):
+        raw = str(tmp_path / "raw")
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id bigint, v double"
+        ).repartition(3).write.parquet(raw)
+        files_before = sorted(
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(raw)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        lake = TransactionalLake.convert(spark, raw)
+        assert lake.version == 0
+        assert lake.partition_by == ()
+        # zero rewrite: the adopted inodes are the table
+        assert sorted(
+            os.path.join(lake.path, f)
+            for f in lake._snapshot_state()[0]
+        ) == files_before
+        assert lake.snapshot().count() == 20
+        # metadata-only COUNT works from the logged row counts
+        assert lake.count_rows() == 20
+        # the full surface applies to adopted files
+        lake.delete_where("id < 5")
+        assert lake.snapshot().count() == 15
+        assert lake.snapshot(version=0).count() == 20
+
+    def test_convert_partitioned_dir(self, spark, tmp_path):
+        raw = str(tmp_path / "rawp")
+        spark.createDataFrame(
+            [(i, f"2024-06-{15 + i % 2:02d}", float(i)) for i in range(12)],
+            "id bigint, date string, v double",
+        ).write.partitionBy("date").parquet(raw)
+        lake = TransactionalLake.convert(spark, raw)
+        assert lake.partition_by == ("date",)
+        got = lake.snapshot()
+        assert got.count() == 12 and "date" in got.columns
+        # partition pruning works on the adopted layout
+        kept, total, _s = lake.prune_files(
+            {"date": ("2024-06-16", "2024-06-16")}
+        )
+        assert 0 < len(kept) < total
+        # appends land in the detected layout
+        lake.append(spark.createDataFrame(
+            [(100, "2024-06-17", 1.0)],
+            "id bigint, date string, v double"))
+        assert lake.snapshot().count() == 13
+
+    def test_convert_refuses_existing_table_and_empty_dir(
+        self, spark, tmp_path
+    ):
+        raw = str(tmp_path / "rawx")
+        spark.createDataFrame([(1,)], "id bigint").write.parquet(raw)
+        TransactionalLake.convert(spark, raw)
+        with pytest.raises(ValueError, match="already a transactional"):
+            TransactionalLake.convert(spark, raw)
+        empty = tmp_path / "rawe"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no parquet files"):
+            TransactionalLake.convert(spark, str(empty))
+
+
+class TestVacuumDryRunAndHistoryMetrics:
+    def test_vacuum_dry_run_lists_without_deleting(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "vdr"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i,) for i in range(6)], "id bigint").coalesce(1))
+        lake.delete_where("id < 3")  # rewrites -> orphans the old file
+        would = lake.vacuum(retention_seconds=0.0, dry_run=True)
+        assert isinstance(would, list) and len(would) >= 1
+        for rel in would:  # nothing was deleted
+            assert os.path.exists(os.path.join(lake.path, rel))
+        assert lake.snapshot(version=0).count() == 6  # time travel intact
+        assert lake.vacuum(retention_seconds=0.0) == len(would)
+        with pytest.raises(Exception):
+            lake.snapshot(version=0).count()
+
+    def test_history_operation_metrics(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "hm"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i,) for i in range(10)], "id bigint").coalesce(1))
+        lake.delete_where("id in (1, 2)", mode="dv")
+        h = lake.history()
+        assert h[0]["op"] == "delete_dv"
+        assert h[0]["operation_metrics"]["num_position_deletes"] == 2
+        assert h[1]["op"] == "append"
+        m = h[1]["operation_metrics"]
+        assert m["num_added_files"] == 1
+        assert m["num_output_rows"] == 10
+        assert m["num_removed_files"] == 0
