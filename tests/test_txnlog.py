@@ -2523,3 +2523,35 @@ class TestVacuumDryRunAndHistoryMetrics:
         assert m["num_added_files"] == 1
         assert m["num_output_rows"] == 10
         assert m["num_removed_files"] == 0
+
+
+class TestRowTrackingWidenInterplay:
+    def test_ids_stable_across_widen_and_dml(self, spark, tmp_path):
+        """Widened histories switch every read to an EXPLICIT parquet
+        schema — the row-tracking read path must extend that struct
+        with the _rt_ fields or materialized ids silently vanish."""
+        lake = TransactionalLake(
+            spark, str(tmp_path / "rtw"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, i * 10) for i in range(6)],
+            "id bigint, v int").coalesce(1))
+        lake.enable_row_tracking()
+        before = {
+            r["_row_id"]: r.id
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        lake.widen_column_type("v", "bigint")
+        lake.update_where("id = 2", {"v": str(2**40)})  # CoW rewrite
+        lake.delete_where("id = 5", mode="dv")
+        got = lake.snapshot(with_row_ids=True).collect()
+        after = {r["_row_id"]: r.id for r in got}
+        assert after == {
+            rid: bid for rid, bid in before.items() if bid != 5}
+        assert {r.v for r in got if r.id == 2} == {2**40}
+        # dv update through the widened (explicit-schema) scan
+        lake.update_where("id = 3", {"v": "v + 1"}, mode="dv")
+        after2 = {
+            r["_row_id"]: r.id
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        assert after2 == after
