@@ -93,6 +93,21 @@ def main() -> None:
     tx.add_check_constraint("ohlc_pos", "low > 0 AND high >= low")
     print("constraints:", tx.check_constraints())
     print("cdc ops:", [h["op"] for h in tx.history()])
+    # ROW TRACKING (r10): stable per-row ids that survive compaction
+    # and copy-on-write DML — enabling on a populated table is
+    # metadata-only; the CDC feed can carry the same lineage
+    tx.enable_row_tracking()
+    ids = tx.snapshot(with_row_ids=True)
+    print("row ids:", ids.select("_row_id").distinct().count(),
+          "unique of", ids.count())
+    # CONVERT-in-place (r10): adopt a plain parquet directory as a
+    # transactional table — one commit, zero bytes rewritten
+    raw_dir = f"{root}/raw_parquet"
+    df.limit(50).write.partitionBy("date").parquet(raw_dir)
+    adopted = TransactionalLake.convert(spark, raw_dir)
+    print("converted:", adopted.count_rows(), "rows,",
+          "layout", adopted.partition_by,
+          "| would-vacuum:", len(adopted.vacuum(dry_run=True)))
 
     # --- as-of join ----------------------------------------------------
     trades = spark.createDataFrame(
