@@ -101,6 +101,12 @@ HEAVY = {
     "q_kcore": "g4_kcore",
     "q_range_search": "e3_range_search",
     "q_connected_components": "g5_connected_components",
+    # round 10: the new lake subsystems tracked for drift from now
+    # on — type widening (widen + mixed-era reads + DML) and row
+    # tracking (enable + compaction-stable ids + dv delete + CoW
+    # update + id-join read), each end-to-end lake builds
+    "q_type_widening": "s21_type_widening",
+    "q_row_tracking": "s22_row_tracking",
 }
 
 

@@ -197,6 +197,32 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("lake_changes requires option 'path'")
         self.start_version = int(options.get("starting_version", 0))
+        st = options.get("starting_timestamp")
+        if st is not None:
+            # Delta startingTimestamp semantics: begin at the first
+            # commit AT OR AFTER the timestamp (commit times are
+            # monotonic — the log clamps them, so this resolution is
+            # stable under writer clock skew). ISO string or epoch.
+            if "starting_version" in options:
+                raise ValueError(
+                    "lake_changes: pass starting_version OR "
+                    "starting_timestamp, not both"
+                )
+            try:
+                target = float(st)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(st)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                target = dt.timestamp()
+            versions = _commit_versions(self.path)
+            self.start_version = (versions[-1] + 1) if versions else 0
+            for v in versions:
+                if _read_commit(self.path, v).get("timestamp", 0) >= target:
+                    self.start_version = v
+                    break
         self.ignore_deletes = (
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )

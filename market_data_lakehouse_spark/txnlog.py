@@ -3751,7 +3751,12 @@ class TransactionalLake:
             self.partition_by = prev_layout
             raise
 
-    def clone(self, target_path: str) -> "TransactionalLake":
+    def clone(
+        self,
+        target_path: str,
+        version: int | None = None,
+        timestamp: str | None = None,
+    ) -> "TransactionalLake":
         """Zero-copy table clone (Delta SHALLOW CLONE semantics, with
         a safer mechanism): every live data file is HARDLINKED into
         the target (copy only across filesystems), and the target
@@ -3770,12 +3775,24 @@ class TransactionalLake:
         The clone's history starts at v0 (Delta clones likewise do
         not inherit source history); stats and blooms are recomputed
         by the ordinary add-commit hooks from the linked files'
-        identical footers."""
-        files, schemas, src_v, dvs = self._snapshot_state()
+        identical footers.
+
+        ``version`` / ``timestamp`` (Delta ``CLONE ... VERSION AS
+        OF``): clone a HISTORICAL snapshot — the file set AND the
+        table metadata (constraints, identity mark, column map,
+        properties, row-tracking bases, partition layout) all
+        resolve as of that version, so the clone is the table as it
+        WAS, not a mix of old files and new metadata."""
+        files, schemas, src_v, dvs = self._snapshot_state(
+            version, timestamp
+        )
+        layout = (
+            self._recorded_partitioning(as_of=src_v) or self.partition_by
+        )
         target = TransactionalLake(
             self.spark,
             target_path,
-            partition_by=self.partition_by,
+            partition_by=layout,
             generated_columns=dict(self.generated_columns),
             checkpoint_every=self.checkpoint_every,
             bloom_columns=self.bloom_columns,
@@ -3818,19 +3835,19 @@ class TransactionalLake:
         # table properties): CHECK constraints keep enforcing on the
         # clone, and the identity high-water mark carries over so
         # clone-side appends can never reuse source-assigned ids
-        cons = self.check_constraints()
+        cons = self.check_constraints(as_of=src_v)
         if cons:
             action["constraints"] = cons
-        ident = self.identity_state()
+        ident = self.identity_state(as_of=src_v)
         if ident is not None:
             action["identity"] = {"column": ident[0], "next": ident[1]}
-        mdoc = self._column_mapping_doc()
+        mdoc = self._column_mapping_doc(as_of=src_v)
         if mdoc is not None:
             action["column_mapping"] = mdoc
-        props = self.properties()
+        props = self.properties(as_of=src_v)
         if props:
             action["properties"] = props
-        rt = self._row_tracking_state()
+        rt = self._row_tracking_state(as_of=src_v)
         if rt is not None:
             # row ids carry into the clone byte-for-byte (the linked
             # files' materialized columns plus the same base map), and
@@ -3847,20 +3864,20 @@ class TransactionalLake:
     # ------------------------------------------------------------------
     # CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity)
     # ------------------------------------------------------------------
-    def check_constraints(self) -> dict[str, str]:
+    def check_constraints(self, as_of: int | None = None) -> dict[str, str]:
         """Active CHECK constraints, name -> SQL boolean expression.
         Resolved from the newest checkpoint (which carries the folded
         constraint set — r9: previously a vacuum_log could silently
         drop constraints whose defining commits it deleted) plus the
         commit tail (add minus drop, in commit order) — constraints
         are table metadata, versioned with the log like everything
-        else."""
-        cp = self._latest_checkpoint()
+        else. ``as_of`` caps the fold (historical clone)."""
+        cp = self._latest_checkpoint(max_version=as_of)
         out: dict[str, str] = dict(cp.get("constraints", {})) if cp else {}
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
-            if v < start:
+            if v < start or (as_of is not None and v > as_of):
                 continue
             c = self._read_commit(v)
             if c.get("op") == "add_constraint":

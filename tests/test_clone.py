@@ -95,3 +95,47 @@ class TestClone:
             for f in clone._snapshot_state()[0]
         ]
         assert os.path.samefile(src_file, cl_file)  # one inode
+
+
+class TestCloneAtVersion:
+    """r10: CLONE ... VERSION AS OF — a historical clone carries the
+    file set AND the table metadata as of that version."""
+
+    def test_clone_historical_snapshot(self, spark, tmp_path):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        lake = TransactionalLake(
+            spark, str(tmp_path / "src"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id bigint, v double"))
+        lake.add_check_constraint("v_pos", "v >= 0")
+        v_old = lake.version
+        lake.delete_where("id < 4")
+        lake.set_properties({"stage": "post-delete"})
+        clone = lake.clone(str(tmp_path / "hist"), version=v_old)
+        assert clone.snapshot().count() == 8  # pre-delete state
+        assert clone.check_constraints() == {"v_pos": "v >= 0"}
+        assert clone.properties() == {}  # property set AFTER v_old
+        # head clone for contrast
+        head = lake.clone(str(tmp_path / "head"))
+        assert head.snapshot().count() == 4
+        assert head.properties() == {"stage": "post-delete"}
+
+    def test_clone_at_version_keeps_row_ids(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "rtsrc"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i,) for i in range(6)], "id bigint").coalesce(1))
+        lake.enable_row_tracking()
+        v_old = lake.version
+        before = {
+            r["_row_id"]: r.id
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        lake.delete_where("id >= 3")
+        clone = lake.clone(str(tmp_path / "rthist"), version=v_old)
+        got = {
+            r["_row_id"]: r.id
+            for r in clone.snapshot(with_row_ids=True).collect()
+        }
+        assert got == before

@@ -415,3 +415,32 @@ class TestRowIdStream:
                 spark, path, str(tmp_path / "out3"),
                 str(tmp_path / "ck3"), with_row_ids="true",
             )
+
+
+class TestStartingTimestamp:
+    def test_stream_from_timestamp(self, spark, tmp_path):
+        """Delta startingTimestamp semantics: begin at the first
+        commit at or after the timestamp (sound under clock skew —
+        the log clamps commit times monotonic)."""
+        register_lake_changes_source(spark)
+        path = str(tmp_path / "st")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_rows(spark, 0, 3))
+        cut = lake._read_commit(lake.version)["timestamp"] + 1e-4
+        lake.append(_rows(spark, 3, 5))
+        got = _drain(
+            spark, path, str(tmp_path / "out"), str(tmp_path / "ck"),
+            starting_timestamp=str(cut),
+        )
+        assert sorted(r.k for r in got.collect()) == [3, 4]
+
+    def test_both_options_rejected(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        path = str(tmp_path / "st2")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_rows(spark, 0, 2))
+        with pytest.raises(Exception, match="not both"):
+            _drain(
+                spark, path, str(tmp_path / "o2"), str(tmp_path / "c2"),
+                starting_version="0", starting_timestamp="0",
+            )
