@@ -188,6 +188,7 @@ def _brute_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQ8_SCHEMA = {"cid": "bigint", "codes": "array<tinyint>", "scale": "float"}
+_SQ8_STORES: dict[str, str] = {}  # abspath(sf_dir) -> stored parquet dir
 
 
 def sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +201,6 @@ def sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the float column stays in cold storage. Returns the scan
     of the stored table (schema exactly ``_SQ8_SCHEMA``)."""
     import os
-    import tempfile
 
     em = load(spark, sf_dir, "embeddings")
 
@@ -219,10 +219,19 @@ def sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"mdls_sq8_{abs(hash(os.path.abspath(sf_dir)))}",
-    )
+    # one store per (process, corpus): builtin hash() is salted per
+    # process, so a /tmp path derived from it was never reused AND
+    # never cleaned — a fresh parquet copy of the corpus leaked every
+    # run (r11 ADVICE). scratch_dir registers atexit cleanup; the
+    # memo keeps the intended write-once-scan-many behavior in-process.
+    key = os.path.abspath(sf_dir)
+    path = _SQ8_STORES.get(key)
+    if path is not None:
+        return spark.read.parquet(path)
+    from .catalog import scratch_dir
+
+    path = scratch_dir("sq8")
+    _SQ8_STORES[key] = path
     (
         em.filter(F.col("vec_id") >= N_QUERY)
         .select(

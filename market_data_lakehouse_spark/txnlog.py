@@ -251,13 +251,18 @@ class TransactionalLake:
             )
         finally:
             spark.conf.set(infer_key, infer_was)
+        # read_version=-1: the convert commit may only succeed as v0.
+        # A blind append would let the LOSER of a concurrent-convert
+        # race retry at v1 and add every discovered file twice,
+        # doubling all rows — fail loudly instead (r11 ADVICE).
         lake._commit(
             {
                 "op": "convert",
                 "add": sorted(files),
                 "remove": [],
                 "schema": schema,
-            }
+            },
+            read_version=-1,
         )
         return lake
 
@@ -393,10 +398,7 @@ class TransactionalLake:
                     dv[f] = sorted(pos)
                 else:
                     dv.pop(f, None)
-            if c.get("schema_history"):
-                schemas.extend(c["schema_history"])
-            elif c.get("schema"):
-                schemas.append(c["schema"])
+            self._fold_schemas(schemas, c)
             stats.update(c.get("stats", {}))
             rows.update(c.get("rows", {}))
             blooms.update(c.get("blooms", {}))
@@ -1350,10 +1352,7 @@ class TransactionalLake:
                     dvs[f] = sorted(pos)
                 else:
                     dvs.pop(f, None)
-            if c.get("schema_history"):
-                schemas.extend(c["schema_history"])
-            elif c.get("schema"):
-                schemas.append(c["schema"])
+            self._fold_schemas(schemas, c)
             resolved = c["version"]
         if version is not None and resolved < version:
             raise ValueError(
@@ -1544,6 +1543,23 @@ class TransactionalLake:
         "long": "bigint", "float": "float", "double": "double",
     }
     _SIMPLE_TO_JSON = {v: k for k, v in _JSON_TO_SIMPLE.items()}
+
+    @staticmethod
+    def _fold_schemas(schemas: list[str], c: dict) -> None:
+        """Fold ONE commit's schema contribution into a running
+        history list (in place). ``schema_reset`` marks commits that
+        REPLACE the table's contents (overwrite / restore /
+        reorg_purge): the history restarts there — without the
+        reset, the merged-schema union would resurrect columns the
+        replacing commit dropped (a narrower overwrite followed by
+        any CoW DML null-filled the dropped column back into
+        rewritten files; r11 fix)."""
+        if c.get("schema_reset"):
+            del schemas[:]
+        if c.get("schema_history"):
+            schemas.extend(c["schema_history"])
+        elif c.get("schema"):
+            schemas.append(c["schema"])
 
     @classmethod
     def _merged_fields(cls, schemas: list[str]) -> list[dict]:
@@ -2007,6 +2023,10 @@ class TransactionalLake:
             "add": added,
             "remove": old,
             "schema": df.schema.json(),
+            # full replace: the schema history restarts here, so a
+            # narrower overwrite really DROPS the old columns (no
+            # merged-union resurrection on later CoW DML)
+            "schema_reset": True,
         }
         if mdoc is not None:
             action["column_mapping"] = mdoc
@@ -3064,10 +3084,14 @@ class TransactionalLake:
         run_schemas: list[str] = []
 
         def _read_paths(
-            paths: list[str], keep_rt: bool = False
+            paths: list[str],
+            keep_rt: bool = False,
+            schemas: list[str] | None = None,
         ) -> DataFrame:
             reader = self.spark.read.option("basePath", self.path)
-            struct = self._explicit_read_schema(run_schemas)
+            struct = self._explicit_read_schema(
+                run_schemas if schemas is None else schemas
+            )
             if struct is not None:
                 if keep_rt:
                     from pyspark.sql.types import (
@@ -3097,9 +3121,11 @@ class TransactionalLake:
             return df
 
         def _with_pos(
-            paths: list[str], keep_rt: bool = False
+            paths: list[str],
+            keep_rt: bool = False,
+            schemas: list[str] | None = None,
         ) -> DataFrame:
-            df = _read_paths(paths, keep_rt=keep_rt)
+            df = _read_paths(paths, keep_rt=keep_rt, schemas=schemas)
             fname = F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             )
@@ -3184,10 +3210,13 @@ class TransactionalLake:
         for name in names:
             v = int(name.split(".")[0])
             c = self._read_commit(v)
-            if c.get("schema_history"):
-                run_schemas.extend(c["schema_history"])
-            elif c.get("schema"):
-                run_schemas.append(c["schema"])
+            # a reset commit's REMOVED files were written under the
+            # pre-reset history — their delete-emission reads must
+            # use it, not the restarted one (see the emission loop)
+            pre_schemas = (
+                list(run_schemas) if c.get("schema_reset") else None
+            )
+            self._fold_schemas(run_schemas, c)
             emit: list[DataFrame] = []
             if v >= starting_version and c["op"] not in (
                 "compact",
@@ -3217,8 +3246,13 @@ class TransactionalLake:
                             }.items()
                             if f in paths and p
                         }
+                    sch = (
+                        pre_schemas
+                        if change == "delete" and pre_schemas is not None
+                        else None
+                    )
                     if with_row_ids:
-                        df = _with_pos(paths, keep_rt=True)
+                        df = _with_pos(paths, keep_rt=True, schemas=sch)
                         if skip:
                             df = _pair_join(df, skip, "left_anti")
                         df = _rt_ids(df, paths).drop(
@@ -3226,10 +3260,12 @@ class TransactionalLake:
                         )
                     elif skip:
                         df = _pair_join(
-                            _with_pos(paths), skip, "left_anti"
+                            _with_pos(paths, schemas=sch),
+                            skip,
+                            "left_anti",
                         ).drop("_row_file", "_row_pos")
                     else:
-                        df = _read_paths(paths)
+                        df = _read_paths(paths, schemas=sch)
                     emit.append(
                         df.withColumn("_change_type", F.lit(change))
                         .withColumn("_commit_version", F.lit(v))
@@ -3709,15 +3745,44 @@ class TransactionalLake:
         if dv_reset:
             action["dv_reset"] = dv_reset
         if target_schemas:
-            # pin the restored schema so post-restore snapshots resolve
-            # to the target's type history, not the rolled-back one —
-            # the MERGED history, not the last (possibly narrow) batch
-            action["schema"] = json.dumps(
-                {
-                    "type": "struct",
-                    "fields": self._merged_fields(target_schemas),
-                }
-            )
+            # restart the schema history at the TARGET's full history
+            # (not a merged pin: the per-batch entries keep widening
+            # detection working — _explicit_read_schema needs to see
+            # the heterogeneous types to upcast narrow files). The
+            # reset stops the rolled-back era's columns from being
+            # resurrected by the merged union — but TYPE WIDENING is
+            # a one-way door (the wide type is a safe superset and
+            # post-widen files may physically carry it), so fields
+            # the rolled-back era widened keep the wide type via one
+            # extra widen-only entry.
+            hist = list(target_schemas)
+            tgt_fields = {
+                f["name"]: f
+                for f in self._merged_fields(target_schemas)
+            }
+            widened = []
+            for f in self._merged_fields(_schemas):
+                t = tgt_fields.get(f["name"])
+                if t is None or t["type"] == f["type"]:
+                    continue
+                a = (
+                    self._JSON_TO_SIMPLE.get(t["type"])
+                    if isinstance(t["type"], str)
+                    else None
+                )
+                b = (
+                    self._JSON_TO_SIMPLE.get(f["type"])
+                    if isinstance(f["type"], str)
+                    else None
+                )
+                if a and b and (a, b) in self._WIDENINGS:
+                    widened.append({**t, "type": f["type"]})
+            if widened:
+                hist.append(
+                    json.dumps({"type": "struct", "fields": widened})
+                )
+            action["schema_history"] = hist
+            action["schema_reset"] = True
         # the column mapping rolls back WITH the file set: a restore
         # across a rename/drop must re-adopt the target's names. When
         # the target predates the feature but the head uses it, pin
@@ -4243,6 +4308,10 @@ class TransactionalLake:
                 "add": added,
                 "remove": old,
                 "schema": out.schema.json(),
+                # every file was rewritten onto the purged layout:
+                # restart the schema history so dropped physical
+                # columns can't resurface via the merged union
+                "schema_reset": True,
             },
             read_version=read_v,
         )
@@ -4325,17 +4394,28 @@ class TransactionalLake:
         renames = {lg: p for lg, p in doc["cols"].items() if lg != p}
         if not renames:
             return expr
+        # SINGLE-PASS translation (r11 ADVICE): iterated re.sub
+        # corrupted rename chains/swaps — after a->tmp, b->a, tmp->b
+        # the map is {b:a, a:b} and substituting 'a'->'b' first turns
+        # 'a > 1 AND b < 2' into 'b > 1 AND b < 2' before the second
+        # pass sees it. One combined alternation with a dict-lookup
+        # replacement touches each identifier exactly once.
+        alt = "|".join(
+            re.escape(lg)
+            for lg in sorted(renames, key=len, reverse=True)
+        )
+        pat = re.compile(rf"`({alt})`|\b({alt})\b")
         pieces = re.split(r"('(?:[^'\\]|\\.)*')", expr)
         out = []
         for i, piece in enumerate(pieces):
             if i % 2 == 1:  # a string literal — untouched
                 out.append(piece)
                 continue
-            for lg, p in renames.items():
-                piece = re.sub(
-                    rf"`{re.escape(lg)}`|\b{re.escape(lg)}\b", p, piece
+            out.append(
+                pat.sub(
+                    lambda m: renames[m.group(1) or m.group(2)], piece
                 )
-            out.append(piece)
+            )
         return "".join(out)
 
     def _map_cols(self, names, doc: dict | None = None):

@@ -2555,3 +2555,213 @@ class TestRowTrackingWidenInterplay:
             for r in lake.snapshot(with_row_ids=True).collect()
         }
         assert after2 == after
+
+
+class TestSchemaReset:
+    """r11 ADVICE: schema-REPLACING commits (overwrite / restore /
+    reorg_purge) restart the merged-schema history. Before the
+    ``schema_reset`` flag, the union over the ENTIRE history
+    resurrected columns a narrower overwrite dropped — the next CoW
+    DML null-filled them back into rewritten files and snapshot()
+    showed them again."""
+
+    def _lake(self, spark, tmp_path, name="sr"):
+        return TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+
+    def test_overwrite_narrow_then_dml_does_not_resurrect(
+        self, spark, tmp_path
+    ):
+        lake = self._lake(spark, tmp_path)
+        lake.append(spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")],
+            "k int, v string, extra string"))
+        lake.overwrite(spark.createDataFrame(
+            [(3, "c"), (4, "d")], "k int, v string"))
+        lake.update_where("k = 4", {"v": "'D'"})  # CoW rewrite
+        snap = lake.snapshot()
+        assert snap.columns == ["k", "v"]
+        # the rewritten FILES are clean too, not just the projection
+        live = lake._snapshot_state()[0]
+        cols = {
+            c
+            for f in live
+            for c in spark.read.parquet(
+                os.path.join(lake.path, f)).columns
+        }
+        assert "extra" not in cols
+        # post-overwrite appends can re-evolve from scratch
+        lake.append(
+            spark.createDataFrame([(5, "e", 1)], "k int, v string, n int"),
+            merge_schema=True,
+        )
+        assert lake.snapshot().columns == ["k", "v", "n"]
+
+    def test_restore_to_prewiden_version_drops_evolved_column(
+        self, spark, tmp_path
+    ):
+        lake = self._lake(spark, tmp_path)
+        lake.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+        lake.append(
+            spark.createDataFrame(
+                [(2, "b", "z")], "k int, v string, extra string"),
+            merge_schema=True,
+        )
+        lake.restore(version=0)
+        assert lake.snapshot().columns == ["k", "v"]
+        lake.update_where("k = 1", {"v": "'A'"})
+        assert lake.snapshot().columns == ["k", "v"]
+
+    def test_cdc_across_overwrite_reset_reads_old_files(
+        self, spark, tmp_path
+    ):
+        """The overwrite commit's REMOVED files were written under
+        the pre-reset history; their delete-emission must still read
+        with it (evolved column included)."""
+        lake = self._lake(spark, tmp_path)
+        lake.append(spark.createDataFrame(
+            [(1, "a", "x")], "k int, v string, extra string"))
+        lake.overwrite(spark.createDataFrame([(3, "c")], "k int, v string"))
+        ch = lake.read_changes(starting_version=0)
+        dels = ch.filter("_change_type = 'delete'").collect()
+        assert {(r.k, r.extra) for r in dels} == {(1, "x")}
+        ins = ch.filter(
+            "_change_type = 'insert' AND _commit_version = 1").collect()
+        assert {(r.k, r.extra) for r in ins} == {(3, None)}
+
+    def test_reorg_purge_resets_history(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.append(spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")],
+            "k int, v string, extra string"))
+        lake.rename_column("v", "val")
+        lake.drop_column("extra")
+        lake.reorg_purge()
+        lake.update_where("k = 1", {"val": "'A'"})
+        live = lake._snapshot_state()[0]
+        cols = {
+            c
+            for f in live
+            for c in spark.read.parquet(
+                os.path.join(lake.path, f)).columns
+        }
+        assert "extra" not in cols
+        assert sorted(lake.snapshot().columns) == ["k", "val"]
+
+    def test_restore_keeps_widened_type_but_not_dropped_column(
+        self, spark, tmp_path
+    ):
+        """The one-way door survives the reset: a restore across BOTH
+        a widen and a column evolution keeps the wide type (post-widen
+        files may physically carry it) while dropping the evolved
+        column (pure metadata, safe to roll back)."""
+        lake = self._lake(spark, tmp_path)
+        lake.append(spark.createDataFrame([(1, 10)], "id bigint, v int"))
+        v0 = lake.version
+        lake.widen_column_type("v", "bigint")
+        lake.append(
+            spark.createDataFrame(
+                [(2, 2 ** 40, "z")], "id bigint, v bigint, tag string"),
+            merge_schema=True,
+        )
+        lake.restore(version=v0)
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["v"] == "bigint"
+        assert snap.columns == ["id", "v"]
+        assert [(r.id, r.v) for r in snap.collect()] == [(1, 10)]
+
+
+class TestMapExprRenameChains:
+    """r11 ADVICE: _map_expr must translate identifiers in ONE pass —
+    iterated substitution corrupts rename chains and swaps."""
+
+    def _swapped(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "sw"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 10), (5, 1)], "a int, b int"))
+        lake.rename_column("a", "tmp")
+        lake.rename_column("b", "a")
+        lake.rename_column("tmp", "b")
+        return lake
+
+    def test_swap_translates_each_identifier_once(self, spark, tmp_path):
+        lake = self._swapped(spark, tmp_path)
+        assert lake._map_expr("a > 1 AND b < 2") == "b > 1 AND a < 2"
+        assert lake._map_expr("`a` = 3 OR 'a b' = c") == "b = 3 OR 'a b' = c"
+
+    def test_swap_dml_modifies_correct_rows(self, spark, tmp_path):
+        lake = self._swapped(spark, tmp_path)
+        # logical a == physical b (values 10, 1)
+        lake.delete_where("a > 5", mode="rewrite")
+        snap = lake.snapshot()
+        rows = [
+            tuple(r.asDict()[c] for c in sorted(snap.columns))
+            for r in snap.collect()
+        ]
+        assert rows == [(1, 5)]  # (a, b) = (old b=1, old a=5)
+
+    def test_chain_longer_names_first(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ch"), partition_by=())
+        lake.append(spark.createDataFrame([(1, 2)], "x int, xx int"))
+        lake.rename_column("x", "xx2")
+        lake.rename_column("xx", "x")
+        # logical xx2 -> physical x; logical x -> physical xx
+        assert lake._map_expr("xx2 = 1 AND x = 2") == "x = 1 AND xx = 2"
+
+
+class TestConvertRace:
+    def test_concurrent_convert_commits_once(self, spark, tmp_path):
+        """r11 ADVICE: the convert commit may only land as v0 — a
+        losing racer must fail, not retry at v1 and double the rows."""
+        import threading
+
+        pdir = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ).write.parquet(pdir)
+        errs: list[Exception] = []
+
+        def convert():
+            try:
+                TransactionalLake.convert(spark, pdir, partition_by=())
+            except (RuntimeError, ValueError) as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=convert) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        lake = TransactionalLake(spark, pdir, partition_by=())
+        assert lake.version == 0
+        assert lake.snapshot().count() == 2
+
+
+class TestReservedRtRejectionEverywhere:
+    """Pin: every write surface rejects user columns carrying the
+    reserved '_rt_' prefix (forged materialized row ids would
+    collide with real ones)."""
+
+    def test_merge_source_rejected(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "rj"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"))
+        lake.enable_row_tracking()
+        src = spark.createDataFrame(
+            [(1, "A", 999)], "k int, v string, _rt_row_id long")
+        for mode in ("rewrite", "dv"):
+            with pytest.raises(ValueError, match="_rt_"):
+                lake.merge(src, on="k", mode=mode)
+
+    def test_overwrite_where_rejected(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "rj2"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"))
+        src = spark.createDataFrame(
+            [(1, "A", 9)], "k int, v string, _rt_row_id long")
+        with pytest.raises(ValueError, match="_rt_"):
+            lake.overwrite_where(src, "k = 1")
