@@ -53,50 +53,48 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-10 window (r9 VERDICT directive 1): (a) the ENTIRE
-# 35-entry cohort whose last driver run was r6 — the named rotation
-# debt, cleared in full this round; (b) every entry on a path that
-# changed in r10: the new column-mapping gate, the SQ8
-# stored-codes rework, plus the lake entries sitting on the
-# txnlog surfaces column mapping threaded through (snapshot/
-# scan_between/prune/DML/merge/clone/restore/read_changes) and the
-# two entries sitting on the ADVICE fixes (identity TOCTOU,
-# tz-aware generated-bound derivation). The r7-stale cohort
-# (a2/a18-a22/a7+/a9+/e2_lsh*/e3_{ann,ivf,pq}/e4_position_chunks/
-# e5_{audio,image}_decode/e6_weighted_sample/g3/j20/j21/...)
-# anchors r11.
+# The round-11 window (r10 VERDICT directive 1): (a) the ENTIRE
+# 34-entry cohort whose last driver run was r7 — the named rotation
+# debt, cleared in full this round (including f6_bloom_skipping,
+# displaced from the r10 window by s22, and the flagship
+# lakehouse_roundtrip); (b) every entry on a path the r11 ADVICE
+# fixes changed: the schema-history reset (overwrite/restore/
+# reorg_purge + all three folds -> restore/clone/CDC/DML entries),
+# the single-pass _map_expr rename translation (-> every mapped-DML
+# entry), and the sq8_store scratch-dir rework (-> both SQ8
+# entries). Steady state is now a 2-round rotation.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) last driver-run r6: the full rotation-debt cohort (35)
-    "a10_pivot", "a11_unpivot", "a17_returned_revenue",
-    "a4_pricing_summary", "e1_exact_dedup", "e3_label_centroid_sim",
-    "e4_bpe_token_count", "e4_fingerprint", "e4_lang_id",
-    "e4_ngram_freq", "e4_pii_redaction", "e4_quality_score",
-    "e4_tfidf", "e4_token_stats", "e5_frame_sample",
-    "e5_media_features", "e6_domain_quota", "e6_hash_split",
-    "e6_stratified_sample", "e6_token_shards",
-    "j17_waiting_suppliers", "j18_supplier_part_counts",
-    "j19_idle_customers", "j6_asof_bucketed", "j9_multiway_topk",
-    "s2_csv_roundtrip", "v2_quality_stage", "w5_gap_fill",
-    "x7_string_funcs", "x7_date_funcs", "x7_math_funcs",
-    "x7_json_extract", "x7_map_funcs", "x7_array_ops",
-    "x7_regexp_funcs",
-    # (b) r10 new/changed paths (15)
-    "s20_column_mapping",     # r10 NEW: metadata-only RENAME/DROP
-    "e3_sq_knn",              # r10: scores from STORED int8 codes
-    "e3_sq_recall",           # r10: gates the stored-codes path
-    "s19_identity_column",    # r10: append TOCTOU fix (ADVICE)
-    "f7_generated_partition_pruning",  # r10: tz-aware-bound fix (ADVICE)
-    "s12_deletion_vectors",   # delete_where: mapping translation
-    "s14_dv_update",          # update_where: mapping translation
-    "s16_overwrite_where",    # overwrite_where: mapping translation
-    "s8_merge_upsert",        # merge: mapping translation
-    "s13_zero_copy_clone",    # clone: carries column_mapping
-    "t13_restore_across_dv",  # restore: mapping rolls back
-    "t11_incremental_mv",     # read_changes: logical projection
-    "f5_stats_skipping",      # prune_files: logical-bounds entry
-    "s21_type_widening",      # r10 NEW: metadata-only ALTER COLUMN TYPE
-    "s22_row_tracking",       # r10 NEW: stable row ids + commit versions
+    # (a) last driver-run r7: the full rotation-debt cohort (34)
+    "a18_order_count_histogram", "a19_forecast_revenue",
+    "a20_priority_shipping", "a21_promo_revenue", "a22_nation_profit",
+    "a2_vwap_top10", "a7_approx_distinct_grouped",
+    "a9_percentile_approx", "e2_lsh_verified_jaccard",
+    "e2_minhash_lsh", "e3_ann_lsh", "e3_ivf_knn", "e3_pq_knn",
+    "e4_position_chunks", "e5_audio_decode", "e5_image_decode",
+    "e6_weighted_sample", "f6_bloom_skipping", "g3_shortest_path",
+    "j20_top_supplier", "j21_disjunctive_brackets", "j6_asof_forward",
+    "j6_asof_nearest", "lakehouse_roundtrip", "s2_json_roundtrip",
+    "s3_orc_roundtrip", "s8_txn_time_travel", "t12_scd2_rebuild",
+    "v4_anomaly_zscore", "v5_drift_psi", "v6_expectation_suite",
+    "w7_returns_vol", "w8_max_drawdown", "w9_ewma",
+    # (b) r11-changed paths (16)
+    "t13_restore_across_dv",  # restore: schema_reset + widen-keep
+    "s13_zero_copy_clone",    # clone: schema_history fold changed
+    "s22_row_tracking",       # read_changes: pre-reset schema thread
+    "t11_incremental_mv",     # read_changes: fold via _fold_schemas
+    "s20_column_mapping",     # _map_expr: single-pass translation
+    "s12_deletion_vectors",   # delete_where: mapped predicate
+    "s14_dv_update",          # update_where: mapped predicate
+    "s16_overwrite_where",    # overwrite_where: mapped predicate
+    "s8_merge_upsert",        # merge: mapped keys/bounds
+    "s21_type_widening",      # _merged_fields callers re-exercised
+    "e3_sq_knn",              # sq8_store: scratch-dir + memo rework
+    "e3_sq_recall",           # gates the reworked stored-codes path
+    "s15_table_detail",       # sat out r10's lake re-window (VERDICT)
+    "s17_scoped_optimize",    # sat out r10's lake re-window (VERDICT)
+    "s18_metadata_count",     # _snapshot_state fold changed
+    "s19_identity_column",    # _commit loop unchanged; fold changed
 ]
 
 

@@ -33,9 +33,25 @@ def load_queries(path: str) -> dict[str, float]:
             # compact, so this is a backstop for old files)
             tail = doc.get("tail", "")
             pairs = re.findall(r'"(q_\w+)":\s*([0-9.]+)', tail)
-            if not pairs:
+            got = {q: float(v) for q, v in pairs}
+            # r11: backfill queries the tail truncated away from the
+            # same round's committed compare artifact (its per_query
+            # new_sec values ARE that round's measurements)
+            m = re.search(r"BENCH_r(\d+)\.json$", path)
+            if m:
+                sib = path.replace(
+                    f"BENCH_r{m.group(1)}", f"BENCH_COMPARE_r{m.group(1)}"
+                )
+                try:
+                    with open(sib) as fh:
+                        cmp_doc = json.load(fh)
+                    for r in cmp_doc.get("per_query", []):
+                        got.setdefault(r["query"], float(r["new_sec"]))
+                except (OSError, json.JSONDecodeError, KeyError):
+                    pass
+            if not got:
                 raise ValueError(f"{path}: parsed null and no tail pairs")
-            return {q: float(v) for q, v in pairs}
+            return got
         doc = doc["parsed"]
     return dict(doc["queries"])
 

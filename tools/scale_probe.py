@@ -493,6 +493,112 @@ def row_tracking_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def metadata_fold_probe(spark) -> dict:
+    """r11 (VERDICT r10 #4): per-operation METADATA cost vs COMMIT
+    COUNT. ``_row_tracking_state`` and ``_column_mapping_doc`` fold
+    checkpoint + tail; the claim is that their cost — and the commit
+    files they actually open — stays FLAT as the log grows (bounded
+    by checkpoint_every, not by history length). Builds one table,
+    drives the commit count to ~100 and ~1000 via set_properties
+    (real API, metadata-only, no Spark jobs), and at each milestone
+    measures wall time + a ``_read_commit`` spy count for the
+    row-tracking fold, the mapping fold, and one real append (the
+    row-base reservation path)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    d = tempfile.mkdtemp(prefix="metaprobe_")
+    try:
+        tx = TransactionalLake(spark, os.path.join(d, "t"), partition_by=())
+        one = spark.range(4).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v")
+        ).coalesce(1)
+        for _ in range(4):
+            tx.append(one)
+        tx.enable_row_tracking()
+        tx.rename_column("v", "val")
+
+        def measure() -> dict:
+            calls = {"n": 0}
+            orig = tx._read_commit
+
+            def spy(v):
+                calls["n"] += 1
+                return orig(v)
+
+            tx._read_commit = spy
+            try:
+                samples_rt, samples_map = [], []
+                for _ in range(20):
+                    t0 = time.perf_counter()
+                    tx._row_tracking_state()
+                    samples_rt.append(time.perf_counter() - t0)
+                reads_per_rt = calls["n"] / 20
+                calls["n"] = 0
+                for _ in range(20):
+                    t0 = time.perf_counter()
+                    tx._column_mapping_doc()
+                    samples_map.append(time.perf_counter() - t0)
+                reads_per_map = calls["n"] / 20
+                calls["n"] = 0
+                t0 = time.perf_counter()
+                tx.append(one)
+                append_sec = time.perf_counter() - t0
+                reads_append = calls["n"]
+            finally:
+                tx._read_commit = orig
+            return {
+                "commits": tx.version + 1,
+                "rt_fold_ms": round(
+                    statistics.median(samples_rt) * 1e3, 3
+                ),
+                "map_fold_ms": round(
+                    statistics.median(samples_map) * 1e3, 3
+                ),
+                "append_sec": round(append_sec, 3),
+                "read_commit_per_rt_fold": round(reads_per_rt, 1),
+                "read_commit_per_map_fold": round(reads_per_map, 1),
+                "read_commit_per_append": reads_append,
+            }
+
+        while tx.version + 1 < 100:
+            tx.set_properties({"probe.tick": str(tx.version)})
+        at_100 = measure()
+        while tx.version + 1 < 1000:
+            tx.set_properties({"probe.tick": str(tx.version)})
+        at_1000 = measure()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # the fold opens checkpoint + tail: the spy count must be bounded
+    # by checkpoint_every (20), and must NOT grow ~10x with the log
+    flat_reads = (
+        at_1000["read_commit_per_rt_fold"]
+        <= max(2 * at_100["read_commit_per_rt_fold"], 25)
+        and at_1000["read_commit_per_map_fold"]
+        <= max(2 * at_100["read_commit_per_map_fold"], 25)
+    )
+    return {
+        "at_100_commits": at_100,
+        "at_1000_commits": at_1000,
+        "fold_reads_flat": flat_reads,
+        "fold_wall_ratio_rt": round(
+            at_1000["rt_fold_ms"] / max(at_100["rt_fold_ms"], 1e-6), 2
+        ),
+        "fold_wall_ratio_map": round(
+            at_1000["map_fold_ms"] / max(at_100["map_fold_ms"], 1e-6), 2
+        ),
+        "note": (
+            "checkpoint+tail fold: commit files OPENED per metadata "
+            "op bounded by checkpoint_every=20 regardless of log "
+            "length; wall includes one os.listdir of the whole log "
+            "dir (O(commits) name scan, no file opens)"
+        ),
+    }
+
+
 def rt_block(base_rt: dict, scaled_rt: dict, factor: int) -> dict:
     """Ratio summary for the row-tracking two-point curve."""
     ratios = {
@@ -550,7 +656,26 @@ def main() -> int:
         help="run just the row-tracking block and merge it into the "
         "existing SCALE_PROBE.json",
     )
+    ap.add_argument(
+        "--only-meta",
+        action="store_true",
+        help="run just the 1000-commit metadata-fold block and merge "
+        "it into the existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
+
+    if args.only_meta:
+        from market_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark("scale_probe")
+        block = metadata_fold_probe(spark)
+        path = os.path.join(REPO, "SCALE_PROBE.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["metadata_fold"] = block
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"metadata_fold": block}))
+        return 0 if block["fold_reads_flat"] else 1
 
     from market_data_lakehouse_spark.session import get_spark
 
