@@ -593,8 +593,9 @@ def metadata_fold_probe(spark) -> dict:
         "note": (
             "checkpoint+tail fold: commit files OPENED per metadata "
             "op bounded by checkpoint_every=20 regardless of log "
-            "length; wall includes one os.listdir of the whole log "
-            "dir (O(commits) name scan, no file opens)"
+            "length; head reads resolve via the _last_checkpoint "
+            "pointer + an O(tail) direct version walk — no "
+            "O(commits) directory listing anywhere on the head path"
         ),
     }
 
