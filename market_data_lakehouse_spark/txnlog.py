@@ -2366,7 +2366,9 @@ class TransactionalLake:
                     raw = raw.withColumn(c, F.lit(None).cast("long"))
         else:
             raw = raw.drop(*self._RT_COLS)
-        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        # substring_index beats split+element_at: no per-row array
+        # allocation (r11 rt-read diagnosis, AB_BENCH r11_rt_read)
+        fname = F.substring_index(F.col("_metadata.file_path"), "/", -1)
         raw = raw.withColumn("_row_file", fname).withColumn(
             "_row_pos", F.col("_metadata.row_index")
         )
@@ -3053,8 +3055,8 @@ class TransactionalLake:
                 dv_df = self.spark.createDataFrame(
                     pairs, "_dv_file string, _dv_pos bigint"
                 )
-                fname = F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
+                fname = F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
                 )
                 df = (
                     df.withColumn("_row_file", fname)
@@ -3176,8 +3178,8 @@ class TransactionalLake:
             schemas: list[str] | None = None,
         ) -> DataFrame:
             df = _read_paths(paths, keep_rt=keep_rt, schemas=schemas)
-            fname = F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
+            fname = F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
             )
             return df.withColumn("_row_file", fname).withColumn(
                 "_row_pos", F.col("_metadata.row_index")
