@@ -3511,6 +3511,13 @@ class TransactionalLake:
 
         With a scope that selects <2 files and no vectors, there is
         nothing to bin-pack: no-op, no version burned."""
+        # zorder/scope names are LOGICAL on column-mapping tables;
+        # the rewrite source carries physical columns (r11 fix — a
+        # mapped table's optimize(zorder_by=) raised unresolved
+        # column before this)
+        mdoc = self._column_mapping_doc()
+        if mdoc is not None and zorder_by:
+            zorder_by = tuple(self._map_cols(tuple(zorder_by), mdoc))
         old, schemas, read_v, dvs = self._snapshot_state()
         subset = list(old)
         if where:
@@ -3530,7 +3537,9 @@ class TransactionalLake:
         # interleaved pure append provably outside it rebases instead
         # of failing (an unscoped optimize still conflicts — it read
         # the whole table)
-        read_bounds = dict(where) if where else None
+        read_bounds = (
+            self._map_cols(dict(where), mdoc) if where else None
+        )
         sub_dvs = {f: p for f, p in dvs.items() if f in subset}
         # compaction is the canonical id-preserving rewrite: with row
         # tracking on, every compacted row carries its id + version
@@ -3549,18 +3558,25 @@ class TransactionalLake:
         # ranges clustering exists to tighten). The count is n per
         # selected partition dir, read off the file list driver-side.
         n_dirs = len({os.path.dirname(f) for f in subset}) or 1
-        clustered = snap.repartition(n * n_dirs, *parts, bucket)
         if zorder_by:
+            # RANGE partition on (partition dirs, z-value): each
+            # output FILE carries a tight contiguous slice of the
+            # clustering key, so the log's per-file stats actually
+            # skip (r11 — the old hash-bucket layout gave every
+            # file a random subset of the key: per-file min/max
+            # spanned the whole range whenever files_per_partition
+            # > 1, and only row-group stats tightened). One extra
+            # sampling pass for the range boundaries — the normal
+            # price of a sorted rewrite.
             if len(zorder_by) == 1:
-                clustered = clustered.sortWithinPartitions(*zorder_by)
+                zcol = F.col(zorder_by[0])
             else:
-                clustered = (
-                    clustered.withColumn(
-                        "_z", self._zvalue(snap, tuple(zorder_by))
-                    )
-                    .sortWithinPartitions("_z")
-                    .drop("_z")
-                )
+                zcol = self._zvalue(snap, tuple(zorder_by))
+            clustered = snap.repartitionByRange(
+                n * n_dirs, *parts, zcol
+            ).sortWithinPartitions(*parts, zcol)
+        else:
+            clustered = snap.repartition(n * n_dirs, *parts, bucket)
         added = self._write_files(clustered)
         return self._commit(
             {
