@@ -303,7 +303,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     "retention mid-stream; restart from a newer "
                     "starting_version"
                 )
-            if c.get("op") in ("compact", "set_partitioning"):
+            if c.get("op") in ("compact", "cluster", "set_partitioning"):
                 continue  # layout maintenance moves bytes, not rows
             if (
                 c.get("remove") or c.get("dv") or c.get("dv_reset")

@@ -90,7 +90,7 @@ _DRIVER_WINDOW = [
     "s8_merge_upsert",        # merge: mapped keys/bounds
     "s21_type_widening",      # _merged_fields callers re-exercised
     "e3_sq_knn",              # sq8_store: scratch-dir + memo rework
-    "e3_sq_recall",           # gates the reworked stored-codes path
+    "s23_liquid_clustering",  # r11 NEW: CLUSTER BY + incremental opt
     "s15_table_detail",       # sat out r10's lake re-window (VERDICT)
     "s17_scoped_optimize",    # sat out r10's lake re-window (VERDICT)
     "s18_metadata_count",     # _snapshot_state fold changed

@@ -1151,3 +1151,73 @@ def s22_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ids_unique", F.lit(ids_unique))
         .withColumn("vers_ok", F.lit(vers_ok))
     )
+
+
+@register(
+    "s23_liquid_clustering",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           ROUND(SUM(value), 2) AS sum_value,
+           TRUE AS maintained_ok,
+           TRUE AS incremental_ok,
+           TRUE AS skipped_ok
+    FROM events
+    WHERE value >= 50.0 AND value <= 120.0 AND NOT event_id % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def s23_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIQUID CLUSTERING as a hard signal (S8 extension, r11 — Delta
+    ``CLUSTER BY`` parity): a declared clustering key plus
+    INCREMENTAL maintenance. The gate drives the lifecycle on one
+    lake: ingest half the corpus, ``set_clustering("value")``, run
+    the first maintenance pass (asserting zero unclustered files
+    remain), ingest the other half, and assert the SECOND pass
+    rewrites ONLY the fresh files — the property that makes
+    clustering affordable at 100 TB (steady-state cost tracks the
+    ingest rate, not the table size). A dv-mode DELETE then proves
+    visibility folds through without disturbing the layout, and the
+    final range read must PROVABLY skip files (prune_files keeps a
+    strict subset — range layout gives each file a tight value
+    slice; a skipping regression fails the run). DuckDB recomputes
+    the surviving aggregate from raw events — a row lost by the
+    clustering rewrite or a mistranslated vector hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = scratch_dir("lc")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.filter("event_id % 2 = 0").repartition(4))
+    tx.set_clustering("value")
+    tx.optimize_clustering(files_per_partition=4)
+    maintained_ok = tx.clustering_info()["unclustered_files"] == 0
+    assert maintained_ok, "first maintenance pass left unclustered files"
+    tx.append(ev.filter("event_id % 2 = 1").repartition(4))
+    live_n = len(tx._snapshot_state()[0])
+    fresh = tx.clustering_info()["unclustered_files"]
+    v = tx.optimize_clustering(files_per_partition=4)
+    c = tx._read_commit(v)
+    incremental_ok = 0 < fresh < live_n and len(c["remove"]) == fresh
+    assert incremental_ok, (fresh, live_n, len(c["remove"]))
+    tx.delete_where("event_id % 7 = 0", mode="dv")
+    kept, total, _ = tx.prune_files({"value": (50.0, 120.0)})
+    skipped_ok = len(kept) < total
+    assert skipped_ok, f"clustered range read kept {len(kept)}/{total}"
+    return (
+        tx.scan_between({"value": (50.0, 120.0)})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("maintained_ok", F.lit(maintained_ok))
+        .withColumn("incremental_ok", F.lit(incremental_ok))
+        .withColumn("skipped_ok", F.lit(skipped_ok))
+    )

@@ -415,12 +415,21 @@ class TransactionalLake:
             if cp and cp.get("row_tracking")
             else None
         )
+        cluster_state: dict | None = (
+            {
+                "cols": list(cp["clustering"]["cols"]),
+                "clustered": set(cp["clustering"]["clustered"]),
+            }
+            if cp and cp.get("clustering")
+            else None
+        )
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
             if v < start or v > version:
                 continue
             c = self._read_commit(v)
+            cluster_state = self._fold_clustering(cluster_state, c)
             for f in c.get("add", []):
                 live[f] = None
             for f in c.get("remove", []):
@@ -503,6 +512,18 @@ class TransactionalLake:
             "column_mapping": col_map,
             "properties": props,
             "row_tracking": rtrack,
+            "clustering": (
+                {
+                    "cols": cluster_state["cols"],
+                    "clustered": sorted(
+                        f
+                        for f in cluster_state["clustered"]
+                        if f in live
+                    ),
+                }
+                if cluster_state is not None
+                else None
+            ),
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -3272,6 +3293,7 @@ class TransactionalLake:
             emit: list[DataFrame] = []
             if v >= starting_version and c["op"] not in (
                 "compact",
+                "cluster",
                 "set_partitioning",
             ):
                 for key, change in (("add", "insert"), ("remove", "delete")):
@@ -3675,6 +3697,8 @@ class TransactionalLake:
             "column_mapping": self.column_mapping(),
             "properties": self.properties(),
             "row_tracking": self.row_tracking(),
+            # r11: liquid-clustering key + maintenance debt
+            "clustering": self.clustering_info(),
         }
 
     def files(self) -> DataFrame:
@@ -3868,6 +3892,20 @@ class TransactionalLake:
                 },
                 "next": cur_map["next"],
             }
+        # clustering rolls back with the file set too; when the
+        # target predates the feature, pin the unset sentinel (cols
+        # []) so the last-state-wins fold can't leak the head's key
+        tgt_cl = self._clustering_state(as_of=target_v)
+        cur_cl = self._clustering_state()
+        if tgt_cl is not None:
+            action["clustering"] = {
+                "cols": list(tgt_cl["cols"]),
+                "clustered": sorted(
+                    f for f in target_files if f in tgt_cl["clustered"]
+                ),
+            }
+        elif cur_cl is not None:
+            action["clustering"] = {"cols": [], "clustered": []}
         # table metadata rolls back WITH the file set (Delta RESTORE
         # contract): a restore across a set_partitioning boundary must
         # re-adopt the old layout, or the next append writes new-layout
@@ -3991,6 +4029,17 @@ class TransactionalLake:
                 f: list(rt["base"][f]) for f in files if f in rt["base"]
             }
             action["row_high_water"] = rt["high_water"]
+        cl = self._clustering_state(as_of=src_v)
+        if cl is not None:
+            # clustering key + clustered-set carry into the clone:
+            # the linked files' layout IS the source's, so the
+            # clone's first maintenance pass stays incremental
+            action["clustering"] = {
+                "cols": list(cl["cols"]),
+                "clustered": sorted(
+                    f for f in files if f in cl["clustered"]
+                ),
+            }
         target._commit(action)
         return target
 
@@ -4713,6 +4762,174 @@ class TransactionalLake:
             rt,
         )
         return self._conform(raw, schemas, keep=self._RT_COLS)
+
+    # ------------------------------------------------------------------
+    # Liquid clustering (Delta ``CLUSTER BY`` parity): a declared
+    # clustering key + INCREMENTAL clustering maintenance. Unlike
+    # Z-order OPTIMIZE (a one-shot full rewrite), the log tracks
+    # which live files were written BY a clustering rewrite;
+    # optimize_clustering() rewrites only the files that are not —
+    # i.e. O(data appended since the last run), never the table.
+    # That is the property that makes clustering maintainable at
+    # 100 TB: steady-state cost tracks the ingest rate, not the
+    # table size. Clustering columns bind to PHYSICAL names (like
+    # stats/blooms/partitioning, they survive renames); the rewrite
+    # uses the same range layout as Z-order so per-file stats skip.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _fold_clustering(state: dict | None, c: dict) -> dict | None:
+        """Fold one commit into the clustering state
+        ``{"cols": [physical], "clustered": {file, ...}}`` (None =
+        feature unused). A ``clustering`` commit key REPLACES the
+        state (set/unset/clone/restore — changing the key resets the
+        clustered set: files laid out for the old key don't satisfy
+        the new one); file adds join the clustered set only when the
+        commit is flagged ``clustered_add``; removed files drop out."""
+        if c.get("clustering") is not None:
+            cl = c["clustering"]
+            if not cl.get("cols"):
+                return None
+            state = {
+                "cols": list(cl["cols"]),
+                "clustered": set(cl.get("clustered", [])),
+            }
+        if state is None:
+            return None
+        for f in c.get("remove", []):
+            state["clustered"].discard(f)
+        if c.get("clustered_add"):
+            state["clustered"].update(c.get("add", []))
+        return state
+
+    def _clustering_state(self, as_of: int | None = None) -> dict | None:
+        """Folded clustering state as of a version (checkpoint +
+        tail, same retention-proof shape as identity/mapping)."""
+        cp = self._latest_checkpoint(max_version=as_of)
+        state: dict | None = (
+            {
+                "cols": list(cp["clustering"]["cols"]),
+                "clustered": set(cp["clustering"]["clustered"]),
+            }
+            if cp and cp.get("clustering")
+            else None
+        )
+        start = cp["version"] + 1 if cp else 0
+        for c in self._iter_commits_after(start, as_of):
+            state = self._fold_clustering(state, c)
+        return state
+
+    def set_clustering(self, columns) -> int:
+        """Declare (or with an empty tuple, drop) the table's
+        clustering key — ``ALTER TABLE ... CLUSTER BY``. Metadata-only
+        commit; no data moves until :meth:`optimize_clustering`.
+        Column names are LOGICAL; changing the key resets the
+        clustered-file set (the old layout doesn't satisfy the new
+        key, so the next maintenance pass re-clusters everything)."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        if cols:
+            _files, schemas, _v, _dvs = self._snapshot_state()
+            if not schemas:
+                raise ValueError(
+                    "clustering requires a committed schema (write "
+                    "data first)"
+                )
+            doc = self._column_mapping_doc()
+            known = (
+                set(doc["cols"])
+                if doc is not None
+                else {f["name"] for f in self._merged_fields(schemas)}
+            )
+            unknown = [c for c in cols if c not in known]
+            if unknown:
+                raise ValueError(f"unknown clustering columns: {unknown}")
+            phys = list(self._map_cols(cols, doc))
+        else:
+            phys = []
+        return self._commit(
+            {
+                "op": "set_clustering",
+                "clustering": {"cols": phys, "clustered": []},
+            }
+        )
+
+    def clustering_info(self) -> dict | None:
+        """``{"cluster_by": [logical], "clustered_files": n,
+        "unclustered_files": n}`` or None while the feature is
+        unused — the observability surface an ops loop polls to
+        decide whether a maintenance pass is due."""
+        state = self._clustering_state()
+        if state is None:
+            return None
+        live = set(self._snapshot_state()[0])
+        doc = self._column_mapping_doc()
+        inv = (
+            {p: lg for lg, p in doc["cols"].items()}
+            if doc is not None
+            else {}
+        )
+        return {
+            "cluster_by": [inv.get(c, c) for c in state["cols"]],
+            "clustered_files": len(live & state["clustered"]),
+            "unclustered_files": len(live - state["clustered"]),
+        }
+
+    def optimize_clustering(
+        self, full: bool = False, files_per_partition: int = 1
+    ) -> int:
+        """INCREMENTAL clustering maintenance (Delta ``OPTIMIZE`` on
+        a clustered table; ``full=True`` = ``OPTIMIZE ... FULL``):
+        rewrite only the live files NOT already written by a
+        clustering rewrite — newly appended data plus anything a
+        key change invalidated — range-laid-out on the clustering
+        key so the log's per-file stats skip. Steady-state cost is
+        O(rows appended since the last pass). Row-tracking ids and
+        deletion-vector visibility fold through like any rewrite
+        (``_rewrite_src``); untouched clustered files keep their
+        vectors."""
+        state = self._clustering_state()
+        if state is None:
+            raise ValueError(
+                "no clustering key declared (set_clustering first)"
+            )
+        old, schemas, read_v, dvs = self._snapshot_state()
+        subset = (
+            list(old)
+            if full
+            else [f for f in old if f not in state["clustered"]]
+        )
+        if not subset:
+            return self.version
+        sub_dvs = {f: p for f, p in dvs.items() if f in subset}
+        snap = self._rewrite_src(
+            subset, schemas, sub_dvs, self._row_tracking_state()
+        )
+        cols = [c for c in state["cols"] if c in snap.columns]
+        if not cols:
+            raise ValueError(
+                f"clustering columns {state['cols']} no longer exist "
+                "in the table schema"
+            )
+        zcol = (
+            F.col(cols[0])
+            if len(cols) == 1
+            else self._zvalue(snap, tuple(cols))
+        )
+        n = max(1, files_per_partition)
+        parts = [F.col(c) for c in self.partition_by]
+        n_dirs = len({os.path.dirname(f) for f in subset}) or 1
+        out = snap.repartitionByRange(
+            n * n_dirs, *parts, zcol
+        ).sortWithinPartitions(*parts, zcol)
+        added = self._write_files(out)
+        return self._commit(
+            {
+                "op": "cluster",
+                "add": added,
+                "remove": subset,
+                "clustered_add": True,
+            },
+            read_version=read_v,
+        )
 
     def set_partitioning(self, partition_by: tuple[str, ...]) -> int:
         """Partition evolution: rewrite the table under a new layout

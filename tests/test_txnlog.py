@@ -2843,3 +2843,164 @@ class TestZorderRowTrackingMappingInterplay:
             for r in lake.snapshot(with_row_ids=True).collect()
         )
         assert after == before
+
+
+class TestLiquidClustering:
+    """r11: LIQUID CLUSTERING (Delta CLUSTER BY parity) — a declared
+    clustering key + INCREMENTAL maintenance: optimize_clustering()
+    rewrites only files not already written by a clustering rewrite,
+    so steady-state cost tracks the ingest rate, not table size."""
+
+    def _lake(self, spark, tmp_path, name="lc"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        for i in range(3):
+            lake.append(
+                spark.range(i * 1000, (i + 1) * 1000).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 97).cast("double").alias("v"),
+                ).coalesce(2)
+            )
+        return lake
+
+    def test_requires_schema_and_known_columns(self, spark, tmp_path):
+        empty = TransactionalLake(
+            spark, str(tmp_path / "e"), partition_by=())
+        with pytest.raises(ValueError, match="committed schema"):
+            empty.set_clustering(("v",))
+        lake = self._lake(spark, tmp_path)
+        with pytest.raises(ValueError, match="unknown clustering"):
+            lake.set_clustering(("nope",))
+        with pytest.raises(ValueError, match="no clustering key"):
+            lake.optimize_clustering()
+
+    def test_incremental_rewrites_only_new_files(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_clustering("v")
+        info = lake.clustering_info()
+        assert info["cluster_by"] == ["v"]
+        assert info["clustered_files"] == 0
+        lake.optimize_clustering(files_per_partition=3)
+        assert lake.clustering_info()["unclustered_files"] == 0
+        clustered_before = lake.clustering_info()["clustered_files"]
+        lake.append(
+            spark.range(3000, 4000).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            ).coalesce(2)
+        )
+        live = set(lake._snapshot_state()[0])
+        v = lake.optimize_clustering(files_per_partition=2)
+        c = lake._read_commit(v)
+        # only the 2 fresh files rewrote; clustered survivors untouched
+        assert len(c["remove"]) == len(live) - clustered_before
+        assert c["op"] == "cluster" and c["clustered_add"] is True
+        assert lake.snapshot().count() == 4000
+
+    def test_ids_and_dv_visibility_survive(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.enable_row_tracking()
+        lake.delete_where("k % 10 = 7", mode="dv")
+        before = {
+            r["_row_id"]: r.k
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        lake.set_clustering("v")
+        lake.optimize_clustering()
+        after = {
+            r["_row_id"]: r.k
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        assert after == before
+
+    def test_key_change_resets_clustered_set(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_clustering("v")
+        lake.optimize_clustering()
+        assert lake.clustering_info()["unclustered_files"] == 0
+        lake.set_clustering("k")
+        info = lake.clustering_info()
+        assert info["cluster_by"] == ["k"]
+        assert info["clustered_files"] == 0  # old layout invalid
+        lake.optimize_clustering()
+        assert lake.clustering_info()["unclustered_files"] == 0
+
+    def test_unset_clears_feature(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_clustering(("v",))
+        lake.set_clustering(())
+        assert lake.clustering_info() is None
+        with pytest.raises(ValueError, match="no clustering key"):
+            lake.optimize_clustering()
+
+    def test_logical_names_through_rename(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.rename_column("v", "price")
+        lake.set_clustering(("price",))
+        assert lake.clustering_info()["cluster_by"] == ["price"]
+        lake.optimize_clustering(files_per_partition=2)
+        assert lake.clustering_info()["unclustered_files"] == 0
+        # a further rename keeps the binding (physical under the hood)
+        lake.rename_column("price", "px")
+        assert lake.clustering_info()["cluster_by"] == ["px"]
+        got = sorted(r.px for r in lake.snapshot().limit(3).collect())
+        assert len(got) == 3
+
+    def test_range_layout_tightens_per_file_stats(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        pre_kept, _t, _s = lake.prune_files({"v": (10.0, 20.0)})
+        pre_live = len(lake._snapshot_state()[0])
+        lake.set_clustering("v")
+        lake.optimize_clustering(files_per_partition=6)
+        kept, _total, _sch = lake.prune_files({"v": (10.0, 20.0)})
+        live = len(lake._snapshot_state()[0])
+        # before clustering every file spans v's full range
+        assert len(pre_kept) == pre_live
+        assert len(kept) < live  # clustered files skip
+
+    def test_survives_checkpoint_vacuum_clone(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_clustering("v")
+        lake.optimize_clustering()
+        for i in range(25):  # cross a checkpoint boundary
+            lake.set_properties({"tick": str(i)})
+        lake.vacuum_log()
+        info = lake.clustering_info()
+        assert info["cluster_by"] == ["v"]
+        assert info["unclustered_files"] == 0
+        clone = lake.clone(str(tmp_path / "lc_clone"))
+        cinfo = clone.clustering_info()
+        assert cinfo["cluster_by"] == ["v"]
+        assert cinfo["unclustered_files"] == 0
+
+    def test_restore_rolls_clustering_back(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        v0 = lake.version
+        lake.set_clustering("v")
+        lake.optimize_clustering()
+        lake.restore(version=v0)
+        assert lake.clustering_info() is None
+        # and forward again: restore to a clustered version
+        lake2 = self._lake(spark, tmp_path, name="lc2")
+        lake2.set_clustering("v")
+        lake2.optimize_clustering()
+        v_clustered = lake2.version
+        lake2.set_clustering(())
+        lake2.restore(version=v_clustered)
+        info = lake2.clustering_info()
+        assert info is not None and info["unclustered_files"] == 0
+
+    def test_cluster_commit_is_cdc_silent(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_clustering("v")
+        v_before = lake.version
+        lake.optimize_clustering()
+        ch = lake.read_changes(starting_version=v_before + 1)
+        assert ch.count() == 0
+
+    def test_detail_surfaces_clustering(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        assert lake.detail()["clustering"] is None
+        lake.set_clustering("v")
+        d = lake.detail()
+        assert d["clustering"]["cluster_by"] == ["v"]
