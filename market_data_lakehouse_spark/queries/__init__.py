@@ -93,8 +93,8 @@ _DRIVER_WINDOW = [
     "s23_liquid_clustering",  # r11 NEW: CLUSTER BY + incremental opt
     "s15_table_detail",       # sat out r10's lake re-window (VERDICT)
     "s17_scoped_optimize",    # sat out r10's lake re-window (VERDICT)
-    "s18_metadata_count",     # _snapshot_state fold changed
-    "s19_identity_column",    # _commit loop unchanged; fold changed
+    "s24_column_defaults",    # r11 NEW: ALTER COLUMN SET DEFAULT
+    "s25_auto_compaction",    # r11 NEW: autoOptimize.autoCompact
 ]
 
 

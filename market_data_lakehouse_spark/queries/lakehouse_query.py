@@ -1221,3 +1221,118 @@ def s23_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("incremental_ok", F.lit(incremental_ok))
         .withColumn("skipped_ok", F.lit(skipped_ok))
     )
+
+
+@register(
+    "s24_column_defaults",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN event_id % 2 = 0 THEN 'batch' ELSE 'late' END
+             AS source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           TRUE AS no_backfill_ok
+    FROM events
+    WHERE NOT event_id % 11 = 3
+    GROUP BY event_type,
+             CASE WHEN event_id % 2 = 0 THEN 'batch' ELSE 'late' END
+    """,
+)
+def s24_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values as a hard signal (S8 extension, r11 —
+    Delta ``ALTER COLUMN SET DEFAULT`` parity): ingest half the
+    corpus WITH an explicit ``source`` column, declare ``DEFAULT
+    'late'``, then ingest the other half OMITTING the column — the
+    writer materializes the default per row. The no-backfill
+    contract is asserted in-query (pre-default rows keep their
+    explicit value; Delta's rule that adding a default never
+    rewrites history), a dv-mode DELETE exercises visibility on the
+    defaulted files, and DuckDB recomputes the source split from
+    raw events — a default leaking into the wrong half, or a NULL
+    where the default belonged, hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = scratch_dir("cdflt")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(
+        ev.filter("event_id % 2 = 0")
+        .withColumn("source", F.lit("batch"))
+        .repartition(2)
+    )
+    tx.set_column_default("source", "'late'")
+    tx.append(ev.filter("event_id % 2 = 1").repartition(2))
+    tx.delete_where("event_id % 11 = 3", mode="dv")
+    snap = tx.snapshot()
+    no_backfill_ok = (
+        snap.filter("event_id % 2 = 0 AND source != 'batch'").count()
+        == 0
+        and snap.filter("source IS NULL").count() == 0
+    )
+    assert no_backfill_ok, "default leaked into pre-default rows"
+    return (
+        snap.groupBy("event_type", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("no_backfill_ok", F.lit(no_backfill_ok))
+    )
+
+
+@register(
+    "s25_auto_compaction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           ROUND(SUM(value), 2) AS sum_value,
+           TRUE AS debt_bounded_ok,
+           TRUE AS compacted_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s25_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compaction as a hard signal (S8 extension, r11 — Delta
+    ``delta.autoOptimize.autoCompact`` parity): with the property
+    on, eight single-file trickle appends must self-heal — the gate
+    asserts in-query that the final live-file count stays BELOW the
+    append count (the small-file debt was compacted inline) and
+    that a ``compact`` commit actually ran. DuckDB recomputes the
+    full-corpus aggregate — a row lost or duplicated by an inline
+    compaction hash-mismatches."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = scratch_dir("acomp")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.filter("event_id % 8 = 0").coalesce(1))
+    tx.set_properties({
+        "autoCompact.enabled": "true",
+        "autoCompact.minNumFiles": "4",
+    })
+    for i in range(1, 8):
+        tx.append(ev.filter(f"event_id % 8 = {i}").coalesce(1))
+    n_files = len(tx._snapshot_state()[0])
+    debt_bounded_ok = n_files < 8
+    compacted_ok = any(c["op"] == "compact" for c in tx.history())
+    assert debt_bounded_ok, f"{n_files} live files after 8 appends"
+    assert compacted_ok, "no compact commit in history"
+    return (
+        tx.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("debt_bounded_ok", F.lit(debt_bounded_ok))
+        .withColumn("compacted_ok", F.lit(compacted_ok))
+    )

@@ -423,6 +423,9 @@ class TransactionalLake:
             if cp and cp.get("clustering")
             else None
         )
+        defaults: dict[str, str] = (
+            dict(cp.get("defaults", {})) if cp else {}
+        )
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
@@ -430,6 +433,12 @@ class TransactionalLake:
                 continue
             c = self._read_commit(v)
             cluster_state = self._fold_clustering(cluster_state, c)
+            if c.get("defaults"):
+                for k, dval in c["defaults"].items():
+                    if dval is None:
+                        defaults.pop(k, None)
+                    else:
+                        defaults[k] = dval
             for f in c.get("add", []):
                 live[f] = None
             for f in c.get("remove", []):
@@ -524,6 +533,7 @@ class TransactionalLake:
                 if cluster_state is not None
                 else None
             ),
+            "defaults": defaults,
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -2036,6 +2046,8 @@ class TransactionalLake:
             # cross-family divergent batch fails loudly HERE instead
             # of poisoning every future mergeSchema read
             df = self._cast_to_committed(df, schemas)
+            # r11: omitted defaulted columns materialize here
+            df = self._apply_defaults(df, schemas)
         ident = self.identity_state(as_of=snap_v)
         id_read_v, id_next = None, None
         if ident is not None:
@@ -2074,7 +2086,11 @@ class TransactionalLake:
             action["identity_next"] = id_next
         if mdoc is not None:
             action["column_mapping"] = mdoc
-        return self._commit(action, identity_read_version=id_read_v)
+        v = self._commit(action, identity_read_version=id_read_v)
+        # post-write maintenance (auto-compaction) may advance the
+        # table further; the APPEND's version is what we return
+        self._maybe_auto_compact()
+        return v
 
     def overwrite(self, df: DataFrame) -> int:
         """Atomic full-table replace: one commit adds the new files
@@ -2088,6 +2104,7 @@ class TransactionalLake:
             )
         df, mdoc = self._to_physical(df, extend=True)
         df = self._apply_generated(df)
+        df = self._apply_defaults(df, _schemas)
         added, _ = self._checked_write(df, "overwrite")
         action: dict = {
             "op": "overwrite",
@@ -2132,6 +2149,7 @@ class TransactionalLake:
         match = F.coalesce(F.expr(predicate), F.lit(False))
         df = self._apply_generated(df)
         old, schemas, read_v, dvs = self._snapshot_state()
+        df = self._apply_defaults(df, schemas)
         self._check_read_bounds(predicate, read_bounds, schemas)
         self._check_schema(df, merge_schema=False, schemas=schemas)
         # pin the input ONCE before validating (ADVICE r8): a
@@ -2789,6 +2807,11 @@ class TransactionalLake:
         # schema enforcement applies even when the table is currently
         # EMPTY of files (e.g. fully deleted): the committed schema
         # survives and a merge must not silently replace or NARROW it
+        # r11: a source omitting a defaulted column carries the
+        # default into update postimages and inserts alike (the
+        # source row IS the postimage in this engine's update-all
+        # semantics)
+        source = self._apply_defaults(source, schemas)
         self._check_schema(source, merge_schema=False, schemas=schemas)
         # store-assignment: source dtypes conform to the committed
         # types up front, so neither unionByName coercion nor the
@@ -2951,7 +2974,7 @@ class TransactionalLake:
             )
         self._enforce_constraints(out, "merge")
         added = self._write_files(out)
-        return self._commit(
+        v = self._commit(
             {
                 "op": "merge",
                 "add": added,
@@ -2961,6 +2984,8 @@ class TransactionalLake:
             },
             read_version=read_v, read_bounds=read_bounds,
         )
+        self._maybe_auto_compact()
+        return v
 
     # ------------------------------------------------------------------
     # reads
@@ -3699,6 +3724,20 @@ class TransactionalLake:
             "row_tracking": self.row_tracking(),
             # r11: liquid-clustering key + maintenance debt
             "clustering": self.clustering_info(),
+            # r11: column defaults, shown under LOGICAL names
+            "column_defaults": (
+                lambda d, inv: {inv.get(k, k): v for k, v in d.items()}
+            )(
+                self.column_defaults(),
+                {
+                    p: lg
+                    for lg, p in (
+                        (self._column_mapping_doc() or {"cols": {}})[
+                            "cols"
+                        ]
+                    ).items()
+                },
+            ),
         }
 
     def files(self) -> DataFrame:
@@ -4029,6 +4068,9 @@ class TransactionalLake:
                 f: list(rt["base"][f]) for f in files if f in rt["base"]
             }
             action["row_high_water"] = rt["high_water"]
+        dflt = self.column_defaults(as_of=src_v)
+        if dflt:
+            action["defaults"] = dflt
         cl = self._clustering_state(as_of=src_v)
         if cl is not None:
             # clustering key + clustered-set carry into the clone:
@@ -4762,6 +4804,158 @@ class TransactionalLake:
             rt,
         )
         return self._conform(raw, schemas, keep=self._RT_COLS)
+
+    # ------------------------------------------------------------------
+    # Auto-compaction (Delta ``delta.autoOptimize.autoCompact``
+    # parity): when enabled via table properties, every successful
+    # write checks the small-file debt and, past a threshold, runs a
+    # bounded compaction INLINE — the small-files pathology of
+    # trickle ingest self-heals instead of waiting for an ops job.
+    # Properties (all strings, set via set_properties):
+    #   autoCompact.enabled      "true" to enable
+    #   autoCompact.minNumFiles  small-file count that triggers (50)
+    #   autoCompact.maxFileSize  bytes; only smaller files compact
+    #                            (16 MiB here; Delta uses 128 MB —
+    #                            sized down for local testing, the
+    #                            property is the tuning knob)
+    # On a clustered table the maintenance pass IS incremental
+    # clustering, so auto-compacted data lands range-laid-out.
+    # ------------------------------------------------------------------
+    def _maybe_auto_compact(self) -> None:
+        """Post-write hook: best-effort, never fails the write that
+        triggered it (a lost optimistic-concurrency race just waits
+        for the next write)."""
+        if getattr(self, "_auto_compacting", False):
+            return
+        props = self.properties()
+        if props.get("autoCompact.enabled", "").lower() != "true":
+            return
+        min_files = int(props.get("autoCompact.minNumFiles", "50"))
+        max_size = int(
+            props.get("autoCompact.maxFileSize", str(16 << 20))
+        )
+        live = self._snapshot_state()[0]
+        small = [f for f in live if self._file_size(f) < max_size]
+        if len(small) < min_files:
+            return
+        self._auto_compacting = True
+        try:
+            if self._clustering_state() is not None:
+                self.optimize_clustering()
+            else:
+                self.optimize(min_file_size=max_size)
+        except RuntimeError:
+            pass  # concurrent writer won; the next write re-checks
+        finally:
+            self._auto_compacting = False
+
+    # ------------------------------------------------------------------
+    # Column DEFAULT values (Delta ``ALTER TABLE ... ALTER COLUMN
+    # SET DEFAULT`` parity): a writer batch that OMITS a defaulted
+    # column gets the default expression evaluated per row at write
+    # time. Existing rows are untouched (reads of pre-default files
+    # still null-fill — Delta's contract: adding a default never
+    # backfills). Defaults are table configuration, bound to
+    # PHYSICAL names (they survive renames), kept through RESTORE
+    # like table properties, carried by CLONE.
+    # ------------------------------------------------------------------
+    def column_defaults(self, as_of: int | None = None) -> dict[str, str]:
+        """Active defaults, PHYSICAL column -> SQL expression."""
+        cp = self._latest_checkpoint(max_version=as_of)
+        out: dict[str, str] = dict(cp.get("defaults", {})) if cp else {}
+        start = cp["version"] + 1 if cp else 0
+        for c in self._iter_commits_after(start, as_of):
+            if c.get("defaults"):
+                for k, v in c["defaults"].items():
+                    if v is None:
+                        out.pop(k, None)
+                    else:
+                        out[k] = v
+        return out
+
+    def set_column_default(self, column: str, expr: str) -> int:
+        """Declare a DEFAULT for ``column`` (logical name): future
+        batches that omit the column write the expression's value
+        instead of NULL. The expression must be row-independent
+        (literals / deterministic functions of literals — Delta's
+        rule); it is validated by evaluating it once at declare
+        time, so a column reference or typo fails HERE, not inside
+        some future writer's job."""
+        doc = self._column_mapping_doc()
+        _files, schemas, _v, _dvs = self._snapshot_state()
+        if not schemas:
+            raise ValueError(
+                "column defaults require a committed schema (write "
+                "data first)"
+            )
+        known = (
+            set(doc["cols"])
+            if doc is not None
+            else {f["name"] for f in self._merged_fields(schemas)}
+        )
+        if column not in known:
+            raise ValueError(f"unknown column: {column!r}")
+        ident = self.identity_state()
+        phys = self._map_cols([column], doc)[0]
+        if ident is not None and ident[0] == phys:
+            raise ValueError(
+                f"column {column!r} is GENERATED ALWAYS AS IDENTITY "
+                "and cannot carry a DEFAULT"
+            )
+        if phys in self.generated_columns:
+            raise ValueError(
+                f"column {column!r} is a generated column and cannot "
+                "carry a DEFAULT"
+            )
+        try:
+            self.spark.range(1).select(F.expr(expr)).collect()
+        except Exception as exc:
+            raise ValueError(
+                f"DEFAULT for {column!r} must be a row-independent "
+                f"expression; {expr!r} failed to evaluate: {exc}"
+            ) from None
+        return self._commit(
+            {"op": "set_defaults", "defaults": {phys: expr}}
+        )
+
+    def drop_column_default(self, column: str) -> int:
+        """Remove ``column``'s DEFAULT (future omitting batches
+        write NULL again)."""
+        phys = self._map_cols([column])[0]
+        if phys not in self.column_defaults():
+            return self.version
+        return self._commit(
+            {"op": "set_defaults", "defaults": {phys: None}}
+        )
+
+    def _apply_defaults(
+        self, df: DataFrame, schemas: list[str]
+    ) -> DataFrame:
+        """Add each defaulted column the batch omits, cast to the
+        committed type. No-op while the feature is unused."""
+        defaults = self.column_defaults()
+        if not defaults:
+            return df
+        committed = (
+            {f["name"]: f for f in self._merged_fields(schemas)}
+            if schemas
+            else {}
+        )
+        from pyspark.sql.types import StructField, StructType
+
+        for col, expr in defaults.items():
+            if col in df.columns:
+                continue
+            c = F.expr(expr)
+            field = committed.get(col)
+            if field is not None:
+                c = c.cast(
+                    StructType(
+                        [StructField.fromJson(field)]
+                    ).fields[0].dataType
+                )
+            df = df.withColumn(col, c)
+        return df
 
     # ------------------------------------------------------------------
     # Liquid clustering (Delta ``CLUSTER BY`` parity): a declared

@@ -3004,3 +3004,175 @@ class TestLiquidClustering:
         lake.set_clustering("v")
         d = lake.detail()
         assert d["clustering"]["cluster_by"] == ["v"]
+
+
+class TestColumnDefaults:
+    """r11: column DEFAULT values (Delta ALTER COLUMN SET DEFAULT
+    parity) — batches that OMIT a defaulted column write the default
+    instead of NULL; existing rows are never backfilled."""
+
+    def _lake(self, spark, tmp_path, name="cd"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, "a", "us")], "k int, v string, region string"))
+        return lake
+
+    def test_append_omitting_column_gets_default(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_column_default("region", "'eu'")
+        lake.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+        got = {r.k: r.region for r in lake.snapshot().collect()}
+        assert got == {1: "us", 2: "eu"}
+
+    def test_no_backfill_of_existing_rows(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "nb"), partition_by=())
+        lake.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+        lake.append(
+            spark.createDataFrame(
+                [(2, "b", "us")], "k int, v string, region string"),
+            merge_schema=True,
+        )
+        lake.set_column_default("region", "'eu'")
+        got = {r.k: r.region for r in lake.snapshot().collect()}
+        assert got == {1: None, 2: "us"}  # pre-default rows stay NULL
+
+    def test_drop_default_restores_null(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_column_default("region", "'eu'")
+        lake.drop_column_default("region")
+        lake.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+        got = {r.k: r.region for r in lake.snapshot().collect()}
+        assert got[3] is None
+
+    def test_expression_defaults_cast_to_committed_type(
+        self, spark, tmp_path
+    ):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ex"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 5)], "k int, score int"))
+        lake.set_column_default("score", "2 + 3 * 10")
+        lake.append(spark.createDataFrame([(2,)], "k int"))
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["score"] == "int"
+        assert {r.k: r.score for r in snap.collect()} == {1: 5, 2: 32}
+
+    def test_validation_rejects_column_refs_and_unknowns(
+        self, spark, tmp_path
+    ):
+        lake = self._lake(spark, tmp_path)
+        with pytest.raises(ValueError, match="row-independent"):
+            lake.set_column_default("region", "upper(v)")
+        with pytest.raises(ValueError, match="unknown column"):
+            lake.set_column_default("nope", "'x'")
+        lake2 = TransactionalLake(
+            spark, str(tmp_path / "cdi"), partition_by=())
+        lake2.set_identity("rid")
+        lake2.append(spark.createDataFrame([(1,)], "k int"))
+        with pytest.raises(ValueError, match="IDENTITY"):
+            lake2.set_column_default("rid", "7")
+
+    def test_rename_keeps_binding_and_merge_applies(
+        self, spark, tmp_path
+    ):
+        lake = self._lake(spark, tmp_path)
+        lake.set_column_default("region", "'eu'")
+        lake.rename_column("region", "zone")
+        # binding is physical: the default survives the rename
+        lake.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+        assert {
+            r.k: r.zone for r in lake.snapshot().collect()
+        } == {1: "us", 2: "eu"}
+        # merge insert path: source omits the defaulted column
+        lake.merge(
+            spark.createDataFrame([(3, "c")], "k int, v string"),
+            on="k",
+        )
+        assert {
+            r.k: r.zone for r in lake.snapshot().collect()
+        }[3] == "eu"
+        assert lake.detail()["column_defaults"] == {"zone": "'eu'"}
+
+    def test_survives_checkpoint_vacuum_clone(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        lake.set_column_default("region", "'eu'")
+        for i in range(25):
+            lake.set_properties({"tick": str(i)})
+        lake.vacuum_log()
+        assert lake.column_defaults() == {"region": "'eu'"}
+        clone = lake.clone(str(tmp_path / "cd_clone"))
+        clone.append(
+            spark.createDataFrame([(9, "z")], "k int, v string"))
+        assert {
+            r.k: r.region for r in clone.snapshot().collect()
+        }[9] == "eu"
+
+
+class TestAutoCompaction:
+    """r11: auto-compaction (Delta delta.autoOptimize.autoCompact
+    parity) — past a small-file threshold, writes self-heal the
+    small-files pathology inline."""
+
+    def test_small_file_debt_self_heals(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ac"), partition_by=())
+        lake.append(spark.createDataFrame([(0, 0.0)], "k int, v double"))
+        lake.set_properties({
+            "autoCompact.enabled": "true",
+            "autoCompact.minNumFiles": "6",
+        })
+        for i in range(1, 12):
+            v = lake.append(
+                spark.createDataFrame([(i, float(i))], "k int, v double")
+            )
+            # append returns ITS version even when compaction follows
+            assert lake._read_commit(v)["op"] == "append"
+        n_files = len(lake._snapshot_state()[0])
+        assert n_files < 6, n_files
+        assert any(
+            c["operation_metrics"]["num_removed_files"] > 0
+            and c["op"] == "compact"
+            for c in lake.history()
+        )
+        assert lake.snapshot().count() == 12
+        assert sorted(r.k for r in lake.snapshot().collect()) == list(
+            range(12))
+
+    def test_disabled_debt_accumulates(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "acd"), partition_by=())
+        for i in range(8):
+            lake.append(
+                spark.createDataFrame([(i, float(i))], "k int, v double")
+            )
+        assert len(lake._snapshot_state()[0]) == 8
+        assert not any(c["op"] == "compact" for c in lake.history())
+
+    def test_clustered_table_autocompacts_into_layout(
+        self, spark, tmp_path
+    ):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "acl"), partition_by=())
+        lake.append(
+            spark.range(100).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 13).cast("double").alias("v"),
+            ).coalesce(1)
+        )
+        lake.set_clustering("v")
+        lake.set_properties({
+            "autoCompact.enabled": "true",
+            "autoCompact.minNumFiles": "4",
+        })
+        for i in range(6):
+            lake.append(
+                spark.createDataFrame(
+                    [(1000 + i, float(i))], "k int, v double")
+            )
+        info = lake.clustering_info()
+        # maintenance ran as incremental clustering, not plain compact
+        assert info["unclustered_files"] <= 4
+        assert any(c["op"] == "cluster" for c in lake.history())
+        assert lake.snapshot().count() == 106
