@@ -108,6 +108,19 @@ def main() -> None:
     print("converted:", adopted.count_rows(), "rows,",
           "layout", adopted.partition_by,
           "| would-vacuum:", len(adopted.vacuum(dry_run=True)))
+    # LIQUID CLUSTERING (r11): declare a key, maintain incrementally —
+    # each pass rewrites only files not already clustered, range-
+    # laid-out so per-file stats skip narrow range reads
+    tx.set_clustering("close")
+    tx.optimize_clustering()
+    print("clustering:", tx.clustering_info())
+    # COLUMN DEFAULTS (r11): batches omitting the column write the
+    # default (existing rows are never backfilled)
+    tx.set_column_default("volume", "0")
+    # AUTO-COMPACTION (r11): small-file debt self-heals inline after
+    # writes once the property is on
+    tx.set_properties({"autoCompact.enabled": "true",
+                       "autoCompact.minNumFiles": "16"})
 
     # --- as-of join ----------------------------------------------------
     trades = spark.createDataFrame(
