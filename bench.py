@@ -127,6 +127,9 @@ HEAVY = {
     # update + id-join read), each end-to-end lake builds
     "q_type_widening": "s21_type_widening",
     "q_row_tracking": "s22_row_tracking",
+    # r11: lifecycle exerciser — build lake, cluster, incremental
+    # maintenance pass, dv delete, skipping-verified range read
+    "q_liquid_clustering": "s23_liquid_clustering",
 }
 
 

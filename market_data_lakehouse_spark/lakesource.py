@@ -31,6 +31,20 @@ the materialized id a rewrite carried).
 Scale: the driver touches only the commit JSON (O(new commits) per
 trigger); row bytes move straight from parquet to Arrow batches in
 the Python workers, one partition per (file, commit).
+
+Admission control (r11, Delta ``maxFilesPerTrigger`` parity):
+``max_files_per_trigger`` / ``max_rows_per_trigger`` cap how far
+each micro-batch advances, so a restart against a deep backlog
+drains as a ladder of bounded batches instead of one giant
+catch-up batch (the row cap reads the log's per-file row counts —
+no file opens). A single commit larger than the cap streams alone:
+a commit is the atomic unit. CAVEAT: ``trigger(availableNow=True)``
+snapshots ONE ``latestOffset()`` as the run's end (the Python
+source API has no ReadLimit handshake), so an availableNow run
+consumes at most one cap step; use a processing-time trigger for
+continuous capped draining, or rerun availableNow until the sink
+catches up — the checkpoint makes the ladder exactly-once either
+way.
 """
 
 from __future__ import annotations
@@ -226,6 +240,28 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
+        # Admission control (Delta maxFilesPerTrigger parity, plus a
+        # row-count twin powered by the log's per-file row counts):
+        # latestOffset caps how far each micro-batch may advance.
+        # The Python source API exposes no ReadLimit, so the cap
+        # works off a RATCHETING CURSOR: it starts at the stream's
+        # own start, advances by at most one cap per trigger, and
+        # fast-forwards whenever partitions()/commit() reveal the
+        # engine's true position. After a restart with backlog, the
+        # cursor may briefly trail the checkpointed offset — those
+        # triggers plan no batch and the cursor climbs at cap rate
+        # until it passes it; no stall, no loss, and every REAL
+        # batch stays within the cap (its [start, end) sits inside
+        # one cursor step).
+        mf = options.get("max_files_per_trigger")
+        mr = options.get("max_rows_per_trigger")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_rows = int(mr) if mr is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        if self.max_rows is not None and self.max_rows < 1:
+            raise ValueError("max_rows_per_trigger must be >= 1")
+        self._cursor = self.start_version
         self.with_row_ids = (
             str(options.get("with_row_ids", "false")).lower() == "true"
         )
@@ -288,11 +324,44 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         versions = _commit_versions(self.path)
-        head = versions[-1] if versions else -1
-        return {"version": head + 1}
+        head_next = (versions[-1] + 1) if versions else 0
+        if self.max_files is None and self.max_rows is None:
+            return {"version": head_next}
+        end = max(self._cursor, self.start_version)
+        files = rows = 0
+        while end < head_next:
+            try:
+                c = _read_commit(self.path, end)
+            except FileNotFoundError:
+                break  # below retention: partitions() owns the error
+            adds = c.get("add", [])
+            f_n = len(adds)
+            r_n = sum(c.get("rows", {}).get(f, 0) for f in adds)
+            over = (
+                self.max_files is not None
+                and files + f_n > self.max_files
+            ) or (
+                self.max_rows is not None and rows + r_n > self.max_rows
+            )
+            if over and (files or rows):
+                break  # cap reached; next trigger continues here
+            # a single commit bigger than the cap still advances
+            # alone — a commit is the atomic streaming unit
+            files += f_n
+            rows += r_n
+            end += 1
+            if (
+                self.max_files is not None and files >= self.max_files
+            ) or (self.max_rows is not None and rows >= self.max_rows):
+                break
+        self._cursor = end
+        return {"version": end}
 
     # -- planning -------------------------------------------------------
     def partitions(self, start, end):
+        # the engine's true position: fast-forward the rate-limit
+        # cursor (restart with backlog self-heals here)
+        self._cursor = max(self._cursor, end["version"])
         parts: list[_AddFilePartition] = []
         for v in range(start["version"], end["version"]):
             try:
@@ -339,7 +408,10 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         return parts
 
     def commit(self, end):
-        pass  # the log is the source of truth; nothing to acknowledge
+        # the log is the source of truth; nothing to acknowledge —
+        # but a completed batch is a position signal for the
+        # rate-limit cursor
+        self._cursor = max(self._cursor, end["version"])
 
     # -- executor-side read --------------------------------------------
     def read(self, partition):

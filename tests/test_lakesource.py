@@ -444,3 +444,143 @@ class TestStartingTimestamp:
                 spark, path, str(tmp_path / "o2"), str(tmp_path / "c2"),
                 starting_version="0", starting_timestamp="0",
             )
+
+
+def _drain_capped(spark, path, out_dir, ckpt, expect_rows, **opts):
+    """Continuous-trigger drain for rate-limited streams: availableNow
+    snapshots ONE latestOffset as the run's end (the Python source
+    API has no ReadLimit), so capped draining needs a processing-time
+    trigger; stop once the sink holds the expected rows."""
+    import time as _t
+
+    reader = spark.readStream.format("lake_changes").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 240
+        while _t.time() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= expect_rows:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+class TestRateLimiting:
+    """r11: admission control (Delta maxFilesPerTrigger parity +
+    a row-count twin from the log's per-file row counts) — a backlog
+    drains across MULTIPLE bounded micro-batches instead of one
+    giant catch-up batch."""
+
+    def _backlog(self, spark, tmp_path, n_commits=6):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "rl"), partition_by=())
+        for i in range(n_commits):
+            lake.append(
+                _rows(spark, i * 10, i * 10 + 10).coalesce(1))
+        return lake
+
+    def _batch_versions(self, ckpt_dir):
+        """Commit-version range per planned micro-batch, from the
+        checkpoint's offsets log."""
+        import json as _json
+        import os
+
+        d = os.path.join(ckpt_dir, "offsets")
+        ends = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("."):
+                continue
+            with open(os.path.join(d, f)) as fh:
+                last = fh.read().strip().splitlines()[-1]
+            off = _json.loads(last)
+            if isinstance(off, str):  # double-encoded offset
+                off = _json.loads(off)
+            ends.append(off["version"])
+        return ends
+
+    def test_max_files_bounds_each_batch(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = self._backlog(spark, tmp_path)
+        ckpt = str(tmp_path / "ck")
+        got = _drain_capped(
+            spark, lake.path, str(tmp_path / "out"), ckpt, 60,
+            max_files_per_trigger="2",
+        )
+        assert got.count() == 60  # nothing lost, nothing duplicated
+        assert got.select("k").distinct().count() == 60
+        ends = self._batch_versions(ckpt)
+        # 6 one-file commits at <=2 files/trigger: >= 3 batches, and
+        # no batch spans more than 2 commit versions
+        assert len(ends) >= 3
+        steps = [
+            b - a for a, b in zip([0] + ends, ends + [ends[-1]])
+        ][: len(ends)]
+        assert all(s <= 2 for s in steps), (ends, steps)
+
+    def test_max_rows_bounds_each_batch(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = self._backlog(spark, tmp_path)
+        ckpt = str(tmp_path / "ckr")
+        got = _drain_capped(
+            spark, lake.path, str(tmp_path / "outr"), ckpt, 60,
+            max_rows_per_trigger="25",
+        )
+        assert got.count() == 60
+        assert len(self._batch_versions(ckpt)) >= 3
+
+    def test_oversized_commit_still_advances(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = TransactionalLake(
+            spark, str(tmp_path / "big"), partition_by=())
+        lake.append(_rows(spark, 0, 40).repartition(4))  # 4 files
+        lake.append(_rows(spark, 40, 50).coalesce(1))
+        got = _drain_capped(
+            spark, lake.path, str(tmp_path / "outb"),
+            str(tmp_path / "ckb"), 50, max_files_per_trigger="1",
+        )
+        # a commit larger than the cap is the atomic unit: it streams
+        # alone rather than stalling the query
+        assert got.count() == 50
+
+    def test_restart_resumes_under_cap(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = self._backlog(spark, tmp_path, n_commits=4)
+        ckpt = str(tmp_path / "ckR")
+        out = str(tmp_path / "outR")
+        got = _drain_capped(
+            spark, lake.path, out, ckpt, 40,
+            max_files_per_trigger="2")
+        assert got.count() == 40
+        # new backlog lands while the stream is down; restart drains
+        # it through the same capped ladder (cursor self-heals: the
+        # fresh reader's cursor starts at 0 but fast-forwards from
+        # the engine's checkpointed position)
+        for i in range(4, 8):
+            lake.append(_rows(spark, i * 10, i * 10 + 10).coalesce(1))
+        got2 = _drain_capped(
+            spark, lake.path, out, ckpt, 80,
+            max_files_per_trigger="2")
+        assert got2.count() == 80
+        assert got2.select("k").distinct().count() == 80
+
+    def test_invalid_caps_rejected(self, spark, tmp_path):
+        register_lake_changes_source(spark)
+        lake = self._backlog(spark, tmp_path, n_commits=1)
+        with pytest.raises(Exception, match="max_files_per_trigger"):
+            _drain(
+                spark, lake.path, str(tmp_path / "oi"),
+                str(tmp_path / "cki"), max_files_per_trigger="0",
+            )
