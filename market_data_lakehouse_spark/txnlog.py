@@ -159,6 +159,12 @@ class TransactionalLake:
         recorded = self._recorded_partitioning()
         if recorded is not None:
             self.partition_by = recorded
+        rec_gen = self._recorded_generated()
+        if rec_gen is not None:
+            # the log owns the generated-column set (r11): every
+            # writer derives the same columns by construction, even
+            # one that reopened the table without the ctor arg
+            self.generated_columns = rec_gen
         # incremental app-txn index: app_id -> highest committed txn
         # version, folded forward from commit files newer than
         # _txn_cache_upto — O(new commits) per lookup, so a streaming
@@ -509,6 +515,7 @@ class TransactionalLake:
             # resolvable after vacuum_log truncates the commit tail
             "timestamp": self._read_commit(version)["timestamp"],
             "partition_by": list(self.partition_by),
+            "generated_columns": dict(self.generated_columns),
             "live": list(live),
             "schemas": schemas,
             "stats": stats,
@@ -1294,6 +1301,11 @@ class TransactionalLake:
                 "version": version,
                 "timestamp": max(time.time(), prev_ts + 1e-3),
                 "partition_by": list(self.partition_by),
+                # r11: generated columns are LOG-OWNED like the
+                # layout — a reopener that omits (or changes) the
+                # ctor arg adopts the table's recorded expressions
+                # instead of silently writing un-derived batches
+                "generated_columns": dict(self.generated_columns),
                 **payload_action,
             }
             tmp = os.path.join(self.log_path, f".tmp_{uuid.uuid4().hex}")
@@ -1344,6 +1356,26 @@ class TransactionalLake:
         cp = self._latest_checkpoint()
         if cp is not None and (as_of is None or cp["version"] <= as_of):
             return tuple(cp["partition_by"])
+        return None
+
+    def _recorded_generated(
+        self, as_of: int | None = None
+    ) -> dict[str, str] | None:
+        """Generated-column expressions recorded by the latest commit
+        that carries them (None = pre-recording log, ctor value
+        applies) — same log-ownership contract as the partition
+        layout."""
+        for name in reversed(self._commit_files()):
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            c = self._read_commit(v)
+            if "generated_columns" in c:
+                return dict(c["generated_columns"])
+        cp = self._latest_checkpoint()
+        if cp is not None and (as_of is None or cp["version"] <= as_of):
+            if "generated_columns" in cp:
+                return dict(cp["generated_columns"])
         return None
 
     def _snapshot_state(
@@ -3658,7 +3690,38 @@ class TransactionalLake:
         ``dry_run`` (Delta ``VACUUM ... DRY RUN``): return the list
         of table-relative paths that WOULD be deleted, touching
         nothing — the look-before-you-leap step for an irreversible
-        operation."""
+        operation.
+
+        RETENTION CHECK (r11, Delta ``retentionDurationCheck``
+        parity): a retention below the table's configured floor
+        (``deletedFileRetentionDuration.seconds`` property, default
+        3600) FAILS — a short vacuum silently breaks concurrent
+        readers' time travel and in-flight writers' staged files.
+        Deliberate short vacuums set the
+        ``retentionDurationCheck.enabled = "false"`` property first
+        (Delta's escape hatch). Dry runs are exempt: listing is
+        harmless."""
+        if not dry_run:
+            props = self.properties()
+            floor = float(
+                props.get("deletedFileRetentionDuration.seconds", "3600")
+            )
+            check = (
+                props.get("retentionDurationCheck.enabled", "true")
+                .lower()
+                != "false"
+            )
+            if check and retention_seconds < floor:
+                raise ValueError(
+                    f"vacuum retention {retention_seconds}s is below "
+                    f"the configured floor {floor}s "
+                    "(deletedFileRetentionDuration.seconds): this can "
+                    "break concurrent readers' time travel and "
+                    "in-flight commits. Raise the retention, lower "
+                    "the floor property, or set table property "
+                    'retentionDurationCheck.enabled = "false" to '
+                    "override"
+                )
         live, _schemas, _v, _dvs = self._snapshot_state()
         live_set = set(live)
         cutoff = time.time() - retention_seconds
@@ -3955,10 +4018,17 @@ class TransactionalLake:
         prev_layout = self.partition_by
         if target_layout is not None:
             self.partition_by = target_layout
+        # generated columns roll back with the layout (same
+        # log-ownership contract)
+        target_gen = self._recorded_generated(as_of=target_v)
+        prev_gen = self.generated_columns
+        if target_gen is not None:
+            self.generated_columns = target_gen
         try:
             return self._commit(action, read_version=read_v)
         except Exception:
             self.partition_by = prev_layout
+            self.generated_columns = prev_gen
             raise
 
     def clone(

@@ -64,6 +64,7 @@ class TestClone:
         clone = src.clone(str(tmp_path / "clone"))
         # source rewrites everything, then vacuums its old files NOW
         src.overwrite(_rows(spark, 50, 52).coalesce(1))
+        src.set_properties({"retentionDurationCheck.enabled": "false"})
         assert src.vacuum(retention_seconds=0.0) > 0
         # the clone owns its hardlinks: still fully readable
         assert _ids(clone) == [0, 1, 2, 3, 4, 5]

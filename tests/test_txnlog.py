@@ -435,6 +435,11 @@ class TestMaintenance:
         # default retention protects freshly-written files (a
         # concurrent writer's staged-but-uncommitted data)
         assert lake.vacuum() == 0
+        # a short retention needs the explicit override (r11
+        # retentionDurationCheck parity)
+        with pytest.raises(ValueError, match="retention"):
+            lake.vacuum(retention_seconds=0)
+        lake.set_properties({"retentionDurationCheck.enabled": "false"})
         removed = lake.vacuum(retention_seconds=0)
         assert removed >= 2
         assert lake.snapshot().count() == 2  # latest still intact
@@ -497,6 +502,7 @@ class TestRestore:
     def test_restore_fails_after_vacuum(self, spark, lake):
         lake.append(_df(spark, [("AAPL", 150)]))
         lake.overwrite(_df(spark, [("TSLA", 900)]))
+        lake.set_properties({"retentionDurationCheck.enabled": "false"})
         lake.vacuum(retention_seconds=0)
         with pytest.raises(FileNotFoundError, match="vacuumed"):
             lake.restore(version=0)
@@ -2505,6 +2511,7 @@ class TestVacuumDryRunAndHistoryMetrics:
         for rel in would:  # nothing was deleted
             assert os.path.exists(os.path.join(lake.path, rel))
         assert lake.snapshot(version=0).count() == 6  # time travel intact
+        lake.set_properties({"retentionDurationCheck.enabled": "false"})
         assert lake.vacuum(retention_seconds=0.0) == len(would)
         with pytest.raises(Exception):
             lake.snapshot(version=0).count()
@@ -3176,3 +3183,56 @@ class TestAutoCompaction:
         assert info["unclustered_files"] <= 4
         assert any(c["op"] == "cluster" for c in lake.history())
         assert lake.snapshot().count() == 106
+
+
+class TestLogOwnedGeneratedColumns:
+    """r11: generated columns are LOG-OWNED like the partition
+    layout — a writer that reopens the table without (or with a
+    different) ctor arg adopts the recorded expressions, so every
+    writer derives the same columns by construction."""
+
+    def test_reopener_without_ctor_arg_still_derives(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "g")
+        lake = TransactionalLake(
+            spark, path, partition_by=("date",),
+            generated_columns={"date": "to_date(ts)"},
+        )
+        lake.append(spark.createDataFrame(
+            [(1, "2024-06-15 10:00:00")], "k int, ts string"
+        ).withColumn("ts", F.to_timestamp("ts")))
+        # a second writer process: no generated_columns passed
+        writer2 = TransactionalLake(spark, path, partition_by=None)
+        assert writer2.generated_columns == {"date": "to_date(ts)"}
+        writer2.append(spark.createDataFrame(
+            [(2, "2024-06-16 11:00:00")], "k int, ts string"
+        ).withColumn("ts", F.to_timestamp("ts")))
+        got = {r.k: str(r.date) for r in writer2.snapshot().collect()}
+        assert got == {1: "2024-06-15", 2: "2024-06-16"}
+
+    def test_recorded_wins_over_divergent_ctor(self, spark, tmp_path):
+        path = str(tmp_path / "g2")
+        lake = TransactionalLake(
+            spark, path, partition_by=(),
+            generated_columns={"flag": "1"},
+        )
+        lake.append(spark.createDataFrame([(1,)], "k int"))
+        other = TransactionalLake(
+            spark, path, partition_by=(),
+            generated_columns={"flag": "2"},  # divergent: log wins
+        )
+        assert other.generated_columns == {"flag": "1"}
+
+    def test_survives_vacuum_log_via_checkpoint(self, spark, tmp_path):
+        path = str(tmp_path / "g3")
+        lake = TransactionalLake(
+            spark, path, partition_by=(),
+            generated_columns={"flag": "7"},
+        )
+        lake.append(spark.createDataFrame([(1,)], "k int"))
+        for i in range(25):
+            lake.set_properties({"tick": str(i)})
+        lake.vacuum_log()
+        reopened = TransactionalLake(spark, path, partition_by=())
+        assert reopened.generated_columns == {"flag": "7"}
