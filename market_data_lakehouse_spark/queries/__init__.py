@@ -85,9 +85,9 @@ _DRIVER_WINDOW = [
     "t11_incremental_mv",     # read_changes: fold via _fold_schemas
     "s20_column_mapping",     # _map_expr: single-pass translation
     "s12_deletion_vectors",   # delete_where: mapped predicate
-    "s14_dv_update",          # update_where: mapped predicate
-    "s16_overwrite_where",    # overwrite_where: mapped predicate
-    "s8_merge_upsert",        # merge: mapped keys/bounds
+    "s26_analyze_stats",      # r11 NEW: ANALYZE + table_stats
+    "s27_table_features",     # r11 NEW: protocol lockout
+    "s8_merge_upsert",        # merge: mapped keys/bounds + defaults
     "s21_type_widening",      # _merged_fields callers re-exercised
     "e3_sq_knn",              # sq8_store: scratch-dir + memo rework
     "s23_liquid_clustering",  # r11 NEW: CLUSTER BY + incremental opt

@@ -1336,3 +1336,135 @@ def s25_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("debt_bounded_ok", F.lit(debt_bounded_ok))
         .withColumn("compacted_ok", F.lit(compacted_ok))
     )
+
+
+@register(
+    "s26_analyze_stats",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'event_id' AS col,
+             CAST(COUNT(*) AS BIGINT) AS rows_n,
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls,
+             CAST(MIN(event_id) AS DOUBLE) AS min_val,
+             CAST(MAX(event_id) AS DOUBLE) AS max_val,
+             TRUE AS ndv_ok
+      FROM events
+      UNION ALL
+      SELECT 'value',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             ROUND(CAST(MIN(value) AS DOUBLE), 4),
+             ROUND(CAST(MAX(value) AS DOUBLE), 4),
+             TRUE
+      FROM events
+    ) ORDER BY col
+    """,
+)
+def s26_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE as a hard signal (S8 extension, r11): one pass
+    computes table-level column statistics (approx NDV via HLL++,
+    null count, min/max) into a metadata commit; ``table_stats()``
+    reads them back through checkpoints and renames. The gate
+    ingests the corpus, ANALYZEs two columns, and emits the stats
+    AS the result — DuckDB recomputes rows/nulls/min/max exactly
+    (a drifted stat hash-mismatches) while the approximate NDV is
+    gated in-query at ±5% of the exact distinct count (the
+    bounded-error oracle pattern)."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = scratch_dir("anlz")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(4))
+    tx.analyze(columns=["event_id", "value"])
+    st = tx.table_stats()
+    exact = (
+        tx.snapshot()
+        .agg(
+            F.countDistinct("event_id").alias("de"),
+            F.countDistinct("value").alias("dv"),
+        )
+        .collect()[0]
+    )
+    rows = []
+    for col, ex in (("event_id", exact.de), ("value", exact.dv)):
+        s = st["columns"][col]
+        ndv_ok = abs(s["ndv"] - ex) <= max(1, int(0.05 * ex))
+        assert ndv_ok, f"{col}: ndv {s['ndv']} vs exact {ex}"
+        mn, mx = float(s["min"]), float(s["max"])
+        if col == "value":
+            mn, mx = round(mn, 4), round(mx, 4)
+        rows.append((col, st["rows"], s["nulls"], mn, mx, ndv_ok))
+    return spark.createDataFrame(
+        rows,
+        "col string, rows_n bigint, nulls bigint, min_val double, "
+        "max_val double, ndv_ok boolean",
+    ).orderBy("col")
+
+
+@register(
+    "s27_table_features",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('check-constraints'), ('clustering'), ('column-defaults'),
+      ('column-mapping'), ('deletion-vectors'), ('identity-columns'),
+      ('row-tracking'), ('type-widening')
+    ) AS t(feature) ORDER BY feature
+    """,
+)
+def s27_table_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-features protocol as a hard signal (S8 extension, r11 —
+    Delta table-features parity): commits record the CUMULATIVE
+    feature set; an engine build that lacks one refuses the table at
+    open instead of silently corrupting results (a dv-blind reader
+    resurrects deleted rows). The gate activates every protocol
+    feature this build defines on one lake and emits the recorded
+    set — the oracle pins it literally, so a feature that fails to
+    stamp (or one that stamps under the wrong name) hash-mismatches.
+    The lockout itself is exercised in-query: doctoring a commit
+    with an unknown feature must make reopening raise."""
+    import json as _json
+    import os as _os
+
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = scratch_dir("tfeat")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.set_identity("rid")
+    # event_id ingests NARROW so the widen below is a real widening
+    ev = ev.withColumn("event_id", F.col("event_id").cast("int"))
+    tx.append(ev.limit(500).repartition(2))
+    tx.delete_where("event_id % 5 = 0", mode="dv")
+    tx.enable_row_tracking()
+    tx.rename_column("value", "score")
+    tx.widen_column_type("event_id", "bigint")
+    tx.set_clustering("score")
+    tx.set_column_default("event_type", "'unknown'")
+    tx.add_check_constraint("nonneg", "event_id >= 0")
+    feats = tx.table_features()
+    # the lockout: an unknown feature must refuse the table
+    head_v = tx.version
+    head = _os.path.join(tx.log_path, f"{head_v:08d}.json")
+    c = _json.load(open(head))
+    doctored = dict(c)
+    doctored["features"] = sorted(set(c["features"]) | {"future-x"})
+    _json.dump(doctored, open(head, "w"))
+    try:
+        locked = False
+        try:
+            TransactionalLake(spark, lake_dir, partition_by=())
+        except RuntimeError:
+            locked = True
+        assert locked, "unknown feature did not lock the table"
+    finally:
+        _json.dump(c, open(head, "w"))  # restore for the scan below
+    return spark.createDataFrame(
+        [(f,) for f in feats], "feature string"
+    ).orderBy("feature")

@@ -159,6 +159,9 @@ class TransactionalLake:
         recorded = self._recorded_partitioning()
         if recorded is not None:
             self.partition_by = recorded
+        # forward-compat lockout: refuse tables using features this
+        # build doesn't implement (Delta table-features contract)
+        self._check_features()
         rec_gen = self._recorded_generated()
         if rec_gen is not None:
             # the log owns the generated-column set (r11): every
@@ -432,6 +435,12 @@ class TransactionalLake:
         defaults: dict[str, str] = (
             dict(cp.get("defaults", {})) if cp else {}
         )
+        tstats: dict | None = (
+            json.loads(json.dumps(cp["table_stats"]))
+            if cp and cp.get("table_stats")
+            else None
+        )
+        feats: set[str] = set(cp.get("features", [])) if cp else set()
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
@@ -439,6 +448,9 @@ class TransactionalLake:
                 continue
             c = self._read_commit(v)
             cluster_state = self._fold_clustering(cluster_state, c)
+            feats |= set(c.get("features", []))
+            if c.get("table_stats") is not None:
+                tstats = c["table_stats"]
             if c.get("defaults"):
                 for k, dval in c["defaults"].items():
                     if dval is None:
@@ -541,6 +553,8 @@ class TransactionalLake:
                 else None
             ),
             "defaults": defaults,
+            "table_stats": tstats,
+            "features": sorted(feats),
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -1297,9 +1311,23 @@ class TransactionalLake:
                     cp_prev = self._latest_checkpoint(max_version=current)
                     if cp_prev is not None and cp_prev.get("timestamp"):
                         prev_ts = float(cp_prev["timestamp"])
+            # cumulative table-features stamp: recorded head set ∪
+            # whatever this action activates (∪ a clone's inherited
+            # set) — the forward-compat lockout older builds read
+            feats = (
+                set(self.table_features())
+                | self._action_features(payload_action)
+                | set(payload_action.get("inherit_features", ()))
+            )
+            payload_action = {
+                k: v
+                for k, v in payload_action.items()
+                if k != "inherit_features"
+            }
             payload = {
                 "version": version,
                 "timestamp": max(time.time(), prev_ts + 1e-3),
+                "features": sorted(feats),
                 "partition_by": list(self.partition_by),
                 # r11: generated columns are LOG-OWNED like the
                 # layout — a reopener that omits (or changes) the
@@ -3787,6 +3815,9 @@ class TransactionalLake:
             "row_tracking": self.row_tracking(),
             # r11: liquid-clustering key + maintenance debt
             "clustering": self.clustering_info(),
+            # r11: the protocol surface an engine checks before
+            # touching the table
+            "table_features": self.table_features(),
             # r11: column defaults, shown under LOGICAL names
             "column_defaults": (
                 lambda d, inv: {inv.get(k, k): v for k, v in d.items()}
@@ -4141,6 +4172,11 @@ class TransactionalLake:
         dflt = self.column_defaults(as_of=src_v)
         if dflt:
             action["defaults"] = dflt
+        # the clone inherits the source's feature set as of the
+        # cloned version (over-claiming nothing: as-of resolved)
+        src_feats = self.table_features(as_of=src_v)
+        if src_feats:
+            action["inherit_features"] = src_feats
         cl = self._clustering_state(as_of=src_v)
         if cl is not None:
             # clustering key + clustered-set carry into the clone:
@@ -4874,6 +4910,175 @@ class TransactionalLake:
             rt,
         )
         return self._conform(raw, schemas, keep=self._RT_COLS)
+
+    # ------------------------------------------------------------------
+    # Table features (Delta protocol/table-features parity): every
+    # commit records the CUMULATIVE set of features the table uses;
+    # an engine build opening a table that lists a feature it does
+    # not implement fails LOUDLY at construction instead of reading
+    # wrong results (a dv-blind reader would resurrect deleted rows;
+    # a mapping-blind one would project dropped columns). This
+    # build's set is SUPPORTED_FEATURES; a future feature added by a
+    # newer build automatically locks older builds out of exactly
+    # the tables that use it — Delta's forward-compat contract.
+    # ------------------------------------------------------------------
+    SUPPORTED_FEATURES = frozenset({
+        "deletion-vectors",
+        "column-mapping",
+        "row-tracking",
+        "type-widening",
+        "identity-columns",
+        "check-constraints",
+        "clustering",
+        "column-defaults",
+    })
+
+    @staticmethod
+    def _action_features(action: dict) -> set[str]:
+        """Features a single commit action activates."""
+        f: set[str] = set()
+        if action.get("dv") or action.get("dv_reset"):
+            f.add("deletion-vectors")
+        if action.get("column_mapping") is not None or action.get(
+            "op"
+        ) in ("rename_column", "drop_column"):
+            f.add("column-mapping")
+        if action.get("row_tracking") is not None or action.get(
+            "row_base"
+        ):
+            f.add("row-tracking")
+        if action.get("op") == "widen_type":
+            f.add("type-widening")
+        if action.get("identity") or (
+            action.get("identity_next") is not None
+        ):
+            f.add("identity-columns")
+        if action.get("op") in ("add_constraint",):
+            f.add("check-constraints")
+        if (
+            action.get("clustering")
+            and action["clustering"].get("cols")
+        ) or action.get("clustered_add"):
+            f.add("clustering")
+        if action.get("defaults") and any(
+            v is not None for v in action["defaults"].values()
+        ):
+            f.add("column-defaults")
+        if action.get("constraints"):  # clone carries the folded set
+            f.add("check-constraints")
+        return f
+
+    def table_features(self, as_of: int | None = None) -> list[str]:
+        """The table's recorded feature set (empty for plain
+        tables / pre-feature logs). Cumulative per commit, so the
+        newest commit at-or-before ``as_of`` carries the answer."""
+        for name in reversed(self._commit_files()):
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            c = self._read_commit(v)
+            if "features" in c:
+                return sorted(c["features"])
+        cp = self._latest_checkpoint(max_version=as_of)
+        if cp is not None and cp.get("features"):
+            return sorted(cp["features"])
+        return []
+
+    def _check_features(self) -> None:
+        unsupported = (
+            set(self.table_features()) - self.SUPPORTED_FEATURES
+        )
+        if unsupported:
+            raise RuntimeError(
+                f"table at {self.path!r} requires features this "
+                f"engine build does not support: {sorted(unsupported)} "
+                "— reading or writing it could silently corrupt "
+                "results; upgrade the engine"
+            )
+
+    # ------------------------------------------------------------------
+    # ANALYZE TABLE (Delta/Spark `ANALYZE TABLE ... COMPUTE
+    # STATISTICS FOR COLUMNS` parity): ONE pass over the snapshot
+    # computes table-level column statistics — approximate NDV
+    # (HyperLogLog++, JVM-side, map-side partial), null count,
+    # min/max — and records them as a metadata commit. These are the
+    # CBO inputs (join-side choice, broadcast decisions) and the
+    # profiling surface; the per-FILE min/max skipping stats are a
+    # separate, always-on system (_collect_stats).
+    # ------------------------------------------------------------------
+    def analyze(self, columns=None) -> int:
+        """Compute and log table-level column stats. ``columns``:
+        logical names (default: every leaf column of the current
+        schema). One Spark job, O(columns) result bytes in the log."""
+        files, schemas, v, dvs = self._snapshot_state()
+        doc = self._column_mapping_doc()
+        snap = self._to_logical(
+            self._df_for_files(files, schemas, dvs=dvs), doc
+        )
+        cols = list(columns) if columns is not None else snap.columns
+        unknown = [c for c in cols if c not in snap.columns]
+        if unknown:
+            raise ValueError(f"unknown columns: {unknown}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                F.sum(F.col(c).isNull().cast("long")).alias(
+                    f"{c}__nulls"
+                ),
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+            ]
+        row = snap.agg(*aggs).collect()[0].asDict()
+        phys = self._map_cols(cols, doc)
+        stats = {
+            "version_analyzed": v,
+            "rows": int(row["__rows"]),
+            "columns": {
+                p: {
+                    "ndv": int(row[f"{c}__ndv"]),
+                    "nulls": int(row[f"{c}__nulls"]),
+                    "min": self._stat_val(row[f"{c}__min"]),
+                    "max": self._stat_val(row[f"{c}__max"]),
+                }
+                for c, p in zip(cols, phys)
+            },
+        }
+        return self._commit({"op": "analyze", "table_stats": stats})
+
+    def table_stats(self, as_of: int | None = None) -> dict | None:
+        """Latest ANALYZE result (logical column names), or None.
+        ``version_analyzed`` tells the consumer how stale it is —
+        the freshness decision belongs to the caller, like Spark's
+        CBO treats catalog stats."""
+        cp = self._latest_checkpoint(max_version=as_of)
+        stats: dict | None = (
+            json.loads(json.dumps(cp["table_stats"]))
+            if cp and cp.get("table_stats")
+            else None
+        )
+        start = cp["version"] + 1 if cp else 0
+        for c in self._iter_commits_after(start, as_of):
+            if c.get("table_stats") is not None:
+                stats = c["table_stats"]
+        if stats is None:
+            return None
+        doc = self._column_mapping_doc(as_of=as_of)
+        inv = (
+            {p: lg for lg, p in doc["cols"].items()}
+            if doc is not None
+            else {}
+        )
+        return {
+            **stats,
+            "columns": {
+                inv.get(p, p): s
+                for p, s in stats["columns"].items()
+                # a column dropped after ANALYZE disappears from the
+                # logical view (its physical slot is unmapped)
+                if doc is None or p in inv
+            },
+        }
 
     # ------------------------------------------------------------------
     # Auto-compaction (Delta ``delta.autoOptimize.autoCompact``

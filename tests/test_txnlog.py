@@ -3236,3 +3236,118 @@ class TestLogOwnedGeneratedColumns:
         lake.vacuum_log()
         reopened = TransactionalLake(spark, path, partition_by=())
         assert reopened.generated_columns == {"flag": "7"}
+
+
+class TestAnalyzeTableStats:
+    """r11: ANALYZE TABLE — one pass computes table-level column
+    stats (approx NDV, nulls, min/max) into a metadata commit; the
+    CBO-input surface, distinct from the per-file skipping stats."""
+
+    def test_analyze_and_read_back(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "an"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, f"s{i % 3}", float(i) if i % 5 else None)
+             for i in range(100)],
+            "k long, sym string, v double"))
+        v = lake.analyze()
+        st = lake.table_stats()
+        assert st["version_analyzed"] == v - 1
+        assert st["rows"] == 100
+        c = st["columns"]
+        assert c["k"]["nulls"] == 0 and c["v"]["nulls"] == 20
+        assert c["k"]["min"] == 0 and c["k"]["max"] == 99
+        assert abs(c["sym"]["ndv"] - 3) <= 1
+        assert 90 <= c["k"]["ndv"] <= 110  # HLL approximation
+        with pytest.raises(ValueError, match="unknown columns"):
+            lake.analyze(columns=["nope"])
+
+    def test_staleness_and_rename_projection(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "an2"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 2.0)], "k long, v double"))
+        lake.analyze()
+        analyzed_at = lake.table_stats()["version_analyzed"]
+        lake.append(spark.createDataFrame(
+            [(2, 3.0)], "k long, v double"))
+        # stats are a snapshot: version_analyzed exposes staleness
+        assert lake.table_stats()["version_analyzed"] == analyzed_at
+        lake.rename_column("v", "price")
+        assert "price" in lake.table_stats()["columns"]
+        lake.drop_column("price")
+        assert "price" not in lake.table_stats()["columns"]
+
+    def test_survives_checkpoint_vacuum(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "an3"), partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "k long"))
+        lake.analyze()
+        for i in range(25):
+            lake.set_properties({"tick": str(i)})
+        lake.vacuum_log()
+        assert lake.table_stats()["rows"] == 1
+
+
+class TestTableFeatures:
+    """r11: Delta table-features parity — commits record the
+    cumulative feature set; a build that lacks one refuses the
+    table instead of silently corrupting results."""
+
+    def test_features_accumulate(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "tf"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"))
+        assert lake.table_features() == []
+        lake.delete_where("k = 1", mode="dv")
+        lake.enable_row_tracking()
+        lake.rename_column("v", "val")
+        lake.set_clustering("k")
+        lake.set_column_default("val", "'x'")
+        lake.add_check_constraint("kpos", "k > 0")
+        got = set(lake.table_features())
+        assert {
+            "deletion-vectors", "row-tracking", "column-mapping",
+            "clustering", "column-defaults", "check-constraints",
+        } <= got
+        # features never retract (cumulative contract)
+        lake.append(spark.createDataFrame([(9, "z")], "k int, v string")
+                    .withColumnRenamed("v", "val"))
+        assert set(lake.table_features()) >= got
+        assert set(lake.detail()["table_features"]) == set(
+            lake.table_features())
+
+    def test_clone_inherits_features(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "tfc"), partition_by=())
+        lake.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+        lake.enable_row_tracking()
+        lake.delete_where("k = 0", mode="dv")  # no-op rows, real flag
+        clone = lake.clone(str(tmp_path / "tfc2"))
+        assert "row-tracking" in clone.table_features()
+
+    def test_unknown_feature_locks_out(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        path = str(tmp_path / "tfu")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "k int"))
+        # a newer engine wrote a feature this build doesn't know
+        head = _os.path.join(lake.log_path, "00000000.json")
+        c = _json.load(open(head))
+        c["features"] = ["quantum-dedup-v9"]
+        _json.dump(c, open(head, "w"))
+        with pytest.raises(RuntimeError, match="quantum-dedup-v9"):
+            TransactionalLake(spark, path, partition_by=())
+
+    def test_survives_vacuum_log(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "tfv"), partition_by=())
+        lake.append(spark.createDataFrame([(1,), (2,)], "k int"))
+        lake.delete_where("k = 1", mode="dv")
+        for i in range(25):
+            lake.set_properties({"tick": str(i)})
+        lake.vacuum_log()
+        assert "deletion-vectors" in lake.table_features()
