@@ -5006,10 +5006,13 @@ class TransactionalLake:
     # profiling surface; the per-FILE min/max skipping stats are a
     # separate, always-on system (_collect_stats).
     # ------------------------------------------------------------------
-    def analyze(self, columns=None) -> int:
+    def analyze(self, columns=None, rsd: float = 0.01) -> int:
         """Compute and log table-level column stats. ``columns``:
         logical names (default: every leaf column of the current
-        schema). One Spark job, O(columns) result bytes in the log."""
+        schema). One Spark job, O(columns) result bytes in the log.
+        ``rsd``: HLL++ relative standard deviation — 1% default
+        (~43 KB sketch per column during the job; Spark's 5%
+        default missed small-corpus NDVs by >8%)."""
         files, schemas, v, dvs = self._snapshot_state()
         doc = self._column_mapping_doc()
         snap = self._to_logical(
@@ -5022,7 +5025,7 @@ class TransactionalLake:
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs += [
-                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                F.approx_count_distinct(c, rsd).alias(f"{c}__ndv"),
                 F.sum(F.col(c).isNull().cast("long")).alias(
                     f"{c}__nulls"
                 ),
