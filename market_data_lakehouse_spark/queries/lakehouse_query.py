@@ -1468,3 +1468,76 @@ def s27_table_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(f,) for f in feats], "feature string"
     ).orderBy("feature")
+
+
+@register(
+    "s28_commit_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_v,
+           TRUE AS verified_head, TRUE AS verified_v0,
+           TRUE AS doctored_detected, TRUE AS physical_minus_dv_ok
+    FROM events
+    WHERE event_id % 7 <> 0 AND event_id % 11 <> 3
+    """,
+)
+def s28_commit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit checksums as a hard signal (S8 extension, r11 —
+    Delta version-checksum / .crc parity): every commit leaves a
+    sidecar with the table's aggregate state; ``verify_checksum``
+    recomputes from the log and raises on drift. The gate ingests
+    the corpus, deletes through BOTH rewrite paths (CoW + deletion
+    vector), verifies the head AND the pre-delete version, proves a
+    doctored row count is DETECTED (raises), and emits the logical
+    table the deletes should leave — DuckDB recomputes it from the
+    raw corpus, so a checksum that passes while the data drifted
+    (or vice versa) diverges on one side or the other."""
+    import json as _json
+    import os as _os
+
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = scratch_dir("crc")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(4))
+    tx.delete_where("event_id % 7 = 0")            # CoW rewrite
+    tx.delete_where("event_id % 11 = 3", mode="dv")  # merge-on-read
+    head_crc = tx.verify_checksum()
+    v0_crc = tx.verify_checksum(0)
+    assert v0_crc["dv_deleted_rows"] == 0
+    n_logical = tx.count_rows()
+    physical_ok = (
+        head_crc["total_rows"] - head_crc["dv_deleted_rows"]
+        == n_logical
+    )
+    assert physical_ok, (head_crc, n_logical)
+    # detection: a doctored per-file row count must fail verification
+    c0_path = _os.path.join(tx.log_path, "00000000.json")
+    c0 = _json.load(open(c0_path))
+    doctored = _json.loads(_json.dumps(c0))
+    f0 = c0["add"][0]
+    doctored["rows"][f0] = c0["rows"][f0] + 1
+    _json.dump(doctored, open(c0_path, "w"))
+    try:
+        detected = False
+        try:
+            tx.verify_checksum(0)
+        except RuntimeError:
+            detected = True
+        assert detected, "doctored row count not detected"
+    finally:
+        _json.dump(c0, open(c0_path, "w"))
+    return (
+        tx.snapshot()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+        )
+        .withColumn("verified_head", F.lit(True))
+        .withColumn("verified_v0", F.lit(True))
+        .withColumn("doctored_detected", F.lit(detected))
+        .withColumn("physical_minus_dv_ok", F.lit(physical_ok))
+    )

@@ -31,6 +31,7 @@ blocked and a crash mid-compact leaves the old snapshot intact
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -388,6 +389,7 @@ class TransactionalLake:
         schemas: list[str] = list(cp["schemas"]) if cp else []
         stats: dict[str, dict] = dict(cp.get("stats", {})) if cp else {}
         rows: dict[str, int] = dict(cp.get("rows", {})) if cp else {}
+        fbytes: dict[str, int] = dict(cp.get("bytes", {})) if cp else {}
         blooms: dict[str, dict] = dict(cp.get("blooms", {})) if cp else {}
         dv: dict[str, list[int]] = (
             {f: list(p) for f, p in cp.get("dv", {}).items()} if cp else {}
@@ -473,6 +475,7 @@ class TransactionalLake:
             self._fold_schemas(schemas, c)
             stats.update(c.get("stats", {}))
             rows.update(c.get("rows", {}))
+            fbytes.update(c.get("bytes", {}))
             blooms.update(c.get("blooms", {}))
             t = c.get("txn")
             if t:
@@ -518,6 +521,7 @@ class TransactionalLake:
             }
         stats = {f: s for f, s in stats.items() if f in live}
         rows = {f: n for f, n in rows.items() if f in live}
+        fbytes = {f: n for f, n in fbytes.items() if f in live}
         blooms = {f: b for f, b in blooms.items() if f in live}
         dv = {f: p for f, p in dv.items() if f in live}
         payload = {
@@ -532,6 +536,7 @@ class TransactionalLake:
             "schemas": schemas,
             "stats": stats,
             "rows": rows,
+            "bytes": fbytes,
             "blooms": blooms,
             "dv": dv,
             "txn": txn,
@@ -658,6 +663,22 @@ class TransactionalLake:
             n = self._parquet_rows(os.path.join(self.path, rel))
             if n >= 0:
                 out[rel] = n
+        return out
+
+    def _collect_bytes(self, rel_paths: list[str]) -> dict:
+        """Per-file on-disk sizes of just-written files, recorded
+        into the commit (Delta's ``size`` on AddFile): the checksum
+        writer and DESCRIBE DETAIL derive ``total_bytes`` from the
+        log instead of stat-ing every live file. O(new files) stat
+        calls, driver-side, same profile as :meth:`_collect_rows`;
+        an unreadable path is omitted (the checksum's full-fold path
+        falls back to one stat for it)."""
+        out: dict[str, int] = {}
+        for rel in rel_paths:
+            try:
+                out[rel] = os.path.getsize(os.path.join(self.path, rel))
+            except OSError:
+                continue
         return out
 
     def _collect_blooms(self, rel_paths: list[str]) -> dict:
@@ -909,6 +930,164 @@ class TransactionalLake:
             total += n
         return total - sum(len(p) for p in dvs.values())
 
+    def _bytes_index(self, upto: int) -> dict[str, int]:
+        """rel_path -> logged on-disk size, folded like
+        :meth:`_rows_index` (checkpoint + retained tail). Files
+        committed before sizes were recorded are absent — the
+        checksum's full fold stats them once and the next checkpoint
+        carries nothing for them (honest absence, never a guess)."""
+        cp = self._latest_checkpoint(max_version=upto)
+        idx: dict[str, int] = dict(cp.get("bytes", {})) if cp else {}
+        start = cp["version"] + 1 if cp else 0
+        for name in self._commit_files():
+            v = int(name.split(".")[0])
+            if v < start or v > upto:
+                continue
+            idx.update(self._read_commit(v).get("bytes", {}))
+        return idx
+
+    # ------------------------------------------------------------------
+    # per-commit checksums (Delta version-checksum / .crc design:
+    # every commit leaves a small sidecar with the table's aggregate
+    # state, so corruption — a doctored commit, a lost add, a row
+    # count drifting from the file set — is DETECTABLE instead of
+    # silently flowing into results)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _file_token(rel: str, rows: int | None) -> int:
+        """Order-independent per-file hash token: the live-set hash
+        is the XOR of these, so it updates in O(delta) per commit
+        (add XORs in, remove XORs out) yet pins BOTH the file set
+        and each file's logged row count."""
+        h = hashlib.sha256(f"{rel}\n{rows}".encode()).hexdigest()
+        return int(h[:32], 16)
+
+    def _read_crc(self, version: int) -> dict | None:
+        try:
+            with open(
+                os.path.join(self.log_path, f"{version:08d}.crc")
+            ) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError, ValueError):
+            return None
+
+    def _crc_full(self, version: int) -> dict:
+        """Aggregate table state at ``version`` recomputed from the
+        log (checkpoint + tail, no data I/O unless a pre-feature file
+        lacks a logged row count / size). The shape every checksum
+        carries and :meth:`verify_checksum` re-derives."""
+        # the commit path folds the version it JUST committed: take
+        # the O(tail) head read (no listdir — the r11 metadata-probe
+        # win) and only fall back to the listing time-travel path if
+        # a racing writer advanced the head past the target
+        live, _schemas, resolved, dvs = self._snapshot_state()
+        if resolved != version:
+            live, _schemas, resolved, dvs = self._snapshot_state(version)
+        ridx = self._rows_index(resolved)
+        bidx = self._bytes_index(resolved)
+        total_rows = 0
+        total_bytes = 0
+        set_hash = 0
+        for f in live:
+            n = ridx.get(f)
+            if n is None:
+                n = self._parquet_rows(os.path.join(self.path, f))
+                n = n if n >= 0 else None
+            b = bidx.get(f)
+            if b is None:
+                try:
+                    b = os.path.getsize(os.path.join(self.path, f))
+                except OSError:
+                    b = 0
+            total_rows += n or 0
+            total_bytes += b
+            set_hash ^= self._file_token(f, n)
+        return {
+            "version": resolved,
+            "num_files": len(live),
+            "total_rows": total_rows,
+            "total_bytes": total_bytes,
+            "num_dv_files": len(dvs),
+            "dv_deleted_rows": sum(len(p) for p in dvs.values()),
+            "files_hash": f"{set_hash:032x}",
+        }
+
+    def _write_crc(self, version: int, commit: dict) -> None:
+        """Best-effort sidecar write after a successful commit.
+        Pure appends (the hot path: add-only, files fresh by
+        construction — staging writes a new UUID per file) update the
+        previous checksum in O(new files); every other commit shape
+        (remove / dv / dv_reset — the union-fold semantics make
+        aggregate deltas state-dependent) refolds from checkpoint +
+        tail, the cost class those operations already paid. A missing
+        or stale predecessor self-heals via the full fold. Never
+        raises into the commit path — the log stays the source of
+        truth, the checksum is a detector."""
+        prev = self._read_crc(version - 1) if version > 0 else None
+        adds = commit.get("add", [])
+        mutates = (
+            commit.get("remove")
+            or commit.get("dv")
+            or commit.get("dv_reset")
+        )
+        if prev is not None and prev.get("version") == version - 1:
+            if not adds and not mutates:
+                crc = {**prev, "version": version}
+            elif adds and not mutates:
+                rows_map = commit.get("rows", {})
+                bytes_map = commit.get("bytes", {})
+                set_hash = int(prev["files_hash"], 16)
+                for f in adds:
+                    set_hash ^= self._file_token(f, rows_map.get(f))
+                crc = {
+                    "version": version,
+                    "num_files": prev["num_files"] + len(adds),
+                    "total_rows": prev["total_rows"]
+                    + sum(rows_map.get(f, 0) for f in adds),
+                    "total_bytes": prev["total_bytes"]
+                    + sum(bytes_map.get(f, 0) for f in adds),
+                    "num_dv_files": prev["num_dv_files"],
+                    "dv_deleted_rows": prev["dv_deleted_rows"],
+                    "files_hash": f"{set_hash:032x}",
+                }
+            else:
+                crc = self._crc_full(version)
+        else:
+            crc = self._crc_full(version)
+        tmp = os.path.join(self.log_path, f".crc_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(crc, fh)
+        os.replace(tmp, os.path.join(self.log_path, f"{version:08d}.crc"))
+
+    def verify_checksum(self, version: int | None = None) -> dict:
+        """Recompute the aggregate state at ``version`` (default
+        head) from the log and compare it field-by-field against the
+        recorded ``.crc`` sidecar — Delta's version-checksum
+        validation. A mismatch raises with the exact fields that
+        drifted (a doctored commit, a lost add entry, a row count
+        that no longer matches the live set all surface here instead
+        of as silently-wrong query results). Returns the verified
+        checksum dict. Raises ``ValueError`` when no checksum was
+        recorded for the version (pre-feature log or vacuumed
+        sidecar)."""
+        v = self.version if version is None else version
+        stored = self._read_crc(v)
+        if stored is None:
+            raise ValueError(f"no checksum recorded for version {v}")
+        actual = self._crc_full(v)
+        diffs = {
+            k: {"stored": stored.get(k), "actual": actual[k]}
+            for k in actual
+            if stored.get(k) != actual[k]
+        }
+        if diffs:
+            raise RuntimeError(
+                f"checksum mismatch at version {v}: {diffs} — the log "
+                "or data accounting was altered outside the commit "
+                "protocol"
+            )
+        return actual
+
     def _stats_index(self) -> dict[str, dict]:
         """rel_path -> {col: [min, max]} for live files, folded from
         the latest checkpoint plus the commit tail (files removed
@@ -1159,6 +1338,16 @@ class TransactionalLake:
                 os.unlink(os.path.join(self.log_path, name))
                 removed += 1
         for name in os.listdir(self.log_path):
+            # checksum sidecars below the boundary go with their
+            # commits (the boundary version's own crc stays — the
+            # checkpointed head remains verifiable)
+            if (
+                name.endswith(".crc")
+                and int(name.split(".")[0]) < boundary["version"]
+            ):
+                os.unlink(os.path.join(self.log_path, name))
+                removed += 1
+        for name in os.listdir(self.log_path):
             if (
                 name.endswith(".checkpoint")
                 and int(name.split(".")[0]) < boundary["version"]
@@ -1203,6 +1392,7 @@ class TransactionalLake:
                 **action,
                 "stats": self._collect_stats(action["add"]),
                 "rows": self._collect_rows(action["add"]),
+                "bytes": self._collect_bytes(action["add"]),
             }
             if self.bloom_columns:
                 blooms = self._collect_blooms(action["add"])
@@ -1363,6 +1553,11 @@ class TransactionalLake:
                     self._write_checkpoint(version)
                 except OSError:
                     pass  # optimization only; the next interval retries
+            try:
+                self._write_crc(version, payload)
+            except Exception:
+                pass  # detector sidecar only — never fails a commit;
+                # the next commit's full fold self-heals the gap
             return version
 
     def _recorded_partitioning(

@@ -3351,3 +3351,122 @@ class TestTableFeatures:
             lake.set_properties({"tick": str(i)})
         lake.vacuum_log()
         assert "deletion-vectors" in lake.table_features()
+
+
+class TestCommitChecksum:
+    """r11: per-commit checksum sidecars (Delta version-checksum /
+    .crc parity): every commit leaves {version}.crc with the table's
+    aggregate state (files, rows, bytes, dv accounting, live-set
+    hash); verify_checksum() recomputes from the log and raises on
+    any drift — corruption is detectable, not silent."""
+
+    def _mk(self, spark, path, n=50):
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, f"s{i % 5}", float(i)) for i in range(n)],
+            "k long, sym string, v double"))
+        return lake
+
+    def test_written_per_commit_and_verifies(self, spark, tmp_path):
+        lake = self._mk(spark, str(tmp_path / "crc"))
+        lake.append(spark.createDataFrame(
+            [(100, "x", 1.0)], "k long, sym string, v double"))
+        lake.delete_where("k >= 45 AND k < 50")  # CoW rewrite
+        for v in range(lake.version + 1):
+            assert os.path.exists(
+                os.path.join(lake.log_path, f"{v:08d}.crc"))
+            crc = lake.verify_checksum(v)  # every version verifies
+            assert crc["total_rows"] == lake.count_rows(version=v)
+        head = lake.verify_checksum()
+        live, _s, _v, _dv = lake._snapshot_state()
+        assert head["num_files"] == len(live)
+        assert head["total_bytes"] == sum(
+            os.path.getsize(os.path.join(lake.path, f)) for f in live)
+
+    def test_incremental_append_equals_full_fold(self, spark, tmp_path):
+        lake = self._mk(spark, str(tmp_path / "crci"))
+        lake.append(spark.createDataFrame(
+            [(200, "y", 2.0)], "k long, sym string, v double"))
+        stored = lake._read_crc(lake.version)  # incremental path
+        assert stored == lake._crc_full(lake.version)
+
+    def test_dv_accounting(self, spark, tmp_path):
+        lake = self._mk(spark, str(tmp_path / "crcd"))
+        lake.delete_where("k % 10 = 0", mode="dv")
+        crc = lake.verify_checksum()
+        assert crc["dv_deleted_rows"] == 5
+        assert crc["num_dv_files"] >= 1
+        # total_rows stays the PHYSICAL count; logical = count_rows
+        assert crc["total_rows"] == 50
+        assert lake.count_rows() == 45
+        lake.optimize()  # materializes survivors, clears vectors
+        crc = lake.verify_checksum()
+        assert crc["dv_deleted_rows"] == 0 and crc["num_dv_files"] == 0
+        assert crc["total_rows"] == 45
+
+    def test_detects_doctored_commit(self, spark, tmp_path):
+        import json as _json
+
+        lake = self._mk(spark, str(tmp_path / "crct"))
+        v = lake.append(spark.createDataFrame(
+            [(300, "z", 3.0), (301, "z", 3.5)],
+            "k long, sym string, v double"))
+        head = os.path.join(lake.log_path, f"{v:08d}.json")
+        c = _json.load(open(head))
+        doctored = dict(c)
+        # silently drop one added file from the log — rows vanish
+        doctored["add"] = c["add"][:-1]
+        _json.dump(doctored, open(head, "w"))
+        try:
+            with pytest.raises(RuntimeError, match="checksum mismatch"):
+                lake.verify_checksum(v)
+        finally:
+            _json.dump(c, open(head, "w"))
+        lake.verify_checksum(v)  # restored log verifies again
+
+    def test_detects_rowcount_drift(self, spark, tmp_path):
+        import json as _json
+
+        lake = self._mk(spark, str(tmp_path / "crcr"))
+        head = os.path.join(lake.log_path, "00000000.json")
+        c = _json.load(open(head))
+        doctored = _json.loads(_json.dumps(c))
+        f0 = c["add"][0]
+        doctored["rows"][f0] = c["rows"][f0] + 7
+        _json.dump(doctored, open(head, "w"))
+        try:
+            with pytest.raises(RuntimeError, match="checksum mismatch"):
+                lake.verify_checksum(0)
+        finally:
+            _json.dump(c, open(head, "w"))
+
+    def test_self_heals_missing_sidecar(self, spark, tmp_path):
+        lake = self._mk(spark, str(tmp_path / "crch"))
+        os.unlink(os.path.join(lake.log_path, "00000000.crc"))
+        lake.append(spark.createDataFrame(
+            [(400, "w", 4.0)], "k long, sym string, v double"))
+        lake.verify_checksum()  # full fold healed the gap
+        with pytest.raises(ValueError, match="no checksum"):
+            lake.verify_checksum(0)
+
+    def test_vacuum_drops_old_sidecars(self, spark, tmp_path):
+        lake = self._mk(spark, str(tmp_path / "crcv"), n=10)
+        for i in range(25):  # cross a checkpoint interval
+            lake.set_properties({"tick": str(i)})
+        lake.vacuum_log()
+        crcs = sorted(
+            f for f in os.listdir(lake.log_path) if f.endswith(".crc"))
+        assert crcs, "head-side sidecars must survive"
+        assert int(crcs[0].split(".")[0]) >= 19  # pre-boundary gone
+        lake.verify_checksum()
+
+    def test_clone_restore_and_metadata_commits(self, spark, tmp_path):
+        lake = self._mk(spark, str(tmp_path / "crcc"))
+        lake.set_properties({"owner": "t"})  # metadata-only commit
+        v_before = lake.version
+        lake.delete_where("k < 10")
+        lake.restore(v_before)
+        lake.verify_checksum()
+        clone = lake.clone(str(tmp_path / "crcc2"))
+        got = clone.verify_checksum()
+        assert got["total_rows"] == lake.count_rows()
