@@ -92,7 +92,7 @@ _DRIVER_WINDOW = [
     "e3_sq_knn",              # sq8_store: scratch-dir + memo rework
     "s23_liquid_clustering",  # r11 NEW: CLUSTER BY + incremental opt
     "s28_commit_checksum",    # r11 NEW: per-commit .crc + verify
-    "s17_scoped_optimize",    # sat out r10's lake re-window (VERDICT)
+    "s29_symlink_manifest",   # r11 NEW: GENERATE manifest + ext read
     "s24_column_defaults",    # r11 NEW: ALTER COLUMN SET DEFAULT
     "s25_auto_compaction",    # r11 NEW: autoOptimize.autoCompact
 ]

@@ -1541,3 +1541,52 @@ def s28_commit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doctored_detected", F.lit(detected))
         .withColumn("physical_minus_dv_ok", F.lit(physical_ok))
     )
+
+
+@register(
+    "s29_symlink_manifest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_v
+    FROM events
+    WHERE event_id % 3 <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def s29_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symlink-format manifest as a hard signal (S8 extension, r11 —
+    Delta GENERATE symlink_format_manifest parity): the gate ingests
+    the corpus into a partitioned lake, CoW-deletes a third of it,
+    generates the manifest, then reads the table back EXCLUSIVELY
+    through the manifest's file listing the way a log-unaware
+    external engine would (spark.read.parquet over the listed paths,
+    basePath recovering partition columns) — the aggregate must
+    match DuckDB's recomputation from the raw corpus, so a manifest
+    that lists a dead file, misses a live one, or survives stale
+    after regeneration diverges."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lake_dir = scratch_dir("mfst")
+    tx = TransactionalLake(
+        spark, lake_dir, partition_by=("event_type",)
+    )
+    tx.append(ev.repartition(4))
+    tx.delete_where("event_id % 3 = 0")  # CoW — manifests stay legal
+    tx.generate_manifest()
+    paths = tx.manifest_paths()
+    live, _s, _v, _dv = tx._snapshot_state()
+    assert len(paths) == len(live), (len(paths), len(live))
+    ext = spark.read.option("basePath", tx.path).parquet(*paths)
+    return (
+        ext.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+        )
+        .orderBy("event_type")
+    )

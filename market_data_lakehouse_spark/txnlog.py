@@ -1383,6 +1383,24 @@ class TransactionalLake:
         the same (app_id, txn_version) must skip, or the batch's rows
         are duplicated (Delta's SetTransaction validation)."""
         txn = action.get("txn")
+        if any(action.get("dv", {}).values()) or any(
+            action.get("dv_reset", {}).values()
+        ):
+            # Delta parity: symlink-manifest compatibility blocks
+            # deletion vectors — an auto-generated manifest would
+            # hand external readers resurrected rows, so the WRITE
+            # fails here, not the manifest later
+            if (
+                self.properties()
+                .get("compatibility.symlinkFormatManifest.enabled", "")
+                .lower()
+                == "true"
+            ):
+                raise ValueError(
+                    "deletion vectors are incompatible with "
+                    "compatibility.symlinkFormatManifest.enabled — "
+                    "use copy-on-write mode or unset the property"
+                )
         if action.get("add"):
             # file stats + row counts ride EVERY add-commit (append,
             # overwrite, DML rewrite, merge, compaction, relayout)
@@ -1558,6 +1576,7 @@ class TransactionalLake:
             except Exception:
                 pass  # detector sidecar only — never fails a commit;
                 # the next commit's full fold self-heals the gap
+            self._maybe_generate_manifest(payload)
             return version
 
     def _recorded_partitioning(
@@ -5321,6 +5340,108 @@ class TransactionalLake:
             pass  # concurrent writer won; the next write re-checks
         finally:
             self._auto_compacting = False
+
+    # ------------------------------------------------------------------
+    # Symlink-format manifests (Delta ``GENERATE
+    # symlink_format_manifest`` parity): a text-file listing of the
+    # snapshot's data files that log-unaware engines (Presto / Hive /
+    # Trino external tables) can read as a consistent table without
+    # understanding the commit protocol. Auto-regeneration after
+    # every file-set-changing commit via the
+    # ``compatibility.symlinkFormatManifest.enabled`` property
+    # (Delta's delta.compatibility.symlinkFormatManifest.enabled).
+    # ------------------------------------------------------------------
+    MANIFEST_DIR = "_symlink_format_manifest"
+
+    def generate_manifest(self, version: int | None = None) -> str:
+        """Write ``_symlink_format_manifest/`` under the table root:
+        one ``manifest`` text file per partition directory (a single
+        root manifest for unpartitioned tables), each line the
+        ABSOLUTE path of one live data file. Returns the manifest
+        root.
+
+        Refuses tables whose snapshot carries deletion vectors (a
+        manifest reader would resurrect every dv-deleted row — run a
+        CoW rewrite first; Delta blocks the same combination) and
+        tables under column mapping (the files' physical names are
+        not the table's logical schema; a log-unaware reader would
+        see pre-rename names). Each manifest file is written
+        tmp+replace (per-file atomic); manifests of partitions that
+        left the table are pruned after the new set lands."""
+        live, _schemas, _v, dvs = self._snapshot_state(version)
+        if any(dvs.values()):
+            raise ValueError(
+                "symlink manifest: table has deletion vectors — a "
+                "manifest reader would resurrect deleted rows; "
+                "rewrite them first (optimize() or CoW DML)"
+            )
+        if self._column_mapping_doc() is not None:
+            raise ValueError(
+                "symlink manifest: table uses column mapping — data "
+                "files carry physical column names a log-unaware "
+                "reader cannot translate"
+            )
+        root = os.path.join(self.path, self.MANIFEST_DIR)
+        groups: dict[str, list[str]] = {}
+        for rel in live:
+            part = os.path.dirname(rel)  # "" for unpartitioned
+            groups.setdefault(part, []).append(
+                os.path.abspath(os.path.join(self.path, rel))
+            )
+        written: set[str] = set()
+        for part, paths in groups.items():
+            d = os.path.join(root, part) if part else root
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".mf_tmp_{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(sorted(paths)) + "\n")
+            os.replace(tmp, os.path.join(d, "manifest"))
+            written.add(os.path.join(d, "manifest"))
+        # prune manifests of partitions no longer in the snapshot
+        for dirpath, _dirs, files in os.walk(root, topdown=False):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if f == "manifest" and p not in written:
+                    os.unlink(p)
+            if not os.listdir(dirpath) and dirpath != root:
+                os.rmdir(dirpath)
+        return root
+
+    def manifest_paths(self) -> list[str]:
+        """All data-file paths listed by the current manifest tree
+        (what an external engine would read) — empty when no
+        manifest was generated."""
+        root = os.path.join(self.path, self.MANIFEST_DIR)
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(root):
+            if "manifest" in files:
+                with open(os.path.join(dirpath, "manifest")) as fh:
+                    out.extend(
+                        ln.strip() for ln in fh if ln.strip()
+                    )
+        return sorted(out)
+
+    def _maybe_generate_manifest(self, commit: dict) -> None:
+        """Post-commit hook: regenerate the manifest when the
+        ``compatibility.symlinkFormatManifest.enabled`` property is
+        true and this commit changed the file set. Best-effort like
+        auto-compaction — a failed regeneration never fails the
+        write; the dv guard in ``_commit`` keeps the incompatible
+        combination from arising while the property is set."""
+        if not (commit.get("add") or commit.get("remove")):
+            return
+        props = self.properties()
+        if (
+            props.get(
+                "compatibility.symlinkFormatManifest.enabled", ""
+            ).lower()
+            != "true"
+        ):
+            return
+        try:
+            self.generate_manifest()
+        except (OSError, ValueError):
+            pass
 
     # ------------------------------------------------------------------
     # Column DEFAULT values (Delta ``ALTER TABLE ... ALTER COLUMN

@@ -3470,3 +3470,100 @@ class TestCommitChecksum:
         clone = lake.clone(str(tmp_path / "crcc2"))
         got = clone.verify_checksum()
         assert got["total_rows"] == lake.count_rows()
+
+
+class TestSymlinkManifest:
+    """r11: GENERATE symlink_format_manifest parity — a text-file
+    listing of the snapshot for log-unaware external engines, with
+    Delta's compatibility guards (no deletion vectors, no column
+    mapping) and auto-regeneration via table property."""
+
+    def _paths_on_disk(self, lake):
+        return lake.manifest_paths()
+
+    def test_generate_and_external_read(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "mf"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double"))
+        lake.append(spark.createDataFrame(
+            [(100, 1.0)], "k long, v double"))
+        lake.generate_manifest()
+        paths = lake.manifest_paths()
+        live, _s, _v, _dv = lake._snapshot_state()
+        assert sorted(paths) == sorted(
+            os.path.abspath(os.path.join(lake.path, f)) for f in live)
+        # a log-unaware engine reads exactly the snapshot
+        ext = spark.read.parquet(*paths)
+        assert ext.count() == lake.snapshot().count() == 101
+        # regeneration reflects a CoW delete
+        lake.delete_where("k < 50")
+        lake.generate_manifest()
+        ext = spark.read.parquet(*lake.manifest_paths())
+        assert ext.count() == 51
+
+    def test_partitioned_layout_and_pruning(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "mfp"), partition_by=("date",))
+        lake.append(_df(spark, [("AAPL", 150)], date="2024-06-15"))
+        lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        root = lake.generate_manifest()
+        assert os.path.exists(os.path.join(
+            root, "date=2024-06-15", "manifest"))
+        assert os.path.exists(os.path.join(
+            root, "date=2024-06-16", "manifest"))
+        ext = spark.read.option("basePath", lake.path).parquet(
+            *lake.manifest_paths())
+        assert ext.count() == 2
+        # partition leaves the table -> its manifest is pruned
+        lake.delete_where("date = '2024-06-15'")
+        lake.generate_manifest()
+        assert not os.path.exists(os.path.join(
+            root, "date=2024-06-15", "manifest"))
+        assert len(lake.manifest_paths()) >= 1
+
+    def test_dv_and_mapping_guards(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "mfg"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i,) for i in range(10)], "k long"))
+        lake.delete_where("k = 3", mode="dv")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            lake.generate_manifest()
+        lake.optimize()  # CoW rewrite clears the vectors
+        lake.generate_manifest()
+        lake.rename_column("k", "key")
+        with pytest.raises(ValueError, match="column mapping"):
+            lake.generate_manifest()
+
+    def test_auto_regeneration_property(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "mfa"), partition_by=())
+        lake.set_properties(
+            {"compatibility.symlinkFormatManifest.enabled": "true"})
+        lake.append(spark.createDataFrame([(1,)], "k long"))
+        assert len(lake.manifest_paths()) == 1  # hook ran, no call
+        lake.append(spark.createDataFrame([(2,)], "k long"))
+        assert len(lake.manifest_paths()) == 2
+        # the incompatible combination fails the WRITE, not the reader
+        with pytest.raises(ValueError, match="incompatible"):
+            lake.delete_where("k = 1", mode="dv")
+        lake.delete_where("k = 1")  # CoW stays allowed
+        ext = spark.read.parquet(*lake.manifest_paths())
+        assert ext.count() == 1
+
+    def test_vacuum_spares_manifests(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "mfv"), partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "k long"))
+        lake.generate_manifest()
+        lake.set_properties(
+            {"retentionDurationCheck.enabled": "false"})
+        lake.overwrite(spark.createDataFrame([(2,)], "k long"))
+        lake.vacuum(retention_seconds=0.0)
+        # manifest tree untouched by data vacuum (it only reclaims
+        # parquet); regeneration refreshes the listing
+        assert len(lake.manifest_paths()) == 1
+        lake.generate_manifest()
+        ext = spark.read.parquet(*lake.manifest_paths())
+        assert ext.collect()[0][0] == 2
