@@ -912,7 +912,24 @@ class TransactionalLake:
         kilobytes of log instead of a million-footer scan. Supports
         the same version/timestamp time travel as ``snapshot``;
         pre-feature files degrade to one driver-side footer read
-        each, never a data scan."""
+        each, never a data scan.
+
+        r11 fast path: a HEAD count whose version carries a
+        ``rows_exact`` checksum sidecar is answered from that ONE
+        small file — O(1), no state fold at all (Delta reuses its
+        .crc the same way). Any gap — missing sidecar, pre-feature
+        file, time travel — falls through to the fold."""
+        if version is None and timestamp is None:
+            head = self.version
+            crc = self._read_crc(head)
+            if (
+                crc is not None
+                and crc.get("version") == head
+                and crc.get("rows_exact")
+            ):
+                return int(crc["total_rows"]) - int(
+                    crc.get("dv_deleted_rows", 0)
+                )
         old, _schemas, resolved, dvs = self._snapshot_state(
             version, timestamp
         )
@@ -988,6 +1005,7 @@ class TransactionalLake:
         total_rows = 0
         total_bytes = 0
         set_hash = 0
+        rows_exact = True
         for f in live:
             n = ridx.get(f)
             if n is None:
@@ -999,6 +1017,8 @@ class TransactionalLake:
                     b = os.path.getsize(os.path.join(self.path, f))
                 except OSError:
                     b = 0
+            if n is None:
+                rows_exact = False
             total_rows += n or 0
             total_bytes += b
             set_hash ^= self._file_token(f, n)
@@ -1010,6 +1030,11 @@ class TransactionalLake:
             "num_dv_files": len(dvs),
             "dv_deleted_rows": sum(len(p) for p in dvs.values()),
             "files_hash": f"{set_hash:032x}",
+            # True iff every live file's row count is LOGGED — the
+            # precondition for answering COUNT(*) straight from this
+            # sidecar (a pre-feature file contributing 0 above must
+            # never be served as an exact count)
+            "rows_exact": rows_exact,
         }
 
     def _write_crc(self, version: int, commit: dict) -> None:
@@ -1032,7 +1057,7 @@ class TransactionalLake:
         )
         if prev is not None and prev.get("version") == version - 1:
             if not adds and not mutates:
-                crc = {**prev, "version": version}
+                crc = {**prev, "version": version, "mode": "inc"}
             elif adds and not mutates:
                 rows_map = commit.get("rows", {})
                 bytes_map = commit.get("bytes", {})
@@ -1049,11 +1074,14 @@ class TransactionalLake:
                     "num_dv_files": prev["num_dv_files"],
                     "dv_deleted_rows": prev["dv_deleted_rows"],
                     "files_hash": f"{set_hash:032x}",
+                    "rows_exact": bool(prev.get("rows_exact"))
+                    and all(f in rows_map for f in adds),
+                    "mode": "inc",
                 }
             else:
-                crc = self._crc_full(version)
+                crc = {**self._crc_full(version), "mode": "full"}
         else:
-            crc = self._crc_full(version)
+            crc = {**self._crc_full(version), "mode": "full"}
         tmp = os.path.join(self.log_path, f".crc_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(crc, fh)
@@ -3996,14 +4024,20 @@ class TransactionalLake:
         version, layout, file count/bytes, and which enrichment
         metadata (stats / blooms / deletion vectors / checkpoints) the
         log currently carries. Driver-side log fold only — no Spark
-        job, no file opens beyond os.stat."""
+        job; sizes come from the logged per-file bytes (r11), so a
+        million-file table answers without a million stat calls —
+        only pre-feature files degrade to one os.stat each."""
         files, _schemas, v, dvs = self._snapshot_state()
+        bidx = self._bytes_index(v)
         sizes = []
         for rel in files:
-            try:
-                sizes.append(os.path.getsize(os.path.join(self.path, rel)))
-            except OSError:
-                sizes.append(0)
+            b = bidx.get(rel)
+            if b is None:
+                try:
+                    b = os.path.getsize(os.path.join(self.path, rel))
+                except OSError:
+                    b = 0
+            sizes.append(b)
         stats_idx = self._stats_index()
         bloom_idx = self._blooms_index()
         return {
@@ -4608,11 +4642,7 @@ class TransactionalLake:
             dict(cp.get("properties", {})) if cp else {}
         )
         start = cp["version"] + 1 if cp else 0
-        for name in self._commit_files():
-            v = int(name.split(".")[0])
-            if v < start or (as_of is not None and v > as_of):
-                continue
-            c = self._read_commit(v)
+        for c in self._iter_commits_after(start, as_of):
             if c.get("op") == "set_properties":
                 for k, val in c["properties"].items():
                     if val is None:
@@ -5427,16 +5457,29 @@ class TransactionalLake:
         true and this commit changed the file set. Best-effort like
         auto-compaction — a failed regeneration never fails the
         write; the dv guard in ``_commit`` keeps the incompatible
-        combination from arising while the property is set."""
+        combination from arising while the property is set.
+
+        The property flag is CACHED per instance (invalidated when
+        this writer's own commit could change it) so the common case
+        — tables that never enable auto-manifests — costs zero log
+        reads per commit. Another process flipping the property is
+        picked up when this writer reopens the table or sets
+        properties itself: the same read-at-snapshot semantics Delta
+        gives writer-side table configuration."""
+        if commit.get("op") in ("set_properties", "clone"):
+            self._manifest_prop_cache = None
         if not (commit.get("add") or commit.get("remove")):
             return
-        props = self.properties()
-        if (
-            props.get(
-                "compatibility.symlinkFormatManifest.enabled", ""
-            ).lower()
-            != "true"
-        ):
+        enabled = getattr(self, "_manifest_prop_cache", None)
+        if enabled is None:
+            enabled = (
+                self.properties()
+                .get("compatibility.symlinkFormatManifest.enabled", "")
+                .lower()
+                == "true"
+            )
+            self._manifest_prop_cache = enabled
+        if not enabled:
             return
         try:
             self.generate_manifest()

@@ -3388,6 +3388,7 @@ class TestCommitChecksum:
         lake.append(spark.createDataFrame(
             [(200, "y", 2.0)], "k long, sym string, v double"))
         stored = lake._read_crc(lake.version)  # incremental path
+        assert stored.pop("mode") == "inc"
         assert stored == lake._crc_full(lake.version)
 
     def test_dv_accounting(self, spark, tmp_path):
@@ -3470,6 +3471,32 @@ class TestCommitChecksum:
         clone = lake.clone(str(tmp_path / "crcc2"))
         got = clone.verify_checksum()
         assert got["total_rows"] == lake.count_rows()
+
+
+    def test_count_rows_crc_fast_path(self, spark, tmp_path):
+        import json as _json
+
+        lake = self._mk(spark, str(tmp_path / "crcq"))
+        lake.delete_where("k % 10 = 0", mode="dv")
+        head = lake.version
+        crc_path = os.path.join(lake.log_path, f"{head:08d}.crc")
+        assert lake.count_rows() == 45
+        # prove the head count is served FROM the sidecar
+        c = _json.load(open(crc_path))
+        assert c["rows_exact"] is True
+        doctored = {**c, "total_rows": 999 + c["dv_deleted_rows"]}
+        _json.dump(doctored, open(crc_path, "w"))
+        assert lake.count_rows() == 999
+        # no sidecar -> the fold answers (and time travel always folds)
+        os.unlink(crc_path)
+        assert lake.count_rows() == 45
+        assert lake.count_rows(version=0) == 50
+        # an inexact sidecar must NOT be served
+        _json.dump({**c, "rows_exact": False, "total_rows": 0},
+                   open(crc_path, "w"))
+        assert lake.count_rows() == 45
+        _json.dump(c, open(crc_path, "w"))
+        lake.verify_checksum()
 
 
 class TestSymlinkManifest:

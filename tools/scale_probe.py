@@ -600,6 +600,95 @@ def metadata_fold_probe(spark) -> dict:
     }
 
 
+def crc_probe(spark) -> dict:
+    """r11: per-commit CHECKSUM cost vs commit count. Claims under
+    test: (1) pure appends write the sidecar INCREMENTALLY
+    (mode=inc) off the predecessor — flat wall as the log grows;
+    (2) a mutating commit's full refold is bounded by
+    checkpoint_every (the O(tail) head read), not history length;
+    (3) verify_checksum() stays an on-demand audit whose cost
+    tracks tail + live files, not commit count. Same 100- vs
+    1000-commit milestones as the metadata-fold probe."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    d = tempfile.mkdtemp(prefix="crcprobe_")
+    try:
+        tx = TransactionalLake(spark, os.path.join(d, "t"), partition_by=())
+        one = spark.range(64).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v")
+        ).coalesce(1)
+        for _ in range(4):
+            tx.append(one)
+
+        def measure() -> dict:
+            # append (hot path: crc must ride incrementally)
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                tx.append(one)
+                samples.append(time.perf_counter() - t0)
+            head_crc = tx._read_crc(tx.version)
+            append_mode = head_crc.get("mode")
+            # mutating commit (full refold, bounded by tail)
+            t0 = time.perf_counter()
+            tx.delete_where("k = 1", mode="dv")
+            dv_sec = time.perf_counter() - t0
+            dv_mode = tx._read_crc(tx.version).get("mode")
+            # clear the vectors so the next milestone starts clean
+            tx.optimize()
+            t0 = time.perf_counter()
+            tx.verify_checksum()
+            verify_sec = time.perf_counter() - t0
+            return {
+                "commits": tx.version + 1,
+                "append_sec": round(statistics.median(samples), 3),
+                "append_crc_mode": append_mode,
+                "dv_delete_sec": round(dv_sec, 3),
+                "dv_crc_mode": dv_mode,
+                "verify_sec": round(verify_sec, 4),
+                "num_files": tx._read_crc(tx.version)["num_files"],
+            }
+
+        while tx.version + 1 < 100:
+            tx.set_properties({"probe.tick": str(tx.version)})
+        at_100 = measure()
+        while tx.version + 1 < 1000:
+            tx.set_properties({"probe.tick": str(tx.version)})
+        at_1000 = measure()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    append_flat = at_1000["append_sec"] <= 2 * at_100["append_sec"]
+    verify_flat = at_1000["verify_sec"] <= max(
+        3 * at_100["verify_sec"], 0.05
+    )
+    return {
+        "at_100_commits": at_100,
+        "at_1000_commits": at_1000,
+        "append_wall_ratio": round(
+            at_1000["append_sec"] / max(at_100["append_sec"], 1e-6), 2
+        ),
+        "verify_wall_ratio": round(
+            at_1000["verify_sec"] / max(at_100["verify_sec"], 1e-6), 2
+        ),
+        "append_incremental_both": (
+            at_100["append_crc_mode"] == "inc"
+            and at_1000["append_crc_mode"] == "inc"
+        ),
+        "flat": append_flat and verify_flat,
+        "note": (
+            "append sidecars ride the predecessor in O(new files); "
+            "mutating commits refold checkpoint+tail (the same "
+            "O(tail) head read every DML already pays); "
+            "verify_checksum is on-demand, cost tracks tail + live "
+            "files, never raw commit count"
+        ),
+    }
+
+
 def rt_block(base_rt: dict, scaled_rt: dict, factor: int) -> dict:
     """Ratio summary for the row-tracking two-point curve."""
     ratios = {
@@ -663,7 +752,28 @@ def main() -> int:
         help="run just the 1000-commit metadata-fold block and merge "
         "it into the existing SCALE_PROBE.json",
     )
+    ap.add_argument(
+        "--only-crc",
+        action="store_true",
+        help="run just the 1000-commit checksum block and merge it "
+        "into the existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
+
+    if args.only_crc:
+        from market_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark("scale_probe")
+        block = crc_probe(spark)
+        path = os.path.join(REPO, "SCALE_PROBE.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["commit_checksum"] = block
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"commit_checksum": block}))
+        return 0 if (
+            block["flat"] and block["append_incremental_both"]
+        ) else 1
 
     if args.only_meta:
         from market_data_lakehouse_spark.session import get_spark
