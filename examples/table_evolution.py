@@ -38,6 +38,20 @@ def main() -> None:
     print("ids:", sorted(r.trade_id for r in lake.snapshot().collect()))
     print("metadata-only count:", lake.count_rows(), "(no Spark job)")
 
+    # INTEGRITY: every commit leaves a checksum sidecar ({v}.crc);
+    # verify_checksum() recomputes from the log and raises on drift —
+    # and the head count above was answered FROM this sidecar (O(1))
+    crc = lake.verify_checksum()
+    print("checksum:", {
+        k: crc[k] for k in ("num_files", "total_rows", "total_bytes")
+    })
+
+    # INTEROP: export a symlink-format manifest so engines that don't
+    # speak the commit log (Presto/Hive external tables) read a
+    # consistent snapshot (refused once column mapping is active)
+    lake.generate_manifest()
+    print("manifest paths:", len(lake.manifest_paths()))
+
     # RENAME: one log write; files keep their physical names forever
     lake.rename_column("price", "px_usd")
     print("after rename:", lake.snapshot().columns)

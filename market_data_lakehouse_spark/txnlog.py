@@ -4090,12 +4090,15 @@ class TransactionalLake:
         live, _schemas, _v, dvs = self._snapshot_state()
         stats_idx = self._stats_index()
         bloom_idx = self._blooms_index()
+        bidx = self._bytes_index(_v)
         rows = []
         for rel in live:
-            try:
-                size = os.path.getsize(os.path.join(self.path, rel))
-            except OSError:
-                size = 0
+            size = bidx.get(rel)
+            if size is None:
+                try:
+                    size = os.path.getsize(os.path.join(self.path, rel))
+                except OSError:
+                    size = 0
             rows.append(
                 (
                     rel,

@@ -26,3 +26,26 @@ def test_corpus_pipeline_runs_end_to_end(spark, monkeypatch):
         sys, "argv", ["corpus_pipeline.py", "/root/testdata/sf0.001"]
     )
     corpus_pipeline.main()
+
+
+def test_table_evolution_runs_end_to_end(spark, monkeypatch):
+    """The table-evolution tour (identity, metadata count, checksum
+    verify, manifest export, rename/drop/purge under column mapping)
+    must keep working as the APIs evolve."""
+    sys.path.insert(0, "/root/repo/examples")
+    import table_evolution
+
+    monkeypatch.setattr(sys, "argv", ["table_evolution.py"])
+    table_evolution.main()
+
+
+def test_warehouse_pipeline_runs_end_to_end(spark, monkeypatch):
+    """The warehouse pipeline example must keep working as the APIs
+    evolve."""
+    sys.path.insert(0, "/root/repo/examples")
+    import warehouse_pipeline
+
+    monkeypatch.setattr(
+        sys, "argv", ["warehouse_pipeline.py", "/root/testdata/sf0.001"]
+    )
+    warehouse_pipeline.main()
