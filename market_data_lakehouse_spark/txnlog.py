@@ -764,12 +764,9 @@ class TransactionalLake:
         :meth:`_stats_index`)."""
         cp = self._latest_checkpoint()
         idx: dict[str, dict] = dict(cp.get("blooms", {})) if cp else {}
-        upto = cp["version"] if cp else -1
-        for name in self._commit_files():
-            v = int(name.split(".")[0])
-            if v <= upto:
-                continue
-            idx.update(self._read_commit(v).get("blooms", {}))
+        start = cp["version"] + 1 if cp else 0
+        for c in self._iter_commits_after(start):
+            idx.update(c.get("blooms", {}))
         return idx
 
     @staticmethod
@@ -892,11 +889,8 @@ class TransactionalLake:
         cp = self._latest_checkpoint(max_version=upto)
         idx: dict[str, int] = dict(cp.get("rows", {})) if cp else {}
         start = cp["version"] + 1 if cp else 0
-        for name in self._commit_files():
-            v = int(name.split(".")[0])
-            if v < start or v > upto:
-                continue
-            idx.update(self._read_commit(v).get("rows", {}))
+        for c in self._iter_commits_after(start, upto):
+            idx.update(c.get("rows", {}))
         return idx
 
     def count_rows(
@@ -956,11 +950,8 @@ class TransactionalLake:
         cp = self._latest_checkpoint(max_version=upto)
         idx: dict[str, int] = dict(cp.get("bytes", {})) if cp else {}
         start = cp["version"] + 1 if cp else 0
-        for name in self._commit_files():
-            v = int(name.split(".")[0])
-            if v < start or v > upto:
-                continue
-            idx.update(self._read_commit(v).get("bytes", {}))
+        for c in self._iter_commits_after(start, upto):
+            idx.update(c.get("bytes", {}))
         return idx
 
     # ------------------------------------------------------------------
@@ -1123,12 +1114,9 @@ class TransactionalLake:
         live-file list)."""
         cp = self._latest_checkpoint()
         idx: dict[str, dict] = dict(cp.get("stats", {})) if cp else {}
-        upto = cp["version"] if cp else -1
-        for name in self._commit_files():
-            v = int(name.split(".")[0])
-            if v <= upto:
-                continue
-            idx.update(self._read_commit(v).get("stats", {}))
+        start = cp["version"] + 1 if cp else 0
+        for c in self._iter_commits_after(start):
+            idx.update(c.get("stats", {}))
         return idx
 
     def prune_files(
@@ -1708,15 +1696,14 @@ class TransactionalLake:
                     "commits were removed by vacuum_log (oldest retained "
                     f"commit: {'v%d' % oldest if oldest is not None else 'none'})"
                 )
-        if version is None and timestamp is None and cp is not None:
-            # head read: O(tail) direct version walk, no listdir
+        if timestamp is not None:
+            # walk to the first commit past ts (the loop breaks there)
             commits = self._iter_commits_after(resolved + 1)
         else:
-            commits = (
-                self._read_commit(int(n.split(".")[0]))
-                for n in self._commit_files()
-                if int(n.split(".")[0]) > resolved
-            )
+            # head AND version travel: O(tail) direct version walk —
+            # _iter_commits_after falls back to a listing only for a
+            # vacuumed prefix (start below the retention floor)
+            commits = self._iter_commits_after(resolved + 1, version)
         for c in commits:
             if version is not None and c["version"] > version:
                 break
@@ -5033,11 +5020,25 @@ class TransactionalLake:
                 yield c
                 v += 1
         else:
-            for name in self._commit_files():
-                v = int(name.split(".")[0])
-                if v < start or v > as_of:
-                    continue
-                yield self._read_commit(v)
+            # bounded reads walk directly too: retained commits are
+            # contiguous [floor, head], so only a vacuumed PREFIX
+            # (start below the floor) needs the listing fallback —
+            # detected by the very first read missing
+            v = start
+            first = True
+            while v <= as_of:
+                try:
+                    c = self._read_commit(v)
+                except FileNotFoundError:
+                    if first:
+                        for name in self._commit_files():
+                            w = int(name.split(".")[0])
+                            if start <= w <= as_of:
+                                yield self._read_commit(w)
+                    return
+                first = False
+                yield c
+                v += 1
 
     def _row_tracking_state(self, as_of: int | None = None) -> dict | None:
         """``{"high_water": int, "base": {file: [base, default_ver]}}``
