@@ -1590,3 +1590,49 @@ def s29_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s8_merge_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT event_id AS k, 'upd' AS v, CAST(event_id % 10 AS DOUBLE) AS score
+      FROM events WHERE event_id % 5 = 0
+    ),
+    tgt AS (
+      SELECT event_id AS k, event_type AS v FROM events
+    )
+    SELECT COALESCE(t.k, s.k) AS k,
+           COALESCE(s.v, t.v) AS v,
+           s.score AS score
+    FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+    ORDER BY k
+    """,
+)
+def s8_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution as a hard signal (S8 extension,
+    r11 — Delta withSchemaEvolution parity): the source carries a
+    column the target lacks; the merge commit evolves the schema, so
+    postimages and inserts carry it while untouched rows null-fill.
+    DuckDB reproduces the exact post-merge table with a FULL OUTER
+    JOIN — a dropped evolved column, a nulled update, or a survivor
+    that lost its row diverges."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"), F.col("event_type").alias("v")
+    )
+    lake_dir = scratch_dir("msev")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(4))
+    src = (
+        load(spark, sf_dir, "events")
+        .filter("event_id % 5 = 0")
+        .select(
+            F.col("event_id").alias("k"),
+            F.lit("upd").alias("v"),
+            (F.col("event_id") % 10).cast("double").alias("score"),
+        )
+    )
+    tx.merge(src, on="k", schema_evolution=True)
+    return tx.snapshot().select("k", "v", "score").orderBy("k")

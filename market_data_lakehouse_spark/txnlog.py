@@ -2916,6 +2916,7 @@ class TransactionalLake:
         dvs: dict[str, list[int]],
         txn_action: dict,
         read_bounds: dict[str, tuple] | None = None,
+        new_cols: list[str] | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -2966,7 +2967,13 @@ class TransactionalLake:
                         else F.col(c)
                         for c in matched.columns
                         if c not in ("_row_file", "_row_pos")
-                    ]
+                    ],
+                    # schema evolution: postimages carry the source's
+                    # new columns (matched lacks them by definition)
+                    *[
+                        F.col(f"_src_{c}").alias(c)
+                        for c in (new_cols or [])
+                    ],
                 )
             )
         if when_not_matched == "insert":
@@ -2989,14 +2996,24 @@ class TransactionalLake:
             )
         added: list[str] = []
         if out is not None:
-            out = self._conform(out, schemas, keep=(self._RT_ID,))
+            out = self._conform(
+                out, schemas, keep=(self._RT_ID, *(new_cols or ()))
+            )
             self._enforce_constraints(out, "merge")
             added = self._write_files(out)
+        action = {**action_base,
+                  "dv": self._dv_from_hits(hits, old),
+                  "add": added}
+        if new_cols and out is not None:
+            # evolved columns ride this commit's schema — without it
+            # the scan would keep projecting only the committed
+            # fields and the new data would be invisible
+            sch = out
+            if self._RT_ID in sch.columns:
+                sch = sch.drop(self._RT_ID)
+            action["schema"] = sch.schema.json()
         return self._commit(
-            {**action_base,
-             "dv": self._dv_from_hits(hits, old),
-             "add": added},
-            read_version=read_v, read_bounds=read_bounds,
+            action, read_version=read_v, read_bounds=read_bounds,
         )
 
     def merge(
@@ -3009,11 +3026,21 @@ class TransactionalLake:
         txn: tuple[str, int] | None = None,
         mode: str = "rewrite",
         read_bounds: dict[str, tuple] | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
         row) or deleted; source rows with no target match are
         inserted or ignored. Returns the committed version.
+
+        ``schema_evolution`` (Delta ``withSchemaEvolution()`` /
+        autoMerge): source columns the target lacks EVOLVE the table
+        schema in this merge's commit — update postimages and inserts
+        carry them, survivors and untouched files null-fill on read
+        (the same heterogeneous-file machinery append's mergeSchema
+        uses). Off by default: an unknown column is a loud error, not
+        silent evolution. Merge KEYS must already exist in the
+        target either way.
 
         ``mode="rewrite"`` (default) is copy-on-write; ``mode="dv"``
         is merge-on-read (Delta DV MERGE / Iceberg positional
@@ -3101,7 +3128,20 @@ class TransactionalLake:
         # source row IS the postimage in this engine's update-all
         # semantics)
         source = self._apply_defaults(source, schemas)
-        self._check_schema(source, merge_schema=False, schemas=schemas)
+        self._check_schema(
+            source, merge_schema=schema_evolution, schemas=schemas
+        )
+        new_cols: list[str] = []
+        if schema_evolution and schemas:
+            known = {f["name"] for f in self._merged_fields(schemas)}
+            new_cols = [c for c in source.columns if c not in known]
+            bad_keys = [k for k in keys if k in new_cols]
+            if bad_keys:
+                raise ValueError(
+                    f"merge keys {bad_keys} do not exist in the "
+                    "target schema — schema evolution adds data "
+                    "columns, never join keys"
+                )
         # store-assignment: source dtypes conform to the committed
         # types up front, so neither unionByName coercion nor the
         # final commit can silently evolve a column's type
@@ -3113,7 +3153,9 @@ class TransactionalLake:
             # to the committed schema (if any) so a narrow source
             # cannot drop evolved columns from the table.
             if when_not_matched == "insert":
-                seeded = self._conform(source, schemas)
+                seeded = self._conform(
+                    source, schemas, keep=tuple(new_cols)
+                )
                 # CHECK constraints apply on the empty-table insert
                 # path too — the non-empty path enforces on the full
                 # rewritten output below, this one on the seed batch
@@ -3137,6 +3179,7 @@ class TransactionalLake:
             return self._merge_dv(
                 source, keys, when_matched, when_not_matched,
                 old, schemas, read_v, dvs, txn_action, read_bounds,
+                new_cols=new_cols,
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
@@ -3215,7 +3258,14 @@ class TransactionalLake:
                                 else F.col(c)
                             )
                             for c in aff_df.columns
-                        ]
+                        ],
+                        # schema evolution: postimages carry the
+                        # source's NEW columns too (absent from
+                        # aff_df — survivors null-fill in the union)
+                        *[
+                            F.col(f"_src_{c}").alias(c)
+                            for c in new_cols
+                        ],
                     )
                 )
         if when_not_matched == "insert":
@@ -3241,6 +3291,12 @@ class TransactionalLake:
         if out is not None:
             types = dict(snap.dtypes)
             want = list(snap.columns)
+            if new_cols:
+                # evolved columns join the schema AFTER the committed
+                # fields (Delta's evolution order), typed by the source
+                src_types = dict(source.dtypes)
+                want += new_cols
+                types.update({c: src_types[c] for c in new_cols})
             if rt is not None:
                 # inserts carry no rt columns — null-fill so fresh
                 # rows take base + row_index in their new files

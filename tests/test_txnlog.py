@@ -3594,3 +3594,82 @@ class TestSymlinkManifest:
         lake.generate_manifest()
         ext = spark.read.parquet(*lake.manifest_paths())
         assert ext.collect()[0][0] == 2
+
+
+class TestMergeSchemaEvolution:
+    """r11: MERGE with schema evolution (Delta withSchemaEvolution /
+    schema.autoMerge parity): source columns the target lacks evolve
+    the table in the merge commit — postimages and inserts carry
+    them, everything else null-fills on read. Off by default."""
+
+    def _target(self, spark, path):
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+        return lake
+
+    def test_rejected_without_flag(self, spark, tmp_path):
+        lake = self._target(spark, str(tmp_path / "mse0"))
+        src = spark.createDataFrame(
+            [(2, "B", 9.9)], "k long, v string, score double")
+        with pytest.raises(ValueError, match="new columns"):
+            lake.merge(src, on="k")
+
+    @pytest.mark.parametrize("mode", ["rewrite", "dv"])
+    def test_evolves_updates_and_inserts(self, spark, tmp_path, mode):
+        lake = self._target(spark, str(tmp_path / f"mse_{mode}"))
+        v_before = lake.version
+        src = spark.createDataFrame(
+            [(2, "B", 9.9), (4, "d", 4.4)],
+            "k long, v string, score double")
+        lake.merge(src, on="k", mode=mode, schema_evolution=True)
+        got = {r.k: (r.v, r.score)
+               for r in lake.snapshot().collect()}
+        assert got == {
+            1: ("a", None),   # untouched row null-fills
+            2: ("B", 9.9),    # update postimage carries the new col
+            3: ("c", None),   # survivor in a rewritten file
+            4: ("d", 4.4),    # insert carries it
+        }
+        # time travel: the pre-merge schema has no evolved column
+        assert "score" not in lake.snapshot(version=v_before).columns
+        # the evolution is one-way: a later narrow append keeps it
+        lake.append(spark.createDataFrame([(5, "e")], "k long, v string"))
+        assert {r.k: r.score for r in lake.snapshot().collect()}[5] is None
+        lake.verify_checksum()
+
+    def test_dv_mode_touches_no_files(self, spark, tmp_path):
+        lake = self._target(spark, str(tmp_path / "msedv"))
+        live_before, *_ = lake._snapshot_state()
+        src = spark.createDataFrame(
+            [(2, "B", 1.5)], "k long, v string, score double")
+        lake.merge(src, on="k", mode="dv", schema_evolution=True)
+        c = lake._read_commit(lake.version)
+        assert not c.get("remove"), "dv merge must not rewrite files"
+        live_after, *_ = lake._snapshot_state()
+        assert set(live_before) <= set(live_after)
+        assert {r.score for r in lake.snapshot().filter("k = 2").collect()} \
+            == {1.5}
+
+    def test_new_key_column_rejected(self, spark, tmp_path):
+        lake = self._target(spark, str(tmp_path / "msek"))
+        src = spark.createDataFrame(
+            [("x", 1.0)], "newkey string, score double")
+        with pytest.raises(ValueError, match="never join keys"):
+            lake.merge(src, on="newkey", schema_evolution=True)
+
+    def test_row_tracking_ids_survive_evolution(self, spark, tmp_path):
+        lake = self._target(spark, str(tmp_path / "msert"))
+        lake.enable_row_tracking()
+        ids_before = {
+            r.k: r._row_id
+            for r in lake.snapshot(with_row_ids=True).collect()
+        }
+        src = spark.createDataFrame(
+            [(2, "B", 7.7)], "k long, v string, score double")
+        lake.merge(src, on="k", schema_evolution=True)
+        rows = lake.snapshot(with_row_ids=True).collect()
+        ids_after = {r.k: r._row_id for r in rows}
+        assert ids_after[2] == ids_before[2]  # update keeps its id
+        assert ids_after[1] == ids_before[1]  # survivor keeps its id
+        assert {r.k: r.score for r in rows}[2] == 7.7
