@@ -86,6 +86,7 @@ def stream_upsert(
     trigger_ms: int = DEFAULT_TRIGGER_MS,
     available_now: bool = False,
     mode: str = "rewrite",
+    schema_evolution: bool = False,
 ):
     """Streaming CDC-apply: every micro-batch is MERGEd into a
     :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`
@@ -109,7 +110,12 @@ def stream_upsert(
     a trickle of small upserts then never rewrites large files — the
     per-batch cost is O(batch rows), with ``optimize()`` (or the
     ingest sink's compaction cycle) materializing the accumulated
-    vectors out-of-band."""
+    vectors out-of-band.
+
+    ``schema_evolution`` (Delta streaming autoMerge parity): a
+    source stream that starts carrying a new column evolves the
+    target table in the first batch that delivers it, instead of
+    killing the query."""
     import hashlib
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -131,6 +137,7 @@ def stream_upsert(
         lake.merge(
             deduped, on=keys, validate_keys=False,
             txn=(app_id, batch_id), mode=mode,
+            schema_evolution=schema_evolution,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

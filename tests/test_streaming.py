@@ -874,3 +874,48 @@ class TestStatefulDrawdown:
         # batch-1 output row proves per-batch emission too
         assert rows[0]["peak"] == 120.0
         assert rows[0]["max_drawdown"] == pytest.approx(10.0 / 120.0)
+
+
+class TestStreamUpsertSchemaEvolution:
+    def test_stream_evolves_target_schema(self, spark, tmp_path):
+        """A stream that carries a column the target lacks: without
+        schema_evolution the sink's merge kills the query; with it
+        the first delivering batch evolves the table (Delta's
+        streaming autoMerge contract)."""
+        from market_data_lakehouse_spark.streaming import (
+            read_tick_stream,
+            stream_upsert,
+        )
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "src")
+        lake = TransactionalLake(
+            spark, str(tmp_path / "tx"), partition_by=())
+        # target starts WITHOUT the stream's volume column
+        lake.append(spark.createDataFrame(
+            [("AAPL", "2024-06-15 09:00:00", 90.0)],
+            "symbol string, ts string, price double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")))
+        _write_json(
+            src + "/b0.json",
+            [_tick("2024-06-15T10:00:00", price=100.0, volume=7)],
+        )
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ck_noevo"),
+            available_now=True,
+        )
+        with pytest.raises(Exception, match="new columns"):
+            q.awaitTermination(120)
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ck_evo"),
+            available_now=True, schema_evolution=True,
+        )
+        q.awaitTermination(120)
+        got = {(r.symbol, r.price, r.volume)
+               for r in lake.snapshot().collect()}
+        assert got == {
+            ("AAPL", 90.0, None),   # pre-evolution row null-fills
+            ("AAPL", 100.0, 7),     # streamed insert carries it
+        }

@@ -3658,6 +3658,25 @@ class TestMergeSchemaEvolution:
         with pytest.raises(ValueError, match="never join keys"):
             lake.merge(src, on="newkey", schema_evolution=True)
 
+    def test_cdc_carries_evolved_column(self, spark, tmp_path):
+        """The change feed for an evolving merge projects the evolved
+        schema: the merge commit's inserts/postimages carry the new
+        column, pre-evolution change rows null-fill it."""
+        lake = self._target(spark, str(tmp_path / "msecdc"))
+        v_merge = lake.version + 1
+        src = spark.createDataFrame(
+            [(2, "B", 9.9), (4, "d", 4.4)],
+            "k long, v string, score double")
+        lake.merge(src, on="k", schema_evolution=True)
+        feed = lake.read_changes(starting_version=v_merge).collect()
+        ins = {(r.k, r.score) for r in feed
+               if r._change_type == "insert"}
+        assert (2, 9.9) in ins and (4, 4.4) in ins
+        # survivors re-emitted by the rewrite null-fill the new column
+        assert all(
+            r.score is None for r in feed
+            if r._change_type == "insert" and r.k in (1, 3))
+
     def test_row_tracking_ids_survive_evolution(self, spark, tmp_path):
         lake = self._target(spark, str(tmp_path / "msert"))
         lake.enable_row_tracking()
