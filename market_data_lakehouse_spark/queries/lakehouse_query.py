@@ -1636,3 +1636,44 @@ def s8_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tx.merge(src, on="k", schema_evolution=True)
     return tx.snapshot().select("k", "v", "score").orderBy("k")
+
+
+@register(
+    "s30_add_column",
+    oracle="""
+    SELECT k, v, flag FROM (
+      SELECT event_id AS k, event_type AS v, CAST(NULL AS VARCHAR) AS flag
+      FROM events
+      UNION ALL
+      SELECT event_id + 1000000 AS k, event_type AS v, 'late' AS flag
+      FROM events WHERE event_id % 4 = 0
+    ) ORDER BY k
+    """,
+)
+def s30_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ADD COLUMN as a hard signal (S8 extension, r11
+    — Delta ALTER TABLE ADD COLUMNS parity): one log write adds the
+    column; every pre-existing file null-fills it on read and a
+    later writer carries real values without merge_schema. DuckDB
+    reproduces the exact post-evolution table — a resurrection, a
+    dropped null-fill, or a lost late batch diverges."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"), F.col("event_type").alias("v")
+    )
+    lake_dir = scratch_dir("addc")
+    tx = TransactionalLake(spark, lake_dir, partition_by=())
+    tx.append(ev.repartition(4))
+    tx.add_column("flag", "string")
+    late = (
+        load(spark, sf_dir, "events")
+        .filter("event_id % 4 = 0")
+        .select(
+            (F.col("event_id") + 1000000).alias("k"),
+            F.col("event_type").alias("v"),
+            F.lit("late").alias("flag"),
+        )
+    )
+    tx.append(late.repartition(2))
+    return tx.snapshot().select("k", "v", "flag").orderBy("k")

@@ -3433,6 +3433,29 @@ class TransactionalLake:
         df = reader.parquet(
             *[os.path.join(self.path, f) for f in files]
         ).drop(*self._RT_COLS)
+        have = set(df.columns)
+        virtual = [
+            f
+            for f in self._merged_fields(schemas)
+            if f["name"] not in have
+        ]
+        if virtual:
+            # fields the TABLE schema carries but no file in this
+            # read set does: a metadata-only add_column (no file has
+            # the column yet) or a pruned subset of pre-evolution
+            # files — null-fill so every read surface sees the full
+            # schema (the explicit-schema path above already does)
+            from pyspark.sql.types import StructField, StructType
+
+            for f in virtual:
+                df = df.withColumn(
+                    f["name"],
+                    F.lit(None).cast(
+                        StructType([StructField.fromJson(f)])
+                        .fields[0]
+                        .dataType
+                    ),
+                )
         if dvs:
             keep = set(files)
             pairs = [
@@ -4760,6 +4783,73 @@ class TransactionalLake:
             f["name"]: f["name"] for f in self._merged_fields(schemas)
         }
         return {"cols": cols, "next": 0}
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """Metadata-only ADD COLUMN (Delta ``ALTER TABLE ... ADD
+        COLUMNS`` parity): one log write, zero data touched — every
+        existing file null-fills the new column on read through the
+        same heterogeneous-file machinery append evolution uses, and
+        future writers may carry it without ``merge_schema``. Under
+        column mapping, a name that ever belonged to a DROPPED column
+        binds a fresh physical slot, so the old bytes stay dead
+        instead of resurrecting (Delta's field-id semantics).
+        Nullable by definition — existing rows have no value. Pair
+        with :meth:`set_column_default` for a write-side default."""
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+            raise ValueError(f"invalid column name: {name!r}")
+        if name.startswith("_rt_"):
+            raise ValueError(
+                f"column name {name!r} uses the reserved '_rt_' prefix"
+            )
+        _files, schemas, _v, _dvs = self._snapshot_state()
+        if not schemas:
+            raise ValueError(
+                "add_column requires a committed schema (write data "
+                "first — the first append defines the table)"
+            )
+        # validate the type by parsing it through Spark (no job)
+        try:
+            field = self.spark.createDataFrame(
+                [], f"`{name}` {dtype}"
+            ).schema.fields[0]
+        except Exception as exc:
+            raise ValueError(
+                f"invalid column type {dtype!r}: {exc}"
+            ) from None
+        doc = self._column_mapping_doc()
+        logical_known = (
+            set(doc["cols"])
+            if doc is not None
+            else {f["name"] for f in self._merged_fields(schemas)}
+        )
+        if name in logical_known:
+            raise ValueError(f"column {name!r} already exists")
+        phys = name
+        action: dict = {"op": "add_column"}
+        if doc is not None:
+            # fresh physical slot when the name was ever used (a
+            # dropped column's bytes must not come back)
+            ever = {
+                f["name"]
+                for s in schemas
+                for f in json.loads(s)["fields"]
+            } | set(doc["cols"].values())
+            nxt = doc["next"]
+            while phys in ever:
+                nxt += 1
+                phys = f"{name}_c{nxt}"
+            action["column_mapping"] = {
+                "cols": {**doc["cols"], name: phys},
+                "next": nxt,
+            }
+        f_json = json.loads(
+            json.dumps({**field.jsonValue(), "name": phys})
+        )
+        merged = self._merged_fields(schemas)
+        action["schema"] = json.dumps(
+            {"type": "struct", "fields": merged + [f_json]}
+        )
+        return self._commit(action)
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME COLUMN: one log write, zero data

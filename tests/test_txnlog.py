@@ -3692,3 +3692,78 @@ class TestMergeSchemaEvolution:
         assert ids_after[2] == ids_before[2]  # update keeps its id
         assert ids_after[1] == ids_before[1]  # survivor keeps its id
         assert {r.k: r.score for r in rows}[2] == 7.7
+
+
+class TestAddColumn:
+    """r11: metadata-only ADD COLUMN (Delta ALTER TABLE ADD COLUMNS
+    parity): one log write, existing files null-fill on read, future
+    writers may carry the column; under column mapping a re-used
+    dropped name binds a fresh physical slot."""
+
+    def test_add_and_null_fill(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ac"), partition_by=())
+        lake.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+        v_before = lake.version
+        lake.add_column("score", "double")
+        snap = lake.snapshot()
+        assert dict(snap.dtypes)["score"] == "double"
+        assert snap.collect()[0].score is None
+        # time travel: the pre-add schema has no such column
+        assert "score" not in lake.snapshot(version=v_before).columns
+        # writers: omitted -> null; carried -> value, no merge_schema
+        lake.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+        lake.append(spark.createDataFrame(
+            [(3, "c", 3.3)], "k long, v string, score double"))
+        got = {r.k: r.score for r in lake.snapshot().collect()}
+        assert got == {1: None, 2: None, 3: 3.3}
+        lake.verify_checksum()
+
+    def test_validation(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "acv"), partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "k long"))
+        with pytest.raises(ValueError, match="already exists"):
+            lake.add_column("k", "long")
+        with pytest.raises(ValueError, match="invalid column name"):
+            lake.add_column("bad-name", "long")
+        with pytest.raises(ValueError, match="reserved"):
+            lake.add_column("_rt_x", "long")
+        with pytest.raises(ValueError, match="invalid column type"):
+            lake.add_column("x", "noType")
+
+    def test_dropped_name_gets_fresh_slot(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "acd"), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(1, 99.0)], "k long, v double"))
+        lake.drop_column("v")
+        lake.add_column("v", "double")
+        # the old bytes stay dead: re-added v reads NULL, not 99.0
+        assert lake.snapshot().collect()[0].v is None
+        # and the physical slot is fresh
+        doc = lake._column_mapping_doc()
+        assert doc["cols"]["v"] != "v"
+        # rename still works on the re-added column
+        lake.rename_column("v", "w")
+        assert "w" in lake.snapshot().columns
+
+    def test_restore_rolls_back(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "acr"), partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "k long"))
+        v = lake.version
+        lake.add_column("extra", "string")
+        assert "extra" in lake.snapshot().columns
+        lake.restore(v)
+        assert "extra" not in lake.snapshot().columns
+
+    def test_default_interplay(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "acdef"), partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "k long"))
+        lake.add_column("src", "string")
+        lake.set_column_default("src", "'backfill'")
+        lake.append(spark.createDataFrame([(2,)], "k long"))
+        got = {r.k: r.src for r in lake.snapshot().collect()}
+        assert got == {1: None, 2: "backfill"}  # never backfilled
