@@ -68,6 +68,21 @@ def main() -> None:
     except ValueError as exc:
         print("constraint held across rename:", str(exc)[:60], "...")
 
+    # ADD COLUMN is one log write: old files null-fill on read
+    lake.add_column("venue", "string")
+    print("after add_column:", lake.snapshot().columns)
+
+    # MERGE can evolve the schema too (source carries a new column)
+    lake.merge(
+        spark.createDataFrame(
+            [("AAPL", 151.0, 0.9)],
+            "symbol string, px_usd double, confidence double",
+        ),
+        on="symbol",
+        schema_evolution=True,
+    )
+    print("after evolving merge:", lake.snapshot().columns)
+
     # DROP hides instantly (metadata-only); PURGE reclaims the bytes
     lake.drop_column("scratch")
     print("after drop:", lake.snapshot().columns)

@@ -2917,6 +2917,7 @@ class TransactionalLake:
         txn_action: dict,
         read_bounds: dict[str, tuple] | None = None,
         new_cols: list[str] | None = None,
+        map_doc: dict | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -3004,6 +3005,8 @@ class TransactionalLake:
         action = {**action_base,
                   "dv": self._dv_from_hits(hits, old),
                   "add": added}
+        if map_doc:
+            action["column_mapping"] = map_doc
         if new_cols and out is not None:
             # evolved columns ride this commit's schema — without it
             # the scan would keep projecting only the committed
@@ -3080,9 +3083,16 @@ class TransactionalLake:
         """
         keys = [on] if isinstance(on, str) else list(on)
         mdoc = self._column_mapping_doc()
+        ext_doc: dict | None = None
         if mdoc is not None:
             keys = list(self._map_cols(keys, mdoc))
-            source, _ = self._to_physical(source)
+            # schema evolution under mapping: genuinely new source
+            # columns bind fresh physical slots and the EXTENDED doc
+            # rides this merge's commit — without it the logical
+            # projection would silently hide the evolved column
+            source, ext_doc = self._to_physical(
+                source, extend=schema_evolution
+            )
             if read_bounds:
                 read_bounds = self._map_cols(read_bounds, mdoc)
         if mode not in ("rewrite", "dv"):
@@ -3167,6 +3177,11 @@ class TransactionalLake:
                         "add": added,
                         "remove": [],
                         "schema": seeded.schema.json(),
+                        **(
+                            {"column_mapping": ext_doc}
+                            if ext_doc
+                            else {}
+                        ),
                         **txn_action,
                     },
                     read_version=read_v, read_bounds=read_bounds,
@@ -3179,7 +3194,7 @@ class TransactionalLake:
             return self._merge_dv(
                 source, keys, when_matched, when_not_matched,
                 old, schemas, read_v, dvs, txn_action, read_bounds,
-                new_cols=new_cols,
+                new_cols=new_cols, map_doc=ext_doc,
             )
         snap = self._df_for_files(old, schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
@@ -3325,6 +3340,7 @@ class TransactionalLake:
                 "add": added,
                 "remove": affected,
                 "schema": out.drop(*self._RT_COLS).schema.json(),
+                **({"column_mapping": ext_doc} if ext_doc else {}),
                 **txn_action,
             },
             read_version=read_v, read_bounds=read_bounds,

@@ -3658,6 +3658,29 @@ class TestMergeSchemaEvolution:
         with pytest.raises(ValueError, match="never join keys"):
             lake.merge(src, on="newkey", schema_evolution=True)
 
+    @pytest.mark.parametrize("mode", ["rewrite", "dv"])
+    def test_evolution_under_column_mapping(self, spark, tmp_path, mode):
+        """Found by a live probe: under an ACTIVE column map, the
+        evolving merge must extend the logical->physical doc on its
+        own commit — without that the new column's data is written
+        but the logical projection silently hides it."""
+        lake = self._target(spark, str(tmp_path / f"msemap_{mode}"))
+        lake.rename_column("v", "val")  # activates mapping
+        src = spark.createDataFrame(
+            [(2, "B", 9.9), (4, "d", 4.4)],
+            "k long, val string, score double")
+        lake.merge(src, on="k", mode=mode, schema_evolution=True)
+        snap = lake.snapshot()
+        assert "score" in snap.columns
+        got = {r.k: r.score for r in snap.collect()}
+        assert got == {1: None, 2: 9.9, 3: None, 4: 4.4}
+        doc = lake._column_mapping_doc()
+        assert "score" in doc["cols"]
+        # the evolved column renames like any other
+        lake.rename_column("score", "conf")
+        assert {r.k: r.conf for r in lake.snapshot().collect()}[2] == 9.9
+        lake.verify_checksum()
+
     def test_cdc_carries_evolved_column(self, spark, tmp_path):
         """The change feed for an evolving merge projects the evolved
         schema: the merge commit's inserts/postimages carry the new
