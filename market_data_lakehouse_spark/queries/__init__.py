@@ -63,6 +63,15 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # the single-pass _map_expr rename translation (-> every mapped-DML
 # entry), and the sq8_store scratch-dir rework (-> both SQ8
 # entries). Steady state is now a 2-round rotation.
+#
+# r12 window queue (front-load): s8_merge_evolution + s30_add_column
+# (r11-new, locally oracle-green, never driver-run) and the 42-entry
+# r8-stale cohort (a12-a16, a7_approx_distinct, e1_contamination_
+# ngram/decontaminate/fuzzy_dedup_editdist, e3 recall family +
+# ivfpq_knn/kmeans/range_search, e4 bm25/cms/corpus_clean/normalize/
+# repetition, e5_media_resize, e6 kfold/temperature/token_shards_
+# partitioned, e7_pack_sequences, g1/g2, j10-j16, o4, w10-w12,
+# x8-x10); the r9 cohort anchors r13.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # (a) last driver-run r7: the full rotation-debt cohort (34)
