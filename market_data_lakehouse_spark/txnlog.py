@@ -4196,14 +4196,21 @@ class TransactionalLake:
             "bloom_columns array<string>, deleted_rows long",
         )
 
-    def history(self) -> list[dict]:
+    def history(self, limit: int | None = None) -> list[dict]:
         """Commit metadata, latest first (Delta DESCRIBE HISTORY),
         with per-commit OPERATION METRICS computed from the logged
         content (Delta's operationMetrics): files added/removed,
         output rows (from the logged per-file counts — no file
-        opens), and positionally deleted rows."""
+        opens), and positionally deleted rows.
+
+        ``limit`` (Delta ``DESCRIBE HISTORY ... LIMIT n``): return
+        only the newest n commits — commit-file READS stop there, so
+        inspecting the recent history of a 100k-commit log costs n
+        opens, not 100k."""
         out = []
         for n in reversed(self._commit_files()):
+            if limit is not None and len(out) >= limit:
+                break
             c = self._read_commit(int(n.split(".")[0]))
             rows = c.get("rows", {})
             metrics = {

@@ -3790,3 +3790,26 @@ class TestAddColumn:
         lake.append(spark.createDataFrame([(2,)], "k long"))
         got = {r.k: r.src for r in lake.snapshot().collect()}
         assert got == {1: None, 2: "backfill"}  # never backfilled
+
+
+class TestHistoryLimit:
+    def test_limit_returns_newest_and_bounds_reads(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "hl"), partition_by=())
+        for i in range(6):
+            lake.append(spark.createDataFrame([(i,)], "k long"))
+        reads = {"n": 0}
+        orig = lake._read_commit
+
+        def spy(v):
+            reads["n"] += 1
+            return orig(v)
+
+        lake._read_commit = spy
+        try:
+            h = lake.history(limit=2)
+        finally:
+            lake._read_commit = orig
+        assert [e["version"] for e in h] == [5, 4]
+        assert reads["n"] == 2  # reads stop at the limit
+        assert len(lake.history()) == 6  # unlimited unchanged
