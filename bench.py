@@ -495,7 +495,10 @@ def main() -> None:
 def _run_inline_tripwire(
     spark, sf_dir: str, flagged: dict[str, tuple[float, float]], repo: str
 ) -> None:
-    """Lean in-run A/B for tripwire-eligible flags (>=1.3x AND >=1s):
+    """Lean in-run A/B for tripwire-eligible flags (>=1.3x AND
+    >=0.5s — matched to tools/ab_tripwire.py's standalone bar in r12;
+    the r11 driver run produced two 1.32x flags at 0.75/0.93 s that
+    the old 1 s inline bar let land unadjudicated):
     interleaved round-robin over the flagged queries + the
     q_dedup_hash control in the LIVE session, 5 samples each,
     classified by bench_ab.classify_drift. Code identity is NOT
@@ -595,13 +598,16 @@ def run_gates(spark, sf_dir: str, bench_line: dict) -> None:
         f"flagged={[r['query'] for r in rep['flagged']]}",
         file=sys.stderr,
     )
-    # r9 VERDICT directive 4, standing: any flagged entry that ALSO
-    # crossed the 1 s absolute bar gets the interleaved same-JVM A/B
-    # in THIS run (reusing the live session; bounded: the eligible
-    # set is the flag list, each sampled 5x round-robin). Sub-second
-    # flags stay letter-only — the job-floor band covers them.
+    # r9 VERDICT directive 4, standing (bar lowered r12 per VERDICT
+    # directive 2): any flagged entry that ALSO crossed the 0.5 s
+    # absolute bar gets the interleaved same-JVM A/B in THIS run
+    # (reusing the live session; bounded: the eligible set is the
+    # flag list, each sampled 5x round-robin). The bar now MATCHES
+    # tools/ab_tripwire.py's standalone default, so no flag can sit
+    # in the adjudication gap between the two tools. Sub-0.5 s flags
+    # stay letter-only — the job-floor band covers them.
     eligible = [
-        r["query"] for r in rep["flagged"] if r["new_sec"] >= 1.0
+        r["query"] for r in rep["flagged"] if r["new_sec"] >= 0.5
     ]
     if eligible:
         old_q = bench_compare.load_queries(prev)

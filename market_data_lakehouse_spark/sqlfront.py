@@ -1,0 +1,545 @@
+"""SQL front-end for lakehouse utility statements (S31, r12).
+
+The reference's README-documented query interface is a SQL *string*
+(``lake.query("SELECT AVG(close) ...")`` — reference README.md:77-81):
+a user types one language for everything. This repo's catalog already
+serves SELECTs through ``spark.sql``; what was Python-only until now
+is the table-LIFECYCLE verb set (OPTIMIZE / VACUUM / RESTORE /
+DESCRIBE HISTORY / ALTER TABLE ...). :class:`LakeSQL` completes the
+"same query interface" story: it parses the Delta-SQL forms of the
+supported utility statements and dispatches onto the existing
+:class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`
+methods — the statement grammar is the thin layer, the transactional
+semantics live where they always did.
+
+Design choices (and why):
+
+- **Regex grammar, not a SQL parser.** The utility statements are a
+  closed, keyword-anchored family (each begins with a distinctive
+  verb); a hand-rolled parser would be a maintenance liability and
+  Spark's own parser rejects these forms (they are Delta extensions).
+  Every verb's accepted shape is documented on its handler; anything
+  that *starts* like a utility verb but doesn't parse raises
+  ``ValueError`` with the supported grammar — it never silently falls
+  through to ``spark.sql`` where the error message would blame the
+  wrong layer.
+- **Everything returns a DataFrame** (Delta's behavior for these
+  commands): DESCRIBE verbs return real content, mutations return a
+  one-row ``(operation, version)`` receipt, ``VACUUM ... DRY RUN``
+  returns the would-be-deleted paths. A SQL-only client composes
+  pipelines without ever touching the Python API.
+- **SELECT passthrough registers snapshots as temp views** — each
+  registered table's current snapshot under its registered name —
+  then delegates to ``spark.sql``, so joins against non-lake views
+  and every Spark SQL feature keep working. ``VERSION AS OF`` time
+  travel stays on the Python API (Spark's parser owns the SELECT
+  grammar; rewriting it here would be a second, worse parser).
+
+At 100 TB nothing in this module adds cost: parsing is driver-side
+string work, and each verb delegates to the same O(tail)-metadata /
+scoped-rewrite implementations the Python API uses.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+__all__ = ["LakeSQL"]
+
+# Verbs this front-end owns. A statement starting with one of these
+# MUST parse as a utility statement (no silent SELECT fallthrough).
+_UTILITY_HEADS = (
+    "OPTIMIZE", "VACUUM", "RESTORE", "DESCRIBE HISTORY",
+    "DESCRIBE DETAIL", "ALTER TABLE", "ANALYZE TABLE", "GENERATE",
+    "REORG TABLE", "SHOW TBLPROPERTIES",
+)
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"', "`"):
+        return s[1:-1]
+    return s
+
+
+def _split_commas(s: str) -> list[str]:
+    """Split on top-level commas (respecting quotes and parens) —
+    enough for property lists and column lists; expressions with
+    nested calls stay intact."""
+    out, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+class LakeSQL:
+    """One SQL string in, one DataFrame out — SELECTs via Spark SQL
+    over registered snapshots, lifecycle verbs via the transactional
+    log. Parity target: the Delta-SQL utility surface
+    (OPTIMIZE / VACUUM / RESTORE / DESCRIBE / ALTER TABLE / ANALYZE /
+    GENERATE / REORG / SHOW TBLPROPERTIES)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, TransactionalLake] = {}
+
+    # ------------------------------------------------------------------
+    def register(self, name: str, lake: TransactionalLake) -> None:
+        if not re.fullmatch(_IDENT, name):
+            raise ValueError(f"table name must be an identifier: {name!r}")
+        self._tables[name.lower()] = lake
+
+    def table(self, name: str) -> TransactionalLake:
+        lake = self._tables.get(name.lower().strip("`"))
+        if lake is None:
+            raise ValueError(
+                f"unknown table {name!r}; registered: "
+                f"{sorted(self._tables)}"
+            )
+        return lake
+
+    # ------------------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        stmt = statement.strip().rstrip(";").strip()
+        flat = re.sub(r"\s+", " ", stmt)
+        up = flat.upper()
+        for head, handler in self._HANDLERS:
+            if up.startswith(head):
+                m = handler[0].match(flat)
+                if not m:
+                    raise ValueError(
+                        f"cannot parse {head} statement; supported "
+                        f"form: {handler[1]}\n  got: {flat}"
+                    )
+                return getattr(self, handler[2])(m)
+        # Not a utility verb: serve through Spark SQL over the
+        # registered snapshots (fresh view per call — the snapshot
+        # advances with the log).
+        for name, lake in self._tables.items():
+            lake.snapshot().createOrReplaceTempView(name)
+        return self.spark.sql(stmt)
+
+    # -- receipts -------------------------------------------------------
+    def _receipt(self, op: str, version: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(op, int(version))], "operation string, version bigint"
+        )
+
+    # -- OPTIMIZE -------------------------------------------------------
+    _OPTIMIZE = re.compile(
+        rf"OPTIMIZE\s+(?P<tbl>{_IDENT})"
+        r"(?:\s+(?P<full>FULL))?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"(?:\s+ZORDER\s+BY\s+\(\s*(?P<zorder>[^)]+)\s*\))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_optimize(self, m) -> DataFrame:
+        """``OPTIMIZE t [FULL] [WHERE col BETWEEN a AND b | col = v]
+        [ZORDER BY (c1, ...)]``. With a declared clustering key (and
+        no ZORDER/WHERE) this is the incremental liquid-clustering
+        pass — Delta's ``OPTIMIZE`` on a clustered table; ``FULL``
+        forces a full re-cluster. Otherwise plain/scoped/zordered
+        compaction."""
+        lake = self.table(m.group("tbl"))
+        zorder = (
+            tuple(c.strip().strip("`") for c in m.group("zorder").split(","))
+            if m.group("zorder")
+            else None
+        )
+        where = self._parse_bounds(m.group("where")) if m.group("where") else None
+        full = m.group("full") is not None
+        if lake.clustering_info() is not None and not zorder and not where:
+            v = lake.optimize_clustering(full=full)
+        else:
+            if full:
+                raise ValueError(
+                    "OPTIMIZE ... FULL requires a clustered table "
+                    "(ALTER TABLE ... CLUSTER BY first)"
+                )
+            v = lake.optimize(zorder_by=zorder, where=where)
+        return self._receipt("OPTIMIZE", v)
+
+    @staticmethod
+    def _parse_bounds(where: str) -> dict[str, tuple]:
+        """OPTIMIZE-scope predicate -> prune_files bounds dict.
+        Supported atoms, AND-combined: ``col = v``,
+        ``col BETWEEN a AND b``, ``col >= a``/``col <= b`` (merged
+        per column). Matches the stats-skipping contract: bounds
+        select files that MIGHT match — never row-exact filtering."""
+        bounds: dict[str, list] = {}
+
+        def _lit(v: str):
+            v = v.strip()
+            if re.fullmatch(r"-?\d+", v):
+                return int(v)
+            if re.fullmatch(r"-?\d*\.\d+", v):
+                return float(v)
+            return _unquote(v)
+
+        # Positional tokenizer, not a split on AND — BETWEEN carries
+        # its own AND, so a naive split tears the atom apart.
+        atom_re = re.compile(
+            rf"(?:(?P<bcol>{_IDENT})\s+BETWEEN\s+(?P<lo>'[^']*'|\S+)"
+            rf"\s+AND\s+(?P<hi>'[^']*'|\S+))"
+            rf"|(?:(?P<col>{_IDENT})\s*(?P<op>=|>=|<=)\s*"
+            r"(?P<val>'[^']*'|\S+))",
+            re.IGNORECASE,
+        )
+        pos, n = 0, len(where)
+        while pos < n:
+            mm = atom_re.match(where, pos)
+            if not mm:
+                raise ValueError(
+                    f"unsupported OPTIMIZE WHERE atom at: "
+                    f"{where[pos:]!r} (use col = v, col BETWEEN a "
+                    "AND b, col >= a, col <= b, AND-combined)"
+                )
+            if mm.group("bcol"):
+                bounds[mm.group("bcol")] = [
+                    _lit(mm.group("lo")), _lit(mm.group("hi"))
+                ]
+            else:
+                col, op, val = (
+                    mm.group("col"), mm.group("op"), _lit(mm.group("val"))
+                )
+                cur = bounds.setdefault(col, [None, None])
+                if op in ("=", ">="):
+                    cur[0] = val
+                if op in ("=", "<="):
+                    cur[1] = val
+            pos = mm.end()
+            tail = re.match(r"\s+AND\s+", where[pos:], re.IGNORECASE)
+            if tail:
+                pos += tail.end()
+            elif where[pos:].strip():
+                raise ValueError(
+                    f"expected AND between OPTIMIZE WHERE atoms at: "
+                    f"{where[pos:]!r}"
+                )
+            else:
+                break
+        return {c: tuple(v) for c, v in bounds.items()}
+
+    # -- VACUUM ---------------------------------------------------------
+    _VACUUM = re.compile(
+        rf"VACUUM\s+(?P<tbl>{_IDENT})"
+        r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_vacuum(self, m) -> DataFrame:
+        """``VACUUM t [RETAIN n HOURS] [DRY RUN]`` — DRY RUN returns
+        the would-be-deleted paths (Delta's output shape), the real
+        run a receipt. The retention floor check (and its property
+        override) lives in :meth:`TransactionalLake.vacuum`."""
+        lake = self.table(m.group("tbl"))
+        kwargs = {}
+        if m.group("hours") is not None:
+            kwargs["retention_seconds"] = float(m.group("hours")) * 3600.0
+        if m.group("dry"):
+            paths = lake.vacuum(dry_run=True, **kwargs)
+            return self.spark.createDataFrame(
+                [(p,) for p in sorted(paths)], "path string"
+            )
+        return self._receipt("VACUUM", lake.vacuum(**kwargs))
+
+    # -- RESTORE --------------------------------------------------------
+    _RESTORE = re.compile(
+        rf"RESTORE\s+(?:TABLE\s+)?(?P<tbl>{_IDENT})\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']+'))$",
+        re.IGNORECASE,
+    )
+
+    def _do_restore(self, m) -> DataFrame:
+        lake = self.table(m.group("tbl"))
+        if m.group("ver") is not None:
+            v = lake.restore(version=int(m.group("ver")))
+        else:
+            v = lake.restore(timestamp=_unquote(m.group("ts")))
+        return self._receipt("RESTORE", v)
+
+    # -- DESCRIBE -------------------------------------------------------
+    _HISTORY = re.compile(
+        rf"DESCRIBE\s+HISTORY\s+(?P<tbl>{_IDENT})"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_history(self, m) -> DataFrame:
+        lake = self.table(m.group("tbl"))
+        limit = int(m.group("limit")) if m.group("limit") else None
+        rows = [
+            (
+                int(c["version"]),
+                str(c.get("op", "")),
+                int(c["operation_metrics"]["num_added_files"]),
+                int(c["operation_metrics"]["num_removed_files"]),
+                int(c["operation_metrics"]["num_output_rows"]),
+                int(c["operation_metrics"]["num_position_deletes"]),
+            )
+            for c in lake.history(limit=limit)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version bigint, operation string, num_added_files bigint, "
+            "num_removed_files bigint, num_output_rows bigint, "
+            "num_position_deletes bigint",
+        )
+
+    _DETAIL = re.compile(
+        rf"DESCRIBE\s+DETAIL\s+(?P<tbl>{_IDENT})$", re.IGNORECASE
+    )
+
+    def _do_detail(self, m) -> DataFrame:
+        d = self.table(m.group("tbl")).detail()
+        return self.spark.createDataFrame(
+            [(
+                d["location"],
+                int(d["version"]),
+                [str(c) for c in d["partition_columns"]],
+                int(d["num_files"]),
+                int(d["size_bytes"]),
+            )],
+            "location string, version bigint, "
+            "partition_columns array<string>, num_files bigint, "
+            "size_bytes bigint",
+        )
+
+    # -- SHOW TBLPROPERTIES ----------------------------------------------
+    _SHOWPROPS = re.compile(
+        rf"SHOW\s+TBLPROPERTIES\s+(?P<tbl>{_IDENT})$", re.IGNORECASE
+    )
+
+    def _do_show_props(self, m) -> DataFrame:
+        props = self.table(m.group("tbl")).properties()
+        return self.spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
+
+    # -- ALTER TABLE family -----------------------------------------------
+    _ALTER = re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_IDENT})\s+(?P<rest>.+)$",
+        re.IGNORECASE,
+    )
+
+    def _do_alter(self, m) -> DataFrame:
+        """Dispatch the ALTER TABLE sub-forms. Supported:
+
+        - ``SET TBLPROPERTIES ('k' = 'v', ...)``
+        - ``UNSET TBLPROPERTIES ('k', ...)``
+        - ``ADD COLUMN name type`` / ``ADD COLUMNS (n1 t1, n2 t2)``
+        - ``RENAME COLUMN a TO b``
+        - ``DROP COLUMN a``
+        - ``ALTER COLUMN c TYPE t``      (widening only)
+        - ``ALTER COLUMN c SET DEFAULT expr`` / ``DROP DEFAULT``
+        - ``CLUSTER BY (c1, ...)`` / ``CLUSTER BY NONE``
+        - ``ADD CONSTRAINT name CHECK (expr)`` / ``DROP CONSTRAINT name``
+        """
+        lake = self.table(m.group("tbl"))
+        rest = m.group("rest").strip()
+        up = rest.upper()
+
+        mm = re.fullmatch(
+            r"(SET|UNSET)\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            entries = _split_commas(mm.group(2))
+            props: dict[str, str | None] = {}
+            for e in entries:
+                if mm.group(1).upper() == "SET":
+                    k, _, v = e.partition("=")
+                    if not _:
+                        raise ValueError(f"SET TBLPROPERTIES needs k = v: {e!r}")
+                    props[_unquote(k)] = _unquote(v)
+                else:
+                    props[_unquote(e)] = None
+            return self._receipt(
+                f"{mm.group(1).upper()} TBLPROPERTIES",
+                lake.set_properties(props),
+            )
+
+        mm = re.fullmatch(
+            rf"ADD\s+COLUMN\s+(?P<n>{_IDENT})\s+(?P<t>[A-Za-z0-9_<>,() ]+)",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            return self._receipt(
+                "ADD COLUMN",
+                lake.add_column(mm.group("n"), mm.group("t").strip().lower()),
+            )
+        mm = re.fullmatch(
+            r"ADD\s+COLUMNS\s*\(\s*(.+?)\s*\)", rest, re.IGNORECASE
+        )
+        if mm:
+            v = lake.version
+            for spec in _split_commas(mm.group(1)):
+                parts = spec.split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(f"ADD COLUMNS entry needs name type: {spec!r}")
+                v = lake.add_column(parts[0], parts[1].strip().lower())
+            return self._receipt("ADD COLUMNS", v)
+
+        mm = re.fullmatch(
+            rf"RENAME\s+COLUMN\s+(?P<a>{_IDENT})\s+TO\s+(?P<b>{_IDENT})",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            return self._receipt(
+                "RENAME COLUMN", lake.rename_column(mm.group("a"), mm.group("b"))
+            )
+
+        mm = re.fullmatch(
+            rf"DROP\s+COLUMN\s+(?P<a>{_IDENT})", rest, re.IGNORECASE
+        )
+        if mm:
+            return self._receipt("DROP COLUMN", lake.drop_column(mm.group("a")))
+
+        mm = re.fullmatch(
+            rf"ALTER\s+COLUMN\s+(?P<c>{_IDENT})\s+TYPE\s+(?P<t>[A-Za-z0-9_() ]+)",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            return self._receipt(
+                "ALTER COLUMN TYPE",
+                lake.widen_column_type(mm.group("c"), mm.group("t").strip().lower()),
+            )
+
+        mm = re.fullmatch(
+            rf"ALTER\s+COLUMN\s+(?P<c>{_IDENT})\s+SET\s+DEFAULT\s+(?P<e>.+)",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            return self._receipt(
+                "SET DEFAULT",
+                lake.set_column_default(mm.group("c"), mm.group("e").strip()),
+            )
+        mm = re.fullmatch(
+            rf"ALTER\s+COLUMN\s+(?P<c>{_IDENT})\s+DROP\s+DEFAULT",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            return self._receipt(
+                "DROP DEFAULT", lake.drop_column_default(mm.group("c"))
+            )
+
+        if re.fullmatch(r"CLUSTER\s+BY\s+NONE", rest, re.IGNORECASE):
+            return self._receipt("CLUSTER BY NONE", lake.set_clustering(()))
+        mm = re.fullmatch(
+            r"CLUSTER\s+BY\s*\(\s*([^)]+)\s*\)", rest, re.IGNORECASE
+        )
+        if mm:
+            cols = [c.strip().strip("`") for c in mm.group(1).split(",")]
+            return self._receipt("CLUSTER BY", lake.set_clustering(cols))
+
+        mm = re.fullmatch(
+            rf"ADD\s+CONSTRAINT\s+(?P<n>{_IDENT})\s+CHECK\s*\(\s*(?P<e>.+)\s*\)",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            return self._receipt(
+                "ADD CONSTRAINT",
+                lake.add_check_constraint(mm.group("n"), mm.group("e").strip()),
+            )
+        mm = re.fullmatch(
+            rf"DROP\s+CONSTRAINT\s+(?P<n>{_IDENT})", rest, re.IGNORECASE
+        )
+        if mm:
+            return self._receipt(
+                "DROP CONSTRAINT", lake.drop_check_constraint(mm.group("n"))
+            )
+
+        raise ValueError(
+            f"unsupported ALTER TABLE form: {rest!r} (see LakeSQL."
+            "_do_alter docstring for the supported grammar)"
+        )
+
+    # -- ANALYZE -----------------------------------------------------------
+    _ANALYZE = re.compile(
+        rf"ANALYZE\s+TABLE\s+(?P<tbl>{_IDENT})\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+(?P<cols>[^)]+)))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_analyze(self, m) -> DataFrame:
+        lake = self.table(m.group("tbl"))
+        cols = (
+            [c.strip().strip("`") for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        return self._receipt("ANALYZE", lake.analyze(columns=cols))
+
+    # -- GENERATE / REORG ----------------------------------------------------
+    _GENERATE = re.compile(
+        rf"GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(?P<tbl>{_IDENT})$",
+        re.IGNORECASE,
+    )
+
+    def _do_generate(self, m) -> DataFrame:
+        lake = self.table(m.group("tbl"))
+        lake.generate_manifest()
+        return self.spark.createDataFrame(
+            [(p,) for p in sorted(lake.manifest_paths())], "path string"
+        )
+
+    _REORG = re.compile(
+        rf"REORG\s+TABLE\s+(?P<tbl>{_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)$",
+        re.IGNORECASE,
+    )
+
+    def _do_reorg(self, m) -> DataFrame:
+        return self._receipt("REORG", self.table(m.group("tbl")).reorg_purge())
+
+    # Dispatch table: (statement head, (compiled regex, grammar doc,
+    # handler method name)). Order matters only for the two DESCRIBE
+    # heads vs a hypothetical bare DESCRIBE — heads are exact prefixes.
+    _HANDLERS = (
+        ("OPTIMIZE", (_OPTIMIZE, "OPTIMIZE t [FULL] [WHERE bounds] [ZORDER BY (cols)]", "_do_optimize")),
+        ("VACUUM", (_VACUUM, "VACUUM t [RETAIN n HOURS] [DRY RUN]", "_do_vacuum")),
+        ("RESTORE", (_RESTORE, "RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'", "_do_restore")),
+        ("DESCRIBE HISTORY", (_HISTORY, "DESCRIBE HISTORY t [LIMIT n]", "_do_history")),
+        ("DESCRIBE DETAIL", (_DETAIL, "DESCRIBE DETAIL t", "_do_detail")),
+        ("SHOW TBLPROPERTIES", (_SHOWPROPS, "SHOW TBLPROPERTIES t", "_do_show_props")),
+        ("ALTER TABLE", (_ALTER, "ALTER TABLE t <sub-form>", "_do_alter")),
+        ("ANALYZE TABLE", (_ANALYZE, "ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...]", "_do_analyze")),
+        ("GENERATE", (_GENERATE, "GENERATE symlink_format_manifest FOR TABLE t", "_do_generate")),
+        ("REORG TABLE", (_REORG, "REORG TABLE t APPLY (PURGE)", "_do_reorg")),
+    )

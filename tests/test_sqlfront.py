@@ -1,0 +1,212 @@
+"""LakeSQL — the SQL utility front-end (S31, r12).
+
+Round-trip every supported verb: the SQL statement must reach the
+same txnlog state the Python API call reaches, and the returned
+DataFrame must carry the documented shape. Grammar errors must raise
+``ValueError`` naming the supported form (never fall through to
+``spark.sql``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.sqlfront import LakeSQL
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    tx = TransactionalLake(spark, str(tmp_path / "t"), partition_by=())
+    tx.append(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("grp"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+    )
+    return tx
+
+
+@pytest.fixture()
+def front(spark, lake):
+    fr = LakeSQL(spark)
+    fr.register("t", lake)
+    return fr
+
+
+class TestSelectPassthrough:
+    def test_select_over_snapshot(self, front):
+        got = front.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+        assert got == 100
+
+    def test_view_tracks_log(self, front, lake, spark):
+        lake.delete_where("k < 50")
+        got = front.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+        assert got == 50
+
+    def test_unknown_table(self, front):
+        with pytest.raises(ValueError, match="unknown table"):
+            front.table("nope")
+
+
+class TestLifecycleVerbs:
+    def test_describe_history_and_limit(self, front, lake):
+        lake.append(lake.spark.range(5).select(F.col("id").alias("k"),
+                                               F.lit(0).alias("grp"),
+                                               F.lit(0.0).alias("v")))
+        hist = front.sql("DESCRIBE HISTORY t").collect()
+        assert [r["version"] for r in hist] == list(
+            range(lake.version, -1, -1)
+        )
+        assert hist[0]["operation"] == "append"
+        lim = front.sql("DESCRIBE HISTORY t LIMIT 1").collect()
+        assert len(lim) == 1 and lim[0]["version"] == lake.version
+
+    def test_describe_detail(self, front, lake):
+        row = front.sql("DESCRIBE DETAIL t").collect()[0]
+        d = lake.detail()
+        assert row["version"] == d["version"]
+        assert row["num_files"] == d["num_files"]
+        assert row["size_bytes"] == d["size_bytes"]
+
+    def test_set_unset_show_tblproperties(self, front, lake):
+        front.sql(
+            "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'ops', 'tier'='gold')"
+        )
+        props = {
+            r["key"]: r["value"]
+            for r in front.sql("SHOW TBLPROPERTIES t").collect()
+        }
+        assert props["owner"] == "ops" and props["tier"] == "gold"
+        front.sql("ALTER TABLE t UNSET TBLPROPERTIES ('tier')")
+        assert "tier" not in lake.properties()
+
+    def test_optimize_and_zorder(self, front, lake):
+        for _ in range(3):
+            lake.append(
+                lake.spark.range(10).select(
+                    F.col("id").alias("k"),
+                    F.lit(1).alias("grp"),
+                    F.lit(2.0).alias("v"),
+                )
+            )
+        before = lake.detail()["num_files"]
+        rec = front.sql("OPTIMIZE t ZORDER BY (k)").collect()[0]
+        assert rec["operation"] == "OPTIMIZE"
+        assert lake.detail()["num_files"] < before
+        assert lake.history(limit=1)[0]["zorder_by"] == ["k"]
+
+    def test_optimize_where_bounds(self, front, lake):
+        # scoped form parses into prune_files bounds; outside-scope
+        # files untouched is txnlog-tested — here: parse + dispatch
+        rec = front.sql("OPTIMIZE t WHERE k BETWEEN 0 AND 10").collect()[0]
+        assert rec["version"] >= 1 or rec["version"] == lake.version
+
+    def test_vacuum_dry_run_then_real(self, front, lake):
+        lake.optimize()
+        dry = front.sql("VACUUM t RETAIN 0 HOURS DRY RUN")
+        paths = [r["path"] for r in dry.collect()]
+        assert paths, "post-compaction old files should be vacuum-eligible"
+        # real vacuum at 0 retention needs the floor override
+        front.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('retentionDurationCheck.enabled' = 'false')"
+        )
+        front.sql("VACUUM t RETAIN 0 HOURS")
+        assert front.sql("VACUUM t RETAIN 0 HOURS DRY RUN").count() == 0
+
+    def test_restore_version_as_of(self, front, lake):
+        v0 = lake.version
+        lake.delete_where("k < 90")
+        front.sql(f"RESTORE TABLE t TO VERSION AS OF {v0}")
+        assert lake.snapshot().count() == 100
+
+    def test_schema_evolution_verbs(self, front, lake):
+        front.sql("ALTER TABLE t ADD COLUMN tag STRING")
+        assert "tag" in lake.snapshot().columns
+        front.sql("ALTER TABLE t ADD COLUMNS (a1 INT, a2 DOUBLE)")
+        assert {"a1", "a2"} <= set(lake.snapshot().columns)
+        front.sql("ALTER TABLE t RENAME COLUMN tag TO label")
+        cols = set(lake.snapshot().columns)
+        assert "label" in cols and "tag" not in cols
+        front.sql("ALTER TABLE t DROP COLUMN a2")
+        assert "a2" not in lake.snapshot().columns
+        front.sql("ALTER TABLE t ALTER COLUMN a1 TYPE BIGINT")
+        assert dict(lake.snapshot().dtypes)["a1"] == "bigint"
+
+    def test_defaults_and_constraints(self, front, lake, spark):
+        front.sql("ALTER TABLE t ADD COLUMN src STRING")
+        front.sql("ALTER TABLE t ALTER COLUMN src SET DEFAULT 'batch'")
+        lake.append(
+            spark.range(3).select(
+                (F.col("id") + 1000).alias("k"),
+                F.lit(9).alias("grp"),
+                F.lit(0.0).alias("v"),
+            )
+        )
+        got = (
+            lake.snapshot().filter("k >= 1000").select("src").distinct().collect()
+        )
+        assert [r["src"] for r in got] == ["batch"]
+        front.sql("ALTER TABLE t ALTER COLUMN src DROP DEFAULT")
+        assert lake.column_defaults() == {}
+        front.sql("ALTER TABLE t ADD CONSTRAINT pos CHECK (k >= 0)")
+        assert "pos" in lake.check_constraints()
+        with pytest.raises(Exception, match="pos"):
+            lake.append(
+                spark.range(1).select(
+                    F.lit(-5).alias("k"),
+                    F.lit(0).alias("grp"),
+                    F.lit(0.0).alias("v"),
+                    F.lit("x").alias("src"),
+                )
+            )
+        front.sql("ALTER TABLE t DROP CONSTRAINT pos")
+        assert "pos" not in lake.check_constraints()
+
+    def test_cluster_by_and_optimize_full(self, front, lake):
+        front.sql("ALTER TABLE t CLUSTER BY (grp)")
+        assert lake.clustering_info()["cluster_by"] == ["grp"]
+        front.sql("OPTIMIZE t")  # incremental liquid pass
+        assert lake.clustering_info()["unclustered_files"] == 0
+        front.sql("OPTIMIZE t FULL")
+        assert lake.clustering_info()["unclustered_files"] == 0
+        front.sql("ALTER TABLE t CLUSTER BY NONE")
+        info = lake.clustering_info()
+        assert info is None or info["cluster_by"] == []
+
+    def test_analyze_and_stats(self, front, lake):
+        front.sql("ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k, grp")
+        st = lake.table_stats()
+        assert st["rows"] == 100
+        assert set(st["columns"]) == {"k", "grp"}
+
+    def test_generate_manifest(self, front, lake):
+        paths = [r["path"] for r in front.sql(
+            "GENERATE symlink_format_manifest FOR TABLE t"
+        ).collect()]
+        assert sorted(paths) == sorted(lake.manifest_paths())
+
+    def test_reorg_purge(self, front, lake):
+        front.sql("ALTER TABLE t RENAME COLUMN v TO val")
+        rec = front.sql("REORG TABLE t APPLY (PURGE)").collect()[0]
+        assert rec["operation"] == "REORG"
+        assert "val" in lake.snapshot().columns
+
+
+class TestGrammarErrors:
+    def test_utility_head_never_falls_through(self, front):
+        with pytest.raises(ValueError, match="OPTIMIZE"):
+            front.sql("OPTIMIZE t CLUSTER ALL THE THINGS")
+
+    def test_alter_unknown_form(self, front):
+        with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+            front.sql("ALTER TABLE t FROBNICATE")
+
+    def test_bad_where_atom(self, front):
+        with pytest.raises(ValueError, match="unsupported OPTIMIZE WHERE"):
+            front.sql("OPTIMIZE t WHERE k LIKE 'x%'")
+
+    def test_trailing_semicolon_ok(self, front):
+        assert front.sql("DESCRIBE DETAIL t;").count() == 1

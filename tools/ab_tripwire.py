@@ -2,8 +2,8 @@
 
 Compares two bench JSON files and, for every query that moved past
 BOTH gates — ratio >= --ratio (default 1.3x, the VERDICT flag bar)
-AND absolute new time >= --abs-sec (default 1.0 s, so sub-second
-jitter never pages anyone) — runs the movers A/B protocol in-round
+AND absolute new time >= --abs-sec (default 0.5 s since r12 —
+matched to bench.py's inline bar so no flag sits in the gap) — runs the movers A/B protocol in-round
 instead of waiting for the next VERDICT: an interleaved same-JVM
 sampling round-robin over the flagged queries plus the q_dedup_hash
 control and a job-floor probe, classified by
@@ -82,7 +82,7 @@ def main() -> int:
     ap.add_argument("old", help="previous round's bench JSON")
     ap.add_argument("new", help="this round's bench JSON")
     ap.add_argument("--ratio", type=float, default=1.3)
-    ap.add_argument("--abs-sec", type=float, default=1.0)
+    ap.add_argument("--abs-sec", type=float, default=0.5)
     ap.add_argument("--rounds", type=int, default=7)
     ap.add_argument("--old-rev", required=True,
                     help="git rev the old bench file was recorded at")
