@@ -42,9 +42,11 @@ a commit is the atomic unit. CAVEAT: ``trigger(availableNow=True)``
 snapshots ONE ``latestOffset()`` as the run's end (the Python
 source API has no ReadLimit handshake), so an availableNow run
 consumes at most one cap step; use a processing-time trigger for
-continuous capped draining, or rerun availableNow until the sink
-catches up — the checkpoint makes the ladder exactly-once either
-way.
+continuous capped draining, or — for the Delta
+``Trigger.AvailableNow``-style one-call backlog drain —
+:func:`drain_available`, which loops availableNow passes over a
+shared checkpoint until the committed offset stops advancing (r12).
+The checkpoint makes the ladder exactly-once either way.
 """
 
 from __future__ import annotations
@@ -609,3 +611,80 @@ class LakeChangesDataSource(DataSource):
 def register_lake_changes_source(spark) -> None:
     """Idempotently register the ``lake_changes`` format."""
     spark.dataSource.register(LakeChangesDataSource)
+
+
+# ---------------------------------------------------------------------------
+# availableNow drain for rate-limited streams (r12, VERDICT directive 4).
+#
+# Delta's Trigger.AvailableNow + maxFilesPerTrigger drains a whole
+# backlog as a ladder of bounded batches in ONE invocation because the
+# JVM source speaks the ReadLimit handshake. The Python data-source API
+# has no such handshake, so here one availableNow run snapshots ONE
+# capped latestOffset() and consumes a single cap step (the documented
+# caveat above). drain_available() closes the usability gap: it loops
+# availableNow passes over a SHARED checkpoint until the committed
+# offset stops advancing. The checkpoint is what makes the ladder
+# exactly-once across passes — a replayed pass re-plans the same batch
+# from the same offsets, and immutable commits re-read the same bytes.
+# ---------------------------------------------------------------------------
+
+
+def _latest_checkpoint_entry(checkpoint_dir: str, sub: str) -> tuple | None:
+    """(batch_id, file content) of the newest entry in a checkpoint
+    metadata log (``offsets`` / ``commits``), or None if empty."""
+    d = os.path.join(checkpoint_dir, sub)
+    if not os.path.isdir(d):
+        return None
+    ids = [int(f) for f in os.listdir(d) if f.isdigit()]
+    if not ids:
+        return None
+    top = max(ids)
+    with open(os.path.join(d, str(top))) as fh:
+        return (top, fh.read())
+
+
+def drain_available(
+    stream_fn,
+    checkpoint_dir: str,
+    max_passes: int = 10_000,
+    timeout_per_pass: float = 600.0,
+) -> int:
+    """Fully drain a (possibly rate-limited) backlog with availableNow
+    passes — the one-invocation equivalent of Delta's
+    ``Trigger.AvailableNow`` + ``maxFilesPerTrigger`` ladder.
+
+    ``stream_fn()`` must START and return a fresh ``StreamingQuery``
+    each call: same source, same sink, same ``checkpointLocation=``
+    ``checkpoint_dir``, ``trigger(availableNow=True)``. The helper
+    runs passes back-to-back; each consumes one cap step (one bounded
+    micro-batch), and the loop ends when a pass commits nothing new —
+    detected from the checkpoint's own metadata log, not from sink
+    row counts, so an empty-by-design batch still terminates and a
+    slow sink never false-stops. Exactly-once across passes is the
+    checkpoint's guarantee; the helper adds no state of its own.
+
+    Returns the total number of committed micro-batches in the
+    checkpoint (across ALL passes, including any earlier run that
+    shared it). Raises ``RuntimeError`` after ``max_passes`` without
+    quiescence — a backlog that outruns the cap forever is a sizing
+    bug the caller should see, not an infinite loop."""
+    prev = _latest_checkpoint_entry(checkpoint_dir, "commits")
+    for _ in range(max_passes):
+        q = stream_fn()
+        try:
+            # availableNow self-terminates at its snapshotted end
+            if not q.awaitTermination(timeout_per_pass):
+                raise RuntimeError(
+                    f"availableNow pass exceeded {timeout_per_pass}s "
+                    "without terminating"
+                )
+        finally:
+            q.stop()
+        cur = _latest_checkpoint_entry(checkpoint_dir, "commits")
+        if cur == prev:
+            return (cur[0] + 1) if cur is not None else 0
+        prev = cur
+    raise RuntimeError(
+        f"backlog did not quiesce within {max_passes} availableNow "
+        "passes (cap too small for the ingest rate?)"
+    )

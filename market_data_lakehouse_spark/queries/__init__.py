@@ -53,57 +53,48 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-11 window (r10 VERDICT directive 1): (a) the ENTIRE
-# 34-entry cohort whose last driver run was r7 — the named rotation
-# debt, cleared in full this round (including f6_bloom_skipping,
-# displaced from the r10 window by s22, and the flagship
-# lakehouse_roundtrip); (b) every entry on a path the r11 ADVICE
-# fixes changed: the schema-history reset (overwrite/restore/
-# reorg_purge + all three folds -> restore/clone/CDC/DML entries),
-# the single-pass _map_expr rename translation (-> every mapped-DML
-# entry), and the sq8_store scratch-dir rework (-> both SQ8
-# entries). Steady state is now a 2-round rotation.
-#
-# r12 window queue (front-load): s8_merge_evolution + s30_add_column
-# (r11-new, locally oracle-green, never driver-run) and the 42-entry
-# r8-stale cohort (a12-a16, a7_approx_distinct, e1_contamination_
-# ngram/decontaminate/fuzzy_dedup_editdist, e3 recall family +
-# ivfpq_knn/kmeans/range_search, e4 bm25/cms/corpus_clean/normalize/
-# repetition, e5_media_resize, e6 kfold/temperature/token_shards_
-# partitioned, e7_pack_sequences, g1/g2, j10-j16, o4, w10-w12,
-# x8-x10); the r9 cohort anchors r13.
+# The round-12 window (r11 VERDICT directive 1, counts corrected —
+# the old queue comment said "42-entry r8-stale cohort" but the
+# CORRECTNESS files show 44: the 42 plus s15_table_detail and
+# s17_scoped_optimize, swapped out of the r11 window late for
+# s28/s29): (a) the two r11-new entries never driver-run; (b) the
+# FULL 44-entry r8-stale cohort; (c) 4 remaining slots. Directives 6
+# (s31_sql_utility, new — must not repeat the r11 never-driver-run
+# slip) and 7 (>=4 r9-stale starts) together need 5 slots into those
+# 4; resolution: s31 takes one, and the 3 r9-stale picks lead with
+# the two entries on the directive-5-changed connected_components
+# path (g5, e2_dedup_clusters — they need re-greening anyway) plus
+# e1_dedup_by_hash (the bench control). The remaining 40-entry r9
+# cohort anchors r13 (a1/a3-a9, e2_embedding_neardup/_ngram_jaccard/
+# _semantic_dedup/_simhash, e3_cell_recall/knn_bruteforce,
+# e4_rolling_chunks, f2, g4, j1-j8, o2, s1/s18, u1, w1-w4/w6, x6).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) last driver-run r7: the full rotation-debt cohort (34)
-    "a18_order_count_histogram", "a19_forecast_revenue",
-    "a20_priority_shipping", "a21_promo_revenue", "a22_nation_profit",
-    "a2_vwap_top10", "a7_approx_distinct_grouped",
-    "a9_percentile_approx", "e2_lsh_verified_jaccard",
-    "e2_minhash_lsh", "e3_ann_lsh", "e3_ivf_knn", "e3_pq_knn",
-    "e4_position_chunks", "e5_audio_decode", "e5_image_decode",
-    "e6_weighted_sample", "f6_bloom_skipping", "g3_shortest_path",
-    "j20_top_supplier", "j21_disjunctive_brackets", "j6_asof_forward",
-    "j6_asof_nearest", "lakehouse_roundtrip", "s2_json_roundtrip",
-    "s3_orc_roundtrip", "s8_txn_time_travel", "t12_scd2_rebuild",
-    "v4_anomaly_zscore", "v5_drift_psi", "v6_expectation_suite",
-    "w7_returns_vol", "w8_max_drawdown", "w9_ewma",
-    # (b) r11-changed paths (16)
-    "t13_restore_across_dv",  # restore: schema_reset + widen-keep
-    "s13_zero_copy_clone",    # clone: schema_history fold changed
-    "s22_row_tracking",       # read_changes: pre-reset schema thread
-    "t11_incremental_mv",     # read_changes: fold via _fold_schemas
-    "s20_column_mapping",     # _map_expr: single-pass translation
-    "s12_deletion_vectors",   # delete_where: mapped predicate
-    "s26_analyze_stats",      # r11 NEW: ANALYZE + table_stats
-    "s27_table_features",     # r11 NEW: protocol lockout
-    "s8_merge_upsert",        # merge: mapped keys/bounds + defaults
-    "s21_type_widening",      # _merged_fields callers re-exercised
-    "e3_sq_knn",              # sq8_store: scratch-dir + memo rework
-    "s23_liquid_clustering",  # r11 NEW: CLUSTER BY + incremental opt
-    "s28_commit_checksum",    # r11 NEW: per-commit .crc + verify
-    "s29_symlink_manifest",   # r11 NEW: GENERATE manifest + ext read
-    "s24_column_defaults",    # r11 NEW: ALTER COLUMN SET DEFAULT
-    "s25_auto_compaction",    # r11 NEW: autoOptimize.autoCompact
+    # (a) r11-new, locally green, never driver-run (2)
+    "s8_merge_evolution",     # MERGE schema evolution (rewrite+dv)
+    "s30_add_column",         # metadata-only ADD COLUMN
+    # (b) the full r8-stale cohort (44)
+    "a12_corr_matrix", "a13_funnel", "a14_big_orders",
+    "a15_filtered_agg", "a16_trimmed_mean", "a7_approx_distinct",
+    "e1_contamination_ngram", "e1_decontaminate",
+    "e1_fuzzy_dedup_editdist", "e3_ann_recall", "e3_ivf_recall",
+    "e3_ivfpq_knn", "e3_ivfpq_recall", "e3_kmeans", "e3_pq_recall",
+    "e3_range_search", "e4_bm25_search", "e4_cms_heavy_hitters",
+    "e4_corpus_clean", "e4_normalize", "e4_repetition_score",
+    "e5_media_resize", "e6_kfold", "e6_temperature_mix",
+    "e6_token_shards_partitioned", "e7_pack_sequences",
+    "g1_pagerank", "g2_triangle_count", "j10_exists_subquery",
+    "j11_shipping_priority", "j12_regional_revenue",
+    "j13_scalar_subquery", "j14_nation_trade", "j15_market_share",
+    "j16_recursive_reach", "o4_null_ordering", "s15_table_detail",
+    "s17_scoped_optimize", "w10_rank_distributions",
+    "w11_range_frame", "w12_ratio_to_report", "x10_variant",
+    "x8_bitwise_cond", "x9_array_hof",
+    # (c) r12-new + r12-changed + r9-cohort starts (4)
+    "s31_sql_utility",          # r12 NEW: SQL utility front-end
+    "g5_connected_components",  # r12-changed: stats-first CC gate
+    "e2_dedup_clusters",        # r12-changed: same CC path
+    "e1_dedup_by_hash",         # r9-stale: bench-control family rep
 ]
 
 

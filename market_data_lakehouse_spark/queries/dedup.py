@@ -531,6 +531,8 @@ def connected_components(
     edges: DataFrame,
     max_rounds: int = MAX_CC_ROUNDS,
     trace: list | None = None,
+    n_nodes_bound: int | None = None,
+    gate_info: dict | None = None,
 ) -> DataFrame:
     """(u, lbl) — min-label connected components. ``edges`` (u, v) is
     treated as UNDIRECTED: it is symmetrized internally (union with
@@ -557,9 +559,10 @@ def connected_components(
     ADAPTIVE join strategy (r8 VERDICT directive 5 — the pagerank
     lesson applied): the per-round label table is ONE row per node,
     so while it provably fits the session's
-    autoBroadcastJoinThreshold (exact node count x 32 B/row — the
-    count is ~free, it materializes the seed checkpoint every round
-    reuses) BOTH per-round joins broadcast the label side: the edge
+    autoBroadcastJoinThreshold (node count x 32 B/row — sized
+    STATS-FIRST from ``n_nodes_bound`` when the caller has fresh
+    ANALYZE metadata, exact ``count()`` as the fallback; r12) BOTH
+    per-round joins broadcast the label side: the edge
     table is scanned in place and never shuffled, the halving lookup
     is a broadcast hash join, and only ONE eager checkpoint per
     round remains (``stepped``, which feeds three consumers). Past
@@ -594,12 +597,35 @@ def connected_components(
         F.col("u"), F.col("u").alias("lbl")
     ).localCheckpoint()
     spark = labels.sparkSession
-    n_nodes = labels.count()  # exact; the checkpoint is already hot
+    # STATS-FIRST gate sizing (r11 VERDICT directive 5):
+    # ``n_nodes_bound`` is a caller-supplied UPPER bound on the node
+    # count — typically ``TransactionalLake.stats_rowcount()`` when
+    # the vertex table is a lake with a fresh ANALYZE (edges between
+    # lake rows add no nodes beyond it). An upper bound is all the
+    # gate needs: it only ever shrinks the broadcast decision, so an
+    # over-estimate costs a shuffle, never an executor OOM. With a
+    # bound, the exact ``count()`` job disappears (the seed
+    # checkpoint still materializes eagerly at its own call); without
+    # one, the exact count is the fallback — the pre-r12 behavior.
+    if n_nodes_bound is not None:
+        n_nodes = int(n_nodes_bound)
+    else:
+        n_nodes = labels.count()  # exact; the checkpoint is already hot
     threshold = _size_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     )
     # UnsafeRow of two longs = 24 bytes; 32 leaves hash-map margin
     small = threshold > 0 and n_nodes * 32 <= threshold
+    if gate_info is not None:
+        # gate observability (separate from the per-round ``trace``,
+        # whose consumers index by round): which estimate sized the
+        # decision — lets a test pin "same plan choice" across the
+        # stats-fed and exact-count paths
+        gate_info.update(
+            n_nodes=n_nodes,
+            source="bound" if n_nodes_bound is not None else "exact",
+            broadcast=small,
+        )
     # decimal(38,0) sum: immune to long overflow however large the
     # id domain gets (sum of 10^9 ids near 2^63 would wrap a long)
     total = lambda df: df.agg(  # noqa: E731

@@ -3669,6 +3669,13 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Past the gate, the closure join becomes a plain shuffle join
     # on (v, w): the m^1.5 wedge shuffle is then the algorithm's
     # documented cost, not a planning accident.
+    #
+    # Stats-first sizing (r11 VERDICT directive 5) does NOT apply
+    # here, by construction: n_edges is a RESULT column of this
+    # query, so the exact count is load-bearing regardless of how
+    # the gate is sized — a metadata estimate would save nothing.
+    # The CC kernel (dedup.connected_components), whose count was
+    # gate-only, takes the stats-fed bound instead.
     n_edges_exact = oriented.count()
     closure = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")

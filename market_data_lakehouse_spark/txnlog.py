@@ -5500,6 +5500,52 @@ class TransactionalLake:
             },
         }
 
+    # Commits that provably do not change the LIVE row count: the
+    # ANALYZE 'rows' stat stays exact across any run of these.
+    # UPDATE rewrites values, compaction/clustering/reorg move rows
+    # between files (dv materialization removes only already-dead
+    # positions), and the rest are pure metadata. Anything NOT in
+    # this set — appends, deletes, merges, overwrites, restores, and
+    # any op added later — conservatively invalidates (unknown ops
+    # read as stale, never as fresh).
+    _ROWCOUNT_PRESERVING_OPS = frozenset({
+        "analyze", "add_column", "add_constraint", "drop_constraint",
+        "drop_column", "rename_column", "set_clustering",
+        "set_defaults", "set_identity", "set_partitioning",
+        "set_properties", "txn_marker", "row_tracking", "widen_type",
+        "cluster", "compact", "reorg_purge", "update", "update_dv",
+    })
+
+    def stats_rowcount(self) -> int | None:
+        """The table's live row count from the latest ANALYZE stats,
+        IF still exact at head — i.e. every commit since
+        ``version_analyzed`` is row-count-preserving — else None.
+        Pure metadata (an O(tail) log walk, zero Spark jobs): this is
+        the stats-first size estimate adaptive plan gates ask for
+        (r11 VERDICT directive 5) — the CC broadcast gate sizes its
+        label table from here and falls back to an exact ``count()``
+        only when the answer is None. Distinct from
+        :meth:`count_rows` (always exact, may launch a job on a
+        pre-checksum table): this never launches a job and never
+        guesses — a stale or absent ANALYZE answers None."""
+        st = self.table_stats()
+        if st is None or "rows" not in st:
+            return None
+        analyzed = int(st.get("version_analyzed", -1))
+        if analyzed < 0:
+            return None
+        head = self.version
+        seen = 0
+        for c in self._iter_commits_after(analyzed + 1):
+            seen += 1
+            if c.get("op") not in self._ROWCOUNT_PRESERVING_OPS:
+                return None
+        if seen != head - analyzed:
+            # a vacuumed-log gap hides the ops between the ANALYZE
+            # and the head — unverifiable reads as stale, not fresh
+            return None
+        return int(st["rows"])
+
     # ------------------------------------------------------------------
     # Auto-compaction (Delta ``delta.autoOptimize.autoCompact``
     # parity): when enabled via table properties, every successful
