@@ -1682,7 +1682,7 @@ def s30_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s31_sql_utility",
     oracle="""
-    SELECT k, etype, flag FROM (
+    WITH base AS (
       SELECT event_id AS k, event_type AS etype,
              CAST(NULL AS VARCHAR) AS flag
       FROM events
@@ -1690,28 +1690,52 @@ def s30_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id + 1000000 AS k, event_type AS etype,
              'unseen' AS flag
       FROM events WHERE event_id % 4 = 0
-    ) ORDER BY k
+    ),
+    upd AS (
+      SELECT k, etype,
+             CASE WHEN k % 9 = 0 THEN 'seen' ELSE flag END AS flag
+      FROM base),
+    del AS (SELECT * FROM upd WHERE NOT (k % 5 = 3)),
+    src AS (
+      SELECT k, 'm' AS etype, 'merged' AS flag FROM del WHERE k % 11 = 0
+      UNION ALL SELECT 3000000, 'new', 'merged'),
+    merged AS (
+      SELECT COALESCE(d.k, s.k) AS k,
+             CASE WHEN s.k IS NOT NULL THEN s.etype ELSE d.etype END AS etype,
+             CASE WHEN s.k IS NOT NULL THEN s.flag ELSE d.flag END AS flag
+      FROM del d FULL OUTER JOIN src s ON d.k = s.k),
+    fin AS (
+      SELECT * FROM merged
+      UNION ALL SELECT 4000000, 'ins', 'v1'
+      UNION ALL SELECT 4000001, 'ins', 'v2')
+    SELECT k, etype, flag FROM fin ORDER BY k
     """,
 )
 def s31_sql_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL utility front-end as a hard signal (S31, r12 — the
-    reference's README-documented interface is a SQL *string*,
-    README.md:77-81; Delta-SQL utility-verb parity): the ENTIRE
-    lifecycle below runs through :class:`LakeSQL.sql` strings — ADD
-    COLUMN, SET DEFAULT, RENAME COLUMN (activates column mapping),
-    SET TBLPROPERTIES, OPTIMIZE ZORDER, ANALYZE — then the final
-    state is read back through the same front-end's SELECT
-    passthrough. DuckDB reproduces the exact post-lifecycle table;
-    in-query asserts pin the verbs' observable receipts (history
-    operation sequence, detail version, property round-trip, stats
-    row count), so a verb that silently no-ops diverges even when
-    the data happens to survive."""
+    """SQL front-end as a hard signal (S31, r12 — the reference's
+    README-documented interface is a SQL *string*, README.md:77-81;
+    Delta-SQL parity for both the utility verbs AND transactional
+    DML): the ENTIRE lifecycle below runs through
+    :class:`LakeSQL.sql` strings — ADD COLUMN, SET DEFAULT, RENAME
+    COLUMN (activates column mapping), SET TBLPROPERTIES, OPTIMIZE
+    ZORDER, ANALYZE, then UPDATE / DELETE / MERGE INTO / INSERT
+    VALUES — and the final state is read back through the same
+    front-end's SELECT passthrough. DuckDB reproduces the exact
+    post-lifecycle table; in-query asserts pin the verbs' observable
+    receipts (history operation sequence, detail version, property
+    round-trip, stats freshness, VERSION AS OF time travel), so a
+    verb that silently no-ops diverges even when the data happens to
+    survive. Note the stack under the strings: the UPDATE/DELETE/
+    MERGE here run against a column-MAPPED table (the RENAME), so
+    the SQL layer inherits the _map_expr predicate translation and
+    scoped-rewrite machinery for free."""
     from market_data_lakehouse_spark.sqlfront import LakeSQL
     from market_data_lakehouse_spark.txnlog import TransactionalLake
 
     ev = load(spark, sf_dir, "events").select(
         F.col("event_id").alias("k"), F.col("event_type").alias("v")
     )
+    n_events = ev.count()
     lake_dir = scratch_dir("sqlf")
     tx = TransactionalLake(spark, lake_dir, partition_by=())
     tx.append(ev.repartition(4))
@@ -1733,11 +1757,31 @@ def s31_sql_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx.append(late.repartition(2))  # omits flag -> DEFAULT 'unseen'
     fr.sql("OPTIMIZE t ZORDER BY (k)")
     fr.sql("ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k")
+    st = tx.table_stats()
+    assert st is not None and set(st["columns"]) == {"k"}, st
+    assert st["version_analyzed"] == tx.version - 1, st
 
-    # verb receipts: each utility statement's effect must be visible
-    # through the DESCRIBE/SHOW surface (a silent no-op fails here)
+    # --- transactional DML, all through SQL strings ---
+    fr.sql("UPDATE t SET flag = 'seen' WHERE k % 9 = 0")
+    fr.sql("DELETE FROM t WHERE k % 5 = 3")
+    fr.sql(
+        "MERGE INTO t USING ("
+        "  SELECT k, 'm' AS etype, 'merged' AS flag FROM t"
+        "  WHERE k % 11 = 0"
+        "  UNION ALL SELECT CAST(3000000 AS BIGINT), 'new', 'merged'"
+        ") AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    fr.sql(
+        "INSERT INTO t VALUES (4000000, 'ins', 'v1'), (4000001, 'ins', 'v2')"
+    )
+
+    # verb receipts: each statement's effect must be visible through
+    # the DESCRIBE/SHOW surface (a silent no-op fails here)
     ops = [r["operation"] for r in fr.sql("DESCRIBE HISTORY t").collect()]
     assert ops == [
+        "append", "merge", "delete", "update",
         "analyze", "compact", "append", "set_properties",
         "rename_column", "set_defaults", "add_column", "append",
     ], ops
@@ -1748,8 +1792,10 @@ def s31_sql_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in fr.sql("SHOW TBLPROPERTIES t").collect()
     }
     assert props.get("owner") == "sql-front", props
-    st = tx.table_stats()
-    assert st is not None and set(st["columns"]) == {"k"}, st
-    assert st["version_analyzed"] == tx.version - 1, st
+    # Delta time-travel clause in SELECT: the pre-evolution snapshot
+    # (and row-changing DML invalidated the ANALYZE freshness)
+    n0 = fr.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 0").first()["n"]
+    assert n0 == n_events, (n0, n_events)
+    assert tx.stats_rowcount() is None
 
     return fr.sql("SELECT k, etype, flag FROM t ORDER BY k")

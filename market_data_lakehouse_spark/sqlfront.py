@@ -5,12 +5,16 @@ The reference's README-documented query interface is a SQL *string*
 a user types one language for everything. This repo's catalog already
 serves SELECTs through ``spark.sql``; what was Python-only until now
 is the table-LIFECYCLE verb set (OPTIMIZE / VACUUM / RESTORE /
-DESCRIBE HISTORY / ALTER TABLE ...). :class:`LakeSQL` completes the
-"same query interface" story: it parses the Delta-SQL forms of the
-supported utility statements and dispatches onto the existing
+DESCRIBE HISTORY / ALTER TABLE ...) and transactional DML
+(INSERT / DELETE / UPDATE / MERGE INTO). :class:`LakeSQL` completes
+the "same query interface" story: it parses the Delta-SQL forms of
+the supported statements and dispatches onto the existing
 :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`
 methods — the statement grammar is the thin layer, the transactional
-semantics live where they always did.
+semantics (optimistic concurrency, CDC, deletion vectors, column
+mapping, defaults) live where they always did. SELECT statements
+additionally understand Delta's ``VERSION AS OF`` / ``TIMESTAMP AS
+OF`` time-travel clause on registered tables.
 
 Design choices (and why):
 
@@ -45,17 +49,21 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.txnlog import TransactionalLake
 
 __all__ = ["LakeSQL"]
 
 # Verbs this front-end owns. A statement starting with one of these
-# MUST parse as a utility statement (no silent SELECT fallthrough).
+# MUST parse as a utility/DML statement (no silent SELECT
+# fallthrough).
 _UTILITY_HEADS = (
     "OPTIMIZE", "VACUUM", "RESTORE", "DESCRIBE HISTORY",
     "DESCRIBE DETAIL", "ALTER TABLE", "ANALYZE TABLE", "GENERATE",
-    "REORG TABLE", "SHOW TBLPROPERTIES",
+    "REORG TABLE", "SHOW TBLPROPERTIES", "INSERT", "DELETE FROM",
+    "UPDATE", "MERGE INTO", "CREATE TABLE", "DROP TABLE",
+    "SHOW TABLES",
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -141,10 +149,46 @@ class LakeSQL:
                 return getattr(self, handler[2])(m)
         # Not a utility verb: serve through Spark SQL over the
         # registered snapshots (fresh view per call — the snapshot
-        # advances with the log).
+        # advances with the log), with time-travel rewriting.
+        return self.spark.sql(self._prepare_select(stmt))
+
+    def _prepare_select(self, stmt: str) -> str:
+        """Register every table's snapshot as a temp view and rewrite
+        Delta-SQL time-travel clauses — ``t VERSION AS OF n`` /
+        ``t TIMESTAMP AS OF 'ts'`` — onto per-statement views over
+        the historical snapshot (Spark's parser doesn't know the
+        clause; the log does)."""
         for name, lake in self._tables.items():
-            lake.snapshot().createOrReplaceTempView(name)
-        return self.spark.sql(stmt)
+            try:
+                lake.snapshot().createOrReplaceTempView(name)
+            except ValueError:
+                # a just-created table with no commits has no schema
+                # to view; a statement that references it will fail
+                # with Spark's own unresolved-relation error
+                continue
+        names = "|".join(re.escape(n) for n in self._tables) or r"(?!x)x"
+        tt = re.compile(
+            rf"\b(?P<tbl>{names})\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']+'))",
+            re.IGNORECASE,
+        )
+
+        def _sub(m) -> str:
+            lake = self._tables[m.group("tbl").lower()]
+            if m.group("ver") is not None:
+                view = f"{m.group('tbl')}__v{m.group('ver')}"
+                snap = lake.snapshot(version=int(m.group("ver")))
+            else:
+                ts = _unquote(m.group("ts"))
+                view = (
+                    f"{m.group('tbl')}__t"
+                    + re.sub(r"[^0-9A-Za-z]", "_", ts)
+                )
+                snap = lake.snapshot(timestamp=ts)
+            snap.createOrReplaceTempView(view)
+            return view
+
+        return tt.sub(_sub, stmt)
 
     # -- receipts -------------------------------------------------------
     def _receipt(self, op: str, version: int) -> DataFrame:
@@ -528,6 +572,250 @@ class LakeSQL:
     def _do_reorg(self, m) -> DataFrame:
         return self._receipt("REORG", self.table(m.group("tbl")).reorg_purge())
 
+    # -- DML: INSERT / DELETE / UPDATE / MERGE -----------------------------
+    _INSERT = re.compile(
+        rf"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        rf"(?P<tbl>{_IDENT})\s+(?P<src>(?:SELECT|VALUES|WITH|TABLE)\s.+)$",
+        re.IGNORECASE,
+    )
+
+    def _do_insert(self, m) -> DataFrame:
+        """``INSERT INTO|OVERWRITE t <select|values>`` — the source
+        query runs through the SELECT passthrough (so it can read
+        other registered lakes, including time travel), then commits
+        as append / overwrite."""
+        lake = self.table(m.group("tbl"))
+        df = self.spark.sql(self._prepare_select(m.group("src")))
+        # SQL INSERT is POSITIONAL (unlike the Python API's by-name
+        # contract): a VALUES source arrives as col1..colN and
+        # literal-typed selects arrive as INT/DECIMAL — align names
+        # by position and cast to the table's committed types, the
+        # standard-SQL coercion every INSERT implies. Arity mismatch
+        # stays a loud error.
+        try:
+            target = lake.snapshot()
+        except ValueError:
+            target = None  # empty table: first insert defines schema
+        if target is not None:
+            tcols = [c for c in target.columns if not c.startswith("_")]
+            if len(df.columns) != len(tcols):
+                raise ValueError(
+                    f"INSERT arity mismatch: statement supplies "
+                    f"{len(df.columns)} columns, table has {tcols}"
+                )
+            dtypes = dict(target.dtypes)
+            df = df.toDF(*tcols).select(
+                *[F.col(c).cast(dtypes[c]) for c in tcols]
+            )
+        if m.group("mode").upper() == "OVERWRITE":
+            return self._receipt("INSERT OVERWRITE", lake.overwrite(df))
+        return self._receipt("INSERT INTO", lake.append(df))
+
+    _DELETE = re.compile(
+        rf"DELETE\s+FROM\s+(?P<tbl>{_IDENT})"
+        r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_delete(self, m) -> DataFrame:
+        lake = self.table(m.group("tbl"))
+        return self._receipt(
+            "DELETE", lake.delete_where(m.group("pred") or "true")
+        )
+
+    _UPDATE = re.compile(
+        rf"UPDATE\s+(?P<tbl>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+        r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_update(self, m) -> DataFrame:
+        assignments: dict[str, str] = {}
+        for a in _split_commas(m.group("sets")):
+            col, eq, expr = a.partition("=")
+            if not eq or not re.fullmatch(_IDENT, col.strip().strip("`")):
+                raise ValueError(f"UPDATE SET needs col = expr: {a!r}")
+            assignments[col.strip().strip("`")] = expr.strip()
+        lake = self.table(m.group("tbl"))
+        return self._receipt(
+            "UPDATE",
+            lake.update_where(m.group("pred") or "true", assignments),
+        )
+
+    _MERGE = re.compile(
+        rf"MERGE\s+INTO\s+(?P<tbl>{_IDENT})(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?"
+        rf"\s+USING\s+(?P<src>\(.+\)|{_IDENT})"
+        rf"(?:\s+(?:AS\s+)?(?P<sa>{_IDENT}))?"
+        r"\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.+)$",
+        re.IGNORECASE,
+    )
+
+    def _do_merge(self, m) -> DataFrame:
+        """``MERGE INTO t [AS a] USING (<select>)|name [AS b] ON
+        <equi-cond> WHEN MATCHED THEN UPDATE SET * | DELETE
+        [WHEN NOT MATCHED THEN INSERT *]``.
+
+        The engine's merge replaces a matched target row with its
+        source row wholesale, so only the ``SET *`` / ``INSERT *``
+        forms are expressible — per-column SET lists are a loud
+        error, not a silent approximation. ON must be an AND of
+        same-name equalities (``t.k = s.k``): the Python API takes
+        key NAMES, and a cross-named join key has no meaning there —
+        rename in the source select instead."""
+        src_txt = m.group("src")
+        if src_txt.startswith("("):
+            source = self.spark.sql(self._prepare_select(src_txt[1:-1]))
+        else:
+            source = self.table(src_txt).snapshot()
+        aliases = {
+            a.lower()
+            for a in (m.group("ta"), m.group("sa"), m.group("tbl"), src_txt)
+            if a and re.fullmatch(_IDENT, a)
+        }
+        keys: list[str] = []
+        for atom in re.split(r"\s+AND\s+", m.group("on"), flags=re.IGNORECASE):
+            mm = re.fullmatch(
+                rf"\s*(?:(?P<q1>{_IDENT})\.)?(?P<c1>{_IDENT})\s*=\s*"
+                rf"(?:(?P<q2>{_IDENT})\.)?(?P<c2>{_IDENT})\s*",
+                atom,
+            )
+            if not mm:
+                raise ValueError(
+                    f"MERGE ON must be AND-ed equalities: {atom!r}"
+                )
+            for q in (mm.group("q1"), mm.group("q2")):
+                if q and q.lower() not in aliases:
+                    raise ValueError(
+                        f"unknown qualifier {q!r} in MERGE ON (aliases: "
+                        f"{sorted(aliases)})"
+                    )
+            if mm.group("c1").lower() != mm.group("c2").lower():
+                raise ValueError(
+                    f"MERGE keys must share a name on both sides "
+                    f"(got {mm.group('c1')} = {mm.group('c2')}; rename "
+                    "in the source select)"
+                )
+            keys.append(mm.group("c1"))
+        when_matched = None
+        when_not_matched = "ignore"
+        for cm in re.finditer(
+            r"WHEN\s+(?P<not_>NOT\s+)?MATCHED\s+THEN\s+"
+            r"(?P<act>UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+            m.group("clauses"),
+            re.IGNORECASE,
+        ):
+            act = re.sub(r"\s+", " ", cm.group("act").upper())
+            if cm.group("not_"):
+                if act != "INSERT *":
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only INSERT *"
+                    )
+                when_not_matched = "insert"
+            else:
+                if act == "DELETE":
+                    when_matched = "delete"
+                elif act == "UPDATE SET *":
+                    when_matched = "update"
+                else:
+                    raise ValueError(
+                        "WHEN MATCHED supports UPDATE SET * or DELETE"
+                    )
+        covered = sum(
+            len(cm.group(0))
+            for cm in re.finditer(
+                r"WHEN\s+(?:NOT\s+)?MATCHED\s+THEN\s+"
+                r"(?:UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)\s*",
+                m.group("clauses"),
+                re.IGNORECASE,
+            )
+        )
+        if covered < len(m.group("clauses").strip()):
+            raise ValueError(
+                "unsupported MERGE clause tail: "
+                f"{m.group('clauses')!r} (supported: WHEN MATCHED THEN "
+                "UPDATE SET * | DELETE; WHEN NOT MATCHED THEN INSERT *)"
+            )
+        lake = self.table(m.group("tbl"))
+        return self._receipt(
+            "MERGE",
+            lake.merge(
+                source,
+                on=keys,
+                when_matched=when_matched or "update",
+                when_not_matched=when_not_matched,
+            ),
+        )
+
+    # -- table management ---------------------------------------------------
+    _CREATE = re.compile(
+        rf"CREATE\s+TABLE\s+(?P<name>{_IDENT})\s+"
+        r"(?:PARTITIONED\s+BY\s+\(\s*(?P<parts>[^)]+)\s*\)\s+)?"
+        r"LOCATION\s+(?P<loc>'[^']+')"
+        r"(?:\s+AS\s+(?P<src>(?:SELECT|WITH|VALUES|TABLE)\s.+))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_create(self, m) -> DataFrame:
+        """``CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p'
+        [AS <select>]`` — opens (or creates) a transactional lake at
+        the location, registers it under the name, and with AS runs
+        the select through the passthrough and appends it as the
+        first commit. For an EXISTING table the log's recorded layout
+        wins over PARTITIONED BY (the constructor's contract)."""
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        name = m.group("name")
+        if name.lower() in self._tables:
+            raise ValueError(f"table {name!r} already registered")
+        parts = (
+            tuple(c.strip().strip("`") for c in m.group("parts").split(","))
+            if m.group("parts")
+            else ()
+        )
+        lake = TransactionalLake(
+            self.spark, _unquote(m.group("loc")), partition_by=parts
+        )
+        # evaluate AS-select BEFORE registering: the passthrough
+        # views every registered table, and the new one is still
+        # schemaless until this first append commits
+        v = lake.version
+        if m.group("src"):
+            v = lake.append(
+                self.spark.sql(self._prepare_select(m.group("src")))
+            )
+        self.register(name, lake)
+        return self._receipt("CREATE TABLE", v)
+
+    _DROP = re.compile(
+        rf"DROP\s+TABLE\s+(?P<name>{_IDENT})$", re.IGNORECASE
+    )
+
+    def _do_drop(self, m) -> DataFrame:
+        """``DROP TABLE n`` — unregisters the name from this front-end
+        and drops the session view. DELIBERATELY does not delete data
+        or log: the registry is a session-scoped catalog over
+        path-addressed tables (there is no metastore whose entry owns
+        the storage); removing bytes is VACUUM's job after an
+        explicit DELETE."""
+        name = m.group("name").lower()
+        self.table(name)  # raise on unknown
+        del self._tables[name]
+        self.spark.catalog.dropTempView(name)
+        return self.spark.createDataFrame(
+            [(name, "unregistered")], "table string, status string"
+        )
+
+    _SHOWTABLES = re.compile(r"SHOW\s+TABLES$", re.IGNORECASE)
+
+    def _do_show_tables(self, m) -> DataFrame:
+        rows = [
+            (n, lake.path, int(lake.version))
+            for n, lake in sorted(self._tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "table string, location string, version bigint"
+        )
+
     # Dispatch table: (statement head, (compiled regex, grammar doc,
     # handler method name)). Order matters only for the two DESCRIBE
     # heads vs a hypothetical bare DESCRIBE — heads are exact prefixes.
@@ -542,4 +830,11 @@ class LakeSQL:
         ("ANALYZE TABLE", (_ANALYZE, "ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...]", "_do_analyze")),
         ("GENERATE", (_GENERATE, "GENERATE symlink_format_manifest FOR TABLE t", "_do_generate")),
         ("REORG TABLE", (_REORG, "REORG TABLE t APPLY (PURGE)", "_do_reorg")),
+        ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t <select>", "_do_insert")),
+        ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred]", "_do_delete")),
+        ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred]", "_do_update")),
+        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED THEN UPDATE SET *|DELETE [WHEN NOT MATCHED THEN INSERT *]", "_do_merge")),
+        ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),
+        ("DROP TABLE", (_DROP, "DROP TABLE n", "_do_drop")),
+        ("SHOW TABLES", (_SHOWTABLES, "SHOW TABLES", "_do_show_tables")),
     )

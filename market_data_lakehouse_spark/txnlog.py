@@ -623,14 +623,24 @@ class TransactionalLake:
                 for ci in range(g.num_columns):
                     c = g.column(ci)
                     name = c.path_in_schema
-                    st = c.statistics
-                    if st is None or not st.has_min_max:
-                        cols[name] = None  # one statless group poisons
+                    # has_min_max and the min/max accessors can BOTH
+                    # raise ArrowNotImplementedError for types the
+                    # stats caster doesn't cover (e.g. INT32-backed
+                    # DECIMAL from a literal-typed SELECT) — degrade
+                    # that column to statless, never fail the commit
+                    # (r12: surfaced by INSERT OVERWRITE t SELECT 3.0)
+                    try:
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            cols[name] = None  # one statless group poisons
+                            continue
+                        if name in cols and cols[name] is None:
+                            continue  # already poisoned
+                        lo = self._stat_val(st.min)
+                        hi = self._stat_val(st.max)
+                    except Exception:
+                        cols[name] = None
                         continue
-                    if name in cols and cols[name] is None:
-                        continue  # already poisoned
-                    lo = self._stat_val(st.min)
-                    hi = self._stat_val(st.max)
                     if lo is None or hi is None:
                         cols[name] = None
                         continue

@@ -210,3 +210,101 @@ class TestGrammarErrors:
 
     def test_trailing_semicolon_ok(self, front):
         assert front.sql("DESCRIBE DETAIL t;").count() == 1
+
+
+class TestDML:
+    """r12: transactional DML through SQL strings — INSERT / DELETE /
+    UPDATE / MERGE INTO dispatch onto the log's methods, and SELECT
+    understands VERSION AS OF."""
+
+    def test_insert_into_and_overwrite(self, front, lake, spark):
+        front.sql(
+            "INSERT INTO t SELECT k + 1000 AS k, grp, v FROM t WHERE k < 5"
+        )
+        assert lake.snapshot().count() == 105
+        front.sql("INSERT OVERWRITE t SELECT 1 AS k, 2 AS grp, 3.0 AS v")
+        assert lake.snapshot().count() == 1
+
+    def test_insert_values(self, front, lake):
+        front.sql(
+            "INSERT INTO t VALUES (500, 1, 0.5), (501, 2, 1.5)"
+        )
+        assert lake.snapshot().filter("k >= 500").count() == 2
+
+    def test_delete_from(self, front, lake):
+        front.sql("DELETE FROM t WHERE k % 2 = 0")
+        assert lake.snapshot().count() == 50
+        assert lake.snapshot().filter("k % 2 = 0").count() == 0
+        front.sql("DELETE FROM t")
+        assert lake.snapshot().count() == 0
+
+    def test_update_set_where(self, front, lake):
+        front.sql("UPDATE t SET v = v * 2, grp = 99 WHERE k < 10")
+        got = lake.snapshot().filter("k < 10")
+        assert got.filter("grp = 99").count() == 10
+        assert got.agg({"v": "sum"}).first()[0] == sum(i * 1.5 * 2 for i in range(10))
+        assert lake.snapshot().filter("k >= 10 AND grp = 99").count() == 0
+
+    def test_merge_upsert(self, front, lake, spark):
+        front.sql(
+            "MERGE INTO t USING ("
+            "  SELECT k, grp, CAST(0.0 AS DOUBLE) AS v FROM t WHERE k < 3"
+            "  UNION ALL SELECT CAST(777 AS BIGINT) AS k,"
+            "  CAST(7 AS BIGINT) AS grp, CAST(7.0 AS DOUBLE) AS v"
+            ") AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        snap = lake.snapshot()
+        assert snap.count() == 101
+        assert snap.filter("k < 3 AND v = 0.0").count() == 3
+        assert snap.filter("k = 777 AND grp = 7").count() == 1
+
+    def test_merge_delete_matched(self, front, lake):
+        front.sql(
+            "MERGE INTO t USING (SELECT k FROM t WHERE grp = 0) s "
+            "ON t.k = s.k WHEN MATCHED THEN DELETE"
+        )
+        assert lake.snapshot().filter("grp = 0").count() == 0
+
+    def test_merge_grammar_errors(self, front):
+        with pytest.raises(ValueError, match="share a name"):
+            front.sql(
+                "MERGE INTO t USING (SELECT 1 AS x) s ON t.k = s.x "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+        with pytest.raises(ValueError, match="UPDATE SET \\*"):
+            front.sql(
+                "MERGE INTO t USING (SELECT 1 AS k) s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = 1"
+            )
+
+    def test_select_version_as_of(self, front, lake):
+        front.sql("DELETE FROM t WHERE k >= 50")
+        assert front.sql("SELECT COUNT(*) AS n FROM t").first()["n"] == 50
+        got = front.sql(
+            "SELECT COUNT(*) AS n FROM t VERSION AS OF 0"
+        ).first()["n"]
+        assert got == 100
+
+    def test_create_table_as_select_and_drop(self, front, lake, spark, tmp_path):
+        front.sql(
+            f"CREATE TABLE t2 LOCATION '{tmp_path / 'u'}' "
+            "AS SELECT k, v FROM t WHERE k < 7"
+        )
+        assert front.sql("SELECT COUNT(*) AS n FROM t2").first()["n"] == 7
+        tables = {r["table"] for r in front.sql("SHOW TABLES").collect()}
+        assert tables == {"t", "t2"}
+        front.sql("DROP TABLE t2")
+        assert front.sql("SHOW TABLES").count() == 1
+        # data survives the unregister (catalog-only drop)
+        import os
+        assert os.path.isdir(str(tmp_path / "u" / "_txn_log"))
+
+    def test_dml_emits_cdc(self, front, lake):
+        """SQL DML rides the same commits: the CDC feed sees it."""
+        v0 = lake.version
+        front.sql("DELETE FROM t WHERE k = 1")
+        ch = lake.read_changes(v0 + 1)
+        rows = [(r["_change_type"], r["k"]) for r in ch.collect()]
+        assert ("delete", 1) in rows

@@ -169,3 +169,20 @@ class TestPartitionValuePruning:
         assert lk.scan_between(
             {"date": ("2024-06-10", None), "k": (0, 60)}
         ).count() == 0
+
+
+def test_stats_unextractable_type_degrades_not_fails(spark, tmp_path):
+    """r12 regression: pyarrow's stats caster raises
+    ArrowNotImplementedError for some physical types (INT32-backed
+    DECIMAL from a literal-typed SELECT). The commit must degrade
+    that column to statless (conservative keep), never fail."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    tx = TransactionalLake(spark, str(tmp_path / "dec"), partition_by=())
+    tx.append(spark.sql("SELECT 1 AS k, 3.0 AS v"))  # v: DECIMAL(2,1)
+    tx.append(spark.sql("SELECT 2 AS k, 4.5 AS v"))
+    got = sorted((r["k"], float(r["v"])) for r in tx.snapshot().collect())
+    assert got == [(1, 3.0), (2, 4.5)]
+    # k keeps its stats (skipping still works); v is statless
+    kept, total, _ = tx.prune_files({"k": (2, 2)})
+    assert total == 2 and len(kept) == 1
