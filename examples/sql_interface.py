@@ -1,0 +1,83 @@
+"""The SQL-only workflow: one language for everything (r12).
+
+The reference's documented interface is a SQL string
+(``lake.query("SELECT AVG(close) ...")`` — reference
+README.md:77-81). This tour drives a transactional table's ENTIRE
+life through :class:`LakeSQL` statements — create, load, evolve,
+mutate, maintain, audit, time-travel — without touching the Python
+API after registration.
+
+Run:  python examples/sql_interface.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.path.insert(0, "/root/repo")
+    from market_data_lakehouse_spark.session import get_spark
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+
+    spark = get_spark(app_name="sql_interface", shuffle_partitions=8)
+    fr = LakeSQL(spark)
+    root = tempfile.mkdtemp(prefix="sql_tour_")
+
+    # source rows as a plain temp view the CTAS can read
+    spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("x"),
+    ).createOrReplaceTempView("src_events")
+
+    fr.sql(
+        f"CREATE TABLE trades LOCATION '{root}/trades' "
+        "AS SELECT k, etype, CAST(x AS DOUBLE) AS x FROM src_events"
+    )
+    n0 = fr.sql("SELECT COUNT(*) AS n FROM trades").first()["n"]
+    print(f"created: {n0} rows")
+
+    # evolve + mutate, SQL only
+    fr.sql("ALTER TABLE trades ADD COLUMN note STRING")
+    fr.sql("ALTER TABLE trades ALTER COLUMN note SET DEFAULT 'none'")
+    fr.sql("UPDATE trades SET x = x * 100 WHERE etype = 'click'")
+    fr.sql("DELETE FROM trades WHERE k % 10 = 9")
+    fr.sql(
+        "MERGE INTO trades USING ("
+        "  SELECT k, 'merged' AS etype, CAST(0.0 AS DOUBLE) AS x,"
+        "         'hot' AS note FROM trades WHERE k % 97 = 0"
+        ") AS s ON trades.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+    # maintain + audit
+    fr.sql("OPTIMIZE trades ZORDER BY (k)")
+    fr.sql("ANALYZE TABLE trades COMPUTE STATISTICS FOR COLUMNS k, x")
+    for row in fr.sql("DESCRIBE HISTORY trades LIMIT 5").collect():
+        print(f"  v{row['version']:>3}  {row['operation']}")
+    det = fr.sql("DESCRIBE DETAIL trades").first()
+    print(f"detail: v{det['version']}, {det['num_files']} files")
+
+    # CDF + time travel, still SQL
+    changed = fr.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM table_changes('trades', 1) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    print("changes:", [(r["_change_type"], r["n"]) for r in changed])
+    was = fr.sql(
+        "SELECT COUNT(*) AS n FROM trades VERSION AS OF 0"
+    ).first()["n"]
+    now = fr.sql("SELECT COUNT(*) AS n FROM trades").first()["n"]
+    assert was == n0, (was, n0)
+    print(f"time travel: v0 had {was}, head has {now}")
+    print("sql tour OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -154,10 +154,30 @@ class LakeSQL:
 
     def _prepare_select(self, stmt: str) -> str:
         """Register every table's snapshot as a temp view and rewrite
-        Delta-SQL time-travel clauses — ``t VERSION AS OF n`` /
-        ``t TIMESTAMP AS OF 'ts'`` — onto per-statement views over
-        the historical snapshot (Spark's parser doesn't know the
-        clause; the log does)."""
+        the Delta-SQL clauses Spark's parser doesn't know onto
+        per-statement views the log computes:
+
+        - ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF 'ts'`` — the
+          historical snapshot;
+        - ``table_changes('t', start)`` — the CDC feed from commit
+          ``start`` (rows tagged ``_change_type`` /
+          ``_commit_version``, Delta CDF's table-valued function).
+        """
+        tc = re.compile(
+            rf"\btable_changes\s*\(\s*'(?P<tbl>{_IDENT})'\s*,\s*"
+            r"(?P<start>\d+)\s*\)",
+            re.IGNORECASE,
+        )
+
+        def _sub_tc(m) -> str:
+            lake = self.table(m.group("tbl"))
+            view = f"{m.group('tbl')}__changes_{m.group('start')}"
+            lake.read_changes(int(m.group("start"))).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        stmt = tc.sub(_sub_tc, stmt)
         for name, lake in self._tables.items():
             try:
                 lake.snapshot().createOrReplaceTempView(name)
@@ -408,6 +428,7 @@ class LakeSQL:
         - ``ALTER COLUMN c SET DEFAULT expr`` / ``DROP DEFAULT``
         - ``CLUSTER BY (c1, ...)`` / ``CLUSTER BY NONE``
         - ``ADD CONSTRAINT name CHECK (expr)`` / ``DROP CONSTRAINT name``
+        - ``DROP FEATURE name [TRUNCATE HISTORY]``
         """
         lake = self.table(m.group("tbl"))
         rest = m.group("rest").strip()
@@ -529,6 +550,23 @@ class LakeSQL:
             return self._receipt(
                 "DROP CONSTRAINT", lake.drop_check_constraint(mm.group("n"))
             )
+
+        mm = re.fullmatch(
+            r"DROP\s+FEATURE\s+(?P<n>[A-Za-z0-9_-]+)"
+            r"(?:\s+TRUNCATE\s+HISTORY)?",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            # TRUNCATE HISTORY (Delta's pairing: pre-drop versions
+            # still require the feature, so their commits go):
+            # checkpoint AT the drop so everything before it is
+            # subsumed, then vacuum the log up to that boundary
+            v = lake.drop_feature(mm.group("n"))
+            if re.search(r"TRUNCATE\s+HISTORY", rest, re.IGNORECASE):
+                lake._write_checkpoint(v)
+                lake.vacuum_log()
+            return self._receipt("DROP FEATURE", v)
 
         raise ValueError(
             f"unsupported ALTER TABLE form: {rest!r} (see LakeSQL."

@@ -450,7 +450,12 @@ class TransactionalLake:
                 continue
             c = self._read_commit(v)
             cluster_state = self._fold_clustering(cluster_state, c)
-            feats |= set(c.get("features", []))
+            # each commit's "features" is the COMPLETE recorded set
+            # as of that commit — newest WINS (a union would silently
+            # resurrect a drop_feature(); r12). Pre-feature-era
+            # commits lack the key and leave the fold unchanged.
+            if "features" in c:
+                feats = set(c["features"])
             if c.get("table_stats") is not None:
                 tstats = c["table_stats"]
             if c.get("defaults"):
@@ -1552,7 +1557,7 @@ class TransactionalLake:
                 set(self.table_features())
                 | self._action_features(payload_action)
                 | set(payload_action.get("inherit_features", ()))
-            )
+            ) - set(payload_action.get("drop_features", ()))
             payload_action = {
                 k: v
                 for k, v in payload_action.items()
@@ -4417,6 +4422,7 @@ class TransactionalLake:
         target_path: str,
         version: int | None = None,
         timestamp: str | None = None,
+        deep: bool = False,
     ) -> "TransactionalLake":
         """Zero-copy table clone (Delta SHALLOW CLONE semantics, with
         a safer mechanism): every live data file is HARDLINKED into
@@ -4443,7 +4449,19 @@ class TransactionalLake:
         table metadata (constraints, identity mark, column map,
         properties, row-tracking bases, partition layout) all
         resolve as of that version, so the clone is the table as it
-        WAS, not a mix of old files and new metadata."""
+        WAS, not a mix of old files and new metadata.
+
+        ``deep`` (Delta DEEP CLONE): physically COPY every byte
+        instead of hardlinking — the clone is storage-independent
+        from birth. On one filesystem the hardlink clone already
+        covers Delta's deep-clone motivations (source vacuum cannot
+        dangle it, source deletion cannot orphan it — the inodes are
+        co-owned), so deep buys exactly two things here: independent
+        storage accounting/quota, and immunity to IN-PLACE
+        modification of shared bytes (which nothing in this engine
+        does — files are immutable by contract — but an external
+        tool could). Cost is a full data copy: O(table bytes), the
+        price Delta's deep clone also pays."""
         files, schemas, src_v, dvs = self._snapshot_state(
             version, timestamp
         )
@@ -4467,6 +4485,9 @@ class TransactionalLake:
             src = os.path.join(self.path, rel)
             dst = os.path.join(target.path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if deep:
+                shutil.copy2(src, dst)
+                continue
             try:
                 os.link(src, dst)
             except OSError:
@@ -4475,6 +4496,7 @@ class TransactionalLake:
             "op": "clone",
             "source": self.path,
             "source_version": src_v,
+            "clone_mode": "deep" if deep else "shallow",
             "add": list(files),
         }
         if schemas:
@@ -4951,40 +4973,64 @@ class TransactionalLake:
                              "column_mapping": doc})
 
     def reorg_purge(self) -> int:
-        """Physically reclaim DROPPED columns (Delta ``REORG TABLE
-        ... APPLY (PURGE)`` parity): ``drop_column`` hides a column
-        instantly but its bytes stay in existing files until they are
-        naturally rewritten — this op forces that rewrite, projecting
-        every live file onto the mapped physical columns only (and
-        materializing deletion vectors away, like ``optimize``). One
+        """Physically reclaim soft-deleted state (Delta ``REORG TABLE
+        ... APPLY (PURGE)`` parity — BOTH of its documented jobs,
+        r12): rewrite away (a) DROPPED-column bytes, which
+        ``drop_column`` hides instantly but leaves in existing files,
+        and (b) DELETION VECTORS, materializing the surviving rows so
+        no live file carries soft-deleted positions — the cleanup
+        ``drop_feature("deletion-vectors")`` demands.
+
+        Scope is need-based, like Delta's: with dropped columns the
+        rewrite is table-wide (any file may carry the bytes — one
         full rewrite, the honest price of reclamation; at 100 TB run
-        it per-partition range. No-op (current version returned) when
-        nothing is dropped."""
+        it per-partition range); with only vectors to purge, ONLY the
+        dv-carrying files rewrite — O(soft-deleted files), not
+        O(table). Row-tracking ids survive (a purge is maintenance,
+        not modification). No-op when nothing is reclaimable."""
         doc = self._column_mapping_doc()
-        if doc is None:
-            return self.version
         old, schemas, read_v, dvs = self._snapshot_state()
         if not old:
             return self.version
-        keep_phys = set(doc["cols"].values())
-        snap = self._df_for_files(old, schemas, dvs=dvs)
-        if all(c in keep_phys for c in snap.columns):
+        drop_needed = False
+        keep_phys: set[str] | None = None
+        if doc is not None:
+            keep_phys = set(doc["cols"].values())
+            phys_cols = {
+                f["name"] for f in self._merged_fields(schemas)
+            }
+            drop_needed = any(c not in keep_phys for c in phys_cols)
+        if not drop_needed and not dvs:
             return self.version
-        out = snap.select(*[c for c in snap.columns if c in keep_phys])
-        added = self._write_files(out)
-        return self._commit(
-            {
-                "op": "reorg_purge",
-                "add": added,
-                "remove": old,
-                "schema": out.schema.json(),
-                # every file was rewritten onto the purged layout:
-                # restart the schema history so dropped physical
-                # columns can't resurface via the merged union
-                "schema_reset": True,
-            },
-            read_version=read_v,
+        subset = (
+            list(old) if drop_needed else [f for f in old if f in dvs]
         )
+        sub_dvs = {f: p for f, p in dvs.items() if f in subset}
+        snap = self._rewrite_src(
+            subset, schemas, sub_dvs, self._row_tracking_state()
+        )
+        if drop_needed and keep_phys is not None:
+            keep = keep_phys | set(self._RT_COLS)
+            snap = snap.select(
+                *[c for c in snap.columns if c in keep]
+            )
+        added = self._write_files(snap)
+        action: dict = {
+            "op": "reorg_purge",
+            "add": added,
+            "remove": subset,
+        }
+        if drop_needed:
+            action["schema"] = snap.drop(*[
+                c for c in self._RT_COLS if c in snap.columns
+            ]).schema.json()
+            # every file was rewritten onto the purged layout:
+            # restart the schema history so dropped physical
+            # columns can't resurface via the merged union. (The
+            # dv-only path rewrites a SUBSET of files — surviving
+            # files still need the old history, so no reset there.)
+            action["schema_reset"] = True
+        return self._commit(action, read_version=read_v)
 
     def _to_logical(self, df: DataFrame, doc: dict | None) -> DataFrame:
         """Project a PHYSICAL-schema df to the logical schema: mapped
@@ -5422,6 +5468,103 @@ class TransactionalLake:
                 "— reading or writing it could silently corrupt "
                 "results; upgrade the engine"
             )
+
+    def _feature_drop_blockers(self, name: str) -> list[str]:
+        """Live traces that make dropping ``name`` unsafe — each
+        blocker names the cleanup that removes it. Empty = droppable."""
+        out: list[str] = []
+        if name == "deletion-vectors":
+            dvs = self._snapshot_state()[3]
+            if dvs:
+                out.append(
+                    f"{len(dvs)} live deletion vector(s) — run "
+                    "reorg_purge() (or optimize()) to materialize "
+                    "them first"
+                )
+        elif name == "clustering":
+            state = self._clustering_state()
+            if state is not None and state.get("cols"):
+                out.append(
+                    "a clustering key is declared — run "
+                    "set_clustering(()) (CLUSTER BY NONE) first"
+                )
+        elif name == "check-constraints":
+            cons = self.check_constraints()
+            if cons:
+                out.append(
+                    f"constraints still registered: {sorted(cons)} — "
+                    "drop_check_constraint() each first"
+                )
+        elif name == "column-defaults":
+            defs = self.column_defaults()
+            if defs:
+                out.append(
+                    f"defaults still declared on {sorted(defs)} — "
+                    "drop_column_default() each first"
+                )
+        elif name == "identity-columns":
+            if self.identity_state() is not None:
+                out.append(
+                    "an IDENTITY column is declared; there is no "
+                    "un-declare path — the feature stays required"
+                )
+        elif name == "row-tracking":
+            if self._row_tracking_state() is not None:
+                out.append(
+                    "row tracking is enabled; live files carry id "
+                    "bases older readers cannot interpret — the "
+                    "feature stays required"
+                )
+        elif name in ("column-mapping", "type-widening"):
+            # live data files keep PHYSICAL names / pre-widening
+            # physical types forever (the whole point of both
+            # features is never rewriting); a reader without the
+            # fold logic would misread them, and proving no live
+            # file needs it would require opening every footer.
+            # Delta gates these behind REORG + history truncation;
+            # here they are simply not droppable.
+            out.append(
+                f"{name} leaves permanent physical traces in live "
+                "files; dropping it would corrupt readers that "
+                "trust the stamp"
+            )
+        else:
+            out.append(f"unknown feature {name!r}")
+        return out
+
+    def drop_feature(self, name: str) -> int:
+        """Remove ``name`` from the table's required-features stamp
+        (Delta ``ALTER TABLE ... DROP FEATURE``): after the cleanup
+        the blockers demand (e.g. ``reorg_purge()`` materializing all
+        deletion vectors), one metadata commit records the REDUCED
+        set, and builds that lack the feature can open the table
+        again — the downgrade path out of the forward-compat lockout.
+
+        Contract notes (matching Delta's):
+        - idempotent: dropping an absent feature is a no-op.
+        - a later commit that re-activates the feature (a new DV
+          delete, a new CLUSTER BY) re-adds the stamp automatically —
+          the drop removes the REQUIREMENT, not the capability.
+        - time travel to pre-drop versions still answers the OLD
+          stamp (those snapshots genuinely need the feature); Delta
+          pairs DROP FEATURE with TRUNCATE HISTORY for the same
+          reason — here ``vacuum_log()`` is that step."""
+        current = set(self.table_features())
+        if name not in self.SUPPORTED_FEATURES and name not in current:
+            # catch typos loudly; an absent KNOWN feature is the
+            # idempotent no-op below
+            raise ValueError(f"unknown feature {name!r}")
+        if name not in current:
+            return self.version
+        blockers = self._feature_drop_blockers(name)
+        if blockers:
+            raise ValueError(
+                f"cannot drop feature {name!r}: " + "; ".join(blockers)
+            )
+        return self._commit(
+            {"op": "drop_feature", "feature": name,
+             "drop_features": [name]}
+        )
 
     # ------------------------------------------------------------------
     # ANALYZE TABLE (Delta/Spark `ANALYZE TABLE ... COMPUTE

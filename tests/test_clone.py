@@ -140,3 +140,33 @@ class TestCloneAtVersion:
             for r in clone.snapshot(with_row_ids=True).collect()
         }
         assert got == before
+
+
+class TestDeepClone:
+    """r12: Delta DEEP CLONE — byte-independent copy (the shallow
+    clone's hardlinks already survive source vacuum; deep buys
+    storage independence)."""
+
+    def test_deep_clone_owns_separate_inodes(self, spark, tmp_path):
+        src = TransactionalLake(spark, str(tmp_path / "s"), partition_by=())
+        src.append(_rows(spark, 0, 500).coalesce(1))
+        clone = src.clone(str(tmp_path / "d"), deep=True)
+        assert _ids(clone) == _ids(src)
+        (sf,) = [os.path.join(src.path, f) for f in src._snapshot_state()[0]]
+        (cf,) = [
+            os.path.join(clone.path, f)
+            for f in clone._snapshot_state()[0]
+        ]
+        assert not os.path.samefile(sf, cf)
+        assert os.stat(sf).st_nlink == 1 and os.stat(cf).st_nlink == 1
+        assert clone.history()[-1]["clone_mode"] == "deep"
+
+    def test_deep_clone_survives_source_removal(self, spark, tmp_path):
+        import shutil
+
+        src = TransactionalLake(spark, str(tmp_path / "s2"), partition_by=())
+        src.append(_rows(spark, 0, 100).coalesce(1))
+        want = _ids(src)
+        clone = src.clone(str(tmp_path / "d2"), deep=True)
+        shutil.rmtree(src.path)
+        assert _ids(clone) == want

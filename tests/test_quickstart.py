@@ -49,3 +49,15 @@ def test_warehouse_pipeline_runs_end_to_end(spark, monkeypatch):
         sys, "argv", ["warehouse_pipeline.py", "/root/testdata/sf0.001"]
     )
     warehouse_pipeline.main()
+
+
+def test_sql_interface_runs_end_to_end(spark, monkeypatch):
+    """The SQL-only tour (r12): CTAS -> evolve -> DML -> maintain ->
+    CDF TVF -> time travel, all through LakeSQL statements."""
+    sys.path.insert(0, "/root/repo/examples")
+    import sql_interface
+
+    monkeypatch.setattr(
+        sys, "argv", ["sql_interface.py", "/root/testdata/sf0.001"]
+    )
+    sql_interface.main()

@@ -308,3 +308,52 @@ class TestDML:
         ch = lake.read_changes(v0 + 1)
         rows = [(r["_change_type"], r["k"]) for r in ch.collect()]
         assert ("delete", 1) in rows
+
+
+class TestDropFeatureSQL:
+    def test_drop_feature_statement(self, front, lake):
+        lake.delete_where("k = 1", mode="dv")
+        assert "deletion-vectors" in lake.table_features()
+        with pytest.raises(ValueError, match="deletion vector"):
+            front.sql("ALTER TABLE t DROP FEATURE deletion-vectors")
+        lake.reorg_purge()
+        front.sql(
+            "ALTER TABLE t DROP FEATURE deletion-vectors TRUNCATE HISTORY"
+        )
+        assert "deletion-vectors" not in lake.table_features()
+        # TRUNCATE HISTORY checkpointed at the drop and vacuumed the
+        # log: every commit is subsumed (history empties), the head
+        # resolves from the checkpoint, and the DROPPED feature set
+        # survives the checkpoint fold (newest-wins, not union)
+        assert lake.history() == []
+        assert lake.snapshot().count() == 99
+        reopened = TransactionalLake(
+            lake.spark, lake.path, partition_by=())
+        assert "deletion-vectors" not in reopened.table_features()
+
+
+class TestTableChangesTVF:
+    def test_table_changes_in_select(self, front, lake):
+        v0 = lake.version
+        front.sql("DELETE FROM t WHERE k = 3")
+        front.sql("INSERT INTO t VALUES (900, 1, 1.0)")
+        got = front.sql(
+            f"SELECT _change_type, k FROM table_changes('t', {v0 + 1}) "
+            "WHERE k IN (3, 900) ORDER BY k"
+        ).collect()
+        assert [(r["_change_type"], r["k"]) for r in got] == [
+            ("delete", 3), ("insert", 900),
+        ]
+
+    def test_table_changes_joins_with_snapshot(self, front, lake):
+        v0 = lake.version
+        front.sql("UPDATE t SET v = 0.0 WHERE k < 2")
+        n = front.sql(
+            f"SELECT COUNT(*) AS n FROM table_changes('t', {v0 + 1}) c "
+            "JOIN t ON c.k = t.k "
+            # rewrite-mode CDC is file-grained (survivors emit
+            # delete+insert pairs with their original values), so pin
+            # the POST-update rows by value: only k=0,1 carry v=0.0
+            "WHERE c._change_type = 'insert' AND c.v = 0.0"
+        ).first()["n"]
+        assert n == 2

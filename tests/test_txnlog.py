@@ -3813,3 +3813,92 @@ class TestHistoryLimit:
         assert [e["version"] for e in h] == [5, 4]
         assert reads["n"] == 2  # reads stop at the limit
         assert len(lake.history()) == 6  # unlimited unchanged
+
+
+class TestDropFeature:
+    """r12: Delta ALTER TABLE DROP FEATURE — the downgrade path out
+    of the forward-compat lockout: cleanup first, then one metadata
+    commit records the REDUCED set; re-activation re-stamps."""
+
+    def _dv_lake(self, spark, tmp_path, name="df"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, "x") for i in range(20)], "k int, v string"))
+        lake.delete_where("k < 5", mode="dv")
+        return lake
+
+    def test_blocked_while_live_traces(self, spark, tmp_path):
+        lake = self._dv_lake(spark, tmp_path)
+        with pytest.raises(ValueError, match="deletion vector"):
+            lake.drop_feature("deletion-vectors")
+
+    def test_drop_after_purge_then_reactivation(self, spark, tmp_path):
+        lake = self._dv_lake(spark, tmp_path, "df2")
+        lake.reorg_purge()  # materializes the vectors
+        lake.drop_feature("deletion-vectors")
+        assert "deletion-vectors" not in lake.table_features()
+        # rows survived the whole dance
+        assert lake.snapshot().count() == 15
+        # a reopening build that lacks the feature is no longer
+        # locked out at head ...
+        assert "deletion-vectors" not in TransactionalLake(
+            spark, lake.path, partition_by=()).table_features()
+        # ... and a NEW dv commit re-stamps the requirement
+        lake.delete_where("k = 7", mode="dv")
+        assert "deletion-vectors" in lake.table_features()
+
+    def test_drop_is_idempotent_and_unknown_rejected(self, spark, tmp_path):
+        lake = self._dv_lake(spark, tmp_path, "df3")
+        v = lake.version
+        assert lake.drop_feature("clustering") == v  # never present
+        with pytest.raises(ValueError, match="unknown feature"):
+            lake.set_clustering("k")
+            lake.set_clustering(())
+            lake.drop_feature("flux-capacitor")
+
+    def test_clustering_constraints_defaults_drop(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "df4"), partition_by=())
+        lake.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+        lake.set_clustering("k")
+        lake.add_check_constraint("kpos", "k > 0")
+        lake.set_column_default("v", "'d'")
+        feats = set(lake.table_features())
+        assert {"clustering", "check-constraints", "column-defaults"} <= feats
+        for name in ("clustering", "check-constraints", "column-defaults"):
+            with pytest.raises(ValueError):
+                lake.drop_feature(name)
+        lake.set_clustering(())
+        lake.drop_check_constraint("kpos")
+        lake.drop_column_default("v")
+        for name in ("clustering", "check-constraints", "column-defaults"):
+            lake.drop_feature(name)
+        assert lake.table_features() == []
+
+    def test_permanent_features_refuse(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "df5"), partition_by=())
+        lake.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+        lake.rename_column("v", "val")
+        with pytest.raises(ValueError, match="permanent physical"):
+            lake.drop_feature("column-mapping")
+
+    def test_drop_survives_checkpoint_fold(self, spark, tmp_path):
+        """The checkpoint's feature fold is newest-wins: a drop must
+        not resurrect when the tail folds into a checkpoint."""
+        lake = self._dv_lake(spark, tmp_path, "df6")
+        lake.reorg_purge()
+        lake.drop_feature("deletion-vectors")
+        for i in range(25):  # cross a checkpoint boundary
+            lake.set_properties({"tick": str(i)})
+        lake.vacuum_log()
+        assert "deletion-vectors" not in TransactionalLake(
+            spark, lake.path, partition_by=()).table_features()
+
+    def test_time_travel_keeps_old_stamp(self, spark, tmp_path):
+        lake = self._dv_lake(spark, tmp_path, "df7")
+        v_dv = lake.version
+        lake.reorg_purge()
+        lake.drop_feature("deletion-vectors")
+        assert "deletion-vectors" in lake.table_features(as_of=v_dv)
