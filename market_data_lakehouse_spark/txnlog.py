@@ -1594,10 +1594,20 @@ class TransactionalLake:
                 continue
             finally:
                 os.unlink(tmp)
-            if (
-                self.checkpoint_every
-                and (version + 1) % self.checkpoint_every == 0
-            ):
+            # cadence: the table property wins over the ctor arg
+            # (Delta `delta.checkpointInterval` parity, r12) — the
+            # LOG owns operational tuning, so every writer of a busy
+            # table follows one recorded policy instead of whatever
+            # its constructor happened to say. Invalid values fall
+            # back to the ctor arg rather than failing the commit.
+            interval = self.checkpoint_every
+            p = self.properties().get("checkpointInterval")
+            if p is not None:
+                try:
+                    interval = max(0, int(p))
+                except ValueError:
+                    pass
+            if interval and (version + 1) % interval == 0:
                 try:
                     self._write_checkpoint(version)
                 except OSError:

@@ -3902,3 +3902,59 @@ class TestDropFeature:
         lake.reorg_purge()
         lake.drop_feature("deletion-vectors")
         assert "deletion-vectors" in lake.table_features(as_of=v_dv)
+
+
+class TestCheckpointIntervalProperty:
+    """r12: Delta `checkpointInterval` parity — the LOG owns the
+    checkpoint cadence; the table property overrides every writer's
+    constructor arg."""
+
+    def _cps(self, lake):
+        import os as _os
+        return sorted(
+            f for f in _os.listdir(lake.log_path)
+            if f.endswith(".checkpoint")
+        )
+
+    def test_property_overrides_ctor(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ci"), partition_by=(),
+            checkpoint_every=100)
+        lake.append(spark.createDataFrame([(1,)], "k int"))
+        lake.set_properties({"checkpointInterval": "3"})
+        for i in range(6):
+            lake.set_properties({"tick": str(i)})
+        assert len(self._cps(lake)) >= 2  # cadence 3, 8 commits in
+
+    def test_property_reaches_other_writers(self, spark, tmp_path):
+        path = str(tmp_path / "ci2")
+        a = TransactionalLake(spark, path, partition_by=(),
+                              checkpoint_every=100)
+        a.append(spark.createDataFrame([(1,)], "k int"))
+        a.set_properties({"checkpointInterval": "2"})
+        b = TransactionalLake(spark, path, partition_by=(),
+                              checkpoint_every=500)  # divergent ctor
+        for i in range(4):
+            b.set_properties({"tick": str(i)})
+        assert len(self._cps(b)) >= 2
+
+    def test_invalid_value_falls_back(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ci3"), partition_by=(),
+            checkpoint_every=2)
+        lake.append(spark.createDataFrame([(1,)], "k int"))
+        lake.set_properties({"checkpointInterval": "soon"})
+        for i in range(4):
+            lake.set_properties({"tick": str(i)})
+        assert len(self._cps(lake)) >= 2  # ctor cadence 2 still live
+
+    def test_zero_disables(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ci4"), partition_by=(),
+            checkpoint_every=2)
+        lake.append(spark.createDataFrame([(1,)], "k int"))
+        lake.set_properties({"checkpointInterval": "0"})
+        before = len(self._cps(lake))
+        for i in range(6):
+            lake.set_properties({"tick": str(i)})
+        assert len(self._cps(lake)) == before
