@@ -60,10 +60,10 @@ __all__ = ["LakeSQL"]
 # fallthrough).
 _UTILITY_HEADS = (
     "OPTIMIZE", "VACUUM", "RESTORE", "DESCRIBE HISTORY",
-    "DESCRIBE DETAIL", "ALTER TABLE", "ANALYZE TABLE", "GENERATE",
-    "REORG TABLE", "SHOW TBLPROPERTIES", "INSERT", "DELETE FROM",
-    "UPDATE", "MERGE INTO", "CREATE TABLE", "DROP TABLE",
-    "SHOW TABLES",
+    "DESCRIBE DETAIL", "DESCRIBE TABLE", "ALTER TABLE",
+    "ANALYZE TABLE", "GENERATE", "REORG TABLE", "SHOW TBLPROPERTIES",
+    "INSERT", "DELETE FROM", "UPDATE", "MERGE INTO", "CREATE TABLE",
+    "DROP TABLE", "SHOW TABLES",
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -315,18 +315,21 @@ class LakeSQL:
     # -- VACUUM ---------------------------------------------------------
     _VACUUM = re.compile(
         rf"VACUUM\s+(?P<tbl>{_IDENT})"
+        r"(?:\s+(?P<lite>LITE))?"
         r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
         r"(?:\s+(?P<dry>DRY\s+RUN))?$",
         re.IGNORECASE,
     )
 
     def _do_vacuum(self, m) -> DataFrame:
-        """``VACUUM t [RETAIN n HOURS] [DRY RUN]`` — DRY RUN returns
-        the would-be-deleted paths (Delta's output shape), the real
-        run a receipt. The retention floor check (and its property
-        override) lives in :meth:`TransactionalLake.vacuum`."""
+        """``VACUUM t [LITE] [RETAIN n HOURS] [DRY RUN]`` — DRY RUN
+        returns the would-be-deleted paths (Delta's output shape),
+        the real run a receipt; LITE sources candidates from the log
+        instead of a directory walk. The retention floor check (and
+        its property override) lives in
+        :meth:`TransactionalLake.vacuum`."""
         lake = self.table(m.group("tbl"))
-        kwargs = {}
+        kwargs = {"lite": m.group("lite") is not None}
         if m.group("hours") is not None:
             kwargs["retention_seconds"] = float(m.group("hours")) * 3600.0
         if m.group("dry"):
@@ -378,6 +381,30 @@ class LakeSQL:
             "version bigint, operation string, num_added_files bigint, "
             "num_removed_files bigint, num_output_rows bigint, "
             "num_position_deletes bigint",
+        )
+
+    _DESCTABLE = re.compile(
+        rf"DESCRIBE\s+TABLE\s+(?P<tbl>{_IDENT})$", re.IGNORECASE
+    )
+
+    def _do_describe_table(self, m) -> DataFrame:
+        """``DESCRIBE TABLE t`` — logical column names/types at head,
+        partition and clustering keys flagged in the comment column
+        (Spark's own output shape)."""
+        lake = self.table(m.group("tbl"))
+        parts = set(lake.partition_by)
+        info = lake.clustering_info()
+        clustered = set(info["cluster_by"]) if info else set()
+        rows = []
+        for name, dtype in lake.snapshot().dtypes:
+            notes = []
+            if name in parts:
+                notes.append("partition key")
+            if name in clustered:
+                notes.append("cluster by")
+            rows.append((name, dtype, ", ".join(notes)))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
         )
 
     _DETAIL = re.compile(
@@ -523,6 +550,22 @@ class LakeSQL:
             return self._receipt(
                 "DROP DEFAULT", lake.drop_column_default(mm.group("c"))
             )
+
+        mm = re.fullmatch(
+            rf"ALTER\s+COLUMN\s+(?P<c>{_IDENT})\s+SYNC\s+IDENTITY",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            ident = lake.identity_state()
+            if ident is None or ident[0] != lake._map_cols(
+                [mm.group("c")]
+            )[0]:
+                raise ValueError(
+                    f"{mm.group('c')!r} is not the table's IDENTITY "
+                    "column"
+                )
+            return self._receipt("SYNC IDENTITY", lake.sync_identity())
 
         if re.fullmatch(r"CLUSTER\s+BY\s+NONE", rest, re.IGNORECASE):
             return self._receipt("CLUSTER BY NONE", lake.set_clustering(()))
@@ -859,7 +902,8 @@ class LakeSQL:
     # heads vs a hypothetical bare DESCRIBE — heads are exact prefixes.
     _HANDLERS = (
         ("OPTIMIZE", (_OPTIMIZE, "OPTIMIZE t [FULL] [WHERE bounds] [ZORDER BY (cols)]", "_do_optimize")),
-        ("VACUUM", (_VACUUM, "VACUUM t [RETAIN n HOURS] [DRY RUN]", "_do_vacuum")),
+        ("VACUUM", (_VACUUM, "VACUUM t [LITE] [RETAIN n HOURS] [DRY RUN]", "_do_vacuum")),
+        ("DESCRIBE TABLE", (_DESCTABLE, "DESCRIBE TABLE t", "_do_describe_table")),
         ("RESTORE", (_RESTORE, "RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'", "_do_restore")),
         ("DESCRIBE HISTORY", (_HISTORY, "DESCRIBE HISTORY t [LIMIT n]", "_do_history")),
         ("DESCRIBE DETAIL", (_DETAIL, "DESCRIBE DETAIL t", "_do_detail")),

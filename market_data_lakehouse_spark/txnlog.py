@@ -4052,7 +4052,10 @@ class TransactionalLake:
             return 0
 
     def vacuum(
-        self, retention_seconds: float = 3600.0, dry_run: bool = False
+        self,
+        retention_seconds: float = 3600.0,
+        dry_run: bool = False,
+        lite: bool = False,
     ) -> int | list[str]:
         """Physically delete files no longer referenced by the LATEST
         snapshot. After vacuum, time-travel to versions whose files
@@ -4104,6 +4107,35 @@ class TransactionalLake:
         cutoff = time.time() - retention_seconds
         removed = 0
         would_remove: list[str] = []
+        if lite:
+            # VACUUM LITE (Delta 3.1 parity): candidates come from
+            # the LOG's retained remove-lists, not a directory walk —
+            # O(retained commits) driver work instead of O(table
+            # files) listing, the difference that matters on a 100 TB
+            # table whose listing alone takes hours. The trade Delta
+            # also makes: never-committed orphans (crashed writers'
+            # staged files) are invisible to the log, so a periodic
+            # FULL vacuum still owns those.
+            candidates: set[str] = set()
+            for name in self._commit_files():  # retained log only —
+                # a vacuumed prefix's removes were handled before it
+                # was truncated (or fall to the next FULL vacuum)
+                c = self._read_commit(int(name.split(".")[0]))
+                candidates.update(c.get("remove", []))
+            for rel in sorted(candidates - live_set):
+                full = os.path.join(self.path, rel)
+                try:
+                    old_enough = os.path.getmtime(full) < cutoff
+                except OSError:
+                    continue  # already gone (earlier vacuum)
+                if not old_enough:
+                    continue
+                if dry_run:
+                    would_remove.append(rel)
+                    continue
+                os.unlink(full)
+                removed += 1
+            return sorted(would_remove) if dry_run else removed
         for dirpath, dirs, files in os.walk(self.path):
             # skip the log and in-flight staging dirs (path-component
             # match, not substring)
@@ -4670,6 +4702,45 @@ class TransactionalLake:
                 "op": "set_identity",
                 "identity": {"column": column, "next": int(start)},
             }
+        )
+
+    def sync_identity(self) -> int:
+        """Re-align the identity high-water mark with the DATA
+        (Delta ``ALTER TABLE ... ALTER COLUMN ... SYNC IDENTITY``):
+        one ``max()`` job over the snapshot, then a metadata commit
+        advancing ``identity_next`` to ``max + 1`` when explicit
+        values landed above the mark (a MERGE inserting rows that
+        carry the column, a CONVERT adopting pre-identified data).
+        Without the sync, the next append would assign ids that
+        collide with those rows.
+
+        RAISE-ONLY by design: the log folds ``identity_next`` with
+        ``max()`` (so replayed/raced commits can never move the mark
+        backward), which also means an old reader that predates this
+        method folds a sync commit correctly — lowering would need a
+        new op older builds silently ignore, exactly the
+        duplicate-id hazard the features protocol exists to prevent.
+        A mark standing above sparse data is gap, not damage."""
+        ident = self.identity_state()
+        if ident is None:
+            raise ValueError("no identity column declared")
+        col, nxt = ident
+        doc = self._column_mapping_doc()
+        inv = (
+            {p: lg for lg, p in doc["cols"].items()}
+            if doc is not None
+            else {}
+        )
+        row = (
+            self.snapshot()
+            .agg(F.max(inv.get(col, col)).alias("m"))
+            .first()
+        )
+        new_next = int(row["m"]) + 1 if row["m"] is not None else nxt
+        if new_next <= nxt:
+            return self.version
+        return self._commit(
+            {"op": "sync_identity", "identity_next": new_next}
         )
 
     def identity_state(self, as_of: int | None = None) -> tuple[str, int] | None:

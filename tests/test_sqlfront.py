@@ -357,3 +357,41 @@ class TestTableChangesTVF:
             "WHERE c._change_type = 'insert' AND c.v = 0.0"
         ).first()["n"]
         assert n == 2
+
+
+class TestNewVerbsR12:
+    def test_describe_table(self, front, lake):
+        front.sql("ALTER TABLE t CLUSTER BY (grp)")
+        rows = {
+            r["col_name"]: (r["data_type"], r["comment"])
+            for r in front.sql("DESCRIBE TABLE t").collect()
+        }
+        assert rows["k"][0] == "bigint"
+        assert rows["grp"][1] == "cluster by"
+
+    def test_vacuum_lite_statement(self, front, lake):
+        lake.optimize()
+        front.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('retentionDurationCheck.enabled' = 'false')"
+        )
+        dry = front.sql("VACUUM t LITE RETAIN 0 HOURS DRY RUN")
+        assert dry.count() > 0
+        front.sql("VACUUM t LITE RETAIN 0 HOURS")
+        assert front.sql("VACUUM t LITE RETAIN 0 HOURS DRY RUN").count() == 0
+
+    def test_sync_identity_statement(self, front, spark, tmp_path):
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        tx = TransactionalLake(spark, str(tmp_path / "sid"), partition_by=())
+        tx.set_identity("id")
+        tx.append(spark.createDataFrame([("a",)], "v string"))
+        tx.merge(
+            spark.createDataFrame([(50, "b")], "id long, v string"),
+            on="id",
+        )
+        front.register("ti", tx)
+        front.sql("ALTER TABLE ti ALTER COLUMN id SYNC IDENTITY")
+        assert tx.identity_state() == ("id", 51)
+        with pytest.raises(ValueError, match="IDENTITY"):
+            front.sql("ALTER TABLE ti ALTER COLUMN v SYNC IDENTITY")

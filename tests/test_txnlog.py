@@ -3958,3 +3958,91 @@ class TestCheckpointIntervalProperty:
         for i in range(6):
             lake.set_properties({"tick": str(i)})
         assert len(self._cps(lake)) == before
+
+
+class TestSyncIdentity:
+    """r12: Delta SYNC IDENTITY — re-align the high-water mark with
+    explicit values that landed via merge; raise-only (the max-fold
+    keeps old readers correct and raced commits monotonic)."""
+
+    def _lake(self, spark, tmp_path, name="si"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        lake.set_identity("id", start=0)
+        lake.append(spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "v string"))
+        return lake
+
+    def test_merge_above_mark_then_sync(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        assert lake.identity_state() == ("id", 3)
+        # explicit ids through MERGE (the path appends forbid)
+        src = lake.spark.createDataFrame(
+            [(100, "x"), (101, "y")], "id long, v string")
+        lake.merge(src, on="id")
+        assert lake.identity_state()[1] == 3  # mark is now STALE
+        lake.sync_identity()
+        assert lake.identity_state() == ("id", 102)
+        lake.append(lake.spark.createDataFrame([("z",)], "v string"))
+        ids = [r["id"] for r in lake.snapshot().collect()]
+        assert len(ids) == len(set(ids)) == 6  # no collision
+        assert 102 in ids
+
+    def test_sync_is_noop_when_aligned(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path, "si2")
+        v = lake.version
+        assert lake.sync_identity() == v  # max+1 == mark already
+
+    def test_sync_never_lowers(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path, "si3")
+        lake.delete_where("id >= 1")  # max now 0, mark 3
+        v = lake.version
+        assert lake.sync_identity() == v
+        assert lake.identity_state() == ("id", 3)
+
+    def test_sync_requires_identity(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "si4"), partition_by=())
+        lake.append(spark.createDataFrame([(1,)], "k int"))
+        with pytest.raises(ValueError, match="no identity"):
+            lake.sync_identity()
+
+
+class TestVacuumLite:
+    """r12: VACUUM LITE (Delta 3.1 parity) — candidates from the
+    log's remove-lists, no directory walk; orphans stay FULL's job."""
+
+    def _lake(self, spark, tmp_path):
+        lake = TransactionalLake(
+            spark, str(tmp_path / "vl"), partition_by=())
+        lake.set_properties(
+            {"retentionDurationCheck.enabled": "false"})
+        for i in range(3):
+            lake.append(spark.createDataFrame(
+                [(i, "x")], "k int, v string").coalesce(1))
+        lake.optimize()  # removes the 3 small files
+        return lake
+
+    def test_lite_removes_logged_removes_only(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        # an orphan the log never saw (crashed writer simulation)
+        orphan = os.path.join(lake.path, "orphan.parquet")
+        open(orphan, "wb").write(b"x")
+        dry = lake.vacuum(retention_seconds=0, dry_run=True, lite=True)
+        assert len(dry) == 3 and "orphan.parquet" not in dry
+        n = lake.vacuum(retention_seconds=0, lite=True)
+        assert n == 3
+        assert os.path.exists(orphan)  # lite cannot see it
+        assert lake.snapshot().count() == 3  # live data intact
+        # FULL vacuum still owns the orphan
+        full = lake.vacuum(retention_seconds=0, dry_run=True)
+        assert "orphan.parquet" in full
+
+    def test_lite_is_idempotent(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        assert lake.vacuum(retention_seconds=0, lite=True) == 3
+        assert lake.vacuum(retention_seconds=0, lite=True) == 0
+
+    def test_lite_respects_retention(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        assert lake.vacuum(retention_seconds=3600, lite=True) == 0
