@@ -779,14 +779,23 @@ class LakeSQL:
             keys.append(mm.group("c1"))
         when_matched = None
         when_not_matched = "ignore"
-        for cm in re.finditer(
-            r"WHEN\s+(?P<not_>NOT\s+)?MATCHED\s+THEN\s+"
+        by_source = "ignore"
+        clause_re = re.compile(
+            r"WHEN\s+(?P<not_>NOT\s+)?MATCHED"
+            r"(?P<bysrc>\s+BY\s+SOURCE)?\s+THEN\s+"
             r"(?P<act>UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
-            m.group("clauses"),
             re.IGNORECASE,
-        ):
+        )
+        for cm in clause_re.finditer(m.group("clauses")):
             act = re.sub(r"\s+", " ", cm.group("act").upper())
-            if cm.group("not_"):
+            if cm.group("bysrc"):
+                if not cm.group("not_") or act != "DELETE":
+                    raise ValueError(
+                        "BY SOURCE supports only WHEN NOT MATCHED BY "
+                        "SOURCE THEN DELETE"
+                    )
+                by_source = "delete"
+            elif cm.group("not_"):
                 if act != "INSERT *":
                     raise ValueError(
                         "WHEN NOT MATCHED supports only INSERT *"
@@ -801,20 +810,13 @@ class LakeSQL:
                     raise ValueError(
                         "WHEN MATCHED supports UPDATE SET * or DELETE"
                     )
-        covered = sum(
-            len(cm.group(0))
-            for cm in re.finditer(
-                r"WHEN\s+(?:NOT\s+)?MATCHED\s+THEN\s+"
-                r"(?:UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)\s*",
-                m.group("clauses"),
-                re.IGNORECASE,
-            )
-        )
-        if covered < len(m.group("clauses").strip()):
+        stripped = clause_re.sub("", m.group("clauses")).strip()
+        if stripped:
             raise ValueError(
                 "unsupported MERGE clause tail: "
-                f"{m.group('clauses')!r} (supported: WHEN MATCHED THEN "
-                "UPDATE SET * | DELETE; WHEN NOT MATCHED THEN INSERT *)"
+                f"{stripped!r} (supported: WHEN MATCHED THEN "
+                "UPDATE SET * | DELETE; WHEN NOT MATCHED THEN "
+                "INSERT *; WHEN NOT MATCHED BY SOURCE THEN DELETE)"
             )
         lake = self.table(m.group("tbl"))
         return self._receipt(
@@ -824,6 +826,7 @@ class LakeSQL:
                 on=keys,
                 when_matched=when_matched or "update",
                 when_not_matched=when_not_matched,
+                when_not_matched_by_source=by_source,
             ),
         )
 

@@ -3055,6 +3055,7 @@ class TransactionalLake:
         mode: str = "rewrite",
         read_bounds: dict[str, tuple] | None = None,
         schema_evolution: bool = False,
+        when_not_matched_by_source: str = "ignore",
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
@@ -3105,6 +3106,16 @@ class TransactionalLake:
         append — a replayed micro-batch whose (app_id, version) is
         already committed is skipped, making ``stream_upsert``'s
         foreachBatch merge exactly-once under restart.
+
+        ``when_not_matched_by_source="delete"`` (r12, Delta ``WHEN
+        NOT MATCHED BY SOURCE THEN DELETE``): target rows with no
+        source key match are deleted — the one-statement
+        source-mirrors-target sync (SCD-style full refresh). Rewrite
+        mode only (it touches every file holding an unmatched row,
+        the copy-on-write shape by nature); files are still probed,
+        never swept wholesale. The BY SOURCE ``UPDATE SET`` variant
+        is a loud error: it needs per-column SET expressions this
+        engine's whole-row merge cannot express.
         """
         keys = [on] if isinstance(on, str) else list(on)
         mdoc = self._column_mapping_doc()
@@ -3135,6 +3146,21 @@ class TransactionalLake:
             raise ValueError("when_matched must be 'update' or 'delete'")
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+        if when_not_matched_by_source not in ("delete", "ignore"):
+            raise ValueError(
+                "when_not_matched_by_source must be 'delete' or "
+                "'ignore' (Delta's WHEN NOT MATCHED BY SOURCE THEN "
+                "UPDATE needs per-column SET expressions this "
+                "engine's whole-row merge cannot express)"
+            )
+        if when_not_matched_by_source == "delete" and mode == "dv":
+            raise ValueError(
+                "when_not_matched_by_source='delete' requires "
+                "mode='rewrite': it touches every file holding an "
+                "unmatched row, which is the copy-on-write shape — "
+                "a dv that hides most of the table defeats "
+                "merge-on-read's point"
+            )
         if validate_keys:
             dup = (
                 source.groupBy(*keys)
@@ -3248,6 +3274,25 @@ class TransactionalLake:
                 .collect()
             ]
         )
+        if when_not_matched_by_source == "delete":
+            # Delta WHEN NOT MATCHED BY SOURCE THEN DELETE: target
+            # rows with no source key match go. Files holding such a
+            # row join the affected set (their survivors are the
+            # MATCHED rows now); a file whose every row matches stays
+            # scoped by the probe, not swept in wholesale.
+            unmatched_files = self._rel_paths(
+                [
+                    r.f
+                    for r in snap.select(
+                        F.col("_metadata.file_path").alias("f"), *keys
+                    )
+                    .join(src_keys, keys, "left_anti")
+                    .select("f")
+                    .distinct()
+                    .collect()
+                ]
+            )
+            affected = sorted(set(affected) | set(unmatched_files))
         parts: list[DataFrame] = []
         rt = self._row_tracking_state()
         aff_df = (
@@ -3256,9 +3301,13 @@ class TransactionalLake:
             else None
         )
         if aff_df is not None:
-            # survivors: rows in affected files whose key has NO
-            # source match
-            parts.append(aff_df.join(src_keys, keys, "left_anti"))
+            if when_not_matched_by_source == "ignore":
+                # survivors: rows in affected files whose key has NO
+                # source match
+                parts.append(aff_df.join(src_keys, keys, "left_anti"))
+            # by-source DELETE: those same rows are exactly the
+            # clause's targets — dropping the survivor part IS the
+            # delete (matched rows re-emit below, inserts unchanged)
             if when_matched == "update":
                 # EVERY matched target row is updated in place (Delta
                 # MERGE semantics): join target rows to the unique
@@ -3352,9 +3401,14 @@ class TransactionalLake:
                 ]
             )
         if out is None:
-            # delete+ignore with nothing affected: no-op commit
+            # delete+ignore with nothing affected is a no-op commit —
+            # but a by-source/matched delete combination can empty
+            # the affected set entirely (every probed file's rows
+            # deleted, nothing inserted): the removals must still
+            # commit (r12)
             return self._commit(
-                {"op": "merge", "add": [], "remove": [], **txn_action},
+                {"op": "merge", "add": [], "remove": affected,
+                 **txn_action},
                 read_version=read_v, read_bounds=read_bounds,
             )
         self._enforce_constraints(out, "merge")

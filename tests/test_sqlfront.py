@@ -395,3 +395,24 @@ class TestNewVerbsR12:
         assert tx.identity_state() == ("id", 51)
         with pytest.raises(ValueError, match="IDENTITY"):
             front.sql("ALTER TABLE ti ALTER COLUMN v SYNC IDENTITY")
+
+
+class TestMergeBySource:
+    def test_by_source_delete_statement(self, front, lake):
+        front.sql(
+            "MERGE INTO t USING ("
+            "  SELECT k, grp, CAST(0.0 AS DOUBLE) AS v FROM t WHERE k < 3"
+            ") AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+        got = lake.snapshot()
+        assert got.count() == 3
+        assert got.filter("v = 0.0").count() == 3
+
+    def test_by_source_update_rejected(self, front):
+        with pytest.raises(ValueError, match="BY SOURCE"):
+            front.sql(
+                "MERGE INTO t USING (SELECT 1 AS k) s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+            )

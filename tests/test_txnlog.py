@@ -4046,3 +4046,68 @@ class TestVacuumLite:
     def test_lite_respects_retention(self, spark, tmp_path):
         lake = self._lake(spark, tmp_path)
         assert lake.vacuum(retention_seconds=3600, lite=True) == 0
+
+
+class TestMergeNotMatchedBySource:
+    """r12: Delta WHEN NOT MATCHED BY SOURCE THEN DELETE — the
+    one-statement source-mirrors-target sync."""
+
+    def _lake(self, spark, tmp_path, name="ms"):
+        lake = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=())
+        lake.append(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k int, v string"
+        ).repartition(3))
+        return lake
+
+    def test_full_sync(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path)
+        src = lake.spark.createDataFrame(
+            [(2, "upd2"), (5, "upd5"), (42, "new")], "k int, v string")
+        lake.merge(src, on="k", when_not_matched_by_source="delete")
+        got = sorted((r["k"], r["v"]) for r in lake.snapshot().collect())
+        assert got == [(2, "upd2"), (5, "upd5"), (42, "new")]
+
+    def test_compose_with_matched_delete(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path, "ms2")
+        src = lake.spark.createDataFrame([(3, "x")], "k int, v string")
+        lake.merge(
+            src, on="k", when_matched="delete",
+            when_not_matched="ignore",
+            when_not_matched_by_source="delete",
+        )
+        assert lake.snapshot().count() == 0
+
+    def test_scoped_probe_not_wholesale(self, spark, tmp_path):
+        """A file whose EVERY row matches the source is affected via
+        the matched probe only — and survivors of by-source delete
+        are exactly the matched rows."""
+        lake = TransactionalLake(
+            spark, str(tmp_path / "ms3"), partition_by=())
+        lake.append(lake.spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string").coalesce(1))
+        lake.append(lake.spark.createDataFrame(
+            [(3, "c"), (4, "d")], "k int, v string").coalesce(1))
+        src = lake.spark.createDataFrame(
+            [(1, "A"), (2, "B")], "k int, v string")
+        lake.merge(src, on="k", when_not_matched_by_source="delete")
+        got = sorted((r["k"], r["v"]) for r in lake.snapshot().collect())
+        assert got == [(1, "A"), (2, "B")]
+
+    def test_dv_mode_refuses(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path, "ms4")
+        src = lake.spark.createDataFrame([(1, "x")], "k int, v string")
+        with pytest.raises(ValueError, match="rewrite"):
+            lake.merge(src, on="k", mode="dv",
+                       when_not_matched_by_source="delete")
+
+    def test_cdc_sees_the_deletes(self, spark, tmp_path):
+        lake = self._lake(spark, tmp_path, "ms5")
+        v0 = lake.version
+        src = lake.spark.createDataFrame(
+            [(0, "z")], "k int, v string")
+        lake.merge(src, on="k", when_not_matched_by_source="delete")
+        ch = lake.read_changes(v0 + 1)
+        dels = {r["k"] for r in ch.collect()
+                if r["_change_type"] == "delete"}
+        assert dels == set(range(10))  # every pre-image emitted
