@@ -552,6 +552,31 @@ class LakeSQL:
             )
 
         mm = re.fullmatch(
+            rf"ALTER\s+COLUMN\s+(?P<c>{_IDENT})\s+"
+            r"(?P<which>SET|DROP)\s+NOT\s+NULL",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            # NOT NULL rides the CHECK-constraint machinery (same
+            # effect as Delta's schema nullability: existing rows
+            # validate at SET time, every future batch at write
+            # time; the reserved name keys the DROP)
+            cname = f"not_null_{mm.group('c')}"
+            if mm.group("which").upper() == "SET":
+                return self._receipt(
+                    "SET NOT NULL",
+                    lake.add_check_constraint(
+                        cname, f"{mm.group('c')} IS NOT NULL"
+                    ),
+                )
+            if cname in lake.check_constraints():
+                return self._receipt(
+                    "DROP NOT NULL", lake.drop_check_constraint(cname)
+                )
+            return self._receipt("DROP NOT NULL", lake.version)
+
+        mm = re.fullmatch(
             rf"ALTER\s+COLUMN\s+(?P<c>{_IDENT})\s+SYNC\s+IDENTITY",
             rest,
             re.IGNORECASE,

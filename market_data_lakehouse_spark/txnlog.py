@@ -178,6 +178,12 @@ class TransactionalLake:
         self._txn_cache_upto: int = -1
         self.checkpoint_every = max(0, checkpoint_every)  # 0 = disabled
         self.bloom_columns = tuple(bloom_columns)
+        rec_bloom = self._recorded_blooms()
+        if rec_bloom is not None:
+            # log-owned like generated columns (r12): reopeners keep
+            # building blooms without re-stating the ctor arg; change
+            # the set with set_bloom_columns(), never the constructor
+            self.bloom_columns = rec_bloom
 
     @classmethod
     def convert(
@@ -537,6 +543,7 @@ class TransactionalLake:
             "timestamp": self._read_commit(version)["timestamp"],
             "partition_by": list(self.partition_by),
             "generated_columns": dict(self.generated_columns),
+            "bloom_columns": list(self.bloom_columns),
             "live": list(live),
             "schemas": schemas,
             "stats": stats,
@@ -1573,6 +1580,11 @@ class TransactionalLake:
                 # ctor arg adopts the table's recorded expressions
                 # instead of silently writing un-derived batches
                 "generated_columns": dict(self.generated_columns),
+                # r12: bloom columns are log-owned the same way — a
+                # reopener that omits the ctor arg keeps building
+                # blooms, instead of silently degrading point-lookup
+                # skipping for every file it writes
+                "bloom_columns": list(self.bloom_columns),
                 **payload_action,
             }
             tmp = os.path.join(self.log_path, f".tmp_{uuid.uuid4().hex}")
@@ -1660,6 +1672,42 @@ class TransactionalLake:
             if "generated_columns" in cp:
                 return dict(cp["generated_columns"])
         return None
+
+    def _recorded_blooms(
+        self, as_of: int | None = None
+    ) -> tuple[str, ...] | None:
+        """Bloom-column set recorded by the latest commit that
+        carries it (None = pre-recording log, ctor value applies) —
+        same log-ownership contract as generated columns."""
+        for name in reversed(self._commit_files()):
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            c = self._read_commit(v)
+            if "bloom_columns" in c:
+                return tuple(c["bloom_columns"])
+        cp = self._latest_checkpoint()
+        if cp is not None and (as_of is None or cp["version"] <= as_of):
+            if "bloom_columns" in cp:
+                return tuple(cp["bloom_columns"])
+        return None
+
+    def set_bloom_columns(self, columns) -> int:
+        """Change the table's bloom-filter column set as a metadata
+        commit (the log owns the knob; a constructor cannot). Applies
+        to files written AFTER this commit — existing files keep the
+        blooms they were written with (absence degrades to
+        conservative keep, never wrong results); a later OPTIMIZE
+        rewrite backfills naturally. Empty = stop building blooms."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        phys = tuple(self._map_cols(cols)) if cols else ()
+        prev = self.bloom_columns
+        self.bloom_columns = phys
+        try:
+            return self._commit({"op": "set_blooms"})
+        except Exception:
+            self.bloom_columns = prev
+            raise
 
     def _snapshot_state(
         self, version: int | None = None, timestamp: str | None = None

@@ -204,3 +204,44 @@ class TestDescribeDetail:
         assert all("symbol" in r.bloom_columns for r in f.values())
         assert sum(r.deleted_rows for r in f.values()) == 1
         assert all(r.size_bytes > 0 for r in f.values())
+
+
+class TestLogOwnedBloomColumns:
+    """r12: the bloom-column set is log-owned like generated columns
+    — a reopener that omits the ctor arg keeps building blooms
+    instead of silently degrading skipping for its files."""
+
+    def test_reopener_adopts_recorded_set(self, spark, tmp_path):
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        path = str(tmp_path / "lb")
+        a = TransactionalLake(spark, path, partition_by=(),
+                              bloom_columns=("k",))
+        a.append(spark.createDataFrame(
+            [(i, "x") for i in range(50)], "k int, v string").coalesce(1))
+        b = TransactionalLake(spark, path, partition_by=())  # omits arg
+        assert b.bloom_columns == ("k",)
+        b.append(spark.createDataFrame(
+            [(i + 100, "y") for i in range(50)],
+            "k int, v string").coalesce(1))
+        # both files carry blooms: an equality probe prunes to 1 file
+        kept, total, _ = b.prune_files({"k": (7, 7)})
+        assert total == 2 and len(kept) == 1
+
+    def test_set_bloom_columns_commit(self, spark, tmp_path):
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        path = str(tmp_path / "lb2")
+        a = TransactionalLake(spark, path, partition_by=())
+        a.append(spark.createDataFrame(
+            [(1, "x")], "k int, v string").coalesce(1))
+        assert a.bloom_columns == ()
+        a.set_bloom_columns(["k"])
+        a.append(spark.createDataFrame(
+            [(2, "y")], "k int, v string").coalesce(1))
+        # adopted by a fresh reopener, survives further commits
+        b = TransactionalLake(spark, path, partition_by=())
+        assert b.bloom_columns == ("k",)
+        b.set_bloom_columns(())
+        c = TransactionalLake(spark, path, partition_by=())
+        assert c.bloom_columns == ()

@@ -416,3 +416,29 @@ class TestMergeBySource:
                 "MERGE INTO t USING (SELECT 1 AS k) s ON t.k = s.k "
                 "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
             )
+
+
+class TestNotNull:
+    def test_set_not_null_validates_and_enforces(self, front, lake, spark):
+        front.sql("ALTER TABLE t ADD COLUMN opt STRING")
+        # existing rows are NULL in opt -> SET must refuse
+        with pytest.raises(ValueError, match="violate"):
+            front.sql("ALTER TABLE t ALTER COLUMN opt SET NOT NULL")
+        front.sql("UPDATE t SET opt = 'x'")
+        front.sql("ALTER TABLE t ALTER COLUMN opt SET NOT NULL")
+        with pytest.raises(Exception, match="not_null_opt"):
+            lake.append(spark.sql(
+                "SELECT CAST(5000 AS BIGINT) AS k, "
+                "CAST(1 AS BIGINT) AS grp, "
+                "CAST(1.0 AS DOUBLE) AS v, CAST(NULL AS STRING) AS opt"
+            ))
+        front.sql("ALTER TABLE t ALTER COLUMN opt DROP NOT NULL")
+        lake.append(spark.sql(
+            "SELECT CAST(5000 AS BIGINT) AS k, CAST(1 AS BIGINT) AS grp, "
+            "CAST(1.0 AS DOUBLE) AS v, CAST(NULL AS STRING) AS opt"
+        ))
+        assert lake.snapshot().count() == 101
+
+    def test_drop_not_null_noop_when_absent(self, front, lake):
+        rec = front.sql("ALTER TABLE t ALTER COLUMN v DROP NOT NULL")
+        assert rec.first()["version"] == lake.version
