@@ -64,10 +64,24 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # 4; resolution: s31 takes one, and the 3 r9-stale picks lead with
 # the two entries on the directive-5-changed connected_components
 # path (g5, e2_dedup_clusters — they need re-greening anyway) plus
-# e1_dedup_by_hash (the bench control). The remaining 40-entry r9
-# cohort anchors r13 (a1/a3-a9, e2_embedding_neardup/_ngram_jaccard/
+# e1_dedup_by_hash (the bench control).
+#
+# r13 window queue: (a) the remaining 40-entry r9-stale cohort
+# (a1_vwap_by_flag, a3-a6, a7_distinct, a8_cube/_grouping_sets/
+# _rollup, a9_percentiles, e2_embedding_neardup/_ngram_jaccard/
 # _semantic_dedup/_simhash, e3_cell_recall/knn_bruteforce,
-# e4_rolling_chunks, f2, g4, j1-j8, o2, s1/s18, u1, w1-w4/w6, x6).
+# e4_rolling_chunks, f2_time_range, g4_kcore, j1-j8 (10 entries:
+# j2 x2, j4 x2, j6_asof_join, j7), o2_topk, s1_scan_project,
+# s18_metadata_count, u1_intersect/u1_union_except, w1-w4, w6,
+# x6_arith_expr); (b) 7 entries whose code paths changed in r12
+# AFTER their last driver run — all locally re-greened at sf0.01 in
+# r12, but the driver rows predate the changes: s8_merge_upsert
+# (by-source merge param + empty-out commit), s12_deletion_vectors +
+# t13_restore_across_dv (reorg/dv-adjacent), s13_zero_copy_clone
+# (clone_mode key), s22_row_tracking (reorg id-preserving rewrite),
+# s28_commit_checksum (checkpoint feature fold newest-wins),
+# f6_bloom_skipping (log-owned bloom columns). 47 slots; 3 spare for
+# r13-new. The 41-entry r10 cohort then anchors r14.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # (a) r11-new, locally green, never driver-run (2)

@@ -240,6 +240,7 @@ class LakeSQL:
         )
         where = self._parse_bounds(m.group("where")) if m.group("where") else None
         full = m.group("full") is not None
+        before_v = lake.version
         if lake.clustering_info() is not None and not zorder and not where:
             v = lake.optimize_clustering(full=full)
         else:
@@ -249,7 +250,15 @@ class LakeSQL:
                     "(ALTER TABLE ... CLUSTER BY first)"
                 )
             v = lake.optimize(zorder_by=zorder, where=where)
-        return self._receipt("OPTIMIZE", v)
+        added = removed = 0
+        if v != before_v:  # Delta's OPTIMIZE metrics shape
+            mx = lake.history(limit=1)[0]["operation_metrics"]
+            added, removed = mx["num_added_files"], mx["num_removed_files"]
+        return self.spark.createDataFrame(
+            [(int(v), int(added), int(removed))],
+            "version bigint, num_added_files bigint, "
+            "num_removed_files bigint",
+        )
 
     @staticmethod
     def _parse_bounds(where: str) -> dict[str, tuple]:
@@ -348,12 +357,31 @@ class LakeSQL:
     )
 
     def _do_restore(self, m) -> DataFrame:
+        """Returns Delta RESTORE's metrics shape: files re-added /
+        removed by the restore commit plus the table's state after —
+        all from the log (the restore is metadata-only, so its
+        receipt must be too)."""
         lake = self.table(m.group("tbl"))
+        before_v = lake.version
         if m.group("ver") is not None:
             v = lake.restore(version=int(m.group("ver")))
         else:
             v = lake.restore(timestamp=_unquote(m.group("ts")))
-        return self._receipt("RESTORE", v)
+        restored = removed = 0
+        if v != before_v:
+            mx = lake.history(limit=1)[0]["operation_metrics"]
+            restored = mx["num_added_files"]
+            removed = mx["num_removed_files"]
+        d = lake.detail()
+        return self.spark.createDataFrame(
+            [(
+                int(v), int(restored), int(removed),
+                int(d["num_files"]), int(d["size_bytes"]),
+            )],
+            "version bigint, num_restored_files bigint, "
+            "num_removed_files bigint, num_of_files_after_restore "
+            "bigint, table_size_after_restore bigint",
+        )
 
     # -- DESCRIBE -------------------------------------------------------
     _HISTORY = re.compile(

@@ -93,7 +93,8 @@ class TestLifecycleVerbs:
             )
         before = lake.detail()["num_files"]
         rec = front.sql("OPTIMIZE t ZORDER BY (k)").collect()[0]
-        assert rec["operation"] == "OPTIMIZE"
+        assert rec["num_removed_files"] == before  # all compacted
+        assert rec["num_added_files"] < before
         assert lake.detail()["num_files"] < before
         assert lake.history(limit=1)[0]["zorder_by"] == ["k"]
 
@@ -442,3 +443,21 @@ class TestNotNull:
     def test_drop_not_null_noop_when_absent(self, front, lake):
         rec = front.sql("ALTER TABLE t ALTER COLUMN v DROP NOT NULL")
         assert rec.first()["version"] == lake.version
+
+
+class TestCommandMetrics:
+    def test_restore_metrics_shape(self, front, lake):
+        v0 = lake.version
+        front.sql("DELETE FROM t WHERE k < 50")
+        row = front.sql(
+            f"RESTORE TABLE t TO VERSION AS OF {v0}"
+        ).collect()[0]
+        assert row["num_restored_files"] > 0
+        assert row["num_of_files_after_restore"] == lake.detail()["num_files"]
+        assert row["table_size_after_restore"] == lake.detail()["size_bytes"]
+        # no-op restore: zero metrics, same version
+        again = front.sql(
+            f"RESTORE TABLE t TO VERSION AS OF {lake.version}"
+        ).collect()[0]
+        assert again["num_restored_files"] == 0
+        assert again["version"] == lake.version
