@@ -731,11 +731,28 @@ class LakeSQL:
         except ValueError:
             target = None  # empty table: first insert defines schema
         if target is not None:
-            tcols = [c for c in target.columns if not c.startswith("_")]
+            # derived columns (GENERATED / IDENTITY) are computed by
+            # the engine on every write — they are never part of the
+            # positional list (Delta's insert behavior for them)
+            doc = lake.column_mapping()
+            inv = {p: lg for lg, p in doc.items()} if doc else {}
+            derived = {
+                inv.get(c, c) for c in lake.generated_columns
+            }
+            ident = lake.identity_state()
+            if ident is not None:
+                derived.add(inv.get(ident[0], ident[0]))
+            tcols = [
+                c
+                for c in target.columns
+                if not c.startswith("_") and c not in derived
+            ]
             if len(df.columns) != len(tcols):
                 raise ValueError(
                     f"INSERT arity mismatch: statement supplies "
-                    f"{len(df.columns)} columns, table has {tcols}"
+                    f"{len(df.columns)} columns, table takes {tcols} "
+                    f"(derived columns {sorted(derived) or None} are "
+                    "engine-computed)"
                 )
             dtypes = dict(target.dtypes)
             df = df.toDF(*tcols).select(
@@ -886,31 +903,81 @@ class LakeSQL:
     # -- table management ---------------------------------------------------
     _CREATE = re.compile(
         rf"CREATE\s+TABLE\s+(?P<name>{_IDENT})\s+"
+        r"(?:\(\s*(?P<cols>.+?)\s*\)\s+)?"
         r"(?:PARTITIONED\s+BY\s+\(\s*(?P<parts>[^)]+)\s*\)\s+)?"
         r"LOCATION\s+(?P<loc>'[^']+')"
         r"(?:\s+AS\s+(?P<src>(?:SELECT|WITH|VALUES|TABLE)\s.+))?$",
         re.IGNORECASE,
     )
 
+    _COLDEF = re.compile(
+        rf"(?P<n>{_IDENT})\s+(?P<t>[A-Za-z0-9_]+(?:\s*\([0-9, ]+\))?"
+        r"(?:<[^>]+>)?)"
+        r"(?:\s+(?P<mark>GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+        r"|GENERATED\s+ALWAYS\s+AS\s*\((?P<g>.+)\)"
+        r"|NOT\s+NULL))?$",
+        re.IGNORECASE,
+    )
+
     def _do_create(self, m) -> DataFrame:
-        """``CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p'
-        [AS <select>]`` — opens (or creates) a transactional lake at
-        the location, registers it under the name, and with AS runs
-        the select through the passthrough and appends it as the
-        first commit. For an EXISTING table the log's recorded layout
-        wins over PARTITIONED BY (the constructor's contract)."""
+        """``CREATE TABLE n [(coldefs)] [PARTITIONED BY (c,...)]
+        LOCATION 'p' [AS <select>]`` — opens (or creates) a
+        transactional lake at the location, registers it under the
+        name. With ``AS`` the select runs through the passthrough and
+        appends as the first commit. With a COLUMN LIST (Delta's
+        create-DDL shape) the declared schema commits via an
+        empty seed append, and the markers wire the corresponding
+        log features: ``GENERATED ALWAYS AS (expr)`` (derived on
+        every write — usable in PARTITIONED BY), ``GENERATED ALWAYS
+        AS IDENTITY``, ``NOT NULL`` (check-constraint enforcement).
+        Derived columns are never part of an INSERT's positional
+        list — the engine computes them. For an EXISTING table the
+        log's recorded layout/expressions win (the constructor's
+        contract)."""
         from market_data_lakehouse_spark.txnlog import TransactionalLake
 
         name = m.group("name")
         if name.lower() in self._tables:
             raise ValueError(f"table {name!r} already registered")
+        if m.group("cols") and m.group("src"):
+            raise ValueError(
+                "CREATE TABLE takes a column list OR AS <select>, "
+                "not both"
+            )
         parts = (
             tuple(c.strip().strip("`") for c in m.group("parts").split(","))
             if m.group("parts")
             else ()
         )
+        plain: list[tuple[str, str]] = []
+        generated: dict[str, str] = {}
+        identity: str | None = None
+        not_null: list[str] = []
+        for spec in _split_commas(m.group("cols") or ""):
+            cm = self._COLDEF.fullmatch(spec.strip())
+            if not cm:
+                raise ValueError(
+                    f"cannot parse column definition: {spec!r} "
+                    "(name TYPE [GENERATED ALWAYS AS IDENTITY | "
+                    "GENERATED ALWAYS AS (expr) | NOT NULL])"
+                )
+            cname, ctype = cm.group("n"), cm.group("t").strip().lower()
+            mark = (cm.group("mark") or "").upper()
+            if cm.group("g") is not None:
+                generated[cname] = cm.group("g").strip()
+            elif "IDENTITY" in mark:
+                if identity is not None:
+                    raise ValueError("at most one IDENTITY column")
+                identity = cname
+            else:
+                plain.append((cname, ctype))
+                if mark.startswith("NOT"):
+                    not_null.append(cname)
         lake = TransactionalLake(
-            self.spark, _unquote(m.group("loc")), partition_by=parts
+            self.spark,
+            _unquote(m.group("loc")),
+            partition_by=parts,
+            generated_columns=generated,
         )
         # evaluate AS-select BEFORE registering: the passthrough
         # views every registered table, and the new one is still
@@ -920,6 +987,22 @@ class LakeSQL:
             v = lake.append(
                 self.spark.sql(self._prepare_select(m.group("src")))
             )
+        elif m.group("cols"):
+            if v >= 0:
+                raise ValueError(
+                    f"location {lake.path!r} already holds a table at "
+                    f"v{v}; a column list only creates NEW tables"
+                )
+            if identity is not None:
+                lake.set_identity(identity)
+            seed = self.spark.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in plain)
+            )
+            v = lake.append(seed)  # schema commit: plain + derived
+            for c in not_null:
+                v = lake.add_check_constraint(
+                    f"not_null_{c}", f"{c} IS NOT NULL"
+                )
         self.register(name, lake)
         return self._receipt("CREATE TABLE", v)
 

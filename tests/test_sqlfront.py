@@ -461,3 +461,61 @@ class TestCommandMetrics:
         ).collect()[0]
         assert again["num_restored_files"] == 0
         assert again["version"] == lake.version
+
+
+class TestCreateTableDDL:
+    """r12: CREATE TABLE with a column list — declared schema commits
+    via an empty seed append; GENERATED / IDENTITY / NOT NULL markers
+    wire the corresponding log features; INSERT's positional list
+    excludes engine-derived columns."""
+
+    def test_full_ddl_lifecycle(self, front, spark, tmp_path):
+        front.sql(
+            f"CREATE TABLE ev ("
+            "  id BIGINT GENERATED ALWAYS AS IDENTITY,"
+            "  k BIGINT NOT NULL,"
+            "  ts TIMESTAMP,"
+            "  d DATE GENERATED ALWAYS AS (to_date(ts)),"
+            "  v DOUBLE"
+            f") PARTITIONED BY (d) LOCATION '{tmp_path / 'ev'}'"
+        )
+        lake = front.table("ev")
+        assert set(lake.snapshot().columns) == {"id", "k", "ts", "d", "v"}
+        assert lake.snapshot().count() == 0
+        # positional INSERT supplies only the non-derived columns
+        front.sql(
+            "INSERT INTO ev VALUES "
+            "(1, TIMESTAMP '2024-06-15 10:00:00', 1.5), "
+            "(2, TIMESTAMP '2024-06-16 11:00:00', 2.5)"
+        )
+        rows = {
+            r["k"]: (r["id"], str(r["d"]), r["v"])
+            for r in lake.snapshot().collect()
+        }
+        assert rows[1][1] == "2024-06-15" and rows[2][1] == "2024-06-16"
+        assert sorted(x[0] for x in rows.values()) == [0, 1]  # identity
+        # NOT NULL enforced
+        with pytest.raises(Exception, match="not_null_k"):
+            front.sql(
+                "INSERT INTO ev VALUES "
+                "(NULL, TIMESTAMP '2024-06-15 10:00:00', 1.0)"
+            )
+        # generated partition column prunes
+        kept, total, _ = lake.prune_files(
+            {"d": ("2024-06-15", "2024-06-15")}
+        )
+        assert total >= 1 and len(kept) < total or total == 1
+
+    def test_column_list_and_as_select_conflict(self, front, tmp_path):
+        with pytest.raises(ValueError, match="not both"):
+            front.sql(
+                f"CREATE TABLE x (k INT) LOCATION '{tmp_path / 'x'}' "
+                "AS SELECT 1 AS k"
+            )
+
+    def test_bad_coldef(self, front, tmp_path):
+        with pytest.raises(ValueError, match="column definition"):
+            front.sql(
+                f"CREATE TABLE y (k INT PRIMARY KEY) "
+                f"LOCATION '{tmp_path / 'y'}'"
+            )
