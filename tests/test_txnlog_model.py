@@ -13,7 +13,8 @@ from market_data_lakehouse_spark.txnlog import TransactionalLake
 
 op = st.sampled_from(
     ["append", "overwrite", "delete_low", "delete_low_dv", "compact",
-     "restore", "update_dv", "merge_dv", "replace_where"]
+     "restore", "update_dv", "merge_dv", "replace_where",
+     "merge_by_source", "reorg_purge", "vacuum_lite"]
 )
 
 
@@ -92,6 +93,34 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             next_id += 1
             lake.overwrite_where(df_for({new}), f"id = {top} OR id = {new}")
             live = (live - {top}) | {new}
+        elif o == "merge_by_source":
+            # r12: source-mirrors-target — keep the bottom half,
+            # update them in place, insert one new id, delete the rest
+            if not live:
+                continue
+            keep = set(sorted(live)[: max(1, len(live) // 2)])
+            new = next_id
+            next_id += 1
+            lake.merge(df_for(keep | {new}), on="id",
+                       when_not_matched_by_source="delete")
+            live = keep | {new}
+        elif o == "reorg_purge":
+            # r12: materializes any live deletion vectors, scoped to
+            # the dv-carrying files; visible rows never change. A
+            # table with nothing reclaimable is a version-free no-op
+            # the model must not record.
+            before = lake.version
+            lake.reorg_purge()
+            if lake.version == before:
+                continue
+            live = set(live)
+        elif o == "vacuum_lite":
+            # r12: physical-only cleanup of logged removes — commits
+            # nothing, so the model records nothing; every historical
+            # version that survives retention must stay readable
+            # (retention floor keeps just-removed files, so it does)
+            lake.vacuum(lite=True)
+            continue
         elif o == "compact":
             if not live:
                 continue
@@ -232,6 +261,34 @@ def test_random_ops_with_checkpoints_and_retention(
             cutoff = min(live) + 1
             lake.delete_where(f"id < {cutoff}", mode="dv")
             live = {i for i in live if i >= cutoff}
+        elif o == "merge_by_source":
+            # r12: source-mirrors-target — keep the bottom half,
+            # update them in place, insert one new id, delete the rest
+            if not live:
+                continue
+            keep = set(sorted(live)[: max(1, len(live) // 2)])
+            new = next_id
+            next_id += 1
+            lake.merge(df_for(keep | {new}), on="id",
+                       when_not_matched_by_source="delete")
+            live = keep | {new}
+        elif o == "reorg_purge":
+            # r12: materializes any live deletion vectors, scoped to
+            # the dv-carrying files; visible rows never change. A
+            # table with nothing reclaimable is a version-free no-op
+            # the model must not record.
+            before = lake.version
+            lake.reorg_purge()
+            if lake.version == before:
+                continue
+            live = set(live)
+        elif o == "vacuum_lite":
+            # r12: physical-only cleanup of logged removes — commits
+            # nothing, so the model records nothing; every historical
+            # version that survives retention must stay readable
+            # (retention floor keeps just-removed files, so it does)
+            lake.vacuum(lite=True)
+            continue
         elif o == "compact":
             if not live:
                 continue
