@@ -42,6 +42,19 @@ def main() -> None:
     n0 = fr.sql("SELECT COUNT(*) AS n FROM trades").first()["n"]
     print(f"created: {n0} rows")
 
+    # column-list DDL: markers wire the log features (r12)
+    fr.sql(
+        f"CREATE TABLE audit ("
+        "  id BIGINT GENERATED ALWAYS AS IDENTITY,"
+        "  k BIGINT NOT NULL,"
+        "  note STRING"
+        f") LOCATION '{root}/audit'"
+    )
+    fr.sql("INSERT INTO audit VALUES (10, 'first'), (20, 'second')")
+    ids = sorted(r["id"] for r in fr.sql("SELECT id FROM audit").collect())
+    assert ids == [0, 1], ids
+    print(f"audit table: identity ids {ids}")
+
     # evolve + mutate, SQL only
     fr.sql("ALTER TABLE trades ADD COLUMN note STRING")
     fr.sql("ALTER TABLE trades ALTER COLUMN note SET DEFAULT 'none'")
