@@ -63,7 +63,8 @@ _UTILITY_HEADS = (
     "DESCRIBE DETAIL", "DESCRIBE TABLE", "ALTER TABLE",
     "ANALYZE TABLE", "GENERATE", "REORG TABLE", "SHOW TBLPROPERTIES",
     "INSERT", "DELETE FROM", "UPDATE", "MERGE INTO", "CREATE TABLE",
-    "DROP TABLE", "SHOW TABLES",
+    "DROP TABLE", "SHOW TABLES", "CONVERT TO LAKE", "SHOW PARTITIONS",
+    "SHOW COLUMNS", "TRUNCATE TABLE", "COMMENT ON",
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -138,15 +139,20 @@ class LakeSQL:
         stmt = statement.strip().rstrip(";").strip()
         flat = re.sub(r"\s+", " ", stmt)
         up = flat.upper()
-        for head, handler in self._HANDLERS:
-            if up.startswith(head):
-                m = handler[0].match(flat)
-                if not m:
-                    raise ValueError(
-                        f"cannot parse {head} statement; supported "
-                        f"form: {handler[1]}\n  got: {flat}"
-                    )
-                return getattr(self, handler[2])(m)
+        cands = [h for head, h in self._HANDLERS if up.startswith(head)]
+        if cands:
+            # a head may own several grammars (CREATE TABLE: clone vs
+            # generic) — first regex that matches wins; none matching
+            # raises every supported form for that head
+            for rx, _doc, meth in cands:
+                m = rx.match(flat)
+                if m:
+                    return getattr(self, meth)(m)
+            forms = "\n  or: ".join(doc for _rx, doc, _m in cands)
+            raise ValueError(
+                f"cannot parse statement; supported form: {forms}"
+                f"\n  got: {flat}"
+            )
         # Not a utility verb: serve through Spark SQL over the
         # registered snapshots (fresh view per call — the snapshot
         # advances with the log), with time-travel rewriting.
@@ -423,6 +429,7 @@ class LakeSQL:
         parts = set(lake.partition_by)
         info = lake.clustering_info()
         clustered = set(info["cluster_by"]) if info else set()
+        props = lake.properties()
         rows = []
         for name, dtype in lake.snapshot().dtypes:
             notes = []
@@ -430,6 +437,9 @@ class LakeSQL:
                 notes.append("partition key")
             if name in clustered:
                 notes.append("cluster by")
+            note = props.get(f"comment.column.{name}")
+            if note:
+                notes.append(note)
             rows.append((name, dtype, ", ".join(notes)))
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
@@ -1036,9 +1046,160 @@ class LakeSQL:
             rows, "table string, location string, version bigint"
         )
 
+    _CONVERT = re.compile(
+        r"CONVERT\s+TO\s+LAKE\s+parquet\s*\.\s*(?P<loc>`[^`]+`|'[^']+')"
+        rf"(?:\s+AS\s+(?P<name>{_IDENT}))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_convert(self, m) -> DataFrame:
+        """``CONVERT TO LAKE parquet.`/path` [AS name]`` — Delta's
+        ``CONVERT TO DELTA``: adopt an existing plain parquet
+        directory (flat or hive-partitioned) in place, one commit,
+        zero bytes rewritten. No ``PARTITIONED BY`` clause is needed:
+        Delta requires it because raw parquet paths don't declare
+        partition TYPES, but this engine records partition values as
+        the strings the directory names spell (its own writer's
+        convention), so the ``key=value`` layout is self-describing
+        and detection is automatic. ``AS name`` registers the adopted
+        table for immediate SQL use."""
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        name = m.group("name")
+        if name and name.lower() in self._tables:
+            raise ValueError(f"table {name!r} already registered")
+        lake = TransactionalLake.convert(
+            self.spark, _unquote(m.group("loc"))
+        )
+        if name:
+            self.register(name, lake)
+        n_files = len(lake._snapshot_state()[0])
+        return self.spark.createDataFrame(
+            [("CONVERT TO LAKE", int(lake.version), lake.path,
+              int(n_files))],
+            "operation string, version bigint, location string, "
+            "num_files bigint",
+        )
+
+    _CLONE = re.compile(
+        rf"CREATE\s+TABLE\s+(?P<name>{_IDENT})\s+"
+        rf"(?:(?P<mode>SHALLOW|DEEP)\s+)?CLONE\s+(?P<src>{_IDENT})"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']+'))?"
+        r"\s+LOCATION\s+(?P<loc>'[^']+'|`[^`]+`)$",
+        re.IGNORECASE,
+    )
+
+    def _do_clone(self, m) -> DataFrame:
+        """``CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v
+        | TIMESTAMP AS OF 'ts'] LOCATION 'p'`` — Delta's SQL clone.
+        Bare ``CLONE`` means DEEP (Databricks' default: a clone you
+        can hand to another team without storage entanglement);
+        ``SHALLOW`` is the zero-copy hardlink variant. The time-travel
+        clause clones the table as it WAS — file set and metadata
+        both resolve at that version. The new table registers under
+        ``n`` immediately."""
+        name = m.group("name")
+        if name.lower() in self._tables:
+            raise ValueError(f"table {name!r} already registered")
+        src = self.table(m.group("src"))
+        deep = (m.group("mode") or "DEEP").upper() == "DEEP"
+        tgt = src.clone(
+            _unquote(m.group("loc")),
+            version=int(m.group("ver")) if m.group("ver") else None,
+            timestamp=_unquote(m.group("ts")) if m.group("ts") else None,
+            deep=deep,
+        )
+        self.register(name, tgt)
+        return self.spark.createDataFrame(
+            [("CREATE TABLE CLONE", int(tgt.version), tgt.path,
+              "deep" if deep else "shallow")],
+            "operation string, version bigint, location string, "
+            "clone_mode string",
+        )
+
+    _SHOWPARTS = re.compile(
+        rf"SHOW\s+PARTITIONS\s+(?P<tbl>{_IDENT})$", re.IGNORECASE
+    )
+
+    def _do_show_partitions(self, m) -> DataFrame:
+        """``SHOW PARTITIONS t`` — live partition-value tuples from
+        the log's file list (metadata-only at any table size)."""
+        return self.table(m.group("tbl")).partitions()
+
+    _SHOWCOLS = re.compile(
+        rf"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(?P<tbl>{_IDENT})$",
+        re.IGNORECASE,
+    )
+
+    def _do_show_columns(self, m) -> DataFrame:
+        """``SHOW COLUMNS IN|FROM t`` — logical column names at head
+        (Spark's single-column output shape)."""
+        lake = self.table(m.group("tbl"))
+        return self.spark.createDataFrame(
+            [(n,) for n, _t in lake.snapshot().dtypes],
+            "col_name string",
+        )
+
+    _TRUNCATE = re.compile(
+        rf"TRUNCATE\s+TABLE\s+(?P<tbl>{_IDENT})$", re.IGNORECASE
+    )
+
+    def _do_truncate(self, m) -> DataFrame:
+        """``TRUNCATE TABLE t`` — metadata-only full delete (one
+        remove-all commit, zero data jobs; see
+        :meth:`TransactionalLake.truncate`). Returns the removed file
+        count the way OPTIMIZE reports its metrics."""
+        lake = self.table(m.group("tbl"))
+        before = len(lake._snapshot_state()[0])
+        v = lake.truncate()
+        return self.spark.createDataFrame(
+            [("TRUNCATE TABLE", int(v), int(before))],
+            "operation string, version bigint, num_removed_files bigint",
+        )
+
+    _COMMENT = re.compile(
+        rf"COMMENT\s+ON\s+(?:TABLE\s+(?P<tbl>{_IDENT})"
+        rf"|COLUMN\s+(?P<ctbl>{_IDENT})\s*\.\s*(?P<col>{_IDENT}))"
+        r"\s+IS\s+(?P<txt>'[^']*'|NULL)$",
+        re.IGNORECASE,
+    )
+
+    def _do_comment(self, m) -> DataFrame:
+        """``COMMENT ON TABLE t IS 'text'|NULL`` / ``COMMENT ON COLUMN
+        t.c IS 'text'|NULL`` — comments are LOG-OWNED table
+        properties (``comment`` for the table, ``comment.column.<c>``
+        per column), so they version with the log, clones inherit
+        them, and — like Delta — RESTORE keeps them (properties are
+        configuration, not snapshot state; the pinned semantics of
+        TestPropertiesRestoreInteraction). They show through SHOW
+        TBLPROPERTIES. Column comments additionally surface in
+        DESCRIBE TABLE's comment column (after the partition/cluster
+        flags Spark puts there). ``IS NULL`` unsets. A comment on a
+        column the table doesn't have refuses — a typo would
+        otherwise write an orphan property that DESCRIBE never
+        shows."""
+        txt = m.group("txt")
+        value = None if txt.upper() == "NULL" else _unquote(txt)
+        if m.group("tbl"):
+            lake = self.table(m.group("tbl"))
+            v = lake.set_properties({"comment": value})
+        else:
+            lake = self.table(m.group("ctbl"))
+            col = m.group("col")
+            have = {n for n, _t in lake.snapshot().dtypes}
+            if col not in have:
+                raise ValueError(
+                    f"COMMENT ON COLUMN: no column {col!r} "
+                    f"(have: {sorted(have)})"
+                )
+            v = lake.set_properties({f"comment.column.{col}": value})
+        return self._receipt("COMMENT ON", v)
+
     # Dispatch table: (statement head, (compiled regex, grammar doc,
-    # handler method name)). Order matters only for the two DESCRIBE
-    # heads vs a hypothetical bare DESCRIBE — heads are exact prefixes.
+    # handler method name)). Heads are exact prefixes; a head listed
+    # twice (CREATE TABLE: clone vs generic) tries its grammars in
+    # order, first match wins.
     _HANDLERS = (
         ("OPTIMIZE", (_OPTIMIZE, "OPTIMIZE t [FULL] [WHERE bounds] [ZORDER BY (cols)]", "_do_optimize")),
         ("VACUUM", (_VACUUM, "VACUUM t [LITE] [RETAIN n HOURS] [DRY RUN]", "_do_vacuum")),
@@ -1055,7 +1216,13 @@ class LakeSQL:
         ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred]", "_do_delete")),
         ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred]", "_do_update")),
         ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED THEN UPDATE SET *|DELETE [WHEN NOT MATCHED THEN INSERT *]", "_do_merge")),
+        ("CREATE TABLE", (_CLONE, "CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v | TIMESTAMP AS OF 'ts'] LOCATION 'p'", "_do_clone")),
         ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),
         ("DROP TABLE", (_DROP, "DROP TABLE n", "_do_drop")),
         ("SHOW TABLES", (_SHOWTABLES, "SHOW TABLES", "_do_show_tables")),
+        ("CONVERT TO LAKE", (_CONVERT, "CONVERT TO LAKE parquet.`/path` [AS name]", "_do_convert")),
+        ("SHOW PARTITIONS", (_SHOWPARTS, "SHOW PARTITIONS t", "_do_show_partitions")),
+        ("SHOW COLUMNS", (_SHOWCOLS, "SHOW COLUMNS IN|FROM t", "_do_show_columns")),
+        ("TRUNCATE TABLE", (_TRUNCATE, "TRUNCATE TABLE t", "_do_truncate")),
+        ("COMMENT ON", (_COMMENT, "COMMENT ON TABLE t IS 'text'|NULL | COMMENT ON COLUMN t.c IS 'text'|NULL", "_do_comment")),
     )

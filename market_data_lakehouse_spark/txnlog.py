@@ -2687,6 +2687,31 @@ class TransactionalLake:
             read_version=read_v, read_bounds=read_bounds,
         )
 
+    def truncate(self) -> int:
+        """TRUNCATE TABLE (Databricks SQL on Delta): delete every row
+        METADATA-ONLY — one commit removes every live file. No scan,
+        no predicate evaluation, no rewrite: on a 100 TB table this
+        is O(live files) driver-side log work and zero data jobs,
+        versus the full-table scan a copy-on-write ``DELETE FROM t``
+        would spend discovering that every file is affected and
+        nothing survives. Everything downstream is the ordinary
+        remove-commit contract: time travel still answers
+        pre-truncate versions, VACUUM later reclaims the bytes, CDC
+        emits every removed row as a delete (pre-images read lazily
+        from the removed files, exactly like any delete's), and
+        deletion vectors on removed files die with their remove
+        entries. Schema, constraints, identity mark, clustering key,
+        and properties all survive — TRUNCATE empties the table, it
+        does not reset it. Concurrency: a full-table delete declares
+        no read bounds, so any interleaved commit conflicts — the
+        strictest (and only correct) scope for an operation that
+        claims every row."""
+        old, _schemas, read_v, _dvs = self._snapshot_state()
+        return self._commit(
+            {"op": "truncate", "add": [], "remove": list(old)},
+            read_version=read_v,
+        )
+
     def _delete_where_dv(
         self,
         predicate: str,
@@ -4353,6 +4378,42 @@ class TransactionalLake:
             rows,
             "path string, size_bytes long, stats_columns array<string>, "
             "bloom_columns array<string>, deleted_rows long",
+        )
+
+    def partitions(self) -> DataFrame:
+        """SHOW PARTITIONS: the distinct live partition-value tuples,
+        METADATA-ONLY — parsed from the live files' hive-layout
+        relative paths (``key=value`` directory segments), which the
+        log fold already holds. Zero data jobs at any table size:
+        listing the partitions of a 100 TB table costs one walk over
+        the live-file list, not a distinct-scan over rows (what
+        ``SELECT DISTINCT keys`` would shuffle). Values are returned
+        as the strings the writer spelled into the directory names —
+        the same representation partition pruning compares against.
+        Raises on an unpartitioned table (Spark's own SHOW PARTITIONS
+        contract)."""
+        keys = tuple(
+            self._recorded_partitioning() or self.partition_by or ()
+        )
+        if not keys:
+            raise ValueError(
+                f"SHOW PARTITIONS: table at {self.path!r} is not "
+                "partitioned"
+            )
+        live, _schemas, _v, _dvs = self._snapshot_state()
+        seen: set[tuple] = set()
+        for rel in live:
+            vals: dict[str, str] = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    vals[k] = val
+            seen.add(tuple(vals.get(k) for k in keys))
+        rows = sorted(
+            seen, key=lambda t: tuple("" if v is None else v for v in t)
+        )
+        return self.spark.createDataFrame(
+            rows, ", ".join(f"`{k}` string" for k in keys)
         )
 
     def history(self, limit: int | None = None) -> list[dict]:

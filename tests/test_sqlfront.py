@@ -519,3 +519,181 @@ class TestCreateTableDDL:
                 f"CREATE TABLE y (k INT PRIMARY KEY) "
                 f"LOCATION '{tmp_path / 'y'}'"
             )
+
+
+def _jobs_so_far(spark) -> int:
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+
+class TestConvertCloneSQL:
+    """r12 late additions: CONVERT TO LAKE and the SQL clone forms."""
+
+    def _raw(self, spark, tmp_path):
+        raw = str(tmp_path / "raw")
+        (
+            spark.range(60)
+            .selectExpr(
+                "id", "cast(id % 3 as string) as part",
+                "cast(id * 2 as double) as val",
+            )
+            .coalesce(2)
+            .write.partitionBy("part")
+            .parquet(raw)
+        )
+        return raw
+
+    def test_convert_and_register(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        raw = self._raw(spark, tmp_path)
+        rec = fr.sql(f"CONVERT TO LAKE parquet.`{raw}` AS adopted").collect()
+        assert rec[0]["operation"] == "CONVERT TO LAKE"
+        assert rec[0]["version"] == 0 and rec[0]["num_files"] >= 3
+        got = fr.sql("SELECT COUNT(*) AS n FROM adopted").collect()[0]["n"]
+        assert got == 60
+        parts = fr.sql("SHOW PARTITIONS adopted").collect()
+        assert sorted(r["part"] for r in parts) == ["0", "1", "2"]
+        # the adopted table is fully transactional from v0
+        fr.sql("DELETE FROM adopted WHERE val >= 100")
+        assert (
+            fr.sql("SELECT COUNT(*) AS n FROM adopted").collect()[0]["n"]
+            == 50
+        )
+
+    def test_convert_refuses_registered_name(self, spark, tmp_path, front):
+        raw = self._raw(spark, tmp_path)
+        with pytest.raises(ValueError, match="already registered"):
+            front.sql(f"CONVERT TO LAKE parquet.`{raw}` AS t")
+
+    def test_clone_shallow_and_versioned(self, spark, tmp_path, front, lake):
+        lake.delete_where("k >= 50")  # v1: 50 rows live
+        loc = str(tmp_path / "c1")
+        rec = front.sql(
+            f"CREATE TABLE c1 SHALLOW CLONE t VERSION AS OF 0 "
+            f"LOCATION '{loc}'"
+        ).collect()[0]
+        assert rec["clone_mode"] == "shallow" and rec["version"] == 0
+        # the clone is the table as it WAS at v0 (100 rows)
+        assert (
+            front.sql("SELECT COUNT(*) AS n FROM c1").collect()[0]["n"]
+            == 100
+        )
+        # bare CLONE defaults to DEEP (Databricks' default)
+        loc2 = str(tmp_path / "c2")
+        rec2 = front.sql(
+            f"CREATE TABLE c2 CLONE t LOCATION '{loc2}'"
+        ).collect()[0]
+        assert rec2["clone_mode"] == "deep"
+        assert (
+            front.sql("SELECT COUNT(*) AS n FROM c2").collect()[0]["n"]
+            == 50
+        )
+
+    def test_clone_name_collision(self, front, tmp_path):
+        with pytest.raises(ValueError, match="already registered"):
+            front.sql(
+                f"CREATE TABLE t SHALLOW CLONE t "
+                f"LOCATION '{tmp_path / 'x'}'"
+            )
+
+
+class TestShowPartitionsColumns:
+    def test_show_partitions_unpartitioned_refuses(self, front):
+        with pytest.raises(ValueError, match="not partitioned"):
+            front.sql("SHOW PARTITIONS t")
+
+    def test_show_columns(self, front):
+        cols = [r["col_name"] for r in
+                front.sql("SHOW COLUMNS IN t").collect()]
+        assert cols == ["k", "grp", "v"]
+        cols2 = [r["col_name"] for r in
+                 front.sql("SHOW COLUMNS FROM t").collect()]
+        assert cols2 == cols
+
+
+class TestTruncateSQL:
+    def test_truncate_is_metadata_only(self, spark, front, lake):
+        """The remove-all commit must run ZERO Spark jobs — that is
+        the whole point vs DELETE FROM t (which scans to discover
+        that every file matches)."""
+        before = _jobs_so_far(spark)
+        rec = front.sql("TRUNCATE TABLE t").collect()
+        # .collect() on the local receipt DataFrame runs 1 job; the
+        # truncate itself must add none beyond that
+        used = _jobs_so_far(spark) - before
+        assert used <= 1, f"TRUNCATE ran {used} jobs (expected <= 1)"
+        assert rec[0]["num_removed_files"] >= 1
+        assert (
+            front.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 0
+        )
+        # schema/metadata survive: the table is empty, not reset
+        assert [r["col_name"] for r in
+                front.sql("SHOW COLUMNS IN t").collect()] == [
+            "k", "grp", "v"]
+
+    def test_truncate_time_travel_and_cdc(self, front, lake):
+        v_before = lake.version
+        front.sql("TRUNCATE TABLE t")
+        tt = front.sql(
+            f"SELECT COUNT(*) AS n FROM t VERSION AS OF {v_before}"
+        ).collect()[0]["n"]
+        assert tt == 100
+        feed = lake.read_changes(v_before + 1)
+        rows = feed.groupBy("_change_type").count().collect()
+        assert {r["_change_type"]: r["count"] for r in rows} == {
+            "delete": 100
+        }
+
+    def test_append_after_truncate(self, front, lake, spark):
+        front.sql("TRUNCATE TABLE t")
+        lake.append(
+            spark.range(7).select(
+                F.col("id").alias("k"),
+                F.lit(0).alias("grp"),
+                F.lit(1.0).alias("v"),
+            )
+        )
+        assert (
+            front.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 7
+        )
+
+
+class TestCommentSQL:
+    def test_table_and_column_comments(self, front, lake):
+        front.sql("COMMENT ON TABLE t IS 'tick bars'")
+        front.sql("COMMENT ON COLUMN t.v IS 'value = 1.5k'")
+        props = {
+            r["key"]: r["value"]
+            for r in front.sql("SHOW TBLPROPERTIES t").collect()
+        }
+        assert props["comment"] == "tick bars"
+        assert props["comment.column.v"] == "value = 1.5k"
+        desc = {
+            r["col_name"]: r["comment"]
+            for r in front.sql("DESCRIBE TABLE t").collect()
+        }
+        assert desc["v"] == "value = 1.5k"
+        # unset
+        front.sql("COMMENT ON TABLE t IS NULL")
+        props = {
+            r["key"]: r["value"]
+            for r in front.sql("SHOW TBLPROPERTIES t").collect()
+        }
+        assert "comment" not in props
+
+    def test_comment_survives_restore(self, front, lake):
+        """Comments are table properties, and like Delta, RESTORE
+        does NOT roll properties back (the pinned semantics of
+        TestPropertiesRestoreInteraction) — a rollback of data must
+        not silently erase documentation."""
+        v0 = lake.version
+        front.sql("COMMENT ON TABLE t IS 'late comment'")
+        front.sql(f"RESTORE TABLE t TO VERSION AS OF {v0}")
+        props = {
+            r["key"]: r["value"]
+            for r in front.sql("SHOW TBLPROPERTIES t").collect()
+        }
+        assert props.get("comment") == "late comment"
+
+    def test_unknown_column_refuses(self, front):
+        with pytest.raises(ValueError, match="no column"):
+            front.sql("COMMENT ON COLUMN t.nope IS 'x'")

@@ -4111,3 +4111,71 @@ class TestMergeNotMatchedBySource:
         dels = {r["k"] for r in ch.collect()
                 if r["_change_type"] == "delete"}
         assert dels == set(range(10))  # every pre-image emitted
+
+
+class TestTruncateAndPartitions:
+    """r12 late additions: metadata-only TRUNCATE and the
+    SHOW PARTITIONS listing (both O(live files), zero data jobs)."""
+
+    def test_truncate_metadata_only_then_vacuum_reclaims(
+        self, spark, lake
+    ):
+        lake.append(_df(spark, [("AAPL", 150)], date="2024-06-15"))
+        lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        n_parquet = sum(
+            1
+            for root, _d, names in os.walk(lake.path)
+            if "_txn_log" not in root
+            for n in names
+            if n.endswith(".parquet")
+        )
+        assert n_parquet >= 2
+        v = lake.truncate()
+        assert lake.snapshot().count() == 0
+        assert lake.snapshot(version=v - 1).count() == 2
+        assert lake.history()[0]["op"] == "truncate"
+        # bytes are reclaimed by vacuum, not by truncate itself
+        lake.set_properties({"retentionDurationCheck.enabled": "false"})
+        lake.vacuum(retention_seconds=0.0)
+        left = sum(
+            1
+            for root, _d, names in os.walk(lake.path)
+            if "_txn_log" not in root
+            for n in names
+            if n.endswith(".parquet")
+        )
+        assert left == 0
+        # post-truncate appends start clean
+        lake.append(_df(spark, [("GOOG", 2800)]))
+        assert lake.snapshot().count() == 1
+
+    def test_truncate_empty_table_commits_cleanly(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.truncate()
+        v = lake.truncate()  # already empty: still a commit
+        assert v == lake.version
+        assert lake.snapshot().count() == 0
+
+    def test_partitions_multi_key(self, spark, tmp_path):
+        lk = TransactionalLake(
+            spark, str(tmp_path / "mk"),
+            partition_by=("date", "symbol"),
+        )
+        lk.append(_df(spark, [("AAPL", 1), ("MSFT", 2)], date="2024-06-15"))
+        lk.append(_df(spark, [("AAPL", 3)], date="2024-06-16"))
+        got = [(r["date"], r["symbol"]) for r in lk.partitions().collect()]
+        assert got == [
+            ("2024-06-15", "AAPL"),
+            ("2024-06-15", "MSFT"),
+            ("2024-06-16", "AAPL"),
+        ]
+        # delete a whole partition: it must drop from the listing
+        lk.delete_where("date = '2024-06-16'")
+        got = [(r["date"], r["symbol"]) for r in lk.partitions().collect()]
+        assert got == [("2024-06-15", "AAPL"), ("2024-06-15", "MSFT")]
+
+    def test_partitions_unpartitioned_refuses(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "np"), partition_by=())
+        lk.append(_df(spark, [("AAPL", 1)]))
+        with pytest.raises(ValueError, match="not partitioned"):
+            lk.partitions()

@@ -14,7 +14,7 @@ from market_data_lakehouse_spark.txnlog import TransactionalLake
 op = st.sampled_from(
     ["append", "overwrite", "delete_low", "delete_low_dv", "compact",
      "restore", "update_dv", "merge_dv", "replace_where",
-     "merge_by_source", "reorg_purge", "vacuum_lite"]
+     "merge_by_source", "reorg_purge", "vacuum_lite", "truncate"]
 )
 
 
@@ -121,6 +121,14 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             # (retention floor keeps just-removed files, so it does)
             lake.vacuum(lite=True)
             continue
+        elif o == "truncate":
+            # r12: metadata-only remove-all; commits even when the
+            # live set is already empty — but a table with NO commits
+            # yet has no state to truncate (snapshot's own contract)
+            if lake.version < 0:
+                continue
+            lake.truncate()
+            live = set()
         elif o == "compact":
             if not live:
                 continue
