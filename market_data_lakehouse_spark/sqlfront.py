@@ -64,7 +64,7 @@ _UTILITY_HEADS = (
     "ANALYZE TABLE", "GENERATE", "REORG TABLE", "SHOW TBLPROPERTIES",
     "INSERT", "DELETE FROM", "UPDATE", "MERGE INTO", "CREATE TABLE",
     "DROP TABLE", "SHOW TABLES", "CONVERT TO LAKE", "SHOW PARTITIONS",
-    "SHOW COLUMNS", "TRUNCATE TABLE", "COMMENT ON",
+    "SHOW COLUMNS", "TRUNCATE TABLE", "COMMENT ON", "COPY INTO",
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -1196,6 +1196,57 @@ class LakeSQL:
             v = lake.set_properties({f"comment.column.{col}": value})
         return self._receipt("COMMENT ON", v)
 
+    _COPYINTO = re.compile(
+        rf"COPY\s+INTO\s+(?P<tbl>{_IDENT})\s+FROM\s+(?P<src>'[^']+')\s+"
+        r"FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)"
+        r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<fopts>[^)]*)\s*\))?"
+        r"(?:\s+COPY_OPTIONS\s*\(\s*(?P<copts>[^)]*)\s*\))?$",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _parse_opts(body: str | None) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for item in _split_commas(body or ""):
+            k, eq, v = item.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"cannot parse option {item!r} (expected 'k' = 'v')"
+                )
+            out[_unquote(k)] = _unquote(v)
+        return out
+
+    def _do_copy_into(self, m) -> DataFrame:
+        """``COPY INTO t FROM 'path' FILEFORMAT = PARQUET|CSV|JSON
+        [FORMAT_OPTIONS ('k' = 'v', ...)]
+        [COPY_OPTIONS ('force' = 'true')]`` — Databricks' idempotent
+        bulk loader: only files not already loaded by a previous COPY
+        INTO are ingested (keyed by absolute path, recorded in the
+        commit); re-running is a version-free no-op. FORMAT_OPTIONS
+        pass to the Spark reader (e.g. ``'header' = 'true'`` for
+        CSV); COPY_OPTIONS supports ``force`` (reload everything)."""
+        lake = self.table(m.group("tbl"))
+        copts = self._parse_opts(m.group("copts"))
+        unknown = set(copts) - {"force"}
+        if unknown:
+            raise ValueError(
+                f"unsupported COPY_OPTIONS: {sorted(unknown)} "
+                "(supported: force)"
+            )
+        rec = lake.copy_into(
+            _unquote(m.group("src")),
+            file_format=m.group("fmt").lower(),
+            options=self._parse_opts(m.group("fopts")) or None,
+            force=copts.get("force", "").lower() == "true",
+        )
+        return self.spark.createDataFrame(
+            [("COPY INTO", int(rec["version"]),
+              int(rec["num_files_loaded"]), int(rec["num_rows_loaded"]),
+              int(rec["num_files_skipped"]))],
+            "operation string, version bigint, num_files_loaded bigint, "
+            "num_rows_loaded bigint, num_files_skipped bigint",
+        )
+
     # Dispatch table: (statement head, (compiled regex, grammar doc,
     # handler method name)). Heads are exact prefixes; a head listed
     # twice (CREATE TABLE: clone vs generic) tries its grammars in
@@ -1225,4 +1276,5 @@ class LakeSQL:
         ("SHOW COLUMNS", (_SHOWCOLS, "SHOW COLUMNS IN|FROM t", "_do_show_columns")),
         ("TRUNCATE TABLE", (_TRUNCATE, "TRUNCATE TABLE t", "_do_truncate")),
         ("COMMENT ON", (_COMMENT, "COMMENT ON TABLE t IS 'text'|NULL | COMMENT ON COLUMN t.c IS 'text'|NULL", "_do_comment")),
+        ("COPY INTO", (_COPYINTO, "COPY INTO t FROM 'path' FILEFORMAT = PARQUET|CSV|JSON [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]", "_do_copy_into")),
     )

@@ -449,6 +449,9 @@ class TransactionalLake:
             else None
         )
         feats: set[str] = set(cp.get("features", [])) if cp else set()
+        copy_srcs: set[str] = (
+            set(cp.get("copy_sources", [])) if cp else set()
+        )
         start = cp["version"] + 1 if cp else 0
         for name in self._commit_files():
             v = int(name.split(".")[0])
@@ -456,6 +459,9 @@ class TransactionalLake:
                 continue
             c = self._read_commit(v)
             cluster_state = self._fold_clustering(cluster_state, c)
+            # copy_into's loaded-source record survives log vacuum:
+            # forgetting a loaded file would re-ingest it
+            copy_srcs.update(c.get("copy_sources", []))
             # each commit's "features" is the COMPLETE recorded set
             # as of that commit — newest WINS (a union would silently
             # resurrect a drop_feature(); r12). Pre-feature-era
@@ -572,6 +578,7 @@ class TransactionalLake:
             "defaults": defaults,
             "table_stats": tstats,
             "features": sorted(feats),
+            "copy_sources": sorted(copy_srcs),
         }
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -2360,6 +2367,7 @@ class TransactionalLake:
         merge_schema: bool = False,
         txn: tuple[str, int] | None = None,
         skip_empty: bool = False,
+        _extra_action: dict | None = None,
     ) -> int:
         """ACID append (reference README.md:41-43). Returns version.
 
@@ -2442,6 +2450,11 @@ class TransactionalLake:
                 )
             return self.version
         action: dict = {"op": "append", "add": added, "schema": df.schema.json()}
+        if _extra_action:
+            # internal hook (copy_into): extra commit fields ride the
+            # data commit atomically — the loaded-source record and
+            # the rows land or fail together
+            action.update(_extra_action)
         if txn is not None:
             action["txn"] = {"app_id": txn[0], "version": txn[1]}
         if id_next is not None:
@@ -2711,6 +2724,101 @@ class TransactionalLake:
             {"op": "truncate", "add": [], "remove": list(old)},
             read_version=read_v,
         )
+
+    def _copy_sources(self) -> set[str]:
+        """Absolute source paths every prior copy_into loaded —
+        folded checkpoint + tail like all log-owned metadata, so
+        discovery is O(tail) even after millions of loads. The set is
+        bounded by the SOURCE tree's file count (the same state
+        Databricks' COPY INTO keeps in its RocksDB loaded-files
+        store), not by table history: vacuum_log folds it into the
+        checkpoint instead of dropping it, because forgetting a
+        loaded file would re-ingest it — the exact duplication the
+        feature exists to prevent."""
+        cp = self._latest_checkpoint()
+        out: set[str] = set(cp.get("copy_sources", [])) if cp else set()
+        start = cp["version"] + 1 if cp else 0
+        for c in self._iter_commits_after(start, None):
+            out.update(c.get("copy_sources", []))
+        return out
+
+    def copy_into(
+        self,
+        source: str,
+        file_format: str = "parquet",
+        options: dict[str, str] | None = None,
+        force: bool = False,
+    ) -> dict:
+        """IDEMPOTENT bulk file loading (Databricks ``COPY INTO``):
+        load every file under ``source`` that has NOT already been
+        loaded by a previous copy_into, as ONE append commit that
+        atomically records the newly-loaded source paths. Re-running
+        after new files land loads exactly the new files; re-running
+        with nothing new is a version-free no-op — retry-safe ingest
+        without an external bookkeeping table.
+
+        Files are keyed by ABSOLUTE PATH (Databricks' contract): a
+        file rewritten in place at the same path is NOT reloaded
+        (sources feeding COPY INTO are append-only by convention);
+        ``force=True`` reloads everything, duplicates and all —
+        Databricks' ``COPY_OPTIONS ('force'='true')`` escape hatch.
+
+        The batch rides the ordinary append path, so constraints,
+        identity assignment, column defaults, generated columns, and
+        per-file stats/blooms all apply to copied rows exactly as to
+        ingested ones. At 100 TB the discovery walk is O(source
+        files) driver-side and the loaded-set lookup is O(tail)
+        metadata; the data movement is the same distributed read +
+        write any append pays.
+
+        Returns ``{"version", "num_files_loaded", "num_rows_loaded",
+        "num_files_skipped"}`` (rows from the commit's logged
+        per-file counts — no extra job)."""
+        exts = {"parquet": ".parquet", "csv": ".csv",
+                "json": (".json", ".jsonl")}
+        if file_format not in exts:
+            raise ValueError(
+                f"copy_into: unsupported FILEFORMAT {file_format!r} "
+                f"(supported: {sorted(exts)})"
+            )
+        src = os.path.abspath(source.rstrip("/"))
+        found: list[str] = []
+        for dirpath, dirs, names in os.walk(src):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for n in names:
+                if n.endswith(exts[file_format]) and not n.startswith(
+                    (".", "_")
+                ):
+                    found.append(os.path.join(dirpath, n))
+        found.sort()
+        if not found:
+            raise ValueError(
+                f"copy_into: no {file_format} files under {src!r}"
+            )
+        loaded = self._copy_sources() if not force else set()
+        new = [f for f in found if f not in loaded]
+        if not new:
+            return {
+                "version": self.version,
+                "num_files_loaded": 0,
+                "num_rows_loaded": 0,
+                "num_files_skipped": len(found),
+            }
+        reader = self.spark.read
+        if options:
+            reader = reader.options(**options)
+        df = reader.format(file_format).load(new)
+        v = self.append(df, _extra_action={"copy_sources": new})
+        c = self._read_commit(v)
+        n_rows = sum(
+            int(c.get("rows", {}).get(f, 0)) for f in c.get("add", [])
+        )
+        return {
+            "version": v,
+            "num_files_loaded": len(new),
+            "num_rows_loaded": n_rows,
+            "num_files_skipped": len(found) - len(new),
+        }
 
     def _delete_where_dv(
         self,

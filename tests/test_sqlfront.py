@@ -697,3 +697,41 @@ class TestCommentSQL:
     def test_unknown_column_refuses(self, front):
         with pytest.raises(ValueError, match="no column"):
             front.sql("COMMENT ON COLUMN t.nope IS 'x'")
+
+
+class TestCopyIntoSQL:
+    def test_copy_into_lifecycle(self, spark, front, lake, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        spark.createDataFrame(
+            [(200, 0, 1.0), (201, 1, 2.0)], "k long, grp long, v double"
+        ).coalesce(1).write.parquet(str(src / "b0"))
+        rec = front.sql(
+            f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET"
+        ).collect()[0]
+        assert rec["num_rows_loaded"] == 2 and rec["num_files_skipped"] == 0
+        assert (
+            front.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+            == 102
+        )
+        # idempotent re-run through SQL
+        rec2 = front.sql(
+            f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET"
+        ).collect()[0]
+        assert rec2["num_files_loaded"] == 0 and rec2["num_files_skipped"] >= 1
+
+    def test_copy_into_csv_options_and_bad_copt(self, spark, front, lake,
+                                                tmp_path):
+        src = tmp_path / "csvin"
+        src.mkdir()
+        (src / "x.csv").write_text("k,grp,v\n500,0,9.5\n")
+        rec = front.sql(
+            f"COPY INTO t FROM '{src}' FILEFORMAT = CSV "
+            "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')"
+        ).collect()[0]
+        assert rec["num_rows_loaded"] == 1
+        with pytest.raises(ValueError, match="unsupported COPY_OPTIONS"):
+            front.sql(
+                f"COPY INTO t FROM '{src}' FILEFORMAT = CSV "
+                "COPY_OPTIONS ('mergeSchema' = 'true')"
+            )

@@ -4179,3 +4179,100 @@ class TestTruncateAndPartitions:
         lk.append(_df(spark, [("AAPL", 1)]))
         with pytest.raises(ValueError, match="not partitioned"):
             lk.partitions()
+
+
+class TestCopyInto:
+    """r12: idempotent bulk file loading (Databricks COPY INTO)."""
+
+    def _mk_sources(self, spark, tmp_path, n=2, start=0):
+        src = tmp_path / "incoming"
+        src.mkdir(exist_ok=True)
+        for i in range(start, start + n):
+            spark.createDataFrame(
+                [(f"SYM{i}", float(i), "2024-06-15")],
+                "symbol string, price double, date string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"batch_{i}")
+            )
+        return str(src)
+
+    def test_loads_then_noop_then_incremental(self, spark, lake, tmp_path):
+        src = self._mk_sources(spark, tmp_path, n=2)
+        rec = lake.copy_into(src)
+        assert rec["num_files_loaded"] >= 2 and rec["num_rows_loaded"] == 2
+        assert lake.snapshot().count() == 2
+        v = lake.version
+        # idempotent re-run: version-free no-op
+        rec2 = lake.copy_into(src)
+        assert rec2 == {
+            "version": v,
+            "num_files_loaded": 0,
+            "num_rows_loaded": 0,
+            "num_files_skipped": rec["num_files_loaded"],
+        }
+        assert lake.version == v
+        # new files land: only they load
+        self._mk_sources(spark, tmp_path, n=1, start=2)
+        rec3 = lake.copy_into(src)
+        assert rec3["num_rows_loaded"] == 1
+        assert lake.snapshot().count() == 3
+
+    def test_force_reloads(self, spark, lake, tmp_path):
+        src = self._mk_sources(spark, tmp_path, n=1)
+        lake.copy_into(src)
+        rec = lake.copy_into(src, force=True)
+        assert rec["num_files_loaded"] >= 1
+        assert lake.snapshot().count() == 2  # duplicate, as documented
+
+    def test_loaded_set_survives_log_vacuum(self, spark, tmp_path):
+        lk = TransactionalLake(
+            spark, str(tmp_path / "tx"), partition_by=(),
+            checkpoint_every=1,
+        )
+        src = self._mk_sources(spark, tmp_path, n=1)
+        lk.copy_into(src)
+        lk.append(spark.createDataFrame(
+            [("X", 1.0, "2024-06-15")],
+            "symbol string, price double, date string"))
+        lk.vacuum_log()
+        # the defining commit is gone; the checkpoint carries the set
+        rec = lk.copy_into(src)
+        assert rec["num_files_loaded"] == 0
+        assert lk.snapshot().count() == 2
+
+    def test_copied_rows_ride_the_append_path(self, spark, lake, tmp_path):
+        """Constraints apply to copied rows exactly as to appends."""
+        lake.append(_df(spark, [("AAPL", 150)]))
+        lake.add_check_constraint("price_pos", "price > 0")
+        src = tmp_path / "bad"
+        src.mkdir()
+        spark.createDataFrame(
+            [("BAD", -5.0, "2024-06-15")],
+            "symbol string, price double, date string",
+        ).coalesce(1).write.parquet(str(src / "b"))
+        with pytest.raises(ValueError, match="price_pos"):
+            lake.copy_into(str(src))
+        # the failed copy recorded nothing: a fixed retry still loads
+        assert lake._copy_sources() == set()
+
+    def test_unknown_format_and_empty_dir(self, spark, lake, tmp_path):
+        with pytest.raises(ValueError, match="unsupported FILEFORMAT"):
+            lake.copy_into(str(tmp_path), file_format="avro")
+        empty = tmp_path / "none"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no parquet files"):
+            lake.copy_into(str(empty))
+
+    def test_csv_with_format_options(self, spark, lake, tmp_path):
+        src = tmp_path / "csvs"
+        src.mkdir()
+        (src / "a.csv").write_text(
+            "symbol,price,date\nAAPL,150.0,2024-06-15\n"
+        )
+        rec = lake.copy_into(
+            str(src), file_format="csv",
+            options={"header": "true", "inferSchema": "true"},
+        )
+        assert rec["num_rows_loaded"] == 1
+        got = lake.snapshot().collect()[0]
+        assert got["symbol"] == "AAPL" and got["price"] == 150.0
