@@ -2619,6 +2619,142 @@ class TransactionalLake:
             ]
         )
 
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+    _PD_CMP = re.compile(
+        r"^\s*`?(?P<col>\w+)`?\s*(?P<op>==|=|<=|>=|<|>)\s*"
+        r"(?P<val>'[^']*'|-?\d+(?:\.\d+)?)\s*$"
+    )
+    _PD_BETWEEN_HEAD = re.compile(
+        r"^\s*`?(?P<col>\w+)`?\s+BETWEEN\s+"
+        r"(?P<lo>'[^']*'|-?\d+(?:\.\d+)?)\s*$",
+        re.IGNORECASE,
+    )
+    _PD_LIT = re.compile(r"^\s*(?P<hi>'[^']*'|-?\d+(?:\.\d+)?)\s*$")
+
+    def _predicate_partition_constraints(
+        self, predicate: str
+    ) -> list[tuple[str, str, str]] | None:
+        """Parse a (physical-name) predicate into a conjunction of
+        simple comparisons ``[(col, op, literal), ...]`` — the shapes
+        a partition delete can prove: ``=``, ``<``, ``<=``, ``>``,
+        ``>=``, ``BETWEEN``, joined by top-level AND. Returns None
+        (scan path) for anything else (OR, parens, functions, IN,
+        IS NULL, !=) or when ANY referenced column is not a partition
+        column — proof needs per-file-constant values, which only
+        partition columns guarantee."""
+        if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bIS\b|!=|<>",
+                     predicate, re.IGNORECASE):
+            return None
+        parts = re.split(r"\s+AND\s+", predicate, flags=re.IGNORECASE)
+        out: list[tuple[str, str, str]] = []
+        i = 0
+        while i < len(parts):
+            piece = parts[i]
+            mb = self._PD_BETWEEN_HEAD.match(piece)
+            if mb:
+                # the split ate BETWEEN's own AND: the next piece is
+                # the upper literal
+                if i + 1 >= len(parts):
+                    return None
+                mh = self._PD_LIT.match(parts[i + 1])
+                if not mh:
+                    return None
+                col = mb.group("col")
+                out.append((col, ">=", mb.group("lo")))
+                out.append((col, "<=", mh.group("hi")))
+                i += 2
+                continue
+            mc = self._PD_CMP.match(piece)
+            if not mc:
+                return None
+            out.append(
+                (mc.group("col"),
+                 "=" if mc.group("op") == "==" else mc.group("op"),
+                 mc.group("val"))
+            )
+            i += 1
+        pcols = set(self.partition_by)
+        if not out or any(col not in pcols for col, _o, _v in out):
+            return None
+        return out
+
+    @staticmethod
+    def _pd_compare(v: str, lit: str) -> int | None:
+        """Three-way compare of a partition directory value against a
+        predicate literal, with Spark's coercion shape: numeric when
+        BOTH sides parse as numbers, string when NEITHER does, and
+        UNKNOWN (None -> scan path) when mixed — a wrong guess here
+        would silently delete or keep the wrong rows."""
+        s = lit[1:-1] if lit.startswith("'") else lit
+        try:
+            fv = float(v)
+            v_num = True
+        except (TypeError, ValueError):
+            v_num = False
+        try:
+            fl = float(s)
+            l_num = True
+        except (TypeError, ValueError):
+            l_num = False
+        if v_num and l_num:
+            return (fv > fl) - (fv < fl)
+        if not v_num and not l_num:
+            return (v > s) - (v < s)
+        return None
+
+    def _try_partition_delete(
+        self,
+        predicate: str,
+        read_bounds: dict[str, tuple] | None,
+    ) -> int | None:
+        """The metadata-only DELETE fast path (Delta partition-delete
+        parity): when the predicate parses into partition-column
+        comparisons, classify every live file as all-match (its
+        partition values satisfy every conjunct) or none-match — no
+        data job at any table size; deleting a day from a 100 TB
+        table costs one log commit. Hive NULL-sentinel partitions
+        never match (SQL: NULL comparisons are unknown, DELETE keeps
+        the row). Returns None — falling back to the scan path — if
+        the predicate doesn't parse or any file's status can't be
+        PROVEN (missing segment, mixed-type compare)."""
+        cons = self._predicate_partition_constraints(predicate)
+        if cons is None:
+            return None
+        old, schemas, read_v, _dvs = self._snapshot_state()
+        self._check_read_bounds(predicate, read_bounds, schemas)
+        to_remove: list[str] = []
+        for rel in old:
+            vals: dict[str, str] = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    vals[k] = unquote(raw)
+            match = True
+            for col, op, lit in cons:
+                v = vals.get(col)
+                if v is None:
+                    return None  # layout surprise: prove nothing
+                if v == self._HIVE_NULL:
+                    match = False  # NULL never matches — certain
+                    break
+                c = self._pd_compare(v, lit)
+                if c is None:
+                    return None  # mixed-type compare: scan path
+                ok = {
+                    "=": c == 0, "<": c < 0, "<=": c <= 0,
+                    ">": c > 0, ">=": c >= 0,
+                }[op]
+                if not ok:
+                    match = False
+                    break
+            if match:
+                to_remove.append(rel)
+        return self._commit(
+            {"op": "delete", "predicate": predicate, "add": [],
+             "remove": to_remove, "metadata_only": True},
+            read_version=read_v, read_bounds=read_bounds,
+        )
+
     def delete_where(
         self,
         predicate: str,
@@ -2662,10 +2798,21 @@ class TransactionalLake:
         read_bounds = (
             self._map_cols(read_bounds, mdoc) if read_bounds else read_bounds
         )
+        if mode not in ("dv", "rewrite"):
+            raise ValueError(f"unknown delete mode: {mode!r}")
+        # Delta's METADATA-ONLY partition delete: a predicate
+        # referencing only partition columns evaluates identically
+        # for every row of a file (the partition values are the
+        # file's path), so the affected set is decidable from the
+        # log alone — whole files are removed with no scan and no
+        # rewrite, in EITHER mode (removing a fully-deleted file
+        # beats recording a full deletion vector too). Any file
+        # whose status can't be PROVEN falls back to the scan path.
+        fast = self._try_partition_delete(predicate, read_bounds)
+        if fast is not None:
+            return fast
         if mode == "dv":
             return self._delete_where_dv(predicate, read_bounds)
-        if mode != "rewrite":
-            raise ValueError(f"unknown delete mode: {mode!r}")
         old, schemas, read_v, dvs = self._snapshot_state()
         self._check_read_bounds(predicate, read_bounds, schemas)
         if not old:

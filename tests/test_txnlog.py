@@ -4276,3 +4276,109 @@ class TestCopyInto:
         assert rec["num_rows_loaded"] == 1
         got = lake.snapshot().collect()[0]
         assert got["symbol"] == "AAPL" and got["price"] == 150.0
+
+
+class TestPartitionDeleteFastPath:
+    """r12: metadata-only DELETE when the predicate references only
+    partition columns (Delta partition-delete parity)."""
+
+    def _jobs(self, spark):
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    def test_partition_equality_is_metadata_only(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)], date="2024-06-15"))
+        lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        before = self._jobs(spark)
+        lake.delete_where("date = '2024-06-16'")
+        assert self._jobs(spark) - before == 0, "partition delete ran a job"
+        assert lake.history()[0].get("metadata_only") is True
+        got = [r["symbol"] for r in lake.snapshot().collect()]
+        assert got == ["AAPL"]
+
+    def test_between_and_strict_ops(self, spark, lake):
+        for d in ("2024-06-14", "2024-06-15", "2024-06-16", "2024-06-17"):
+            lake.append(_df(spark, [("S" + d[-2:], 1)], date=d))
+        lake.delete_where(
+            "date BETWEEN '2024-06-15' AND '2024-06-16'"
+        )
+        left = sorted(str(r["date"]) for r in lake.snapshot().collect())
+        assert left == ["2024-06-14", "2024-06-17"]
+        lake.delete_where("date > '2024-06-16'")
+        left = sorted(str(r["date"]) for r in lake.snapshot().collect())
+        assert left == ["2024-06-14"]
+
+    def test_matches_scan_path_semantics(self, spark, tmp_path):
+        """Fast path and scan path must produce identical visible
+        rows for the same partition predicate."""
+        a = TransactionalLake(spark, str(tmp_path / "a"),
+                              partition_by=("date",))
+        b = TransactionalLake(spark, str(tmp_path / "b"), partition_by=())
+        rows = [("AAPL", 150), ("MSFT", 300)]
+        for d in ("2024-06-15", "2024-06-16"):
+            a.append(_df(spark, rows, date=d))
+            b.append(_df(spark, rows, date=d))
+        pred = "date <= '2024-06-15'"
+        a.delete_where(pred)   # fast path (partitioned)
+        b.delete_where(pred)   # scan path (unpartitioned)
+        ka = sorted((r["symbol"], str(r["date"]))
+                    for r in a.snapshot().collect())
+        kb = sorted((r["symbol"], str(r["date"]))
+                    for r in b.snapshot().collect())
+        assert ka == kb
+        assert a.history()[0].get("metadata_only") is True
+        assert b.history()[0].get("metadata_only") is None
+
+    def test_mixed_predicate_falls_back(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)],
+                        date="2024-06-15"))
+        lake.delete_where("date = '2024-06-15' AND price > 200")
+        assert lake.history()[0].get("metadata_only") is None
+        got = [r["symbol"] for r in lake.snapshot().collect()]
+        assert got == ["AAPL"]
+
+    def test_dv_mode_takes_fast_path_too(self, spark, lake):
+        """Removing a fully-deleted file beats recording a full
+        deletion vector — the fast path applies in either mode."""
+        lake.append(_df(spark, [("AAPL", 150)], date="2024-06-15"))
+        lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        before = self._jobs(spark)
+        lake.delete_where("date = '2024-06-16'", mode="dv")
+        assert self._jobs(spark) - before == 0
+        assert lake.history()[0].get("metadata_only") is True
+        assert lake.snapshot().count() == 1
+
+    def test_cdc_emits_deletes_lazily(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)],
+                        date="2024-06-15"))
+        v = lake.delete_where("date = '2024-06-15'")
+        feed = lake.read_changes(v)
+        got = {(r["symbol"], r["_change_type"]) for r in feed.collect()}
+        assert got == {("AAPL", "delete"), ("MSFT", "delete")}
+
+    def test_no_match_commits_noop(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)], date="2024-06-15"))
+        v = lake.delete_where("date = '1999-01-01'")
+        assert v == lake.version
+        assert lake.snapshot().count() == 1
+
+    def test_numeric_partition_values(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "num"),
+                               partition_by=("bucket",))
+        lk.append(spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 10)],
+            "symbol string, bucket long"))
+        before = self._jobs(spark)
+        lk.delete_where("bucket >= 2")
+        assert self._jobs(spark) - before == 0
+        # numeric compare, not string compare ('10' < '2' as strings)
+        assert [r["symbol"] for r in lk.snapshot().collect()] == ["a"]
+
+    def test_null_partition_never_matches(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "nl"),
+                               partition_by=("grp",))
+        lk.append(spark.createDataFrame(
+            [("a", "x"), ("b", None)], "symbol string, grp string"))
+        lk.delete_where("grp <= 'zzz'")
+        # the NULL-partition row survives: NULL comparisons are
+        # unknown and DELETE keeps unknown rows
+        assert [r["symbol"] for r in lk.snapshot().collect()] == ["b"]
