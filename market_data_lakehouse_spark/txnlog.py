@@ -350,13 +350,12 @@ class TransactionalLake:
                     os.path.join(self.log_path, "_last_checkpoint")
                 ) as fh:
                     ptr = json.load(fh)
-                with open(
+                return self._load_checkpoint(
                     os.path.join(
                         self.log_path,
                         f"{int(ptr['version']):08d}.checkpoint",
                     )
-                ) as fh:
-                    return json.load(fh)
+                )
             except (OSError, json.JSONDecodeError, KeyError, ValueError):
                 pass
         cps = sorted(
@@ -370,9 +369,10 @@ class TransactionalLake:
             ):
                 continue
             try:
-                with open(os.path.join(self.log_path, name)) as fh:
-                    cp = json.load(fh)
-            except (OSError, json.JSONDecodeError):
+                cp = self._load_checkpoint(
+                    os.path.join(self.log_path, name)
+                )
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
                 continue
             if (
                 max_timestamp is not None
@@ -383,11 +383,55 @@ class TransactionalLake:
             return cp
         return None
 
+    @staticmethod
+    def _cp_part_name(version: int, i: int, n: int) -> str:
+        return f"{version:08d}.checkpoint-part-{i:04d}-of-{n:04d}"
+
+    def _load_checkpoint(self, path: str) -> dict:
+        """Load a checkpoint, reassembling a MULTIPART one (r12,
+        Delta ``checkpoint.partSize`` parity): the root file carries
+        every table-level field plus ``parts: n``; the per-FILE maps
+        (live list, stats, rows, bytes, blooms, dv, row-tracking
+        bases) are sharded across n part files. A missing or corrupt
+        part raises — the caller's existing defense skips to an older
+        checkpoint (or the full log fold); a half-written part set is
+        invisible anyway because the root is written LAST."""
+        with open(path) as fh:
+            cp = json.load(fh)
+        n = cp.get("parts")
+        if not n:
+            return cp
+        v = int(os.path.basename(path).split(".")[0])
+        for i in range(int(n)):
+            with open(
+                os.path.join(
+                    self.log_path, self._cp_part_name(v, i, int(n))
+                )
+            ) as fh:
+                part = json.load(fh)
+            cp["live"].extend(part["live"])
+            for k in ("stats", "rows", "bytes", "blooms", "dv"):
+                cp[k].update(part.get(k, {}))
+            if cp.get("row_tracking") and part.get("rt_base"):
+                cp["row_tracking"]["base"].update(part["rt_base"])
+        return cp
+
     def _write_checkpoint(self, version: int) -> None:
         """Fold (previous checkpoint + tail) up to ``version`` and
         write it atomically. O(tail), never a full-log refold. File
         stats are filtered to the live set so the checkpoint stays
-        bounded by table size, not table history."""
+        bounded by table size, not table history.
+
+        With table property ``checkpoint.partSize = N`` (Delta's
+        ``delta.checkpoint.partSize``) and more than N live files,
+        the per-file maps shard into ceil(files/N) PART files and the
+        root records ``parts`` — on a 100 TB table the checkpoint is
+        millions of file entries, and parts bound every single
+        write/read unit (and, in a cluster deployment, let executors
+        write and read shards in parallel; Delta's multipart
+        checkpoints exist for exactly this). Parts are written FIRST,
+        the root last, the pointer after that — a crash mid-sequence
+        leaves the new checkpoint invisible, never torn."""
         cp = self._latest_checkpoint()
         live: dict[str, None] = (
             dict.fromkeys(cp["live"]) if cp else {}
@@ -580,6 +624,43 @@ class TransactionalLake:
             "features": sorted(feats),
             "copy_sources": sorted(copy_srcs),
         }
+        try:
+            part_size = int(props.get("checkpoint.partSize", "0"))
+        except (TypeError, ValueError):
+            part_size = 0
+        live_list = payload["live"]
+        if part_size > 0 and len(live_list) > part_size:
+            n = -(-len(live_list) // part_size)  # ceil
+            for i in range(n):
+                shard = live_list[i * part_size: (i + 1) * part_size]
+                part: dict = {"live": shard}
+                for k in ("stats", "rows", "bytes", "blooms", "dv"):
+                    part[k] = {
+                        f: payload[k][f] for f in shard if f in payload[k]
+                    }
+                if rtrack is not None:
+                    part["rt_base"] = {
+                        f: rtrack["base"][f]
+                        for f in shard
+                        if f in rtrack["base"]
+                    }
+                ptmp = os.path.join(
+                    self.log_path, f".cpp_tmp_{uuid.uuid4().hex}"
+                )
+                with open(ptmp, "w") as fh:
+                    json.dump(part, fh)
+                os.replace(
+                    ptmp,
+                    os.path.join(
+                        self.log_path, self._cp_part_name(version, i, n)
+                    ),
+                )
+            payload["parts"] = n
+            payload["live"] = []
+            for k in ("stats", "rows", "bytes", "blooms", "dv"):
+                payload[k] = {}
+            if payload.get("row_tracking"):
+                payload["row_tracking"]["base"] = {}
         tmp = os.path.join(self.log_path, f".cp_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -1395,8 +1476,8 @@ class TransactionalLake:
         for name in os.listdir(self.log_path):
             if (
                 name.endswith(".checkpoint")
-                and int(name.split(".")[0]) < boundary["version"]
-            ):
+                or ".checkpoint-part-" in name
+            ) and int(name.split(".")[0]) < boundary["version"]:
                 os.unlink(os.path.join(self.log_path, name))
                 removed += 1
         return removed
