@@ -66,7 +66,13 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # path (g5, e2_dedup_clusters — they need re-greening anyway) plus
 # e1_dedup_by_hash (the bench control).
 #
-# r13 window queue: (a) the remaining 40-entry r9-stale cohort
+# r13 window queue — FRONT-LOAD FIRST: (z) the r12-new entries
+# never driver-run (the r11 slip class): s32_copy_into_partition_
+# delete, s33_convert_clone_partitions, plus any entry whose code
+# path changed late in r12 (partition-delete fast path touches every
+# delete_where caller: s12_deletion_vectors, s14_replace_where,
+# t13_restore_across_dv already queue below). Then (a) the remaining
+# 40-entry r9-stale cohort
 # (a1_vwap_by_flag, a3-a6, a7_distinct, a8_cube/_grouping_sets/
 # _rollup, a9_percentiles, e2_embedding_neardup/_ngram_jaccard/
 # _semantic_dedup/_simhash, e3_cell_recall/knn_bruteforce,

@@ -1799,3 +1799,140 @@ def s31_sql_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert tx.stats_rowcount() is None
 
     return fr.sql("SELECT k, etype, flag FROM t ORDER BY k")
+
+
+@register(
+    "s32_copy_into_partition_delete",
+    oracle="""
+    WITH first_load AS (
+      SELECT CAST(event_id AS BIGINT) AS k, event_type AS cat,
+             value AS v
+      FROM events WHERE event_id % 3 = 0
+    ),
+    second_load AS (
+      SELECT CAST(event_id + 1000000 AS BIGINT) AS k,
+             event_type AS cat, value AS v
+      FROM events WHERE event_id % 3 = 1
+    ),
+    allrows AS (
+      SELECT * FROM first_load UNION ALL SELECT * FROM second_load
+    )
+    SELECT k, cat, ROUND(v, 6) AS v FROM allrows
+    WHERE cat <> 'error' ORDER BY k
+    """,
+)
+def s32_copy_into_partition_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COPY INTO + metadata-only partition DELETE as one hard signal
+    (r12): an incoming directory is loaded with copy_into, RE-loaded
+    (must be a version-free no-op — a re-ingest would double rows and
+    diverge the hash), extended with a second drop of files (only
+    they load), then one partition is deleted via the metadata-only
+    fast path (asserted in-query: the commit carries zero jobs'
+    worth of proof, ``metadata_only``). DuckDB reproduces the final
+    table from the events view — any skipped file, duplicated load,
+    or wrong-partition delete diverges."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events")
+    incoming = scratch_dir("cpin")
+    (
+        ev.filter("event_id % 3 = 0")
+        .select(
+            F.col("event_id").cast("long").alias("k"),
+            F.col("event_type").alias("cat"),
+            F.col("value").alias("v"),
+        )
+        .coalesce(2)
+        .write.parquet(os.path.join(incoming, "drop0"))
+    )
+    tx = TransactionalLake(
+        spark, scratch_dir("cptab"), partition_by=("cat",)
+    )
+    rec0 = tx.copy_into(incoming)
+    if rec0["num_files_loaded"] < 1:
+        raise AssertionError(f"first load empty: {rec0}")
+    rec1 = tx.copy_into(incoming)  # idempotency: version-free no-op
+    if rec1["num_files_loaded"] != 0 or tx.version != rec0["version"]:
+        raise AssertionError(f"copy_into re-ran: {rec1}")
+    (
+        ev.filter("event_id % 3 = 1")
+        .select(
+            (F.col("event_id") + 1000000).cast("long").alias("k"),
+            F.col("event_type").alias("cat"),
+            F.col("value").alias("v"),
+        )
+        .coalesce(2)
+        .write.parquet(os.path.join(incoming, "drop1"))
+    )
+    rec2 = tx.copy_into(incoming)  # incremental: only the new drop
+    if rec2["num_files_skipped"] != rec0["num_files_loaded"]:
+        raise AssertionError(f"incremental load wrong: {rec2}")
+    tx.delete_where("cat = 'error'")
+    if tx.history()[0].get("metadata_only") is not True:
+        raise AssertionError("partition delete took the scan path")
+    return (
+        tx.snapshot()
+        .select("k", "cat", F.round("v", 6).alias("v"))
+        .orderBy("k")
+    )
+
+
+@register(
+    "s33_convert_clone_partitions",
+    oracle="""
+    WITH cats AS (SELECT DISTINCT event_type AS cat FROM events)
+    SELECT * FROM (
+      SELECT 'clone_v0' AS origin, cat FROM cats
+      UNION ALL
+      SELECT 'head' AS origin, cat FROM cats WHERE cat <> 'view'
+    ) ORDER BY origin, cat
+    """,
+)
+def s33_convert_clone_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERT-in-place + versioned clone + SHOW PARTITIONS as one
+    hard signal (r12): a plain hive-partitioned parquet directory is
+    adopted with ONE commit (zero bytes rewritten), a partition is
+    deleted via the metadata-only fast path, and a SHALLOW CLONE of
+    the PRE-delete version is taken. The result is both tables'
+    partition listings — the clone must still show the deleted
+    partition (it is the table as it WAS), the head must not. DuckDB
+    reproduces both listings from the raw distinct values; a
+    mis-adopted file, a wrong-version clone, or a stale partition
+    listing diverges."""
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events")
+    raw = scratch_dir("cvraw")
+    target = os.path.join(raw, "t")
+    (
+        ev.select(
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("cat"),
+        )
+        .coalesce(4)
+        .write.partitionBy("cat")
+        .parquet(target)
+    )
+    lake = TransactionalLake.convert(spark, target)
+    if lake.version != 0 or lake.partition_by != ("cat",):
+        raise AssertionError(
+            f"convert: v{lake.version} layout {lake.partition_by}"
+        )
+    v0 = lake.version
+    lake.delete_where("cat = 'view'")
+    if lake.history()[0].get("metadata_only") is not True:
+        raise AssertionError("partition delete took the scan path")
+    clone = lake.clone(os.path.join(scratch_dir("cvcl"), "c"),
+                       version=v0)
+    return (
+        clone.partitions()
+        .select(F.lit("clone_v0").alias("origin"), "cat")
+        .unionAll(
+            lake.partitions().select(F.lit("head").alias("origin"), "cat")
+        )
+        .orderBy("origin", "cat")
+    )
