@@ -171,19 +171,32 @@ class LakeSQL:
         """
         tc = re.compile(
             rf"\btable_changes\s*\(\s*'(?P<tbl>{_IDENT})'\s*,\s*"
-            r"(?P<start>\d+)\s*\)",
+            r"(?P<start>\d+)\s*(?:,\s*(?P<end>\d+)\s*)?\)",
             re.IGNORECASE,
         )
 
         def _sub_tc(m) -> str:
             lake = self.table(m.group("tbl"))
-            view = f"{m.group('tbl')}__changes_{m.group('start')}"
-            lake.read_changes(int(m.group("start"))).createOrReplaceTempView(
-                view
+            end = int(m.group("end")) if m.group("end") else None
+            view = (
+                f"{m.group('tbl')}__changes_{m.group('start')}"
+                + (f"_{end}" if end is not None else "")
             )
+            lake.read_changes(
+                int(m.group("start")), ending_version=end
+            ).createOrReplaceTempView(view)
             return view
 
         stmt = tc.sub(_sub_tc, stmt)
+        # Delta's `t@vN` shorthand: rewrite to the VERSION AS OF
+        # clause before the main time-travel pass picks it up
+        at_names = "|".join(re.escape(n) for n in self._tables) or r"(?!x)x"
+        stmt = re.sub(
+            rf"\b(?P<tbl>{at_names})@v(?P<ver>\d+)\b",
+            lambda m: f"{m.group('tbl')} VERSION AS OF {m.group('ver')}",
+            stmt,
+            flags=re.IGNORECASE,
+        )
         for name, lake in self._tables.items():
             try:
                 lake.snapshot().createOrReplaceTempView(name)
@@ -466,11 +479,29 @@ class LakeSQL:
 
     # -- SHOW TBLPROPERTIES ----------------------------------------------
     _SHOWPROPS = re.compile(
-        rf"SHOW\s+TBLPROPERTIES\s+(?P<tbl>{_IDENT})$", re.IGNORECASE
+        rf"SHOW\s+TBLPROPERTIES\s+(?P<tbl>{_IDENT})"
+        r"(?:\s*\(\s*(?P<key>'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)\s*\))?$",
+        re.IGNORECASE,
     )
 
     def _do_show_props(self, m) -> DataFrame:
+        """``SHOW TBLPROPERTIES t [('key')]`` — all properties, or
+        one key's value (Spark's own single-key form; an unset key
+        returns Spark's does-not-exist message rather than an empty
+        frame, matching SHOW TBLPROPERTIES on a real catalog
+        table)."""
         props = self.table(m.group("tbl")).properties()
+        if m.group("key"):
+            key = _unquote(m.group("key"))
+            val = props.get(key)
+            if val is None:
+                val = (
+                    f"Table {m.group('tbl')} does not have property: "
+                    f"{key}"
+                )
+            return self.spark.createDataFrame(
+                [(key, val)], "key string, value string"
+            )
         return self.spark.createDataFrame(
             sorted(props.items()), "key string, value string"
         )
@@ -1258,7 +1289,7 @@ class LakeSQL:
         ("RESTORE", (_RESTORE, "RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'", "_do_restore")),
         ("DESCRIBE HISTORY", (_HISTORY, "DESCRIBE HISTORY t [LIMIT n]", "_do_history")),
         ("DESCRIBE DETAIL", (_DETAIL, "DESCRIBE DETAIL t", "_do_detail")),
-        ("SHOW TBLPROPERTIES", (_SHOWPROPS, "SHOW TBLPROPERTIES t", "_do_show_props")),
+        ("SHOW TBLPROPERTIES", (_SHOWPROPS, "SHOW TBLPROPERTIES t [('key')]", "_do_show_props")),
         ("ALTER TABLE", (_ALTER, "ALTER TABLE t <sub-form>", "_do_alter")),
         ("ANALYZE TABLE", (_ANALYZE, "ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...]", "_do_analyze")),
         ("GENERATE", (_GENERATE, "GENERATE symlink_format_manifest FOR TABLE t", "_do_generate")),

@@ -3990,13 +3990,25 @@ class TransactionalLake:
         return df
 
     def read_changes(
-        self, starting_version: int = 0, with_row_ids: bool = False
+        self,
+        starting_version: int = 0,
+        ending_version: int | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """CDC feed (reference README.md:174 / Delta CDF): rows added
         by each commit >= starting_version, tagged with
         ``_change_type`` and ``_commit_version``. Append-only commits
         feed inserts; overwrite/delete commits additionally emit the
         removed rows as deletes.
+
+        ``ending_version`` (r12, Delta ``table_changes(t, start,
+        end)``): bound the feed to commits <= end — the batch-CDF
+        shape for replaying a KNOWN window (backfill a consumer to a
+        checkpointed point, diff two audits) without racing writers
+        that keep appending past it. Column names render as of HEAD
+        (the one divergence from a frozen-at-end view, documented
+        because a later rename would otherwise look like a schema
+        change inside an old window).
 
         ``with_row_ids`` (requires :meth:`enable_row_tracking`): every
         change row additionally carries ``_row_id`` and
@@ -4176,9 +4188,16 @@ class TransactionalLake:
             if cp0:
                 run_dv = {f: list(p) for f, p in cp0.get("dv", {}).items()}
                 run_schemas.extend(cp0.get("schemas", []))
+        if ending_version is not None and ending_version < starting_version:
+            raise ValueError(
+                f"CDC range invalid: ending_version {ending_version} < "
+                f"starting_version {starting_version}"
+            )
         out: DataFrame | None = None
         for name in names:
             v = int(name.split(".")[0])
+            if ending_version is not None and v > ending_version:
+                break  # nothing past the bound emits; folds moot
             c = self._read_commit(v)
             # a reset commit's REMOVED files were written under the
             # pre-reset history — their delete-emission reads must

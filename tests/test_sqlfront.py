@@ -735,3 +735,49 @@ class TestCopyIntoSQL:
                 f"COPY INTO t FROM '{src}' FILEFORMAT = CSV "
                 "COPY_OPTIONS ('mergeSchema' = 'true')"
             )
+
+
+class TestSmallParityForms:
+    """r12 late: @v time-travel shorthand, bounded table_changes,
+    single-key SHOW TBLPROPERTIES."""
+
+    def test_at_version_shorthand(self, front, lake):
+        v0 = lake.version
+        lake.delete_where("k < 50")
+        got = front.sql(
+            f"SELECT COUNT(*) AS n FROM t@v{v0}"
+        ).collect()[0]["n"]
+        assert got == 100
+        assert (
+            front.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+            == 50
+        )
+
+    def test_table_changes_window(self, front, lake, spark):
+        lake.append(spark.range(5).select(
+            (F.col("id") + 500).alias("k"),
+            F.lit(0).alias("grp"), F.lit(0.0).alias("v")))     # v1
+        lake.append(spark.range(3).select(
+            (F.col("id") + 900).alias("k"),
+            F.lit(0).alias("grp"), F.lit(0.0).alias("v")))     # v2
+        n_window = front.sql(
+            "SELECT COUNT(*) AS n FROM table_changes('t', 1, 1)"
+        ).collect()[0]["n"]
+        assert n_window == 5  # v2's 3 inserts excluded
+        n_open = front.sql(
+            "SELECT COUNT(*) AS n FROM table_changes('t', 1)"
+        ).collect()[0]["n"]
+        assert n_open == 8
+
+    def test_show_tblproperties_single_key(self, front, lake):
+        front.sql("ALTER TABLE t SET TBLPROPERTIES ('owner' = 'ops')")
+        row = front.sql("SHOW TBLPROPERTIES t ('owner')").collect()
+        assert row == [("owner", "ops")] or (
+            row[0]["key"] == "owner" and row[0]["value"] == "ops"
+        )
+        miss = front.sql("SHOW TBLPROPERTIES t ('nope')").collect()[0]
+        assert "does not have property" in miss["value"]
+
+    def test_cdc_invalid_range_raises(self, lake):
+        with pytest.raises(ValueError, match="range invalid"):
+            lake.read_changes(5, ending_version=2).collect()
