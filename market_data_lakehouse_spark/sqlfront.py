@@ -463,18 +463,32 @@ class LakeSQL:
     )
 
     def _do_detail(self, m) -> DataFrame:
+        """``DESCRIBE DETAIL t`` — Delta's column set: location,
+        version, layout + clustering keys, file count/bytes,
+        deletion-vector count, the table-features stamp, and the
+        created/last-modified commit timestamps (created is the
+        earliest KNOWN point once vacuum_log truncates history)."""
         d = self.table(m.group("tbl")).detail()
+        cl = d.get("clustering") or {}
         return self.spark.createDataFrame(
             [(
                 d["location"],
                 int(d["version"]),
                 [str(c) for c in d["partition_columns"]],
+                [str(c) for c in (cl.get("cluster_by") or [])],
                 int(d["num_files"]),
                 int(d["size_bytes"]),
+                int(d["num_deletion_vectors"]),
+                [str(f) for f in (d.get("table_features") or [])],
+                float(d["created_at"]) if d.get("created_at") else None,
+                float(d["last_modified"]) if d.get("last_modified") else None,
             )],
             "location string, version bigint, "
-            "partition_columns array<string>, num_files bigint, "
-            "size_bytes bigint",
+            "partition_columns array<string>, "
+            "clustering_columns array<string>, num_files bigint, "
+            "size_bytes bigint, num_deletion_vectors bigint, "
+            "table_features array<string>, created_at double, "
+            "last_modified double",
         )
 
     # -- SHOW TBLPROPERTIES ----------------------------------------------

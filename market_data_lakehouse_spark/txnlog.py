@@ -4701,7 +4701,28 @@ class TransactionalLake:
                     ).items()
                 },
             ),
+            # r12: Delta's createdAt / lastModified — from commit
+            # timestamps; created_at is the EARLIEST KNOWN point
+            # (oldest retained commit, or the checkpoint when
+            # vacuum_log truncated below it)
+            "last_modified": (
+                self._read_commit(v)["timestamp"] if v >= 0 else None
+            ),
+            "created_at": self._created_at(),
         }
+
+    def _created_at(self) -> float | None:
+        names = self._commit_files()
+        oldest = (
+            self._read_commit(int(names[0].split(".")[0]))["timestamp"]
+            if names
+            else None
+        )
+        cp = self._latest_checkpoint()
+        if cp is not None and cp.get("timestamp") is not None:
+            ts = cp["timestamp"]
+            return min(oldest, ts) if oldest is not None else ts
+        return oldest
 
     def files(self) -> DataFrame:
         """Per-file metadata as a DataFrame (the file-level half of

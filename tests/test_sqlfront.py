@@ -781,3 +781,15 @@ class TestSmallParityForms:
     def test_cdc_invalid_range_raises(self, lake):
         with pytest.raises(ValueError, match="range invalid"):
             lake.read_changes(5, ending_version=2).collect()
+
+
+class TestDetailEnriched:
+    def test_detail_full_column_set(self, front, lake):
+        lake.set_clustering(("grp",))
+        lake.delete_where("k = 3", mode="dv")
+        row = front.sql("DESCRIBE DETAIL t").collect()[0]
+        assert row["clustering_columns"] == ["grp"]
+        assert row["num_deletion_vectors"] == 1
+        assert "deletion-vectors" in row["table_features"]
+        assert row["created_at"] is not None
+        assert row["last_modified"] >= row["created_at"]
