@@ -65,6 +65,7 @@ _UTILITY_HEADS = (
     "INSERT", "DELETE FROM", "UPDATE", "MERGE INTO", "CREATE TABLE",
     "DROP TABLE", "SHOW TABLES", "CONVERT TO LAKE", "SHOW PARTITIONS",
     "SHOW COLUMNS", "TRUNCATE TABLE", "COMMENT ON", "COPY INTO",
+    "FSCK REPAIR",
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -1241,6 +1242,22 @@ class LakeSQL:
             v = lake.set_properties({f"comment.column.{col}": value})
         return self._receipt("COMMENT ON", v)
 
+    _FSCK = re.compile(
+        rf"FSCK\s+REPAIR\s+TABLE\s+(?P<tbl>{_IDENT})"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?$",
+        re.IGNORECASE,
+    )
+
+    def _do_fsck(self, m) -> DataFrame:
+        """``FSCK REPAIR TABLE t [DRY RUN]`` — drop log entries whose
+        physical files an external process deleted; DRY RUN lists
+        them without committing (Delta's statement shape)."""
+        lake = self.table(m.group("tbl"))
+        missing = lake.fsck_repair(dry_run=m.group("dry") is not None)
+        return self.spark.createDataFrame(
+            [(p,) for p in missing], "path string"
+        )
+
     _COPYINTO = re.compile(
         rf"COPY\s+INTO\s+(?P<tbl>{_IDENT})\s+FROM\s+(?P<src>'[^']+')\s+"
         r"FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)"
@@ -1321,5 +1338,6 @@ class LakeSQL:
         ("SHOW COLUMNS", (_SHOWCOLS, "SHOW COLUMNS IN|FROM t", "_do_show_columns")),
         ("TRUNCATE TABLE", (_TRUNCATE, "TRUNCATE TABLE t", "_do_truncate")),
         ("COMMENT ON", (_COMMENT, "COMMENT ON TABLE t IS 'text'|NULL | COMMENT ON COLUMN t.c IS 'text'|NULL", "_do_comment")),
+        ("FSCK REPAIR", (_FSCK, "FSCK REPAIR TABLE t [DRY RUN]", "_do_fsck")),
         ("COPY INTO", (_COPYINTO, "COPY INTO t FROM 'path' FILEFORMAT = PARQUET|CSV|JSON [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]", "_do_copy_into")),
     )

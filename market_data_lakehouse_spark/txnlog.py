@@ -2953,6 +2953,33 @@ class TransactionalLake:
             read_version=read_v,
         )
 
+    def fsck_repair(self, dry_run: bool = False) -> list[str]:
+        """``FSCK REPAIR TABLE`` (Delta parity): find live LOG entries
+        whose physical data file is gone (an external process deleted
+        it — the one corruption the log cannot prevent) and commit
+        their removal, so reads stop failing on FileNotFound. Returns
+        the repaired relative paths; ``dry_run`` lists without
+        committing. O(live files) stat calls driver-side — the same
+        walk a full vacuum pays, and a cluster deployment would fan
+        the existence probes out. Deletion vectors and row-tracking
+        bases on the dropped entries fall away through the ordinary
+        remove fold; the data those files held is LOST (that is what
+        repair means) — the commit records ``fsck: true`` so history
+        shows it was a repair, not a delete someone asked for."""
+        live, _schemas, read_v, _dvs = self._snapshot_state()
+        missing = [
+            rel
+            for rel in live
+            if not os.path.exists(os.path.join(self.path, rel))
+        ]
+        if dry_run or not missing:
+            return missing
+        self._commit(
+            {"op": "fsck", "fsck": True, "add": [], "remove": missing},
+            read_version=read_v,
+        )
+        return missing
+
     def _copy_sources(self) -> set[str]:
         """Absolute source paths every prior copy_into loaded —
         folded checkpoint + tail like all log-owned metadata, so
@@ -4211,6 +4238,11 @@ class TransactionalLake:
                 "compact",
                 "cluster",
                 "set_partitioning",
+                # fsck removes entries whose FILES ARE GONE — there
+                # is nothing left to read a delete pre-image from
+                # (Delta CDF has the same hole: CDF materializes
+                # removed rows by reading the removed file)
+                "fsck",
             ):
                 for key, change in (("add", "insert"), ("remove", "delete")):
                     paths = c.get(key, [])

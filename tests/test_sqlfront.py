@@ -793,3 +793,15 @@ class TestDetailEnriched:
         assert "deletion-vectors" in row["table_features"]
         assert row["created_at"] is not None
         assert row["last_modified"] >= row["created_at"]
+
+
+class TestFsckSQL:
+    def test_fsck_dry_run_then_repair(self, spark, front, lake):
+        import os as _os
+        rel = lake._snapshot_state()[0][0]
+        _os.unlink(_os.path.join(lake.path, rel))
+        dry = front.sql("FSCK REPAIR TABLE t DRY RUN").collect()
+        assert [r["path"] for r in dry] == [rel]
+        front.sql("FSCK REPAIR TABLE t")
+        assert front.sql("SELECT COUNT(*) AS n FROM t").collect()[0][
+            "n"] < 100

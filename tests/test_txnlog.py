@@ -4457,3 +4457,42 @@ class TestMultipartCheckpoint:
         assert ids.select("_row_id").distinct().count() == 7
         # historical read through the sharded checkpoint
         assert fresh.snapshot(version=v).count() == 6
+
+
+class TestFsckRepair:
+    """r12: FSCK REPAIR TABLE — drop log entries whose physical
+    files an external process deleted."""
+
+    def test_repair_after_external_deletion(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)], date="2024-06-15"))
+        lake.append(_df(spark, [("MSFT", 300)], date="2024-06-16"))
+        # an external process deletes one partition's files
+        victim = [
+            f for f in lake._snapshot_state()[0] if "2024-06-16" in f
+        ]
+        for rel in victim:
+            os.unlink(os.path.join(lake.path, rel))
+        with pytest.raises(Exception):
+            lake.snapshot().collect()  # reads now fail
+        dry = lake.fsck_repair(dry_run=True)
+        assert sorted(dry) == sorted(victim)
+        assert lake.history()[0]["op"] == "append"  # dry run: no commit
+        fixed = lake.fsck_repair()
+        assert sorted(fixed) == sorted(victim)
+        assert lake.history()[0]["op"] == "fsck"
+        got = [r["symbol"] for r in lake.snapshot().collect()]
+        assert got == ["AAPL"]  # reads work again; data honestly lost
+
+    def test_repair_clean_table_is_noop(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150)]))
+        v = lake.version
+        assert lake.fsck_repair() == []
+        assert lake.version == v  # nothing to repair: no commit
+
+    def test_cdc_is_silent_for_fsck(self, spark, lake):
+        lake.append(_df(spark, [("AAPL", 150), ("MSFT", 300)]))
+        rel = lake._snapshot_state()[0][0]
+        os.unlink(os.path.join(lake.path, rel))
+        v = lake.fsck_repair()
+        feed = lake.read_changes(lake.version)
+        assert feed.count() == 0  # nothing left to emit a pre-image from
