@@ -1902,10 +1902,35 @@ class TransactionalLake:
                 df = df.withColumn(name, F.expr(expr))
         return df
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(
+        self, df: DataFrame, preserve_layout: bool = False
+    ) -> list[str]:
         """Write df's rows as new immutable parquet files under the
         table root (via a staging dir + per-file rename) and return
-        their table-relative paths."""
+        their table-relative paths.
+
+        OPTIMIZED WRITES (r12, Delta ``autoOptimize.optimizeWrite``):
+        with the property ``true`` on a PARTITIONED table, the batch
+        is repartitioned by the partition keys first, so each
+        partition value receives ONE task's output instead of one
+        file from EVERY input task — the M-tasks × N-partitions
+        small-file explosion that makes unoptimized streaming appends
+        unreadable at scale. The trade Delta also makes: one shuffle
+        per write, and a hot partition's rows serialize into one task
+        (``maxRecordsPerFile`` still splits its output FILES). Off by
+        default; ``preserve_layout=True`` exempts callers that
+        already arranged a deliberate layout (the range-partitioned
+        clustering/Z-order rewrites — re-shuffling would destroy
+        exactly the locality they just paid for)."""
+        if (
+            not preserve_layout
+            and self.partition_by
+            and self.properties()
+            .get("autoOptimize.optimizeWrite", "")
+            .lower()
+            == "true"
+        ):
+            df = df.repartition(*[F.col(c) for c in self.partition_by])
         staging = os.path.join(self.path, f".staging_{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite").option(
             "maxRecordsPerFile", 5_000_000
@@ -4547,7 +4572,7 @@ class TransactionalLake:
             ).sortWithinPartitions(*parts, zcol)
         else:
             clustered = snap.repartition(n * n_dirs, *parts, bucket)
-        added = self._write_files(clustered)
+        added = self._write_files(clustered, preserve_layout=True)
         return self._commit(
             {
                 "op": "compact",
@@ -6775,7 +6800,7 @@ class TransactionalLake:
         out = snap.repartitionByRange(
             n * n_dirs, *parts, zcol
         ).sortWithinPartitions(*parts, zcol)
-        added = self._write_files(out)
+        added = self._write_files(out, preserve_layout=True)
         return self._commit(
             {
                 "op": "cluster",

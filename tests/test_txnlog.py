@@ -4496,3 +4496,67 @@ class TestFsckRepair:
         v = lake.fsck_repair()
         feed = lake.read_changes(lake.version)
         assert feed.count() == 0  # nothing left to emit a pre-image from
+
+
+class TestOptimizedWrites:
+    """r12: autoOptimize.optimizeWrite — one task's output per
+    partition value instead of one file per input task per value."""
+
+    def _counts(self, lake):
+        from collections import Counter
+        per = Counter()
+        for rel in lake._snapshot_state()[0]:
+            per[os.path.dirname(rel)] += 1
+        return per
+
+    def test_one_file_per_partition_value(self, spark, tmp_path):
+        src = (
+            spark.range(3000)
+            .selectExpr(
+                "id as k", "cast(id % 3 as string) as cat",
+                "id * 1.0 as v",
+            )
+            .repartition(8)
+        )
+        # AQE would coalesce this tiny shuffle and hide the spray
+        # the property exists to fix; hold it off for the comparison
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            off = TransactionalLake(spark, str(tmp_path / "off"),
+                                    partition_by=("cat",))
+            off.append(src)
+            assert max(self._counts(off).values()) > 1  # M x N spray
+            on = TransactionalLake(spark, str(tmp_path / "on"),
+                                   partition_by=("cat",))
+            on.append(spark.range(1).selectExpr(
+                "id as k", "'0' as cat", "id * 1.0 as v"))
+            on.set_properties({"autoOptimize.optimizeWrite": "true"})
+            on.append(src)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        per = self._counts(on)
+        assert len(per) == 3
+        # the optimized append added exactly one file per value
+        assert all(n <= 2 for n in per.values()), per  # 1 + the seed
+        # same rows either way
+        assert on.snapshot().count() == 3001
+
+    def test_clustering_layout_survives_optimize_write(
+        self, spark, tmp_path
+    ):
+        lk = TransactionalLake(spark, str(tmp_path / "cl"),
+                               partition_by=())
+        lk.append(spark.range(1000).selectExpr("id as k", "id * 1.0 as v"))
+        lk.set_properties({"autoOptimize.optimizeWrite": "true"})
+        lk.set_clustering(("k",))
+        lk.append(spark.range(1000, 2000).selectExpr(
+            "id as k", "id * 1.0 as v").repartition(4))
+        lk.optimize_clustering(files_per_partition=4)
+        info = lk.clustering_info()
+        assert info["unclustered_files"] == 0
+        # range layout held: k-bounded scan skips files (the
+        # preserve_layout exemption - an optimize-write reshuffle
+        # here would spread every k everywhere)
+        kept, total, _ = lk.prune_files({"k": (0, 10)})
+        assert len(kept) < total
