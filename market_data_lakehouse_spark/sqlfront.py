@@ -970,6 +970,8 @@ class LakeSQL:
         rf"(?P<n>{_IDENT})\s+(?P<t>[A-Za-z0-9_]+(?:\s*\([0-9, ]+\))?"
         r"(?:<[^>]+>)?)"
         r"(?:\s+(?P<mark>GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+        r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+"
+        r"INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?"
         r"|GENERATED\s+ALWAYS\s+AS\s*\((?P<g>.+)\)"
         r"|NOT\s+NULL))?$",
         re.IGNORECASE,
@@ -1007,7 +1009,7 @@ class LakeSQL:
         )
         plain: list[tuple[str, str]] = []
         generated: dict[str, str] = {}
-        identity: str | None = None
+        identity: tuple[str, int, int] | None = None
         not_null: list[str] = []
         for spec in _split_commas(m.group("cols") or ""):
             cm = self._COLDEF.fullmatch(spec.strip())
@@ -1024,7 +1026,11 @@ class LakeSQL:
             elif "IDENTITY" in mark:
                 if identity is not None:
                     raise ValueError("at most one IDENTITY column")
-                identity = cname
+                identity = (
+                    cname,
+                    int(cm.group("idstart") or 0),
+                    int(cm.group("idstep") or 1),
+                )
             else:
                 plain.append((cname, ctype))
                 if mark.startswith("NOT"):
@@ -1050,7 +1056,9 @@ class LakeSQL:
                     f"v{v}; a column list only creates NEW tables"
                 )
             if identity is not None:
-                lake.set_identity(identity)
+                lake.set_identity(
+                    identity[0], start=identity[1], step=identity[2]
+                )
             seed = self.spark.createDataFrame(
                 [], ", ".join(f"{n} {t}" for n, t in plain)
             )

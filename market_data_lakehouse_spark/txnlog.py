@@ -2524,18 +2524,21 @@ class TransactionalLake:
             df = self._cast_to_committed(df, schemas)
             # r11: omitted defaulted columns materialize here
             df = self._apply_defaults(df, schemas)
-        ident = self.identity_state(as_of=snap_v)
+        ident = self._identity_doc(as_of=snap_v)
         id_read_v, id_next = None, None
         if ident is not None:
-            id_col, hi = ident
+            id_col, hi = ident["column"], ident["next"]
+            id_step = int(ident.get("step", 1))
             if id_col in df.columns:
                 raise ValueError(
                     f"column {id_col!r} is GENERATED ALWAYS AS IDENTITY; "
                     "the append batch must not carry it"
                 )
             id_read_v = snap_v
-            df, n_assigned = self._assign_identity(df, id_col, hi)
-            id_next = hi + n_assigned
+            df, n_assigned = self._assign_identity(
+                df, id_col, hi, step=id_step
+            )
+            id_next = hi + n_assigned * id_step
         self._check_schema(
             df, merge_schema, schemas=schemas if snap_v >= 0 else None
         )
@@ -5159,9 +5162,9 @@ class TransactionalLake:
         cons = self.check_constraints(as_of=src_v)
         if cons:
             action["constraints"] = cons
-        ident = self.identity_state(as_of=src_v)
-        if ident is not None:
-            action["identity"] = {"column": ident[0], "next": ident[1]}
+        idoc = self._identity_doc(as_of=src_v)
+        if idoc is not None:
+            action["identity"] = dict(idoc)  # step rides along
         mdoc = self._column_mapping_doc(as_of=src_v)
         if mdoc is not None:
             action["column_mapping"] = mdoc
@@ -5269,10 +5272,21 @@ class TransactionalLake:
     # ------------------------------------------------------------------
     # IDENTITY column (Delta `GENERATED ALWAYS AS IDENTITY` parity)
     # ------------------------------------------------------------------
-    def set_identity(self, column: str, start: int = 0) -> int:
+    def set_identity(
+        self, column: str, start: int = 0, step: int = 1
+    ) -> int:
         """Declare ``column`` as the table's IDENTITY column: every
-        subsequent ``append`` assigns it unique, CONTIGUOUS 64-bit
-        ids from a log-tracked high-water mark (``start`` upward).
+        subsequent ``append`` assigns it unique 64-bit ids from a
+        log-tracked high-water mark — ``start``, ``start + step``,
+        ... (Delta's ``GENERATED ALWAYS AS IDENTITY (START WITH s
+        INCREMENT BY k)``; contiguous on the step grid). ``step``
+        must be >= 1: the log folds ``identity_next`` with ``max()``
+        so raced/replayed commits can never move the mark backward —
+        a DESCENDING sequence would need a min-fold that every
+        pre-step reader lacks, the same silent-duplicate-id hazard
+        that keeps SYNC IDENTITY raise-only. Delta does accept
+        negative increments; this engine refuses them loudly rather
+        than fold them wrong.
         GENERATED ALWAYS semantics on the append path: a batch that
         already carries the column is rejected. Like Delta, identity
         must be declared before any data lands (a retrofit would
@@ -5287,6 +5301,11 @@ class TransactionalLake:
         interleaved commits that assign no ids rebase fine."""
         if self.identity_state() is not None:
             raise ValueError("identity column already set")
+        if int(step) < 1:
+            raise ValueError(
+                f"identity step must be >= 1, got {step} (the log's "
+                "max() fold cannot express a descending sequence)"
+            )
         if self._snapshot_state()[0]:
             raise ValueError(
                 "identity must be declared before any data is written "
@@ -5296,7 +5315,11 @@ class TransactionalLake:
         return self._commit(
             {
                 "op": "set_identity",
-                "identity": {"column": column, "next": int(start)},
+                "identity": {
+                    "column": column,
+                    "next": int(start),
+                    "step": int(step),
+                },
             }
         )
 
@@ -5321,6 +5344,8 @@ class TransactionalLake:
         if ident is None:
             raise ValueError("no identity column declared")
         col, nxt = ident
+        idoc = self._identity_doc()
+        step = int((idoc or {}).get("step", 1))
         doc = self._column_mapping_doc()
         inv = (
             {p: lg for lg, p in doc["cols"].items()}
@@ -5332,22 +5357,21 @@ class TransactionalLake:
             .agg(F.max(inv.get(col, col)).alias("m"))
             .first()
         )
-        new_next = int(row["m"]) + 1 if row["m"] is not None else nxt
-        if new_next <= nxt:
+        if row["m"] is None or int(row["m"]) < nxt:
             return self.version
+        # next mark stays ON THE STEP GRID strictly above the data's
+        # max, so post-sync appends keep the declared cadence
+        mx = int(row["m"])
+        new_next = nxt + ((mx - nxt) // step + 1) * step
         return self._commit(
             {"op": "sync_identity", "identity_next": new_next}
         )
 
-    def identity_state(self, as_of: int | None = None) -> tuple[str, int] | None:
-        """(column, next id) when an identity column is declared,
-        else None — the newest checkpoint's folded state plus the
-        commit tail's ``identity_next`` advances. ``as_of`` caps the
-        fold at a version so callers can pair the mark with a
-        previously-captured read version (one atomic state read —
-        any newer id-assigning commit then falls inside the
-        committer's conflict scan instead of silently feeding both
-        writers the same high-water mark)."""
+    def _identity_doc(self, as_of: int | None = None) -> dict | None:
+        """Folded identity record ``{"column", "next"[, "step"]}`` as
+        of a version (None while undeclared) — the newest
+        checkpoint's state plus the commit tail's ``identity_next``
+        advances."""
         cp = self._latest_checkpoint(max_version=as_of)
         ident: dict | None = (
             dict(cp["identity"]) if cp and cp.get("identity") else None
@@ -5358,13 +5382,24 @@ class TransactionalLake:
                 ident = dict(c["identity"])
             elif ident is not None and c.get("identity_next") is not None:
                 ident["next"] = max(ident["next"], c["identity_next"])
+        return ident
+
+    def identity_state(self, as_of: int | None = None) -> tuple[str, int] | None:
+        """(column, next id) when an identity column is declared,
+        else None. ``as_of`` caps the fold at a version so callers
+        can pair the mark with a previously-captured read version
+        (one atomic state read — any newer id-assigning commit then
+        falls inside the committer's conflict scan instead of
+        silently feeding both writers the same high-water mark)."""
+        ident = self._identity_doc(as_of)
         return (ident["column"], ident["next"]) if ident else None
 
     def _assign_identity(
-        self, df: DataFrame, column: str, start: int
+        self, df: DataFrame, column: str, start: int, step: int = 1
     ) -> tuple[DataFrame, int]:
-        """Assign ``start .. start+n-1`` (a contiguous permutation)
-        to ``column`` without a global sort: the batch is pinned with
+        """Assign ``start, start+step, ..`` (a contiguous permutation
+        on the step grid) to ``column`` without a global sort: the
+        batch is pinned with
         a lazy localCheckpoint so both passes see one partitioning,
         a per-partition count pass collects ONE row per partition
         (bounded metadata), and each row's id is its partition's
@@ -5397,9 +5432,10 @@ class TransactionalLake:
                 column,
                 (
                     F.lit(int(start))
-                    + F.col("_off")
-                    + (
-                        F.col("_mid")
+                    + F.lit(int(step))
+                    * (
+                        F.col("_off")
+                        + F.col("_mid")
                         - F.col("_pid").cast("long") * F.lit(1 << 33)
                     )
                 ).cast("long"),

@@ -805,3 +805,27 @@ class TestFsckSQL:
         front.sql("FSCK REPAIR TABLE t")
         assert front.sql("SELECT COUNT(*) AS n FROM t").collect()[0][
             "n"] < 100
+
+
+class TestIdentityDDLOptions:
+    def test_start_with_increment_by(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE sid (rid BIGINT GENERATED ALWAYS AS IDENTITY "
+            f"(START WITH 1000 INCREMENT BY 5), s STRING) "
+            f"LOCATION '{tmp_path / 'sid'}'"
+        )
+        fr.sql("INSERT INTO sid VALUES ('a'), ('b'), ('c')")
+        ids = sorted(
+            r["rid"] for r in fr.sql("SELECT rid FROM sid").collect()
+        )
+        assert ids == [1000, 1005, 1010]
+
+    def test_negative_increment_refuses(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        with pytest.raises(ValueError, match="step must be >= 1"):
+            fr.sql(
+                f"CREATE TABLE nid (rid BIGINT GENERATED ALWAYS AS "
+                f"IDENTITY (START WITH 0 INCREMENT BY -1), s STRING) "
+                f"LOCATION '{tmp_path / 'nid'}'"
+            )

@@ -1330,7 +1330,7 @@ class TestIdentityColumn:
         lake.set_identity("row_id")
         other = TransactionalLake(spark, path, partition_by=())
 
-        real = lake.identity_state
+        real = lake._identity_doc  # append's state read (r12)
         done = []
 
         def racing(as_of=None):
@@ -1341,12 +1341,12 @@ class TestIdentityColumn:
                 other.append(_df(spark, [("RACE", 1)]))
             return real(as_of=as_of)
 
-        lake.identity_state = racing  # type: ignore[method-assign]
+        lake._identity_doc = racing  # type: ignore[method-assign]
         try:
             with pytest.raises(RuntimeError, match="identity"):
                 lake.append(_df(spark, [("MINE", 2)]))
         finally:
-            lake.identity_state = real  # type: ignore[method-assign]
+            lake._identity_doc = real  # type: ignore[method-assign]
         # loser retries; ids stay unique and contiguous
         lake.append(_df(spark, [("MINE", 2)]))
         ids = sorted(r.row_id for r in lake.snapshot().collect())
@@ -4560,3 +4560,53 @@ class TestOptimizedWrites:
         # here would spread every k everywhere)
         kept, total, _ = lk.prune_files({"k": (0, 10)})
         assert len(kept) < total
+
+
+class TestIdentityStartStep:
+    """r12: IDENTITY START WITH / INCREMENT BY (step >= 1 only —
+    the log's max() fold cannot express a descending sequence)."""
+
+    def test_step_grid_assignment(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "id"), partition_by=())
+        lk.set_identity("rid", start=100, step=10)
+        lk.append(spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "symbol string"))
+        got = sorted(r["rid"] for r in lk.snapshot().collect())
+        assert got == [100, 110, 120]
+        lk.append(spark.createDataFrame([("d",)], "symbol string"))
+        got = sorted(r["rid"] for r in lk.snapshot().collect())
+        assert got == [100, 110, 120, 130]
+
+    def test_negative_step_refuses(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "neg"), partition_by=())
+        with pytest.raises(ValueError, match="step must be >= 1"):
+            lk.set_identity("rid", start=0, step=-5)
+
+    def test_sync_stays_on_grid(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "sg"), partition_by=())
+        lk.set_identity("rid", start=0, step=10)
+        lk.append(spark.createDataFrame([("a",), ("b",)], "symbol string"))
+        # explicit ids above the mark land via merge
+        lk.merge(
+            spark.createDataFrame([(95, "m")], "rid long, symbol string"),
+            on=["rid"],
+        )
+        lk.sync_identity()
+        lk.append(spark.createDataFrame([("z",)], "symbol string"))
+        ids = sorted(r["rid"] for r in lk.snapshot().collect())
+        assert ids[-1] == 100  # next grid point above 95
+        assert ids == [0, 10, 95, 100]
+
+    def test_step_survives_clone_and_reopen(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "cl"), partition_by=())
+        lk.set_identity("rid", start=5, step=7)
+        lk.append(spark.createDataFrame([("a",)], "symbol string"))
+        cl = lk.clone(str(tmp_path / "cl2"))
+        cl.append(spark.createDataFrame([("b",)], "symbol string"))
+        ids = sorted(r["rid"] for r in cl.snapshot().collect())
+        assert ids == [5, 12]
+        fresh = TransactionalLake(spark, lk.path, partition_by=())
+        fresh.append(spark.createDataFrame([("c",)], "symbol string"))
+        assert sorted(
+            r["rid"] for r in fresh.snapshot().collect()
+        ) == [5, 12]
