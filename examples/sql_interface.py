@@ -12,6 +12,7 @@ Run:  python examples/sql_interface.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
@@ -88,7 +89,28 @@ def main() -> None:
     ).first()["n"]
     now = fr.sql("SELECT COUNT(*) AS n FROM trades").first()["n"]
     assert was == n0, (was, n0)
+    # @v shorthand resolves the same snapshot
+    assert fr.sql("SELECT COUNT(*) AS n FROM trades@v0").first()["n"] == was
     print(f"time travel: v0 had {was}, head has {now}")
+
+    # r12 late verbs: comments, catalog listings, clone, truncate
+    fr.sql("COMMENT ON TABLE trades IS 'tick-level trade events'")
+    fr.sql("COMMENT ON COLUMN trades.x IS 'scaled value'")
+    cols = [r["col_name"] for r in fr.sql("SHOW COLUMNS IN trades").collect()]
+    print("columns:", cols)
+    clone_loc = os.path.join(root, "trades_snap")
+    fr.sql(
+        f"CREATE TABLE trades_snap SHALLOW CLONE trades VERSION AS OF 0 "
+        f"LOCATION '{clone_loc}'"
+    )
+    snap_n = fr.sql("SELECT COUNT(*) AS n FROM trades_snap").first()["n"]
+    assert snap_n == n0, (snap_n, n0)
+    rec = fr.sql("TRUNCATE TABLE audit").first()
+    assert fr.sql("SELECT COUNT(*) AS n FROM audit").first()["n"] == 0
+    print(
+        f"clone holds v0 ({snap_n} rows); audit truncated "
+        f"({rec['num_removed_files']} files, metadata-only)"
+    )
     print("sql tour OK")
 
 
