@@ -46,6 +46,7 @@ scoped-rewrite implementations the Python API uses.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,7 @@ _UTILITY_HEADS = (
     "ANALYZE TABLE", "GENERATE", "REORG TABLE", "SHOW TBLPROPERTIES",
     "INSERT", "DELETE FROM", "UPDATE", "MERGE INTO", "CREATE TABLE",
     "DROP TABLE", "SHOW TABLES", "CONVERT TO LAKE", "SHOW PARTITIONS",
+    "CREATE OR REPLACE TABLE",
     "SHOW COLUMNS", "TRUNCATE TABLE", "COMMENT ON", "COPY INTO",
     "FSCK REPAIR",
 )
@@ -765,15 +767,21 @@ class LakeSQL:
     # -- DML: INSERT / DELETE / UPDATE / MERGE -----------------------------
     _INSERT = re.compile(
         rf"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-        rf"(?P<tbl>{_IDENT})\s+(?P<src>(?:SELECT|VALUES|WITH|TABLE)\s.+)$",
+        rf"(?P<tbl>{_IDENT})\s+"
+        r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+)?"
+        rf"(?P<src>(?:SELECT|VALUES|WITH|TABLE)\s.+)$",
         re.IGNORECASE,
     )
 
     def _do_insert(self, m) -> DataFrame:
-        """``INSERT INTO|OVERWRITE t <select|values>`` — the source
-        query runs through the SELECT passthrough (so it can read
-        other registered lakes, including time travel), then commits
-        as append / overwrite."""
+        """``INSERT INTO|OVERWRITE t [REPLACE WHERE pred]
+        <select|values>`` — the source query runs through the SELECT
+        passthrough (so it can read other registered lakes, including
+        time travel), then commits as append / overwrite. ``REPLACE
+        WHERE`` (Delta's SQL replaceWhere, INTO only) atomically
+        swaps the predicate's rows for the source's — every source
+        row must itself satisfy the predicate, the idempotent
+        backfill contract."""
         lake = self.table(m.group("tbl"))
         df = self.spark.sql(self._prepare_select(m.group("src")))
         # SQL INSERT is POSITIONAL (unlike the Python API's by-name
@@ -813,6 +821,16 @@ class LakeSQL:
             dtypes = dict(target.dtypes)
             df = df.toDF(*tcols).select(
                 *[F.col(c).cast(dtypes[c]) for c in tcols]
+            )
+        if m.group("rw"):
+            if m.group("mode").upper() != "INTO":
+                raise ValueError(
+                    "REPLACE WHERE pairs with INSERT INTO (OVERWRITE "
+                    "already replaces the whole table)"
+                )
+            return self._receipt(
+                "INSERT REPLACE WHERE",
+                lake.overwrite_where(df, m.group("rw")),
             )
         if m.group("mode").upper() == "OVERWRITE":
             return self._receipt("INSERT OVERWRITE", lake.overwrite(df))
@@ -1250,6 +1268,43 @@ class LakeSQL:
             v = lake.set_properties({f"comment.column.{col}": value})
         return self._receipt("COMMENT ON", v)
 
+    _CREATE_OR_REPLACE = re.compile(
+        rf"CREATE\s+OR\s+REPLACE\s+TABLE\s+(?P<name>{_IDENT})\s+"
+        r"LOCATION\s+(?P<loc>'[^']+'|`[^`]+`)\s+AS\s+(?P<src>.+)$",
+        re.IGNORECASE,
+    )
+
+    def _do_create_or_replace(self, m) -> DataFrame:
+        """``CREATE OR REPLACE TABLE n LOCATION 'p' AS <select>`` —
+        Delta's CRT: when the table exists, ONE overwrite commit
+        replaces data AND schema (the schema history resets, so a
+        narrower select really drops columns) while HISTORY is
+        retained — time travel still answers pre-replace versions;
+        when it doesn't, a plain create. A registered name must match
+        its registered location — silently re-pointing a name at a
+        different path is how two pipelines end up writing one
+        table."""
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        name = m.group("name").lower()
+        loc = _unquote(m.group("loc"))
+        df = self.spark.sql(self._prepare_select(m.group("src")))
+        lake = self._tables.get(name)
+        if lake is not None:
+            if os.path.abspath(lake.path) != os.path.abspath(loc):
+                raise ValueError(
+                    f"table {name!r} is registered at {lake.path!r}; "
+                    f"CREATE OR REPLACE names {loc!r} — re-pointing a "
+                    "name needs an explicit DROP TABLE first"
+                )
+        else:
+            lake = TransactionalLake(self.spark, loc, partition_by=())
+            self.register(name, lake)
+        if lake.version >= 0:
+            v = lake.overwrite(df)
+            return self._receipt("CREATE OR REPLACE TABLE", v)
+        return self._receipt("CREATE OR REPLACE TABLE", lake.append(df))
+
     _FSCK = re.compile(
         rf"FSCK\s+REPAIR\s+TABLE\s+(?P<tbl>{_IDENT})"
         r"(?:\s+(?P<dry>DRY\s+RUN))?$",
@@ -1346,6 +1401,7 @@ class LakeSQL:
         ("SHOW COLUMNS", (_SHOWCOLS, "SHOW COLUMNS IN|FROM t", "_do_show_columns")),
         ("TRUNCATE TABLE", (_TRUNCATE, "TRUNCATE TABLE t", "_do_truncate")),
         ("COMMENT ON", (_COMMENT, "COMMENT ON TABLE t IS 'text'|NULL | COMMENT ON COLUMN t.c IS 'text'|NULL", "_do_comment")),
+        ("CREATE OR REPLACE TABLE", (_CREATE_OR_REPLACE, "CREATE OR REPLACE TABLE n LOCATION 'p' AS <select>", "_do_create_or_replace")),
         ("FSCK REPAIR", (_FSCK, "FSCK REPAIR TABLE t [DRY RUN]", "_do_fsck")),
         ("COPY INTO", (_COPYINTO, "COPY INTO t FROM 'path' FILEFORMAT = PARQUET|CSV|JSON [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]", "_do_copy_into")),
     )

@@ -829,3 +829,54 @@ class TestIdentityDDLOptions:
                 f"IDENTITY (START WITH 0 INCREMENT BY -1), s STRING) "
                 f"LOCATION '{tmp_path / 'nid'}'"
             )
+
+
+class TestCreateOrReplaceAndReplaceWhere:
+    def test_create_or_replace_keeps_history(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        loc = tmp_path / "crt"
+        fr.sql(
+            f"CREATE OR REPLACE TABLE crt LOCATION '{loc}' "
+            "AS SELECT 1 AS a, 'x' AS b"
+        )
+        fr.sql(
+            f"CREATE OR REPLACE TABLE crt LOCATION '{loc}' "
+            "AS SELECT 7 AS a"  # narrower: b really drops
+        )
+        assert [r["col_name"] for r in
+                fr.sql("SHOW COLUMNS IN crt").collect()] == ["a"]
+        assert fr.sql("SELECT a FROM crt").collect()[0]["a"] == 7
+        # history retained: v0 still answers with both columns
+        old = fr.sql("SELECT * FROM crt VERSION AS OF 0").collect()[0]
+        assert old["a"] == 1 and old["b"] == "x"
+
+    def test_create_or_replace_refuses_repointing(self, spark, front,
+                                                  tmp_path):
+        with pytest.raises(ValueError, match="re-pointing"):
+            front.sql(
+                f"CREATE OR REPLACE TABLE t LOCATION "
+                f"'{tmp_path / 'elsewhere'}' AS SELECT 1 AS k"
+            )
+
+    def test_insert_replace_where(self, spark, front, lake):
+        rec = front.sql(
+            "INSERT INTO t REPLACE WHERE grp = 3 "
+            "SELECT CAST(900 + id AS BIGINT) AS k, "
+            "CAST(3 AS BIGINT) AS grp, CAST(0.5 AS DOUBLE) AS v "
+            "FROM RANGE(2)"
+        ).collect()[0]
+        assert rec["operation"] == "INSERT REPLACE WHERE"
+        got = front.sql(
+            "SELECT COUNT(*) AS n FROM t WHERE grp = 3"
+        ).collect()[0]["n"]
+        assert got == 2  # the old grp-3 rows were swapped out
+        total = front.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+        assert total == 100 - 100 // 7 - (1 if 100 % 7 > 3 else 0) + 2
+
+    def test_replace_where_validates_rows(self, front):
+        with pytest.raises(Exception):
+            front.sql(
+                "INSERT INTO t REPLACE WHERE grp = 3 "
+                "SELECT CAST(1 AS BIGINT) AS k, CAST(4 AS BIGINT) AS grp, "
+                "CAST(0.0 AS DOUBLE) AS v"
+            )
