@@ -979,7 +979,9 @@ class LakeSQL:
         rf"CREATE\s+TABLE\s+(?P<name>{_IDENT})\s+"
         r"(?:\(\s*(?P<cols>.+?)\s*\)\s+)?"
         r"(?:PARTITIONED\s+BY\s+\(\s*(?P<parts>[^)]+)\s*\)\s+)?"
+        r"(?:CLUSTER\s+BY\s+\(\s*(?P<cluster>[^)]+)\s*\)\s+)?"
         r"LOCATION\s+(?P<loc>'[^']+')"
+        r"(?:\s+TBLPROPERTIES\s*\(\s*(?P<props>[^)]*)\s*\))?"
         r"(?:\s+AS\s+(?P<src>(?:SELECT|WITH|VALUES|TABLE)\s.+))?$",
         re.IGNORECASE,
     )
@@ -991,7 +993,9 @@ class LakeSQL:
         r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+"
         r"INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?"
         r"|GENERATED\s+ALWAYS\s+AS\s*\((?P<g>.+)\)"
-        r"|NOT\s+NULL))?$",
+        r"|NOT\s+NULL"
+        r"|DEFAULT\s+(?P<dflt>'[^']*'|-?\d+(?:\.\d+)?|[A-Za-z_]\w*\(\)"
+        r")))?$",
         re.IGNORECASE,
     )
 
@@ -1029,13 +1033,15 @@ class LakeSQL:
         generated: dict[str, str] = {}
         identity: tuple[str, int, int] | None = None
         not_null: list[str] = []
+        defaults: dict[str, str] = {}
         for spec in _split_commas(m.group("cols") or ""):
             cm = self._COLDEF.fullmatch(spec.strip())
             if not cm:
                 raise ValueError(
                     f"cannot parse column definition: {spec!r} "
                     "(name TYPE [GENERATED ALWAYS AS IDENTITY | "
-                    "GENERATED ALWAYS AS (expr) | NOT NULL])"
+                    "GENERATED ALWAYS AS (expr) | NOT NULL | "
+                    "DEFAULT <literal>])"
                 )
             cname, ctype = cm.group("n"), cm.group("t").strip().lower()
             mark = (cm.group("mark") or "").upper()
@@ -1053,6 +1059,8 @@ class LakeSQL:
                 plain.append((cname, ctype))
                 if mark.startswith("NOT"):
                     not_null.append(cname)
+                elif mark.startswith("DEFAULT"):
+                    defaults[cname] = cm.group("dflt")
         lake = TransactionalLake(
             self.spark,
             _unquote(m.group("loc")),
@@ -1085,6 +1093,17 @@ class LakeSQL:
                 v = lake.add_check_constraint(
                     f"not_null_{c}", f"{c} IS NOT NULL"
                 )
+            for c, lit in defaults.items():
+                v = lake.set_column_default(c, lit)
+        if m.group("cluster"):
+            v = lake.set_clustering(
+                tuple(
+                    c.strip().strip("`")
+                    for c in m.group("cluster").split(",")
+                )
+            )
+        if m.group("props"):
+            v = lake.set_properties(self._parse_opts(m.group("props")))
         self.register(name, lake)
         return self._receipt("CREATE TABLE", v)
 

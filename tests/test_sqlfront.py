@@ -880,3 +880,43 @@ class TestCreateOrReplaceAndReplaceWhere:
                 "SELECT CAST(1 AS BIGINT) AS k, CAST(4 AS BIGINT) AS grp, "
                 "CAST(0.0 AS DOUBLE) AS v"
             )
+
+
+class TestCreateDDLExtras:
+    """r12 late: DEFAULT column marker, CLUSTER BY and TBLPROPERTIES
+    clauses in CREATE TABLE."""
+
+    def test_default_cluster_props(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE ext ("
+            "  k BIGINT NOT NULL,"
+            "  src STRING DEFAULT 'batch',"
+            "  v DOUBLE"
+            ") CLUSTER BY (k) "
+            f"LOCATION '{tmp_path / 'ext'}' "
+            "TBLPROPERTIES ('owner' = 'ops', 'checkpoint.partSize' = '100')"
+        )
+        lake = fr.table("ext")
+        assert lake.clustering_info()["cluster_by"] == ["k"]
+        props = lake.properties()
+        assert props["owner"] == "ops"
+        # positional INSERT still takes every non-derived column
+        # (standard SQL without a column list); the DEFAULT serves
+        # BY-NAME batches that omit the column (next test)
+        fr.sql("INSERT INTO ext VALUES (1, 'x', 9.5)")
+        assert fr.sql("SELECT COUNT(*) AS n FROM ext").collect()[0]["n"] == 1
+
+    def test_default_materializes_on_append(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE dft (k BIGINT, src STRING DEFAULT 'batch') "
+            f"LOCATION '{tmp_path / 'dft'}'"
+        )
+        lake = fr.table("dft")
+        lake.append(spark.range(2).selectExpr("id as k"))
+        got = sorted(
+            (r["k"], r["src"]) for r in fr.sql(
+                "SELECT * FROM dft").collect()
+        )
+        assert got == [(0, "batch"), (1, "batch")]
