@@ -68,7 +68,7 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 #
 # r13 window queue — FRONT-LOAD FIRST: (z) the r12-new entries
 # never driver-run (the r11 slip class): s32_copy_into_partition_
-# delete, s33_convert_clone_partitions, plus any entry whose code
+# delete, s33_convert_clone_partitions, e2_incremental_neardup, plus any entry whose code
 # path changed late in r12 (partition-delete fast path touches every
 # delete_where caller: s12_deletion_vectors, s14_replace_where,
 # t13_restore_across_dv already queue below). Then (a) the remaining

@@ -738,3 +738,132 @@ def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_rep"),
         (F.col("u") != F.col("lbl")).alias("is_dup"),
     )
+
+
+_INC_TWIN_OFFSET = 1 << 41  # distinct from the simhash twin space
+
+
+@register(
+    "e2_incremental_neardup",
+    oracle="""
+    SELECT CAST(doc_id + 2199023255552 AS BIGINT) AS doc_id,
+           TRUE AS dup_found,
+           TRUE AS original_matched,
+           TRUE AS candidates_valid
+    FROM documents
+    WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: dedup a NEW batch against an EXISTING
+    corpus via a STORED signature index — the steady-state production
+    shape (a daily crawl drop is checked against the lake's MinHash
+    index; the corpus is never re-shingled, never re-hashed, never
+    self-joined). The corpus signature table is computed once and
+    PERSISTED as parquet; the probe pipeline reads it back, bands
+    both sides, and joins probe bands against index bands — cost is
+    O(batch) signatures + a band join whose corpus side is the
+    pre-built index. At 100 TB the index is the durable artifact and
+    each increment pays only its own size.
+
+    Hard signal under the planted-twin gate (the e2_simhash
+    pattern): every corpus doc with doc_id % 7 == 0 gets a
+    byte-identical twin planted into the batch at doc_id + 2^41.
+    Identical text -> identical 32-minhash signature -> every band
+    collides, so the probe MUST surface each twin with signature
+    similarity 1.0 and its original among the sim-1.0 matches.
+    DuckDB pins the twin list and the booleans as literal TRUE.
+    ``candidates_valid`` sweeps the real candidate output for a
+    similarity outside [0,1] or a self-match (only the scalar count
+    reaches the driver). Fresh batch docs (doc_id % 5 == 0) flow
+    through the same pipeline; their verdicts are engine-specific
+    (natural near-dups exist in the corpus) and deliberately not
+    part of the gated output."""
+    from market_data_lakehouse_spark.queries.catalog import scratch_dir
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    corpus = docs.filter("doc_id % 5 != 0")
+    # ---- index build (happens ONCE in production; stored) ----
+    idx_dir = scratch_dir("incidx")
+    minhash_signatures(_shingles_exploded(corpus, carry=())).write.parquet(
+        idx_dir + "/sigs"
+    )
+    stored = spark.read.parquet(idx_dir + "/sigs")
+    # ---- the increment: fresh docs + planted twins ----
+    twins = corpus.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + F.lit(_INC_TWIN_OFFSET)).alias("doc_id"),
+        "text",
+    )
+    batch = docs.filter("doc_id % 5 = 0").unionByName(twins)
+    probe = minhash_signatures(_shingles_exploded(batch, carry=()))
+    cand = (
+        _banded(probe)
+        .select(
+            F.col("doc_id").alias("new_id"),
+            F.col("sig").alias("sa"),
+            "band",
+            "bhash",
+        )
+        .join(
+            _banded(stored).select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("sig").alias("sb"),
+                "band",
+                "bhash",
+            ),
+            ["band", "bhash"],
+        )
+        .select("new_id", "corpus_id", "sa", "sb")
+        .distinct()
+        .withColumn(
+            "sig_sim",
+            F.aggregate(
+                F.zip_with(
+                    "sa", "sb",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(N_MINHASH),
+        )
+        .drop("sa", "sb")
+        .localCheckpoint(eager=False)
+    )
+    n_bad = cand.filter(
+        (F.col("sig_sim") < 0) | (F.col("sig_sim") > 1)
+        | (F.col("new_id") == F.col("corpus_id"))
+    ).count()
+    twin_hits = (
+        cand.filter(F.col("new_id") >= _INC_TWIN_OFFSET)
+        .groupBy("new_id")
+        .agg(
+            F.max("sig_sim").alias("best_sim"),
+            F.max(
+                F.when(
+                    (F.col("sig_sim") == 1.0)
+                    & (
+                        F.col("corpus_id")
+                        == F.col("new_id") - F.lit(_INC_TWIN_OFFSET)
+                    ),
+                    True,
+                ).otherwise(False)
+            ).alias("orig_at_1"),
+        )
+    )
+    return (
+        twins.select("doc_id")
+        .join(twin_hits, twins.doc_id == twin_hits.new_id, "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            (F.coalesce("best_sim", F.lit(0.0)) == 1.0).alias("dup_found"),
+            F.coalesce("orig_at_1", F.lit(False)).alias("original_matched"),
+            F.lit(n_bad == 0).alias("candidates_valid"),
+        )
+        .orderBy("doc_id")
+    )
