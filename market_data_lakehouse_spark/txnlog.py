@@ -2787,29 +2787,148 @@ class TransactionalLake:
             return None
         return out
 
-    @staticmethod
-    def _pd_compare(v: str, lit: str) -> int | None:
-        """Three-way compare of a partition directory value against a
-        predicate literal, with Spark's coercion shape: numeric when
-        BOTH sides parse as numbers, string when NEITHER does, and
-        UNKNOWN (None -> scan path) when mixed — a wrong guess here
-        would silently delete or keep the wrong rows."""
-        s = lit[1:-1] if lit.startswith("'") else lit
+    @classmethod
+    def _dml_cmp(cls, stat, lit: str) -> int | None:
+        """Three-way compare of a logged stat (or partition-dir
+        string) against a SQL predicate literal token, returning None
+        whenever the verdict could depend on a typing choice we
+        cannot see — a wrong answer here silently deletes or skips
+        the wrong rows, so every ambiguity is "cannot prove":
+
+        - numeric stat: compare as numbers iff the literal parses.
+        - string stat + UNQUOTED literal: Spark casts the column to
+          double — numeric compare iff the stat parses too.
+        - string stat + QUOTED literal: lexical compare — except
+          (a) when BOTH parse as numbers and the numeric and lexical
+          orders DISAGREE, the column's true type decides and we
+          don't know it (partition-dir values are untyped strings);
+          (b) ISO temporal strings normalize 'T'->' ' and date-only
+          to midnight first, refuse timezone suffixes, and refuse a
+          proper-prefix relationship (an exact time boundary Spark
+          resolves by timestamp equality, not lexical order)."""
+        quoted = lit.startswith("'")
+        s = lit[1:-1] if quoted else lit
+        if isinstance(stat, (int, float)) and not isinstance(stat, bool):
+            try:
+                f = float(s)
+            except (TypeError, ValueError):
+                return None
+            return (stat > f) - (stat < f)
+        if not isinstance(stat, str):
+            return None
+        if not quoted:
+            try:
+                fs, f = float(stat), float(s)
+            except (TypeError, ValueError):
+                return None
+            return (fs > f) - (fs < f)
+        a, b = stat, s
+        if cls._ISO_PREFIX_RE.match(a) or cls._ISO_PREFIX_RE.match(b):
+            if not (
+                cls._ISO_PREFIX_RE.match(a) and cls._ISO_PREFIX_RE.match(b)
+            ):
+                return None
+            if cls._TZ_SUFFIX_RE.search(a[10:]) or cls._TZ_SUFFIX_RE.search(
+                b[10:]
+            ):
+                return None
+            a, b = a.replace("T", " "), b.replace("T", " ")
+            if len(a) == 10:
+                a += " 00:00:00"
+            if len(b) == 10:
+                b += " 00:00:00"
+            if a != b and (a.startswith(b) or b.startswith(a)):
+                return None  # sub-second/width boundary: can't prove
+            return (a > b) - (a < b)
+        lex = (a > b) - (a < b)
         try:
-            fv = float(v)
-            v_num = True
+            fa, fb = float(a), float(b)
         except (TypeError, ValueError):
-            v_num = False
-        try:
-            fl = float(s)
-            l_num = True
-        except (TypeError, ValueError):
-            l_num = False
-        if v_num and l_num:
-            return (fv > fl) - (fv < fl)
-        if not v_num and not l_num:
-            return (v > s) - (v < s)
-        return None
+            return lex
+        num = (fa > fb) - (fa < fb)
+        return lex if lex == num else None
+
+    def _dml_prune(
+        self, files: list[str], predicate: str
+    ) -> list[str]:
+        """DATA-SKIPPING DML (r12, Delta parity): shrink a DML
+        operation's candidate file list with the LOGGED per-file
+        stats and partition values before any scan. A file is dropped
+        only when some parsed conjunct PROVABLY matches none of its
+        rows (its [min, max] cannot intersect, or its partition value
+        fails, or its partition is the hive NULL sentinel — NULL
+        never matches a comparison); everything else — unparseable
+        conjuncts, OR/NOT/parens, statless columns, mixed-type
+        compares — keeps the file. Sound by construction: a row
+        matching the whole AND matches every conjunct, so pruning on
+        any subset of conjuncts can only drop provably-unmatchable
+        files. On a 100 TB table this is what turns `DELETE WHERE ts
+        BETWEEN ...` from a full-table scan into a scan of the
+        matching files — the same skipping reads already get, now on
+        the write path."""
+        if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bIS\b|!=|<>",
+                     predicate, re.IGNORECASE):
+            return files
+        cons: list[tuple[str, str, str]] = []
+        parts = re.split(r"\s+AND\s+", predicate, flags=re.IGNORECASE)
+        i = 0
+        while i < len(parts):
+            mb = self._PD_BETWEEN_HEAD.match(parts[i])
+            if mb and i + 1 < len(parts):
+                mh = self._PD_LIT.match(parts[i + 1])
+                if mh:
+                    cons.append((mb.group("col"), ">=", mb.group("lo")))
+                    cons.append((mb.group("col"), "<=", mh.group("hi")))
+                    i += 2
+                    continue
+            mc = self._PD_CMP.match(parts[i])
+            if mc:
+                cons.append(
+                    (mc.group("col"),
+                     "=" if mc.group("op") == "==" else mc.group("op"),
+                     mc.group("val"))
+                )
+            i += 1  # unparseable conjunct: others still prune
+        if not cons:
+            return files
+        idx = self._stats_index()
+        pcols = set(self.partition_by)
+
+        def keep(rel: str) -> bool:
+            vals: dict[str, str] = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    vals[k] = unquote(raw)
+            st = idx.get(rel, {})
+            for col, op, lit in cons:
+                if col in pcols:
+                    v = vals.get(col)
+                    if v == self._HIVE_NULL:
+                        return False  # NULL never matches — certain
+                    if v is None:
+                        continue  # layout surprise: keep
+                    lo_hi = (v, v)
+                else:
+                    s = st.get(col)
+                    if not s:
+                        continue  # statless: keep
+                    lo_hi = (s[0], s[1])
+                clo = self._dml_cmp(lo_hi[0], lit)
+                chi = self._dml_cmp(lo_hi[1], lit)
+                if clo is None or chi is None:
+                    continue  # incomparable: keep
+                if (
+                    (op == "=" and (chi < 0 or clo > 0))
+                    or (op == "<" and clo >= 0)
+                    or (op == "<=" and clo > 0)
+                    or (op == ">" and chi <= 0)
+                    or (op == ">=" and chi < 0)
+                ):
+                    return False
+            return True
+
+        return [f for f in files if keep(f)]
 
     def _try_partition_delete(
         self,
@@ -2846,7 +2965,7 @@ class TransactionalLake:
                 if v == self._HIVE_NULL:
                     match = False  # NULL never matches — certain
                     break
-                c = self._pd_compare(v, lit)
+                c = self._dml_cmp(v, lit)
                 if c is None:
                     return None  # mixed-type compare: scan path
                 ok = {
@@ -2924,15 +3043,19 @@ class TransactionalLake:
             return self._delete_where_dv(predicate, read_bounds)
         old, schemas, read_v, dvs = self._snapshot_state()
         self._check_read_bounds(predicate, read_bounds, schemas)
-        if not old:
-            # live-file set empty (e.g. everything already deleted):
-            # nothing can match — no-op commit, not a metadata error
+        # data-skipping DML: only stats-possible files are scanned
+        # for the affected set (r12) — pruned files provably hold no
+        # matching row, so correctness is untouched
+        cand = self._dml_prune(old, predicate) if old else []
+        if not cand:
+            # live-file set empty, or no file can possibly match:
+            # nothing to do — no-op commit, not a metadata error
             return self._commit(
                 {"op": "delete", "predicate": predicate, "add": [],
                  "remove": []},
                 read_version=read_v, read_bounds=read_bounds,
             )
-        snap = self._df_for_files(old, schemas, dvs=dvs)
+        snap = self._df_for_files(cand, schemas, dvs=dvs)
         match = F.coalesce(F.expr(predicate), F.lit(False))
         affected = self._affected_files(snap, match)
         if not affected:
@@ -3119,11 +3242,14 @@ class TransactionalLake:
         old, schemas, read_v, dvs = self._snapshot_state()
         self._check_read_bounds(predicate, read_bounds, schemas)
         action_base = {"op": "delete_dv", "predicate": predicate}
-        if not old:
+        # data-skipping DML (r12): position-resolve only the
+        # stats-possible files
+        cand = self._dml_prune(old, predicate) if old else []
+        if not cand:
             return self._commit({**action_base, "dv": {}},
                                 read_version=read_v,
                                 read_bounds=read_bounds)
-        raw = self._positional_scan(old, schemas, dvs)
+        raw = self._positional_scan(cand, schemas, dvs)
         hits = (
             raw.filter(F.coalesce(F.expr(predicate), F.lit(False)))
             .select("_row_file", "_row_pos")
@@ -3281,7 +3407,11 @@ class TransactionalLake:
                  "remove": []},
                 read_version=read_v, read_bounds=read_bounds,
             )
-        snap = self._df_for_files(old, schemas, dvs=dvs)
+        # data-skipping DML (r12): scan only stats-possible files;
+        # a one-file read still serves the column validation below
+        # when nothing can match
+        cand = self._dml_prune(old, predicate)
+        snap = self._df_for_files(cand or old[:1], schemas, dvs=dvs)
         # validate against the FULL table schema: a legitimately
         # evolved column is assignable even when no affected file
         # happens to carry it physically
@@ -3289,7 +3419,7 @@ class TransactionalLake:
         if unknown:
             raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
         match = F.coalesce(F.expr(predicate), F.lit(False))
-        affected = self._affected_files(snap, match)
+        affected = self._affected_files(snap, match) if cand else []
         if not affected:
             return self._commit(
                 {"op": "update", "predicate": predicate, "add": [],
@@ -3345,12 +3475,17 @@ class TransactionalLake:
         old, schemas, read_v, dvs = self._snapshot_state()
         self._check_read_bounds(predicate, read_bounds, schemas)
         action_base = {"op": "update_dv", "predicate": predicate}
+        # data-skipping DML (r12): position-resolve only the
+        # stats-possible files; one file stays for column validation
+        cand = self._dml_prune(old, predicate) if old else []
         if not old:
             return self._commit(
                 {**action_base, "dv": {}, "add": []}, read_version=read_v, read_bounds=read_bounds
             )
         rt = self._row_tracking_state()
-        raw = self._positional_scan(old, schemas, dvs, with_rt=bool(rt))
+        raw = self._positional_scan(
+            cand or old[:1], schemas, dvs, with_rt=bool(rt)
+        )
         unknown = set(assignments) - (
             set(raw.columns) - {"_row_file", "_row_pos", *self._RT_COLS}
         )

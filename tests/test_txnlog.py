@@ -4610,3 +4610,82 @@ class TestIdentityStartStep:
         assert sorted(
             r["rid"] for r in fresh.snapshot().collect()
         ) == [5, 12]
+
+
+class TestDmlDataSkipping:
+    """r12: delete/update scan only stats-possible files (data-
+    skipping DML), with type-ambiguity guards that refuse to prove."""
+
+    def _ranged(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "ds"), partition_by=())
+        for lo in (0, 100, 200):
+            lk.append(
+                spark.range(lo, lo + 100).selectExpr(
+                    "id as k", "id * 1.0 as v").coalesce(1)
+            )
+        return lk
+
+    def test_prune_keeps_only_possible_files(self, spark, tmp_path):
+        lk = self._ranged(spark, tmp_path)
+        old = lk._snapshot_state()[0]
+        kept = lk._dml_prune(old, "k BETWEEN 150 AND 160")
+        assert len(kept) < len(old)
+        # and the delete is still exact
+        lk.delete_where("k BETWEEN 150 AND 160")
+        assert lk.snapshot().count() == 300 - 11
+        # only the possible files were touched
+        h = lk.history()[0]
+        assert len(h.get("remove", [])) <= len(kept)
+
+    def test_unparseable_conjunct_still_prunes_by_the_parsed_one(
+        self, spark, tmp_path
+    ):
+        lk = self._ranged(spark, tmp_path)
+        old = lk._snapshot_state()[0]
+        kept = lk._dml_prune(old, "k >= 250 AND v + 1 > 0")
+        assert len(kept) == 1
+        lk.delete_where("k >= 250 AND v + 1 > 0")
+        assert lk.snapshot().count() == 250
+
+    def test_or_and_parens_disable_pruning(self, spark, tmp_path):
+        lk = self._ranged(spark, tmp_path)
+        old = lk._snapshot_state()[0]
+        assert lk._dml_prune(old, "k < 10 OR k > 290") == old
+        assert lk._dml_prune(old, "(k < 10)") == old
+
+    def test_numeric_string_ambiguity_keeps(self, spark, tmp_path):
+        """A string column with numeric-looking values: lexical and
+        numeric orders disagree ('10' < '9' lexically) — the pruner
+        must refuse to prove rather than guess the column's type."""
+        lk = TransactionalLake(spark, str(tmp_path / "amb"),
+                               partition_by=())
+        lk.append(spark.createDataFrame([("10",)], "scol string"))
+        lk.append(spark.createDataFrame([("9",)], "scol string"))
+        old = lk._snapshot_state()[0]
+        kept = lk._dml_prune(old, "scol <= '5'")
+        stats = lk._stats_index()
+        ten_file = next(f for f in old if stats[f]["scol"][0] == "10")
+        # lexical: '10' <= '5' TRUE; numeric: 10 <= 5 FALSE —
+        # disagreement => the '10' file MUST be kept (a numeric guess
+        # would wrongly prune the row Spark deletes). The '9' file is
+        # legitimately prunable: both orders agree it can't match.
+        assert ten_file in kept
+        # Spark's own (string) semantics decide the actual delete
+        lk.delete_where("scol <= '5'")
+        assert [r["scol"] for r in lk.snapshot().collect()] == ["9"]
+
+    def test_iso_boundary_prefix_is_conservative(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "iso"),
+                               partition_by=())
+        lk.append(spark.createDataFrame(
+            [("2024-06-15 00:00:00",)], "ts string"))
+        old = lk._snapshot_state()[0]
+        # date-only literal == midnight: lexical prefix order would
+        # wrongly prove no-match for <=; the pruner must keep
+        assert lk._dml_prune(old, "ts <= '2024-06-15'") == old
+
+    def test_dv_delete_prunes_too(self, spark, tmp_path):
+        lk = self._ranged(spark, tmp_path)
+        lk.delete_where("k = 250", mode="dv")
+        assert lk.snapshot().count() == 299
+        assert lk.snapshot().filter("k = 250").count() == 0
