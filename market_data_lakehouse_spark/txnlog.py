@@ -1922,18 +1922,26 @@ class TransactionalLake:
         already arranged a deliberate layout (the range-partitioned
         clustering/Z-order rewrites — re-shuffling would destroy
         exactly the locality they just paid for)."""
+        props = self.properties()
         if (
             not preserve_layout
             and self.partition_by
-            and self.properties()
-            .get("autoOptimize.optimizeWrite", "")
-            .lower()
+            and props.get("autoOptimize.optimizeWrite", "").lower()
             == "true"
         ):
             df = df.repartition(*[F.col(c) for c in self.partition_by])
+        # log-owned file-size governance (r12, the row-count proxy of
+        # Delta's targetFileSize): every writer of the table splits
+        # output at the same recorded bound; invalid values fall back
+        try:
+            max_rec = int(props.get("write.maxRecordsPerFile", 0)) or (
+                5_000_000
+            )
+        except (TypeError, ValueError):
+            max_rec = 5_000_000
         staging = os.path.join(self.path, f".staging_{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite").option(
-            "maxRecordsPerFile", 5_000_000
+            "maxRecordsPerFile", max_rec
         )
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

@@ -4689,3 +4689,23 @@ class TestDmlDataSkipping:
         lk.delete_where("k = 250", mode="dv")
         assert lk.snapshot().count() == 299
         assert lk.snapshot().filter("k = 250").count() == 0
+
+
+class TestMaxRecordsPerFileProperty:
+    def test_property_bounds_file_rows(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "mrf"),
+                               partition_by=())
+        lk.append(spark.range(1).selectExpr("id as k"))
+        lk.set_properties({"write.maxRecordsPerFile": "100"})
+        lk.append(spark.range(1000).selectExpr("id as k").coalesce(1))
+        import pyarrow.parquet as pq
+        sizes = [
+            pq.ParquetFile(os.path.join(lk.path, rel)).metadata.num_rows
+            for rel in lk._snapshot_state()[0]
+        ]
+        assert max(sizes) <= 100
+        assert lk.snapshot().count() == 1001
+        # invalid value falls back instead of failing the write
+        lk.set_properties({"write.maxRecordsPerFile": "bogus"})
+        lk.append(spark.range(5).selectExpr("id as k"))
+        assert lk.snapshot().count() == 1006
