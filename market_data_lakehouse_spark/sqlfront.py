@@ -1287,6 +1287,77 @@ class LakeSQL:
             v = lake.set_properties({f"comment.column.{col}": value})
         return self._receipt("COMMENT ON", v)
 
+    _SHOWCREATE = re.compile(
+        rf"SHOW\s+CREATE\s+TABLE\s+(?P<tbl>{_IDENT})$", re.IGNORECASE
+    )
+
+    def _do_show_create(self, m) -> DataFrame:
+        """``SHOW CREATE TABLE t`` — a CREATE TABLE statement that
+        reconstructs the table's DECLARED surface (Delta's verb):
+        logical columns with their IDENTITY (start/step from the log
+        doc — the CURRENT mark is runtime state, not DDL), GENERATED,
+        NOT NULL (the reserved ``not_null_<col>`` constraints), and
+        DEFAULT markers, the partition/cluster keys, the location,
+        and the user-set TBLPROPERTIES. Ad-hoc CHECK constraints and
+        column comments are not part of the create-DDL grammar and
+        show through their own verbs."""
+        name = m.group("tbl")
+        lake = self.table(name)
+        idoc = lake._identity_doc()
+        doc = lake.column_mapping()
+        inv = {p: lg for lg, p in doc.items()} if doc else {}
+        gen = {
+            inv.get(c, c): e for c, e in lake.generated_columns.items()
+        }
+        defaults = {
+            inv.get(c, c): e for c, e in lake.column_defaults().items()
+        }
+        cons = lake.check_constraints()
+        not_null = {
+            n[len("not_null_"):]
+            for n in cons
+            if n.startswith("not_null_")
+        }
+        parts = [inv.get(c, c) for c in lake.partition_by]
+        info = lake.clustering_info()
+        coldefs = []
+        for cname, dtype in lake.snapshot().dtypes:
+            d = f"  {cname} {dtype.upper()}"
+            phys = (doc or {}).get(cname, cname)
+            if idoc is not None and idoc["column"] == phys:
+                d += " GENERATED ALWAYS AS IDENTITY"
+                start, step = idoc.get("start"), idoc.get("step", 1)
+                # start isn't logged separately; emit only the step
+                # when it deviates (next is runtime state)
+                if int(step) != 1:
+                    d += f" (START WITH 0 INCREMENT BY {int(step)})"
+            elif cname in gen:
+                d += f" GENERATED ALWAYS AS ({gen[cname]})"
+            elif cname in not_null:
+                d += " NOT NULL"
+            elif cname in defaults:
+                d += f" DEFAULT {defaults[cname]}"
+            coldefs.append(d)
+        stmt = f"CREATE TABLE {name} (\n" + ",\n".join(coldefs) + "\n)"
+        if parts:
+            stmt += f"\nPARTITIONED BY ({', '.join(parts)})"
+        if info and info.get("cluster_by"):
+            stmt += f"\nCLUSTER BY ({', '.join(info['cluster_by'])})"
+        stmt += f"\nLOCATION '{lake.path}'"
+        props = {
+            k: v
+            for k, v in lake.properties().items()
+            if not k.startswith("comment")
+        }
+        if props:
+            body = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            )
+            stmt += f"\nTBLPROPERTIES ({body})"
+        return self.spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
+        )
+
     _CREATE_OR_REPLACE = re.compile(
         rf"CREATE\s+OR\s+REPLACE\s+TABLE\s+(?P<name>{_IDENT})\s+"
         r"LOCATION\s+(?P<loc>'[^']+'|`[^`]+`)\s+AS\s+(?P<src>.+)$",
@@ -1420,6 +1491,7 @@ class LakeSQL:
         ("SHOW COLUMNS", (_SHOWCOLS, "SHOW COLUMNS IN|FROM t", "_do_show_columns")),
         ("TRUNCATE TABLE", (_TRUNCATE, "TRUNCATE TABLE t", "_do_truncate")),
         ("COMMENT ON", (_COMMENT, "COMMENT ON TABLE t IS 'text'|NULL | COMMENT ON COLUMN t.c IS 'text'|NULL", "_do_comment")),
+        ("SHOW CREATE TABLE", (_SHOWCREATE, "SHOW CREATE TABLE t", "_do_show_create")),
         ("CREATE OR REPLACE TABLE", (_CREATE_OR_REPLACE, "CREATE OR REPLACE TABLE n LOCATION 'p' AS <select>", "_do_create_or_replace")),
         ("FSCK REPAIR", (_FSCK, "FSCK REPAIR TABLE t [DRY RUN]", "_do_fsck")),
         ("COPY INTO", (_COPYINTO, "COPY INTO t FROM 'path' FILEFORMAT = PARQUET|CSV|JSON [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]", "_do_copy_into")),

@@ -920,3 +920,34 @@ class TestCreateDDLExtras:
                 "SELECT * FROM dft").collect()
         )
         assert got == [(0, "batch"), (1, "batch")]
+
+
+class TestShowCreateTable:
+    def test_roundtrippable_ddl(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE sct ("
+            "  rid BIGINT GENERATED ALWAYS AS IDENTITY "
+            "(START WITH 0 INCREMENT BY 3),"
+            "  k BIGINT NOT NULL,"
+            "  src STRING DEFAULT 'batch',"
+            "  v DOUBLE"
+            ") CLUSTER BY (k) "
+            f"LOCATION '{tmp_path / 'sct'}' "
+            "TBLPROPERTIES ('owner' = 'ops')"
+        )
+        stmt = fr.sql("SHOW CREATE TABLE sct").collect()[0][
+            "createtab_stmt"]
+        assert "GENERATED ALWAYS AS IDENTITY" in stmt
+        assert "INCREMENT BY 3" in stmt
+        assert "k BIGINT NOT NULL" in stmt
+        assert "DEFAULT 'batch'" in stmt
+        assert "CLUSTER BY (k)" in stmt
+        assert "'owner' = 'ops'" in stmt
+        # the emitted DDL round-trips through the same front-end
+        stmt2 = stmt.replace("sct", "sct2").replace(
+            str(tmp_path / "sct"), str(tmp_path / "sct2"))
+        fr.sql(" ".join(stmt2.split("\n")))
+        assert [r["col_name"] for r in
+                fr.sql("SHOW COLUMNS IN sct2").collect()] == [
+            "k", "src", "v", "rid"]
