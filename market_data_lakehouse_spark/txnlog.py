@@ -2938,6 +2938,42 @@ class TransactionalLake:
 
         return [f for f in files if keep(f)]
 
+    @staticmethod
+    def _derive_read_bounds(
+        cons: list[tuple[str, str, str]]
+    ) -> dict[str, tuple] | None:
+        """Turn parsed predicate constraints into a ``prune_files``
+        bounds dict, or None when any piece is ambiguous (typing, a
+        twice-constrained side). Strict bounds widen to closed — a
+        WIDER declared read scope can only cause extra conflicts,
+        never a missed one."""
+        rb: dict[str, list] = {}
+        for col, op, lit in cons:
+            quoted = lit.startswith("'")
+            s = lit[1:-1] if quoted else lit
+            if quoted:
+                try:
+                    float(s)
+                    return None  # numeric-looking string: ambiguous
+                except (TypeError, ValueError):
+                    val: object = s
+            else:
+                val = int(s) if re.fullmatch(r"-?\d+", s) else float(s)
+            lo, hi = rb.get(col, [None, None])
+            if op == "=":
+                if lo is not None or hi is not None:
+                    return None
+                rb[col] = [val, val]
+            elif op in (">", ">="):
+                if lo is not None:
+                    return None
+                rb[col] = [val, hi]
+            else:  # < / <=
+                if hi is not None:
+                    return None
+                rb[col] = [lo, val]
+        return {c: (b[0], b[1]) for c, b in rb.items()}
+
     def _try_partition_delete(
         self,
         predicate: str,
@@ -2956,6 +2992,19 @@ class TransactionalLake:
         cons = self._predicate_partition_constraints(predicate)
         if cons is None:
             return None
+        if read_bounds is None:
+            # AUTO-SCOPE (r12): a partition delete's read set IS its
+            # parsed constraints, so declare them — a concurrent
+            # append whose stats prove its rows land in OTHER
+            # partitions then REBASES instead of failing (deleting
+            # yesterday while ingest appends today, the production
+            # pattern). Derived only when unambiguous: quoted
+            # literals that also parse as numbers are skipped (the
+            # column's true ordering is unknowable here — see
+            # _dml_cmp), as is any column constrained twice on the
+            # same side. No derivation = the conservative full
+            # conflict, exactly the pre-r12 behavior.
+            read_bounds = self._derive_read_bounds(cons)
         old, schemas, read_v, _dvs = self._snapshot_state()
         self._check_read_bounds(predicate, read_bounds, schemas)
         to_remove: list[str] = []

@@ -4709,3 +4709,74 @@ class TestMaxRecordsPerFileProperty:
         lk.set_properties({"write.maxRecordsPerFile": "bogus"})
         lk.append(spark.range(5).selectExpr("id as k"))
         assert lk.snapshot().count() == 1006
+
+
+class TestPartitionDeleteAutoScope:
+    """r12: the partition-delete fast path auto-declares its parsed
+    constraints as read bounds — concurrent appends to OTHER
+    partitions rebase instead of failing (delete yesterday while
+    ingest appends today)."""
+
+    def test_disjoint_append_rebases(self, spark, tmp_path):
+        path = str(tmp_path / "tx")
+        lake = TransactionalLake(spark, path, partition_by=("grp",))
+        lake.append(spark.createDataFrame(
+            [("a", 1, "old")], "symbol string, k long, grp string"))
+        other = TransactionalLake(spark, path, partition_by=("grp",))
+        orig = lake._check_read_bounds
+        done = []
+
+        def racing(pred, rb, schemas):
+            if not done:
+                done.append(1)
+                # lands between the fast path's state read and its
+                # commit; grp='new' is provably outside grp='old'
+                other.append(spark.createDataFrame(
+                    [("z", 9, "new")],
+                    "symbol string, k long, grp string"))
+            return orig(pred, rb, schemas)
+
+        lake._check_read_bounds = racing  # type: ignore[method-assign]
+        try:
+            lake.delete_where("grp = 'old'")
+        finally:
+            lake._check_read_bounds = orig  # type: ignore[method-assign]
+        assert lake.history()[0].get("metadata_only") is True
+        got = [(r["symbol"], r["grp"]) for r in lake.snapshot().collect()]
+        assert got == [("z", "new")]
+
+    def test_same_partition_append_conflicts(self, spark, tmp_path):
+        path = str(tmp_path / "tx2")
+        lake = TransactionalLake(spark, path, partition_by=("grp",))
+        lake.append(spark.createDataFrame(
+            [("a", 1, "old")], "symbol string, k long, grp string"))
+        other = TransactionalLake(spark, path, partition_by=("grp",))
+        orig = lake._check_read_bounds
+        done = []
+
+        def racing(pred, rb, schemas):
+            if not done:
+                done.append(1)
+                other.append(spark.createDataFrame(
+                    [("z", 9, "old")],  # SAME partition: must conflict
+                    "symbol string, k long, grp string"))
+            return orig(pred, rb, schemas)
+
+        lake._check_read_bounds = racing  # type: ignore[method-assign]
+        try:
+            with pytest.raises(RuntimeError, match="concurrent"):
+                lake.delete_where("grp = 'old'")
+        finally:
+            lake._check_read_bounds = orig  # type: ignore[method-assign]
+        # the interleaved row is intact; the delete never landed
+        assert lake.snapshot().count() == 2
+
+    def test_ambiguous_literal_derives_nothing(self, spark):
+        # numeric-looking quoted literal: no auto-scope
+        assert TransactionalLake._derive_read_bounds(
+            [("grp", "=", "'10'")]
+        ) is None
+        # clean cases derive
+        assert TransactionalLake._derive_read_bounds(
+            [("grp", "=", "'old'"), ("k", ">=", "5"), ("k", "<", "9")]
+        ) == {"grp": ("old", "old"), "k": (5, 9)}
