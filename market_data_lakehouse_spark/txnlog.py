@@ -2748,17 +2748,16 @@ class TransactionalLake:
     )
     _PD_LIT = re.compile(r"^\s*(?P<hi>'[^']*'|-?\d+(?:\.\d+)?)\s*$")
 
-    def _predicate_partition_constraints(
+    def _predicate_constraints(
         self, predicate: str
     ) -> list[tuple[str, str, str]] | None:
-        """Parse a (physical-name) predicate into a conjunction of
-        simple comparisons ``[(col, op, literal), ...]`` — the shapes
-        a partition delete can prove: ``=``, ``<``, ``<=``, ``>``,
-        ``>=``, ``BETWEEN``, joined by top-level AND. Returns None
-        (scan path) for anything else (OR, parens, functions, IN,
-        IS NULL, !=) or when ANY referenced column is not a partition
-        column — proof needs per-file-constant values, which only
-        partition columns guarantee."""
+        """FULL parse of a (physical-name) predicate into a
+        conjunction of simple comparisons ``[(col, op, literal),
+        ...]``: ``=``, ``<``, ``<=``, ``>``, ``>=``, ``BETWEEN``,
+        joined by top-level AND. Returns None for anything else (OR,
+        parens, functions, IN, IS NULL, !=, any unparseable
+        conjunct) — callers that can tolerate a PARTIAL parse
+        (_dml_prune) do their own lenient pass."""
         if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bIS\b|!=|<>",
                      predicate, re.IGNORECASE):
             return None
@@ -2790,10 +2789,42 @@ class TransactionalLake:
                  mc.group("val"))
             )
             i += 1
+        return out or None
+
+    def _predicate_partition_constraints(
+        self, predicate: str
+    ) -> list[tuple[str, str, str]] | None:
+        """The metadata-delete proof subset: a full constraint parse
+        where ANY non-partition column disqualifies — proof needs
+        per-file-constant values, which only partition columns
+        guarantee."""
+        out = self._predicate_constraints(predicate)
+        if out is None:
+            return None
         pcols = set(self.partition_by)
-        if not out or any(col not in pcols for col, _o, _v in out):
+        if any(col not in pcols for col, _o, _v in out):
             return None
         return out
+
+    def _auto_read_bounds(
+        self,
+        predicate: str,
+        read_bounds: dict[str, tuple] | None,
+    ) -> dict[str, tuple] | None:
+        """AUTO-SCOPE for DML (r12): when the caller declared no read
+        bounds and the predicate parses COMPLETELY into unambiguous
+        constraints, declare them — concurrent appends whose stats
+        prove disjointness then rebase instead of failing. A partial
+        parse derives nothing (the conflict check requires bounds to
+        cover every referenced column); ambiguity derives nothing
+        (see _derive_read_bounds). None = the conservative full
+        conflict, the pre-r12 behavior."""
+        if read_bounds is not None:
+            return read_bounds
+        cons = self._predicate_constraints(predicate)
+        if cons is None:
+            return None
+        return self._derive_read_bounds(cons)
 
     @classmethod
     def _dml_cmp(cls, stat, lit: str) -> int | None:
@@ -2992,19 +3023,6 @@ class TransactionalLake:
         cons = self._predicate_partition_constraints(predicate)
         if cons is None:
             return None
-        if read_bounds is None:
-            # AUTO-SCOPE (r12): a partition delete's read set IS its
-            # parsed constraints, so declare them — a concurrent
-            # append whose stats prove its rows land in OTHER
-            # partitions then REBASES instead of failing (deleting
-            # yesterday while ingest appends today, the production
-            # pattern). Derived only when unambiguous: quoted
-            # literals that also parse as numbers are skipped (the
-            # column's true ordering is unknowable here — see
-            # _dml_cmp), as is any column constrained twice on the
-            # same side. No derivation = the conservative full
-            # conflict, exactly the pre-r12 behavior.
-            read_bounds = self._derive_read_bounds(cons)
         old, schemas, read_v, _dvs = self._snapshot_state()
         self._check_read_bounds(predicate, read_bounds, schemas)
         to_remove: list[str] = []
@@ -3085,6 +3103,7 @@ class TransactionalLake:
         )
         if mode not in ("dv", "rewrite"):
             raise ValueError(f"unknown delete mode: {mode!r}")
+        read_bounds = self._auto_read_bounds(predicate, read_bounds)
         # Delta's METADATA-ONLY partition delete: a predicate
         # referencing only partition columns evaluates identically
         # for every row of a file (the partition values are the
@@ -3452,6 +3471,7 @@ class TransactionalLake:
         read_bounds = (
             self._map_cols(read_bounds, mdoc) if read_bounds else read_bounds
         )
+        read_bounds = self._auto_read_bounds(predicate, read_bounds)
         if mode == "dv":
             return self._update_where_dv(predicate, assignments, read_bounds)
         if mode != "rewrite":

@@ -273,10 +273,45 @@ class TestScopedConflictResolution:
 
         lake._affected_files = racing  # type: ignore[method-assign]
         try:
+            # r12 auto-scope derives bounds from a fully-parseable
+            # predicate, so "k < 5" now REBASES over the disjoint
+            # append (the behavior the scoped tests above pin). The
+            # conservative path remains for predicates auto-scope
+            # cannot parse completely — pin it with one of those.
             with pytest.raises(RuntimeError, match="concurrent commit"):
-                lake.delete_where("k < 5")
+                lake.delete_where("k + 0 < 5")
         finally:
             lake._affected_files = orig  # type: ignore[method-assign]
+
+    def test_parseable_predicate_auto_scopes(self, spark, tmp_path):
+        """r12: no declared bounds + a fully-parseable predicate =
+        derived bounds; the disjoint append rebases."""
+        path = str(tmp_path / "tx3b")
+        lake = TransactionalLake(spark, path, partition_by=())
+        lake.append(_df(spark, 0, 0))
+        other = TransactionalLake(spark, path, partition_by=None)
+        orig = lake._affected_files
+        done = []
+
+        def racing(snap, match):
+            out = orig(snap, match)
+            if not done:
+                done.append(1)
+                other.append(
+                    _df(spark, 0, 0).withColumn(
+                        "k", F.col("k") + F.lit(1000)
+                    )
+                )
+            return out
+
+        lake._affected_files = racing  # type: ignore[method-assign]
+        try:
+            lake.delete_where("k < 5")  # auto-scoped: rebases
+        finally:
+            lake._affected_files = orig  # type: ignore[method-assign]
+        ks = {r.k for r in lake.snapshot().select("k").collect()}
+        assert all(k >= 5 for k in ks if k < 1000)
+        assert {k for k in ks if k >= 1000} == set(range(1000, 1020))
 
     def test_dv_update_rebases_over_disjoint_append(self, spark, tmp_path):
         path = str(tmp_path / "tx4")
@@ -287,7 +322,7 @@ class TestScopedConflictResolution:
         orig = lake._write_files
         done = []
 
-        def racing(df):
+        def racing(df, preserve_layout=False):
             if not done:
                 done.append(1)
                 other.append(
@@ -295,7 +330,7 @@ class TestScopedConflictResolution:
                         "k", F.col("k") + F.lit(1000)
                     )
                 )
-            return orig(df)
+            return orig(df, preserve_layout=preserve_layout)
 
         lake._write_files = racing  # type: ignore[method-assign]
         try:
@@ -318,7 +353,7 @@ class TestScopedConflictResolution:
         orig = lake._write_files
         done = []
 
-        def racing(df):
+        def racing(df, preserve_layout=False):
             if not done:
                 done.append(1)
                 other.append(
@@ -326,7 +361,7 @@ class TestScopedConflictResolution:
                         "k", F.col("k") + F.lit(1000)
                     )
                 )
-            return orig(df)
+            return orig(df, preserve_layout=preserve_layout)
 
         lake._write_files = racing  # type: ignore[method-assign]
         src = spark.createDataFrame(
@@ -354,7 +389,7 @@ class TestScopedConflictResolution:
         orig = lake._write_files
         done = []
 
-        def racing(df):
+        def racing(df, preserve_layout=False):
             if not done:
                 done.append(1)
                 other.append(
@@ -362,7 +397,7 @@ class TestScopedConflictResolution:
                         "date", F.to_date(F.lit("2024-07-01"))
                     )
                 )
-            return orig(df)
+            return orig(df, preserve_layout=preserve_layout)
 
         lake._write_files = racing  # type: ignore[method-assign]
         try:
@@ -384,7 +419,7 @@ class TestScopedConflictResolution:
         orig = lake._write_files
         done = []
 
-        def racing(df):
+        def racing(df, preserve_layout=False):
             if not done:
                 done.append(1)
                 other.append(
@@ -392,7 +427,7 @@ class TestScopedConflictResolution:
                         "k", F.col("k") + F.lit(1000)
                     )
                 )
-            return orig(df)
+            return orig(df, preserve_layout=preserve_layout)
 
         lake._write_files = racing  # type: ignore[method-assign]
         src = _df(spark, 0, 0).filter("k < 3").withColumn(
