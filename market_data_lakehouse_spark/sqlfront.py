@@ -65,7 +65,7 @@ _UTILITY_HEADS = (
     "ANALYZE TABLE", "GENERATE", "REORG TABLE", "SHOW TBLPROPERTIES",
     "INSERT", "DELETE FROM", "UPDATE", "MERGE INTO", "CREATE TABLE",
     "DROP TABLE", "SHOW TABLES", "CONVERT TO LAKE", "SHOW PARTITIONS",
-    "CREATE OR REPLACE TABLE",
+    "CREATE OR REPLACE TABLE", "SHOW CREATE TABLE",
     "SHOW COLUMNS", "TRUNCATE TABLE", "COMMENT ON", "COPY INTO",
     "FSCK REPAIR",
 )

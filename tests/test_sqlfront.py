@@ -951,3 +951,14 @@ class TestShowCreateTable:
         assert [r["col_name"] for r in
                 fr.sql("SHOW COLUMNS IN sct2").collect()] == [
             "k", "src", "v", "rid"]
+
+
+def test_utility_heads_match_dispatch_table():
+    """_UTILITY_HEADS documents the owned-verb contract; it must
+    stay in sync with the dispatch table's actual heads."""
+    from market_data_lakehouse_spark.sqlfront import _UTILITY_HEADS
+
+    heads = {h for h, _spec in LakeSQL._HANDLERS}
+    assert heads == set(_UTILITY_HEADS), (
+        heads.symmetric_difference(_UTILITY_HEADS)
+    )
