@@ -3005,6 +3005,76 @@ class TransactionalLake:
                 rb[col] = [lo, val]
         return {c: (b[0], b[1]) for c, b in rb.items()}
 
+    def _prune_by_key_ranges(
+        self, files: list[str], ranges: dict[str, tuple]
+    ) -> list[str]:
+        """MERGE's data skipping: drop files whose logged stats (or
+        partition values) provably exclude a join key's whole
+        [min, max] envelope. Range values come from the SOURCE's own
+        columns — already cast to the target's committed types — so
+        unlike predicate literals there is no typing ambiguity:
+        same-type compares apply natively, anything else keeps the
+        file. NULL-keyed target rows never equi-match, so the
+        stats' null-blindness cannot cause a wrong skip."""
+        norm: dict[str, tuple] = {}
+        for c, (lo, hi) in ranges.items():
+            lo, hi = self._stat_val(lo), self._stat_val(hi)
+            if lo is None or hi is None:
+                continue  # all-NULL source key column: prunes nothing
+            norm[c] = (lo, hi)
+        if not norm:
+            return files
+        idx = self._stats_index()
+        pcols = set(self.partition_by)
+
+        def _cmp(a, b):
+            num = (int, float)
+            if isinstance(a, str) and isinstance(b, str):
+                return (a > b) - (a < b)
+            if (
+                isinstance(a, num) and not isinstance(a, bool)
+                and isinstance(b, num) and not isinstance(b, bool)
+            ):
+                return (a > b) - (a < b)
+            return None
+
+        def keep(rel: str) -> bool:
+            vals: dict[str, str] = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    vals[k] = unquote(raw)
+            st = idx.get(rel, {})
+            for c, (lo, hi) in norm.items():
+                if c in pcols:
+                    v = vals.get(c)
+                    if v == self._HIVE_NULL:
+                        return False  # NULL partition never matches
+                    if v is None:
+                        continue
+                    if isinstance(lo, str):
+                        fmin: object = v
+                        fmax: object = v
+                    else:
+                        try:
+                            fmin = fmax = float(v)
+                        except (TypeError, ValueError):
+                            continue
+                else:
+                    s = st.get(c)
+                    if not s:
+                        continue
+                    fmin, fmax = s[0], s[1]
+                cl = _cmp(fmax, lo)
+                ch = _cmp(fmin, hi)
+                if cl is None or ch is None:
+                    continue
+                if cl < 0 or ch > 0:
+                    return False  # file range disjoint from envelope
+            return True
+
+        return [f for f in files if keep(f)]
+
     def _try_partition_delete(
         self,
         predicate: str,
@@ -3917,13 +3987,35 @@ class TransactionalLake:
                 {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v, read_bounds=read_bounds,
             )
+        # MERGE data skipping (r12, Delta parity): one tiny agg on the
+        # checkpointed source yields each key's [min, max]; target
+        # files whose logged stats (or partition values) provably
+        # exclude the WHOLE source key envelope cannot hold a match
+        # and drop out of the probe scan. Sound: a matching target
+        # row's key equals some source key, which lies inside the
+        # envelope — so every possibly-matching file survives, in
+        # both modes (the dv scan and the insert anti-join see every
+        # file a source row could match). WHEN NOT MATCHED BY SOURCE
+        # needs unmatched rows table-wide, so it probes unpruned.
+        probe_files = old
+        if when_not_matched_by_source != "delete" and old:
+            r_aggs = []
+            for k in keys:
+                r_aggs.append(F.min(k).alias(f"_lo_{k}"))
+                r_aggs.append(F.max(k).alias(f"_hi_{k}"))
+            row0 = source.agg(*r_aggs).first()
+            key_ranges = {
+                k: (row0[f"_lo_{k}"], row0[f"_hi_{k}"]) for k in keys
+            }
+            probe_files = self._prune_by_key_ranges(old, key_ranges)
         if mode == "dv":
             return self._merge_dv(
                 source, keys, when_matched, when_not_matched,
-                old, schemas, read_v, dvs, txn_action, read_bounds,
+                probe_files or old[:1], schemas, read_v, dvs,
+                txn_action, read_bounds,
                 new_cols=new_cols, map_doc=ext_doc,
             )
-        snap = self._df_for_files(old, schemas, dvs=dvs)
+        snap = self._df_for_files(probe_files or old[:1], schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
         # shuffle), a bulk-backfill's keys do not (AQE chooses) —
         # forcing the hint on a huge source OOMs the executors. The

@@ -4780,3 +4780,55 @@ class TestPartitionDeleteAutoScope:
         assert TransactionalLake._derive_read_bounds(
             [("grp", "=", "'old'"), ("k", ">=", "5"), ("k", "<", "9")]
         ) == {"grp": ("old", "old"), "k": (5, 9)}
+
+
+class TestMergeDataSkipping:
+    """r12: merge probes only files whose stats can hold a source
+    key (the source's [min, max] envelope)."""
+
+    def _ranged(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "ms"), partition_by=())
+        for lo in (0, 100, 200):
+            lk.append(spark.range(lo, lo + 100).selectExpr(
+                "id as k", "cast(id as double) as v").coalesce(1))
+        return lk
+
+    def test_prune_by_ranges_unit(self, spark, tmp_path):
+        lk = self._ranged(spark, tmp_path)
+        old = lk._snapshot_state()[0]
+        kept = lk._prune_by_key_ranges(old, {"k": (150, 160)})
+        assert len(kept) == 1
+        # mixed / unknown types keep everything
+        assert lk._prune_by_key_ranges(old, {"k": ("x", "y")}) == old
+        assert lk._prune_by_key_ranges(old, {"k": (None, None)}) == old
+
+    def test_merge_touches_only_possible_files(self, spark, tmp_path):
+        lk = self._ranged(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(150, 999.0), (155, 998.0), (400, 1.0)], "k long, v double"
+        )
+        lk.merge(src, on=["k"])
+        h = lk.history()[0]
+        # only the [100,200) file was rewritten; inserts add new files
+        assert len(h["remove"]) == 1
+        got = {r["k"]: r["v"] for r in lk.snapshot().collect()}
+        assert got[150] == 999.0 and got[155] == 998.0 and got[400] == 1.0
+        assert len(got) == 301
+
+    def test_merge_dv_prunes_scan(self, spark, tmp_path):
+        lk = self._ranged(spark, tmp_path)
+        src = spark.createDataFrame([(250, 7.0)], "k long, v double")
+        lk.merge(src, on=["k"], mode="dv")
+        got = {r["k"]: r["v"] for r in lk.snapshot().collect()}
+        assert got[250] == 7.0 and len(got) == 300
+
+    def test_by_source_delete_probes_unpruned(self, spark, tmp_path):
+        lk = self._ranged(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(50, 1.0)], "k long, v double"
+        )  # envelope [50, 50] — but BY SOURCE must still see ALL files
+        lk.merge(
+            src, on=["k"], when_not_matched_by_source="delete"
+        )
+        got = sorted(r["k"] for r in lk.snapshot().collect())
+        assert got == [50]
