@@ -211,7 +211,7 @@ def test_streaming_transactional_sink(spark, tmp_path):
 
 op_cp = st.sampled_from(
     ["append", "append", "overwrite", "delete_low", "delete_low_dv",
-     "compact", "vacuum_log", "restore"]
+     "compact", "vacuum_log", "restore", "truncate"]
 )
 
 
@@ -297,6 +297,13 @@ def test_random_ops_with_checkpoints_and_retention(
             # (retention floor keeps just-removed files, so it does)
             lake.vacuum(lite=True)
             continue
+        elif o == "truncate":
+            # r12: metadata-only remove-all must fold through
+            # checkpoints and log retention like any remove commit
+            if lake.version < 0:
+                continue
+            lake.truncate()
+            live = set()
         elif o == "compact":
             if not live:
                 continue
