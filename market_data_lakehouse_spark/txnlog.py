@@ -1943,6 +1943,13 @@ class TransactionalLake:
         writer = df.write.mode("overwrite").option(
             "maxRecordsPerFile", max_rec
         )
+        # log-owned codec (Delta's parquet.compression.codec): every
+        # writer of the table compresses alike; unknown codecs fail
+        # loudly at write time (Spark's own validation), never half-
+        # apply
+        codec = props.get("write.compression")
+        if codec:
+            writer = writer.option("compression", codec)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)

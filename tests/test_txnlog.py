@@ -4832,3 +4832,25 @@ class TestMergeDataSkipping:
         )
         got = sorted(r["k"] for r in lk.snapshot().collect())
         assert got == [50]
+
+
+class TestCompressionProperty:
+    def test_codec_applies_to_every_writer(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        lk = TransactionalLake(spark, str(tmp_path / "cc"),
+                               partition_by=())
+        lk.append(_df(spark, [("AAPL", 150)]))
+        lk.set_properties({"write.compression": "zstd"})
+        lk.append(_df(spark, [("MSFT", 300)]))
+        codecs = set()
+        for rel in lk._snapshot_state()[0]:
+            md = pq.ParquetFile(
+                os.path.join(lk.path, rel)).metadata
+            codecs.add(md.row_group(0).column(0).compression)
+        assert "ZSTD" in codecs  # the post-property file
+        # a fresh writer adopts the recorded codec too
+        fresh = TransactionalLake(spark, lk.path, partition_by=())
+        fresh.append(_df(spark, [("GOOG", 2800)]))
+        newest = fresh.history()[0]["add"][0]
+        md = pq.ParquetFile(os.path.join(lk.path, newest)).metadata
+        assert md.row_group(0).column(0).compression == "ZSTD"
