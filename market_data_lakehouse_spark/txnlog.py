@@ -2372,17 +2372,27 @@ class TransactionalLake:
         "timestamp_ntz": 8,
     }
 
-    def _measured_bytes(self, df: DataFrame) -> dict[str, int]:
+    def _measured_bytes(
+        self, df: DataFrame, minmax_cols: tuple = ()
+    ) -> dict:
         """One aggregate job over ``df``: row count (key ``_n``) plus
         per-column payload bytes — exact ``octet_length`` sums for
         string/binary, rows x fixed width for scalar types, rows x 50
         for nested types. Doubles as the checkpoint materialization
-        when ``df`` is a lazy localCheckpoint."""
+        when ``df`` is a lazy localCheckpoint.
+
+        ``minmax_cols`` (r12): additionally return those columns'
+        [min, max] under key ``"_minmax"`` — merge's data-skipping
+        envelope rides the SAME job instead of paying a second
+        pass."""
         var_cols = [c for c, dt in df.dtypes if dt in ("string", "binary")]
         aggs = [F.count(F.lit(1)).alias("_n")] + [
             F.sum(F.octet_length(F.col(c))).alias(f"_b_{c}")
             for c in var_cols
         ]
+        for c in minmax_cols:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
         row = df.agg(*aggs).collect()[0]
         n = row["_n"]
         out = {"_n": n}
@@ -2393,6 +2403,10 @@ class TransactionalLake:
                 out[c] = int(row[f"_b_{c}"] or 0) + 8 * n
             else:
                 out[c] = self._DTYPE_BYTES.get(dt, 50) * n
+        if minmax_cols:
+            out["_minmax"] = {
+                c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in minmax_cols
+            }
         return out
 
     def _maybe_broadcast(
@@ -3696,6 +3710,7 @@ class TransactionalLake:
         read_bounds: dict[str, tuple] | None = None,
         new_cols: list[str] | None = None,
         map_doc: dict | None = None,
+        src_bytes: dict | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -3710,7 +3725,8 @@ class TransactionalLake:
         action_base = {"op": "merge_dv", **txn_action}
         rt = self._row_tracking_state()
         raw = self._positional_scan(old, schemas, dvs, with_rt=bool(rt))
-        src_bytes = self._measured_bytes(source)
+        if src_bytes is None:
+            src_bytes = self._measured_bytes(source)
         src_keys = self._maybe_broadcast(
             source.select(*keys).distinct(),
             est_bytes=sum(src_bytes[k] for k in keys),
@@ -3994,26 +4010,25 @@ class TransactionalLake:
                 {"op": "merge", "add": [], "remove": [], **txn_action},
                 read_version=read_v, read_bounds=read_bounds,
             )
-        # MERGE data skipping (r12, Delta parity): one tiny agg on the
-        # checkpointed source yields each key's [min, max]; target
-        # files whose logged stats (or partition values) provably
-        # exclude the WHOLE source key envelope cannot hold a match
-        # and drop out of the probe scan. Sound: a matching target
-        # row's key equals some source key, which lies inside the
-        # envelope — so every possibly-matching file survives, in
-        # both modes (the dv scan and the insert anti-join see every
-        # file a source row could match). WHEN NOT MATCHED BY SOURCE
-        # needs unmatched rows table-wide, so it probes unpruned.
+        # MERGE data skipping (r12, Delta parity): the source-sizing
+        # aggregate the merge ALREADY pays (broadcast gating /
+        # checkpoint materialization) additionally returns each join
+        # key's [min, max]; target files whose logged stats (or
+        # partition values) provably exclude the WHOLE source key
+        # envelope cannot hold a match and drop out of the probe
+        # scan. Sound: a matching target row's key equals some source
+        # key, which lies inside the envelope — so every possibly-
+        # matching file survives, in both modes (the dv scan and the
+        # insert anti-join see every file a source row could match).
+        # WHEN NOT MATCHED BY SOURCE needs unmatched rows table-wide,
+        # so it probes unpruned. Zero extra jobs either way.
+        want_ranges = when_not_matched_by_source != "delete" and old
+        src_bytes = self._measured_bytes(
+            source, minmax_cols=tuple(keys) if want_ranges else ()
+        )
         probe_files = old
-        if when_not_matched_by_source != "delete" and old:
-            r_aggs = []
-            for k in keys:
-                r_aggs.append(F.min(k).alias(f"_lo_{k}"))
-                r_aggs.append(F.max(k).alias(f"_hi_{k}"))
-            row0 = source.agg(*r_aggs).first()
-            key_ranges = {
-                k: (row0[f"_lo_{k}"], row0[f"_hi_{k}"]) for k in keys
-            }
+        key_ranges = src_bytes.pop("_minmax", None)
+        if key_ranges:
             probe_files = self._prune_by_key_ranges(old, key_ranges)
         if mode == "dv":
             return self._merge_dv(
@@ -4021,16 +4036,17 @@ class TransactionalLake:
                 probe_files or old[:1], schemas, read_v, dvs,
                 txn_action, read_bounds,
                 new_cols=new_cols, map_doc=ext_doc,
+                src_bytes=src_bytes,
             )
         snap = self._df_for_files(probe_files or old[:1], schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
         # shuffle), a bulk-backfill's keys do not (AQE chooses) —
         # forcing the hint on a huge source OOMs the executors. The
-        # per-column byte measurement doubles as the checkpoint
+        # per-column byte measurement (hoisted above, shared with the
+        # skipping envelope) doubles as the checkpoint
         # materialization (later jobs reuse the computed batch) and
         # upper-bounds the distinct projections, so estimates err
         # unhinted.
-        src_bytes = self._measured_bytes(source)
         src_keys = self._maybe_broadcast(
             source.select(*keys).distinct(),
             est_bytes=sum(src_bytes[k] for k in keys),

@@ -958,63 +958,130 @@ def partition_delete_probe(spark) -> dict:
 
 
 def dml_skipping_probe(spark) -> dict:
-    """Data-skipping DML (r12): a copy-on-write DELETE with a tight
-    range predicate scans only the stats-possible files. Same table,
-    two identical-cost deletes: the pruned arm vs the same predicate
-    in parens (which disables the conjunct parser by design). The
-    receipt: the pruned arm's wall stays flat as the table grows 8x
-    (it scans one file either way), the unpruned arm's grows with
-    the table."""
+    """Data-skipping DML (r12): DELETE/MERGE with a tight key range
+    scan only the stats-possible files. The scale axis is FILE COUNT
+    (8 -> 64 same-sized files): the pruned arm touches ONE file at
+    either scale, the unpruned arm (same predicate in parens, which
+    disables the conjugate parser by design / an identity-patched
+    envelope) scans them all. Receipts are both STRUCTURAL (files
+    scanned, exact) and wall-clock (noisier at local scale, flat for
+    the pruned arm)."""
     import shutil
     import tempfile
     import time as _t
 
     from market_data_lakehouse_spark.txnlog import TransactionalLake
 
-    out = {}
-    for label, mult in (("small", 1), ("large", 8)):
-        root = tempfile.mkdtemp(prefix=f"dmlsp_{label}_")
-        lake = TransactionalLake(spark, root + "/t", partition_by=())
-        n = 100_000 * mult
-        step = n // 8
-        for i in range(8):  # 8 files with tight, disjoint k ranges
+    per = 50_000
+    out: dict = {}
+
+    # untimed warmups absorb first-of-kind JVM/codegen cost
+    wroot = tempfile.mkdtemp(prefix="dmlwarm_")
+    warm = TransactionalLake(spark, wroot + "/t", partition_by=())
+    warm.append(spark.range(1000).selectExpr(
+        "id as k", "cast(id * 1.5 as double) as v"))
+    warm.delete_where("(k BETWEEN 5 AND 6)")
+    warm.merge(spark.createDataFrame(
+        [(7, 0.0)], "k long, v double"), on=["k"])
+    shutil.rmtree(wroot, ignore_errors=True)
+
+    def build(root, n_files):
+        lake = TransactionalLake(spark, root, partition_by=())
+        for i in range(n_files):
             lake.append(
-                spark.range(i * step, (i + 1) * step)
-                .selectExpr("id as k", "id * 1.5 as v")
+                spark.range(i * per, (i + 1) * per)
+                .selectExpr("id as k", "cast(id * 1.5 as double) as v")
                 .coalesce(1)
             )
-        lo = 3 * step + 10
+        return lake
+
+    for label, n_files in (("small", 8), ("large", 64)):
+        root = tempfile.mkdtemp(prefix=f"dmlsp_{label}_")
+        blk: dict = {"files": n_files, "rows": n_files * per}
+        # -- delete arms (one single-file range each) --
+        lake = build(root + "/d", n_files)
+        old = lake._snapshot_state()[0]
+        blk["delete_files_scanned_pruned"] = len(
+            lake._dml_prune(old, f"k BETWEEN {3 * per + 10} AND {3 * per + 60}")
+        )
+        blk["delete_files_scanned_unpruned"] = len(old)
         t0 = _t.perf_counter()
-        lake.delete_where(f"k BETWEEN {lo} AND {lo + 50}")
-        pruned_s = _t.perf_counter() - t0
-        lo2 = 5 * step + 10
+        lake.delete_where(f"k BETWEEN {3 * per + 10} AND {3 * per + 60}")
+        blk["pruned_delete_sec"] = round(_t.perf_counter() - t0, 4)
         t0 = _t.perf_counter()
-        lake.delete_where(f"(k BETWEEN {lo2} AND {lo2 + 50})")
-        unpruned_s = _t.perf_counter() - t0
-        assert lake.snapshot().count() == n - 102
-        out[f"at_{n}_rows"] = {
-            "rows": n,
-            "pruned_delete_sec": round(pruned_s, 4),
-            "unpruned_delete_sec": round(unpruned_s, 4),
-        }
+        lake.delete_where(f"(k BETWEEN {5 * per + 10} AND {5 * per + 60})")
+        blk["unpruned_delete_sec"] = round(_t.perf_counter() - t0, 4)
+        assert lake.snapshot().count() == n_files * per - 102
+        # -- merge arms (3-key trickle) --
+        for arm in ("unpruned", "pruned"):
+            lake = build(root + f"/m_{arm}", n_files)
+            # matched keys only: an insert with a far-out key would
+            # honestly widen the envelope to every file above it —
+            # envelope pruning is a MATCHED-workload optimization
+            # (CDC upserts hit existing key ranges); that property is
+            # documented, not measured here
+            src = spark.createDataFrame(
+                [(3 * per + 5, 0.0), (3 * per + 6, 0.0),
+                 (3 * per + 7, 1.0)],
+                "k long, v double",
+            )
+            if arm == "unpruned":
+                orig = lake._prune_by_key_ranges
+                lake._prune_by_key_ranges = (  # type: ignore
+                    lambda files, ranges: files
+                )
+            else:
+                blk["merge_files_probed"] = len(
+                    lake._prune_by_key_ranges(
+                        lake._snapshot_state()[0],
+                        {"k": (3 * per + 5, 3 * per + 7)},
+                    )
+                )
+            t0 = _t.perf_counter()
+            lake.merge(src, on=["k"])
+            blk[f"{arm}_merge_sec"] = round(_t.perf_counter() - t0, 4)
+            if arm == "unpruned":
+                lake._prune_by_key_ranges = orig  # type: ignore
+        out[f"at_{n_files}_files"] = blk
         shutil.rmtree(root, ignore_errors=True)
-    s, l = out["at_100000_rows"], out["at_800000_rows"]
-    out["pruned_wall_ratio_8x_rows"] = round(
-        l["pruned_delete_sec"] / max(s["pruned_delete_sec"], 1e-9), 2
+    s8, s64 = out["at_8_files"], out["at_64_files"]
+    out["delete_scan_scope"] = {
+        "pruned": [s8["delete_files_scanned_pruned"],
+                   s64["delete_files_scanned_pruned"]],
+        "unpruned": [s8["delete_files_scanned_unpruned"],
+                     s64["delete_files_scanned_unpruned"]],
+    }
+    out["pruned_delete_wall_ratio_8x_files"] = round(
+        s64["pruned_delete_sec"] / max(s8["pruned_delete_sec"], 1e-9), 2
     )
-    out["unpruned_wall_ratio_8x_rows"] = round(
-        l["unpruned_delete_sec"] / max(s["unpruned_delete_sec"], 1e-9), 2
+    out["unpruned_delete_wall_ratio_8x_files"] = round(
+        s64["unpruned_delete_sec"] / max(s8["unpruned_delete_sec"], 1e-9),
+        2,
+    )
+    out["merge_pruned_wall_ratio_8x_files"] = round(
+        s64["pruned_merge_sec"] / max(s8["pruned_merge_sec"], 1e-9), 2
+    )
+    out["merge_unpruned_wall_ratio_8x_files"] = round(
+        s64["unpruned_merge_sec"] / max(s8["unpruned_merge_sec"], 1e-9), 2
+    )
+    out["pruned_scan_scope_flat"] = (
+        s8["delete_files_scanned_pruned"]
+        == s64["delete_files_scanned_pruned"]
+        and s8.get("merge_files_probed") == s64.get("merge_files_probed")
     )
     out["pruned_scales_better"] = (
-        out["pruned_wall_ratio_8x_rows"]
-        < out["unpruned_wall_ratio_8x_rows"]
+        out["pruned_delete_wall_ratio_8x_files"]
+        < out["unpruned_delete_wall_ratio_8x_files"]
+        and out["merge_pruned_wall_ratio_8x_files"]
+        < out["merge_unpruned_wall_ratio_8x_files"]
     )
     out["note"] = (
-        "same table, two single-file-range deletes: the pruned arm "
-        "discovers affected files from logged stats and scans one "
-        "file; the parens arm (parser-disabled by design) scans all "
-        "- at 8x rows the pruned wall tracks the file, the unpruned "
-        "wall tracks the table"
+        "scale axis is FILE COUNT (8 -> 64 same-sized files): the "
+        "pruned delete scans 1 file and the pruned merge probes "
+        "envelope-possible files at either scale (exact structural "
+        "counts above), while the parser-disabled / identity-patched "
+        "arms scan everything - the wall ratios are the local echo "
+        "of that structure"
     )
     return out
 
