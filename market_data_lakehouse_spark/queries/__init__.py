@@ -68,10 +68,15 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 #
 # r13 window queue — FRONT-LOAD FIRST: (z) the r12-new entries
 # never driver-run (the r11 slip class): s32_copy_into_partition_
-# delete, s33_convert_clone_partitions, e2_incremental_neardup, plus any entry whose code
-# path changed late in r12 (partition-delete fast path touches every
-# delete_where caller: s12_deletion_vectors, s14_replace_where,
-# t13_restore_across_dv already queue below). Then (a) the remaining
+# delete, s33_convert_clone_partitions, e2_incremental_neardup, plus
+# every entry whose code path changed LATE in r12 after the r12
+# window was fixed — the partition-delete fast path + data-skipping
+# DML + auto-scope touch every delete_where/update_where caller, and
+# merge data skipping touches every merge caller: s8_txn_time_travel,
+# s8_merge_upsert, s8_merge_evolution, s12_deletion_vectors,
+# s14_replace_where, t13_restore_across_dv, t11_incremental_mv (all
+# locally re-greened at sf0.001+sf0.01 post-change in r12; driver
+# rows predate the change). Then (a) the remaining
 # 40-entry r9-stale cohort
 # (a1_vwap_by_flag, a3-a6, a7_distinct, a8_cube/_grouping_sets/
 # _rollup, a9_percentiles, e2_embedding_neardup/_ngram_jaccard/
