@@ -174,19 +174,33 @@ class LakeSQL:
         """
         tc = re.compile(
             rf"\btable_changes\s*\(\s*'(?P<tbl>{_IDENT})'\s*,\s*"
-            r"(?P<start>\d+)\s*(?:,\s*(?P<end>\d+)\s*)?\)",
+            r"(?P<start>\d+|'[^']+')\s*"
+            r"(?:,\s*(?P<end>\d+|'[^']+')\s*)?\)",
             re.IGNORECASE,
         )
 
         def _sub_tc(m) -> str:
             lake = self.table(m.group("tbl"))
-            end = int(m.group("end")) if m.group("end") else None
-            view = (
-                f"{m.group('tbl')}__changes_{m.group('start')}"
-                + (f"_{end}" if end is not None else "")
+            raw_s, raw_e = m.group("start"), m.group("end")
+            # Delta CDF timestamp args: a quoted start resolves to the
+            # FIRST commit at-or-after it, a quoted end to the LAST
+            # commit at-or-before it (snapshot's own resolution)
+            start = (
+                lake.version_at_or_after(_unquote(raw_s))
+                if raw_s.startswith("'")
+                else int(raw_s)
             )
+            end = None
+            if raw_e is not None:
+                end = (
+                    lake._snapshot_state(timestamp=_unquote(raw_e))[2]
+                    if raw_e.startswith("'")
+                    else int(raw_e)
+                )
+            safe = re.sub(r"[^0-9A-Za-z]", "_", f"{start}_{end}")
+            view = f"{m.group('tbl')}__changes_{safe}"
             lake.read_changes(
-                int(m.group("start")), ending_version=end
+                start, ending_version=end
             ).createOrReplaceTempView(view)
             return view
 

@@ -4371,6 +4371,45 @@ class TransactionalLake:
                 )
         return df
 
+    def version_at_or_after(self, timestamp: str | float) -> int:
+        """First commit version whose (monotonic) timestamp is at or
+        after the target — Delta CDF's ``startingTimestamp``
+        resolution. Raises when the target is past the head (Delta's
+        timestampGreaterThanLatestCommit) or when vacuumed commits
+        could also have qualified (a partial feed would silently drop
+        changes — same contract as read_changes' retention check).
+        O(retained log) timestamp reads, bounded by retention."""
+        if isinstance(timestamp, str):
+            dt = datetime.fromisoformat(timestamp)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        else:
+            ts = float(timestamp)
+        names = self._commit_files()
+        for name in names:
+            v = int(name.split(".")[0])
+            try:
+                cts = float(self._read_commit(v)["timestamp"])
+            except (OSError, KeyError, ValueError):
+                continue
+            if cts >= ts:
+                if v == int(names[0].split(".")[0]):
+                    cp = self._latest_checkpoint(max_version=v - 1)
+                    if cp is not None and float(
+                        cp.get("timestamp") or 0
+                    ) >= ts:
+                        raise ValueError(
+                            f"CDC from timestamp {timestamp!r} predates "
+                            "log retention (vacuumed commits also "
+                            "qualified — the feed would be partial)"
+                        )
+                return v
+        raise ValueError(
+            f"no commit at or after timestamp {timestamp!r} "
+            f"(head is v{self.version})"
+        )
+
     def read_changes(
         self,
         starting_version: int = 0,

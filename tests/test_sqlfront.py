@@ -962,3 +962,45 @@ def test_utility_heads_match_dispatch_table():
     assert heads == set(_UTILITY_HEADS), (
         heads.symmetric_difference(_UTILITY_HEADS)
     )
+
+
+class TestCdfTimestampArgs:
+    def test_timestamp_start_and_end(self, spark, front, lake):
+        from datetime import datetime, timezone
+        import time as _t
+
+        v1_ts = float(lake._read_commit(lake.version)["timestamp"])
+        _t.sleep(0.05)  # real gaps: isoformat truncates microseconds
+        lake.append(spark.range(5).select(
+            (F.col("id") + 500).alias("k"),
+            F.lit(0).alias("grp"), F.lit(0.0).alias("v")))   # v1
+        v1_commit_ts = float(
+            lake._read_commit(lake.version)["timestamp"])
+        _t.sleep(0.05)
+        lake.append(spark.range(3).select(
+            (F.col("id") + 900).alias("k"),
+            F.lit(0).alias("grp"), F.lit(0.0).alias("v")))   # v2
+        mid = datetime.fromtimestamp(
+            (v1_ts + v1_commit_ts) / 2, tz=timezone.utc
+        ).isoformat()
+        end_at_v1 = datetime.fromtimestamp(
+            v1_commit_ts + 0.001, tz=timezone.utc  # isoformat
+            # round-trip can lose a ulp; still < v2 (0.05s later)
+        ).isoformat()
+        n = front.sql(
+            f"SELECT COUNT(*) AS n FROM "
+            f"table_changes('t', '{mid}', '{end_at_v1}')"
+        ).collect()[0]["n"]
+        assert n == 5  # v1's inserts only: start after v0, end at v1
+        # version/timestamp args mix (Delta allows it)
+        n2 = front.sql(
+            f"SELECT COUNT(*) AS n FROM "
+            f"table_changes('t', 1, '{end_at_v1}')"
+        ).collect()[0]["n"]
+        assert n2 == 5
+
+    def test_future_timestamp_raises(self, front, lake):
+        with pytest.raises(ValueError, match="no commit at or after"):
+            front.sql(
+                "SELECT * FROM table_changes('t', '2999-01-01')"
+            ).collect()
