@@ -1086,6 +1086,67 @@ def dml_skipping_probe(spark) -> dict:
     return out
 
 
+def multipart_checkpoint_probe(spark) -> dict:
+    """Multipart checkpoints (r12): with checkpoint.partSize set, the
+    ROOT checkpoint file stays bounded as the live-file count grows —
+    the per-file maps shard into parts. The receipt: root bytes flat
+    at 8x the files, part count linear, and a fresh open still
+    resolves the head through the sharded checkpoint."""
+    import shutil
+    import tempfile
+
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    out = {}
+    for label, n_files in (("small", 32), ("large", 256)):
+        root = tempfile.mkdtemp(prefix=f"mpcp_{label}_")
+        lake = TransactionalLake(
+            spark, root + "/t", partition_by=(), checkpoint_every=0
+        )
+        lake.append(
+            spark.range(n_files * 100)
+            .selectExpr("id as k", "cast(id * 1.5 as double) as v")
+            .repartition(n_files)
+        )
+        lake.set_properties({"checkpoint.partSize": "16"})
+        lake._write_checkpoint(lake.version)
+        import os as _os
+
+        root_name = f"{lake.version:08d}.checkpoint"
+        root_bytes = _os.path.getsize(
+            _os.path.join(lake.log_path, root_name)
+        )
+        parts = [
+            n for n in _os.listdir(lake.log_path)
+            if ".checkpoint-part-" in n
+        ]
+        fresh = TransactionalLake(spark, lake.path, partition_by=())
+        n_live = len(fresh._snapshot_state()[0])
+        out[f"at_{n_files}_files"] = {
+            "files": n_live,
+            "root_checkpoint_bytes": root_bytes,
+            "n_parts": len(parts),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    s, l = out["at_32_files"], out["at_256_files"]
+    out["root_bytes_ratio_8x_files"] = round(
+        l["root_checkpoint_bytes"] / max(s["root_checkpoint_bytes"], 1),
+        2,
+    )
+    out["parts_ratio_8x_files"] = round(
+        l["n_parts"] / max(s["n_parts"], 1), 2
+    )
+    out["root_bounded"] = out["root_bytes_ratio_8x_files"] < 2.0
+    out["note"] = (
+        "checkpoint.partSize=16: at 8x the live files the ROOT "
+        "checkpoint stays flat (table-level metadata only) while the "
+        "part count grows linearly - on a 100 TB table the "
+        "checkpoint is millions of per-file entries and the parts "
+        "bound every single write/read unit"
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     # 16x default (r6, was 4): at 4x of sf0.1, local[32] has so much
@@ -1138,7 +1199,26 @@ def main() -> int:
         help="run just the partition-delete fast-path block and "
         "merge it into the existing SCALE_PROBE.json",
     )
+    ap.add_argument(
+        "--only-mpcp",
+        action="store_true",
+        help="run just the multipart-checkpoint block and merge it "
+        "into the existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
+
+    if args.only_mpcp:
+        from market_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark("scale_probe")
+        block = multipart_checkpoint_probe(spark)
+        path = os.path.join(REPO, "SCALE_PROBE.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["multipart_checkpoint"] = block
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"multipart_checkpoint": block}))
+        return 0 if block["root_bounded"] else 1
 
     if args.only_pd:
         from market_data_lakehouse_spark.session import get_spark
