@@ -68,7 +68,8 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 #
 # r13 window queue — FRONT-LOAD FIRST: (z) the r12-new entries
 # never driver-run (the r11 slip class): s32_copy_into_partition_
-# delete, s33_convert_clone_partitions, e2_incremental_neardup, plus
+# delete, s33_convert_clone_partitions, e2_incremental_neardup,
+# s34_sql_lifecycle2, plus
 # every entry whose code path changed LATE in r12 after the r12
 # window was fixed — the partition-delete fast path + data-skipping
 # DML + auto-scope touch every delete_where/update_where caller, and

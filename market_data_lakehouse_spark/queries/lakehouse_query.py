@@ -1936,3 +1936,81 @@ def s33_convert_clone_partitions(
         )
         .orderBy("origin", "cat")
     )
+
+
+@register(
+    "s34_sql_lifecycle2",
+    oracle="""
+    WITH even AS (
+      SELECT CAST(event_id AS BIGINT) AS k, event_type AS cat,
+             ROUND(value, 6) AS v
+      FROM events WHERE event_id % 2 = 0
+    ),
+    replaced AS (
+      SELECT * FROM even WHERE cat <> 'click'
+      UNION ALL
+      SELECT CAST(event_id + 2000000 AS BIGINT) AS k,
+             'click' AS cat, ROUND(value, 6) AS v
+      FROM events WHERE event_id % 2 = 1 AND event_type = 'click'
+    ),
+    crt AS (
+      SELECT k, cat FROM replaced WHERE k % 3 = 0
+    )
+    SELECT k, cat FROM crt ORDER BY k
+    """,
+)
+def s34_sql_lifecycle2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late-r12 SQL verbs as one hard signal: CREATE ... AS
+    SELECT -> INSERT INTO ... REPLACE WHERE (atomic predicate-scoped
+    swap with Delta's source-rows-satisfy-the-predicate validation)
+    -> CREATE OR REPLACE TABLE (data AND schema replaced in one
+    overwrite commit, history retained — asserted in-query via
+    version-0 time travel) -> TRUNCATE of a scratch table (asserted
+    metadata-only in-query). DuckDB reproduces the surviving table;
+    a leaked pre-replace row, a REPLACE WHERE that missed the old
+    partition, or a CRT that kept the old schema diverges."""
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_src34")
+    fr = LakeSQL(spark)
+    loc = scratch_dir("sqlt2")
+    fr.sql(
+        f"CREATE TABLE t34 LOCATION '{os.path.join(loc, 't')}' AS "
+        "SELECT CAST(event_id AS BIGINT) AS k, event_type AS cat, "
+        "ROUND(value, 6) AS v FROM ev_src34 WHERE event_id % 2 = 0"
+    )
+    fr.sql(
+        "INSERT INTO t34 REPLACE WHERE cat = 'click' "
+        "SELECT CAST(event_id + 2000000 AS BIGINT) AS k, "
+        "'click' AS cat, CAST(ROUND(value, 6) AS DOUBLE) AS v "
+        "FROM ev_src34 WHERE event_id % 2 = 1 "
+        "AND event_type = 'click'"
+    )
+    # CRT: narrower schema (v dropped), history retained
+    fr.sql(
+        f"CREATE OR REPLACE TABLE t34 "
+        f"LOCATION '{os.path.join(loc, 't')}' AS "
+        "SELECT k, cat FROM t34 WHERE k % 3 = 0"
+    )
+    cols = [
+        r["col_name"]
+        for r in fr.sql("SHOW COLUMNS IN t34").collect()
+    ]
+    if cols != ["k", "cat"]:
+        raise AssertionError(f"CRT kept the old schema: {cols}")
+    v0 = fr.sql(
+        "SELECT COUNT(*) AS n FROM t34 VERSION AS OF 0"
+    ).collect()[0]["n"]
+    if v0 == 0:
+        raise AssertionError("CRT lost history (v0 unreadable)")
+    # TRUNCATE a scratch clone: metadata-only, asserted
+    fr.sql(
+        f"CREATE TABLE t34scratch SHALLOW CLONE t34 "
+        f"LOCATION '{os.path.join(loc, 's')}'"
+    )
+    fr.sql("TRUNCATE TABLE t34scratch")
+    sc = fr.table("t34scratch")
+    if sc.history()[0]["op"] != "truncate" or sc.count_rows() != 0:
+        raise AssertionError("TRUNCATE did not land metadata-only")
+    return fr.sql("SELECT k, cat FROM t34 ORDER BY k")
