@@ -6480,9 +6480,12 @@ class TransactionalLake:
         "row-tracking",
         "type-widening",
         "identity-columns",
+        "identity-step",
         "check-constraints",
         "clustering",
         "column-defaults",
+        "multipart-checkpoint",
+        "copy-into",
     })
 
     @staticmethod
@@ -6518,6 +6521,22 @@ class TransactionalLake:
             f.add("column-defaults")
         if action.get("constraints"):  # clone carries the folded set
             f.add("check-constraints")
+        # r12 late: stamps for the subsystems whose state an OLD
+        # build would silently corrupt rather than refuse —
+        # a multipart checkpoint's root looks like an EMPTY table to
+        # a reader that ignores "parts"; an old writer's checkpoint
+        # fold would DROP the copy_into loaded-set (re-ingest on the
+        # next copy); an old appender would assign step-1 ids off a
+        # stepped identity's grid
+        if action.get("op") == "set_properties" and (
+            action.get("properties", {}).get("checkpoint.partSize")
+            or "0"
+        ) not in ("0", None):
+            f.add("multipart-checkpoint")
+        if action.get("copy_sources"):
+            f.add("copy-into")
+        if int((action.get("identity") or {}).get("step", 1)) != 1:
+            f.add("identity-step")
         return f
 
     def table_features(self, as_of: int | None = None) -> list[str]:
@@ -6593,6 +6612,36 @@ class TransactionalLake:
                     "row tracking is enabled; live files carry id "
                     "bases older readers cannot interpret — the "
                     "feature stays required"
+                )
+        elif name == "multipart-checkpoint":
+            if (
+                self.properties().get("checkpoint.partSize") or "0"
+            ) != "0":
+                out.append(
+                    "checkpoint.partSize is still set — unset the "
+                    "property first"
+                )
+            cp = self._latest_checkpoint()
+            if cp is not None and cp.get("parts"):
+                out.append(
+                    "the newest retained checkpoint is sharded — "
+                    "commit once (a fresh single-file checkpoint "
+                    "writes) and vacuum_log() so no retained "
+                    "checkpoint needs part-aware reads"
+                )
+        elif name == "copy-into":
+            if self._copy_sources():
+                out.append(
+                    "copy_into has recorded loaded source files; "
+                    "forgetting that record would re-ingest them on "
+                    "the next copy — the feature stays required"
+                )
+        elif name == "identity-step":
+            idoc = self._identity_doc()
+            if idoc is not None and int(idoc.get("step", 1)) != 1:
+                out.append(
+                    "a stepped IDENTITY column is declared; there is "
+                    "no un-declare path — the feature stays required"
                 )
         elif name in ("column-mapping", "type-widening"):
             # live data files keep PHYSICAL names / pre-widening

@@ -4854,3 +4854,54 @@ class TestCompressionProperty:
         newest = fresh.history()[0]["add"][0]
         md = pq.ParquetFile(os.path.join(lk.path, newest)).metadata
         assert md.row_group(0).column(0).compression == "ZSTD"
+
+
+class TestLateR12FeatureStamps:
+    """r12 late: multipart checkpoints, copy_into, and stepped
+    identity stamp the table-features protocol — an old build would
+    CORRUPT (empty-looking table / re-ingest / off-grid ids) instead
+    of refusing, which is exactly what the stamp prevents."""
+
+    def test_multipart_checkpoint_stamps_and_blocks(self, spark,
+                                                    tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "mp"),
+                               partition_by=(), checkpoint_every=1)
+        lk.append(_df(spark, [("A", 1)]))
+        assert "multipart-checkpoint" not in lk.table_features()
+        lk.set_properties({"checkpoint.partSize": "2"})
+        assert "multipart-checkpoint" in lk.table_features()
+        with pytest.raises(ValueError, match="partSize is still set"):
+            lk.drop_feature("multipart-checkpoint")
+        lk.set_properties({"checkpoint.partSize": None})
+        # sharded checkpoints may still be retained
+        for _ in range(3):
+            lk.append(_df(spark, [("B", 2)]))
+        lk.vacuum_log()
+        lk.drop_feature("multipart-checkpoint")
+        assert "multipart-checkpoint" not in lk.table_features()
+
+    def test_copy_into_stamps_and_stays(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "ci"),
+                               partition_by=())
+        src = tmp_path / "in"
+        src.mkdir()
+        spark.createDataFrame(
+            [("A", 1.0, "2024-06-15")],
+            "symbol string, price double, date string",
+        ).coalesce(1).write.parquet(str(src / "b"))
+        lk.copy_into(str(src))
+        assert "copy-into" in lk.table_features()
+        with pytest.raises(ValueError, match="re-ingest"):
+            lk.drop_feature("copy-into")
+
+    def test_identity_step_stamps(self, spark, tmp_path):
+        lk = TransactionalLake(spark, str(tmp_path / "is"),
+                               partition_by=())
+        lk.set_identity("rid", start=0, step=5)
+        feats = lk.table_features()
+        assert "identity-step" in feats and "identity-columns" in feats
+        # plain identity does NOT stamp the step feature
+        lk2 = TransactionalLake(spark, str(tmp_path / "is2"),
+                                partition_by=())
+        lk2.set_identity("rid")
+        assert "identity-step" not in lk2.table_features()
