@@ -990,7 +990,8 @@ class LakeSQL:
 
     # -- table management ---------------------------------------------------
     _CREATE = re.compile(
-        rf"CREATE\s+TABLE\s+(?P<name>{_IDENT})\s+"
+        rf"CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+        rf"(?P<name>{_IDENT})\s+"
         r"(?:\(\s*(?P<cols>.+?)\s*\)\s+)?"
         r"(?:PARTITIONED\s+BY\s+\(\s*(?P<parts>[^)]+)\s*\)\s+)?"
         r"(?:CLUSTER\s+BY\s+\(\s*(?P<cluster>[^)]+)\s*\)\s+)?"
@@ -1032,6 +1033,13 @@ class LakeSQL:
 
         name = m.group("name")
         if name.lower() in self._tables:
+            if m.group("ine"):
+                # IF NOT EXISTS: a registered name is a no-op receipt
+                # (idempotent setup scripts), never a second table
+                return self._receipt(
+                    "CREATE TABLE (exists)",
+                    self._tables[name.lower()].version,
+                )
             raise ValueError(f"table {name!r} already registered")
         if m.group("cols") and m.group("src"):
             raise ValueError(
@@ -1122,30 +1130,55 @@ class LakeSQL:
         return self._receipt("CREATE TABLE", v)
 
     _DROP = re.compile(
-        rf"DROP\s+TABLE\s+(?P<name>{_IDENT})$", re.IGNORECASE
+        rf"DROP\s+TABLE\s+(?:(?P<ife>IF\s+EXISTS)\s+)?"
+        rf"(?P<name>{_IDENT})$",
+        re.IGNORECASE,
     )
 
     def _do_drop(self, m) -> DataFrame:
-        """``DROP TABLE n`` — unregisters the name from this front-end
-        and drops the session view. DELIBERATELY does not delete data
+        """``DROP TABLE [IF EXISTS] n`` — unregisters the name from
+        this front-end and drops the session view; IF EXISTS makes an
+        unknown name a no-op receipt (idempotent teardown scripts).
+        DELIBERATELY does not delete data
         or log: the registry is a session-scoped catalog over
         path-addressed tables (there is no metastore whose entry owns
         the storage); removing bytes is VACUUM's job after an
         explicit DELETE."""
         name = m.group("name").lower()
-        self.table(name)  # raise on unknown
+        if name not in self._tables:
+            if m.group("ife"):
+                return self.spark.createDataFrame(
+                    [(name, "not registered")],
+                    "table string, status string",
+                )
+            self.table(name)  # raise with the registered list
         del self._tables[name]
         self.spark.catalog.dropTempView(name)
         return self.spark.createDataFrame(
             [(name, "unregistered")], "table string, status string"
         )
 
-    _SHOWTABLES = re.compile(r"SHOW\s+TABLES$", re.IGNORECASE)
+    _SHOWTABLES = re.compile(
+        r"SHOW\s+TABLES(?:\s+LIKE\s+(?P<pat>'[^']*'))?$", re.IGNORECASE
+    )
 
     def _do_show_tables(self, m) -> DataFrame:
+        """``SHOW TABLES [LIKE 'pat']`` — registered tables, filtered
+        by Spark's SHOW TABLES glob (``*`` wildcard, ``|`` = or)."""
+        pat = _unquote(m.group("pat")) if m.group("pat") else None
+        if pat is not None:
+            import fnmatch
+
+            alts = pat.split("|")
+            keep = lambda n: any(  # noqa: E731
+                fnmatch.fnmatchcase(n, a) for a in alts
+            )
+        else:
+            keep = lambda n: True  # noqa: E731
         rows = [
             (n, lake.path, int(lake.version))
             for n, lake in sorted(self._tables.items())
+            if keep(n)
         ]
         return self.spark.createDataFrame(
             rows, "table string, location string, version bigint"

@@ -1004,3 +1004,37 @@ class TestCdfTimestampArgs:
             front.sql(
                 "SELECT * FROM table_changes('t', '2999-01-01')"
             ).collect()
+
+
+class TestIdempotentDDL:
+    def test_create_if_not_exists_and_drop_if_exists(self, spark,
+                                                     tmp_path):
+        fr = LakeSQL(spark)
+        loc = tmp_path / "idm"
+        fr.sql(f"CREATE TABLE idm LOCATION '{loc}' AS SELECT 1 AS k")
+        rec = fr.sql(
+            f"CREATE TABLE IF NOT EXISTS idm LOCATION '{loc}' "
+            "AS SELECT 2 AS k"
+        ).collect()[0]
+        assert "exists" in rec["operation"]
+        # the second select did NOT run: still one row, value 1
+        assert fr.sql("SELECT k FROM idm").collect()[0]["k"] == 1
+        assert fr.sql("SELECT COUNT(*) AS n FROM idm").collect()[0][
+            "n"] == 1
+        fr.sql("DROP TABLE IF EXISTS idm")
+        rec2 = fr.sql("DROP TABLE IF EXISTS idm").collect()[0]
+        assert rec2["status"] == "not registered"
+        with pytest.raises(ValueError, match="unknown table"):
+            fr.sql("DROP TABLE idm")
+
+    def test_show_tables_like(self, spark, front, lake, tmp_path):
+        front.sql(
+            f"CREATE TABLE t_audit LOCATION '{tmp_path / 'a'}' "
+            "AS SELECT 1 AS k"
+        )
+        names = [r["table"] for r in
+                 front.sql("SHOW TABLES LIKE 't_*'").collect()]
+        assert names == ["t_audit"]
+        names = [r["table"] for r in
+                 front.sql("SHOW TABLES LIKE 't|t_audit'").collect()]
+        assert names == ["t", "t_audit"]
