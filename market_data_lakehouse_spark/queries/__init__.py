@@ -53,74 +53,68 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-12 window (r11 VERDICT directive 1, counts corrected —
-# the old queue comment said "42-entry r8-stale cohort" but the
-# CORRECTNESS files show 44: the 42 plus s15_table_detail and
-# s17_scoped_optimize, swapped out of the r11 window late for
-# s28/s29): (a) the two r11-new entries never driver-run; (b) the
-# FULL 44-entry r8-stale cohort; (c) 4 remaining slots. Directives 6
-# (s31_sql_utility, new — must not repeat the r11 never-driver-run
-# slip) and 7 (>=4 r9-stale starts) together need 5 slots into those
-# 4; resolution: s31 takes one, and the 3 r9-stale picks lead with
-# the two entries on the directive-5-changed connected_components
-# path (g5, e2_dedup_clusters — they need re-greening anyway) plus
-# e1_dedup_by_hash (the bench control).
+# The round-13 window (r12 VERDICT directives 1, 3, 6 — counts
+# verified against the CORRECTNESS_r* files, not memory; the r12
+# queue comment's "47 slots; 3 spare" arithmetic was wrong, its
+# named cohorts totalled 55). Directive 1 alone (4 never-run + 11
+# changed-path + 35 r9-stale) fills all 50 slots, but directive 3
+# adds a NEW entry (s35_sql_dml2 — must not repeat the
+# never-driver-run slip class) and directive 6 orders >=2 r10-stale
+# starts; resolution (same trade the r12 verdict endorsed for s31):
+# s35 and the 2 r10 starts take 3 slots from the r9 fill.
 #
-# r13 window queue — FRONT-LOAD FIRST: (z) the r12-new entries
-# never driver-run (the r11 slip class): s32_copy_into_partition_
-# delete, s33_convert_clone_partitions, e2_incremental_neardup,
-# s34_sql_lifecycle2, plus
-# every entry whose code path changed LATE in r12 after the r12
-# window was fixed — the partition-delete fast path + data-skipping
-# DML + auto-scope touch every delete_where/update_where caller, and
-# merge data skipping touches every merge caller: s8_txn_time_travel,
-# s8_merge_upsert, s8_merge_evolution, s12_deletion_vectors,
-# s14_replace_where, t13_restore_across_dv, t11_incremental_mv (all
-# locally re-greened at sf0.001+sf0.01 post-change in r12; driver
-# rows predate the change). Then (a) the remaining
-# 40-entry r9-stale cohort
-# (a1_vwap_by_flag, a3-a6, a7_distinct, a8_cube/_grouping_sets/
-# _rollup, a9_percentiles, e2_embedding_neardup/_ngram_jaccard/
-# _semantic_dedup/_simhash, e3_cell_recall/knn_bruteforce,
-# e4_rolling_chunks, f2_time_range, g4_kcore, j1-j8 (10 entries:
-# j2 x2, j4 x2, j6_asof_join, j7), o2_topk, s1_scan_project,
-# s18_metadata_count, u1_intersect/u1_union_except, w1-w4, w6,
-# x6_arith_expr); (b) 7 entries whose code paths changed in r12
-# AFTER their last driver run — all locally re-greened at sf0.01 in
-# r12, but the driver rows predate the changes: s8_merge_upsert
-# (by-source merge param + empty-out commit), s12_deletion_vectors +
-# t13_restore_across_dv (reorg/dv-adjacent), s13_zero_copy_clone
-# (clone_mode key), s22_row_tracking (reorg id-preserving rewrite),
-# s28_commit_checksum (checkpoint feature fold newest-wins),
-# f6_bloom_skipping (log-owned bloom columns). 47 slots; 3 spare for
-# r13-new. The 41-entry r10 cohort then anchors r14.
+# Composition, adds to exactly 50:
+# (z) 5 never-driver-run: the 4 late-r12 entries (s32, s33, s34,
+#     e2_incremental_neardup) + s35_sql_dml2 (r13-new: named-column
+#     INSERT / expression MERGE SET / BY SOURCE UPDATE);
+# (y) 11 entries whose DML/merge code paths changed late in r12
+#     (partition-delete fast path, data-skipping DML, auto-scope,
+#     merge skipping) — and changed AGAIN in r13 (the ADVICE
+#     _dml_cmp string-stat fix + temporal auto-scope guard + merge
+#     set_exprs touch every delete/update/merge caller):
+#     s8_txn_time_travel, s8_merge_upsert, s8_merge_evolution,
+#     s12_deletion_vectors, s14_dv_update (the r12 verdict's
+#     "s14_replace_where" names no registry entry — the dv-UPDATE
+#     gate is the one on the changed path; the replaceWhere surface,
+#     s16_overwrite_where, rides the r10 cohort), t13_restore_across_
+#     dv, t11_incremental_mv, s13_zero_copy_clone, s22_row_tracking,
+#     s28_commit_checksum, f6_bloom_skipping;
+# (x) 2 r10-stale starts, oldest-registered-first (directive 6):
+#     s2_csv_roundtrip, f5_stats_skipping;
+# (w) 32 of the 40-entry r9-stale cohort, oldest-registered-first.
+#
+# SPILLED to r14 (named, the directive-1 contract): the 8 youngest-
+# registered r9-stale entries — x6_arith_expr, a8_grouping_sets,
+# g4_kcore, e3_knn_bruteforce, e2_embedding_neardup, e3_cell_recall,
+# e2_semantic_dedup, e4_rolling_chunks — these are r14's FIRST
+# picks, ahead of the remaining 39-entry r10 cohort that anchors it.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (a) r11-new, locally green, never driver-run (2)
-    "s8_merge_evolution",     # MERGE schema evolution (rewrite+dv)
-    "s30_add_column",         # metadata-only ADD COLUMN
-    # (b) the full r8-stale cohort (44)
-    "a12_corr_matrix", "a13_funnel", "a14_big_orders",
-    "a15_filtered_agg", "a16_trimmed_mean", "a7_approx_distinct",
-    "e1_contamination_ngram", "e1_decontaminate",
-    "e1_fuzzy_dedup_editdist", "e3_ann_recall", "e3_ivf_recall",
-    "e3_ivfpq_knn", "e3_ivfpq_recall", "e3_kmeans", "e3_pq_recall",
-    "e3_range_search", "e4_bm25_search", "e4_cms_heavy_hitters",
-    "e4_corpus_clean", "e4_normalize", "e4_repetition_score",
-    "e5_media_resize", "e6_kfold", "e6_temperature_mix",
-    "e6_token_shards_partitioned", "e7_pack_sequences",
-    "g1_pagerank", "g2_triangle_count", "j10_exists_subquery",
-    "j11_shipping_priority", "j12_regional_revenue",
-    "j13_scalar_subquery", "j14_nation_trade", "j15_market_share",
-    "j16_recursive_reach", "o4_null_ordering", "s15_table_detail",
-    "s17_scoped_optimize", "w10_rank_distributions",
-    "w11_range_frame", "w12_ratio_to_report", "x10_variant",
-    "x8_bitwise_cond", "x9_array_hof",
-    # (c) r12-new + r12-changed + r9-cohort starts (4)
-    "s31_sql_utility",          # r12 NEW: SQL utility front-end
-    "g5_connected_components",  # r12-changed: stats-first CC gate
-    "e2_dedup_clusters",        # r12-changed: same CC path
-    "e1_dedup_by_hash",         # r9-stale: bench-control family rep
+    # (z) never driver-run (5)
+    "s32_copy_into_partition_delete",
+    "s33_convert_clone_partitions",
+    "s34_sql_lifecycle2",
+    "e2_incremental_neardup",
+    "s35_sql_dml2",             # r13 NEW: INSERT(cols)/MERGE SET/BY SOURCE UPDATE
+    # (y) r12/r13 DML+merge changed-path (11)
+    "s8_txn_time_travel", "s8_merge_upsert", "s8_merge_evolution",
+    "s12_deletion_vectors", "s14_dv_update",
+    "t13_restore_across_dv", "t11_incremental_mv",
+    "s13_zero_copy_clone", "s22_row_tracking", "s28_commit_checksum",
+    "f6_bloom_skipping",
+    # (x) r10-stale starts, oldest-registered-first (2)
+    "s2_csv_roundtrip", "f5_stats_skipping",
+    # (w) r9-stale cohort, oldest-registered-first (32)
+    "e2_ngram_jaccard", "e2_simhash", "s18_metadata_count",
+    "s1_scan_project", "f2_time_range", "a1_vwap_by_flag",
+    "a3_full_table_agg", "a4_multikey_100", "a5_ohlcv_resample",
+    "a6_stats_by_type", "a7_distinct", "a8_rollup", "a8_cube",
+    "a9_percentiles", "o2_topk", "j1_inner_join", "j2_left_join",
+    "j2_full_outer", "j3_broadcast_join", "j4_semi_join",
+    "j4_anti_join", "j5_range_join", "j6_asof_join",
+    "j7_asof_tolerance", "j8_cross_join", "w1_lag_gaps",
+    "w2_rank_topn", "w3_moving_avg", "w4_cumulative", "w6_sessionize",
+    "u1_union_except", "u1_intersect",
 ]
 
 

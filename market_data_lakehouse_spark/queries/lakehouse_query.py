@@ -2014,3 +2014,119 @@ def s34_sql_lifecycle2(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sc.history()[0]["op"] != "truncate" or sc.count_rows() != 0:
         raise AssertionError("TRUNCATE did not land metadata-only")
     return fr.sql("SELECT k, cat FROM t34 ORDER BY k")
+
+
+@register(
+    "s35_sql_dml2",
+    oracle="""
+    WITH seeded AS (
+      SELECT CAST(event_id AS BIGINT) AS k, event_type AS etype,
+             value AS qty
+      FROM events
+    ),
+    -- ADD COLUMN note null-fills history; DEFAULT 'fresh' applies
+    -- only to later writes that omit the column
+    ins AS (
+      SELECT k, etype, qty, CAST(NULL AS VARCHAR) AS note FROM seeded
+      UNION ALL SELECT 5000000, 'ins', NULL, 'fresh'
+      UNION ALL SELECT 5000001, 'ins2', NULL, 'fresh'
+    ),
+    m1src AS (
+      SELECT k, 0.5 AS sqty FROM ins WHERE k % 7 = 0
+      UNION ALL SELECT 6000000, 9.0
+    ),
+    m1 AS (
+      SELECT i.k, i.etype,
+             CASE WHEN s.k IS NOT NULL THEN i.qty + s.sqty
+                  ELSE i.qty END AS qty,
+             CASE WHEN s.k IS NOT NULL THEN (
+                    CASE WHEN i.qty > 0.5 THEN 'big' ELSE 'small' END
+                  ) ELSE i.note END AS note
+      FROM ins i LEFT JOIN m1src s ON i.k = s.k
+      UNION ALL
+      SELECT s.k, CAST(NULL AS VARCHAR), s.sqty, 'fresh'
+      FROM m1src s LEFT JOIN ins i ON s.k = i.k WHERE i.k IS NULL
+    ),
+    m2 AS (
+      SELECT k, etype, qty,
+             CASE WHEN k % 3 = 0 THEN note ELSE 'stale' END AS note
+      FROM m1
+    )
+    SELECT k, etype, ROUND(qty, 6) AS qty, note FROM m2 ORDER BY k
+    """,
+)
+def s35_sql_dml2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 DML grammar additions as one hard signal (VERDICT r12
+    directives 3-4): NAMED-COLUMN INSERT (omitted columns take their
+    declared DEFAULT, else NULL), per-column MERGE ``UPDATE SET col =
+    expr`` (assigned columns evaluate against BOTH sides, unassigned
+    target columns KEEP their values — including against a SUBSET
+    source, whose missing columns also default-fill on the insert
+    branch), and ``WHEN NOT MATCHED BY SOURCE THEN UPDATE SET``
+    (probe-scoped target-only update). DuckDB replays the exact
+    lifecycle; a SET that clobbers an unassigned column, a named
+    insert that misbinds positions, or a by-source sweep that touches
+    matched rows diverges. In-query receipts pin the operation
+    sequence and the default fill."""
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("qty"),
+    )
+    tx = TransactionalLake(
+        spark, scratch_dir("sdml2"), partition_by=()
+    )
+    tx.append(ev.repartition(4))
+    fr = LakeSQL(spark)
+    fr.register("t35", tx)
+    fr.sql("ALTER TABLE t35 ADD COLUMN note STRING")
+    fr.sql("ALTER TABLE t35 ALTER COLUMN note SET DEFAULT 'fresh'")
+    # named-column INSERT: qty omitted -> NULL, note omitted -> DEFAULT
+    fr.sql(
+        "INSERT INTO t35 (k, etype) VALUES (5000000, 'ins'), "
+        "(5000001, 'ins2')"
+    )
+    got = {
+        r["k"]: (r["qty"], r["note"])
+        for r in fr.sql(
+            "SELECT k, qty, note FROM t35 WHERE k >= 5000000"
+        ).collect()
+    }
+    if got != {5000000: (None, "fresh"), 5000001: (None, "fresh")}:
+        raise AssertionError(f"named INSERT misbound: {got}")
+    # expression MERGE over a SUBSET source: SET reads both sides,
+    # unassigned columns keep the target value; the unmatched source
+    # row inserts with etype null-filled and note defaulted
+    fr.sql(
+        "MERGE INTO t35 USING ("
+        "  SELECT k, CAST(0.5 AS DOUBLE) AS qty FROM t35"
+        "  WHERE k % 7 = 0"
+        "  UNION ALL SELECT CAST(6000000 AS BIGINT), 9.0"
+        ") AS s ON t35.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET qty = t35.qty + s.qty, "
+        "note = CASE WHEN t35.qty > 0.5 THEN 'big' ELSE 'small' END "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # BY SOURCE UPDATE: unmatched target rows (k % 3 <> 0) go stale;
+    # matched rows keep every column
+    fr.sql(
+        "MERGE INTO t35 USING ("
+        "  SELECT k, qty FROM t35 WHERE k % 3 = 0"
+        ") AS s ON t35.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET qty = t35.qty "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'stale'"
+    )
+    ops = [
+        r["operation"]
+        for r in fr.sql("DESCRIBE HISTORY t35").collect()
+    ][:5]
+    if ops != ["merge", "merge", "append", "set_defaults",
+               "add_column"]:
+        raise AssertionError(f"unexpected op sequence: {ops}")
+    return fr.sql(
+        "SELECT k, etype, ROUND(qty, 6) AS qty, note FROM t35 "
+        "ORDER BY k"
+    )

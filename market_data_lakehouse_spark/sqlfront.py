@@ -782,33 +782,55 @@ class LakeSQL:
     _INSERT = re.compile(
         rf"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
         rf"(?P<tbl>{_IDENT})\s+"
+        r"(?:\(\s*(?P<cols>[^()]+?)\s*\)\s+)?"
         r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+)?"
         rf"(?P<src>(?:SELECT|VALUES|WITH|TABLE)\s.+)$",
         re.IGNORECASE,
     )
 
     def _do_insert(self, m) -> DataFrame:
-        """``INSERT INTO|OVERWRITE t [REPLACE WHERE pred]
-        <select|values>`` — the source query runs through the SELECT
-        passthrough (so it can read other registered lakes, including
-        time travel), then commits as append / overwrite. ``REPLACE
-        WHERE`` (Delta's SQL replaceWhere, INTO only) atomically
-        swaps the predicate's rows for the source's — every source
-        row must itself satisfy the predicate, the idempotent
-        backfill contract."""
+        """``INSERT INTO|OVERWRITE t [(c1, c2, ...)] [REPLACE WHERE
+        pred] <select|values>`` — the source query runs through the
+        SELECT passthrough (so it can read other registered lakes,
+        including time travel), then commits as append / overwrite.
+        ``REPLACE WHERE`` (Delta's SQL replaceWhere, INTO only)
+        atomically swaps the predicate's rows for the source's —
+        every source row must itself satisfy the predicate, the
+        idempotent backfill contract. A NAMED COLUMN LIST (r13,
+        standard SQL) binds the source's columns positionally to the
+        named subset; unnamed columns take their declared DEFAULT,
+        else NULL (a NOT NULL constraint then fails loudly)."""
         lake = self.table(m.group("tbl"))
         df = self.spark.sql(self._prepare_select(m.group("src")))
+        named = (
+            [c.strip().strip("`") for c in _split_commas(m.group("cols"))]
+            if m.group("cols")
+            else None
+        )
+        if named is not None and len(set(named)) != len(named):
+            raise ValueError(
+                f"INSERT column list names a column twice: {named}"
+            )
         # SQL INSERT is POSITIONAL (unlike the Python API's by-name
         # contract): a VALUES source arrives as col1..colN and
         # literal-typed selects arrive as INT/DECIMAL — align names
-        # by position and cast to the table's committed types, the
+        # by position (to the named list when given, else the full
+        # column set) and cast to the table's committed types, the
         # standard-SQL coercion every INSERT implies. Arity mismatch
         # stays a loud error.
         try:
             target = lake.snapshot()
         except ValueError:
             target = None  # empty table: first insert defines schema
-        if target is not None:
+        if target is None:
+            if named is not None:
+                if len(df.columns) != len(named):
+                    raise ValueError(
+                        f"INSERT arity mismatch: statement supplies "
+                        f"{len(df.columns)} columns for list {named}"
+                    )
+                df = df.toDF(*named)
+        else:
             # derived columns (GENERATED / IDENTITY) are computed by
             # the engine on every write — they are never part of the
             # positional list (Delta's insert behavior for them)
@@ -825,17 +847,49 @@ class LakeSQL:
                 for c in target.columns
                 if not c.startswith("_") and c not in derived
             ]
-            if len(df.columns) != len(tcols):
-                raise ValueError(
-                    f"INSERT arity mismatch: statement supplies "
-                    f"{len(df.columns)} columns, table takes {tcols} "
-                    f"(derived columns {sorted(derived) or None} are "
-                    "engine-computed)"
-                )
             dtypes = dict(target.dtypes)
-            df = df.toDF(*tcols).select(
-                *[F.col(c).cast(dtypes[c]) for c in tcols]
-            )
+            if named is not None:
+                bad = [c for c in named if c not in tcols]
+                if bad:
+                    raise ValueError(
+                        f"INSERT column list references {bad}; table "
+                        f"takes {tcols} (derived columns "
+                        f"{sorted(derived) or None} are "
+                        "engine-computed)"
+                    )
+                if len(df.columns) != len(named):
+                    raise ValueError(
+                        f"INSERT arity mismatch: statement supplies "
+                        f"{len(df.columns)} columns for list {named}"
+                    )
+                defaults = {
+                    inv.get(c, c): e
+                    for c, e in lake.column_defaults().items()
+                }
+                df = df.toDF(*named).select(
+                    *[
+                        F.col(c).cast(dtypes[c])
+                        if c in named
+                        else (
+                            F.expr(defaults[c]).cast(dtypes[c]).alias(c)
+                            if c in defaults
+                            else F.lit(None).cast(dtypes[c]).alias(c)
+                        )
+                        for c in tcols
+                    ]
+                )
+            else:
+                if len(df.columns) != len(tcols):
+                    raise ValueError(
+                        f"INSERT arity mismatch: statement supplies "
+                        f"{len(df.columns)} columns, table takes "
+                        f"{tcols} (derived columns "
+                        f"{sorted(derived) or None} are "
+                        "engine-computed)"
+                    )
+                df = df.toDF(*tcols).select(
+                    *[F.col(c).cast(dtypes[c]) for c in tcols]
+                )
         if m.group("rw"):
             if m.group("mode").upper() != "INTO":
                 raise ValueError(
@@ -891,16 +945,23 @@ class LakeSQL:
 
     def _do_merge(self, m) -> DataFrame:
         """``MERGE INTO t [AS a] USING (<select>)|name [AS b] ON
-        <equi-cond> WHEN MATCHED THEN UPDATE SET * | DELETE
-        [WHEN NOT MATCHED THEN INSERT *]``.
+        <equi-cond> WHEN MATCHED THEN UPDATE SET * | SET c = expr,
+        ... | DELETE [WHEN NOT MATCHED THEN INSERT *] [WHEN NOT
+        MATCHED BY SOURCE THEN DELETE | UPDATE SET c = expr, ...]``.
 
-        The engine's merge replaces a matched target row with its
-        source row wholesale, so only the ``SET *`` / ``INSERT *``
-        forms are expressible — per-column SET lists are a loud
-        error, not a silent approximation. ON must be an AND of
-        same-name equalities (``t.k = s.k``): the Python API takes
-        key NAMES, and a cross-named join key has no meaning there —
-        rename in the source select instead."""
+        ``SET *`` replaces the matched target row with its source
+        row wholesale; a per-column SET list (r13) assigns each
+        named column its expression and KEEPS every other target
+        column. Expressions may qualify columns with either side's
+        alias — target refs pass through bare, source refs rewrite
+        to the engine's ``source.<col>`` contract; unqualified names
+        bind to the TARGET (qualify with the source alias to read
+        the source, Delta's resolution order for SET). BY SOURCE
+        clauses see no source row, so their SET may reference target
+        columns only. ON must be an AND of same-name equalities
+        (``t.k = s.k``): the Python API takes key NAMES, and a
+        cross-named join key has no meaning there — rename in the
+        source select instead."""
         src_txt = m.group("src")
         if src_txt.startswith("("):
             source = self.spark.sql(self._prepare_select(src_txt[1:-1]))
@@ -935,47 +996,164 @@ class LakeSQL:
                     "in the source select)"
                 )
             keys.append(mm.group("c1"))
+        src_aliases = {
+            a.lower()
+            for a in (
+                m.group("sa"),
+                src_txt if not src_txt.startswith("(") else None,
+            )
+            if a
+        }
+        tgt_aliases = {
+            a.lower() for a in (m.group("ta"), m.group("tbl")) if a
+        }
+
+        def _requalify(expr: str) -> str:
+            """Alias-qualified refs → the engine's contract: target
+            refs bare, source refs ``source.<col>``. Literals are
+            protected so qualifier-looking VALUES never rewrite."""
+            guard = "\x00"
+            lits: list[str] = []
+
+            def _stash(sm):
+                lits.append(sm.group(0))
+                return f"{guard}{len(lits) - 1}{guard}"
+
+            s = re.sub(r"'(?:[^'\\]|\\.)*'", _stash, expr)
+
+            def repl(mm):
+                q, c = mm.group("q"), mm.group("c")
+                if q.lower() in src_aliases:
+                    return f"source.{c}"
+                if q.lower() in tgt_aliases:
+                    return c if c.startswith("`") else f"`{c}`"
+                raise ValueError(
+                    f"unknown qualifier {q!r} in MERGE SET "
+                    f"expression (aliases: {sorted(src_aliases | tgt_aliases)})"
+                )
+
+            s = re.sub(
+                rf"\b(?P<q>{_IDENT})\s*\.\s*(?P<c>`[^`]+`|{_IDENT})",
+                repl,
+                s,
+            )
+            return re.sub(
+                rf"{guard}(\d+){guard}",
+                lambda mm: lits[int(mm.group(1))],
+                s,
+            )
+
+        def _parse_sets(body: str) -> dict[str, str]:
+            out: dict[str, str] = {}
+            for a in _split_commas(body):
+                col, eq, expr = a.partition("=")
+                cm = re.fullmatch(
+                    rf"\s*(?:(?P<q>{_IDENT})\s*\.\s*)?"
+                    rf"(?P<c>{_IDENT})\s*",
+                    col,
+                )
+                if not eq or not cm:
+                    raise ValueError(
+                        f"MERGE SET needs col = expr: {a!r}"
+                    )
+                q = cm.group("q")
+                if q and q.lower() in src_aliases:
+                    raise ValueError(
+                        f"MERGE SET cannot assign a SOURCE column: "
+                        f"{a!r}"
+                    )
+                if q and q.lower() not in tgt_aliases:
+                    raise ValueError(
+                        f"unknown qualifier {q!r} in MERGE SET "
+                        f"target (aliases: {sorted(tgt_aliases)})"
+                    )
+                c = cm.group("c").strip("`")
+                if c in out:
+                    raise ValueError(
+                        f"MERGE SET assigns {c!r} twice"
+                    )
+                out[c] = _requalify(expr.strip())
+            return out
+
         when_matched = None
         when_not_matched = "ignore"
         by_source = "ignore"
-        clause_re = re.compile(
-            r"WHEN\s+(?P<not_>NOT\s+)?MATCHED"
-            r"(?P<bysrc>\s+BY\s+SOURCE)?\s+THEN\s+"
-            r"(?P<act>UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
-            re.IGNORECASE,
+        set_exprs: dict[str, str] | None = None
+        by_source_set: dict[str, str] | None = None
+        # split on the WHEN that starts a clause (a CASE WHEN inside
+        # a SET expression doesn't look like "[NOT] MATCHED")
+        chunks = [
+            c.strip()
+            for c in re.split(
+                r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)",
+                m.group("clauses"),
+                flags=re.IGNORECASE,
+            )
+            if c.strip()
+        ]
+        chunk_re = re.compile(
+            r"(?P<not_>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+            r"\s+THEN\s+(?P<act>.+)$",
+            re.IGNORECASE | re.DOTALL,
         )
-        for cm in clause_re.finditer(m.group("clauses")):
-            act = re.sub(r"\s+", " ", cm.group("act").upper())
+        for chunk in chunks:
+            cm = chunk_re.fullmatch(chunk)
+            if not cm:
+                raise ValueError(
+                    f"unsupported MERGE clause: {chunk!r} (supported:"
+                    " WHEN MATCHED THEN UPDATE SET *|<assignments>|"
+                    "DELETE; WHEN NOT MATCHED THEN INSERT *; WHEN "
+                    "NOT MATCHED BY SOURCE THEN DELETE|UPDATE SET "
+                    "<assignments>)"
+                )
+            act = cm.group("act").strip()
+            act_u = re.sub(r"\s+", " ", act.upper())
+            um = re.match(
+                r"UPDATE\s+SET\s+(?P<body>.+)$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
             if cm.group("bysrc"):
-                if not cm.group("not_") or act != "DELETE":
+                if not cm.group("not_"):
                     raise ValueError(
-                        "BY SOURCE supports only WHEN NOT MATCHED BY "
-                        "SOURCE THEN DELETE"
+                        "BY SOURCE pairs with WHEN NOT MATCHED"
                     )
-                by_source = "delete"
+                if act_u == "DELETE":
+                    by_source = "delete"
+                elif um:
+                    body = um.group("body").strip()
+                    if body == "*":
+                        raise ValueError(
+                            "WHEN NOT MATCHED BY SOURCE THEN UPDATE "
+                            "SET * is meaningless — there is no "
+                            "source row; name the assignments"
+                        )
+                    by_source = "update"
+                    by_source_set = _parse_sets(body)
+                else:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports DELETE "
+                        "or UPDATE SET <assignments>"
+                    )
             elif cm.group("not_"):
-                if act != "INSERT *":
+                if act_u != "INSERT *":
                     raise ValueError(
                         "WHEN NOT MATCHED supports only INSERT *"
                     )
                 when_not_matched = "insert"
             else:
-                if act == "DELETE":
+                if act_u == "DELETE":
                     when_matched = "delete"
-                elif act == "UPDATE SET *":
+                elif um:
+                    body = um.group("body").strip()
                     when_matched = "update"
+                    if body != "*":
+                        set_exprs = _parse_sets(body)
                 else:
                     raise ValueError(
-                        "WHEN MATCHED supports UPDATE SET * or DELETE"
+                        "WHEN MATCHED supports UPDATE SET "
+                        "*|<assignments> or DELETE"
                     )
-        stripped = clause_re.sub("", m.group("clauses")).strip()
-        if stripped:
-            raise ValueError(
-                "unsupported MERGE clause tail: "
-                f"{stripped!r} (supported: WHEN MATCHED THEN "
-                "UPDATE SET * | DELETE; WHEN NOT MATCHED THEN "
-                "INSERT *; WHEN NOT MATCHED BY SOURCE THEN DELETE)"
-            )
         lake = self.table(m.group("tbl"))
         return self._receipt(
             "MERGE",
@@ -985,6 +1163,8 @@ class LakeSQL:
                 when_matched=when_matched or "update",
                 when_not_matched=when_not_matched,
                 when_not_matched_by_source=by_source,
+                set_exprs=set_exprs,
+                by_source_set=by_source_set,
             ),
         )
 
@@ -1005,8 +1185,9 @@ class LakeSQL:
         rf"(?P<n>{_IDENT})\s+(?P<t>[A-Za-z0-9_]+(?:\s*\([0-9, ]+\))?"
         r"(?:<[^>]+>)?)"
         r"(?:\s+(?P<mark>GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
-        r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+"
-        r"INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?"
+        r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<idstart>-?\d+)"
+        r"(?:\s+INCREMENT\s+BY\s+(?P<idstep>-?\d+))?"
+        r"|INCREMENT\s+BY\s+(?P<idstep2>-?\d+))\s*\))?"
         r"|GENERATED\s+ALWAYS\s+AS\s*\((?P<g>.+)\)"
         r"|NOT\s+NULL"
         r"|DEFAULT\s+(?P<dflt>'[^']*'|-?\d+(?:\.\d+)?|[A-Za-z_]\w*\(\)"
@@ -1075,7 +1256,7 @@ class LakeSQL:
                 identity = (
                     cname,
                     int(cm.group("idstart") or 0),
-                    int(cm.group("idstep") or 1),
+                    int(cm.group("idstep") or cm.group("idstep2") or 1),
                 )
             else:
                 plain.append((cname, ctype))
@@ -1373,11 +1554,21 @@ class LakeSQL:
             phys = (doc or {}).get(cname, cname)
             if idoc is not None and idoc["column"] == phys:
                 d += " GENERATED ALWAYS AS IDENTITY"
-                start, step = idoc.get("start"), idoc.get("step", 1)
-                # start isn't logged separately; emit only the step
-                # when it deviates (next is runtime state)
-                if int(step) != 1:
-                    d += f" (START WITH 0 INCREMENT BY {int(step)})"
+                start, step = idoc.get("start"), int(idoc.get("step", 1))
+                # the declared START rides the identity log doc
+                # (r13); "next" is runtime state and never DDL.
+                # Legacy docs predating the start field refuse to
+                # invent a literal (ADVICE r12: this emitted a wrong
+                # START WITH 0) — the step still renders.
+                opts = []
+                if start is not None and int(start) != 0:
+                    opts.append(f"START WITH {int(start)}")
+                if step != 1:
+                    if start is None:
+                        opts.append("/* START WITH unrecorded */")
+                    opts.append(f"INCREMENT BY {step}")
+                if opts:
+                    d += f" ({' '.join(opts)})"
             elif cname in gen:
                 d += f" GENERATED ALWAYS AS ({gen[cname]})"
             elif cname in not_null:
@@ -1525,10 +1716,10 @@ class LakeSQL:
         ("ANALYZE TABLE", (_ANALYZE, "ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...]", "_do_analyze")),
         ("GENERATE", (_GENERATE, "GENERATE symlink_format_manifest FOR TABLE t", "_do_generate")),
         ("REORG TABLE", (_REORG, "REORG TABLE t APPLY (PURGE)", "_do_reorg")),
-        ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t <select>", "_do_insert")),
+        ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t [(c1, c2, ...)] <select>", "_do_insert")),
         ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred]", "_do_delete")),
         ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred]", "_do_update")),
-        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED THEN UPDATE SET *|DELETE [WHEN NOT MATCHED THEN INSERT *]", "_do_merge")),
+        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED THEN UPDATE SET *|<col = expr, ...>|DELETE [WHEN NOT MATCHED THEN INSERT *] [WHEN NOT MATCHED BY SOURCE THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
         ("CREATE TABLE", (_CLONE, "CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v | TIMESTAMP AS OF 'ts'] LOCATION 'p'", "_do_clone")),
         ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),
         ("DROP TABLE", (_DROP, "DROP TABLE n", "_do_drop")),

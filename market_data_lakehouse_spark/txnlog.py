@@ -1438,6 +1438,23 @@ class TransactionalLake:
             df = df.filter(F.col(col) == F.lit(v))
         return self._to_logical(df, doc)
 
+    def checkpoint(self) -> int:
+        """Force a log checkpoint at the current head version (Delta
+        ``DeltaLog.checkpoint()``): the same fold the scheduled
+        every-``checkpointInterval`` write performs, on demand — the
+        step the DROP FEATURE 'multipart-checkpoint' remediation
+        needs (unset ``checkpoint.partSize``, ``checkpoint()``,
+        ``vacuum_log()``), and the lever for shrinking log-replay
+        cost right after a bulk load instead of waiting out the
+        cadence. Idempotent at a version (rewriting the same fold is
+        harmless). Returns the checkpointed version, or -1 on an
+        empty log (nothing to fold)."""
+        v = self.version
+        if v < 0:
+            return -1
+        self._write_checkpoint(v)
+        return v
+
     def vacuum_log(self, retain_last: int = 0) -> int:
         """Delete log history already subsumed by a checkpoint
         (Delta's log-retention). Retention is CHECKPOINT-ALIGNED:
@@ -2848,7 +2865,7 @@ class TransactionalLake:
         return self._derive_read_bounds(cons)
 
     @classmethod
-    def _dml_cmp(cls, stat, lit: str) -> int | None:
+    def _dml_cmp(cls, stat, lit: str, pointwise: bool = False) -> int | None:
         """Three-way compare of a logged stat (or partition-dir
         string) against a SQL predicate literal token, returning None
         whenever the verdict could depend on a typing choice we
@@ -2857,7 +2874,15 @@ class TransactionalLake:
 
         - numeric stat: compare as numbers iff the literal parses.
         - string stat + UNQUOTED literal: Spark casts the column to
-          double — numeric compare iff the stat parses too.
+          double and compares NUMERICALLY per row — but the logged
+          min/max are the LEXICAL endpoints of the strings, which do
+          not bound the numeric values (file {'10','5','9'} logs
+          ['10','9']; 10 > 5 would "prove" code=5 can't match while
+          row '5' does). Only a per-file-CONSTANT value — a
+          partition-dir segment, or a degenerate stat with min==max
+          (``pointwise``) — is safely float-compared; a true range
+          endpoint returns None (ADVICE r12: this was a silent
+          lost-delete).
         - string stat + QUOTED literal: lexical compare — except
           (a) when BOTH parse as numbers and the numeric and lexical
           orders DISAGREE, the column's true type decides and we
@@ -2877,6 +2902,8 @@ class TransactionalLake:
         if not isinstance(stat, str):
             return None
         if not quoted:
+            if not pointwise:
+                return None  # lexical endpoint ≠ numeric bound
             try:
                 fs, f = float(stat), float(s)
             except (TypeError, ValueError):
@@ -2974,8 +3001,9 @@ class TransactionalLake:
                     if not s:
                         continue  # statless: keep
                     lo_hi = (s[0], s[1])
-                clo = self._dml_cmp(lo_hi[0], lit)
-                chi = self._dml_cmp(lo_hi[1], lit)
+                pw = lo_hi[0] == lo_hi[1]
+                clo = self._dml_cmp(lo_hi[0], lit, pointwise=pw)
+                chi = self._dml_cmp(lo_hi[1], lit, pointwise=pw)
                 if clo is None or chi is None:
                     continue  # incomparable: keep
                 if (
@@ -3004,6 +3032,23 @@ class TransactionalLake:
             quoted = lit.startswith("'")
             s = lit[1:-1] if quoted else lit
             if quoted:
+                if TransactionalLake._ISO_PREFIX_RE.match(s):
+                    # ADVICE r12: a temporal-looking literal ('T'
+                    # separator, tz suffix, date-only vs midnight,
+                    # sub-second width) would become a RAW string
+                    # bound that _added_file_may_match compares
+                    # lexically against space-separated isoformat
+                    # stats (' ' < 'T') — a concurrent append whose
+                    # rows DO match could be "proven" disjoint and
+                    # rebased over, the silent missed-conflict the
+                    # read-bounds contract exists to prevent. Unlike
+                    # _dml_cmp (which normalizes BOTH sides), a
+                    # derived bound meets stats of unknown type and
+                    # width later — derive nothing and fall back to
+                    # the conservative full conflict. Explicit
+                    # read_bounds= stay available to callers who
+                    # know their column types.
+                    return None
                 try:
                     float(s)
                     return None  # numeric-looking string: ambiguous
@@ -3131,7 +3176,7 @@ class TransactionalLake:
                 if v == self._HIVE_NULL:
                     match = False  # NULL never matches — certain
                     break
-                c = self._dml_cmp(v, lit)
+                c = self._dml_cmp(v, lit, pointwise=True)
                 if c is None:
                     return None  # mixed-type compare: scan path
                 ok = {
@@ -3711,6 +3756,7 @@ class TransactionalLake:
         new_cols: list[str] | None = None,
         map_doc: dict | None = None,
         src_bytes: dict | None = None,
+        set_exprs: dict[str, str] | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -3755,22 +3801,46 @@ class TransactionalLake:
                 ),
                 keys,
             )
-            parts.append(
-                upd.select(
-                    *[
-                        F.col(f"_src_{c}").alias(c) if c in src_cols
-                        else F.col(c)
-                        for c in matched.columns
-                        if c not in ("_row_file", "_row_pos")
-                    ],
-                    # schema evolution: postimages carry the source's
-                    # new columns (matched lacks them by definition)
-                    *[
-                        F.col(f"_src_{c}").alias(c)
-                        for c in (new_cols or [])
-                    ],
+            out_cols = [
+                c for c in matched.columns
+                if c not in ("_row_file", "_row_pos")
+            ]
+            if set_exprs is not None:
+                # per-column SET (r13): same projection contract as
+                # the rewrite path — assigned columns evaluate, the
+                # rest keep the target value, store-assign casts
+                rw = {
+                    c: self._rewrite_source_refs(e, src_cols)
+                    for c, e in set_exprs.items()
+                }
+                ttypes = dict(matched.dtypes)
+                parts.append(
+                    upd.select(
+                        *[
+                            F.expr(rw[c]).cast(ttypes[c]).alias(c)
+                            if c in rw
+                            else F.col(c)
+                            for c in out_cols
+                        ]
+                    )
                 )
-            )
+            else:
+                parts.append(
+                    upd.select(
+                        *[
+                            F.col(f"_src_{c}").alias(c) if c in src_cols
+                            else F.col(c)
+                            for c in out_cols
+                        ],
+                        # schema evolution: postimages carry the
+                        # source's new columns (matched lacks them by
+                        # definition)
+                        *[
+                            F.col(f"_src_{c}").alias(c)
+                            for c in (new_cols or [])
+                        ],
+                    )
+                )
         if when_not_matched == "insert":
             ins = (
                 source.join(
@@ -3813,6 +3883,33 @@ class TransactionalLake:
             action, read_version=read_v, read_bounds=read_bounds,
         )
 
+    @staticmethod
+    def _rewrite_source_refs(expr: str, src_cols) -> str:
+        """Bind a merge SET expression to the joined update frame:
+        ``source.<col>`` / ``source.`col``` references resolve to the
+        joined frame's ``_src_<col>`` slot (join KEYS are shared
+        columns and resolve to the bare name); bare identifiers are
+        TARGET columns and pass through. String literals are
+        protected so ``'source.x'`` the value never rewrites."""
+        src = set(src_cols)
+        guard = "\x00"
+        lits: list[str] = []
+
+        def _stash(m):
+            lits.append(m.group(0))
+            return f"{guard}{len(lits) - 1}{guard}"
+
+        s = re.sub(r"'(?:[^'\\]|\\.)*'", _stash, expr)
+
+        def repl(m):
+            c = m.group(1) or m.group(2)
+            return f"`_src_{c}`" if c in src else f"`{c}`"
+
+        s = re.sub(r"\bsource\s*\.\s*(?:`([^`]+)`|(\w+))", repl, s)
+        return re.sub(
+            rf"{guard}(\d+){guard}", lambda m: lits[int(m.group(1))], s
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -3825,6 +3922,8 @@ class TransactionalLake:
         read_bounds: dict[str, tuple] | None = None,
         schema_evolution: bool = False,
         when_not_matched_by_source: str = "ignore",
+        set_exprs: dict[str, str] | None = None,
+        by_source_set: dict[str, str] | None = None,
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
@@ -3882,9 +3981,29 @@ class TransactionalLake:
         source-mirrors-target sync (SCD-style full refresh). Rewrite
         mode only (it touches every file holding an unmatched row,
         the copy-on-write shape by nature); files are still probed,
-        never swept wholesale. The BY SOURCE ``UPDATE SET`` variant
-        is a loud error: it needs per-column SET expressions this
-        engine's whole-row merge cannot express.
+        never swept wholesale.
+
+        ``set_exprs`` (r13, Delta's per-column ``WHEN MATCHED THEN
+        UPDATE SET col = expr``): instead of the whole-row source
+        replacement, each assigned column takes its SQL expression —
+        evaluated with TARGET columns bound by bare name and SOURCE
+        columns referenced as ``source.<col>`` — and every
+        UNASSIGNED column KEEPS the target value (Delta's SET-list
+        semantics; the whole-row default replaces every
+        source-carried column). Results store-assign (cast) to the
+        committed types. Works in both modes; assigned columns must
+        already exist in the target (evolution adds columns via the
+        whole-row/insert paths, never via SET).
+
+        ``when_not_matched_by_source="update"`` + ``by_source_set``
+        (r13, Delta ``WHEN NOT MATCHED BY SOURCE THEN UPDATE SET``):
+        target rows with NO source match get ``by_source_set``'s
+        per-column expressions applied — target columns only (there
+        is no source row to reference). Rewrite mode only, same
+        shape argument as the delete variant; files holding an
+        unmatched row are found by the same probe (never swept
+        wholesale), and with row tracking the updated rows' commit
+        version resets while their ids carry.
         """
         keys = [on] if isinstance(on, str) else list(on)
         mdoc = self._column_mapping_doc()
@@ -3900,6 +4019,19 @@ class TransactionalLake:
             )
             if read_bounds:
                 read_bounds = self._map_cols(read_bounds, mdoc)
+            # SET assignments: targets AND expression identifiers map
+            # to physical names (the source df was just renamed to
+            # physical too, so ``source.<phys>`` refs line up)
+            if set_exprs:
+                set_exprs = {
+                    self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
+                    for k, v in set_exprs.items()
+                }
+            if by_source_set:
+                by_source_set = {
+                    self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
+                    for k, v in by_source_set.items()
+                }
         if mode not in ("rewrite", "dv"):
             raise ValueError(f"unknown merge mode: {mode!r}")
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
@@ -3915,20 +4047,43 @@ class TransactionalLake:
             raise ValueError("when_matched must be 'update' or 'delete'")
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError("when_not_matched must be 'insert' or 'ignore'")
-        if when_not_matched_by_source not in ("delete", "ignore"):
+        if when_not_matched_by_source not in ("delete", "ignore", "update"):
             raise ValueError(
-                "when_not_matched_by_source must be 'delete' or "
-                "'ignore' (Delta's WHEN NOT MATCHED BY SOURCE THEN "
-                "UPDATE needs per-column SET expressions this "
-                "engine's whole-row merge cannot express)"
+                "when_not_matched_by_source must be 'delete', "
+                "'ignore', or 'update'"
             )
-        if when_not_matched_by_source == "delete" and mode == "dv":
+        if set_exprs is not None and when_matched != "update":
             raise ValueError(
-                "when_not_matched_by_source='delete' requires "
-                "mode='rewrite': it touches every file holding an "
-                "unmatched row, which is the copy-on-write shape — "
-                "a dv that hides most of the table defeats "
-                "merge-on-read's point"
+                "set_exprs pairs with when_matched='update' (a "
+                "DELETE clause has no SET list)"
+            )
+        if when_not_matched_by_source == "update" and not by_source_set:
+            raise ValueError(
+                "when_not_matched_by_source='update' requires "
+                "by_source_set (the per-column SET expressions; "
+                "there is no whole-row form — no source row exists "
+                "for unmatched targets)"
+            )
+        if by_source_set and when_not_matched_by_source != "update":
+            raise ValueError(
+                "by_source_set pairs with "
+                "when_not_matched_by_source='update'"
+            )
+        if by_source_set and any(
+            re.search(r"\bsource\s*\.", e) for e in by_source_set.values()
+        ):
+            raise ValueError(
+                "by_source_set expressions may reference target "
+                "columns only — BY SOURCE rows have no matching "
+                "source row to read"
+            )
+        if when_not_matched_by_source in ("delete", "update") and mode == "dv":
+            raise ValueError(
+                f"when_not_matched_by_source={when_not_matched_by_source!r}"
+                " requires mode='rewrite': it touches every file "
+                "holding an unmatched row, which is the "
+                "copy-on-write shape — a dv that hides most of the "
+                "table defeats merge-on-read's point"
             )
         if validate_keys:
             dup = (
@@ -3961,6 +4116,19 @@ class TransactionalLake:
         self._check_schema(
             source, merge_schema=schema_evolution, schemas=schemas
         )
+        # SET assignments target EXISTING columns (evolution adds
+        # columns via whole-row update / insert, never via SET)
+        if schemas and (set_exprs or by_source_set):
+            known_t = {f["name"] for f in self._merged_fields(schemas)}
+            for label, d in (
+                ("set_exprs", set_exprs),
+                ("by_source_set", by_source_set),
+            ):
+                bad = sorted(set(d or ()) - known_t)
+                if bad:
+                    raise ValueError(
+                        f"{label}: unknown target columns {bad}"
+                    )
         new_cols: list[str] = []
         if schema_evolution and schemas:
             known = {f["name"] for f in self._merged_fields(schemas)}
@@ -4022,7 +4190,7 @@ class TransactionalLake:
         # insert anti-join see every file a source row could match).
         # WHEN NOT MATCHED BY SOURCE needs unmatched rows table-wide,
         # so it probes unpruned. Zero extra jobs either way.
-        want_ranges = when_not_matched_by_source != "delete" and old
+        want_ranges = when_not_matched_by_source == "ignore" and old
         src_bytes = self._measured_bytes(
             source, minmax_cols=tuple(keys) if want_ranges else ()
         )
@@ -4036,7 +4204,7 @@ class TransactionalLake:
                 probe_files or old[:1], schemas, read_v, dvs,
                 txn_action, read_bounds,
                 new_cols=new_cols, map_doc=ext_doc,
-                src_bytes=src_bytes,
+                src_bytes=src_bytes, set_exprs=set_exprs,
             )
         snap = self._df_for_files(probe_files or old[:1], schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
@@ -4065,9 +4233,10 @@ class TransactionalLake:
                 .collect()
             ]
         )
-        if when_not_matched_by_source == "delete":
-            # Delta WHEN NOT MATCHED BY SOURCE THEN DELETE: target
-            # rows with no source key match go. Files holding such a
+        if when_not_matched_by_source in ("delete", "update"):
+            # Delta WHEN NOT MATCHED BY SOURCE THEN DELETE/UPDATE:
+            # target rows with no source key match go (or take the
+            # by_source_set assignments). Files holding such a
             # row join the affected set (their survivors are the
             # MATCHED rows now); a file whose every row matches stays
             # scoped by the probe, not swept in wholesale.
@@ -4096,6 +4265,29 @@ class TransactionalLake:
                 # survivors: rows in affected files whose key has NO
                 # source match
                 parts.append(aff_df.join(src_keys, keys, "left_anti"))
+            elif when_not_matched_by_source == "update":
+                # BY SOURCE UPDATE (r13): the anti-join rows are the
+                # clause's targets — re-emit them through the SET
+                # expressions (target columns only); with row
+                # tracking their ids carry and versions reset
+                surv = aff_df.join(src_keys, keys, "left_anti")
+                ttypes = dict(aff_df.dtypes)
+                parts.append(
+                    surv.select(
+                        *[
+                            F.expr(by_source_set[c])
+                            .cast(ttypes[c])
+                            .alias(c)
+                            if c in by_source_set
+                            else (
+                                F.lit(None).cast("bigint").alias(c)
+                                if c == self._RT_VER
+                                else F.col(c)
+                            )
+                            for c in surv.columns
+                        ]
+                    )
+                )
             # by-source DELETE: those same rows are exactly the
             # clause's targets — dropping the survivor part IS the
             # delete (matched rows re-emit below, inserts unchanged)
@@ -4125,29 +4317,58 @@ class TransactionalLake:
                     ),
                     keys,
                 )
-                parts.append(
-                    upd.select(
-                        *[
-                            F.col(f"_src_{c}").alias(c)
-                            if c in src_cols
-                            else (
-                                # updated row: id carries, version
-                                # resets to this commit (file default)
-                                F.lit(None).cast("bigint").alias(c)
-                                if c == self._RT_VER
-                                else F.col(c)
-                            )
-                            for c in aff_df.columns
-                        ],
-                        # schema evolution: postimages carry the
-                        # source's NEW columns too (absent from
-                        # aff_df — survivors null-fill in the union)
-                        *[
-                            F.col(f"_src_{c}").alias(c)
-                            for c in new_cols
-                        ],
+                if set_exprs is not None:
+                    # per-column SET (r13): assigned columns take
+                    # their expression (target cols bare, source
+                    # cols via _src_ slots), the rest KEEP the
+                    # target value; results store-assign to the
+                    # committed types. Evolved source columns ride
+                    # the insert part only (postimages null-fill).
+                    rw = {
+                        c: self._rewrite_source_refs(e, src_cols)
+                        for c, e in set_exprs.items()
+                    }
+                    ttypes = dict(aff_df.dtypes)
+                    parts.append(
+                        upd.select(
+                            *[
+                                F.expr(rw[c]).cast(ttypes[c]).alias(c)
+                                if c in rw
+                                else (
+                                    F.lit(None).cast("bigint").alias(c)
+                                    if c == self._RT_VER
+                                    else F.col(c)
+                                )
+                                for c in aff_df.columns
+                            ]
+                        )
                     )
-                )
+                else:
+                    parts.append(
+                        upd.select(
+                            *[
+                                F.col(f"_src_{c}").alias(c)
+                                if c in src_cols
+                                else (
+                                    # updated row: id carries, version
+                                    # resets to this commit (file
+                                    # default)
+                                    F.lit(None).cast("bigint").alias(c)
+                                    if c == self._RT_VER
+                                    else F.col(c)
+                                )
+                                for c in aff_df.columns
+                            ],
+                            # schema evolution: postimages carry the
+                            # source's NEW columns too (absent from
+                            # aff_df — survivors null-fill in the
+                            # union)
+                            *[
+                                F.col(f"_src_{c}").alias(c)
+                                for c in new_cols
+                            ],
+                        )
+                    )
         if when_not_matched == "insert":
             # a source key with ANY target match made its file
             # affected, so the insert anti-join needs only the
@@ -5189,10 +5410,15 @@ class TransactionalLake:
         log fold already holds. Zero data jobs at any table size:
         listing the partitions of a 100 TB table costs one walk over
         the live-file list, not a distinct-scan over rows (what
-        ``SELECT DISTINCT keys`` would shuffle). Values are returned
-        as the strings the writer spelled into the directory names —
-        the same representation partition pruning compares against.
-        Raises on an unpartitioned table (Spark's own SHOW PARTITIONS
+        ``SELECT DISTINCT keys`` would shuffle). Values are
+        URL-DECODED (ADVICE r12): the writer percent-encodes special
+        characters into directory names, and the pruning/delete
+        paths this listing mirrors (_dml_prune,
+        _try_partition_delete) compare the DECODED values — so a
+        partition written as ``sym=A%20B`` lists as ``A B``, the
+        value predicates actually match (Spark/Delta SHOW PARTITIONS
+        parity). The hive NULL sentinel maps to SQL NULL. Raises on
+        an unpartitioned table (Spark's own SHOW PARTITIONS
         contract)."""
         keys = tuple(
             self._recorded_partitioning() or self.partition_by or ()
@@ -5205,11 +5431,12 @@ class TransactionalLake:
         live, _schemas, _v, _dvs = self._snapshot_state()
         seen: set[tuple] = set()
         for rel in live:
-            vals: dict[str, str] = {}
+            vals: dict[str, str | None] = {}
             for seg in rel.split("/")[:-1]:
                 if "=" in seg:
                     k, _, val = seg.partition("=")
-                    vals[k] = val
+                    dec = unquote(val)
+                    vals[k] = None if dec == self._HIVE_NULL else dec
             seen.add(tuple(vals.get(k) for k in keys))
         rows = sorted(
             seen, key=lambda t: tuple("" if v is None else v for v in t)
@@ -5684,6 +5911,11 @@ class TransactionalLake:
                 "identity": {
                     "column": column,
                     "next": int(start),
+                    # declared START, immutable DDL surface (the
+                    # mutable mark is "next") — SHOW CREATE TABLE
+                    # replays it (ADVICE r12: it emitted a wrong
+                    # literal 0 with nothing logged)
+                    "start": int(start),
                     "step": int(step),
                 },
             }
@@ -6621,13 +6853,36 @@ class TransactionalLake:
                     "checkpoint.partSize is still set — unset the "
                     "property first"
                 )
-            cp = self._latest_checkpoint()
-            if cp is not None and cp.get("parts"):
+            # ADVICE r12: EVERY retained checkpoint root must be
+            # single-file, not just the newest — an old build's
+            # time-travel read resolves an older sharded root as an
+            # empty live set (the silent corruption the stamp
+            # prevents). Stray part files are checked too: a root
+            # could have been vacuumed while its parts survive.
+            sharded = []
+            try:
+                names = os.listdir(self.log_path)
+            except OSError:
+                names = []
+            for name in sorted(names):
+                if ".checkpoint-part-" in name:
+                    sharded.append(name)
+                elif name.endswith(".checkpoint"):
+                    try:
+                        with open(
+                            os.path.join(self.log_path, name)
+                        ) as fh:
+                            if json.load(fh).get("parts"):
+                                sharded.append(name)
+                    except (OSError, json.JSONDecodeError, ValueError):
+                        continue  # torn root: unreadable either way
+            if sharded:
                 out.append(
-                    "the newest retained checkpoint is sharded — "
-                    "commit once (a fresh single-file checkpoint "
-                    "writes) and vacuum_log() so no retained "
-                    "checkpoint needs part-aware reads"
+                    f"retained sharded checkpoint artifacts remain "
+                    f"({sharded[:3]}{'...' if len(sharded) > 3 else ''})"
+                    " — unset checkpoint.partSize, checkpoint() so "
+                    "the newest is single-file, then vacuum_log() so "
+                    "no retained checkpoint needs part-aware reads"
                 )
         elif name == "copy-into":
             if self._copy_sources():

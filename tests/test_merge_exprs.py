@@ -1,0 +1,385 @@
+"""r13: per-column MERGE SET expressions, WHEN NOT MATCHED BY SOURCE
+THEN UPDATE, and named-column INSERT lists (VERDICT r12 directives
+3-4) — engine semantics and the SQL front-end grammar."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_lakehouse_spark.sqlfront import LakeSQL
+from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+
+def _lake(spark, tmp_path, name="m", **kw):
+    lk = TransactionalLake(
+        spark, str(tmp_path / name), partition_by=(), **kw
+    )
+    lk.append(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+            "k long, qty double, note string",
+        )
+    )
+    return lk
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "k long, qty double, note string")
+
+
+class TestMergeSetExprs:
+    def test_set_keeps_unassigned_target_columns(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path)
+        lk.merge(
+            _src(spark, [(1, 5.0, "x"), (4, 40.0, "d")]),
+            on="k",
+            set_exprs={"qty": "qty + source.qty"},
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        # note keeps the TARGET value on matched rows (not 'x');
+        # unmatched source row inserts whole-row
+        assert got == [
+            (1, 15.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"),
+            (4, 40.0, "d"),
+        ]
+
+    def test_set_exprs_dv_mode(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "dvm")
+        v = lk.merge(
+            _src(spark, [(2, 7.0, "q")]),
+            on="k",
+            mode="dv",
+            set_exprs={"qty": "qty * source.qty",
+                       "note": "upper(source.note)"},
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        assert got == [(1, 10.0, "a"), (2, 140.0, "Q"), (3, 30.0, "c")]
+        assert lk._read_commit(v).get("dv")  # merge-on-read, not CoW
+
+    def test_set_exprs_requires_update(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "req")
+        with pytest.raises(ValueError, match="when_matched='update'"):
+            lk.merge(
+                _src(spark, [(1, 0.0, "x")]),
+                on="k",
+                when_matched="delete",
+                set_exprs={"qty": "qty"},
+            )
+
+    def test_set_exprs_unknown_column(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "unk")
+        with pytest.raises(ValueError, match="unknown target columns"):
+            lk.merge(
+                _src(spark, [(1, 0.0, "x")]),
+                on="k",
+                set_exprs={"nope": "1"},
+            )
+
+    def test_set_exprs_store_assign_cast(self, spark, tmp_path):
+        """An integer-typed expression store-assigns to the DOUBLE
+        column instead of evolving the type."""
+        lk = _lake(spark, tmp_path, "cast")
+        lk.merge(
+            _src(spark, [(1, 0.0, "x")]),
+            on="k",
+            set_exprs={"qty": "42"},
+        )
+        snap = lk.snapshot()
+        assert dict(snap.dtypes)["qty"] == "double"
+        assert snap.filter("k = 1").first()["qty"] == 42.0
+
+
+class TestMergeBySourceUpdate:
+    def test_by_source_update(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "bsu")
+        lk.merge(
+            _src(spark, [(1, 0.0, "z")]),
+            on="k",
+            set_exprs={"qty": "qty"},  # matched rows unchanged
+            when_not_matched="ignore",
+            when_not_matched_by_source="update",
+            by_source_set={"note": "'stale'", "qty": "qty * 2"},
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        assert got == [
+            (1, 10.0, "a"), (2, 40.0, "stale"), (3, 60.0, "stale"),
+        ]
+
+    def test_by_source_update_requires_set(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "bsr")
+        with pytest.raises(ValueError, match="requires by_source_set"):
+            lk.merge(
+                _src(spark, [(1, 0.0, "x")]),
+                on="k",
+                when_not_matched_by_source="update",
+            )
+
+    def test_by_source_set_refuses_source_refs(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "bss")
+        with pytest.raises(ValueError, match="target columns only"):
+            lk.merge(
+                _src(spark, [(1, 0.0, "x")]),
+                on="k",
+                when_not_matched_by_source="update",
+                by_source_set={"qty": "source.qty"},
+            )
+
+    def test_by_source_update_refuses_dv(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "bsd")
+        with pytest.raises(ValueError, match="mode='rewrite'"):
+            lk.merge(
+                _src(spark, [(1, 0.0, "x")]),
+                on="k",
+                mode="dv",
+                when_not_matched_by_source="update",
+                by_source_set={"qty": "qty"},
+            )
+
+    def test_by_source_update_cdc_preimages(self, spark, tmp_path):
+        """Rewrite-path CDC: the updated rows' preimages emit as
+        deletes and postimages as inserts (file-grained, like the
+        delete variant)."""
+        lk = _lake(spark, tmp_path, "cdc")
+        v = lk.merge(
+            _src(spark, [(1, 0.0, "z")]),
+            on="k",
+            set_exprs={"qty": "qty"},
+            when_not_matched="ignore",
+            when_not_matched_by_source="update",
+            by_source_set={"note": "'stale'"},
+        )
+        ch = lk.read_changes(starting_version=v, ending_version=v)
+        pre = {
+            (r.k, r.note)
+            for r in ch.filter("_change_type = 'delete'").collect()
+        }
+        post = {
+            (r.k, r.note)
+            for r in ch.filter("_change_type = 'insert'").collect()
+        }
+        assert {(2, "b"), (3, "c")} <= pre
+        assert {(2, "stale"), (3, "stale")} <= post
+
+    def test_by_source_update_row_tracking(self, spark, tmp_path):
+        """Updated rows keep their ids and reset their commit
+        version; matched rows keep both."""
+        lk = TransactionalLake(
+            spark, str(tmp_path / "rt"), partition_by=()
+        )
+        lk.enable_row_tracking()
+        lk.append(
+            spark.createDataFrame(
+                [(1, 10.0, "a"), (2, 20.0, "b")],
+                "k long, qty double, note string",
+            )
+        )
+        ids0 = {
+            r.k: r._row_id
+            for r in lk.snapshot(with_row_ids=True).collect()
+        }
+        v = lk.merge(
+            _src(spark, [(1, 0.0, "z")]),
+            on="k",
+            set_exprs={"qty": "qty"},
+            when_not_matched="ignore",
+            when_not_matched_by_source="update",
+            by_source_set={"note": "'stale'"},
+        )
+        rows = {
+            r.k: r for r in lk.snapshot(with_row_ids=True).collect()
+        }
+        assert rows[2]._row_id == ids0[2]  # id survives the update
+        assert rows[2]._row_commit_version == v  # version resets
+
+
+class TestSqlMergeGrammar:
+    def _front(self, spark, tmp_path, name="t"):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE {name} (k BIGINT, qty DOUBLE, "
+            f"note STRING DEFAULT 'fresh') "
+            f"LOCATION '{tmp_path / name}'"
+        )
+        fr.sql(
+            f"INSERT INTO {name} VALUES (1, 10.0, 'a'), "
+            "(2, 20.0, 'b'), (3, 30.0, 'c')"
+        )
+        return fr
+
+    def test_update_set_assignments(self, spark, tmp_path):
+        fr = self._front(spark, tmp_path)
+        fr.sql(
+            "MERGE INTO t USING (SELECT CAST(1 AS BIGINT) AS k, "
+            "CAST(5.0 AS DOUBLE) AS qty, 'x' AS note "
+            "UNION ALL SELECT 4, 40.0, 'd') AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty, "
+            "note = upper(t.note) "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = sorted(
+            (r.k, r.qty, r.note)
+            for r in fr.sql("SELECT * FROM t").collect()
+        )
+        assert got == [
+            (1, 15.0, "A"), (2, 20.0, "b"), (3, 30.0, "c"),
+            (4, 40.0, "d"),
+        ]
+
+    def test_by_source_update_sql(self, spark, tmp_path):
+        fr = self._front(spark, tmp_path, "u")
+        fr.sql(
+            "MERGE INTO u USING (SELECT CAST(1 AS BIGINT) AS k, "
+            "CAST(0.0 AS DOUBLE) AS qty, 'z' AS note) AS s "
+            "ON u.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET qty = u.qty "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+            "note = 'stale', qty = qty * 2"
+        )
+        got = sorted(
+            (r.k, r.qty, r.note)
+            for r in fr.sql("SELECT * FROM u").collect()
+        )
+        assert got == [
+            (1, 10.0, "a"), (2, 40.0, "stale"), (3, 60.0, "stale"),
+        ]
+
+    def test_case_when_inside_set(self, spark, tmp_path):
+        """CASE WHEN in a SET expression must not split the clause
+        parser."""
+        fr = self._front(spark, tmp_path, "cw")
+        fr.sql(
+            "MERGE INTO cw USING (SELECT CAST(2 AS BIGINT) AS k, "
+            "CAST(1.0 AS DOUBLE) AS qty, 'q' AS note) AS s "
+            "ON cw.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET note = CASE WHEN "
+            "cw.qty > 30 THEN 'big' ELSE 'small' END"
+        )
+        got = {
+            r.k: r.note for r in fr.sql("SELECT * FROM cw").collect()
+        }
+        assert got[2] == "small" and got[1] == "a"
+
+    def test_unqualified_binds_target(self, spark, tmp_path):
+        fr = self._front(spark, tmp_path, "uq")
+        fr.sql(
+            "MERGE INTO uq USING (SELECT CAST(1 AS BIGINT) AS k, "
+            "CAST(99.0 AS DOUBLE) AS qty, 'z' AS note) AS s "
+            "ON uq.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET qty = qty + 1"
+        )
+        got = {
+            r.k: r.qty for r in fr.sql("SELECT * FROM uq").collect()
+        }
+        assert got[1] == 11.0  # target qty + 1, NOT source 99
+
+    def test_assign_source_column_refuses(self, spark, tmp_path):
+        fr = self._front(spark, tmp_path, "asr")
+        with pytest.raises(ValueError, match="SOURCE column"):
+            fr.sql(
+                "MERGE INTO asr USING (SELECT CAST(1 AS BIGINT) AS k,"
+                " CAST(0.0 AS DOUBLE) AS qty, 'z' AS note) AS s "
+                "ON asr.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET s.qty = 1"
+            )
+
+    def test_by_source_star_refuses(self, spark, tmp_path):
+        fr = self._front(spark, tmp_path, "bst")
+        with pytest.raises(ValueError, match="meaningless"):
+            fr.sql(
+                "MERGE INTO bst USING (SELECT CAST(1 AS BIGINT) AS k,"
+                " CAST(0.0 AS DOUBLE) AS qty, 'z' AS note) AS s "
+                "ON bst.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+            )
+
+    def test_string_literal_with_dot_protected(self, spark, tmp_path):
+        fr = self._front(spark, tmp_path, "lit")
+        fr.sql(
+            "MERGE INTO lit USING (SELECT CAST(1 AS BIGINT) AS k, "
+            "CAST(0.0 AS DOUBLE) AS qty, 'z' AS note) AS s "
+            "ON lit.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET note = 's.not_a_ref'"
+        )
+        got = {
+            r.k: r.note for r in fr.sql("SELECT * FROM lit").collect()
+        }
+        assert got[1] == "s.not_a_ref"
+
+
+class TestSqlNamedInsert:
+    def test_named_columns_default_and_null(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE ni (k BIGINT, qty DOUBLE, "
+            "note STRING DEFAULT 'fresh') "
+            f"LOCATION '{tmp_path / 'ni'}'"
+        )
+        fr.sql("INSERT INTO ni (k, qty) VALUES (1, 10.0)")
+        fr.sql("INSERT INTO ni (note, k) VALUES ('n2', 2)")
+        got = sorted(
+            (r.k, r.qty, r.note)
+            for r in fr.sql("SELECT * FROM ni").collect()
+        )
+        # omitted note -> DEFAULT; omitted qty (no default) -> NULL;
+        # list order binds positionally
+        assert got == [(1, 10.0, "fresh"), (2, None, "n2")]
+
+    def test_named_insert_select_source(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE ns (k BIGINT, qty DOUBLE, note STRING) "
+            f"LOCATION '{tmp_path / 'ns'}'"
+        )
+        fr.sql("INSERT INTO ns VALUES (1, 1.0, 'x')")
+        fr.sql(
+            "INSERT INTO ns (k, note) "
+            "SELECT k + 10, upper(note) FROM ns"
+        )
+        got = sorted(
+            (r.k, r.qty, r.note)
+            for r in fr.sql("SELECT * FROM ns").collect()
+        )
+        assert got == [(1, 1.0, "x"), (11, None, "X")]
+
+    def test_unknown_column_refuses(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE nu (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'nu'}'"
+        )
+        with pytest.raises(ValueError, match="references"):
+            fr.sql("INSERT INTO nu (k, nope) VALUES (1, 2)")
+
+    def test_arity_mismatch_refuses(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE na (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'na'}'"
+        )
+        with pytest.raises(ValueError, match="arity"):
+            fr.sql("INSERT INTO na (k) VALUES (1, 2)")
+
+    def test_duplicate_column_refuses(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE nd (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'nd'}'"
+        )
+        with pytest.raises(ValueError, match="twice"):
+            fr.sql("INSERT INTO nd (k, k) VALUES (1, 2)")
+
+    def test_not_null_still_enforced(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE nn (k BIGINT NOT NULL, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'nn'}'"
+        )
+        with pytest.raises(Exception, match="not_null|constraint"):
+            fr.sql("INSERT INTO nn (v) VALUES (1.5)")

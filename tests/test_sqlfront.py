@@ -274,10 +274,18 @@ class TestDML:
                 "MERGE INTO t USING (SELECT 1 AS x) s ON t.k = s.x "
                 "WHEN MATCHED THEN UPDATE SET *"
             )
-        with pytest.raises(ValueError, match="UPDATE SET \\*"):
+        # r13: per-column SET is now supported — the remaining
+        # refusals are a named-column merge INSERT and a malformed
+        # assignment list
+        with pytest.raises(ValueError, match="INSERT \\*"):
             front.sql(
                 "MERGE INTO t USING (SELECT 1 AS k) s ON t.k = s.k "
-                "WHEN MATCHED THEN UPDATE SET v = 1"
+                "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+            )
+        with pytest.raises(ValueError, match="col = expr"):
+            front.sql(
+                "MERGE INTO t USING (SELECT 1 AS k) s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v"
             )
 
     def test_select_version_as_of(self, front, lake):
