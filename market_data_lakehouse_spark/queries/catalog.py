@@ -63,6 +63,58 @@ def doc_nibble(pos: int):
     )
 
 
+_ROWBOUND_CACHE: dict[tuple[str, tuple[str, ...]], int | None] = {}
+
+
+def parquet_rowcount_bound(sf_dir: str, *tables: str) -> int | None:
+    """UPPER bound on the total row count of driver tables, read from
+    parquet FOOTER metadata — driver-side file opens, ZERO Spark jobs
+    (r12 VERDICT directive 5: stats-first plan gates). Parquet
+    footers record exact per-file row counts, so the sum is exact
+    for the files present; callers treat it as an upper bound for
+    sizing decisions (broadcast gates), where an over-estimate
+    degrades to a shuffle, never an OOM. Returns None when any file
+    is unreadable — the caller falls back to its exact-count job.
+    Memoized per (dir, tables): the driver tables are immutable for
+    a run, exactly like ``load``'s DataFrame cache."""
+    key = (sf_dir, tuple(sorted(tables)))
+    if key in _ROWBOUND_CACHE:
+        return _ROWBOUND_CACHE[key]
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return None
+    total = 0
+    out: int | None = 0
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(
+                glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            )
+        )
+        if not files:
+            out = None
+            break
+        try:
+            for f in files:
+                total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            out = None
+            break
+    if out is not None:
+        out = total
+    _ROWBOUND_CACHE[key] = out
+    return out
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from market_data_lakehouse_spark.queries.catalog import load, register
+from market_data_lakehouse_spark.queries.catalog import (
+    load,
+    parquet_rowcount_bound,
+    register,
+)
 
 N_MINHASH = 32
 N_BANDS = 8  # 4 rows per band
@@ -730,8 +734,13 @@ def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     )  # undirected pairs; connected_components symmetrizes internally
+    # stats-first gate sizing (r13): vertices AND edge endpoints are
+    # all documents doc_ids, so the parquet-footer row count bounds
+    # the node count with zero Spark jobs — the exact count() inside
+    # connected_components disappears; None falls back to it
     labels = connected_components(
-        docs.select(F.col("doc_id").alias("u")), edges
+        docs.select(F.col("doc_id").alias("u")), edges,
+        n_nodes_bound=parquet_rowcount_bound(sf_dir, "documents"),
     )
     return labels.select(
         F.col("u").alias("doc_id"),

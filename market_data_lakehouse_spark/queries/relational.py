@@ -3970,7 +3970,22 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e0.select(F.col("v").alias("u")))
         .distinct()
     )
-    labels = connected_components(nodes, e0)
+    # stats-first gate sizing (r13): u-side nodes are customer keys
+    # and v-side nodes supplier keys (TPC-H referential integrity),
+    # so rows(customer) + rows(supplier) from the parquet footers
+    # upper-bounds the node count with zero Spark jobs — the exact
+    # count() inside connected_components disappears; an
+    # over-estimate only shrinks the broadcast decision
+    from market_data_lakehouse_spark.queries.catalog import (
+        parquet_rowcount_bound,
+    )
+
+    labels = connected_components(
+        nodes, e0,
+        n_nodes_bound=parquet_rowcount_bound(
+            sf_dir, "customer", "supplier"
+        ),
+    )
     return labels.select(
         F.col("u").cast("bigint").alias("node"),
         F.col("lbl").cast("bigint").alias("component"),

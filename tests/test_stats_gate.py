@@ -131,3 +131,78 @@ class TestStatsFedCCGate:
         )
         assert gate["broadcast"] is False and gate["source"] == "bound"
         assert labels.select(F.countDistinct("lbl")).first()[0] == 1
+
+
+class TestParquetFooterBound:
+    """r13 (r12 VERDICT directive 5): driver tables are plain parquet
+    (no lake, no ANALYZE), but their FOOTERS record exact row counts
+    — parquet_rowcount_bound() answers the CC gate's size question
+    with zero Spark jobs, and the e2_dedup_clusters / g5 callers
+    consume it."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_actual_count_zero_jobs(self, spark):
+        from market_data_lakehouse_spark.queries.catalog import (
+            load,
+            parquet_rowcount_bound,
+        )
+
+        actual = load(spark, self.SF, "documents").count()
+        before = _jobs_so_far(spark)
+        bound = parquet_rowcount_bound(self.SF, "documents")
+        assert _jobs_so_far(spark) - before == 0, "footer read ran a job"
+        assert bound == actual
+        # multi-table sum (the g5 shape)
+        two = parquet_rowcount_bound(self.SF, "customer", "supplier")
+        c = load(spark, self.SF, "customer").count()
+        s = load(spark, self.SF, "supplier").count()
+        assert two == c + s
+
+    def test_missing_table_returns_none(self, spark, tmp_path):
+        from market_data_lakehouse_spark.queries.catalog import (
+            parquet_rowcount_bound,
+        )
+
+        assert parquet_rowcount_bound(str(tmp_path), "nope") is None
+
+    def test_footer_bound_feeds_cc_gate(self, spark):
+        """Same labels, same broadcast choice, one fewer job than the
+        exact-count path — on the real documents table."""
+        from market_data_lakehouse_spark.queries.catalog import (
+            load,
+            parquet_rowcount_bound,
+        )
+
+        docs = load(spark, self.SF, "documents").select(
+            F.col("doc_id").alias("u")
+        )
+        edges = docs.filter(F.col("u") % 3 == 0).select(
+            "u", (F.col("u") + 3).alias("v")
+        )
+        gate_exact: dict = {}
+        before = _jobs_so_far(spark)
+        got_exact = sorted(
+            (r["u"], r["lbl"])
+            for r in connected_components(
+                docs, edges, gate_info=gate_exact
+            ).collect()
+        )
+        jobs_exact = _jobs_so_far(spark) - before
+        gate_stats: dict = {}
+        before = _jobs_so_far(spark)
+        got_stats = sorted(
+            (r["u"], r["lbl"])
+            for r in connected_components(
+                docs, edges,
+                n_nodes_bound=parquet_rowcount_bound(
+                    self.SF, "documents"
+                ),
+                gate_info=gate_stats,
+            ).collect()
+        )
+        jobs_stats = _jobs_so_far(spark) - before
+        assert got_stats == got_exact
+        assert gate_stats["source"] == "bound"
+        assert gate_stats["broadcast"] == gate_exact["broadcast"] is True
+        assert jobs_stats < jobs_exact, (jobs_stats, jobs_exact)
