@@ -946,8 +946,15 @@ class LakeSQL:
     def _do_merge(self, m) -> DataFrame:
         """``MERGE INTO t [AS a] USING (<select>)|name [AS b] ON
         <equi-cond> WHEN MATCHED THEN UPDATE SET * | SET c = expr,
-        ... | DELETE [WHEN NOT MATCHED THEN INSERT *] [WHEN NOT
-        MATCHED BY SOURCE THEN DELETE | UPDATE SET c = expr, ...]``.
+        ... | DELETE [WHEN NOT MATCHED THEN INSERT * | INSERT (c1,
+        ...) VALUES (e1, ...)] [WHEN NOT MATCHED BY SOURCE THEN
+        DELETE | UPDATE SET c = expr, ...]``.
+
+        ``INSERT (cols) VALUES (exprs)`` (r13): each named column
+        takes its expression over the unmatched SOURCE row (qualify
+        with the source alias or leave bare); unnamed columns insert
+        NULL — Delta's unspecified-column rule. Target refs are a
+        loud error (no target row exists at insert time).
 
         ``SET *`` replaces the matched target row with its source
         row wholesale; a per-column SET list (r13) assigns each
@@ -1008,10 +1015,13 @@ class LakeSQL:
             a.lower() for a in (m.group("ta"), m.group("tbl")) if a
         }
 
-        def _requalify(expr: str) -> str:
+        def _requalify(expr: str, ctx: str = "set") -> str:
             """Alias-qualified refs → the engine's contract: target
             refs bare, source refs ``source.<col>``. Literals are
-            protected so qualifier-looking VALUES never rewrite."""
+            protected so qualifier-looking VALUES never rewrite.
+            ``ctx="insert"``: the expression evaluates over the
+            SOURCE frame only — a target-alias ref is a loud error
+            (there is no target row to read at insert time)."""
             guard = "\x00"
             lits: list[str] = []
 
@@ -1026,6 +1036,12 @@ class LakeSQL:
                 if q.lower() in src_aliases:
                     return f"source.{c}"
                 if q.lower() in tgt_aliases:
+                    if ctx == "insert":
+                        raise ValueError(
+                            f"MERGE INSERT VALUES cannot reference "
+                            f"the target ({mm.group(0)!r}): no "
+                            "target row exists at insert time"
+                        )
                     return c if c.startswith("`") else f"`{c}`"
                 raise ValueError(
                     f"unknown qualifier {q!r} in MERGE SET "
@@ -1080,6 +1096,7 @@ class LakeSQL:
         by_source = "ignore"
         set_exprs: dict[str, str] | None = None
         by_source_set: dict[str, str] | None = None
+        insert_values: dict[str, str] | None = None
         # split on the WHEN that starts a clause (a CASE WHEN inside
         # a SET expression doesn't look like "[NOT] MATCHED")
         chunks = [
@@ -1136,11 +1153,39 @@ class LakeSQL:
                         "or UPDATE SET <assignments>"
                     )
             elif cm.group("not_"):
-                if act_u != "INSERT *":
+                im = re.match(
+                    r"INSERT\s*\(\s*(?P<cols>[^()]+?)\s*\)\s*"
+                    r"VALUES\s*\((?P<vals>.+)\)\s*$",
+                    act,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if act_u == "INSERT *":
+                    when_not_matched = "insert"
+                elif im:
+                    cols = [
+                        c.strip().strip("`")
+                        for c in _split_commas(im.group("cols"))
+                    ]
+                    vals = _split_commas(im.group("vals"))
+                    if len(cols) != len(vals):
+                        raise ValueError(
+                            f"MERGE INSERT arity mismatch: "
+                            f"{len(cols)} columns, {len(vals)} values"
+                        )
+                    if len(set(cols)) != len(cols):
+                        raise ValueError(
+                            f"MERGE INSERT names a column twice: {cols}"
+                        )
+                    when_not_matched = "insert"
+                    insert_values = {
+                        c: _requalify(v.strip(), ctx="insert")
+                        for c, v in zip(cols, vals)
+                    }
+                else:
                     raise ValueError(
-                        "WHEN NOT MATCHED supports only INSERT *"
+                        "WHEN NOT MATCHED supports INSERT * or "
+                        "INSERT (c1, ...) VALUES (e1, ...)"
                     )
-                when_not_matched = "insert"
             else:
                 if act_u == "DELETE":
                     when_matched = "delete"
@@ -1165,6 +1210,7 @@ class LakeSQL:
                 when_not_matched_by_source=by_source,
                 set_exprs=set_exprs,
                 by_source_set=by_source_set,
+                insert_values=insert_values,
             ),
         )
 
@@ -1719,7 +1765,7 @@ class LakeSQL:
         ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t [(c1, c2, ...)] <select>", "_do_insert")),
         ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred]", "_do_delete")),
         ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred]", "_do_update")),
-        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED THEN UPDATE SET *|<col = expr, ...>|DELETE [WHEN NOT MATCHED THEN INSERT *] [WHEN NOT MATCHED BY SOURCE THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
+        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED THEN UPDATE SET *|<col = expr, ...>|DELETE [WHEN NOT MATCHED THEN INSERT *|(cols) VALUES (exprs)] [WHEN NOT MATCHED BY SOURCE THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
         ("CREATE TABLE", (_CLONE, "CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v | TIMESTAMP AS OF 'ts'] LOCATION 'p'", "_do_clone")),
         ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),
         ("DROP TABLE", (_DROP, "DROP TABLE n", "_do_drop")),

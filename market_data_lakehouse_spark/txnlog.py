@@ -3757,6 +3757,7 @@ class TransactionalLake:
         map_doc: dict | None = None,
         src_bytes: dict | None = None,
         set_exprs: dict[str, str] | None = None,
+        insert_values: dict[str, str] | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -3849,6 +3850,8 @@ class TransactionalLake:
                 if hits
                 else source
             )
+            if insert_values is not None:
+                ins = self._insert_part(ins, insert_values, schemas)
             parts.append(ins)
         out: DataFrame | None = None
         for p in parts:
@@ -3910,6 +3913,39 @@ class TransactionalLake:
             rf"{guard}(\d+){guard}", lambda m: lits[int(m.group(1))], s
         )
 
+    def _insert_part(
+        self,
+        src: DataFrame,
+        insert_values: dict[str, str],
+        schemas: list[str],
+    ) -> DataFrame:
+        """Build the named-column merge INSERT rows: each assigned
+        column evaluates its expression over the unmatched source
+        row (``source.<col>`` refs resolve to the bare column — the
+        frame IS the source) and store-assigns to the committed
+        type. Unnamed columns are simply absent — the union's
+        null-fill (or _conform on the empty-table path) inserts NULL
+        for them, Delta's unspecified-column rule."""
+        from pyspark.sql.types import StructField, StructType
+
+        tmap = (
+            {
+                f["name"]: StructType([StructField.fromJson(f)])
+                .fields[0]
+                .dataType
+                for f in self._merged_fields(schemas)
+            }
+            if schemas
+            else {}
+        )
+        cols = []
+        for c, e in insert_values.items():
+            col = F.expr(self._rewrite_source_refs(e, ()))
+            if c in tmap:
+                col = col.cast(tmap[c])
+            cols.append(col.alias(c))
+        return src.select(*cols)
+
     def merge(
         self,
         source: DataFrame,
@@ -3924,6 +3960,7 @@ class TransactionalLake:
         when_not_matched_by_source: str = "ignore",
         set_exprs: dict[str, str] | None = None,
         by_source_set: dict[str, str] | None = None,
+        insert_values: dict[str, str] | None = None,
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
@@ -3995,6 +4032,17 @@ class TransactionalLake:
         already exist in the target (evolution adds columns via the
         whole-row/insert paths, never via SET).
 
+        ``insert_values`` (r13, Delta's ``WHEN NOT MATCHED THEN
+        INSERT (cols) VALUES (exprs)``): the insert branch builds
+        each named column from its SQL expression over the unmatched
+        SOURCE row (bare names bind to source columns;
+        ``source.<col>`` is accepted and means the same thing);
+        every UNNAMED column inserts NULL (Delta's unspecified-
+        column rule — declared DEFAULTs apply only to sources that
+        OMIT the column wholesale, not to named insert lists).
+        Results store-assign to the committed types. The whole-row
+        default (``INSERT *``) remains ``insert_values=None``.
+
         ``when_not_matched_by_source="update"`` + ``by_source_set``
         (r13, Delta ``WHEN NOT MATCHED BY SOURCE THEN UPDATE SET``):
         target rows with NO source match get ``by_source_set``'s
@@ -4032,6 +4080,11 @@ class TransactionalLake:
                     self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
                     for k, v in by_source_set.items()
                 }
+            if insert_values:
+                insert_values = {
+                    self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
+                    for k, v in insert_values.items()
+                }
         if mode not in ("rewrite", "dv"):
             raise ValueError(f"unknown merge mode: {mode!r}")
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
@@ -4056,6 +4109,10 @@ class TransactionalLake:
             raise ValueError(
                 "set_exprs pairs with when_matched='update' (a "
                 "DELETE clause has no SET list)"
+            )
+        if insert_values is not None and when_not_matched != "insert":
+            raise ValueError(
+                "insert_values pairs with when_not_matched='insert'"
             )
         if when_not_matched_by_source == "update" and not by_source_set:
             raise ValueError(
@@ -4116,13 +4173,15 @@ class TransactionalLake:
         self._check_schema(
             source, merge_schema=schema_evolution, schemas=schemas
         )
-        # SET assignments target EXISTING columns (evolution adds
-        # columns via whole-row update / insert, never via SET)
-        if schemas and (set_exprs or by_source_set):
+        # SET / named-INSERT assignments target EXISTING columns
+        # (evolution adds columns via whole-row update / insert,
+        # never via an assignment list)
+        if schemas and (set_exprs or by_source_set or insert_values):
             known_t = {f["name"] for f in self._merged_fields(schemas)}
             for label, d in (
                 ("set_exprs", set_exprs),
                 ("by_source_set", by_source_set),
+                ("insert_values", insert_values),
             ):
                 bad = sorted(set(d or ()) - known_t)
                 if bad:
@@ -4151,6 +4210,10 @@ class TransactionalLake:
             # to the committed schema (if any) so a narrow source
             # cannot drop evolved columns from the table.
             if when_not_matched == "insert":
+                if insert_values is not None:
+                    source = self._insert_part(
+                        source, insert_values, schemas
+                    )
                 seeded = self._conform(
                     source, schemas, keep=tuple(new_cols)
                 )
@@ -4205,6 +4268,7 @@ class TransactionalLake:
                 txn_action, read_bounds,
                 new_cols=new_cols, map_doc=ext_doc,
                 src_bytes=src_bytes, set_exprs=set_exprs,
+                insert_values=insert_values,
             )
         snap = self._df_for_files(probe_files or old[:1], schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
@@ -4373,14 +4437,16 @@ class TransactionalLake:
             # a source key with ANY target match made its file
             # affected, so the insert anti-join needs only the
             # affected files' keys — never a full-table distinct
-            if aff_df is not None:
-                parts.append(
-                    source.join(
-                        aff_df.select(*keys).distinct(), keys, "left_anti"
-                    )
+            ins = (
+                source.join(
+                    aff_df.select(*keys).distinct(), keys, "left_anti"
                 )
-            else:
-                parts.append(source)
+                if aff_df is not None
+                else source
+            )
+            if insert_values is not None:
+                ins = self._insert_part(ins, insert_values, schemas)
+            parts.append(ins)
         out: DataFrame | None = None
         for p in parts:
             # null-fill columns a pre-evolution file or the source

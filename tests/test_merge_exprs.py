@@ -383,3 +383,129 @@ class TestSqlNamedInsert:
         )
         with pytest.raises(Exception, match="not_null|constraint"):
             fr.sql("INSERT INTO nn (v) VALUES (1.5)")
+
+
+class TestMergeNamedInsert:
+    """r13: WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) —
+    named columns evaluate over the unmatched source row, unnamed
+    columns insert NULL (Delta's unspecified-column rule)."""
+
+    def test_named_insert_rewrite(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "ni")
+        lk.merge(
+            _src(spark, [(1, 5.0, "x"), (4, 40.0, "d")]),
+            on="k",
+            insert_values={"k": "k", "qty": "source.qty * 2"},
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        # matched row 1 still whole-row updates; unmatched row 4
+        # inserts only (k, qty*2), note NULL
+        assert got == [
+            (1, 5.0, "x"), (2, 20.0, "b"), (3, 30.0, "c"),
+            (4, 80.0, None),
+        ]
+
+    def test_named_insert_dv_mode(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "nidv")
+        lk.merge(
+            _src(spark, [(9, 1.0, "w")]),
+            on="k",
+            mode="dv",
+            insert_values={"k": "k", "note": "upper(source.note)"},
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        assert (9, None, "W") in got and len(got) == 4
+
+    def test_named_insert_empty_table(self, spark, tmp_path):
+        """Empty of FILES but with a committed schema: unnamed
+        columns null-fill via _conform. (A wholly schemaless table
+        takes the projection AS the schema — first write defines.)"""
+        lk = TransactionalLake(
+            spark, str(tmp_path / "nie"), partition_by=()
+        )
+        lk.append(
+            spark.createDataFrame([(0, 0.0)], "k long, v double")
+        )
+        lk.delete_where("true")
+        lk.merge(
+            spark.createDataFrame([(7, 3.0)], "k long, v double"),
+            on="k",
+            insert_values={"k": "k"},
+        )
+        assert [(r.k, r.v) for r in lk.snapshot().collect()] == [
+            (7, None)
+        ]
+
+    def test_named_insert_unknown_column(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "niu")
+        with pytest.raises(ValueError, match="unknown target columns"):
+            lk.merge(
+                _src(spark, [(9, 1.0, "w")]),
+                on="k",
+                insert_values={"nope": "k"},
+            )
+
+    def test_named_insert_requires_insert(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "nir")
+        with pytest.raises(
+            ValueError, match="when_not_matched='insert'"
+        ):
+            lk.merge(
+                _src(spark, [(9, 1.0, "w")]),
+                on="k",
+                when_not_matched="ignore",
+                insert_values={"k": "k"},
+            )
+
+    def test_sql_named_insert(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE mni (k BIGINT, qty DOUBLE, note STRING) "
+            f"LOCATION '{tmp_path / 'mni'}'"
+        )
+        fr.sql("INSERT INTO mni VALUES (1, 10.0, 'a')")
+        fr.sql(
+            "MERGE INTO mni USING (SELECT CAST(2 AS BIGINT) AS k, "
+            "CAST(5.0 AS DOUBLE) AS qty, 'z' AS note) AS s "
+            "ON mni.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT (k, qty) "
+            "VALUES (s.k, s.qty * 2)"
+        )
+        got = sorted(
+            (r.k, r.qty, r.note)
+            for r in fr.sql("SELECT * FROM mni").collect()
+        )
+        assert got == [(1, 10.0, "a"), (2, 10.0, None)]
+
+    def test_sql_target_ref_refused(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE mtr (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'mtr'}'"
+        )
+        fr.sql("INSERT INTO mtr VALUES (1, 1.0)")
+        with pytest.raises(ValueError, match="cannot reference the target"):
+            fr.sql(
+                "MERGE INTO mtr USING (SELECT CAST(2 AS BIGINT) AS k,"
+                " CAST(0.0 AS DOUBLE) AS v) AS s ON mtr.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (k) VALUES (mtr.k)"
+            )
+
+    def test_sql_arity_mismatch(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE mam (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'mam'}'"
+        )
+        fr.sql("INSERT INTO mam VALUES (1, 1.0)")
+        with pytest.raises(ValueError, match="arity"):
+            fr.sql(
+                "MERGE INTO mam USING (SELECT CAST(2 AS BIGINT) AS k,"
+                " CAST(0.0 AS DOUBLE) AS v) AS s ON mam.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
+            )

@@ -274,13 +274,13 @@ class TestDML:
                 "MERGE INTO t USING (SELECT 1 AS x) s ON t.k = s.x "
                 "WHEN MATCHED THEN UPDATE SET *"
             )
-        # r13: per-column SET is now supported — the remaining
-        # refusals are a named-column merge INSERT and a malformed
-        # assignment list
-        with pytest.raises(ValueError, match="INSERT \\*"):
+        # r13: per-column SET and named-column INSERT are now
+        # supported — the remaining refusals are a VALUES-less named
+        # insert and a malformed assignment list
+        with pytest.raises(ValueError, match="INSERT"):
             front.sql(
                 "MERGE INTO t USING (SELECT 1 AS k) s ON t.k = s.k "
-                "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+                "WHEN NOT MATCHED THEN INSERT (k)"
             )
         with pytest.raises(ValueError, match="col = expr"):
             front.sql(
