@@ -2035,21 +2035,26 @@ def s34_sql_lifecycle2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k, 0.5 AS sqty FROM ins WHERE k % 7 = 0
       UNION ALL SELECT 6000000, 9.0
     ),
+    -- matched clause conditioned on the TARGET (qty > 0.3): failing
+    -- (or NULL-qty) rows stay untouched; the unmatched source row
+    -- inserts via a NAMED column list (etype unnamed -> NULL)
     m1 AS (
       SELECT i.k, i.etype,
-             CASE WHEN s.k IS NOT NULL THEN i.qty + s.sqty
-                  ELSE i.qty END AS qty,
-             CASE WHEN s.k IS NOT NULL THEN (
+             CASE WHEN s.k IS NOT NULL AND i.qty > 0.3
+                  THEN i.qty + s.sqty ELSE i.qty END AS qty,
+             CASE WHEN s.k IS NOT NULL AND i.qty > 0.3 THEN (
                     CASE WHEN i.qty > 0.5 THEN 'big' ELSE 'small' END
                   ) ELSE i.note END AS note
       FROM ins i LEFT JOIN m1src s ON i.k = s.k
       UNION ALL
-      SELECT s.k, CAST(NULL AS VARCHAR), s.sqty, 'fresh'
+      SELECT s.k, CAST(NULL AS VARCHAR), s.sqty / 2, 'ins-m'
       FROM m1src s LEFT JOIN ins i ON s.k = i.k WHERE i.k IS NULL
     ),
+    -- BY SOURCE UPDATE conditioned on k % 2 = 0
     m2 AS (
       SELECT k, etype, qty,
-             CASE WHEN k % 3 = 0 THEN note ELSE 'stale' END AS note
+             CASE WHEN k % 3 <> 0 AND k % 2 = 0 THEN 'stale'
+                  ELSE note END AS note
       FROM m1
     )
     SELECT k, etype, ROUND(qty, 6) AS qty, note FROM m2 ORDER BY k
@@ -2060,14 +2065,18 @@ def s35_sql_dml2(spark: SparkSession, sf_dir: str) -> DataFrame:
     directives 3-4): NAMED-COLUMN INSERT (omitted columns take their
     declared DEFAULT, else NULL), per-column MERGE ``UPDATE SET col =
     expr`` (assigned columns evaluate against BOTH sides, unassigned
-    target columns KEEP their values — including against a SUBSET
-    source, whose missing columns also default-fill on the insert
-    branch), and ``WHEN NOT MATCHED BY SOURCE THEN UPDATE SET``
-    (probe-scoped target-only update). DuckDB replays the exact
+    target columns KEEP their values) gated by a CLAUSE CONDITION
+    (``WHEN MATCHED AND t.qty > 0.3`` — failing or NULL-condition
+    rows untouched, with a CASE WHEN inside the SET to pin the
+    clause splitter), merge ``INSERT (cols) VALUES (exprs)``
+    (unnamed columns NULL), and a CONDITIONED ``WHEN NOT MATCHED BY
+    SOURCE THEN UPDATE SET`` (probe-scoped target-only update over
+    the condition-passing rows only). DuckDB replays the exact
     lifecycle; a SET that clobbers an unassigned column, a named
-    insert that misbinds positions, or a by-source sweep that touches
-    matched rows diverges. In-query receipts pin the operation
-    sequence and the default fill."""
+    insert that misbinds positions, a condition that leaks onto
+    failing rows, or a by-source sweep that touches matched rows
+    diverges. In-query receipts pin the operation sequence and the
+    default fill."""
     from market_data_lakehouse_spark.sqlfront import LakeSQL
     from market_data_lakehouse_spark.txnlog import TransactionalLake
 
@@ -2097,27 +2106,33 @@ def s35_sql_dml2(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     if got != {5000000: (None, "fresh"), 5000001: (None, "fresh")}:
         raise AssertionError(f"named INSERT misbound: {got}")
-    # expression MERGE over a SUBSET source: SET reads both sides,
-    # unassigned columns keep the target value; the unmatched source
-    # row inserts with etype null-filled and note defaulted
+    # expression MERGE over a SUBSET source: the matched clause is
+    # CONDITIONED on the target (qty > 0.3; failing or NULL-qty rows
+    # untouched), SET reads both sides with a CASE WHEN inside (the
+    # clause splitter must not eat its THEN), unassigned columns
+    # keep the target value, and the unmatched source row inserts
+    # via a NAMED column list (etype unnamed -> NULL)
     fr.sql(
         "MERGE INTO t35 USING ("
         "  SELECT k, CAST(0.5 AS DOUBLE) AS qty FROM t35"
         "  WHERE k % 7 = 0"
         "  UNION ALL SELECT CAST(6000000 AS BIGINT), 9.0"
         ") AS s ON t35.k = s.k "
-        "WHEN MATCHED THEN UPDATE SET qty = t35.qty + s.qty, "
+        "WHEN MATCHED AND t35.qty > 0.3 THEN UPDATE SET "
+        "qty = t35.qty + s.qty, "
         "note = CASE WHEN t35.qty > 0.5 THEN 'big' ELSE 'small' END "
-        "WHEN NOT MATCHED THEN INSERT *"
+        "WHEN NOT MATCHED THEN INSERT (k, qty, note) "
+        "VALUES (s.k, s.qty / 2, 'ins-m')"
     )
-    # BY SOURCE UPDATE: unmatched target rows (k % 3 <> 0) go stale;
-    # matched rows keep every column
+    # BY SOURCE UPDATE conditioned on k % 2 = 0: only even unmatched
+    # target rows go stale; matched rows keep every column
     fr.sql(
         "MERGE INTO t35 USING ("
         "  SELECT k, qty FROM t35 WHERE k % 3 = 0"
         ") AS s ON t35.k = s.k "
         "WHEN MATCHED THEN UPDATE SET qty = t35.qty "
-        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'stale'"
+        "WHEN NOT MATCHED BY SOURCE AND k % 2 = 0 THEN "
+        "UPDATE SET note = 'stale'"
     )
     ops = [
         r["operation"]

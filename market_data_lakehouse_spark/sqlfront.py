@@ -1097,6 +1097,9 @@ class LakeSQL:
         set_exprs: dict[str, str] | None = None
         by_source_set: dict[str, str] | None = None
         insert_values: dict[str, str] | None = None
+        matched_condition: str | None = None
+        not_matched_condition: str | None = None
+        by_source_condition: str | None = None
         # split on the WHEN that starts a clause (a CASE WHEN inside
         # a SET expression doesn't look like "[NOT] MATCHED")
         chunks = [
@@ -1108,8 +1111,13 @@ class LakeSQL:
             )
             if c.strip()
         ]
+        # ``AND <cond>`` (r13, Delta clause conditions): non-greedy
+        # up to the first THEN — a CASE WHEN ... THEN inside the
+        # condition itself is the one unsupported nesting (refused
+        # as a parse error, not silently misread)
         chunk_re = re.compile(
             r"(?P<not_>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+            r"(?:\s+AND\s+(?P<cond>.+?))?"
             r"\s+THEN\s+(?P<act>.+)$",
             re.IGNORECASE | re.DOTALL,
         )
@@ -1125,6 +1133,7 @@ class LakeSQL:
                 )
             act = cm.group("act").strip()
             act_u = re.sub(r"\s+", " ", act.upper())
+            cond = cm.group("cond")
             um = re.match(
                 r"UPDATE\s+SET\s+(?P<body>.+)$",
                 act,
@@ -1135,6 +1144,8 @@ class LakeSQL:
                     raise ValueError(
                         "BY SOURCE pairs with WHEN NOT MATCHED"
                     )
+                if cond:
+                    by_source_condition = _requalify(cond.strip())
                 if act_u == "DELETE":
                     by_source = "delete"
                 elif um:
@@ -1153,6 +1164,10 @@ class LakeSQL:
                         "or UPDATE SET <assignments>"
                     )
             elif cm.group("not_"):
+                if cond:
+                    not_matched_condition = _requalify(
+                        cond.strip(), ctx="insert"
+                    )
                 im = re.match(
                     r"INSERT\s*\(\s*(?P<cols>[^()]+?)\s*\)\s*"
                     r"VALUES\s*\((?P<vals>.+)\)\s*$",
@@ -1187,6 +1202,8 @@ class LakeSQL:
                         "INSERT (c1, ...) VALUES (e1, ...)"
                     )
             else:
+                if cond:
+                    matched_condition = _requalify(cond.strip())
                 if act_u == "DELETE":
                     when_matched = "delete"
                 elif um:
@@ -1211,6 +1228,9 @@ class LakeSQL:
                 set_exprs=set_exprs,
                 by_source_set=by_source_set,
                 insert_values=insert_values,
+                matched_condition=matched_condition,
+                not_matched_condition=not_matched_condition,
+                by_source_condition=by_source_condition,
             ),
         )
 
@@ -1765,7 +1785,7 @@ class LakeSQL:
         ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t [(c1, c2, ...)] <select>", "_do_insert")),
         ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred]", "_do_delete")),
         ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred]", "_do_update")),
-        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED THEN UPDATE SET *|<col = expr, ...>|DELETE [WHEN NOT MATCHED THEN INSERT *|(cols) VALUES (exprs)] [WHEN NOT MATCHED BY SOURCE THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
+        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED [AND cond] THEN UPDATE SET *|<col = expr, ...>|DELETE [WHEN NOT MATCHED [AND cond] THEN INSERT *|(cols) VALUES (exprs)] [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
         ("CREATE TABLE", (_CLONE, "CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v | TIMESTAMP AS OF 'ts'] LOCATION 'p'", "_do_clone")),
         ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),
         ("DROP TABLE", (_DROP, "DROP TABLE n", "_do_drop")),

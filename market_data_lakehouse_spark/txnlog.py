@@ -2301,26 +2301,38 @@ class TransactionalLake:
         ``keep``: extra non-schema columns to carry through when
         present (the row-tracking physical columns an id-preserving
         rewrite materializes — they are never part of the table
-        schema, so the strict select would drop them)."""
+        schema, so the strict select would drop them).
+
+        Present columns whose runtime type DIVERGES from the
+        committed type cast BACK to it (r13, found by the model
+        test): partition DISCOVERY retypes hive-dir values at read
+        (a string date column comes back as DATE), so a rewrite
+        built from a snapshot would otherwise commit the discovered
+        type as the table schema and every later append of the
+        ORIGINAL type would be refused — a silent type evolution no
+        writer asked for. User inputs reach here already
+        store-assigned (_cast_to_committed), so the cast is a no-op
+        for them; for snapshot-derived frames it restores the
+        committed contract."""
         if not schemas:
             return df
         fields = self._merged_fields(schemas)
         from pyspark.sql.types import StructField, StructType
 
-        have = set(df.columns)
+        have = dict(df.dtypes)
+
+        def _col(f):
+            target = (
+                StructType([StructField.fromJson(f)]).fields[0].dataType
+            )
+            if f["name"] not in have:
+                return F.lit(None).cast(target).alias(f["name"])
+            if have[f["name"]] != target.simpleString():
+                return F.col(f["name"]).cast(target).alias(f["name"])
+            return F.col(f["name"])
+
         return df.select(
-            *[
-                F.col(f["name"])
-                if f["name"] in have
-                else F.lit(None)
-                .cast(
-                    StructType([StructField.fromJson(f)])
-                    .fields[0]
-                    .dataType
-                )
-                .alias(f["name"])
-                for f in fields
-            ],
+            *[_col(f) for f in fields],
             *[F.col(c) for c in keep if c in have],
         )
 
@@ -3758,6 +3770,8 @@ class TransactionalLake:
         src_bytes: dict | None = None,
         set_exprs: dict[str, str] | None = None,
         insert_values: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        not_matched_condition: str | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -3784,6 +3798,39 @@ class TransactionalLake:
             # to this commit; INSERTS carry no id column at all and
             # get base + row_index in their fresh files
             matched = self._rt_attach(matched, old, rt).drop(self._RT_VER)
+        src_cols = [c for c in source.columns if c not in keys]
+        # the insert anti-join keys are ALL key-matched rows — a
+        # matched clause's condition narrows what the clause touches,
+        # never what counts as "matched" (Delta semantics). Pinned:
+        # the condition filter below would otherwise force the
+        # anti-join to re-run the positional scan
+        all_matched_keys = (
+            matched.select(*keys).distinct().localCheckpoint(eager=False)
+        )
+        if matched_condition is not None:
+            # conditioned matched clause: the dv hides exactly the
+            # condition-passing rows — join the source columns the
+            # condition may read, filter, and carry the _src_ slots
+            # forward so the postimage build skips its own join
+            matched = matched.join(
+                self._maybe_broadcast(
+                    source.select(
+                        *keys,
+                        *[F.col(c).alias(f"_src_{c}") for c in src_cols],
+                    ),
+                    est_bytes=sum(src_bytes[c] for c in source.columns),
+                ),
+                keys,
+            ).filter(
+                F.coalesce(
+                    F.expr(
+                        self._rewrite_source_refs(
+                            matched_condition, src_cols
+                        )
+                    ),
+                    F.lit(False),
+                )
+            )
         matched = matched.localCheckpoint(eager=False)
         hits = matched.select("_row_file", "_row_pos").collect()
         parts: list[DataFrame] = []
@@ -3791,8 +3838,7 @@ class TransactionalLake:
             # postimage multiplicity equals the TARGET's (duplicate-
             # keyed target rows each updated, like the rewrite path);
             # columns the source lacks keep the target value
-            src_cols = [c for c in source.columns if c not in keys]
-            upd = matched.join(
+            upd = matched if matched_condition is not None else matched.join(
                 self._maybe_broadcast(
                     source.select(
                         *keys,
@@ -3805,6 +3851,7 @@ class TransactionalLake:
             out_cols = [
                 c for c in matched.columns
                 if c not in ("_row_file", "_row_pos")
+                and not c.startswith("_src_")
             ]
             if set_exprs is not None:
                 # per-column SET (r13): same projection contract as
@@ -3843,13 +3890,22 @@ class TransactionalLake:
                     )
                 )
         if when_not_matched == "insert":
-            ins = (
-                source.join(
-                    matched.select(*keys).distinct(), keys, "left_anti"
+            # anti-join against ALL key-matched rows (not the
+            # condition-filtered set): a matched row whose clause
+            # condition failed is still matched, so its source row
+            # must not insert
+            ins = source.join(all_matched_keys, keys, "left_anti")
+            if not_matched_condition is not None:
+                ins = ins.filter(
+                    F.coalesce(
+                        F.expr(
+                            self._rewrite_source_refs(
+                                not_matched_condition, ()
+                            )
+                        ),
+                        F.lit(False),
+                    )
                 )
-                if hits
-                else source
-            )
             if insert_values is not None:
                 ins = self._insert_part(ins, insert_values, schemas)
             parts.append(ins)
@@ -3961,6 +4017,9 @@ class TransactionalLake:
         set_exprs: dict[str, str] | None = None,
         by_source_set: dict[str, str] | None = None,
         insert_values: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        not_matched_condition: str | None = None,
+        by_source_condition: str | None = None,
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
@@ -4052,6 +4111,22 @@ class TransactionalLake:
         unmatched row are found by the same probe (never swept
         wholesale), and with row tracking the updated rows' commit
         version resets while their ids carry.
+
+        CLAUSE CONDITIONS (r13, Delta's ``WHEN ... AND <cond> THEN``;
+        one clause per type, each optionally conditioned):
+        ``matched_condition`` — matched rows where the condition
+        (target cols bare, source via ``source.<col>``) is not TRUE
+        are left UNTOUCHED (kept on update, survive a delete; NULL
+        condition = untouched, SQL's three-valued guard);
+        ``not_matched_condition`` — unmatched source rows failing it
+        (source columns) do not insert; ``by_source_condition`` —
+        unmatched target rows failing it (target columns only) are
+        left untouched by the BY SOURCE action. Matched/by-source
+        conditions are rewrite-mode; dv mode supports
+        ``not_matched_condition`` and conditioned matched clauses
+        via the same joined filter (hits shrink to the
+        condition-passing rows, so the dv hides exactly what the
+        clause touches).
         """
         keys = [on] if isinstance(on, str) else list(on)
         mdoc = self._column_mapping_doc()
@@ -4085,6 +4160,16 @@ class TransactionalLake:
                     self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
                     for k, v in insert_values.items()
                 }
+            if matched_condition is not None:
+                matched_condition = self._map_expr(matched_condition, mdoc)
+            if not_matched_condition is not None:
+                not_matched_condition = self._map_expr(
+                    not_matched_condition, mdoc
+                )
+            if by_source_condition is not None:
+                by_source_condition = self._map_expr(
+                    by_source_condition, mdoc
+                )
         if mode not in ("rewrite", "dv"):
             raise ValueError(f"unknown merge mode: {mode!r}")
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
@@ -4113,6 +4198,27 @@ class TransactionalLake:
         if insert_values is not None and when_not_matched != "insert":
             raise ValueError(
                 "insert_values pairs with when_not_matched='insert'"
+            )
+        if not_matched_condition is not None and when_not_matched != "insert":
+            raise ValueError(
+                "not_matched_condition pairs with "
+                "when_not_matched='insert' (there is no clause to "
+                "condition)"
+            )
+        if (
+            by_source_condition is not None
+            and when_not_matched_by_source == "ignore"
+        ):
+            raise ValueError(
+                "by_source_condition pairs with a BY SOURCE clause "
+                "(delete or update)"
+            )
+        if by_source_condition is not None and re.search(
+            r"\bsource\s*\.", by_source_condition
+        ):
+            raise ValueError(
+                "by_source_condition may reference target columns "
+                "only — BY SOURCE rows have no matching source row"
             )
         if when_not_matched_by_source == "update" and not by_source_set:
             raise ValueError(
@@ -4210,6 +4316,17 @@ class TransactionalLake:
             # to the committed schema (if any) so a narrow source
             # cannot drop evolved columns from the table.
             if when_not_matched == "insert":
+                if not_matched_condition is not None:
+                    source = source.filter(
+                        F.coalesce(
+                            F.expr(
+                                self._rewrite_source_refs(
+                                    not_matched_condition, ()
+                                )
+                            ),
+                            F.lit(False),
+                        )
+                    )
                 if insert_values is not None:
                     source = self._insert_part(
                         source, insert_values, schemas
@@ -4269,6 +4386,8 @@ class TransactionalLake:
                 new_cols=new_cols, map_doc=ext_doc,
                 src_bytes=src_bytes, set_exprs=set_exprs,
                 insert_values=insert_values,
+                matched_condition=matched_condition,
+                not_matched_condition=not_matched_condition,
             )
         snap = self._df_for_files(probe_files or old[:1], schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
@@ -4325,6 +4444,11 @@ class TransactionalLake:
             else None
         )
         if aff_df is not None:
+            bs_cond = (
+                F.coalesce(F.expr(by_source_condition), F.lit(False))
+                if by_source_condition is not None
+                else None
+            )
             if when_not_matched_by_source == "ignore":
                 # survivors: rows in affected files whose key has NO
                 # source match
@@ -4333,28 +4457,77 @@ class TransactionalLake:
                 # BY SOURCE UPDATE (r13): the anti-join rows are the
                 # clause's targets — re-emit them through the SET
                 # expressions (target columns only); with row
-                # tracking their ids carry and versions reset
+                # tracking their ids carry and versions reset. A
+                # clause condition confines the SET to the rows it
+                # is TRUE for — the rest pass through untouched.
                 surv = aff_df.join(src_keys, keys, "left_anti")
                 ttypes = dict(aff_df.dtypes)
-                parts.append(
-                    surv.select(
-                        *[
-                            F.expr(by_source_set[c])
-                            .cast(ttypes[c])
-                            .alias(c)
-                            if c in by_source_set
-                            else (
-                                F.lit(None).cast("bigint").alias(c)
-                                if c == self._RT_VER
-                                else F.col(c)
+
+                def _bs(c):
+                    if c in by_source_set:
+                        e = F.expr(by_source_set[c]).cast(ttypes[c])
+                        return (
+                            e if bs_cond is None
+                            else F.when(bs_cond, e).otherwise(F.col(c))
+                        ).alias(c)
+                    if c == self._RT_VER:
+                        reset = F.lit(None).cast("bigint")
+                        return (
+                            reset if bs_cond is None
+                            else F.when(bs_cond, reset).otherwise(
+                                F.col(c)
                             )
-                            for c in surv.columns
-                        ]
+                        ).alias(c)
+                    return F.col(c)
+
+                parts.append(surv.select(*[_bs(c) for c in surv.columns]))
+            elif bs_cond is not None:
+                # conditional by-source DELETE: anti-join rows where
+                # the condition is NOT true survive (NULL = keep)
+                parts.append(
+                    aff_df.join(src_keys, keys, "left_anti").filter(
+                        ~bs_cond
                     )
                 )
-            # by-source DELETE: those same rows are exactly the
-            # clause's targets — dropping the survivor part IS the
-            # delete (matched rows re-emit below, inserts unchanged)
+            # by-source DELETE (unconditioned): those same rows are
+            # exactly the clause's targets — dropping the survivor
+            # part IS the delete (matched rows re-emit below,
+            # inserts unchanged)
+            src_cols = [c for c in source.columns if c not in keys]
+            m_cond = (
+                F.coalesce(
+                    F.expr(
+                        self._rewrite_source_refs(
+                            matched_condition, src_cols
+                        )
+                    ),
+                    F.lit(False),
+                )
+                if matched_condition is not None
+                else None
+            )
+            if when_matched == "delete" and m_cond is not None:
+                # conditional matched DELETE: matched rows where the
+                # condition is not TRUE survive — the join carries
+                # the _src_ columns the condition may read
+                joined = aff_df.join(
+                    self._maybe_broadcast(
+                        source.select(
+                            *keys,
+                            *[
+                                F.col(c).alias(f"_src_{c}")
+                                for c in src_cols
+                            ],
+                        ),
+                        est_bytes=sum(
+                            src_bytes[c] for c in source.columns
+                        ),
+                    ),
+                    keys,
+                )
+                parts.append(
+                    joined.filter(~m_cond).select(*aff_df.columns)
+                )
             if when_matched == "update":
                 # EVERY matched target row is updated in place (Delta
                 # MERGE semantics): join target rows to the unique
@@ -4381,6 +4554,14 @@ class TransactionalLake:
                     ),
                     keys,
                 )
+                def _gated(post, c):
+                    # clause condition: rows where it is not TRUE
+                    # keep the target value (untouched)
+                    return (
+                        post if m_cond is None
+                        else F.when(m_cond, post).otherwise(F.col(c))
+                    ).alias(c)
+
                 if set_exprs is not None:
                     # per-column SET (r13): assigned columns take
                     # their expression (target cols bare, source
@@ -4396,10 +4577,14 @@ class TransactionalLake:
                     parts.append(
                         upd.select(
                             *[
-                                F.expr(rw[c]).cast(ttypes[c]).alias(c)
+                                _gated(
+                                    F.expr(rw[c]).cast(ttypes[c]), c
+                                )
                                 if c in rw
                                 else (
-                                    F.lit(None).cast("bigint").alias(c)
+                                    _gated(
+                                        F.lit(None).cast("bigint"), c
+                                    )
                                     if c == self._RT_VER
                                     else F.col(c)
                                 )
@@ -4408,16 +4593,19 @@ class TransactionalLake:
                         )
                     )
                 else:
+                    src_types = dict(source.dtypes)
                     parts.append(
                         upd.select(
                             *[
-                                F.col(f"_src_{c}").alias(c)
+                                _gated(F.col(f"_src_{c}"), c)
                                 if c in src_cols
                                 else (
                                     # updated row: id carries, version
                                     # resets to this commit (file
                                     # default)
-                                    F.lit(None).cast("bigint").alias(c)
+                                    _gated(
+                                        F.lit(None).cast("bigint"), c
+                                    )
                                     if c == self._RT_VER
                                     else F.col(c)
                                 )
@@ -4426,9 +4614,18 @@ class TransactionalLake:
                             # schema evolution: postimages carry the
                             # source's NEW columns too (absent from
                             # aff_df — survivors null-fill in the
-                            # union)
+                            # union; a condition-failing row stays
+                            # null there too)
                             *[
-                                F.col(f"_src_{c}").alias(c)
+                                (
+                                    F.col(f"_src_{c}")
+                                    if m_cond is None
+                                    else F.when(
+                                        m_cond, F.col(f"_src_{c}")
+                                    ).otherwise(
+                                        F.lit(None).cast(src_types[c])
+                                    )
+                                ).alias(c)
                                 for c in new_cols
                             ],
                         )
@@ -4444,6 +4641,17 @@ class TransactionalLake:
                 if aff_df is not None
                 else source
             )
+            if not_matched_condition is not None:
+                ins = ins.filter(
+                    F.coalesce(
+                        F.expr(
+                            self._rewrite_source_refs(
+                                not_matched_condition, ()
+                            )
+                        ),
+                        F.lit(False),
+                    )
+                )
             if insert_values is not None:
                 ins = self._insert_part(ins, insert_values, schemas)
             parts.append(ins)

@@ -509,3 +509,161 @@ class TestMergeNamedInsert:
                 " CAST(0.0 AS DOUBLE) AS v) AS s ON mam.k = s.k "
                 "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
             )
+
+
+class TestMergeClauseConditions:
+    """r13: WHEN ... AND <cond> THEN — one clause per type, each
+    optionally conditioned. Rows where the condition is not TRUE are
+    untouched by that clause (NULL = untouched, SQL's three-valued
+    guard); a condition-failing matched row is still 'matched' for
+    the insert anti-join."""
+
+    def test_matched_update_condition(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "mc")
+        lk.merge(
+            _src(spark, [(1, 1.0, "x"), (2, 2.0, "y")]),
+            on="k",
+            matched_condition="qty > 15",
+            when_not_matched="ignore",
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        # only k=2 (target qty 20 > 15) takes the whole-row update
+        assert got == [
+            (1, 10.0, "a"), (2, 2.0, "y"), (3, 30.0, "c"),
+        ]
+
+    def test_matched_condition_source_refs(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "mcs")
+        lk.merge(
+            _src(spark, [(1, 100.0, "x"), (2, 0.0, "y")]),
+            on="k",
+            set_exprs={"note": "source.note"},
+            matched_condition="source.qty > 50",
+            when_not_matched="ignore",
+        )
+        got = {r.k: r.note for r in lk.snapshot().collect()}
+        assert got == {1: "x", 2: "b", 3: "c"}
+
+    def test_matched_delete_condition(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "mdc")
+        lk.merge(
+            _src(spark, [(1, 0.0, "x"), (2, 0.0, "y")]),
+            on="k",
+            when_matched="delete",
+            matched_condition="qty > 15",
+            when_not_matched="ignore",
+        )
+        got = sorted(r.k for r in lk.snapshot().collect())
+        assert got == [1, 3]  # only k=2 (qty 20 > 15) deleted
+
+    def test_failed_condition_still_blocks_insert(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "fci")
+        lk.merge(
+            _src(spark, [(1, 0.0, "x")]),
+            on="k",
+            matched_condition="qty > 1000",  # never true
+        )
+        # k=1 is matched (condition failed -> untouched) so its
+        # source row must NOT insert as a duplicate
+        assert sorted(r.k for r in lk.snapshot().collect()) == [1, 2, 3]
+
+    def test_not_matched_condition(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "nmc")
+        lk.merge(
+            _src(spark, [(8, 1.0, "u"), (9, 9.0, "v")]),
+            on="k",
+            not_matched_condition="source.qty > 5",
+        )
+        got = sorted(r.k for r in lk.snapshot().collect())
+        assert got == [1, 2, 3, 9]  # 8 filtered by the condition
+
+    def test_by_source_conditions(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "bsc")
+        lk.merge(
+            _src(spark, [(1, 0.0, "x")]),
+            on="k",
+            set_exprs={"qty": "qty"},
+            when_not_matched="ignore",
+            when_not_matched_by_source="update",
+            by_source_set={"note": "'stale'"},
+            by_source_condition="qty > 25",
+        )
+        got = {r.k: r.note for r in lk.snapshot().collect()}
+        assert got == {1: "a", 2: "b", 3: "stale"}
+
+    def test_by_source_delete_condition(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "bsdc")
+        lk.merge(
+            _src(spark, [(1, 0.0, "x")]),
+            on="k",
+            set_exprs={"qty": "qty"},
+            when_not_matched="ignore",
+            when_not_matched_by_source="delete",
+            by_source_condition="qty > 25",
+        )
+        got = sorted(r.k for r in lk.snapshot().collect())
+        assert got == [1, 2]  # only k=3 (qty 30) deleted
+
+    def test_dv_matched_condition(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "dvc")
+        v = lk.merge(
+            _src(spark, [(1, 0.0, "w"), (3, 0.0, "z")]),
+            on="k",
+            mode="dv",
+            set_exprs={"note": "source.note"},
+            matched_condition="qty > 15",
+            when_not_matched="ignore",
+        )
+        got = {r.k: r.note for r in lk.snapshot().collect()}
+        assert got == {1: "a", 2: "b", 3: "z"}
+        # the dv hides exactly ONE row (the condition-passing match)
+        dv = lk._read_commit(v).get("dv", {})
+        assert sum(len(p) for p in dv.values()) == 1
+
+    def test_by_source_condition_refuses_source_refs(
+        self, spark, tmp_path
+    ):
+        lk = _lake(spark, tmp_path, "bscr")
+        with pytest.raises(ValueError, match="target columns only"):
+            lk.merge(
+                _src(spark, [(1, 0.0, "x")]),
+                on="k",
+                when_not_matched_by_source="delete",
+                by_source_condition="source.qty > 1",
+            )
+
+    def test_sql_clause_conditions(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE cc (k BIGINT, qty DOUBLE, note STRING) "
+            f"LOCATION '{tmp_path / 'cc'}'"
+        )
+        fr.sql(
+            "INSERT INTO cc VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), "
+            "(3, 30.0, 'c')"
+        )
+        fr.sql(
+            "MERGE INTO cc USING (SELECT CAST(1 AS BIGINT) AS k, "
+            "CAST(1.0 AS DOUBLE) AS qty, 'x' AS note "
+            "UNION ALL SELECT 2, 2.0, 'y' "
+            "UNION ALL SELECT 4, 4.0, 'd' "
+            "UNION ALL SELECT 5, 1.0, 'e') AS s ON cc.k = s.k "
+            "WHEN MATCHED AND cc.qty > 15 THEN UPDATE SET "
+            "note = s.note "
+            "WHEN NOT MATCHED AND s.qty > 3 THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE AND qty > 25 THEN "
+            "UPDATE SET note = 'heavy'"
+        )
+        got = sorted(
+            (r.k, r.qty, r.note)
+            for r in fr.sql("SELECT * FROM cc").collect()
+        )
+        assert got == [
+            (1, 10.0, "a"),   # matched, cond false -> untouched
+            (2, 20.0, "y"),   # matched, cond true -> SET
+            (3, 30.0, "heavy"),  # unmatched target, qty > 25
+            (4, 4.0, "d"),    # insert cond true
+            # 5 filtered by the insert condition
+        ]

@@ -4905,3 +4905,48 @@ class TestLateR12FeatureStamps:
                                 partition_by=())
         lk2.set_identity("rid")
         assert "identity-step" not in lk2.table_features()
+
+
+class TestRewriteKeepsCommittedPartitionType:
+    """r13 (found by the hypothesis model test): partition DISCOVERY
+    retypes hive-dir values at read (string date -> DATE), and a
+    rewrite built from a snapshot (replaceWhere / merge / DML)
+    committed the DISCOVERED type as the table schema — after which
+    an append of the ORIGINAL string type was refused. _conform now
+    casts snapshot-derived columns back to the committed type."""
+
+    def test_replace_where_then_append(self, spark, tmp_path):
+        lk = TransactionalLake(
+            spark, str(tmp_path / "pt"), partition_by=("date",)
+        )
+
+        def df_for(ids):
+            return spark.createDataFrame(
+                [(i, "2024-06-15") for i in sorted(ids)],
+                "id long, date string",
+            )
+
+        lk.append(df_for({0, 1}))
+        lk.overwrite_where(df_for({2}), "id = 1 OR id = 2")
+        lk.append(df_for({3, 4}))  # refused before the fix
+        assert sorted(r.id for r in lk.snapshot().collect()) == [
+            0, 2, 3, 4,
+        ]
+
+    def test_merge_then_append(self, spark, tmp_path):
+        lk = TransactionalLake(
+            spark, str(tmp_path / "mt"), partition_by=("date",)
+        )
+
+        def df_for(ids):
+            return spark.createDataFrame(
+                [(i, "2024-06-15") for i in sorted(ids)],
+                "id long, date string",
+            )
+
+        lk.append(df_for({0, 1}))
+        lk.merge(df_for({1, 5}), on="id")  # rewrite-mode upsert
+        lk.append(df_for({7}))
+        assert sorted(r.id for r in lk.snapshot().collect()) == [
+            0, 1, 5, 7,
+        ]
