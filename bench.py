@@ -168,11 +168,17 @@ def job_floor_control(spark) -> float:
 # probe is FIXED CPU-bound work (codegen'd sum over an arithmetic
 # map, 32 static partitions, no data, no shuffle): its duration is
 # inversely proportional to the CPU share Spark actually got in that
-# window. Band calibrated on this host at idle (see
-# AB_BENCH.json `cpu_control_calibration`).
+# window. Band calibrated on this host at idle (see AB_BENCH.json
+# `cpu_control_calibration` and `cpu_control_calibration_r13`: the
+# r10 band max of 0.30 sat INSIDE this host's current idle variance
+# — two r13 idle bursts at loadavg 0.4-0.9 measured medians
+# 0.255-0.280 with single samples to 0.37, and it cost r12 a full
+# driver run on a 0.3006 median — so the band was RE-CALIBRATED with
+# the same protocol, not widened ad hoc: idle median ~0.28 + the
+# original 50% headroom).
 CPU_CONTROL_N = 500_000_000
-CPU_BAND_SEC = (0.10, 0.30)  # calibrated band, this host
-CPU_LIMIT_SEC = 0.40  # band max + margin; above = contended window
+CPU_BAND_SEC = (0.10, 0.42)  # recalibrated band, this host (r13)
+CPU_LIMIT_SEC = 0.55  # band max + margin; above = contended window
 
 
 def cpu_throughput_control(spark) -> float:
