@@ -1121,6 +1121,7 @@ class LakeSQL:
             r"\s+THEN\s+(?P<act>.+)$",
             re.IGNORECASE | re.DOTALL,
         )
+        seen_kinds: set[str] = set()
         for chunk in chunks:
             cm = chunk_re.fullmatch(chunk)
             if not cm:
@@ -1134,6 +1135,23 @@ class LakeSQL:
             act = cm.group("act").strip()
             act_u = re.sub(r"\s+", " ", act.upper())
             cond = cm.group("cond")
+            kind = (
+                "by_source" if cm.group("bysrc")
+                else "not_matched" if cm.group("not_")
+                else "matched"
+            )
+            if kind in seen_kinds:
+                # one clause per type: a second WHEN MATCHED would
+                # silently overwrite the first (Delta's multi-clause
+                # first-true-wins ordering is not implemented) —
+                # refuse loudly instead
+                raise ValueError(
+                    f"duplicate WHEN {kind.replace('_', ' ').upper()}"
+                    " clause: this engine supports ONE clause per "
+                    "type (optionally conditioned with AND); "
+                    "multi-clause precedence is not implemented"
+                )
+            seen_kinds.add(kind)
             um = re.match(
                 r"UPDATE\s+SET\s+(?P<body>.+)$",
                 act,

@@ -87,6 +87,8 @@ def stream_upsert(
     available_now: bool = False,
     mode: str = "rewrite",
     schema_evolution: bool = False,
+    set_exprs: dict[str, str] | None = None,
+    matched_condition: str | None = None,
 ):
     """Streaming CDC-apply: every micro-batch is MERGEd into a
     :class:`~market_data_lakehouse_spark.txnlog.TransactionalLake`
@@ -115,7 +117,14 @@ def stream_upsert(
     ``schema_evolution`` (Delta streaming autoMerge parity): a
     source stream that starts carrying a new column evolves the
     target table in the first batch that delivers it, instead of
-    killing the query."""
+    killing the query.
+
+    ``set_exprs`` / ``matched_condition`` (r13): the per-column
+    ``UPDATE SET col = expr`` and ``WHEN MATCHED AND cond`` forms,
+    passed through to each batch's merge — the CDC-apply shape where
+    an update must be conditional (e.g. apply only newer versions:
+    ``matched_condition="source.ver > ver"``) or partial (touch only
+    the changed columns)."""
     import hashlib
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -138,6 +147,8 @@ def stream_upsert(
             deduped, on=keys, validate_keys=False,
             txn=(app_id, batch_id), mode=mode,
             schema_evolution=schema_evolution,
+            set_exprs=set_exprs,
+            matched_condition=matched_condition,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -667,3 +667,20 @@ class TestMergeClauseConditions:
             (4, 4.0, "d"),    # insert cond true
             # 5 filtered by the insert condition
         ]
+
+
+class TestDuplicateClauseRefused:
+    def test_two_matched_clauses_refuse(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE dc (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'dc'}'"
+        )
+        fr.sql("INSERT INTO dc VALUES (1, 1.0)")
+        with pytest.raises(ValueError, match="duplicate WHEN MATCHED"):
+            fr.sql(
+                "MERGE INTO dc USING (SELECT CAST(1 AS BIGINT) AS k, "
+                "CAST(0.0 AS DOUBLE) AS v) AS s ON dc.k = s.k "
+                "WHEN MATCHED AND dc.v > 5 THEN DELETE "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )

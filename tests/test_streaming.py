@@ -919,3 +919,51 @@ class TestStreamUpsertSchemaEvolution:
             ("AAPL", 90.0, None),   # pre-evolution row null-fills
             ("AAPL", 100.0, 7),     # streamed insert carries it
         }
+
+
+class TestStreamUpsertMergeOptions:
+    def test_conditional_partial_cdc_apply(self, spark, tmp_path):
+        """r13: set_exprs + matched_condition pass through to each
+        batch's merge — apply only strictly-newer prices, touching
+        only the price column (volume keeps the target value)."""
+        from market_data_lakehouse_spark.streaming import (
+            read_tick_stream,
+            stream_upsert,
+        )
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        src = str(tmp_path / "src")
+        lake = TransactionalLake(
+            spark, str(tmp_path / "tx"), partition_by=()
+        )
+        base = spark.createDataFrame(
+            [("AAPL", "2024-06-15T10:00:00", 150.0, 7),
+             ("GOOG", "2024-06-15T10:00:00", 90.0, 9)],
+            "symbol string, ts string, price double, volume long",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        lake.append(base)
+        _write_json(
+            src + "/b0.json",
+            [
+                _tick("2024-06-15T10:00:00", price=200.0, volume=1),
+                _tick("2024-06-15T10:00:00", symbol="GOOG",
+                      price=1.0, volume=2),  # older price: untouched
+                _tick("2024-06-15T10:00:00", symbol="MSFT",
+                      price=300.0, volume=3),  # new key: inserts
+            ],
+        )
+        q = stream_upsert(
+            read_tick_stream(spark, src), lake, on=("symbol", "ts"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            set_exprs={"price": "source.price"},
+            matched_condition="source.price > price",
+        )
+        q.awaitTermination(120)
+        got = {
+            r["symbol"]: (r["price"], r["volume"])
+            for r in lake.snapshot().collect()
+        }
+        assert got["AAPL"] == (200.0, 7)   # price updated, volume kept
+        assert got["GOOG"] == (90.0, 9)    # condition false: untouched
+        assert got["MSFT"] == (300.0, 3)   # whole-row insert

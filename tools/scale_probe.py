@@ -957,6 +957,80 @@ def partition_delete_probe(spark) -> dict:
     return out
 
 
+def merge_exprs_skipping_probe(spark) -> dict:
+    """r13: the new merge forms (per-column SET expressions +
+    matched-clause condition) must ride the SAME key-envelope data
+    skipping as whole-row merge — the projection changed, the probe
+    scan must not. Structural receipt: _prune_by_key_ranges is
+    instrumented during a set_exprs + matched_condition merge whose
+    source keys live in ONE file; at 8 and 64 same-sized files the
+    probed set stays [1, 1] while the live set grows 8x. A
+    correctness echo pins the conditioned SET postimage at both
+    scales."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    per = 50_000
+    out: dict = {}
+    for label, n_files in (("small", 8), ("large", 64)):
+        root = tempfile.mkdtemp(prefix=f"mxsp_{label}_")
+        lake = TransactionalLake(spark, root + "/t", partition_by=())
+        for i in range(n_files):
+            lake.append(
+                spark.range(i * per, (i + 1) * per)
+                .selectExpr("id as k", "cast(id * 1.5 as double) as v")
+                .coalesce(1)
+            )
+        probed: dict = {}
+        orig = lake._prune_by_key_ranges
+
+        def spy(files, ranges, _o=orig, _p=probed):
+            kept = _o(files, ranges)
+            _p["n"], _p["total"] = len(kept), len(files)
+            return kept
+
+        lake._prune_by_key_ranges = spy  # type: ignore
+        src = spark.createDataFrame(
+            [(3 * per + 5, 7.0), (3 * per + 6, 8.0)],
+            "k long, v double",
+        )
+        t0 = _t.perf_counter()
+        lake.merge(
+            src, on=["k"],
+            set_exprs={"v": "v + source.v"},
+            matched_condition="source.v > 0",
+            when_not_matched="ignore",
+        )
+        sec = round(_t.perf_counter() - t0, 4)
+        lake._prune_by_key_ranges = orig  # type: ignore
+        got = lake.snapshot().filter(f"k = {3 * per + 5}").first()["v"]
+        want = (3 * per + 5) * 1.5 + 7.0
+        assert abs(got - want) < 1e-6, (got, want)
+        out[f"at_{n_files}_files"] = {
+            "files": n_files,
+            "merge_files_probed": probed["n"],
+            "live_files": probed["total"],
+            "set_exprs_merge_sec": sec,
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    out["probe_scope"] = [
+        out["at_8_files"]["merge_files_probed"],
+        out["at_64_files"]["merge_files_probed"],
+    ]
+    out["probe_scope_flat"] = out["probe_scope"] == [1, 1]
+    out["note"] = (
+        "r13 merge grammar (SET expressions, clause conditions) "
+        "reuses the r12 key-envelope skipping unchanged: the probe "
+        "set is [1, 1] files as the table grows 8 -> 64 files, and "
+        "the conditioned SET postimage is value-checked at both "
+        "scales"
+    )
+    return out
+
+
 def dml_skipping_probe(spark) -> dict:
     """Data-skipping DML (r12): DELETE/MERGE with a tight key range
     scan only the stats-possible files. The scale axis is FILE COUNT
@@ -1205,7 +1279,26 @@ def main() -> int:
         help="run just the multipart-checkpoint block and merge it "
         "into the existing SCALE_PROBE.json",
     )
+    ap.add_argument(
+        "--only-mx",
+        action="store_true",
+        help="run just the r13 merge-exprs skipping block and merge "
+        "it into the existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
+
+    if args.only_mx:
+        from market_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark("scale_probe")
+        block = merge_exprs_skipping_probe(spark)
+        path = os.path.join(REPO, "SCALE_PROBE.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["merge_exprs_skipping"] = block
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"merge_exprs_skipping": block}))
+        return 0 if block["probe_scope_flat"] else 1
 
     if args.only_mpcp:
         from market_data_lakehouse_spark.session import get_spark
