@@ -956,6 +956,14 @@ class LakeSQL:
         NULL — Delta's unspecified-column rule. Target refs are a
         loud error (no target row exists at insert time).
 
+        MULTIPLE ``WHEN MATCHED`` clauses (r13) dispatch
+        first-true-wins in statement order (Delta's multi-clause
+        MERGE); every clause but the last needs an AND condition
+        (later clauses would be unreachable). The canonical CDC
+        tombstone apply is ``WHEN MATCHED AND s.deleted THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *``. NOT MATCHED / BY SOURCE
+        stay one clause each.
+
         ``SET *`` replaces the matched target row with its source
         row wholesale; a per-column SET list (r13) assigns each
         named column its expression and KEEPS every other target
@@ -1091,15 +1099,13 @@ class LakeSQL:
                 out[c] = _requalify(expr.strip())
             return out
 
-        when_matched = None
         when_not_matched = "ignore"
         by_source = "ignore"
-        set_exprs: dict[str, str] | None = None
         by_source_set: dict[str, str] | None = None
         insert_values: dict[str, str] | None = None
-        matched_condition: str | None = None
         not_matched_condition: str | None = None
         by_source_condition: str | None = None
+        matched_list: list[dict] = []
         # split on the WHEN that starts a clause (a CASE WHEN inside
         # a SET expression doesn't look like "[NOT] MATCHED")
         chunks = [
@@ -1140,16 +1146,15 @@ class LakeSQL:
                 else "not_matched" if cm.group("not_")
                 else "matched"
             )
-            if kind in seen_kinds:
-                # one clause per type: a second WHEN MATCHED would
-                # silently overwrite the first (Delta's multi-clause
-                # first-true-wins ordering is not implemented) —
-                # refuse loudly instead
+            if kind in seen_kinds and kind != "matched":
+                # multiple WHEN MATCHED clauses dispatch first-true-
+                # wins (r13); the NOT MATCHED / BY SOURCE types stay
+                # one-per-statement — a duplicate would silently
+                # overwrite the first, so refuse loudly
                 raise ValueError(
                     f"duplicate WHEN {kind.replace('_', ' ').upper()}"
-                    " clause: this engine supports ONE clause per "
-                    "type (optionally conditioned with AND); "
-                    "multi-clause precedence is not implemented"
+                    " clause: one clause per type (optionally "
+                    "conditioned with AND)"
                 )
             seen_kinds.add(kind)
             um = re.match(
@@ -1220,27 +1225,41 @@ class LakeSQL:
                         "INSERT (c1, ...) VALUES (e1, ...)"
                     )
             else:
-                if cond:
-                    matched_condition = _requalify(cond.strip())
+                cl: dict = {
+                    "condition": _requalify(cond.strip()) if cond else None
+                }
                 if act_u == "DELETE":
-                    when_matched = "delete"
+                    cl["action"] = "delete"
                 elif um:
                     body = um.group("body").strip()
-                    when_matched = "update"
+                    cl["action"] = "update"
                     if body != "*":
-                        set_exprs = _parse_sets(body)
+                        cl["set"] = _parse_sets(body)
                 else:
                     raise ValueError(
                         "WHEN MATCHED supports UPDATE SET "
                         "*|<assignments> or DELETE"
                     )
+                matched_list.append(cl)
+        # single matched clause -> the legacy scalar params (the
+        # battle-tested path); two or more -> the ordered
+        # first-true-wins clause list
+        when_matched = "update"
+        set_exprs = matched_condition = matched_clauses = None
+        if len(matched_list) == 1:
+            cl = matched_list[0]
+            when_matched = cl["action"]
+            set_exprs = cl.get("set")
+            matched_condition = cl.get("condition")
+        elif matched_list:
+            matched_clauses = matched_list
         lake = self.table(m.group("tbl"))
         return self._receipt(
             "MERGE",
             lake.merge(
                 source,
                 on=keys,
-                when_matched=when_matched or "update",
+                when_matched=when_matched,
                 when_not_matched=when_not_matched,
                 when_not_matched_by_source=by_source,
                 set_exprs=set_exprs,
@@ -1249,6 +1268,7 @@ class LakeSQL:
                 matched_condition=matched_condition,
                 not_matched_condition=not_matched_condition,
                 by_source_condition=by_source_condition,
+                matched_clauses=matched_clauses,
             ),
         )
 
@@ -1803,7 +1823,7 @@ class LakeSQL:
         ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t [(c1, c2, ...)] <select>", "_do_insert")),
         ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred]", "_do_delete")),
         ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred]", "_do_update")),
-        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED [AND cond] THEN UPDATE SET *|<col = expr, ...>|DELETE [WHEN NOT MATCHED [AND cond] THEN INSERT *|(cols) VALUES (exprs)] [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
+        ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED [AND cond] THEN UPDATE SET *|<col = expr, ...>|DELETE (repeatable, first-true-wins) [WHEN NOT MATCHED [AND cond] THEN INSERT *|(cols) VALUES (exprs)] [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
         ("CREATE TABLE", (_CLONE, "CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v | TIMESTAMP AS OF 'ts'] LOCATION 'p'", "_do_clone")),
         ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),
         ("DROP TABLE", (_DROP, "DROP TABLE n", "_do_drop")),

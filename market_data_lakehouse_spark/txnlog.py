@@ -3772,6 +3772,7 @@ class TransactionalLake:
         insert_values: dict[str, str] | None = None,
         matched_condition: str | None = None,
         not_matched_condition: str | None = None,
+        matched_clauses: list[dict] | None = None,
     ) -> int:
         """Positional MERGE: one dv-filtered scan with position
         columns resolves the matched target rows; their positions
@@ -3807,7 +3808,24 @@ class TransactionalLake:
         all_matched_keys = (
             matched.select(*keys).distinct().localCheckpoint(eager=False)
         )
-        if matched_condition is not None:
+        if matched_clauses is not None:
+            # multi-clause (r13): one join, ordered first-true-wins
+            # dispatch; EVERY fired row is dv-hidden (delete-fired
+            # rows hide with no postimage, update-fired rows re-emit
+            # their clause's postimage below)
+            matched = matched.join(
+                self._maybe_broadcast(
+                    source.select(
+                        *keys,
+                        *[F.col(c).alias(f"_src_{c}") for c in src_cols],
+                    ),
+                    est_bytes=sum(src_bytes[c] for c in source.columns),
+                ),
+                keys,
+            ).withColumn(
+                "_m_fired", self._fired_col(matched_clauses, src_cols)
+            ).filter(F.col("_m_fired") > 0)
+        elif matched_condition is not None:
             # conditioned matched clause: the dv hides exactly the
             # condition-passing rows — join the source columns the
             # condition may read, filter, and carry the _src_ slots
@@ -3834,7 +3852,34 @@ class TransactionalLake:
         matched = matched.localCheckpoint(eager=False)
         hits = matched.select("_row_file", "_row_pos").collect()
         parts: list[DataFrame] = []
-        if hits and when_matched == "update":
+        if hits and matched_clauses is not None:
+            # update-fired rows re-emit their clause's postimage;
+            # delete-fired rows are dv-hidden with no postimage
+            upd_idx = [
+                i
+                for i, cl in enumerate(matched_clauses, start=1)
+                if cl["action"] == "update"
+            ]
+            if upd_idx:
+                out_cols = [
+                    c for c in matched.columns
+                    if c not in ("_row_file", "_row_pos", "_m_fired")
+                    and not c.startswith("_src_")
+                ]
+                ttypes = dict(matched.dtypes)
+                parts.append(
+                    matched.filter(
+                        F.col("_m_fired").isin(upd_idx)
+                    ).select(
+                        *[
+                            self._clause_proj(
+                                c, matched_clauses, src_cols, ttypes
+                            )
+                            for c in out_cols
+                        ]
+                    )
+                )
+        elif hits and when_matched == "update":
             # postimage multiplicity equals the TARGET's (duplicate-
             # keyed target rows each updated, like the rewrite path);
             # columns the source lacks keep the target value
@@ -3969,6 +4014,73 @@ class TransactionalLake:
             rf"{guard}(\d+){guard}", lambda m: lits[int(m.group(1))], s
         )
 
+    @classmethod
+    def _fired_col(cls, matched_clauses: list[dict], src_cols) -> "F.Column":
+        """First-true-wins clause dispatch: a 1-based clause index
+        per joined row (0 = no clause fired). ``F.when`` chains
+        evaluate in order, so the FIRST true condition claims the
+        row — Delta's multi-clause ordering. NULL conditions are
+        not-true (three-valued guard)."""
+        chain = None
+        for i, cl in enumerate(matched_clauses, start=1):
+            c = cl.get("condition")
+            cond = (
+                F.coalesce(
+                    F.expr(cls._rewrite_source_refs(c, src_cols)),
+                    F.lit(False),
+                )
+                if c is not None
+                else F.lit(True)
+            )
+            chain = (
+                F.when(cond, F.lit(i))
+                if chain is None
+                else chain.when(cond, F.lit(i))
+            )
+        return chain.otherwise(F.lit(0))
+
+    @classmethod
+    def _clause_proj(
+        cls,
+        c: str,
+        matched_clauses: list[dict],
+        src_cols,
+        ttypes: dict[str, str],
+    ) -> "F.Column":
+        """Output expression for column ``c`` over the joined +
+        ``_m_fired`` frame: each UPDATE clause contributes its
+        postimage when it fired (whole-row: source value for
+        source-carried columns; SET list: the expression for
+        assigned columns), everything else keeps the target value.
+        Row-tracking version resets whenever an update fired."""
+        e = None
+        for i, cl in enumerate(matched_clauses, start=1):
+            if cl["action"] != "update":
+                continue
+            sset = cl.get("set")
+            if sset is None:
+                post = (
+                    F.col(f"_src_{c}")
+                    if c in src_cols
+                    else (
+                        F.lit(None).cast("bigint")
+                        if c == cls._RT_VER
+                        else None
+                    )
+                )
+            elif c in sset:
+                post = F.expr(
+                    cls._rewrite_source_refs(sset[c], src_cols)
+                ).cast(ttypes[c])
+            elif c == cls._RT_VER:
+                post = F.lit(None).cast("bigint")
+            else:
+                post = None
+            if post is not None:
+                hit = F.col("_m_fired") == i
+                e = F.when(hit, post) if e is None else e.when(hit, post)
+        return (e.otherwise(F.col(c)) if e is not None else F.col(c)).alias(c)
+
     def _insert_part(
         self,
         src: DataFrame,
@@ -4020,6 +4132,7 @@ class TransactionalLake:
         matched_condition: str | None = None,
         not_matched_condition: str | None = None,
         by_source_condition: str | None = None,
+        matched_clauses: list[dict] | None = None,
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
@@ -4112,6 +4225,21 @@ class TransactionalLake:
         wholesale), and with row tracking the updated rows' commit
         version resets while their ids carry.
 
+        ``matched_clauses`` (r13, Delta's multi-clause MERGE): an
+        ORDERED list of matched clauses, FIRST-TRUE-WINS per row —
+        ``[{"action": "delete", "condition": "source.deleted"},
+        {"action": "update"}]`` is the canonical CDC tombstone
+        apply. Each dict: ``action`` ("update"|"delete"),
+        ``condition`` (required on every clause but the last,
+        Delta's reachability rule), ``set`` (optional per-column
+        SET dict, update only). Supersedes ``when_matched`` /
+        ``set_exprs`` / ``matched_condition`` (passing those
+        together is a loud error); rows no clause fires for stay
+        untouched; a row whose first-true clause fails to fire a
+        later one even if that later condition is true. Works in
+        both modes (the dv hides exactly the fired rows);
+        ``schema_evolution`` pairs with the single-clause form only.
+
         CLAUSE CONDITIONS (r13, Delta's ``WHEN ... AND <cond> THEN``;
         one clause per type, each optionally conditioned):
         ``matched_condition`` — matched rows where the condition
@@ -4160,6 +4288,29 @@ class TransactionalLake:
                     self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
                     for k, v in insert_values.items()
                 }
+            if matched_clauses:
+                matched_clauses = [
+                    {
+                        **cl,
+                        **(
+                            {"condition": self._map_expr(
+                                cl["condition"], mdoc
+                            )}
+                            if cl.get("condition") is not None
+                            else {}
+                        ),
+                        **(
+                            {"set": {
+                                self._map_cols([k], mdoc)[0]:
+                                    self._map_expr(v, mdoc)
+                                for k, v in cl["set"].items()
+                            }}
+                            if cl.get("set")
+                            else {}
+                        ),
+                    }
+                    for cl in matched_clauses
+                ]
             if matched_condition is not None:
                 matched_condition = self._map_expr(matched_condition, mdoc)
             if not_matched_condition is not None:
@@ -4199,6 +4350,40 @@ class TransactionalLake:
             raise ValueError(
                 "insert_values pairs with when_not_matched='insert'"
             )
+        if matched_clauses is not None:
+            if set_exprs is not None or matched_condition is not None:
+                raise ValueError(
+                    "matched_clauses supersedes set_exprs / "
+                    "matched_condition — pass the clause list alone"
+                )
+            if schema_evolution:
+                raise ValueError(
+                    "schema_evolution pairs with the single-clause "
+                    "matched form only"
+                )
+            if not matched_clauses:
+                raise ValueError("matched_clauses must be non-empty")
+            for i, cl in enumerate(matched_clauses):
+                act = cl.get("action")
+                if act not in ("update", "delete"):
+                    raise ValueError(
+                        f"matched_clauses[{i}].action must be "
+                        f"'update' or 'delete', got {act!r}"
+                    )
+                if cl.get("set") and act != "update":
+                    raise ValueError(
+                        f"matched_clauses[{i}]: 'set' pairs with "
+                        "action='update'"
+                    )
+                if (
+                    i < len(matched_clauses) - 1
+                    and cl.get("condition") is None
+                ):
+                    raise ValueError(
+                        f"matched_clauses[{i}] has no condition but "
+                        "is not last — every later clause would be "
+                        "unreachable (first-true-wins)"
+                    )
         if not_matched_condition is not None and when_not_matched != "insert":
             raise ValueError(
                 "not_matched_condition pairs with "
@@ -4282,12 +4467,19 @@ class TransactionalLake:
         # SET / named-INSERT assignments target EXISTING columns
         # (evolution adds columns via whole-row update / insert,
         # never via an assignment list)
-        if schemas and (set_exprs or by_source_set or insert_values):
+        if schemas and (
+            set_exprs or by_source_set or insert_values
+            or any(cl.get("set") for cl in matched_clauses or ())
+        ):
             known_t = {f["name"] for f in self._merged_fields(schemas)}
             for label, d in (
                 ("set_exprs", set_exprs),
                 ("by_source_set", by_source_set),
                 ("insert_values", insert_values),
+                *(
+                    (f"matched_clauses[{i}].set", cl.get("set"))
+                    for i, cl in enumerate(matched_clauses or ())
+                ),
             ):
                 bad = sorted(set(d or ()) - known_t)
                 if bad:
@@ -4388,6 +4580,7 @@ class TransactionalLake:
                 insert_values=insert_values,
                 matched_condition=matched_condition,
                 not_matched_condition=not_matched_condition,
+                matched_clauses=matched_clauses,
             )
         snap = self._df_for_files(probe_files or old[:1], schemas, dvs=dvs)
         # size-gated hint: a CDC micro-batch's keys broadcast (no
@@ -4494,6 +4687,50 @@ class TransactionalLake:
             # part IS the delete (matched rows re-emit below,
             # inserts unchanged)
             src_cols = [c for c in source.columns if c not in keys]
+            if matched_clauses is not None:
+                # multi-clause, FIRST-TRUE-WINS (r13): one join, one
+                # _m_fired column from an ordered F.when chain (1-based
+                # clause index, 0 = no clause fired -> untouched);
+                # delete-fired rows drop, update-fired rows project
+                # their clause's postimage, everything else passes
+                # through
+                upd = aff_df.join(
+                    self._maybe_broadcast(
+                        source.select(
+                            *keys,
+                            *[
+                                F.col(c).alias(f"_src_{c}")
+                                for c in src_cols
+                            ],
+                        ),
+                        est_bytes=sum(
+                            src_bytes[c] for c in source.columns
+                        ),
+                    ),
+                    keys,
+                )
+                upd = upd.withColumn(
+                    "_m_fired",
+                    self._fired_col(matched_clauses, src_cols),
+                )
+                del_idx = [
+                    i
+                    for i, cl in enumerate(matched_clauses, start=1)
+                    if cl["action"] == "delete"
+                ]
+                if del_idx:
+                    upd = upd.filter(~F.col("_m_fired").isin(del_idx))
+                ttypes = dict(aff_df.dtypes)
+                parts.append(
+                    upd.select(
+                        *[
+                            self._clause_proj(
+                                c, matched_clauses, src_cols, ttypes
+                            )
+                            for c in aff_df.columns
+                        ]
+                    )
+                )
             m_cond = (
                 F.coalesce(
                     F.expr(
@@ -4506,7 +4743,11 @@ class TransactionalLake:
                 if matched_condition is not None
                 else None
             )
-            if when_matched == "delete" and m_cond is not None:
+            if (
+                matched_clauses is None
+                and when_matched == "delete"
+                and m_cond is not None
+            ):
                 # conditional matched DELETE: matched rows where the
                 # condition is not TRUE survive — the join carries
                 # the _src_ columns the condition may read
@@ -4528,7 +4769,7 @@ class TransactionalLake:
                 parts.append(
                     joined.filter(~m_cond).select(*aff_df.columns)
                 )
-            if when_matched == "update":
+            if matched_clauses is None and when_matched == "update":
                 # EVERY matched target row is updated in place (Delta
                 # MERGE semantics): join target rows to the unique
                 # source — output multiplicity equals the target's,

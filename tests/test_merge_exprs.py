@@ -670,17 +670,198 @@ class TestMergeClauseConditions:
 
 
 class TestDuplicateClauseRefused:
-    def test_two_matched_clauses_refuse(self, spark, tmp_path):
+    def test_duplicate_not_matched_refuses(self, spark, tmp_path):
+        """Multiple WHEN MATCHED clauses dispatch first-true-wins
+        (r13); the NOT MATCHED / BY SOURCE types stay one-per-
+        statement and a duplicate refuses instead of silently
+        overwriting."""
         fr = LakeSQL(spark)
         fr.sql(
             "CREATE TABLE dc (k BIGINT, v DOUBLE) "
             f"LOCATION '{tmp_path / 'dc'}'"
         )
         fr.sql("INSERT INTO dc VALUES (1, 1.0)")
-        with pytest.raises(ValueError, match="duplicate WHEN MATCHED"):
+        with pytest.raises(
+            ValueError, match="duplicate WHEN NOT MATCHED"
+        ):
             fr.sql(
-                "MERGE INTO dc USING (SELECT CAST(1 AS BIGINT) AS k, "
+                "MERGE INTO dc USING (SELECT CAST(2 AS BIGINT) AS k, "
                 "CAST(0.0 AS DOUBLE) AS v) AS s ON dc.k = s.k "
-                "WHEN MATCHED AND dc.v > 5 THEN DELETE "
-                "WHEN MATCHED THEN UPDATE SET *"
+                "WHEN NOT MATCHED AND s.v > 5 THEN INSERT * "
+                "WHEN NOT MATCHED THEN INSERT *"
             )
+
+    def test_unconditioned_non_last_matched_refuses(
+        self, spark, tmp_path
+    ):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE dc2 (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'dc2'}'"
+        )
+        fr.sql("INSERT INTO dc2 VALUES (1, 1.0)")
+        with pytest.raises(ValueError, match="unreachable"):
+            fr.sql(
+                "MERGE INTO dc2 USING (SELECT CAST(1 AS BIGINT) AS k,"
+                " CAST(0.0 AS DOUBLE) AS v) AS s ON dc2.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN MATCHED AND dc2.v > 5 THEN DELETE"
+            )
+
+
+class TestMultiClauseMerge:
+    """r13: ordered WHEN MATCHED clauses, first-true-wins (Delta
+    multi-clause MERGE) — the canonical CDC tombstone apply."""
+
+    def _tomb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, qty double, deleted boolean"
+        )
+
+    def _lake3(self, spark, tmp_path, name):
+        lk = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=()
+        )
+        lk.append(
+            self._tomb(
+                spark,
+                [(1, 10.0, False), (2, 20.0, False), (3, 30.0, False)],
+            )
+        )
+        return lk
+
+    def test_cdc_tombstone_apply(self, spark, tmp_path):
+        lk = self._lake3(spark, tmp_path, "ts")
+        lk.merge(
+            self._tomb(
+                spark,
+                [(1, 99.0, False), (2, 0.0, True), (4, 40.0, False)],
+            ),
+            on="k",
+            matched_clauses=[
+                {"action": "delete", "condition": "source.deleted"},
+                {"action": "update"},
+            ],
+        )
+        got = sorted((r.k, r.qty) for r in lk.snapshot().collect())
+        # 1 whole-row updated, 2 tombstoned, 3 untouched, 4 inserted
+        assert got == [(1, 99.0), (3, 30.0), (4, 40.0)]
+
+    def test_first_true_wins_order(self, spark, tmp_path):
+        lk = self._lake3(spark, tmp_path, "ftw")
+        lk.merge(
+            self._tomb(spark, [(3, 5.0, False)]),
+            on="k",
+            when_not_matched="ignore",
+            matched_clauses=[
+                {"action": "update", "condition": "qty > 25",
+                 "set": {"qty": "0.0"}},
+                # also true for k=3 (30 > 20) but the FIRST clause
+                # already claimed the row
+                {"action": "update", "condition": "qty > 20",
+                 "set": {"qty": "qty + source.qty"}},
+                {"action": "delete"},
+            ],
+        )
+        got = {r.k: r.qty for r in lk.snapshot().collect()}
+        assert got[3] == 0.0
+
+    def test_dv_mode_multi_clause(self, spark, tmp_path):
+        lk = self._lake3(spark, tmp_path, "dvm")
+        v = lk.merge(
+            self._tomb(spark, [(2, 0.0, True), (3, 7.0, False)]),
+            on="k",
+            mode="dv",
+            when_not_matched="ignore",
+            matched_clauses=[
+                {"action": "delete", "condition": "source.deleted"},
+                {"action": "update",
+                 "set": {"qty": "qty + source.qty"}},
+            ],
+        )
+        got = sorted((r.k, r.qty) for r in lk.snapshot().collect())
+        assert got == [(1, 10.0), (3, 37.0)]
+        dv = lk._read_commit(v).get("dv", {})
+        # both fired rows (tombstone + update preimage) are hidden
+        assert sum(len(p) for p in dv.values()) == 2
+
+    def test_unconditioned_non_last_refused(self, spark, tmp_path):
+        lk = self._lake3(spark, tmp_path, "unr")
+        with pytest.raises(ValueError, match="unreachable"):
+            lk.merge(
+                self._tomb(spark, [(1, 0.0, False)]),
+                on="k",
+                matched_clauses=[
+                    {"action": "update"},
+                    {"action": "delete", "condition": "qty > 5"},
+                ],
+            )
+
+    def test_supersedes_scalar_params(self, spark, tmp_path):
+        lk = self._lake3(spark, tmp_path, "sup")
+        with pytest.raises(ValueError, match="supersedes"):
+            lk.merge(
+                self._tomb(spark, [(1, 0.0, False)]),
+                on="k",
+                set_exprs={"qty": "qty"},
+                matched_clauses=[{"action": "update"}],
+            )
+
+    def test_sql_tombstone_apply(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE mc2 (k BIGINT, qty DOUBLE, "
+            "deleted BOOLEAN) "
+            f"LOCATION '{tmp_path / 'mc2'}'"
+        )
+        fr.sql(
+            "INSERT INTO mc2 VALUES (1, 10.0, false), "
+            "(2, 20.0, false), (3, 30.0, false)"
+        )
+        fr.sql(
+            "MERGE INTO mc2 USING (SELECT CAST(1 AS BIGINT) AS k, "
+            "CAST(99.0 AS DOUBLE) AS qty, false AS deleted "
+            "UNION ALL SELECT 2, 0.0, true "
+            "UNION ALL SELECT 4, 40.0, false) AS s ON mc2.k = s.k "
+            "WHEN MATCHED AND s.deleted THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = sorted(
+            (r.k, r.qty)
+            for r in fr.sql("SELECT * FROM mc2").collect()
+        )
+        assert got == [(1, 99.0), (3, 30.0), (4, 40.0)]
+
+    def test_row_tracking_multi_clause(self, spark, tmp_path):
+        """Fired update keeps the row id and resets its version;
+        unfired rows keep both."""
+        lk = TransactionalLake(
+            spark, str(tmp_path / "rtm"), partition_by=()
+        )
+        lk.enable_row_tracking()
+        lk.append(
+            self._tomb(
+                spark, [(1, 10.0, False), (2, 20.0, False)]
+            )
+        )
+        ids0 = {
+            r.k: (r._row_id, r._row_commit_version)
+            for r in lk.snapshot(with_row_ids=True).collect()
+        }
+        v = lk.merge(
+            self._tomb(spark, [(2, 5.0, False)]),
+            on="k",
+            when_not_matched="ignore",
+            matched_clauses=[
+                {"action": "delete", "condition": "source.deleted"},
+                {"action": "update",
+                 "set": {"qty": "qty + source.qty"}},
+            ],
+        )
+        rows = {
+            r.k: r for r in lk.snapshot(with_row_ids=True).collect()
+        }
+        assert rows[2]._row_id == ids0[2][0]
+        assert rows[2]._row_commit_version == v
+        assert rows[2].qty == 25.0
