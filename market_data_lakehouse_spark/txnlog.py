@@ -879,19 +879,46 @@ class TransactionalLake:
             idx.update(c.get("blooms", {}))
         return idx
 
-    @staticmethod
-    def _in_range(v, lo, hi) -> bool:
+    @classmethod
+    def _bound_cmp(cls, a, b) -> int | None:
+        """Three-way compare of a logged stat / partition value
+        against a declared-read-bound value, for the scoped-rebase
+        PROOF — None means "cannot prove", and every caller must
+        treat that as may-match (conflict), never as disjoint.
+        Numeric pairs compare numerically; string pairs go through
+        ``_dml_cmp``'s quoted-string care (ISO 'T'->' ' + date->
+        midnight normalization on BOTH sides, timezone refusal,
+        proper-prefix refusal, numeric/lexical agreement); mixed
+        numeric/string pairs are unprovable. r13 (ADVICE): the old
+        raw ``<``/``>`` compare would lexically "prove" a matching
+        concurrent append disjoint when the bound and the stat
+        spelled the same instant differently (' ' vs 'T') — the
+        silent lost-delete class."""
+        num = (int, float)
+        if (
+            isinstance(a, num) and not isinstance(a, bool)
+            and isinstance(b, num) and not isinstance(b, bool)
+        ):
+            return (a > b) - (a < b)
+        if isinstance(a, str) and isinstance(b, str):
+            return cls._dml_cmp(a, "'" + b + "'")
+        return None
+
+    @classmethod
+    def _pv_bound_cmp(cls, v: str, b) -> int | None:
+        """_bound_cmp for a PARTITION-DIR value: per-file constants
+        are untyped strings, so a numeric bound may safely compare
+        numerically when the value parses (the pointwise rule
+        _dml_cmp applies on the DML side)."""
+        if isinstance(b, str):
+            return cls._bound_cmp(v, b)
         try:
             fv = float(v)
-            flo = float(lo) if lo is not None else None
-            fhi = float(hi) if hi is not None else None
-            return (flo is None or fv >= flo) and (fhi is None or fv <= fhi)
         except (TypeError, ValueError):
-            pass
-        try:
-            return (lo is None or v >= str(lo)) and (hi is None or v <= str(hi))
-        except TypeError:
-            return True  # incomparable: conservative "may match"
+            return None
+        if isinstance(b, (int, float)) and not isinstance(b, bool):
+            return (fv > b) - (fv < b)
+        return None
 
     def _added_file_may_match(
         self, rel: str, stats: dict | None, bounds: dict[str, tuple]
@@ -899,27 +926,41 @@ class TransactionalLake:
         """True unless the file's partition path or logged min/max
         stats PROVE no row can fall inside ``bounds`` — the same
         conservative logic as read-side pruning, applied to a
-        concurrent writer's added file."""
+        concurrent writer's added file. Every comparison goes
+        through the typed ``_bound_cmp`` proof: an unprovable pair
+        keeps the file (conflict), it never fakes disjointness."""
         for col, (lo, hi) in bounds.items():
             if col in self.partition_by:
                 for seg in rel.split(os.sep)[:-1]:
                     if seg.startswith(f"{col}="):
-                        if not self._in_range(
-                            unquote(seg[len(col) + 1:]), lo, hi
-                        ):
+                        v = unquote(seg[len(col) + 1:])
+                        cl = (
+                            self._pv_bound_cmp(v, lo)
+                            if lo is not None
+                            else None
+                        )
+                        if cl is not None and cl < 0:
+                            return False
+                        ch = (
+                            self._pv_bound_cmp(v, hi)
+                            if hi is not None
+                            else None
+                        )
+                        if ch is not None and ch > 0:
                             return False
                         break
         for col, (lo, hi) in bounds.items():
             st = (stats or {}).get(col)
             if st is None:
                 continue
-            try:
-                if lo is not None and st[1] < lo:
+            if lo is not None:
+                c = self._bound_cmp(st[1], lo)
+                if c is not None and c < 0:
                     return False
-                if hi is not None and st[0] > hi:
+            if hi is not None:
+                c = self._bound_cmp(st[0], hi)
+                if c is not None and c > 0:
                     return False
-            except TypeError:
-                continue
         return True
 
     @staticmethod
@@ -3045,27 +3086,30 @@ class TransactionalLake:
             s = lit[1:-1] if quoted else lit
             if quoted:
                 if TransactionalLake._ISO_PREFIX_RE.match(s):
-                    # ADVICE r12: a temporal-looking literal ('T'
-                    # separator, tz suffix, date-only vs midnight,
-                    # sub-second width) would become a RAW string
-                    # bound that _added_file_may_match compares
-                    # lexically against space-separated isoformat
-                    # stats (' ' < 'T') — a concurrent append whose
-                    # rows DO match could be "proven" disjoint and
-                    # rebased over, the silent missed-conflict the
-                    # read-bounds contract exists to prevent. Unlike
-                    # _dml_cmp (which normalizes BOTH sides), a
-                    # derived bound meets stats of unknown type and
-                    # width later — derive nothing and fall back to
-                    # the conservative full conflict. Explicit
-                    # read_bounds= stay available to callers who
-                    # know their column types.
-                    return None
-                try:
-                    float(s)
-                    return None  # numeric-looking string: ambiguous
-                except (TypeError, ValueError):
+                    # ADVICE r12 + r13: temporal literals DO derive
+                    # bounds — "delete yesterday" is the workload
+                    # scoped rebase exists for — but only after the
+                    # same normalization _dml_cmp applies ('T'->' ',
+                    # date-only -> midnight) and a tz refusal. The
+                    # SOUNDNESS now lives in _bound_cmp: every
+                    # bound-vs-stat compare goes through _dml_cmp's
+                    # quoted-string care (both-sides normalization,
+                    # proper-prefix refusal, numeric/lexical
+                    # agreement), so a mismatched spelling of the
+                    # same instant can only produce "cannot prove"
+                    # (conflict), never a fake disjointness.
+                    if TransactionalLake._TZ_SUFFIX_RE.search(s[10:]):
+                        return None
+                    s = s.replace("T", " ")
+                    if len(s) == 10:
+                        s += " 00:00:00"
                     val: object = s
+                else:
+                    try:
+                        float(s)
+                        return None  # numeric-looking string: ambiguous
+                    except (TypeError, ValueError):
+                        val = s
             else:
                 val = int(s) if re.fullmatch(r"-?\d+", s) else float(s)
             lo, hi = rb.get(col, [None, None])

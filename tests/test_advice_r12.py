@@ -80,26 +80,35 @@ class TestStringStatNumericLiteral:
 
 
 class TestTemporalAutoScope:
-    """ADVICE r12 (medium): ISO-looking quoted literals must derive
-    NO auto read-bounds — a raw string bound compared lexically
-    against differently-shaped stats could "prove" a concurrent
-    append disjoint when its rows match (lost delete)."""
+    """ADVICE r12 (medium) + r13: temporal literals derive NORMALIZED
+    auto read-bounds ('T'->' ', date->midnight; tz refused), and the
+    soundness lives in _bound_cmp — every bound-vs-stat compare goes
+    through _dml_cmp's quoted-string care, so a differently-spelled
+    SAME instant can only produce "cannot prove" (conflict), never a
+    fake disjointness (the lost-delete class)."""
 
     @pytest.mark.parametrize(
         "lit",
         [
-            "'2024-06-01T00:00:00'",
-            "'2024-06-01'",
             "'2024-06-01 00:00:00+09:00'",
             "'2024-06-01 00:00:00Z'",
-            "'2024-06-01 12:00:00.5'",
         ],
     )
-    def test_iso_literals_derive_nothing(self, lit):
+    def test_tz_literals_derive_nothing(self, lit):
         assert (
             TransactionalLake._derive_read_bounds([("ts", ">=", lit)])
             is None
         )
+
+    def test_naive_iso_literals_normalize(self):
+        rb = TransactionalLake._derive_read_bounds(
+            [("ts", ">=", "'2024-06-01T00:00:00'")]
+        )
+        assert rb == {"ts": ("2024-06-01 00:00:00", None)}
+        rb = TransactionalLake._derive_read_bounds(
+            [("d", "<=", "'2024-06-01'")]
+        )
+        assert rb == {"d": (None, "2024-06-01 00:00:00")}
 
     def test_plain_string_and_numeric_still_derive(self):
         rb = TransactionalLake._derive_read_bounds(
@@ -107,12 +116,25 @@ class TestTemporalAutoScope:
         )
         assert rb == {"sym": ("AAPL", "AAPL"), "px": (10, None)}
 
-    def test_temporal_delete_conflicts_conservatively(
+    def test_bound_cmp_refuses_ambiguity(self):
+        cmp = TransactionalLake._bound_cmp
+        # same instant, different spelling: normalized equal
+        assert cmp("2024-06-01T06:00:00", "2024-06-01 06:00:00") == 0
+        # proper prefix (sub-second width): cannot prove
+        assert cmp("2024-06-01 00:00:00.5", "2024-06-01 00:00:00") is None
+        # tz suffix: cannot prove
+        assert cmp("2024-06-01 00:00:00Z", "2024-06-01 00:00:00") is None
+        # numeric-string lexical/numeric disagreement: cannot prove
+        assert cmp("10", "5") is None
+        # mixed type: cannot prove
+        assert cmp("10", 5) is None
+
+    def test_matching_append_conflicts_even_with_t_spelling(
         self, spark, tmp_path
     ):
-        """End to end: with an ISO predicate the delete declares no
-        bounds, so an interleaved append conflicts (the pre-r12
-        behavior) instead of being 'proven' disjoint."""
+        """The lost-delete hazard: stats carry 'T'-separated strings,
+        the derived bound is ' '-separated — the matching concurrent
+        append must CONFLICT, not be 'proven' disjoint."""
         lk = TransactionalLake(
             spark, str(tmp_path / "tcc"), partition_by=()
         )
@@ -127,8 +149,8 @@ class TestTemporalAutoScope:
                 [("2024-06-01T06:00:00", 2.0)], "ts string, v double"
             )
         )
-        rb = lk._auto_read_bounds("ts >= '2024-06-01T00:00:00'", None)
-        assert rb is None  # no auto-scope for temporal literals
+        rb = lk._auto_read_bounds("ts >= '2024-06-01 00:00:00'", None)
+        assert rb == {"ts": ("2024-06-01 00:00:00", None)}
         with pytest.raises(RuntimeError, match="concurrent|advanced"):
             lk._commit(
                 {"op": "delete", "predicate": "x", "add": [],
@@ -136,6 +158,51 @@ class TestTemporalAutoScope:
                 read_version=read_v,
                 read_bounds=rb,
             )
+
+    def test_disjoint_append_rebases_with_temporal_scope(
+        self, spark, tmp_path
+    ):
+        """The win the normalization buys: a concurrent append whose
+        stats prove its rows fall OUTSIDE the temporal scope rebases
+        instead of failing — 'delete yesterday' no longer conflicts
+        with today's ingest."""
+        lk = TransactionalLake(
+            spark, str(tmp_path / "trb"), partition_by=()
+        )
+        lk.append(
+            spark.createDataFrame(
+                [("2024-06-01 05:00:00", 1.0),
+                 ("2024-06-01 06:00:00", 2.0)],
+                "ts string, v double",
+            )
+        )
+
+        orig_state = lk._snapshot_state
+
+        def interleave(*a, **kw):
+            out = orig_state(*a, **kw)
+            if not getattr(interleave, "done", False):
+                interleave.done = True
+                lk.append(
+                    spark.createDataFrame(
+                        [("2024-06-02 09:00:00", 3.0)],
+                        "ts string, v double",
+                    )
+                )
+            return out
+
+        lk._snapshot_state = interleave  # type: ignore
+        try:
+            lk.delete_where(
+                "ts >= '2024-06-01 00:00:00' AND "
+                "ts <= '2024-06-01 23:59:59'"
+            )
+        finally:
+            lk._snapshot_state = orig_state  # type: ignore
+        got = sorted(r.ts for r in lk.snapshot().collect())
+        # June 1 rows deleted; the interleaved June 2 row SURVIVES
+        # and the delete rebased over it instead of raising
+        assert got == ["2024-06-02 09:00:00"]
 
 
 class TestMultipartDropScansAllRetained:
