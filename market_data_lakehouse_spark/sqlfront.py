@@ -80,6 +80,51 @@ def _unquote(s: str) -> str:
     return s
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split on top-level ``AND`` (respecting quotes and parens) —
+    the conjunct walk subquery-DML rewriting needs. ORs and
+    parenthesized groups stay inside their conjunct."""
+    out, depth, quote, cur = [], 0, None, []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif (
+            depth == 0
+            and s[i:i + 3].upper() == "AND"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + 3 >= n
+                or not (s[i + 3].isalnum() or s[i + 3] == "_")
+            )
+        ):
+            out.append("".join(cur).strip())
+            cur = []
+            i += 3
+            continue
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def _split_commas(s: str) -> list[str]:
     """Split on top-level commas (respecting quotes and parens) —
     enough for property lists and column lists; expressions with
@@ -907,19 +952,98 @@ class LakeSQL:
     _DELETE = re.compile(
         rf"DELETE\s+FROM\s+(?P<tbl>{_IDENT})"
         r"(?:\s+WHERE\s+(?P<pred>.+))?$",
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
+
+    _IN_SUBQ = re.compile(
+        rf"^\s*`?(?P<col>{_IDENT})`?\s+(?P<innot>NOT\s+)?IN\s*"
+        r"\(\s*(?P<q>SELECT\s.+)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _extract_in_subquery(
+        self, predicate: str
+    ) -> tuple[str | None, str | None, str | None]:
+        """Subquery-DML rewrite support (r13): when the predicate is
+        a top-level AND of conjuncts exactly ONE of which is ``col IN
+        (SELECT ...)``, return (col, subquery_sql, residual_pred);
+        otherwise (None, None, predicate). The caller routes the
+        match through a key-MERGE (delete/update only the joined
+        rows) with the residual as the matched-clause condition —
+        Delta's subquery-DML shape without a correlated-subquery
+        evaluator. ``NOT IN (subquery)`` refuses loudly: one NULL
+        from the subquery makes SQL's NOT IN drop every row
+        (three-valued trap), a silent footgun better rewritten
+        explicitly."""
+        if not re.search(
+            r"\bIN\s*\(\s*SELECT\b", predicate, re.IGNORECASE
+        ):
+            return None, None, predicate
+        col = subq = None
+        residual: list[str] = []
+        for part in _split_top_and(predicate):
+            mm = self._IN_SUBQ.match(part)
+            if mm:
+                if mm.group("innot"):
+                    raise ValueError(
+                        "NOT IN (subquery) is refused: one NULL from "
+                        "the subquery makes SQL's NOT IN match no "
+                        "rows at all — filter the subquery NOT NULL "
+                        "and rewrite, or use MERGE ... WHEN NOT "
+                        "MATCHED BY SOURCE"
+                    )
+                if subq is not None:
+                    raise ValueError(
+                        "at most one IN (subquery) conjunct is "
+                        "supported per statement"
+                    )
+                col, subq = mm.group("col"), mm.group("q")
+            elif re.search(r"\(\s*SELECT\b", part, re.IGNORECASE):
+                raise ValueError(
+                    f"unsupported subquery conjunct: {part!r} "
+                    "(supported: col IN (SELECT ...), AND-ed with "
+                    "plain conjuncts)"
+                )
+            else:
+                residual.append(part)
+        return col, subq, (" AND ".join(residual) or None)
+
+    def _in_subquery_keys(self, col: str, subq: str) -> DataFrame:
+        keys = self.spark.sql(self._prepare_select(subq))
+        if len(keys.columns) != 1:
+            raise ValueError(
+                f"IN (subquery) must select exactly one column, got "
+                f"{keys.columns}"
+            )
+        # distinct keys: duplicate source keys would multiply the
+        # update join's postimages (row duplication)
+        return keys.toDF(col).dropDuplicates([col])
 
     def _do_delete(self, m) -> DataFrame:
         lake = self.table(m.group("tbl"))
-        return self._receipt(
-            "DELETE", lake.delete_where(m.group("pred") or "true")
-        )
+        pred = m.group("pred") or "true"
+        col, subq, residual = self._extract_in_subquery(pred)
+        if col is not None:
+            # subquery DML rides the merge engine: matched keys
+            # delete (scoped to the residual condition), nothing
+            # inserts — lands as a merge commit in the history
+            return self._receipt(
+                "DELETE",
+                lake.merge(
+                    self._in_subquery_keys(col, subq),
+                    on=[col],
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=residual,
+                ),
+            )
+        return self._receipt("DELETE", lake.delete_where(pred))
 
     _UPDATE = re.compile(
         rf"UPDATE\s+(?P<tbl>{_IDENT})\s+SET\s+(?P<sets>.+?)"
         r"(?:\s+WHERE\s+(?P<pred>.+))?$",
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
 
     def _do_update(self, m) -> DataFrame:
@@ -930,9 +1054,26 @@ class LakeSQL:
                 raise ValueError(f"UPDATE SET needs col = expr: {a!r}")
             assignments[col.strip().strip("`")] = expr.strip()
         lake = self.table(m.group("tbl"))
+        pred = m.group("pred") or "true"
+        kcol, subq, residual = self._extract_in_subquery(pred)
+        if kcol is not None:
+            # subquery DML via the merge engine: matched keys take
+            # the SET expressions (target-column exprs — the UPDATE
+            # statement has no source alias), scoped to the residual
+            return self._receipt(
+                "UPDATE",
+                lake.merge(
+                    self._in_subquery_keys(kcol, subq),
+                    on=[kcol],
+                    set_exprs=assignments,
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=residual,
+                ),
+            )
         return self._receipt(
             "UPDATE",
-            lake.update_where(m.group("pred") or "true", assignments),
+            lake.update_where(pred, assignments),
         )
 
     _MERGE = re.compile(
@@ -1821,8 +1962,8 @@ class LakeSQL:
         ("GENERATE", (_GENERATE, "GENERATE symlink_format_manifest FOR TABLE t", "_do_generate")),
         ("REORG TABLE", (_REORG, "REORG TABLE t APPLY (PURGE)", "_do_reorg")),
         ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t [(c1, c2, ...)] <select>", "_do_insert")),
-        ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred]", "_do_delete")),
-        ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred]", "_do_update")),
+        ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred [AND] col IN (SELECT ...)]", "_do_delete")),
+        ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred [AND] col IN (SELECT ...)]", "_do_update")),
         ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED [AND cond] THEN UPDATE SET *|<col = expr, ...>|DELETE (repeatable, first-true-wins) [WHEN NOT MATCHED [AND cond] THEN INSERT *|(cols) VALUES (exprs)] [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
         ("CREATE TABLE", (_CLONE, "CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v | TIMESTAMP AS OF 'ts'] LOCATION 'p'", "_do_clone")),
         ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),

@@ -865,3 +865,101 @@ class TestMultiClauseMerge:
         assert rows[2]._row_id == ids0[2][0]
         assert rows[2]._row_commit_version == v
         assert rows[2].qty == 25.0
+
+
+class TestSubqueryDML:
+    """r13: DELETE/UPDATE ... WHERE col IN (SELECT ...) — routed
+    through the merge engine (matched keys act, scoped by the
+    residual AND-conjuncts as the matched-clause condition)."""
+
+    def _setup(self, spark, tmp_path, name):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE {name} (k BIGINT, v DOUBLE, cat STRING) "
+            f"LOCATION '{tmp_path / name}'"
+        )
+        fr.sql(
+            f"INSERT INTO {name} VALUES (1, 1.0, 'a'), (2, 2.0, 'b'),"
+            " (3, 3.0, 'a'), (4, 4.0, 'b')"
+        )
+        fr.sql(
+            f"CREATE TABLE {name}_pick (k BIGINT) "
+            f"LOCATION '{tmp_path / (name + '_p')}'"
+        )
+        fr.sql(f"INSERT INTO {name}_pick VALUES (2), (3), (4)")
+        return fr
+
+    def test_delete_in_subquery_with_residual(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sq1")
+        fr.sql(
+            "DELETE FROM sq1 WHERE k IN "
+            "(SELECT k FROM sq1_pick WHERE k < 4) AND cat = 'a'"
+        )
+        got = sorted(
+            r.k for r in fr.sql("SELECT * FROM sq1").collect()
+        )
+        assert got == [1, 2, 4]  # only k=3 (picked AND cat a) goes
+
+    def test_update_in_subquery(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sq2")
+        fr.sql(
+            "UPDATE sq2 SET v = v * 10 "
+            "WHERE k IN (SELECT k FROM sq2_pick)"
+        )
+        got = {
+            r.k: r.v for r in fr.sql("SELECT * FROM sq2").collect()
+        }
+        assert got == {1: 1.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+    def test_duplicate_subquery_keys_no_row_duplication(
+        self, spark, tmp_path
+    ):
+        fr = self._setup(spark, tmp_path, "sq3")
+        # the subquery yields k=2 twice; the update must not
+        # duplicate the row
+        fr.sql(
+            "UPDATE sq3 SET v = 0.0 WHERE k IN "
+            "(SELECT k FROM sq3_pick UNION ALL "
+            "SELECT k FROM sq3_pick WHERE k = 2)"
+        )
+        assert fr.sql("SELECT COUNT(*) AS n FROM sq3").first()["n"] == 4
+
+    def test_not_in_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sq4")
+        with pytest.raises(ValueError, match="NOT IN"):
+            fr.sql(
+                "DELETE FROM sq4 WHERE k NOT IN "
+                "(SELECT k FROM sq4_pick)"
+            )
+
+    def test_or_with_subquery_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sq5")
+        with pytest.raises(ValueError, match="unsupported subquery"):
+            fr.sql(
+                "DELETE FROM sq5 WHERE cat = 'a' OR k IN "
+                "(SELECT k FROM sq5_pick)"
+            )
+
+    def test_multi_column_subquery_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sq6")
+        with pytest.raises(ValueError, match="exactly one column"):
+            fr.sql(
+                "DELETE FROM sq6 WHERE k IN "
+                "(SELECT k, k FROM sq6_pick)"
+            )
+
+    def test_null_key_rows_kept(self, spark, tmp_path):
+        """SQL IN: a NULL key never matches — the row survives."""
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE sq7 (k BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'sq7'}'"
+        )
+        fr.sql("INSERT INTO sq7 VALUES (1, 1.0), (NULL, 9.0)")
+        fr.sql(
+            "DELETE FROM sq7 WHERE k IN (SELECT CAST(1 AS BIGINT))"
+        )
+        got = [
+            (r.k, r.v) for r in fr.sql("SELECT * FROM sq7").collect()
+        ]
+        assert got == [(None, 9.0)]
