@@ -183,8 +183,37 @@ class LakeSQL:
         return lake
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _strip_line_comments(stmt: str) -> str:
+        """Drop ``-- ...`` line comments outside string literals
+        (r13): pasted SQL and SHOW CREATE TABLE output carry them,
+        and the verb regexes anchor on ``$``. Double-quoted strings
+        are rare in this dialect but protected the same way."""
+        out, quote = [], None
+        i, n = 0, len(stmt)
+        while i < n:
+            ch = stmt[i]
+            if quote:
+                out.append(ch)
+                if ch == quote:
+                    quote = None
+                i += 1
+                continue
+            if ch in ("'", '"'):
+                quote = ch
+                out.append(ch)
+                i += 1
+            elif ch == "-" and stmt[i:i + 2] == "--":
+                j = stmt.find("\n", i)
+                i = n if j < 0 else j  # keep the newline as spacing
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
+
     def sql(self, statement: str) -> DataFrame:
-        stmt = statement.strip().rstrip(";").strip()
+        stmt = self._strip_line_comments(statement).strip()
+        stmt = stmt.rstrip(";").strip()
         flat = re.sub(r"\s+", " ", stmt)
         up = flat.upper()
         cands = [h for head, h in self._HANDLERS if up.startswith(head)]
@@ -1384,8 +1413,10 @@ class LakeSQL:
                 matched_list.append(cl)
         # single matched clause -> the legacy scalar params (the
         # battle-tested path); two or more -> the ordered
-        # first-true-wins clause list
-        when_matched = "update"
+        # first-true-wins clause list; NONE -> insert-only merge,
+        # matched rows untouched (review find r13: this used to
+        # default to a silent whole-row update)
+        when_matched = None
         set_exprs = matched_condition = matched_clauses = None
         if len(matched_list) == 1:
             cl = matched_list[0]
@@ -1394,6 +1425,7 @@ class LakeSQL:
             matched_condition = cl.get("condition")
         elif matched_list:
             matched_clauses = matched_list
+            when_matched = "update"  # engine default; the list rules
         lake = self.table(m.group("tbl"))
         return self._receipt(
             "MERGE",
@@ -1794,6 +1826,7 @@ class LakeSQL:
         parts = [inv.get(c, c) for c in lake.partition_by]
         info = lake.clustering_info()
         coldefs = []
+        notes: list[str] = []
         for cname, dtype in lake.snapshot().dtypes:
             d = f"  {cname} {dtype.upper()}"
             phys = (doc or {}).get(cname, cname)
@@ -1809,11 +1842,21 @@ class LakeSQL:
                 if start is not None and int(start) != 0:
                     opts.append(f"START WITH {int(start)}")
                 if step != 1:
-                    if start is None:
-                        opts.append("/* START WITH unrecorded */")
                     opts.append(f"INCREMENT BY {step}")
                 if opts:
                     d += f" ({' '.join(opts)})"
+                if start is None and step != 1:
+                    # legacy doc without a recorded start: refuse to
+                    # invent a literal; the note rides the END of
+                    # the statement as a line comment the front-end
+                    # strips on replay (review find r13: an inline
+                    # /* */ marker broke the round-trip this
+                    # statement exists for)
+                    notes.append(
+                        f"-- {cname}: START WITH unrecorded "
+                        "(declared before start logging; replay "
+                        "restarts at 0)"
+                    )
             elif cname in gen:
                 d += f" GENERATED ALWAYS AS ({gen[cname]})"
             elif cname in not_null:
@@ -1837,6 +1880,8 @@ class LakeSQL:
                 f"'{k}' = '{v}'" for k, v in sorted(props.items())
             )
             stmt += f"\nTBLPROPERTIES ({body})"
+        if notes:
+            stmt += "\n" + "\n".join(notes)
         return self.spark.createDataFrame(
             [(stmt,)], "createtab_stmt string"
         )

@@ -1960,6 +1960,45 @@ class TransactionalLake:
                 df = df.withColumn(name, F.expr(expr))
         return df
 
+    def _assert_not_generated(self, cols, label: str) -> None:
+        """GENERATED ALWAYS columns are engine-computed on every
+        write — an explicit assignment would silently break the
+        generated invariant (Delta refuses the same way)."""
+        gen = set(self.generated_columns) & set(cols)
+        if gen:
+            raise ValueError(
+                f"{label} assigns GENERATED ALWAYS columns "
+                f"{sorted(gen)} — the engine computes them from "
+                "their expressions; assign the INPUT columns instead"
+            )
+
+    def _regen_after_assign(self, df: DataFrame, assigned) -> DataFrame:
+        """Recompute generated columns whose INPUT columns were
+        assigned (r13, Delta parity: UPDATE/merge-SET of a
+        dependency recomputes the dependent — keeping the stored
+        value would silently break the generated invariant). Rows
+        the assignment did not touch recompute to their stored value
+        (the invariant already held for them), so one uniform
+        projection is exact."""
+        have = set(df.columns)
+        todo = {
+            g: e
+            for g, e in self.generated_columns.items()
+            if g in have
+            and self._predicate_columns(e, have - {g}) & set(assigned)
+        }
+        if not todo:
+            return df
+        types = dict(df.dtypes)
+        return df.select(
+            *[
+                F.expr(todo[c]).cast(types[c]).alias(c)
+                if c in todo
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     def _write_files(
         self, df: DataFrame, preserve_layout: bool = False
     ) -> list[str]:
@@ -2979,7 +3018,19 @@ class TransactionalLake:
                 b += " 00:00:00"
             if a != b and (a.startswith(b) or b.startswith(a)):
                 return None  # sub-second/width boundary: can't prove
-            return (a > b) - (a < b)
+            norm = (a > b) - (a < b)
+            if (a, b) != (stat, s):
+                # review find r13: the column's true type is unknown
+                # — a STRING column compares the RAW spellings
+                # lexically (' ' < 'T'), a temporal column compares
+                # the normalized instants. When normalization
+                # changed either side, the verdict is provable only
+                # if BOTH orders agree (the same rule the
+                # numeric/lexical branch below applies).
+                raw = (stat > s) - (stat < s)
+                if raw != norm:
+                    return None
+            return norm
         lex = (a > b) - (a < b)
         try:
             fa, fb = float(a), float(b)
@@ -3088,21 +3139,20 @@ class TransactionalLake:
                 if TransactionalLake._ISO_PREFIX_RE.match(s):
                     # ADVICE r12 + r13: temporal literals DO derive
                     # bounds — "delete yesterday" is the workload
-                    # scoped rebase exists for — but only after the
-                    # same normalization _dml_cmp applies ('T'->' ',
-                    # date-only -> midnight) and a tz refusal. The
-                    # SOUNDNESS now lives in _bound_cmp: every
-                    # bound-vs-stat compare goes through _dml_cmp's
-                    # quoted-string care (both-sides normalization,
-                    # proper-prefix refusal, numeric/lexical
-                    # agreement), so a mismatched spelling of the
-                    # same instant can only produce "cannot prove"
-                    # (conflict), never a fake disjointness.
+                    # scoped rebase exists for — and they derive RAW
+                    # (review find r13: normalizing here was itself
+                    # unsound — a STRING column compares the user's
+                    # original spelling lexically, so a 'T'->' '
+                    # rewrite of the bound changed which rows it
+                    # covers under that interpretation). Soundness
+                    # lives entirely in _bound_cmp: a proof requires
+                    # the RAW-lexical and NORMALIZED orders to agree,
+                    # which covers both the string and the temporal
+                    # reading of the column; disagreement = conflict.
+                    # Timezone suffixes still refuse (session-tz
+                    # resolution is invisible to the log).
                     if TransactionalLake._TZ_SUFFIX_RE.search(s[10:]):
                         return None
-                    s = s.replace("T", " ")
-                    if len(s) == 10:
-                        s += " 00:00:00"
                     val: object = s
                 else:
                     try:
@@ -3660,6 +3710,7 @@ class TransactionalLake:
             self._map_cols([k], mdoc)[0]: self._map_expr(v, mdoc)
             for k, v in assignments.items()
         }
+        self._assert_not_generated(assignments, "update_where")
         read_bounds = (
             self._map_cols(read_bounds, mdoc) if read_bounds else read_bounds
         )
@@ -3720,6 +3771,7 @@ class TransactionalLake:
                 for c in aff_df.columns
             ]
         )
+        rewritten = self._regen_after_assign(rewritten, assignments)
         self._enforce_constraints(rewritten, "update")
         added = self._write_files(rewritten)
         return self._commit(
@@ -3787,6 +3839,7 @@ class TransactionalLake:
                 if c not in ("_row_file", "_row_pos")
             ]
         )
+        post = self._regen_after_assign(post, assignments)
         post = self._conform(post, schemas, keep=(self._RT_ID,))
         self._enforce_constraints(post, "update")
         added = self._write_files(post)
@@ -3894,7 +3947,14 @@ class TransactionalLake:
                 )
             )
         matched = matched.localCheckpoint(eager=False)
-        hits = matched.select("_row_file", "_row_pos").collect()
+        # insert-only merge (r13): no matched clause hides nothing —
+        # matched target rows stay untouched, and the matched frame
+        # serves only the insert anti-join
+        hits = (
+            []
+            if when_matched is None and matched_clauses is None
+            else matched.select("_row_file", "_row_pos").collect()
+        )
         parts: list[DataFrame] = []
         if hits and matched_clauses is not None:
             # update-fired rows re-emit their clause's postimage;
@@ -3911,16 +3971,27 @@ class TransactionalLake:
                     and not c.startswith("_src_")
                 ]
                 ttypes = dict(matched.dtypes)
+                cl_assigned = set().union(
+                    *[
+                        set(cl.get("set") or ())
+                        for cl in matched_clauses
+                        if cl["action"] == "update"
+                    ]
+                )
                 parts.append(
-                    matched.filter(
-                        F.col("_m_fired").isin(upd_idx)
-                    ).select(
-                        *[
-                            self._clause_proj(
-                                c, matched_clauses, src_cols, ttypes
-                            )
-                            for c in out_cols
-                        ]
+                    self._regen_after_assign(
+                        matched.filter(
+                            F.col("_m_fired").isin(upd_idx)
+                        ).select(
+                            *[
+                                self._clause_proj(
+                                    c, matched_clauses, src_cols,
+                                    ttypes,
+                                )
+                                for c in out_cols
+                            ]
+                        ),
+                        cl_assigned,
                     )
                 )
         elif hits and when_matched == "update":
@@ -3952,13 +4023,16 @@ class TransactionalLake:
                 }
                 ttypes = dict(matched.dtypes)
                 parts.append(
-                    upd.select(
-                        *[
-                            F.expr(rw[c]).cast(ttypes[c]).alias(c)
-                            if c in rw
-                            else F.col(c)
-                            for c in out_cols
-                        ]
+                    self._regen_after_assign(
+                        upd.select(
+                            *[
+                                F.expr(rw[c]).cast(ttypes[c]).alias(c)
+                                if c in rw
+                                else F.col(c)
+                                for c in out_cols
+                            ]
+                        ),
+                        set_exprs,
                     )
                 )
             else:
@@ -4156,7 +4230,15 @@ class TransactionalLake:
             if c in tmap:
                 col = col.cast(tmap[c])
             cols.append(col.alias(c))
-        return src.select(*cols)
+        out = src.select(*cols)
+        # GENERATED columns are engine-computed on every write
+        # (review find r13: the pre-projection _apply_generated ran
+        # on the full source, and the named projection dropped its
+        # results — inserts landed NULL where append computes a
+        # value). Recompute from the projected columns; an insert
+        # list that omits a generated expression's INPUT column
+        # fails loudly at resolution rather than writing NULL.
+        return self._apply_generated(out)
 
     def merge(
         self,
@@ -4376,8 +4458,19 @@ class TransactionalLake:
         # affected-file probe, and the rewrite all reuse the
         # checkpointed batch instead of recomputing its lineage
         source = source.localCheckpoint(eager=False)
-        if when_matched not in ("update", "delete"):
-            raise ValueError("when_matched must be 'update' or 'delete'")
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(
+                "when_matched must be 'update', 'delete', or None "
+                "(None = no matched clause: an insert-only merge "
+                "leaves matched target rows untouched)"
+            )
+        if when_matched is None and (
+            set_exprs is not None or matched_condition is not None
+        ):
+            raise ValueError(
+                "set_exprs / matched_condition pair with a matched "
+                "clause (when_matched='update'/'delete')"
+            )
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError("when_not_matched must be 'insert' or 'ignore'")
         if when_not_matched_by_source not in ("delete", "ignore", "update"):
@@ -4394,11 +4487,34 @@ class TransactionalLake:
             raise ValueError(
                 "insert_values pairs with when_not_matched='insert'"
             )
-        if matched_clauses is not None:
-            if set_exprs is not None or matched_condition is not None:
+        if insert_values is not None:
+            gen = set(self.generated_columns) & set(insert_values)
+            if gen:
                 raise ValueError(
-                    "matched_clauses supersedes set_exprs / "
-                    "matched_condition — pass the clause list alone"
+                    f"insert_values assigns GENERATED ALWAYS columns "
+                    f"{sorted(gen)} — the engine computes them on "
+                    "every write; omit them from the insert list"
+                )
+        for label, d in (
+            ("set_exprs", set_exprs),
+            ("by_source_set", by_source_set),
+            *(
+                (f"matched_clauses[{i}].set", cl.get("set"))
+                for i, cl in enumerate(matched_clauses or ())
+            ),
+        ):
+            if d:
+                self._assert_not_generated(d, label)
+        if matched_clauses is not None:
+            if (
+                set_exprs is not None
+                or matched_condition is not None
+                or when_matched != "update"
+            ):
+                raise ValueError(
+                    "matched_clauses supersedes when_matched / "
+                    "set_exprs / matched_condition — pass the clause "
+                    "list alone (leave when_matched at its default)"
                 )
             if schema_evolution:
                 raise ValueError(
@@ -4675,6 +4791,17 @@ class TransactionalLake:
             affected = sorted(set(affected) | set(unmatched_files))
         parts: list[DataFrame] = []
         rt = self._row_tracking_state()
+        # INSERT-ONLY merge (r13, review find): no matched clause and
+        # no by-source clause means NO existing row changes — the
+        # affected files stay live (remove nothing, rewrite nothing);
+        # aff_df serves only the insert anti-join. Before this, the
+        # matched rows were silently whole-row updated.
+        insert_only = (
+            when_matched is None
+            and matched_clauses is None
+            and when_not_matched_by_source == "ignore"
+        )
+        removes = [] if insert_only else affected
         aff_df = (
             self._rewrite_src(affected, schemas, dvs, rt)
             if affected
@@ -4686,7 +4813,12 @@ class TransactionalLake:
                 if by_source_condition is not None
                 else None
             )
-            if when_not_matched_by_source == "ignore":
+            if when_matched is None and not insert_only:
+                # no matched clause but the files ARE being rewritten
+                # (for their BY SOURCE rows): matched rows pass
+                # through untouched
+                parts.append(aff_df.join(src_keys, keys, "left_semi"))
+            if when_not_matched_by_source == "ignore" and not insert_only:
                 # survivors: rows in affected files whose key has NO
                 # source match
                 parts.append(aff_df.join(src_keys, keys, "left_anti"))
@@ -4717,7 +4849,12 @@ class TransactionalLake:
                         ).alias(c)
                     return F.col(c)
 
-                parts.append(surv.select(*[_bs(c) for c in surv.columns]))
+                parts.append(
+                    self._regen_after_assign(
+                        surv.select(*[_bs(c) for c in surv.columns]),
+                        by_source_set,
+                    )
+                )
             elif bs_cond is not None:
                 # conditional by-source DELETE: anti-join rows where
                 # the condition is NOT true survive (NULL = keep)
@@ -4765,14 +4902,25 @@ class TransactionalLake:
                 if del_idx:
                     upd = upd.filter(~F.col("_m_fired").isin(del_idx))
                 ttypes = dict(aff_df.dtypes)
+                cl_assigned = set().union(
+                    *[
+                        set(cl.get("set") or ())
+                        for cl in matched_clauses
+                        if cl["action"] == "update"
+                    ]
+                )
                 parts.append(
-                    upd.select(
-                        *[
-                            self._clause_proj(
-                                c, matched_clauses, src_cols, ttypes
-                            )
-                            for c in aff_df.columns
-                        ]
+                    self._regen_after_assign(
+                        upd.select(
+                            *[
+                                self._clause_proj(
+                                    c, matched_clauses, src_cols,
+                                    ttypes,
+                                )
+                                for c in aff_df.columns
+                            ]
+                        ),
+                        cl_assigned,
                     )
                 )
             m_cond = (
@@ -4860,21 +5008,26 @@ class TransactionalLake:
                     }
                     ttypes = dict(aff_df.dtypes)
                     parts.append(
-                        upd.select(
-                            *[
-                                _gated(
-                                    F.expr(rw[c]).cast(ttypes[c]), c
-                                )
-                                if c in rw
-                                else (
+                        self._regen_after_assign(
+                            upd.select(
+                                *[
                                     _gated(
-                                        F.lit(None).cast("bigint"), c
+                                        F.expr(rw[c]).cast(ttypes[c]),
+                                        c,
                                     )
-                                    if c == self._RT_VER
-                                    else F.col(c)
-                                )
-                                for c in aff_df.columns
-                            ]
+                                    if c in rw
+                                    else (
+                                        _gated(
+                                            F.lit(None).cast("bigint"),
+                                            c,
+                                        )
+                                        if c == self._RT_VER
+                                        else F.col(c)
+                                    )
+                                    for c in aff_df.columns
+                                ]
+                            ),
+                            set_exprs,
                         )
                     )
                 else:
@@ -4978,7 +5131,7 @@ class TransactionalLake:
             # deleted, nothing inserted): the removals must still
             # commit (r12)
             return self._commit(
-                {"op": "merge", "add": [], "remove": affected,
+                {"op": "merge", "add": [], "remove": removes,
                  **txn_action},
                 read_version=read_v, read_bounds=read_bounds,
             )
@@ -4988,7 +5141,7 @@ class TransactionalLake:
             {
                 "op": "merge",
                 "add": added,
-                "remove": affected,
+                "remove": removes,
                 "schema": out.drop(*self._RT_COLS).schema.json(),
                 **({"column_mapping": ext_doc} if ext_doc else {}),
                 **txn_action,

@@ -80,11 +80,13 @@ class TestStringStatNumericLiteral:
 
 
 class TestTemporalAutoScope:
-    """ADVICE r12 (medium) + r13: temporal literals derive NORMALIZED
-    auto read-bounds ('T'->' ', date->midnight; tz refused), and the
-    soundness lives in _bound_cmp — every bound-vs-stat compare goes
-    through _dml_cmp's quoted-string care, so a differently-spelled
-    SAME instant can only produce "cannot prove" (conflict), never a
+    """ADVICE r12 (medium) + r13: temporal literals derive RAW auto
+    read-bounds (tz refused; the user's spelling is preserved —
+    normalizing the bound itself would change what it covers under a
+    string-typed reading), and the soundness lives in _bound_cmp —
+    every bound-vs-stat compare normalizes BOTH sides and proves
+    only when the raw-lexical and normalized orders AGREE, covering
+    both type interpretations. Disagreement = conflict, never a
     fake disjointness (the lost-delete class)."""
 
     @pytest.mark.parametrize(
@@ -100,15 +102,19 @@ class TestTemporalAutoScope:
             is None
         )
 
-    def test_naive_iso_literals_normalize(self):
+    def test_naive_iso_literals_derive_raw(self):
+        """Bounds keep the user's ORIGINAL spelling (normalizing the
+        bound would change which rows it covers under a string-typed
+        reading of the column); _bound_cmp normalizes at compare
+        time and proves only when raw and normalized orders agree."""
         rb = TransactionalLake._derive_read_bounds(
             [("ts", ">=", "'2024-06-01T00:00:00'")]
         )
-        assert rb == {"ts": ("2024-06-01 00:00:00", None)}
+        assert rb == {"ts": ("2024-06-01T00:00:00", None)}
         rb = TransactionalLake._derive_read_bounds(
             [("d", "<=", "'2024-06-01'")]
         )
-        assert rb == {"d": (None, "2024-06-01 00:00:00")}
+        assert rb == {"d": (None, "2024-06-01")}
 
     def test_plain_string_and_numeric_still_derive(self):
         rb = TransactionalLake._derive_read_bounds(
@@ -118,8 +124,16 @@ class TestTemporalAutoScope:
 
     def test_bound_cmp_refuses_ambiguity(self):
         cmp = TransactionalLake._bound_cmp
-        # same instant, different spelling: normalized equal
-        assert cmp("2024-06-01T06:00:00", "2024-06-01 06:00:00") == 0
+        # same instant, different spelling: normalized EQUAL but raw
+        # lexical differs -> type-dependent verdict -> cannot prove
+        assert cmp("2024-06-01T06:00:00", "2024-06-01 06:00:00") is None
+        # same spelling: provable
+        assert cmp("2024-06-01 06:00:00", "2024-06-01 05:00:00") == 1
+        # mixed spelling, DIFFERENT days: raw and normalized agree
+        assert cmp("2024-06-02 09:00:00", "2024-06-01T23:00:00") == 1
+        # mixed spelling, same day, order flips between raw (' '<'T')
+        # and normalized (23:00 > 01:00): cannot prove
+        assert cmp("2024-06-01 23:00:00", "2024-06-01T01:00:00") is None
         # proper prefix (sub-second width): cannot prove
         assert cmp("2024-06-01 00:00:00.5", "2024-06-01 00:00:00") is None
         # tz suffix: cannot prove
@@ -329,3 +343,36 @@ class TestShowPartitionsDecoded:
         )
         got = [r["sym"] for r in lk.partitions().collect()]
         assert got == [None, "X"]
+
+
+class TestRawBoundStringColumnSoundness:
+    """Review find r13: a 'T'-spelled literal's derived bound stays
+    RAW — normalizing it would change which rows it covers under a
+    STRING-typed reading of the column ('2024-01-05 23:00' < 'T'
+    form lexically, so the row MATCHES a `< T-literal` delete)."""
+
+    def test_t_literal_bound_never_fakes_disjoint(self, spark, tmp_path):
+        lk = TransactionalLake(
+            spark, str(tmp_path / "rawb"), partition_by=()
+        )
+        lk.append(
+            spark.createDataFrame(
+                [("2024-01-04 12:00:00", 1.0)], "d string, v double"
+            )
+        )
+        rb = lk._auto_read_bounds("d < '2024-01-05T01:00:00'", None)
+        assert rb == {"d": (None, "2024-01-05T01:00:00")}
+        # a concurrent file whose ' '-spelled stats look disjoint
+        # under the TEMPORAL reading (23:00 > 01:00) still matches
+        # under the STRING reading (' ' < 'T') -> must be may-match
+        assert lk._added_file_may_match(
+            "f.parquet",
+            {"d": ["2024-01-05 23:00:00", "2024-01-05 23:30:00"]},
+            rb,
+        ) is True
+        # genuinely disjoint under BOTH readings: provable
+        assert lk._added_file_may_match(
+            "g.parquet",
+            {"d": ["2024-01-06 09:00:00", "2024-01-06 10:00:00"]},
+            rb,
+        ) is False

@@ -963,3 +963,245 @@ class TestSubqueryDML:
             (r.k, r.v) for r in fr.sql("SELECT * FROM sq7").collect()
         ]
         assert got == [(None, 9.0)]
+
+
+class TestReviewFindsR13:
+    """Fixes for the r13 in-round review finds: insert-only MERGE
+    semantics, generated columns on named merge INSERT, legacy
+    identity DDL round-trip, conflicting matched params."""
+
+    def test_insert_only_merge_leaves_matched_untouched(
+        self, spark, tmp_path
+    ):
+        """Review find 1 (silent corruption): a MERGE with no WHEN
+        MATCHED clause used to whole-row-update every matched row."""
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE iom (k BIGINT, v STRING) "
+            f"LOCATION '{tmp_path / 'iom'}'"
+        )
+        fr.sql("INSERT INTO iom VALUES (1, 'old'), (2, 'keep')")
+        fr.sql(
+            "MERGE INTO iom USING (SELECT CAST(1 AS BIGINT) AS k, "
+            "'NEW' AS v UNION ALL SELECT 3, 'ins') AS s "
+            "ON iom.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = sorted(
+            (r.k, r.v) for r in fr.sql("SELECT * FROM iom").collect()
+        )
+        assert got == [(1, "old"), (2, "keep"), (3, "ins")]
+        # and the commit removed NOTHING (no rewrite of live files)
+        lk = fr.table("iom")
+        c = lk._read_commit(lk.version)
+        assert c["remove"] == []
+
+    def test_insert_only_merge_dv_mode(self, spark, tmp_path):
+        lk = _lake(spark, tmp_path, "iodv")
+        v = lk.merge(
+            _src(spark, [(1, 99.0, "X"), (9, 9.0, "new")]),
+            on="k",
+            when_matched=None,
+            mode="dv",
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        assert got == [
+            (1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"),
+            (9, 9.0, "new"),
+        ]
+        assert lk._read_commit(v).get("dv", {}) == {}
+
+    def test_insert_only_with_by_source(self, spark, tmp_path):
+        """No matched clause + BY SOURCE: matched rows pass through
+        the rewrite untouched while unmatched rows act."""
+        lk = _lake(spark, tmp_path, "iobs")
+        lk.merge(
+            _src(spark, [(1, 99.0, "X")]),
+            on="k",
+            when_matched=None,
+            when_not_matched="ignore",
+            when_not_matched_by_source="update",
+            by_source_set={"note": "'stale'"},
+        )
+        got = sorted(
+            (r.k, r.qty, r.note) for r in lk.snapshot().collect()
+        )
+        assert got == [
+            (1, 10.0, "a"), (2, 20.0, "stale"), (3, 30.0, "stale"),
+        ]
+
+    def test_named_insert_computes_generated(self, spark, tmp_path):
+        """Review find 2 (silent corruption): named merge INSERT
+        wrote NULL into GENERATED columns."""
+        lk = TransactionalLake(
+            spark, str(tmp_path / "gen"), partition_by=(),
+            generated_columns={"g": "k * 2"},
+        )
+        lk.append(
+            spark.createDataFrame([(1, 1.0)], "k long, v double")
+        )
+        lk.merge(
+            spark.createDataFrame([(2, 20.0)], "k long, v double"),
+            on="k",
+            insert_values={"k": "k", "v": "source.v"},
+        )
+        got = {
+            r.k: r.g for r in lk.snapshot().collect()
+        }
+        assert got == {1: 2, 2: 4}
+
+    def test_named_insert_refuses_generated_assignment(
+        self, spark, tmp_path
+    ):
+        lk = TransactionalLake(
+            spark, str(tmp_path / "genr"), partition_by=(),
+            generated_columns={"g": "k * 2"},
+        )
+        lk.append(
+            spark.createDataFrame([(1, 1.0)], "k long, v double")
+        )
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            lk.merge(
+                spark.createDataFrame(
+                    [(2, 20.0)], "k long, v double"
+                ),
+                on="k",
+                insert_values={"k": "k", "g": "99"},
+            )
+
+    def test_matched_clauses_conflicting_when_matched(
+        self, spark, tmp_path
+    ):
+        """Review find 5: a non-default when_matched alongside
+        matched_clauses was silently discarded."""
+        lk = _lake(spark, tmp_path, "cwm")
+        with pytest.raises(ValueError, match="supersedes"):
+            lk.merge(
+                _src(spark, [(1, 0.0, "x")]),
+                on="k",
+                when_matched="delete",
+                matched_clauses=[{"action": "update"}],
+            )
+
+    def test_legacy_identity_ddl_roundtrips(self, spark, tmp_path):
+        """Review find 4: SHOW CREATE TABLE for a legacy stepped
+        identity (no logged start) must emit DDL the front-end's own
+        parser accepts — the note rides a trailing line comment the
+        dispatcher strips."""
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE lid (rid BIGINT GENERATED ALWAYS AS "
+            "IDENTITY (INCREMENT BY 3), s STRING) "
+            f"LOCATION '{tmp_path / 'lid'}'"
+        )
+        # simulate a pre-r13 log: drop the recorded start
+        lk = fr.table("lid")
+        idoc = lk._identity_doc()
+        assert idoc is not None
+        lk._commit(
+            {"op": "set_properties", "properties": {}}
+        )  # no-op commit so the doc below is newest-wins via clone
+        # rewrite the identity doc without 'start' (legacy shape)
+        import json as _json
+        import os as _os
+        for name in sorted(_os.listdir(lk.log_path)):
+            if not name.endswith(".json"):
+                continue
+            p = _os.path.join(lk.log_path, name)
+            doc = _json.load(open(p))
+            if doc.get("identity") and "start" in doc["identity"]:
+                del doc["identity"]["start"]
+                with open(p, "w") as fh:
+                    _json.dump(doc, fh)
+        stmt = fr.sql("SHOW CREATE TABLE lid").collect()[0][
+            "createtab_stmt"
+        ]
+        assert "START WITH unrecorded" in stmt
+        assert "START WITH 0" not in stmt
+        replay = stmt.replace("lid", "lid2").replace(
+            str(tmp_path / "lid"), str(tmp_path / "lid2")
+        )
+        fr.sql(replay)  # must parse (comment stripped)
+        fr.sql("INSERT INTO lid2 VALUES ('a'), ('b')")
+        ids = sorted(
+            r["rid"] for r in fr.sql("SELECT rid FROM lid2").collect()
+        )
+        assert ids == [0, 3]
+
+    def test_line_comments_stripped(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE lc (k BIGINT, v STRING) -- trailing note\n"
+            f"LOCATION '{tmp_path / 'lc'}'"
+        )
+        fr.sql(
+            "INSERT INTO lc VALUES (1, 'a--b') -- not a delimiter "
+            "inside the literal"
+        )
+        got = [
+            (r.k, r.v) for r in fr.sql("SELECT * FROM lc").collect()
+        ]
+        assert got == [(1, "a--b")]
+
+
+class TestGeneratedRecompute:
+    """r13 (Delta parity): assigning a generated column's INPUT
+    recomputes the dependent; assigning the generated column itself
+    refuses."""
+
+    def _glake(self, spark, tmp_path, name):
+        lk = TransactionalLake(
+            spark, str(tmp_path / name), partition_by=(),
+            generated_columns={"g": "k * 2"},
+        )
+        lk.append(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0)], "k long, v double"
+            )
+        )
+        return lk
+
+    def test_update_where_recomputes(self, spark, tmp_path):
+        lk = self._glake(spark, tmp_path, "gu")
+        lk.update_where("v > 1.5", {"k": "k + 10"})
+        got = {r.k: r.g for r in lk.snapshot().collect()}
+        assert got == {1: 2, 12: 24}
+
+    def test_update_where_dv_recomputes(self, spark, tmp_path):
+        lk = self._glake(spark, tmp_path, "gud")
+        lk.update_where("v > 1.5", {"k": "k + 10"}, mode="dv")
+        got = {r.k: r.g for r in lk.snapshot().collect()}
+        assert got == {1: 2, 12: 24}
+
+    def test_merge_set_recomputes(self, spark, tmp_path):
+        lk = self._glake(spark, tmp_path, "gm")
+        lk.merge(
+            spark.createDataFrame([(2, 0.0)], "k long, v double"),
+            on="v",  # join on v so SET can move k
+            set_exprs={"k": "k + 100"},
+            when_not_matched="ignore",
+        )
+        got = {r.k: r.g for r in lk.snapshot().collect()}
+        # no v=0.0 row matches: nothing changes
+        assert got == {1: 2, 2: 4}
+        lk.merge(
+            spark.createDataFrame([(0, 2.0)], "k long, v double"),
+            on="v",
+            set_exprs={"k": "k + 100"},
+            when_not_matched="ignore",
+        )
+        got = {r.k: r.g for r in lk.snapshot().collect()}
+        assert got == {1: 2, 102: 204}
+
+    def test_set_refuses_generated_assignment(self, spark, tmp_path):
+        lk = self._glake(spark, tmp_path, "gr")
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            lk.update_where("true", {"g": "5"})
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            lk.merge(
+                spark.createDataFrame([(1, 1.0)], "k long, v double"),
+                on="k",
+                set_exprs={"g": "5"},
+            )
