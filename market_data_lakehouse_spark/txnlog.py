@@ -4262,8 +4262,11 @@ class TransactionalLake:
     ) -> int:
         """MERGE (Delta ``MERGE INTO`` semantics): target rows whose
         key matches a source row are updated (replaced by the source
-        row) or deleted; source rows with no target match are
-        inserted or ignored. Returns the committed version.
+        row) or deleted — or, with ``when_matched=None``, left
+        UNTOUCHED (the insert-only merge: dedup-ingest appends only
+        the unseen keys and rewrites nothing); source rows with no
+        target match are inserted or ignored. Returns the committed
+        version.
 
         ``schema_evolution`` (Delta ``withSchemaEvolution()`` /
         autoMerge): source columns the target lacks EVOLVE the table
