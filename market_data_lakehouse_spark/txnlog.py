@@ -3910,15 +3910,8 @@ class TransactionalLake:
             # dispatch; EVERY fired row is dv-hidden (delete-fired
             # rows hide with no postimage, update-fired rows re-emit
             # their clause's postimage below)
-            matched = matched.join(
-                self._maybe_broadcast(
-                    source.select(
-                        *keys,
-                        *[F.col(c).alias(f"_src_{c}") for c in src_cols],
-                    ),
-                    est_bytes=sum(src_bytes[c] for c in source.columns),
-                ),
-                keys,
+            matched = self._join_src_slots(
+                matched, source, keys, src_cols, src_bytes
             ).withColumn(
                 "_m_fired", self._fired_col(matched_clauses, src_cols)
             ).filter(F.col("_m_fired") > 0)
@@ -3927,15 +3920,8 @@ class TransactionalLake:
             # condition-passing rows — join the source columns the
             # condition may read, filter, and carry the _src_ slots
             # forward so the postimage build skips its own join
-            matched = matched.join(
-                self._maybe_broadcast(
-                    source.select(
-                        *keys,
-                        *[F.col(c).alias(f"_src_{c}") for c in src_cols],
-                    ),
-                    est_bytes=sum(src_bytes[c] for c in source.columns),
-                ),
-                keys,
+            matched = self._join_src_slots(
+                matched, source, keys, src_cols, src_bytes
             ).filter(
                 F.coalesce(
                     F.expr(
@@ -3998,15 +3984,12 @@ class TransactionalLake:
             # postimage multiplicity equals the TARGET's (duplicate-
             # keyed target rows each updated, like the rewrite path);
             # columns the source lacks keep the target value
-            upd = matched if matched_condition is not None else matched.join(
-                self._maybe_broadcast(
-                    source.select(
-                        *keys,
-                        *[F.col(c).alias(f"_src_{c}") for c in src_cols],
-                    ),
-                    est_bytes=sum(src_bytes[c] for c in source.columns),
-                ),
-                keys,
+            upd = (
+                matched
+                if matched_condition is not None
+                else self._join_src_slots(
+                    matched, source, keys, src_cols, src_bytes
+                )
             )
             out_cols = [
                 c for c in matched.columns
@@ -4198,6 +4181,31 @@ class TransactionalLake:
                 hit = F.col("_m_fired") == i
                 e = F.when(hit, post) if e is None else e.when(hit, post)
         return (e.otherwise(F.col(c)) if e is not None else F.col(c)).alias(c)
+
+    def _join_src_slots(
+        self,
+        left: DataFrame,
+        source: DataFrame,
+        keys: list[str],
+        src_cols,
+        src_bytes: dict,
+    ) -> DataFrame:
+        """Join target-side rows to the source with the non-key
+        source columns renamed to their ``_src_<col>`` slots — the
+        frame every SET expression, clause condition, and whole-row
+        postimage reads. Broadcast-gated by the measured source
+        bytes; the ONE join shape all merge branches share (review
+        find r13: this block was copy-pasted five times)."""
+        return left.join(
+            self._maybe_broadcast(
+                source.select(
+                    *keys,
+                    *[F.col(c).alias(f"_src_{c}") for c in src_cols],
+                ),
+                est_bytes=sum(src_bytes[c] for c in source.columns),
+            ),
+            keys,
+        )
 
     def _insert_part(
         self,
@@ -4878,20 +4886,8 @@ class TransactionalLake:
                 # delete-fired rows drop, update-fired rows project
                 # their clause's postimage, everything else passes
                 # through
-                upd = aff_df.join(
-                    self._maybe_broadcast(
-                        source.select(
-                            *keys,
-                            *[
-                                F.col(c).alias(f"_src_{c}")
-                                for c in src_cols
-                            ],
-                        ),
-                        est_bytes=sum(
-                            src_bytes[c] for c in source.columns
-                        ),
-                    ),
-                    keys,
+                upd = self._join_src_slots(
+                    aff_df, source, keys, src_cols, src_bytes
                 )
                 upd = upd.withColumn(
                     "_m_fired",
@@ -4946,20 +4942,8 @@ class TransactionalLake:
                 # conditional matched DELETE: matched rows where the
                 # condition is not TRUE survive — the join carries
                 # the _src_ columns the condition may read
-                joined = aff_df.join(
-                    self._maybe_broadcast(
-                        source.select(
-                            *keys,
-                            *[
-                                F.col(c).alias(f"_src_{c}")
-                                for c in src_cols
-                            ],
-                        ),
-                        est_bytes=sum(
-                            src_bytes[c] for c in source.columns
-                        ),
-                    ),
-                    keys,
+                joined = self._join_src_slots(
+                    aff_df, source, keys, src_cols, src_bytes
                 )
                 parts.append(
                     joined.filter(~m_cond).select(*aff_df.columns)
@@ -4975,20 +4959,8 @@ class TransactionalLake:
                 # not in the SET list, so they are untouched — never
                 # nulled).
                 src_cols = [c for c in source.columns if c not in keys]
-                upd = aff_df.join(
-                    self._maybe_broadcast(
-                        source.select(
-                            *keys,
-                            *[
-                                F.col(c).alias(f"_src_{c}")
-                                for c in src_cols
-                            ],
-                        ),
-                        est_bytes=sum(
-                            src_bytes[c] for c in source.columns
-                        ),
-                    ),
-                    keys,
+                upd = self._join_src_slots(
+                    aff_df, source, keys, src_cols, src_bytes
                 )
                 def _gated(post, c):
                     # clause condition: rows where it is not TRUE
