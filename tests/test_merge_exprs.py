@@ -1205,3 +1205,38 @@ class TestGeneratedRecompute:
                 on="k",
                 set_exprs={"g": "5"},
             )
+
+
+class TestParsingHelpers:
+    """No-Spark unit pins for the r13 parsing helpers."""
+
+    def test_split_top_and_edges(self):
+        from market_data_lakehouse_spark.sqlfront import _split_top_and
+
+        assert _split_top_and("a = 1 AND b = 2") == ["a = 1", "b = 2"]
+        # AND inside a string literal is data, not a separator
+        assert _split_top_and("note = 'x AND y' AND k = 1") == [
+            "note = 'x AND y'", "k = 1",
+        ]
+        # AND inside parens stays in its conjunct
+        assert _split_top_and("(a = 1 AND b = 2) AND c = 3") == [
+            "(a = 1 AND b = 2)", "c = 3",
+        ]
+        # identifier containing 'and' is not a separator
+        assert _split_top_and("brand = 1") == ["brand = 1"]
+        assert _split_top_and("k in (1,2) and v > 0") == [
+            "k in (1,2)", "v > 0",
+        ]  # case-insensitive
+
+    def test_strip_line_comments_edges(self):
+        from market_data_lakehouse_spark.sqlfront import LakeSQL
+
+        strip = LakeSQL._strip_line_comments
+        assert strip("SELECT 1 -- tail") == "SELECT 1 "
+        assert strip("SELECT 'a--b' -- real") == "SELECT 'a--b' "
+        assert (
+            strip("SELECT 1 -- c1\nFROM t -- c2")
+            == "SELECT 1 \nFROM t "
+        )
+        # '--' split across a quote boundary stays intact
+        assert strip("SELECT '-' || '-'") == "SELECT '-' || '-'"
