@@ -189,6 +189,40 @@ def cpu_throughput_control(spark) -> float:
     return time.perf_counter() - t0
 
 
+# Parquet-WRITE control (r14, VERDICT r13 directive 1): the job-floor
+# and CPU probes are both blind to DISK throughput — r13's two
+# unadjudicated flags were exactly the write-path queries (stream
+# ingest 3.7x, q_ingest_batch 1.88x; the r14 cross-rev A/B proved
+# both were the host, AB_BENCH.json `r14_writepath_ab`). This probe
+# is FIXED write work: 2M rows x 2 bigint cols to snappy parquet
+# (8 files, ~16 MB) in a throwaway dir — its duration tracks the
+# write path (task commit + codec + filesystem) and nothing in this
+# repo's code. Calibrated at idle (AB_BENCH.json
+# `write_control_calibration_r14`): warm median 0.269 s, spread
+# 0.255-0.37, with a long cold warm-in (first samples to ~1.3 s) —
+# hence 3 untimed warmups at session start and a deliberately
+# generous band max (~2x warm median): the probe exists to catch the
+# gross write-collapse class (a 3.7x step reads >1 s), not 10% drift.
+WRITE_CONTROL_ROWS = 2_000_000
+WRITE_BAND_SEC = (0.10, 0.55)  # calibrated band, this host (r14)
+WRITE_LIMIT_SEC = 0.75  # band max + margin; above = hot write window
+
+
+def write_throughput_control(spark) -> float:
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="bench_wrctl_")
+    try:
+        t0 = time.perf_counter()
+        spark.range(0, WRITE_CONTROL_ROWS, 1, 8).selectExpr(
+            "id", "id * 2 as v"
+        ).write.mode("overwrite").parquet(os.path.join(d, "p"))
+        return time.perf_counter() - t0
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
 def bench_ingest(spark, sf_dir: str) -> float:
     """Validated partitioned ingest of the full lineitem table as
     bars (~600k rows at sf0.1) — the BASELINE.md ingestion-throughput
@@ -341,11 +375,15 @@ def main() -> None:
     controls: list[dict] = []
 
     cpu_controls: list[dict] = []
+    write_controls: list[dict] = []
 
     def control(at: str) -> None:
         controls.append({"at": at, "sec": round(job_floor_control(spark), 4)})
         cpu_controls.append(
             {"at": at, "sec": round(cpu_throughput_control(spark), 4)}
+        )
+        write_controls.append(
+            {"at": at, "sec": round(write_throughput_control(spark), 4)}
         )
 
     # untimed warmup: pay the session's one-time costs (executor
@@ -355,6 +393,10 @@ def main() -> None:
     run_once(spark, REGISTRY["o2_topk"].fn, sf_dir)
     job_floor_control(spark)
     cpu_throughput_control(spark)
+    # the write probe's cold warm-in spans several samples (page
+    # cache + parquet-writer JIT, calibration receipts) — 3 untimed
+    for _ in range(3):
+        write_throughput_control(spark)
     # INTERLEAVED passes (r7 VERDICT item 7): consecutive repeats of
     # one query all land inside the same host-pressure window, so
     # min-of-3-consecutive still over-reads when the whole invocation
@@ -417,6 +459,9 @@ def main() -> None:
     cpu_secs = sorted(c["sec"] for c in cpu_controls)
     cpu_median = cpu_secs[len(cpu_secs) // 2]
     cpu_hot = [c for c in cpu_controls if c["sec"] > CPU_LIMIT_SEC]
+    wr_secs = sorted(c["sec"] for c in write_controls)
+    wr_median = wr_secs[len(wr_secs) // 2]
+    wr_hot = [c for c in write_controls if c["sec"] > WRITE_LIMIT_SEC]
     contamination = {
         "control": "spark.range(1) noop write (job floor; code-independent)",
         "calibrated_band_sec": list(CONTROL_BAND_SEC),
@@ -435,9 +480,25 @@ def main() -> None:
             "hot_samples": [c["at"] for c in cpu_hot],
             "contended": cpu_median > CPU_BAND_SEC[1],
         },
+        # r14: the write-path probe — launch-floor and CPU-share
+        # probes are blind to disk; r13's only unadjudicated flags
+        # were write-path queries
+        "write_control": {
+            "work": (
+                f"range({WRITE_CONTROL_ROWS}) x 2 bigint -> parquet, "
+                "8 files, fresh temp dir"
+            ),
+            "calibrated_band_sec": list(WRITE_BAND_SEC),
+            "limit_sec": WRITE_LIMIT_SEC,
+            "samples": write_controls,
+            "median_sec": round(wr_median, 4),
+            "hot_samples": [c["at"] for c in wr_hot],
+            "contended": wr_median > WRITE_BAND_SEC[1],
+        },
         "contaminated": (
             ctrl_median > CONTROL_BAND_SEC[1]
             or cpu_median > CPU_BAND_SEC[1]
+            or wr_median > WRITE_BAND_SEC[1]
         ),
     }
     # The driver failed to parse r8's stdout line once it crossed
@@ -468,6 +529,8 @@ def main() -> None:
             "cpu_median_sec": round(cpu_median, 4),
             "cpu_band_sec": list(CPU_BAND_SEC),
             "cpu_contended": cpu_median > CPU_BAND_SEC[1],
+            "wr_median_sec": round(wr_median, 4),
+            "wr_contended": wr_median > WRITE_BAND_SEC[1],
         },
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
@@ -577,7 +640,11 @@ def run_gates(spark, sf_dir: str, bench_line: dict) -> None:
         return
     prev = os.path.join(repo, f"BENCH_r{rounds[-1]:02d}.json")
     rep = bench_compare.compare(
-        bench_compare.load_queries(prev), dict(bench_line["queries"]), 1.3
+        bench_compare.load_queries(prev),
+        dict(bench_line["queries"]),
+        1.3,
+        old_cpu=bench_compare.load_cpu_median(prev),
+        new_cpu=bench_line.get("contamination", {}).get("cpu_median_sec"),
     )
     rep = {"old": os.path.basename(prev), "new": "this run", **rep}
     # r8 VERDICT directive 1: a run whose job-floor controls sit above

@@ -153,3 +153,44 @@ class TestInlineTripwire:
         assert e["queries"]["q_topk"]["code_identity"]["depth"] == (
             "not-checked-inline"
         )
+
+
+class TestCpuNormalizedCompare:
+    """r13 VERDICT directive 2: bench_compare reports a
+    CPU-normalized shared-total ratio (total / cpu-control median)
+    alongside the raw one, so a host-throughput step reads as
+    arithmetic instead of a noise adjudication."""
+
+    def test_host_step_normalizes_out(self):
+        from bench_compare import compare
+
+        # same code, host 1.3x slower: every query AND the cpu
+        # control read 1.3x -> raw flags, normalized reads 1.0
+        old = {"q_a": 1.0, "q_b": 2.0}
+        new = {"q_a": 1.3, "q_b": 2.6}
+        rep = compare(old, new, 1.25, old_cpu=0.28, new_cpu=0.364)
+        assert rep["shared_total_ratio"] == 1.3
+        assert rep["cpu_normalized_shared_total_ratio"] == 1.0
+
+    def test_real_regression_survives_normalization(self):
+        from bench_compare import compare
+
+        # host unchanged (cpu control flat), code 1.5x slower:
+        # both ratios read the regression
+        old = {"q_a": 1.0}
+        new = {"q_a": 1.5}
+        rep = compare(old, new, 1.3, old_cpu=0.27, new_cpu=0.27)
+        assert rep["shared_total_ratio"] == 1.5
+        assert rep["cpu_normalized_shared_total_ratio"] == 1.5
+
+    def test_missing_cpu_medians_degrade_to_none(self):
+        from bench_compare import compare
+
+        rep = compare({"q_a": 1.0}, {"q_a": 1.1}, 1.3)
+        assert rep["cpu_normalized_shared_total_ratio"] is None
+        assert rep["shared_total_ratio"] == 1.1
+
+    def test_load_cpu_median_reads_driver_wrapped_files(self):
+        from bench_compare import load_cpu_median
+
+        assert load_cpu_median("/root/repo/BENCH_r13.json") == 0.3792

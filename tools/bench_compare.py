@@ -56,8 +56,28 @@ def load_queries(path: str) -> dict[str, float]:
     return dict(doc["queries"])
 
 
+def load_cpu_median(path: str) -> float | None:
+    """The run's CPU-throughput-control median (contamination block):
+    the fixed-work probe whose duration is inversely proportional to
+    the CPU share Spark got. Dividing a run's total by it cancels
+    host-throughput steps (r13: the host lost ~35% sustained CPU and
+    every raw cross-round ratio read ~1.3x pessimistic)."""
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+        if "parsed" in doc:
+            doc = doc["parsed"] or {}
+        return doc.get("contamination", {}).get("cpu_median_sec")
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def compare(
-    old: dict[str, float], new: dict[str, float], threshold: float
+    old: dict[str, float],
+    new: dict[str, float],
+    threshold: float,
+    old_cpu: float | None = None,
+    new_cpu: float | None = None,
 ) -> dict:
     shared = sorted(set(old) & set(new))
     rows = []
@@ -74,11 +94,24 @@ def compare(
     rows.sort(key=lambda r: -r["ratio"])
     old_sum = sum(old[q] for q in shared)
     new_sum = sum(new[q] for q in shared)
+    raw_ratio = round(new_sum / old_sum, 3) if old_sum else None
+    # CPU-normalized ratio (r13 VERDICT directive 2): divide each
+    # run's total by its own CPU-control median before comparing, so
+    # a host-throughput step reads as arithmetic instead of needing a
+    # noise adjudication. raw 1.3x with old_cpu 0.28 / new_cpu 0.38
+    # normalizes to ~0.96x — same code, slower host.
+    norm_ratio = (
+        round((new_sum / new_cpu) / (old_sum / old_cpu), 3)
+        if old_sum and old_cpu and new_cpu
+        else None
+    )
     return {
         "shared_queries": len(shared),
         "old_shared_total_sec": round(old_sum, 4),
         "new_shared_total_sec": round(new_sum, 4),
-        "shared_total_ratio": round(new_sum / old_sum, 3) if old_sum else None,
+        "shared_total_ratio": raw_ratio,
+        "cpu_control_medians": {"old": old_cpu, "new": new_cpu},
+        "cpu_normalized_shared_total_ratio": norm_ratio,
         "flagged": [r for r in rows if r["ratio"] > threshold],
         "improved": [r for r in rows if r["ratio"] < 1 / threshold],
         "only_in_new": sorted(set(new) - set(old)),
@@ -97,7 +130,11 @@ def main() -> int:
     )
     args = ap.parse_args()
     rep = compare(
-        load_queries(args.old), load_queries(args.new), args.threshold
+        load_queries(args.old),
+        load_queries(args.new),
+        args.threshold,
+        old_cpu=load_cpu_median(args.old),
+        new_cpu=load_cpu_median(args.new),
     )
     if not args.quiet:
         for r in rep["per_query"]:
