@@ -53,68 +53,53 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-13 window (r12 VERDICT directives 1, 3, 6 — counts
-# verified against the CORRECTNESS_r* files, not memory; the r12
-# queue comment's "47 slots; 3 spare" arithmetic was wrong, its
-# named cohorts totalled 55). Directive 1 alone (4 never-run + 11
-# changed-path + 35 r9-stale) fills all 50 slots, but directive 3
-# adds a NEW entry (s35_sql_dml2 — must not repeat the
-# never-driver-run slip class) and directive 6 orders >=2 r10-stale
-# starts; resolution (same trade the r12 verdict endorsed for s31):
-# s35 and the 2 r10 starts take 3 slots from the r9 fill.
+# The round-14 window (r13 VERDICT directive 3 — counts recomputed
+# from the CORRECTNESS_r* files by script, not memory; note the
+# directive's "39-entry r10 cohort / 8+39=47" RECOUNTS to 38 / 46
+# against the files: entries whose latest driver-run round is r10
+# number exactly 38 today, so 4 slots remain, not 3).
 #
 # Composition, adds to exactly 50:
-# (z) 5 never-driver-run: the 4 late-r12 entries (s32, s33, s34,
-#     e2_incremental_neardup) + s35_sql_dml2 (r13-new: named-column
-#     INSERT / expression MERGE SET / BY SOURCE UPDATE);
-# (y) 11 entries whose DML/merge code paths changed late in r12
-#     (partition-delete fast path, data-skipping DML, auto-scope,
-#     merge skipping) — and changed AGAIN in r13 (the ADVICE
-#     _dml_cmp string-stat fix + temporal auto-scope guard + merge
-#     set_exprs touch every delete/update/merge caller):
-#     s8_txn_time_travel, s8_merge_upsert, s8_merge_evolution,
-#     s12_deletion_vectors, s14_dv_update (the r12 verdict's
-#     "s14_replace_where" names no registry entry — the dv-UPDATE
-#     gate is the one on the changed path; the replaceWhere surface,
-#     s16_overwrite_where, rides the r10 cohort), t13_restore_across_
-#     dv, t11_incremental_mv, s13_zero_copy_clone, s22_row_tracking,
-#     s28_commit_checksum, f6_bloom_skipping;
-# (x) 2 r10-stale starts, oldest-registered-first (directive 6):
-#     s2_csv_roundtrip, f5_stats_skipping;
-# (w) 32 of the 40-entry r9-stale cohort, oldest-registered-first.
+# (z) 1 never-driver-run: s36_sql_dml3 (r14-new: correlated
+#     [NOT] EXISTS subquery DML — directive 4 — must not repeat the
+#     never-driver-run slip class);
+# (y) 8 named r9-stale spills, the directive-3 contract, first:
+#     x6_arith_expr, a8_grouping_sets, g4_kcore, e3_knn_bruteforce,
+#     e2_embedding_neardup, e3_cell_recall, e2_semantic_dedup,
+#     e4_rolling_chunks;
+# (x) ALL 38 r10-stale entries, oldest-registered-first (their
+#     latest green row is CORRECTNESS_r10.json);
+# (w) 3 r11-stale starts, oldest-registered-first: e2_minhash_lsh,
+#     e2_lsh_verified_jaccard, lakehouse_roundtrip.
 #
-# SPILLED to r14 (named, the directive-1 contract): the 8 youngest-
-# registered r9-stale entries — x6_arith_expr, a8_grouping_sets,
-# g4_kcore, e3_knn_bruteforce, e2_embedding_neardup, e3_cell_recall,
-# e2_semantic_dedup, e4_rolling_chunks — these are r14's FIRST
-# picks, ahead of the remaining 39-entry r10 cohort that anchors it.
+# SPILLED to r15 (named): the remaining 38-entry r11-stale cohort
+# (41 total minus the 3 starts above) — oldest-registered-first:
+# s2_json_roundtrip is the next pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (z) never driver-run (5)
-    "s32_copy_into_partition_delete",
-    "s33_convert_clone_partitions",
-    "s34_sql_lifecycle2",
-    "e2_incremental_neardup",
-    "s35_sql_dml2",             # r13 NEW: INSERT(cols)/MERGE SET/BY SOURCE UPDATE
-    # (y) r12/r13 DML+merge changed-path (11)
-    "s8_txn_time_travel", "s8_merge_upsert", "s8_merge_evolution",
-    "s12_deletion_vectors", "s14_dv_update",
-    "t13_restore_across_dv", "t11_incremental_mv",
-    "s13_zero_copy_clone", "s22_row_tracking", "s28_commit_checksum",
-    "f6_bloom_skipping",
-    # (x) r10-stale starts, oldest-registered-first (2)
-    "s2_csv_roundtrip", "f5_stats_skipping",
-    # (w) r9-stale cohort, oldest-registered-first (32)
-    "e2_ngram_jaccard", "e2_simhash", "s18_metadata_count",
-    "s1_scan_project", "f2_time_range", "a1_vwap_by_flag",
-    "a3_full_table_agg", "a4_multikey_100", "a5_ohlcv_resample",
-    "a6_stats_by_type", "a7_distinct", "a8_rollup", "a8_cube",
-    "a9_percentiles", "o2_topk", "j1_inner_join", "j2_left_join",
-    "j2_full_outer", "j3_broadcast_join", "j4_semi_join",
-    "j4_anti_join", "j5_range_join", "j6_asof_join",
-    "j7_asof_tolerance", "j8_cross_join", "w1_lag_gaps",
-    "w2_rank_topn", "w3_moving_avg", "w4_cumulative", "w6_sessionize",
-    "u1_union_except", "u1_intersect",
+    # (z) never driver-run (1)
+    "s36_sql_dml3",             # r14 NEW: [NOT] EXISTS subquery DML
+    # (y) the 8 named r9-stale spills (8)
+    "x6_arith_expr", "a8_grouping_sets", "g4_kcore",
+    "e3_knn_bruteforce", "e2_embedding_neardup", "e3_cell_recall",
+    "e2_semantic_dedup", "e4_rolling_chunks",
+    # (x) r10-stale cohort, oldest-registered-first (38)
+    "s16_overwrite_where", "s19_identity_column",
+    "f7_generated_partition_pruning", "e5_frame_sample",
+    "e5_media_features", "v2_quality_stage", "a4_pricing_summary",
+    "j6_asof_bucketed", "w5_gap_fill", "j9_multiway_topk",
+    "x7_string_funcs", "x7_date_funcs", "x7_math_funcs",
+    "x7_json_extract", "x7_map_funcs", "x7_array_ops",
+    "x7_regexp_funcs", "a10_pivot", "a11_unpivot",
+    "j17_waiting_suppliers", "a17_returned_revenue",
+    "j18_supplier_part_counts", "j19_idle_customers",
+    "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
+    "e6_domain_quota", "e3_label_centroid_sim", "e3_sq_recall",
+    "e1_exact_dedup", "e4_token_stats", "e4_lang_id",
+    "e4_quality_score", "e4_bpe_token_count", "e4_tfidf",
+    "e4_fingerprint", "e4_pii_redaction", "e4_ngram_freq",
+    # (w) r11-stale starts, oldest-registered-first (3)
+    "e2_minhash_lsh", "e2_lsh_verified_jaccard", "lakehouse_roundtrip",
 ]
 
 

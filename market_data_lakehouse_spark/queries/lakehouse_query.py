@@ -2145,3 +2145,115 @@ def s35_sql_dml2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT k, etype, ROUND(qty, 6) AS qty, note FROM t35 "
         "ORDER BY k"
     )
+
+
+@register(
+    "s36_sql_dml3",
+    oracle="""
+    WITH seeded AS (
+      SELECT CAST(event_id AS BIGINT) AS k, event_type AS etype,
+             value AS qty
+      FROM events
+    ),
+    src AS (
+      SELECT DISTINCT CAST(event_id AS BIGINT) AS k,
+             CAST(event_id AS BIGINT) % 2 AS flag
+      FROM events WHERE CAST(event_id AS BIGINT) % 11 = 0
+    ),
+    -- EXISTS UPDATE: double qty where a flag=1 source row matches
+    u1 AS (
+      SELECT t.k, t.etype,
+             CASE WHEN EXISTS (SELECT 1 FROM src s
+                               WHERE s.k = t.k AND s.flag = 1)
+                  THEN t.qty * 2 ELSE t.qty END AS qty
+      FROM seeded t
+    ),
+    -- EXISTS DELETE, source-filtered (flag=0) + residual (qty>0.5);
+    -- COALESCE: a NULL residual leaves the row untouched (SQL's
+    -- three-valued DML guard), never deletes
+    d1 AS (
+      SELECT * FROM u1 t
+      WHERE NOT COALESCE(
+        EXISTS (SELECT 1 FROM src s
+                WHERE s.k = t.k AND s.flag = 0)
+        AND t.qty > 0.5, FALSE)
+    ),
+    -- NOT EXISTS UPDATE + residual
+    u2 AS (
+      SELECT k,
+             CASE WHEN NOT EXISTS (SELECT 1 FROM src s
+                                   WHERE s.k = d1.k)
+                       AND k % 5 = 0
+                  THEN 'orphan' ELSE etype END AS etype,
+             qty
+      FROM d1
+    ),
+    -- NOT EXISTS DELETE + residual
+    d2 AS (
+      SELECT * FROM u2 t
+      WHERE NOT COALESCE(
+        NOT EXISTS (SELECT 1 FROM src s WHERE s.k = t.k)
+        AND t.k % 5 = 1, FALSE)
+    )
+    SELECT k, etype, ROUND(qty, 6) AS qty FROM d2 ORDER BY k
+    """,
+)
+def s36_sql_dml3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated [NOT] EXISTS subquery DML as one hard signal (r14,
+    VERDICT r13 directive 4 — the sound complement of the refused
+    ``NOT IN``): EXISTS decorrelates to a key-MERGE left-semi probe
+    (matched clause, scoped by the source-side filter INSIDE the
+    subquery and the residual outside it), NOT EXISTS to the merge
+    engine's WHEN NOT MATCHED BY SOURCE (left-anti — NULL-sound
+    where NOT IN is not). DuckDB replays the lifecycle with native
+    correlated EXISTS; a decorrelation that drops the source-side
+    filter, applies the residual to the wrong side, or sweeps
+    matched rows on the anti path diverges. COALESCE in the oracle
+    mirrors DML's three-valued guard: a NULL condition leaves the
+    row untouched."""
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("qty"),
+    )
+    tx = TransactionalLake(spark, scratch_dir("sdml3"), partition_by=())
+    tx.append(ev.repartition(4))
+    src = TransactionalLake(
+        spark, scratch_dir("sdml3_src"), partition_by=()
+    )
+    src.append(
+        ev.filter(F.col("k") % 11 == 0)
+        .select(F.col("k"), (F.col("k") % 2).alias("flag"))
+        .dropDuplicates(["k"])
+    )
+    fr = LakeSQL(spark)
+    fr.register("t36", tx)
+    fr.register("t36src", src)
+    fr.sql(
+        "UPDATE t36 SET qty = qty * 2 WHERE EXISTS "
+        "(SELECT 1 FROM t36src s WHERE s.k = t36.k AND s.flag = 1)"
+    )
+    fr.sql(
+        "DELETE FROM t36 WHERE EXISTS (SELECT 1 FROM t36src s "
+        "WHERE s.k = t36.k AND s.flag = 0) AND qty > 0.5"
+    )
+    fr.sql(
+        "UPDATE t36 SET etype = 'orphan' WHERE NOT EXISTS "
+        "(SELECT 1 FROM t36src s WHERE s.k = t36.k) AND k % 5 = 0"
+    )
+    fr.sql(
+        "DELETE FROM t36 WHERE NOT EXISTS "
+        "(SELECT 1 FROM t36src s WHERE s.k = t36.k) AND k % 5 = 1"
+    )
+    ops = [
+        r["operation"]
+        for r in fr.sql("DESCRIBE HISTORY t36").collect()
+    ]
+    if ops != ["merge", "merge", "merge", "merge", "append"]:
+        raise AssertionError(f"unexpected op sequence: {ops}")
+    return fr.sql(
+        "SELECT k, etype, ROUND(qty, 6) AS qty FROM t36 ORDER BY k"
+    )

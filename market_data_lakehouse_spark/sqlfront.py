@@ -83,12 +83,18 @@ def _unquote(s: str) -> str:
 def _split_top_and(s: str) -> list[str]:
     """Split on top-level ``AND`` (respecting quotes and parens) —
     the conjunct walk subquery-DML rewriting needs. ORs and
-    parenthesized groups stay inside their conjunct."""
+    parenthesized groups stay inside their conjunct. Backslash-escaped
+    quotes inside literals are skipped (r14 ADVICE: the rest of the
+    file's scanners use the ``(?:[^'\\\\]|\\\\.)*`` convention)."""
     out, depth, quote, cur = [], 0, None, []
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
         if quote:
+            if ch == "\\" and i + 1 < n:
+                cur.append(s[i:i + 2])
+                i += 2
+                continue
             cur.append(ch)
             if ch == quote:
                 quote = None
@@ -125,13 +131,34 @@ def _split_top_and(s: str) -> list[str]:
     return out
 
 
+def _mask_literals(s: str) -> str:
+    """Blank out quoted string literals (same-length spaces, so
+    offsets hold) for STRUCTURAL scans — subquery guards, qualifier
+    walks — that must never match inside a literal (r14 ADVICE: a
+    residual conjunct like ``note = 'a (select me)'`` spuriously
+    tripped the unsupported-subquery guard). Escape-aware, matching
+    the file's ``(?:[^'\\\\]|\\\\.)*`` convention. Inspection only —
+    never rewrite the masked text."""
+    return re.sub(
+        r"'(?:[^'\\]|\\.)*'", lambda m: " " * len(m.group(0)), s
+    )
+
+
 def _split_commas(s: str) -> list[str]:
     """Split on top-level commas (respecting quotes and parens) —
     enough for property lists and column lists; expressions with
-    nested calls stay intact."""
+    nested calls stay intact. Escape-aware like the other scanners
+    (r14): a ``\\'`` inside a literal does not close it."""
     out, depth, quote, cur = [], 0, None, []
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        i += 1
         if quote:
+            if ch == "\\" and i < n:
+                cur.append(ch + s[i])
+                i += 1
+                continue
             cur.append(ch)
             if ch == quote:
                 quote = None
@@ -194,6 +221,13 @@ class LakeSQL:
         while i < n:
             ch = stmt[i]
             if quote:
+                if ch == "\\" and i + 1 < n:
+                    # escaped char inside a literal (r14 ADVICE):
+                    # \' must not close the quote — previously
+                    # 'it\'s -- x' truncated the statement
+                    out.append(stmt[i:i + 2])
+                    i += 2
+                    continue
                 out.append(ch)
                 if ch == quote:
                     quote = None
@@ -1005,7 +1039,8 @@ class LakeSQL:
         (three-valued trap), a silent footgun better rewritten
         explicitly."""
         if not re.search(
-            r"\bIN\s*\(\s*SELECT\b", predicate, re.IGNORECASE
+            r"\bIN\s*\(\s*SELECT\b", _mask_literals(predicate),
+            re.IGNORECASE,
         ):
             return None, None, predicate
         col = subq = None
@@ -1027,11 +1062,14 @@ class LakeSQL:
                         "supported per statement"
                     )
                 col, subq = mm.group("col"), mm.group("q")
-            elif re.search(r"\(\s*SELECT\b", part, re.IGNORECASE):
+            elif re.search(
+                r"\(\s*SELECT\b", _mask_literals(part), re.IGNORECASE
+            ):
                 raise ValueError(
                     f"unsupported subquery conjunct: {part!r} "
-                    "(supported: col IN (SELECT ...), AND-ed with "
-                    "plain conjuncts)"
+                    "(supported: col IN (SELECT ...) or [NOT] "
+                    "EXISTS (SELECT ...), AND-ed with plain "
+                    "conjuncts)"
                 )
             else:
                 residual.append(part)
@@ -1048,6 +1086,132 @@ class LakeSQL:
         # update join's postimages (row duplication)
         return keys.toDF(col).dropDuplicates([col])
 
+    _EXISTS_SUBQ = re.compile(
+        r"^\s*(?P<neg>NOT\s+)?EXISTS\s*\(\s*(?P<q>SELECT\s.+)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _EXISTS_INNER = re.compile(
+        rf"^\s*SELECT\s+.+?\s+FROM\s+(?P<src>{_IDENT})"
+        rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?"
+        r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _CORR_EQ = re.compile(
+        rf"^\s*(?P<q1>{_IDENT})\s*\.\s*(?P<c1>{_IDENT})\s*=\s*"
+        rf"(?P<q2>{_IDENT})\s*\.\s*(?P<c2>{_IDENT})\s*$",
+        re.IGNORECASE,
+    )
+
+    def _extract_exists_subquery(
+        self, predicate: str, target: str
+    ) -> tuple[dict | None, str | None]:
+        """Correlated ``[NOT] EXISTS`` DML rewrite (r14, VERDICT
+        directive 4 — the sound complement of the refused ``NOT
+        IN``): when the predicate is a top-level AND of conjuncts
+        exactly one of which is ``[NOT] EXISTS (SELECT ... FROM src
+        [alias] WHERE ...)``, decorrelate it — the inner WHERE must
+        AND at least one equality correlating a source column to a
+        ``<target>.<col>`` ref; its other conjuncts (source-side
+        filters) stay inside the rebuilt key query. Returns
+        ``({"negated", "keys_sql", "on"}, residual_pred)`` or
+        ``(None, predicate)``.
+
+        EXISTS lands as a key-MERGE matched-DELETE/SET (the IN
+        shape: left-semi probe, only files holding a matched key
+        rewrite); NOT EXISTS as the merge engine's WHEN NOT MATCHED
+        BY SOURCE clause — a left-ANTI probe, which (unlike NOT IN)
+        is NULL-sound: a NULL correlation key never equals anything,
+        so EXISTS is false and NOT EXISTS deletes/updates the row,
+        exactly SQL's three-valued outcome. Uncorrelated EXISTS
+        refuses loudly (it is constant-per-statement, not per-row —
+        evaluate it yourself and run the plain DML)."""
+        if not re.search(
+            r"\bEXISTS\s*\(", _mask_literals(predicate), re.IGNORECASE
+        ):
+            return None, predicate
+        spec = None
+        residual: list[str] = []
+        for part in _split_top_and(predicate):
+            mm = self._EXISTS_SUBQ.match(part)
+            if not mm:
+                residual.append(part)
+                continue
+            if spec is not None:
+                raise ValueError(
+                    "at most one EXISTS (subquery) conjunct is "
+                    "supported per statement"
+                )
+            spec = self._decorrelate_exists(
+                mm.group("q"), target, negated=bool(mm.group("neg"))
+            )
+        return spec, (" AND ".join(residual) or None)
+
+    def _decorrelate_exists(
+        self, inner: str, target: str, negated: bool
+    ) -> dict:
+        im = self._EXISTS_INNER.match(inner)
+        if not im:
+            raise ValueError(
+                "EXISTS subquery must be SELECT ... FROM <table> "
+                f"[alias] [WHERE ...]; got {inner!r}"
+            )
+        src, alias = im.group("src"), im.group("alias")
+        src_q = (alias or src).lower()
+        tgt = target.lower()
+        if src_q == tgt:
+            raise ValueError(
+                "EXISTS subquery source must be aliased differently "
+                f"from the DML target {target!r}"
+            )
+        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
+        inner_only: list[str] = []
+        for part in _split_top_and(im.group("pred") or ""):
+            cm = self._CORR_EQ.match(part)
+            q1 = cm and cm.group("q1").lower()
+            q2 = cm and cm.group("q2").lower()
+            if cm and {q1, q2} == {src_q, tgt}:
+                t_col = cm.group("c1") if q1 == tgt else cm.group("c2")
+                s_col = cm.group("c2") if q1 == tgt else cm.group("c1")
+                pairs.append((t_col, s_col))
+                continue
+            if re.search(
+                rf"\b{re.escape(target)}\s*\.",
+                _mask_literals(part),
+                re.IGNORECASE,
+            ):
+                raise ValueError(
+                    f"EXISTS correlation must be equality conjuncts "
+                    f"(<src>.<col> = {target}.<col>); cannot "
+                    f"decorrelate {part!r}"
+                )
+            inner_only.append(part)
+        if not pairs:
+            raise ValueError(
+                "uncorrelated EXISTS is constant per statement, not "
+                f"per row — no {target}.<col> equality found in the "
+                "subquery WHERE; evaluate it once and run the plain "
+                "DML instead"
+            )
+        # rebuild the key query: the source side of each correlation
+        # equality, renamed to its TARGET column (the merge engine
+        # joins same-name keys), with the source-side filters intact
+        proj = ", ".join(
+            f"{alias or src}.{s} AS {t}" for t, s in pairs
+        )
+        keys_sql = f"SELECT DISTINCT {proj} FROM {src}"
+        if alias:
+            keys_sql += f" {alias}"
+        if inner_only:
+            keys_sql += f" WHERE {' AND '.join(inner_only)}"
+        return {
+            "negated": negated,
+            "keys_sql": keys_sql,
+            "on": [t for t, _s in pairs],
+        }
+
+    def _exists_keys(self, spec: dict) -> DataFrame:
+        return self.spark.sql(self._prepare_select(spec["keys_sql"]))
+
     def _do_delete(self, m) -> DataFrame:
         lake = self.table(m.group("tbl"))
         pred = m.group("pred") or "true"
@@ -1061,6 +1225,38 @@ class LakeSQL:
                 lake.merge(
                     self._in_subquery_keys(col, subq),
                     on=[col],
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=residual,
+                ),
+            )
+        spec, residual = self._extract_exists_subquery(
+            pred, m.group("tbl")
+        )
+        if spec is not None:
+            keys = self._exists_keys(spec)
+            if spec["negated"]:
+                # NOT EXISTS: delete the target rows with NO source
+                # match — the merge engine's BY SOURCE DELETE (a
+                # left-ANTI probe; NULL-sound, unlike NOT IN)
+                return self._receipt(
+                    "DELETE",
+                    lake.merge(
+                        keys,
+                        on=spec["on"],
+                        when_matched=None,
+                        when_not_matched="ignore",
+                        when_not_matched_by_source="delete",
+                        by_source_condition=residual,
+                        validate_keys=False,
+                    ),
+                )
+            return self._receipt(
+                "DELETE",
+                lake.merge(
+                    keys,
+                    on=spec["on"],
                     when_matched="delete",
                     when_not_matched="ignore",
                     validate_keys=False,
@@ -1094,6 +1290,40 @@ class LakeSQL:
                 lake.merge(
                     self._in_subquery_keys(kcol, subq),
                     on=[kcol],
+                    set_exprs=assignments,
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=residual,
+                ),
+            )
+        spec, residual = self._extract_exists_subquery(
+            pred, m.group("tbl")
+        )
+        if spec is not None:
+            keys = self._exists_keys(spec)
+            if spec["negated"]:
+                # NOT EXISTS: SET over the rows with NO source match
+                # via BY SOURCE UPDATE (target-column exprs only —
+                # there is no source row, and the UPDATE statement
+                # has no source alias to reference anyway)
+                return self._receipt(
+                    "UPDATE",
+                    lake.merge(
+                        keys,
+                        on=spec["on"],
+                        when_matched=None,
+                        when_not_matched="ignore",
+                        when_not_matched_by_source="update",
+                        by_source_set=assignments,
+                        by_source_condition=residual,
+                        validate_keys=False,
+                    ),
+                )
+            return self._receipt(
+                "UPDATE",
+                lake.merge(
+                    keys,
+                    on=spec["on"],
                     set_exprs=assignments,
                     when_not_matched="ignore",
                     validate_keys=False,
@@ -1845,13 +2075,18 @@ class LakeSQL:
                     opts.append(f"INCREMENT BY {step}")
                 if opts:
                     d += f" ({' '.join(opts)})"
-                if start is None and step != 1:
+                if start is None:
                     # legacy doc without a recorded start: refuse to
                     # invent a literal; the note rides the END of
                     # the statement as a line comment the front-end
                     # strips on replay (review find r13: an inline
                     # /* */ marker broke the round-trip this
-                    # statement exists for)
+                    # statement exists for). Emitted for EVERY
+                    # start-less doc, step 1 included (r14 ADVICE:
+                    # a step-1 legacy doc with a nonzero declared
+                    # start round-tripped silently with replay
+                    # restarting at 0 — same silent-wrong class,
+                    # just without a wrong literal)
                     notes.append(
                         f"-- {cname}: START WITH unrecorded "
                         "(declared before start logging; replay "

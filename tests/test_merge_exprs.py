@@ -1240,3 +1240,210 @@ class TestParsingHelpers:
         )
         # '--' split across a quote boundary stays intact
         assert strip("SELECT '-' || '-'") == "SELECT '-' || '-'"
+
+    def test_escaped_quotes_r14(self):
+        """r14 ADVICE: a backslash-escaped quote inside a literal
+        must not close it — previously SELECT 'it\\'s -- here'
+        truncated at the -- and mangled a valid statement."""
+        from market_data_lakehouse_spark.sqlfront import (
+            LakeSQL,
+            _split_commas,
+            _split_top_and,
+        )
+
+        strip = LakeSQL._strip_line_comments
+        stmt = "SELECT 'it\\'s -- here' AND k"
+        assert strip(stmt) == stmt
+        assert _split_top_and("a = 'x\\' AND y' AND k = 1") == [
+            "a = 'x\\' AND y'", "k = 1",
+        ]
+        assert _split_commas("a = 'x\\', y', b = 2") == [
+            "a = 'x\\', y'", "b = 2",
+        ]
+
+    def test_mask_literals(self):
+        from market_data_lakehouse_spark.sqlfront import _mask_literals
+
+        masked = _mask_literals("note = 'a (select me)' AND k = 1")
+        assert "(select" not in masked.lower()
+        assert masked.endswith("AND k = 1")
+        assert len(masked) == len("note = 'a (select me)' AND k = 1")
+        # escape-aware: the literal runs to the real closing quote
+        assert "select" not in _mask_literals("x = 'a\\' (select b'")
+
+
+class TestExistsDML:
+    """r14 (VERDICT directive 4): DELETE/UPDATE ... WHERE [NOT]
+    EXISTS (SELECT ... FROM src WHERE src.c = tgt.c ...) —
+    decorrelated to a key MERGE: EXISTS = matched clause (left-semi
+    probe), NOT EXISTS = WHEN NOT MATCHED BY SOURCE (left-anti,
+    NULL-sound where NOT IN is not)."""
+
+    def _setup(self, spark, tmp_path, name):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE {name} (k BIGINT, v DOUBLE, cat STRING) "
+            f"LOCATION '{tmp_path / name}'"
+        )
+        fr.sql(
+            f"INSERT INTO {name} VALUES (1, 1.0, 'a'), (2, 2.0, 'b'),"
+            " (3, 3.0, 'a'), (4, 4.0, 'b'), (NULL, 9.0, 'n')"
+        )
+        fr.sql(
+            f"CREATE TABLE {name}_src (sk BIGINT, flag BIGINT) "
+            f"LOCATION '{tmp_path / (name + '_s')}'"
+        )
+        fr.sql(f"INSERT INTO {name}_src VALUES (2, 1), (3, 0), (99, 1)")
+        return fr
+
+    def test_delete_exists_with_source_filter_and_residual(
+        self, spark, tmp_path
+    ):
+        fr = self._setup(spark, tmp_path, "ex1")
+        # flag=1 keeps sk {2, 99}; residual cat='b' keeps k=2 only
+        fr.sql(
+            "DELETE FROM ex1 WHERE EXISTS (SELECT 1 FROM ex1_src s "
+            "WHERE s.sk = ex1.k AND s.flag = 1) AND cat = 'b'"
+        )
+        got = sorted(
+            r.k for r in fr.sql("SELECT * FROM ex1").collect()
+            if r.k is not None
+        )
+        assert got == [1, 3, 4]
+        assert fr.sql("SELECT COUNT(*) AS n FROM ex1").first()["n"] == 4
+
+    def test_delete_not_exists_null_sound(self, spark, tmp_path):
+        """NOT IN would delete nothing when the subquery has a NULL;
+        NOT EXISTS with equality correlation deletes every row
+        without a match — including the NULL-key row (s.sk = NULL is
+        never true, so EXISTS is false)."""
+        fr = self._setup(spark, tmp_path, "ex2")
+        fr.sql(
+            "DELETE FROM ex2 WHERE NOT EXISTS "
+            "(SELECT 1 FROM ex2_src s WHERE s.sk = ex2.k)"
+        )
+        got = sorted(r.k for r in fr.sql("SELECT * FROM ex2").collect())
+        assert got == [2, 3]  # 1, 4, NULL deleted
+
+    def test_delete_not_exists_residual_scopes(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "ex3")
+        fr.sql(
+            "DELETE FROM ex3 WHERE NOT EXISTS "
+            "(SELECT 1 FROM ex3_src s WHERE s.sk = ex3.k) AND v < 2.0"
+        )
+        ks = [r.k for r in fr.sql("SELECT * FROM ex3").collect()]
+        assert sorted(k for k in ks if k is not None) == [2, 3, 4]
+        assert None in ks  # v=9.0 fails the residual, row survives
+
+    def test_update_exists(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "ex4")
+        fr.sql(
+            "UPDATE ex4 SET v = v + 100 WHERE EXISTS "
+            "(SELECT 1 FROM ex4_src s WHERE s.sk = ex4.k)"
+        )
+        got = {
+            r.k: r.v for r in fr.sql("SELECT * FROM ex4").collect()
+        }
+        assert got[2] == 102.0 and got[3] == 103.0
+        assert got[1] == 1.0 and got[4] == 4.0 and got[None] == 9.0
+
+    def test_update_not_exists(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "ex5")
+        fr.sql(
+            "UPDATE ex5 SET v = -1.0 WHERE NOT EXISTS "
+            "(SELECT 1 FROM ex5_src s WHERE s.sk = ex5.k) "
+            "AND cat = 'a'"
+        )
+        got = {
+            r.k: r.v for r in fr.sql("SELECT * FROM ex5").collect()
+        }
+        assert got[1] == -1.0          # no match, cat a
+        assert got[3] == 3.0           # matched -> untouched
+        assert got[4] == 4.0           # no match but cat b
+        assert got[None] == 9.0        # no match but cat n
+
+    def test_multi_key_correlation(self, spark, tmp_path):
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE ex6 (k BIGINT, g BIGINT, v DOUBLE) "
+            f"LOCATION '{tmp_path / 'ex6'}'"
+        )
+        fr.sql(
+            "INSERT INTO ex6 VALUES (1, 1, 1.0), (1, 2, 2.0), "
+            "(2, 1, 3.0)"
+        )
+        fr.sql(
+            "CREATE TABLE ex6_src (a BIGINT, b BIGINT) "
+            f"LOCATION '{tmp_path / 'ex6s'}'"
+        )
+        fr.sql("INSERT INTO ex6_src VALUES (1, 2), (2, 2)")
+        fr.sql(
+            "DELETE FROM ex6 WHERE EXISTS (SELECT 1 FROM ex6_src s "
+            "WHERE s.a = ex6.k AND ex6.g = s.b)"
+        )
+        got = sorted(
+            (r.k, r.g) for r in fr.sql("SELECT * FROM ex6").collect()
+        )
+        assert got == [(1, 1), (2, 1)]  # only (1,2) matched both keys
+
+    def test_uncorrelated_exists_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "ex7")
+        with pytest.raises(ValueError, match="uncorrelated"):
+            fr.sql(
+                "DELETE FROM ex7 WHERE EXISTS "
+                "(SELECT 1 FROM ex7_src s WHERE s.flag = 1)"
+            )
+
+    def test_non_equality_correlation_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "ex8")
+        with pytest.raises(ValueError, match="decorrelate"):
+            fr.sql(
+                "DELETE FROM ex8 WHERE EXISTS "
+                "(SELECT 1 FROM ex8_src s WHERE s.sk > ex8.k)"
+            )
+
+    def test_residual_literal_with_select_ok(self, spark, tmp_path):
+        """r14 ADVICE: a plain conjunct whose string literal contains
+        '(select' must not trip the unsupported-subquery guard."""
+        fr = self._setup(spark, tmp_path, "ex9")
+        fr.sql(
+            "UPDATE ex9 SET cat = 'x (select me)' WHERE k = 1"
+        )
+        fr.sql(
+            "DELETE FROM ex9 WHERE k IN (SELECT sk FROM ex9_src) "
+            "AND cat = 'x (select me)'"
+        )  # no spurious refusal; k=1 not in keys -> deletes nothing
+        assert fr.sql("SELECT COUNT(*) AS n FROM ex9").first()["n"] == 5
+        fr.sql(
+            "DELETE FROM ex9 WHERE EXISTS (SELECT 1 FROM ex9_src s "
+            "WHERE s.sk = ex9.k) AND cat = 'x (select me)'"
+        )
+        assert fr.sql("SELECT COUNT(*) AS n FROM ex9").first()["n"] == 5
+
+    def test_legacy_identity_step1_note(self, spark, tmp_path):
+        """r14 ADVICE: a legacy identity doc with step == 1 and no
+        recorded start must ALSO carry the unrecorded-start note."""
+        fr = LakeSQL(spark)
+        fr.sql(
+            "CREATE TABLE lid3 (rid BIGINT GENERATED ALWAYS AS "
+            "IDENTITY, s STRING) "
+            f"LOCATION '{tmp_path / 'lid3'}'"
+        )
+        lk = fr.table("lid3")
+        import json as _json
+        import os as _os
+
+        for name in sorted(_os.listdir(lk.log_path)):
+            if not name.endswith(".json"):
+                continue
+            p = _os.path.join(lk.log_path, name)
+            doc = _json.load(open(p))
+            if doc.get("identity") and "start" in doc["identity"]:
+                del doc["identity"]["start"]
+                with open(p, "w") as fh:
+                    _json.dump(doc, fh)
+        stmt = fr.sql("SHOW CREATE TABLE lid3").collect()[0][
+            "createtab_stmt"
+        ]
+        assert "START WITH unrecorded" in stmt
+        assert "START WITH 0" not in stmt
