@@ -22,7 +22,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from market_data_lakehouse_spark.queries.catalog import load, register
+from market_data_lakehouse_spark.queries.catalog import (
+    load,
+    parquet_rowcount_bound,
+    register,
+)
 
 K = 5
 N_QUERY = 10  # vec_id < 10 are the query vectors
@@ -1075,7 +1079,12 @@ def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0][0]
         )
         assigned = assign
-    n_total = em.count()
+    # stats-first (r14): the raw-table anchor comes from parquet
+    # footers (exact, zero Spark jobs) — the partition_exact compare
+    # below gains independence, Spark never computed the number
+    n_total = parquet_rowcount_bound(sf_dir, "embeddings")
+    if n_total is None:
+        n_total = em.count()
     sizes = assigned.groupBy("cluster").count().collect()
     eps = 1e-9
     monotone = all(
@@ -1129,19 +1138,27 @@ PQ_SHORTLIST = 4 * K  # ADC survivors per query that get exact re-rank
 PQ_SAMPLE = 512  # target codebook-training sample size (driver-bounded)
 
 
-def _pq_train(em: DataFrame) -> "np.ndarray":
+def _pq_train(em: DataFrame, n_bound: int | None = None) -> "np.ndarray":
     """Train PQ codebooks (PQ_M, PQ_K, sub_dim) driver-side on a
     deterministic hash-gated sample whose modulus derives from the
     corpus count, capping it near PQ_SAMPLE rows at any scale — codebooks are ~MBs and train on samples by
     design, exactly like the IVF quantizer). Vectors are L2-normalized
     first so ADC inner products approximate cosine. Per-subspace
     k-means: deterministic seeds (first PQ_K sample rows by vec_id),
-    5 Lloyd iterations, empty clusters keep their previous centroid."""
+    5 Lloyd iterations, empty clusters keep their previous centroid.
+
+    ``n_bound`` (r14, stats-first): an UPPER bound on em's row count
+    (parquet footers — exact for the raw table) skips the exact
+    count() job. Only the sample-gate modulus depends on it: an
+    over-estimate thins the hash-gated sample, and the ``< PQ_K``
+    fallback below already repairs a thin gate deterministically —
+    never a correctness input."""
     # bound the sample at ~PQ_SAMPLE rows regardless of corpus size:
-    # one cheap count picks the hash-gate modulus, so a 10^9-vector
-    # corpus still collects a driver-size training set (deterministic
-    # membership — no RNG, no order-dependent limit())
-    n_total = em.count()
+    # one cheap count (or the caller's footer bound) picks the
+    # hash-gate modulus, so a 10^9-vector corpus still collects a
+    # driver-size training set (deterministic membership — no RNG,
+    # no order-dependent limit())
+    n_total = n_bound if n_bound is not None else em.count()
     if n_total <= PQ_SAMPLE * 2:
         # small corpus: the hash gate could yield < PQ_K rows (centroid
         # seeding needs PQ_K) or zero (normalize would divide by 0) —
@@ -1228,7 +1245,9 @@ def e3_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of fetching 20 true vectors per query). Codebooks train once on a hash-gated sample and ride
     along as closure constants — never a join against the corpus."""
     em = load(spark, sf_dir, "embeddings")
-    books = _pq_train(em)
+    books = _pq_train(
+        em, n_bound=parquet_rowcount_bound(sf_dir, "embeddings")
+    )
     encode = _pq_encode_udf(books)
 
     qrows = sorted(
@@ -1395,7 +1414,13 @@ def e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (same bounded-metadata class as e3_kmeans's gate)."""
     threshold = 0.45
     v = semantic_dedup_verdicts(spark, sf_dir).localCheckpoint(eager=False)
-    n_vecs = load(spark, sf_dir, "embeddings").count()
+    # stats-first (r14, VERDICT directive 6): the corpus anchor is
+    # the RAW table's row count — parquet footers answer it exactly
+    # with zero Spark jobs (and more independently: the gate compares
+    # the fit's output against a number Spark never computed)
+    n_vecs = parquet_rowcount_bound(sf_dir, "embeddings")
+    if n_vecs is None:
+        n_vecs = load(spark, sf_dir, "embeddings").count()
     stats = (
         v.withColumn(
             "csize", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
@@ -1486,7 +1511,9 @@ def e3_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r["cell"],
     )
     # PQ codebooks + query LUTs (identical recipe to e3_pq_knn)
-    books = _pq_train(em)
+    books = _pq_train(
+        em, n_bound=parquet_rowcount_bound(sf_dir, "embeddings")
+    )
     encode = _pq_encode_udf(books)
     qrows = sorted(
         em.filter(F.col("vec_id") < N_QUERY)

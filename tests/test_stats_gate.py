@@ -206,3 +206,53 @@ class TestParquetFooterBound:
         assert gate_stats["source"] == "bound"
         assert gate_stats["broadcast"] == gate_exact["broadcast"] is True
         assert jobs_stats < jobs_exact, (jobs_stats, jobs_exact)
+
+
+class TestFooterBoundGates:
+    """r14 (VERDICT directive 6): the remaining exact-count gate
+    sites answer from parquet footers — same output, zero count
+    jobs. For a RAW driver table the footer sum is EXACT, so even
+    output-anchoring counts (e2_semantic_dedup's n_vecs) can use it."""
+
+    def test_footer_count_exact_and_jobless(self, spark, sf_dir):
+        from market_data_lakehouse_spark.queries.catalog import (
+            load,
+            parquet_rowcount_bound,
+        )
+
+        exact = load(spark, sf_dir, "embeddings").count()
+        before = _jobs_so_far(spark)
+        bound = parquet_rowcount_bound(sf_dir, "embeddings")
+        assert _jobs_so_far(spark) - before == 0, "footer read ran a job"
+        assert bound == exact
+
+    def test_pq_train_bound_same_codebooks_fewer_jobs(
+        self, spark, sf_dir
+    ):
+        import numpy as np
+
+        from market_data_lakehouse_spark.queries.catalog import (
+            load,
+            parquet_rowcount_bound,
+        )
+        from market_data_lakehouse_spark.queries.similarity import (
+            _pq_train,
+        )
+
+        em = load(spark, sf_dir, "embeddings")
+        em.count()  # warm the scan so job counts compare like for like
+        j0 = _jobs_so_far(spark)
+        books_exact = _pq_train(em)
+        jobs_exact = _jobs_so_far(spark) - j0
+        j0 = _jobs_so_far(spark)
+        books_bound = _pq_train(
+            em, n_bound=parquet_rowcount_bound(sf_dir, "embeddings")
+        )
+        jobs_bound = _jobs_so_far(spark) - j0
+        assert np.array_equal(books_exact, books_bound)
+        # the count() can span >1 job (AQE stages); the pin is that
+        # the bound path launches strictly fewer
+        assert jobs_bound < jobs_exact, (
+            f"expected the count job(s) to disappear: "
+            f"{jobs_exact} -> {jobs_bound}"
+        )
