@@ -2194,8 +2194,23 @@ def s35_sql_dml2(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT COALESCE(
         NOT EXISTS (SELECT 1 FROM src s WHERE s.k = t.k)
         AND t.k % 5 = 1, FALSE)
+    ),
+    -- scalar-subquery DELETE (uncorrelated, exact BIGINT aggregate)
+    d3 AS (
+      SELECT * FROM d2 t
+      WHERE NOT COALESCE(
+        t.k > (SELECT MAX(k) FROM src) AND t.etype = 'orphan', FALSE)
+    ),
+    -- scalar + EXISTS composed in one statement
+    u3 AS (
+      SELECT k,
+             CASE WHEN EXISTS (SELECT 1 FROM src s WHERE s.k = d3.k)
+                       AND k >= (SELECT MIN(k) FROM src)
+                  THEN 'seen' ELSE etype END AS etype,
+             qty
+      FROM d3
     )
-    SELECT k, etype, ROUND(qty, 6) AS qty FROM d2 ORDER BY k
+    SELECT k, etype, ROUND(qty, 6) AS qty FROM u3 ORDER BY k
     """,
 )
 def s36_sql_dml3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2210,7 +2225,12 @@ def s36_sql_dml3(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, applies the residual to the wrong side, or sweeps
     matched rows on the anti path diverges. COALESCE in the oracle
     mirrors DML's three-valued guard: a NULL condition leaves the
-    row untouched."""
+    row untouched. r14 also folds in the scalar-subquery forms: an
+    uncorrelated ``<expr> <cmp> (SELECT ...)`` evaluates once
+    driver-side and inlines as a typed literal (exact BIGINT
+    aggregates here, so no cross-engine float-threshold ties), both
+    standalone (lands as a PLAIN delete — skipping intact) and
+    composed with EXISTS in one statement."""
     from market_data_lakehouse_spark.sqlfront import LakeSQL
     from market_data_lakehouse_spark.txnlog import TransactionalLake
 
@@ -2248,11 +2268,26 @@ def s36_sql_dml3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DELETE FROM t36 WHERE NOT EXISTS "
         "(SELECT 1 FROM t36src s WHERE s.k = t36.k) AND k % 5 = 1"
     )
+    # scalar subquery (r14): evaluated ONCE driver-side (exact
+    # BIGINT aggregate — no cross-engine float-threshold ties) and
+    # inlined, so this lands as a PLAIN delete (skipping intact)
+    fr.sql(
+        "DELETE FROM t36 WHERE k > (SELECT max(k) FROM t36src) "
+        "AND etype = 'orphan'"
+    )
+    # scalar + EXISTS composed in one statement: the scalar inlines
+    # first, then the EXISTS decorrelates onto the merge engine
+    fr.sql(
+        "UPDATE t36 SET etype = 'seen' WHERE EXISTS "
+        "(SELECT 1 FROM t36src s WHERE s.k = t36.k) "
+        "AND k >= (SELECT min(k) FROM t36src)"
+    )
     ops = [
         r["operation"]
         for r in fr.sql("DESCRIBE HISTORY t36").collect()
     ]
-    if ops != ["merge", "merge", "merge", "merge", "append"]:
+    if ops != ["merge", "delete", "merge", "merge", "merge", "merge",
+               "append"]:
         raise AssertionError(f"unexpected op sequence: {ops}")
     return fr.sql(
         "SELECT k, etype, ROUND(qty, 6) AS qty FROM t36 ORDER BY k"

@@ -1212,9 +1212,123 @@ class LakeSQL:
     def _exists_keys(self, spec: dict) -> DataFrame:
         return self.spark.sql(self._prepare_select(spec["keys_sql"]))
 
+    _SCALAR_CMP = re.compile(
+        r"^\s*(?P<lhs>.+?)\s*(?P<op>=|<>|!=|<=|>=|<|>)\s*"
+        r"(?P<sub>\(\s*SELECT\s.+\))\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @staticmethod
+    def _sql_literal(val) -> str:
+        """Render a driver-side scalar back into SQL-literal text so
+        an evaluated subquery can substitute into the predicate. Loud
+        error on types with no unambiguous literal form."""
+        import datetime as _dt
+        import decimal as _dec
+
+        if val is None:
+            return "NULL"
+        if isinstance(val, bool):
+            return "TRUE" if val else "FALSE"
+        if isinstance(val, (int, float, _dec.Decimal)):
+            return str(val)
+        if isinstance(val, str):
+            esc = val.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{esc}'"
+        if isinstance(val, _dt.datetime):
+            return f"TIMESTAMP '{val.isoformat(sep=' ')}'"
+        if isinstance(val, _dt.date):
+            return f"DATE '{val.isoformat()}'"
+        raise ValueError(
+            f"scalar subquery returned a {type(val).__name__}; no "
+            "SQL literal form to substitute — cast it in the subquery"
+        )
+
+    def _inline_scalar_subqueries(self, predicate: str, target: str) -> str:
+        """Uncorrelated scalar-subquery DML predicates (r14): a
+        top-level conjunct ``<expr> <cmp> (SELECT ...)`` evaluates the
+        subquery ONCE driver-side (it is constant for the statement —
+        one row, one column, a bounded collect) and substitutes the
+        result as a typed literal, so the statement then runs the
+        plain DML path (data skipping, partition pruning, and the
+        IN/EXISTS rewrites all still apply — ``k IN (SELECT ...) AND
+        v > (SELECT avg(v) FROM t)`` composes). SQL semantics kept:
+        an EMPTY subquery is NULL (the comparison is never true, no
+        row is touched), more than one row is a loud error, and a
+        correlated scalar subquery (one referencing the DML target)
+        refuses — per-row evaluation needs a join the caller should
+        write as MERGE. Structure is detected on literal-masked text
+        (same-offset masking), so ``note = '(select me)'`` never
+        trips it."""
+        if not re.search(
+            r"\(\s*SELECT\b", _mask_literals(predicate), re.IGNORECASE
+        ):
+            return predicate
+        out: list[str] = []
+        for part in _split_top_and(predicate):
+            masked = _mask_literals(part)
+            mm = self._SCALAR_CMP.match(masked)
+            if not mm:
+                # an unhandled subquery conjunct must refuse HERE
+                # unless it is an IN/EXISTS form the downstream
+                # extractors own: letting it fall through would hand
+                # spark.sql-resolved subqueries to the DML engine,
+                # where they bind to whatever temp view a PREVIOUS
+                # statement registered — stale-snapshot semantics no
+                # one asked for (found by the r14 edge probe)
+                if (
+                    re.search(r"\(\s*SELECT\b", masked, re.IGNORECASE)
+                    and not self._IN_SUBQ.match(part)
+                    and not self._EXISTS_SUBQ.match(part)
+                ):
+                    raise ValueError(
+                        f"unsupported subquery conjunct: {part!r} "
+                        "(supported: col IN (SELECT ...), [NOT] "
+                        "EXISTS (SELECT ...), or <expr> <cmp> "
+                        "(SELECT ...) ending the conjunct)"
+                    )
+                out.append(part)
+                continue
+            # slice the RAW text by the masked match's spans (masking
+            # is same-length, so offsets line up)
+            sub_raw = part[mm.start("sub"):mm.end("sub")]
+            if re.search(
+                rf"\b{re.escape(target)}\s*\.",
+                _mask_literals(sub_raw),
+                re.IGNORECASE,
+            ):
+                raise ValueError(
+                    "correlated scalar subquery (references "
+                    f"{target!r}) is not supported in DML predicates "
+                    "— rewrite as MERGE, or use [NOT] EXISTS / IN"
+                )
+            inner = sub_raw.strip()[1:-1]  # drop the outer parens
+            rows = (
+                self.spark.sql(self._prepare_select(inner))
+                .limit(2)
+                .collect()
+            )
+            if rows and len(rows[0]) != 1:
+                raise ValueError(
+                    "scalar subquery must select exactly one column, "
+                    f"got {len(rows[0])}"
+                )
+            if len(rows) > 1:
+                raise ValueError(
+                    "scalar subquery returned more than one row"
+                )
+            val = rows[0][0] if rows else None  # empty -> NULL (SQL)
+            out.append(
+                part[: mm.start("sub")]
+                + self._sql_literal(val)
+                + part[mm.end("sub"):]
+            )
+        return " AND ".join(c.strip() for c in out)
+
     def _do_delete(self, m) -> DataFrame:
         lake = self.table(m.group("tbl"))
         pred = m.group("pred") or "true"
+        pred = self._inline_scalar_subqueries(pred, m.group("tbl"))
         col, subq, residual = self._extract_in_subquery(pred)
         if col is not None:
             # subquery DML rides the merge engine: matched keys
@@ -1280,6 +1394,7 @@ class LakeSQL:
             assignments[col.strip().strip("`")] = expr.strip()
         lake = self.table(m.group("tbl"))
         pred = m.group("pred") or "true"
+        pred = self._inline_scalar_subqueries(pred, m.group("tbl"))
         kcol, subq, residual = self._extract_in_subquery(pred)
         if kcol is not None:
             # subquery DML via the merge engine: matched keys take

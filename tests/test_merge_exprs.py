@@ -1447,3 +1447,103 @@ class TestExistsDML:
         ]
         assert "START WITH unrecorded" in stmt
         assert "START WITH 0" not in stmt
+
+
+class TestScalarSubqueryDML:
+    """r14: DELETE/UPDATE ... WHERE <expr> <cmp> (SELECT ...) — the
+    uncorrelated scalar subquery evaluates ONCE driver-side (bounded:
+    one row, one column) and substitutes as a typed literal, so the
+    plain DML path (skipping, pruning) runs, and it composes with the
+    IN/EXISTS rewrites. SQL semantics: empty subquery = NULL (touches
+    nothing), >1 row is a loud error, correlated refuses."""
+
+    def _setup(self, spark, tmp_path, name):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE {name} (k BIGINT, v DOUBLE, note STRING) "
+            f"LOCATION '{tmp_path / name}'"
+        )
+        fr.sql(
+            f"INSERT INTO {name} VALUES (0, 0.0, 'n0'), (1, 1.0, 'n1'),"
+            " (2, 2.0, 'n2'), (3, 3.0, 'n3'), (4, 4.0, 'n4')"
+        )
+        fr.sql(
+            f"CREATE TABLE {name}_src (x DOUBLE) "
+            f"LOCATION '{tmp_path / (name + '_s')}'"
+        )
+        fr.sql(f"INSERT INTO {name}_src VALUES (1.0), (3.0)")
+        return fr
+
+    def test_delete_above_aggregate(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sc1")
+        fr.sql("DELETE FROM sc1 WHERE v > (SELECT avg(x) FROM sc1_src)")
+        got = sorted(r.k for r in fr.sql("SELECT * FROM sc1").collect())
+        assert got == [0, 1, 2]  # avg = 2.0
+
+    def test_composes_with_in_subquery(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sc2")
+        fr.sql(
+            "UPDATE sc2 SET v = -1.0 WHERE k IN "
+            "(SELECT CAST(x AS BIGINT) FROM sc2_src) "
+            "AND v < (SELECT max(x) FROM sc2_src)"
+        )
+        got = {r.k: r.v for r in fr.sql("SELECT * FROM sc2").collect()}
+        assert got == {0: 0.0, 1: -1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+    def test_empty_subquery_is_null_touches_nothing(
+        self, spark, tmp_path
+    ):
+        fr = self._setup(spark, tmp_path, "sc3")
+        fr.sql(
+            "DELETE FROM sc3 WHERE v > "
+            "(SELECT max(x) FROM sc3_src WHERE x > 100)"
+        )
+        assert fr.sql("SELECT COUNT(*) AS n FROM sc3").first()["n"] == 5
+
+    def test_multirow_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sc4")
+        with pytest.raises(ValueError, match="more than one row"):
+            fr.sql("DELETE FROM sc4 WHERE v > (SELECT x FROM sc4_src)")
+
+    def test_correlated_scalar_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sc5")
+        with pytest.raises(ValueError, match="correlated scalar"):
+            fr.sql(
+                "DELETE FROM sc5 WHERE v > "
+                "(SELECT avg(x) FROM sc5_src s WHERE s.x = sc5.v)"
+            )
+
+    def test_trailing_expr_refused_not_stale_fallthrough(
+        self, spark, tmp_path
+    ):
+        """A subquery conjunct that matches NO supported form must
+        refuse here — falling through to the DML engine would bind
+        the subquery to whatever temp view a previous statement
+        registered (stale-snapshot semantics)."""
+        fr = self._setup(spark, tmp_path, "sc6")
+        fr.sql("SELECT COUNT(*) AS n FROM sc6_src").collect()  # views hot
+        with pytest.raises(ValueError, match="unsupported subquery"):
+            fr.sql(
+                "DELETE FROM sc6 WHERE v <= "
+                "(SELECT min(x) FROM sc6_src) - 1"
+            )
+
+    def test_string_scalar_renders_safely(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sc7")
+        fr.sql(
+            "CREATE TABLE sc7_w (w STRING) "
+            f"LOCATION '{tmp_path / 'sc7w'}'"
+        )
+        fr.sql("INSERT INTO sc7_w VALUES ('n1')")
+        fr.sql("DELETE FROM sc7 WHERE note = (SELECT w FROM sc7_w)")
+        got = sorted(r.k for r in fr.sql("SELECT * FROM sc7").collect())
+        assert got == [0, 2, 3, 4]
+
+    def test_literal_with_select_not_tripped(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "sc8")
+        fr.sql("UPDATE sc8 SET note = '(select me)' WHERE k = 0")
+        fr.sql(
+            "DELETE FROM sc8 WHERE v >= (SELECT max(x) FROM sc8_src) "
+            "AND note = '(select me)'"
+        )  # k=0 fails v>=3 -> nothing goes
+        assert fr.sql("SELECT COUNT(*) AS n FROM sc8").first()["n"] == 5
