@@ -1031,6 +1031,85 @@ def merge_exprs_skipping_probe(spark) -> dict:
     return out
 
 
+def exists_dml_skipping_probe(spark) -> dict:
+    """r14: EXISTS subquery DML decorrelates onto the merge engine,
+    so it must ride the SAME key-envelope skipping as any key merge —
+    the probe pins it end-to-end THROUGH THE SQL FRONT-END (parse →
+    decorrelate → merge), not just the engine call. Structural
+    receipt: _prune_by_key_ranges instrumented during ``DELETE FROM t
+    WHERE EXISTS (SELECT 1 FROM s WHERE s.k = t.k)`` whose source
+    keys live in ONE file; at 8 and 64 same-sized files the probed
+    set stays [1, 1]. A correctness echo pins the deleted rows at
+    both scales."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    per = 50_000
+    out: dict = {}
+    for label, n_files in (("small", 8), ("large", 64)):
+        root = tempfile.mkdtemp(prefix=f"exsp_{label}_")
+        lake = TransactionalLake(spark, root + "/t", partition_by=())
+        for i in range(n_files):
+            lake.append(
+                spark.range(i * per, (i + 1) * per)
+                .selectExpr("id as k", "cast(id * 1.5 as double) as v")
+                .coalesce(1)
+            )
+        src = TransactionalLake(spark, root + "/s", partition_by=())
+        src.append(
+            spark.createDataFrame(
+                [(3 * per + 5,), (3 * per + 6,)], "k long"
+            )
+        )
+        fr = LakeSQL(spark)
+        fr.register("ext", lake)
+        fr.register("exs", src)
+        probed: dict = {}
+        orig = lake._prune_by_key_ranges
+
+        def spy(files, ranges, _o=orig, _p=probed):
+            kept = _o(files, ranges)
+            _p["n"], _p["total"] = len(kept), len(files)
+            return kept
+
+        lake._prune_by_key_ranges = spy  # type: ignore
+        t0 = _t.perf_counter()
+        fr.sql(
+            "DELETE FROM ext WHERE EXISTS "
+            "(SELECT 1 FROM exs s WHERE s.k = ext.k)"
+        )
+        sec = round(_t.perf_counter() - t0, 4)
+        lake._prune_by_key_ranges = orig  # type: ignore
+        n_left = lake.snapshot().filter(
+            f"k IN ({3 * per + 5}, {3 * per + 6})"
+        ).count()
+        assert n_left == 0, n_left
+        assert lake.snapshot().count() == n_files * per - 2
+        out[f"at_{n_files}_files"] = {
+            "files": n_files,
+            "merge_files_probed": probed["n"],
+            "live_files": probed["total"],
+            "exists_delete_sec": sec,
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    out["probe_scope"] = [
+        out["at_8_files"]["merge_files_probed"],
+        out["at_64_files"]["merge_files_probed"],
+    ]
+    out["probe_scope_flat"] = out["probe_scope"] == [1, 1]
+    out["note"] = (
+        "r14 EXISTS subquery DML (SQL front-end decorrelation -> "
+        "key MERGE) rides the key-envelope skipping unchanged: the "
+        "probe set is [1, 1] files as the table grows 8 -> 64 files, "
+        "deleted rows value-checked at both scales"
+    )
+    return out
+
+
 def dml_skipping_probe(spark) -> dict:
     """Data-skipping DML (r12): DELETE/MERGE with a tight key range
     scan only the stats-possible files. The scale axis is FILE COUNT
@@ -1285,6 +1364,12 @@ def main() -> int:
         help="run just the r13 merge-exprs skipping block and merge "
         "it into the existing SCALE_PROBE.json",
     )
+    ap.add_argument(
+        "--only-exists",
+        action="store_true",
+        help="run just the r14 EXISTS-DML skipping block and merge "
+        "it into the existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
 
     if args.only_mx:
@@ -1298,6 +1383,19 @@ def main() -> int:
         with open(path, "w") as fh:
             json.dump(doc, fh, indent=2)
         print(json.dumps({"merge_exprs_skipping": block}))
+        return 0 if block["probe_scope_flat"] else 1
+
+    if args.only_exists:
+        from market_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark("scale_probe")
+        block = exists_dml_skipping_probe(spark)
+        path = os.path.join(REPO, "SCALE_PROBE.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["exists_dml_skipping"] = block
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"exists_dml_skipping": block}))
         return 0 if block["probe_scope_flat"] else 1
 
     if args.only_mpcp:
