@@ -1212,12 +1212,6 @@ class LakeSQL:
     def _exists_keys(self, spec: dict) -> DataFrame:
         return self.spark.sql(self._prepare_select(spec["keys_sql"]))
 
-    _SCALAR_CMP = re.compile(
-        r"^\s*(?P<lhs>.+?)\s*(?P<op>=|<>|!=|<=|>=|<|>)\s*"
-        r"(?P<sub>\(\s*SELECT\s.+\))\s*$",
-        re.IGNORECASE | re.DOTALL,
-    )
-
     @staticmethod
     def _sql_literal(val) -> str:
         """Render a driver-side scalar back into SQL-literal text so
@@ -1244,85 +1238,116 @@ class LakeSQL:
             "SQL literal form to substitute — cast it in the subquery"
         )
 
+    @staticmethod
+    def _subquery_spans(masked: str) -> list[tuple[int, int]]:
+        """(start, end) spans of top-level ``(SELECT ...)`` groups in
+        literal-masked text, by paren depth count. Nested subqueries
+        stay inside their enclosing group's span."""
+        spans: list[tuple[int, int]] = []
+        for m in re.finditer(r"\(\s*SELECT\b", masked, re.IGNORECASE):
+            s = m.start()
+            if spans and s < spans[-1][1]:
+                continue  # inside the previous group
+            depth = 0
+            for j in range(s, len(masked)):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        spans.append((s, j + 1))
+                        break
+            else:
+                raise ValueError(
+                    "unbalanced parentheses around subquery"
+                )
+        return spans
+
+    def _eval_scalar_subquery(self, sub_raw: str, target: str) -> str:
+        """Evaluate one uncorrelated scalar subquery (raw text INCL.
+        the outer parens) and return its SQL-literal rendering. SQL
+        semantics: empty result = NULL, >1 row is a loud error; a
+        correlated subquery (referencing the DML target) refuses —
+        per-row evaluation needs a join the caller should write as
+        MERGE or [NOT] EXISTS."""
+        if re.search(
+            rf"\b{re.escape(target)}\s*\.",
+            _mask_literals(sub_raw),
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                "correlated scalar subquery (references "
+                f"{target!r}) is not supported in DML — rewrite as "
+                "MERGE, or use [NOT] EXISTS / IN"
+            )
+        inner = sub_raw.strip()[1:-1]  # drop the outer parens
+        rows = (
+            self.spark.sql(self._prepare_select(inner))
+            .limit(2)
+            .collect()
+        )
+        if rows and len(rows[0]) != 1:
+            raise ValueError(
+                "scalar subquery must select exactly one column, "
+                f"got {len(rows[0])}"
+            )
+        if len(rows) > 1:
+            raise ValueError("scalar subquery returned more than one row")
+        return self._sql_literal(rows[0][0] if rows else None)
+
+    def _inline_scalars_in_text(self, raw: str, target: str) -> str:
+        """Substitute every top-level uncorrelated ``(SELECT ...)``
+        group in a DML expression/conjunct with its evaluated typed
+        literal (each is constant for the statement — one bounded
+        1-row collect apiece). Works anywhere in the text — ``v <=
+        (SELECT min(x) FROM s) - 4``, ``(SELECT avg(x) FROM s) < v``,
+        and SET expressions all inline. A group directly preceded by
+        IN/EXISTS is NOT a scalar — those are only supported as their
+        own top-level conjunct (the extractors own them), so finding
+        one here refuses loudly instead of falling through to the DML
+        engine, where spark.sql would bind it to whatever temp view a
+        PREVIOUS statement registered (stale-snapshot semantics no
+        one asked for — r14 edge probe). Structure is detected on
+        literal-masked text (same-length masking, so raw offsets
+        hold) — ``note = '(select me)'`` never trips it."""
+        masked = _mask_literals(raw)
+        if not re.search(r"\(\s*SELECT\b", masked, re.IGNORECASE):
+            return raw
+        out = raw
+        for s, e in reversed(self._subquery_spans(masked)):
+            prefix = masked[:s].rstrip()
+            if re.search(r"\b(?:IN|EXISTS)$", prefix, re.IGNORECASE):
+                raise ValueError(
+                    f"unsupported subquery form: {raw!r} — IN/EXISTS "
+                    "subqueries are supported only as their own "
+                    "top-level AND-conjunct of the WHERE clause"
+                )
+            out = (
+                out[:s]
+                + self._eval_scalar_subquery(raw[s:e], target)
+                + out[e:]
+            )
+        return out
+
     def _inline_scalar_subqueries(self, predicate: str, target: str) -> str:
-        """Uncorrelated scalar-subquery DML predicates (r14): a
-        top-level conjunct ``<expr> <cmp> (SELECT ...)`` evaluates the
-        subquery ONCE driver-side (it is constant for the statement —
-        one row, one column, a bounded collect) and substitutes the
-        result as a typed literal, so the statement then runs the
-        plain DML path (data skipping, partition pruning, and the
-        IN/EXISTS rewrites all still apply — ``k IN (SELECT ...) AND
-        v > (SELECT avg(v) FROM t)`` composes). SQL semantics kept:
-        an EMPTY subquery is NULL (the comparison is never true, no
-        row is touched), more than one row is a loud error, and a
-        correlated scalar subquery (one referencing the DML target)
-        refuses — per-row evaluation needs a join the caller should
-        write as MERGE. Structure is detected on literal-masked text
-        (same-offset masking), so ``note = '(select me)'`` never
-        trips it."""
+        """Uncorrelated scalar-subquery DML predicates (r14): every
+        top-level ``(SELECT ...)`` group outside an IN/EXISTS conjunct
+        evaluates ONCE driver-side and substitutes as a typed
+        literal, so the statement then runs the plain DML path (data
+        skipping, partition pruning, and the IN/EXISTS rewrites all
+        still apply — ``k IN (SELECT ...) AND v > (SELECT avg(v) FROM
+        t)`` composes). IN/EXISTS conjuncts pass through untouched
+        for their extractors."""
         if not re.search(
             r"\(\s*SELECT\b", _mask_literals(predicate), re.IGNORECASE
         ):
             return predicate
         out: list[str] = []
         for part in _split_top_and(predicate):
-            masked = _mask_literals(part)
-            mm = self._SCALAR_CMP.match(masked)
-            if not mm:
-                # an unhandled subquery conjunct must refuse HERE
-                # unless it is an IN/EXISTS form the downstream
-                # extractors own: letting it fall through would hand
-                # spark.sql-resolved subqueries to the DML engine,
-                # where they bind to whatever temp view a PREVIOUS
-                # statement registered — stale-snapshot semantics no
-                # one asked for (found by the r14 edge probe)
-                if (
-                    re.search(r"\(\s*SELECT\b", masked, re.IGNORECASE)
-                    and not self._IN_SUBQ.match(part)
-                    and not self._EXISTS_SUBQ.match(part)
-                ):
-                    raise ValueError(
-                        f"unsupported subquery conjunct: {part!r} "
-                        "(supported: col IN (SELECT ...), [NOT] "
-                        "EXISTS (SELECT ...), or <expr> <cmp> "
-                        "(SELECT ...) ending the conjunct)"
-                    )
-                out.append(part)
-                continue
-            # slice the RAW text by the masked match's spans (masking
-            # is same-length, so offsets line up)
-            sub_raw = part[mm.start("sub"):mm.end("sub")]
-            if re.search(
-                rf"\b{re.escape(target)}\s*\.",
-                _mask_literals(sub_raw),
-                re.IGNORECASE,
-            ):
-                raise ValueError(
-                    "correlated scalar subquery (references "
-                    f"{target!r}) is not supported in DML predicates "
-                    "— rewrite as MERGE, or use [NOT] EXISTS / IN"
-                )
-            inner = sub_raw.strip()[1:-1]  # drop the outer parens
-            rows = (
-                self.spark.sql(self._prepare_select(inner))
-                .limit(2)
-                .collect()
-            )
-            if rows and len(rows[0]) != 1:
-                raise ValueError(
-                    "scalar subquery must select exactly one column, "
-                    f"got {len(rows[0])}"
-                )
-            if len(rows) > 1:
-                raise ValueError(
-                    "scalar subquery returned more than one row"
-                )
-            val = rows[0][0] if rows else None  # empty -> NULL (SQL)
-            out.append(
-                part[: mm.start("sub")]
-                + self._sql_literal(val)
-                + part[mm.end("sub"):]
-            )
+            if self._IN_SUBQ.match(part) or self._EXISTS_SUBQ.match(part):
+                out.append(part)  # the downstream extractors own these
+            else:
+                out.append(self._inline_scalars_in_text(part, target))
         return " AND ".join(c.strip() for c in out)
 
     def _do_delete(self, m) -> DataFrame:
@@ -1391,7 +1416,15 @@ class LakeSQL:
             col, eq, expr = a.partition("=")
             if not eq or not re.fullmatch(_IDENT, col.strip().strip("`")):
                 raise ValueError(f"UPDATE SET needs col = expr: {a!r}")
-            assignments[col.strip().strip("`")] = expr.strip()
+            # scalar subqueries in SET expressions (r14): constant per
+            # statement, so they inline exactly like predicate scalars
+            # — and never reach the engine's F.expr, where they would
+            # bind to stale temp views
+            assignments[col.strip().strip("`")] = (
+                self._inline_scalars_in_text(
+                    expr.strip(), m.group("tbl")
+                )
+            )
         lake = self.table(m.group("tbl"))
         pred = m.group("pred") or "true"
         pred = self._inline_scalar_subqueries(pred, m.group("tbl"))

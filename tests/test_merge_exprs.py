@@ -1513,19 +1513,41 @@ class TestScalarSubqueryDML:
                 "(SELECT avg(x) FROM sc5_src s WHERE s.x = sc5.v)"
             )
 
-    def test_trailing_expr_refused_not_stale_fallthrough(
-        self, spark, tmp_path
-    ):
-        """A subquery conjunct that matches NO supported form must
-        refuse here — falling through to the DML engine would bind
-        the subquery to whatever temp view a previous statement
-        registered (stale-snapshot semantics)."""
+    def test_scalar_anywhere_in_expression(self, spark, tmp_path):
+        """The scalar group can sit anywhere in the conjunct —
+        trailing arithmetic and leading position both inline."""
         fr = self._setup(spark, tmp_path, "sc6")
-        fr.sql("SELECT COUNT(*) AS n FROM sc6_src").collect()  # views hot
+        fr.sql(
+            "DELETE FROM sc6 WHERE v <= (SELECT min(x) FROM sc6_src) - 1"
+        )  # min=1 -> v <= 0 -> k=0 goes
+        got = sorted(r.k for r in fr.sql("SELECT * FROM sc6").collect())
+        assert got == [1, 2, 3, 4]
+        fr.sql("DELETE FROM sc6 WHERE (SELECT max(x) FROM sc6_src) < v")
+        got = sorted(r.k for r in fr.sql("SELECT * FROM sc6").collect())
+        assert got == [1, 2, 3]  # max=3 -> v>3 -> k=4 goes
+
+    def test_scalar_in_set_expression(self, spark, tmp_path):
+        """SET expressions inline scalars too — previously the raw
+        subquery reached the engine's F.expr, which binds to stale
+        temp views (same class as the predicate fallthrough)."""
+        fr = self._setup(spark, tmp_path, "sc9")
+        fr.sql(
+            "UPDATE sc9 SET v = (SELECT max(x) FROM sc9_src) + v "
+            "WHERE k <= 1"
+        )
+        got = {r.k: r.v for r in fr.sql("SELECT * FROM sc9").collect()}
+        assert got[0] == 3.0 and got[1] == 4.0 and got[2] == 2.0
+
+    def test_in_subquery_inside_parens_refused(self, spark, tmp_path):
+        """An IN (SELECT) buried in a parenthesized/OR conjunct is
+        not extractable and must refuse loudly, never fall through
+        to the DML engine's temp-view resolution."""
+        fr = self._setup(spark, tmp_path, "sc10")
+        fr.sql("SELECT COUNT(*) AS n FROM sc10_src").collect()  # views hot
         with pytest.raises(ValueError, match="unsupported subquery"):
             fr.sql(
-                "DELETE FROM sc6 WHERE v <= "
-                "(SELECT min(x) FROM sc6_src) - 1"
+                "DELETE FROM sc10 WHERE (k IN "
+                "(SELECT CAST(x AS BIGINT) FROM sc10_src) OR v > 99)"
             )
 
     def test_string_scalar_renders_safely(self, spark, tmp_path):
