@@ -67,14 +67,25 @@ _ROWBOUND_CACHE: dict[tuple[str, tuple[str, ...]], int | None] = {}
 
 
 def parquet_rowcount_bound(sf_dir: str, *tables: str) -> int | None:
-    """UPPER bound on the total row count of driver tables, read from
-    parquet FOOTER metadata — driver-side file opens, ZERO Spark jobs
-    (r12 VERDICT directive 5: stats-first plan gates). Parquet
-    footers record exact per-file row counts, so the sum is exact
-    for the files present; callers treat it as an upper bound for
-    sizing decisions (broadcast gates), where an over-estimate
-    degrades to a shuffle, never an OOM. Returns None when any file
-    is unreadable — the caller falls back to its exact-count job.
+    """Row count of driver tables from parquet FOOTER metadata —
+    driver-side file opens, ZERO Spark jobs (r12 VERDICT directive
+    5: stats-first plan gates). Parquet footers record exact per-file
+    row counts, so the sum is EXACT for the files actually present.
+    Two caller contracts (r14, review-clarified):
+
+    - SIZING callers (broadcast gates) treat it as an upper bound —
+      an over-estimate degrades to a shuffle, never an OOM — so they
+      are safe even against a layout drift (stray files under the
+      table path would only over-count).
+    - EXACTNESS callers (output anchors: e2_semantic_dedup's n_vecs,
+      e3_kmeans's n_total) rely on the driver-dataset layout
+      invariant that ``<sf_dir>/<table>.parquet`` holds exactly that
+      table's files and nothing else — true for the immutable
+      testdata dirs this helper serves. Code writing its OWN parquet
+      trees must not anchor correctness here.
+
+    Returns None when any file is unreadable — the caller falls back
+    to its exact-count job.
     Memoized per (dir, tables): the driver tables are immutable for
     a run, exactly like ``load``'s DataFrame cache."""
     key = (sf_dir, tuple(sorted(tables)))

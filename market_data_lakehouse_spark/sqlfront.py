@@ -137,11 +137,54 @@ def _mask_literals(s: str) -> str:
     walks — that must never match inside a literal (r14 ADVICE: a
     residual conjunct like ``note = 'a (select me)'`` spuriously
     tripped the unsupported-subquery guard). Escape-aware, matching
-    the file's ``(?:[^'\\\\]|\\\\.)*`` convention. Inspection only —
-    never rewrite the masked text."""
+    the file's ``(?:[^'\\\\]|\\\\.)*`` convention, and covering BOTH
+    quote styles — the split/strip scanners treat double quotes as
+    string quotes too, and masking only one style let the scalar
+    inliner rewrite text INSIDE a double-quoted literal (r14 review
+    find: silent wrong-row DML). Inspection only — never rewrite the
+    masked text; the raw offsets stay valid because the mask is
+    same-length."""
     return re.sub(
-        r"'(?:[^'\\]|\\.)*'", lambda m: " " * len(m.group(0)), s
+        r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"",
+        lambda m: " " * len(m.group(0)),
+        s,
     )
+
+
+def _split_top_where(s: str) -> tuple[str, str | None]:
+    """Split ``<sets> [WHERE <pred>]`` at the first TOP-LEVEL WHERE —
+    outside quotes and parens (r14 review find: the UPDATE regex
+    split at the first WHERE anywhere, so a SET scalar subquery with
+    its own WHERE clause broke a valid statement). Escape-aware like
+    the sibling scanners."""
+    depth, quote = 0, None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i:i + 5].upper() == "WHERE"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + 5 >= n
+                or not (s[i + 5].isalnum() or s[i + 5] == "_")
+            )
+        ):
+            return s[:i].strip(), s[i + 5:].strip()
+        i += 1
+    return s.strip(), None
 
 
 def _split_commas(s: str) -> list[str]:
@@ -1038,14 +1081,17 @@ class LakeSQL:
         from the subquery makes SQL's NOT IN drop every row
         (three-valued trap), a silent footgun better rewritten
         explicitly."""
-        if not re.search(
-            r"\bIN\s*\(\s*SELECT\b", _mask_literals(predicate),
-            re.IGNORECASE,
-        ):
+        parts = _split_top_and(predicate)
+        if not any(self._IN_SUBQ.match(p) for p in parts):
+            # no TOP-LEVEL [NOT] IN (SELECT) conjunct. An IN nested
+            # INSIDE an EXISTS subquery's WHERE is the EXISTS
+            # extractor's business (it evaluates natively in the
+            # rebuilt key query) — the old whole-predicate regex
+            # guard refused that valid form (r14 review find)
             return None, None, predicate
         col = subq = None
         residual: list[str] = []
-        for part in _split_top_and(predicate):
+        for part in parts:
             mm = self._IN_SUBQ.match(part)
             if mm:
                 if mm.group("innot"):
@@ -1062,6 +1108,12 @@ class LakeSQL:
                         "supported per statement"
                     )
                 col, subq = mm.group("col"), mm.group("q")
+            elif self._EXISTS_SUBQ.match(part):
+                raise ValueError(
+                    "combining IN (SELECT ...) and [NOT] EXISTS "
+                    "(...) conjuncts in one DML statement is not "
+                    "supported — split into two statements"
+                )
             elif re.search(
                 r"\(\s*SELECT\b", _mask_literals(part), re.IGNORECASE
             ):
@@ -1224,7 +1276,19 @@ class LakeSQL:
             return "NULL"
         if isinstance(val, bool):
             return "TRUE" if val else "FALSE"
-        if isinstance(val, (int, float, _dec.Decimal)):
+        if isinstance(val, float):
+            import math as _math
+
+            if not _math.isfinite(val):
+                # str() would emit the bare identifiers nan/inf,
+                # which SQL resolves as COLUMNS (r14 review find) —
+                # render through the string cast Spark defines
+                name = "NaN" if _math.isnan(val) else (
+                    "Infinity" if val > 0 else "-Infinity"
+                )
+                return f"CAST('{name}' AS DOUBLE)"
+            return str(val)
+        if isinstance(val, (int, _dec.Decimal)):
             return str(val)
         if isinstance(val, str):
             esc = val.replace("\\", "\\\\").replace("'", "\\'")
@@ -1281,16 +1345,16 @@ class LakeSQL:
                 "MERGE, or use [NOT] EXISTS / IN"
             )
         inner = sub_raw.strip()[1:-1]  # drop the outer parens
-        rows = (
-            self.spark.sql(self._prepare_select(inner))
-            .limit(2)
-            .collect()
-        )
-        if rows and len(rows[0]) != 1:
+        df = self.spark.sql(self._prepare_select(inner))
+        # column check from the SCHEMA (analysis-time, like real SQL)
+        # — checking rows[0] let a zero-row multi-column subquery
+        # silently inline NULL (r14 review find)
+        if len(df.columns) != 1:
             raise ValueError(
                 "scalar subquery must select exactly one column, "
-                f"got {len(rows[0])}"
+                f"got {df.columns}"
             )
+        rows = df.limit(2).collect()
         if len(rows) > 1:
             raise ValueError("scalar subquery returned more than one row")
         return self._sql_literal(rows[0][0] if rows else None)
@@ -1405,14 +1469,16 @@ class LakeSQL:
         return self._receipt("DELETE", lake.delete_where(pred))
 
     _UPDATE = re.compile(
-        rf"UPDATE\s+(?P<tbl>{_IDENT})\s+SET\s+(?P<sets>.+?)"
-        r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+        rf"UPDATE\s+(?P<tbl>{_IDENT})\s+SET\s+(?P<rest>.+)$",
         re.IGNORECASE | re.DOTALL,
     )
 
     def _do_update(self, m) -> DataFrame:
+        # SET / WHERE split must be paren-aware: a SET scalar
+        # subquery may carry its own WHERE (r14 review find)
+        sets_txt, where_txt = _split_top_where(m.group("rest"))
         assignments: dict[str, str] = {}
-        for a in _split_commas(m.group("sets")):
+        for a in _split_commas(sets_txt):
             col, eq, expr = a.partition("=")
             if not eq or not re.fullmatch(_IDENT, col.strip().strip("`")):
                 raise ValueError(f"UPDATE SET needs col = expr: {a!r}")
@@ -1426,7 +1492,7 @@ class LakeSQL:
                 )
             )
         lake = self.table(m.group("tbl"))
-        pred = m.group("pred") or "true"
+        pred = where_txt or "true"
         pred = self._inline_scalar_subqueries(pred, m.group("tbl"))
         kcol, subq, residual = self._extract_in_subquery(pred)
         if kcol is not None:

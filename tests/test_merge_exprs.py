@@ -1569,3 +1569,100 @@ class TestScalarSubqueryDML:
             "AND note = '(select me)'"
         )  # k=0 fails v>=3 -> nothing goes
         assert fr.sql("SELECT COUNT(*) AS n FROM sc8").first()["n"] == 5
+
+
+class TestReviewFindsR14:
+    """Pins for the r14 in-round review finds (VERDICT directive 7
+    practice): double-quoted literals masked, paren-aware SET/WHERE
+    split, EXISTS-with-nested-IN supported, IN+EXISTS refused
+    clearly, zero-row multi-column scalar still refused, non-finite
+    float literals render castable."""
+
+    def _setup(self, spark, tmp_path, name):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE {name} (k BIGINT, v DOUBLE, note STRING) "
+            f"LOCATION '{tmp_path / name}'"
+        )
+        fr.sql(
+            f"INSERT INTO {name} VALUES (0, 0.0, '(select 1)'), "
+            "(1, 1.0, 'x')"
+        )
+        fr.sql(
+            f"CREATE TABLE {name}_src (x DOUBLE) "
+            f"LOCATION '{tmp_path / (name + '_s')}'"
+        )
+        fr.sql(f"INSERT INTO {name}_src VALUES (1.0), (3.0)")
+        return fr
+
+    def test_double_quoted_literal_not_rewritten(self, spark, tmp_path):
+        """Review find 1 (silent wrong-row DML): the scalar inliner
+        rewrote text inside double-quoted literals."""
+        fr = self._setup(spark, tmp_path, "rv1")
+        fr.sql('DELETE FROM rv1 WHERE note = "(select 1)"')
+        got = [r.k for r in fr.sql("SELECT * FROM rv1").collect()]
+        assert got == [1]  # k=0 (note literally '(select 1)') deleted
+
+    def test_set_scalar_with_inner_where(self, spark, tmp_path):
+        """Review find 2: the UPDATE regex split SET from WHERE at
+        the FIRST WHERE keyword, breaking SET subqueries that carry
+        their own WHERE clause."""
+        fr = self._setup(spark, tmp_path, "rv2")
+        fr.sql(
+            "UPDATE rv2 SET v = (SELECT max(x) FROM rv2_src "
+            "WHERE x < 2.0) WHERE k = 1"
+        )
+        got = {r.k: r.v for r in fr.sql("SELECT * FROM rv2").collect()}
+        assert got == {0: 0.0, 1: 1.0}  # max(x<2)=1.0
+
+    def test_exists_with_nested_in_supported(self, spark, tmp_path):
+        """Review find 3a: a nested IN (SELECT) inside the EXISTS
+        subquery's WHERE evaluates natively in the key query — the
+        old whole-predicate guard refused it."""
+        fr = self._setup(spark, tmp_path, "rv3")
+        fr.sql(
+            "CREATE TABLE rv3_keys (sk BIGINT, x DOUBLE) "
+            f"LOCATION '{tmp_path / 'rv3k'}'"
+        )
+        fr.sql("INSERT INTO rv3_keys VALUES (0, 5.0), (1, 1.0)")
+        fr.sql(
+            "CREATE TABLE rv3_pick (y DOUBLE) "
+            f"LOCATION '{tmp_path / 'rv3p'}'"
+        )
+        fr.sql("INSERT INTO rv3_pick VALUES (1.0)")
+        fr.sql(
+            "DELETE FROM rv3 WHERE EXISTS (SELECT 1 FROM rv3_keys s "
+            "WHERE s.sk = rv3.k AND s.x IN (SELECT y FROM rv3_pick))"
+        )
+        got = [r.k for r in fr.sql("SELECT * FROM rv3").collect()]
+        assert got == [0]  # only s row (1, 1.0) passes the nested IN
+
+    def test_in_plus_exists_refused_clearly(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "rv4")
+        with pytest.raises(ValueError, match="combining IN"):
+            fr.sql(
+                "DELETE FROM rv4 WHERE k IN "
+                "(SELECT CAST(x AS BIGINT) FROM rv4_src) AND EXISTS "
+                "(SELECT 1 FROM rv4_src s WHERE s.x = rv4.v)"
+            )
+
+    def test_zero_row_multicolumn_scalar_refused(self, spark, tmp_path):
+        """Review find 4: the column check ran on rows[0], so an
+        EMPTY multi-column subquery silently inlined NULL."""
+        fr = self._setup(spark, tmp_path, "rv5")
+        with pytest.raises(ValueError, match="exactly one column"):
+            fr.sql(
+                "DELETE FROM rv5 WHERE v > "
+                "(SELECT x, x FROM rv5_src WHERE x > 99)"
+            )
+
+    def test_nonfinite_scalar_renders_castable(self, spark, tmp_path):
+        """Review find 5: str(nan/inf) are bare identifiers SQL
+        resolves as columns — they must render as castable text."""
+        fr = self._setup(spark, tmp_path, "rv6")
+        fr.sql(
+            "DELETE FROM rv6 WHERE v > (SELECT double('Infinity'))"
+        )  # nothing exceeds +inf
+        assert fr.sql("SELECT COUNT(*) AS n FROM rv6").first()["n"] == 2
+        fr.sql("DELETE FROM rv6 WHERE v < (SELECT double('Infinity'))")
+        assert fr.sql("SELECT COUNT(*) AS n FROM rv6").first()["n"] == 0
