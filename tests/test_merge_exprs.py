@@ -1666,3 +1666,81 @@ class TestReviewFindsR14:
         assert fr.sql("SELECT COUNT(*) AS n FROM rv6").first()["n"] == 2
         fr.sql("DELETE FROM rv6 WHERE v < (SELECT double('Infinity'))")
         assert fr.sql("SELECT COUNT(*) AS n FROM rv6").first()["n"] == 0
+
+
+class TestScannerProperties:
+    """Property pins for the quote/paren scanners (r14, review find 7
+    follow-up: four scanners share the escape convention — these
+    properties hold them to it without a shared tokenizer refactor).
+    No Spark needed."""
+
+    FRAGS = [
+        "a", "k = 1", "'x'", "'it\\'s'", '"q"', '"(select 1)"',
+        "'a AND b'", "(", ")", " AND ", " WHERE ", "--", "\\'",
+        " in ", "(select 1)", "''",
+    ]
+
+    def test_mask_is_same_length(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from market_data_lakehouse_spark.sqlfront import _mask_literals
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.lists(st.sampled_from(self.FRAGS), max_size=12).map(
+                "".join
+            )
+        )
+        def prop(t):
+            assert len(_mask_literals(t)) == len(t)
+
+        prop()
+
+    def test_mask_hides_both_quote_styles(self):
+        from market_data_lakehouse_spark.sqlfront import _mask_literals
+
+        for lit in ("'(select 1)'", '"(select 1)"', "'it\\'s (select'"):
+            assert "select" not in _mask_literals(f"note = {lit}")
+
+    def test_split_top_and_rejoin_is_stable(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from market_data_lakehouse_spark.sqlfront import _split_top_and
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.lists(st.sampled_from(self.FRAGS), max_size=12).map(
+                "".join
+            )
+        )
+        def prop(t):
+            parts = _split_top_and(t)
+            rejoined = _split_top_and(" AND ".join(parts))
+            # modulo empty conjuncts (malformed inputs like ' AND ')
+            assert [p for p in rejoined if p] == [p for p in parts if p]
+
+        prop()
+
+    def test_split_top_where_examples(self):
+        from market_data_lakehouse_spark.sqlfront import _split_top_where
+
+        assert _split_top_where("v = 1 WHERE k = 2") == ("v = 1", "k = 2")
+        assert _split_top_where("v = 1") == ("v = 1", None)
+        # WHERE inside parens / literals never splits
+        assert _split_top_where(
+            "v = (SELECT max(x) FROM s WHERE x > 0)"
+        ) == ("v = (SELECT max(x) FROM s WHERE x > 0)", None)
+        assert _split_top_where("v = 'a WHERE b'") == (
+            "v = 'a WHERE b'", None,
+        )
+        assert _split_top_where("v = 'it\\' WHERE x'") == (
+            "v = 'it\\' WHERE x'", None,
+        )
+        # identifier containing 'where' is not a keyword
+        assert _split_top_where("nowhere = 1") == ("nowhere = 1", None)
+        # first TOP-LEVEL where wins; later text stays in pred
+        assert _split_top_where(
+            "v = (SELECT 1 WHERE true) WHERE k = 1 AND note = 'WHERE'"
+        ) == ("v = (SELECT 1 WHERE true)", "k = 1 AND note = 'WHERE'")
