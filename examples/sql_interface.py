@@ -69,6 +69,24 @@ def main() -> None:
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     )
+    # subquery DML (r13/r14): IN, correlated [NOT] EXISTS, and
+    # uncorrelated scalars — all decorrelated/inlined onto the engine
+    fr.sql(
+        "UPDATE trades SET note = 'audited' WHERE EXISTS "
+        "(SELECT 1 FROM audit a WHERE a.id = trades.k)"
+    )
+    fr.sql(
+        "DELETE FROM trades WHERE k IN "
+        "(SELECT id FROM audit WHERE id < 0)"
+    )  # empty key set: deletes nothing, still one merge commit
+    fr.sql(
+        "UPDATE trades SET x = x - (SELECT avg(x) FROM trades) "
+        "WHERE etype = 'merged'"
+    )  # scalar evaluates once driver-side and inlines
+    n_audited = fr.sql(
+        "SELECT COUNT(*) AS n FROM trades WHERE note = 'audited'"
+    ).first()["n"]
+    print(f"subquery DML: {n_audited} rows exist-matched the audit keys")
 
     # maintain + audit
     fr.sql("OPTIMIZE trades ZORDER BY (k)")
