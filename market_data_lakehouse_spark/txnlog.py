@@ -156,6 +156,14 @@ class TransactionalLake:
             tuple(partition_by) if partition_by is not None else ("date",)
         )
         self.generated_columns = dict(generated_columns or {})
+        # footer-metadata memo for files on their way into a commit
+        # (r14): the write path used to open every new file's footer
+        # THREE times serially (empty-check, stats, rowcount) — at a
+        # 1000-file commit on object storage that is minutes of
+        # driver time. _write_files primes this from its single
+        # read; _collect_stats/_collect_rows consume it; _commit
+        # clears it after the add-stats block.
+        self._pending_file_info: dict[str, dict] = {}
         os.makedirs(self.log_path, exist_ok=True)
         recorded = self._recorded_partitioning()
         if recorded is not None:
@@ -698,64 +706,124 @@ class TransactionalLake:
             ) else v.isoformat()
         return None
 
+    @staticmethod
+    def _read_md(path: str):
+        """One footer read -> pyarrow FileMetaData, or None when the
+        footer is unreadable / pyarrow is absent. The single
+        chokepoint every commit-path footer consumer goes through
+        (r14) — receipts count calls to THIS to pin one-read-per-
+        file."""
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.read_metadata(path)
+        except Exception:
+            return None
+
+    def _stats_from_md(self, md) -> dict:
+        """Column min/max envelope from one file's footer metadata
+        (the per-file body of the old _collect_stats loop)."""
+        cols: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                # has_min_max and the min/max accessors can BOTH
+                # raise ArrowNotImplementedError for types the
+                # stats caster doesn't cover (e.g. INT32-backed
+                # DECIMAL from a literal-typed SELECT) — degrade
+                # that column to statless, never fail the commit
+                # (r12: surfaced by INSERT OVERWRITE t SELECT 3.0)
+                try:
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        cols[name] = None  # one statless group poisons
+                        continue
+                    if name in cols and cols[name] is None:
+                        continue  # already poisoned
+                    lo = self._stat_val(st.min)
+                    hi = self._stat_val(st.max)
+                except Exception:
+                    cols[name] = None
+                    continue
+                if lo is None or hi is None:
+                    cols[name] = None
+                    continue
+                if name not in cols:
+                    cols[name] = [lo, hi]
+                else:
+                    cols[name] = [
+                        min(cols[name][0], lo),
+                        max(cols[name][1], hi),
+                    ]
+        return {
+            k: v
+            for k, v in cols.items()
+            if v is not None and not k.startswith("_rt_")
+        }
+
+    def _file_info(self, rel: str) -> dict:
+        """Memoized per-file footer info: {"rows": n | -1, "stats":
+        dict | None (unreadable)}. One footer read per file per
+        commit, however many consumers ask."""
+        info = self._pending_file_info.get(rel)
+        if info is None:
+            md = self._read_md(os.path.join(self.path, rel))
+            info = {
+                "rows": md.num_rows if md is not None else -1,
+                "stats": self._stats_from_md(md)
+                if md is not None
+                else None,
+            }
+            self._pending_file_info[rel] = info
+        return info
+
+    def _prefetch_file_info(self, rel_paths: list[str]) -> None:
+        """Fill the footer memo for cache misses, thread-pooled when
+        there are many: footer reads are independent I/O (pyarrow
+        releases the GIL), so a 1000-file commit against object
+        storage overlaps its round-trips instead of paying them
+        serially."""
+        misses = [
+            r for r in rel_paths if r not in self._pending_file_info
+        ]
+        if len(misses) <= 4:
+            for r in misses:
+                self._file_info(r)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(rel: str):
+            return rel, self._read_md(os.path.join(self.path, rel))
+
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(misses))
+        ) as ex:
+            for rel, md in ex.map(one, misses):
+                self._pending_file_info[rel] = {
+                    "rows": md.num_rows if md is not None else -1,
+                    "stats": self._stats_from_md(md)
+                    if md is not None
+                    else None,
+                }
+
     def _collect_stats(self, rel_paths: list[str]) -> dict:
         """Per-file column min/max from the parquet footers of
         just-written files, recorded into the commit so readers can
         skip files from the LOG without opening any footer (Delta's
-        stats-in-log design). Footer reads are driver-side and
-        O(new files) per commit — a cluster deployment would gather
-        them executor-side in the write tasks; the log format is the
-        same either way. Absence of stats (old commits, exotic
-        types, missing pyarrow) degrades to conservative keep."""
-        try:
-            import pyarrow.parquet as pq
-        except Exception:  # pragma: no cover - pyarrow is baked in
-            return {}
+        stats-in-log design). Served from the single-read footer
+        memo (r14): files written by _write_files were already read
+        once there; anything else (convert-in-place, COPY INTO
+        refs) prefetches thread-pooled. Absence of stats (old
+        commits, exotic types, missing pyarrow) degrades to
+        conservative keep."""
+        self._prefetch_file_info(rel_paths)
         out: dict[str, dict] = {}
         for rel in rel_paths:
-            try:
-                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-            except Exception:
-                continue
-            cols: dict[str, list] = {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    c = g.column(ci)
-                    name = c.path_in_schema
-                    # has_min_max and the min/max accessors can BOTH
-                    # raise ArrowNotImplementedError for types the
-                    # stats caster doesn't cover (e.g. INT32-backed
-                    # DECIMAL from a literal-typed SELECT) — degrade
-                    # that column to statless, never fail the commit
-                    # (r12: surfaced by INSERT OVERWRITE t SELECT 3.0)
-                    try:
-                        st = c.statistics
-                        if st is None or not st.has_min_max:
-                            cols[name] = None  # one statless group poisons
-                            continue
-                        if name in cols and cols[name] is None:
-                            continue  # already poisoned
-                        lo = self._stat_val(st.min)
-                        hi = self._stat_val(st.max)
-                    except Exception:
-                        cols[name] = None
-                        continue
-                    if lo is None or hi is None:
-                        cols[name] = None
-                        continue
-                    if name not in cols:
-                        cols[name] = [lo, hi]
-                    else:
-                        cols[name] = [
-                            min(cols[name][0], lo),
-                            max(cols[name][1], hi),
-                        ]
-            out[rel] = {
-                k: v
-                for k, v in cols.items()
-                if v is not None and not k.startswith("_rt_")
-            }
+            st = self._file_info(rel)["stats"]
+            if st is not None:
+                out[rel] = st
         return out
 
     def _collect_rows(self, rel_paths: list[str]) -> dict:
@@ -767,10 +835,13 @@ class TransactionalLake:
         Same driver-side O(new files) cost profile as
         :meth:`_collect_stats`; a cluster deployment gathers both in
         the write tasks. Unreadable footers are simply omitted
-        (``count_rows`` falls back to one footer read for them)."""
+        (``count_rows`` falls back to one footer read for them).
+        Served from the same single-read footer memo as
+        _collect_stats (r14) — no second footer open."""
+        self._prefetch_file_info(rel_paths)
         out: dict[str, int] = {}
         for rel in rel_paths:
-            n = self._parquet_rows(os.path.join(self.path, rel))
+            n = self._file_info(rel)["rows"]
             if n >= 0:
                 out[rel] = n
         return out
@@ -1596,6 +1667,9 @@ class TransactionalLake:
                 "rows": self._collect_rows(action["add"]),
                 "bytes": self._collect_bytes(action["add"]),
             }
+            # the footer memo served this commit's adds; drop it so
+            # it never grows across a long-lived lake object
+            self._pending_file_info.clear()
             if self.bloom_columns:
                 blooms = self._collect_blooms(action["add"])
                 if blooms:
@@ -2055,7 +2129,12 @@ class TransactionalLake:
             for fname in files:
                 if not fname.endswith(".parquet"):
                     continue
-                if self._parquet_rows(os.path.join(dirpath, fname)) == 0:
+                # ONE footer read per file (r14): the same metadata
+                # serves the empty-file check here AND the commit's
+                # stats/rowcount collectors via the footer memo —
+                # previously three serial opens per file
+                md = self._read_md(os.path.join(dirpath, fname))
+                if md is not None and md.num_rows == 0:
                     # Spark emits a schema-only file for an empty
                     # write task; committing it bloats the log, the
                     # stats index, and every snapshot's file list
@@ -2069,6 +2148,11 @@ class TransactionalLake:
                     os.path.join(dirpath, fname), os.path.join(self.path, rel)
                 )
                 added.append(rel)
+                if md is not None:
+                    self._pending_file_info[rel] = {
+                        "rows": md.num_rows,
+                        "stats": self._stats_from_md(md),
+                    }
         shutil.rmtree(staging)
         return added
 

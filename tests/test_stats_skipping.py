@@ -186,3 +186,82 @@ def test_stats_unextractable_type_degrades_not_fails(spark, tmp_path):
     # k keeps its stats (skipping still works); v is statless
     kept, total, _ = tx.prune_files({"k": (2, 2)})
     assert total == 2 and len(kept) == 1
+
+
+class TestSingleFooterReadCommit:
+    """r14: the commit path reads each new file's footer exactly ONCE
+    (it used to open it three times serially — empty-check, stats,
+    rowcount — minutes of driver time at a 1000-file commit on object
+    storage). The memo must also be equivalence-preserving: stats and
+    rowcounts from the memo match a cold fallback read."""
+
+    def test_one_footer_read_per_new_file(self, spark, tmp_path):
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        lake = TransactionalLake(
+            spark, str(tmp_path / "t"), partition_by=()
+        )
+        calls = []
+        orig = TransactionalLake._read_md
+
+        def spy(path):
+            calls.append(path)
+            return orig(path)
+
+        TransactionalLake._read_md = staticmethod(spy)
+        try:
+            lake.append(
+                spark.range(1000)
+                .selectExpr("id as k", "cast(id * 1.5 as double) as v")
+                .repartition(6)
+            )
+        finally:
+            TransactionalLake._read_md = staticmethod(orig)
+        doc = lake.history()[0]
+        n_files = len(doc["add"])
+        assert n_files >= 2  # repartition(6) -> multiple files
+        assert len(calls) == n_files, (len(calls), n_files)
+        # and the memo was consumed: stats + rows rode the commit
+        assert set(doc["stats"]) == set(doc["add"])
+        assert sum(doc["rows"].values()) == 1000
+
+    def test_fallback_read_matches_memo(self, spark, tmp_path):
+        """Files NOT primed by _write_files (convert-in-place, COPY
+        INTO refs) take the prefetch fallback — same stats, same
+        rows."""
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        lake = TransactionalLake(
+            spark, str(tmp_path / "t2"), partition_by=()
+        )
+        lake.append(
+            spark.range(100).selectExpr(
+                "id as k", "cast(id * 1.5 as double) as v"
+            )
+        )
+        rels = lake.history()[0]["add"]
+        memo_stats = lake.history()[0]["stats"]
+        memo_rows = lake.history()[0]["rows"]
+        lake._pending_file_info.clear()  # force the cold path
+        assert lake._collect_stats(rels) == memo_stats
+        lake._pending_file_info.clear()
+        assert lake._collect_rows(rels) == memo_rows
+
+    def test_prefetch_pool_many_files(self, spark, tmp_path):
+        """>4 misses takes the thread-pooled branch; results are
+        identical to the serial path."""
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        lake = TransactionalLake(
+            spark, str(tmp_path / "t3"), partition_by=()
+        )
+        lake.append(
+            spark.range(600)
+            .selectExpr("id as k", "cast(id as double) as v")
+            .repartition(8)
+        )
+        rels = lake.history()[0]["add"]
+        assert len(rels) > 4
+        committed = lake.history()[0]["stats"]
+        lake._pending_file_info.clear()
+        assert lake._collect_stats(rels) == committed
