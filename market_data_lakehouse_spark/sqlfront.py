@@ -1057,12 +1057,14 @@ class LakeSQL:
 
     _DELETE = re.compile(
         rf"DELETE\s+FROM\s+(?P<tbl>{_IDENT})"
+        rf"(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?"
         r"(?:\s+WHERE\s+(?P<pred>.+))?$",
         re.IGNORECASE | re.DOTALL,
     )
 
     _IN_SUBQ = re.compile(
-        rf"^\s*`?(?P<col>{_IDENT})`?\s+(?P<innot>NOT\s+)?IN\s*"
+        rf"^\s*(?:(?P<iq>{_IDENT})\s*\.\s*)?`?(?P<col>{_IDENT})`?\s+"
+        r"(?P<innot>NOT\s+)?IN\s*"
         r"\(\s*(?P<q>SELECT\s.+)\)\s*$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -1106,6 +1108,14 @@ class LakeSQL:
                     raise ValueError(
                         "at most one IN (subquery) conjunct is "
                         "supported per statement"
+                    )
+                if mm.group("iq"):
+                    # callers dequalify the target alias before this
+                    # extractor runs — a surviving qualifier is
+                    # foreign (r14 alias support)
+                    raise ValueError(
+                        f"IN column must be a bare target column, "
+                        f"got {mm.group('iq')}.{mm.group('col')}"
                     )
                 col, subq = mm.group("col"), mm.group("q")
             elif self._EXISTS_SUBQ.match(part):
@@ -1186,6 +1196,18 @@ class LakeSQL:
         for part in _split_top_and(predicate):
             mm = self._EXISTS_SUBQ.match(part)
             if not mm:
+                if self._IN_SUBQ.match(part):
+                    raise ValueError(
+                        "combining IN (SELECT ...) and [NOT] EXISTS "
+                        "(...) conjuncts in one DML statement is not "
+                        "supported — split into two statements"
+                    )
+                if re.search(
+                    r"\(\s*SELECT\b", _mask_literals(part), re.IGNORECASE
+                ):
+                    raise ValueError(
+                        f"unsupported subquery conjunct: {part!r}"
+                    )
                 residual.append(part)
                 continue
             if spec is not None:
@@ -1303,6 +1325,34 @@ class LakeSQL:
         )
 
     @staticmethod
+    def _strip_qualifier(text: str | None, qualifier: str) -> str | None:
+        """Remove ``<qualifier>.`` prefixes outside string literals
+        (r14 alias support: ``DELETE FROM t AS x WHERE x.k ...``) —
+        the engine evaluates DML predicates and SET expressions with
+        target columns bound BARE. Runs AFTER subquery handling, so
+        correlation qualifiers inside EXISTS/scalar subqueries are
+        untouched when it matters. An alias that shadows a struct
+        column's name wins, like Delta's own resolution order."""
+        if text is None:
+            return None
+        masked = _mask_literals(text)
+        # never reach inside a (SELECT ...) span: a correlated ref in
+        # an IN subquery must stay qualified so spark.sql fails LOUD
+        # (unresolved) instead of silently rebinding to the
+        # subquery's own column
+        spans = LakeSQL._subquery_spans(masked)
+        out, last = [], 0
+        for m in re.finditer(
+            rf"\b{re.escape(qualifier)}\s*\.\s*", masked, re.IGNORECASE
+        ):
+            if any(s <= m.start() < e for s, e in spans):
+                continue
+            out.append(text[last:m.start()])
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
+    @staticmethod
     def _subquery_spans(masked: str) -> list[tuple[int, int]]:
         """(start, end) spans of top-level ``(SELECT ...)`` groups in
         literal-masked text, by paren depth count. Nested subqueries
@@ -1416,28 +1466,18 @@ class LakeSQL:
 
     def _do_delete(self, m) -> DataFrame:
         lake = self.table(m.group("tbl"))
+        # optional table alias (r14, Delta parity: DELETE FROM t AS
+        # x WHERE x.k ...): the alias is the correlation qualifier
+        # for EXISTS/scalar subqueries; everywhere else it strips —
+        # the engine binds target columns bare
+        tname = m.group("ta") or m.group("tbl")
         pred = m.group("pred") or "true"
-        pred = self._inline_scalar_subqueries(pred, m.group("tbl"))
-        col, subq, residual = self._extract_in_subquery(pred)
-        if col is not None:
-            # subquery DML rides the merge engine: matched keys
-            # delete (scoped to the residual condition), nothing
-            # inserts — lands as a merge commit in the history
-            return self._receipt(
-                "DELETE",
-                lake.merge(
-                    self._in_subquery_keys(col, subq),
-                    on=[col],
-                    when_matched="delete",
-                    when_not_matched="ignore",
-                    validate_keys=False,
-                    matched_condition=residual,
-                ),
-            )
-        spec, residual = self._extract_exists_subquery(
-            pred, m.group("tbl")
-        )
+        pred = self._inline_scalar_subqueries(pred, tname)
+        # EXISTS extraction runs BEFORE dequalification — its
+        # correlation equalities need the qualifiers intact
+        spec, residual = self._extract_exists_subquery(pred, tname)
         if spec is not None:
+            residual = self._strip_qualifier(residual, tname)
             keys = self._exists_keys(spec)
             if spec["negated"]:
                 # NOT EXISTS: delete the target rows with NO source
@@ -1466,54 +1506,70 @@ class LakeSQL:
                     matched_condition=residual,
                 ),
             )
+        pred = self._strip_qualifier(pred, tname)
+        col, subq, residual = self._extract_in_subquery(pred)
+        if col is not None:
+            # subquery DML rides the merge engine: matched keys
+            # delete (scoped to the residual condition), nothing
+            # inserts — lands as a merge commit in the history
+            return self._receipt(
+                "DELETE",
+                lake.merge(
+                    self._in_subquery_keys(col, subq),
+                    on=[col],
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=residual,
+                ),
+            )
         return self._receipt("DELETE", lake.delete_where(pred))
 
     _UPDATE = re.compile(
-        rf"UPDATE\s+(?P<tbl>{_IDENT})\s+SET\s+(?P<rest>.+)$",
+        rf"UPDATE\s+(?P<tbl>{_IDENT})(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?"
+        r"\s+SET\s+(?P<rest>.+)$",
         re.IGNORECASE | re.DOTALL,
     )
 
     def _do_update(self, m) -> DataFrame:
+        # optional table alias (r14): correlation qualifier for
+        # EXISTS/scalar subqueries; strips everywhere else
+        tname = m.group("ta") or m.group("tbl")
         # SET / WHERE split must be paren-aware: a SET scalar
         # subquery may carry its own WHERE (r14 review find)
         sets_txt, where_txt = _split_top_where(m.group("rest"))
         assignments: dict[str, str] = {}
         for a in _split_commas(sets_txt):
             col, eq, expr = a.partition("=")
-            if not eq or not re.fullmatch(_IDENT, col.strip().strip("`")):
+            cm = re.fullmatch(
+                rf"\s*(?:(?P<q>{_IDENT})\s*\.\s*)?"
+                rf"`?(?P<c>{_IDENT})`?\s*",
+                col,
+            )
+            if not eq or not cm:
                 raise ValueError(f"UPDATE SET needs col = expr: {a!r}")
+            if cm.group("q") and cm.group("q").lower() != tname.lower():
+                raise ValueError(
+                    f"unknown qualifier {cm.group('q')!r} in UPDATE "
+                    f"SET (the target is {tname!r})"
+                )
             # scalar subqueries in SET expressions (r14): constant per
             # statement, so they inline exactly like predicate scalars
             # — and never reach the engine's F.expr, where they would
-            # bind to stale temp views
-            assignments[col.strip().strip("`")] = (
-                self._inline_scalars_in_text(
-                    expr.strip(), m.group("tbl")
-                )
+            # bind to stale temp views. Inline FIRST (the correlation
+            # guard needs the qualifiers), then dequalify.
+            assignments[cm.group("c")] = self._strip_qualifier(
+                self._inline_scalars_in_text(expr.strip(), tname),
+                tname,
             )
         lake = self.table(m.group("tbl"))
         pred = where_txt or "true"
-        pred = self._inline_scalar_subqueries(pred, m.group("tbl"))
-        kcol, subq, residual = self._extract_in_subquery(pred)
-        if kcol is not None:
-            # subquery DML via the merge engine: matched keys take
-            # the SET expressions (target-column exprs — the UPDATE
-            # statement has no source alias), scoped to the residual
-            return self._receipt(
-                "UPDATE",
-                lake.merge(
-                    self._in_subquery_keys(kcol, subq),
-                    on=[kcol],
-                    set_exprs=assignments,
-                    when_not_matched="ignore",
-                    validate_keys=False,
-                    matched_condition=residual,
-                ),
-            )
-        spec, residual = self._extract_exists_subquery(
-            pred, m.group("tbl")
-        )
+        pred = self._inline_scalar_subqueries(pred, tname)
+        # EXISTS extraction runs BEFORE dequalification — its
+        # correlation equalities need the qualifiers intact
+        spec, residual = self._extract_exists_subquery(pred, tname)
         if spec is not None:
+            residual = self._strip_qualifier(residual, tname)
             keys = self._exists_keys(spec)
             if spec["negated"]:
                 # NOT EXISTS: SET over the rows with NO source match
@@ -1538,6 +1594,23 @@ class LakeSQL:
                 lake.merge(
                     keys,
                     on=spec["on"],
+                    set_exprs=assignments,
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=residual,
+                ),
+            )
+        pred = self._strip_qualifier(pred, tname)
+        kcol, subq, residual = self._extract_in_subquery(pred)
+        if kcol is not None:
+            # subquery DML via the merge engine: matched keys take
+            # the SET expressions (target-column exprs — the UPDATE
+            # statement has no source alias), scoped to the residual
+            return self._receipt(
+                "UPDATE",
+                lake.merge(
+                    self._in_subquery_keys(kcol, subq),
+                    on=[kcol],
                     set_exprs=assignments,
                     when_not_matched="ignore",
                     validate_keys=False,
@@ -2456,8 +2529,8 @@ class LakeSQL:
         ("GENERATE", (_GENERATE, "GENERATE symlink_format_manifest FOR TABLE t", "_do_generate")),
         ("REORG TABLE", (_REORG, "REORG TABLE t APPLY (PURGE)", "_do_reorg")),
         ("INSERT", (_INSERT, "INSERT INTO|OVERWRITE t [(c1, c2, ...)] <select>", "_do_insert")),
-        ("DELETE FROM", (_DELETE, "DELETE FROM t [WHERE pred [AND] col IN (SELECT ...)]", "_do_delete")),
-        ("UPDATE", (_UPDATE, "UPDATE t SET c = e, ... [WHERE pred [AND] col IN (SELECT ...)]", "_do_update")),
+        ("DELETE FROM", (_DELETE, "DELETE FROM t [AS a] [WHERE pred with IN/[NOT] EXISTS/scalar (SELECT ...) conjuncts]", "_do_delete")),
+        ("UPDATE", (_UPDATE, "UPDATE t [AS a] SET c = e, ... [WHERE pred with IN/[NOT] EXISTS/scalar (SELECT ...) conjuncts]", "_do_update")),
         ("MERGE INTO", (_MERGE, "MERGE INTO t USING (<select>)|name [AS s] ON t.k = s.k WHEN MATCHED [AND cond] THEN UPDATE SET *|<col = expr, ...>|DELETE (repeatable, first-true-wins) [WHEN NOT MATCHED [AND cond] THEN INSERT *|(cols) VALUES (exprs)] [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE|UPDATE SET <col = expr, ...>]", "_do_merge")),
         ("CREATE TABLE", (_CLONE, "CREATE TABLE n [SHALLOW|DEEP] CLONE src [VERSION AS OF v | TIMESTAMP AS OF 'ts'] LOCATION 'p'", "_do_clone")),
         ("CREATE TABLE", (_CREATE, "CREATE TABLE n [PARTITIONED BY (c,...)] LOCATION 'p' [AS <select>]", "_do_create")),

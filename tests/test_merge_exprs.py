@@ -1744,3 +1744,85 @@ class TestScannerProperties:
         assert _split_top_where(
             "v = (SELECT 1 WHERE true) WHERE k = 1 AND note = 'WHERE'"
         ) == ("v = (SELECT 1 WHERE true)", "k = 1 AND note = 'WHERE'")
+
+
+class TestDmlTableAlias:
+    """r14: DELETE FROM t [AS a] / UPDATE t [AS a] — Delta parity.
+    The alias is the correlation qualifier for EXISTS/scalar
+    subqueries; everywhere else it dequalifies (the engine binds
+    target columns bare). Correlated refs INSIDE an IN subquery stay
+    qualified so they fail loud, never silently rebind."""
+
+    def _setup(self, spark, tmp_path, name):
+        fr = LakeSQL(spark)
+        fr.sql(
+            f"CREATE TABLE {name} (k BIGINT, v DOUBLE, note STRING) "
+            f"LOCATION '{tmp_path / name}'"
+        )
+        fr.sql(
+            f"INSERT INTO {name} VALUES (0, 0.0, 'a'), (1, 1.0, 'b'),"
+            " (2, 2.0, 'a'), (3, 3.0, 'b')"
+        )
+        fr.sql(
+            f"CREATE TABLE {name}_src (sk BIGINT) "
+            f"LOCATION '{tmp_path / (name + '_s')}'"
+        )
+        fr.sql(f"INSERT INTO {name}_src VALUES (1), (2)")
+        return fr
+
+    def test_delete_with_alias_plain(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "al1")
+        fr.sql("DELETE FROM al1 AS x WHERE x.k = 1 AND x.note = 'b'")
+        got = sorted(r.k for r in fr.sql("SELECT * FROM al1").collect())
+        assert got == [0, 2, 3]
+
+    def test_delete_alias_exists_correlation(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "al2")
+        fr.sql(
+            "DELETE FROM al2 AS x WHERE EXISTS "
+            "(SELECT 1 FROM al2_src s WHERE s.sk = x.k) "
+            "AND x.note = 'a'"
+        )
+        got = sorted(r.k for r in fr.sql("SELECT * FROM al2").collect())
+        assert got == [0, 1, 3]  # only k=2 (matched AND note a)
+
+    def test_update_alias_set_and_scalar(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "al3")
+        fr.sql(
+            "UPDATE al3 x SET x.v = x.v + "
+            "(SELECT max(sk) FROM al3_src) WHERE x.k <= 1"
+        )
+        got = {r.k: r.v for r in fr.sql("SELECT * FROM al3").collect()}
+        assert got == {0: 2.0, 1: 3.0, 2: 2.0, 3: 3.0}
+
+    def test_update_alias_not_exists(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "al4")
+        fr.sql(
+            "UPDATE al4 AS x SET v = -1.0 WHERE NOT EXISTS "
+            "(SELECT 1 FROM al4_src s WHERE s.sk = x.k)"
+        )
+        got = {r.k: r.v for r in fr.sql("SELECT * FROM al4").collect()}
+        assert got == {0: -1.0, 1: 1.0, 2: 2.0, 3: -1.0}
+
+    def test_unknown_set_qualifier_refused(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "al5")
+        with pytest.raises(ValueError, match="unknown qualifier"):
+            fr.sql("UPDATE al5 AS x SET y.v = 1.0 WHERE x.k = 0")
+
+    def test_correlated_in_subquery_stays_loud(self, spark, tmp_path):
+        """Dequalification must not reach inside an IN subquery: a
+        correlated ref there keeps its qualifier and fails LOUD
+        (unresolved) instead of silently rebinding to the subquery's
+        own columns."""
+        fr = self._setup(spark, tmp_path, "al6")
+        with pytest.raises(Exception, match="al6|resolve|RESOLVE"):
+            fr.sql(
+                "DELETE FROM al6 WHERE k IN "
+                "(SELECT sk FROM al6_src s WHERE s.sk = al6.k)"
+            )
+
+    def test_no_alias_unchanged(self, spark, tmp_path):
+        fr = self._setup(spark, tmp_path, "al7")
+        fr.sql("DELETE FROM al7 WHERE k IN (SELECT sk FROM al7_src)")
+        got = sorted(r.k for r in fr.sql("SELECT * FROM al7").collect())
+        assert got == [0, 3]
