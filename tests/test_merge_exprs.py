@@ -1826,3 +1826,14 @@ class TestDmlTableAlias:
         fr.sql("DELETE FROM al7 WHERE k IN (SELECT sk FROM al7_src)")
         got = sorted(r.k for r in fr.sql("SELECT * FROM al7").collect())
         assert got == [0, 3]
+
+    def test_alias_qualified_in_column(self, spark, tmp_path):
+        """x.k IN (SELECT ...) dequalifies to the bare IN form the
+        extractor owns — the alias works on every subquery path."""
+        fr = self._setup(spark, tmp_path, "al8")
+        fr.sql(
+            "DELETE FROM al8 AS x WHERE x.k IN "
+            "(SELECT sk FROM al8_src) AND x.note = 'b'"
+        )
+        got = sorted(r.k for r in fr.sql("SELECT * FROM al8").collect())
+        assert got == [0, 2, 3]  # k=1 (in keys AND note b) goes
