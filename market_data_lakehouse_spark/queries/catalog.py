@@ -19,11 +19,18 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# True registration order, append-only — survives the driver-window
+# reorder of REGISTRY, so window-rotation scripts can compute
+# "oldest-registered-first" cohorts verifiably instead of from memory.
+REGISTRATION_ORDER: list[str] = []
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add a query to the catalog under ``name``."""
 
     def deco(fn):
+        if name not in REGISTRY:
+            REGISTRATION_ORDER.append(name)
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
         return fn
 

@@ -2292,3 +2292,237 @@ def s36_sql_dml3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.sql(
         "SELECT k, etype, ROUND(qty, 6) AS qty FROM t36 ORDER BY k"
     )
+
+
+@register(
+    "s37_sql_dml_dv",
+    oracle="""
+    WITH seeded AS (
+      SELECT CAST(event_id AS BIGINT) AS k, event_type AS etype,
+             value AS qty
+      FROM events
+    ),
+    src AS (
+      SELECT k, 'm' AS etype, qty * 0.5 AS qty
+      FROM seeded WHERE k % 11 = 0
+      UNION ALL
+      SELECT k + 10000000 AS k, 'new' AS etype, qty
+      FROM seeded WHERE k % 11 = 5
+    ),
+    -- dv DELETE; COALESCE = DML's three-valued guard (NULL keeps)
+    d1 AS (
+      SELECT * FROM seeded
+      WHERE NOT COALESCE(k % 10 = 3 AND qty < 0.5, FALSE)
+    ),
+    -- dv UPDATE
+    u1 AS (
+      SELECT k, etype,
+             CASE WHEN k % 7 = 0 THEN qty * 3 ELSE qty END AS qty
+      FROM d1
+    ),
+    -- dv MERGE: matched rows take the source columns, unmatched
+    -- target rows survive, unmatched source rows insert
+    m1 AS (
+      SELECT t.k,
+             CASE WHEN s.k IS NULL THEN t.etype ELSE s.etype END
+               AS etype,
+             CASE WHEN s.k IS NULL THEN t.qty ELSE s.qty END AS qty
+      FROM u1 t LEFT JOIN src s ON t.k = s.k
+      UNION ALL
+      SELECT s.k, s.etype, s.qty FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM u1 t WHERE t.k = s.k)
+    )
+    SELECT k, etype, ROUND(qty, 6) AS qty FROM m1 ORDER BY k
+    """,
+)
+def s37_sql_dml_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read SQL DML as one hard signal (r15, VERDICT r14
+    directive 2): a table that opts in via ``ALTER TABLE ... SET
+    TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')`` runs
+    its SQL DELETE/UPDATE/MERGE through the engine's deletion-vector
+    modes (Delta's dv-enabled DML; reference behavior per delta-io
+    PROTOCOL.md "Deletion Vectors"). The PHYSICAL invariant is
+    asserted inline — the dv DELETE leaves the file set untouched
+    and the dv UPDATE/MERGE never rewrite a pre-existing file (a
+    silent copy-on-write fallback fails the run, not just the
+    plan) — while DuckDB replays the LOGICAL lifecycle, so a dv
+    read path that loses or resurrects a hidden row diverges on the
+    value hash."""
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("qty"),
+    )
+    tx = TransactionalLake(spark, scratch_dir("sdml_dv"), partition_by=())
+    tx.append(ev.repartition(4))
+    src = TransactionalLake(
+        spark, scratch_dir("sdml_dv_src"), partition_by=()
+    )
+    src.append(
+        ev.filter(F.col("k") % 11 == 0)
+        .select("k", F.lit("m").alias("etype"),
+                (F.col("qty") * 0.5).alias("qty"))
+        .union(
+            ev.filter(F.col("k") % 11 == 5)
+            .select((F.col("k") + 10_000_000).alias("k"),
+                    F.lit("new").alias("etype"), F.col("qty"))
+        )
+    )
+    fr = LakeSQL(spark)
+    fr.register("t37", tx)
+    fr.register("t37src", src)
+    fr.sql(
+        "ALTER TABLE t37 SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors' = 'true')"
+    )
+
+    def _files() -> set:
+        files, _, _ = tx.prune_files({})
+        return set(files)
+
+    base = _files()
+    fr.sql("DELETE FROM t37 WHERE k % 10 = 3 AND qty < 0.5")
+    if _files() != base:
+        raise AssertionError("dv DELETE touched the file set")
+    fr.sql("UPDATE t37 SET qty = qty * 3 WHERE k % 7 = 0")
+    after_update = _files()
+    if not base <= after_update:
+        raise AssertionError("dv UPDATE rewrote a pre-existing file")
+    fr.sql(
+        "MERGE INTO t37 USING t37src s ON t37.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET etype = s.etype, qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    if not after_update <= _files():
+        raise AssertionError("dv MERGE rewrote a pre-existing file")
+    ops = [
+        r["operation"]
+        for r in fr.sql("DESCRIBE HISTORY t37").collect()
+    ]
+    # the engine stamps merge-on-read commits with a _dv suffix —
+    # the history itself is the receipt that no statement silently
+    # fell back to copy-on-write
+    if ops != ["merge_dv", "update_dv", "delete_dv", "set_properties",
+               "append"]:
+        raise AssertionError(f"unexpected op sequence: {ops}")
+    return fr.sql(
+        "SELECT k, etype, ROUND(qty, 6) AS qty FROM t37 ORDER BY k"
+    )
+
+
+@register(
+    "s38_sql_dml_corr_scalar",
+    oracle="""
+    WITH seeded AS (
+      SELECT CAST(event_id AS BIGINT) AS k,
+             CAST(event_id AS BIGINT) % 50 AS g,
+             event_type AS etype, value AS qty
+      FROM events
+    ),
+    src AS (
+      SELECT CAST(event_id AS BIGINT) % 50 AS j, value AS x
+      FROM events
+      WHERE CAST(event_id AS BIGINT) % 3 = 0
+        AND CAST(event_id AS BIGINT) % 50 < 40
+    ),
+    -- SET-position correlated scalar: unmatched g takes the
+    -- aggregate's empty-input value (NULL for MAX)
+    u1 AS (
+      SELECT k, g, etype,
+             CASE WHEN k % 2 = 0
+                  THEN (SELECT MAX(s.x) FROM src s WHERE s.j = t.g)
+                  ELSE qty END AS qty
+      FROM seeded t
+    ),
+    -- WHERE-position + residual; COALESCE = three-valued DML guard
+    -- (NULL qty or unmatched g keeps the row)
+    d1 AS (
+      SELECT * FROM u1 t
+      WHERE NOT COALESCE(
+        qty > (SELECT MAX(s.x) FROM src s WHERE s.j = t.g)
+        AND k % 5 != 0, FALSE)
+    ),
+    -- COUNT over an empty key = 0, not NULL (the decorrelation's
+    -- unmatched arm must apply the empty-input value)
+    u2 AS (
+      SELECT k, g,
+             CASE WHEN (SELECT COUNT(*) FROM src s
+                        WHERE s.j = t.g) = 0
+                  THEN 'lone' ELSE etype END AS etype,
+             qty
+      FROM d1 t
+    ),
+    -- correlated + uncorrelated scalar composed in one statement
+    d2 AS (
+      SELECT * FROM u2 t
+      WHERE NOT COALESCE(
+        qty <= (SELECT MIN(s.x) FROM src s WHERE s.j = t.g)
+        AND qty >= (SELECT MIN(x) FROM src), FALSE)
+    )
+    SELECT k, g, etype, ROUND(qty, 6) AS qty FROM d2 ORDER BY k
+    """,
+)
+def s38_sql_dml_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery DML as one hard signal (r15,
+    VERDICT r14 directive 3): ``SET v = (SELECT agg(x) FROM s WHERE
+    s.k = t.k)`` and ``WHERE v > (SELECT agg(x) ...)`` decorrelate
+    to a per-key aggregate + merge probe — matched rows compare/
+    assign their key's aggregate via ``source.__scalar``, unmatched
+    rows take the aggregate's EMPTY-INPUT value (NULL for MAX/MIN,
+    0 for COUNT — the classic decorrelation bug class) through the
+    BY SOURCE arm, which is skipped (and the statement stays
+    merge-on-read-eligible) when NULL provably never satisfies the
+    predicate. DuckDB replays the lifecycle with native correlated
+    scalars; only EXACT aggregates (MAX/MIN/COUNT) are compared, so
+    no cross-engine float-summation ties. All four statement shapes
+    in one lifecycle: SET-position, WHERE-position + residual,
+    COUNT-empty=0, and correlated + uncorrelated composed."""
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        (F.col("event_id").cast("long") % 50).alias("g"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("qty"),
+    )
+    tx = TransactionalLake(spark, scratch_dir("sdml_cs"), partition_by=())
+    tx.append(ev.repartition(4))
+    src = TransactionalLake(
+        spark, scratch_dir("sdml_cs_src"), partition_by=()
+    )
+    src.append(
+        ev.filter((F.col("k") % 3 == 0) & (F.col("g") < 40))
+        .select(F.col("g").alias("j"), F.col("qty").alias("x"))
+    )
+    fr = LakeSQL(spark)
+    fr.register("t38", tx)
+    fr.register("t38src", src)
+    fr.sql(
+        "UPDATE t38 SET qty = (SELECT max(s.x) FROM t38src s "
+        "WHERE s.j = t38.g) WHERE k % 2 = 0"
+    )
+    fr.sql(
+        "DELETE FROM t38 WHERE qty > (SELECT max(s.x) FROM t38src s "
+        "WHERE s.j = t38.g) AND k % 5 != 0"
+    )
+    fr.sql(
+        "UPDATE t38 SET etype = 'lone' WHERE (SELECT count(*) "
+        "FROM t38src s WHERE s.j = t38.g) = 0"
+    )
+    fr.sql(
+        "DELETE FROM t38 WHERE qty <= (SELECT min(s.x) FROM t38src s "
+        "WHERE s.j = t38.g) AND qty >= (SELECT min(x) FROM t38src)"
+    )
+    ops = [
+        r["operation"]
+        for r in fr.sql("DESCRIBE HISTORY t38").collect()
+    ]
+    if ops != ["merge", "merge", "merge", "merge", "append"]:
+        raise AssertionError(f"unexpected op sequence: {ops}")
+    return fr.sql(
+        "SELECT k, g, etype, ROUND(qty, 6) AS qty FROM t38 ORDER BY k"
+    )

@@ -403,6 +403,37 @@ class LakeSQL:
             [(op, int(version))], "operation string, version bigint"
         )
 
+    @staticmethod
+    def _dml_mode(lake) -> str:
+        """Physical DML strategy from the table's own opt-in (r15,
+        Delta's ``delta.enableDeletionVectors`` table property —
+        reference behavior per delta-io/delta PROTOCOL.md "Deletion
+        Vectors" / Delta docs "Use deletion vectors"): a table whose
+        property is ``true`` runs SQL DELETE/UPDATE/MERGE
+        merge-on-read (``mode="dv"`` — the commit hides matched rows
+        behind (file, position) deletion vectors instead of
+        rewriting the files; O(matched rows) regardless of file
+        size). Everything else, including tables that never set the
+        property, stays copy-on-write. BY SOURCE shapes (NOT EXISTS
+        DML, WHEN NOT MATCHED BY SOURCE) always run copy-on-write —
+        the engine refuses dv there by design (they touch every
+        file holding an unmatched row, so a dv would hide most of
+        the table), matching Delta, whose DVs also don't serve that
+        clause shape. Property values other than true/false refuse
+        loudly rather than silently picking a strategy."""
+        raw = lake.properties().get("delta.enableDeletionVectors")
+        if raw is None:
+            return "rewrite"
+        v = raw.strip().lower()
+        if v == "true":
+            return "dv"
+        if v == "false":
+            return "rewrite"
+        raise ValueError(
+            "delta.enableDeletionVectors must be 'true' or 'false', "
+            f"got {raw!r}"
+        )
+
     # -- OPTIMIZE -------------------------------------------------------
     _OPTIMIZE = re.compile(
         rf"OPTIMIZE\s+(?P<tbl>{_IDENT})"
@@ -671,7 +702,13 @@ class LakeSQL:
         one key's value (Spark's own single-key form; an unset key
         returns Spark's does-not-exist message rather than an empty
         frame, matching SHOW TBLPROPERTIES on a real catalog
-        table)."""
+        table).
+
+        Properties the front-end HONORS (not just stores):
+        ``delta.enableDeletionVectors = true`` flips SQL
+        DELETE/UPDATE/MERGE on that table to merge-on-read deletion
+        vectors (see ``_dml_mode``); BY SOURCE shapes stay
+        copy-on-write by engine design."""
         props = self.table(m.group("tbl")).properties()
         if m.group("key"):
             key = _unquote(m.group("key"))
@@ -1464,14 +1501,322 @@ class LakeSQL:
                 out.append(self._inline_scalars_in_text(part, target))
         return " AND ".join(c.strip() for c in out)
 
+    # -- correlated scalar subqueries in DML (r15) ----------------------
+
+    def _find_corr_scalar(
+        self, text: str, target: str
+    ) -> tuple[int, int] | None:
+        """Span of the ONE correlated scalar subquery in a DML text
+        (r15, VERDICT r14 directive 3) — a top-level ``(SELECT ...)``
+        group, not owned by IN/EXISTS, whose body references
+        ``<target>.<col>``. Returns None when every subquery is
+        uncorrelated or IN/EXISTS-owned (those have their own
+        machinery). Two correlated scalars, or a correlated scalar
+        combined with an IN/EXISTS conjunct, refuse loudly — each
+        needs its own merge probe and one statement gets one."""
+        masked = _mask_literals(text)
+        if not re.search(r"\(\s*SELECT\b", masked, re.IGNORECASE):
+            return None
+        corr: list[tuple[int, int]] = []
+        has_in_exists = False
+        for s, e in self._subquery_spans(masked):
+            prefix = masked[:s].rstrip()
+            if re.search(r"\b(?:IN|EXISTS)$", prefix, re.IGNORECASE):
+                has_in_exists = True
+                continue
+            if re.search(
+                rf"\b{re.escape(target)}\s*\.",
+                masked[s:e],
+                re.IGNORECASE,
+            ):
+                corr.append((s, e))
+        if not corr:
+            return None
+        if len(corr) > 1:
+            raise ValueError(
+                "at most one correlated scalar subquery is supported "
+                "per DML statement — each decorrelates to its own "
+                "merge probe; split into two statements"
+            )
+        if has_in_exists:
+            raise ValueError(
+                "combining a correlated scalar subquery with "
+                "IN/EXISTS subqueries in one DML statement is not "
+                "supported — split into two statements"
+            )
+        return corr[0]
+
+    _SCALAR_INNER = re.compile(
+        rf"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>{_IDENT})"
+        rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?"
+        r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _AGG_FN = re.compile(
+        r"\b(?:SUM|MIN|MAX|AVG|MEAN|COUNT|COUNT_IF|STDDEV|STDDEV_SAMP"
+        r"|STDDEV_POP|VARIANCE|VAR_SAMP|VAR_POP|ANY_VALUE|MEDIAN|MODE"
+        r"|APPROX_COUNT_DISTINCT|PERCENTILE|PERCENTILE_APPROX|BOOL_AND"
+        r"|BOOL_OR|BIT_AND|BIT_OR|BIT_XOR)\s*\(",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _corr_pairs_dedupe(
+        pairs: list[tuple[str, str]], context: str
+    ) -> list[tuple[str, str]]:
+        """Validate correlation equalities (r15, also the r14 ADVICE
+        hole): the same target column bound to TWO different source
+        columns (``s.a = t.k AND s.b = t.k``) would project duplicate
+        output columns and fail deep inside the merge join with an
+        opaque ambiguity — refuse at the front with the conflicting
+        conjuncts named. Exact duplicates are semantically idempotent
+        and collapse to one."""
+        seen: dict[str, str] = {}
+        out: list[tuple[str, str]] = []
+        for t_col, s_col in pairs:
+            k = t_col.lower()
+            if k in seen:
+                if seen[k] != s_col.lower():
+                    raise ValueError(
+                        f"{context} correlation binds target column "
+                        f"{t_col!r} to two different source columns "
+                        f"({seen[k]!r} and {s_col.lower()!r}) — the "
+                        "merge key would be ambiguous; correlate each "
+                        "target column to exactly one source column"
+                    )
+                continue
+            seen[k] = s_col.lower()
+            out.append((t_col, s_col))
+        return out
+
+    def _decorrelate_scalar(
+        self, sub_raw: str, target: str, scalar_col: str
+    ) -> dict:
+        """Decorrelate ``(SELECT <agg> FROM src [alias] WHERE <corr
+        equalities AND src filters>)`` into a per-key aggregate the
+        merge engine can probe (r15, VERDICT r14 directive 3 — the
+        J13 SELECT-side decorrelation composed with the r14 EXISTS
+        plumbing): ``keys_sql`` groups the source by the correlation
+        keys and computes the select item once per key; ``empty_sql``
+        evaluates the same aggregate over ZERO rows — SQL's value for
+        a target row whose key matches nothing (NULL for SUM/MIN/MAX,
+        0 for COUNT) — which the caller inlines into the
+        unmatched-rows merge arm. Refused, loudly: a non-aggregate
+        select item (no plan-time guard that each key has ≤1 row —
+        SQL's runtime multi-row error has no sound decorrelation),
+        target refs outside the WHERE equalities, and non-equality
+        correlation (same contract as EXISTS)."""
+        im = self._SCALAR_INNER.match(sub_raw.strip()[1:-1])
+        if not im:
+            raise ValueError(
+                "correlated scalar subquery must be SELECT <agg-expr> "
+                f"FROM <table> [alias] [WHERE ...]; got {sub_raw!r}"
+            )
+        sel, src, alias = im.group("sel"), im.group("src"), im.group("alias")
+        if len(_split_commas(sel)) != 1:
+            raise ValueError(
+                "scalar subquery must select exactly one expression, "
+                f"got {sel!r}"
+            )
+        masked_sel = _mask_literals(sel)
+        if not self._AGG_FN.search(masked_sel):
+            raise ValueError(
+                "non-aggregate correlated scalar subquery is not "
+                "supported — there is no plan-time guard that each "
+                "correlation key has at most one row (SQL's runtime "
+                "multi-row error); aggregate the select item or "
+                "rewrite as MERGE"
+            )
+        if re.search(
+            rf"\b{re.escape(target)}\s*\.", masked_sel, re.IGNORECASE
+        ):
+            raise ValueError(
+                f"the select item of a correlated scalar subquery "
+                f"cannot reference the DML target ({sel!r}) — only "
+                "WHERE equality correlation is supported"
+            )
+        src_q = (alias or src).lower()
+        if src_q == target.lower():
+            raise ValueError(
+                "scalar subquery source must be aliased differently "
+                f"from the DML target {target!r}"
+            )
+        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
+        inner_only: list[str] = []
+        for part in _split_top_and(im.group("pred") or ""):
+            cm = self._CORR_EQ.match(part)
+            q1 = cm and cm.group("q1").lower()
+            q2 = cm and cm.group("q2").lower()
+            if cm and {q1, q2} == {src_q, target.lower()}:
+                t_col = (
+                    cm.group("c1") if q1 == target.lower()
+                    else cm.group("c2")
+                )
+                s_col = (
+                    cm.group("c2") if q1 == target.lower()
+                    else cm.group("c1")
+                )
+                pairs.append((t_col, s_col))
+                continue
+            if re.search(
+                rf"\b{re.escape(target)}\s*\.",
+                _mask_literals(part),
+                re.IGNORECASE,
+            ):
+                raise ValueError(
+                    "scalar-subquery correlation must be equality "
+                    f"conjuncts (<src>.<col> = {target}.<col>); "
+                    f"cannot decorrelate {part!r}"
+                )
+            inner_only.append(part)
+        if not pairs:
+            raise ValueError(
+                "scalar subquery is uncorrelated — it should have "
+                "been inlined, not decorrelated (internal error)"
+            )
+        pairs = self._corr_pairs_dedupe(pairs, "scalar-subquery")
+        frm = f"{src} {alias}" if alias else src
+        proj = ", ".join(f"{alias or src}.{s} AS {t}" for t, s in pairs)
+        grp = ", ".join(f"{alias or src}.{s}" for _t, s in pairs)
+        keys_sql = f"SELECT {proj}, {sel} AS {scalar_col} FROM {frm}"
+        if inner_only:
+            keys_sql += f" WHERE {' AND '.join(inner_only)}"
+        keys_sql += f" GROUP BY {grp}"
+        # the aggregate over ZERO rows: source filters are irrelevant
+        # (no row passes anyway), so WHERE FALSE both evaluates the
+        # right value and costs no scan
+        empty_sql = f"SELECT {sel} AS {scalar_col} FROM {frm} WHERE FALSE"
+        return {
+            "keys_sql": keys_sql,
+            "empty_sql": empty_sql,
+            "on": [t for t, _s in pairs],
+        }
+
+    @staticmethod
+    def _null_scalar_never_true(masked: str) -> bool:
+        """True when a predicate whose correlated-scalar slot holds
+        NULL (key matched no source row) can be PROVEN never-true, so
+        the unmatched-rows merge arm is skippable. Sound by
+        construction: accept ONLY bare columns, numbers, arithmetic,
+        comparisons, AND, and parens — under those, a NULL operand
+        propagates to NULL/FALSE and the row is filtered (SQL
+        three-valued DML). ANY function call (GREATEST skips NULLs,
+        COALESCE replaces them), OR/NOT/IS/CASE/IN/BETWEEN, or
+        unrecognized syntax returns False — keep the arm; it is an
+        optimization, never a semantics decision. ``masked`` must
+        have literals AND subquery spans blanked; the scalar slot is
+        the ``\\x01`` marker."""
+        toks = re.findall(
+            r"[A-Za-z_][\w.]*|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+            r"|<=|>=|<>|!=|=|<|>|[-+*/%()]|\x01|\S",
+            masked,
+        )
+        depth_ok = True
+        for i, t in enumerate(toks):
+            if re.fullmatch(r"[A-Za-z_][\w.]*", t):
+                up = t.upper()
+                if up == "AND":
+                    continue
+                if up in (
+                    "OR", "NOT", "IS", "NULL", "TRUE", "FALSE", "CASE",
+                    "WHEN", "THEN", "ELSE", "END", "IN", "BETWEEN",
+                    "LIKE", "RLIKE", "EXISTS", "DIV",
+                ):
+                    return False
+                # identifier followed by ( = a function call
+                if i + 1 < len(toks) and toks[i + 1] == "(":
+                    return False
+                continue
+            if t in ("<=", ">=", "<>", "!=", "=", "<", ">", "+", "-",
+                     "*", "/", "%", "(", ")", "\x01"):
+                continue
+            if re.fullmatch(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
+                continue
+            depth_ok = False
+            break
+        return depth_ok
+
+    def _prep_corr_scalar(
+        self, text: str, span: tuple[int, int], target: str
+    ) -> dict:
+        """Shared setup for correlated-scalar DML (r15): decorrelate
+        the span, evaluate the empty-input value (one bounded 1-row
+        collect), and build the two text variants — ``matched`` (the
+        span becomes ``source.<scalar>``, for rows whose key joined a
+        source group) and ``empty`` (the span becomes the empty-input
+        literal, for rows whose key matched nothing — SQL evaluates
+        the aggregate over zero rows there). Both variants then take
+        the normal uncorrelated-scalar inlining + alias
+        dequalification."""
+        s, e = span
+        spec = self._decorrelate_scalar(text[s:e], target, "__scalar")
+        if "__scalar" in {c.lower() for c in spec["on"]}:
+            raise ValueError(
+                "correlation key named __scalar collides with the "
+                "decorrelation's value column — rename the column"
+            )
+        empty_lit = self._eval_scalar_subquery(
+            f"({spec['empty_sql']})", target
+        )
+
+        def _variant(slot: str) -> str:
+            v = text[:s] + slot + text[e:]
+            v = self._inline_scalar_subqueries(v, target)
+            return self._strip_qualifier(v, target)
+
+        spec["matched_text"] = _variant("source.__scalar")
+        spec["empty_text"] = _variant(f"({empty_lit})")
+        # skippable unmatched arm: empty value NULL + NULL provably
+        # never satisfies the predicate (see _null_scalar_never_true)
+        masked = _mask_literals(text)
+        for ss, ee in reversed(self._subquery_spans(masked)):
+            fill = "\x01" if (ss, ee) == span else "0"
+            masked = masked[:ss] + fill.ljust(ee - ss, " ") + masked[ee:]
+        spec["empty_arm_needed"] = not (
+            empty_lit == "NULL" and self._null_scalar_never_true(masked)
+        )
+        return spec
+
     def _do_delete(self, m) -> DataFrame:
         lake = self.table(m.group("tbl"))
+        # dv opt-in (r15): the table property decides the physical
+        # strategy for every shape below EXCEPT the BY SOURCE one
+        mode = self._dml_mode(lake)
         # optional table alias (r14, Delta parity: DELETE FROM t AS
         # x WHERE x.k ...): the alias is the correlation qualifier
         # for EXISTS/scalar subqueries; everywhere else it strips —
         # the engine binds target columns bare
         tname = m.group("ta") or m.group("tbl")
         pred = m.group("pred") or "true"
+        # correlated scalar subquery (r15): decorrelate to a per-key
+        # aggregate + merge probe. Matched rows compare against their
+        # key's aggregate; unmatched rows compare against the
+        # empty-input value via a BY SOURCE arm — skipped entirely
+        # (and the statement rides dv) when NULL provably never
+        # deletes, the common  v > (SELECT agg ...)  shape
+        span = self._find_corr_scalar(pred, tname)
+        if span is not None:
+            cs = self._prep_corr_scalar(pred, span, tname)
+            keys = self.spark.sql(self._prepare_select(cs["keys_sql"]))
+            return self._receipt(
+                "DELETE",
+                lake.merge(
+                    keys,
+                    on=cs["on"],
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    when_not_matched_by_source=(
+                        "delete" if cs["empty_arm_needed"] else "ignore"
+                    ),
+                    by_source_condition=(
+                        cs["empty_text"] if cs["empty_arm_needed"]
+                        else None
+                    ),
+                    validate_keys=False,
+                    matched_condition=cs["matched_text"],
+                    mode=("rewrite" if cs["empty_arm_needed"] else mode),
+                ),
+            )
         pred = self._inline_scalar_subqueries(pred, tname)
         # EXISTS extraction runs BEFORE dequalification — its
         # correlation equalities need the qualifiers intact
@@ -1482,7 +1827,9 @@ class LakeSQL:
             if spec["negated"]:
                 # NOT EXISTS: delete the target rows with NO source
                 # match — the merge engine's BY SOURCE DELETE (a
-                # left-ANTI probe; NULL-sound, unlike NOT IN)
+                # left-ANTI probe; NULL-sound, unlike NOT IN).
+                # Copy-on-write even on a dv table: BY SOURCE is
+                # the rewrite shape by nature (see _dml_mode)
                 return self._receipt(
                     "DELETE",
                     lake.merge(
@@ -1504,6 +1851,7 @@ class LakeSQL:
                     when_not_matched="ignore",
                     validate_keys=False,
                     matched_condition=residual,
+                    mode=mode,
                 ),
             )
         pred = self._strip_qualifier(pred, tname)
@@ -1521,9 +1869,10 @@ class LakeSQL:
                     when_not_matched="ignore",
                     validate_keys=False,
                     matched_condition=residual,
+                    mode=mode,
                 ),
             )
-        return self._receipt("DELETE", lake.delete_where(pred))
+        return self._receipt("DELETE", lake.delete_where(pred, mode=mode))
 
     _UPDATE = re.compile(
         rf"UPDATE\s+(?P<tbl>{_IDENT})(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?"
@@ -1553,17 +1902,45 @@ class LakeSQL:
                     f"unknown qualifier {cm.group('q')!r} in UPDATE "
                     f"SET (the target is {tname!r})"
                 )
-            # scalar subqueries in SET expressions (r14): constant per
-            # statement, so they inline exactly like predicate scalars
-            # — and never reach the engine's F.expr, where they would
-            # bind to stale temp views. Inline FIRST (the correlation
-            # guard needs the qualifiers), then dequalify.
-            assignments[cm.group("c")] = self._strip_qualifier(
-                self._inline_scalars_in_text(expr.strip(), tname),
-                tname,
-            )
+            assignments[cm.group("c")] = expr.strip()
         lake = self.table(m.group("tbl"))
+        # dv opt-in (r15): table property decides the strategy for
+        # every shape below except BY SOURCE (rewrite by nature)
+        mode = self._dml_mode(lake)
         pred = where_txt or "true"
+        # correlated scalar subquery (r15): at most ONE across the
+        # SET expressions and the WHERE — detected BEFORE the
+        # uncorrelated inlining, which refuses correlation
+        corr: dict = {}
+        for c, ex in assignments.items():
+            sp = self._find_corr_scalar(ex, tname)
+            if sp is not None:
+                corr[c] = sp
+        where_span = self._find_corr_scalar(pred, tname)
+        if len(corr) + (1 if where_span else 0) > 1:
+            raise ValueError(
+                "at most one correlated scalar subquery is supported "
+                "per DML statement — each decorrelates to its own "
+                "merge probe; split into two statements"
+            )
+        if corr or where_span:
+            return self._corr_scalar_update(
+                lake, tname, assignments, pred,
+                next(iter(corr), None),
+                corr.get(next(iter(corr), None)) or where_span,
+                mode,
+            )
+        # scalar subqueries in SET expressions (r14): constant per
+        # statement, so they inline exactly like predicate scalars
+        # — and never reach the engine's F.expr, where they would
+        # bind to stale temp views. Inline FIRST (the correlation
+        # guard needs the qualifiers), then dequalify.
+        assignments = {
+            c: self._strip_qualifier(
+                self._inline_scalars_in_text(ex, tname), tname
+            )
+            for c, ex in assignments.items()
+        }
         pred = self._inline_scalar_subqueries(pred, tname)
         # EXISTS extraction runs BEFORE dequalification — its
         # correlation equalities need the qualifiers intact
@@ -1575,7 +1952,8 @@ class LakeSQL:
                 # NOT EXISTS: SET over the rows with NO source match
                 # via BY SOURCE UPDATE (target-column exprs only —
                 # there is no source row, and the UPDATE statement
-                # has no source alias to reference anyway)
+                # has no source alias to reference anyway).
+                # Copy-on-write even on a dv table (see _dml_mode)
                 return self._receipt(
                     "UPDATE",
                     lake.merge(
@@ -1598,6 +1976,7 @@ class LakeSQL:
                     when_not_matched="ignore",
                     validate_keys=False,
                     matched_condition=residual,
+                    mode=mode,
                 ),
             )
         pred = self._strip_qualifier(pred, tname)
@@ -1615,11 +1994,91 @@ class LakeSQL:
                     when_not_matched="ignore",
                     validate_keys=False,
                     matched_condition=residual,
+                    mode=mode,
                 ),
             )
         return self._receipt(
             "UPDATE",
-            lake.update_where(pred, assignments),
+            lake.update_where(pred, assignments, mode=mode),
+        )
+
+    def _corr_scalar_update(
+        self,
+        lake,
+        tname: str,
+        assignments: dict[str, str],
+        pred: str,
+        set_col: str | None,
+        span: tuple[int, int],
+        mode: str,
+    ) -> DataFrame:
+        """UPDATE with a correlated scalar subquery (r15, VERDICT r14
+        directive 3) — ``SET v = (SELECT agg(x) FROM s WHERE s.k =
+        t.k)`` or ``WHERE v > (SELECT agg(x) ...)`` — decorrelated
+        onto the merge engine: the per-key aggregate joins on the
+        correlation keys; matched rows see their key's value as
+        ``source.__scalar``, unmatched rows see the aggregate's
+        empty-input value (SQL's semantics for a key that matches
+        nothing) via the BY SOURCE UPDATE arm. A SET-position
+        subquery always needs that arm (the assignment applies NULL/
+        COUNT-0 to unmatched rows too); a WHERE-position one skips it
+        — and rides dv — when NULL provably never matches."""
+        src_txt = (
+            assignments[set_col] if set_col is not None else pred
+        )
+        cs = self._prep_corr_scalar(src_txt, span, tname)
+        if set_col is not None and re.search(
+            r"\b(?:IN|EXISTS)\s*\(", _mask_literals(pred), re.IGNORECASE
+        ):
+            raise ValueError(
+                "combining a correlated scalar subquery with "
+                "IN/EXISTS subqueries in one DML statement is not "
+                "supported — split into two statements"
+            )
+
+        def _plain(ex: str) -> str:
+            return self._strip_qualifier(
+                self._inline_scalars_in_text(ex, tname), tname
+            )
+
+        plain = {
+            c: _plain(ex)
+            for c, ex in assignments.items()
+            if c != set_col
+        }
+        keys = self.spark.sql(self._prepare_select(cs["keys_sql"]))
+        if set_col is not None:
+            set_m = {**plain, set_col: cs["matched_text"]}
+            set_e = {**plain, set_col: cs["empty_text"]}
+            cond = (
+                self._strip_qualifier(
+                    self._inline_scalar_subqueries(pred, tname), tname
+                )
+                if pred != "true"
+                else None
+            )
+            cond_m = cond_e = cond
+            empty_arm = True  # SQL assigns the empty value too
+        else:
+            set_m = set_e = plain
+            cond_m, cond_e = cs["matched_text"], cs["empty_text"]
+            empty_arm = cs["empty_arm_needed"]
+        return self._receipt(
+            "UPDATE",
+            lake.merge(
+                keys,
+                on=cs["on"],
+                set_exprs=set_m,
+                when_not_matched="ignore",
+                when_not_matched_by_source=(
+                    "update" if empty_arm else "ignore"
+                ),
+                by_source_set=set_e if empty_arm else None,
+                by_source_condition=cond_e if empty_arm else None,
+                validate_keys=False,
+                matched_condition=cond_m,
+                mode=("rewrite" if empty_arm else mode),
+            ),
         )
 
     _MERGE = re.compile(
@@ -1944,6 +2403,12 @@ class LakeSQL:
             matched_clauses = matched_list
             when_matched = "update"  # engine default; the list rules
         lake = self.table(m.group("tbl"))
+        # dv opt-in (r15): a statement carrying a BY SOURCE clause
+        # falls back to copy-on-write — the engine refuses dv there
+        # by design (see _dml_mode)
+        mode = (
+            self._dml_mode(lake) if by_source == "ignore" else "rewrite"
+        )
         return self._receipt(
             "MERGE",
             lake.merge(
@@ -1959,6 +2424,7 @@ class LakeSQL:
                 not_matched_condition=not_matched_condition,
                 by_source_condition=by_source_condition,
                 matched_clauses=matched_clauses,
+                mode=mode,
             ),
         )
 

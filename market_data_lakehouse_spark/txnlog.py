@@ -4716,9 +4716,38 @@ class TransactionalLake:
         # source row IS the postimage in this engine's update-all
         # semantics)
         source = self._apply_defaults(source, schemas)
-        self._check_schema(
-            source, merge_schema=schema_evolution, schemas=schemas
+        # source-schema conformance is required only when some action
+        # writes whole SOURCE ROWS (UPDATE SET * / INSERT *) — Delta's
+        # own rule: expression-only merges (SET lists, named INSERT
+        # VALUES, probe-style decorrelated DML) read the source via
+        # explicit ``source.<col>`` refs, so a source carrying extra
+        # columns (e.g. a per-key aggregate) is legitimate; an
+        # expression naming a column the source lacks still fails
+        # loudly at analysis (r15 — correlated-scalar DML sources
+        # carry keys + one computed column, never the target schema)
+        whole_row_action = (
+            (
+                matched_clauses is None
+                and when_matched == "update"
+                and set_exprs is None
+            )
+            or any(
+                cl["action"] == "update" and not cl.get("set")
+                for cl in (matched_clauses or ())
+            )
+            or (when_not_matched == "insert" and insert_values is None)
         )
+        if whole_row_action or schema_evolution:
+            self._check_schema(
+                source, merge_schema=schema_evolution, schemas=schemas
+            )
+        else:
+            reserved = [c for c in source.columns if c.startswith("_rt_")]
+            if reserved:
+                raise ValueError(
+                    f"column names {reserved} use the reserved "
+                    "'_rt_' prefix (row-tracking physical columns)"
+                )
         # SET / named-INSERT assignments target EXISTING columns
         # (evolution adds columns via whole-row update / insert,
         # never via an assignment list)

@@ -1505,12 +1505,23 @@ class TestScalarSubqueryDML:
         with pytest.raises(ValueError, match="more than one row"):
             fr.sql("DELETE FROM sc4 WHERE v > (SELECT x FROM sc4_src)")
 
-    def test_correlated_scalar_refused(self, spark, tmp_path):
+    def test_correlated_scalar_now_decorrelates(self, spark, tmp_path):
+        """r14 refused this statement; r15 decorrelates it onto the
+        merge engine (TestCorrScalarDML owns the full grammar) — the
+        v = 1.0 and 3.0 rows equal their own group's avg, nothing is
+        strictly greater, so the DELETE touches nothing, and a
+        still-unsupported form (non-equality correlation) keeps a
+        loud refusal."""
         fr = self._setup(spark, tmp_path, "sc5")
-        with pytest.raises(ValueError, match="correlated scalar"):
+        fr.sql(
+            "DELETE FROM sc5 WHERE v > "
+            "(SELECT avg(x) FROM sc5_src s WHERE s.x = sc5.v)"
+        )
+        assert fr.sql("SELECT COUNT(*) AS n FROM sc5").first()["n"] == 5
+        with pytest.raises(ValueError, match="equality"):
             fr.sql(
                 "DELETE FROM sc5 WHERE v > "
-                "(SELECT avg(x) FROM sc5_src s WHERE s.x = sc5.v)"
+                "(SELECT avg(x) FROM sc5_src s WHERE s.x < sc5.v)"
             )
 
     def test_scalar_anywhere_in_expression(self, spark, tmp_path):
@@ -1837,3 +1848,62 @@ class TestDmlTableAlias:
         )
         got = sorted(r.k for r in fr.sql("SELECT * FROM al8").collect())
         assert got == [0, 2, 3]  # k=1 (in keys AND note b) goes
+
+
+class TestMergeSourceSchemaRule:
+    """r15: source-schema conformance is required only for whole-row
+    actions (UPDATE SET * / INSERT *) — Delta's rule. Expression-only
+    merges read the source via explicit refs, so extra source columns
+    (a decorrelated per-key aggregate) are legitimate."""
+
+    def _lake(self, spark, tmp_path):
+        t = TransactionalLake(spark, str(tmp_path / "mss"),
+                              partition_by=())
+        t.append(spark.createDataFrame(
+            [(0, 1.0), (1, 2.0)], "k long, v double"))
+        return t
+
+    def test_whole_row_update_still_enforces(self, spark, tmp_path):
+        t = self._lake(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(0, 9.0, "x")], "k long, v double, extra string")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.merge(src, on=["k"], when_matched="update",
+                    when_not_matched="ignore")
+
+    def test_whole_row_insert_still_enforces(self, spark, tmp_path):
+        t = self._lake(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(7, 9.0, "x")], "k long, v double, extra string")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.merge(src, on=["k"], when_matched=None,
+                    when_not_matched="insert")
+
+    def test_set_exprs_allows_extra_source_columns(self, spark,
+                                                   tmp_path):
+        t = self._lake(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(0, 5.0)], "k long, agg double")
+        t.merge(src, on=["k"], set_exprs={"v": "source.agg + 1"},
+                when_not_matched="ignore")
+        got = {r.k: r.v for r in t.snapshot().collect()}
+        assert got == {0: 6.0, 1: 2.0}
+
+    def test_named_insert_allows_extra_source_columns(self, spark,
+                                                      tmp_path):
+        t = self._lake(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(7, 5.0)], "k long, agg double")
+        t.merge(src, on=["k"], when_matched=None,
+                when_not_matched="insert",
+                insert_values={"k": "k", "v": "agg * 2"})
+        got = {r.k: r.v for r in t.snapshot().collect()}
+        assert got == {0: 1.0, 1: 2.0, 7: 10.0}
+
+    def test_reserved_prefix_still_refused(self, spark, tmp_path):
+        t = self._lake(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(0, 5.0)], "k long, _rt_sneak double")
+        with pytest.raises(ValueError, match="_rt_"):
+            t.merge(src, on=["k"], set_exprs={"v": "2.0"},
+                    when_not_matched="ignore")

@@ -1046,3 +1046,340 @@ class TestIdempotentDDL:
         names = [r["table"] for r in
                  front.sql("SHOW TABLES LIKE 't|t_audit'").collect()]
         assert names == ["t", "t_audit"]
+
+
+class TestSqlDvMode:
+    """r15: ``delta.enableDeletionVectors = true`` flips SQL DML to
+    merge-on-read (VERDICT r14 directive 2 — the engine's dv modes
+    were unreachable from SQL). The physical invariant that proves
+    dv ran: the pre-DML file set is UNTOUCHED (dv delete) or a
+    superset survives (dv update/merge append postimages, never
+    rewrite); copy-on-write replaces matched files."""
+
+    def _files(self, lake):
+        files, _, _ = lake.prune_files({})
+        return set(files)
+
+    def _opt_in(self, front):
+        front.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'true')"
+        )
+
+    def test_plain_delete_rides_dv(self, front, lake):
+        self._opt_in(front)
+        before = self._files(lake)
+        front.sql("DELETE FROM t WHERE k >= 90")
+        assert self._files(lake) == before  # no file touched
+        assert front.sql(
+            "SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 90
+
+    def test_default_stays_copy_on_write(self, front, lake):
+        before = self._files(lake)
+        front.sql("DELETE FROM t WHERE k >= 90")
+        # rewrite mode: the matched file(s) were replaced
+        assert self._files(lake) != before
+
+    def test_false_property_stays_copy_on_write(self, front, lake):
+        front.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'false')"
+        )
+        before = self._files(lake)
+        front.sql("DELETE FROM t WHERE k >= 90")
+        assert self._files(lake) != before
+
+    def test_bad_property_value_refuses(self, front):
+        front.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'maybe')"
+        )
+        with pytest.raises(ValueError, match="enableDeletionVectors"):
+            front.sql("DELETE FROM t WHERE k = 1")
+
+    def test_plain_update_rides_dv(self, front, lake):
+        self._opt_in(front)
+        before = self._files(lake)
+        front.sql("UPDATE t SET v = 0.0 WHERE k < 10")
+        # merge-on-read: originals survive, postimages appended
+        assert before <= self._files(lake)
+        got = front.sql(
+            "SELECT SUM(CAST(v = 0.0 AS INT)) AS z FROM t"
+        ).collect()[0]["z"]
+        assert got == 10
+
+    def test_in_subquery_delete_rides_dv(self, spark, front, lake,
+                                         tmp_path):
+        src = TransactionalLake(spark, str(tmp_path / "s"),
+                                partition_by=())
+        src.append(spark.range(5).select(F.col("id").alias("k")))
+        front.register("s", src)
+        self._opt_in(front)
+        before = self._files(lake)
+        front.sql("DELETE FROM t WHERE k IN (SELECT k FROM s)")
+        assert self._files(lake) == before
+        assert front.sql(
+            "SELECT MIN(k) AS m FROM t").collect()[0]["m"] == 5
+
+    def test_exists_update_rides_dv(self, spark, front, lake, tmp_path):
+        src = TransactionalLake(spark, str(tmp_path / "s2"),
+                                partition_by=())
+        src.append(spark.range(3).select(F.col("id").alias("k")))
+        front.register("s2", src)
+        self._opt_in(front)
+        before = self._files(lake)
+        front.sql(
+            "UPDATE t SET v = -1.0 WHERE EXISTS "
+            "(SELECT 1 FROM s2 s WHERE s.k = t.k)"
+        )
+        assert before <= self._files(lake)
+        got = front.sql(
+            "SELECT COUNT(*) AS n FROM t WHERE v = -1.0"
+        ).collect()[0]["n"]
+        assert got == 3
+
+    def test_not_exists_delete_falls_back_to_rewrite(self, spark,
+                                                     front, lake,
+                                                     tmp_path):
+        """BY SOURCE shapes are rewrite-only in the engine; the
+        front must fall back silently, not refuse, on a dv table."""
+        src = TransactionalLake(spark, str(tmp_path / "s3"),
+                                partition_by=())
+        src.append(
+            spark.range(100).filter(F.col("id") < 95)
+            .select(F.col("id").alias("k"))
+        )
+        front.register("s3", src)
+        self._opt_in(front)
+        front.sql(
+            "DELETE FROM t WHERE NOT EXISTS "
+            "(SELECT 1 FROM s3 s WHERE s.k = t.k)"
+        )
+        assert front.sql(
+            "SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 95
+
+    def test_merge_rides_dv(self, spark, front, lake, tmp_path):
+        src = TransactionalLake(spark, str(tmp_path / "s4"),
+                                partition_by=())
+        src.append(
+            spark.range(98, 103).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).alias("grp"),
+                F.lit(9.9).alias("v"),
+            )
+        )
+        front.register("s4", src)
+        self._opt_in(front)
+        before = self._files(lake)
+        front.sql(
+            "MERGE INTO t USING s4 ON t.k = s4.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        # merge-on-read: no pre-merge file rewritten
+        assert before <= self._files(lake)
+        got = front.sql(
+            "SELECT COUNT(*) AS n, SUM(CAST(v = 9.9 AS INT)) AS hit "
+            "FROM t"
+        ).collect()[0]
+        assert (got["n"], got["hit"]) == (103, 5)
+
+    def test_merge_by_source_falls_back(self, spark, front, lake,
+                                        tmp_path):
+        src = TransactionalLake(spark, str(tmp_path / "s5"),
+                                partition_by=())
+        src.append(
+            spark.range(50).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).alias("grp"),
+                F.lit(1.0).alias("v"),
+            )
+        )
+        front.register("s5", src)
+        self._opt_in(front)
+        front.sql(
+            "MERGE INTO t USING s5 ON t.k = s5.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+        got = front.sql(
+            "SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+        assert got == 50
+
+    def test_show_tblproperties_documents_the_opt_in(self, front):
+        self._opt_in(front)
+        rows = front.sql(
+            "SHOW TBLPROPERTIES t ('delta.enableDeletionVectors')"
+        ).collect()
+        assert rows[0]["value"] == "true"
+
+
+@pytest.fixture()
+def cs_front(spark, tmp_path):
+    """Target t (k unique, grp 0-3, v=k) + source s (j, x) with
+    groups 0 and 1 only — groups 2/3 exercise the unmatched arm."""
+    t = TransactionalLake(spark, str(tmp_path / "cs_t"), partition_by=())
+    t.append(spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(12)],
+        "k long, grp long, v double",
+    ))
+    s = TransactionalLake(spark, str(tmp_path / "cs_s"), partition_by=())
+    s.append(spark.createDataFrame(
+        [(0, 10.0), (0, 20.0), (1, 100.0), (5, 7.0)],
+        "j long, x double",
+    ))
+    fr = LakeSQL(spark)
+    fr.register("t", t)
+    fr.register("s", s)
+    return fr, t
+
+
+def _cs_state(fr):
+    return sorted(
+        (r.k, r.grp, r.v) for r in fr.sql("SELECT * FROM t").collect()
+    )
+
+
+class TestCorrScalarDML:
+    """r15 correlated scalar subqueries in DML (VERDICT r14
+    directive 3): decorrelated to a per-key aggregate + merge probe;
+    unmatched keys take the aggregate's empty-input value."""
+
+    def test_set_position_unmatched_null(self, cs_front):
+        fr, _ = cs_front
+        fr.sql("UPDATE t SET v = (SELECT max(s.x) FROM s "
+               "WHERE s.j = t.grp)")
+        exp = sorted(
+            (i, i % 4, {0: 20.0, 1: 100.0}.get(i % 4))
+            for i in range(12)
+        )
+        assert _cs_state(fr) == exp
+
+    def test_set_position_count_empty_is_zero(self, cs_front):
+        fr, _ = cs_front
+        fr.sql("UPDATE t SET v = (SELECT count(*) FROM s "
+               "WHERE s.j = t.grp) WHERE k < 10")
+        exp = sorted(
+            (i, i % 4,
+             float({0: 2, 1: 1}.get(i % 4, 0)) if i < 10 else float(i))
+            for i in range(12)
+        )
+        assert _cs_state(fr) == exp
+
+    def test_where_position_deletes_matched_only(self, cs_front):
+        fr, _ = cs_front
+        fr.sql("UPDATE t SET v = v * 5")
+        fr.sql("DELETE FROM t WHERE v > (SELECT min(s.x) FROM s "
+               "WHERE s.j = t.grp)")
+        # grp0 min=10: v in {0,20,40} -> k=4,8 go; grp1 min=100:
+        # none; unmatched grps compare v > NULL -> kept
+        exp = sorted(
+            (i, i % 4, float(i * 5))
+            for i in range(12)
+            if not (i % 4 == 0 and 5 * i > 10)
+        )
+        assert _cs_state(fr) == exp
+
+    def test_where_count_zero_hits_unmatched(self, cs_front):
+        fr, _ = cs_front
+        fr.sql("DELETE FROM t WHERE (SELECT count(*) FROM s "
+               "WHERE s.j = t.grp) = 0")
+        exp = sorted(
+            (i, i % 4, float(i)) for i in range(12) if i % 4 in (0, 1)
+        )
+        assert _cs_state(fr) == exp
+
+    def test_alias_and_source_filter(self, cs_front):
+        fr, _ = cs_front
+        fr.sql("UPDATE t AS tt SET tt.v = (SELECT sum(s.x) FROM s "
+               "WHERE s.j = tt.grp AND s.x < 50) WHERE tt.k % 2 = 0")
+        # x<50 removes grp1's only row ENTIRELY -> grp1 unmatched
+        exp = sorted(
+            (i, i % 4,
+             (30.0 if i % 4 == 0 else None) if i % 2 == 0
+             else float(i))
+            for i in range(12)
+        )
+        assert _cs_state(fr) == exp
+
+    def test_null_skip_shape_rides_dv(self, cs_front):
+        fr, t = cs_front
+        fr.sql("ALTER TABLE t SET TBLPROPERTIES "
+               "('delta.enableDeletionVectors' = 'true')")
+        fr.sql("UPDATE t SET v = v * 5")
+        before, _, _ = t.prune_files({})
+        fr.sql("DELETE FROM t WHERE v > (SELECT min(s.x) FROM s "
+               "WHERE s.j = t.grp)")
+        after, _, _ = t.prune_files({})
+        assert set(before) <= set(after)
+        ops = [r["operation"]
+               for r in fr.sql("DESCRIBE HISTORY t").collect()]
+        assert ops[0] == "merge_dv"
+
+    def test_count_shape_needs_rewrite_arm(self, cs_front):
+        fr, t = cs_front
+        fr.sql("ALTER TABLE t SET TBLPROPERTIES "
+               "('delta.enableDeletionVectors' = 'true')")
+        fr.sql("DELETE FROM t WHERE (SELECT count(*) FROM s "
+               "WHERE s.j = t.grp) = 0")
+        ops = [r["operation"]
+               for r in fr.sql("DESCRIBE HISTORY t").collect()]
+        assert ops[0] == "merge"  # BY SOURCE arm = copy-on-write
+
+    def test_compose_with_uncorrelated_scalar(self, cs_front):
+        fr, _ = cs_front
+        fr.sql("DELETE FROM t WHERE v <= (SELECT max(s.x) FROM s "
+               "WHERE s.j = t.grp) AND v >= (SELECT min(x) FROM s)")
+        # corr max: grp0=20, grp1=100; uncorr min(x)=7
+        exp = sorted(
+            (i, i % 4, float(i)) for i in range(12)
+            if not (i % 4 == 0 and 7 <= i <= 20)
+            and not (i % 4 == 1 and 7 <= i <= 100)
+        )
+        assert _cs_state(fr) == exp
+
+    def test_refuses_non_aggregate(self, cs_front):
+        fr, _ = cs_front
+        with pytest.raises(ValueError, match="non-aggregate"):
+            fr.sql("UPDATE t SET v = (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp)")
+
+    def test_refuses_two_correlated(self, cs_front):
+        fr, _ = cs_front
+        with pytest.raises(ValueError,
+                           match="at most one correlated scalar"):
+            fr.sql("UPDATE t SET v = (SELECT max(s.x) FROM s WHERE "
+                   "s.j = t.grp), grp = (SELECT min(s.x) FROM s "
+                   "WHERE s.j = t.k)")
+
+    def test_refuses_combined_with_in(self, cs_front):
+        fr, _ = cs_front
+        with pytest.raises(ValueError, match="combining"):
+            fr.sql("DELETE FROM t WHERE v > (SELECT max(s.x) FROM s "
+                   "WHERE s.j = t.grp) AND k IN (SELECT j FROM s)")
+
+    def test_refuses_combined_with_exists(self, cs_front):
+        fr, _ = cs_front
+        with pytest.raises(ValueError, match="combining"):
+            fr.sql("UPDATE t SET v = (SELECT max(s.x) FROM s WHERE "
+                   "s.j = t.grp) WHERE EXISTS (SELECT 1 FROM s "
+                   "WHERE s.j = t.k)")
+
+    def test_refuses_non_equality_correlation(self, cs_front):
+        fr, _ = cs_front
+        with pytest.raises(ValueError, match="equality"):
+            fr.sql("DELETE FROM t WHERE v > (SELECT max(s.x) FROM s "
+                   "WHERE s.j > t.grp)")
+
+    def test_refuses_conflicting_correlation_keys(self, cs_front):
+        fr, _ = cs_front
+        with pytest.raises(ValueError,
+                           match="two different source columns"):
+            fr.sql("DELETE FROM t WHERE v > (SELECT max(s.x) FROM s "
+                   "WHERE s.j = t.grp AND s.x = t.grp)")
+
+    def test_refuses_target_ref_in_select_item(self, cs_front):
+        fr, _ = cs_front
+        with pytest.raises(ValueError, match="select item"):
+            fr.sql("DELETE FROM t WHERE v > (SELECT max(s.x) + t.v "
+                   "FROM s WHERE s.j = t.grp)")
