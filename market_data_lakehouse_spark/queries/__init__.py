@@ -53,53 +53,50 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-14 window (r13 VERDICT directive 3 — counts recomputed
-# from the CORRECTNESS_r* files by script, not memory; note the
-# directive's "39-entry r10 cohort / 8+39=47" RECOUNTS to 38 / 46
-# against the files: entries whose latest driver-run round is r10
-# number exactly 38 today, so 4 slots remain, not 3).
+# The round-15 window (r14 VERDICT directive 1 — cohorts recomputed
+# by script over the CORRECTNESS_r1..r14 files + the catalog's
+# append-only REGISTRATION_ORDER, not from memory: per-entry
+# latest-driver-run rounds count 50 r14 / 50 r13 / 49 r12 / 38 r11
+# over the 187 pre-r15 entries, zero never-run).
 #
 # Composition, adds to exactly 50:
-# (z) 1 never-driver-run: s36_sql_dml3 (r14-new: correlated
-#     [NOT] EXISTS subquery DML — directive 4 — must not repeat the
-#     never-driver-run slip class);
-# (y) 8 named r9-stale spills, the directive-3 contract, first:
-#     x6_arith_expr, a8_grouping_sets, g4_kcore, e3_knn_bruteforce,
-#     e2_embedding_neardup, e3_cell_recall, e2_semantic_dedup,
-#     e4_rolling_chunks;
-# (x) ALL 38 r10-stale entries, oldest-registered-first (their
-#     latest green row is CORRECTNESS_r10.json);
-# (w) 3 r11-stale starts, oldest-registered-first: e2_minhash_lsh,
-#     e2_lsh_verified_jaccard, lakehouse_roundtrip.
+# (z) 2 never-driver-run r15-new entries: s37_sql_dml_dv (dv-mode
+#     SQL DML via the delta.enableDeletionVectors table property —
+#     directive 2) and s38_sql_dml_corr_scalar (correlated scalar-
+#     subquery DML — directive 3);
+# (y) ALL 38 r11-stale entries (latest green row is
+#     CORRECTNESS_r11.json), oldest-registered-first — the full
+#     spill the r14 comment committed to, s2_json_roundtrip at the
+#     head as named;
+# (x) 10 of the 49-entry r12-stale cohort, oldest-registered-first
+#     (12 remainder slots minus the 2 r15-new entries above).
 #
-# SPILLED to r15 (named): the remaining 38-entry r11-stale cohort
-# (41 total minus the 3 starts above) — oldest-registered-first:
-# s2_json_roundtrip is the next pick.
+# SPILLED to r16 (named): the remaining 39-entry r12-stale cohort —
+# oldest-registered-first: j11_shipping_priority is the next pick.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (z) never driver-run (1)
-    "s36_sql_dml3",             # r14 NEW: [NOT] EXISTS subquery DML
-    # (y) the 8 named r9-stale spills (8)
-    "x6_arith_expr", "a8_grouping_sets", "g4_kcore",
-    "e3_knn_bruteforce", "e2_embedding_neardup", "e3_cell_recall",
-    "e2_semantic_dedup", "e4_rolling_chunks",
-    # (x) r10-stale cohort, oldest-registered-first (38)
-    "s16_overwrite_where", "s19_identity_column",
-    "f7_generated_partition_pruning", "e5_frame_sample",
-    "e5_media_features", "v2_quality_stage", "a4_pricing_summary",
-    "j6_asof_bucketed", "w5_gap_fill", "j9_multiway_topk",
-    "x7_string_funcs", "x7_date_funcs", "x7_math_funcs",
-    "x7_json_extract", "x7_map_funcs", "x7_array_ops",
-    "x7_regexp_funcs", "a10_pivot", "a11_unpivot",
-    "j17_waiting_suppliers", "a17_returned_revenue",
-    "j18_supplier_part_counts", "j19_idle_customers",
-    "e6_hash_split", "e6_stratified_sample", "e6_token_shards",
-    "e6_domain_quota", "e3_label_centroid_sim", "e3_sq_recall",
-    "e1_exact_dedup", "e4_token_stats", "e4_lang_id",
-    "e4_quality_score", "e4_bpe_token_count", "e4_tfidf",
-    "e4_fingerprint", "e4_pii_redaction", "e4_ngram_freq",
-    # (w) r11-stale starts, oldest-registered-first (3)
-    "e2_minhash_lsh", "e2_lsh_verified_jaccard", "lakehouse_roundtrip",
+    # (z) never driver-run (2)
+    "s37_sql_dml_dv",           # r15 NEW: merge-on-read SQL DML
+    "s38_sql_dml_corr_scalar",  # r15 NEW: correlated scalar DML
+    # (y) r11-stale cohort, oldest-registered-first (38)
+    "s2_json_roundtrip", "s3_orc_roundtrip", "t12_scd2_rebuild",
+    "s20_column_mapping", "s21_type_widening", "s23_liquid_clustering",
+    "s24_column_defaults", "s25_auto_compaction", "s26_analyze_stats",
+    "s27_table_features", "s29_symlink_manifest", "e5_audio_decode",
+    "e5_image_decode", "v4_anomaly_zscore", "v5_drift_psi",
+    "v6_expectation_suite", "a2_vwap_top10", "a9_percentile_approx",
+    "w7_returns_vol", "w8_max_drawdown", "w9_ewma",
+    "a18_order_count_histogram", "j20_top_supplier", "j6_asof_forward",
+    "j6_asof_nearest", "a19_forecast_revenue", "a20_priority_shipping",
+    "a21_promo_revenue", "j21_disjunctive_brackets", "a22_nation_profit",
+    "g3_shortest_path", "a7_approx_distinct_grouped",
+    "e6_weighted_sample", "e3_sq_knn", "e3_ann_lsh", "e3_ivf_knn",
+    "e3_pq_knn", "e4_position_chunks",
+    # (x) r12-stale cohort, oldest-registered-first (10)
+    "e2_dedup_clusters", "s15_table_detail", "s17_scoped_optimize",
+    "s30_add_column", "s31_sql_utility", "e5_media_resize",
+    "a7_approx_distinct", "a12_corr_matrix", "a13_funnel",
+    "j10_exists_subquery",
 ]
 
 
