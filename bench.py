@@ -204,8 +204,25 @@ def cpu_throughput_control(spark) -> float:
 # generous band max (~2x warm median): the probe exists to catch the
 # gross write-collapse class (a 3.7x step reads >1 s), not 10% drift.
 WRITE_CONTROL_ROWS = 2_000_000
-WRITE_BAND_SEC = (0.10, 0.55)  # calibrated band, this host (r14)
+# Calibrated band, THIS host (r14). The numbers are host-specific by
+# nature (they measure this machine's disk), so they are overridable
+# without a code edit (r14 ADVICE: on any other machine the bench
+# would read contaminated even at idle): set
+# SPARK_GRAFT_WRITE_BAND="lo,hi[,limit]" after recalibrating with the
+# write_control_calibration protocol (3 untimed warmups, >=12 timed
+# samples at idle; band max ~2x warm median, limit = max + margin).
+WRITE_BAND_SEC = (0.10, 0.55)
 WRITE_LIMIT_SEC = 0.75  # band max + margin; above = hot write window
+if os.environ.get("SPARK_GRAFT_WRITE_BAND"):
+    _wb = [float(x) for x in
+           os.environ["SPARK_GRAFT_WRITE_BAND"].split(",")]
+    if len(_wb) not in (2, 3) or _wb[0] >= _wb[1]:
+        raise SystemExit(
+            "SPARK_GRAFT_WRITE_BAND must be 'lo,hi[,limit]' with "
+            f"lo < hi, got {os.environ['SPARK_GRAFT_WRITE_BAND']!r}"
+        )
+    WRITE_BAND_SEC = (_wb[0], _wb[1])
+    WRITE_LIMIT_SEC = _wb[2] if len(_wb) == 3 else _wb[1] + 0.2
 
 
 def write_throughput_control(spark) -> float:

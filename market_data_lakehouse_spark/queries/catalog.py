@@ -98,9 +98,6 @@ def parquet_rowcount_bound(sf_dir: str, *tables: str) -> int | None:
     key = (sf_dir, tuple(sorted(tables)))
     if key in _ROWBOUND_CACHE:
         return _ROWBOUND_CACHE[key]
-    import glob
-    import os
-
     try:
         import pyarrow.parquet as pq
     except Exception:  # pragma: no cover - pyarrow is baked in
@@ -108,16 +105,7 @@ def parquet_rowcount_bound(sf_dir: str, *tables: str) -> int | None:
     total = 0
     out: int | None = 0
     for t in tables:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else sorted(
-                glob.glob(
-                    os.path.join(path, "**", "*.parquet"), recursive=True
-                )
-            )
-        )
+        files = _table_files(sf_dir, t)
         if not files:
             out = None
             break
@@ -131,6 +119,54 @@ def parquet_rowcount_bound(sf_dir: str, *tables: str) -> int | None:
         out = total
     _ROWBOUND_CACHE[key] = out
     return out
+
+
+def _table_files(sf_dir: str, table: str) -> list[str]:
+    """The parquet files under a driver table's path — the same set
+    both the footer summers above and Spark's scan resolve."""
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
+_ROWEXACT_VERIFIED: set[tuple[str, str]] = set()
+
+
+def parquet_rowcount_exact(
+    sf_dir: str, table: str, df: DataFrame
+) -> int | None:
+    """EXACTNESS-caller variant of ``parquet_rowcount_bound`` (r15,
+    r14 ADVICE): before trusting the footer sum as a correctness
+    anchor, cross-check — once per (dir, table) per session — that
+    the footer enumeration saw EXACTLY the files the DataFrame's scan
+    resolved (``df.inputFiles()``, driver-side metadata, zero Spark
+    jobs). A stray or missing file under the table path returns None,
+    so the caller falls back to its exact-count job instead of
+    anchoring a gate on a drifted layout."""
+    n = parquet_rowcount_bound(sf_dir, table)
+    if n is None:
+        return None
+    key = (sf_dir, table)
+    if key in _ROWEXACT_VERIFIED:
+        return n
+    import os
+    from urllib.parse import unquote, urlparse
+
+    footer_set = {os.path.realpath(f) for f in _table_files(sf_dir, table)}
+    scan_set = {
+        os.path.realpath(unquote(urlparse(u).path))
+        for u in df.inputFiles()
+    }
+    if footer_set != scan_set:
+        return None
+    _ROWEXACT_VERIFIED.add(key)
+    return n
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from market_data_lakehouse_spark.queries.catalog import (
     load,
     parquet_rowcount_bound,
+    parquet_rowcount_exact,
     register,
 )
 
@@ -1081,8 +1082,11 @@ def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = assign
     # stats-first (r14): the raw-table anchor comes from parquet
     # footers (exact, zero Spark jobs) — the partition_exact compare
-    # below gains independence, Spark never computed the number
-    n_total = parquet_rowcount_bound(sf_dir, "embeddings")
+    # below gains independence, Spark never computed the number.
+    # r15 (r14 ADVICE): the exactness variant first cross-checks the
+    # footer file set against df.inputFiles(), so layout drift falls
+    # back to the count job instead of corrupting the anchor
+    n_total = parquet_rowcount_exact(sf_dir, "embeddings", em)
     if n_total is None:
         n_total = em.count()
     sizes = assigned.groupBy("cluster").count().collect()
@@ -1417,8 +1421,12 @@ def e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stats-first (r14, VERDICT directive 6): the corpus anchor is
     # the RAW table's row count — parquet footers answer it exactly
     # with zero Spark jobs (and more independently: the gate compares
-    # the fit's output against a number Spark never computed)
-    n_vecs = parquet_rowcount_bound(sf_dir, "embeddings")
+    # the fit's output against a number Spark never computed).
+    # r15 (r14 ADVICE): cross-checked against the scan's own file
+    # list first — layout drift falls back to the count job
+    n_vecs = parquet_rowcount_exact(
+        sf_dir, "embeddings", load(spark, sf_dir, "embeddings")
+    )
     if n_vecs is None:
         n_vecs = load(spark, sf_dir, "embeddings").count()
     stats = (

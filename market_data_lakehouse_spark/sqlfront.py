@@ -1286,7 +1286,7 @@ class LakeSQL:
                 pairs.append((t_col, s_col))
                 continue
             if re.search(
-                rf"\b{re.escape(target)}\s*\.",
+                rf"(?<![\w.`]){re.escape(target)}\s*\.",
                 _mask_literals(part),
                 re.IGNORECASE,
             ):
@@ -1303,6 +1303,7 @@ class LakeSQL:
                 "subquery WHERE; evaluate it once and run the plain "
                 "DML instead"
             )
+        pairs = self._corr_pairs_dedupe(pairs, "EXISTS")
         # rebuild the key query: the source side of each correlation
         # equality, renamed to its TARGET column (the merge engine
         # joins same-name keys), with the source-side filters intact
@@ -1369,7 +1370,12 @@ class LakeSQL:
         target columns bound BARE. Runs AFTER subquery handling, so
         correlation qualifiers inside EXISTS/scalar subqueries are
         untouched when it matters. An alias that shadows a struct
-        column's name wins, like Delta's own resolution order."""
+        column's name wins, like Delta's own resolution order — but
+        only at the START of a reference path: with alias x,
+        ``a.x.b`` is a struct field named x inside column a, not the
+        alias, so it must survive (r15, the r14 ADVICE medium —
+        ``\\b`` matched after a dot and silently redirected the
+        predicate to a different column: wrong-row DML)."""
         if text is None:
             return None
         masked = _mask_literals(text)
@@ -1380,7 +1386,9 @@ class LakeSQL:
         spans = LakeSQL._subquery_spans(masked)
         out, last = [], 0
         for m in re.finditer(
-            rf"\b{re.escape(qualifier)}\s*\.\s*", masked, re.IGNORECASE
+            rf"(?<![\w.`]){re.escape(qualifier)}\s*\.\s*",
+            masked,
+            re.IGNORECASE,
         ):
             if any(s <= m.start() < e for s, e in spans):
                 continue
@@ -1422,7 +1430,7 @@ class LakeSQL:
         per-row evaluation needs a join the caller should write as
         MERGE or [NOT] EXISTS."""
         if re.search(
-            rf"\b{re.escape(target)}\s*\.",
+            rf"(?<![\w.`]){re.escape(target)}\s*\.",
             _mask_literals(sub_raw),
             re.IGNORECASE,
         ):
@@ -1525,7 +1533,7 @@ class LakeSQL:
                 has_in_exists = True
                 continue
             if re.search(
-                rf"\b{re.escape(target)}\s*\.",
+                rf"(?<![\w.`]){re.escape(target)}\s*\.",
                 masked[s:e],
                 re.IGNORECASE,
             ):
@@ -1628,7 +1636,7 @@ class LakeSQL:
                 "rewrite as MERGE"
             )
         if re.search(
-            rf"\b{re.escape(target)}\s*\.", masked_sel, re.IGNORECASE
+            rf"(?<![\w.`]){re.escape(target)}\s*\.", masked_sel, re.IGNORECASE
         ):
             raise ValueError(
                 f"the select item of a correlated scalar subquery "
@@ -1659,7 +1667,7 @@ class LakeSQL:
                 pairs.append((t_col, s_col))
                 continue
             if re.search(
-                rf"\b{re.escape(target)}\s*\.",
+                rf"(?<![\w.`]){re.escape(target)}\s*\.",
                 _mask_literals(part),
                 re.IGNORECASE,
             ):

@@ -1661,19 +1661,25 @@ class TransactionalLake:
             # overwrite, DML rewrite, merge, compaction, relayout)
             # from one hook; computed once, outside the
             # version-race loop
-            action = {
-                **action,
-                "stats": self._collect_stats(action["add"]),
-                "rows": self._collect_rows(action["add"]),
-                "bytes": self._collect_bytes(action["add"]),
-            }
-            # the footer memo served this commit's adds; drop it so
-            # it never grows across a long-lived lake object
-            self._pending_file_info.clear()
-            if self.bloom_columns:
-                blooms = self._collect_blooms(action["add"])
-                if blooms:
-                    action = {**action, "blooms": blooms}
+            try:
+                action = {
+                    **action,
+                    "stats": self._collect_stats(action["add"]),
+                    "rows": self._collect_rows(action["add"]),
+                    "bytes": self._collect_bytes(action["add"]),
+                }
+                if self.bloom_columns:
+                    blooms = self._collect_blooms(action["add"])
+                    if blooms:
+                        action = {**action, "blooms": blooms}
+            finally:
+                # the footer memo served this commit's adds; drop it
+                # SUCCEED OR FAIL (r14 ADVICE: a raise here must not
+                # leave entries alive on a long-lived lake object) so
+                # it never grows across commits — _write_files also
+                # clears on entry, bounding any leak from an op that
+                # failed between staging and commit to one op's files
+                self._pending_file_info.clear()
         while True:
             current = self.version
             if (
@@ -2124,6 +2130,11 @@ class TransactionalLake:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
+        # fresh memo per staging (r14 ADVICE): entries leaked by a
+        # previous op that failed between staging and commit would
+        # otherwise accumulate on a long-lived lake object; UUID
+        # filenames already prevent them ever serving wrong data
+        self._pending_file_info.clear()
         added: list[str] = []
         for dirpath, _dirs, files in os.walk(staging):
             for fname in files:
