@@ -10,6 +10,24 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small local parallelism for te
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_addoption(parser):
+    """Compatibility shim (r15, r14 VERDICT directive 9): harness
+    invocations pass ``--timeout`` assuming the pytest-timeout
+    plugin, which this container lacks — accept the flags so the
+    launch isn't wasted on an argparse error. The values are
+    intentionally NOT enforced here (a signal/thread watchdog fights
+    py4j's callback threads); the suite self-completes in ~21 min.
+    If pytest-timeout is ever installed, it registers these options
+    first and this shim backs off."""
+    try:
+        parser.addoption("--timeout", action="store", default=None)
+        parser.addoption(
+            "--timeout-method", action="store", default=None
+        )
+    except ValueError:
+        pass  # real pytest-timeout present; its options win
+
+
 @pytest.fixture(scope="session")
 def spark():
     from market_data_lakehouse_spark.session import get_spark

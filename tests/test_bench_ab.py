@@ -194,3 +194,45 @@ class TestCpuNormalizedCompare:
         from bench_compare import load_cpu_median
 
         assert load_cpu_median("/root/repo/BENCH_r13.json") == 0.3792
+
+
+from bench_compare import sibling_adjudication  # noqa: E402
+
+
+def _rows(ratios):
+    return [{"ratio": r} for r in ratios]
+
+
+class TestSiblingAdjudication:
+    """r15 (VERDICT r14 directive 4): the 16:15-style window must
+    classify itself from the artifacts alone — uniform inflation on
+    code-identical queries is host, even with in-band controls."""
+
+    def test_r14_pattern_classifies_as_host(self):
+        # the r14 second run: ~1.25x across the board
+        rep = sibling_adjudication(_rows([1.2, 1.22, 1.25, 1.26,
+                                          1.28, 1.3, 1.24, 1.27]))
+        assert rep["verdict"] == "host_uniform"
+        assert "faster sibling" in rep["note"]
+
+    def test_agreeing_runs_are_equivalent(self):
+        rep = sibling_adjudication(_rows([0.97, 1.0, 1.02, 1.05,
+                                          0.95, 1.01]))
+        assert rep["verdict"] == "equivalent"
+
+    def test_concentrated_inflation_is_not_host(self):
+        # two hot queries on a flat window: median elevated enough
+        # only if most move; here median stays ~1.0 -> equivalent,
+        # but with half the window hot it must NOT read host
+        rep = sibling_adjudication(_rows([1.0, 1.01, 1.0, 2.5, 2.8,
+                                          1.9, 1.02, 2.2]))
+        assert rep["verdict"] == "query_specific"
+
+    def test_uniformly_faster_blames_old_window(self):
+        rep = sibling_adjudication(_rows([0.78, 0.8, 0.81, 0.79,
+                                          0.82, 0.8]))
+        assert rep["verdict"] == "host_uniform"
+        assert "OLD window" in rep["note"]
+
+    def test_empty_rows(self):
+        assert sibling_adjudication([])["verdict"] == "no_shared_queries"

@@ -120,11 +120,81 @@ def compare(
     }
 
 
+def sibling_adjudication(
+    per_query: list[dict], uniform_tol: float = 1.15
+) -> dict:
+    """Auto-classify a suspicious run against a SAME-DAY, SAME-CODE
+    sibling run (r15, VERDICT r14 directive 4 — this codifies the
+    hand analysis in AB_BENCH.json `r14_second_run_adjudication`):
+    on code-identical queries, per-query drift can only be the host
+    or measurement noise, never the code. The telling pattern is
+    UNIFORM whole-window inflation — the median ratio is elevated
+    AND most queries sit within ``uniform_tol`` of that median —
+    which is host steal even when every contamination control reads
+    in-band (the r14 blind spot: a 1.25x window with all controls
+    under their ceilings). Concentrated inflation (a few hot
+    queries, flat median) is NOT adjudicated as host — investigate
+    those queries.
+
+    Verdicts:
+    - ``equivalent``        median within 10% — runs agree
+    - ``host_uniform``      elevated median, >=80% of queries within
+                            tol of it: whole-window host inflation;
+                            prefer the faster sibling as the record
+    - ``query_specific``    elevated ratios concentrated in a subset:
+                            not host-adjudicable from siblings alone
+    """
+    ratios = sorted(r["ratio"] for r in per_query if r["ratio"] > 0)
+    if not ratios:
+        return {"verdict": "no_shared_queries"}
+    n = len(ratios)
+    med = (
+        ratios[n // 2]
+        if n % 2
+        else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
+    )
+    within = [
+        r for r in ratios if med / uniform_tol <= r <= med * uniform_tol
+    ]
+    uniform_frac = len(within) / n
+    slow_side = med if med >= 1 else 1 / med
+    if slow_side <= 1.10:
+        verdict = "equivalent"
+    elif uniform_frac >= 0.8:
+        verdict = "host_uniform"
+    else:
+        verdict = "query_specific"
+    return {
+        "verdict": verdict,
+        "median_ratio": round(med, 3),
+        "uniform_fraction": round(uniform_frac, 3),
+        "uniform_tolerance": uniform_tol,
+        "queries": n,
+        "note": (
+            "new run is uniformly slower on code-identical queries: "
+            "host steal; use the faster sibling as the record"
+            if verdict == "host_uniform" and med > 1
+            else "new run is uniformly faster: the OLD window was "
+            "the inflated one"
+            if verdict == "host_uniform"
+            else None
+        ),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("old", help="previous round's bench JSON")
     ap.add_argument("new", help="this round's bench JSON")
     ap.add_argument("--threshold", type=float, default=1.3)
+    ap.add_argument(
+        "--sibling",
+        action="store_true",
+        help="the two runs are SAME-DAY, SAME-CODE siblings: emit a "
+        "host-vs-query-specific adjudication of whole-window drift "
+        "(uniform inflation on code-identical queries = host, even "
+        "with in-band contamination controls)",
+    )
     ap.add_argument(
         "--quiet", action="store_true", help="print only the summary JSON"
     )
@@ -144,8 +214,14 @@ def main() -> int:
                 f"  x{r['ratio']:.2f}{mark}",
                 file=sys.stderr,
             )
+    if args.sibling:
+        rep["sibling"] = sibling_adjudication(rep["per_query"])
     summary = {k: v for k, v in rep.items() if k != "per_query"}
     print(json.dumps(summary))
+    if args.sibling:
+        # sibling mode adjudicates; per-query flags are the host's
+        # doing when the verdict is host_uniform, so don't gate
+        return 0
     return 1 if rep["flagged"] else 0
 
 
