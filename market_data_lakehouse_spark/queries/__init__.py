@@ -60,24 +60,28 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # over the 187 pre-r15 entries, zero never-run).
 #
 # Composition, adds to exactly 50:
-# (z) 2 never-driver-run r15-new entries: s37_sql_dml_dv (dv-mode
+# (z) 3 never-driver-run r15-new entries: s37_sql_dml_dv (dv-mode
 #     SQL DML via the delta.enableDeletionVectors table property —
-#     directive 2) and s38_sql_dml_corr_scalar (correlated scalar-
-#     subquery DML — directive 3);
+#     directive 2), s38_sql_dml_corr_scalar (correlated scalar-
+#     subquery DML — directive 3), and e2_lsh_twin_gate (the
+#     planted-twin oracle projection of banded-LSH candidates —
+#     directive 8);
 # (y) ALL 38 r11-stale entries (latest green row is
 #     CORRECTNESS_r11.json), oldest-registered-first — the full
 #     spill the r14 comment committed to, s2_json_roundtrip at the
 #     head as named;
-# (x) 10 of the 49-entry r12-stale cohort, oldest-registered-first
-#     (12 remainder slots minus the 2 r15-new entries above).
+# (x) 9 of the 49-entry r12-stale cohort, oldest-registered-first
+#     (12 remainder slots minus the 3 r15-new entries above).
 #
-# SPILLED to r16 (named): the remaining 39-entry r12-stale cohort —
-# oldest-registered-first: j11_shipping_priority is the next pick.
+# SPILLED to r16 (named): the remaining 40-entry r12-stale cohort —
+# oldest-registered-first: j10_exists_subquery is the next pick,
+# then j11_shipping_priority.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (z) never driver-run (2)
+    # (z) never driver-run (3)
     "s37_sql_dml_dv",           # r15 NEW: merge-on-read SQL DML
     "s38_sql_dml_corr_scalar",  # r15 NEW: correlated scalar DML
+    "e2_lsh_twin_gate",         # r15 NEW: LSH planted-twin oracle
     # (y) r11-stale cohort, oldest-registered-first (38)
     "s2_json_roundtrip", "s3_orc_roundtrip", "t12_scd2_rebuild",
     "s20_column_mapping", "s21_type_widening", "s23_liquid_clustering",
@@ -92,11 +96,10 @@ _DRIVER_WINDOW = [
     "g3_shortest_path", "a7_approx_distinct_grouped",
     "e6_weighted_sample", "e3_sq_knn", "e3_ann_lsh", "e3_ivf_knn",
     "e3_pq_knn", "e4_position_chunks",
-    # (x) r12-stale cohort, oldest-registered-first (10)
+    # (x) r12-stale cohort, oldest-registered-first (9)
     "e2_dedup_clusters", "s15_table_detail", "s17_scoped_optimize",
     "s30_add_column", "s31_sql_utility", "e5_media_resize",
     "a7_approx_distinct", "a12_corr_matrix", "a13_funnel",
-    "j10_exists_subquery",
 ]
 
 

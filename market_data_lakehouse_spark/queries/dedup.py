@@ -284,6 +284,83 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
 
 
+_TWIN_OFFSET = 10_000_000  # far above any driver doc_id
+
+
+@register(
+    "e2_lsh_twin_gate",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS a_id,
+           CAST(doc_id AS BIGINT) + {_TWIN_OFFSET} AS b_id,
+           1.0 AS est_jaccard
+    FROM documents
+    WHERE CAST(doc_id AS BIGINT) % 17 = 0
+    """,
+)
+def e2_lsh_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-expressible projection of banded-LSH candidate
+    output (r15, VERDICT r14 directive 8 — converting one more
+    rows-only signal to a hard oracle): plant a byte-identical twin
+    (doc_id + 10M, same text) for every 17th document, run the REAL
+    ``e2_minhash_lsh`` pipeline — shingles -> 32 minhashes -> 8
+    bands -> band-collision join -> distinct candidates — over the
+    corpus + twins, and return exactly the twin pairs from the
+    candidate set. This subset is DETERMINISTIC, not probabilistic:
+    identical text gives an identical shingle multiset, hence an
+    identical signature, hence a collision in EVERY band, with
+    estimated Jaccard exactly 1.0 — so DuckDB can enumerate the
+    expected output without reproducing the hash family. A banding
+    bug that drops a twin loses a row (rows_match fails); a
+    signature/estimate bug moves est_jaccard off 1.0 (hash fails).
+    The FULL candidate set stays rows-only by nature (xxhash64's
+    values are engine-specific) — ``e2_minhash_lsh`` keeps its
+    driver-executed recall/precision gates; this entry nails the
+    half of its contract an oracle CAN see."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = docs.union(twins)
+    sigs = minhash_signatures(
+        _shingles_exploded(corpus, carry=())
+    ).localCheckpoint(eager=False)
+    banded = _banded(sigs)
+    a = banded.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sig").alias("a_sig"),
+        "band",
+        "bhash",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sig").alias("b_sig"),
+        "band",
+        "bhash",
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a_sig", "b_sig", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / N_MINHASH
+    )
+    return (
+        cand.filter(
+            (F.col("b_id") == F.col("a_id") + _TWIN_OFFSET)
+            & (F.col("a_id") % 17 == 0)
+        )
+        .select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
 def _bitmask(j: int) -> int:
     """Long mask for bit j (bit 63 is the sign bit of a 64-bit long)."""
     return -(2**63) if j == 63 else (1 << j)
