@@ -214,12 +214,22 @@ WRITE_CONTROL_ROWS = 2_000_000
 WRITE_BAND_SEC = (0.10, 0.55)
 WRITE_LIMIT_SEC = 0.75  # band max + margin; above = hot write window
 if os.environ.get("SPARK_GRAFT_WRITE_BAND"):
-    _wb = [float(x) for x in
-           os.environ["SPARK_GRAFT_WRITE_BAND"].split(",")]
-    if len(_wb) not in (2, 3) or _wb[0] >= _wb[1]:
+    try:
+        _wb = [float(x) for x in
+               os.environ["SPARK_GRAFT_WRITE_BAND"].split(",")]
+    except ValueError:
+        _wb = []  # non-numeric -> the same loud refusal below
+    # limit must sit at or above the band max, or a sample in
+    # (limit, hi] would read in-band and over-limit at once
+    if (
+        len(_wb) not in (2, 3)
+        or _wb[0] >= _wb[1]
+        or (len(_wb) == 3 and _wb[2] < _wb[1])
+    ):
         raise SystemExit(
-            "SPARK_GRAFT_WRITE_BAND must be 'lo,hi[,limit]' with "
-            f"lo < hi, got {os.environ['SPARK_GRAFT_WRITE_BAND']!r}"
+            "SPARK_GRAFT_WRITE_BAND must be numeric 'lo,hi[,limit]' "
+            "with lo < hi <= limit, got "
+            f"{os.environ['SPARK_GRAFT_WRITE_BAND']!r}"
         )
     WRITE_BAND_SEC = (_wb[0], _wb[1])
     WRITE_LIMIT_SEC = _wb[2] if len(_wb) == 3 else _wb[1] + 0.2

@@ -1274,28 +1274,9 @@ class LakeSQL:
                 "EXISTS subquery source must be aliased differently "
                 f"from the DML target {target!r}"
             )
-        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
-        inner_only: list[str] = []
-        for part in _split_top_and(im.group("pred") or ""):
-            cm = self._CORR_EQ.match(part)
-            q1 = cm and cm.group("q1").lower()
-            q2 = cm and cm.group("q2").lower()
-            if cm and {q1, q2} == {src_q, tgt}:
-                t_col = cm.group("c1") if q1 == tgt else cm.group("c2")
-                s_col = cm.group("c2") if q1 == tgt else cm.group("c1")
-                pairs.append((t_col, s_col))
-                continue
-            if re.search(
-                rf"(?<![\w.`]){re.escape(target)}\s*\.",
-                _mask_literals(part),
-                re.IGNORECASE,
-            ):
-                raise ValueError(
-                    f"EXISTS correlation must be equality conjuncts "
-                    f"(<src>.<col> = {target}.<col>); cannot "
-                    f"decorrelate {part!r}"
-                )
-            inner_only.append(part)
+        pairs, inner_only = self._corr_pairs(
+            im.group("pred"), src_q, target, "EXISTS"
+        )
         if not pairs:
             raise ValueError(
                 "uncorrelated EXISTS is constant per statement, not "
@@ -1303,7 +1284,6 @@ class LakeSQL:
                 "subquery WHERE; evaluate it once and run the plain "
                 "DML instead"
             )
-        pairs = self._corr_pairs_dedupe(pairs, "EXISTS")
         # rebuild the key query: the source side of each correlation
         # equality, renamed to its TARGET column (the merge engine
         # joins same-name keys), with the source-side filters intact
@@ -1568,6 +1548,42 @@ class LakeSQL:
         re.IGNORECASE,
     )
 
+    def _corr_pairs(
+        self, pred_text: str | None, src_q: str, target: str,
+        context: str,
+    ) -> tuple[list[tuple[str, str]], list[str]]:
+        """Split a subquery's WHERE into correlation equalities —
+        deduped, conflict-checked (target_col, source_col) pairs —
+        and source-only conjuncts (r15 review find: EXISTS and
+        scalar decorrelation each carried their own copy of this
+        walk, so fixes like the r14 conflicting-keys guard had to
+        land twice). A conjunct that references the target any other
+        way refuses: only equality correlation decorrelates."""
+        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
+        inner_only: list[str] = []
+        tgt = target.lower()
+        for part in _split_top_and(pred_text or ""):
+            cm = self._CORR_EQ.match(part)
+            q1 = cm and cm.group("q1").lower()
+            q2 = cm and cm.group("q2").lower()
+            if cm and {q1, q2} == {src_q, tgt}:
+                t_col = cm.group("c1") if q1 == tgt else cm.group("c2")
+                s_col = cm.group("c2") if q1 == tgt else cm.group("c1")
+                pairs.append((t_col, s_col))
+                continue
+            if re.search(
+                rf"(?<![\w.`]){re.escape(target)}\s*\.",
+                _mask_literals(part),
+                re.IGNORECASE,
+            ):
+                raise ValueError(
+                    f"{context} correlation must be equality "
+                    f"conjuncts (<src>.<col> = {target}.<col>); "
+                    f"cannot decorrelate {part!r}"
+                )
+            inner_only.append(part)
+        return self._corr_pairs_dedupe(pairs, context), inner_only
+
     @staticmethod
     def _corr_pairs_dedupe(
         pairs: list[tuple[str, str]], context: str
@@ -1649,40 +1665,14 @@ class LakeSQL:
                 "scalar subquery source must be aliased differently "
                 f"from the DML target {target!r}"
             )
-        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
-        inner_only: list[str] = []
-        for part in _split_top_and(im.group("pred") or ""):
-            cm = self._CORR_EQ.match(part)
-            q1 = cm and cm.group("q1").lower()
-            q2 = cm and cm.group("q2").lower()
-            if cm and {q1, q2} == {src_q, target.lower()}:
-                t_col = (
-                    cm.group("c1") if q1 == target.lower()
-                    else cm.group("c2")
-                )
-                s_col = (
-                    cm.group("c2") if q1 == target.lower()
-                    else cm.group("c1")
-                )
-                pairs.append((t_col, s_col))
-                continue
-            if re.search(
-                rf"(?<![\w.`]){re.escape(target)}\s*\.",
-                _mask_literals(part),
-                re.IGNORECASE,
-            ):
-                raise ValueError(
-                    "scalar-subquery correlation must be equality "
-                    f"conjuncts (<src>.<col> = {target}.<col>); "
-                    f"cannot decorrelate {part!r}"
-                )
-            inner_only.append(part)
+        pairs, inner_only = self._corr_pairs(
+            im.group("pred"), src_q, target, "scalar-subquery"
+        )
         if not pairs:
             raise ValueError(
                 "scalar subquery is uncorrelated — it should have "
                 "been inlined, not decorrelated (internal error)"
             )
-        pairs = self._corr_pairs_dedupe(pairs, "scalar-subquery")
         frm = f"{src} {alias}" if alias else src
         proj = ", ".join(f"{alias or src}.{s} AS {t}" for t, s in pairs)
         grp = ", ".join(f"{alias or src}.{s}" for _t, s in pairs)
@@ -1745,7 +1735,11 @@ class LakeSQL:
         return depth_ok
 
     def _prep_corr_scalar(
-        self, text: str, span: tuple[int, int], target: str
+        self,
+        text: str,
+        span: tuple[int, int],
+        target: str,
+        kind: str = "pred",
     ) -> dict:
         """Shared setup for correlated-scalar DML (r15): decorrelate
         the span, evaluate the empty-input value (one bounded 1-row
@@ -1753,9 +1747,14 @@ class LakeSQL:
         span becomes ``source.<scalar>``, for rows whose key joined a
         source group) and ``empty`` (the span becomes the empty-input
         literal, for rows whose key matched nothing — SQL evaluates
-        the aggregate over zero rows there). Both variants then take
-        the normal uncorrelated-scalar inlining + alias
-        dequalification."""
+        the aggregate over zero rows there). Uncorrelated scalars in
+        the surrounding text inline ONCE on a marker-substituted copy
+        (r15 review find: inlining per variant evaluated each of them
+        twice — two driver collects where one suffices), then the
+        marker resolves per variant. ``kind`` picks the inliner:
+        ``"pred"`` walks top-level conjuncts (IN/EXISTS conjuncts are
+        refused upstream), ``"set"`` treats the text as one
+        expression, where IN/EXISTS subqueries refuse loudly."""
         s, e = span
         spec = self._decorrelate_scalar(text[s:e], target, "__scalar")
         if "__scalar" in {c.lower() for c in spec["on"]}:
@@ -1766,14 +1765,16 @@ class LakeSQL:
         empty_lit = self._eval_scalar_subquery(
             f"({spec['empty_sql']})", target
         )
-
-        def _variant(slot: str) -> str:
-            v = text[:s] + slot + text[e:]
-            v = self._inline_scalar_subqueries(v, target)
-            return self._strip_qualifier(v, target)
-
-        spec["matched_text"] = _variant("source.__scalar")
-        spec["empty_text"] = _variant(f"({empty_lit})")
+        mark = "\x02corr_scalar\x02"
+        body = text[:s] + mark + text[e:]
+        body = (
+            self._inline_scalar_subqueries(body, target)
+            if kind == "pred"
+            else self._inline_scalars_in_text(body, target)
+        )
+        body = self._strip_qualifier(body, target)
+        spec["matched_text"] = body.replace(mark, "source.__scalar")
+        spec["empty_text"] = body.replace(mark, f"({empty_lit})")
         # skippable unmatched arm: empty value NULL + NULL provably
         # never satisfies the predicate (see _null_scalar_never_true)
         masked = _mask_literals(text)
@@ -2034,9 +2035,17 @@ class LakeSQL:
         src_txt = (
             assignments[set_col] if set_col is not None else pred
         )
-        cs = self._prep_corr_scalar(src_txt, span, tname)
+        cs = self._prep_corr_scalar(
+            src_txt, span, tname,
+            kind="set" if set_col is not None else "pred",
+        )
+        # only SUBQUERY IN/EXISTS conflicts — a plain value-list
+        # residual like ``k IN (0, 1)`` is legitimate everywhere
+        # (r15 review find: the bare ``IN\s*\(`` guard refused it)
         if set_col is not None and re.search(
-            r"\b(?:IN|EXISTS)\s*\(", _mask_literals(pred), re.IGNORECASE
+            r"\b(?:IN|EXISTS)\s*\(\s*SELECT\b",
+            _mask_literals(pred),
+            re.IGNORECASE,
         ):
             raise ValueError(
                 "combining a correlated scalar subquery with "

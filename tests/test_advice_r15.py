@@ -180,3 +180,22 @@ class TestWriteBandOverride:
         )
         assert out.returncode != 0
         assert "SPARK_GRAFT_WRITE_BAND" in out.stderr
+
+    def test_non_numeric_override_refuses_cleanly(self):
+        out = subprocess.run(
+            [sys.executable, "-c", "import bench"],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_WRITE_BAND": "0.2,abc"},
+        )
+        assert out.returncode != 0
+        assert "SPARK_GRAFT_WRITE_BAND" in out.stderr
+        assert "Traceback" not in out.stderr
+
+    def test_limit_below_band_max_refuses(self):
+        out = subprocess.run(
+            [sys.executable, "-c", "import bench"],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_WRITE_BAND": "0.1,0.5,0.3"},
+        )
+        assert out.returncode != 0
+        assert "SPARK_GRAFT_WRITE_BAND" in out.stderr

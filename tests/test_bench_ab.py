@@ -236,3 +236,39 @@ class TestSiblingAdjudication:
 
     def test_empty_rows(self):
         assert sibling_adjudication([])["verdict"] == "no_shared_queries"
+
+
+class TestSiblingExitCode:
+    """r15 review find: --sibling must keep gating on flagged queries
+    when the verdict is query_specific — only host_uniform/equivalent
+    adjudications wave flags through."""
+
+    def _run(self, tmp_path, old_q, new_q):
+        import json as _json
+        import os as _os
+
+        o, n = tmp_path / "o.json", tmp_path / "n.json"
+        o.write_text(_json.dumps({"queries": old_q}))
+        n.write_text(_json.dumps({"queries": new_q}))
+        r = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_compare.py",
+             str(o), str(n), "--sibling", "--quiet"],
+            capture_output=True, text=True,
+            env={**_os.environ},
+        )
+        import json as _json2
+        return r.returncode, _json2.loads(r.stdout)
+
+    def test_host_uniform_exits_zero(self, tmp_path):
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": 1.4 for i in range(10)}
+        code, rep = self._run(tmp_path, old, new)
+        assert rep["sibling"]["verdict"] == "host_uniform"
+        assert code == 0
+
+    def test_query_specific_still_gates(self, tmp_path):
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": (2.5 if i < 3 else 1.0) for i in range(10)}
+        code, rep = self._run(tmp_path, old, new)
+        assert rep["sibling"]["verdict"] == "query_specific"
+        assert code == 1

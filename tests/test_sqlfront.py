@@ -1383,3 +1383,13 @@ class TestCorrScalarDML:
         with pytest.raises(ValueError, match="select item"):
             fr.sql("DELETE FROM t WHERE v > (SELECT max(s.x) + t.v "
                    "FROM s WHERE s.j = t.grp)")
+
+    def test_set_position_with_in_value_list_residual(self, cs_front):
+        """r15 review find: a plain value-list IN residual must not
+        trip the combined-subquery refusal (only IN (SELECT does)."""
+        fr, _ = cs_front
+        fr.sql("UPDATE t SET v = (SELECT max(s.x) FROM s "
+               "WHERE s.j = t.grp) WHERE k IN (0, 1)")
+        got = {r.k: r.v for r in
+               fr.sql("SELECT k, v FROM t WHERE k < 3").collect()}
+        assert got == {0: 20.0, 1: 100.0, 2: 2.0}

@@ -158,8 +158,12 @@ def sibling_adjudication(
     ]
     uniform_frac = len(within) / n
     slow_side = med if med >= 1 else 1 / med
+    hot = [r for r in ratios if r > 1.3 or r < 1 / 1.3]
     if slow_side <= 1.10:
-        verdict = "equivalent"
+        # flat median: the WINDOW agrees — but individually hot
+        # queries on a flat window are exactly the concentrated
+        # pattern to investigate, not an equivalence
+        verdict = "query_specific" if hot else "equivalent"
     elif uniform_frac >= 0.8:
         verdict = "host_uniform"
     else:
@@ -218,9 +222,12 @@ def main() -> int:
         rep["sibling"] = sibling_adjudication(rep["per_query"])
     summary = {k: v for k, v in rep.items() if k != "per_query"}
     print(json.dumps(summary))
-    if args.sibling:
-        # sibling mode adjudicates; per-query flags are the host's
-        # doing when the verdict is host_uniform, so don't gate
+    if args.sibling and rep["sibling"]["verdict"] == "host_uniform":
+        # adjudicated: per-query flags are the host's doing on
+        # code-identical queries — don't gate on them.
+        # query_specific (and equivalent-with-flags) keep the gate:
+        # concentrated inflation is exactly the case to investigate
+        # (r15 review find: an unconditional 0 waved those through)
         return 0
     return 1 if rep["flagged"] else 0
 
