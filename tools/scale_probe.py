@@ -1110,6 +1110,97 @@ def exists_dml_skipping_probe(spark) -> dict:
     return out
 
 
+def corr_scalar_dml_skipping_probe(spark) -> dict:
+    """r15: correlated scalar-subquery DML decorrelates onto the
+    merge engine, and its NULL-skip shape (``v < (SELECT agg ...)``,
+    empty value NULL, plain-comparison predicate) must (a) ride the
+    SAME key-envelope skipping as any key merge and (b) stay
+    merge-on-read on a dv-opted table — both pinned end-to-end
+    THROUGH THE SQL FRONT-END. Structural receipts at 8 and 64
+    same-sized files: the probed set stays [1, 1], the dv commit
+    leaves the file set untouched (op stamps ``merge_dv``), and a
+    correctness echo pins the deleted rows at both scales."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    per = 50_000
+    out: dict = {}
+    for label, n_files in (("small", 8), ("large", 64)):
+        root = tempfile.mkdtemp(prefix=f"cssp_{label}_")
+        lake = TransactionalLake(spark, root + "/t", partition_by=())
+        for i in range(n_files):
+            lake.append(
+                spark.range(i * per, (i + 1) * per)
+                .selectExpr("id as k", "cast(id * 1.5 as double) as v")
+                .coalesce(1)
+            )
+        src = TransactionalLake(spark, root + "/s", partition_by=())
+        src.append(
+            spark.createDataFrame(
+                [(3 * per + 5, 1e12), (3 * per + 6, 1e12)],
+                "k long, x double",
+            )
+        )
+        fr = LakeSQL(spark)
+        fr.register("cst", lake)
+        fr.register("css", src)
+        fr.sql(
+            "ALTER TABLE cst SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'true')"
+        )
+        files_before, _, _ = lake.prune_files({})
+        probed: dict = {}
+        orig = lake._prune_by_key_ranges
+
+        def spy(files, ranges, _o=orig, _p=probed):
+            kept = _o(files, ranges)
+            _p["n"], _p["total"] = len(kept), len(files)
+            return kept
+
+        lake._prune_by_key_ranges = spy  # type: ignore
+        t0 = _t.perf_counter()
+        fr.sql(
+            "DELETE FROM cst WHERE v < "
+            "(SELECT min(s.x) FROM css s WHERE s.k = cst.k)"
+        )
+        sec = round(_t.perf_counter() - t0, 4)
+        lake._prune_by_key_ranges = orig  # type: ignore
+        files_after, _, _ = lake.prune_files({})
+        assert set(files_before) == set(files_after), "dv must not rewrite"
+        op = lake.history(limit=1)[0]["op"]
+        assert op == "merge_dv", op
+        n_left = lake.snapshot().filter(
+            f"k IN ({3 * per + 5}, {3 * per + 6})"
+        ).count()
+        assert n_left == 0, n_left
+        assert lake.snapshot().count() == n_files * per - 2
+        out[f"at_{n_files}_files"] = {
+            "files": n_files,
+            "merge_files_probed": probed["n"],
+            "live_files": probed["total"],
+            "corr_scalar_delete_sec": sec,
+            "dv_file_set_untouched": True,
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    out["probe_scope"] = [
+        out["at_8_files"]["merge_files_probed"],
+        out["at_64_files"]["merge_files_probed"],
+    ]
+    out["probe_scope_flat"] = out["probe_scope"] == [1, 1]
+    out["note"] = (
+        "r15 correlated scalar-subquery DML (SQL front decorrelation "
+        "-> per-key aggregate + key MERGE) rides the key-envelope "
+        "skipping unchanged ([1, 1] files at 8 -> 64) AND stays "
+        "merge-on-read on a dv-opted table (file set untouched, "
+        "merge_dv op), deleted rows value-checked at both scales"
+    )
+    return out
+
+
 def dml_skipping_probe(spark) -> dict:
     """Data-skipping DML (r12): DELETE/MERGE with a tight key range
     scan only the stats-possible files. The scale axis is FILE COUNT
@@ -1370,7 +1461,26 @@ def main() -> int:
         help="run just the r14 EXISTS-DML skipping block and merge "
         "it into the existing SCALE_PROBE.json",
     )
+    ap.add_argument(
+        "--only-corr-scalar",
+        action="store_true",
+        help="run just the r15 correlated-scalar DML skipping + dv "
+        "block and merge it into the existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
+
+    if args.only_corr_scalar:
+        from market_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark("scale_probe")
+        block = corr_scalar_dml_skipping_probe(spark)
+        path = os.path.join(REPO, "SCALE_PROBE.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["corr_scalar_dml_skipping"] = block
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"corr_scalar_dml_skipping": block}))
+        return 0 if block["probe_scope_flat"] else 1
 
     if args.only_mx:
         from market_data_lakehouse_spark.session import get_spark
