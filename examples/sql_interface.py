@@ -83,10 +83,34 @@ def main() -> None:
         "UPDATE trades SET x = x - (SELECT avg(x) FROM trades) "
         "WHERE etype = 'merged'"
     )  # scalar evaluates once driver-side and inlines
+    # correlated scalar subqueries (r15): decorrelated to a per-key
+    # aggregate + merge probe; rows whose key matches no audit row
+    # take the aggregate's empty-input value (NULL here, so they
+    # keep their note via SQL's three-valued guard on the WHERE)
+    fr.sql(
+        "UPDATE trades SET note = 'flagged' WHERE k < "
+        "(SELECT max(a.id) FROM audit a WHERE a.id = trades.k) + 1"
+    )
     n_audited = fr.sql(
-        "SELECT COUNT(*) AS n FROM trades WHERE note = 'audited'"
+        "SELECT COUNT(*) AS n FROM trades WHERE note IN "
+        "('audited', 'flagged')"
     ).first()["n"]
-    print(f"subquery DML: {n_audited} rows exist-matched the audit keys")
+    print(f"subquery DML: {n_audited} rows matched the audit keys")
+
+    # merge-on-read opt-in (r15): the Delta dv property flips SQL
+    # DML to deletion vectors — no data file rewritten
+    fr.sql(
+        "ALTER TABLE trades SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors' = 'true')"
+    )
+    fr.sql("DELETE FROM trades WHERE k % 10 = 8")
+    last = fr.sql("DESCRIBE HISTORY trades LIMIT 1").first()
+    assert last["operation"] == "delete_dv", last["operation"]
+    print("dv opt-in: DELETE committed as", last["operation"])
+    fr.sql(
+        "ALTER TABLE trades UNSET TBLPROPERTIES "
+        "('delta.enableDeletionVectors')"
+    )
 
     # maintain + audit
     fr.sql("OPTIMIZE trades ZORDER BY (k)")
