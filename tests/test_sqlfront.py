@@ -1393,3 +1393,81 @@ class TestCorrScalarDML:
         got = {r.k: r.v for r in
                fr.sql("SELECT k, v FROM t WHERE k < 3").collect()}
         assert got == {0: 20.0, 1: 100.0, 2: 2.0}
+
+
+class TestSqlDvModeEdges:
+    """r15 post-record pins: dv interplay with the richer DML
+    grammar — multi-clause MERGE rides dv, SET-position correlated
+    scalars fall back to copy-on-write (their BY SOURCE arm), and
+    the property round-trips through UNSET."""
+
+    def _opt_in(self, front):
+        front.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'true')"
+        )
+
+    def test_multi_clause_merge_rides_dv(self, spark, front, lake,
+                                         tmp_path):
+        src = TransactionalLake(spark, str(tmp_path / "mc"),
+                                partition_by=())
+        src.append(
+            spark.range(10).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).alias("grp"),
+                F.lit(5.0).alias("v"),
+                (F.col("id") % 2 == 0).alias("dead"),
+            )
+        )
+        front.register("mc", src)
+        self._opt_in(front)
+        before, _, _ = lake.prune_files({})
+        front.sql(
+            "MERGE INTO t USING mc ON t.k = mc.k "
+            "WHEN MATCHED AND mc.dead THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = mc.v "
+            "WHEN NOT MATCHED THEN INSERT (k, grp, v) "
+            "VALUES (mc.k, mc.grp, mc.v)"
+        )
+        after, _, _ = lake.prune_files({})
+        assert set(before) <= set(after)  # merge-on-read
+        ops = [r["operation"]
+               for r in front.sql("DESCRIBE HISTORY t").collect()]
+        assert ops[0] == "merge_dv"
+        got = front.sql(
+            "SELECT COUNT(*) AS n, SUM(CAST(v = 5.0 AS INT)) AS u "
+            "FROM t"
+        ).first()
+        # 5 even keys deleted, 5 odd keys updated to 5.0
+        assert (got["n"], got["u"]) == (95, 5)
+
+    def test_set_position_corr_scalar_falls_back(self, spark, front,
+                                                 lake, tmp_path):
+        src = TransactionalLake(spark, str(tmp_path / "cs2"),
+                                partition_by=())
+        src.append(spark.createDataFrame(
+            [(0, 10.0)], "j long, x double"))
+        front.register("cs2", src)
+        self._opt_in(front)
+        front.sql("UPDATE t SET v = (SELECT max(s.x) FROM cs2 s "
+                  "WHERE s.j = t.grp) WHERE k < 8")
+        ops = [r["operation"]
+               for r in front.sql("DESCRIBE HISTORY t").collect()]
+        assert ops[0] == "merge"  # BY SOURCE arm = copy-on-write
+        got = {r.k: r.v for r in front.sql(
+            "SELECT k, v FROM t WHERE k < 8").collect()}
+        # the fixture's grp is k % 7: only grp 0 (k = 0, 7) matches
+        # the source key; the rest take MAX's empty-input NULL
+        assert got == {i: (10.0 if i % 7 == 0 else None)
+                       for i in range(8)}
+
+    def test_unset_property_restores_copy_on_write(self, front, lake):
+        self._opt_in(front)
+        front.sql(
+            "ALTER TABLE t UNSET TBLPROPERTIES "
+            "('delta.enableDeletionVectors')"
+        )
+        before, _, _ = lake.prune_files({})
+        front.sql("DELETE FROM t WHERE k >= 90")
+        after, _, _ = lake.prune_files({})
+        assert set(before) != set(after)  # rewrite again
