@@ -32,6 +32,14 @@ sql_op = st.sampled_from(
         "not_exists_update",
         "scalar_delete",
         "scalar_update",
+        # r15: correlated scalar subqueries (decorrelated onto the
+        # merge engine). COUNT shapes are chosen so the model never
+        # sees NULL: COUNT over an unmatched key is 0, and the
+        # MAX-keyed delete leaves unmatched rows via NULL-comparison
+        "corr_set_count",
+        "corr_set_count_filtered",
+        "corr_where_delete_max",
+        "corr_where_update_count0",
     ]
 )
 
@@ -147,6 +155,55 @@ def test_random_sql_subquery_dml_matches_model(
             )
             model = {
                 k: (v + min_sk if k % 2 == 0 else v)
+                for k, v in model.items()
+            }
+        elif o == "corr_set_count":
+            # SET-position correlated scalar: matched keys add 10
+            # (one source row per sk), unmatched add COUNT's
+            # empty-input 0 via the BY SOURCE arm
+            fr.sql(
+                "UPDATE mt SET v = v + 10 * (SELECT count(*) "
+                "FROM ms s WHERE s.sk = mt.k)"
+            )
+            model = {
+                k: (v + 10 if k in SRC else v)
+                for k, v in model.items()
+            }
+        elif o == "corr_set_count_filtered":
+            # source-side filter INSIDE the subquery scopes the
+            # per-key aggregate, not the statement
+            fr.sql(
+                "UPDATE mt SET v = v + 3 * (SELECT count(*) FROM ms "
+                "s WHERE s.sk = mt.k AND s.flag = 1) WHERE k < 1000"
+            )
+            model = {
+                k: (v + 3 if k in flag1 and k < 1000 else v)
+                for k, v in model.items()
+            }
+        elif o == "corr_where_delete_max":
+            # max(s.sk) per matched key k is k itself; unmatched
+            # keys compare v < NULL -> kept (the dv-eligible
+            # NULL-skip shape)
+            fr.sql(
+                "DELETE FROM mt WHERE v < (SELECT max(s.sk) "
+                "FROM ms s WHERE s.sk = mt.k) + 1"
+            )
+            model = {
+                k: v
+                for k, v in model.items()
+                if not (k in SRC and v < k + 1)
+            }
+        elif o == "corr_where_update_count0":
+            # COUNT = 0 is TRUE for unmatched keys: the BY SOURCE
+            # arm must apply the empty-input value, the classic
+            # decorrelation bug class
+            fr.sql(
+                "UPDATE mt SET v = v + 7 WHERE (SELECT count(*) "
+                "FROM ms s WHERE s.sk = mt.k AND s.flag = 1) = 0 "
+                "AND k % 2 = 1"
+            )
+            model = {
+                k: (v + 7 if k not in flag1 and k % 2 == 1 else v)
                 for k, v in model.items()
             }
         got = {

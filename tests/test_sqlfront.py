@@ -1471,3 +1471,98 @@ class TestSqlDvModeEdges:
         front.sql("DELETE FROM t WHERE k >= 90")
         after, _, _ = lake.prune_files({})
         assert set(before) != set(after)  # rewrite again
+
+
+class TestNullSkipSoundness:
+    """Property pin for _null_scalar_never_true (r15): whenever the
+    classifier claims a predicate with a NULL scalar slot can never
+    be TRUE (the dv-eligible skip), DuckDB must agree under random
+    column assignments. The classifier may be conservative (False on
+    safe inputs) — only its True claims carry semantics, so only
+    those are checked. The generator mixes allowed grammar (columns,
+    ints, arithmetic, comparisons, AND) with disallowed wrappers
+    (COALESCE/GREATEST/CASE/OR/IS) to exercise both directions."""
+
+    def _gen_pred(self, rnd, depth=0):
+        import random
+
+        def arith(d):
+            r = rnd.random()
+            if d < 2 and r < 0.4:
+                op = rnd.choice(["+", "-", "*"])
+                return f"({arith(d + 1)} {op} {arith(d + 1)})"
+            if r < 0.55:
+                return "\x01"
+            if r < 0.7:
+                return rnd.choice(["a", "b"])
+            if r < 0.8 and d < 2:
+                # disallowed wrappers: classifier must say False
+                fn = rnd.choice(["COALESCE", "GREATEST", "LEAST"])
+                return f"{fn}({arith(d + 1)}, {rnd.randint(-3, 3)})"
+            return str(rnd.randint(-5, 5))
+
+        def atom(d):
+            r = rnd.random()
+            if r < 0.1:
+                return f"{arith(d)} IS NULL"  # disallowed
+            cmp_op = rnd.choice(["<", ">", "<=", ">=", "=", "<>"])
+            return f"{arith(d)} {cmp_op} {arith(d)}"
+
+        parts = [atom(depth) for _ in range(rnd.randint(1, 3))]
+        joiner = " OR " if rnd.random() < 0.15 else " AND "
+        return joiner.join(parts)
+
+    def test_true_claims_agree_with_duckdb(self):
+        import random
+
+        import duckdb
+
+        from market_data_lakehouse_spark.sqlfront import LakeSQL
+
+        con = duckdb.connect()
+        rnd = random.Random(20260816)
+        n_true_claims = 0
+        for _ in range(400):
+            pred = self._gen_pred(rnd)
+            if "\x01" not in pred:
+                continue
+            if not LakeSQL._null_scalar_never_true(pred):
+                continue  # conservative False: no claim to check
+            n_true_claims += 1
+            sql_pred = pred.replace("\x01", "NULL")
+            for a in (-3, 0, 2, 7):
+                for b in (-2, 0, 5):
+                    got = con.sql(
+                        f"SELECT COALESCE(({sql_pred}), FALSE) AS t "
+                        f"FROM (SELECT {a} AS a, {b} AS b)"
+                    ).fetchone()[0]
+                    assert got is False, (pred, a, b, got)
+        # the generator must actually produce checkable claims
+        assert n_true_claims >= 30, n_true_claims
+
+    def test_known_unsafe_shapes_keep_the_arm(self):
+        from market_data_lakehouse_spark.sqlfront import LakeSQL
+
+        unsafe = [
+            "COALESCE(\x01, 0) > 5",
+            "GREATEST(a, \x01) > 0",
+            "\x01 IS NULL",
+            "a > 1 OR \x01 < 2",
+            "CASE WHEN \x01 > 5 THEN 1 ELSE 1 END = 1",
+            "NOT (\x01 > 5)",
+            "\x01 IN (1, 2)",
+        ]
+        for p in unsafe:
+            assert not LakeSQL._null_scalar_never_true(p), p
+
+    def test_known_safe_shapes_skip(self):
+        from market_data_lakehouse_spark.sqlfront import LakeSQL
+
+        safe = [
+            "v > \x01",
+            "\x01 <= (a + 1) * 2",
+            "a > 1 AND b - \x01 < 2",
+            "(a + \x01) * 3 >= b",
+        ]
+        for p in safe:
+            assert LakeSQL._null_scalar_never_true(p), p
