@@ -1384,6 +1384,19 @@ class TestCorrScalarDML:
             fr.sql("DELETE FROM t WHERE v > (SELECT max(s.x) + t.v "
                    "FROM s WHERE s.j = t.grp)")
 
+    def test_corr_set_plus_uncorrelated_set(self, cs_front):
+        """Two SET columns: one correlated (merge-arm substitution),
+        one uncorrelated (inlined once as a literal) — both arms must
+        carry both assignments."""
+        fr, _ = cs_front
+        fr.sql("UPDATE t SET v = (SELECT max(s.x) FROM s WHERE "
+               "s.j = t.grp), grp = (SELECT count(*) FROM s) "
+               "WHERE k < 6")
+        got = {r.k: (r.grp, r.v) for r in
+               fr.sql("SELECT k, grp, v FROM t WHERE k < 6").collect()}
+        exp = {i: (4, {0: 20.0, 1: 100.0}.get(i % 4)) for i in range(6)}
+        assert got == exp
+
     def test_set_position_with_in_value_list_residual(self, cs_front):
         """r15 review find: a plain value-list IN residual must not
         trip the combined-subquery refusal (only IN (SELECT does)."""
