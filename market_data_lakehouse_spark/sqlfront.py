@@ -421,18 +421,7 @@ class LakeSQL:
         the table), matching Delta, whose DVs also don't serve that
         clause shape. Property values other than true/false refuse
         loudly rather than silently picking a strategy."""
-        raw = lake.properties().get("delta.enableDeletionVectors")
-        if raw is None:
-            return "rewrite"
-        v = raw.strip().lower()
-        if v == "true":
-            return "dv"
-        if v == "false":
-            return "rewrite"
-        raise ValueError(
-            "delta.enableDeletionVectors must be 'true' or 'false', "
-            f"got {raw!r}"
-        )
+        return lake.dml_default_mode()
 
     # -- OPTIMIZE -------------------------------------------------------
     _OPTIMIZE = re.compile(

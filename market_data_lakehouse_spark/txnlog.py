@@ -164,6 +164,11 @@ class TransactionalLake:
         # read; _collect_stats/_collect_rows consume it; _commit
         # clears it after the add-stats block.
         self._pending_file_info: dict[str, dict] = {}
+        # (version, mode) memo for dml_default_mode: implicit DML
+        # resolution must not add a properties() log fold per
+        # statement — the property only changes with a commit, so
+        # the memo is keyed by the head version
+        self._dml_mode_memo: tuple[int, str] | None = None
         os.makedirs(self.log_path, exist_ok=True)
         recorded = self._recorded_partitioning()
         if recorded is not None:
@@ -3395,13 +3400,57 @@ class TransactionalLake:
             read_version=read_v, read_bounds=read_bounds,
         )
 
+    def dml_default_mode(self) -> str:
+        """The table's own DML strategy (r15, Delta's
+        ``delta.enableDeletionVectors`` table property — reference
+        behavior per delta-io/delta PROTOCOL.md "Deletion Vectors"):
+        ``dv`` when the property is ``true``, ``rewrite`` otherwise.
+        Implicit DML (``mode=None``) resolves through this, so a
+        table that opts in runs merge-on-read from the Python API
+        and the SQL front alike. Values other than true/false refuse
+        loudly rather than silently picking a strategy."""
+        head = self.version
+        if self._dml_mode_memo is not None and \
+                self._dml_mode_memo[0] == head:
+            return self._dml_mode_memo[1]
+        raw = self.properties().get("delta.enableDeletionVectors")
+        if raw is None:
+            m = "rewrite"
+        else:
+            v = raw.strip().lower()
+            if v not in ("true", "false"):
+                raise ValueError(
+                    "delta.enableDeletionVectors must be 'true' or "
+                    f"'false', got {raw!r}"
+                )
+            m = "dv" if v == "true" else "rewrite"
+        self._dml_mode_memo = (head, m)
+        return m
+
+    def _resolve_dml_mode(
+        self, mode: str | None, by_source: str = "ignore"
+    ) -> str:
+        """``mode=None`` = the table decides (dml_default_mode). BY
+        SOURCE shapes fall back to copy-on-write IMPLICITLY — the
+        engine's dv modes refuse them by design — while an EXPLICIT
+        ``mode="dv"`` with BY SOURCE keeps the loud refusal (the
+        caller asked for something impossible; say so)."""
+        if mode is not None:
+            return mode
+        m = self.dml_default_mode()
+        if m == "dv" and by_source in ("delete", "update"):
+            return "rewrite"
+        return m
+
     def delete_where(
         self,
         predicate: str,
-        mode: str = "rewrite",
+        mode: str | None = None,
         read_bounds: dict[str, tuple] | None = None,
     ) -> int:
-        """DELETE with a choice of physical strategy.
+        """DELETE with a choice of physical strategy. ``mode=None``
+        (default) honors the table's ``delta.enableDeletionVectors``
+        property — Delta's own resolution; plain tables rewrite.
 
         ``read_bounds`` (optional): the operation's declared read
         scope as a ``prune_files`` bounds dict. With it, an
@@ -3433,6 +3482,7 @@ class TransactionalLake:
         optimistic-concurrency check while its rows are dropped.
         NULL predicates keep the row (SQL DELETE removes only
         provably-true matches)."""
+        mode = self._resolve_dml_mode(mode)
         mdoc = self._column_mapping_doc()
         predicate = self._map_expr(predicate, mdoc)
         read_bounds = (
@@ -3774,10 +3824,12 @@ class TransactionalLake:
         self,
         predicate: str,
         assignments: dict[str, str],
-        mode: str = "rewrite",
+        mode: str | None = None,
         read_bounds: dict[str, tuple] | None = None,
     ) -> int:
-        """UPDATE with a choice of physical strategy.
+        """UPDATE with a choice of physical strategy. ``mode=None``
+        (default) honors the table's ``delta.enableDeletionVectors``
+        property — Delta's own resolution; plain tables rewrite.
 
         ``mode="rewrite"`` — copy-on-write (Delta UPDATE semantics):
         rows matching ``predicate`` get each ``assignments`` column
@@ -3799,6 +3851,7 @@ class TransactionalLake:
 
         ``update_where("symbol = 'AAPL'", {"price": "price * 2"})``
         """
+        mode = self._resolve_dml_mode(mode)
         mdoc = self._column_mapping_doc()
         predicate = self._map_expr(predicate, mdoc)
         assignments = {
@@ -4351,7 +4404,7 @@ class TransactionalLake:
         when_not_matched: str = "insert",
         validate_keys: bool = True,
         txn: tuple[str, int] | None = None,
-        mode: str = "rewrite",
+        mode: str | None = None,
         read_bounds: dict[str, tuple] | None = None,
         schema_evolution: bool = False,
         when_not_matched_by_source: str = "ignore",
@@ -4380,7 +4433,10 @@ class TransactionalLake:
         silent evolution. Merge KEYS must already exist in the
         target either way.
 
-        ``mode="rewrite"`` (default) is copy-on-write; ``mode="dv"``
+        ``mode=None`` (default) honors the table's
+        ``delta.enableDeletionVectors`` property — Delta's own
+        resolution; plain tables rewrite. ``mode="rewrite"`` is
+        copy-on-write; ``mode="dv"``
         is merge-on-read (Delta DV MERGE / Iceberg positional
         delete + append): one commit hides the matched target rows'
         (file, position) pairs behind a deletion vector and appends
@@ -4488,6 +4544,11 @@ class TransactionalLake:
         condition-passing rows, so the dv hides exactly what the
         clause touches).
         """
+        # mode=None honors delta.enableDeletionVectors (Delta's own
+        # resolution); an implicit dv resolution with a BY SOURCE
+        # clause falls back to copy-on-write, an EXPLICIT mode="dv"
+        # keeps the loud refusal below
+        mode = self._resolve_dml_mode(mode, when_not_matched_by_source)
         keys = [on] if isinstance(on, str) else list(on)
         mdoc = self._column_mapping_doc()
         ext_doc: dict | None = None

@@ -467,3 +467,92 @@ class TestDvMerge:
             .collect()
         }
         assert got == want
+
+
+class TestDvPropertyPythonApi:
+    """r15: mode=None (the new default) honors the table's
+    delta.enableDeletionVectors property — Delta's own resolution —
+    so the Python API and the SQL front agree on the strategy. An
+    explicit mode always wins, and explicit dv + BY SOURCE keeps the
+    loud refusal while the implicit path falls back."""
+
+    def _opted(self, spark, tmp_path, name="dvp"):
+        t = TransactionalLake(spark, str(tmp_path / name),
+                              partition_by=())
+        t.append(_rows(spark, 0, 10).coalesce(1))
+        t.set_properties({"delta.enableDeletionVectors": "true"})
+        return t
+
+    def _files(self, t):
+        files, _, _ = t.prune_files({})
+        return set(files)
+
+    def test_implicit_delete_rides_dv(self, spark, tmp_path):
+        t = self._opted(spark, tmp_path)
+        before = self._files(t)
+        t.delete_where("k >= 7")
+        assert self._files(t) == before
+        assert t.history(limit=1)[0]["op"] == "delete_dv"
+        assert _ids(t.snapshot()) == [0, 1, 2, 3, 4, 5, 6]
+
+    def test_implicit_update_rides_dv(self, spark, tmp_path):
+        t = self._opted(spark, tmp_path)
+        before = self._files(t)
+        t.update_where("k < 3", {"k": "k + 100"})
+        assert before <= self._files(t)
+        assert t.history(limit=1)[0]["op"] == "update_dv"
+        assert _ids(t.snapshot()) == [3, 4, 5, 6, 7, 8, 9, 100, 101,
+                                      102]
+
+    def test_implicit_merge_rides_dv(self, spark, tmp_path):
+        t = self._opted(spark, tmp_path)
+        before = self._files(t)
+        t.merge(_rows(spark, 8, 12), on=["k"])
+        assert before <= self._files(t)
+        assert t.history(limit=1)[0]["op"] == "merge_dv"
+        assert _ids(t.snapshot()) == list(range(12))
+
+    def test_implicit_by_source_falls_back(self, spark, tmp_path):
+        t = self._opted(spark, tmp_path)
+        t.merge(
+            _rows(spark, 0, 5), on=["k"], when_matched=None,
+            when_not_matched="ignore",
+            when_not_matched_by_source="delete",
+        )
+        assert t.history(limit=1)[0]["op"] == "merge"
+        assert _ids(t.snapshot()) == [0, 1, 2, 3, 4]
+
+    def test_explicit_dv_by_source_still_refuses(self, spark,
+                                                 tmp_path):
+        t = self._opted(spark, tmp_path)
+        with pytest.raises(ValueError, match="rewrite"):
+            t.merge(
+                _rows(spark, 0, 5), on=["k"], when_matched=None,
+                when_not_matched="ignore",
+                when_not_matched_by_source="delete", mode="dv",
+            )
+
+    def test_explicit_rewrite_wins_over_property(self, spark,
+                                                 tmp_path):
+        t = self._opted(spark, tmp_path)
+        before = self._files(t)
+        t.delete_where("k >= 7", mode="rewrite")
+        assert self._files(t) != before
+        assert t.history(limit=1)[0]["op"] == "delete"
+
+    def test_unset_table_defaults_to_rewrite(self, spark, tmp_path):
+        t = TransactionalLake(spark, str(tmp_path / "plain"),
+                              partition_by=())
+        t.append(_rows(spark, 0, 10).coalesce(1))
+        before = self._files(t)
+        t.delete_where("k >= 7")
+        assert self._files(t) != before
+        assert t.history(limit=1)[0]["op"] == "delete"
+
+    def test_bad_property_value_refuses(self, spark, tmp_path):
+        t = TransactionalLake(spark, str(tmp_path / "bad"),
+                              partition_by=())
+        t.append(_rows(spark, 0, 5).coalesce(1))
+        t.set_properties({"delta.enableDeletionVectors": "maybe"})
+        with pytest.raises(ValueError, match="enableDeletionVectors"):
+            t.delete_where("k = 1")
