@@ -2526,3 +2526,123 @@ def s38_sql_dml_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.sql(
         "SELECT k, g, etype, ROUND(qty, 6) AS qty FROM t38 ORDER BY k"
     )
+
+
+@register(
+    "s39_sql_dml_corr_in",
+    oracle="""
+    WITH seeded AS (
+      SELECT CAST(event_id AS BIGINT) AS k,
+             CAST(event_id AS BIGINT) % 37 AS g,
+             CAST(event_id AS BIGINT) % 101 AS m,
+             event_type AS etype, value AS qty
+      FROM events
+    ),
+    src AS (
+      SELECT CAST(event_id AS BIGINT) % 37 AS j,
+             (CAST(event_id AS BIGINT) * 3) % 101 AS x
+      FROM events
+      WHERE CAST(event_id AS BIGINT) % 5 = 0
+    ),
+    -- correlated IN in UPDATE position (matched-only SET)
+    u1 AS (
+      SELECT k, g, m, etype,
+             CASE WHEN m IN (SELECT s.x FROM src s WHERE s.j = t.g)
+                  THEN qty + 1000 ELSE qty END AS qty
+      FROM seeded t
+    ),
+    -- correlated IN in DELETE position with a source-side filter
+    -- inside the subquery and a plain residual conjunct outside;
+    -- COALESCE = DML's three-valued guard (UNKNOWN keeps the row)
+    d1 AS (
+      SELECT * FROM u1 t
+      WHERE NOT COALESCE(
+        m IN (SELECT s.x FROM src s WHERE s.j = t.g AND s.x > 50)
+        AND k % 3 != 0, FALSE)
+    ),
+    -- uncorrelated IN composed on the same table (the r13 path)
+    d2 AS (
+      SELECT * FROM d1
+      WHERE NOT COALESCE(
+        g IN (SELECT s.j FROM src s WHERE s.x < 10), FALSE)
+    )
+    SELECT k, g, m, etype, ROUND(qty, 6) AS qty FROM d2 ORDER BY k
+    """,
+)
+def s39_sql_dml_corr_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated IN-subquery DML as one hard signal (r16, VERDICT
+    r15 directive 5): ``m IN (SELECT s.x FROM src s WHERE s.j =
+    t.g)`` is EXISTS with one more correlation equality, so it
+    decorrelates onto the r14/r15 key-MERGE probe — the equality
+    pairs from the subquery WHERE plus the (IN-column, select-item)
+    pair are the join keys; source-side filters stay inside the
+    rebuilt DISTINCT key query. The matched-only arm keeps every
+    statement merge-on-read-eligible, asserted inline on a
+    dv-opted table: no statement may rewrite a pre-existing file
+    and every history op must carry the ``_dv`` suffix. DuckDB
+    replays the lifecycle through its SELECT evaluator (CASE /
+    COALESCE chains), the standard three-valued reading — NULL keys
+    and NULL set elements stay inert on both sides. Reference
+    semantics: ANSI SQL correlated predicates, Delta subquery DML
+    (delta-io SQL DELETE/UPDATE with IN subqueries)."""
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        (F.col("event_id").cast("long") % 37).alias("g"),
+        (F.col("event_id").cast("long") % 101).alias("m"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("qty"),
+    )
+    tx = TransactionalLake(spark, scratch_dir("sdml_ci"), partition_by=())
+    tx.append(ev.repartition(4))
+    src = TransactionalLake(
+        spark, scratch_dir("sdml_ci_src"), partition_by=()
+    )
+    src.append(
+        ev.filter(F.col("k") % 5 == 0)
+        .select(F.col("g").alias("j"),
+                ((F.col("k") * 3) % 101).alias("x"))
+    )
+    fr = LakeSQL(spark)
+    fr.register("t39", tx)
+    fr.register("t39src", src)
+    fr.sql(
+        "ALTER TABLE t39 SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors' = 'true')"
+    )
+
+    def _files() -> set:
+        files, _, _ = tx.prune_files({})
+        return set(files)
+
+    base = _files()
+    fr.sql(
+        "UPDATE t39 SET qty = qty + 1000 WHERE m IN "
+        "(SELECT s.x FROM t39src s WHERE s.j = t39.g)"
+    )
+    after_update = _files()
+    if not base <= after_update:
+        raise AssertionError("corr-IN dv UPDATE rewrote a file")
+    fr.sql(
+        "DELETE FROM t39 WHERE m IN (SELECT s.x FROM t39src s "
+        "WHERE s.j = t39.g AND s.x > 50) AND k % 3 != 0"
+    )
+    if _files() != after_update:
+        raise AssertionError("corr-IN dv DELETE touched the file set")
+    fr.sql(
+        "DELETE FROM t39 WHERE g IN (SELECT s.j FROM t39src s "
+        "WHERE s.x < 10)"
+    )
+    ops = [
+        r["operation"]
+        for r in fr.sql("DESCRIBE HISTORY t39").collect()
+    ]
+    if ops != ["merge_dv", "merge_dv", "merge_dv", "set_properties",
+               "append"]:
+        raise AssertionError(f"unexpected op sequence: {ops}")
+    return fr.sql(
+        "SELECT k, g, m, etype, ROUND(qty, 6) AS qty FROM t39 "
+        "ORDER BY k"
+    )

@@ -1273,9 +1273,24 @@ class LakeSQL:
                 "subquery WHERE; evaluate it once and run the plain "
                 "DML instead"
             )
-        # rebuild the key query: the source side of each correlation
-        # equality, renamed to its TARGET column (the merge engine
-        # joins same-name keys), with the source-side filters intact
+        return {
+            "negated": negated,
+            "keys_sql": self._corr_keys_sql(src, alias, pairs, inner_only),
+            "on": [t for t, _s in pairs],
+        }
+
+    @staticmethod
+    def _corr_keys_sql(
+        src: str,
+        alias: str | None,
+        pairs: list[tuple[str, str]],
+        inner_only: list[str],
+    ) -> str:
+        """Rebuild a decorrelated subquery's key query: the source
+        side of each correlation equality, renamed to its TARGET
+        column (the merge engine joins same-name keys), with the
+        source-side filters intact. Shared by the EXISTS (r14) and
+        correlated-IN (r16) decorrelations."""
         proj = ", ".join(
             f"{alias or src}.{s} AS {t}" for t, s in pairs
         )
@@ -1284,14 +1299,122 @@ class LakeSQL:
             keys_sql += f" {alias}"
         if inner_only:
             keys_sql += f" WHERE {' AND '.join(inner_only)}"
-        return {
-            "negated": negated,
-            "keys_sql": keys_sql,
-            "on": [t for t, _s in pairs],
-        }
+        return keys_sql
 
     def _exists_keys(self, spec: dict) -> DataFrame:
         return self.spark.sql(self._prepare_select(spec["keys_sql"]))
+
+    _IN_INNER = re.compile(
+        rf"^\s*SELECT\s+(?:DISTINCT\s+)?"
+        rf"(?:(?P<iq>{_IDENT})\s*\.\s*)?`?(?P<item>{_IDENT})`?\s+"
+        rf"FROM\s+(?P<src>{_IDENT})(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?"
+        r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _extract_corr_in(
+        self, predicate: str, target: str
+    ) -> tuple[dict | None, str | None]:
+        """Correlated IN-subquery DML (r16, VERDICT r15 directive 5).
+
+        ``k IN (SELECT s.x FROM s WHERE s.g = t.g [AND <filters>])``
+        is EXISTS with one more correlation equality (``s.x = t.k``),
+        so it rides the r14/r15 decorrelation machinery unchanged:
+        the equality pairs from the subquery WHERE plus the
+        synthesized (IN-column, select-item) pair become the
+        key-MERGE probe's join keys; source-side filters stay inside
+        the rebuilt DISTINCT key query. NULL-sound for positive IN:
+        a NULL ``t.k`` makes IN evaluate UNKNOWN (row untouched) and
+        an equality join key never matches NULL either; a NULL
+        subquery element contributes nothing to a positive IN and
+        never joins. ``NOT IN`` — correlated or not — stays refused
+        (one NULL element poisons the complement; NOT EXISTS is the
+        sound spelling). Runs BEFORE target dequalification; the
+        UNcorrelated IN conjunct passes through untouched for the
+        r13 extractor. Returns ``(spec, residual)`` in the
+        _extract_exists_subquery shape (spec never negated)."""
+        spec = None
+        residual: list[str] = []
+        plain_in = 0
+        tgt = target.lower()
+        for part in _split_top_and(predicate):
+            mm = self._IN_SUBQ.match(part)
+            if not mm:
+                residual.append(part)
+                continue
+            correlated = re.search(
+                rf"(?<![\w.`]){re.escape(target)}\s*\.",
+                _mask_literals(mm.group("q")),
+                re.IGNORECASE,
+            )
+            if not correlated:
+                plain_in += 1
+                residual.append(part)
+                continue
+            if mm.group("innot"):
+                raise ValueError(
+                    "NOT IN (subquery) is refused — correlated or "
+                    "not: one NULL element makes SQL's NOT IN match "
+                    "no rows at all (three-valued trap); NOT EXISTS "
+                    "with the membership equality is the NULL-sound "
+                    "spelling"
+                )
+            if spec is not None:
+                raise ValueError(
+                    "at most one correlated IN (subquery) conjunct "
+                    "is supported per statement — each decorrelates "
+                    "to its own merge probe; split into two "
+                    "statements"
+                )
+            if mm.group("iq") and mm.group("iq").lower() != tgt:
+                raise ValueError(
+                    f"IN column must be a target column, got "
+                    f"{mm.group('iq')}.{mm.group('col')} (the "
+                    f"target is {target!r})"
+                )
+            im = self._IN_INNER.match(mm.group("q"))
+            if not im:
+                raise ValueError(
+                    "correlated IN subquery must be SELECT "
+                    "[<alias>.]<column> FROM <table> [alias] "
+                    f"[WHERE ...]; got {mm.group('q')!r} (a computed "
+                    "select item does not decorrelate to an "
+                    "equi-join key)"
+                )
+            src, alias = im.group("src"), im.group("alias")
+            src_q = (alias or src).lower()
+            if src_q == tgt:
+                raise ValueError(
+                    "IN subquery source must be aliased differently "
+                    f"from the DML target {target!r}"
+                )
+            if im.group("iq") and im.group("iq").lower() != src_q:
+                raise ValueError(
+                    f"IN subquery select item must come from the "
+                    f"subquery source {src_q!r}, got "
+                    f"{im.group('iq')}.{im.group('item')}"
+                )
+            pairs, inner_only = self._corr_pairs(
+                im.group("pred"), src_q, target, "IN"
+            )
+            pairs = self._corr_pairs_dedupe(
+                pairs + [(mm.group("col"), im.group("item"))], "IN"
+            )
+            spec = {
+                "negated": False,
+                "keys_sql": self._corr_keys_sql(
+                    src, alias, pairs, inner_only
+                ),
+                "on": [t for t, _s in pairs],
+            }
+        if spec is not None and plain_in:
+            raise ValueError(
+                "at most one IN (subquery) conjunct is supported "
+                "per statement"
+            )
+        if spec is None:
+            return None, predicate
+        return spec, (" AND ".join(residual) or None)
 
     @staticmethod
     def _sql_literal(val) -> str:
@@ -1852,6 +1975,25 @@ class LakeSQL:
                     mode=mode,
                 ),
             )
+        # correlated IN (r16): decorrelates onto the same key-MERGE
+        # probe as EXISTS (matched-only arm — dv-eligible); runs
+        # BEFORE dequalification, correlation qualifiers intact
+        spec, residual = self._extract_corr_in(pred, tname)
+        if spec is not None:
+            return self._receipt(
+                "DELETE",
+                lake.merge(
+                    self._exists_keys(spec),
+                    on=spec["on"],
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=self._strip_qualifier(
+                        residual, tname
+                    ),
+                    mode=mode,
+                ),
+            )
         pred = self._strip_qualifier(pred, tname)
         col, subq, residual = self._extract_in_subquery(pred)
         if col is not None:
@@ -1974,6 +2116,24 @@ class LakeSQL:
                     when_not_matched="ignore",
                     validate_keys=False,
                     matched_condition=residual,
+                    mode=mode,
+                ),
+            )
+        # correlated IN (r16): same key-MERGE probe as EXISTS
+        # (matched-only SET — dv-eligible); before dequalification
+        spec, residual = self._extract_corr_in(pred, tname)
+        if spec is not None:
+            return self._receipt(
+                "UPDATE",
+                lake.merge(
+                    self._exists_keys(spec),
+                    on=spec["on"],
+                    set_exprs=assignments,
+                    when_not_matched="ignore",
+                    validate_keys=False,
+                    matched_condition=self._strip_qualifier(
+                        residual, tname
+                    ),
                     mode=mode,
                 ),
             )

@@ -1408,6 +1408,240 @@ class TestCorrScalarDML:
         assert got == {0: 20.0, 1: 100.0, 2: 2.0}
 
 
+@pytest.fixture
+def ci_front(spark, tmp_path):
+    """Correlated-IN fixture (r16): target t (k unique incl. one
+    NULL, grp 0-3, v=k) + source s (j, x) where x values alias into
+    t.k's range — incl. a NULL element (must contribute nothing to a
+    positive IN) and a j=5 group no target row carries."""
+    t = TransactionalLake(spark, str(tmp_path / "ci_t"), partition_by=())
+    rows = [(i, i % 4, float(i)) for i in range(12)]
+    rows.append((None, 1, 99.0))  # NULL key: IN is UNKNOWN -> kept
+    t.append(spark.createDataFrame(rows, "k long, grp long, v double"))
+    s = TransactionalLake(spark, str(tmp_path / "ci_s"), partition_by=())
+    s.append(spark.createDataFrame(
+        [(0, 4), (0, 8), (1, 5), (1, 20), (1, None), (5, 2)],
+        "j long, x long",
+    ))
+    fr = LakeSQL(spark)
+    fr.register("t", t)
+    fr.register("s", s)
+    return fr, t
+
+
+def _ci_state(fr):
+    return sorted(
+        ((r.k if r.k is not None else -99), r.grp, r.v)
+        for r in fr.sql("SELECT * FROM t").collect()
+    )
+
+
+class TestCorrInDML:
+    """r16 correlated IN-subquery DML (VERDICT r15 directive 5):
+    ``k IN (SELECT s.x FROM s WHERE s.j = t.g)`` is EXISTS with one
+    more correlation equality, decorrelated onto the same key-MERGE
+    probe (matched-only arm — dv-eligible). NOT IN stays refused."""
+
+    # matched set with the fixture: grp0 -> x in {4,8} deletes k=4,8;
+    # grp1 -> x in {5,20,NULL} deletes k=5 (NULL element inert)
+    _HIT = {4, 5, 8}
+
+    def test_delete_matched_only(self, ci_front):
+        fr, _ = ci_front
+        fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+               "WHERE s.j = t.grp)")
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(12)
+             if i not in self._HIT] + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_update_with_residual(self, ci_front):
+        fr, _ = ci_front
+        fr.sql("UPDATE t SET v = -1 WHERE k IN (SELECT s.x FROM s "
+               "WHERE s.j = t.grp) AND k > 4")
+        exp = sorted(
+            [(i, i % 4, -1.0 if (i in self._HIT and i > 4)
+              else float(i)) for i in range(12)] + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_alias_and_qualified_in_column(self, ci_front):
+        fr, _ = ci_front
+        fr.sql("DELETE FROM t AS tt WHERE tt.k IN (SELECT s.x "
+               "FROM s WHERE s.j = tt.grp)")
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(12)
+             if i not in self._HIT] + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_source_side_filter_stays_inside(self, ci_front):
+        fr, _ = ci_front
+        fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+               "WHERE s.j = t.grp AND s.x > 4)")
+        # x>4 drops the (0,4) element: only k=5,8 delete
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(12)
+             if i not in (5, 8)] + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_distinct_in_subquery_accepted(self, ci_front):
+        fr, _ = ci_front
+        fr.sql("DELETE FROM t WHERE k IN (SELECT DISTINCT s.x "
+               "FROM s WHERE s.j = t.grp)")
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(12)
+             if i not in self._HIT] + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_rides_dv_when_opted(self, ci_front):
+        fr, t = ci_front
+        fr.sql("ALTER TABLE t SET TBLPROPERTIES "
+               "('delta.enableDeletionVectors' = 'true')")
+        before, _, _ = t.prune_files({})
+        fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+               "WHERE s.j = t.grp)")
+        after, _, _ = t.prune_files({})
+        assert set(before) <= set(after)  # dv: no file rewritten away
+        ops = [r["operation"]
+               for r in fr.sql("DESCRIBE HISTORY t").collect()]
+        assert ops[0] == "merge_dv"
+
+    def test_matches_duckdb_lifecycle(self, ci_front):
+        import duckdb
+
+        fr, _ = ci_front
+        fr.sql("UPDATE t SET v = v * 10 WHERE k IN (SELECT s.x "
+               "FROM s WHERE s.j = t.grp)")
+        fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+               "WHERE s.j = t.grp AND s.x > 4) AND v < 60")
+        got = _ci_state(fr)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k BIGINT, grp BIGINT, v DOUBLE)")
+        rows = [(i, i % 4, float(i)) for i in range(12)]
+        rows.append((None, 1, 99.0))
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        con.execute("CREATE TABLE s (j BIGINT, x BIGINT)")
+        con.executemany(
+            "INSERT INTO s VALUES (?, ?)",
+            [(0, 4), (0, 8), (1, 5), (1, 20), (1, None), (5, 2)],
+        )
+        # replay through DuckDB's SELECT evaluator, not its native
+        # DML: DuckDB 1.0.0's UPDATE..WHERE k IN (correlated) applies
+        # the SET to a NULL-key row even though its own SELECT
+        # evaluator scores that predicate UNKNOWN there (probed
+        # r16) — the CASE/COALESCE chain is the standard-semantics
+        # reading both engines must agree on
+        exp = sorted(
+            ((k if k is not None else -99), g, v)
+            for k, g, v in con.execute("""
+                WITH u AS (
+                  SELECT k, grp,
+                         CASE WHEN k IN (SELECT s.x FROM s
+                                         WHERE s.j = t.grp)
+                              THEN v * 10 ELSE v END AS v
+                  FROM t
+                )
+                SELECT * FROM u t2
+                WHERE NOT COALESCE(
+                  k IN (SELECT s.x FROM s
+                        WHERE s.j = t2.grp AND s.x > 4)
+                  AND v < 60, FALSE)
+            """).fetchall()
+        )
+        assert got == exp
+
+    def test_uncorrelated_in_still_old_path(self, ci_front):
+        fr, _ = ci_front
+        fr.sql("DELETE FROM t WHERE k IN (SELECT s.j FROM s)")
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(12)
+             if i not in (0, 1, 5)] + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_refuses_correlated_not_in(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="NOT IN"):
+            fr.sql("DELETE FROM t WHERE k NOT IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp)")
+
+    def test_refuses_two_correlated_in(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError,
+                           match="at most one correlated IN"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp) AND grp IN (SELECT s.j "
+                   "FROM s WHERE s.x = t.k)")
+
+    def test_refuses_correlated_plus_uncorrelated_in(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="at most one IN"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp) AND grp IN (SELECT j FROM s)")
+
+    def test_refuses_combined_with_exists(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="combining"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp) AND EXISTS (SELECT 1 FROM s "
+                   "WHERE s.j = t.grp)")
+
+    def test_refuses_combined_with_corr_scalar(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="combining"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp) AND v > (SELECT max(s.x) "
+                   "FROM s WHERE s.j = t.grp)")
+
+    def test_refuses_computed_select_item(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="computed select item"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x + 1 FROM s "
+                   "WHERE s.j = t.grp)")
+
+    def test_refuses_non_equality_correlation(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="equality"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+                   "WHERE s.j > t.grp)")
+
+    def test_refuses_or_correlation(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="cannot decorrelate"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp OR s.x = t.grp)")
+
+    def test_refuses_conflicting_key_bind(self, ci_front):
+        fr, _ = ci_front
+        # select item x AND the equality bind t.k to different cols
+        with pytest.raises(ValueError,
+                           match="two different source columns"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.k)")
+
+    def test_refuses_foreign_in_qualifier(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="target column"):
+            fr.sql("DELETE FROM t WHERE zz.k IN (SELECT s.x FROM s "
+                   "WHERE s.j = t.grp)")
+
+    def test_refuses_foreign_item_qualifier(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="select item"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT zz.x FROM s "
+                   "WHERE s.j = t.grp)")
+
+    def test_refuses_source_aliased_as_target(self, ci_front):
+        fr, _ = ci_front
+        with pytest.raises(ValueError, match="aliased differently"):
+            fr.sql("DELETE FROM t WHERE k IN (SELECT t.x FROM s t "
+                   "WHERE t.j = t.grp)")
+
+
 class TestSqlDvModeEdges:
     """r15 post-record pins: dv interplay with the richer DML
     grammar — multi-clause MERGE rides dv, SET-position correlated
