@@ -250,6 +250,37 @@ def write_throughput_control(spark) -> float:
         _shutil.rmtree(d, ignore_errors=True)
 
 
+def _git_identity() -> dict:
+    """``{"git_sha": <HEAD sha>, "git_dirty": bool}`` for the repo
+    this file lives in, or ``{}`` when git is unavailable — the
+    stamp is forensic metadata, never a bench failure."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not re.fullmatch(r"[0-9a-f]{40}", sha):
+            return {}
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        # bench artifacts the run itself rewrites are not code drift
+        code_dirty = any(
+            not re.search(
+                r"(BENCH|AB_BENCH|PLAN_AUDIT|SCALE_PROBE|CORRECTNESS"
+                r"|LEAKCHECK|COPYCHECK|PROGRESS)", ln
+            )
+            for ln in dirty.splitlines()
+        )
+        return {"git_sha": sha, "git_dirty": code_dirty}
+    except Exception:
+        return {}
+
+
 def bench_ingest(spark, sf_dir: str) -> float:
     """Validated partitioned ingest of the full lineitem table as
     bars (~600k rows at sf0.1) — the BASELINE.md ingestion-throughput
@@ -562,6 +593,13 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     }
+    # Code-identity stamp (r16, VERDICT r15 directive 2): two runs
+    # whose artifacts record the SAME clean sha are code-identical by
+    # construction — bench_compare's sibling adjudication classifies
+    # on this FIRST, before any statistical uniformity test (the r15
+    # driver-run-vs-record pair was heteroscedastic host pressure the
+    # flat-median test under-classified).
+    out.update(_git_identity())
     # Self-running gates (VERDICT r5 item 3): refresh the plan audit
     # and the round-over-round comparison as part of EVERY bench run,
     # so neither artifact can go stale against the bench set. Gates

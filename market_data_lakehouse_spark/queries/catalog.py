@@ -135,7 +135,23 @@ def _table_files(sf_dir: str, table: str) -> list[str]:
     )
 
 
-_ROWEXACT_VERIFIED: set[tuple[str, str]] = set()
+_ROWEXACT_VERIFIED: dict[tuple[str, str], tuple] = {}
+
+
+def _layout_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Cheap layout identity for a table path: (path, size, mtime_ns)
+    per file — stat-only, no file opens. Drift in any of the three
+    (file added/removed/rewritten) changes the fingerprint."""
+    import os
+
+    out = []
+    for f in _table_files(sf_dir, table):
+        try:
+            st = os.stat(f)
+            out.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((f, -1, -1))
+    return tuple(out)
 
 
 def parquet_rowcount_exact(
@@ -143,18 +159,31 @@ def parquet_rowcount_exact(
 ) -> int | None:
     """EXACTNESS-caller variant of ``parquet_rowcount_bound`` (r15,
     r14 ADVICE): before trusting the footer sum as a correctness
-    anchor, cross-check — once per (dir, table) per session — that
-    the footer enumeration saw EXACTLY the files the DataFrame's scan
-    resolved (``df.inputFiles()``, driver-side metadata, zero Spark
-    jobs). A stray or missing file under the table path returns None,
-    so the caller falls back to its exact-count job instead of
-    anchoring a gate on a drifted layout."""
+    anchor, cross-check that the footer enumeration saw EXACTLY the
+    files the DataFrame's scan resolved (``df.inputFiles()``,
+    driver-side metadata, zero Spark jobs). A stray or missing file
+    under the table path returns None, so the caller falls back to
+    its exact-count job instead of anchoring a gate on a drifted
+    layout. The verification memo is keyed on a stat-level layout
+    fingerprint (r16, r15 ADVICE: a whole-session memo served a
+    stale footer count after mid-session drift) — any file add/
+    remove/rewrite under the path re-verifies AND re-sums the
+    footers instead of replaying the first answer."""
+    key = (sf_dir, table)
+    fp = _layout_fingerprint(sf_dir, table)
+    if _ROWEXACT_VERIFIED.get(key) == fp:
+        n = parquet_rowcount_bound(sf_dir, table)
+        if n is not None:
+            return n
+        del _ROWEXACT_VERIFIED[key]
+    else:
+        # layout changed since verification: the footer-sum memo for
+        # this table is stale too — drop it so the re-sum is real
+        _ROWEXACT_VERIFIED.pop(key, None)
+        _ROWBOUND_CACHE.pop((sf_dir, (table,)), None)
     n = parquet_rowcount_bound(sf_dir, table)
     if n is None:
         return None
-    key = (sf_dir, table)
-    if key in _ROWEXACT_VERIFIED:
-        return n
     import os
     from urllib.parse import unquote, urlparse
 
@@ -165,7 +194,7 @@ def parquet_rowcount_exact(
     }
     if footer_set != scan_set:
         return None
-    _ROWEXACT_VERIFIED.add(key)
+    _ROWEXACT_VERIFIED[key] = fp
     return n
 
 

@@ -28,6 +28,27 @@ def pytest_addoption(parser):
         pass  # real pytest-timeout present; its options win
 
 
+def pytest_configure(config):
+    # r16 (r15 ADVICE): the shim ACCEPTS --timeout but enforces
+    # nothing — say so in the run header, so a harness that believes
+    # a watchdog is active can see there isn't one
+    try:
+        val = config.getoption("--timeout")
+    except ValueError:
+        return
+    if val not in (None, "", "0") and not config.pluginmanager.hasplugin(
+        "timeout"
+    ):
+        import warnings
+
+        warnings.warn(
+            f"--timeout={val} accepted by the conftest compatibility "
+            "shim but NOT enforced (pytest-timeout is not installed): "
+            "no watchdog is active for hung tests",
+            stacklevel=1,
+        )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from market_data_lakehouse_spark.session import get_spark

@@ -243,28 +243,67 @@ class TestSiblingExitCode:
     when the verdict is query_specific — only host_uniform/equivalent
     adjudications wave flags through."""
 
-    def _run(self, tmp_path, old_q, new_q):
+    def _run(self, tmp_path, old_q, new_q, *extra, old_doc=None,
+             new_doc=None):
         import json as _json
         import os as _os
 
         o, n = tmp_path / "o.json", tmp_path / "n.json"
-        o.write_text(_json.dumps({"queries": old_q}))
-        n.write_text(_json.dumps({"queries": new_q}))
+        o.write_text(_json.dumps(old_doc or {"queries": old_q}))
+        n.write_text(_json.dumps(new_doc or {"queries": new_q}))
         r = subprocess.run(
             [sys.executable, "/root/repo/tools/bench_compare.py",
-             str(o), str(n), "--sibling", "--quiet"],
+             str(o), str(n), "--sibling", "--quiet", *extra],
             capture_output=True, text=True,
             env={**_os.environ},
         )
         import json as _json2
         return r.returncode, _json2.loads(r.stdout)
 
-    def test_host_uniform_exits_zero(self, tmp_path):
+    def test_asserted_same_code_exits_zero(self, tmp_path):
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": 1.4 for i in range(10)}
+        code, rep = self._run(tmp_path, old, new, "--assert-same-code")
+        assert rep["sibling"]["verdict"] == "host_same_commit"
+        assert code == 0
+
+    def test_host_uniform_without_identity_still_gates(self, tmp_path):
+        """r15 ADVICE: the same-code premise was caller-asserted and
+        unverifiable — a statistical host verdict on unproven inputs
+        must report itself but keep the nonzero exit."""
         old = {f"q{i}": 1.0 for i in range(10)}
         new = {f"q{i}": 1.4 for i in range(10)}
         code, rep = self._run(tmp_path, old, new)
         assert rep["sibling"]["verdict"] == "host_uniform"
+        assert rep["sibling"]["same_commit"] is False
+        assert code == 1
+
+    def test_matching_git_stamp_exits_zero(self, tmp_path):
+        sha = "a" * 40
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": 1.4 for i in range(10)}
+        code, rep = self._run(
+            tmp_path, None, None,
+            old_doc={"queries": old, "git_sha": sha, "git_dirty": False},
+            new_doc={"queries": new, "git_sha": sha, "git_dirty": False},
+        )
+        assert rep["sibling"]["verdict"] == "host_same_commit"
+        assert rep["sibling"]["same_commit"] is True
         assert code == 0
+
+    def test_same_sha_different_sf_is_not_identity(self, tmp_path):
+        sha = "a" * 40
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": 1.4 for i in range(10)}
+        code, rep = self._run(
+            tmp_path, None, None,
+            old_doc={"queries": old, "git_sha": sha,
+                     "git_dirty": False, "sf": 0.1},
+            new_doc={"queries": new, "git_sha": sha,
+                     "git_dirty": False, "sf": 0.01},
+        )
+        assert rep["sibling"]["same_commit"] is False
+        assert code == 1
 
     def test_query_specific_still_gates(self, tmp_path):
         old = {f"q{i}": 1.0 for i in range(10)}
@@ -272,3 +311,89 @@ class TestSiblingExitCode:
         code, rep = self._run(tmp_path, old, new)
         assert rep["sibling"]["verdict"] == "query_specific"
         assert code == 1
+
+    def test_query_specific_gates_even_with_assertion(self, tmp_path):
+        """Same-code assertion on a CONCENTRATED pattern: identity
+        says not-code, so it adjudicates host — but only the explicit
+        flag (a logged caller statement) may unlock that."""
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": (2.5 if i < 3 else 1.0) for i in range(10)}
+        code, rep = self._run(tmp_path, old, new, "--assert-same-code")
+        assert rep["sibling"]["verdict"] == "host_same_commit"
+        assert code == 0
+
+
+class TestR15SiblingPair:
+    """VERDICT r15 directive 2 'done' gate: the exact r15
+    driver-run-vs-record pair (same commit, heteroscedastic
+    1.01-1.96x inflation) must classify as host from the artifacts
+    alone. The committed fixture carries both runs' per-query times
+    and control medians verbatim (provenance inside the file)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import json as _json
+
+        with open("/root/repo/tests/fixtures/r15_sibling_pair.json") as fh:
+            return _json.load(fh)
+
+    def _per_query(self, pair):
+        rec, drv = pair["record"]["queries"], pair["driver"]["queries"]
+        return [
+            {"query": q, "old_sec": rec[q], "new_sec": drv[q],
+             "ratio": drv[q] / rec[q]}
+            for q in sorted(set(rec) & set(drv))
+        ]
+
+    def _meta(self, side, with_sha=True):
+        m = {
+            "floor_median": side["contamination"]["median_sec"],
+            "cpu_median": side["contamination"]["cpu_median_sec"],
+        }
+        if with_sha:
+            m["git_sha"] = side["git_sha"]
+            m["git_dirty"] = side["git_dirty"]
+        return m
+
+    def test_identity_mode_classifies_host(self, pair):
+        from bench_compare import sibling_adjudication
+
+        rep = sibling_adjudication(
+            self._per_query(pair),
+            meta_old=self._meta(pair["record"]),
+            meta_new=self._meta(pair["driver"]),
+        )
+        assert rep["verdict"] == "host_same_commit"
+        assert rep["same_commit"] is True
+
+    def test_control_envelope_classifies_host_without_sha(self, pair):
+        """Even WITHOUT the git stamp (the real r15 artifacts predate
+        it), the control-envelope mode must classify the pair: every
+        per-query ratio (max 1.96) is bounded by the job-floor
+        control's own ratio (0.0678/0.0363 = 1.87) x tol."""
+        from bench_compare import sibling_adjudication
+
+        rep = sibling_adjudication(
+            self._per_query(pair),
+            meta_old=self._meta(pair["record"], with_sha=False),
+            meta_new=self._meta(pair["driver"], with_sha=False),
+        )
+        assert rep["verdict"] == "host_control_envelope"
+        assert rep["control_envelope_fraction"] >= 0.95
+        # the r15 gap this closes: the flat-median uniformity test
+        # alone read this pair as query_specific
+        assert rep["uniform_fraction"] < 0.8
+        assert rep["median_ratio"] > 1.3
+
+    def test_floor_subtracted_diagnostic_reported(self, pair):
+        from bench_compare import sibling_adjudication
+
+        rep = sibling_adjudication(
+            self._per_query(pair),
+            meta_old=self._meta(pair["record"], with_sha=False),
+            meta_new=self._meta(pair["driver"], with_sha=False),
+        )
+        assert rep["floor_subtracted_median_ratio"] is not None
+        # subtracting each run's own job floor moves the median
+        # toward the CPU-control ratio (the compute-bound floor)
+        assert rep["floor_subtracted_median_ratio"] < rep["median_ratio"]

@@ -1089,6 +1089,31 @@ class TestSqlDvMode:
         front.sql("DELETE FROM t WHERE k >= 90")
         assert self._files(lake) != before
 
+    def test_second_writer_property_flip_invalidates_memo(
+        self, spark, front, lake, tmp_path
+    ):
+        """r16 (VERDICT r15 directive 8): the dml_default_mode memo
+        keys on the head VERSION, not the writer object — a property
+        flip committed through a SECOND writer on the same path
+        advances the head, so the first writer's next statement
+        re-reads the property instead of serving its cached
+        strategy (the cross-process stale-cache hole the memo
+        design could theoretically have)."""
+        # prime writer1's memo in rewrite mode
+        front.sql("DELETE FROM t WHERE k >= 95")
+        assert lake.dml_default_mode() == "rewrite"
+        w2 = TransactionalLake(
+            spark, str(tmp_path / "t"), partition_by=()
+        )
+        w2.set_properties({"delta.enableDeletionVectors": "true"})
+        before = self._files(lake)
+        front.sql("DELETE FROM t WHERE k >= 90")
+        assert self._files(lake) == before  # dv: file set untouched
+        ops = [r["operation"]
+               for r in front.sql("DESCRIBE HISTORY t").collect()]
+        assert ops[0] == "delete_dv"
+        assert lake.dml_default_mode() == "dv"
+
     def test_bad_property_value_refuses(self, front):
         front.sql(
             "ALTER TABLE t SET TBLPROPERTIES "

@@ -56,20 +56,38 @@ def load_queries(path: str) -> dict[str, float]:
     return dict(doc["queries"])
 
 
-def load_cpu_median(path: str) -> float | None:
-    """The run's CPU-throughput-control median (contamination block):
-    the fixed-work probe whose duration is inversely proportional to
-    the CPU share Spark got. Dividing a run's total by it cancels
-    host-throughput steps (r13: the host lost ~35% sustained CPU and
-    every raw cross-round ratio read ~1.3x pessimistic)."""
+def load_meta(path: str) -> dict:
+    """Run metadata beyond the query times: the CPU-throughput and
+    job-floor control medians (contamination block) and, when the
+    run recorded one (r16+), the git identity stamp. The CPU median
+    normalizes away host-throughput steps (r13); the floor median
+    feeds the floor-subtracted sibling reading (r16); the sha makes
+    same-code adjudication checkable from the artifact instead of
+    caller-asserted (r16, VERDICT r15 directive 2)."""
     try:
         with open(path) as fh:
-            doc = json.load(fh)
+            outer = json.load(fh)
+        doc = outer
         if "parsed" in doc:
             doc = doc["parsed"] or {}
-        return doc.get("contamination", {}).get("cpu_median_sec")
+        cont = doc.get("contamination", {})
+        return {
+            "cpu_median": cont.get("cpu_median_sec"),
+            "floor_median": cont.get("median_sec"),
+            "git_sha": doc.get("git_sha"),
+            "git_dirty": doc.get("git_dirty"),
+            # run parameters: same sha with different sf/cpus is NOT
+            # a comparable sibling — identity must not adjudicate it
+            "sf": doc.get("sf"),
+            "cpus": outer.get("cpus"),
+        }
     except (OSError, json.JSONDecodeError):
-        return None
+        return {}
+
+
+def load_cpu_median(path: str) -> float | None:
+    """Back-compat shim: the CPU-control median only."""
+    return load_meta(path).get("cpu_median")
 
 
 def compare(
@@ -120,69 +138,160 @@ def compare(
     }
 
 
-def sibling_adjudication(
-    per_query: list[dict], uniform_tol: float = 1.15
-) -> dict:
-    """Auto-classify a suspicious run against a SAME-DAY, SAME-CODE
-    sibling run (r15, VERDICT r14 directive 4 — this codifies the
-    hand analysis in AB_BENCH.json `r14_second_run_adjudication`):
-    on code-identical queries, per-query drift can only be the host
-    or measurement noise, never the code. The telling pattern is
-    UNIFORM whole-window inflation — the median ratio is elevated
-    AND most queries sit within ``uniform_tol`` of that median —
-    which is host steal even when every contamination control reads
-    in-band (the r14 blind spot: a 1.25x window with all controls
-    under their ceilings). Concentrated inflation (a few hot
-    queries, flat median) is NOT adjudicated as host — investigate
-    those queries.
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
-    Verdicts:
-    - ``equivalent``        median within 10% — runs agree
-    - ``host_uniform``      elevated median, >=80% of queries within
-                            tol of it: whole-window host inflation;
-                            prefer the faster sibling as the record
-    - ``query_specific``    elevated ratios concentrated in a subset:
-                            not host-adjudicable from siblings alone
+
+def sibling_adjudication(
+    per_query: list[dict],
+    uniform_tol: float = 1.15,
+    meta_old: dict | None = None,
+    meta_new: dict | None = None,
+) -> dict:
+    """Auto-classify a suspicious run against a SAME-DAY sibling run
+    (r15, VERDICT r14 directive 4; r16 rework per VERDICT r15
+    directive 2): on code-identical queries, per-query drift can
+    only be the host or measurement noise, never the code.
+
+    Classification order — identity first, statistics second:
+
+    1. ``host_same_commit`` — both artifacts record the SAME clean
+       git sha (r16 bench stamps it): any whole-window drift is
+       environmental BY CONSTRUCTION, however heteroscedastic. This
+       is the mode the r15 driver-run-vs-record pair needed: median
+       1.38x with a 1.01-1.96x spread (scheduler-bound queries
+       inflate with the job floor, CPU-bound ones with the CPU
+       share) fails a flat-median uniformity test yet is host with
+       certainty given byte-identical code.
+    2. ``host_uniform`` — no identity proof, but the median ratio is
+       elevated AND >=80% of queries sit within ``uniform_tol`` of
+       it: whole-window host inflation even when every contamination
+       control reads in-band (the r14 blind spot).
+    3. ``host_control_envelope`` — no identity proof, inflation is
+       heteroscedastic, but BOTH runs carry control medians and
+       every per-query ratio is bounded by the most-inflated
+       control's own ratio (x tol): the window's drift decomposes
+       onto the controls (job-floor steal for scheduler-bound
+       queries, CPU steal for compute-bound ones), which identical
+       code would produce and a code regression would overshoot.
+    4. ``query_specific`` — elevated ratios concentrated in a subset
+       no control explains: not host-adjudicable from siblings
+       alone; investigate those queries.
+
+    A floor-subtracted median (each run's job-floor control median
+    subtracted per query before the ratio) is reported alongside as
+    a diagnostic — it reads through fixed scheduling overhead on
+    short queries.
     """
     ratios = sorted(r["ratio"] for r in per_query if r["ratio"] > 0)
     if not ratios:
         return {"verdict": "no_shared_queries"}
+    meta_old, meta_new = meta_old or {}, meta_new or {}
     n = len(ratios)
-    med = (
-        ratios[n // 2]
-        if n % 2
-        else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
-    )
+    med = _median(ratios)
     within = [
         r for r in ratios if med / uniform_tol <= r <= med * uniform_tol
     ]
     uniform_frac = len(within) / n
     slow_side = med if med >= 1 else 1 / med
     hot = [r for r in ratios if r > 1.3 or r < 1 / 1.3]
-    if slow_side <= 1.10:
+    same_params = all(
+        meta_old.get(k) is None
+        or meta_new.get(k) is None
+        or meta_old[k] == meta_new[k]
+        for k in ("sf", "cpus")
+    )
+    same_commit = bool(
+        meta_old.get("git_sha")
+        and meta_old.get("git_sha") == meta_new.get("git_sha")
+        and not meta_old.get("git_dirty")
+        and not meta_new.get("git_dirty")
+        and same_params
+    )
+    # floor-subtracted diagnostic ratios (queries at/below ~2x their
+    # run's floor are excluded: the subtraction leaves noise there)
+    fo, fn = meta_old.get("floor_median"), meta_new.get("floor_median")
+    floor_med = None
+    if fo and fn:
+        adj = [
+            (r["new_sec"] - fn) / (r["old_sec"] - fo)
+            for r in per_query
+            if r["old_sec"] > 2 * fo
+            and r["new_sec"] > 2 * fn
+            and r["old_sec"] - fo > 0.01
+            and r["new_sec"] - fn > 0.01
+        ]
+        floor_med = round(_median(adj), 3) if adj else None
+    # control-envelope bound: the most-inflated control's own ratio
+    control_ratios = []
+    if meta_old.get("cpu_median") and meta_new.get("cpu_median"):
+        control_ratios.append(
+            meta_new["cpu_median"] / meta_old["cpu_median"]
+        )
+    if fo and fn:
+        control_ratios.append(fn / fo)
+    env_bound = max(control_ratios) if control_ratios else None
+    env_frac = (
+        sum(1 / uniform_tol <= r <= env_bound * uniform_tol
+            for r in ratios) / n
+        if env_bound
+        else None
+    )
+    if same_commit:
+        verdict = (
+            "equivalent"
+            if slow_side <= 1.10 and not hot
+            else "host_same_commit"
+        )
+    elif slow_side <= 1.10:
         # flat median: the WINDOW agrees — but individually hot
         # queries on a flat window are exactly the concentrated
         # pattern to investigate, not an equivalence
         verdict = "query_specific" if hot else "equivalent"
     elif uniform_frac >= 0.8:
         verdict = "host_uniform"
+    elif env_bound and env_bound >= 1.10 and env_frac >= 0.95:
+        verdict = "host_control_envelope"
     else:
         verdict = "query_specific"
+    notes = {
+        "host_same_commit": (
+            "both artifacts record the same clean sha "
+            f"({str(meta_old.get('git_sha'))[:12]}): drift is "
+            "environmental by construction; use the faster sibling "
+            "as the record"
+        ),
+        "host_uniform": (
+            "new run is uniformly slower on code-identical queries: "
+            "host steal; use the faster sibling as the record"
+            if med > 1
+            else "new run is uniformly faster: the OLD window was "
+            "the inflated one"
+        ),
+        "host_control_envelope": (
+            "heteroscedastic inflation bounded by the most-inflated "
+            f"control ratio ({round(env_bound, 3) if env_bound else None}"
+            "x): job-floor/CPU steal decomposition; use the faster "
+            "sibling as the record"
+        ),
+    }
     return {
         "verdict": verdict,
         "median_ratio": round(med, 3),
         "uniform_fraction": round(uniform_frac, 3),
         "uniform_tolerance": uniform_tol,
-        "queries": n,
-        "note": (
-            "new run is uniformly slower on code-identical queries: "
-            "host steal; use the faster sibling as the record"
-            if verdict == "host_uniform" and med > 1
-            else "new run is uniformly faster: the OLD window was "
-            "the inflated one"
-            if verdict == "host_uniform"
-            else None
+        "same_commit": same_commit,
+        "floor_subtracted_median_ratio": floor_med,
+        "control_envelope_bound": (
+            round(env_bound, 3) if env_bound else None
         ),
+        "control_envelope_fraction": (
+            round(env_frac, 3) if env_frac is not None else None
+        ),
+        "queries": n,
+        "note": notes.get(verdict),
     }
 
 
@@ -200,15 +309,26 @@ def main() -> int:
         "with in-band contamination controls)",
     )
     ap.add_argument(
+        "--assert-same-code",
+        action="store_true",
+        help="caller asserts the two runs are code-identical even "
+        "though the artifacts carry no matching git stamp (pre-r16 "
+        "files): lets a host verdict suppress the exit gate; "
+        "without this OR a matching recorded sha, a statistical "
+        "host verdict is reported but flags still gate (r15 ADVICE: "
+        "a mislabeled pair could wave a uniform regression through)",
+    )
+    ap.add_argument(
         "--quiet", action="store_true", help="print only the summary JSON"
     )
     args = ap.parse_args()
+    meta_old, meta_new = load_meta(args.old), load_meta(args.new)
     rep = compare(
         load_queries(args.old),
         load_queries(args.new),
         args.threshold,
-        old_cpu=load_cpu_median(args.old),
-        new_cpu=load_cpu_median(args.new),
+        old_cpu=meta_old.get("cpu_median"),
+        new_cpu=meta_new.get("cpu_median"),
     )
     if not args.quiet:
         for r in rep["per_query"]:
@@ -219,16 +339,34 @@ def main() -> int:
                 file=sys.stderr,
             )
     if args.sibling:
-        rep["sibling"] = sibling_adjudication(rep["per_query"])
+        if args.assert_same_code:
+            # caller-asserted identity: rank it like a matching sha
+            # (the flag is an explicit, logged statement — distinct
+            # from the silent premise the r15 ADVICE flagged)
+            for m in (meta_old, meta_new):
+                m.setdefault("git_sha", "asserted-same-code")
+                m["git_sha"] = "asserted-same-code"
+                m["git_dirty"] = False
+        rep["sibling"] = sibling_adjudication(
+            rep["per_query"], meta_old=meta_old, meta_new=meta_new
+        )
     summary = {k: v for k, v in rep.items() if k != "per_query"}
     print(json.dumps(summary))
-    if args.sibling and rep["sibling"]["verdict"] == "host_uniform":
-        # adjudicated: per-query flags are the host's doing on
-        # code-identical queries — don't gate on them.
-        # query_specific (and equivalent-with-flags) keep the gate:
-        # concentrated inflation is exactly the case to investigate
-        # (r15 review find: an unconditional 0 waved those through)
-        return 0
+    if args.sibling and rep["sibling"]["verdict"].startswith("host_"):
+        # adjudicated host — but suppressing the nonzero exit needs
+        # code identity from the artifacts (matching clean shas) or
+        # the explicit --assert-same-code flag; a bare statistical
+        # verdict on unproven inputs keeps the gate (r15 ADVICE: a
+        # genuinely uniform regression on a mislabeled pair must not
+        # exit green). The flagged list is in the summary either way.
+        if rep["sibling"]["same_commit"]:
+            return 0
+        print(
+            "sibling: host verdict WITHOUT code-identity proof — "
+            "flags still gate (pass --assert-same-code or use "
+            "r16+ artifacts with git stamps)",
+            file=sys.stderr,
+        )
     return 1 if rep["flagged"] else 0
 
 
