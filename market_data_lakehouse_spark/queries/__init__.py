@@ -53,53 +53,51 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # together), and every rows-only entry has been driver-executed by
 # name.
 #
-# The round-15 window (r14 VERDICT directive 1 — cohorts recomputed
-# by script over the CORRECTNESS_r1..r14 files + the catalog's
+# The round-16 window (r15 VERDICT directive 1 — cohorts recomputed
+# by script over the CORRECTNESS_r1..r15 files + the catalog's
 # append-only REGISTRATION_ORDER, not from memory: per-entry
-# latest-driver-run rounds count 50 r14 / 50 r13 / 49 r12 / 38 r11
-# over the 187 pre-r15 entries, zero never-run).
+# latest-driver-run rounds over the 190 pre-r16 entries count
+# exactly 40 r12-stale / 50 r13 / 50 r14 / 50 r15, zero never-run).
 #
 # Composition, adds to exactly 50:
-# (z) 3 never-driver-run r15-new entries: s37_sql_dml_dv (dv-mode
-#     SQL DML via the delta.enableDeletionVectors table property —
-#     directive 2), s38_sql_dml_corr_scalar (correlated scalar-
-#     subquery DML — directive 3), and e2_lsh_twin_gate (the
-#     planted-twin oracle projection of banded-LSH candidates —
-#     directive 8);
-# (y) ALL 38 r11-stale entries (latest green row is
-#     CORRECTNESS_r11.json), oldest-registered-first — the full
-#     spill the r14 comment committed to, s2_json_roundtrip at the
-#     head as named;
-# (x) 9 of the 49-entry r12-stale cohort, oldest-registered-first
-#     (12 remainder slots minus the 3 r15-new entries above).
+# (z) 2 never-driver-run r16-new entries: s39_sql_dml_corr_in
+#     (correlated IN-subquery DML — directive 5) and
+#     e3_sq_twin_gate (the planted-twin oracle projection of SQ8
+#     top-1 output — directive 3);
+# (y) ALL 40 r12-stale entries (latest green row is
+#     CORRECTNESS_r12.json), oldest-registered-first — the full
+#     remainder the r15 comment committed to, j10_exists_subquery
+#     at the head as named, then j11_shipping_priority;
+# (x) 8 of the 50-entry r13-stale cohort, oldest-registered-first
+#     (10 remainder slots minus the 2 r16-new entries above).
 #
-# SPILLED to r16 (named): the remaining 40-entry r12-stale cohort —
-# oldest-registered-first: j10_exists_subquery is the next pick,
-# then j11_shipping_priority.
+# SPILLED to r17 (named): the remaining 42-entry r13-stale cohort —
+# oldest-registered-first: f6_bloom_skipping is the next pick, then
+# s12_deletion_vectors.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (z) never driver-run (3)
-    "s37_sql_dml_dv",           # r15 NEW: merge-on-read SQL DML
-    "s38_sql_dml_corr_scalar",  # r15 NEW: correlated scalar DML
-    "e2_lsh_twin_gate",         # r15 NEW: LSH planted-twin oracle
-    # (y) r11-stale cohort, oldest-registered-first (38)
-    "s2_json_roundtrip", "s3_orc_roundtrip", "t12_scd2_rebuild",
-    "s20_column_mapping", "s21_type_widening", "s23_liquid_clustering",
-    "s24_column_defaults", "s25_auto_compaction", "s26_analyze_stats",
-    "s27_table_features", "s29_symlink_manifest", "e5_audio_decode",
-    "e5_image_decode", "v4_anomaly_zscore", "v5_drift_psi",
-    "v6_expectation_suite", "a2_vwap_top10", "a9_percentile_approx",
-    "w7_returns_vol", "w8_max_drawdown", "w9_ewma",
-    "a18_order_count_histogram", "j20_top_supplier", "j6_asof_forward",
-    "j6_asof_nearest", "a19_forecast_revenue", "a20_priority_shipping",
-    "a21_promo_revenue", "j21_disjunctive_brackets", "a22_nation_profit",
-    "g3_shortest_path", "a7_approx_distinct_grouped",
-    "e6_weighted_sample", "e3_sq_knn", "e3_ann_lsh", "e3_ivf_knn",
-    "e3_pq_knn", "e4_position_chunks",
-    # (x) r12-stale cohort, oldest-registered-first (9)
-    "e2_dedup_clusters", "s15_table_detail", "s17_scoped_optimize",
-    "s30_add_column", "s31_sql_utility", "e5_media_resize",
-    "a7_approx_distinct", "a12_corr_matrix", "a13_funnel",
+    # (z) never driver-run (2)
+    "s39_sql_dml_corr_in",      # r16 NEW: correlated IN DML
+    "e3_sq_twin_gate",          # r16 NEW: SQ8 planted-twin oracle
+    # (y) r12-stale cohort, oldest-registered-first (40)
+    "j10_exists_subquery", "j11_shipping_priority",
+    "j12_regional_revenue", "a14_big_orders", "w10_rank_distributions",
+    "x8_bitwise_cond", "j13_scalar_subquery", "j14_nation_trade",
+    "a15_filtered_agg", "w11_range_frame", "o4_null_ordering",
+    "j15_market_share", "w12_ratio_to_report", "j16_recursive_reach",
+    "x9_array_hof", "x10_variant", "a16_trimmed_mean", "g1_pagerank",
+    "g2_triangle_count", "g5_connected_components", "e6_kfold",
+    "e6_token_shards_partitioned", "e6_temperature_mix",
+    "e7_pack_sequences", "e3_range_search", "e3_ann_recall",
+    "e3_kmeans", "e3_ivf_recall", "e3_pq_recall", "e3_ivfpq_knn",
+    "e3_ivfpq_recall", "e1_dedup_by_hash", "e1_fuzzy_dedup_editdist",
+    "e4_corpus_clean", "e1_decontaminate", "e4_repetition_score",
+    "e1_contamination_ngram", "e4_bm25_search", "e4_normalize",
+    "e4_cms_heavy_hitters",
+    # (x) r13-stale cohort, oldest-registered-first (8)
+    "e2_ngram_jaccard", "e2_simhash", "e2_incremental_neardup",
+    "s2_csv_roundtrip", "s8_merge_upsert", "s8_txn_time_travel",
+    "t11_incremental_mv", "f5_stats_skipping",
 ]
 
 

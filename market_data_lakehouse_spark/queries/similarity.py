@@ -196,18 +196,11 @@ _SQ8_SCHEMA = {"cid": "bigint", "codes": "array<tinyint>", "scale": "float"}
 _SQ8_STORES: dict[str, str] = {}  # abspath(sf_dir) -> stored parquet dir
 
 
-def sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE writer pass that materializes the SQ8 representation as
-    real stored columns — ``codes array<tinyint>`` + one ``scale
-    float`` per vector (symmetric max-abs quantization, codes in
-    [-127, 127]) — written to parquet and scanned back. The float
-    embedding column is NOT in the stored table: at 100 TB this file
-    IS what ships to the scoring cluster (4x smaller than float32),
-    while the float column stays in cold storage. Returns the scan
-    of the stored table (schema exactly ``_SQ8_SCHEMA``)."""
-    import os
-
-    em = load(spark, sf_dir, "embeddings")
+def _sq8_quantize_udf():
+    """The SQ8 writer kernel (shared by ``sq8_store`` and the r16
+    twin gate): symmetric max-abs int8 quantization, codes in
+    [-127, 127] plus one float scale per vector. Deterministic —
+    identical input vectors produce identical (codes, scale)."""
 
     @F.pandas_udf("struct<codes: array<tinyint>, scale: float>")
     def quantize(embs: pd.Series) -> pd.DataFrame:
@@ -223,6 +216,73 @@ def sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "scale": scale[:, 0].astype(np.float32),
             }
         )
+
+    return quantize
+
+
+def _sq8_topk(stored: DataFrame, qids: list, Q, qn) -> DataFrame:
+    """The SQ8 scoring kernel + top-k tail (shared by ``e3_sq_knn``
+    and the r16 twin gate): asymmetric scoring — float64 queries
+    against candidates dequantized (code * scale) inside the Arrow
+    batch — through the same sequential-float64 kernel as the exact
+    brute force, then the (sim DESC, cid) row_number window. The
+    kernel is order-deterministic: ``_seq_sum`` fixes the reduction
+    order, so a given (codes, scale, Q) pair scores bit-identically
+    regardless of partitioning, and the window's cid tiebreaker
+    makes the emitted top-k a pure function of the data."""
+
+    @F.pandas_udf("array<double>")
+    def sq_sims_udf(codes: pd.Series, scale: pd.Series) -> pd.Series:
+        C = np.array(codes.tolist(), dtype=np.float64)
+        if C.size == 0:
+            return pd.Series([], dtype=object)
+        # dequantize from the STORED pair: code * scale
+        D = C * np.asarray(scale, dtype=np.float64)[:, None]
+        cn = np.sqrt(_seq_sum(D * D))
+        dots = np.empty((D.shape[0], Q.shape[0]))
+        for j in range(Q.shape[0]):
+            dots[:, j] = _seq_sum(D * Q[j])
+        denom = cn[:, None] * qn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = dots / denom
+        out = [
+            [None if d == 0.0 else v for v, d in zip(row, drow)]
+            if (drow == 0.0).any()
+            else list(row)
+            for row, drow in zip(S, denom)
+        ]
+        return pd.Series(out)
+
+    scored = stored.select(
+        "cid",
+        F.posexplode(sq_sims_udf(F.col("codes"), F.col("scale"))).alias(
+            "qi", "sim"
+        ),
+    ).select(
+        F.element_at(F.lit(qids), F.col("qi") + 1).cast("long").alias("qid"),
+        "cid",
+        "sim",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= K)
+    )
+
+
+def sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE writer pass that materializes the SQ8 representation as
+    real stored columns — ``codes array<tinyint>`` + one ``scale
+    float`` per vector (symmetric max-abs quantization, codes in
+    [-127, 127]) — written to parquet and scanned back. The float
+    embedding column is NOT in the stored table: at 100 TB this file
+    IS what ships to the scoring cluster (4x smaller than float32),
+    while the float column stays in cold storage. Returns the scan
+    of the stored table (schema exactly ``_SQ8_SCHEMA``)."""
+    import os
+
+    em = load(spark, sf_dir, "embeddings")
+    quantize = _sq8_quantize_udf()
 
     # one store per (process, corpus): builtin hash() is salted per
     # process, so a /tmp path derived from it was never reused AND
@@ -293,45 +353,101 @@ def e3_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an accidental float-embedding passthrough would silently void
     # the 4x-memory claim
     assert got == _SQ8_SCHEMA, f"SQ8 store schema drifted: {got}"
-
-    @F.pandas_udf("array<double>")
-    def sq_sims_udf(codes: pd.Series, scale: pd.Series) -> pd.Series:
-        C = np.array(codes.tolist(), dtype=np.float64)
-        if C.size == 0:
-            return pd.Series([], dtype=object)
-        # dequantize from the STORED pair: code * scale
-        D = C * np.asarray(scale, dtype=np.float64)[:, None]
-        cn = np.sqrt(_seq_sum(D * D))
-        dots = np.empty((D.shape[0], Q.shape[0]))
-        for j in range(Q.shape[0]):
-            dots[:, j] = _seq_sum(D * Q[j])
-        denom = cn[:, None] * qn[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = dots / denom
-        out = [
-            [None if d == 0.0 else v for v, d in zip(row, drow)]
-            if (drow == 0.0).any()
-            else list(row)
-            for row, drow in zip(S, denom)
-        ]
-        return pd.Series(out)
-
-    scored = stored.select(
-        "cid",
-        F.posexplode(sq_sims_udf(F.col("codes"), F.col("scale"))).alias(
-            "qi", "sim"
-        ),
-    ).select(
-        F.element_at(F.lit(qids), F.col("qi") + 1).cast("long").alias("qid"),
-        "cid",
-        "sim",
+    return _sq8_topk(stored, qids, Q, qn).select(
+        "qid", "cid", F.round("sim", 6).alias("sim"), "rn"
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= K)
-        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
+
+
+_VEC_TWIN_OFFSET = 10_000_000  # far above any driver vec_id
+
+
+@register(
+    "e3_sq_twin_gate",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS qid,
+           CAST(vec_id AS BIGINT) + {_VEC_TWIN_OFFSET} AS cid
+    FROM embeddings
+    WHERE vec_id < {N_QUERY}
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
+    """,
+)
+def e3_sq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-expressible projection of SQ8 top-k output (r16,
+    VERDICT r15 directive 3 — the ANN sibling of r15's
+    ``e2_lsh_twin_gate``): plant a byte-identical twin of every
+    query vector into the candidate corpus at ``vec_id + 10M``, run
+    the REAL SQ8 pipeline — the shared quantize writer kernel to a
+    stored (codes, scale) parquet, the shared asymmetric
+    sequential-float64 scoring kernel, the (sim DESC, cid) top-k
+    window — and return each query's top-1 pair. This subset is
+    DETERMINISTIC, not statistical, by the tie-break analysis the
+    directive asked for: (a) quantization is a pure function, so
+    the twin's dequantized vector — hence its cosine — is fixed;
+    (b) ``_seq_sum`` pins the reduction order, so scores are
+    bit-reproducible across partitionings; (c) the twin's cosine
+    is 1 - O(quantizer error) >= 0.999 while this corpus's
+    cross-vector similarities top out near 0.49 and contain no
+    byte-identical duplicates (verified at sf0.001/0.01/0.1:
+    COUNT(DISTINCT embedding) == COUNT(*), zero zero-norm vectors),
+    so the twin wins top-1 STRICTLY — no duplicate-score ordering
+    is ever exercised; (d) the window's cid tiebreaker totalizes
+    the order anyway. Both margins are asserted inline (loud, not
+    silent) so data drift degrades to an error, never a wrong-row
+    pass. DuckDB enumerates the expected pairs without the
+    quantizer. The full top-k (`e3_sq_knn`) stays rows-only by
+    nature — int8 codes are engine-specific; its recall gate
+    (`e3_sq_recall`) and this exactness gate each nail the half of
+    the contract they can see."""
+    from .catalog import scratch_dir
+
+    em = load(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        em.filter(
+            (F.col("vec_id") < N_QUERY)
+            & F.exists("embedding", lambda x: x != F.lit(0.0))
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
+    qids = [r.vec_id for r in qrows]
+    Q = np.array(
+        [[float(x) for x in r.embedding] for r in qrows], dtype=np.float64
+    )
+    qn = np.sqrt(_seq_sum(Q * Q))
+    quantize = _sq8_quantize_udf()
+    twins = em.filter(F.col("vec_id").isin(qids)).select(
+        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("cid"),
+        F.col("embedding"),
+    )
+    corpus = em.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    path = scratch_dir("sq8_twin")
+    (
+        corpus.union(twins)
+        .select("cid", quantize(F.col("embedding")).alias("q"))
+        .select("cid", "q.codes", "q.scale")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    top1 = (
+        _sq8_topk(spark.read.parquet(path), qids, Q, qn)
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", "sim")
+    )
+    rows = top1.collect()  # bounded: one row per query vector
+    bad = [
+        r
+        for r in rows
+        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
+    ]
+    if bad or len(rows) != len(qids):
+        raise AssertionError(
+            f"SQ8 twin gate violated: {len(rows)}/{len(qids)} "
+            f"queries, offenders {bad[:5]}"
+        )
+    return top1.select("qid", "cid")
 
 
 RADIUS = 0.30  # cosine threshold for range search (99.9th-pct sims
