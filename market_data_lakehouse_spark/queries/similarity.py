@@ -619,7 +619,17 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries vectors. Recall is measured, not guessed: e3_ann_recall
     scored 0.54 single-table and 0.90-0.92 with 3 tables on the
     driver dataset (floor asserted in tests/test_edge_semantics.py)."""
-    em = load(spark, sf_dir, "embeddings")
+    return _ann_lsh_topk(spark, load(spark, sf_dir, "embeddings"))
+
+
+def _ann_lsh_topk(spark: SparkSession, em: DataFrame) -> DataFrame:
+    """The full multi-table multi-probe LSH pipeline over an
+    embeddings frame (queries = ``vec_id < N_QUERY``, candidates =
+    the rest) — shared by ``e3_ann_lsh`` and the r16 twin gate so
+    the gate exercises the REAL bucketing/probe/score/top-k path.
+    Bucketing is computed ONCE over the whole frame with the same
+    deterministic hyperplane UDF, so byte-identical vectors land in
+    byte-identical buckets in every table by construction."""
     # derive the embedding dimension from the data (one tiny job)
     # rather than assuming 64 — the hyperplane matrix must match it
     dim = em.select(F.size("embedding")).first()[0]
@@ -687,6 +697,72 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "e3_ann_twin_gate",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS qid,
+           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
+    FROM embeddings
+    WHERE vec_id < {N_QUERY}
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
+    """,
+)
+def e3_ann_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-expressible projection of multi-table LSH-ANN
+    top-k output (r16, the second ANN twin conversion next to
+    ``e3_sq_twin_gate``): plant a byte-identical twin of every
+    query vector at ``vec_id + 10M`` and run the REAL
+    ``e3_ann_lsh`` pipeline — shared hyperplane bucketing, the
+    multi-probe broadcast join, exact rescoring, cross-table
+    max-merge, top-k window. Determinism analysis: (a) bucketing
+    runs ONCE over the union with the same deterministic-hyperplane
+    UDF, so the twin's bucket equals the query's own bucket in
+    EVERY table exactly — candidacy is structural, not
+    probabilistic (the own-bucket probe always includes it);
+    (b) rescoring is exact sequential-float64 cosine — the twin
+    scores 1.0 +- ulp while this corpus's cross-vector max is
+    ~0.49 with no byte-identical duplicates (verified per sf), so
+    the twin wins top-1 strictly; (c) the (sim DESC, cid) window
+    totalizes the order regardless. Both margins asserted inline —
+    loud failure, never a wrong-row pass. DuckDB enumerates the
+    expected pairs without the hash family; the full top-k
+    (`e3_ann_lsh`) stays rows-only next to its measured recall
+    gate (`e3_ann_recall`)."""
+    em = load(spark, sf_dir, "embeddings")
+    planted = [
+        r.vec_id
+        for r in em.filter(
+            (F.col("vec_id") < N_QUERY)
+            & F.exists("embedding", lambda x: x != F.lit(0.0))
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    twins = em.filter(F.col("vec_id").isin(planted)).select(
+        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
+        "embedding",
+        *[c for c in em.columns if c not in ("vec_id", "embedding")],
+    ).select(*em.columns)
+    top1 = (
+        _ann_lsh_topk(spark, em.union(twins))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("qid").isin(planted))
+        .select("qid", "cid", "sim")
+    )
+    rows = top1.collect()  # bounded: one row per planted query
+    bad = [
+        r
+        for r in rows
+        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
+    ]
+    if bad or len(rows) != len(planted):
+        raise AssertionError(
+            f"LSH-ANN twin gate violated: {len(rows)}/{len(planted)} "
+            f"queries, offenders {bad[:5]}"
+        )
+    return top1.select("qid", "cid")
 
 
 @register(

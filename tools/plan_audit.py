@@ -62,7 +62,28 @@ def write_report(spark, sf_dir: str, out_path: str, log=None) -> dict:
         out[label] = {"query": qname, **audit(df)}
         if log is not None:
             print(label, out[label], file=log, flush=True)
-    report = {"sf_dir": sf_dir, "plans": out}
+    # provenance stamp (r16, VERDICT r15 directive 4): the plan body
+    # had been byte-stable since r11, so refreshes produced no diff
+    # and the artifact LOOKED stale — record which commit generated
+    # it so HEAD-recency is checkable from the file itself
+    import subprocess
+    import time as _time
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(out_path),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
+    report = {
+        "sf_dir": sf_dir,
+        "generated_at_sha": sha,
+        "generated_at": _time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "n_plans": len(out),
+        "plans": out,
+    }
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
     return report

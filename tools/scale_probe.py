@@ -1201,6 +1201,99 @@ def corr_scalar_dml_skipping_probe(spark) -> dict:
     return out
 
 
+def corr_in_dml_skipping_probe(spark) -> dict:
+    """r16: correlated IN-subquery DML (``k IN (SELECT s.x FROM s
+    WHERE s.j = t.g)``) decorrelates onto the same key-MERGE probe
+    as EXISTS — matched-only arm, so it must (a) ride the
+    key-envelope skipping ([1, 1] files probed at 8 -> 64 same-sized
+    files: the IN column's synthesized join key carries the tight
+    envelope) and (b) stay merge-on-read on a dv-opted table —
+    pinned end-to-end THROUGH THE SQL FRONT-END with a correctness
+    echo at both scales."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from market_data_lakehouse_spark.sqlfront import LakeSQL
+    from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+    per = 50_000
+    out: dict = {}
+    for label, n_files in (("small", 8), ("large", 64)):
+        root = tempfile.mkdtemp(prefix=f"cisp_{label}_")
+        lake = TransactionalLake(spark, root + "/t", partition_by=())
+        for i in range(n_files):
+            lake.append(
+                spark.range(i * per, (i + 1) * per)
+                .selectExpr(
+                    "id as k",
+                    "id % 97 as g",
+                    "cast(id * 1.5 as double) as v",
+                )
+                .coalesce(1)
+            )
+        k1, k2 = 3 * per + 5, 3 * per + 6
+        src = TransactionalLake(spark, root + "/s", partition_by=())
+        src.append(
+            spark.createDataFrame(
+                [(k1 % 97, k1), (k2 % 97, k2)], "j long, x long"
+            )
+        )
+        fr = LakeSQL(spark)
+        fr.register("cit", lake)
+        fr.register("cis", src)
+        fr.sql(
+            "ALTER TABLE cit SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'true')"
+        )
+        files_before, _, _ = lake.prune_files({})
+        probed: dict = {}
+        orig = lake._prune_by_key_ranges
+
+        def spy(files, ranges, _o=orig, _p=probed):
+            kept = _o(files, ranges)
+            _p["n"], _p["total"] = len(kept), len(files)
+            return kept
+
+        lake._prune_by_key_ranges = spy  # type: ignore
+        t0 = _t.perf_counter()
+        fr.sql(
+            "DELETE FROM cit WHERE k IN "
+            "(SELECT s.x FROM cis s WHERE s.j = cit.g)"
+        )
+        sec = round(_t.perf_counter() - t0, 4)
+        lake._prune_by_key_ranges = orig  # type: ignore
+        files_after, _, _ = lake.prune_files({})
+        assert set(files_before) == set(files_after), "dv must not rewrite"
+        op = lake.history(limit=1)[0]["op"]
+        assert op == "merge_dv", op
+        n_left = lake.snapshot().filter(f"k IN ({k1}, {k2})").count()
+        assert n_left == 0, n_left
+        assert lake.snapshot().count() == n_files * per - 2
+        out[f"at_{n_files}_files"] = {
+            "files": n_files,
+            "merge_files_probed": probed["n"],
+            "live_files": probed["total"],
+            "corr_in_delete_sec": sec,
+            "dv_file_set_untouched": True,
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    out["probe_scope"] = [
+        out["at_8_files"]["merge_files_probed"],
+        out["at_64_files"]["merge_files_probed"],
+    ]
+    out["probe_scope_flat"] = out["probe_scope"] == [1, 1]
+    out["note"] = (
+        "r16 correlated IN-subquery DML (SQL front decorrelation -> "
+        "synthesized (IN-column, select-item) join key + key MERGE) "
+        "rides the key-envelope skipping unchanged ([1, 1] files at "
+        "8 -> 64) AND stays merge-on-read on a dv-opted table (file "
+        "set untouched, merge_dv op), deleted rows value-checked at "
+        "both scales"
+    )
+    return out
+
+
 def dml_skipping_probe(spark) -> dict:
     """Data-skipping DML (r12): DELETE/MERGE with a tight key range
     scan only the stats-possible files. The scale axis is FILE COUNT
@@ -1467,7 +1560,26 @@ def main() -> int:
         help="run just the r15 correlated-scalar DML skipping + dv "
         "block and merge it into the existing SCALE_PROBE.json",
     )
+    ap.add_argument(
+        "--only-corr-in",
+        action="store_true",
+        help="run just the r16 correlated-IN DML skipping + dv "
+        "block and merge it into the existing SCALE_PROBE.json",
+    )
     args = ap.parse_args()
+
+    if args.only_corr_in:
+        from market_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark("scale_probe")
+        block = corr_in_dml_skipping_probe(spark)
+        path = os.path.join(REPO, "SCALE_PROBE.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["corr_in_dml_skipping"] = block
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        print(json.dumps({"corr_in_dml_skipping": block}))
+        return 0 if block["probe_scope_flat"] else 1
 
     if args.only_corr_scalar:
         from market_data_lakehouse_spark.session import get_spark
