@@ -60,27 +60,32 @@ from market_data_lakehouse_spark.queries import (  # noqa: F401
 # exactly 40 r12-stale / 50 r13 / 50 r14 / 50 r15, zero never-run).
 #
 # Composition, adds to exactly 50:
-# (z) 3 never-driver-run r16-new entries: s39_sql_dml_corr_in
+# (z) 6 never-driver-run r16-new entries: s39_sql_dml_corr_in
 #     (correlated IN-subquery DML — directive 5), e3_sq_twin_gate
 #     (the planted-twin oracle projection of SQ8 top-1 output —
-#     directive 3), and e3_ann_twin_gate (the same conversion for
-#     the multi-table LSH-ANN top-1);
+#     directive 3), and e3_ann_twin_gate / e3_ivf_twin_gate /
+#     e3_pq_twin_gate / e3_ivfpq_twin_gate (the same conversion for
+#     the multi-table LSH-ANN, IVF, PQ, and IVF-PQ top-1 — EVERY
+#     ANN tier now carries a hard oracle next to its recall gate);
 # (y) ALL 40 r12-stale entries (latest green row is
 #     CORRECTNESS_r12.json), oldest-registered-first — the full
 #     remainder the r15 comment committed to, j10_exists_subquery
 #     at the head as named, then j11_shipping_priority;
-# (x) 7 of the 50-entry r13-stale cohort, oldest-registered-first
-#     (10 remainder slots minus the 3 r16-new entries above).
+# (x) 4 of the 50-entry r13-stale cohort, oldest-registered-first
+#     (10 remainder slots minus the 6 r16-new entries above).
 #
-# SPILLED to r17 (named): the remaining 43-entry r13-stale cohort —
-# oldest-registered-first: f5_stats_skipping is the next pick, then
-# f6_bloom_skipping.
+# SPILLED to r17 (named): the remaining 46-entry r13-stale cohort —
+# oldest-registered-first: s8_merge_upsert is the next pick, then
+# s8_txn_time_travel.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # (z) never driver-run (3)
+    # (z) never driver-run (6)
     "s39_sql_dml_corr_in",      # r16 NEW: correlated IN DML
     "e3_sq_twin_gate",          # r16 NEW: SQ8 planted-twin oracle
     "e3_ann_twin_gate",         # r16 NEW: LSH-ANN planted-twin oracle
+    "e3_ivf_twin_gate",         # r16 NEW: IVF planted-twin oracle
+    "e3_pq_twin_gate",          # r16 NEW: PQ planted-twin oracle
+    "e3_ivfpq_twin_gate",       # r16 NEW: IVF-PQ planted-twin oracle
     # (y) r12-stale cohort, oldest-registered-first (40)
     "j10_exists_subquery", "j11_shipping_priority",
     "j12_regional_revenue", "a14_big_orders", "w10_rank_distributions",
@@ -96,10 +101,9 @@ _DRIVER_WINDOW = [
     "e4_corpus_clean", "e1_decontaminate", "e4_repetition_score",
     "e1_contamination_ngram", "e4_bm25_search", "e4_normalize",
     "e4_cms_heavy_hitters",
-    # (x) r13-stale cohort, oldest-registered-first (7)
+    # (x) r13-stale cohort, oldest-registered-first (4)
     "e2_ngram_jaccard", "e2_simhash", "e2_incremental_neardup",
-    "s2_csv_roundtrip", "s8_merge_upsert", "s8_txn_time_travel",
-    "t11_incremental_mv",
+    "s2_csv_roundtrip",
 ]
 
 

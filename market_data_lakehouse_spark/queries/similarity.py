@@ -868,8 +868,19 @@ def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized assign/rank UDFs — no per-centroid join ever touches
     the big side; the only shuffle is the in-cell scoring join. This
     is the plan shape that scales to 10^9 vectors."""
+    return _ivf_topk(spark, load(spark, sf_dir, "embeddings"))
+
+
+def _ivf_topk(spark: SparkSession, em: DataFrame) -> DataFrame:
+    """The full IVF pipeline over an embeddings frame (queries =
+    ``vec_id < N_QUERY``, candidates = the rest) — shared by
+    ``e3_ivf_knn`` and the r16 twin gate so the gate drives the
+    REAL train/assign/probe/score path. Cell ranking is computed
+    ONCE over the whole frame with one closed-over quantizer UDF,
+    so byte-identical vectors rank cells byte-identically: a twin's
+    home cell IS its query's top-1 probed cell by construction,
+    whatever centroids training produced."""
     n_cells, n_probe = 8, 3
-    em = load(spark, sf_dir, "embeddings")
     seeds = (
         em.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
@@ -908,6 +919,72 @@ def e3_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "e3_ivf_twin_gate",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS qid,
+           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
+    FROM embeddings
+    WHERE vec_id < {N_QUERY}
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
+    """,
+)
+def e3_ivf_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-expressible projection of IVF top-k output (r16,
+    the third ANN twin conversion): plant a byte-identical twin of
+    every query vector at ``vec_id + 10M`` and run the REAL
+    ``e3_ivf_knn`` pipeline — seeded k-means + one Lloyd step over
+    corpus+twins, single closed-over cell-ranking UDF, top-3-cell
+    probe join, exact rescoring, top-k window. Determinism
+    analysis: (a) training is a pure function of the frame (seeds =
+    first n_cells vec_ids; twins sit at +10M so seeding is
+    unchanged; the Lloyd re-average shifts centroids slightly vs
+    the bare corpus, which is irrelevant because...); (b) cell
+    ranking runs ONCE over the whole frame with the same quantizer
+    UDF, so the twin's home cell (its cells[0]) EQUALS the query's
+    top-1 probed cell exactly, whatever the centroids are —
+    candidacy is structural; (c) exact sequential-float64 rescoring
+    gives the twin ~1.0 against a ~0.49 corpus ceiling with no
+    byte-identical duplicates (verified per sf) — strict top-1;
+    (d) the (sim DESC, cid) window totalizes order regardless.
+    Margins asserted inline, loud on drift. DuckDB enumerates the
+    expected pairs without the quantizer; the full top-k
+    (`e3_ivf_knn`) stays rows-only next to its measured recall gate
+    (`e3_ivf_recall`)."""
+    em = load(spark, sf_dir, "embeddings")
+    planted = [
+        r.vec_id
+        for r in em.filter(
+            (F.col("vec_id") < N_QUERY)
+            & F.exists("embedding", lambda x: x != F.lit(0.0))
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    twins = em.filter(F.col("vec_id").isin(planted)).select(
+        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
+        *[c for c in em.columns if c != "vec_id"],
+    ).select(*em.columns)
+    top1 = (
+        _ivf_topk(spark, em.union(twins))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("qid").isin(planted))
+        .select("qid", "cid", "sim")
+    )
+    rows = top1.collect()  # bounded: one row per planted query
+    bad = [
+        r
+        for r in rows
+        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
+    ]
+    if bad or len(rows) != len(planted):
+        raise AssertionError(
+            f"IVF twin gate violated: {len(rows)}/{len(planted)} "
+            f"queries, offenders {bad[:5]}"
+        )
+    return top1.select("qid", "cid")
 
 
 @register(
@@ -1440,10 +1517,24 @@ def e3_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 of the ADC-only ranking lifts to the shortlist's, at the
     cost of fetching 20 true vectors per query). Codebooks train once on a hash-gated sample and ride
     along as closure constants — never a join against the corpus."""
-    em = load(spark, sf_dir, "embeddings")
-    books = _pq_train(
-        em, n_bound=parquet_rowcount_bound(sf_dir, "embeddings")
+    return _pq_topk(
+        spark,
+        load(spark, sf_dir, "embeddings"),
+        n_bound=parquet_rowcount_bound(sf_dir, "embeddings"),
     )
+
+
+def _pq_topk(
+    spark: SparkSession, em: DataFrame, n_bound: int | None = None
+) -> DataFrame:
+    """The full PQ pipeline over an embeddings frame (queries =
+    ``vec_id < N_QUERY``, candidates = the rest) — shared by
+    ``e3_pq_knn`` and the r16 twin gate so the gate drives the REAL
+    train/encode/ADC/shortlist/re-rank path. Deterministic end to
+    end: hash-gated training membership, fixed seeds, fixed Lloyd
+    iterations, sequential-float64 exact re-rank, tiebroken
+    windows — the output is a pure function of the frame."""
+    books = _pq_train(em, n_bound=n_bound)
     encode = _pq_encode_udf(books)
 
     qrows = sorted(
@@ -1507,6 +1598,75 @@ def e3_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "e3_pq_twin_gate",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS qid,
+           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
+    FROM embeddings
+    WHERE vec_id < {N_QUERY}
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
+    """,
+)
+def e3_pq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-expressible projection of PQ top-k output (r16,
+    the fourth ANN twin conversion — the one the r15 VERDICT asked
+    to convert-or-refuse with analysis): plant a byte-identical
+    twin of every query vector at ``vec_id + 10M`` and run the REAL
+    ``e3_pq_knn`` pipeline — deterministic codebook training over
+    corpus+twins, 4-bit encode, ADC shortlist, exact re-rank, top-k
+    window. Soundness analysis, two stages: (1) the exact RE-RANK
+    stage is structurally safe — sequential-float64 cosine gives
+    the twin ~1.0 against a ~0.49 corpus ceiling, so IF the twin
+    reaches the shortlist it wins top-1 strictly; (2) shortlist
+    entry is the PQ-specific step: the twin's ADC score is
+    ~<q, reconstruction(q)> = 1 - O(PQ reconstruction error), while
+    every other candidate's is its true cosine (<= ~0.49) +- the
+    same error class — a wide margin, but an EMPIRICAL one
+    (codebook-dependent), not structural like the LSH/IVF bucket
+    identity. What makes the oracle sound anyway is DETERMINISM:
+    the whole pipeline (hash-gated sample membership, first-K
+    seeding, fixed Lloyd count, tiebroken windows) is a pure
+    function of the frame — no RNG anywhere — so the gate's outcome
+    is fixed per corpus, and the inline assert turns any margin
+    violation into a loud failure, never a wrong-row pass. DuckDB
+    enumerates the expected pairs without the codebooks; the full
+    top-k (`e3_pq_knn`) stays rows-only next to its measured recall
+    gate (`e3_pq_recall`)."""
+    em = load(spark, sf_dir, "embeddings")
+    planted = [
+        r.vec_id
+        for r in em.filter(
+            (F.col("vec_id") < N_QUERY)
+            & F.exists("embedding", lambda x: x != F.lit(0.0))
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    twins = em.filter(F.col("vec_id").isin(planted)).select(
+        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
+        *[c for c in em.columns if c != "vec_id"],
+    ).select(*em.columns)
+    top1 = (
+        _pq_topk(spark, em.union(twins))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("qid").isin(planted))
+        .select("qid", "cid", "sim")
+    )
+    rows = top1.collect()  # bounded: one row per planted query
+    bad = [
+        r
+        for r in rows
+        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
+    ]
+    if bad or len(rows) != len(planted):
+        raise AssertionError(
+            f"PQ twin gate violated: {len(rows)}/{len(planted)} "
+            f"queries, offenders {bad[:5]}"
+        )
+    return top1.select("qid", "cid")
 
 
 @register("e3_pq_recall", oracle=_TRUTH_ANCHOR_ORACLE)
@@ -1696,8 +1856,23 @@ def e3_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN family tells a uniform >= 0.9 story; probing 4/8 cells
     lifts the cell bound above the PQ shortlist's own ceiling at
     +1/8 corpus scoring cost (ADC LUT sums, still bucket-bounded)."""
+    return _ivfpq_topk(
+        spark,
+        load(spark, sf_dir, "embeddings"),
+        n_bound=parquet_rowcount_bound(sf_dir, "embeddings"),
+    )
+
+
+def _ivfpq_topk(
+    spark: SparkSession, em: DataFrame, n_bound: int | None = None
+) -> DataFrame:
+    """The full IVF-PQ pipeline over an embeddings frame (queries =
+    ``vec_id < N_QUERY``, candidates = the rest) — shared by
+    ``e3_ivfpq_knn`` and the r16 twin gate so the gate drives the
+    REAL coarse-train/PQ-train/encode/probe/ADC/re-rank path.
+    Deterministic end to end: no RNG in either quantizer, one
+    cell-ranking UDF over the whole frame, tiebroken windows."""
     n_cells, n_probe = 8, 4
-    em = load(spark, sf_dir, "embeddings")
     # coarse quantizer (identical recipe to e3_ivf_knn)
     seeds = em.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
@@ -1711,9 +1886,7 @@ def e3_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r["cell"],
     )
     # PQ codebooks + query LUTs (identical recipe to e3_pq_knn)
-    books = _pq_train(
-        em, n_bound=parquet_rowcount_bound(sf_dir, "embeddings")
-    )
+    books = _pq_train(em, n_bound=n_bound)
     encode = _pq_encode_udf(books)
     qrows = sorted(
         em.filter(F.col("vec_id") < N_QUERY)
@@ -1774,6 +1947,68 @@ def e3_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.round("sim", 6).alias("sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "e3_ivfpq_twin_gate",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS qid,
+           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
+    FROM embeddings
+    WHERE vec_id < {N_QUERY}
+      AND len(list_filter(embedding, x -> x <> 0)) > 0
+    """,
+)
+def e3_ivfpq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-expressible projection of IVF-PQ top-k output
+    (r16 — the fifth and last ANN twin conversion: every ANN tier
+    now carries a hard oracle companion next to its recall gate):
+    plant a byte-identical twin of every query vector at
+    ``vec_id + 10M`` and run the REAL ``e3_ivfpq_knn`` pipeline.
+    The analysis COMPOSES the IVF and PQ gates' halves: (a) cell
+    candidacy is STRUCTURAL — one cell-ranking UDF over the whole
+    frame means the twin's home cell equals the query's top-1
+    probed cell exactly, whatever training produced (the IVF
+    argument); (b) ADC shortlist entry rides the PQ margin —
+    ~1 - O(reconstruction error) against a ~0.49 corpus ceiling —
+    empirical but DETERMINISTIC (no RNG anywhere, so the outcome is
+    a pure function of the corpus), and asserted inline; (c) the
+    exact re-rank then pins the twin at top-1 strictly. DuckDB
+    enumerates the expected pairs with neither quantizer; the full
+    top-k (`e3_ivfpq_knn`) stays rows-only next to its measured
+    recall gate (`e3_ivfpq_recall`)."""
+    em = load(spark, sf_dir, "embeddings")
+    planted = [
+        r.vec_id
+        for r in em.filter(
+            (F.col("vec_id") < N_QUERY)
+            & F.exists("embedding", lambda x: x != F.lit(0.0))
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    twins = em.filter(F.col("vec_id").isin(planted)).select(
+        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
+        *[c for c in em.columns if c != "vec_id"],
+    ).select(*em.columns)
+    top1 = (
+        _ivfpq_topk(spark, em.union(twins))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("qid").isin(planted))
+        .select("qid", "cid", "sim")
+    )
+    rows = top1.collect()  # bounded: one row per planted query
+    bad = [
+        r
+        for r in rows
+        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
+    ]
+    if bad or len(rows) != len(planted):
+        raise AssertionError(
+            f"IVF-PQ twin gate violated: {len(rows)}/{len(planted)} "
+            f"queries, offenders {bad[:5]}"
+        )
+    return top1.select("qid", "cid")
 
 
 @register("e3_ivfpq_recall", oracle=_TRUTH_ANCHOR_ORACLE)
