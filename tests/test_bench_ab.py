@@ -312,6 +312,29 @@ class TestSiblingExitCode:
         assert rep["sibling"]["verdict"] == "query_specific"
         assert code == 1
 
+    def test_assertion_refused_when_shas_differ(self, tmp_path):
+        """--assert-same-code may fill in MISSING identity, never
+        contradict recorded identity: two different recorded shas
+        refute the caller's claim — exit 2, no adjudication."""
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": 1.4 for i in range(10)}
+        import json as _json
+        import os as _os
+
+        o, n = tmp_path / "o2.json", tmp_path / "n2.json"
+        o.write_text(_json.dumps(
+            {"queries": old, "git_sha": "a" * 40, "git_dirty": False}))
+        n.write_text(_json.dumps(
+            {"queries": new, "git_sha": "b" * 40, "git_dirty": False}))
+        r = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_compare.py",
+             str(o), str(n), "--sibling", "--quiet",
+             "--assert-same-code"],
+            capture_output=True, text=True, env={**_os.environ},
+        )
+        assert r.returncode == 2
+        assert "contradicts" in r.stderr
+
     def test_query_specific_gates_even_with_assertion(self, tmp_path):
         """Same-code assertion on a CONCENTRATED pattern: identity
         says not-code, so it adjudicates host — but only the explicit

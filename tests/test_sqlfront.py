@@ -1666,6 +1666,85 @@ class TestCorrInDML:
             fr.sql("DELETE FROM t WHERE k IN (SELECT t.x FROM s t "
                    "WHERE t.j = t.grp)")
 
+    def test_randomized_vs_duckdb_select_evaluator(self, spark,
+                                                   tmp_path):
+        """Property pin (r16): random NULL-seeded data through random
+        correlated-IN DELETE shapes must match DuckDB's SELECT
+        evaluator (the standard three-valued reading — NOT DuckDB
+        1.0.0's native UPDATE/DELETE..IN, which mis-applies DML to
+        NULL-key rows its own SELECT scores UNKNOWN)."""
+        import random
+
+        import duckdb
+
+        rnd = random.Random(20260817)
+        con = duckdb.connect()
+        for it in range(6):
+            t_rows = [
+                (
+                    rnd.choice([None] + list(range(12))),
+                    rnd.choice([None, 0, 1, 2, 3]),
+                    float(i),
+                )
+                for i in range(15)
+            ]
+            s_rows = [
+                (
+                    rnd.choice([None, 0, 1, 2, 3, 7]),
+                    rnd.choice([None] + list(range(12))),
+                )
+                for _ in range(8)
+            ]
+            lake = TransactionalLake(
+                spark, str(tmp_path / f"prop{it}"), partition_by=()
+            )
+            lake.append(spark.createDataFrame(
+                t_rows, "k long, grp long, v double"))
+            srcl = TransactionalLake(
+                spark, str(tmp_path / f"props{it}"), partition_by=()
+            )
+            srcl.append(spark.createDataFrame(s_rows, "j long, x long"))
+            fr = LakeSQL(spark)
+            fr.register("pt", lake)
+            fr.register("ps", srcl)
+            inner_filter = rnd.choice(
+                ["", " AND s.x > 4", " AND s.x % 2 = 0"]
+            )
+            residual = rnd.choice(["", " AND v < 12", " AND k % 2 = 0"])
+            pred = (
+                f"k IN (SELECT s.x FROM ps s WHERE s.j = pt.grp"
+                f"{inner_filter}){residual}"
+            )
+            fr.sql(f"DELETE FROM pt WHERE {pred}")
+
+            def _key(row):
+                return tuple(
+                    (x is None, -1 if x is None else x) for x in row
+                )
+
+            got = sorted(
+                ((r.k, r.grp, r.v)
+                 for r in fr.sql("SELECT * FROM pt").collect()),
+                key=_key,
+            )
+            con.execute("CREATE OR REPLACE TABLE t (k BIGINT, "
+                        "grp BIGINT, v DOUBLE)")
+            con.executemany("INSERT INTO t VALUES (?, ?, ?)", t_rows)
+            con.execute("CREATE OR REPLACE TABLE s (j BIGINT, x BIGINT)")
+            con.executemany("INSERT INTO s VALUES (?, ?)", s_rows)
+            duck_pred = pred.replace("ps s", "s s").replace(
+                "pt.grp", "t.grp"
+            )
+            exp = sorted(
+                (tuple(r)
+                 for r in con.execute(
+                     f"SELECT * FROM t WHERE NOT COALESCE("
+                     f"{duck_pred}, FALSE)"
+                 ).fetchall()),
+                key=_key,
+            )
+            assert got == exp, (it, pred, got, exp)
+
 
 class TestSqlDvModeEdges:
     """r15 post-record pins: dv interplay with the richer DML

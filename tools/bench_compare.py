@@ -342,9 +342,20 @@ def main() -> int:
         if args.assert_same_code:
             # caller-asserted identity: rank it like a matching sha
             # (the flag is an explicit, logged statement — distinct
-            # from the silent premise the r15 ADVICE flagged)
+            # from the silent premise the r15 ADVICE flagged). It
+            # may FILL IN missing identity, never contradict
+            # recorded identity: artifacts carrying two different
+            # shas refute the assertion.
+            o_sha, n_sha = meta_old.get("git_sha"), meta_new.get("git_sha")
+            if o_sha and n_sha and o_sha != n_sha:
+                print(
+                    f"--assert-same-code contradicts the artifacts: "
+                    f"recorded shas differ ({o_sha[:12]} vs "
+                    f"{n_sha[:12]})",
+                    file=sys.stderr,
+                )
+                return 2
             for m in (meta_old, meta_new):
-                m.setdefault("git_sha", "asserted-same-code")
                 m["git_sha"] = "asserted-same-code"
                 m["git_dirty"] = False
         rep["sibling"] = sibling_adjudication(
