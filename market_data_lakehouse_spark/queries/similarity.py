@@ -360,17 +360,71 @@ def e3_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VEC_TWIN_OFFSET = 10_000_000  # far above any driver vec_id
 
-
-@register(
-    "e3_sq_twin_gate",
-    oracle=f"""
+# Shared oracle for every ANN twin gate (r16): the expected output —
+# one (query, query+offset) pair per nonzero-norm query vector — is
+# enumerable without any quantizer or hash family. Interpolating the
+# SAME constants the engine side uses keeps a future offset change a
+# single-point edit (r16 review find: four gates had it hardcoded).
+_TWIN_ORACLE = f"""
     SELECT CAST(vec_id AS BIGINT) AS qid,
            CAST(vec_id AS BIGINT) + {_VEC_TWIN_OFFSET} AS cid
     FROM embeddings
     WHERE vec_id < {N_QUERY}
       AND len(list_filter(embedding, x -> x <> 0)) > 0
-    """,
-)
+    """
+
+
+def _twin_gate(
+    spark: SparkSession, sf_dir: str, label: str, topk_fn
+) -> DataFrame:
+    """Shared engine for the five ANN planted-twin gates (r16 review
+    find: five copy-pasted ~40-line bodies): plant a byte-identical
+    twin of every nonzero-norm query vector at ``vec_id + 10M``,
+    run the tier's REAL pipeline via ``topk_fn(em_augmented,
+    qrows)``, and require each query's top-1 to be its twin with
+    sim > 0.999 — asserted here, loudly. Returns the asserted pairs
+    as a LOCAL DataFrame: the pipeline already ran to produce the
+    assert's rows, so handing the harness a lazy plan would re-run
+    the whole train/encode/score path a second time at collect
+    (another review find)."""
+    em = load(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        em.filter(
+            (F.col("vec_id") < N_QUERY)
+            & F.exists("embedding", lambda x: x != F.lit(0.0))
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    planted = [r.vec_id for r in qrows]
+    twins = em.filter(F.col("vec_id").isin(planted)).select(
+        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
+        *[c for c in em.columns if c != "vec_id"],
+    ).select(*em.columns)
+    rows = (
+        topk_fn(em.union(twins), qrows)
+        .filter(F.col("rn") == 1)
+        .filter(F.col("qid").isin(planted))
+        .select("qid", "cid", "sim")
+        .collect()  # bounded: one row per planted query
+    )
+    bad = [
+        r
+        for r in rows
+        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
+    ]
+    if bad or len(rows) != len(planted):
+        raise AssertionError(
+            f"{label} twin gate violated: {len(rows)}/{len(planted)} "
+            f"queries, offenders {bad[:5]}"
+        )
+    return spark.createDataFrame(
+        sorted((r.qid, r.cid) for r in rows), "qid long, cid long"
+    )
+
+
+@register("e3_sq_twin_gate", oracle=_TWIN_ORACLE)
 def e3_sq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-expressible projection of SQ8 top-k output (r16,
     VERDICT r15 directive 3 — the ANN sibling of r15's
@@ -400,54 +454,27 @@ def e3_sq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contract they can see."""
     from .catalog import scratch_dir
 
-    em = load(spark, sf_dir, "embeddings")
-    qrows = sorted(
-        em.filter(
-            (F.col("vec_id") < N_QUERY)
-            & F.exists("embedding", lambda x: x != F.lit(0.0))
+    def sq_topk(em_aug: DataFrame, qrows: list) -> DataFrame:
+        qids = [r.vec_id for r in qrows]
+        Q = np.array(
+            [[float(x) for x in r.embedding] for r in qrows],
+            dtype=np.float64,
         )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    qids = [r.vec_id for r in qrows]
-    Q = np.array(
-        [[float(x) for x in r.embedding] for r in qrows], dtype=np.float64
-    )
-    qn = np.sqrt(_seq_sum(Q * Q))
-    quantize = _sq8_quantize_udf()
-    twins = em.filter(F.col("vec_id").isin(qids)).select(
-        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("cid"),
-        F.col("embedding"),
-    )
-    corpus = em.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("cid"), "embedding"
-    )
-    path = scratch_dir("sq8_twin")
-    (
-        corpus.union(twins)
-        .select("cid", quantize(F.col("embedding")).alias("q"))
-        .select("cid", "q.codes", "q.scale")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    top1 = (
-        _sq8_topk(spark.read.parquet(path), qids, Q, qn)
-        .filter(F.col("rn") == 1)
-        .select("qid", "cid", "sim")
-    )
-    rows = top1.collect()  # bounded: one row per query vector
-    bad = [
-        r
-        for r in rows
-        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
-    ]
-    if bad or len(rows) != len(qids):
-        raise AssertionError(
-            f"SQ8 twin gate violated: {len(rows)}/{len(qids)} "
-            f"queries, offenders {bad[:5]}"
+        qn = np.sqrt(_seq_sum(Q * Q))
+        path = scratch_dir("sq8_twin")
+        (
+            em_aug.filter(F.col("vec_id") >= N_QUERY)
+            .select(
+                F.col("vec_id").alias("cid"),
+                _sq8_quantize_udf()(F.col("embedding")).alias("q"),
+            )
+            .select("cid", "q.codes", "q.scale")
+            .write.mode("overwrite")
+            .parquet(path)
         )
-    return top1.select("qid", "cid")
+        return _sq8_topk(spark.read.parquet(path), qids, Q, qn)
+
+    return _twin_gate(spark, sf_dir, "SQ8", sq_topk)
 
 
 RADIUS = 0.30  # cosine threshold for range search (99.9th-pct sims
@@ -701,13 +728,7 @@ def _ann_lsh_topk(spark: SparkSession, em: DataFrame) -> DataFrame:
 
 @register(
     "e3_ann_twin_gate",
-    oracle=f"""
-    SELECT CAST(vec_id AS BIGINT) AS qid,
-           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
-    FROM embeddings
-    WHERE vec_id < {N_QUERY}
-      AND len(list_filter(embedding, x -> x <> 0)) > 0
-    """,
+    oracle=_TWIN_ORACLE,
 )
 def e3_ann_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-expressible projection of multi-table LSH-ANN
@@ -730,39 +751,10 @@ def e3_ann_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected pairs without the hash family; the full top-k
     (`e3_ann_lsh`) stays rows-only next to its measured recall
     gate (`e3_ann_recall`)."""
-    em = load(spark, sf_dir, "embeddings")
-    planted = [
-        r.vec_id
-        for r in em.filter(
-            (F.col("vec_id") < N_QUERY)
-            & F.exists("embedding", lambda x: x != F.lit(0.0))
-        )
-        .select("vec_id")
-        .collect()
-    ]
-    twins = em.filter(F.col("vec_id").isin(planted)).select(
-        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
-        "embedding",
-        *[c for c in em.columns if c not in ("vec_id", "embedding")],
-    ).select(*em.columns)
-    top1 = (
-        _ann_lsh_topk(spark, em.union(twins))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("qid").isin(planted))
-        .select("qid", "cid", "sim")
+    return _twin_gate(
+        spark, sf_dir, "LSH-ANN",
+        lambda em_aug, _q: _ann_lsh_topk(spark, em_aug),
     )
-    rows = top1.collect()  # bounded: one row per planted query
-    bad = [
-        r
-        for r in rows
-        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
-    ]
-    if bad or len(rows) != len(planted):
-        raise AssertionError(
-            f"LSH-ANN twin gate violated: {len(rows)}/{len(planted)} "
-            f"queries, offenders {bad[:5]}"
-        )
-    return top1.select("qid", "cid")
 
 
 @register(
@@ -923,13 +915,7 @@ def _ivf_topk(spark: SparkSession, em: DataFrame) -> DataFrame:
 
 @register(
     "e3_ivf_twin_gate",
-    oracle=f"""
-    SELECT CAST(vec_id AS BIGINT) AS qid,
-           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
-    FROM embeddings
-    WHERE vec_id < {N_QUERY}
-      AND len(list_filter(embedding, x -> x <> 0)) > 0
-    """,
+    oracle=_TWIN_ORACLE,
 )
 def e3_ivf_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-expressible projection of IVF top-k output (r16,
@@ -953,38 +939,10 @@ def e3_ivf_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected pairs without the quantizer; the full top-k
     (`e3_ivf_knn`) stays rows-only next to its measured recall gate
     (`e3_ivf_recall`)."""
-    em = load(spark, sf_dir, "embeddings")
-    planted = [
-        r.vec_id
-        for r in em.filter(
-            (F.col("vec_id") < N_QUERY)
-            & F.exists("embedding", lambda x: x != F.lit(0.0))
-        )
-        .select("vec_id")
-        .collect()
-    ]
-    twins = em.filter(F.col("vec_id").isin(planted)).select(
-        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
-        *[c for c in em.columns if c != "vec_id"],
-    ).select(*em.columns)
-    top1 = (
-        _ivf_topk(spark, em.union(twins))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("qid").isin(planted))
-        .select("qid", "cid", "sim")
+    return _twin_gate(
+        spark, sf_dir, "IVF",
+        lambda em_aug, _q: _ivf_topk(spark, em_aug),
     )
-    rows = top1.collect()  # bounded: one row per planted query
-    bad = [
-        r
-        for r in rows
-        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
-    ]
-    if bad or len(rows) != len(planted):
-        raise AssertionError(
-            f"IVF twin gate violated: {len(rows)}/{len(planted)} "
-            f"queries, offenders {bad[:5]}"
-        )
-    return top1.select("qid", "cid")
 
 
 @register(
@@ -1602,13 +1560,7 @@ def _pq_topk(
 
 @register(
     "e3_pq_twin_gate",
-    oracle=f"""
-    SELECT CAST(vec_id AS BIGINT) AS qid,
-           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
-    FROM embeddings
-    WHERE vec_id < {N_QUERY}
-      AND len(list_filter(embedding, x -> x <> 0)) > 0
-    """,
+    oracle=_TWIN_ORACLE,
 )
 def e3_pq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-expressible projection of PQ top-k output (r16,
@@ -1635,38 +1587,19 @@ def e3_pq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerates the expected pairs without the codebooks; the full
     top-k (`e3_pq_knn`) stays rows-only next to its measured recall
     gate (`e3_pq_recall`)."""
-    em = load(spark, sf_dir, "embeddings")
-    planted = [
-        r.vec_id
-        for r in em.filter(
-            (F.col("vec_id") < N_QUERY)
-            & F.exists("embedding", lambda x: x != F.lit(0.0))
-        )
-        .select("vec_id")
-        .collect()
-    ]
-    twins = em.filter(F.col("vec_id").isin(planted)).select(
-        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
-        *[c for c in em.columns if c != "vec_id"],
-    ).select(*em.columns)
-    top1 = (
-        _pq_topk(spark, em.union(twins))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("qid").isin(planted))
-        .select("qid", "cid", "sim")
+    # n_bound: footer bound of the raw table + the planted twins —
+    # an upper bound on the augmented frame, skipping the count() job
+    # the non-gate entry also skips (r16 review find)
+    return _twin_gate(
+        spark, sf_dir, "PQ",
+        lambda em_aug, qrows: _pq_topk(
+            spark, em_aug,
+            n_bound=(
+                (parquet_rowcount_bound(sf_dir, "embeddings") or 0)
+                + len(qrows)
+            ) or None,
+        ),
     )
-    rows = top1.collect()  # bounded: one row per planted query
-    bad = [
-        r
-        for r in rows
-        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
-    ]
-    if bad or len(rows) != len(planted):
-        raise AssertionError(
-            f"PQ twin gate violated: {len(rows)}/{len(planted)} "
-            f"queries, offenders {bad[:5]}"
-        )
-    return top1.select("qid", "cid")
 
 
 @register("e3_pq_recall", oracle=_TRUTH_ANCHOR_ORACLE)
@@ -1951,13 +1884,7 @@ def _ivfpq_topk(
 
 @register(
     "e3_ivfpq_twin_gate",
-    oracle=f"""
-    SELECT CAST(vec_id AS BIGINT) AS qid,
-           CAST(vec_id AS BIGINT) + {10_000_000} AS cid
-    FROM embeddings
-    WHERE vec_id < {N_QUERY}
-      AND len(list_filter(embedding, x -> x <> 0)) > 0
-    """,
+    oracle=_TWIN_ORACLE,
 )
 def e3_ivfpq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-expressible projection of IVF-PQ top-k output
@@ -1977,38 +1904,19 @@ def e3_ivfpq_twin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerates the expected pairs with neither quantizer; the full
     top-k (`e3_ivfpq_knn`) stays rows-only next to its measured
     recall gate (`e3_ivfpq_recall`)."""
-    em = load(spark, sf_dir, "embeddings")
-    planted = [
-        r.vec_id
-        for r in em.filter(
-            (F.col("vec_id") < N_QUERY)
-            & F.exists("embedding", lambda x: x != F.lit(0.0))
-        )
-        .select("vec_id")
-        .collect()
-    ]
-    twins = em.filter(F.col("vec_id").isin(planted)).select(
-        (F.col("vec_id") + _VEC_TWIN_OFFSET).alias("vec_id"),
-        *[c for c in em.columns if c != "vec_id"],
-    ).select(*em.columns)
-    top1 = (
-        _ivfpq_topk(spark, em.union(twins))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("qid").isin(planted))
-        .select("qid", "cid", "sim")
+    # n_bound: footer bound of the raw table + the planted twins —
+    # an upper bound on the augmented frame, skipping the count() job
+    # the non-gate entry also skips (r16 review find)
+    return _twin_gate(
+        spark, sf_dir, "IVF-PQ",
+        lambda em_aug, qrows: _ivfpq_topk(
+            spark, em_aug,
+            n_bound=(
+                (parquet_rowcount_bound(sf_dir, "embeddings") or 0)
+                + len(qrows)
+            ) or None,
+        ),
     )
-    rows = top1.collect()  # bounded: one row per planted query
-    bad = [
-        r
-        for r in rows
-        if r.cid != r.qid + _VEC_TWIN_OFFSET or not (r.sim > 0.999)
-    ]
-    if bad or len(rows) != len(planted):
-        raise AssertionError(
-            f"IVF-PQ twin gate violated: {len(rows)}/{len(planted)} "
-            f"queries, offenders {bad[:5]}"
-        )
-    return top1.select("qid", "cid")
 
 
 @register("e3_ivfpq_recall", oracle=_TRUTH_ANCHOR_ORACLE)

@@ -1342,10 +1342,28 @@ class LakeSQL:
             if not mm:
                 residual.append(part)
                 continue
-            correlated = re.search(
+            has_target_ref = re.search(
                 rf"(?<![\w.`]){re.escape(target)}\s*\.",
                 _mask_literals(mm.group("q")),
                 re.IGNORECASE,
+            )
+            im = self._IN_INNER.match(mm.group("q"))
+            # correlation must be PROVEN, not pattern-matched (r16
+            # review find — a bare "<target>." search broke two
+            # previously-legal UNcorrelated forms): a subquery whose
+            # FROM source or alias equals the target name SHADOWS
+            # the outer scope (SQL resolution: `k IN (SELECT t.k
+            # FROM t ...)` is a self-subquery over the inner t), and a
+            # shape the simple-inner grammar cannot parse (joins,
+            # computed select items over a mentioned-but-joined
+            # target view) was ALWAYS handled by the r13 path, where
+            # spark.sql applies real scoping — a genuinely
+            # correlated unparseable form still fails LOUD there
+            # with an unresolved column, never silently.
+            correlated = bool(
+                has_target_ref
+                and im is not None
+                and (im.group("alias") or im.group("src")).lower() != tgt
             )
             if not correlated:
                 plain_in += 1
@@ -1372,22 +1390,8 @@ class LakeSQL:
                     f"{mm.group('iq')}.{mm.group('col')} (the "
                     f"target is {target!r})"
                 )
-            im = self._IN_INNER.match(mm.group("q"))
-            if not im:
-                raise ValueError(
-                    "correlated IN subquery must be SELECT "
-                    "[<alias>.]<column> FROM <table> [alias] "
-                    f"[WHERE ...]; got {mm.group('q')!r} (a computed "
-                    "select item does not decorrelate to an "
-                    "equi-join key)"
-                )
             src, alias = im.group("src"), im.group("alias")
             src_q = (alias or src).lower()
-            if src_q == tgt:
-                raise ValueError(
-                    "IN subquery source must be aliased differently "
-                    f"from the DML target {target!r}"
-                )
             if im.group("iq") and im.group("iq").lower() != src_q:
                 raise ValueError(
                     f"IN subquery select item must come from the "

@@ -239,9 +239,13 @@ class TestSiblingAdjudication:
 
 
 class TestSiblingExitCode:
-    """r15 review find: --sibling must keep gating on flagged queries
-    when the verdict is query_specific — only host_uniform/equivalent
-    adjudications wave flags through."""
+    """Exit contract as of r16: a host_* verdict suppresses the
+    nonzero exit ONLY with code identity — matching clean recorded
+    shas (same sf/cpus), or the explicit --assert-same-code flag. A
+    statistical host verdict without identity reports itself but
+    keeps gating (r15 ADVICE); query_specific and
+    same_commit_concentrated (hot subset on a flat median, even with
+    identity) always gate — those are the investigate-me patterns."""
 
     def _run(self, tmp_path, old_q, new_q, *extra, old_doc=None,
              new_doc=None):
@@ -335,15 +339,38 @@ class TestSiblingExitCode:
         assert r.returncode == 2
         assert "contradicts" in r.stderr
 
-    def test_query_specific_gates_even_with_assertion(self, tmp_path):
-        """Same-code assertion on a CONCENTRATED pattern: identity
-        says not-code, so it adjudicates host — but only the explicit
-        flag (a logged caller statement) may unlock that."""
+    def test_concentrated_gates_even_with_assertion(self, tmp_path):
+        """Same-code assertion on a CONCENTRATED pattern (hot subset,
+        flat median): identity proves it is not a code change, but
+        same code can still plan differently (AQE/stats/environment)
+        — the reproducible-flip possibility keeps the gate (r16
+        review find: an unconditional host verdict here would wave
+        it through)."""
         old = {f"q{i}": 1.0 for i in range(10)}
         new = {f"q{i}": (2.5 if i < 3 else 1.0) for i in range(10)}
         code, rep = self._run(tmp_path, old, new, "--assert-same-code")
-        assert rep["sibling"]["verdict"] == "host_same_commit"
-        assert code == 0
+        assert rep["sibling"]["verdict"] == "same_commit_concentrated"
+        assert code == 1
+
+    def test_assertion_refused_on_param_mismatch(self, tmp_path):
+        """--assert-same-code with recorded sf differing: the refusal
+        must name the failed premise, not silently ignore the flag."""
+        import json as _json
+        import os as _os
+
+        old = {f"q{i}": 1.0 for i in range(10)}
+        new = {f"q{i}": 1.4 for i in range(10)}
+        o, n = tmp_path / "o3.json", tmp_path / "n3.json"
+        o.write_text(_json.dumps({"queries": old, "sf": 0.1}))
+        n.write_text(_json.dumps({"queries": new, "sf": 0.01}))
+        r = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_compare.py",
+             str(o), str(n), "--sibling", "--quiet",
+             "--assert-same-code"],
+            capture_output=True, text=True, env={**_os.environ},
+        )
+        assert r.returncode == 2
+        assert "sf differs" in r.stderr
 
 
 class TestR15SiblingPair:

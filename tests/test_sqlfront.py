@@ -1622,9 +1622,17 @@ class TestCorrInDML:
                    "WHERE s.j = t.grp) AND v > (SELECT max(s.x) "
                    "FROM s WHERE s.j = t.grp)")
 
-    def test_refuses_computed_select_item(self, ci_front):
+    def test_computed_select_item_fails_loud_unresolved(self, ci_front):
+        """A correlated IN whose select item is COMPUTED does not
+        match the provable-correlation grammar, so it falls back to
+        the r13 standalone-subquery path — where spark.sql's real
+        scoping fails LOUD on the unresolved outer ref (exactly the
+        pre-r16 behavior; never a silent rebind, because
+        _strip_qualifier won't reach inside subquery spans)."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         fr, _ = ci_front
-        with pytest.raises(ValueError, match="computed select item"):
+        with pytest.raises(AnalysisException, match="t.*grp"):
             fr.sql("DELETE FROM t WHERE k IN (SELECT s.x + 1 FROM s "
                    "WHERE s.j = t.grp)")
 
@@ -1660,11 +1668,50 @@ class TestCorrInDML:
             fr.sql("DELETE FROM t WHERE k IN (SELECT zz.x FROM s "
                    "WHERE s.j = t.grp)")
 
-    def test_refuses_source_aliased_as_target(self, ci_front):
+    def test_self_subquery_shadows_target_uncorrelated(self, ci_front):
+        """r16 review find: `k IN (SELECT t.k FROM t WHERE ...)` is a
+        SELF-subquery — SQL scoping binds the inner t refs to the
+        subquery's own FROM t, shadowing the outer target — and it
+        executed fine before the correlated-IN extractor landed. The
+        extractor must classify it uncorrelated and leave it to the
+        r13 path."""
         fr, _ = ci_front
-        with pytest.raises(ValueError, match="aliased differently"):
-            fr.sql("DELETE FROM t WHERE k IN (SELECT t.x FROM s t "
-                   "WHERE t.j = t.grp)")
+        fr.sql("DELETE FROM t WHERE k IN (SELECT t.k FROM t "
+               "WHERE t.v > 9.5)")
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(10)] + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_inner_alias_shadowing_target_uncorrelated(self, ci_front):
+        """Aliasing the SOURCE as the target's name shadows the outer
+        scope too: `k IN (SELECT t.x FROM s t WHERE t.j = 1)` is
+        uncorrelated (inner t = s) and must run the r13 path."""
+        fr, _ = ci_front
+        fr.sql("DELETE FROM t WHERE k IN (SELECT t.x FROM s t "
+               "WHERE t.j = 1)")
+        # s rows with j=1: x in {5, 20, NULL} -> k=5 deletes
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(12) if i != 5]
+            + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
+
+    def test_unparseable_target_mention_falls_back_loud(self, ci_front):
+        """A subquery the simple-inner grammar cannot parse (a JOIN
+        against the target view) keeps its r13 behavior: evaluated
+        standalone by spark.sql with real scoping — here the join
+        against t resolves and the statement executes."""
+        fr, _ = ci_front
+        fr.sql("DELETE FROM t WHERE k IN (SELECT s.x FROM s "
+               "JOIN t ON s.j = t.grp WHERE s.x < 6)")
+        # pairs (j,x) with x<6: (0,4),(1,5); join finds matching grp
+        # rows in t for j=0 and j=1 -> key set {4, 5}
+        exp = sorted(
+            [(i, i % 4, float(i)) for i in range(12) if i not in (4, 5)]
+            + [(-99, 1, 99.0)]
+        )
+        assert _ci_state(fr) == exp
 
     def test_randomized_vs_duckdb_select_evaluator(self, spark,
                                                    tmp_path):

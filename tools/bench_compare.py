@@ -240,11 +240,19 @@ def sibling_adjudication(
         else None
     )
     if same_commit:
-        verdict = (
-            "equivalent"
-            if slow_side <= 1.10 and not hot
-            else "host_same_commit"
-        )
+        # identity proves the CODE didn't change — it does not prove
+        # the runs are comparable: same code can plan differently
+        # (AQE/stats/scratch state). Whole-window drift on identical
+        # code is host; CONCENTRATED drift on a flat median is still
+        # the investigate-these-queries pattern (r16 review find —
+        # an unconditional host verdict would wave a reproducible
+        # environment-triggered plan flip through the gate).
+        if slow_side <= 1.10:
+            verdict = (
+                "same_commit_concentrated" if hot else "equivalent"
+            )
+        else:
+            verdict = "host_same_commit"
     elif slow_side <= 1.10:
         # flat median: the WINDOW agrees — but individually hot
         # queries on a flat window are exactly the concentrated
@@ -275,6 +283,11 @@ def sibling_adjudication(
             f"control ratio ({round(env_bound, 3) if env_bound else None}"
             "x): job-floor/CPU steal decomposition; use the faster "
             "sibling as the record"
+        ),
+        "same_commit_concentrated": (
+            "code-identical runs, flat median, but a hot subset — "
+            "not a code change, yet possibly a reproducible "
+            "plan/environment flip: investigate the flagged queries"
         ),
     }
     return {
@@ -355,6 +368,20 @@ def main() -> int:
                     file=sys.stderr,
                 )
                 return 2
+            for k in ("sf", "cpus"):
+                ov, nv = meta_old.get(k), meta_new.get(k)
+                if ov is not None and nv is not None and ov != nv:
+                    # same code at different run params is not a
+                    # sibling pair — say WHICH premise failed instead
+                    # of silently ignoring the flag (r16 review find)
+                    print(
+                        f"--assert-same-code refused: recorded {k} "
+                        f"differs ({ov} vs {nv}) — the runs are not "
+                        "comparable siblings regardless of code "
+                        "identity",
+                        file=sys.stderr,
+                    )
+                    return 2
             for m in (meta_old, meta_new):
                 m["git_sha"] = "asserted-same-code"
                 m["git_dirty"] = False

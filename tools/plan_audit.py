@@ -65,21 +65,19 @@ def write_report(spark, sf_dir: str, out_path: str, log=None) -> dict:
     # provenance stamp (r16, VERDICT r15 directive 4): the plan body
     # had been byte-stable since r11, so refreshes produced no diff
     # and the artifact LOOKED stale — record which commit generated
-    # it so HEAD-recency is checkable from the file itself
-    import subprocess
+    # it so HEAD-recency is checkable from the file itself. Reuses
+    # bench.py's identity helper (r16 review find: a local re-spell
+    # omitted the dirty flag and anchored git at dirname(out_path)),
+    # so the stamp carries git_dirty and is rooted at the repo.
     import time as _time
 
-    try:
-        sha = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(out_path),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or None
-    except Exception:
-        sha = None
+    from bench import _git_identity
+
+    ident = _git_identity()
     report = {
         "sf_dir": sf_dir,
-        "generated_at_sha": sha,
+        "generated_at_sha": ident.get("git_sha"),
+        "generated_dirty": ident.get("git_dirty"),
         "generated_at": _time.strftime("%Y-%m-%dT%H:%M:%S"),
         "n_plans": len(out),
         "plans": out,
