@@ -1820,17 +1820,21 @@ class TestDmlTableAlias:
         with pytest.raises(ValueError, match="unknown qualifier"):
             fr.sql("UPDATE al5 AS x SET y.v = 1.0 WHERE x.k = 0")
 
-    def test_correlated_in_subquery_stays_loud(self, spark, tmp_path):
-        """Dequalification must not reach inside an IN subquery: a
-        correlated ref there keeps its qualifier and fails LOUD
-        (unresolved) instead of silently rebinding to the subquery's
-        own columns."""
+    def test_correlated_in_subquery_decorrelates(self, spark, tmp_path):
+        """r14 pinned this form as a LOUD unresolved failure
+        (dequalification must not reach inside the subquery); r16
+        implements it (VERDICT r15 directive 5): the correlation
+        equality plus the (IN-column, select-item) pair decorrelate
+        onto the key-MERGE probe. `k IN (SELECT sk FROM src s WHERE
+        s.sk = t.k)` = k is a member of the sk set {1, 2} — deletes
+        k=1,2."""
         fr = self._setup(spark, tmp_path, "al6")
-        with pytest.raises(Exception, match="al6|resolve|RESOLVE"):
-            fr.sql(
-                "DELETE FROM al6 WHERE k IN "
-                "(SELECT sk FROM al6_src s WHERE s.sk = al6.k)"
-            )
+        fr.sql(
+            "DELETE FROM al6 WHERE k IN "
+            "(SELECT sk FROM al6_src s WHERE s.sk = al6.k)"
+        )
+        got = sorted(r.k for r in fr.sql("SELECT * FROM al6").collect())
+        assert got == [0, 3]
 
     def test_no_alias_unchanged(self, spark, tmp_path):
         fr = self._setup(spark, tmp_path, "al7")
