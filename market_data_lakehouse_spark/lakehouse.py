@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from market_data_lakehouse_spark.localrel import local_df
 from market_data_lakehouse_spark.schema import ASSET_CLASSES, BAR_SCHEMA
 
 DEFAULT_BATCH_SIZE = 10_000  # reference lakehouse.py:20
@@ -583,7 +584,7 @@ class DataLakehouse:
         if not os.path.isdir(self.base_path):
             # Never-written lake: the reference returns an empty
             # QueryResult (lakehouse.py:352-356), not an error.
-            return self.spark.createDataFrame([], schema=full_schema)
+            return local_df(self.spark, [], schema=full_schema)
         if self.file_format == "csv":
             # timestamp is stored as µs-exact CAST text (see _append);
             # read it as a string and cast back — Spark's CSV

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_lakehouse_spark.lakehouse import DataLakehouse
+from market_data_lakehouse_spark.localrel import local_df
 from market_data_lakehouse_spark.queries.catalog import (
     load,
     register,
@@ -530,7 +531,7 @@ def s15_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sum(r.deleted_rows for r in f) == d["num_deleted_rows"]
     assert len({r.path for r in f}) == len(f), "duplicate file rows"
     visible = tx.snapshot().count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 d["version"],
@@ -817,7 +818,7 @@ def s18_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = tx.count_rows(version=0)
     n_live = tx.count_rows()
     n_scan = tx.snapshot().count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_total, n_live, n_live == n_scan)],
         "n_total bigint, n_live bigint, matches_scan boolean",
     )
@@ -1399,7 +1400,7 @@ def s26_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if col == "value":
             mn, mx = round(mn, 4), round(mx, 4)
         rows.append((col, st["rows"], s["nulls"], mn, mx, ndv_ok))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "col string, rows_n bigint, nulls bigint, min_val double, "
         "max_val double, ndv_ok boolean",
@@ -1465,7 +1466,7 @@ def s27_table_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert locked, "unknown feature did not lock the table"
     finally:
         _json.dump(c, open(head, "w"))  # restore for the scan below
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(f,) for f in feats], "feature string"
     ).orderBy("feature")
 

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from market_data_lakehouse_spark.localrel import local_df
 from market_data_lakehouse_spark.queries.catalog import (
     load,
     parquet_rowcount_bound,
@@ -419,7 +420,7 @@ def _twin_gate(
             f"{label} twin gate violated: {len(rows)}/{len(planted)} "
             f"queries, offenders {bad[:5]}"
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted((r.qid, r.cid) for r in rows), "qid long, cid long"
     )
 
@@ -1196,7 +1197,7 @@ def kmeans_objective(spark: SparkSession, sf_dir: str, n_iter: int) -> float:
     ``n_iter`` Lloyd iterations — the spherical k-means objective,
     used by the property test to assert monotone improvement."""
     assigned, cents_rows = _kmeans_fit(spark, sf_dir, n_iter=n_iter)
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(r["cell"], [float(x) for x in r["ce"]]) for r in cents_rows],
         "cluster long, ce array<double>",
     )
@@ -1219,7 +1220,7 @@ def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver entry (e3_kmeans) wraps this summary in the bounded-error
     gate; this function is the user-facing query."""
     assigned, cents_rows = _kmeans_fit(spark, sf_dir)
-    cents = spark.createDataFrame(
+    cents = local_df(spark, 
         [(r["cell"], [float(x) for x in r["ce"]]) for r in cents_rows],
         "cluster long, ce array<double>",
     )
@@ -1296,7 +1297,7 @@ def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect(),
             key=lambda r: r["cell"],
         )
-        cents = spark.createDataFrame(
+        cents = local_df(spark, 
             [(r["cell"], [float(x) for x in r["ce"]]) for r in cents_rows],
             "cluster long, ce array<double>",
         )
@@ -1323,7 +1324,7 @@ def e3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summary = kmeans_cluster_summary(spark, sf_dir).collect()
     shares_valid = all(0.0 < r.top_label_share <= 1.0 for r in summary)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 n_total,
@@ -1542,7 +1543,7 @@ def _pq_topk(
         .filter(F.col("srn") <= PQ_SHORTLIST)
         .drop("srn", "adc")
     )
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows],
         "qid long, qe array<double>",
     )
@@ -1751,7 +1752,7 @@ def e2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .first()
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 n_vecs,
@@ -1866,7 +1867,7 @@ def _ivfpq_topk(
         .filter(F.col("srn") <= PQ_SHORTLIST)
         .select("qid", "cid", "ce")
     )
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows],
         "qid long, qe array<double>",
     )

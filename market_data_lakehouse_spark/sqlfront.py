@@ -52,6 +52,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_data_lakehouse_spark.localrel import local_df
 from market_data_lakehouse_spark.txnlog import TransactionalLake
 
 __all__ = ["LakeSQL"]
@@ -399,7 +400,7 @@ class LakeSQL:
 
     # -- receipts -------------------------------------------------------
     def _receipt(self, op: str, version: int) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(op, int(version))], "operation string, version bigint"
         )
 
@@ -461,7 +462,7 @@ class LakeSQL:
         if v != before_v:  # Delta's OPTIMIZE metrics shape
             mx = lake.history(limit=1)[0]["operation_metrics"]
             added, removed = mx["num_added_files"], mx["num_removed_files"]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(int(v), int(added), int(removed))],
             "version bigint, num_added_files bigint, "
             "num_removed_files bigint",
@@ -550,7 +551,7 @@ class LakeSQL:
             kwargs["retention_seconds"] = float(m.group("hours")) * 3600.0
         if m.group("dry"):
             paths = lake.vacuum(dry_run=True, **kwargs)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(p,) for p in sorted(paths)], "path string"
             )
         return self._receipt("VACUUM", lake.vacuum(**kwargs))
@@ -580,7 +581,7 @@ class LakeSQL:
             restored = mx["num_added_files"]
             removed = mx["num_removed_files"]
         d = lake.detail()
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(
                 int(v), int(restored), int(removed),
                 int(d["num_files"]), int(d["size_bytes"]),
@@ -611,7 +612,7 @@ class LakeSQL:
             )
             for c in lake.history(limit=limit)
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "version bigint, operation string, num_added_files bigint, "
             "num_removed_files bigint, num_output_rows bigint, "
@@ -642,7 +643,7 @@ class LakeSQL:
             if note:
                 notes.append(note)
             rows.append((name, dtype, ", ".join(notes)))
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, "col_name string, data_type string, comment string"
         )
 
@@ -658,7 +659,7 @@ class LakeSQL:
         earliest KNOWN point once vacuum_log truncates history)."""
         d = self.table(m.group("tbl")).detail()
         cl = d.get("clustering") or {}
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(
                 d["location"],
                 int(d["version"]),
@@ -707,10 +708,10 @@ class LakeSQL:
                     f"Table {m.group('tbl')} does not have property: "
                     f"{key}"
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(key, val)], "key string, value string"
             )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             sorted(props.items()), "key string, value string"
         )
 
@@ -943,7 +944,7 @@ class LakeSQL:
     def _do_generate(self, m) -> DataFrame:
         lake = self.table(m.group("tbl"))
         lake.generate_manifest()
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(p,) for p in sorted(lake.manifest_paths())], "path string"
         )
 
@@ -2718,7 +2719,7 @@ class LakeSQL:
                 lake.set_identity(
                     identity[0], start=identity[1], step=identity[2]
                 )
-            seed = self.spark.createDataFrame(
+            seed = local_df(self.spark, 
                 [], ", ".join(f"{n} {t}" for n, t in plain)
             )
             v = lake.append(seed)  # schema commit: plain + derived
@@ -2758,14 +2759,14 @@ class LakeSQL:
         name = m.group("name").lower()
         if name not in self._tables:
             if m.group("ife"):
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     [(name, "not registered")],
                     "table string, status string",
                 )
             self.table(name)  # raise with the registered list
         del self._tables[name]
         self.spark.catalog.dropTempView(name)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(name, "unregistered")], "table string, status string"
         )
 
@@ -2791,7 +2792,7 @@ class LakeSQL:
             for n, lake in sorted(self._tables.items())
             if keep(n)
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, "table string, location string, version bigint"
         )
 
@@ -2823,7 +2824,7 @@ class LakeSQL:
         if name:
             self.register(name, lake)
         n_files = len(lake._snapshot_state()[0])
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [("CONVERT TO LAKE", int(lake.version), lake.path,
               int(n_files))],
             "operation string, version bigint, location string, "
@@ -2860,7 +2861,7 @@ class LakeSQL:
             deep=deep,
         )
         self.register(name, tgt)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [("CREATE TABLE CLONE", int(tgt.version), tgt.path,
               "deep" if deep else "shallow")],
             "operation string, version bigint, location string, "
@@ -2885,7 +2886,7 @@ class LakeSQL:
         """``SHOW COLUMNS IN|FROM t`` — logical column names at head
         (Spark's single-column output shape)."""
         lake = self.table(m.group("tbl"))
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(n,) for n, _t in lake.snapshot().dtypes],
             "col_name string",
         )
@@ -2902,7 +2903,7 @@ class LakeSQL:
         lake = self.table(m.group("tbl"))
         before = len(lake._snapshot_state()[0])
         v = lake.truncate()
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [("TRUNCATE TABLE", int(v), int(before))],
             "operation string, version bigint, num_removed_files bigint",
         )
@@ -3040,7 +3041,7 @@ class LakeSQL:
             stmt += f"\nTBLPROPERTIES ({body})"
         if notes:
             stmt += "\n" + "\n".join(notes)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(stmt,)], "createtab_stmt string"
         )
 
@@ -3093,7 +3094,7 @@ class LakeSQL:
         them without committing (Delta's statement shape)."""
         lake = self.table(m.group("tbl"))
         missing = lake.fsck_repair(dry_run=m.group("dry") is not None)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(p,) for p in missing], "path string"
         )
 
@@ -3140,7 +3141,7 @@ class LakeSQL:
             options=self._parse_opts(m.group("fopts")) or None,
             force=copts.get("force", "").lower() == "true",
         )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [("COPY INTO", int(rec["version"]),
               int(rec["num_files_loaded"]), int(rec["num_rows_loaded"]),
               int(rec["num_files_skipped"]))],

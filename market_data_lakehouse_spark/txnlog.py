@@ -44,6 +44,8 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_data_lakehouse_spark.localrel import local_df
+
 LOG_DIR = "_txn_log"
 
 # File-level bloom filters (Delta bloom-filter-index analog). The
@@ -3784,7 +3786,7 @@ class TransactionalLake:
                 for rel, ps in dvs.items()
                 for p in ps
             ]
-            dv_df = self.spark.createDataFrame(
+            dv_df = local_df(self.spark, 
                 pairs, "_dv_file string, _dv_pos bigint"
             )
             raw = raw.join(
@@ -5391,7 +5393,7 @@ class TransactionalLake:
             if schemas:
                 from pyspark.sql.types import StructType
 
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     [],
                     StructType.fromJson(
                         {
@@ -5445,7 +5447,7 @@ class TransactionalLake:
             ]
             if pairs:
                 cols = df.columns
-                dv_df = self.spark.createDataFrame(
+                dv_df = local_df(self.spark, 
                     pairs, "_dv_file string, _dv_pos bigint"
                 )
                 fname = F.substring_index(
@@ -5638,7 +5640,7 @@ class TransactionalLake:
                     "before row tracking was enabled; start the feed "
                     "at or after the enabling commit"
                 )
-            bdf = self.spark.createDataFrame(
+            bdf = local_df(self.spark, 
                 [
                     (
                         os.path.basename(f),
@@ -5676,7 +5678,7 @@ class TransactionalLake:
                 for rel, ps in dv.items()
                 for p in ps
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 pairs, "_dv_file string, _dv_pos bigint"
             )
 
@@ -6269,7 +6271,7 @@ class TransactionalLake:
                     len(dvs.get(rel, [])),
                 )
             )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "path string, size_bytes long, stats_columns array<string>, "
             "bloom_columns array<string>, deleted_rows long",
@@ -6313,7 +6315,7 @@ class TransactionalLake:
         rows = sorted(
             seen, key=lambda t: tuple("" if v is None else v for v in t)
         )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, ", ".join(f"`{k}` string" for k in keys)
         )
 
@@ -6895,7 +6897,7 @@ class TransactionalLake:
             acc += n
         if not offsets:
             return df.withColumn(column, F.lit(None).cast("long")), 0
-        odf = self.spark.createDataFrame(offsets, "_pid int, _off long")
+        odf = local_df(self.spark, offsets, "_pid int, _off long")
         out = (
             tagged.join(F.broadcast(odf), "_pid")
             .withColumn(
@@ -7502,7 +7504,7 @@ class TransactionalLake:
                 f"row tracking: {len(missing)} live file(s) have no "
                 f"base row id (e.g. {missing[0]!r}) — log corruption"
             )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [
                 (
                     os.path.basename(f),

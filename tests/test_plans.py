@@ -669,3 +669,66 @@ class TestTriangleBroadcastGate:
         assert _size_bytes(67108864) == 64 << 20
         assert _size_bytes("1k") == 1 << 10
         assert _size_bytes("2g") == 2 << 30
+
+
+class TestLocalRelation:
+    """r16 optimization: driver-side metadata rows plan a
+    LocalTableScan (Arrow ingest) instead of a 32-slice pickled RDD
+    whose every task boots a Python worker. Broadcast builds over a
+    LocalRelation collect driver-side with zero jobs."""
+
+    def test_local_df_plans_local_table_scan(self, spark):
+        from market_data_lakehouse_spark.localrel import local_df
+
+        df = local_df(
+            spark,
+            [("f1.parquet", 3), ("f2.parquet", None)],
+            "_dv_file string, _dv_pos bigint",
+        )
+        assert "LocalTableScan" in simple_plan(df)
+
+    def test_local_df_matches_stock_createdataframe(self, spark):
+        from market_data_lakehouse_spark.localrel import local_df
+
+        cases = [
+            ([("a", 1), (None, None)], "s string, n bigint"),
+            ([(1, [0.5, 1.25]), (2, [])], "k long, v array<double>"),
+            ([("p", 10, ["x"], [], 3)],
+             "path string, size_bytes long, stats_columns array<string>,"
+             " bloom_columns array<string>, deleted_rows long"),
+            ([(True, 0.5)], "b boolean, d double"),
+            ([], "a string, b bigint"),
+        ]
+        for rows, ddl in cases:
+            a = local_df(spark, rows, ddl)
+            b = spark.createDataFrame(rows, ddl)
+            assert a.schema == b.schema, ddl
+            ka = sorted(map(str, a.collect()))
+            kb = sorted(map(str, b.collect()))
+            assert ka == kb, ddl
+
+    def test_local_df_datetime_falls_back(self, spark):
+        """Naive datetimes localize differently on the Arrow path
+        (session tz) vs the pickle path (machine tz) — the helper
+        must route them through the stock path."""
+        import datetime
+
+        from market_data_lakehouse_spark.localrel import local_df
+
+        rows = [(datetime.datetime(2024, 1, 2, 3, 4, 5),)]
+        a = local_df(spark, rows, "t timestamp")
+        b = spark.createDataFrame(rows, "t timestamp")
+        assert a.collect() == b.collect()
+
+    def test_dv_anti_join_builds_from_local_relation(self, spark, tmp_path):
+        """The dv positional anti-join's broadcast side is a
+        LocalRelation: no pickled-RDD stage per DML statement."""
+        from market_data_lakehouse_spark.txnlog import TransactionalLake
+
+        lake = TransactionalLake(spark, str(tmp_path / "lk"), partition_by=())
+        lake.append(spark.range(100).selectExpr("id", "id * 2 as v"))
+        lake.delete_where("id % 10 = 0", mode="dv")
+        snap = lake.snapshot()
+        assert "LocalTableScan" in simple_plan(snap)
+        assert "Scan ExistingRDD" not in simple_plan(snap)
+        assert snap.count() == 90
