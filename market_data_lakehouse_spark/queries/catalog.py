@@ -121,6 +121,55 @@ def parquet_rowcount_bound(sf_dir: str, *tables: str) -> int | None:
     return out
 
 
+_COLMAX_CACHE: dict[tuple[str, str, str], int | None] = {}
+
+
+def parquet_colmax_bound(
+    sf_dir: str, table: str, column: str
+) -> int | None:
+    """Upper bound on an integer column's max from parquet FOOTER
+    column statistics — driver-side file opens, zero Spark jobs (the
+    ``parquet_rowcount_bound`` pattern applied to value domains).
+    SIZING/NARROWING callers only: a gate keyed on "ids provably fit
+    a narrower representation" turns OFF when any file lacks stats
+    (returns None), so a false negative costs the wide path, never a
+    wrong answer. Memoized per (dir, table, column) — the driver
+    tables are immutable for a run."""
+    key = (sf_dir, table, column)
+    if key in _COLMAX_CACHE:
+        return _COLMAX_CACHE[key]
+    out: int | None = None
+    try:
+        import pyarrow.parquet as pq
+
+        files = _table_files(sf_dir, table)
+        best: int | None = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i
+                for i in range(md.schema.num_columns)
+            }
+            if column not in idx:
+                best = None
+                break
+            ci = idx[column]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    best = None
+                    raise StopIteration
+                v = int(st.max)
+                best = v if best is None or v > best else best
+        out = best if files else None
+    except StopIteration:
+        out = None
+    except Exception:
+        out = None
+    _COLMAX_CACHE[key] = out
+    return out
+
+
 def _table_files(sf_dir: str, table: str) -> list[str]:
     """The parquet files under a driver table's path — the same set
     both the footer summers above and Spark's scan resolve."""

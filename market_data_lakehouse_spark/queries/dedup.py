@@ -632,10 +632,14 @@ def connected_components(
     shortcutting idea as large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") with a simpler
     per-round dataflow (measured: a 64-node path converges in 7
-    rounds incl. the stationary check; plain propagation needs 63). Convergence is detected by
-    the sum of labels going stationary (labels only ever decrease,
-    so an unchanged sum means an unchanged labeling — one cheap
-    scalar agg per round, no self-join diff).
+    rounds incl. the stationary check; plain propagation needs 63).
+    Convergence is detected by the PRE-halving (stepped) label sum
+    going stationary — labels only ever decrease, so an unchanged
+    consecutive stepped sum forces an unchanged labeling (see the
+    in-body monotonicity argument); the scalar rides each round's
+    checkpoint job via ``observe``, zero extra actions. The first
+    propagation is FUSED into the seed aggregate (r16): round-1
+    labels are min(own id, neighbor ids), which needs no join.
 
     ADAPTIVE join strategy (r8 VERDICT directive 5 — the pagerank
     lesson applied): the per-round label table is ONE row per node,
@@ -671,13 +675,44 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     verts = vertices.select("u")
-    # seed every node that participates (vertices + edge endpoints):
-    # labels must flow THROUGH out-of-vertex endpoints
-    nodes = verts.unionByName(und.select("u")).distinct()
-    labels = nodes.select(
-        F.col("u"), F.col("u").alias("lbl")
-    ).localCheckpoint()
-    spark = labels.sparkSession
+    spark = verts.sparkSession
+    # FUSED first round (r16): the seed labeling's first propagation
+    # needs no join at all — a node's round-1 label is min(own id,
+    # neighbor ids), and the neighbor ids ARE the edge rows. One
+    # map-side-combined aggregate over verts(u,u) ∪ und(u,u) ∪
+    # und(u,v) replaces the old nodes-distinct shuffle + seed
+    # checkpoint + initial convergence scalar + the whole first loop
+    # round (4+ driver actions deleted; groupBy dedups, so no
+    # distinct is paid).
+    #
+    # Convergence accounting rides the checkpoint via ``observe``
+    # (zero extra jobs): the STEPPED sums are checked for
+    # stationarity instead of the post-halving sums — equivalent, by
+    # monotonicity: labels only decrease, halving gives labels(t) <=
+    # stepped(t) pointwise and stepped(t+1) <= labels(t), so equal
+    # consecutive stepped sums force stepped(t+1) = labels(t) =
+    # stepped(t) pointwise — i.e. the propagation was a no-op AND the
+    # previous halving was a no-op, exactly the old fixed point.
+    # decimal(38,0) sum: immune to long overflow however large the
+    # id domain gets (sum of 10^9 ids near 2^63 would wrap a long).
+    lblsum = lambda: F.sum(  # noqa: E731
+        F.col("lbl").cast("decimal(38,0)")
+    ).alias("label_sum")
+    seed = (
+        verts.select("u", F.col("u").alias("lbl"))
+        .unionByName(und.select("u", F.col("u").alias("lbl")))
+        .unionByName(und.select("u", F.col("v").alias("lbl")))
+    )
+    obs = Observation()
+    stepped = (
+        seed.groupBy("u")
+        .agg(F.min("lbl").alias("lbl"))
+        .observe(obs, lblsum())
+        .localCheckpoint()
+    )
+    prev = obs.get["label_sum"]
+    if trace is not None:
+        trace.append({"round": 0, "label_sum": str(prev)})
     # STATS-FIRST gate sizing (r11 VERDICT directive 5):
     # ``n_nodes_bound`` is a caller-supplied UPPER bound on the node
     # count — typically ``TransactionalLake.stats_rowcount()`` when
@@ -685,13 +720,13 @@ def connected_components(
     # lake rows add no nodes beyond it). An upper bound is all the
     # gate needs: it only ever shrinks the broadcast decision, so an
     # over-estimate costs a shuffle, never an executor OOM. With a
-    # bound, the exact ``count()`` job disappears (the seed
-    # checkpoint still materializes eagerly at its own call); without
-    # one, the exact count is the fallback — the pre-r12 behavior.
+    # bound, the exact ``count()`` job disappears; without one, the
+    # exact count is the fallback — read off the hot round-1
+    # checkpoint (its row count IS the node count).
     if n_nodes_bound is not None:
         n_nodes = int(n_nodes_bound)
     else:
-        n_nodes = labels.count()  # exact; the checkpoint is already hot
+        n_nodes = stepped.count()  # exact; the checkpoint is hot
     threshold = _size_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     )
@@ -707,12 +742,34 @@ def connected_components(
             source="bound" if n_nodes_bound is not None else "exact",
             broadcast=small,
         )
-    # decimal(38,0) sum: immune to long overflow however large the
-    # id domain gets (sum of 10^9 ids near 2^63 would wrap a long)
-    total = lambda df: df.agg(  # noqa: E731
-        F.sum(F.col("lbl").cast("decimal(38,0)"))
-    ).first()[0]
-    prev = total(labels)
+
+    def halve(stepped_df: DataFrame) -> DataFrame:
+        # pointer halving: adopt the label of your label. Every label
+        # IS a node id in the same component (labels start as self
+        # and only move along edges/label links), so the lookup join
+        # hits; left join + coalesce guards the root whose label is
+        # itself.
+        lbl_of_lbl = stepped_df.select(
+            F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        if small:
+            lbl_of_lbl = F.broadcast(lbl_of_lbl)
+        return stepped_df.join(lbl_of_lbl, "lbl", "left").select(
+            "u",
+            F.least(
+                F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
+            ).alias("lbl"),
+        )
+
+    labels = halve(stepped)
+    if not small:
+        # shuffle path: labels feeds two consumers next round (the
+        # propagation join and the union) and its halving join is
+        # itself a shuffle — pin it. On the broadcast path the
+        # halving join is a cheap BHJ probe off the stepped
+        # checkpoint, so re-executing it beats a second
+        # materialization per round.
+        labels = labels.localCheckpoint()
     for _ in range(max_rounds):
         lbl_side = labels.withColumnRenamed("u", "v")
         if small:
@@ -720,45 +777,31 @@ def connected_components(
         prop = und.join(lbl_side, "v").select("u", "lbl")
         # checkpoint BEFORE the halving self-join: `stepped` (the
         # round's expensive union+min shuffle) feeds both join sides
-        # and would otherwise be recomputed twice per round
+        # and would otherwise be recomputed twice per round; the
+        # convergence scalar rides the same job via observe
+        obs = Observation()
         stepped = (
             labels.unionByName(prop)
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
+            .observe(obs, lblsum())
             .localCheckpoint()
         )
-        # pointer halving: adopt the label of your label. Every label
-        # IS a node id in the same component (labels start as self and
-        # only move along edges/label links), so the lookup join hits;
-        # left join + coalesce guards the root whose label is itself.
-        lbl_of_lbl = stepped.select(
-            F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")
-        )
-        if small:
-            lbl_of_lbl = F.broadcast(lbl_of_lbl)
-        labels = stepped.join(lbl_of_lbl, "lbl", "left").select(
-            "u",
-            F.least(
-                F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
-            ).alias("lbl"),
-        )
-        if not small:
-            # shuffle path: labels feeds three consumers next round
-            # (total, the propagation join, the union) and its halving
-            # join is itself a shuffle — pin it. On the broadcast path
-            # the halving join is a cheap BHJ probe off the stepped
-            # checkpoint, so re-executing it beats a third
-            # materialization per round.
-            labels = labels.localCheckpoint()
-        cur = total(labels)
+        cur = obs.get["label_sum"]
         if trace is not None:
             # per-round convergence observability for the scale probe
-            # (r8 VERDICT directive 4) — reuses the scalar the loop
+            # (r8 VERDICT directive 4) — reuses the scalar the round
             # already computes, zero extra jobs
             trace.append({"round": len(trace), "label_sum": str(cur)})
         if cur == prev:
-            return labels.join(verts, "u", "left_semi")
+            # stationary stepped sum: stepped == previous labels ==
+            # previous stepped (monotone), so it IS the converged
+            # labeling — no final halving needed
+            return stepped.join(verts, "u", "left_semi")
         prev = cur
+        labels = halve(stepped)
+        if not small:
+            labels = labels.localCheckpoint()
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter exceeds the round budget; raise max_rounds "

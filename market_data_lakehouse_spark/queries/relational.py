@@ -3590,22 +3590,39 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what makes the fancy plan checkable.
 
     Scale: co-occurrence pairs are C(order_size, 2) per order
-    (bounded fan-out, never n^2); the three shuffles are the pair
-    distinct, the wedge self-join on the apex, and the closure join
-    on (v, w). The edge set is localCheckpointed once and reused by
-    degree, wedge, and closure branches."""
+    (bounded fan-out, never n^2), generated MAP-SIDE from each
+    order's sorted part set (r16: one partial-aggregated shuffle on
+    the order key replaces the pre-r16 op-distinct shuffle + o-keyed
+    self-join round — the array work is per-order and order sizes
+    are bounded by the order, not the corpus); the remaining
+    shuffles are the pair distinct and the oriented repartition
+    feeding the wedge self-join. The edge set is localCheckpointed
+    once and reused by degree, wedge, and closure branches."""
+    from market_data_lakehouse_spark.queries.catalog import (
+        parquet_colmax_bound,
+        parquet_rowcount_bound,
+    )
+
     li = load(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    oa = op.alias("oa")
-    ob = op.alias("ob")
-    e = (
-        oa.join(
-            ob,
-            (F.col("oa.o") == F.col("ob.o")) & (F.col("oa.p") < F.col("ob.p")),
+    psets = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         )
-        .select(F.col("oa.p").alias("a"), F.col("ob.p").alias("b"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    e = (
+        psets.select(F.explode(combos).alias("ab"))
+        .select("ab.a", "ab.b")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -3618,6 +3635,23 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orient by (degree, id): src = lower-ranked endpoint
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    threshold = _size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    # broadcast the degree table when the NODE set provably fits the
+    # broadcast threshold (r16): every co-purchase node is a partkey,
+    # so the part table's footer rowcount upper-bounds the degree
+    # table with zero Spark jobs — past the gate (the 100 TB regime)
+    # both degree attachments stay shuffle joins exactly as before.
+    # 32 B/row: UnsafeRow of two longs + hash-map margin, the same
+    # sizing rule as the closure gate below.
+    n_nodes_bound = parquet_rowcount_bound(sf_dir, "part")
+    if (
+        threshold > 0
+        and n_nodes_bound is not None
+        and n_nodes_bound * 32 <= threshold
+    ):
+        da, db = F.broadcast(da), F.broadcast(db)
     ranked = e.join(da, "a").join(db, "b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
@@ -3646,16 +3680,46 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = oriented.select(
         F.col("src"), F.col("dst").alias("dst2"), F.col("d_dst").alias("d2")
     )
+    # PACKED closure key (r16): when node ids provably fit 31 bits
+    # (footer column stats on l_partkey — the node domain — zero
+    # Spark jobs), the (v, w) pair packs injectively into ONE long,
+    # so the closure probe joins on a single long key. Spark builds
+    # a LongHashedRelation for single-long broadcast keys — a dense
+    # primitive-key map whose probe is markedly cheaper than the
+    # generic two-column UnsafeRow map — and the wedge stream (the
+    # largest intermediate in the query, 41M rows at sf0.1 vs 1.2M
+    # edges) pays one probe per wedge. Past the gate (ids >= 2^31 —
+    # the 100 TB regime can exceed it) the join stays on (v, w),
+    # exactly the pre-r16 plan.
+    max_node = parquet_colmax_bound(sf_dir, "lineitem", "l_partkey")
+    packed = max_node is not None and 0 <= max_node < (1 << 31)
     # wedge (src -> v, src -> w) with rank(v) < rank(w): closure must
     # be the oriented edge v -> w
-    wedges = (
-        oriented.join(w2, "src")
-        .filter(
-            (F.col("d_dst") < F.col("d2"))
-            | ((F.col("d_dst") == F.col("d2")) & (F.col("dst") < F.col("dst2")))
-        )
-        .select(F.col("dst").alias("v"), F.col("dst2").alias("w"))
+    wedge_rank = (F.col("d_dst") < F.col("d2")) | (
+        (F.col("d_dst") == F.col("d2")) & (F.col("dst") < F.col("dst2"))
     )
+    if packed:
+        wedges = (
+            oriented.join(w2, "src")
+            .filter(wedge_rank)
+            .select(
+                (F.shiftleft(F.col("dst"), 32) + F.col("dst2")).alias("vw")
+            )
+        )
+        closure = oriented.select(
+            (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("vw")
+        )
+        join_keys = ["vw"]
+    else:
+        wedges = (
+            oriented.join(w2, "src")
+            .filter(wedge_rank)
+            .select(F.col("dst").alias("v"), F.col("dst2").alias("w"))
+        )
+        closure = oriented.select(
+            F.col("src").alias("v"), F.col("dst").alias("w")
+        )
+        join_keys = ["v", "w"]
     # broadcast the closure probe — GATED on the real edge count:
     # the checkpointed scan carries no size stats, so without the
     # hint the planner shuffles the WEDGE stream — the largest
@@ -3667,8 +3731,8 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # autoBroadcastJoinThreshold (counting `oriented` is ~free —
     # it materializes the checkpoint every downstream branch reuses).
     # Past the gate, the closure join becomes a plain shuffle join
-    # on (v, w): the m^1.5 wedge shuffle is then the algorithm's
-    # documented cost, not a planning accident.
+    # on the closure key: the m^1.5 wedge shuffle is then the
+    # algorithm's documented cost, not a planning accident.
     #
     # Stats-first sizing (r11 VERDICT directive 5) does NOT apply
     # here, by construction: n_edges is a RESULT column of this
@@ -3677,13 +3741,8 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The CC kernel (dedup.connected_components), whose count was
     # gate-only, takes the stats-fed bound instead.
     n_edges_exact = oriented.count()
-    closure = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    )
-    threshold = _size_bytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    )
     # UnsafeRow of two longs = 24 bytes; 32 leaves hash-map margin
+    # (kept for the packed single-long key too — margin, not size)
     if threshold > 0 and n_edges_exact * 32 <= threshold:
         closure = F.broadcast(closure)
     # the gate already paid for the EXACT edge count driver-side
@@ -3693,7 +3752,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row aggregates would plan as BroadcastNestedLoopJoin, and
     # saves the union's extra pass over the edge set
     return (
-        wedges.join(closure, ["v", "w"])
+        wedges.join(closure, join_keys)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
         .select(
             F.lit(n_edges_exact).cast("bigint").alias("n_edges"),
