@@ -1132,15 +1132,24 @@ def s22_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx.delete_where("cents % 7 = 0", mode="dv")
     v_upd = tx.update_where("event_id % 10 = 0", {"cents": "cents + 1"})
     final = tx.snapshot(with_row_ids=True).localCheckpoint(eager=False)
-    n_rows = final.count()
-    ids_unique = final.select("_row_id").distinct().count() == n_rows
+    # ONE aggregate job carries all three post-DML invariants (r16:
+    # previously count + distinct-count + filter-count = 3 actions,
+    # each a full scheduling round trip on a checkpoint-resident set)
+    m = final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_ids"),
+        F.sum(
+            F.when(
+                F.expr(
+                    f"(event_id % 10 = 0) != (_row_commit_version = {v_upd})"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("vers_bad"),
+    ).first()
+    ids_unique = m["n_ids"] == m["n_rows"]
     assert ids_unique, "duplicate _row_id after DML"
-    vers_ok = (
-        final.filter(
-            f"(event_id % 10 = 0) != (_row_commit_version = {v_upd})"
-        ).count()
-        == 0
-    )
+    vers_ok = (m["vers_bad"] or 0) == 0
     assert vers_ok, "row_commit_version not exactly the updated rows"
     return (
         final.groupBy("event_type")
@@ -1267,11 +1276,19 @@ def s24_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx.append(ev.filter("event_id % 2 = 1").repartition(2))
     tx.delete_where("event_id % 11 = 3", mode="dv")
     snap = tx.snapshot()
-    no_backfill_ok = (
-        snap.filter("event_id % 2 = 0 AND source != 'batch'").count()
-        == 0
-        and snap.filter("source IS NULL").count() == 0
-    )
+    # one aggregate job for both no-backfill invariants (r16: was two
+    # filter-count actions, each a full re-scan of the snapshot)
+    bad = snap.agg(
+        F.sum(
+            F.when(
+                F.expr("event_id % 2 = 0 AND source != 'batch'"), 1
+            ).otherwise(0)
+        ).alias("leaked"),
+        F.sum(
+            F.when(F.col("source").isNull(), 1).otherwise(0)
+        ).alias("nulls"),
+    ).first()
+    no_backfill_ok = (bad["leaked"] or 0) == 0 and (bad["nulls"] or 0) == 0
     assert no_backfill_ok, "default leaked into pre-default rows"
     return (
         snap.groupBy("event_type", "source")
