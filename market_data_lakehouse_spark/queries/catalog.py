@@ -121,52 +121,70 @@ def parquet_rowcount_bound(sf_dir: str, *tables: str) -> int | None:
     return out
 
 
-_COLMAX_CACHE: dict[tuple[str, str, str], int | None] = {}
+_COLRANGE_CACHE: dict[
+    tuple[str, str, str], tuple[int, int] | None
+] = {}
 
 
-def parquet_colmax_bound(
+def parquet_colrange_bound(
     sf_dir: str, table: str, column: str
-) -> int | None:
-    """Upper bound on an integer column's max from parquet FOOTER
+) -> tuple[int, int] | None:
+    """(min, max) bounds on an integer column from parquet FOOTER
     column statistics — driver-side file opens, zero Spark jobs (the
     ``parquet_rowcount_bound`` pattern applied to value domains).
     SIZING/NARROWING callers only: a gate keyed on "ids provably fit
     a narrower representation" turns OFF when any file lacks stats
     (returns None), so a false negative costs the wide path, never a
-    wrong answer. Memoized per (dir, table, column) — the driver
-    tables are immutable for a run."""
+    wrong answer. Both endpoints are returned because pack-style
+    narrowing needs the MIN proven too (r16 ADVICE: a negative id
+    would collide under a shift-pack even when the max fits).
+    Memoized per (dir, table, column) — the driver tables are
+    immutable for a run."""
     key = (sf_dir, table, column)
-    if key in _COLMAX_CACHE:
-        return _COLMAX_CACHE[key]
-    out: int | None = None
-    try:
+    if key in _COLRANGE_CACHE:
+        return _COLRANGE_CACHE[key]
+
+    def _scan() -> tuple[int, int] | None:
+        # helper-return instead of the old raise-StopIteration
+        # break-out (r16 ADVICE): a missing-stats row group and a
+        # real failure both read as "no bound", but no exception
+        # machinery doubles as control flow.
         import pyarrow.parquet as pq
 
         files = _table_files(sf_dir, table)
-        best: int | None = None
+        if not files:
+            return None
+        lo: int | None = None
+        hi: int | None = None
         for f in files:
             md = pq.ParquetFile(f).metadata
+            # md.num_columns, not md.schema.num_columns: ParquetSchema
+            # has no such attribute — the r16 version's blanket
+            # except swallowed exactly this AttributeError, silently
+            # disabling the packed-key gate on every call.
             idx = {
                 md.schema.column(i).name: i
-                for i in range(md.schema.num_columns)
+                for i in range(md.num_columns)
             }
             if column not in idx:
-                best = None
-                break
+                return None
             ci = idx[column]
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
-                    best = None
-                    raise StopIteration
-                v = int(st.max)
-                best = v if best is None or v > best else best
-        out = best if files else None
-    except StopIteration:
+                    return None
+                smin, smax = int(st.min), int(st.max)
+                lo = smin if lo is None or smin < lo else lo
+                hi = smax if hi is None or smax > hi else hi
+        if lo is None or hi is None:
+            return None
+        return (lo, hi)
+
+    try:
+        out = _scan()
+    except (OSError, ValueError, KeyError, TypeError, ImportError):
         out = None
-    except Exception:
-        out = None
-    _COLMAX_CACHE[key] = out
+    _COLRANGE_CACHE[key] = out
     return out
 
 

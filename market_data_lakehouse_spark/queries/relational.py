@@ -3576,30 +3576,49 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank, and the classic test that a distributed engine avoids
     the naive wedge explosion.
 
-    The Spark plan is the DEGREE-ORIENTED algorithm (Cohen / MR
-    triangle counting; also Suri-Vassilvitskii): orient every edge
-    from the endpoint with the smaller (degree, id) to the larger,
-    so each wedge is enumerated only at its lowest-degree apex.
-    Wedge volume drops from sum(deg^2) — quadratic in the hub degree,
+    Both plans below are DEGREE-ORIENTED (Cohen / MR triangle
+    counting; also Suri-Vassilvitskii): orient every edge from the
+    endpoint with the smaller (degree, id) to the larger, so wedge
+    work drops from sum(deg^2) — quadratic in the hub degree,
     ruinous on a skewed 100 TB graph — to O(m^1.5) regardless of
-    skew; a hub of degree d generates C(d,2) wedges unoriented but
-    only wedges among its HIGHER-ranked neighbors oriented. The
-    DuckDB oracle uses the plain a<b orientation: triangle COUNT is
-    orientation-invariant (each triangle has exactly one apex under
-    any total order), so the two plans must agree bit-for-bit —
-    which is exactly what makes the fancy plan checkable.
+    skew. The DuckDB oracle uses the plain a<b orientation: triangle
+    COUNT is orientation-invariant (each triangle has exactly one
+    apex under any total order), so the plans must agree
+    bit-for-bit — which is exactly what makes the fancy plan
+    checkable.
+
+    TWO plans, gated on the exactly-counted edge set vs the
+    session's autoBroadcastJoinThreshold (r17):
+
+    - edge set fits a broadcast -> EDGE-ITERATOR intersection:
+      per-source out-neighbor arrays (one co-partitioned
+      collect_list), then n_triangles = sum over oriented edges
+      (v, w) of |N+(v) ∩ N+(w)| — each triangle {a<b<c by rank} is
+      found exactly once, at edge (a, b) via common out-neighbor c.
+      The 41M-row wedge stream of the pre-r17 plan (two chained
+      broadcast-join probes, 114 s of CPU at sf0.1) never
+      materializes: only the m edge rows flow, each paying one
+      array intersection whose total element work is the SAME
+      O(m^1.5) wedge bound, executed as a primitive-array hash
+      probe inside one codegen stage instead of per-wedge row
+      materialization (~2.2x measured end-to-end).
+    - past the gate (the 100 TB regime) -> the r16 wedge plan:
+      oriented edges repartitioned+sorted into an AQE-off-compiled
+      checkpoint, wedges enumerated by the exchange-free self-join,
+      closure probed by a shuffle join on the (packed, when footer
+      stats prove ids fit 31 bits) pair key. Adjacency arrays are
+      the wrong shape there: a 10^6-degree hub's neighbor array is
+      an 8 MB cell, while the wedge stream shards that hub's work
+      across tasks.
 
     Scale: co-occurrence pairs are C(order_size, 2) per order
     (bounded fan-out, never n^2), generated MAP-SIDE from each
     order's sorted part set (r16: one partial-aggregated shuffle on
     the order key replaces the pre-r16 op-distinct shuffle + o-keyed
-    self-join round — the array work is per-order and order sizes
-    are bounded by the order, not the corpus); the remaining
-    shuffles are the pair distinct and the oriented repartition
-    feeding the wedge self-join. The edge set is localCheckpointed
-    once and reused by degree, wedge, and closure branches."""
+    self-join round). The edge set is localCheckpointed once and
+    reused by the count, degree, and adjacency/wedge branches."""
     from market_data_lakehouse_spark.queries.catalog import (
-        parquet_colmax_bound,
+        parquet_colrange_bound,
         parquet_rowcount_bound,
     )
 
@@ -3626,6 +3645,14 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # The exact edge count is a RESULT column of this query (so a
+    # metadata estimate can never replace it) AND the plan-choice
+    # gate; counting `e` materializes the checkpoint every
+    # downstream branch reuses.
+    n_edges_exact = e.count()
+    threshold = _size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
     deg = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -3635,16 +3662,13 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orient by (degree, id): src = lower-ranked endpoint
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    threshold = _size_bytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    )
     # broadcast the degree table when the NODE set provably fits the
     # broadcast threshold (r16): every co-purchase node is a partkey,
     # so the part table's footer rowcount upper-bounds the degree
     # table with zero Spark jobs — past the gate (the 100 TB regime)
     # both degree attachments stay shuffle joins exactly as before.
     # 32 B/row: UnsafeRow of two longs + hash-map margin, the same
-    # sizing rule as the closure gate below.
+    # sizing rule as the edge-set plan gate above.
     n_nodes_bound = parquet_rowcount_bound(sf_dir, "part")
     if (
         threshold > 0
@@ -3656,6 +3680,51 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # EDGE-ITERATOR intersection plan (r17), gated on the edge set
+    # provably fitting the broadcast threshold — the SAME bound the
+    # pre-r17 closure-broadcast gate used (32 B/row: UnsafeRow of
+    # two longs + hash-map margin), because the adjacency table's
+    # payload is exactly one array cell per edge. One shuffle (the
+    # per-source collect_list), then a single codegen stage:
+    # explode the adjacency table back into the edge stream — each
+    # edge arrives with N+(src) attached for FREE — broadcast-join
+    # N+(dst), and sum |N+(src) ∩ N+(dst)|. Each triangle {a<b<c by
+    # rank} is counted exactly once, at edge (a, b): c is a common
+    # out-neighbor; at (a, c) and (b, c) it is not (b->c, not c->b).
+    if threshold > 0 and n_edges_exact * 32 <= threshold:
+        oriented = ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        # one array cell per oriented edge; localCheckpoint so the
+        # broadcast build and the explode side share ONE computation
+        # (exchange reuse does not fire across the two branches)
+        adj = (
+            oriented.groupBy("src")
+            .agg(F.collect_list("dst").alias("ns"))
+            .localCheckpoint(eager=False)
+        )
+        ews = adj.select(
+            F.col("ns").alias("ns_src"), F.explode("ns").alias("dst")
+        )
+        ns_dst = F.broadcast(
+            adj.select(F.col("src").alias("dst"), F.col("ns").alias("ns_dst"))
+        )
+        return (
+            ews.join(ns_dst, "dst")
+            .agg(
+                F.coalesce(
+                    F.sum(F.size(F.array_intersect("ns_src", "ns_dst"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_triangles")
+            )
+            .select(
+                F.lit(n_edges_exact).cast("bigint").alias("n_edges"),
+                "n_triangles",
+            )
+        )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     # partition + sort the oriented edges inside an AQE-off-compiled
@@ -3683,16 +3752,17 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PACKED closure key (r16): when node ids provably fit 31 bits
     # (footer column stats on l_partkey — the node domain — zero
     # Spark jobs), the (v, w) pair packs injectively into ONE long,
-    # so the closure probe joins on a single long key. Spark builds
-    # a LongHashedRelation for single-long broadcast keys — a dense
-    # primitive-key map whose probe is markedly cheaper than the
-    # generic two-column UnsafeRow map — and the wedge stream (the
-    # largest intermediate in the query, 41M rows at sf0.1 vs 1.2M
-    # edges) pays one probe per wedge. Past the gate (ids >= 2^31 —
+    # so the closure join runs on a single long key and the shuffle
+    # moves one long per wedge instead of two. Injectivity needs
+    # BOTH endpoints of the id range inside [0, 2^31) — an id below
+    # zero would collide under shiftleft (r16 ADVICE), so the gate
+    # reads the footer MIN too. Past the gate (ids outside 31 bits —
     # the 100 TB regime can exceed it) the join stays on (v, w),
     # exactly the pre-r16 plan.
-    max_node = parquet_colmax_bound(sf_dir, "lineitem", "l_partkey")
-    packed = max_node is not None and 0 <= max_node < (1 << 31)
+    node_range = parquet_colrange_bound(sf_dir, "lineitem", "l_partkey")
+    packed = node_range is not None and (
+        0 <= node_range[0] and node_range[1] < (1 << 31)
+    )
     # wedge (src -> v, src -> w) with rank(v) < rank(w): closure must
     # be the oriented edge v -> w
     wedge_rank = (F.col("d_dst") < F.col("d2")) | (
@@ -3720,37 +3790,15 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("v"), F.col("dst").alias("w")
         )
         join_keys = ["v", "w"]
-    # broadcast the closure probe — GATED on the real edge count:
-    # the checkpointed scan carries no size stats, so without the
-    # hint the planner shuffles the WEDGE stream — the largest
-    # intermediate in the whole query — to pair with a mere
-    # edge-set-sized table (measured 12.5 s vs 6 s at sf0.1). But
-    # edges grow linearly with the corpus, so at scale the hint
-    # would become an executor OOM, not an optimization: broadcast
-    # only when the edge set provably fits the session's
-    # autoBroadcastJoinThreshold (counting `oriented` is ~free —
-    # it materializes the checkpoint every downstream branch reuses).
-    # Past the gate, the closure join becomes a plain shuffle join
-    # on the closure key: the m^1.5 wedge shuffle is then the
-    # algorithm's documented cost, not a planning accident.
-    #
-    # Stats-first sizing (r11 VERDICT directive 5) does NOT apply
-    # here, by construction: n_edges is a RESULT column of this
-    # query, so the exact count is load-bearing regardless of how
-    # the gate is sized — a metadata estimate would save nothing.
-    # The CC kernel (dedup.connected_components), whose count was
-    # gate-only, takes the stats-fed bound instead.
-    n_edges_exact = oriented.count()
-    # UnsafeRow of two longs = 24 bytes; 32 leaves hash-map margin
-    # (kept for the packed single-long key too — margin, not size)
-    if threshold > 0 and n_edges_exact * 32 <= threshold:
-        closure = F.broadcast(closure)
-    # the gate already paid for the EXACT edge count driver-side
-    # (oriented is a 1:1 image of e, so its count IS the edge count),
-    # so the second scalar comes in as a literal — this replaces the
-    # r7 tagged-union trick, which existed only because joining two
+    # This branch only runs past the broadcast gate, so the closure
+    # join is a plain shuffle join on the closure key: the m^1.5
+    # wedge shuffle is the algorithm's documented cost at that
+    # scale, not a planning accident. The exact edge count was paid
+    # up front on `e` (oriented is its 1:1 image), so the second
+    # scalar comes in as a literal — this replaces the r7
+    # tagged-union trick, which existed only because joining two
     # 1-row aggregates would plan as BroadcastNestedLoopJoin, and
-    # saves the union's extra pass over the edge set
+    # saves the union's extra pass over the edge set.
     return (
         wedges.join(closure, join_keys)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
