@@ -86,7 +86,18 @@ def _shingles_exploded(
     semantic choice, kept stable for minhash parity). Rows are NOT
     deduplicated — callers that need set semantics apply distinct();
     min-based minhash doesn't (min over a multiset equals min over
-    its set)."""
+    its set).
+
+    The long/short branches are FUSED into one conditional explode
+    (r17): the pre-r17 union of two filtered selects scanned and
+    tokenized the corpus TWICE (two Scan nodes in every consumer's
+    plan) and erased the child's partitioning (Union reports
+    UnknownPartitioning), forcing the downstream distinct/signature
+    aggregates to re-shuffle even when the caller had already
+    repartitioned by doc_id. A short document becomes a 1-element
+    array whose struct carries NULL tail fields — concat_ws skips
+    NULLs, so its shingle is byte-identical to the old branch's
+    ``concat_ws(" ", toks)``."""
     toks = _tokens()
     cols = ["doc_id", *carry]
     # coalesce: size(NULL) is NULL (not -1), which a bare comparison
@@ -99,15 +110,18 @@ def _shingles_exploded(
         F.slice(toks, 2, n - 2),
         F.slice(toks, 3, n - 2),
     )
-    long_sh = (
-        df.filter(n >= SHINGLE)
-        .select(*cols, F.explode(z).alias("zz"))
+    whole = F.array(
+        F.struct(
+            F.concat_ws(" ", toks).alias("0"),
+            F.lit(None).cast("string").alias("1"),
+            F.lit(None).cast("string").alias("2"),
+        )
+    )
+    zz = F.when(n >= SHINGLE, z).otherwise(whole)
+    return (
+        df.select(*cols, F.explode(zz).alias("zz"))
         .select(*cols, F.concat_ws(" ", "zz.0", "zz.1", "zz.2").alias("s"))
     )
-    short_sh = df.filter(n < SHINGLE).select(
-        *cols, F.concat_ws(" ", toks).alias("s")
-    )
-    return long_sh.unionByName(short_sh)
 
 
 @register(
@@ -248,9 +262,22 @@ def e2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the per-doc signatures (one 32-long row per doc —
     # tiny) before the self-join: exchange reuse does not fire across
     # the join's two branches, so without this the scan -> explode ->
-    # signature-aggregate pipeline executes twice
+    # signature-aggregate pipeline executes twice.
+    #
+    # repartition(doc_id) BEFORE the explode (r17): the 8.3M xxhash64
+    # evaluations of the signature aggregate otherwise run on the
+    # parquet split count (3 tasks at sf0.1 — AQE's byte-based
+    # coalescing cannot see CPU density), and hash(doc_id) satisfies
+    # the groupBy(doc_id) clustering requirement, so the signature
+    # aggregate then runs IN-PARTITION with no exchange at all. The
+    # shuffle moves the 5k-doc text rows once — strictly fewer bytes
+    # than the partial-signature shuffle it replaces at this width.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sigs = minhash_signatures(
-        _shingles_exploded(load(spark, sf_dir, "documents"), carry=())
+        _shingles_exploded(
+            load(spark, sf_dir, "documents").repartition(n_part, "doc_id"),
+            carry=(),
+        )
     ).localCheckpoint(eager=False)
     banded = _banded(sigs)
     a = banded.select(
@@ -540,8 +567,16 @@ def e2_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class as the shuffle this stage already pays; a multi-tenant
     # 100 TB deployment would persist(DISK_ONLY) or checkpoint to
     # durable storage instead — identical plan, different medium.
+    # repartition(doc_id) BEFORE the explode (r17): hash(doc_id)
+    # satisfies the clustering requirement of BOTH the (doc_id, s)
+    # distinct AND the per-doc signature aggregate, so the one
+    # 5k-row text shuffle replaces the distinct's full-shingle
+    # exchange and the signature pipeline runs at full width instead
+    # of the 3-task parquet split count (AQE's byte-based coalescing
+    # cannot see the 8.3M-xxhash CPU density).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ex = (
-        _shingles_exploded(docs, carry=())
+        _shingles_exploded(docs.repartition(n_part, "doc_id"), carry=())
         .distinct()
         .withColumn("h", F.xxhash64("s"))
         .localCheckpoint(eager=False)
@@ -550,6 +585,10 @@ def e2_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
         for k in range(N_MINHASH)
     ]
+    # sigs checkpointed too (r17): the band self-join derives BOTH
+    # sides from it, and exchange reuse does not fire across the two
+    # branches — without the pin the 32-minhash aggregate over the
+    # full shingle set executed twice (one 5k-row array table).
     sigs = (
         ex.groupBy("doc_id")
         .agg(*aggs, F.count(F.lit(1)).alias("n"))
@@ -558,6 +597,7 @@ def e2_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"m{k}") for k in range(N_MINHASH)]).alias("sig"),
             "n",
         )
+        .localCheckpoint(eager=False)
     )
     banded = _banded(sigs, carry=("n",)).drop("sig")
     cand = (

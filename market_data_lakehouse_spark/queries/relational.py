@@ -3207,10 +3207,23 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALL equals the oracle's UNION distinct without paying a dedup
     # shuffle of the doubled edge table (ADVICE r6)
     flipped = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_nodes_bound = (
-        load(spark, sf_dir, "customer").count()
-        + load(spark, sf_dir, "supplier").count()
+    # STATS-FIRST gate sizing (r17, VERDICT r16 directive 2): every
+    # graph node is a customer or a supplier, so the two tables'
+    # parquet-footer rowcounts upper-bound the node count with ZERO
+    # Spark jobs — the two exact count() jobs this replaces were the
+    # only actions before the single terminal collect. An
+    # over-estimate only flips the gate toward the shuffle plan
+    # (safe); missing footers fall back to the exact counts.
+    from market_data_lakehouse_spark.queries.catalog import (
+        parquet_rowcount_bound,
     )
+
+    n_nodes_bound = parquet_rowcount_bound(sf_dir, "customer", "supplier")
+    if n_nodes_bound is None:
+        n_nodes_bound = (
+            load(spark, sf_dir, "customer").count()
+            + load(spark, sf_dir, "supplier").count()
+        )
     if n_nodes_bound <= _PAGERANK_BROADCAST_MAX_NODES:
         undir = e.union(flipped).localCheckpoint(eager=False)
         deg = (
@@ -4013,11 +4026,15 @@ def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # undirected: UNION (distinct) matches the oracle and collapses
-    # any src/dst pair that appears in both orientations
+    # undirected: the oracle's UNION (distinct) equals this UNION ALL
+    # because the two orientations are provably disjoint — src is a
+    # custkey (150k x SF) and dst carries the 4e9 supplier offset, so
+    # an e0 row and a flipped row can never coincide, and e0 is
+    # already distinct. Dropping the r16 .distinct() removes a full
+    # shuffle + re-aggregate of the doubled edge set (r17; the same
+    # disjointness argument g1_pagerank has carried since ADVICE r6).
     e = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .localCheckpoint(eager=False)
     )
     deg = _kcore_peel(e, k=17, rounds=4)
@@ -4072,11 +4089,12 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = (
-        e0.select("u")
-        .union(e0.select(F.col("v").alias("u")))
-        .distinct()
-    )
+    # NO distinct on the vertex projection (r17): the CC kernel's
+    # seed aggregate groupBy-dedups its union input, and the final
+    # vertex filter is a left-semi join — duplicate vertex rows
+    # change neither, so the r16 .distinct() was a pure extra
+    # shuffle + re-aggregate of the doubled endpoint stream.
+    nodes = e0.select("u").union(e0.select(F.col("v").alias("u")))
     # stats-first gate sizing (r13): u-side nodes are customer keys
     # and v-side nodes supplier keys (TPC-H referential integrity),
     # so rows(customer) + rows(supplier) from the parquet footers
