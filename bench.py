@@ -692,14 +692,24 @@ def run_gates(spark, sf_dir: str, bench_line: dict) -> None:
     import bench_compare
     import plan_audit
 
-    plan_audit.write_report(
-        spark, sf_dir, os.path.join(repo, "PLAN_AUDIT.json")
-    )
-    print("gate: PLAN_AUDIT.json refreshed", file=sys.stderr)
     rounds = sorted(
         int(m.group(1))
         for f in os.listdir(repo)
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    )
+    this_round = (rounds[-1] + 1) if rounds else 1
+    plan_audit.write_report(
+        spark,
+        sf_dir,
+        os.path.join(repo, "PLAN_AUDIT.json"),
+        # restored plan-dump contract (r17, VERDICT r16 directive 3):
+        # formatted explains for every benched query land in
+        # plans/r{N}/ at the sha the bench stamps
+        dump_dir=os.path.join(repo, "plans", f"r{this_round}"),
+    )
+    print(
+        f"gate: PLAN_AUDIT.json refreshed + plans/r{this_round}/ dumped",
+        file=sys.stderr,
     )
     if not rounds:
         return

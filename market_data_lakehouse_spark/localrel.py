@@ -24,23 +24,37 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql.types import StructType
 
 
+def _has_naive_datetime(v) -> bool:
+    """Recursive naive-datetime scan (r17, ADVICE r16: the one-level
+    scan would have let ``array<struct<ts timestamp>>`` through the
+    Arrow path and localized it with the session tz). Rows and
+    nested tuples/lists/dicts all recurse; any datetime — naive or
+    not — routes to the stock path, erring toward the old behavior."""
+    if isinstance(v, _dt.datetime):
+        return True
+    if isinstance(v, (tuple, list)):
+        return any(_has_naive_datetime(x) for x in v)
+    if isinstance(v, dict):
+        return any(_has_naive_datetime(x) for x in v.values())
+    return False
+
+
 def _arrow_safe(rows: list) -> bool:
-    """True when every leaf value converts identically through the
-    Arrow and pickle ingest paths. Naive ``datetime`` is the one
-    class with a semantic difference (machine-tz vs session-tz
-    localization), so any datetime routes to the stock path."""
+    """True when every row converts identically through the Arrow
+    and pickle ingest paths: plain tuples/lists/Rows/bare scalars
+    with no datetime at ANY nesting depth. Dict rows (field-name
+    keyed) are NOT safe — ``tuple(dict)`` yields the KEYS, so the
+    pandas conversion would silently ingest wrong data (ADVICE r16);
+    they route to the stock path, which handles them by name."""
     for r in rows:
-        vals = r if isinstance(r, (tuple, list)) else (r,)
-        for v in vals:
-            if isinstance(v, _dt.datetime):
-                return False
-            if isinstance(v, (tuple, list)):
-                if any(isinstance(x, _dt.datetime) for x in v):
-                    return False
+        if isinstance(r, dict) and not isinstance(r, Row):
+            return False
+        if _has_naive_datetime(r):
+            return False
     return True
 
 

@@ -2957,16 +2957,23 @@ class TransactionalLake:
     def _affected_files(self, snap: DataFrame, match) -> list[str]:
         """Table-relative paths of live files containing >= 1 row
         matching ``match`` (a boolean Column). One scan with the
-        file-path metadata column; the collect moves paths, not rows."""
-        return self._rel_paths(
-            [
-                r.f
-                for r in snap.filter(match)
-                .select(F.col("_metadata.file_path").alias("f"))
-                .distinct()
-                .collect()
-            ]
+        file-path metadata column; the collect moves paths, not rows.
+
+        collect_set, not distinct (r17): distinct shuffled the path
+        rows into ``shuffle.partitions`` reducers — a full 32-task
+        stage wave to dedupe a handful of strings. The map-side
+        partial collect_set bounds each task's output at the file
+        count and the final aggregate is ONE task."""
+        row = (
+            snap.filter(match)
+            .agg(
+                F.collect_set(
+                    F.col("_metadata.file_path")
+                ).alias("fs")
+            )
+            .first()
         )
+        return self._rel_paths(list(row["fs"] or []))
 
     _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
     _PD_CMP = re.compile(
@@ -4954,18 +4961,21 @@ class TransactionalLake:
             est_bytes=sum(src_bytes[k] for k in keys),
         )
         # affected = files containing at least one matched key; the
-        # collect is O(matched files), driver-safe (paths, not rows)
+        # collect is O(matched files), driver-safe (paths, not rows).
+        # collect_set, not distinct (r17): the map-side partial set
+        # bounds each task at the file count and the final aggregate
+        # is one task — distinct paid a 32-reducer stage wave to
+        # dedupe a handful of path strings.
         affected = self._rel_paths(
-            [
-                r.f
-                for r in snap.select(
+            list(
+                snap.select(
                     F.col("_metadata.file_path").alias("f"), *keys
                 )
                 .join(src_keys, keys, "left_semi")
-                .select("f")
-                .distinct()
-                .collect()
-            ]
+                .agg(F.collect_set("f").alias("fs"))
+                .first()["fs"]
+                or []
+            )
         )
         if when_not_matched_by_source in ("delete", "update"):
             # Delta WHEN NOT MATCHED BY SOURCE THEN DELETE/UPDATE:
@@ -4975,16 +4985,15 @@ class TransactionalLake:
             # MATCHED rows now); a file whose every row matches stays
             # scoped by the probe, not swept in wholesale.
             unmatched_files = self._rel_paths(
-                [
-                    r.f
-                    for r in snap.select(
+                list(
+                    snap.select(
                         F.col("_metadata.file_path").alias("f"), *keys
                     )
                     .join(src_keys, keys, "left_anti")
-                    .select("f")
-                    .distinct()
-                    .collect()
-                ]
+                    .agg(F.collect_set("f").alias("fs"))
+                    .first()["fs"]
+                    or []
+                )
             )
             affected = sorted(set(affected) | set(unmatched_files))
         parts: list[DataFrame] = []

@@ -720,6 +720,32 @@ class TestLocalRelation:
         b = spark.createDataFrame(rows, "t timestamp")
         assert a.collect() == b.collect()
 
+    def test_local_df_dict_rows_fall_back(self, spark):
+        """Dict rows must route to the stock path: ``tuple(dict)``
+        yields the KEYS, so the pandas conversion would silently
+        ingest wrong data for an all-string schema (ADVICE r16)."""
+        from market_data_lakehouse_spark.localrel import local_df
+
+        rows = [{"a": "x", "b": "y"}, {"a": "p", "b": "q"}]
+        a = local_df(spark, rows, "a string, b string")
+        b = spark.createDataFrame(rows, "a string, b string")
+        assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+        assert {r.a for r in a.collect()} == {"x", "p"}
+
+    def test_local_df_nested_datetime_falls_back(self, spark):
+        """A datetime nested two levels deep (array<struct<ts>>)
+        must also route to the stock path — the one-level scan
+        missed it (ADVICE r16)."""
+        import datetime
+
+        from market_data_lakehouse_spark.localrel import local_df
+
+        rows = [([(datetime.datetime(2024, 1, 2, 3, 4, 5),)],)]
+        ddl = "arr array<struct<ts timestamp>>"
+        a = local_df(spark, rows, ddl)
+        b = spark.createDataFrame(rows, ddl)
+        assert a.collect() == b.collect()
+
     def test_dv_anti_join_builds_from_local_relation(self, spark, tmp_path):
         """The dv positional anti-join's broadcast side is a
         LocalRelation: no pickled-RDD stage per DML statement."""
